@@ -1,0 +1,173 @@
+"""Schema catalog: explicit StructTypes + the Edm source-type mapping.
+
+The reference discovers schemas at runtime from the OData ``$metadata``
+XML and caches them in MongoDB (reference resources/priorityDataSource.py:347-458),
+then trusts the cache for DDL and dtype enforcement. Our equivalent is an
+explicit, in-code catalog: a ``StructType`` per table (never
+``inferSchema`` — parquet footers are self-describing, and for non-self-
+describing sources the catalog is authoritative) plus the four-entry
+Edm→Spark type mapping (reference resources/static/datatypesConvert.json:2-37).
+
+Scale note: an explicit schema means the scan can prune columns/row groups
+from the parquet footer without a sampling pass — at 100 TB an
+``inferSchema`` pre-read is a full extra scan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import types as T
+
+# ---------------------------------------------------------------------------
+# Edm → Spark type mapping (the reference's datatypeMapping table,
+# resources/static/datatypesConvert.json:2-37, as a plain dict — no eval()).
+# ---------------------------------------------------------------------------
+
+EDM_TO_SPARK: dict[str, T.DataType] = {
+    "Edm.String": T.StringType(),
+    "Edm.Decimal": T.DecimalType(38, 6),
+    "Edm.DateTimeOffset": T.TimestampType(),
+    "Edm.Int64": T.LongType(),
+}
+
+# SQL dialect strings for the sink-DDL boundary (reference keeps per-dialect
+# columns MySQLDatatype/postgresDatatype/AzureSQLDatatype in the mapping docs).
+EDM_TO_SQL: dict[str, dict[str, str]] = {
+    "Edm.String": {"azuresql": "VARCHAR(MAX)", "postgres": "VARCHAR", "spark": "STRING"},
+    "Edm.Decimal": {"azuresql": "NUMERIC(38,6)", "postgres": "NUMERIC", "spark": "DECIMAL(38,6)"},
+    "Edm.DateTimeOffset": {"azuresql": "DATETIMEOFFSET", "postgres": "TIMESTAMP", "spark": "TIMESTAMP"},
+    "Edm.Int64": {"azuresql": "BIGINT", "postgres": "BIGINT", "spark": "BIGINT"},
+}
+
+
+def edm_to_spark(edm_type: str) -> T.DataType:
+    """Map an Edm source type to its Spark type (O11 in SURVEY.md §2)."""
+    try:
+        return EDM_TO_SPARK[edm_type]
+    except KeyError:
+        raise ValueError(f"unmapped source type {edm_type!r}; known: {sorted(EDM_TO_SPARK)}")
+
+
+# ---------------------------------------------------------------------------
+# Fixture-table schemas — mirror the parquet footers at /root/testdata/sf*/
+# exactly (verified against pyarrow). These double as the "entity metadata"
+# catalog: name, fields, and primary key per entity.
+# ---------------------------------------------------------------------------
+
+_f = T.StructField
+
+SCHEMAS: dict[str, T.StructType] = {
+    "region": T.StructType([
+        _f("r_regionkey", T.IntegerType()),
+        _f("r_name", T.StringType()),
+    ]),
+    "nation": T.StructType([
+        _f("n_nationkey", T.IntegerType()),
+        _f("n_name", T.StringType()),
+        _f("n_regionkey", T.IntegerType()),
+    ]),
+    "customer": T.StructType([
+        _f("c_custkey", T.LongType()),
+        _f("c_name", T.StringType()),
+        _f("c_nationkey", T.IntegerType()),
+        _f("c_acctbal", T.DoubleType()),
+        _f("c_mktsegment", T.StringType()),
+    ]),
+    "supplier": T.StructType([
+        _f("s_suppkey", T.LongType()),
+        _f("s_name", T.StringType()),
+        _f("s_nationkey", T.IntegerType()),
+        _f("s_acctbal", T.DoubleType()),
+    ]),
+    "part": T.StructType([
+        _f("p_partkey", T.LongType()),
+        _f("p_name", T.StringType()),
+        _f("p_brand", T.StringType()),
+        _f("p_type", T.StringType()),
+        _f("p_size", T.IntegerType()),
+        _f("p_retailprice", T.DoubleType()),
+    ]),
+    "orders": T.StructType([
+        _f("o_orderkey", T.LongType()),
+        _f("o_custkey", T.LongType()),
+        _f("o_orderstatus", T.StringType()),
+        _f("o_totalprice", T.DoubleType()),
+        _f("o_orderdate", T.TimestampType()),
+        _f("o_orderpriority", T.StringType()),
+    ]),
+    "lineitem": T.StructType([
+        _f("l_orderkey", T.LongType()),
+        _f("l_partkey", T.LongType()),
+        _f("l_suppkey", T.LongType()),
+        _f("l_linenumber", T.IntegerType()),
+        _f("l_quantity", T.DoubleType()),
+        _f("l_extendedprice", T.DoubleType()),
+        _f("l_discount", T.DoubleType()),
+        _f("l_tax", T.DoubleType()),
+        _f("l_returnflag", T.StringType()),
+        _f("l_linestatus", T.StringType()),
+        _f("l_shipdate", T.TimestampType()),
+    ]),
+    "events": T.StructType([
+        _f("event_id", T.LongType()),
+        _f("ts", T.TimestampType()),
+        _f("user_id", T.LongType()),
+        _f("event_type", T.StringType()),
+        _f("value", T.DoubleType()),
+        _f("props", T.StringType()),
+    ]),
+    "documents": T.StructType([
+        _f("doc_id", T.LongType()),
+        _f("text", T.StringType()),
+        _f("lang", T.StringType()),
+        _f("source", T.StringType()),
+        _f("n_chars", T.LongType()),
+    ]),
+    "embeddings": T.StructType([
+        _f("vec_id", T.LongType()),
+        _f("embedding", T.ArrayType(T.FloatType())),
+        _f("label", T.IntegerType()),
+    ]),
+}
+
+# Entity primary keys (EntityPk in the reference's metadata docs,
+# reference resources/priorityDataSource.py:452-455). Drives MERGE dedup and
+# the sink-DDL PK→varchar(255) rule (reference resources/sqlDwh.py:368-370).
+PRIMARY_KEYS: dict[str, list[str]] = {
+    "region": ["r_regionkey"],
+    "nation": ["n_nationkey"],
+    "customer": ["c_custkey"],
+    "supplier": ["s_suppkey"],
+    "part": ["p_partkey"],
+    "orders": ["o_orderkey"],
+    "lineitem": ["l_orderkey", "l_linenumber"],
+    "events": ["event_id"],
+    "documents": ["doc_id"],
+    "embeddings": ["vec_id"],
+}
+
+TABLES: tuple[str, ...] = tuple(SCHEMAS)
+
+
+def schema_for(table: str) -> T.StructType:
+    try:
+        return SCHEMAS[table]
+    except KeyError:
+        raise ValueError(f"unknown table {table!r}; known: {sorted(SCHEMAS)}")
+
+
+def primary_key(table: str) -> list[str]:
+    return list(PRIMARY_KEYS[table])
+
+
+def struct_type_from_metadata(fields: list[dict]) -> T.StructType:
+    """Build a StructType from a reference-shaped entity-metadata doc.
+
+    ``fields`` items look like ``{"fieldName": ..., "SourceDataType":
+    "Edm.*", "KeyFlag": bool}`` (reference resources/priorityDataSource.py:390-417,
+    example readme.md:518-551). Names are lowercased here — the engine
+    normalizes all identifiers to lowercase (O9).
+    """
+    return T.StructType([
+        _f(fld["fieldName"].lower(), edm_to_spark(fld["SourceDataType"]), True)
+        for fld in fields
+    ])

@@ -1,0 +1,85 @@
+"""Sink DDL semantics (SURVEY.md §2.1 O15-O18).
+
+The reference synthesizes SQLAlchemy ``Table`` DDL from metadata docs —
+typed columns, composite PKs, audit columns — with two rules we preserve
+at the sink boundary ONLY (never inside the engine, where they would
+wreck join/sort semantics):
+
+1. PK columns are forced to VARCHAR(255) regardless of source type
+   (reference resources/sqlDwh.py:368-370);
+2. every table gets ``extractionid`` VARCHAR(36) + ``extractiontimestamputc``
+   DATETIME audit columns (reference resources/sqlDwh.py:379-385).
+
+Output is a ``CREATE TABLE IF NOT EXISTS`` statement string per dialect —
+usable against Azure SQL through JDBC (``createTableColumnTypes``) or as a
+Spark SQL DDL. No eval(): the type mapping is the explicit dict in
+catalog.py (the reference eval()'d mapping strings, resources/sqlDwh.py:372).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import types as T
+
+_SPARK_TO_SQL: dict[type, dict[str, str]] = {
+    T.StringType: {"azuresql": "VARCHAR(MAX)", "spark": "STRING"},
+    T.LongType: {"azuresql": "BIGINT", "spark": "BIGINT"},
+    T.IntegerType: {"azuresql": "INT", "spark": "INT"},
+    T.DoubleType: {"azuresql": "FLOAT", "spark": "DOUBLE"},
+    T.TimestampType: {"azuresql": "DATETIMEOFFSET", "spark": "TIMESTAMP"},
+}
+
+AUDIT_DDL = {
+    "azuresql": [("extractionid", "VARCHAR(36)"), ("extractiontimestamputc", "DATETIME2")],
+    "spark": [("extractionid", "STRING"), ("extractiontimestamputc", "TIMESTAMP")],
+}
+
+
+def _sql_type(dt: T.DataType, dialect: str) -> str:
+    if isinstance(dt, T.DecimalType):
+        return f"DECIMAL({dt.precision},{dt.scale})"
+    for cls, m in _SPARK_TO_SQL.items():
+        if isinstance(dt, cls):
+            return m[dialect]
+    raise ValueError(f"no {dialect} mapping for {dt}")
+
+
+def create_table_ddl(
+    table: str,
+    schema: T.StructType,
+    pk: list[str],
+    dialect: str = "spark",
+    with_audit: bool = True,
+) -> str:
+    """O15/O16: CREATE TABLE IF NOT EXISTS with PK→VARCHAR(255) coercion.
+
+    Table/column names lowercased (O9, reference resources/sqlDwh.py:220-224).
+    """
+    pk_set = {c.lower() for c in pk}
+    cols: list[str] = []
+    for f in schema.fields:
+        name = f.name.lower()
+        if name in pk_set:
+            typ = "VARCHAR(255)" if dialect == "azuresql" else "STRING"
+        else:
+            typ = _sql_type(f.dataType, dialect)
+        cols.append(f"{name} {typ}")
+    if with_audit:
+        cols += [f"{n} {t}" for n, t in AUDIT_DDL[dialect]]
+    body = ", ".join(cols)
+    if dialect == "azuresql" and pk:
+        body += f", PRIMARY KEY ({', '.join(sorted(pk_set))})"
+    return f"CREATE TABLE IF NOT EXISTS {table.lower()} ({body})"
+
+
+def jdbc_column_types(schema: T.StructType, pk: list[str]) -> str:
+    """The ``createTableColumnTypes`` option string for ``df.write.jdbc`` —
+    how the DDL rules reach a real Azure SQL sink."""
+    pk_set = {c.lower() for c in pk}
+    parts = []
+    for f in schema.fields:
+        name = f.name.lower()
+        typ = "VARCHAR(255)" if name in pk_set else _sql_type(f.dataType, "azuresql")
+        if typ == "VARCHAR(MAX)":
+            typ = "VARCHAR(8000)"  # createTableColumnTypes rejects MAX
+        parts.append(f"{name} {typ}")
+    return ", ".join(parts)

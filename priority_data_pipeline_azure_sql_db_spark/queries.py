@@ -1,0 +1,1015 @@
+"""Query registry: every implemented operator as a (Spark callable, DuckDB
+oracle SQL) pair — the driver's correctness surface (SURVEY.md §5.2).
+
+Determinism rules used throughout (so the order-insensitive value hash
+matches DuckDB bit-for-bit):
+
+- **Decimal bridge for float aggregation.** Parallel double summation is
+  order-dependent; instead every double is cast per-row to
+  DECIMAL(18,6) (deterministic, same rounding both engines), summed
+  exactly in decimal, and the exact sum cast back to double. Written as
+  ``CAST(SUM(CAST(x AS DECIMAL(18,6))) AS DOUBLE)`` in both dialects.
+- **Explicit aliases on every computed column** (names drive the compare).
+- **Deterministic ORDER BY + tie-breaks** wherever LIMIT/rank appears.
+- **COUNTs cast to BIGINT** (DuckDB count is already int64; Spark too —
+  the cast documents intent).
+- Timestamps compared in UTC (session tz pinned; events' ns truncated to
+  µs on the oracle side with CAST(ts AS TIMESTAMP) where needed).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .catalog import schema_for
+from .operators import dedup as D
+from .operators import similarity as S
+from .operators import text as X
+from .operators.flatten import explode_subform, nest_subform
+from .operators.merge import merge_upsert
+from .operators.normalize import add_audit_columns, drop_columns, lowercase_columns
+from .operators.watermark import watermark_filter
+from .sources.parquet import load_table
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLE_SQL: dict[str, str] = {}
+
+# fixed audit identity for reproducible oracle comparison
+RUN_ID = "run-00000000-0000-0000-0000-000000000000"
+RUN_TS = "2026-01-01 00:00:00"
+WATERMARK = "1998-01-01 00:00:00"
+
+
+def query(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLE_SQL[name] = oracle
+        return fn
+    return deco
+
+
+def _dsum(col, scale: int = 6):
+    """Decimal-bridge sum: deterministic across engines (see module doc)."""
+    return F.sum(col.cast(f"decimal(18,{scale})")).cast("double")
+
+
+# =========================================================================
+# Tier A — pipeline operators (SURVEY.md §2.1)
+# =========================================================================
+
+@query(
+    "pipeline_watermark_filter",
+    f"SELECT * FROM orders WHERE o_orderdate >= TIMESTAMP '{WATERMARK}'",
+)
+def pipeline_watermark_filter(spark, sf_dir):
+    """O3/O4: high-watermark predicate, pushed into the parquet scan."""
+    return watermark_filter(load_table(spark, sf_dir, "orders"), "o_orderdate", WATERMARK)
+
+
+@query(
+    "pipeline_flatten_subform",
+    """
+    SELECT o.o_orderkey, l.l_partkey, l.l_suppkey, l.l_linenumber, l.l_quantity,
+           l.l_extendedprice, l.l_discount, l.l_tax, l.l_returnflag, l.l_linestatus,
+           l.l_shipdate
+    FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    """,
+)
+def pipeline_flatten_subform(spark, sf_dir):
+    """O6+O7 round trip: nest lineitem under orders ($expand shape), then
+    explode back out with the parent PK propagated (meta=pk semantics)."""
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    nested = nest_subform(orders, lineitem, ["o_orderkey"], ["l_orderkey"], "lineitem_subform")
+    return explode_subform(nested, ["o_orderkey"], "lineitem_subform")
+
+
+@query(
+    "pipeline_audit_columns",
+    f"""
+    SELECT n_nationkey, n_name, n_regionkey, '{RUN_ID}' AS extractionid,
+           TIMESTAMP '{RUN_TS}' AS extractiontimestamputc
+    FROM nation
+    """,
+)
+def pipeline_audit_columns(spark, sf_dir):
+    """O9+O10: lowercase normalization + per-run audit columns."""
+    return add_audit_columns(
+        lowercase_columns(load_table(spark, sf_dir, "nation")), RUN_ID, RUN_TS
+    )
+
+
+@query(
+    "pipeline_project_drop",
+    "SELECT o_orderkey, o_custkey, o_totalprice, o_orderdate FROM orders",
+)
+def pipeline_project_drop(spark, sf_dir):
+    """O8: projection by column set-difference; pruning reaches the scan."""
+    return drop_columns(load_table(spark, sf_dir, "orders"), ["o_orderstatus", "o_orderpriority"])
+
+
+@query(
+    "pipeline_cast_types",
+    """
+    SELECT CAST(o_orderkey AS VARCHAR) AS o_orderkey, CAST(o_custkey AS VARCHAR) AS o_custkey,
+           CAST(o_totalprice AS DECIMAL(18,6)) AS o_totalprice, o_orderdate
+    FROM orders
+    """,
+)
+def pipeline_cast_types(spark, sf_dir):
+    """O12/O15: sink-boundary casts — PK→varchar rule + decimal enforcement."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.select(
+        F.col("o_orderkey").cast("string").alias("o_orderkey"),
+        F.col("o_custkey").cast("string").alias("o_custkey"),
+        F.col("o_totalprice").cast("decimal(18,6)").alias("o_totalprice"),
+        "o_orderdate",
+    )
+
+
+@query("pipeline_merge_upsert", "SELECT * FROM orders")
+def pipeline_merge_upsert(spark, sf_dir):
+    """O4 dedup fix: an overlapping incremental window MERGEd into the base
+    reproduces the full table exactly (reference blind-appends → dupes)."""
+    o = load_table(spark, sf_dir, "orders")
+    base = o.filter(F.col("o_orderdate") < F.lit("1999-01-01").cast("timestamp"))
+    delta = o.filter(F.col("o_orderdate") >= F.lit("1998-01-01").cast("timestamp"))
+    return merge_upsert(base, delta, ["o_orderkey"])
+
+
+@query(
+    "pipeline_catalog_top1",
+    """
+    SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type
+    FROM events ORDER BY ts DESC, event_id DESC LIMIT 1
+    """,
+)
+def pipeline_catalog_top1(spark, sf_dir):
+    """O19: latest-config lookup = top-1 by timestamp (desc, det. tiebreak)."""
+    return (
+        load_table(spark, sf_dir, "events")
+        .select("event_id", "ts", "user_id", "event_type")
+        .orderBy(F.desc("ts"), F.desc("event_id"))
+        .limit(1)
+    )
+
+
+@query(
+    "pipeline_count_rows",
+    """
+    SELECT 'lineitem' AS tbl, CAST(COUNT(*) AS BIGINT) AS n_rows FROM lineitem
+    UNION ALL SELECT 'orders', CAST(COUNT(*) AS BIGINT) FROM orders
+    UNION ALL SELECT 'customer', CAST(COUNT(*) AS BIGINT) FROM customer
+    """,
+)
+def pipeline_count_rows(spark, sf_dir):
+    """O20: the reference's only aggregate — COUNT(*) observability."""
+    parts = [
+        load_table(spark, sf_dir, t).agg(
+            F.lit(t).alias("tbl"), F.count(F.lit(1)).cast("bigint").alias("n_rows")
+        )
+        for t in ("lineitem", "orders", "customer")
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+@query("pipeline_limit_probe", "SELECT * FROM orders ORDER BY o_orderkey LIMIT 1")
+def pipeline_limit_probe(spark, sf_dir):
+    """O5/O24: the $top=1 connectivity probe (deterministic order)."""
+    return load_table(spark, sf_dir, "orders").orderBy("o_orderkey").limit(1)
+
+
+@query(
+    "pipeline_config_flatten",
+    """
+    SELECT * FROM (VALUES ('orders'), ('lineitem'), ('nation')) AS t(entity)
+    """,
+)
+def pipeline_config_flatten(spark, sf_dir):
+    """O21: flatten the extractionConfig's [EntityID] + expand lists."""
+    cfg = spark.sql(
+        """
+        SELECT * FROM VALUES
+            ('orders', array('lineitem')),
+            ('nation', cast(array() AS array<string>))
+        AS t(entity_id, expand)
+        """
+    )
+    return cfg.select(
+        F.explode(F.concat(F.array(F.col("entity_id")), F.col("expand"))).alias("entity")
+    )
+
+
+@query(
+    "pipeline_e2e_flagship",
+    f"""
+    SELECT o.o_custkey,
+           CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,6))) AS DOUBLE)
+               AS revenue,
+           CAST(COUNT(*) AS BIGINT) AS n_items,
+           '{RUN_ID}' AS extractionid
+    FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE o.o_orderdate >= TIMESTAMP '{WATERMARK}'
+    GROUP BY o.o_custkey
+    """,
+)
+def pipeline_e2e_flagship(spark, sf_dir):
+    """EP1 end-to-end: watermark filter → $expand nest → explode sub-form →
+    lowercase+audit → revenue per customer. The flagship entry() query."""
+    orders = watermark_filter(load_table(spark, sf_dir, "orders"), "o_orderdate", WATERMARK)
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    nested = nest_subform(orders, lineitem, ["o_orderkey"], ["l_orderkey"], "lineitem_subform")
+    child = explode_subform(nested, ["o_orderkey"], "lineitem_subform")
+    child = add_audit_columns(lowercase_columns(child), RUN_ID, RUN_TS)
+    parent = nested.select("o_orderkey", "o_custkey")
+    return (
+        child.join(parent, "o_orderkey")
+        .groupBy("o_custkey")
+        .agg(
+            _dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),
+            F.count(F.lit(1)).cast("bigint").alias("n_items"),
+            F.first("extractionid").alias("extractionid"),
+        )
+    )
+
+
+def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return pipeline_e2e_flagship(spark, sf_dir)
+
+
+# =========================================================================
+# Tier B — relational surface (SURVEY.md §2.2 implication)
+# =========================================================================
+
+@query(
+    "q1_pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS sum_base_price,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE)
+               AS sum_disc_price,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(18,6)))
+               AS DOUBLE) AS sum_charge,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS avg_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS avg_price,
+           CAST(SUM(CAST(l_discount AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS avg_disc,
+           CAST(COUNT(*) AS BIGINT) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2001-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+    """,
+)
+def q1_pricing_summary(spark, sf_dir):
+    """TPC-H Q1 shape: scan-heavy groupBy with 8 aggregates — partial
+    (map-side) aggregation makes the shuffle carry only group rows."""
+    l = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= F.lit("2001-09-02").cast("timestamp")
+    )
+    cnt = F.count(F.lit(1))
+    return (
+        l.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            _dsum(F.col("l_quantity")).alias("sum_qty"),
+            _dsum(F.col("l_extendedprice")).alias("sum_base_price"),
+            _dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("sum_disc_price"),
+            _dsum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax"))
+            ).alias("sum_charge"),
+            (_dsum(F.col("l_quantity")) / cnt).alias("avg_qty"),
+            (_dsum(F.col("l_extendedprice")) / cnt).alias("avg_price"),
+            (_dsum(F.col("l_discount")) / cnt).alias("avg_disc"),
+            cnt.cast("bigint").alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+@query(
+    "q3_shipping_priority",
+    """
+    SELECT l.l_orderkey,
+           CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,6))) AS DOUBLE)
+               AS revenue,
+           o.o_orderdate
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+      AND l.l_shipdate > TIMESTAMP '1998-03-15 00:00:00'
+    GROUP BY l.l_orderkey, o.o_orderdate
+    ORDER BY revenue DESC, o_orderdate, l_orderkey
+    LIMIT 10
+    """,
+)
+def q3_shipping_priority(spark, sf_dir):
+    """TPC-H Q3 shape: selective dim filter → fact joins → agg → top-k.
+    customer is broadcast (small side); lineitem↔orders shuffles on the
+    order key once."""
+    c = load_table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-03-15").cast("timestamp")
+    )
+    l = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1998-03-15").cast("timestamp")
+    )
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(_dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
+        .select("l_orderkey", "revenue", "o_orderdate")
+        .orderBy(F.desc("revenue"), "o_orderdate", "l_orderkey")
+        .limit(10)
+    )
+
+
+@query(
+    "q5_local_supplier_volume",
+    """
+    SELECT n.n_name,
+           CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,6))) AS DOUBLE)
+               AS revenue
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey AND c.c_nationkey = s.s_nationkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name = 'ASIA'
+      AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o.o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY n.n_name
+    ORDER BY revenue DESC, n_name
+    """,
+)
+def q5_local_supplier_volume(spark, sf_dir):
+    """TPC-H Q5 shape: 6-way join. All dims broadcast; the only shuffle is
+    lineitem↔orders on the order key."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    l = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(
+            F.broadcast(s),
+            (l.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey),
+        )
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(_dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
+        .orderBy(F.desc("revenue"), "n_name")
+    )
+
+
+@query(
+    "q6_revenue_forecast",
+    """
+    SELECT CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def q6_revenue_forecast(spark, sf_dir):
+    """TPC-H Q6 shape: pure scan+filter+agg — every predicate pushes to
+    parquet row-group stats."""
+    l = load_table(spark, sf_dir, "lineitem")
+    return (
+        l.filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(_dsum(F.col("l_extendedprice") * F.col("l_discount")).alias("revenue"))
+    )
+
+
+@query(
+    "top_customers_by_revenue",
+    """
+    SELECT c.c_custkey, c.c_name,
+           CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS total_spend,
+           CAST(COUNT(*) AS BIGINT) AS n_orders
+    FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+    GROUP BY c.c_custkey, c.c_name
+    ORDER BY total_spend DESC, c_custkey
+    LIMIT 10
+    """,
+)
+def top_customers_by_revenue(spark, sf_dir):
+    """Broadcast join + agg + deterministic top-k."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("c_custkey", "c_name")
+        .agg(
+            _dsum(F.col("o_totalprice")).alias("total_spend"),
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+        )
+        .orderBy(F.desc("total_spend"), "c_custkey")
+        .limit(10)
+    )
+
+
+@query(
+    "window_topk_orders_per_customer",
+    """
+    SELECT * FROM (
+        SELECT o_custkey, o_orderkey, o_totalprice,
+               CAST(ROW_NUMBER() OVER (
+                   PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey
+               ) AS BIGINT) AS rn
+        FROM orders
+    ) WHERE rn <= 3
+    """,
+)
+def window_topk_orders_per_customer(spark, sf_dir):
+    """Top-k per group via ranking window — single shuffle on the
+    partition key."""
+    w = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (
+        load_table(spark, sf_dir, "orders")
+        .select(
+            "o_custkey", "o_orderkey", "o_totalprice",
+            F.row_number().over(w).cast("bigint").alias("rn"),
+        )
+        .filter(F.col("rn") <= 3)
+    )
+
+
+@query(
+    "window_running_total",
+    """
+    SELECT o_custkey, o_orderkey, o_orderdate,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) OVER (
+               PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS DOUBLE) AS running_spend
+    FROM orders
+    """,
+)
+def window_running_total(spark, sf_dir):
+    """Running aggregate window frame (decimal bridge keeps the cumulative
+    sum deterministic)."""
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderkey", "o_orderdate",
+        F.sum(F.col("o_totalprice").cast("decimal(18,6)")).over(w).cast("double")
+        .alias("running_spend"),
+    )
+
+
+@query(
+    "setop_nation_intersect",
+    """
+    SELECT c_nationkey AS nationkey FROM customer
+    INTERSECT
+    SELECT s_nationkey FROM supplier
+    """,
+)
+def setop_nation_intersect(spark, sf_dir):
+    """Set op: nations having both customers and suppliers."""
+    c = load_table(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = load_table(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return c.intersect(s)
+
+
+@query(
+    "setop_nation_except",
+    """
+    SELECT c_nationkey AS nationkey FROM customer
+    EXCEPT
+    SELECT s_nationkey FROM supplier
+    """,
+)
+def setop_nation_except(spark, sf_dir):
+    """Set op: nations with customers but no suppliers."""
+    c = load_table(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = load_table(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return c.subtract(s)  # EXCEPT (distinct) semantics
+
+
+@query(
+    "semi_join_customers_with_orders",
+    """
+    SELECT c_custkey, c_name FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+)
+def semi_join_customers_with_orders(spark, sf_dir):
+    """Left-semi join (EXISTS) — dedups the probe side without a distinct."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select("c_custkey", "c_name")
+
+
+@query(
+    "anti_join_customers_without_orders",
+    """
+    SELECT c_custkey, c_name FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+)
+def anti_join_customers_without_orders(spark, sf_dir):
+    """Left-anti join (NOT EXISTS)."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey", "c_name")
+
+
+@query(
+    "rollup_lineitem_status",
+    """
+    SELECT l_returnflag, l_linestatus,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty
+    FROM lineitem
+    GROUP BY ROLLUP(l_returnflag, l_linestatus)
+    """,
+)
+def rollup_lineitem_status(spark, sf_dir):
+    """Hierarchical aggregate (ROLLUP) — grouping-sets expansion happens in
+    one pass with partial aggregation."""
+    return (
+        load_table(spark, sf_dir, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            _dsum(F.col("l_quantity")).alias("sum_qty"),
+        )
+    )
+
+
+@query(
+    "agg_distinct_suppliers",
+    """
+    SELECT l_returnflag,
+           CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS n_suppliers,
+           CAST(COUNT(*) AS BIGINT) AS n_rows
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def agg_distinct_suppliers(spark, sf_dir):
+    """COUNT(DISTINCT) — expands to a two-phase aggregate, no driver work."""
+    return (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.countDistinct("l_suppkey").cast("bigint").alias("n_suppliers"),
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        )
+    )
+
+
+@query(
+    "scalar_string_funcs",
+    """
+    SELECT p_partkey,
+           UPPER(p_name) AS name_upper,
+           SUBSTRING(p_type, 1, 5) AS type_prefix,
+           CAST(LENGTH(p_name) AS BIGINT) AS name_len,
+           CONCAT(p_brand, '#', p_type) AS brand_type,
+           REPLACE(p_name, ' ', '_') AS name_snake
+    FROM part
+    """,
+)
+def scalar_string_funcs(spark, sf_dir):
+    """Scalar string library (O9's general form) — all codegen'd."""
+    p = load_table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.upper("p_name").alias("name_upper"),
+        F.substring("p_type", 1, 5).alias("type_prefix"),
+        F.length("p_name").cast("bigint").alias("name_len"),
+        F.concat(F.col("p_brand"), F.lit("#"), F.col("p_type")).alias("brand_type"),
+        F.replace(F.col("p_name"), F.lit(" "), F.lit("_")).alias("name_snake"),
+    )
+
+
+@query(
+    "scalar_date_math_funcs",
+    """
+    SELECT o_orderkey,
+           CAST(YEAR(o_orderdate) AS BIGINT) AS order_year,
+           CAST(MONTH(o_orderdate) AS BIGINT) AS order_month,
+           CAST(DAY(o_orderdate) AS BIGINT) AS order_day,
+           o_totalprice * 1.17 AS price_with_vat,
+           CAST(ABS(o_totalprice - 100000.0) AS DOUBLE) AS dev_from_100k,
+           CAST(o_totalprice AS DECIMAL(18,2)) % 10 AS price_mod
+    FROM orders
+    """,
+)
+def scalar_date_math_funcs(spark, sf_dir):
+    """Scalar date/math library (O23's general form)."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").cast("bigint").alias("order_year"),
+        F.month("o_orderdate").cast("bigint").alias("order_month"),
+        F.dayofmonth("o_orderdate").cast("bigint").alias("order_day"),
+        (F.col("o_totalprice") * 1.17).alias("price_with_vat"),
+        F.abs(F.col("o_totalprice") - 100000.0).cast("double").alias("dev_from_100k"),
+        (F.col("o_totalprice").cast("decimal(18,2)") % 10).alias("price_mod"),
+    )
+
+
+@query(
+    "events_json_extract",
+    """
+    SELECT event_id, event_type,
+           CAST(REGEXP_EXTRACT(props, '"k": (\\d+)', 1) AS BIGINT) AS prop_k
+    FROM events
+    """,
+)
+def events_json_extract(spark, sf_dir):
+    """Semi-structured extraction from the JSON props column (regex form so
+    both engines use identical semantics)."""
+    e = load_table(spark, sf_dir, "events")
+    return e.select(
+        "event_id", "event_type",
+        F.regexp_extract("props", '"k": (\\d+)', 1).cast("bigint").alias("prop_k"),
+    )
+
+
+@query(
+    "events_sessionize",
+    """
+    WITH flagged AS (
+        SELECT user_id, ts, event_id,
+               CASE WHEN epoch_ms(CAST(ts AS TIMESTAMP))
+                         - epoch_ms(LAG(CAST(ts AS TIMESTAMP)) OVER w) > 1800000
+                         OR LAG(ts) OVER w IS NULL
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), numbered AS (
+        SELECT user_id, ts,
+               SUM(new_session) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS session_id
+        FROM flagged
+    )
+    SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(MIN(ts) AS TIMESTAMP) AS session_start,
+           CAST(MAX(ts) AS TIMESTAMP) AS session_end
+    FROM numbered GROUP BY user_id, session_id
+    """,
+)
+def events_sessionize(spark, sf_dir):
+    """Batch sessionization: lag-gap flag + cumulative sum → session ids.
+    Two windows over the same (user, ts) partitioning — one shuffle."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wrun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    gap_ms = F.unix_millis(F.col("ts")) - F.unix_millis(F.lag("ts").over(w))
+    flagged = e.select(
+        "user_id", "ts", "event_id",
+        F.when(gap_ms > 1800000, 1).when(F.lag("ts").over(w).isNull(), 1).otherwise(0)
+        .alias("new_session"),
+    )
+    numbered = flagged.select(
+        "user_id", "ts", F.sum("new_session").over(wrun).alias("session_id")
+    )
+    return numbered.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+    ).select(
+        "user_id", F.col("session_id").cast("bigint").alias("session_id"),
+        "n_events", "session_start", "session_end",
+    )
+
+
+@query(
+    "events_tumbling_hourly",
+    """
+    SELECT DATE_TRUNC('hour', CAST(ts AS TIMESTAMP)) AS window_start, event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def events_tumbling_hourly(spark, sf_dir):
+    """Batch tumbling window (streaming twin lives in streaming/events.py)."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(
+            F.window("ts", "1 hour").alias("w"), "event_type"
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            _dsum(F.col("value")).alias("sum_value"),
+        )
+        .select(F.col("w.start").alias("window_start"), "event_type", "n_events", "sum_value")
+    )
+
+
+@query(
+    "events_pivot_types",
+    """
+    SELECT user_id,
+           CAST(COUNT(*) FILTER (WHERE event_type = 'click') AS BIGINT) AS n_click,
+           CAST(COUNT(*) FILTER (WHERE event_type = 'view') AS BIGINT) AS n_view,
+           CAST(COUNT(*) FILTER (WHERE event_type = 'purchase') AS BIGINT) AS n_purchase,
+           CAST(COUNT(*) FILTER (WHERE event_type = 'signup') AS BIGINT) AS n_signup,
+           CAST(COUNT(*) FILTER (WHERE event_type = 'error') AS BIGINT) AS n_error
+    FROM events GROUP BY user_id
+    """,
+)
+def events_pivot_types(spark, sf_dir):
+    """Pivot via conditional aggregation (one pass, no pivot shuffle)."""
+    e = load_table(spark, sf_dir, "events")
+    aggs = [
+        F.count(F.when(F.col("event_type") == t, 1)).cast("bigint").alias(f"n_{t}")
+        for t in ("click", "view", "purchase", "signup", "error")
+    ]
+    return e.groupBy("user_id").agg(*aggs)
+
+
+# =========================================================================
+# North star — dedup / similarity / text analysis
+# =========================================================================
+
+@query(
+    "dedup_exact_docs",
+    """
+    SELECT CAST(MIN(doc_id) AS BIGINT) AS canonical_id,
+           CAST(COUNT(*) AS BIGINT) AS n_copies
+    FROM documents GROUP BY text
+    """,
+)
+def dedup_exact_docs(spark, sf_dir):
+    """Exact dedup: hash-aggregate on the text value."""
+    return D.dedup_exact(load_table(spark, sf_dir, "documents"), "text", "doc_id")
+
+
+@query(
+    "dedup_fingerprint_docs",
+    """
+    SELECT md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp,
+           CAST(MIN(doc_id) AS BIGINT) AS canonical_id,
+           CAST(COUNT(*) AS BIGINT) AS n_copies
+    FROM documents GROUP BY 1
+    """,
+)
+def dedup_fingerprint_docs(spark, sf_dir):
+    """Near-exact dedup on md5 fingerprint of normalized text."""
+    return D.dedup_fingerprint(load_table(spark, sf_dir, "documents"), "text", "doc_id")
+
+
+@query(
+    "dedup_ngram_jaccard",
+    """
+    WITH toks AS (
+        SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t FROM documents
+    ), sh AS (
+        SELECT DISTINCT doc_id AS doc,
+               array_to_string(t[i:i+4], ' ') AS shingle
+        FROM toks, LATERAL (
+            SELECT UNNEST(range(1, GREATEST(len(t) - 4, 0) + 1)) AS i
+        )
+    ), sizes AS (
+        SELECT doc, COUNT(*) AS n_sh FROM sh GROUP BY doc
+    ), inter AS (
+        SELECT a.doc AS id_a, b.doc AS id_b, COUNT(*) AS n_inter
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc < b.doc
+        GROUP BY 1, 2
+    )
+    SELECT id_a, id_b,
+           ROUND(CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter), 6) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc = id_a
+    JOIN sizes sb ON sb.doc = id_b
+    WHERE CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter) >= 0.2
+    """,
+)
+def dedup_ngram_jaccard(spark, sf_dir):
+    """Exact word-5-shingle Jaccard pairs via inverted-index join."""
+    return D.jaccard_pairs(load_table(spark, sf_dir, "documents"), "text", "doc_id",
+                           k=5, threshold=0.2)
+
+
+@query("dedup_minhash_lsh")  # xxhash64-based: no SQL twin → rows-only check
+def dedup_minhash_lsh(spark, sf_dir):
+    """MinHash+LSH candidate pairs (hash family is Spark xxhash64 — not
+    expressible in DuckDB, driver does the weaker rows-only check; the
+    Jaccard ground truth it approximates IS oracle-checked above)."""
+    return D.minhash_dedup_candidates(
+        load_table(spark, sf_dir, "documents"), "text", "doc_id"
+    ).orderBy("id_a", "id_b")
+
+
+@query("dedup_simhash")  # xxhash64-based: no SQL twin → rows-only check
+def dedup_simhash(spark, sf_dir):
+    """64-bit SimHash signatures per document (bitwise majority vote)."""
+    return D.simhash(load_table(spark, sf_dir, "documents"), "text", "doc_id").orderBy("doc")
+
+
+@query(
+    "text_token_stats",
+    """
+    SELECT doc_id,
+           CAST(LENGTH(text) AS BIGINT) AS n_chars_obs,
+           CAST(LEN(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tokens
+    FROM documents
+    """,
+)
+def text_token_stats(spark, sf_dir):
+    """Token counting (whitespace regex tokenizer)."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        X.char_count(F.col("text")).cast("bigint").alias("n_chars_obs"),
+        X.token_count(F.col("text")).cast("bigint").alias("n_tokens"),
+    )
+
+
+@query(
+    "text_quality_score",
+    """
+    SELECT doc_id,
+           CAST(LENGTH(text) AS BIGINT) AS n_chars_obs,
+           CAST(LEN(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tokens,
+           ROUND(CAST(LEN(regexp_extract_all(text, '[!?.,;:]')) AS DOUBLE)
+                 / GREATEST(LENGTH(text), 1), 6) AS punct_ratio,
+           ROUND(CAST(LEN(regexp_extract_all(text, '[A-Za-z]')) AS DOUBLE)
+                 / GREATEST(LENGTH(text), 1), 6) AS alpha_ratio,
+           ROUND(CAST(LEN(regexp_extract_all(text, '[A-Z]')) AS DOUBLE)
+                 / GREATEST(LENGTH(text), 1), 6) AS upper_ratio,
+           ROUND(CAST(LEN(regexp_extract_all(text, '[A-Za-z]')) AS DOUBLE)
+                 / GREATEST(LEN(string_split_regex(trim(text), '\\s+')), 1), 6)
+               AS mean_word_len
+    FROM documents
+    """,
+)
+def text_quality_score(spark, sf_dir):
+    """C4/Gopher-style cheap quality features."""
+    d = load_table(spark, sf_dir, "documents")
+    return X.quality_features(d, "text").select(
+        "doc_id", "n_chars_obs", "n_tokens", "punct_ratio", "alpha_ratio",
+        "upper_ratio", "mean_word_len",
+    )
+
+
+@query(
+    "text_langid_heuristic",
+    r"""
+    WITH scored AS (
+        SELECT doc_id, lang,
+               CAST(LEN(regexp_extract_all(lower(text), '\b(der|die|und|das|nicht)\b')) AS BIGINT) AS score_de,
+               CAST(LEN(regexp_extract_all(lower(text), '\b(the|and|of|to|is)\b')) AS BIGINT) AS score_en,
+               CAST(LEN(regexp_extract_all(lower(text), '\b(el|la|de|que|los)\b')) AS BIGINT) AS score_es,
+               CAST(LEN(regexp_extract_all(lower(text), '\b(le|la|et|les|des)\b')) AS BIGINT) AS score_fr
+        FROM documents
+    )
+    SELECT doc_id, lang, score_de, score_en, score_es, score_fr,
+           CASE WHEN GREATEST(score_de, score_en, score_es, score_fr) = 0 THEN 'und'
+                WHEN score_de = GREATEST(score_de, score_en, score_es, score_fr) THEN 'de'
+                WHEN score_en = GREATEST(score_de, score_en, score_es, score_fr) THEN 'en'
+                WHEN score_es = GREATEST(score_de, score_en, score_es, score_fr) THEN 'es'
+                ELSE 'fr' END AS pred_lang
+    FROM scored
+    """,
+)
+def text_langid_heuristic(spark, sf_dir):
+    """Stopword-hit language ID (argmax, deterministic tie-break)."""
+    d = load_table(spark, sf_dir, "documents")
+    return X.langid(d, "text").select(
+        "doc_id", "lang", "score_de", "score_en", "score_es", "score_fr", "pred_lang"
+    )
+
+
+@query(
+    "ann_cosine_topk",
+    """
+    WITH q AS (
+        SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 5
+    ), c AS (
+        SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv FROM embeddings
+    ), scored AS (
+        SELECT q.query_id, c.neighbor_id,
+               ROUND(list_dot_product(q.qv, c.cv)
+                     / (SQRT(list_dot_product(q.qv, q.qv)) * SQRT(list_dot_product(c.cv, c.cv))),
+                     6) AS sim
+        FROM c, q WHERE c.neighbor_id <> q.query_id
+    )
+    SELECT query_id, neighbor_id, sim, rank FROM (
+        SELECT *, CAST(ROW_NUMBER() OVER (
+            PARTITION BY query_id ORDER BY sim DESC, neighbor_id
+        ) AS BIGINT) AS rank
+        FROM scored
+    ) WHERE rank <= 5
+    """,
+)
+def ann_cosine_topk(spark, sf_dir):
+    """Brute-force cosine top-k (query side broadcast, no shuffle scan)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return S.cosine_topk_bruteforce(emb, emb.filter(F.col("vec_id") < 5), k=5)
+
+
+@query("ann_cosine_topk_lsh")  # approximate (recall<1) → rows-only check
+def ann_cosine_topk_lsh(spark, sf_dir):
+    """LSH-bucketed ANN — the 100 TB scale path for ann_cosine_topk."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return S.cosine_topk_lsh(emb, emb.filter(F.col("vec_id") < 5), k=5).orderBy(
+        "query_id", "rank"
+    )
+
+
+@query(
+    "embedding_centroids",
+    """
+    WITH flat AS (
+        SELECT label, generate_subscripts(embedding, 1) AS pos,
+               UNNEST(embedding::DOUBLE[]) AS v
+        FROM embeddings
+    )
+    SELECT label, CAST(pos AS BIGINT) AS pos,
+           CAST(SUM(CAST(v AS DECIMAL(18,9))) AS DOUBLE) / COUNT(*) AS centroid
+    FROM flat GROUP BY label, pos
+    """,
+)
+def embedding_centroids(spark, sf_dir):
+    """Per-label centroid, one row per (label, dimension) — posexplode +
+    decimal-bridge mean."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    flat = emb.select(
+        "label", F.posexplode(F.col("embedding").cast("array<double>")).alias("pos0", "v")
+    )
+    return (
+        flat.groupBy("label", (F.col("pos0") + 1).cast("bigint").alias("pos"))
+        .agg(
+            (F.sum(F.col("v").cast("decimal(18,9)")).cast("double") / F.count(F.lit(1)))
+            .alias("centroid")
+        )
+    )
+
+
+@query(
+    "multimodal_binary_meta",
+    """
+    SELECT doc_id AS media_id,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           md5(text) AS content_md5
+    FROM documents
+    """,
+)
+def multimodal_binary_meta(spark, sf_dir):
+    """Binary-column metadata plumbing: blob byte length + content hash
+    (decode/feature-extract stub exercised in ops tests via mapInPandas)."""
+    d = load_table(spark, sf_dir, "documents")
+    from .operators.multimodal import documents_as_media, extract_features
+
+    feats = extract_features(documents_as_media(d))
+    return feats.select("media_id", "n_bytes", "content_md5")
+
+
+# =========================================================================
+# Streaming (Structured Streaming twin of events_tumbling_hourly)
+# =========================================================================
+
+@query(
+    "streaming_tumbling_counts",
+    """
+    SELECT DATE_TRUNC('hour', CAST(ts AS TIMESTAMP)) AS window_start, event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def streaming_tumbling_counts(spark, sf_dir):
+    """Structured Streaming: file source → watermark → tumbling window →
+    memory sink (complete mode), equal to the batch group-by."""
+    from .streaming.events import read_events_stream, run_streaming_to_memory, tumbling_counts
+
+    stream = read_events_stream(spark, sf_dir)
+    return run_streaming_to_memory(tumbling_counts(stream), mode="complete")

@@ -1,0 +1,59 @@
+"""SparkSession factory.
+
+Scale stance: every knob here is chosen for a 1000-executor cluster first
+and local[32] second. AQE handles runtime coalescing / skew-join splitting
+so static ``spark.sql.shuffle.partitions`` only needs to be a sane upper
+bound; on a real cluster it would be ~2-3x total cores and AQE coalesces
+down. Session timezone is pinned to UTC so timestamp semantics are stable
+across engines (the reference localizes bookmarks to a config timezone —
+we keep that at the *config* layer, never in the session; cf.
+resources/priorityDataSource.py:68,676-679 in the reference).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def get_spark(
+    app_name: str = "priority_data_pipeline_azure_sql_db_spark",
+    cpus: int | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) the engine's SparkSession.
+
+    AQE is on (coalesce post-shuffle partitions, skew-join handling) —
+    at 100 TB this is what keeps a static partition count from being
+    wrong in both directions. Arrow is on for the Pandas-UDF paths.
+    """
+    cpus = cpus or DEFAULT_CPUS
+    shuffle = shuffle_partitions or max(cpus, 32)
+    b = (
+        SparkSession.builder.appName(app_name)
+        .master(f"local[{cpus}]")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.shuffle.partitions", str(shuffle))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
+        .config("spark.sql.parquet.filterPushdown", "true")
+        .config("spark.sql.shuffle.spill.compress", "true")
+        .config("spark.ui.enabled", "false")
+        .config("spark.ui.showConsoleProgress", "false")
+        # events.parquet stores TIMESTAMP(NANOS) which the vectorized reader
+        # rejects; read as long (ns since epoch) and convert in load_table.
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.driver.extraJavaOptions", "-Duser.timezone=UTC")
+    )
+    for k, v in (extra_conf or {}).items():
+        b = b.config(k, v)
+    return b.getOrCreate()

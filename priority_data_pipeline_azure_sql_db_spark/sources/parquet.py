@@ -1,0 +1,44 @@
+"""Parquet fixture source.
+
+Parquet is self-describing, so the scan uses the file footer schema —
+column pruning and predicate pushdown reach the reader for free (check:
+``PushedFilters`` / ``ReadSchema`` in ``df.explain('formatted')``). The
+explicit catalog (catalog.SCHEMAS) is asserted against the footer in tests
+so drift is caught, mirroring the reference's discovered-schema-is-
+authoritative stance without ever sampling data.
+
+Scale note: one ``spark.read.parquet(dir)`` over a 100 TB table splits
+into ``maxPartitionBytes``-sized file slices; no driver-side
+materialization ever happens here.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import TABLES
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Scan one fixture table (O1's Spark analog: a partitioned columnar scan).
+
+    ``events.ts`` is TIMESTAMP(NANOS) in parquet — Spark has no ns
+    timestamp type, so it's read as long (``nanosAsLong``) and truncated
+    to µs here, matching DuckDB's ``CAST(ts AS TIMESTAMP)``.
+    """
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    if name == "events":
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        df = df.select("event_id", "ts", "user_id", "event_type", "value", "props")
+    return df
+
+
+def register_views(spark: SparkSession, sf_dir: str, tables: tuple[str, ...] = TABLES) -> None:
+    """Register every fixture table as a temp view for the SQL surface."""
+    for t in tables:
+        load_table(spark, sf_dir, t).createOrReplaceTempView(t)
