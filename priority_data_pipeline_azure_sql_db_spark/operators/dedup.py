@@ -62,10 +62,15 @@ def dedup_fingerprint(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
 def word_shingles(df: DataFrame, text_col: str, id_col: str, k: int = 5) -> DataFrame:
     """Distinct word k-shingles per document — (id, shingle) rows."""
     toks = F.split(F.trim(F.lower(F.col(text_col))), TOKEN_SPLIT_RE)
-    sh = F.transform(
-        F.sequence(F.lit(1), F.greatest(F.size(toks) - (k - 1), F.lit(0))),
-        lambda i: F.concat_ws(" ", F.slice(toks, i, k)),
-    )
+    # documents shorter than k tokens produce no shingles (sequence(1,0)
+    # would DESCEND in Spark, so guard explicitly)
+    sh = F.when(
+        F.size(toks) >= k,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - (k - 1)),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, k)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
     return (
         df.select(F.col(id_col).alias("doc"), F.explode(sh).alias("shingle"))
         .distinct()

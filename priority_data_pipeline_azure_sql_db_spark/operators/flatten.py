@@ -73,6 +73,36 @@ def explode_subform(
     return exploded.select(*parent_pk, *[F.col(f"{elem}.{f}").alias(f) for f in child_fields])
 
 
+def flatten_expand(
+    parent: DataFrame,
+    child: DataFrame,
+    parent_pk: list[str],
+    child_join_keys: list[str],
+) -> DataFrame:
+    """The scale path for $expand flattening: semantically identical to
+    ``explode_subform(nest_subform(...))`` — child rows restricted to the
+    (watermark-filtered) parents, FK columns renamed to the parent PK —
+    but physically a single semi-join on the key set instead of a
+    collect_list materialization.
+
+    Why: nest-then-explode builds one array per parent (GC-hostile at any
+    scale, catastrophic at 100 TB); the join form broadcasts the parent
+    key set when small and AQE-shuffles otherwise, never materializing
+    arrays. Use ``nest_subform``/``explode_subform`` only when the source
+    genuinely delivers nested data.
+    """
+    # no distinct needed: left-semi never duplicates the probe side
+    keys = parent.select(
+        *[parent[p].alias(c) for p, c in zip(parent_pk, child_join_keys)]
+    )
+    flat = child.join(keys, on=child_join_keys, how="left_semi")
+    for p, c in zip(parent_pk, child_join_keys):
+        flat = flat.withColumnRenamed(c, p)
+    return flat.select(
+        *parent_pk, *[c for c in flat.columns if c not in set(parent_pk)]
+    )
+
+
 def parent_without_subforms(nested: DataFrame, subform_cols: list[str]) -> DataFrame:
     """O8: the parent table = all columns minus the sub-form array columns
     (reference resources/priorityDataSource.py:781-786)."""

@@ -33,7 +33,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from .catalog import primary_key
 from .config import EntityConfig, ExtractionConfig
-from .operators.flatten import explode_subform, nest_subform, parent_without_subforms
+from .operators.flatten import flatten_expand
 from .operators.merge import merge_upsert
 from .operators.normalize import add_audit_columns, lowercase_columns
 from .operators.watermark import watermark_filter
@@ -111,10 +111,11 @@ class PipelineRunner:
     # -- extract ------------------------------------------------------------
 
     def extract_entity(self, ent: EntityConfig, incremental: bool) -> DataFrame:
-        """O1+O3+O4+O6: scan, watermark-filter, and inline sub-forms.
+        """O1+O3+O4: scan + watermark-filter the parent entity.
 
-        The watermark filter is applied BEFORE the nest join so pushdown
-        reaches the parent scan; children are restricted by the join itself.
+        The filter is applied directly on the scan so Catalyst pushes it
+        into parquet row-group pruning (at 100 TB with date partitioning:
+        partition pruning).
         """
         parent = load_table(self.spark, self.source_dir, ent.entity_id)
         bound = ent.lower_bound(incremental)
@@ -122,11 +123,6 @@ class PipelineRunner:
             parent = watermark_filter(
                 parent, ent.filter_field, self.config.to_utc(bound).replace(tzinfo=None)
             )
-        for sub in ent.expand:
-            child = load_table(self.spark, self.source_dir, sub)
-            pk = primary_key(ent.entity_id)
-            child_keys = [self._child_key(child, k) for k in pk]
-            parent = nest_subform(parent, child, pk, child_keys, f"{sub}{SUBFORM_SUFFIX}")
         return parent
 
     @staticmethod
@@ -142,20 +138,24 @@ class PipelineRunner:
 
     # -- parse --------------------------------------------------------------
 
-    def parse_entity(self, ent: EntityConfig, nested: DataFrame) -> dict[str, DataFrame]:
-        """O7-O10: split parent/children, lowercase, audit columns.
+    def parse_entity(self, ent: EntityConfig, parent: DataFrame) -> dict[str, DataFrame]:
+        """O6-O10: produce the parent table plus one flattened child table
+        per $expand sub-form, each with the parent PK propagated, then
+        lowercase + audit columns.
 
         Returns {output_table_name: DataFrame} — parent as ``stg_<entity>``,
         each sub-form as ``stg_<subform>`` (reference resources/priorityDataSource.py:750-826).
+        The child flatten is the join-based ``flatten_expand`` (scale path);
+        ``nest_subform``/``explode_subform`` express the same semantics for
+        genuinely nested sources and are verified equivalent in tests.
         """
-        subform_cols = [f"{s}{SUBFORM_SUFFIX}" for s in ent.expand]
         pk = primary_key(ent.entity_id)
-        out: dict[str, DataFrame] = {}
-        parent = parent_without_subforms(nested, subform_cols)
-        out[f"stg_{ent.entity_id.lower()}"] = self._finish(parent)
-        for sub, col in zip(ent.expand, subform_cols):
-            child = explode_subform(nested, pk, col)
-            out[f"stg_{sub.lower()}"] = self._finish(child)
+        out: dict[str, DataFrame] = {f"stg_{ent.entity_id.lower()}": self._finish(parent)}
+        for sub in ent.expand:
+            child = load_table(self.spark, self.source_dir, sub)
+            child_keys = [self._child_key(child, k) for k in pk]
+            flat = flatten_expand(parent, child, pk, child_keys)
+            out[f"stg_{sub.lower()}"] = self._finish(flat)
         return out
 
     def _finish(self, df: DataFrame) -> DataFrame:

@@ -28,7 +28,7 @@ from .catalog import schema_for
 from .operators import dedup as D
 from .operators import similarity as S
 from .operators import text as X
-from .operators.flatten import explode_subform, nest_subform
+from .operators.flatten import explode_subform, flatten_expand, nest_subform
 from .operators.merge import merge_upsert
 from .operators.normalize import add_audit_columns, drop_columns, lowercase_columns
 from .operators.watermark import watermark_filter
@@ -80,8 +80,27 @@ def pipeline_watermark_filter(spark, sf_dir):
     """,
 )
 def pipeline_flatten_subform(spark, sf_dir):
-    """O6+O7 round trip: nest lineitem under orders ($expand shape), then
-    explode back out with the parent PK propagated (meta=pk semantics)."""
+    """O6+O7: $expand flattening with parent-PK propagation — the
+    join-based scale path (semi-join on the parent key set; no array
+    materialization)."""
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    return flatten_expand(orders, lineitem, ["o_orderkey"], ["l_orderkey"])
+
+
+@query(
+    "pipeline_nest_explode_roundtrip",
+    """
+    SELECT o.o_orderkey, l.l_partkey, l.l_suppkey, l.l_linenumber, l.l_quantity,
+           l.l_extendedprice, l.l_discount, l.l_tax, l.l_returnflag, l.l_linestatus,
+           l.l_shipdate
+    FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    """,
+)
+def pipeline_nest_explode_roundtrip(spark, sf_dir):
+    """O6+O7 via the genuinely-nested path: build the array<struct>
+    $expand shape (collect_list), then explode with meta=pk semantics.
+    Must hash-match the join-based flatten above."""
     orders = load_table(spark, sf_dir, "orders")
     lineitem = load_table(spark, sf_dir, "lineitem")
     nested = nest_subform(orders, lineitem, ["o_orderkey"], ["l_orderkey"], "lineitem_subform")
@@ -221,14 +240,13 @@ def pipeline_config_flatten(spark, sf_dir):
     """,
 )
 def pipeline_e2e_flagship(spark, sf_dir):
-    """EP1 end-to-end: watermark filter → $expand nest → explode sub-form →
+    """EP1 end-to-end: watermark filter → $expand flatten (join path) →
     lowercase+audit → revenue per customer. The flagship entry() query."""
     orders = watermark_filter(load_table(spark, sf_dir, "orders"), "o_orderdate", WATERMARK)
-    lineitem = load_table(spark, sf_dir, "lineitem")
-    nested = nest_subform(orders, lineitem, ["o_orderkey"], ["l_orderkey"], "lineitem_subform")
-    child = explode_subform(nested, ["o_orderkey"], "lineitem_subform")
+    child = flatten_expand(orders, load_table(spark, sf_dir, "lineitem"),
+                           ["o_orderkey"], ["l_orderkey"])
     child = add_audit_columns(lowercase_columns(child), RUN_ID, RUN_TS)
-    parent = nested.select("o_orderkey", "o_custkey")
+    parent = orders.select("o_orderkey", "o_custkey")
     return (
         child.join(parent, "o_orderkey")
         .groupBy("o_custkey")

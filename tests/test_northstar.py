@@ -1,0 +1,167 @@
+"""Tests for dedup / similarity / text / multimodal / streaming operators."""
+
+from pyspark.sql import functions as F
+
+from priority_data_pipeline_azure_sql_db_spark.operators import dedup as D
+from priority_data_pipeline_azure_sql_db_spark.operators import similarity as S
+from priority_data_pipeline_azure_sql_db_spark.operators import text as X
+from priority_data_pipeline_azure_sql_db_spark.sources.parquet import load_table
+
+
+def docs(spark):
+    return spark.sql(
+        """SELECT * FROM VALUES
+            (1, 'the quick brown fox jumps over the lazy dog today'),
+            (2, 'the quick brown fox jumps over the lazy dog today'),
+            (3, 'the quick brown fox jumps over the lazy cat today'),
+            (4, 'completely different words appear here in this line'),
+            (5, '')
+        AS t(doc_id, text)"""
+    )
+
+
+def test_dedup_exact(spark):
+    out = {r.canonical_id: r.n_copies for r in
+           D.dedup_exact(docs(spark), "text", "doc_id").collect()}
+    assert out[1] == 2 and out[3] == 1 and out[4] == 1
+
+
+def test_dedup_fingerprint_whitespace_invariant(spark):
+    df = spark.sql(
+        "SELECT * FROM VALUES (1, 'Hello   World'), (2, 'hello world ') AS t(doc_id, text)"
+    )
+    out = D.dedup_fingerprint(df, "text", "doc_id").collect()
+    assert len(out) == 1 and out[0].n_copies == 2
+
+
+def test_jaccard_pairs_finds_near_dup(spark):
+    pairs = {(r.id_a, r.id_b): r.jaccard for r in
+             D.jaccard_pairs(docs(spark), "text", "doc_id", k=3, threshold=0.2).collect()}
+    assert pairs[(1, 2)] == 1.0            # identical docs
+    assert 0.2 <= pairs[(1, 3)] < 1.0      # one-word change
+    assert (1, 4) not in pairs             # unrelated
+
+
+def test_minhash_lsh_candidates_superset_of_dups(spark):
+    cands = {(r.id_a, r.id_b) for r in
+             D.minhash_dedup_candidates(docs(spark), "text", "doc_id",
+                                        num_hashes=16, bands=8, k=3).collect()}
+    assert (1, 2) in cands                 # identical docs always collide
+    assert (1, 4) not in cands             # unrelated docs shouldn't
+
+
+def test_simhash_near_for_near_dups(spark):
+    sh = {r.doc: r.simhash for r in D.simhash(docs(spark), "text", "doc_id").collect()}
+    assert sh[1] == sh[2]                  # identical text → identical simhash
+    ham_13 = bin(sh[1] ^ sh[3]).count("1")
+    ham_14 = bin(sh[1] ^ sh[4]).count("1")
+    assert ham_13 < ham_14                 # near-dup closer than unrelated
+
+
+def test_cosine_topk(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = S.cosine_topk_bruteforce(emb, emb.filter(F.col("vec_id") < 3), k=4)
+    rows = out.collect()
+    per_q = {}
+    for r in rows:
+        per_q.setdefault(r.query_id, []).append(r)
+    for q, rs in per_q.items():
+        assert len(rs) == 4
+        sims = [r.sim for r in sorted(rs, key=lambda r: r.rank)]
+        assert sims == sorted(sims, reverse=True)
+        assert all(-1.0 <= s <= 1.0 for s in sims)
+        assert all(r.neighbor_id != q for r in rs)
+
+
+def test_lsh_topk_scores_match_exact(spark, sf_dir):
+    """LSH restricts candidates (recall<1 on near-orthogonal random data),
+    but every returned pair must carry the TRUE cosine similarity."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 3)
+    exact = {(r.query_id, r.neighbor_id): r.sim
+             for r in S.cosine_topk_bruteforce(emb, q, k=10**6).collect()}
+    approx = S.cosine_topk_lsh(emb, q, k=5).collect()
+    assert approx  # non-empty
+    for r in approx:
+        assert r.query_id != r.neighbor_id
+        assert exact[(r.query_id, r.neighbor_id)] == r.sim
+
+
+def test_embedding_near_dup_self_similarity(spark):
+    df = spark.sql(
+        """SELECT * FROM VALUES
+            (1, array(1.0F, 0.0F)), (2, array(1.0F, 0.0F)), (3, array(0.0F, 1.0F))
+        AS t(vec_id, embedding)"""
+    )
+    pairs = {(r.id_a, r.id_b): r.sim for r in S.embedding_near_dup(df, threshold=0.9).collect()}
+    assert pairs == {(1, 2): 1.0}
+
+
+def test_text_quality_and_langid(spark):
+    df = spark.sql(
+        """SELECT * FROM VALUES
+            (1, 'The cat and the dog of to is...'),
+            (2, 'el la de que los el la'),
+            (3, '12345 67890')
+        AS t(doc_id, text)"""
+    )
+    q = {r.doc_id: r for r in X.quality_features(df).collect()}
+    assert q[1].punct_ratio > 0 and q[1].alpha_ratio > 0.5
+    assert q[3].alpha_ratio == 0.0
+    lang = {r.doc_id: r.pred_lang for r in X.langid(df).collect()}
+    assert lang[1] == "en" and lang[2] == "es" and lang[3] == "und"
+
+
+def test_multimodal_feature_extraction(spark):
+    from priority_data_pipeline_azure_sql_db_spark.operators.multimodal import (
+        decode_media,
+        documents_as_media,
+        extract_features,
+    )
+    import pytest
+
+    df = spark.sql("SELECT * FROM VALUES (1, 'hello'), (2, '') AS t(doc_id, text)")
+    media = documents_as_media(df)
+    assert dict(media.dtypes)["content"] == "binary"
+    feats = {r.media_id: r for r in extract_features(media).collect()}
+    assert feats[1].n_bytes == 5 and feats[2].n_bytes == 0
+    assert len(feats[1].feature) == 8
+    assert feats[1].content_md5 == "5d41402abc4b2a76b9719d911017c592"  # md5('hello')
+    with pytest.raises(NotImplementedError):
+        decode_media("image", b"\x00")
+
+
+def test_streaming_tumbling_equals_batch(spark, sf_dir):
+    from priority_data_pipeline_azure_sql_db_spark.streaming.events import (
+        read_events_stream,
+        run_streaming_to_memory,
+        tumbling_counts,
+    )
+
+    stream_out = run_streaming_to_memory(
+        tumbling_counts(read_events_stream(spark, sf_dir)), mode="complete"
+    )
+    batch = (
+        load_table(spark, sf_dir, "events")
+        .groupBy(F.date_trunc("hour", "ts").alias("window_start"), "event_type")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_events"))
+    )
+    got = {(r.window_start, r.event_type): r.n_events for r in stream_out.collect()}
+    want = {(r.window_start, r.event_type): r.n_events for r in batch.collect()}
+    assert got == want
+
+
+def test_streaming_session_windows(spark, sf_dir):
+    from priority_data_pipeline_azure_sql_db_spark.streaming.events import (
+        read_events_stream,
+        run_streaming_to_memory,
+        sessionized_counts,
+    )
+
+    out = run_streaming_to_memory(
+        sessionized_counts(read_events_stream(spark, sf_dir)), mode="complete"
+    )
+    rows = out.collect()
+    assert rows and all(r.session_end >= r.session_start for r in rows)
+    total = sum(r.n_events for r in rows)
+    assert total == load_table(spark, sf_dir, "events").count()

@@ -1,0 +1,104 @@
+"""Unit tests for pipeline operators (SURVEY.md §5.2 item 3)."""
+
+from datetime import datetime
+
+from pyspark.sql import functions as F
+
+from priority_data_pipeline_azure_sql_db_spark.operators.flatten import (
+    explode_subform,
+    nest_subform,
+    parent_without_subforms,
+)
+from priority_data_pipeline_azure_sql_db_spark.operators.merge import dedup_within, merge_upsert
+from priority_data_pipeline_azure_sql_db_spark.operators.normalize import (
+    add_audit_columns,
+    cast_to_schema,
+    drop_columns,
+    lowercase_columns,
+)
+from priority_data_pipeline_azure_sql_db_spark.operators.watermark import watermark_filter
+
+
+def test_lowercase_columns(spark):
+    df = spark.sql("SELECT 1 AS OrderID, 'x' AS CustName")
+    assert lowercase_columns(df).columns == ["orderid", "custname"]
+
+
+def test_audit_columns(spark):
+    df = spark.sql("SELECT 1 AS a")
+    out = add_audit_columns(df, "rid-1", datetime(2026, 1, 1))
+    row = out.collect()[0]
+    assert row.extractionid == "rid-1"
+    assert row.extractiontimestamputc == datetime(2026, 1, 1)
+    assert out.columns == ["a", "extractionid", "extractiontimestamputc"]
+
+
+def test_drop_columns_case_insensitive(spark):
+    df = spark.sql("SELECT 1 AS a, 2 AS B, 3 AS c")
+    assert drop_columns(df, ["b"]).columns == ["a", "c"]
+
+
+def test_cast_to_schema(spark):
+    from pyspark.sql import types as T
+
+    df = spark.sql("SELECT '12' AS k, 3.5 AS v")
+    schema = T.StructType([
+        T.StructField("k", T.LongType()),
+        T.StructField("v", T.StringType()),
+    ])
+    out = cast_to_schema(df, schema)
+    assert dict(out.dtypes) == {"k": "bigint", "v": "string"}
+
+
+def test_watermark_filter_inclusive(spark):
+    df = spark.sql(
+        "SELECT * FROM VALUES (TIMESTAMP '2020-01-01 00:00:00'),"
+        " (TIMESTAMP '2020-06-01 00:00:00'), (TIMESTAMP '2021-01-01 00:00:00') AS t(ts)"
+    )
+    out = watermark_filter(df, "ts", "2020-06-01 00:00:00").collect()
+    assert len(out) == 2  # 'ge' bound is inclusive (OData semantics)
+
+
+def test_nest_explode_roundtrip(spark):
+    parent = spark.sql("SELECT * FROM VALUES (1, 'a'), (2, 'b'), (3, 'c') AS t(pk, pv)")
+    child = spark.sql(
+        "SELECT * FROM VALUES (1, 10, 'x'), (1, 11, 'y'), (2, 20, 'z') AS t(fk, ck, cv)"
+    )
+    nested = nest_subform(parent, child, ["pk"], ["fk"], "kids")
+    # every parent row present; childless parent has empty array
+    rows = {r.pk: r.kids for r in nested.collect()}
+    assert len(rows) == 3 and rows[3] == []
+    # explode reproduces the child rows with parent key attached
+    back = explode_subform(nested, ["pk"], "kids")
+    got = sorted((r.pk, r.ck, r.cv) for r in back.collect())
+    assert got == [(1, 10, "x"), (1, 11, "y"), (2, 20, "z")]
+    # parent projection drops the subform column
+    assert parent_without_subforms(nested, ["kids"]).columns == ["pk", "pv"]
+
+
+def test_merge_upsert_delta_wins(spark):
+    target = spark.sql("SELECT * FROM VALUES (1, 'old'), (2, 'keep') AS t(pk, v)")
+    delta = spark.sql("SELECT * FROM VALUES (1, 'new'), (3, 'ins') AS t(pk, v)")
+    got = sorted((r.pk, r.v) for r in merge_upsert(target, delta, ["pk"]).collect())
+    assert got == [(1, "new"), (2, "keep"), (3, "ins")]
+
+
+def test_dedup_within_latest_wins(spark):
+    df = spark.sql(
+        "SELECT * FROM VALUES (1, 1, 'a'), (1, 2, 'b'), (2, 1, 'c') AS t(pk, ver, v)"
+    )
+    got = sorted((r.pk, r.v) for r in dedup_within(df, ["pk"], "ver").collect())
+    assert got == [(1, "b"), (2, "c")]
+
+
+def test_incremental_equiv_full(spark, sf_dir):
+    """Property: overlapping incremental windows + MERGE ≡ full load."""
+    from priority_data_pipeline_azure_sql_db_spark.sources.parquet import load_table
+
+    o = load_table(spark, sf_dir, "orders")
+    full = o.count()
+    base = o.filter(F.col("o_orderdate") < "1999-01-01")
+    delta = o.filter(F.col("o_orderdate") >= "1998-01-01")  # 1-year overlap
+    merged = merge_upsert(base, delta, ["o_orderkey"])
+    assert merged.count() == full
+    assert merged.select("o_orderkey").distinct().count() == full

@@ -1,0 +1,115 @@
+"""End-to-end pipeline lifecycle tests (EP1/EP2, SURVEY.md §3)."""
+
+import tempfile
+
+import pytest
+
+from priority_data_pipeline_azure_sql_db_spark.config import ExtractionConfig, parse_bool
+from priority_data_pipeline_azure_sql_db_spark.pipeline import PipelineRunner, StagingStore
+
+
+def make_config(last_run="1999-01-01 00:00:00", with_bad_entity=True):
+    ents = [
+        {"EntityID": "orders", "filterFlag": True, "filterField": "o_orderdate",
+         "expand": ["lineitem"], "lastRun": last_run,
+         "dataStartDate": "1990-01-01 00:00:00"},
+        # case-insensitive keys + string bool (accepted forms)
+        {"entityID": "nation", "filterFlag": "false", "filterField": "", "expand": []},
+    ]
+    if with_bad_entity:
+        ents.append({"EntityID": "no_such_table", "filterFlag": False,
+                     "filterField": "", "expand": []})
+    return ExtractionConfig.from_dict(
+        {"datasourceName": "fx", "systemTimezone": "Israel", "entities": ents}
+    )
+
+
+@pytest.fixture(scope="module")
+def loaded_store(spark, sf_dir):
+    store = StagingStore(tempfile.mkdtemp(prefix="stg_t_"))
+    runner = PipelineRunner(spark, make_config(), store, sf_dir)
+    results = runner.initial_data_load()
+    return store, results
+
+
+def test_full_load_counts(spark, loaded_store, sf_dir):
+    store, results = loaded_store
+    by_entity = {r.entity: r for r in results}
+    assert by_entity["orders"].tables["stg_orders"] == 1500
+    assert by_entity["orders"].tables["stg_lineitem"] == 6000
+    assert by_entity["nation"].tables["stg_nation"] == 25
+
+
+def test_fail_soft_entity(loaded_store):
+    _, results = loaded_store
+    bad = [r for r in results if r.entity == "no_such_table"][0]
+    assert bad.error and "PATH_NOT_FOUND" in bad.error
+    # other entities still loaded (O22 fail-soft)
+    assert [r for r in results if r.entity == "nation"][0].error is None
+
+
+def test_audit_and_lowercase(spark, loaded_store):
+    store, _ = loaded_store
+    cols = store.read(spark, "stg_lineitem").columns
+    assert "extractionid" in cols and "extractiontimestamputc" in cols
+    assert all(c == c.lower() for c in cols)
+
+
+def test_child_carries_parent_pk(spark, loaded_store):
+    store, _ = loaded_store
+    li = store.read(spark, "stg_lineitem")
+    assert "o_orderkey" in li.columns  # meta=pk propagation
+    assert li.filter(li.o_orderkey.isNull()).count() == 0
+
+
+def test_incremental_overlap_idempotent(spark, loaded_store, sf_dir):
+    store, _ = loaded_store
+    before_o = store.read(spark, "stg_orders").count()
+    before_li = store.read(spark, "stg_lineitem").count()
+    runner = PipelineRunner(spark, make_config(), store, sf_dir)
+    results = runner.refresh_data(incremental=True)
+    assert all(r.error is None for r in results if r.entity == "orders")
+    assert store.read(spark, "stg_orders").count() == before_o
+    assert store.read(spark, "stg_lineitem").count() == before_li
+
+
+def test_bookmark_advances_only_on_success(spark, sf_dir):
+    store = StagingStore(tempfile.mkdtemp(prefix="stg_b_"))
+    cfg = make_config()
+    runner = PipelineRunner(spark, cfg, store, sf_dir)
+    runner.refresh_data(incremental=False)
+    assert cfg.entities[0].last_run != "1999-01-01 00:00:00"  # advanced
+    # failing entity keeps its (absent) bookmark untouched
+    assert cfg.entities[2].last_run is None
+
+
+def test_strict_bool_parse():
+    assert parse_bool("true") and parse_bool("1") and parse_bool(True)
+    assert not parse_bool("false") and not parse_bool("")
+    with pytest.raises(ValueError):
+        parse_bool("rue")  # the reference's substring bug must NOT pass
+
+
+def test_timezone_bookmark_roundtrip():
+    cfg = make_config()
+    utc = cfg.to_utc("2026-01-15 12:00:00")  # Israel is UTC+2 in January
+    assert utc.hour == 10
+    assert cfg.format_bookmark(utc) == "2026-01-15 12:00:00"
+    # DST edge: July is UTC+3
+    utc_summer = cfg.to_utc("2026-07-15 12:00:00")
+    assert utc_summer.hour == 9
+    assert cfg.format_bookmark(utc_summer) == "2026-07-15 12:00:00"
+
+
+def test_ddl_rules():
+    from priority_data_pipeline_azure_sql_db_spark.catalog import primary_key, schema_for
+    from priority_data_pipeline_azure_sql_db_spark.ddl import create_table_ddl, jdbc_column_types
+
+    ddl = create_table_ddl("ORDERS", schema_for("orders"), primary_key("orders"),
+                           dialect="azuresql")
+    assert ddl.startswith("CREATE TABLE IF NOT EXISTS orders (")
+    assert "o_orderkey VARCHAR(255)" in ddl          # PK→varchar(255) rule
+    assert "extractionid VARCHAR(36)" in ddl          # audit columns
+    assert "PRIMARY KEY (o_orderkey)" in ddl
+    jt = jdbc_column_types(schema_for("orders"), primary_key("orders"))
+    assert "o_orderkey VARCHAR(255)" in jt and "MAX" not in jt
