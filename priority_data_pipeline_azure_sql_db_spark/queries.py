@@ -773,6 +773,507 @@ def events_pivot_types(spark, sf_dir):
     return e.groupBy("user_id").agg(*aggs)
 
 
+@query(
+    "odata_source_scan",
+    f"SELECT * FROM orders WHERE o_orderdate >= TIMESTAMP '{WATERMARK}'",
+)
+def odata_source_scan(spark, sf_dir):
+    """O1 through the custom OData-shaped Python DataSource: partitioned
+    parallel scan with the watermark predicate pushed into the source
+    (the $filter analog), result identical to the native parquet path."""
+    from .sources.odata_like import FORMAT_NAME, register
+
+    register(spark)
+    df = (
+        spark.read.format(FORMAT_NAME)
+        .option("path", sf_dir)
+        .option("entity", "orders")
+        .load()
+    )
+    return watermark_filter(df, "o_orderdate", WATERMARK)
+
+
+@query(
+    "q4_order_priority",
+    """
+    SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS order_count
+    FROM orders o
+    WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND o_orderdate < TIMESTAMP '1997-04-01 00:00:00'
+      AND EXISTS (
+          SELECT 1 FROM lineitem l
+          WHERE l.l_orderkey = o.o_orderkey AND l.l_shipdate > o.o_orderdate
+      )
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def q4_order_priority(spark, sf_dir):
+    """TPC-H Q4 shape: correlated EXISTS → left-semi join + agg."""
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-04-01").cast("timestamp"))
+    )
+    l = load_table(spark, sf_dir, "lineitem")
+    sat = o.join(
+        l, (o.o_orderkey == l.l_orderkey) & (l.l_shipdate > o.o_orderdate), "left_semi"
+    )
+    return (
+        sat.groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+@query(
+    "q10_returned_items",
+    """
+    SELECT c.c_custkey, c.c_name,
+           CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,6))) AS DOUBLE)
+               AS revenue,
+           n.n_name
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    WHERE l.l_returnflag = 'R'
+      AND o.o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND o.o_orderdate < TIMESTAMP '1997-07-01 00:00:00'
+    GROUP BY c.c_custkey, c.c_name, n.n_name
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20
+    """,
+)
+def q10_returned_items(spark, sf_dir):
+    """TPC-H Q10 shape: returned-item revenue per customer."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-07-01").cast("timestamp"))
+    )
+    l = load_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    n = load_table(spark, sf_dir, "nation")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(_dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
+        .select("c_custkey", "c_name", "revenue", "n_name")
+        .orderBy(F.desc("revenue"), "c_custkey")
+        .limit(20)
+    )
+
+
+@query(
+    "q14_promo_revenue",
+    """
+    SELECT CAST(SUM(CAST(CASE WHEN p.p_type = 'PROMO'
+                              THEN l.l_extendedprice * (1 - l.l_discount)
+                              ELSE 0 END AS DECIMAL(18,6))) AS DOUBLE) AS promo_revenue,
+           CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,6))) AS DOUBLE)
+               AS total_revenue
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE l.l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND l.l_shipdate < TIMESTAMP '1997-02-01 00:00:00'
+    """,
+)
+def q14_promo_revenue(spark, sf_dir):
+    """TPC-H Q14 shape: conditional aggregate over a broadcast part join."""
+    l = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-02-01").cast("timestamp"))
+    )
+    p = load_table(spark, sf_dir, "part")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .agg(
+            _dsum(F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0.0)))
+            .alias("promo_revenue"),
+            _dsum(rev).alias("total_revenue"),
+        )
+    )
+
+
+@query(
+    "q18_large_orders",
+    """
+    SELECT c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate, o.o_totalprice,
+           CAST(SUM(CAST(l.l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE o.o_orderkey IN (
+        SELECT l_orderkey FROM lineitem GROUP BY l_orderkey
+        HAVING SUM(CAST(l_quantity AS DECIMAL(18,6))) > 150
+    )
+    GROUP BY c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate, o.o_totalprice
+    ORDER BY o.o_totalprice DESC, o.o_orderdate, o_orderkey
+    LIMIT 20
+    """,
+)
+def q18_large_orders(spark, sf_dir):
+    """TPC-H Q18 shape: HAVING-filtered IN-subquery (semi join on an
+    aggregated key set)."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    l = load_table(spark, sf_dir, "lineitem")
+    big = (
+        l.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(18,6)")).alias("q"))
+        .filter(F.col("q") > 150)
+        .select("l_orderkey")
+    )
+    return (
+        o.join(big, o.o_orderkey == big.l_orderkey, "left_semi")
+        .join(l, F.col("o_orderkey") == l.l_orderkey)
+        .join(F.broadcast(c), F.col("o_custkey") == c.c_custkey)
+        .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+        .agg(_dsum(F.col("l_quantity")).alias("sum_qty"))
+        .orderBy(F.desc("o_totalprice"), "o_orderdate", "o_orderkey")
+        .limit(20)
+    )
+
+
+@query(
+    "join_left_outer_nulls",
+    """
+    SELECT n.n_nationkey, n.n_name, s.s_suppkey, s.s_name
+    FROM nation n LEFT JOIN (SELECT * FROM supplier WHERE s_acctbal > 5000) s
+      ON n.n_nationkey = s.s_nationkey
+    """,
+)
+def join_left_outer_nulls(spark, sf_dir):
+    """Left-outer join with an unmatched side (null extension semantics)."""
+    n = load_table(spark, sf_dir, "nation")
+    s = load_table(spark, sf_dir, "supplier").filter(F.col("s_acctbal") > 5000)
+    return n.join(s, n.n_nationkey == s.s_nationkey, "left").select(
+        "n_nationkey", "n_name", "s_suppkey", "s_name"
+    )
+
+
+@query(
+    "join_full_outer",
+    """
+    SELECT COALESCE(c.nationkey, s.nationkey) AS nationkey,
+           c.n_cust, s.n_supp
+    FROM (SELECT c_nationkey AS nationkey, CAST(COUNT(*) AS BIGINT) AS n_cust
+          FROM customer WHERE c_acctbal > 9000 GROUP BY 1) c
+    FULL OUTER JOIN
+         (SELECT s_nationkey AS nationkey, CAST(COUNT(*) AS BIGINT) AS n_supp
+          FROM supplier WHERE s_acctbal > 9000 GROUP BY 1) s
+      ON c.nationkey = s.nationkey
+    """,
+)
+def join_full_outer(spark, sf_dir):
+    """Full-outer join of two aggregates (both sides can be null)."""
+    c = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_acctbal") > 9000)
+        .groupBy(F.col("c_nationkey").alias("nationkey"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_cust"))
+    )
+    s = (
+        load_table(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") > 9000)
+        .groupBy(F.col("s_nationkey").alias("nationkey"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_supp"))
+    )
+    return (
+        c.join(s, "nationkey", "full_outer")
+        .select("nationkey", "n_cust", "n_supp")
+    )
+
+
+@query(
+    "cube_orders_status_priority",
+    """
+    SELECT o_orderstatus, o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS sum_price
+    FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
+    """,
+)
+def cube_orders_status_priority(spark, sf_dir):
+    """CUBE aggregate (all grouping-set combinations in one pass)."""
+    return (
+        load_table(spark, sf_dir, "orders")
+        .cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+            _dsum(F.col("o_totalprice")).alias("sum_price"),
+        )
+    )
+
+
+@query(
+    "grouping_sets_lineitem",
+    """
+    SELECT l_returnflag, l_linestatus,
+           CAST(GROUPING(l_returnflag) AS BIGINT) AS g_flag,
+           CAST(GROUPING(l_linestatus) AS BIGINT) AS g_status,
+           CAST(COUNT(*) AS BIGINT) AS n_rows
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+    """,
+)
+def grouping_sets_lineitem(spark, sf_dir):
+    """Explicit GROUPING SETS with GROUPING() indicator columns."""
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("__gs_lineitem")
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+               CAST(GROUPING(l_returnflag) AS BIGINT) AS g_flag,
+               CAST(GROUPING(l_linestatus) AS BIGINT) AS g_status,
+               CAST(COUNT(*) AS BIGINT) AS n_rows
+        FROM __gs_lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        """
+    )
+
+
+@query(
+    "percentiles_quantity",
+    """
+    SELECT l_returnflag,
+           quantile_cont(l_quantity, 0.5) AS p50,
+           quantile_cont(l_quantity, 0.9) AS p90,
+           CAST(MIN(l_quantity) AS DOUBLE) AS min_qty,
+           CAST(MAX(l_quantity) AS DOUBLE) AS max_qty
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def percentiles_quantity(spark, sf_dir):
+    """Exact interpolated percentiles (sort-based, deterministic)."""
+    l = load_table(spark, sf_dir, "lineitem")
+    return l.groupBy("l_returnflag").agg(
+        F.expr("percentile(l_quantity, 0.5)").alias("p50"),
+        F.expr("percentile(l_quantity, 0.9)").alias("p90"),
+        F.min("l_quantity").cast("double").alias("min_qty"),
+        F.max("l_quantity").cast("double").alias("max_qty"),
+    )
+
+
+@query(
+    "asof_last_click_before_error",
+    """
+    WITH marked AS (
+        SELECT user_id, ts, event_id, event_type,
+               last_value(CASE WHEN event_type = 'click' THEN ts END IGNORE NULLS)
+                   OVER (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS last_click_ts
+        FROM events
+    )
+    SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts,
+           CAST(last_click_ts AS TIMESTAMP) AS last_click_ts
+    FROM marked WHERE event_type = 'error'
+    """,
+)
+def asof_last_click_before_error(spark, sf_dir):
+    """As-of join (backward) expressed as an IGNORE NULLS running
+    last_value — the single-pass, shuffle-once form of merge_asof.
+    Spark lacks a native as-of join; this is the scale pattern for
+    same-table as-of. Cross-table as-of = union the two sides tagged,
+    then this same window."""
+    e = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    marked = e.select(
+        "event_id", "user_id", "ts", "event_type",
+        F.last(F.when(F.col("event_type") == "click", F.col("ts")), ignorenulls=True)
+        .over(w).alias("last_click_ts"),
+    )
+    return marked.filter(F.col("event_type") == "error").select(
+        "event_id", "user_id", "ts", "last_click_ts"
+    )
+
+
+@query(
+    "range_join_close_events",
+    """
+    SELECT a.event_id AS id_a, b.event_id AS id_b
+    FROM events a JOIN events b
+      ON a.user_id = b.user_id
+     AND b.ts > a.ts
+     AND b.ts <= a.ts + INTERVAL 60 SECOND
+    """,
+)
+def range_join_close_events(spark, sf_dir):
+    """Range join (pairs of events within 60s per user), executed as a
+    bucketized equi-join + refine filter instead of a theta join: each
+    event joins only its own and the next 60s bucket, so the match space
+    is O(events × bucket density), not O(events²) — the standard interval
+    join decomposition for engines without a native range join."""
+    e = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts", F.unix_millis("ts").alias("ms")
+    )
+    a = e.select(
+        F.col("event_id").alias("id_a"), F.col("user_id").alias("u"),
+        F.col("ms").alias("ms_a"),
+        F.explode(
+            F.array(F.floor(F.col("ms") / 60000), F.floor(F.col("ms") / 60000) + 1)
+        ).alias("bucket"),
+    )
+    b = e.select(
+        F.col("event_id").alias("id_b"), F.col("user_id").alias("u"),
+        F.col("ms").alias("ms_b"),
+        F.floor(F.col("ms") / 60000).alias("bucket"),
+    )
+    return (
+        a.join(b, ["u", "bucket"])
+        .filter((F.col("ms_b") > F.col("ms_a")) & (F.col("ms_b") <= F.col("ms_a") + 60000))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+@query(
+    "pivot_segment_by_region",
+    """
+    SELECT r.r_name,
+           CAST(COUNT(*) FILTER (WHERE c.c_mktsegment = 'AUTOMOBILE') AS BIGINT) AS automobile,
+           CAST(COUNT(*) FILTER (WHERE c.c_mktsegment = 'BUILDING') AS BIGINT) AS building,
+           CAST(COUNT(*) FILTER (WHERE c.c_mktsegment = 'FURNITURE') AS BIGINT) AS furniture,
+           CAST(COUNT(*) FILTER (WHERE c.c_mktsegment = 'HOUSEHOLD') AS BIGINT) AS household,
+           CAST(COUNT(*) FILTER (WHERE c.c_mktsegment = 'MACHINERY') AS BIGINT) AS machinery
+    FROM customer c
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY r.r_name
+    """,
+)
+def pivot_segment_by_region(spark, sf_dir):
+    """True .pivot(): market-segment counts per region (explicit value
+    list → single-pass pivot, no second job to discover values)."""
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    segs = ["AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY"]
+    out = (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name")
+        .pivot("c_mktsegment", segs)
+        .agg(F.count(F.lit(1)).cast("bigint"))
+    )
+    return out.select(
+        "r_name", *[F.coalesce(F.col(s), F.lit(0)).cast("bigint").alias(s.lower()) for s in segs]
+    )
+
+
+@query(
+    "type_mapping_enrichment",
+    """
+    SELECT f.field_name, f.source_type, m.spark_type
+    FROM (VALUES
+        ('o_orderkey', 'Edm.Int64'), ('o_totalprice', 'Edm.Decimal'),
+        ('o_orderdate', 'Edm.DateTimeOffset'), ('o_comment', 'Edm.String'),
+        ('o_mystery', 'Edm.Unknown')
+    ) AS f(field_name, source_type)
+    LEFT JOIN (VALUES
+        ('Edm.String', 'STRING'), ('Edm.Decimal', 'DECIMAL(38,6)'),
+        ('Edm.DateTimeOffset', 'TIMESTAMP'), ('Edm.Int64', 'BIGINT')
+    ) AS m(source_type, spark_type)
+      ON f.source_type = m.source_type
+    """,
+)
+def type_mapping_enrichment(spark, sf_dir):
+    """O11: the metadata→type-mapping catalog join as a broadcast-hash
+    left join (the reference's Python next() scan, relationalized).
+    Unmapped types surface as NULL instead of being silently skipped."""
+    from .catalog import EDM_TO_SQL
+
+    fields = spark.sql(
+        """
+        SELECT * FROM VALUES
+            ('o_orderkey', 'Edm.Int64'), ('o_totalprice', 'Edm.Decimal'),
+            ('o_orderdate', 'Edm.DateTimeOffset'), ('o_comment', 'Edm.String'),
+            ('o_mystery', 'Edm.Unknown')
+        AS f(field_name, source_type)
+        """
+    )
+    mapping = spark.createDataFrame(
+        [(k, v["spark"]) for k, v in EDM_TO_SQL.items()],
+        "source_type string, spark_type string",
+    )
+    return fields.join(F.broadcast(mapping), "source_type", "left").select(
+        "field_name", "source_type", "spark_type"
+    )
+
+
+@query(
+    "embedding_near_dup_pairs",
+    """
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           ROUND(list_dot_product(a.v, b.v)
+                 / (SQRT(list_dot_product(a.v, a.v)) * SQRT(list_dot_product(b.v, b.v))),
+                 6) AS sim
+    FROM e a JOIN e b ON a.vec_id < b.vec_id
+    WHERE ROUND(list_dot_product(a.v, b.v)
+          / (SQRT(list_dot_product(a.v, a.v)) * SQRT(list_dot_product(b.v, b.v))), 6) >= 0.4
+    """,
+)
+def embedding_near_dup_pairs(spark, sf_dir):
+    """Embedding-cosine near-duplicate pairs above a threshold."""
+    return S.embedding_near_dup(load_table(spark, sf_dir, "embeddings"), threshold=0.4)
+
+
+@query(
+    "scalar_array_funcs",
+    """
+    SELECT vec_id, label,
+           CAST(LEN(embedding) AS BIGINT) AS dim,
+           ROUND(CAST(embedding[1] AS DOUBLE), 6) AS first_elem,
+           ROUND(SQRT(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])), 6)
+               AS l2_norm
+    FROM embeddings
+    """,
+)
+def scalar_array_funcs(spark, sf_dir):
+    """Array function library over the embedding column (size, index,
+    fold — all JVM-side higher-order functions)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    v = F.col("embedding").cast("array<double>")
+    return e.select(
+        "vec_id", "label",
+        F.size("embedding").cast("bigint").alias("dim"),
+        F.round(F.element_at(v, 1), 6).alias("first_elem"),
+        F.round(F.sqrt(F.aggregate(v, F.lit(0.0), lambda a, x: a + x * x)), 6)
+        .alias("l2_norm"),
+    )
+
+
+@query(
+    "conditional_null_funcs",
+    """
+    SELECT s_suppkey,
+           COALESCE(NULLIF(s_name, ''), 'unknown') AS name_clean,
+           CASE WHEN s_acctbal < 0 THEN 'debt'
+                WHEN s_acctbal < 5000 THEN 'low'
+                ELSE 'high' END AS bal_band,
+           CAST(IF(s_nationkey % 2 = 0, 'even', 'odd') AS VARCHAR) AS nation_parity
+    FROM supplier
+    """,
+)
+def conditional_null_funcs(spark, sf_dir):
+    """CASE / COALESCE / NULLIF / IF conditional library."""
+    s = load_table(spark, sf_dir, "supplier")
+    return s.select(
+        "s_suppkey",
+        F.coalesce(F.nullif(F.col("s_name"), F.lit("")), F.lit("unknown")).alias("name_clean"),
+        F.when(F.col("s_acctbal") < 0, "debt")
+        .when(F.col("s_acctbal") < 5000, "low")
+        .otherwise("high")
+        .alias("bal_band"),
+        F.when(F.col("s_nationkey") % 2 == 0, "even").otherwise("odd").alias("nation_parity"),
+    )
+
+
 # =========================================================================
 # North star — dedup / similarity / text analysis
 # =========================================================================

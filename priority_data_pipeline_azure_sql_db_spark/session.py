@@ -52,6 +52,8 @@ def get_spark(
         # events.parquet stores TIMESTAMP(NANOS) which the vectorized reader
         # rejects; read as long (ns since epoch) and convert in load_table.
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # enable pushFilters() on Python data sources (odata_like connector)
+        .config("spark.sql.python.filterPushdown.enabled", "true")
         .config("spark.driver.extraJavaOptions", "-Duser.timezone=UTC")
     )
     for k, v in (extra_conf or {}).items():

@@ -1,0 +1,181 @@
+"""OData-shaped custom data source (Spark 4 Python DataSource API).
+
+The reference's extractor is one HTTP GET per entity with a hand-built
+``$filter=<field> ge <ts>`` and no paging/parallelism
+(reference resources/priorityDataSource.py:639-746). This connector models that
+protocol on the DataSource V2 surface and fixes its two structural gaps
+(SURVEY.md §4):
+
+- **Filter pushdown** (``pushFilters``): comparison/equality predicates are
+  accepted and evaluated source-side — the engine-level analog of the
+  hand-built ``$filter`` string, except Catalyst derives it from the query.
+- **Partitioned parallel scan** (``partitions``): the entity is served as
+  row-group slices (the local stand-in for date-range-sliced API pulls),
+  so N executors fetch concurrently instead of the reference's single
+  unbounded request.
+
+The local "API backend" is the entity's parquet file read via pyarrow —
+swap ``_fetch_slice`` for an HTTP GET with ``$filter``/``$skip``/``$top``
+params against a real OData endpoint; the Spark-facing surface is
+identical. Reads yield Arrow RecordBatches, so rows never pass through
+Python object conversion.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    EqualTo,
+    Filter,
+    GreaterThan,
+    GreaterThanOrEqual,
+    InputPartition,
+    IsNotNull,
+    LessThan,
+    LessThanOrEqual,
+)
+from pyspark.sql.types import StructType
+
+FORMAT_NAME = "odata_like"
+
+
+@dataclass
+class RowRangeSlice(InputPartition):
+    """One parallel pull: a contiguous row range of the entity — the
+    ``$skip``/``$top`` paging analog (works regardless of the backend's
+    physical layout; a real OData server pages server-side)."""
+
+    offset: int
+    length: int
+
+
+class ODataLikeDataSource(DataSource):
+    """``spark.read.format("odata_like").option("path", dir).option("entity", name)``"""
+
+    @classmethod
+    def name(cls) -> str:
+        return FORMAT_NAME
+
+    def schema(self) -> str | StructType:
+        import pyarrow.parquet as pq
+
+        f = pq.ParquetFile(self._entity_path(self.options))
+        from pyspark.sql.pandas.types import from_arrow_schema
+
+        return from_arrow_schema(f.schema_arrow)
+
+    @staticmethod
+    def _entity_path(options) -> str:
+        path = options.get("path")
+        entity = options.get("entity")
+        if not path or not entity:
+            raise ValueError("odata_like requires options: path, entity")
+        return os.path.join(path, f"{entity}.parquet")
+
+    def reader(self, schema: StructType) -> "ODataLikeReader":
+        return ODataLikeReader(self._entity_path(self.options), schema,
+                               int(self.options.get("numpartitions", 8)))
+
+
+_SUPPORTED = (EqualTo, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual, IsNotNull)
+
+
+class ODataLikeReader(DataSourceReader):
+    def __init__(self, path: str, schema: StructType, num_partitions: int):
+        self.path = path
+        self.schema = schema
+        self.num_partitions = num_partitions
+        self.accepted: list[tuple[str, str, object]] = []
+
+    # -- pushdown ($filter analog) ------------------------------------------
+
+    def pushFilters(self, filters: list[Filter]):
+        """Accept simple comparisons (served source-side); yield back the
+        rest for Spark to evaluate."""
+        for f in filters:
+            if isinstance(f, _SUPPORTED) and len(f.attribute) == 1:
+                op = type(f).__name__
+                value = getattr(f, "value", None)
+                self.accepted.append((f.attribute[0], op, value))
+            else:
+                yield f
+
+    # -- partition planning (date-sliced parallel pulls) --------------------
+
+    def partitions(self) -> list[RowRangeSlice]:
+        import pyarrow.parquet as pq
+
+        n_rows = pq.ParquetFile(self.path).metadata.num_rows
+        per = max(1, -(-n_rows // self.num_partitions))
+        return [
+            RowRangeSlice(off, min(per, n_rows - off))
+            for off in range(0, n_rows, per)
+        ] or [RowRangeSlice(0, 0)]
+
+    # -- the fetch ----------------------------------------------------------
+
+    def read(self, partition: RowRangeSlice):
+        """Serve one slice as Arrow batches with accepted filters applied —
+        the stand-in for `GET <uri>/<entity>?$filter=...&$skip=o&$top=n`.
+
+        Locally this re-reads the overlapping row groups and slices (read
+        amplification a real server avoids by paging server-side); the
+        Spark-facing contract — independent partitions, source-side filter
+        — is what matters."""
+        import pyarrow.compute as pc
+        import pyarrow.parquet as pq
+
+        import pyarrow as pa
+
+        if partition.length <= 0:
+            return
+        f = pq.ParquetFile(self.path)
+        # read only row groups overlapping [offset, offset+length)
+        lo, hi = partition.offset, partition.offset + partition.length
+        groups, base = [], 0
+        for g in range(f.num_row_groups):
+            n = f.metadata.row_group(g).num_rows
+            if base < hi and base + n > lo:
+                groups.append((g, base))
+            base += n
+        if not groups:
+            return
+        table = f.read_row_groups([g for g, _ in groups])
+        first_base = groups[0][1]
+        table = table.slice(lo - first_base, partition.length)
+        # Spark's Arrow bridge accepts only µs timestamps — normalize units
+        fields = [
+            pa.field(fld.name, pa.timestamp("us", fld.type.tz))
+            if pa.types.is_timestamp(fld.type) else fld
+            for fld in table.schema
+        ]
+        table = table.cast(pa.schema(fields), safe=False)  # ns→µs truncates
+        mask = None
+        for col, op, value in self.accepted:
+            # Spark hands tz-aware datetimes (session tz = UTC); the parquet
+            # columns are naive UTC — strip tzinfo for a like-for-like compare
+            import datetime as _dt
+
+            if isinstance(value, _dt.datetime) and value.tzinfo is not None:
+                value = value.astimezone(_dt.timezone.utc).replace(tzinfo=None)
+            c = pc.field(col)
+            expr = {
+                "EqualTo": c == value,
+                "GreaterThan": c > value,
+                "GreaterThanOrEqual": c >= value,
+                "LessThan": c < value,
+                "LessThanOrEqual": c <= value,
+                "IsNotNull": c.is_valid(),
+            }[op]
+            mask = expr if mask is None else (mask & expr)
+        if mask is not None:
+            table = table.filter(mask)
+        yield from table.to_batches(max_chunksize=1 << 16)
+
+
+def register(spark) -> None:
+    spark.dataSource.register(ODataLikeDataSource)
