@@ -1274,6 +1274,117 @@ def conditional_null_funcs(spark, sf_dir):
     )
 
 
+@query(
+    "window_lag_lead_ntile",
+    """
+    SELECT o_custkey, o_orderkey, o_orderdate,
+           CAST(LAG(o_orderkey) OVER w AS BIGINT) AS prev_order,
+           CAST(LEAD(o_orderkey) OVER w AS BIGINT) AS next_order,
+           CAST(NTILE(4) OVER w AS BIGINT) AS quartile,
+           CAST(FIRST_VALUE(o_orderkey) OVER w AS BIGINT) AS first_order
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    """,
+)
+def window_lag_lead_ntile(spark, sf_dir):
+    """Navigation window functions: lag/lead/ntile/first_value."""
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderkey", "o_orderdate",
+        F.lag("o_orderkey").over(w).cast("bigint").alias("prev_order"),
+        F.lead("o_orderkey").over(w).cast("bigint").alias("next_order"),
+        F.ntile(4).over(w).cast("bigint").alias("quartile"),
+        F.first("o_orderkey").over(w).cast("bigint").alias("first_order"),
+    )
+
+
+@query(
+    "union_all_distinct",
+    """
+    SELECT nationkey, CAST(COUNT(*) AS BIGINT) AS n_sources FROM (
+        SELECT c_nationkey AS nationkey FROM customer
+        UNION ALL
+        SELECT s_nationkey FROM supplier
+    ) GROUP BY nationkey
+    """,
+)
+def union_all_distinct(spark, sf_dir):
+    """UNION ALL + aggregate (bag semantics preserved through the union)."""
+    c = load_table(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = load_table(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return (
+        c.unionAll(s)
+        .groupBy("nationkey")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_sources"))
+    )
+
+
+@query(
+    "text_tfidf_top_terms",
+    """
+    WITH terms AS (
+        SELECT doc_id, UNNEST(string_split_regex(trim(lower(text)), '\\s+')) AS term
+        FROM documents
+    ), tf AS (
+        SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+        FROM terms WHERE term <> '' GROUP BY doc_id, term
+    ), df AS (
+        SELECT term, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df FROM tf GROUP BY term
+    ), n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents)
+    SELECT tf.term,
+           CAST(SUM(CAST(tf.tf * ln((n.n_docs + 1.0) / (df.df + 1.0)) AS DECIMAL(18,9)))
+               AS DOUBLE) AS total_tfidf
+    FROM tf JOIN df ON tf.term = df.term CROSS JOIN n
+    GROUP BY tf.term
+    ORDER BY total_tfidf DESC, tf.term
+    LIMIT 20
+    """,
+)
+def text_tfidf_top_terms(spark, sf_dir):
+    """TF-IDF scoring: tokenize → term frequencies → document frequencies
+    → smoothed idf — three hash-aggregates and a broadcast join, the
+    standard corpus-statistics shape at any scale."""
+    d = load_table(spark, sf_dir, "documents")
+    terms = d.select(
+        "doc_id",
+        F.explode(F.split(F.trim(F.lower(F.col("text"))), "\\s+")).alias("term"),
+    ).filter(F.col("term") != "")
+    tf = terms.groupBy("doc_id", "term").agg(F.count(F.lit(1)).cast("bigint").alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.countDistinct("doc_id").cast("bigint").alias("df"))
+    n_docs = d.count()  # tiny scalar; at scale: a broadcast single-row agg
+    tfidf = (
+        tf.join(F.broadcast(dfreq), "term")
+        .withColumn(
+            "contrib",
+            (F.col("tf") * F.log((F.lit(n_docs) + 1.0) / (F.col("df") + 1.0)))
+            .cast("decimal(18,9)"),
+        )
+        .groupBy("term")
+        .agg(F.sum("contrib").cast("double").alias("total_tfidf"))
+        .orderBy(F.desc("total_tfidf"), "term")
+        .limit(20)
+    )
+    return tfidf
+
+
+@query("approx_sketches")  # engine-specific sketch internals → rows-only check
+def approx_sketches(spark, sf_dir):
+    """Approximate sketches: approx_count_distinct (HyperLogLog++) and
+    percentile_approx (KLL-ish). Sketch internals differ per engine so
+    there is no cross-engine oracle; the exact twins are oracle-checked
+    in agg_distinct_suppliers / percentiles_quantity."""
+    l = load_table(spark, sf_dir, "lineitem")
+    return (
+        l.groupBy("l_returnflag")
+        .agg(
+            F.approx_count_distinct("l_suppkey").cast("bigint").alias("approx_suppliers"),
+            F.expr("approx_percentile(l_quantity, 0.5)").alias("approx_p50"),
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
 # =========================================================================
 # North star — dedup / similarity / text analysis
 # =========================================================================

@@ -1,0 +1,50 @@
+"""Tests for skew utilities and the stateful streaming operator."""
+
+from pyspark.sql import functions as F
+
+from priority_data_pipeline_azure_sql_db_spark.operators.skew import salted_join
+from priority_data_pipeline_azure_sql_db_spark.sources.parquet import load_table
+
+
+def test_salted_join_matches_plain_join(spark, sf_dir):
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"), "c_name"
+    )
+    plain = o.join(c, "o_custkey").count()
+    salted = salted_join(o, c, ["o_custkey"], salt_buckets=8).count()
+    assert salted == plain
+
+
+def test_salted_join_left_outer(spark):
+    big = spark.sql("SELECT * FROM VALUES (1, 'a'), (1, 'b'), (2, 'c'), (9, 'x') AS t(k, v)")
+    small = spark.sql("SELECT * FROM VALUES (1, 'dim1'), (2, 'dim2') AS t(k, d)")
+    out = salted_join(big, small, ["k"], salt_buckets=4, how="left")
+    rows = sorted((r.k, r.v, r.d) for r in out.collect())
+    assert rows == [(1, "a", "dim1"), (1, "b", "dim1"), (2, "c", "dim2"), (9, "x", None)]
+
+
+def test_stateful_running_totals(spark, sf_dir):
+    from priority_data_pipeline_azure_sql_db_spark.streaming.events import (
+        read_events_stream,
+        run_streaming_to_memory,
+    )
+    from priority_data_pipeline_azure_sql_db_spark.streaming.stateful import running_user_totals
+
+    out = run_streaming_to_memory(
+        running_user_totals(read_events_stream(spark, sf_dir)), mode="update"
+    )
+    rows = {r.user_id: r for r in out.collect()}
+    # cross-check totals against a batch aggregate
+    batch = {
+        r.user_id: (r.n, round(r.v, 6))
+        for r in load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("v"))
+        .collect()
+    }
+    assert set(rows) == set(batch)
+    for uid, (n, v) in batch.items():
+        assert rows[uid].n_events_total == n
+        assert round(rows[uid].value_total, 6) == v
+        assert rows[uid].alert == (rows[uid].value_total > 1000.0)
