@@ -117,8 +117,28 @@ def jaccard_pairs(
 def minhash_signature(df: DataFrame, text_col: str, id_col: str,
                       num_hashes: int = 32, k: int = 5) -> DataFrame:
     """Per-doc MinHash signature: for each seed s, min over shingles of
-    xxhash64(shingle, s). Pure JVM expressions; one aggregate per doc."""
-    sh = word_shingles(df, text_col, id_col, k)
+    xxhash64(shingle, s).
+
+    Physical shape: explode shingles → hash-aggregate num_hashes MIN()s
+    per doc. Map-side partial aggregation means the shuffle carries only
+    per-partition per-doc minima (≈|docs| rows), NOT |shingles| rows, and
+    the per-row work is a tight codegen'd xxhash64+min — measured 3-9×
+    faster than the "clever" zero-shuffle alternatives (a per-seed
+    array_min projection gets the shingle construction inlined 32× by
+    projection collapse; a single aggregate() fold allocates a
+    num_hashes array per shingle). No distinct() before the aggregate:
+    MIN over duplicates is identical and the dedup shuffle would cost
+    more than it saves.
+    """
+    toks = F.split(F.trim(F.lower(F.col(text_col))), TOKEN_SPLIT_RE)
+    shingles = F.when(
+        F.size(toks) >= k,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - (k - 1)),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, k)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    sh = df.select(F.col(id_col).alias("doc"), F.explode(shingles).alias("shingle"))
     mins = [
         F.min(F.xxhash64(F.col("shingle"), F.lit(s))).alias(f"h{s}")
         for s in range(num_hashes)

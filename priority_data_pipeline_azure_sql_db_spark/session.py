@@ -33,6 +33,20 @@ def get_spark(
     """
     cpus = cpus or DEFAULT_CPUS
     shuffle = shuffle_partitions or max(cpus, 32)
+    # Driver memory MUST be set before the JVM launches — builder.config
+    # is too late in local mode (the heap silently stays at the ~1g
+    # default and 32-thread aggregations spill+thrash; measured 25x
+    # slowdowns). PYSPARK_SUBMIT_ARGS reaches the launcher.
+    mem = os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g")
+    # Bigger code cache: each query generates fresh codegen classes and a
+    # flushed cache forces re-interpretation (measured multi-minute stalls
+    # of single interpreted tasks before OSR compilation).
+    java_opts = "-Duser.timezone=UTC -XX:ReservedCodeCacheSize=512m"
+    os.environ.setdefault(
+        "PYSPARK_SUBMIT_ARGS",
+        f'--driver-memory {mem} --conf "spark.driver.extraJavaOptions={java_opts}" '
+        "pyspark-shell",
+    )
     b = (
         SparkSession.builder.appName(app_name)
         .master(f"local[{cpus}]")
@@ -44,8 +58,11 @@ def get_spark(
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
+        .config("spark.driver.memory", mem)  # no-op post-launch; kept for spark-submit paths
         .config("spark.sql.parquet.filterPushdown", "true")
+        # split generated code into sub-8k-bytecode methods so HotSpot can
+        # JIT them (huge monolithic methods run interpreted: 10-60x slower)
+        .config("spark.sql.codegen.methodSplitThreshold", "512")
         .config("spark.sql.shuffle.spill.compress", "true")
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
@@ -54,7 +71,7 @@ def get_spark(
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         # enable pushFilters() on Python data sources (odata_like connector)
         .config("spark.sql.python.filterPushdown.enabled", "true")
-        .config("spark.driver.extraJavaOptions", "-Duser.timezone=UTC")
+        .config("spark.driver.extraJavaOptions", java_opts)  # post-launch no-op; for spark-submit paths
     )
     for k, v in (extra_conf or {}).items():
         b = b.config(k, v)

@@ -48,3 +48,15 @@ def test_stateful_running_totals(spark, sf_dir):
         assert rows[uid].n_events_total == n
         assert round(rows[uid].value_total, 6) == v
         assert rows[uid].alert == (rows[uid].value_total > 1000.0)
+
+
+def test_jdbc_helpers_require_env(spark, monkeypatch):
+    import pytest
+
+    from priority_data_pipeline_azure_sql_db_spark.sinks.jdbc import jdbc_url_from_env
+
+    monkeypatch.delenv("SPARK_GRAFT_JDBC_URL", raising=False)
+    with pytest.raises(RuntimeError, match="SPARK_GRAFT_JDBC_URL"):
+        jdbc_url_from_env()
+    monkeypatch.setenv("SPARK_GRAFT_JDBC_URL", "jdbc:sqlserver://h:1433;database=acc-1")
+    assert jdbc_url_from_env().startswith("jdbc:sqlserver://")
