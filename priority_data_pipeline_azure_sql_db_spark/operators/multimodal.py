@@ -97,3 +97,78 @@ def extract_features(df: DataFrame) -> DataFrame:
             yield out
 
     return df.mapInPandas(run, FEATURE_SCHEMA)
+
+
+RESIZED_SCHEMA = T.StructType([
+    T.StructField("media_id", T.LongType()),
+    T.StructField("media_type", T.StringType()),
+    T.StructField("content", T.BinaryType()),
+    T.StructField("meta_width", T.IntegerType()),
+    T.StructField("meta_height", T.IntegerType()),
+])
+
+
+def resize_images(df: DataFrame, width: int = 256, height: int = 256) -> DataFrame:
+    """Resize stub over binary image columns — Arrow-batched mapInPandas.
+
+    The real path is ``PIL.Image.open(io.BytesIO(b)).resize((w, h))``;
+    here the codec is a deterministic fake (truncate/pad bytes to w*h/64)
+    so the plumbing — batch shape, binary round trip, metadata update —
+    is real and testable without PIL.
+    """
+    fake_len = max(1, width * height // 64)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            blobs = pdf["content"].map(
+                lambda b: (b or b"\x00").ljust(fake_len, b"\x00")[:fake_len]
+            )
+            yield pd.DataFrame({
+                "media_id": pdf["media_id"],
+                "media_type": pdf["media_type"],
+                "content": blobs,
+                "meta_width": pd.Series([width] * len(pdf), dtype="int32"),
+                "meta_height": pd.Series([height] * len(pdf), dtype="int32"),
+            })
+
+    return df.mapInPandas(run, RESIZED_SCHEMA)
+
+
+FRAME_SCHEMA = T.StructType([
+    T.StructField("media_id", T.LongType()),
+    T.StructField("frame_index", T.IntegerType()),
+    T.StructField("frame", T.BinaryType()),
+])
+
+
+def sample_frames(df: DataFrame, every_nth: int = 10, max_frames: int = 8) -> DataFrame:
+    """Frame-sampling stub: one input video row fans out to ≤max_frames
+    frame rows (1:N via mapInPandas — the output batch need not align
+    1:1 with the input batch, which is exactly how a real ``av`` demuxer
+    would stream frames).
+
+    The real path is ``av.open(io.BytesIO(b)).decode(video=0)`` keeping
+    every ``every_nth`` frame; the stub slices the blob into fixed-size
+    fake frames deterministically.
+    """
+    chunk = 16
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, frames = [], [], []
+            for mid, blob in zip(pdf["media_id"], pdf["content"]):
+                blob = blob or b""
+                n_chunks = max(1, len(blob) // chunk)
+                for fi, pos in enumerate(range(0, n_chunks, every_nth)):
+                    if fi >= max_frames:
+                        break
+                    ids.append(mid)
+                    idxs.append(fi)
+                    frames.append(blob[pos * chunk:(pos + 1) * chunk])
+            yield pd.DataFrame({
+                "media_id": pd.Series(ids, dtype="int64"),
+                "frame_index": pd.Series(idxs, dtype="int32"),
+                "frame": pd.Series(frames, dtype="object"),
+            })
+
+    return df.mapInPandas(run, FRAME_SCHEMA)

@@ -131,6 +131,117 @@ def cosine_topk_lsh(
     return scored.withColumn("rank", F.row_number().over(w).cast("bigint")).filter(F.col("rank") <= k)
 
 
+def ivf_centroids(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_cells: int = 16,
+    dim: int = 64,
+) -> DataFrame:
+    """Train IVF cell centroids: deterministic hash-order seed sample +
+    one Lloyd refinement step (assign-all → per-cell mean), entirely as
+    DataFrame ops — the assign step is a broadcast cross join against the
+    n_cells seeds and the mean is one hash aggregate, so training scales
+    with the corpus scan, not with collect().
+
+    Returns (cell, centroid: array<double>).
+    """
+    vecs = corpus.select(F.col(id_col).alias("_id"), _as_double(F.col(vec_col)).alias("v"))
+    # deterministic pseudo-random sample: first n_cells ids in hash order
+    # orderBy().limit() compiles to TakeOrderedAndProject (distributed
+    # top-k, no global sort); the window then numbers only n_cells rows.
+    seeds = (
+        vecs.withColumn("_h", F.xxhash64(F.col("_id")))
+        .orderBy("_h", "_id")
+        .limit(n_cells)
+        .select(
+            (F.row_number().over(Window.orderBy("_h", "_id")) - 1).cast("int").alias("cell"),
+            F.col("v").alias("seed_v"),
+        )
+    )
+    # one Lloyd step: assign every vector to its nearest seed, re-average
+    d2 = F.aggregate(
+        F.zip_with(F.col("v"), F.col("seed_v"), lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0), lambda acc, x: acc + x,
+    )
+    assigned = (
+        vecs.crossJoin(F.broadcast(seeds))
+        .withColumn("d2", d2)
+        .withColumn(
+            "rk",
+            F.row_number().over(Window.partitionBy("_id").orderBy("d2", "cell")),
+        )
+        .filter(F.col("rk") == 1)
+    )
+    dim_idx = list(range(dim))
+    return (
+        assigned.select("cell", *[F.col("v")[i].alias(f"x{i}") for i in dim_idx])
+        .groupBy("cell")
+        .agg(*[F.avg(f"x{i}").alias(f"x{i}") for i in dim_idx])
+        .select("cell", F.array(*[f"x{i}" for i in dim_idx]).alias("centroid"))
+    )
+
+
+def _assign_cells(df: DataFrame, centroids: DataFrame, out_id: str,
+                  vec_col: str, n_probe: int) -> DataFrame:
+    """Rank IVF cells by distance per vector; keep the n_probe nearest."""
+    d2 = F.aggregate(
+        F.zip_with(F.col("_vd"), F.col("centroid"), lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0), lambda acc, x: acc + x,
+    )
+    return (
+        df.withColumn("_vd", _as_double(F.col(vec_col)))
+        .crossJoin(F.broadcast(centroids))
+        .withColumn("d2", d2)
+        .withColumn(
+            "crk", F.row_number().over(Window.partitionBy(out_id).orderBy("d2", "cell"))
+        )
+        .filter(F.col("crk") <= n_probe)
+        .drop("_vd", "centroid", "d2", "crk")
+    )
+
+
+def cosine_topk_ivf(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    dim: int = 64,
+) -> DataFrame:
+    """IVF approximate top-k: corpus vectors live in their nearest cell;
+    each query probes its n_probe nearest cells; candidates join on the
+    cell id. At 100 TB this is the classic inverted-file layout — the
+    corpus side is partitioned (and in practice clustered/bucketed) by
+    cell, the probe side broadcasts, and scored candidates are
+    |corpus|·n_probe/n_cells instead of |corpus|·|queries|.
+
+    Recall < 1 by construction; raise n_probe to trade compute for recall
+    (n_probe = n_cells degenerates to exact brute force).
+    """
+    cents = ivf_centroids(corpus, id_col, vec_col, n_cells, dim).cache()
+    c = _assign_cells(
+        corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")),
+        cents, "neighbor_id", "cv", 1,
+    )
+    q = _assign_cells(
+        queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")),
+        cents, "query_id", "qv", n_probe,
+    )
+    scored = (
+        c.join(F.broadcast(q), "cell")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id", "neighbor_id",
+            F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return scored.withColumn("rank", F.row_number().over(w).cast("bigint")).filter(F.col("rank") <= k)
+
+
 def embedding_near_dup(
     df: DataFrame,
     id_col: str = "vec_id",

@@ -2008,3 +2008,26 @@ def q22_idle_customers(spark, sf_dir):
             _dsum(F.col("c_acctbal")).alias("totacctbal"),
         )
     )
+
+
+@query("ann_cosine_topk_ivf")  # approximate (recall<1) → rows-only check
+def ann_cosine_topk_ivf(spark, sf_dir):
+    """IVF-partitioned ANN — inverted-file cells (hash-seeded + one Lloyd
+    step), n_probe nearest cells per query. Recall checked vs brute force
+    in tests/test_operators.py."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return S.cosine_topk_ivf(
+        emb, emb.filter(F.col("vec_id") < 5), k=5, n_cells=8, n_probe=3
+    ).orderBy("query_id", "rank")
+
+
+@query("multimodal_frame_sample")  # stubbed codec → rows-only check
+def multimodal_frame_sample(spark, sf_dir):
+    """1:N frame sampling over binary media blobs via mapInPandas (codec
+    stubbed; fan-out shape + deterministic slicing tested in
+    tests/test_operators.py)."""
+    from .operators.multimodal import documents_as_media, sample_frames
+
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    media = documents_as_media(d).withColumn("media_type", F.lit("video"))
+    return sample_frames(media, every_nth=10, max_frames=8)
