@@ -2031,3 +2031,16 @@ def multimodal_frame_sample(spark, sf_dir):
     d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
     media = documents_as_media(d).withColumn("media_type", F.lit("video"))
     return sample_frames(media, every_nth=10, max_frames=8)
+
+
+@query("streaming_stateful_user_totals")  # custom stateful op → rows-only check
+def streaming_stateful_user_totals(spark, sf_dir):
+    """applyInPandasWithState running per-user totals + alert flag — the
+    custom-stateful-operator shape (state = O(active keys)). Equivalence
+    to the batch aggregate is asserted in tests/test_scale_utils.py."""
+    from .streaming.events import read_events_stream, run_streaming_to_memory
+    from .streaming.stateful import running_user_totals
+
+    return run_streaming_to_memory(
+        running_user_totals(read_events_stream(spark, sf_dir)), mode="update"
+    )
