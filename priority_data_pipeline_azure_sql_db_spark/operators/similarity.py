@@ -53,15 +53,23 @@ def cosine_topk_bruteforce(
     the ordering is fully deterministic. Returns
     (query_id, neighbor_id, sim, rank).
     """
-    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
-    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
+    # norms computed once per ROW, not once per pair: |c|+|q| norm folds
+    # instead of |c|·|q| (the cast-to-double is also done once per side)
+    q = queries.select(
+        F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("qv")
+    ).select("query_id", "qv", l2_norm(F.col("qv")).alias("qn"))
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), _as_double(F.col(vec_col)).alias("cv")
+    ).select("neighbor_id", "cv", l2_norm(F.col("cv")).alias("cn"))
     scored = (
         c.crossJoin(F.broadcast(q))
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .select(
             "query_id",
             "neighbor_id",
-            F.round(cosine(F.col("qv"), F.col("cv")), round_to).alias("sim"),
+            F.round(
+                dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")), round_to
+            ).alias("sim"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
@@ -84,9 +92,11 @@ def _hyperplane(dim: int, seed: int) -> list[float]:
 
 
 def lsh_bucket(vec: Column, planes: list[list[float]]) -> Column:
-    """Sign-bit bucket id from random hyperplanes (bit i = sign(v·p_i))."""
+    """Sign-bit bucket id from random hyperplanes (bit i = sign(v·p_i)).
+    ``vec`` must already be array<double> — cast once at the caller, not
+    once per plane."""
     bits = [
-        F.when(dot(_as_double(vec), F.array(*[F.lit(x) for x in p])) >= 0,
+        F.when(dot(vec, F.array(*[F.lit(x) for x in p])) >= 0,
                F.lit(1 << i)).otherwise(F.lit(0))
         for i, p in enumerate(planes)
     ]
@@ -112,20 +122,29 @@ def cosine_topk_lsh(
     the difference between n·m and n·m/2^planes comparisons.
     """
     planes = [_hyperplane(dim, seed * 1000 + p) for p in range(n_planes)]
-    q = queries.select(
-        F.col(id_col).alias("query_id"),
-        F.col(vec_col).alias("qv"),
-        lsh_bucket(F.col(vec_col), planes).alias("bucket"),
+    q = (
+        queries.select(F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("qv"))
+        .select(
+            "query_id", "qv",
+            l2_norm(F.col("qv")).alias("qn"),
+            lsh_bucket(F.col("qv"), planes).alias("bucket"),
+        )
     )
-    c = corpus.select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).alias("cv"),
-        lsh_bucket(F.col(vec_col), planes).alias("bucket"),
+    c = (
+        corpus.select(F.col(id_col).alias("neighbor_id"), _as_double(F.col(vec_col)).alias("cv"))
+        .select(
+            "neighbor_id", "cv",
+            l2_norm(F.col("cv")).alias("cn"),
+            lsh_bucket(F.col("cv"), planes).alias("bucket"),
+        )
     )
     scored = (
         c.join(F.broadcast(q), "bucket")
         .filter(F.col("neighbor_id") != F.col("query_id"))
-        .select("query_id", "neighbor_id", F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("sim"))
+        .select(
+            "query_id", "neighbor_id",
+            F.round(dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")), 6).alias("sim"),
+        )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
     return scored.withColumn("rank", F.row_number().over(w).cast("bigint")).filter(F.col("rank") <= k)
@@ -223,11 +242,15 @@ def cosine_topk_ivf(
     """
     cents = ivf_centroids(corpus, id_col, vec_col, n_cells, dim).cache()
     c = _assign_cells(
-        corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")),
+        corpus.select(
+            F.col(id_col).alias("neighbor_id"), _as_double(F.col(vec_col)).alias("cv")
+        ).select("neighbor_id", "cv", l2_norm(F.col("cv")).alias("cn")),
         cents, "neighbor_id", "cv", 1,
     )
     q = _assign_cells(
-        queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")),
+        queries.select(
+            F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("qv")
+        ).select("query_id", "qv", l2_norm(F.col("qv")).alias("qn")),
         cents, "query_id", "qv", n_probe,
     )
     scored = (
@@ -235,7 +258,7 @@ def cosine_topk_ivf(
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .select(
             "query_id", "neighbor_id",
-            F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("sim"),
+            F.round(dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")), 6).alias("sim"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
@@ -249,11 +272,18 @@ def embedding_near_dup(
     threshold: float = 0.95,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (id_a < id_b, sim >= threshold)."""
-    a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
-    b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    a = df.select(
+        F.col(id_col).alias("id_a"), _as_double(F.col(vec_col)).alias("va")
+    ).select("id_a", "va", l2_norm(F.col("va")).alias("na"))
+    b = df.select(
+        F.col(id_col).alias("id_b"), _as_double(F.col(vec_col)).alias("vb")
+    ).select("id_b", "vb", l2_norm(F.col("vb")).alias("nb"))
     return (
         a.crossJoin(b)
         .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", F.round(cosine(F.col("va"), F.col("vb")), 6).alias("sim"))
+        .select(
+            "id_a", "id_b",
+            F.round(dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 6).alias("sim"),
+        )
         .filter(F.col("sim") >= threshold)
     )
