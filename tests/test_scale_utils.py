@@ -60,3 +60,30 @@ def test_jdbc_helpers_require_env(spark, monkeypatch):
         jdbc_url_from_env()
     monkeypatch.setenv("SPARK_GRAFT_JDBC_URL", "jdbc:sqlserver://h:1433;database=acc-1")
     assert jdbc_url_from_env().startswith("jdbc:sqlserver://")
+
+
+def test_bucketed_join_has_no_exchange(spark, sf_dir):
+    from priority_data_pipeline_azure_sql_db_spark.sinks.bucketed import (
+        colocated_join,
+        write_bucketed,
+    )
+
+    # (warehouse dir is static config; managed tables are dropped below,
+    # which removes their data too)
+    o = load_table(spark, sf_dir, "orders")
+    l = load_table(spark, sf_dir, "lineitem")
+    # force SMJ so the test asserts exchange elision, not broadcast
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        write_bucketed(o, "bkt_orders", "o_orderkey", buckets=8)
+        write_bucketed(l, "bkt_lineitem", "l_orderkey", buckets=8)
+        joined = colocated_join(spark, "bkt_orders", "bkt_lineitem",
+                                "o_orderkey", "l_orderkey")
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan, f"unexpected shuffle:\n{plan}"
+        assert joined.count() == o.join(l, o.o_orderkey == l.l_orderkey).count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        spark.sql("DROP TABLE IF EXISTS bkt_orders")
+        spark.sql("DROP TABLE IF EXISTS bkt_lineitem")
