@@ -211,3 +211,13 @@ class PipelineRunner:
     def initial_data_load(self) -> list[RunResult]:
         """EP2: full load (dataStartDate lower bound, overwrite mode)."""
         return self.refresh_data(incremental=False)
+
+    def reset_data_platform(self) -> dict:
+        """EP3: destructive rebuild — drop every staging table, then run
+        the full initial load (reference app.py:200-253: drop views+tables,
+        drop metadata DB, re-seed, redeploy DDL, full load). The catalog
+        here is in-code (no metadata DB to drop); DDL is re-emitted by the
+        staging writes themselves."""
+        dropped = self.store.drop_all()
+        results = self.initial_data_load()
+        return {"tablesDropped": dropped, "load": results}

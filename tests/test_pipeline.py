@@ -113,3 +113,21 @@ def test_ddl_rules():
     assert "PRIMARY KEY (o_orderkey)" in ddl
     jt = jdbc_column_types(schema_for("orders"), primary_key("orders"))
     assert "o_orderkey VARCHAR(255)" in jt and "MAX" not in jt
+
+
+def test_reset_data_platform(spark, sf_dir, tmp_path):
+    from priority_data_pipeline_azure_sql_db_spark.config import ExtractionConfig
+    from priority_data_pipeline_azure_sql_db_spark.pipeline import PipelineRunner, StagingStore
+
+    store = StagingStore(root=str(tmp_path / "stg"))
+    cfg = ExtractionConfig.from_dict({
+        "datasourceName": "t", "systemTimezone": "UTC",
+        "entities": [{"EntityID": "nation", "filterFlag": False, "expand": []}],
+    })
+    runner = PipelineRunner(spark, cfg, store, sf_dir)
+    runner.initial_data_load()
+    assert store.exists("stg_nation")
+    out = runner.reset_data_platform()
+    assert out["tablesDropped"] >= 1
+    assert store.exists("stg_nation")
+    assert all(r.error is None for r in out["load"])
