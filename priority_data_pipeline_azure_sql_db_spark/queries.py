@@ -2044,3 +2044,28 @@ def streaming_stateful_user_totals(spark, sf_dir):
     return run_streaming_to_memory(
         running_user_totals(read_events_stream(spark, sf_dir)), mode="update"
     )
+
+
+@query(
+    "scalar_regex_funcs",
+    """
+    SELECT doc_id,
+           regexp_extract(text, '([A-Za-z]+)', 1) AS first_word,
+           regexp_replace(text, '[0-9]+', '#', 'g') AS no_digits,
+           CAST(regexp_matches(text, '[.!?] ') AS BOOLEAN) AS multi_sentence,
+           CAST(LENGTH(regexp_replace(text, '[^ ]', '', 'g')) + 1 AS BIGINT) AS approx_words
+    FROM documents
+    """,
+)
+def scalar_regex_funcs(spark, sf_dir):
+    """Scalar regex library over documents — RE2-compatible patterns only
+    (identical semantics in Spark's Java regex and DuckDB's RE2)."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.regexp_extract("text", r"([A-Za-z]+)", 1).alias("first_word"),
+        F.regexp_replace("text", r"[0-9]+", "#").alias("no_digits"),
+        F.col("text").rlike(r"[.!?] ").alias("multi_sentence"),
+        (F.length(F.regexp_replace("text", r"[^ ]", "")) + 1).cast("bigint")
+        .alias("approx_words"),
+    )
