@@ -2069,3 +2069,31 @@ def scalar_regex_funcs(spark, sf_dir):
         (F.length(F.regexp_replace("text", r"[^ ]", "")) + 1).cast("bigint")
         .alias("approx_words"),
     )
+
+
+@query(
+    "window_range_trailing_30d",
+    """
+    SELECT o_custkey, o_orderkey, o_orderdate,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) OVER (
+               PARTITION BY o_custkey ORDER BY o_orderdate
+               RANGE BETWEEN INTERVAL 30 DAYS PRECEDING AND CURRENT ROW
+           ) AS DOUBLE) AS spend_30d
+    FROM orders
+    """,
+)
+def window_range_trailing_30d(spark, sf_dir):
+    """RANGE (value-based) window frame — trailing 30-day spend per
+    customer. Spark expresses interval RANGE frames over an epoch-seconds
+    sort key with rangeBetween; date ties are frame peers in both engines
+    (which is exactly what ROWS frames get wrong for this query)."""
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.col("o_orderdate").cast("timestamp").cast("long"))
+        .rangeBetween(-30 * 86400, 0)
+    )
+    return load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderkey", "o_orderdate",
+        F.sum(F.col("o_totalprice").cast("decimal(18,6)")).over(w).cast("double")
+        .alias("spend_30d"),
+    )
