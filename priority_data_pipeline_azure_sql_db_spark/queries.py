@@ -2097,3 +2097,42 @@ def window_range_trailing_30d(spark, sf_dir):
         F.sum(F.col("o_totalprice").cast("decimal(18,6)")).over(w).cast("double")
         .alias("spend_30d"),
     )
+
+
+@query(
+    "streaming_session_counts",
+    """
+    WITH flagged AS (
+        SELECT user_id, ts, event_id,
+               CASE WHEN epoch_ms(CAST(ts AS TIMESTAMP))
+                         - epoch_ms(LAG(CAST(ts AS TIMESTAMP)) OVER w) >= 1800000
+                         OR LAG(ts) OVER w IS NULL
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), numbered AS (
+        SELECT user_id, ts,
+               SUM(new_session) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS sid
+        FROM flagged
+    )
+    SELECT CAST(MIN(ts) AS TIMESTAMP) AS session_start,
+           CAST(MAX(ts) AS TIMESTAMP) + INTERVAL 30 MINUTE AS session_end,
+           user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM numbered GROUP BY user_id, sid
+    """,
+)
+def streaming_session_counts(spark, sf_dir):
+    """Structured Streaming session_window twin of events_sessionize.
+
+    Semantics differences vs the batch lag-gap query, mirrored exactly in
+    the oracle: a gap of EXACTLY the 30-minute timeout starts a new
+    session (session intervals are half-open [ts, ts+gap), adjacent ≠
+    overlapping), and session_end is last-event + gap, not max(ts)."""
+    from .streaming.events import read_events_stream, run_streaming_to_memory, sessionized_counts
+
+    stream = read_events_stream(spark, sf_dir)
+    return run_streaming_to_memory(sessionized_counts(stream), mode="complete")
