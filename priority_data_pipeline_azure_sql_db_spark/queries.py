@@ -2136,3 +2136,27 @@ def streaming_session_counts(spark, sf_dir):
 
     stream = read_events_stream(spark, sf_dir)
     return run_streaming_to_memory(sessionized_counts(stream), mode="complete")
+
+
+@query(
+    "skew_salted_join",
+    """
+    SELECT o.o_orderkey, o.o_custkey, c.c_name, c.c_mktsegment
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    """,
+)
+def skew_salted_join(spark, sf_dir):
+    """Salted skew join: large side salted by row hash, small side
+    replicated per salt, join on (key, salt). Result is value-identical
+    to the plain equi-join (the oracle proves it) — only the physical
+    shuffle distribution changes, spreading a hot key over salt_buckets
+    reducers when AQE's skew splitting can't."""
+    from .operators.skew import salted_join
+
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"), "c_name", "c_mktsegment"
+    )
+    return salted_join(o, c, ["o_custkey"], salt_buckets=8).select(
+        "o_orderkey", "o_custkey", "c_name", "c_mktsegment"
+    )
