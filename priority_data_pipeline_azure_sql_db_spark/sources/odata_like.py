@@ -178,4 +178,8 @@ class ODataLikeReader(DataSourceReader):
 
 
 def register(spark) -> None:
+    # pushFilters() requires this conf; it is runtime-settable, and a vanilla
+    # SparkSession (e.g. the correctness driver's) won't have it — the reader
+    # hard-errors with DATA_SOURCE_PUSHDOWN_DISABLED otherwise.
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
     spark.dataSource.register(ODataLikeDataSource)

@@ -30,10 +30,20 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     ``events.ts`` is TIMESTAMP(NANOS) in parquet — Spark has no ns
     timestamp type, so it's read as long (``nanosAsLong``) and truncated
     to µs here, matching DuckDB's ``CAST(ts AS TIMESTAMP)``.
+
+    The nanosAsLong conf is self-provisioned (runtime-settable) so the
+    scan works under ANY SparkSession, not just the builder's
+    ``get_spark()`` — callers may hand us a vanilla session.
     """
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events":
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        # conversion is conditional on the read dtype: under nanosAsLong the
+        # column lands as bigint ns; if a future writer emits µs timestamps
+        # directly, the column is already a timestamp and passes through.
+        if dict(df.dtypes).get("ts") == "bigint":
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
         df = df.select("event_id", "ts", "user_id", "event_type", "value", "props")
     return df
 

@@ -29,6 +29,9 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id bigint, ts bigint, user_id bigint, event_type string, "
         "value double, props string"
     )
+    # self-provision for vanilla sessions: the vectorized reader rejects
+    # TIMESTAMP(NANOS) unless it's read back as long (see sources/parquet.py)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     return (
         spark.readStream.schema(raw_schema)
         .option("pathGlobFilter", "events.parquet")
