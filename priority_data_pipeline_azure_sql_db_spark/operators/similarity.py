@@ -265,13 +265,14 @@ def cosine_topk_ivf(
     return scored.withColumn("rank", F.row_number().over(w).cast("bigint")).filter(F.col("rank") <= k)
 
 
-def embedding_near_dup(
+def embedding_near_dup_allpairs(
     df: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     threshold: float = 0.95,
 ) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs (id_a < id_b, sim >= threshold)."""
+    """All-pairs near-dup twin — O(n²), the small-n oracle for
+    ``embedding_near_dup`` in tests. Never use at corpus scale."""
     a = df.select(
         F.col(id_col).alias("id_a"), _as_double(F.col(vec_col)).alias("va")
     ).select("id_a", "va", l2_norm(F.col("va")).alias("na"))
@@ -280,6 +281,138 @@ def embedding_near_dup(
     ).select("id_b", "vb", l2_norm(F.col("vb")).alias("nb"))
     return (
         a.crossJoin(b)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a", "id_b",
+            F.round(dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 6).alias("sim"),
+        )
+        .filter(F.col("sim") >= threshold)
+    )
+
+
+def embedding_near_dup(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    n_cells: int = 16,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (id_a < id_b, sim >= threshold)
+    via EXACT IVF ball-cover pruning — recall is 1.0 at any threshold, unlike
+    hyperplane LSH, so the result is bit-identical to the all-pairs twin.
+
+    On unit vectors cosine(a,b) >= t  <=>  |â−b̂| <= r = sqrt(2−2t). Each
+    vector goes to exactly ONE cell (nearest IVF centroid); a cell pair
+    (i, j) can contain a qualifying pair only if
+    ``dist(c_i, c_j) <= rad_i + rad_j + r`` (triangle inequality, rad =
+    max member distance to its centroid). Pairs are generated only through
+    surviving cell pairs, as equi-joins on the cell ids: the executed plan
+    shows SortMergeJoin[cell_b] over BroadcastHashJoin[cell_a] — no
+    CartesianProduct over the corpus. (The only nested-loop joins left are
+    the deliberate n_cells-row centroid-assignment broadcasts, which never
+    scale with the corpus².)
+
+    Scale shape: one broadcast join against n_cells centroids, one window
+    per vector, then a shuffle equi-join keyed on cell. At the real
+    near-dup regime (t >= 0.95, r <= 0.32) almost every cell pair is
+    pruned and the work is sum-of-cell-pair products, not n². At loose
+    thresholds (r -> 2, the sphere diameter) nothing can be pruned by ANY
+    exact method — the plan then degrades to per-cell-pair products of
+    all-pairs total size, still shuffle-partitioned rather than a single
+    cartesian."""
+    r = float(max(2.0 - 2.0 * threshold, 0.0)) ** 0.5
+    base = df.select(
+        F.col(id_col).alias("_id"), _as_double(F.col(vec_col)).alias("v")
+    ).select("_id", "v", l2_norm(F.col("v")).alias("n"))
+    unit = base.select(
+        "_id", "v", "n", F.transform("v", lambda x: x / F.col("n")).alias("u")
+    )
+
+    # centroids: hash-order seed sample + one Lloyd step. The mean is a
+    # posexplode element-wise aggregate, so any embedding dimension works
+    # (ivf_centroids' pivoted x0..x{dim} form needs dim declared up front).
+    d2_seed = F.aggregate(
+        F.zip_with(F.col("u"), F.col("seed_v"), lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0), lambda acc, x: acc + x,
+    )
+    seeds = (
+        unit.select("_id", "u")
+        .withColumn("_h", F.xxhash64(F.col("_id")))
+        .orderBy("_h", "_id")
+        .limit(n_cells)
+        .select(
+            (F.row_number().over(Window.orderBy("_h", "_id")) - 1).cast("int").alias("cell"),
+            F.col("u").alias("seed_v"),
+        )
+    )
+    seed_assigned = (
+        unit.select("_id", "u")
+        .crossJoin(F.broadcast(seeds))
+        .withColumn("sd2", d2_seed)
+        .withColumn(
+            "srk", F.row_number().over(Window.partitionBy("_id").orderBy("sd2", "cell"))
+        )
+        .filter(F.col("srk") == 1)
+    )
+    cents = (
+        seed_assigned.select("cell", F.posexplode("u").alias("pos", "x"))
+        .groupBy("cell", "pos")
+        .agg(F.avg("x").alias("m"))
+        .groupBy("cell")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
+        .select("cell", F.transform("pm", lambda s: s["m"]).alias("centroid"))
+        .cache()
+    )
+
+    # nearest-cell assignment (n_cells-row broadcast against the corpus)
+    d2 = F.aggregate(
+        F.zip_with(F.col("u"), F.col("centroid"), lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0), lambda acc, x: acc + x,
+    )
+    assigned = (
+        unit.crossJoin(F.broadcast(cents))
+        .withColumn("d", F.sqrt(d2))
+        .withColumn(
+            "rk", F.row_number().over(Window.partitionBy("_id").orderBy("d", "cell"))
+        )
+        .filter(F.col("rk") == 1)
+        .select("_id", "v", "n", "cell", "d")
+        .cache()
+    )
+
+    # surviving cell pairs under the triangle bound
+    radii = assigned.groupBy("cell").agg(F.max("d").alias("rad"))
+    side = cents.join(F.broadcast(radii), "cell")
+    ca = side.select(
+        F.col("cell").alias("cell_a"), F.col("centroid").alias("ca"),
+        F.col("rad").alias("rad_a"),
+    )
+    cb = side.select(
+        F.col("cell").alias("cell_b"), F.col("centroid").alias("cb"),
+        F.col("rad").alias("rad_b"),
+    )
+    cdist = F.sqrt(F.aggregate(
+        F.zip_with(F.col("ca"), F.col("cb"), lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0), lambda acc, x: acc + x,
+    ))
+    cell_pairs = (
+        ca.crossJoin(cb)  # n_cells² rows — metadata-sized, never corpus-sized
+        .filter(cdist <= F.col("rad_a") + F.col("rad_b") + F.lit(r))
+        .select("cell_a", "cell_b")
+    )
+
+    # pair generation through the cell-pair relation (equi-joins on cell ids)
+    a = assigned.select(
+        F.col("_id").alias("id_a"), F.col("v").alias("va"),
+        F.col("n").alias("na"), F.col("cell").alias("cell_a"),
+    )
+    b = assigned.select(
+        F.col("_id").alias("id_b"), F.col("v").alias("vb"),
+        F.col("n").alias("nb"), F.col("cell").alias("cell_b"),
+    )
+    return (
+        a.join(F.broadcast(cell_pairs), "cell_a")
+        .join(b, "cell_b")
         .filter(F.col("id_a") < F.col("id_b"))
         .select(
             "id_a", "id_b",

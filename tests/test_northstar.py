@@ -87,6 +87,19 @@ def test_lsh_topk_scores_match_exact(spark, sf_dir):
         assert exact[(r.query_id, r.neighbor_id)] == r.sim
 
 
+def test_embedding_near_dup_matches_allpairs_and_prunes(spark, sf_dir):
+    """The ball-cover plan must be bit-identical to the O(n²) twin (exact
+    recall by the triangle bound) and must pair through cell equi-joins,
+    never a CartesianProduct over the corpus."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    fast = S.embedding_near_dup(emb, threshold=0.4)
+    slow = S.embedding_near_dup_allpairs(emb, threshold=0.4)
+    assert fast.exceptAll(slow).count() == 0
+    assert slow.exceptAll(fast).count() == 0
+    plan = fast._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+
+
 def test_embedding_near_dup_self_similarity(spark):
     df = spark.sql(
         """SELECT * FROM VALUES
