@@ -159,6 +159,73 @@ def primary_key(table: str) -> list[str]:
     return list(PRIMARY_KEYS[table])
 
 
+def parse_edmx(edmx_xml: str, source_system: str = "odata") -> list[dict]:
+    """Parse OData ``$metadata`` EDMX XML into entity-metadata docs (O2).
+
+    The reference fetches ``<serviceRoot>/$metadata`` and xmltodict-parses
+    ``edmx:Edmx → edmx:DataServices → Schema → EntityType`` into one doc
+    per entity with ``Fields`` (fieldName / SourceDataType / desc /
+    KeyFlag) and ``EntityPk`` (reference resources/priorityDataSource.py:347-458;
+    doc shape example readme.md:518-551). This is the same extraction on
+    stdlib ElementTree, namespace-agnostic (matches on local names), and
+    handles the reference's edge cases: single vs multiple ``PropertyRef``
+    keys, keyless entities, and single-property entities.
+
+    Output feeds ``struct_type_from_metadata`` + ``PRIMARY_KEYS``-style
+    lookups — metadata discovery for any real OData source, where the
+    fixture tables instead use the explicit SCHEMAS catalog.
+    """
+    import xml.etree.ElementTree as ET
+
+    def local(tag: str) -> str:
+        return tag.rsplit("}", 1)[-1]
+
+    def annotation_string(el) -> str | None:
+        for child in el:
+            if local(child.tag) == "Annotation" and child.get("String") is not None:
+                return child.get("String")
+        return None
+
+    root = ET.fromstring(edmx_xml)
+    entities: list[dict] = []
+    for entity_el in root.iter():
+        if local(entity_el.tag) != "EntityType":
+            continue
+        name = entity_el.get("Name")
+        keys: list[str] = []
+        fields: list[dict] = []
+        for child in entity_el:
+            tag = local(child.tag)
+            if tag == "Key":
+                keys += [
+                    ref.get("Name")
+                    for ref in child
+                    if local(ref.tag) == "PropertyRef" and ref.get("Name")
+                ]
+            elif tag == "Property":
+                fld = {
+                    "fieldName": child.get("Name"),
+                    "SourceDataType": child.get("Type"),
+                }
+                desc = annotation_string(child)
+                if desc is not None:
+                    fld["desc"] = desc
+                fields.append(fld)
+        for fld in fields:
+            fld["KeyFlag"] = fld["fieldName"] in keys
+        entity = {
+            "_id": name,
+            "sourceSystem": source_system,
+            "Fields": fields,
+            "EntityPk": [f["fieldName"] for f in fields if f["KeyFlag"]],
+        }
+        desc = annotation_string(entity_el)
+        if desc is not None:
+            entity["desc"] = desc
+        entities.append(entity)
+    return entities
+
+
 def struct_type_from_metadata(fields: list[dict]) -> T.StructType:
     """Build a StructType from a reference-shaped entity-metadata doc.
 

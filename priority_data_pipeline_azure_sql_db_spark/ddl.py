@@ -71,6 +71,39 @@ def create_table_ddl(
     return f"CREATE TABLE IF NOT EXISTS {table.lower()} ({body})"
 
 
+def account_db_name(account_id: str) -> str:
+    """Per-account database naming (the reference names DWH databases
+    ``acc-<accountID>``, resources/sqlDwh.py:247-260). Spark/HMS identifiers
+    reject dashes, so the name is normalized to ``acc_<id>`` lowercase with
+    non-alphanumerics mapped to underscores."""
+    safe = "".join(c if c.isalnum() else "_" for c in str(account_id).lower())
+    return f"acc_{safe}"
+
+
+def database_exists(spark, name: str) -> bool:
+    """O18: the ``ifDbExist`` check (reference resources/sqlDwh.py:229-250)
+    against the Spark catalog."""
+    return spark.catalog.databaseExists(name)
+
+
+def ensure_database(spark, account_id: str) -> str:
+    """O18: CREATE DATABASE IF NOT EXISTS for an account and return its
+    name (reference ``createDb``, resources/sqlDwh.py:258-276). Idempotent;
+    the catalog entry backs ``spark.sql('USE ...')`` / saveAsTable sinks."""
+    name = account_db_name(account_id)
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS {name}")
+    return name
+
+
+def drop_database(spark, name: str) -> bool:
+    """Drop an account database if present (EP3's metadata-platform reset
+    analog). Returns whether it existed."""
+    existed = database_exists(spark, name)
+    if existed:
+        spark.sql(f"DROP DATABASE IF EXISTS {name} CASCADE")
+    return existed
+
+
 def jdbc_column_types(schema: T.StructType, pk: list[str]) -> str:
     """The ``createTableColumnTypes`` option string for ``df.write.jdbc`` —
     how the DDL rules reach a real Azure SQL sink."""

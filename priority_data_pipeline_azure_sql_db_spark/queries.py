@@ -1395,12 +1395,15 @@ def text_tfidf_top_terms(spark, sf_dir):
     ).filter(F.col("term") != "")
     tf = terms.groupBy("doc_id", "term").agg(F.count(F.lit(1)).cast("bigint").alias("tf"))
     dfreq = tf.groupBy("term").agg(F.countDistinct("doc_id").cast("bigint").alias("df"))
-    n_docs = d.count()  # tiny scalar; at scale: a broadcast single-row agg
+    # corpus size as a broadcast 1-row aggregate: the whole query stays one
+    # lazy plan — no driver-side action, so nothing blocks scheduling
+    n = d.agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
     tfidf = (
         tf.join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(n))
         .withColumn(
             "contrib",
-            (F.col("tf") * F.log((F.lit(n_docs) + 1.0) / (F.col("df") + 1.0)))
+            (F.col("tf") * F.log((F.col("n_docs") + 1.0) / (F.col("df") + 1.0)))
             .cast("decimal(18,9)"),
         )
         .groupBy("term")

@@ -115,6 +115,103 @@ def test_ddl_rules():
     assert "o_orderkey VARCHAR(255)" in jt and "MAX" not in jt
 
 
+_EDMX_FIXTURE = """<?xml version="1.0" encoding="utf-8"?>
+<edmx:Edmx xmlns:edmx="http://docs.oasis-open.org/odata/ns/edmx" Version="4.0">
+  <edmx:DataServices>
+    <Schema xmlns="http://docs.oasis-open.org/odata/ns/edm" Namespace="Priority.OData">
+      <EntityType Name="ABILITIES">
+        <Key><PropertyRef Name="ABILITYCODE"/></Key>
+        <Property Name="ABILITYCODE" Type="Edm.String" Nullable="false">
+          <Annotation Term="Org.OData.Display.V1.Description" String="ability code"/>
+        </Property>
+        <Property Name="ABILITYDES" Type="Edm.String">
+          <Annotation Term="Org.OData.Display.V1.Description" String="ability description"/>
+        </Property>
+        <Property Name="ABILITY" Type="Edm.Int64"/>
+        <Annotation Term="Org.OData.Display.V1.Description" String="abilities"/>
+      </EntityType>
+      <EntityType Name="ORDERITEMS">
+        <Key>
+          <PropertyRef Name="ORDNAME"/>
+          <PropertyRef Name="LINE"/>
+        </Key>
+        <Property Name="ORDNAME" Type="Edm.String"/>
+        <Property Name="LINE" Type="Edm.Int64"/>
+        <Property Name="PRICE" Type="Edm.Decimal"/>
+        <Property Name="DUEDATE" Type="Edm.DateTimeOffset"/>
+      </EntityType>
+      <EntityType Name="LOGLINE">
+        <Property Name="MESSAGE" Type="Edm.String"/>
+      </EntityType>
+    </Schema>
+  </edmx:DataServices>
+</edmx:Edmx>"""
+
+
+def test_parse_edmx_metadata():
+    """O2: EDMX $metadata → entity docs matching the reference's shape
+    (resources/priorityDataSource.py:347-458, readme.md:518-551), then into
+    StructTypes via struct_type_from_metadata."""
+    from pyspark.sql import types as T
+
+    from priority_data_pipeline_azure_sql_db_spark.catalog import (
+        parse_edmx, struct_type_from_metadata,
+    )
+
+    ents = {e["_id"]: e for e in parse_edmx(_EDMX_FIXTURE)}
+    assert set(ents) == {"ABILITIES", "ORDERITEMS", "LOGLINE"}
+
+    ab = ents["ABILITIES"]
+    assert ab["desc"] == "abilities"
+    assert ab["EntityPk"] == ["ABILITYCODE"]
+    assert [f["fieldName"] for f in ab["Fields"]] == ["ABILITYCODE", "ABILITYDES", "ABILITY"]
+    assert [f["SourceDataType"] for f in ab["Fields"]] == ["Edm.String", "Edm.String", "Edm.Int64"]
+    assert [f["KeyFlag"] for f in ab["Fields"]] == [True, False, False]
+    assert ab["Fields"][0]["desc"] == "ability code"
+    st = struct_type_from_metadata(ab["Fields"])
+    assert st == T.StructType([
+        T.StructField("abilitycode", T.StringType()),
+        T.StructField("abilitydes", T.StringType()),
+        T.StructField("ability", T.LongType()),
+    ])
+
+    # composite key + full type-mapping coverage
+    oi = ents["ORDERITEMS"]
+    assert oi["EntityPk"] == ["ORDNAME", "LINE"]
+    st2 = struct_type_from_metadata(oi["Fields"])
+    assert [f.dataType for f in st2.fields] == [
+        T.StringType(), T.LongType(), T.DecimalType(38, 6), T.TimestampType(),
+    ]
+
+    # keyless single-property entity (reference Case II)
+    assert ents["LOGLINE"]["EntityPk"] == []
+    assert len(ents["LOGLINE"]["Fields"]) == 1
+
+
+def test_database_ddl_and_pings(spark, sf_dir, tmp_path):
+    """O18 database lifecycle + O24 connectivity probes."""
+    from priority_data_pipeline_azure_sql_db_spark import health
+    from priority_data_pipeline_azure_sql_db_spark.ddl import (
+        account_db_name, database_exists, drop_database, ensure_database,
+    )
+    from priority_data_pipeline_azure_sql_db_spark.pipeline import StagingStore
+
+    assert account_db_name("Acme-42") == "acc_acme_42"
+    name = ensure_database(spark, "Acme-42")
+    try:
+        assert database_exists(spark, name)
+        assert ensure_database(spark, "Acme-42") == name  # idempotent
+    finally:
+        assert drop_database(spark, name) is True
+    assert not database_exists(spark, name)
+    assert drop_database(spark, name) is False
+
+    store = StagingStore(root=str(tmp_path / "stg"))
+    statuses = health.ping_all(spark, sf_dir, store)
+    assert statuses == {"engine": "OK", "source": "OK", "staging": "OK"}
+    assert health.ping_source(spark, "/nonexistent/dir").startswith("Error:")
+
+
 def test_reset_data_platform(spark, sf_dir, tmp_path):
     from priority_data_pipeline_azure_sql_db_spark.config import ExtractionConfig
     from priority_data_pipeline_azure_sql_db_spark.pipeline import PipelineRunner, StagingStore
