@@ -30,6 +30,7 @@ from dataclasses import dataclass, field
 from datetime import datetime, timezone
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from .catalog import primary_key
 from .config import EntityConfig, ExtractionConfig
@@ -42,9 +43,25 @@ from .sources.parquet import load_table
 SUBFORM_SUFFIX = "_subform"
 
 
+PARTITION_COL = "_load_date"
+_AUDIT_TS = "extractiontimestamputc"
+
+
 @dataclass
 class StagingStore:
-    """Parquet-backed staging layer: ``stg_<entity>`` tables under a root dir."""
+    """Parquet-backed staging layer: ``stg_<entity>`` tables under a root
+    dir, partitioned by the load's watermark date.
+
+    Tables carrying the audit timestamp are written
+    ``partitionBy(_load_date)`` where ``_load_date =
+    date(extractiontimestamputc)`` — the run's bookmark date. Incremental
+    MERGE then rewrites ONLY touched partitions (the delta's own dates plus
+    any partition still holding an old version of a delta PK), the
+    parquet-directory equivalent of Delta's ``replaceWhere``: at 100 TB an
+    incremental run moves O(delta + matched partitions), never the whole
+    table. Tables without audit columns fall back to the unpartitioned
+    whole-table form.
+    """
 
     root: str
 
@@ -54,26 +71,74 @@ class StagingStore:
     def exists(self, table: str) -> bool:
         return os.path.isdir(self.path(table))
 
+    @staticmethod
+    def _with_partition(df: DataFrame) -> DataFrame | None:
+        if _AUDIT_TS in df.columns:
+            return df.withColumn(PARTITION_COL, F.to_date(F.col(_AUDIT_TS)))
+        return None
+
     def read(self, spark: SparkSession, table: str) -> DataFrame:
-        return spark.read.parquet(self.path(table))
+        """Read a staging table. The partition column is an internal layout
+        detail and is dropped — readers see exactly what was staged."""
+        df = spark.read.parquet(self.path(table))
+        return df.drop(PARTITION_COL) if PARTITION_COL in df.columns else df
 
     def overwrite(self, df: DataFrame, table: str) -> int:
-        df.write.mode("overwrite").parquet(self.path(table))
+        part = self._with_partition(df)
+        if part is not None:
+            part.write.mode("overwrite").partitionBy(PARTITION_COL).parquet(self.path(table))
+        else:
+            df.write.mode("overwrite").parquet(self.path(table))
         return self._count(df.sparkSession, table)
 
     def merge(self, spark: SparkSession, delta: DataFrame, table: str, pk: list[str]) -> int:
         """MERGE-upsert delta into the staging table (O13 incremental path,
-        dedup fix). Writes the merged result to a temp dir then swaps —
-        readers never see a half-written table."""
+        dedup fix), rewriting only touched partitions.
+
+        Touched = partitions the delta writes into ∪ partitions still
+        holding an old version of a delta PK (found with a column-pruned
+        PK semi-join — a cheap scan, not a rewrite). Each touched partition
+        is replaced via write-to-temp + directory swap, so readers never
+        see a half-written partition; untouched partitions' files are never
+        opened, let alone rewritten. The driver-side ``collect`` holds
+        partition VALUES (load dates) — partition metadata, not data.
+        """
         if not self.exists(table):
             return self.overwrite(delta, table)
-        target = self.read(spark, table)
+        raw = spark.read.parquet(self.path(table))
+        dpart = self._with_partition(delta)
+        if PARTITION_COL not in raw.columns or dpart is None:
+            # legacy unpartitioned table: whole-table merge + swap
+            target = raw.drop(PARTITION_COL) if PARTITION_COL in raw.columns else raw
+            merged = merge_upsert(target, delta.select(*target.columns), pk)
+            tmp = self.path(table) + ".__tmp__"
+            merged.write.mode("overwrite").parquet(tmp)
+            final = self.path(table)
+            shutil.rmtree(final, ignore_errors=True)
+            os.replace(tmp, final)
+            return self._count(spark, table)
+
+        delta_keys = dpart.select(*pk).distinct()
+        old_parts = (
+            raw.join(delta_keys, on=pk, how="left_semi")
+            .select(PARTITION_COL).distinct()
+        )
+        new_parts = dpart.select(PARTITION_COL).distinct()
+        touched = {r[0] for r in old_parts.unionByName(new_parts).distinct().collect()}
+
+        target = raw.filter(F.col(PARTITION_COL).isin(list(touched))).drop(PARTITION_COL)
         merged = merge_upsert(target, delta.select(*target.columns), pk)
         tmp = self.path(table) + ".__tmp__"
-        merged.write.mode("overwrite").parquet(tmp)
+        self._with_partition(merged).write.mode("overwrite") \
+            .partitionBy(PARTITION_COL).parquet(tmp)
         final = self.path(table)
-        shutil.rmtree(final, ignore_errors=True)
-        os.replace(tmp, final)
+        for v in touched:
+            sub = f"{PARTITION_COL}={v.isoformat()}"
+            dst, src = os.path.join(final, sub), os.path.join(tmp, sub)
+            shutil.rmtree(dst, ignore_errors=True)
+            if os.path.isdir(src):
+                os.replace(src, dst)  # partition emptied by the merge: stays deleted
+        shutil.rmtree(tmp, ignore_errors=True)
         return self._count(spark, table)
 
     def drop_all(self) -> int:

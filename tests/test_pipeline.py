@@ -148,6 +148,54 @@ _EDMX_FIXTURE = """<?xml version="1.0" encoding="utf-8"?>
 </edmx:Edmx>"""
 
 
+def test_merge_rewrites_only_touched_partitions(spark, tmp_path):
+    """Incremental MERGE into the date-partitioned staging store must leave
+    untouched partitions' files unmodified (path, size, mtime, content) and
+    must not leave stale versions behind when an update moves a PK across
+    partitions."""
+    import datetime
+
+    from pyspark.sql import functions as F
+
+    from priority_data_pipeline_azure_sql_db_spark.pipeline import PARTITION_COL, StagingStore
+
+    store = StagingStore(root=str(tmp_path / "stg"))
+
+    def batch(rows, day):
+        return spark.createDataFrame(
+            [(pk, v) for pk, v in rows], "pk bigint, v string"
+        ).withColumn("extractionid", F.lit(f"run-{day}")).withColumn(
+            "extractiontimestamputc", F.lit(f"2026-01-0{day} 12:00:00").cast("timestamp")
+        )
+
+    def snapshot(day):
+        d = tmp_path / "stg" / "t" / f"{PARTITION_COL}=2026-01-0{day}"
+        return sorted(
+            (p.name, p.stat().st_size, p.stat().st_mtime_ns, p.read_bytes())
+            for p in d.glob("*.parquet")
+        )
+
+    store.overwrite(batch([(1, "a"), (2, "b")], 1), "t")
+    day1_before = snapshot(1)
+    assert day1_before  # partitioned layout exists
+
+    # disjoint delta on day 2: day-1 partition must be byte-identical after
+    store.merge(spark, batch([(3, "c")], 2), "t", ["pk"])
+    assert snapshot(1) == day1_before
+    got = {(r.pk, r.v) for r in store.read(spark, "t").collect()}
+    assert got == {(1, "a"), (2, "b"), (3, "c")}
+    assert PARTITION_COL not in store.read(spark, "t").columns
+
+    # update pk=2 on day 3: moves partitions, no stale duplicate left behind
+    day2_before = snapshot(2)
+    store.merge(spark, batch([(2, "b2")], 3), "t", ["pk"])
+    assert snapshot(2) == day2_before  # day-2 partition untouched
+    got = {(r.pk, r.v) for r in store.read(spark, "t").collect()}
+    assert got == {(1, "a"), (2, "b2"), (3, "c")}
+    rows = store.read(spark, "t").groupBy("pk").count().filter("count > 1").count()
+    assert rows == 0
+
+
 def test_parse_edmx_metadata():
     """O2: EDMX $metadata → entity docs matching the reference's shape
     (resources/priorityDataSource.py:347-458, readme.md:518-551), then into
