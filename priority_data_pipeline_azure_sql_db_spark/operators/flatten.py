@@ -62,10 +62,9 @@ def explode_subform(
     the parent PK replicated onto each child row (``meta=pk`` semantics,
     reference resources/priorityDataSource.py:804).
 
-    ``explode_outer`` keeps parents with empty arrays out of the child
-    table only when the array is empty (outer emits a null row — filtered
-    by the struct-null check) — matching the reference: a parent with no
-    sub-form rows contributes nothing to the child table.
+    Plain ``explode`` (not ``explode_outer``) drops parents whose sub-form
+    array is empty or null directly — matching the reference: a parent
+    with no sub-form rows contributes nothing to the child table.
     """
     elem = "__subform_elem"
     exploded = nested.select(*parent_pk, F.explode(subform_col).alias(elem))

@@ -380,9 +380,12 @@ def embedding_near_dup(
         .cache()
     )
 
-    # surviving cell pairs under the triangle bound
-    radii = assigned.groupBy("cell").agg(F.max("d").alias("rad"))
-    side = cents.join(F.broadcast(radii), "cell")
+    # surviving cell pairs under the triangle bound. Both sides are
+    # n_cells rows; coalesce(1) so the tiny crossJoin doesn't inherit the
+    # session's shuffle-partition count as a task-count product
+    # (200 × 200 = 40k empty tasks under default confs).
+    radii = assigned.groupBy("cell").agg(F.max("d").alias("rad")).coalesce(1)
+    side = cents.coalesce(1).join(F.broadcast(radii), "cell").coalesce(1)
     ca = side.select(
         F.col("cell").alias("cell_a"), F.col("centroid").alias("ca"),
         F.col("rad").alias("rad_a"),
