@@ -2207,3 +2207,50 @@ def skew_salted_join(spark, sf_dir):
     return salted_join(o, c, ["o_custkey"], salt_buckets=8).select(
         "o_orderkey", "o_custkey", "c_name", "c_mktsegment"
     )
+
+
+@query(
+    "streaming_dedup_events",
+    """
+    SELECT DISTINCT event_id, user_id, event_type,
+           CAST(value AS DOUBLE) AS value
+    FROM events
+    """,
+)
+def streaming_dedup_events(spark, sf_dir):
+    """Streaming exact dedup (dropDuplicatesWithinWatermark): the stream
+    is a self-UNION of the events source — every event arrives twice —
+    and the dedup must collapse it back to one row per event_id. State is
+    watermark-bounded (streaming/events.py docstring). Deterministic
+    because duplicate arrivals are identical rows."""
+    from .streaming.events import dedup_events_stream, read_events_stream, run_streaming_to_memory
+
+    doubled = read_events_stream(spark, sf_dir).unionByName(
+        read_events_stream(spark, sf_dir)
+    )
+    deduped = dedup_events_stream(doubled).select(
+        "event_id", "user_id", "event_type", F.col("value").cast("double").alias("value")
+    )
+    return run_streaming_to_memory(deduped, mode="append")
+
+
+@query(
+    "streaming_stream_stream_join",
+    """
+    SELECT c.event_id AS click_id, e.event_id AS error_id
+    FROM events c JOIN events e
+      ON c.user_id = e.user_id
+     AND c.event_type = 'click' AND e.event_type = 'error'
+     AND e.ts > c.ts
+     AND e.ts <= c.ts + INTERVAL 3600 SECOND
+    """,
+)
+def streaming_stream_stream_join(spark, sf_dir):
+    """Stream-stream interval join (clicks × subsequent errors within 1h
+    per user), watermarks on both sides bounding the join state. The
+    availableNow run must equal the batch interval join the oracle runs."""
+    from .streaming.events import click_error_join_stream, run_streaming_to_memory
+
+    return run_streaming_to_memory(
+        click_error_join_stream(spark, sf_dir, window_seconds=3600), mode="append"
+    )

@@ -77,6 +77,62 @@ def sessionized_counts(events: DataFrame, gap: str = "30 minutes",
     )
 
 
+def dedup_events_stream(events: DataFrame, keys: tuple[str, ...] = ("event_id",),
+                        watermark: str = "30 minutes") -> DataFrame:
+    """Streaming exact deduplication on a key set.
+
+    ``dropDuplicatesWithinWatermark`` keeps the first arrival per key and
+    expires key state once the watermark passes it — state is
+    O(keys within the watermark horizon), not O(stream history), which is
+    what makes exactly-once re-delivery handling viable on an unbounded
+    source (the streaming twin of ``operators.dedup.dedup_exact``).
+    """
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(list(keys))
+
+
+def click_error_join_stream(spark: SparkSession, sf_dir: str,
+                            window_seconds: int = 60,
+                            watermark: str = "1 hour") -> DataFrame:
+    """Stream-stream interval join: each click pairs with the errors the
+    same user raised within the next ``window_seconds``.
+
+    Both sides carry an event-time watermark and the join condition bounds
+    error_ts to (click_ts, click_ts + window] — together these let Spark
+    expire join state for rows older than the watermark minus the
+    interval, so state is bounded by the time window, not the stream. The
+    batch twin is ``range_join_close_events``'s bucketized form.
+    """
+    clicks = (
+        read_events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("click_user"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", watermark)
+    )
+    errors = (
+        read_events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "error")
+        .select(
+            F.col("event_id").alias("error_id"),
+            F.col("user_id").alias("error_user"),
+            F.col("ts").alias("error_ts"),
+        )
+        .withWatermark("error_ts", watermark)
+    )
+    return clicks.join(
+        errors,
+        F.expr(
+            f"""click_user = error_user
+                AND error_ts > click_ts
+                AND error_ts <= click_ts + INTERVAL {window_seconds} SECONDS"""
+        ),
+        "inner",
+    ).select("click_id", "error_id")
+
+
 def run_streaming_to_memory(agg: DataFrame, mode: str = "complete") -> DataFrame:
     """Drive a streaming aggregation to completion synchronously against a
     memory sink (test harness path) and return the final batch result."""

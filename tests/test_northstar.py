@@ -164,6 +164,57 @@ def test_streaming_tumbling_equals_batch(spark, sf_dir):
     assert got == want
 
 
+def test_streaming_dedup_collapses_duplicate_arrivals(spark, sf_dir):
+    """A self-unioned stream (every event delivered twice) must come out
+    of the watermarked dedup with exactly one row per event_id."""
+    from priority_data_pipeline_azure_sql_db_spark.streaming.events import (
+        dedup_events_stream,
+        read_events_stream,
+        run_streaming_to_memory,
+    )
+
+    doubled = read_events_stream(spark, sf_dir).unionByName(
+        read_events_stream(spark, sf_dir)
+    )
+    out = run_streaming_to_memory(dedup_events_stream(doubled), mode="append")
+    n_events = load_table(spark, sf_dir, "events").count()
+    assert out.count() == n_events
+    assert out.select("event_id").distinct().count() == n_events
+
+
+def test_stream_stream_join_equals_batch(spark, sf_dir):
+    """The availableNow stream-stream interval join must produce exactly
+    the batch interval join's pairs."""
+    from priority_data_pipeline_azure_sql_db_spark.streaming.events import (
+        click_error_join_stream,
+        run_streaming_to_memory,
+    )
+
+    got = {
+        (r.click_id, r.error_id)
+        for r in run_streaming_to_memory(
+            click_error_join_stream(spark, sf_dir, window_seconds=3600), mode="append"
+        ).collect()
+    }
+    e = load_table(spark, sf_dir, "events")
+    c = e.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), "user_id", F.col("ts").alias("cts")
+    )
+    er = e.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("error_id"), "user_id", F.col("ts").alias("ets")
+    )
+    want = {
+        (r.click_id, r.error_id)
+        for r in c.join(er, "user_id")
+        .filter(
+            (F.col("ets") > F.col("cts"))
+            & (F.col("ets") <= F.col("cts") + F.expr("INTERVAL 3600 SECONDS"))
+        )
+        .collect()
+    }
+    assert got == want and got
+
+
 def test_streaming_session_windows(spark, sf_dir):
     from priority_data_pipeline_azure_sql_db_spark.streaming.events import (
         read_events_stream,
