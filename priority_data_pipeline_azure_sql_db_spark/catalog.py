@@ -27,6 +27,12 @@ EDM_TO_SPARK: dict[str, T.DataType] = {
     "Edm.Decimal": T.DecimalType(38, 6),
     "Edm.DateTimeOffset": T.TimestampType(),
     "Edm.Int64": T.LongType(),
+    # Extensions beyond the reference's four-entry mapping: the remaining
+    # OData v4 primitive types a real $metadata can declare (the reference
+    # simply never met them; OData CSDL defines them).
+    "Edm.Int32": T.IntegerType(),
+    "Edm.Double": T.DoubleType(),
+    "Edm.Boolean": T.BooleanType(),
 }
 
 # SQL dialect strings for the sink-DDL boundary (reference keeps per-dialect
@@ -36,6 +42,9 @@ EDM_TO_SQL: dict[str, dict[str, str]] = {
     "Edm.Decimal": {"azuresql": "NUMERIC(38,6)", "postgres": "NUMERIC", "spark": "DECIMAL(38,6)"},
     "Edm.DateTimeOffset": {"azuresql": "DATETIMEOFFSET", "postgres": "TIMESTAMP", "spark": "TIMESTAMP"},
     "Edm.Int64": {"azuresql": "BIGINT", "postgres": "BIGINT", "spark": "BIGINT"},
+    "Edm.Int32": {"azuresql": "INT", "postgres": "INTEGER", "spark": "INT"},
+    "Edm.Double": {"azuresql": "FLOAT", "postgres": "DOUBLE PRECISION", "spark": "DOUBLE"},
+    "Edm.Boolean": {"azuresql": "BIT", "postgres": "BOOLEAN", "spark": "BOOLEAN"},
 }
 
 

@@ -61,6 +61,22 @@ class ODataLikeDataSource(DataSource):
         return FORMAT_NAME
 
     def schema(self) -> str | StructType:
+        # schema discovery order mirrors the reference: $metadata EDMX when
+        # provided (reference resources/priorityDataSource.py:347-458 fetches
+        # it before any data pull), else the backend's self-description
+        # (parquet footer — the local stand-in for a cached metadata doc)
+        edmx = self.options.get("edmx")
+        if edmx:
+            from ..catalog import parse_edmx, struct_type_from_metadata
+
+            entity = self.options.get("entity", "")
+            ents = {e["_id"].lower(): e for e in parse_edmx(edmx)}
+            if entity.lower() not in ents:
+                raise ValueError(
+                    f"entity {entity!r} not in $metadata; has: {sorted(ents)}"
+                )
+            return struct_type_from_metadata(ents[entity.lower()]["Fields"])
+
         import pyarrow.parquet as pq
 
         f = pq.ParquetFile(self._entity_path(self.options))

@@ -49,3 +49,49 @@ def test_missing_options_raise(spark):
     register(spark)
     with pytest.raises(Exception, match="path, entity|PYTHON_DATA_SOURCE"):
         spark.read.format(FORMAT_NAME).load().count()
+
+
+_ORDERS_EDMX = """<?xml version="1.0" encoding="utf-8"?>
+<edmx:Edmx xmlns:edmx="http://docs.oasis-open.org/odata/ns/edmx" Version="4.0">
+  <edmx:DataServices>
+    <Schema xmlns="http://docs.oasis-open.org/odata/ns/edm" Namespace="Fixture.OData">
+      <EntityType Name="orders">
+        <Key><PropertyRef Name="o_orderkey"/></Key>
+        <Property Name="o_orderkey" Type="Edm.Int64" Nullable="false"/>
+        <Property Name="o_custkey" Type="Edm.Int64"/>
+        <Property Name="o_orderstatus" Type="Edm.String"/>
+        <Property Name="o_totalprice" Type="Edm.Double"/>
+        <Property Name="o_orderdate" Type="Edm.DateTimeOffset"/>
+        <Property Name="o_orderpriority" Type="Edm.String"/>
+      </EntityType>
+    </Schema>
+  </edmx:DataServices>
+</edmx:Edmx>"""
+
+
+def test_edmx_driven_schema_discovery(spark, sf_dir):
+    """O1+O2 integration: the source discovers its schema from $metadata
+    EDMX (the reference's flow) instead of the backend footer, and reads
+    the same rows under it."""
+    register(spark)
+    via_edmx = (
+        spark.read.format(FORMAT_NAME)
+        .option("path", sf_dir).option("entity", "orders")
+        .option("edmx", _ORDERS_EDMX)
+        .load()
+    )
+    via_footer = (
+        spark.read.format(FORMAT_NAME)
+        .option("path", sf_dir).option("entity", "orders")
+        .load()
+    )
+    assert via_edmx.schema == via_footer.schema
+    assert via_edmx.count() == via_footer.count()
+    assert via_edmx.exceptAll(via_footer).count() == 0
+
+    import pytest
+
+    with pytest.raises(Exception, match="not in .metadata"):
+        (spark.read.format(FORMAT_NAME)
+         .option("path", sf_dir).option("entity", "nope")
+         .option("edmx", _ORDERS_EDMX).load()).count()
