@@ -8,7 +8,7 @@ alternations) so the DuckDB oracle can mirror them exactly.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 TOKEN_SPLIT_RE = "\\s+"
@@ -91,3 +91,84 @@ def fingerprint(col: Column) -> Column:
     lowercased text. md5 (not xxhash) so external systems reproduce it."""
     normalized = F.regexp_replace(F.lower(F.trim(col)), TOKEN_SPLIT_RE, " ")
     return F.md5(normalized)
+
+
+def winnow_fingerprints(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+    w: int = 4,
+) -> DataFrame:
+    """Winnowing document fingerprints (the MOSS rolling-hash scheme):
+    normalize → all char k-gram hashes → min per sliding window of w
+    consecutive hashes → distinct mins are the document's fingerprints.
+
+    Winnowing guarantees any shared substring of length >= k + w − 1
+    yields at least one shared fingerprint, with ~2/(w+1) of positions
+    selected — the standard local-fingerprinting density bound. Hash =
+    md5 hex of the k-gram (present and bit-identical in DuckDB, so the
+    oracle can replay the exact pipeline; string MIN over hex is the same
+    lexicographic order in both engines). Only windows fully inside the
+    gram sequence select (faithful winnowing, no partial tail windows).
+
+    Scale shape: one explode (rows = total chars, same as any shingler),
+    one shuffle on the doc id shared by both window functions, one
+    hash-agg for the distinct — no UDFs, all codegen.
+    """
+    norm = F.regexp_replace(F.lower(F.col(text_col)), "[^a-z0-9]", "")
+    base = df.select(F.col(id_col).alias("_id"), norm.alias("t")).select(
+        "_id", "t",
+        F.when(
+            F.length("t") >= k, F.sequence(F.lit(1), F.length("t") - k + 1)
+        ).otherwise(F.array().cast("array<int>")).alias("ps"),
+    )
+    grams = base.select("_id", "t", F.explode("ps").alias("pos")).select(
+        "_id", "pos", F.expr(f"md5(substring(t, pos, {k}))").alias("h")
+    )
+    wmin = Window.partitionBy("_id").orderBy("pos").rowsBetween(0, w - 1)
+    wdoc = Window.partitionBy("_id")
+    return (
+        grams.withColumn("fp", F.min("h").over(wmin))
+        .withColumn("_maxpos", F.max("pos").over(wdoc))
+        .filter(F.col("pos") <= F.col("_maxpos") - (w - 1))
+        .select(F.col("_id").alias(id_col), "fp")
+        .distinct()
+    )
+
+
+def winnow_near_dup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+    w: int = 4,
+    min_shared: int = 5,
+    max_doc_freq: int | None = None,
+) -> DataFrame:
+    """Near-duplicate pairs by shared winnowing fingerprints: inverted
+    index on the fingerprint, pair counting, keep pairs sharing >=
+    min_shared prints (id_a < id_b).
+
+    Join fan-out is bounded by real fingerprint collisions, not corpus².
+    ``max_doc_freq`` drops stop-fingerprints (prints appearing in more
+    than that many docs) before the self-join — at corpus scale a
+    boilerplate print shared by millions of docs would otherwise square;
+    None keeps exact semantics for oracle comparison.
+    """
+    fp = winnow_fingerprints(df, text_col, id_col, k, w)
+    if max_doc_freq is not None:
+        keep = (
+            fp.groupBy("fp").agg(F.count(F.lit(1)).alias("_df"))
+            .filter(F.col("_df") <= max_doc_freq).select("fp")
+        )
+        fp = fp.join(keep, "fp")
+    a = fp.select(F.col(id_col).alias("id_a"), "fp")
+    b = fp.select(F.col(id_col).alias("id_b"), "fp")
+    return (
+        a.join(b, "fp")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("shared_fps"))
+        .filter(F.col("shared_fps") >= min_shared)
+    )

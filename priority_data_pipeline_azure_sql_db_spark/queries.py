@@ -2254,3 +2254,76 @@ def streaming_stream_stream_join(spark, sf_dir):
     return run_streaming_to_memory(
         click_error_join_stream(spark, sf_dir, window_seconds=3600), mode="append"
     )
+
+
+@query(
+    "text_winnow_fingerprints",
+    """
+    WITH norm AS (
+        SELECT doc_id, regexp_replace(lower(text), '[^a-z0-9]', '', 'g') AS t
+        FROM documents
+    ), grams AS (
+        SELECT doc_id, pos, md5(substr(t, pos, 8)) AS h
+        FROM norm, UNNEST(generate_series(1, GREATEST(LENGTH(t) - 7, 0))) AS u(pos)
+    ), wins AS (
+        SELECT doc_id, pos,
+               MIN(h) OVER (PARTITION BY doc_id ORDER BY pos
+                            ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp,
+               MAX(pos) OVER (PARTITION BY doc_id) AS maxpos
+        FROM grams
+    ), fps AS (
+        SELECT DISTINCT doc_id, fp FROM wins WHERE pos <= maxpos - 3
+    )
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_fps,
+           MIN(fp) AS min_fp, MAX(fp) AS max_fp
+    FROM fps GROUP BY doc_id
+    """,
+)
+def text_winnow_fingerprints(spark, sf_dir):
+    """Winnowing (MOSS rolling-hash) fingerprints, summarized per doc —
+    the oracle replays the identical normalize→k-gram-md5→window-min
+    pipeline in SQL, proving the selection logic end to end."""
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        X.winnow_fingerprints(d, k=8, w=4)
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_fps"),
+            F.min("fp").alias("min_fp"),
+            F.max("fp").alias("max_fp"),
+        )
+    )
+
+
+@query(
+    "dedup_winnow_pairs",
+    """
+    WITH norm AS (
+        SELECT doc_id, regexp_replace(lower(text), '[^a-z0-9]', '', 'g') AS t
+        FROM documents
+    ), grams AS (
+        SELECT doc_id, pos, md5(substr(t, pos, 8)) AS h
+        FROM norm, UNNEST(generate_series(1, GREATEST(LENGTH(t) - 7, 0))) AS u(pos)
+    ), wins AS (
+        SELECT doc_id, pos,
+               MIN(h) OVER (PARTITION BY doc_id ORDER BY pos
+                            ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp,
+               MAX(pos) OVER (PARTITION BY doc_id) AS maxpos
+        FROM grams
+    ), fps AS (
+        SELECT DISTINCT doc_id, fp FROM wins WHERE pos <= maxpos - 3
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(COUNT(*) AS BIGINT) AS shared_fps
+    FROM fps a JOIN fps b ON a.fp = b.fp AND a.doc_id < b.doc_id
+    GROUP BY 1, 2 HAVING COUNT(*) >= 25
+    """,
+)
+def dedup_winnow_pairs(spark, sf_dir):
+    """Near-dup pairs by shared winnowing fingerprints (inverted-index
+    join; >= 25 shared prints — below the corpus's boilerplate plateau the
+    pair set is noise, above it the 24 true near-dups are stable). Winnowing guarantees any shared run of
+    k+w-1 = 11 normalized chars shares a print, so true near-dups can't
+    be missed the way probabilistic LSH can miss them."""
+    d = load_table(spark, sf_dir, "documents")
+    return X.winnow_near_dup(d, k=8, w=4, min_shared=25)

@@ -110,6 +110,31 @@ def test_embedding_near_dup_self_similarity(spark):
     assert pairs == {(1, 2): 1.0}
 
 
+def test_winnow_fingerprint_guarantee(spark):
+    """Winnowing's core property: documents sharing a normalized substring
+    of length >= k + w - 1 MUST share at least one fingerprint; disjoint
+    documents share none."""
+    df = spark.sql(
+        """SELECT * FROM VALUES
+            (1, 'The quick brown fox jumps over the lazy dog tonight'),
+            (2, 'A quick brown fox jumps over whatever else it likes'),
+            (3, 'completely different content with zero overlap here!')
+        AS t(doc_id, text)"""
+    )
+    fp = X.winnow_fingerprints(df, k=8, w=4)
+    by_doc = {}
+    for r in fp.collect():
+        by_doc.setdefault(r.doc_id, set()).add(r.fp)
+    assert by_doc[1] & by_doc[2]          # share 'quickbrownfoxjumpsover...'
+    assert not (by_doc[1] & by_doc[3])
+    assert not (by_doc[2] & by_doc[3])
+    pairs = {(r.id_a, r.id_b) for r in X.winnow_near_dup(df, min_shared=1).collect()}
+    assert pairs == {(1, 2)}
+    # a doc shorter than k produces no grams and no fingerprints
+    tiny = spark.sql("SELECT * FROM VALUES (9, 'abc') AS t(doc_id, text)")
+    assert X.winnow_fingerprints(tiny, k=8, w=4).count() == 0
+
+
 def test_text_quality_and_langid(spark):
     df = spark.sql(
         """SELECT * FROM VALUES
