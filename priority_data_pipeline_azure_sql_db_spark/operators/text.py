@@ -33,6 +33,18 @@ def token_count(col: Column) -> Column:
     return F.size(tokens(col))
 
 
+# GPT-2-style pre-tokenizer, simplified to the RE2-safe core: letter runs,
+# 1-3 digit runs (cl100k-style number chunking), single non-space symbols.
+BPE_TOKEN_RE = "[A-Za-z]+|[0-9]{1,3}|[^A-Za-z0-9\\s]"
+
+
+def bpe_token_count(col: Column) -> Column:
+    """BPE-ish token count: the pre-tokenization pass of a GPT-style BPE
+    (what scales corpus token budgeting) without the merge table — counts
+    regex pre-tokens, a tight upper bound on real BPE tokens."""
+    return F.size(F.regexp_extract_all(col, F.lit(BPE_TOKEN_RE), F.lit(0)))
+
+
 def char_count(col: Column) -> Column:
     return F.length(col)
 

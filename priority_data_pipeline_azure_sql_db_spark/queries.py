@@ -1516,17 +1516,21 @@ def dedup_simhash(spark, sf_dir):
     """
     SELECT doc_id,
            CAST(LENGTH(text) AS BIGINT) AS n_chars_obs,
-           CAST(LEN(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tokens
+           CAST(LEN(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tokens,
+           CAST(LEN(regexp_extract_all(text, '[A-Za-z]+|[0-9]{1,3}|[^A-Za-z0-9\\s]'))
+               AS BIGINT) AS n_bpe_tokens
     FROM documents
     """,
 )
 def text_token_stats(spark, sf_dir):
-    """Token counting (whitespace regex tokenizer)."""
+    """Token counting: whitespace tokens + BPE-ish pre-tokens (GPT-style
+    pre-tokenizer regex — letter runs, 1-3 digit runs, single symbols)."""
     d = load_table(spark, sf_dir, "documents")
     return d.select(
         "doc_id",
         X.char_count(F.col("text")).cast("bigint").alias("n_chars_obs"),
         X.token_count(F.col("text")).cast("bigint").alias("n_tokens"),
+        X.bpe_token_count(F.col("text")).cast("bigint").alias("n_bpe_tokens"),
     )
 
 
