@@ -2331,3 +2331,50 @@ def dedup_winnow_pairs(spark, sf_dir):
     be missed the way probabilistic LSH can miss them."""
     d = load_table(spark, sf_dir, "documents")
     return X.winnow_near_dup(d, k=8, w=4, min_shared=25)
+
+
+@query(
+    "sample_documents_hash",
+    """
+    SELECT doc_id, source, lang
+    FROM documents
+    WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) < '4ccccccccccccc0'
+    """,
+)
+def sample_documents_hash(spark, sf_dir):
+    """Deterministic 30% hash sample of the corpus: membership is a pure
+    function of the key (md5-prefix gate), so the oracle reproduces the
+    EXACT row set — something no RNG-based sample can promise."""
+    from .operators.sample import hash_sample
+
+    d = load_table(spark, sf_dir, "documents")
+    return hash_sample(d, "doc_id", 0.30).select("doc_id", "source", "lang")
+
+
+@query(
+    "sample_stratified_mix",
+    """
+    SELECT source, CAST(COUNT(*) AS BIGINT) AS n_kept
+    FROM documents
+    WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) <
+          CASE source
+              WHEN 'src0' THEN 'g'
+              WHEN 'src1' THEN '4ccccccccccccc0'
+              WHEN 'src2' THEN '0ccccccccccccd0'
+              ELSE '' END
+    GROUP BY source
+    """,
+)
+def sample_stratified_mix(spark, sf_dir):
+    """Training-mix weighting: keep 100% of src0, 30% of src1, 5% of
+    src2, drop every other stratum — one deterministic hash gate with a
+    per-stratum threshold, counted per source."""
+    from .operators.sample import stratified_mix
+
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        stratified_mix(d, "source", "doc_id",
+                       {"src0": 1.0, "src1": 0.30, "src2": 0.05})
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_kept"))
+    )

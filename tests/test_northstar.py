@@ -135,6 +135,38 @@ def test_winnow_fingerprint_guarantee(spark):
     assert X.winnow_fingerprints(tiny, k=8, w=4).count() == 0
 
 
+def test_hash_sampling_deterministic(spark, sf_dir):
+    """Hash-gate sampling: repartition-invariant membership, disjoint and
+    exhaustive train/eval split, independent samples per salt."""
+    from priority_data_pipeline_azure_sql_db_spark.operators.sample import (
+        hash_sample,
+        split_train_eval,
+        stratified_mix,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    s1 = {r.doc_id for r in hash_sample(d, "doc_id", 0.3).select("doc_id").collect()}
+    s2 = {r.doc_id for r in hash_sample(d.repartition(13), "doc_id", 0.3)
+          .select("doc_id").collect()}
+    assert s1 == s2 and s1  # identical under any partitioning
+    n = d.count()
+    assert 0.2 < len(s1) / n < 0.4  # fraction roughly honored
+
+    salted = {r.doc_id for r in hash_sample(d, "doc_id", 0.3, salt="x")
+              .select("doc_id").collect()}
+    assert salted != s1  # different salt, different (independent) draw
+
+    train, ev = split_train_eval(d, "doc_id", eval_fraction=0.1)
+    t = {r.doc_id for r in train.select("doc_id").collect()}
+    e = {r.doc_id for r in ev.select("doc_id").collect()}
+    assert not (t & e) and len(t) + len(e) == n  # disjoint + exhaustive
+
+    mixed = stratified_mix(d, "source", "doc_id", {"src0": 1.0, "src3": 0.0})
+    kept = mixed.groupBy("source").count().collect()
+    assert {r.source for r in kept} == {"src0"}  # 0-fraction and unknown dropped
+    assert kept[0]["count"] == d.filter(F.col("source") == "src0").count()
+
+
 def test_text_quality_and_langid(spark):
     df = spark.sql(
         """SELECT * FROM VALUES
