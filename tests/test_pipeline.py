@@ -196,6 +196,29 @@ def test_merge_rewrites_only_touched_partitions(spark, tmp_path):
     assert rows == 0
 
 
+def test_sharded_export_with_manifest(spark, sf_dir, tmp_path):
+    """Corpus export: every shard respects maxRecordsPerFile, the manifest
+    accounts for every row, and key-sharding is deterministic (same key →
+    same shard)."""
+    from priority_data_pipeline_azure_sql_db_spark.sinks.shards import (
+        read_manifest,
+        write_shards,
+    )
+    from priority_data_pipeline_azure_sql_db_spark.sources.parquet import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    n = docs.count()
+    out = str(tmp_path / "corpus")
+    summary = write_shards(docs, out, max_records_per_file=100,
+                           shard_by="doc_id", num_shards=4)
+    assert summary["rows"] == n
+    manifest = read_manifest(out)
+    assert sum(e["rows"] for e in manifest) == n
+    assert all(e["rows"] <= 100 for e in manifest)
+    assert {r.doc_id for r in spark.read.parquet(out).collect()} == \
+           {r.doc_id for r in docs.select("doc_id").collect()}
+
+
 def test_parse_edmx_metadata():
     """O2: EDMX $metadata → entity docs matching the reference's shape
     (resources/priorityDataSource.py:347-458, readme.md:518-551), then into
