@@ -423,3 +423,37 @@ def embedding_near_dup(
         )
         .filter(F.col("sim") >= threshold)
     )
+
+
+def normalize_embeddings(df: DataFrame, id_col: str = "vec_id",
+                         vec_col: str = "embedding") -> DataFrame:
+    """Unit-normalize vectors (cosine → dot-product form): returns
+    (id, unit: array<double>, norm). Zero vectors pass through unchanged
+    with norm 0 rather than dividing to NaN."""
+    base = df.select(
+        F.col(id_col).alias(id_col), _as_double(F.col(vec_col)).alias("v")
+    ).select(id_col, "v", l2_norm(F.col("v")).alias("norm"))
+    unit = F.when(
+        F.col("norm") > 0, F.transform("v", lambda x: x / F.col("norm"))
+    ).otherwise(F.col("v"))
+    return base.select(id_col, unit.alias("unit"), "norm")
+
+
+def quantize_int8(df: DataFrame, id_col: str = "vec_id",
+                  vec_col: str = "embedding") -> DataFrame:
+    """Symmetric int8 quantization per vector: scale = 127 / max|x|,
+    q_i = floor(x_i * scale + 0.5) ∈ [-127, 127], stored with the scale
+    for dequantization — 4× smaller ANN storage with the standard
+    round-to-nearest scheme (floor(x+0.5), not banker's rounding, so any
+    engine reproduces it bit-for-bit). Zero vectors quantize to zeros
+    with scale 0."""
+    base = df.select(
+        F.col(id_col).alias(id_col), _as_double(F.col(vec_col)).alias("v")
+    ).select(
+        id_col, "v",
+        F.array_max(F.transform("v", lambda x: F.abs(x))).alias("_m"),
+    )
+    scale = F.when(F.col("_m") > 0, F.lit(127.0) / F.col("_m")).otherwise(F.lit(0.0))
+    base = base.withColumn("_scale", scale)
+    q = F.transform("v", lambda x: F.floor(x * F.col("_scale") + F.lit(0.5)).cast("int"))
+    return base.select(id_col, q.alias("q"), F.col("_scale").alias("scale"))

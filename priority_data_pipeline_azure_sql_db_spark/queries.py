@@ -2378,3 +2378,81 @@ def sample_stratified_mix(spark, sf_dir):
         .groupBy("source")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_kept"))
     )
+
+
+@query(
+    "profile_documents_stats",
+    """
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_ids,
+           CAST(SUM(CASE WHEN text IS NULL OR text = '' THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_empty_text,
+           CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+           CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
+           CAST(MIN(LENGTH(text)) AS BIGINT) AS min_chars,
+           CAST(MAX(LENGTH(text)) AS BIGINT) AS max_chars,
+           CAST(SUM(CAST(LENGTH(text) AS BIGINT)) AS BIGINT) AS total_chars
+    FROM documents
+    """,
+)
+def profile_documents_stats(spark, sf_dir):
+    """Dataset profiling in one scan: row/key/null accounting, stratum
+    cardinalities, and length extremes — the observability pass a corpus
+    pipeline runs before and after every transformation (one hash-agg with
+    map-side partials; COUNT DISTINCTs expand to one shuffle each under
+    Catalyst's expand-based rewrite, still a single pass over the data)."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.countDistinct("doc_id").cast("bigint").alias("n_ids"),
+        F.sum(
+            F.when(F.col("text").isNull() | (F.col("text") == ""), 1).otherwise(0)
+        ).cast("bigint").alias("n_empty_text"),
+        F.countDistinct("lang").cast("bigint").alias("n_langs"),
+        F.countDistinct("source").cast("bigint").alias("n_sources"),
+        F.min(F.length("text")).cast("bigint").alias("min_chars"),
+        F.max(F.length("text")).cast("bigint").alias("max_chars"),
+        F.sum(F.length("text").cast("bigint")).cast("bigint").alias("total_chars"),
+    )
+
+
+@query(
+    "embedding_quantize_int8",
+    """
+    WITH e AS (
+        SELECT vec_id, embedding::DOUBLE[] AS v,
+               list_max(list_transform(embedding::DOUBLE[], x -> abs(x))) AS m
+        FROM embeddings
+    ), q AS (
+        SELECT vec_id,
+               CASE WHEN m > 0
+                    THEN list_transform(v, x -> CAST(floor(x * (127.0 / m) + 0.5) AS BIGINT))
+                    ELSE list_transform(v, x -> CAST(0 AS BIGINT)) END AS qv,
+               CASE WHEN m > 0 THEN 127.0 / m ELSE 0.0 END AS scale
+        FROM e
+    )
+    SELECT vec_id,
+           CAST(list_sum(qv) AS BIGINT) AS q_sum,
+           CAST(list_min(qv) AS BIGINT) AS q_min,
+           CAST(list_max(qv) AS BIGINT) AS q_max,
+           ROUND(scale, 6) AS scale_r
+    FROM q
+    """,
+)
+def embedding_quantize_int8(spark, sf_dir):
+    """Symmetric int8 quantization of the embedding column, summarized per
+    vector (sum/min/max of the quantized ints + rounded scale) — the
+    oracle replays the exact floor(x*scale+0.5) scheme, proving the
+    quantizer is engine-reproducible."""
+    from .operators.similarity import quantize_int8
+
+    e = load_table(spark, sf_dir, "embeddings")
+    q = quantize_int8(e)
+    qsum = F.aggregate("q", F.lit(0).cast("bigint"), lambda acc, x: acc + x.cast("bigint"))
+    return q.select(
+        "vec_id",
+        qsum.alias("q_sum"),
+        F.array_min("q").cast("bigint").alias("q_min"),
+        F.array_max("q").cast("bigint").alias("q_max"),
+        F.round("scale", 6).alias("scale_r"),
+    )

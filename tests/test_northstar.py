@@ -110,6 +110,28 @@ def test_embedding_near_dup_self_similarity(spark):
     assert pairs == {(1, 2): 1.0}
 
 
+def test_embedding_normalize_and_quantize(spark):
+    """Unit norms come out 1.0, zero vectors stay finite, and int8
+    quantization bounds every value to [-127, 127] with the max-|x|
+    element hitting exactly ±127."""
+    df = spark.sql(
+        """SELECT * FROM VALUES
+            (1, array(3.0F, 4.0F)), (2, array(0.0F, 0.0F)), (3, array(-2.0F, 1.0F))
+        AS t(vec_id, embedding)"""
+    )
+    normed = {r.vec_id: r for r in S.normalize_embeddings(df).collect()}
+    assert abs(normed[1].norm - 5.0) < 1e-12
+    assert abs(normed[1].unit[0] - 0.6) < 1e-12
+    assert normed[2].norm == 0.0 and normed[2].unit == [0.0, 0.0]
+
+    quant = {r.vec_id: r for r in S.quantize_int8(df).collect()}
+    assert quant[1].q == [95, 127]           # 3/4*127 = 95.25 → floor(+.5) = 95
+    assert quant[2].q == [0, 0] and quant[2].scale == 0.0
+    assert quant[3].q == [-127, 64]          # 1/2*127 = 63.5 → 64
+    for r in quant.values():
+        assert all(-127 <= x <= 127 for x in r.q)
+
+
 def test_winnow_fingerprint_guarantee(spark):
     """Winnowing's core property: documents sharing a normalized substring
     of length >= k + w - 1 MUST share at least one fingerprint; disjoint
