@@ -89,16 +89,34 @@ def word_shingles(df: DataFrame, text_col: str, id_col: str, k: int = 5) -> Data
 
 
 def jaccard_pairs(
-    df: DataFrame, text_col: str, id_col: str, k: int = 5, threshold: float = 0.2
+    df: DataFrame, text_col: str, id_col: str, k: int = 5, threshold: float = 0.2,
+    max_doc_freq: int | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity for every document pair sharing at
     least one shingle. Integer set arithmetic → bit-for-bit deterministic.
 
+    ``max_doc_freq`` drops stop-shingles (shingles in more than that many
+    docs) before the self-join: a boilerplate shingle shared by m docs
+    contributes m² candidate pairs, so one viral header can quadratically
+    blow up an otherwise-bounded inverted-index join at corpus scale.
+    Capping changes the metric (intersections lose capped shingles —
+    union sizes here intentionally still count them, keeping the score a
+    lower bound); None keeps exact Jaccard for oracle comparison.
+
     Returns (id_a, id_b, jaccard) with id_a < id_b, jaccard >= threshold.
     """
     sh = word_shingles(df, text_col, id_col, k).cache()
+    if max_doc_freq is not None:
+        keep = (
+            sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("_df"))
+            .filter(F.col("_df") <= max_doc_freq).select("shingle")
+        )
+        # sizes below still use the UNCAPPED sets; only the join is capped
+        sh_join = sh.join(keep, "shingle")
+    else:
+        sh_join = sh
     sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("n_sh"))
-    a, b = sh.alias("a"), sh.alias("b")
+    a, b = sh_join.alias("a"), sh_join.alias("b")
     inter = (
         a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc") < F.col("b.doc")))
         .groupBy(F.col("a.doc").alias("id_a"), F.col("b.doc").alias("id_b"))
