@@ -87,3 +87,19 @@ def test_bucketed_join_has_no_exchange(spark, sf_dir):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         spark.sql("DROP TABLE IF EXISTS bkt_orders")
         spark.sql("DROP TABLE IF EXISTS bkt_lineitem")
+
+
+def test_winnow_single_shuffle_and_sample_shuffle_free(spark, sf_dir):
+    """Plan-shape guards for the round-2 operators: winnowing's two window
+    functions and the distinct all share ONE doc-keyed exchange, and
+    hash-gate sampling is a pure scan-side filter (zero exchanges, gate
+    evaluated in the scan stage)."""
+    from priority_data_pipeline_azure_sql_db_spark.operators import text as X
+    from priority_data_pipeline_azure_sql_db_spark.operators.sample import hash_sample
+    from priority_data_pipeline_azure_sql_db_spark.sources.parquet import load_table
+
+    d = load_table(spark, sf_dir, "documents")
+    wp = X.winnow_fingerprints(d)._jdf.queryExecution().executedPlan().toString()
+    assert wp.count("Exchange") == 1, f"winnow should shuffle once:\n{wp}"
+    sp = hash_sample(d, "doc_id", 0.3)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in sp, f"sampling must not shuffle:\n{sp}"
