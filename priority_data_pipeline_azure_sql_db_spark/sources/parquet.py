@@ -37,6 +37,16 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # Self-tune ONLY the untouched default: 200 shuffle partitions on a
+    # single-node session wastes task overhead (a 16-row join under the
+    # default inherits 200-task stages). A deliberately-set value — ours
+    # or a caller's — is respected. On a real cluster the default is
+    # left alone and AQE coalescing governs.
+    try:
+        if spark.conf.get("spark.sql.shuffle.partitions") == "200":
+            spark.conf.set("spark.sql.shuffle.partitions", "32")
+    except Exception:
+        pass  # conf may be unreadable on exotic sessions; never fail a scan
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events":
         # conversion is conditional on the read dtype: under nanosAsLong the
