@@ -37,6 +37,10 @@ HEADLINE = [
     "dedup_ngram_jaccard",
     "ann_cosine_topk",
     "text_quality_score",
+    # round-2 operators
+    "embedding_near_dup_pairs",
+    "text_winnow_fingerprints",
+    "sample_documents_hash",
 ]
 
 
