@@ -135,14 +135,15 @@ def winnow_fingerprints(
             F.length("t") >= k, F.sequence(F.lit(1), F.length("t") - k + 1)
         ).otherwise(F.array().cast("array<int>")).alias("ps"),
     )
-    grams = base.select("_id", "t", F.explode("ps").alias("pos")).select(
-        "_id", "pos", F.expr(f"md5(substring(t, pos, {k}))").alias("h")
-    )
+    # maxpos = len(t) - k + 1 is known BEFORE the explode — carrying it as
+    # a column saves a whole second window pass over the gram rows
+    grams = base.select(
+        "_id", "t", (F.length("t") - k + 1).alias("_maxpos"),
+        F.explode("ps").alias("pos"),
+    ).select("_id", "pos", "_maxpos", F.expr(f"md5(substring(t, pos, {k}))").alias("h"))
     wmin = Window.partitionBy("_id").orderBy("pos").rowsBetween(0, w - 1)
-    wdoc = Window.partitionBy("_id")
     return (
         grams.withColumn("fp", F.min("h").over(wmin))
-        .withColumn("_maxpos", F.max("pos").over(wdoc))
         .filter(F.col("pos") <= F.col("_maxpos") - (w - 1))
         .select(F.col("_id").alias(id_col), "fp")
         .distinct()

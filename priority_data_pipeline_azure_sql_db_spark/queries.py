@@ -2267,13 +2267,12 @@ def streaming_stream_stream_join(spark, sf_dir):
         SELECT doc_id, regexp_replace(lower(text), '[^a-z0-9]', '', 'g') AS t
         FROM documents
     ), grams AS (
-        SELECT doc_id, pos, md5(substr(t, pos, 8)) AS h
+        SELECT doc_id, pos, LENGTH(t) - 7 AS maxpos, md5(substr(t, pos, 8)) AS h
         FROM norm, UNNEST(generate_series(1, GREATEST(LENGTH(t) - 7, 0))) AS u(pos)
     ), wins AS (
-        SELECT doc_id, pos,
+        SELECT doc_id, pos, maxpos,
                MIN(h) OVER (PARTITION BY doc_id ORDER BY pos
-                            ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp,
-               MAX(pos) OVER (PARTITION BY doc_id) AS maxpos
+                            ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp
         FROM grams
     ), fps AS (
         SELECT DISTINCT doc_id, fp FROM wins WHERE pos <= maxpos - 3
@@ -2306,13 +2305,12 @@ def text_winnow_fingerprints(spark, sf_dir):
         SELECT doc_id, regexp_replace(lower(text), '[^a-z0-9]', '', 'g') AS t
         FROM documents
     ), grams AS (
-        SELECT doc_id, pos, md5(substr(t, pos, 8)) AS h
+        SELECT doc_id, pos, LENGTH(t) - 7 AS maxpos, md5(substr(t, pos, 8)) AS h
         FROM norm, UNNEST(generate_series(1, GREATEST(LENGTH(t) - 7, 0))) AS u(pos)
     ), wins AS (
-        SELECT doc_id, pos,
+        SELECT doc_id, pos, maxpos,
                MIN(h) OVER (PARTITION BY doc_id ORDER BY pos
-                            ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp,
-               MAX(pos) OVER (PARTITION BY doc_id) AS maxpos
+                            ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp
         FROM grams
     ), fps AS (
         SELECT DISTINCT doc_id, fp FROM wins WHERE pos <= maxpos - 3
