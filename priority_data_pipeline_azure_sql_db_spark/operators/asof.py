@@ -1,0 +1,96 @@
+"""Generic as-of (merge_asof) join as a single-shuffle window plan.
+
+Spark has no native as-of join; the naive form (theta join on ts ranges +
+per-left-row top-1) shuffles twice and explodes on dense keys. The scale
+pattern used here: tag both sides, UNION them on a common layout, sort
+each key group once by (ts, side-priority), and carry the right side's
+latest value forward with an IGNORE NULLS running last — every left row
+reads its as-of match in one pass. One shuffle on the key columns, state
+O(1) per row, no range-join blowup. (Same shape the inline
+``asof_last_click_before_error`` query uses; this is the reusable,
+cross-table generalization.)
+
+Semantics match pandas ``merge_asof``: ``direction='backward'`` takes the
+latest right row with ``r_ts <= l_ts`` (``allow_exact_matches=False`` →
+strictly ``<``); ``'forward'`` the earliest with ``r_ts >= l_ts``.
+``tolerance`` (seconds) drops matches further than that from the left ts.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str],
+    left_ts: str,
+    right_ts: str,
+    right_cols: list[str],
+    direction: str = "backward",
+    allow_exact_matches: bool = True,
+    tolerance_seconds: float | None = None,
+    suffix: str = "_asof",
+) -> DataFrame:
+    """Return ``left`` with ``right_cols`` (suffixed) from each row's
+    as-of match in ``right``; unmatched rows keep nulls."""
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction!r}")
+
+    # Right rows must sort before left rows at equal ts for inclusive
+    # matches (so the frame up to the current row sees them), after for
+    # exclusive. 'forward' flips the sort, which flips the rule.
+    inclusive_first = allow_exact_matches
+    r_prio = 0 if inclusive_first else 2
+
+    rv = F.struct(
+        F.col(right_ts).alias("__rts"), *[F.col(c) for c in right_cols]
+    ).alias("__rv")
+    r_tagged = right.select(
+        *[F.col(c) for c in on],
+        F.col(right_ts).alias("__ts"),
+        F.lit(r_prio).alias("__prio"),
+        rv,
+    )
+    # the whole left row rides through the union as a struct — no row-id
+    # join-back afterwards, so the plan stays ONE shuffle on the key
+    l_tagged = left.select(
+        *[F.col(c) for c in on],
+        F.col(left_ts).alias("__ts"),
+        F.lit(1).alias("__prio"),
+        F.lit(None).cast(r_tagged.schema["__rv"].dataType).alias("__rv"),
+        F.struct(*[F.col(c) for c in left.columns]).alias("__lrow"),
+    )
+    r_tagged = r_tagged.withColumn(
+        "__lrow", F.lit(None).cast(l_tagged.schema["__lrow"].dataType)
+    )
+
+    order = [F.col("__ts"), F.col("__prio")]
+    if direction == "forward":
+        order = [F.col("__ts").desc(), F.col("__prio")]
+    w = (
+        Window.partitionBy(*on)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    merged = (
+        r_tagged.unionByName(l_tagged)
+        .withColumn("__match", F.last("__rv", ignorenulls=True).over(w))
+        .filter(F.col("__lrow").isNotNull())
+    )
+    if tolerance_seconds is not None:
+        gap = F.abs(
+            F.col("__ts").cast("double") - F.col("__match.__rts").cast("double")
+        )
+        merged = merged.withColumn(
+            "__match", F.when(gap <= tolerance_seconds, F.col("__match"))
+        )
+
+    out = merged.select(
+        *[F.col(f"__lrow.{c}").alias(c) for c in left.columns],
+        F.col("__match.__rts").alias(f"{right_ts}{suffix}"),
+        *[F.col(f"__match.{c}").alias(f"{c}{suffix}") for c in right_cols],
+    )
+    return out

@@ -172,3 +172,44 @@ def test_sample_frames_fanout(spark):
     assert all(len(r.frame) == 16 for r in by_id[1])
     # tiny blob still yields exactly one frame
     assert len(by_id[2]) == 1
+
+
+def test_asof_join_generic(spark, sf_dir):
+    """Cross-table as-of join equals the inline window form on the same
+    data; exact-match, direction, and tolerance behave like merge_asof."""
+    from priority_data_pipeline_azure_sql_db_spark.operators.asof import asof_join
+    from priority_data_pipeline_azure_sql_db_spark.queries import (
+        asof_last_click_before_error,
+    )
+    from priority_data_pipeline_azure_sql_db_spark.sources.parquet import load_table
+
+    e = load_table(spark, sf_dir, "events")
+    errors = e.filter(F.col("event_type") == "error").select("event_id", "user_id", "ts")
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("ts").alias("cts"), F.col("event_id").alias("click_id")
+    )
+    got = asof_join(
+        errors, clicks, on=["user_id"], left_ts="ts", right_ts="cts",
+        right_cols=["click_id"], allow_exact_matches=False,
+    )
+    want = {
+        r.event_id: r.last_click_ts
+        for r in asof_last_click_before_error(spark, sf_dir).collect()
+    }
+    rows = got.collect()
+    assert len(rows) == len(want)
+    for r in rows:
+        assert want[r.event_id] == r.cts_asof
+
+    l = spark.sql("SELECT * FROM VALUES (1, TIMESTAMP '2026-01-01 00:01:00') AS t(k, ts)")
+    r = spark.sql("""SELECT * FROM VALUES
+        (1, TIMESTAMP '2026-01-01 00:01:00', 'same'),
+        (1, TIMESTAMP '2026-01-01 00:05:00', 'later') AS t(k, rts, v)""")
+    assert asof_join(l, r, ["k"], "ts", "rts", ["v"]).collect()[0].v_asof == "same"
+    assert asof_join(l, r, ["k"], "ts", "rts", ["v"],
+                     allow_exact_matches=False).collect()[0].v_asof is None
+    assert asof_join(l, r, ["k"], "ts", "rts", ["v"], direction="forward",
+                     allow_exact_matches=False).collect()[0].v_asof == "later"
+    assert asof_join(l, r, ["k"], "ts", "rts", ["v"], direction="forward",
+                     allow_exact_matches=False,
+                     tolerance_seconds=60).collect()[0].v_asof is None
