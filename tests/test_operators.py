@@ -213,3 +213,35 @@ def test_asof_join_generic(spark, sf_dir):
     assert asof_join(l, r, ["k"], "ts", "rts", ["v"], direction="forward",
                      allow_exact_matches=False,
                      tolerance_seconds=60).collect()[0].v_asof is None
+
+
+def test_interval_join_generic(spark, sf_dir):
+    """Bucketized interval join equals the registered range-join query's
+    pair set on the events fixture, and respects configurable bounds."""
+    from priority_data_pipeline_azure_sql_db_spark.operators.interval import interval_join
+    from priority_data_pipeline_azure_sql_db_spark.queries import range_join_close_events
+    from priority_data_pipeline_azure_sql_db_spark.sources.parquet import load_table
+
+    e = load_table(spark, sf_dir, "events")
+    a = e.select(F.col("event_id").alias("id_a"), "user_id", F.col("ts").alias("ats"))
+    b = e.select(F.col("event_id").alias("id_b"), "user_id", F.col("ts").alias("bts"))
+    got = {
+        (r.id_a, r.id_b)
+        for r in interval_join(a, b, ["user_id"], "ats", "bts",
+                               lower_seconds=0, upper_seconds=60).collect()
+    }
+    want = {(r.id_a, r.id_b) for r in range_join_close_events(spark, sf_dir).collect()}
+    assert got == want and got
+
+    # bounds: lower exclusive by default, inclusive on demand
+    l = spark.sql("SELECT * FROM VALUES (1, 100, TIMESTAMP '2026-01-01 00:00:00') AS t(k, lid, ts)")
+    r = spark.sql("""SELECT * FROM VALUES
+        (1, 200, TIMESTAMP '2026-01-01 00:00:00'),
+        (1, 201, TIMESTAMP '2026-01-01 00:00:30'),
+        (1, 202, TIMESTAMP '2026-01-01 00:01:00'),
+        (1, 203, TIMESTAMP '2026-01-01 00:01:01') AS t(k, rid, rts)""")
+    ids = {x.rid for x in interval_join(l, r, ["k"], "ts", "rts", 0, 60).collect()}
+    assert ids == {201, 202}
+    ids = {x.rid for x in interval_join(l, r, ["k"], "ts", "rts", 0, 60,
+                                        inclusive_lower=True).collect()}
+    assert ids == {200, 201, 202}
