@@ -2454,3 +2454,47 @@ def embedding_quantize_int8(spark, sf_dir):
         F.array_max("q").cast("bigint").alias("q_max"),
         F.round("scale", 6).alias("scale_r"),
     )
+
+
+@query(
+    "events_multires_rollup",
+    """
+    SELECT COALESCE(CAST(DATE_TRUNC('hour', CAST(ts AS TIMESTAMP)) AS TIMESTAMP),
+                    CAST(DATE_TRUNC('day', CAST(ts AS TIMESTAMP)) AS TIMESTAMP),
+                    CAST(DATE_TRUNC('month', CAST(ts AS TIMESTAMP)) AS TIMESTAMP)) AS bucket,
+           CASE WHEN GROUPING(DATE_TRUNC('hour', CAST(ts AS TIMESTAMP))) = 0 THEN 'hour'
+                WHEN GROUPING(DATE_TRUNC('day', CAST(ts AS TIMESTAMP))) = 0 THEN 'day'
+                ELSE 'month' END AS resolution,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+    FROM events
+    GROUP BY GROUPING SETS (
+        (DATE_TRUNC('hour', CAST(ts AS TIMESTAMP))),
+        (DATE_TRUNC('day', CAST(ts AS TIMESTAMP))),
+        (DATE_TRUNC('month', CAST(ts AS TIMESTAMP)))
+    )
+    """,
+)
+def events_multires_rollup(spark, sf_dir):
+    """Hypertable-style continuous-aggregate rollup: hour, day, and month
+    resolutions materialized in ONE pass via GROUPING SETS (Catalyst's
+    Expand feeds a single partial+final hash aggregate — one scan, one
+    shuffle, instead of three separate rollup jobs)."""
+    e = load_table(spark, sf_dir, "events").select(
+        F.col("value"),
+        F.date_trunc("hour", "ts").alias("h"),
+        F.date_trunc("day", "ts").alias("d"),
+        F.date_trunc("month", "ts").alias("m"),
+    )
+    g = e.groupingSets([[F.col("h")], [F.col("d")], [F.col("m")]],
+                       F.col("h"), F.col("d"), F.col("m"))
+    return g.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("sum_value"),
+    ).select(
+        F.coalesce("h", "d", "m").alias("bucket"),
+        F.when(F.col("h").isNotNull(), "hour")
+        .when(F.col("d").isNotNull(), "day")
+        .otherwise("month").alias("resolution"),
+        "n_events", "sum_value",
+    )
