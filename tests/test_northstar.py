@@ -100,6 +100,31 @@ def test_embedding_near_dup_matches_allpairs_and_prunes(spark, sf_dir):
     assert "CartesianProduct" not in plan
 
 
+def test_embedding_near_dup_clustered_high_threshold(spark):
+    """The production regime: tight clusters + a 0.95 threshold. The
+    ball-cover plan must find exactly the intra-cluster pairs the
+    all-pairs twin finds — across cluster sizes larger than one cell."""
+    import math
+
+    rows = []
+    for c in range(3):
+        base = [math.cos(c), math.sin(c), 0.5 * c, 1.0]
+        for i in range(12):
+            eps = 0.001 * i
+            rows.append((c * 100 + i, [x + eps for x in base]))
+    vals = ", ".join(
+        f"({i}, array({', '.join(f'{x}F' for x in v)}))" for i, v in rows
+    )
+    df = spark.sql(f"SELECT * FROM VALUES {vals} AS t(vec_id, embedding)")
+    fast = S.embedding_near_dup(df, threshold=0.95, n_cells=6)
+    slow = S.embedding_near_dup_allpairs(df, threshold=0.95)
+    got = {(r.id_a, r.id_b) for r in fast.collect()}
+    want = {(r.id_a, r.id_b) for r in slow.collect()}
+    assert got == want and got
+    # sanity: no cross-cluster near-dups at this tightness
+    assert all(a // 100 == b // 100 for a, b in got)
+
+
 def test_embedding_near_dup_self_similarity(spark):
     df = spark.sql(
         """SELECT * FROM VALUES
