@@ -168,6 +168,13 @@ def winnow_near_dup(
     than that many docs) before the self-join — at corpus scale a
     boilerplate print shared by millions of docs would otherwise square;
     None keeps exact semantics for oracle comparison.
+
+    Measured tradeoff on the synthetic corpus: at sf0.1 the uncapped
+    self-join is ~60M rows (one print sits in 26% of docs) and a cap of
+    50 cuts it 15× — but also hides pairs inside duplicate clusters
+    larger than the cap (246 → 195 pairs), because a doc with more
+    near-copies than max_doc_freq shares only capped prints. Run exact
+    dedup first (it removes the mega-clusters), THEN cap stop-prints.
     """
     fp = winnow_fingerprints(df, text_col, id_col, k, w)
     if max_doc_freq is not None:
