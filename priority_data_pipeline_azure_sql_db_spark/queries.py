@@ -2498,3 +2498,48 @@ def events_multires_rollup(spark, sf_dir):
         .otherwise("month").alias("resolution"),
         "n_events", "sum_value",
     )
+
+
+@query(
+    "text_cleaning_pass_profile",
+    """
+    WITH q AS (
+        SELECT doc_id, source,
+               CAST(LENGTH(text) AS BIGINT) AS n_chars_obs,
+               CAST(LEN(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tokens,
+               ROUND(CAST(LEN(regexp_extract_all(text, '[A-Za-z]')) AS DOUBLE)
+                     / GREATEST(LENGTH(text), 1), 6) AS alpha_ratio
+        FROM documents
+    ), kept AS (
+        SELECT * FROM q
+        WHERE n_tokens >= 10 AND n_chars_obs >= 50 AND alpha_ratio >= 0.5
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+           CAST(MIN(n_tokens) AS BIGINT) AS min_tokens,
+           CAST(MAX(n_tokens) AS BIGINT) AS max_tokens
+    FROM kept GROUP BY source
+    """,
+)
+def text_cleaning_pass_profile(spark, sf_dir):
+    """The canonical corpus cleaning pass as ONE composed plan: quality
+    features → C4-style threshold filter (length / token count / alpha
+    ratio) → per-source profile of the surviving corpus. Catalyst fuses
+    the feature projection and filter into the scan stage, so the whole
+    pass is a single scan + one aggregate shuffle — the shape a 100 TB
+    cleaning job must take (never materialize-then-filter)."""
+    d = load_table(spark, sf_dir, "documents")
+    q = X.quality_features(d, "text").select(
+        "doc_id", d["source"], "n_chars_obs", "n_tokens", "alpha_ratio"
+    )
+    kept = q.filter(
+        (F.col("n_tokens") >= 10) & (F.col("n_chars_obs") >= 50)
+        & (F.col("alpha_ratio") >= 0.5)
+    )
+    return kept.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+        F.min("n_tokens").cast("bigint").alias("min_tokens"),
+        F.max("n_tokens").cast("bigint").alias("max_tokens"),
+    )
