@@ -34,8 +34,11 @@ def entry(spark: SparkSession) -> DataFrame:
 #   22-29  TPC-H Q7/Q8/Q9/Q13/Q15/Q17/Q19/Q22 — registered after the cap in r1
 #   30-43  dedup / text / ANN / multimodal / skew / streaming (oracle-backed)
 #   44-50  rows-only checks (no SQL-expressible oracle by design)
-# Everything after slot 50 was driver-green in CORRECTNESS_r01.json and is
-# additionally covered by tools/compare_oracle.py + pytest each round.
+# Below slot 50: the round-1 driver-green batch plus the queries added
+# AFTER the window was frozen this round (winnowing, sampling, profiling,
+# quantization, multi-res rollup, streaming dedup/join, cleaning pass) —
+# all locally verified by tools/compare_oracle.py + pytest each round;
+# rotate them into the window in the next round's reshuffle.
 CHECK_ORDER = [
     # pipeline / operator surface
     "pipeline_e2e_flagship",

@@ -67,9 +67,13 @@ def asof_join(
         "__lrow", F.lit(None).cast(l_tagged.schema["__lrow"].dataType)
     )
 
-    order = [F.col("__ts"), F.col("__prio")]
+    # __rv as the final sort key makes ties among right rows at the same
+    # (key, ts) deterministic: last() then always returns the greatest
+    # right-value struct, independent of shuffle order (left rows carry
+    # NULL __rv, which sorts consistently and never competes).
+    order = [F.col("__ts"), F.col("__prio"), F.col("__rv")]
     if direction == "forward":
-        order = [F.col("__ts").desc(), F.col("__prio")]
+        order = [F.col("__ts").desc(), F.col("__prio"), F.col("__rv")]
     w = (
         Window.partitionBy(*on)
         .orderBy(*order)

@@ -37,6 +37,11 @@ def interval_join(
     if upper_seconds <= lower_seconds:
         raise ValueError("upper_seconds must exceed lower_seconds")
     width_ms = int((upper_seconds - lower_seconds) * 1000)
+    if width_ms < 1:
+        raise ValueError(
+            "interval narrower than 1ms: bucket width truncates to zero "
+            f"(lower={lower_seconds}s, upper={upper_seconds}s)"
+        )
     lo_ms = int(lower_seconds * 1000)
     up_ms = int(upper_seconds * 1000)
 

@@ -324,8 +324,14 @@ def embedding_near_dup(
     base = df.select(
         F.col(id_col).alias("_id"), _as_double(F.col(vec_col)).alias("v")
     ).select("_id", "v", l2_norm(F.col("v")).alias("n"))
+    # zero-norm guard mirrors normalize_embeddings: dividing by 0 would
+    # make u all-NaN, the vector's cell radius NaN, and (NaN-is-largest)
+    # every triangle test involving that cell vacuously true — silently
+    # disabling pruning for the whole cell
     unit = base.select(
-        "_id", "v", "n", F.transform("v", lambda x: x / F.col("n")).alias("u")
+        "_id", "v", "n",
+        F.when(F.col("n") > 0, F.transform("v", lambda x: x / F.col("n")))
+        .otherwise(F.col("v")).alias("u"),
     )
 
     # centroids: hash-order seed sample + one Lloyd step. The mean is a

@@ -126,14 +126,22 @@ class StagingStore:
         new_parts = dpart.select(PARTITION_COL).distinct()
         touched = {r[0] for r in old_parts.unionByName(new_parts).distinct().collect()}
 
-        target = raw.filter(F.col(PARTITION_COL).isin(list(touched))).drop(PARTITION_COL)
+        # NULL audit timestamps land in Hive's default partition — isin()
+        # never matches NULL, so the null partition needs its own branch
+        # both in the merge-target filter and in the directory swap below.
+        non_null = [v for v in touched if v is not None]
+        tcond = F.col(PARTITION_COL).isin(non_null)
+        if None in touched:
+            tcond = tcond | F.col(PARTITION_COL).isNull()
+        target = raw.filter(tcond).drop(PARTITION_COL)
         merged = merge_upsert(target, delta.select(*target.columns), pk)
         tmp = self.path(table) + ".__tmp__"
         self._with_partition(merged).write.mode("overwrite") \
             .partitionBy(PARTITION_COL).parquet(tmp)
         final = self.path(table)
         for v in touched:
-            sub = f"{PARTITION_COL}={v.isoformat()}"
+            part_val = v.isoformat() if v is not None else "__HIVE_DEFAULT_PARTITION__"
+            sub = f"{PARTITION_COL}={part_val}"
             dst, src = os.path.join(final, sub), os.path.join(tmp, sub)
             shutil.rmtree(dst, ignore_errors=True)
             if os.path.isdir(src):

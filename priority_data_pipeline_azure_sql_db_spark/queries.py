@@ -2488,13 +2488,18 @@ def events_multires_rollup(spark, sf_dir):
     )
     g = e.groupingSets([[F.col("h")], [F.col("d")], [F.col("m")]],
                        F.col("h"), F.col("d"), F.col("m"))
+    # resolution must come from grouping() (which set produced the row),
+    # exactly like the oracle's GROUPING() CASE — isNotNull() would
+    # misattribute rows whose ts itself is NULL
     return g.agg(
         F.count(F.lit(1)).cast("bigint").alias("n_events"),
         F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("sum_value"),
+        F.grouping("h").alias("_gh"),
+        F.grouping("d").alias("_gd"),
     ).select(
         F.coalesce("h", "d", "m").alias("bucket"),
-        F.when(F.col("h").isNotNull(), "hour")
-        .when(F.col("d").isNotNull(), "day")
+        F.when(F.col("_gh") == 0, "hour")
+        .when(F.col("_gd") == 0, "day")
         .otherwise("month").alias("resolution"),
         "n_events", "sum_value",
     )

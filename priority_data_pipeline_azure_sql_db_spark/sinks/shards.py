@@ -41,7 +41,10 @@ def write_shards(
     if shard_by is not None:
         if not num_shards:
             raise ValueError("shard_by requires num_shards")
-        writer = df.repartition(num_shards, F.pmod(F.xxhash64(shard_by), F.lit(num_shards)))
+        # single hash layer: repartition already places rows by
+        # hash(column) % num_shards — pre-hashing ourselves would add a
+        # second hash over N distinct values and leave some shards empty
+        writer = df.repartition(num_shards, F.col(shard_by))
     (
         writer.write.mode("overwrite")
         .option("maxRecordsPerFile", max_records_per_file)

@@ -37,13 +37,19 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    # Self-tune ONLY the untouched default: 200 shuffle partitions on a
-    # single-node session wastes task overhead (a 16-row join under the
-    # default inherits 200-task stages). A deliberately-set value — ours
-    # or a caller's — is respected. On a real cluster the default is
-    # left alone and AQE coalescing governs.
+    # Self-tune ONLY local-mode sessions still at the untouched 200
+    # default: single-node, 200 shuffle partitions is pure task overhead
+    # (a 16-row join inherits 200-task stages). Guarded on the master URL
+    # so a cluster session is NEVER touched — there the default must stay
+    # high (AQE coalesces down, never up) — and a caller's explicit
+    # setting on a local session is indistinguishable from the default
+    # only at exactly 200, the one value nobody sets deliberately for
+    # local work.
     try:
-        if spark.conf.get("spark.sql.shuffle.partitions") == "200":
+        if (
+            spark.conf.get("spark.master", "").startswith("local")
+            and spark.conf.get("spark.sql.shuffle.partitions") == "200"
+        ):
             spark.conf.set("spark.sql.shuffle.partitions", "32")
     except Exception:
         pass  # conf may be unreadable on exotic sessions; never fail a scan

@@ -196,6 +196,36 @@ def test_merge_rewrites_only_touched_partitions(spark, tmp_path):
     assert rows == 0
 
 
+def test_merge_handles_null_audit_timestamp(spark, tmp_path):
+    """Rows with a NULL audit timestamp live in Hive's default partition;
+    the partition-scoped merge must still update them (isin() alone never
+    matches NULL) and must not crash on the None partition value."""
+    from pyspark.sql import functions as F
+
+    from priority_data_pipeline_azure_sql_db_spark.pipeline import StagingStore
+
+    store = StagingStore(root=str(tmp_path / "stg"))
+
+    def batch(rows, ts):
+        ts_col = F.lit(ts).cast("timestamp") if ts else F.lit(None).cast("timestamp")
+        return spark.createDataFrame(rows, "pk bigint, v string").withColumn(
+            "extractionid", F.lit("run")
+        ).withColumn("extractiontimestamputc", ts_col)
+
+    store.overwrite(
+        batch([(1, "a")], "2026-01-01 12:00:00").unionByName(batch([(2, "b")], None)),
+        "t",
+    )
+    # update the null-partition row from a dated delta
+    store.merge(spark, batch([(2, "b2")], "2026-01-02 12:00:00"), "t", ["pk"])
+    got = {(r.pk, r.v) for r in store.read(spark, "t").collect()}
+    assert got == {(1, "a"), (2, "b2")}
+    # and write INTO the null partition without crashing
+    store.merge(spark, batch([(3, "c")], None), "t", ["pk"])
+    got = {(r.pk, r.v) for r in store.read(spark, "t").collect()}
+    assert got == {(1, "a"), (2, "b2"), (3, "c")}
+
+
 def test_sharded_export_with_manifest(spark, sf_dir, tmp_path):
     """Corpus export: every shard respects maxRecordsPerFile, the manifest
     accounts for every row, and key-sharding is deterministic (same key →

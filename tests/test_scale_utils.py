@@ -103,3 +103,17 @@ def test_winnow_single_shuffle_and_sample_shuffle_free(spark, sf_dir):
     assert wp.count("Exchange") == 1, f"winnow should shuffle once:\n{wp}"
     sp = hash_sample(d, "doc_id", 0.3)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in sp, f"sampling must not shuffle:\n{sp}"
+
+
+def test_check_order_window_integrity():
+    """Every CHECK_ORDER name must resolve in the registry (a typo would
+    silently shift the driver's 50-query window) and the window must be
+    exactly the first 50 returned entries."""
+    import __spark_entry__ as E
+
+    qs = E.queries()
+    assert len(E.CHECK_ORDER) == 50
+    assert len(set(E.CHECK_ORDER)) == 50
+    missing = [n for n in E.CHECK_ORDER if n not in qs]
+    assert not missing, f"CHECK_ORDER names not in registry: {missing}"
+    assert list(qs)[:50] == E.CHECK_ORDER
