@@ -119,3 +119,55 @@ def test_bookmark_roundtrip_property(ts, tz):
     back = cfg.to_utc(s)
     delta = abs((back - ts).total_seconds())
     assert delta <= 3600, f"{ts} {tz} -> {s} -> {back}"
+
+
+asof_lefts = st.lists(
+    st.tuples(st.integers(0, 3), st.integers(0, 100)),  # (key, ts-seconds)
+    min_size=1, max_size=10,
+)
+asof_rights = st.lists(
+    st.tuples(st.integers(0, 3), st.integers(0, 100), st.integers(0, 9)),
+    min_size=0, max_size=10,
+)
+
+
+@given(asof_lefts, asof_rights, st.booleans(), st.sampled_from(["backward", "forward"]))
+@SETTINGS
+def test_asof_join_property(spark, lefts, rights, exact, direction):
+    """asof_join equals the brute-force per-left-row reference on random
+    small inputs across direction × exact-match settings; right-side ties
+    at the same (key, ts) resolve to the greatest value (the operator's
+    documented deterministic tie-break)."""
+    from priority_data_pipeline_azure_sql_db_spark.operators.asof import asof_join
+
+    base = datetime(2026, 1, 1)
+    l = spark.createDataFrame(
+        [(i, k, base + timedelta(seconds=s)) for i, (k, s) in enumerate(lefts)],
+        "lid int, k int, ts timestamp",
+    )
+    r = spark.createDataFrame(
+        [(k, base + timedelta(seconds=s), v) for k, s, v in rights],
+        "k int, rts timestamp, v int",
+    ) if rights else spark.createDataFrame([], "k int, rts timestamp, v int")
+
+    got = {row.lid: row.v_asof
+           for row in asof_join(l, r, ["k"], "ts", "rts", ["v"],
+                                direction=direction,
+                                allow_exact_matches=exact).collect()}
+
+    for i, (k, s) in enumerate(lefts):
+        if direction == "backward":
+            cands = [(rs, rv) for rk, rs, rv in rights
+                     if rk == k and (rs <= s if exact else rs < s)]
+            pick = max(cands) if cands else None  # latest ts, then greatest v
+        else:
+            cands = [(rs, rv) for rk, rs, rv in rights
+                     if rk == k and (rs >= s if exact else rs > s)]
+            # earliest ts; ties at that ts -> greatest v (struct tie-break)
+            if cands:
+                ts_min = min(rs for rs, _ in cands)
+                pick = (ts_min, max(rv for rs, rv in cands if rs == ts_min))
+            else:
+                pick = None
+        expect = pick[1] if pick else None
+        assert got[i] == expect, (i, k, s, direction, exact, got[i], expect)
