@@ -36,14 +36,20 @@ def interval_join(
     names; callers should pre-alias collisions."""
     if upper_seconds <= lower_seconds:
         raise ValueError("upper_seconds must exceed lower_seconds")
-    width_ms = int((upper_seconds - lower_seconds) * 1000)
+    # Round the ms bounds FIRST and derive the bucket width from them, so
+    # the two-bucket candidate generation and the delta filter agree by
+    # construction: independent truncation could make width_ms < up_ms -
+    # lo_ms for fractional bounds (e.g. lower=0.0009, upper=1.0 → width
+    # 999 vs span 1000), silently dropping pairs in the gap; int() also
+    # truncates toward zero for negative lower bounds, shifting by 1ms.
+    lo_ms = round(lower_seconds * 1000)
+    up_ms = round(upper_seconds * 1000)
+    width_ms = up_ms - lo_ms
     if width_ms < 1:
         raise ValueError(
-            "interval narrower than 1ms: bucket width truncates to zero "
+            "interval narrower than 1ms: bucket width rounds to zero "
             f"(lower={lower_seconds}s, upper={upper_seconds}s)"
         )
-    lo_ms = int(lower_seconds * 1000)
-    up_ms = int(upper_seconds * 1000)
 
     l = left.withColumn("__lms", F.unix_millis(F.col(left_ts)))
     r = right.withColumn("__rms", F.unix_millis(F.col(right_ts)))

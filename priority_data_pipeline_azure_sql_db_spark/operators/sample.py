@@ -61,6 +61,11 @@ def stratified_mix(df: DataFrame, stratum_col: str, key_col: str,
     step (e.g. keep 100% of books, 10% of web). Strata absent from
     ``fractions`` are dropped; the verdict is the same hash gate as
     ``hash_sample`` with the threshold chosen by stratum."""
+    if not fractions:
+        raise ValueError(
+            "stratified_mix requires at least one stratum fraction "
+            "(an empty mix would silently drop the whole corpus)"
+        )
     for s, f in fractions.items():
         if not 0.0 <= f <= 1.0:
             raise ValueError(f"fraction for {s!r} must be in [0, 1], got {f}")

@@ -55,22 +55,37 @@ def write_shards(
 
 def write_manifest(path: str) -> dict:
     """Scan the shard directory's parquet footers into ``_manifest.jsonl``
-    (one line per shard: name, rows, bytes) and return a summary."""
-    import pyarrow.parquet as pq
+    (one line per shard: name relative to ``path``, rows, bytes) and
+    return a summary.
 
+    Listing goes through ``pyarrow.fs`` (resolved from the path/URI, so
+    ``s3://...`` and ``hdfs://...`` work the same as a local directory)
+    and recurses, so Hive-partitioned layouts (``key=value/part-*.parquet``)
+    are fully enumerated — not just top-level files."""
+    import pyarrow.parquet as pq
+    from pyarrow import fs as pafs
+
+    filesystem, root = pafs.FileSystem.from_uri(path) if "://" in path else (
+        pafs.LocalFileSystem(), os.path.abspath(path)
+    )
+    infos = filesystem.get_file_info(
+        pafs.FileSelector(root, recursive=True, allow_not_found=False)
+    )
     entries = []
-    for name in sorted(os.listdir(path)):
-        if not name.endswith(".parquet"):
+    for info in sorted(infos, key=lambda i: i.path):
+        if info.type != pafs.FileType.File or not info.path.endswith(".parquet"):
             continue
-        full = os.path.join(path, name)
+        with filesystem.open_input_file(info.path) as f:
+            n_rows = pq.ParquetFile(f).metadata.num_rows
         entries.append({
-            "file": name,
-            "rows": pq.ParquetFile(full).metadata.num_rows,
-            "bytes": os.path.getsize(full),
+            "file": os.path.relpath(info.path, root),
+            "rows": n_rows,
+            "bytes": info.size,
         })
-    with open(os.path.join(path, MANIFEST_NAME), "w") as fh:
+    manifest_path = f"{root.rstrip('/')}/{MANIFEST_NAME}"
+    with filesystem.open_output_stream(manifest_path) as out:
         for e in entries:
-            fh.write(json.dumps(e) + "\n")
+            out.write((json.dumps(e) + "\n").encode())
     return {
         "shards": len(entries),
         "rows": sum(e["rows"] for e in entries),
@@ -79,5 +94,11 @@ def write_manifest(path: str) -> dict:
 
 
 def read_manifest(path: str) -> list[dict]:
-    with open(os.path.join(path, MANIFEST_NAME)) as fh:
-        return [json.loads(line) for line in fh if line.strip()]
+    from pyarrow import fs as pafs
+
+    filesystem, root = pafs.FileSystem.from_uri(path) if "://" in path else (
+        pafs.LocalFileSystem(), os.path.abspath(path)
+    )
+    with filesystem.open_input_stream(f"{root.rstrip('/')}/{MANIFEST_NAME}") as fh:
+        text = fh.read().decode()
+    return [json.loads(line) for line in text.splitlines() if line.strip()]

@@ -14,6 +14,7 @@ materialization ever happens here.
 
 from __future__ import annotations
 
+import logging
 import os
 
 from pyspark.sql import DataFrame, SparkSession
@@ -22,6 +23,8 @@ from pyspark.sql import functions as F
 from ..catalog import TABLES
 
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+_log = logging.getLogger(__name__)
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -50,6 +53,12 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             spark.conf.get("spark.master", "").startswith("local")
             and spark.conf.get("spark.sql.shuffle.partitions") == "200"
         ):
+            # session-global rewrite: announce it so a caller who DID mean
+            # 200 on a local session can see (and pin) their choice
+            _log.info(
+                "load_table: local session at default shuffle.partitions=200; "
+                "self-tuning to 32 (set any non-200 value to opt out)"
+            )
             spark.conf.set("spark.sql.shuffle.partitions", "32")
     except Exception:
         pass  # conf may be unreadable on exotic sessions; never fail a scan

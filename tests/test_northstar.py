@@ -213,6 +213,11 @@ def test_hash_sampling_deterministic(spark, sf_dir):
     assert {r.source for r in kept} == {"src0"}  # 0-fraction and unknown dropped
     assert kept[0]["count"] == d.filter(F.col("source") == "src0").count()
 
+    import pytest
+
+    with pytest.raises(ValueError, match="at least one stratum"):
+        stratified_mix(d, "source", "doc_id", {})
+
 
 def test_text_quality_and_langid(spark):
     df = spark.sql(

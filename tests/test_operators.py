@@ -245,3 +245,20 @@ def test_interval_join_generic(spark, sf_dir):
     ids = {x.rid for x in interval_join(l, r, ["k"], "ts", "rts", 0, 60,
                                         inclusive_lower=True).collect()}
     assert ids == {200, 201, 202}
+
+
+def test_interval_join_fractional_bounds(spark):
+    """Fractional-second bounds: the bucket width must be derived from the
+    rounded ms bounds (lower=0.0009 ≈ 1ms, upper=1.0 → width 999ms), or a
+    pair whose delta equals the full span falls outside the two candidate
+    buckets and is silently dropped."""
+    from priority_data_pipeline_azure_sql_db_spark.operators.interval import interval_join
+
+    l = spark.sql("SELECT * FROM VALUES (1, TIMESTAMP '2026-01-01 00:00:00') AS t(k, ts)")
+    r = spark.sql("""SELECT * FROM VALUES
+        (1, 900, TIMESTAMP '2026-01-01 00:00:00.9'),
+        (1, 1000, TIMESTAMP '2026-01-01 00:00:01') AS t(k, rid, rts)""")
+    ids = {x.rid for x in interval_join(l, r, ["k"], "ts", "rts",
+                                        lower_seconds=0.0009,
+                                        upper_seconds=1.0).collect()}
+    assert ids == {900, 1000}

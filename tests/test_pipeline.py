@@ -248,6 +248,16 @@ def test_sharded_export_with_manifest(spark, sf_dir, tmp_path):
     assert {r.doc_id for r in spark.read.parquet(out).collect()} == \
            {r.doc_id for r in docs.select("doc_id").collect()}
 
+    # partitioned (nested-directory) layout: the manifest must recurse,
+    # not just scan top-level *.parquet files
+    from priority_data_pipeline_azure_sql_db_spark.sinks.shards import write_manifest
+
+    nested = str(tmp_path / "nested")
+    docs.write.mode("overwrite").partitionBy("source").parquet(nested)
+    nsummary = write_manifest(nested)
+    assert nsummary["rows"] == n and nsummary["shards"] > 1
+    assert all("/" in e["file"] for e in read_manifest(nested))
+
 
 def test_parse_edmx_metadata():
     """O2: EDMX $metadata → entity docs matching the reference's shape
