@@ -237,3 +237,68 @@ def simhash(df: DataFrame, text_col: str, id_col: str, bits: int = 64) -> DataFr
         .groupBy("doc")
         .agg(F.sum("bit_val").cast("bigint").alias("simhash"))
     )
+
+
+def simhash_pairs(
+    df: DataFrame, text_col: str, id_col: str, max_hamming: int = 3,
+    signatures: DataFrame | None = None,
+) -> DataFrame:
+    """Near-dup pair retrieval over SimHash signatures — the second half
+    of the SimHash contract (block-LSH candidates + exact Hamming refine).
+
+    Pigeonhole guarantee: split the 64-bit signature into
+    ``max_hamming + 1`` equal bit-blocks; any pair at Hamming distance
+    <= max_hamming differs in at most max_hamming blocks, so it must
+    agree EXACTLY on at least one block. An equi-join on
+    (block index, block value) therefore finds every qualifying pair —
+    recall 1.0 — while only colliding documents fan out (the inverted-
+    index shape again, never O(n²)). The refine is a single JVM
+    expression: ``bit_count(sig_a XOR sig_b) <= max_hamming``.
+
+    At 100 TB: one shuffle to build signatures (see :func:`simhash`),
+    one equi-join shuffle keyed on (block, value) whose fan-out is
+    bounded by real near-duplicate density, plus a distinct on the
+    candidate pairs. No cross join, no Python.
+
+    Returns (id_a, id_b, hamming) with id_a < id_b.
+    """
+    n_blocks = max_hamming + 1
+    width = 64 // n_blocks
+    sig = signatures if signatures is not None else simhash(df, text_col, id_col)
+    # block b = bits [b*width, (b+1)*width); the last block also absorbs
+    # the 64 % n_blocks remainder bits so every bit is covered.
+    blocks = [
+        F.expr(
+            f"shiftrightunsigned(simhash, {b * width}) & {(1 << width) - 1}L"
+            if b < n_blocks - 1
+            else f"shiftrightunsigned(simhash, {b * width})"
+        )
+        for b in range(n_blocks)
+    ]
+    blocked = sig.select(
+        "doc", "simhash", F.posexplode(F.array(*blocks)).alias("blk", "blk_val")
+    )
+    l, r = blocked.alias("l"), blocked.alias("r")
+    cand = (
+        l.join(
+            r,
+            (F.col("l.blk") == F.col("r.blk"))
+            & (F.col("l.blk_val") == F.col("r.blk_val"))
+            & (F.col("l.doc") < F.col("r.doc")),
+        )
+        .select(
+            F.col("l.doc").alias("id_a"),
+            F.col("r.doc").alias("id_b"),
+            F.col("l.simhash").alias("_sa"),
+            F.col("r.simhash").alias("_sb"),
+        )
+        .distinct()
+    )
+    return (
+        cand.withColumn(
+            "hamming",
+            F.bit_count(F.col("_sa").bitwiseXOR(F.col("_sb"))).cast("int"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )

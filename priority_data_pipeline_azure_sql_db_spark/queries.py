@@ -1511,6 +1511,107 @@ def dedup_simhash(spark, sf_dir):
     return D.simhash(load_table(spark, sf_dir, "documents"), "text", "doc_id").orderBy("doc")
 
 
+@query("dedup_simhash_pairs")  # xxhash64-based: no SQL twin → rows-only check
+def dedup_simhash_pairs(spark, sf_dir):
+    """SimHash near-dup retrieval: pigeonhole block-LSH candidates +
+    exact bit_count(xor) <= 3 Hamming refine — recall 1.0 by
+    construction (any pair within distance d agrees on one of the d+1
+    signature blocks). Signature hash family is Spark xxhash64, so no
+    DuckDB twin; the retrieval math itself is pytest-verified against
+    brute-force Hamming (tests/test_dedup.py)."""
+    return D.simhash_pairs(
+        load_table(spark, sf_dir, "documents"), "text", "doc_id", max_hamming=3
+    ).orderBy("id_a", "id_b")
+
+
+@query(
+    "dedup_jaccard_pairs_capped",
+    """
+    WITH canon AS (
+        SELECT CAST(MIN(doc_id) AS BIGINT) AS doc_id, text
+        FROM documents GROUP BY text
+    ), toks AS (
+        SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t FROM canon
+    ), sh AS (
+        SELECT DISTINCT doc_id AS doc,
+               array_to_string(t[i:i+4], ' ') AS shingle
+        FROM toks, LATERAL (
+            SELECT UNNEST(range(1, GREATEST(len(t) - 4, 0) + 1)) AS i
+        )
+    ), sizes AS (
+        SELECT doc, COUNT(*) AS n_sh FROM sh GROUP BY doc
+    ), keep AS (
+        SELECT shingle FROM sh GROUP BY shingle HAVING COUNT(*) <= 50
+    ), shj AS (
+        SELECT sh.doc, sh.shingle FROM sh JOIN keep USING (shingle)
+    ), inter AS (
+        SELECT a.doc AS id_a, b.doc AS id_b, COUNT(*) AS n_inter
+        FROM shj a JOIN shj b ON a.shingle = b.shingle AND a.doc < b.doc
+        GROUP BY 1, 2
+    )
+    SELECT id_a, id_b,
+           ROUND(CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter), 6) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc = id_a
+    JOIN sizes sb ON sb.doc = id_b
+    WHERE CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter) >= 0.2
+    """,
+)
+def dedup_jaccard_pairs_capped(spark, sf_dir):
+    """The PRODUCTION near-dup path: exact dedup first (removes the
+    mega-clusters whose members would otherwise exceed any doc-freq
+    cap), then Jaccard pairs with stop-shingles capped at doc_freq 50.
+    The cap bounds the inverted-index self-join fan-out — one viral
+    boilerplate shingle shared by m docs contributes m² candidates, so
+    uncapped it squares at corpus scale. The uncapped form stays
+    registered (dedup_ngram_jaccard) as the small-sf oracle twin."""
+    d = load_table(spark, sf_dir, "documents")
+    canon = d.groupBy("text").agg(F.min("doc_id").cast("bigint").alias("doc_id"))
+    return D.jaccard_pairs(canon, "text", "doc_id", k=5, threshold=0.2, max_doc_freq=50)
+
+
+@query(
+    "dedup_winnow_pairs_capped",
+    """
+    WITH canon AS (
+        SELECT CAST(MIN(doc_id) AS BIGINT) AS doc_id, text
+        FROM documents GROUP BY text
+    ), norm AS (
+        SELECT doc_id, regexp_replace(lower(text), '[^a-z0-9]', '', 'g') AS t
+        FROM canon
+    ), grams AS (
+        SELECT doc_id, pos, LENGTH(t) - 7 AS maxpos, md5(substr(t, pos, 8)) AS h
+        FROM norm, UNNEST(generate_series(1, GREATEST(LENGTH(t) - 7, 0))) AS u(pos)
+    ), wins AS (
+        SELECT doc_id, pos, maxpos,
+               MIN(h) OVER (PARTITION BY doc_id ORDER BY pos
+                            ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp
+        FROM grams
+    ), fps AS (
+        SELECT DISTINCT doc_id, fp FROM wins WHERE pos <= maxpos - 3
+    ), keep AS (
+        SELECT fp FROM fps GROUP BY fp HAVING COUNT(*) <= 50
+    ), fpk AS (
+        SELECT fps.doc_id, fps.fp FROM fps JOIN keep USING (fp)
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(COUNT(*) AS BIGINT) AS shared_fps
+    FROM fpk a JOIN fpk b ON a.fp = b.fp AND a.doc_id < b.doc_id
+    GROUP BY 1, 2 HAVING COUNT(*) >= 25
+    """,
+)
+def dedup_winnow_pairs_capped(spark, sf_dir):
+    """Production winnowing near-dup: exact dedup → stop-print cap 50 →
+    inverted-index pair join (the composition the winnow_near_dup
+    docstring prescribes: dedup removes mega-clusters so the cap only
+    drops boilerplate prints, cutting the sf0.1 self-join ~15× while
+    keeping real pairs). Uncapped twin stays as dedup_winnow_pairs."""
+    d = load_table(spark, sf_dir, "documents")
+    canon = d.groupBy("text").agg(F.min("doc_id").cast("bigint").alias("doc_id"))
+    return X.winnow_near_dup(canon, "text", "doc_id", k=8, w=4, min_shared=25,
+                             max_doc_freq=50)
+
+
 @query(
     "text_token_stats",
     """

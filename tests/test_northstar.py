@@ -58,6 +58,37 @@ def test_simhash_near_for_near_dups(spark):
     assert ham_13 < ham_14                 # near-dup closer than unrelated
 
 
+def _bruteforce_hamming_pairs(sig: dict, max_hamming: int) -> set:
+    mask = (1 << 64) - 1
+    return {
+        (a, b, bin((sig[a] ^ sig[b]) & mask).count("1"))
+        for a in sig for b in sig
+        if a < b and bin((sig[a] ^ sig[b]) & mask).count("1") <= max_hamming
+    }
+
+
+def test_simhash_pairs_equals_bruteforce(spark, sf_dir):
+    """Block-LSH retrieval must return EXACTLY the brute-force Hamming
+    pairs (pigeonhole guarantees recall 1.0; the refine kills the rest)."""
+    d = load_table(spark, sf_dir, "documents")
+    sig = {r.doc: r.simhash for r in D.simhash(d, "text", "doc_id").collect()}
+    for max_hamming in (0, 3, 7):
+        expected = _bruteforce_hamming_pairs(sig, max_hamming)
+        got = {(r.id_a, r.id_b, r.hamming) for r in
+               D.simhash_pairs(d, "text", "doc_id", max_hamming=max_hamming).collect()}
+        assert got == expected
+    # the seeded corpus must actually contain near-dup pairs, or the
+    # equality above proves nothing
+    assert _bruteforce_hamming_pairs(sig, 3)
+
+
+def test_simhash_pairs_small_corpus(spark):
+    pairs = {(r.id_a, r.id_b): r.hamming for r in
+             D.simhash_pairs(docs(spark), "text", "doc_id", max_hamming=3).collect()}
+    assert pairs[(1, 2)] == 0              # identical docs at distance 0
+    assert (1, 4) not in pairs             # unrelated docs beyond the radius
+
+
 def test_cosine_topk(spark, sf_dir):
     emb = load_table(spark, sf_dir, "embeddings")
     out = S.cosine_topk_bruteforce(emb, emb.filter(F.col("vec_id") < 3), k=4)
