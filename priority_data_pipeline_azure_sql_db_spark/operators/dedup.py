@@ -24,6 +24,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from .scale import spread
 from .text import TOKEN_SPLIT_RE, fingerprint
 
 
@@ -68,9 +69,19 @@ def _shingle_rows(df: DataFrame, text_col: str, id_col: str, k: int) -> DataFram
     re-runs per shingle instead of per row — measured 4× slower at sf0.1.
     With the split bound to a column first, the lambda only slices a
     ready array.
+
+    The raw (doc, text) rows are hash-spread on the doc id before the
+    tokenize+explode (pinned repartition — operators/scale.py): the
+    shingle fan-out is ~100× the input rows, and without the guard a
+    single-file scan (or an AQE-coalesced exchange) runs the whole
+    explode single-threaded. Downstream per-doc aggregates (distinct,
+    signature mins, set sizes) reuse the doc clustering shuffle-free.
     """
-    toks = F.split(F.trim(F.lower(F.col(text_col))), TOKEN_SPLIT_RE)
-    t = df.select(F.col(id_col).alias("doc"), toks.alias("_toks"))
+    t = spread(
+        df.select(F.col(id_col).alias("doc"), F.col(text_col).alias("_txt")), "doc"
+    )
+    toks = F.split(F.trim(F.lower(F.col("_txt"))), TOKEN_SPLIT_RE)
+    t = t.select("doc", toks.alias("_toks"))
     # documents shorter than k tokens produce no shingles (sequence(1,0)
     # would DESCEND in Spark, so guard explicitly)
     sh = F.when(
@@ -214,29 +225,38 @@ def minhash_dedup_candidates(df: DataFrame, text_col: str, id_col: str,
 def simhash(df: DataFrame, text_col: str, id_col: str, bits: int = 64) -> DataFrame:
     """64-bit SimHash: per-bit majority vote over token xxhash64 values.
 
-    Implemented as explode(tokens) → per-(doc,bit) vote sum → bit OR-fold;
-    two shuffles on doc id, both partial-aggregated map-side.
+    Implemented as explode(tokens) → hash once per token → ONE hash-agg
+    per doc carrying ``bits`` vote-sum expressions
+    (``sum(IF(getbit(h, b) = 1, 1, -1))`` for b in 0..bits-1) → bit
+    assembly from the vote columns. The earlier form posexploded a
+    ``bits``-element array per token — a 64× shuffle-input inflation the
+    map-side partial agg only partly absorbed; the aggregate-expression
+    form produces the identical signature (same votes, same majority
+    rule) from |tokens| rows with zero row multiplication and a single
+    doc-id shuffle.
     """
-    toks = F.explode(F.split(F.trim(F.lower(F.col(text_col))), TOKEN_SPLIT_RE)).alias("tok")
-    tok_rows = df.select(F.col(id_col).alias("doc"), toks)
-    votes = tok_rows.select(
-        "doc",
-        F.posexplode(
-            F.expr(
-                f"transform(sequence(0, {bits - 1}), "
-                "b -> IF(getbit(xxhash64(tok), b) = 1, 1, -1))"
-            )
-        ).alias("bit", "vote"),
+    src = spread(
+        df.select(F.col(id_col).alias("doc"), F.col(text_col).alias("_txt")), "doc"
     )
-    bit_means = votes.groupBy("doc", "bit").agg(F.sum("vote").alias("v"))
-    return (
-        bit_means.withColumn(
-            "bit_val",
-            F.when(F.col("v") > 0, F.expr("shiftleft(1L, bit)")).otherwise(F.lit(0).cast("bigint")),
-        )
-        .groupBy("doc")
-        .agg(F.sum("bit_val").cast("bigint").alias("simhash"))
+    toks = F.explode(F.split(F.trim(F.lower(F.col("_txt"))), TOKEN_SPLIT_RE)).alias("tok")
+    hashed = src.select("doc", toks).select("doc", F.xxhash64("tok").alias("h"))
+    votes = hashed.groupBy("doc").agg(
+        *[
+            F.sum(
+                F.when(F.expr(f"getbit(h, {b})") == 1, F.lit(1)).otherwise(F.lit(-1))
+            ).alias(f"v{b}")
+            for b in range(bits)
+        ]
     )
+    bit_vals = [
+        F.when(F.col(f"v{b}") > 0, F.expr(f"shiftleft(1L, {b})"))
+        .otherwise(F.lit(0).cast("bigint"))
+        for b in range(bits)
+    ]
+    sig = bit_vals[0]
+    for bv in bit_vals[1:]:
+        sig = sig + bv
+    return votes.select("doc", sig.cast("bigint").alias("simhash"))
 
 
 def simhash_pairs(
@@ -256,12 +276,23 @@ def simhash_pairs(
     expression: ``bit_count(sig_a XOR sig_b) <= max_hamming``.
 
     At 100 TB: one shuffle to build signatures (see :func:`simhash`),
-    one equi-join shuffle keyed on (block, value) whose fan-out is
-    bounded by real near-duplicate density, plus a distinct on the
-    candidate pairs. No cross join, no Python.
+    one equi-join shuffle keyed on (block, value), plus a distinct on
+    the candidate pairs. No cross join, no Python. Candidate fan-out
+    caveat: with max_hamming=3 each block is only ~16 bits, so at
+    billion-doc scale *random* block collisions (~n²/2^16 per block)
+    dominate candidates regardless of near-dup density — the standard
+    mitigation is more prefix bits over permuted signature tables
+    (Manku, Jain & Sarma, WWW'07), which this single-table block join
+    approximates only for moderate corpus sizes.
 
     Returns (id_a, id_b, hamming) with id_a < id_b.
     """
+    if not 0 <= max_hamming < 64:
+        raise ValueError(
+            f"max_hamming must be in [0, 64): got {max_hamming} "
+            "(>= 64 would give zero-width blocks whose values all collapse "
+            "to 0, silently degenerating the equi-join into a cross join)"
+        )
     n_blocks = max_hamming + 1
     width = 64 // n_blocks
     sig = signatures if signatures is not None else simhash(df, text_col, id_col)

@@ -1,0 +1,51 @@
+"""Parallelism guards for row-amplifying operators.
+
+Why this exists (measured, round 5)
+-----------------------------------
+The text/embedding operators all start from a *small-on-disk* input
+(a few hundred KB of parquet = ONE scan partition) and then amplify it
+hundreds of times with ``explode``/``sequence``/cross joins before any
+shuffle. Two independent mechanisms then serialize the heavy stage:
+
+1. A single-file scan yields one input partition, so the amplifying
+   projection (e.g. 1.5M md5 k-grams at sf0.1) runs in ONE task —
+   measured 4.5-5.5s single-threaded vs ~0.2s spread over 32 cores.
+2. Even with a plain ``repartition(key)`` ahead of it, AQE's
+   ``coalescePartitions`` sees only the tiny map-side shuffle bytes
+   (600 KB of raw text < the 1 MB min partition size) and coalesces
+   back to ONE partition — AQE is blind to generator amplification
+   below the exchange.
+
+The fix is a *pinned* hash repartition: ``repartition(n, key)`` with an
+explicit partition count, which AQE leaves untouched (user-specified
+numPartitions are not coalesced). Shuffling the raw rows (KB-MB) is
+strictly cheaper than shuffling the exploded rows (100s of MB), and
+when the downstream window/groupBy keys on the same column the
+post-explode exchange is elided entirely — the explode, hash, sort,
+window and partial aggregate all fuse into one stage that is already
+correctly distributed.
+
+At 100 TB the same guard is what you'd write by hand: key-partition the
+documents once, cheaply, before fan-out, and let every downstream
+per-document operator reuse that clustering.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+
+def spread(df: DataFrame, *key_cols: str, num_partitions: int | None = None) -> DataFrame:
+    """Pinned repartition ahead of a row-amplifying operator.
+
+    ``key_cols`` should be the column(s) the downstream window/groupBy
+    clusters on, so the explicit exchange *replaces* (not adds to) the
+    one Catalyst would insert after the explode. With no keys, uses
+    round-robin (for cross-join streamed sides with no natural key).
+
+    ``num_partitions`` defaults to ``sparkContext.defaultParallelism``
+    (total cores) — explicit so AQE cannot coalesce it to 1; see module
+    docstring for why that happens and what it costs.
+    """
+    n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    return df.repartition(n, *key_cols) if key_cols else df.repartition(n)

@@ -18,6 +18,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from .scale import spread
+
 
 def _as_double(col: Column) -> Column:
     return F.transform(col, lambda x: x.cast("double"))
@@ -54,7 +56,11 @@ def cosine_topk_bruteforce(
     (query_id, neighbor_id, sim, rank).
     """
     # norms computed once per ROW, not once per pair: |c|+|q| norm folds
-    # instead of |c|·|q| (the cast-to-double is also done once per side)
+    # instead of |c|·|q| (the cast-to-double is also done once per side).
+    # The corpus is the STREAMED side of the broadcast cross join — if it
+    # arrives as one scan partition (small single-file parquet) the whole
+    # |c|·|q| score loop runs in one task; spread it first (scale.py).
+    corpus = spread(corpus)
     q = queries.select(
         F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("qv")
     ).select("query_id", "qv", l2_norm(F.col("qv")).alias("qn"))

@@ -1518,7 +1518,7 @@ def dedup_simhash_pairs(spark, sf_dir):
     construction (any pair within distance d agrees on one of the d+1
     signature blocks). Signature hash family is Spark xxhash64, so no
     DuckDB twin; the retrieval math itself is pytest-verified against
-    brute-force Hamming (tests/test_dedup.py)."""
+    brute-force Hamming (tests/test_northstar.py)."""
     return D.simhash_pairs(
         load_table(spark, sf_dir, "documents"), "text", "doc_id", max_hamming=3
     ).orderBy("id_a", "id_b")

@@ -64,11 +64,18 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         pass  # conf may be unreadable on exotic sessions; never fail a scan
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events":
-        # conversion is conditional on the read dtype: under nanosAsLong the
-        # column lands as bigint ns; if a future writer emits µs timestamps
-        # directly, the column is already a timestamp and passes through.
-        if dict(df.dtypes).get("ts") == "bigint":
+        # conversion is conditional on the read dtype — the fixture writer
+        # has shipped three variants across rounds: TIMESTAMP(NANOS)
+        # (→ bigint under nanosAsLong), timestamp[us] without the UTC flag
+        # (→ timestamp_ntz), and plain µs timestamps. Normalize all three
+        # to a session-zone TIMESTAMP so downstream unix_millis/window
+        # functions see one type. NTZ→LTZ cast reinterprets the wall clock
+        # in the session zone, which is pinned to UTC (session.py).
+        ts_type = dict(df.dtypes).get("ts")
+        if ts_type == "bigint":
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif ts_type == "timestamp_ntz":
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
         df = df.select("event_id", "ts", "user_id", "event_type", "value", "props")
     return df
 

@@ -23,21 +23,34 @@ from ..catalog import schema_for
 
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """File-source stream over the events parquet (explicit schema — file
-    streams can't infer). ts is TIMESTAMP(NANOS) on disk → long + µs convert
-    (see sources/parquet.py)."""
-    raw_schema = (
-        "event_id bigint, ts bigint, user_id bigint, event_type string, "
-        "value double, props string"
-    )
+    streams can't infer).
+
+    ``ts`` has shipped as both TIMESTAMP(NANOS) and timestamp[us] across
+    fixture generations, so the on-disk type is probed from the footer
+    (a batch-read schema call — metadata only, no data scan) and the
+    stream schema + µs conversion adapt to it, mirroring the conditional
+    in sources/parquet.py:load_table."""
+    import os
+
     # self-provision for vanilla sessions: the vectorized reader rejects
     # TIMESTAMP(NANOS) unless it's read back as long (see sources/parquet.py)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    return (
+    footer = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).schema
+    ts_type = dict((f.name, f.dataType.simpleString()) for f in footer).get("ts")
+    raw_schema = (
+        f"event_id bigint, ts {ts_type}, user_id bigint, event_type string, "
+        "value double, props string"
+    )
+    stream = (
         spark.readStream.schema(raw_schema)
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
-        .withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
     )
+    if ts_type == "bigint":
+        stream = stream.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    elif ts_type == "timestamp_ntz":
+        stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
+    return stream
 
 
 def tumbling_counts(events: DataFrame, window: str = "1 hour",
