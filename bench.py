@@ -49,27 +49,34 @@ HEADLINE = [
 
 
 def main() -> None:
-    spark = get_spark("bench")
+    # Bench methodology (root-caused round 5, see ARCHITECTURE.md):
+    # 1. AQE OFF for the bench session only. AdaptiveSparkPlan re-plans on
+    #    EVERY execution, emitting fresh generated classes each run, so the
+    #    JIT never reaches steady state — measured 1.3s-62s for identical
+    #    warm executions of one query. Engine defaults keep AQE on (it
+    #    earns its keep on clusters); the bench measures the steady-state
+    #    executed plan.
+    # 2. Build each query's DataFrame ONCE and execute it repeatedly.
+    #    Rebuilding per attempt mints fresh expression IDs → different
+    #    generated source → codegen-cache miss → re-JIT every attempt.
+    spark = get_spark("bench", extra_conf={"spark.sql.adaptive.enabled": "false"})
     spark.range(1).count()  # JVM warm-up outside the timed region
 
     timings: dict[str, float] = {}
     for name in HEADLINE:
-        fn = QUERIES[name]
         spark.catalog.clearCache()
-        # Warm-up + min-of-warm: each query's generated code JITs lazily.
-        # Wide single-stage pipelines (explode+window+agg fused) compile a
-        # LOT of bytecode and HotSpot can run several executions partly
-        # interpreted/deoptimized (measured r5: identical warm attempts
-        # spanning 0.6s-7s, 3-60x CPU inflation, converging by ~attempt 6).
-        # So: run until the minimum stops improving for 2 consecutive
-        # attempts (or 8 attempts), report the min, and log every attempt
-        # to stderr so drift is observable instead of mysterious.
+        df = QUERIES[name](spark, SF_DIR)  # plan ONCE; execute hot below
+        # Warm-up + min-of-warm: generated code JITs lazily, and wide
+        # fused pipelines compile enough bytecode that the first 1-3
+        # executions run partly interpreted. Run until the minimum stops
+        # improving for 2 consecutive attempts (cap 8), report the min,
+        # and log every attempt to stderr so drift stays observable.
         attempts: list[float] = []
         best = float("inf")
         since_improve = 0
         for attempt in range(9):
             t0 = time.time()
-            fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
+            df.write.format("noop").mode("overwrite").save()
             dt = time.time() - t0
             attempts.append(round(dt, 3))
             if attempt == 0:
