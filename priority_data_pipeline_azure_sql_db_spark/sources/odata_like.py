@@ -3,22 +3,40 @@
 The reference's extractor is one HTTP GET per entity with a hand-built
 ``$filter=<field> ge <ts>`` and no paging/parallelism
 (reference resources/priorityDataSource.py:639-746). This connector models that
-protocol on the DataSource V2 surface and fixes its two structural gaps
+protocol on the DataSource V2 surface and fixes its structural gaps
 (SURVEY.md §4):
 
 - **Filter pushdown** (``pushFilters``): comparison/equality predicates are
   accepted and evaluated source-side — the engine-level analog of the
   hand-built ``$filter`` string, except Catalyst derives it from the query.
 - **Partitioned parallel scan** (``partitions``): the entity is served as
-  row-group slices (the local stand-in for date-range-sliced API pulls),
+  slices (``$skip``/``$top`` pages over HTTP, row ranges over parquet),
   so N executors fetch concurrently instead of the reference's single
   unbounded request.
+- **Column pruning** (``$select`` — absent from the reference, SURVEY §4):
+  the ``select`` option narrows both the declared schema and the bytes
+  fetched per slice (``$select=`` on HTTP, ``columns=`` on the parquet
+  reader).
+- **Source-level ``$expand``**: the ``expand`` option inlines child rows
+  as an ``ArrayType(StructType)`` ``<child>_subform`` column per parent
+  row — the response shape the reference gets from
+  ``$expand=X_SUBFORM`` (reference resources/priorityDataSource.py:696-703).
 
-The local "API backend" is the entity's parquet file read via pyarrow —
-swap ``_fetch_slice`` for an HTTP GET with ``$filter``/``$skip``/``$top``
-params against a real OData endpoint; the Spark-facing surface is
-identical. Reads yield Arrow RecordBatches, so rows never pass through
-Python object conversion.
+Two interchangeable backends, selected by option:
+
+- ``uri`` — REAL HTTP transport: ``GET <uri>/<entity>?$filter=...&
+  $skip=o&$top=n[&$select=...][&$expand=X_SUBFORM]`` with Basic auth
+  (reference resources/priorityDataSource.py:246-256 builds the same
+  header) and bounded exponential-backoff retry on 5xx/connection
+  errors. Schema comes from ``<uri>/$metadata`` EDMX (same discovery
+  order as the reference: metadata before any data pull). Page count
+  comes from OData ``<uri>/<entity>/$count`` with a single-page
+  fallback.
+- ``path`` — parquet fixture backend (the driver default): the entity's
+  parquet file read via pyarrow, serving the same slice contract.
+
+Reads yield Arrow RecordBatches, so rows never pass through Python
+object conversion on the engine side.
 """
 
 from __future__ import annotations
@@ -45,66 +63,219 @@ FORMAT_NAME = "odata_like"
 
 @dataclass
 class RowRangeSlice(InputPartition):
-    """One parallel pull: a contiguous row range of the entity — the
-    ``$skip``/``$top`` paging analog (works regardless of the backend's
-    physical layout; a real OData server pages server-side)."""
+    """One parallel pull: ``$skip``/``$top`` paging over HTTP, a
+    contiguous row range over the parquet backend. ``length=None`` means
+    an unbounded tail pull (single-page fallback when $count fails)."""
 
     offset: int
-    length: int
+    length: int | None
+
+
+# ---------------------------------------------------------------------------
+# HTTP plumbing (reference resources/priorityDataSource.py:246-256, :727-731)
+# ---------------------------------------------------------------------------
+
+def basic_auth_header(user: str, password: str) -> dict[str, str]:
+    """The reference's authHeader: base64 Basic credentials."""
+    import base64
+
+    cred = base64.b64encode(f"{user}:{password}".encode()).decode()
+    return {"Authorization": f"Basic {cred}"}
+
+
+def http_get(
+    url: str,
+    params: dict | None = None,
+    headers: dict | None = None,
+    max_retries: int = 3,
+    backoff_s: float = 0.2,
+    timeout_s: float = 30.0,
+) -> bytes:
+    """GET with bounded exponential-backoff retry.
+
+    Retries connection errors and 5xx (transient server side); 4xx raise
+    immediately (caller bug — retrying would mask it). The reference has
+    no retry at all and logs-and-continues on error status
+    (priorityDataSource.py:255-259); failing loudly is the fix SURVEY §4
+    calls for.
+    """
+    import time
+    import urllib.error
+    import urllib.parse
+    import urllib.request
+
+    full = url + ("?" + urllib.parse.urlencode(params) if params else "")
+    attempt = 0
+    while True:
+        try:
+            req = urllib.request.Request(full, headers=headers or {})
+            with urllib.request.urlopen(req, timeout=timeout_s) as r:
+                return r.read()
+        except urllib.error.HTTPError as e:
+            if e.code < 500 or attempt >= max_retries:
+                raise
+        except (urllib.error.URLError, OSError, TimeoutError):
+            if attempt >= max_retries:
+                raise
+        attempt += 1
+        time.sleep(backoff_s * (2 ** (attempt - 1)))
+
+
+def odata_filter_string(accepted: list[tuple[str, str, object]]) -> str | None:
+    """Render accepted Catalyst filters as an OData v4 ``$filter`` string
+    (the machine-built analog of the reference's hand-built
+    ``FIELD ge <ts>``, priorityDataSource.py:670-675)."""
+    import datetime as _dt
+
+    ops = {
+        "EqualTo": "eq", "GreaterThan": "gt", "GreaterThanOrEqual": "ge",
+        "LessThan": "lt", "LessThanOrEqual": "le",
+    }
+    parts = []
+    for col, op, value in accepted:
+        if op == "IsNotNull":
+            parts.append(f"{col} ne null")
+            continue
+        if isinstance(value, _dt.datetime):
+            v = value.astimezone(_dt.timezone.utc).replace(tzinfo=None).isoformat() + "Z" \
+                if value.tzinfo is not None else value.isoformat() + "Z"
+        elif isinstance(value, str):
+            v = "'" + value.replace("'", "''") + "'"
+        elif isinstance(value, bool):
+            v = "true" if value else "false"
+        else:
+            v = repr(value) if not isinstance(value, (int, float)) else str(value)
+        parts.append(f"{col} {ops[op]} {v}")
+    return " and ".join(parts) if parts else None
+
+
+def _subform_field(child: str) -> str:
+    """Reference naming: $expand param and response key are
+    ``<CHILD>_SUBFORM`` (priorityDataSource.py:699-701); the engine
+    lowercases identifiers (O9)."""
+    return f"{child.lower()}_subform"
 
 
 class ODataLikeDataSource(DataSource):
-    """``spark.read.format("odata_like").option("path", dir).option("entity", name)``"""
+    """``spark.read.format("odata_like")`` with options:
+
+    - ``entity`` (required), and ``path`` (parquet dir) or ``uri`` (HTTP
+      service root)
+    - ``select``: comma list — column pruning ($select)
+    - ``expand``: comma list of child entities inlined as
+      ``<child>_subform`` array<struct> columns ($expand)
+    - ``expandkeys``: ``parent_col:child_col`` FK pair for the parquet
+      backend's expand emulation (an HTTP server resolves this itself)
+    - ``user`` / ``password``: Basic auth (HTTP)
+    - ``pagesize`` (HTTP, default 10000), ``numpartitions`` (parquet,
+      default 8), ``maxretries`` (HTTP, default 3)
+    - ``edmx``: inline EDMX XML overriding schema discovery
+    """
 
     @classmethod
     def name(cls) -> str:
         return FORMAT_NAME
 
-    def schema(self) -> str | StructType:
-        # schema discovery order mirrors the reference: $metadata EDMX when
-        # provided (reference resources/priorityDataSource.py:347-458 fetches
-        # it before any data pull), else the backend's self-description
-        # (parquet footer — the local stand-in for a cached metadata doc)
-        edmx = self.options.get("edmx")
-        if edmx:
-            from ..catalog import parse_edmx, struct_type_from_metadata
+    # -- schema discovery (O2: $metadata EDMX before any data pull) ---------
 
-            entity = self.options.get("entity", "")
-            ents = {e["_id"].lower(): e for e in parse_edmx(edmx)}
+    def _edmx_entities(self) -> dict | None:
+        from ..catalog import parse_edmx
+
+        edmx = self.options.get("edmx")
+        if not edmx and self.options.get("uri"):
+            headers = self._auth(self.options)
+            edmx = http_get(
+                self.options["uri"].rstrip("/") + "/$metadata", headers=headers,
+                max_retries=int(self.options.get("maxretries", 3)),
+            ).decode()
+        if not edmx:
+            return None
+        return {e["_id"].lower(): e for e in parse_edmx(edmx)}
+
+    def schema(self) -> str | StructType:
+        from pyspark.sql import types as T
+
+        from ..catalog import struct_type_from_metadata
+
+        entity = self.options.get("entity", "")
+        ents = self._edmx_entities()
+        if ents is not None:
             if entity.lower() not in ents:
                 raise ValueError(
                     f"entity {entity!r} not in $metadata; has: {sorted(ents)}"
                 )
-            return struct_type_from_metadata(ents[entity.lower()]["Fields"])
+            base = struct_type_from_metadata(ents[entity.lower()]["Fields"])
+        else:
+            import pyarrow.parquet as pq
 
-        import pyarrow.parquet as pq
+            from pyspark.sql.pandas.types import from_arrow_schema
 
-        f = pq.ParquetFile(self._entity_path(self.options))
-        from pyspark.sql.pandas.types import from_arrow_schema
+            f = pq.ParquetFile(self._entity_path(self.options))
+            base = from_arrow_schema(f.schema_arrow)
 
-        return from_arrow_schema(f.schema_arrow)
+        select = self.options.get("select")
+        if select:
+            keep = [c.strip().lower() for c in select.split(",") if c.strip()]
+            missing = [c for c in keep if c not in {f.name.lower() for f in base.fields}]
+            if missing:
+                raise ValueError(f"select columns not in {entity!r}: {missing}")
+            base = T.StructType([f for f in base.fields if f.name.lower() in keep])
+
+        for child in self._expand_list(self.options):
+            if ents is not None:
+                if child.lower() not in ents:
+                    raise ValueError(f"expand entity {child!r} not in $metadata")
+                child_schema = struct_type_from_metadata(ents[child.lower()]["Fields"])
+            else:
+                import pyarrow.parquet as pq
+
+                from pyspark.sql.pandas.types import from_arrow_schema
+
+                cf = pq.ParquetFile(
+                    os.path.join(self.options["path"], f"{child}.parquet")
+                )
+                child_schema = from_arrow_schema(cf.schema_arrow)
+            base = base.add(_subform_field(child), T.ArrayType(child_schema), True)
+        return base
+
+    # -- helpers ------------------------------------------------------------
+
+    @staticmethod
+    def _expand_list(options) -> list[str]:
+        expand = options.get("expand", "")
+        return [c.strip() for c in expand.split(",") if c.strip()]
+
+    @staticmethod
+    def _auth(options) -> dict[str, str]:
+        user = options.get("user")
+        return basic_auth_header(user, options.get("password", "")) if user else {}
 
     @staticmethod
     def _entity_path(options) -> str:
         path = options.get("path")
         entity = options.get("entity")
         if not path or not entity:
-            raise ValueError("odata_like requires options: path, entity")
+            raise ValueError("odata_like requires options: entity, and path or uri")
         return os.path.join(path, f"{entity}.parquet")
 
     def reader(self, schema: StructType) -> "ODataLikeReader":
-        return ODataLikeReader(self._entity_path(self.options), schema,
-                               int(self.options.get("numpartitions", 8)))
+        opts = dict(self.options)
+        return ODataLikeReader(opts, schema)
 
 
 _SUPPORTED = (EqualTo, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual, IsNotNull)
 
 
 class ODataLikeReader(DataSourceReader):
-    def __init__(self, path: str, schema: StructType, num_partitions: int):
-        self.path = path
+    def __init__(self, options: dict, schema: StructType):
+        self.options = options
         self.schema = schema
-        self.num_partitions = num_partitions
+        self.uri = options.get("uri")
+        self.entity = options.get("entity", "")
+        self.path = None if self.uri else ODataLikeDataSource._entity_path(options)
+        self.num_partitions = int(options.get("numpartitions", 8))
+        self.page_size = int(options.get("pagesize", 10000))
+        self.max_retries = int(options.get("maxretries", 3))
         self.accepted: list[tuple[str, str, object]] = []
 
     # -- pushdown ($filter analog) ------------------------------------------
@@ -120,9 +291,24 @@ class ODataLikeReader(DataSourceReader):
             else:
                 yield f
 
-    # -- partition planning (date-sliced parallel pulls) --------------------
+    # -- partition planning (paged parallel pulls) --------------------------
 
     def partitions(self) -> list[RowRangeSlice]:
+        if self.uri:
+            # OData $count endpoint; single unbounded page when unsupported
+            try:
+                n_rows = int(http_get(
+                    f"{self.uri.rstrip('/')}/{self.entity}/$count",
+                    headers=ODataLikeDataSource._auth(self.options),
+                    max_retries=self.max_retries,
+                ).decode().strip())
+            except Exception:
+                return [RowRangeSlice(0, None)]
+            per = self.page_size
+            return [
+                RowRangeSlice(off, min(per, n_rows - off))
+                for off in range(0, n_rows, per)
+            ] or [RowRangeSlice(0, 0)]
         import pyarrow.parquet as pq
 
         n_rows = pq.ParquetFile(self.path).metadata.num_rows
@@ -135,23 +321,70 @@ class ODataLikeReader(DataSourceReader):
     # -- the fetch ----------------------------------------------------------
 
     def read(self, partition: RowRangeSlice):
-        """Serve one slice as Arrow batches with accepted filters applied —
-        the stand-in for `GET <uri>/<entity>?$filter=...&$skip=o&$top=n`.
+        if self.uri:
+            yield from self._read_http(partition)
+        else:
+            yield from self._read_parquet(partition)
 
-        Locally this re-reads the overlapping row groups and slices (read
-        amplification a real server avoids by paging server-side); the
-        Spark-facing contract — independent partitions, source-side filter
-        — is what matters."""
-        import pyarrow.compute as pc
-        import pyarrow.parquet as pq
+    def _read_http(self, partition: RowRangeSlice):
+        """One page: GET <uri>/<entity>?$filter&$skip&$top[&$select][&$expand],
+        Basic auth, retry/backoff — the reference's request shape
+        (priorityDataSource.py:727-731) plus the paging/pruning it lacks."""
+        import json
 
         import pyarrow as pa
 
-        if partition.length <= 0:
+        from pyspark.sql.pandas.types import to_arrow_schema
+
+        params: dict[str, str] = {}
+        filt = odata_filter_string(self.accepted)
+        if filt:
+            params["$filter"] = filt
+        select = self.options.get("select")
+        if select:
+            params["$select"] = ",".join(
+                c.strip() for c in select.split(",") if c.strip()
+            )
+        expand = ODataLikeDataSource._expand_list(self.options)
+        if expand:
+            # reference naming: X -> X_SUBFORM (priorityDataSource.py:699-701)
+            params["$expand"] = ",".join(f"{c.upper()}_SUBFORM" for c in expand)
+        if partition.offset:
+            params["$skip"] = str(partition.offset)
+        if partition.length is not None:
+            params["$top"] = str(partition.length)
+        if partition.length == 0:
+            return
+        body = http_get(
+            f"{self.uri.rstrip('/')}/{self.entity}",
+            params=params,
+            headers=ODataLikeDataSource._auth(self.options),
+            max_retries=self.max_retries,
+        )
+        rows = json.loads(body.decode()).get("value", [])
+        arrow_schema = to_arrow_schema(self.schema)
+        rows = [_normalize_row(r, self.schema) for r in rows]
+        table = pa.Table.from_pylist(rows, schema=arrow_schema)
+        yield from table.to_batches(max_chunksize=1 << 16)
+
+    def _read_parquet(self, partition: RowRangeSlice):
+        """Serve one slice as Arrow batches with accepted filters applied —
+        the local stand-in for the HTTP page pull.
+
+        Locally this re-reads the overlapping row groups and slices (read
+        amplification a real server avoids by paging server-side); the
+        Spark-facing contract — independent partitions, source-side filter,
+        pruned columns — is what matters."""
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        import pyarrow.parquet as pq
+
+        if partition.length is not None and partition.length <= 0:
             return
         f = pq.ParquetFile(self.path)
-        # read only row groups overlapping [offset, offset+length)
-        lo, hi = partition.offset, partition.offset + partition.length
+        length = partition.length if partition.length is not None \
+            else f.metadata.num_rows - partition.offset
+        lo, hi = partition.offset, partition.offset + length
         groups, base = [], 0
         for g in range(f.num_row_groups):
             n = f.metadata.row_group(g).num_rows
@@ -160,9 +393,17 @@ class ODataLikeReader(DataSourceReader):
             base += n
         if not groups:
             return
-        table = f.read_row_groups([g for g, _ in groups])
+        expand = ODataLikeDataSource._expand_list(self.options)
+        select = self.options.get("select")
+        columns = None
+        if select:
+            # $select analog: prune at the reader — bytes for dropped
+            # columns are never materialized (tested: pruned Arrow schema)
+            keep = {c.strip().lower() for c in select.split(",") if c.strip()}
+            columns = [c for c in f.schema_arrow.names if c.lower() in keep]
+        table = f.read_row_groups([g for g, _ in groups], columns=columns)
         first_base = groups[0][1]
-        table = table.slice(lo - first_base, partition.length)
+        table = table.slice(lo - first_base, length)
         # Spark's Arrow bridge accepts only µs timestamps — normalize units
         fields = [
             pa.field(fld.name, pa.timestamp("us", fld.type.tz))
@@ -190,7 +431,67 @@ class ODataLikeReader(DataSourceReader):
             mask = expr if mask is None else (mask & expr)
         if mask is not None:
             table = table.filter(mask)
+        for child in expand:
+            table = self._attach_subform(table, child)
         yield from table.to_batches(max_chunksize=1 << 16)
+
+    def _attach_subform(self, table, child: str):
+        """Parquet-backend $expand emulation: inline the child entity's
+        rows as a list<struct> column keyed by the ``expandkeys``
+        ``parent_col:child_col`` FK pair — producing exactly the nested
+        response shape an OData server returns for ``$expand=X_SUBFORM``.
+        Childless parents get [] (the OData shape), not null."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        keys = self.options.get("expandkeys", "")
+        if ":" not in keys:
+            raise ValueError(
+                "parquet-backend expand requires expandkeys='parent_col:child_col'"
+            )
+        pcol, ccol = (k.strip() for k in keys.split(":", 1))
+        child_tbl = pq.read_table(os.path.join(self.options["path"], f"{child}.parquet"))
+        groups: dict = {}
+        for row in child_tbl.to_pylist():
+            groups.setdefault(row[ccol], []).append(row)
+        sub = [groups.get(v, []) for v in table.column(pcol).to_pylist()]
+        field = _subform_field(child)
+        child_struct = pa.struct(
+            [pa.field(f.name, f.type) for f in child_tbl.schema]
+        )
+        return table.append_column(
+            pa.field(field, pa.list_(child_struct)),
+            pa.array(sub, type=pa.list_(child_struct)),
+        )
+
+
+def _normalize_row(row: dict, schema: StructType) -> dict:
+    """Lowercase JSON keys and parse ISO timestamps to datetimes so
+    ``pa.Table.from_pylist`` can build typed columns from an OData JSON
+    payload (recursing into expand sub-form lists)."""
+    import datetime as _dt
+
+    from pyspark.sql import types as T
+
+    def parse_ts(v):
+        if isinstance(v, str):
+            return _dt.datetime.fromisoformat(v.replace("Z", "+00:00")).replace(tzinfo=None)
+        return v
+
+    lowered = {k.lower(): v for k, v in row.items()}
+    out = {}
+    for fld in schema.fields:
+        v = lowered.get(fld.name.lower())
+        if isinstance(fld.dataType, T.TimestampType) or isinstance(
+            fld.dataType, getattr(T, "TimestampNTZType", ())
+        ):
+            v = parse_ts(v)
+        elif isinstance(fld.dataType, T.ArrayType) and isinstance(
+            fld.dataType.elementType, T.StructType
+        ) and v is not None:
+            v = [_normalize_row(item, fld.dataType.elementType) for item in v]
+        out[fld.name] = v
+    return out
 
 
 def register(spark) -> None:
