@@ -53,6 +53,12 @@ class EntityConfig:
     expand: list[str] = field(default_factory=list)
     last_run: str | None = None        # "%Y-%m-%d %H:%M:%S" in system tz
     data_start_date: str | None = None  # same format; full-load lower bound
+    # Explicit parent-PK → child-FK map for sub-form joins, e.g.
+    # {"o_orderkey": "l_orderkey"}. When a key is absent the engine falls
+    # back to the suffix-stem heuristic (pipeline._child_key) — which
+    # silently picks the FIRST match when two child columns share the
+    # stem, so schemas with ambiguous stems must configure this.
+    expand_keys: dict[str, str] = field(default_factory=dict)
 
     @classmethod
     def from_dict(cls, d: dict) -> "EntityConfig":
@@ -63,6 +69,7 @@ class EntityConfig:
             expand=list(_ci_get(d, "expand", []) or []),
             last_run=_ci_get(d, "lastRun"),
             data_start_date=_ci_get(d, "dataStartDate"),
+            expand_keys=dict(_ci_get(d, "expandKeys", {}) or {}),
         )
 
     def lower_bound(self, incremental: bool) -> str | None:

@@ -199,14 +199,39 @@ class PipelineRunner:
         return parent
 
     @staticmethod
-    def _child_key(child: DataFrame, parent_key: str) -> str:
-        """Map a parent PK to the child FK column (o_orderkey → l_orderkey)."""
+    def _child_key(
+        child: DataFrame, parent_key: str, explicit: dict[str, str] | None = None
+    ) -> str:
+        """Map a parent PK to the child FK column (o_orderkey → l_orderkey).
+
+        Resolution order: 1. the entity's explicit ``expandKeys`` config
+        ({parent_key: child_key} — always wins, and is validated against
+        the child schema); 2. exact name match; 3. suffix-stem heuristic.
+        The heuristic REFUSES ambiguous schemas (two child columns sharing
+        the stem) instead of silently picking the first — configure
+        ``expandKeys`` to disambiguate.
+        """
+        explicit = explicit or {}
+        if parent_key in explicit:
+            mapped = explicit[parent_key]
+            if mapped not in child.columns:
+                raise ValueError(
+                    f"expandKeys maps {parent_key!r} to {mapped!r}, "
+                    f"not a child column; has: {sorted(child.columns)}"
+                )
+            return mapped
         if parent_key in child.columns:
             return parent_key
         stem = parent_key.split("_", 1)[-1]
-        for c in child.columns:
-            if c.split("_", 1)[-1] == stem:
-                return c
+        matches = [c for c in child.columns if c.split("_", 1)[-1] == stem]
+        if len(matches) > 1:
+            raise ValueError(
+                f"ambiguous child FK for parent key {parent_key!r}: {matches} "
+                "all share the stem — set expandKeys={parent_key: child_key} "
+                "in the entity config"
+            )
+        if matches:
+            return matches[0]
         raise ValueError(f"no child column matches parent key {parent_key!r}")
 
     # -- parse --------------------------------------------------------------
@@ -226,7 +251,7 @@ class PipelineRunner:
         out: dict[str, DataFrame] = {f"stg_{ent.entity_id.lower()}": self._finish(parent)}
         for sub in ent.expand:
             child = load_table(self.spark, self.source_dir, sub)
-            child_keys = [self._child_key(child, k) for k in pk]
+            child_keys = [self._child_key(child, k, ent.expand_keys) for k in pk]
             flat = flatten_expand(parent, child, pk, child_keys)
             out[f"stg_{sub.lower()}"] = self._finish(flat)
         return out

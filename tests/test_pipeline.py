@@ -339,3 +339,35 @@ def test_reset_data_platform(spark, sf_dir, tmp_path):
     assert out["tablesDropped"] >= 1
     assert store.exists("stg_nation")
     assert all(r.error is None for r in out["load"])
+
+
+def test_child_key_explicit_map_and_ambiguity(spark):
+    """Explicit expandKeys wins; the stem heuristic refuses ambiguous
+    child schemas instead of silently picking the first match."""
+    import pytest
+
+    from priority_data_pipeline_azure_sql_db_spark.config import EntityConfig
+    from priority_data_pipeline_azure_sql_db_spark.pipeline import PipelineRunner
+
+    # two columns share the 'orderkey' stem -> ambiguous for the heuristic
+    child = spark.createDataFrame(
+        [(1, 1, 10.0)], "l_orderkey bigint, ref_orderkey bigint, amount double"
+    )
+    with pytest.raises(ValueError, match="ambiguous"):
+        PipelineRunner._child_key(child, "o_orderkey")
+    # explicit map resolves it
+    assert PipelineRunner._child_key(
+        child, "o_orderkey", {"o_orderkey": "ref_orderkey"}
+    ) == "ref_orderkey"
+    # explicit map validated against the child schema
+    with pytest.raises(ValueError, match="not a child column"):
+        PipelineRunner._child_key(child, "o_orderkey", {"o_orderkey": "nope"})
+    # config wiring: expandKeys parses case-insensitively like other keys
+    ent = EntityConfig.from_dict({
+        "EntityID": "orders", "expand": ["lineitem"],
+        "expandKeys": {"o_orderkey": "l_orderkey"},
+    })
+    assert ent.expand_keys == {"o_orderkey": "l_orderkey"}
+    # unambiguous heuristic still works unaided
+    plain = spark.createDataFrame([(1, 10.0)], "l_orderkey bigint, amount double")
+    assert PipelineRunner._child_key(plain, "o_orderkey") == "l_orderkey"
