@@ -26,7 +26,13 @@ def entry(spark: SparkSession) -> DataFrame:
 
 # The correctness driver evaluates the first 50 registry entries in order.
 # Round-5 rotation (rotation hygiene rule: any query whose OPERATOR code
-# changed since its last green round re-verifies first). Round 5 touched:
+# changed since its last green round re-verifies first). The 8 round-5
+# registrations (near-dup clustering, normalize, the correlated-subquery
+# q2/q11/q12/q16/q20/q21 family) lead, then every query over a
+# round-5-touched path. Rotated below the window to make room (all green
+# r4 on untouched code): sample_stratified_mix, profile_documents_stats,
+# multimodal_binary_meta, skew_salted_join, q1_pricing_summary,
+# q9_product_profit, q17_small_quantity_revenue. Round 5 touched:
 # operators/text.py (winnowing — pinned pre-explode spread),
 # operators/dedup.py (shingle spread; SimHash de-fanned to 64 aggregate
 # expressions), operators/similarity.py (unrolled codegen dot/norm,
@@ -38,6 +44,15 @@ def entry(spark: SparkSession) -> DataFrame:
 # config/DDL probes) rotate below it. The rows-only tail (no SQL twin
 # possible) closes the window as before.
 CHECK_ORDER = [
+    # NEW round-5 registrations (never driver-checked)
+    "dedup_cluster_canonical",
+    "embedding_normalize",
+    "q2_min_cost_supplier",
+    "q11_important_parts",
+    "q12_late_shipment_priority",
+    "q16_supplier_part_counts",
+    "q20_heavy_suppliers",
+    "q21_last_shipper",
     # similarity.py rework: kernels + blocked matmul + centroid unify
     "embedding_near_dup_pairs",
     "ann_cosine_topk",
@@ -80,24 +95,17 @@ CHECK_ORDER = [
     "pipeline_nest_explode_roundtrip",
     "pipeline_cast_types",
     "pipeline_merge_upsert",
-    # sampling/profiling over documents (single-green, keep warm)
+    # sampling over documents (single-green, keep warm)
     "sample_documents_hash",
-    "sample_stratified_mix",
-    "profile_documents_stats",
-    "multimodal_binary_meta",
-    "skew_salted_join",
-    # TPC-H spot checks (untouched paths — keep a few in-window)
-    "q1_pricing_summary",
-    "q9_product_profit",
-    "q17_small_quantity_revenue",
     # rows-only by design (non-SQL-expressible)
     "dedup_minhash_lsh",
     "dedup_simhash",
     "ann_cosine_topk_lsh",
     "ann_cosine_topk_ivf",
-    "approx_sketches",
-    "multimodal_frame_sample",
+    # streaming stateful path (touched events reader feeds it)
     "streaming_stateful_user_totals",
+    # approx_sketches / multimodal_frame_sample: untouched code, checked
+    # r4 — below the window this round
 ]
 
 

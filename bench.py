@@ -45,6 +45,9 @@ HEADLINE = [
     # (uncapped twins remain registered for the exact oracle)
     "dedup_jaccard_pairs_capped",
     "dedup_winnow_pairs_capped",
+    # round-5: correlated-subquery family representatives
+    "q2_min_cost_supplier",
+    "q21_last_shipper",
 ]
 
 

@@ -2649,3 +2649,322 @@ def text_cleaning_pass_profile(spark, sf_dir):
         F.min("n_tokens").cast("bigint").alias("min_tokens"),
         F.max("n_tokens").cast("bigint").alias("max_tokens"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 5: near-dup clustering, normalize, and the correlated-subquery
+# TPC-H-shaped family (q2/q11/q12/q16/q20/q21 analogs over the fixture
+# columns — the fixtures carry no partsupp/shipmode, so each keeps the
+# original query's PLAN SHAPE: correlated scalar subqueries, scalar
+# aggregates, IN / EXISTS / NOT EXISTS — Catalyst's decorrelation surface)
+# ---------------------------------------------------------------------------
+
+def _views(spark, sf_dir, *tables):
+    """Register fixture tables as temp views for SQL-surface queries."""
+    for t in tables:
+        load_table(spark, sf_dir, t).createOrReplaceTempView(t)
+
+
+@query(
+    "dedup_cluster_canonical",
+    """
+    WITH RECURSIVE norm AS (
+        SELECT doc_id, regexp_replace(lower(text), '[^a-z0-9]', '', 'g') AS t
+        FROM documents
+    ), grams AS (
+        SELECT doc_id, pos, LENGTH(t) - 7 AS maxpos, md5(substr(t, pos, 8)) AS h
+        FROM norm, UNNEST(generate_series(1, GREATEST(LENGTH(t) - 7, 0))) AS u(pos)
+    ), wins AS (
+        SELECT doc_id, pos, maxpos,
+               MIN(h) OVER (PARTITION BY doc_id ORDER BY pos
+                            ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp
+        FROM grams
+    ), fps AS (
+        SELECT DISTINCT doc_id, fp FROM wins WHERE pos <= maxpos - 3
+    ), pairs AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM fps a JOIN fps b ON a.fp = b.fp AND a.doc_id < b.doc_id
+        GROUP BY 1, 2 HAVING COUNT(*) >= 25
+    ), edges AS (
+        SELECT id_a AS u, id_b AS v FROM pairs
+        UNION SELECT id_b, id_a FROM pairs
+    ), reach(node, label) AS (
+        SELECT u, u FROM edges
+        UNION
+        SELECT e.v, r.label FROM reach r JOIN edges e ON r.node = e.u
+    ), comp AS (
+        SELECT node, MIN(label) AS canonical_id FROM reach GROUP BY node
+    )
+    SELECT c.node AS doc_id, c.canonical_id,
+           CAST(s.cluster_size AS BIGINT) AS cluster_size
+    FROM comp c JOIN (
+        SELECT canonical_id, COUNT(*) AS cluster_size FROM comp GROUP BY 1
+    ) s USING (canonical_id)
+    """,
+)
+def dedup_cluster_canonical(spark, sf_dir):
+    """The dedup pipeline's LAST step: near-dup pairs are transitive in
+    practice, so cluster the winnowing pair graph (connected components
+    via iterative min-label propagation, operators/graph.py) and elect the
+    minimum doc id per component as canonical. The oracle replays the
+    same clustering as a recursive CTE — full SQL twin for an iterative
+    distributed algorithm."""
+    from .operators.graph import canonical_docs
+
+    d = load_table(spark, sf_dir, "documents")
+    pairs = X.winnow_near_dup(d, k=8, w=4, min_shared=25).select("id_a", "id_b")
+    return canonical_docs(pairs)
+
+
+@query(
+    "embedding_normalize",
+    """
+    WITH v AS (
+        SELECT vec_id, embedding::DOUBLE[] AS e,
+               SQRT(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
+                   AS norm
+        FROM embeddings
+    )
+    SELECT vec_id,
+           CASE WHEN norm > 0
+                THEN list_transform(e, x -> FLOOR(x / norm * 1000000 + 0.5) / 1000000)
+                ELSE e END AS unit,
+           FLOOR(norm * 1000000 + 0.5) / 1000000 AS norm
+    FROM v
+    """,
+)
+def embedding_normalize(spark, sf_dir):
+    """Unit-normalization of the embedding column (cosine → dot form).
+    Values fixed to 6 decimals via the floor(x*1e6+0.5) scheme — the
+    round-half-up both engines compute identically (ROUND(double, n)
+    disagrees at representation boundaries)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    dim = S.infer_dim(emb, "embedding")
+    fix6 = lambda c: F.floor(c * F.lit(1000000.0) + F.lit(0.5)) / F.lit(1000000.0)  # noqa: E731
+    base = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e")
+    ).select("vec_id", "e", S.l2_norm(F.col("e"), dim).alias("_n"))
+    unit = F.when(
+        F.col("_n") > 0, F.transform("e", lambda x: fix6(x / F.col("_n")))
+    ).otherwise(F.col("e"))
+    return base.select("vec_id", unit.alias("unit"), fix6(F.col("_n")).alias("norm"))
+
+
+@query(
+    "q2_min_cost_supplier",
+    """
+    WITH cost AS (
+        SELECT l_partkey, l_suppkey,
+               MIN(l_extendedprice / l_quantity) AS unit_cost
+        FROM lineitem WHERE l_quantity > 0 GROUP BY 1, 2
+    )
+    SELECT p.p_partkey,
+           MIN(c.l_suppkey) AS s_suppkey,
+           FLOOR(MIN(c.unit_cost) * 1000000 + 0.5) / 1000000 AS unit_cost
+    FROM part p JOIN cost c ON c.l_partkey = p.p_partkey
+    WHERE c.unit_cost = (
+        SELECT MIN(c2.unit_cost) FROM cost c2 WHERE c2.l_partkey = p.p_partkey
+    )
+    GROUP BY p.p_partkey
+    """,
+)
+def q2_min_cost_supplier(spark, sf_dir):
+    """q2-shaped: cheapest supplier per part via a CORRELATED scalar
+    subquery (Catalyst decorrelates to a join against the per-part min);
+    deterministic tie-break by MIN(suppkey). Unit cost derives from
+    lineitem since the fixtures carry no partsupp."""
+    _views(spark, sf_dir, "part", "lineitem")
+    return spark.sql("""
+        WITH cost AS (
+            SELECT l_partkey, l_suppkey,
+                   MIN(l_extendedprice / l_quantity) AS unit_cost
+            FROM lineitem WHERE l_quantity > 0 GROUP BY 1, 2
+        )
+        SELECT p.p_partkey,
+               MIN(c.l_suppkey) AS s_suppkey,
+               FLOOR(MIN(c.unit_cost) * 1000000 + 0.5) / 1000000 AS unit_cost
+        FROM part p JOIN cost c ON c.l_partkey = p.p_partkey
+        WHERE c.unit_cost = (
+            SELECT MIN(c2.unit_cost) FROM cost c2 WHERE c2.l_partkey = p.p_partkey
+        )
+        GROUP BY p.p_partkey
+    """)
+
+
+@query(
+    "q11_important_parts",
+    """
+    WITH value AS (
+        SELECT l_partkey,
+               SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS val
+        FROM lineitem GROUP BY 1
+    )
+    SELECT l_partkey AS p_partkey, CAST(val AS DOUBLE) AS part_value
+    FROM value
+    WHERE val > (SELECT AVG(val) * 1.5 FROM value)
+    """,
+)
+def q11_important_parts(spark, sf_dir):
+    """q11-shaped: parts whose total traded value exceeds a fraction of
+    the corpus total — the scalar-aggregate-subquery pattern (computed
+    once, broadcast into the filter). Decimal bridge keeps the sums
+    bit-identical across engines."""
+    _views(spark, sf_dir, "lineitem")
+    return spark.sql("""
+        WITH value AS (
+            SELECT l_partkey,
+                   SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS val
+            FROM lineitem GROUP BY 1
+        )
+        SELECT l_partkey AS p_partkey, CAST(val AS DOUBLE) AS part_value
+        FROM value
+        WHERE val > (SELECT AVG(val) * 1.5 FROM value)
+    """)
+
+
+@query(
+    "q12_late_shipment_priority",
+    """
+    SELECT l.l_returnflag,
+           CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+    WHERE l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+    GROUP BY l.l_returnflag
+    """,
+)
+def q12_late_shipment_priority(spark, sf_dir):
+    """q12-shaped: late shipments (>60 days after order) split by order
+    priority per return flag — the conditional-aggregation pattern
+    (no shipmode in the fixtures; returnflag plays the group key)."""
+    _views(spark, sf_dir, "lineitem", "orders")
+    return spark.sql("""
+        SELECT l.l_returnflag,
+               CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                             THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+               CAST(SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                             THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+        FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+        WHERE l.l_shipdate > o.o_orderdate + INTERVAL '60' DAY
+        GROUP BY l.l_returnflag
+    """)
+
+
+@query(
+    "q16_supplier_part_counts",
+    """
+    SELECT p.p_brand, p.p_size,
+           CAST(COUNT(DISTINCT l.l_suppkey) AS BIGINT) AS supplier_cnt
+    FROM part p JOIN lineitem l ON l.l_partkey = p.p_partkey
+    WHERE p.p_brand <> 'Brand#15'
+      AND l.l_suppkey NOT IN (
+          SELECT s_suppkey FROM supplier WHERE s_acctbal < 0
+      )
+    GROUP BY p.p_brand, p.p_size
+    """,
+)
+def q16_supplier_part_counts(spark, sf_dir):
+    """q16-shaped: distinct supplier counts per part attribute group with
+    a NOT IN exclusion subquery (suppliers in deficit standing in for the
+    'complaints' list) — the null-aware anti-join pattern."""
+    _views(spark, sf_dir, "part", "lineitem", "supplier")
+    return spark.sql("""
+        SELECT p.p_brand, p.p_size,
+               CAST(COUNT(DISTINCT l.l_suppkey) AS BIGINT) AS supplier_cnt
+        FROM part p JOIN lineitem l ON l.l_partkey = p.p_partkey
+        WHERE p.p_brand <> 'Brand#15'
+          AND l.l_suppkey NOT IN (
+              SELECT s_suppkey FROM supplier WHERE s_acctbal < 0
+          )
+        GROUP BY p.p_brand, p.p_size
+    """)
+
+
+@query(
+    "q20_heavy_suppliers",
+    """
+    WITH per AS (
+        SELECT l_suppkey, l_partkey,
+               SUM(CAST(l_quantity AS DECIMAL(18,6))) AS qty
+        FROM lineitem GROUP BY 1, 2
+    ), avgs AS (
+        SELECT l_partkey, AVG(qty) AS avg_qty FROM per GROUP BY 1
+    )
+    SELECT s.s_suppkey, s.s_name
+    FROM supplier s
+    WHERE s.s_suppkey IN (
+        SELECT p.l_suppkey FROM per p
+        WHERE p.qty > (
+            SELECT 3.5 * a.avg_qty FROM avgs a WHERE a.l_partkey = p.l_partkey
+        )
+    )
+    """,
+)
+def q20_heavy_suppliers(spark, sf_dir):
+    """q20-shaped: suppliers with an outsized share of some part's volume (3.5x the part's per-supplier average) — an IN
+    subquery whose body contains a CORRELATED scalar subquery (the
+    nested-decorrelation pattern q20 exists to exercise)."""
+    _views(spark, sf_dir, "supplier", "lineitem")
+    return spark.sql("""
+        WITH per AS (
+            SELECT l_suppkey, l_partkey,
+                   SUM(CAST(l_quantity AS DECIMAL(18,6))) AS qty
+            FROM lineitem GROUP BY 1, 2
+        ), avgs AS (
+            SELECT l_partkey, AVG(qty) AS avg_qty FROM per GROUP BY 1
+        )
+        SELECT s.s_suppkey, s.s_name
+        FROM supplier s
+        WHERE s.s_suppkey IN (
+            SELECT p.l_suppkey FROM per p
+            WHERE p.qty > (
+                SELECT 3.5 * a.avg_qty FROM avgs a WHERE a.l_partkey = p.l_partkey
+            )
+        )
+    """)
+
+
+@query(
+    "q21_last_shipper",
+    """
+    SELECT s.s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+    FROM supplier s
+    JOIN lineitem l1 ON s.s_suppkey = l1.l_suppkey
+    JOIN orders o ON o.o_orderkey = l1.l_orderkey
+    WHERE o.o_orderstatus = 'F'
+      AND EXISTS (
+          SELECT 1 FROM lineitem l2
+          WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey
+      )
+      AND NOT EXISTS (
+          SELECT 1 FROM lineitem l3
+          WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+            AND l3.l_shipdate > l1.l_shipdate
+      )
+    GROUP BY s.s_name
+    """,
+)
+def q21_last_shipper(spark, sf_dir):
+    """q21-shaped: per supplier, the finalized multi-supplier orders where
+    it shipped LAST — the EXISTS + NOT EXISTS correlated pair (Catalyst:
+    left-semi then left-anti against the same relation)."""
+    _views(spark, sf_dir, "supplier", "lineitem", "orders")
+    return spark.sql("""
+        SELECT s.s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+        FROM supplier s
+        JOIN lineitem l1 ON s.s_suppkey = l1.l_suppkey
+        JOIN orders o ON o.o_orderkey = l1.l_orderkey
+        WHERE o.o_orderstatus = 'F'
+          AND EXISTS (
+              SELECT 1 FROM lineitem l2
+              WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey
+          )
+          AND NOT EXISTS (
+              SELECT 1 FROM lineitem l3
+              WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+                AND l3.l_shipdate > l1.l_shipdate
+          )
+        GROUP BY s.s_name
+    """)

@@ -262,3 +262,54 @@ def test_interval_join_fractional_bounds(spark):
                                         lower_seconds=0.0009,
                                         upper_seconds=1.0).collect()}
     assert ids == {900, 1000}
+
+
+def test_connected_components_matches_union_find(spark):
+    """Min-label propagation vs a driver-side union-find oracle on a graph
+    with a chain (diameter > 1), a triangle, an isolated edge."""
+    edges = [(1, 2), (2, 3), (3, 4), (10, 11), (11, 12), (10, 12), (20, 21)]
+    from priority_data_pipeline_azure_sql_db_spark.operators.graph import (
+        canonical_docs,
+        connected_components,
+    )
+
+    df = spark.createDataFrame(edges, "id_a bigint, id_b bigint")
+    got = {r.node: r.component for r in connected_components(df).collect()}
+
+    parent = {}
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+    def union(a, b):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    for a, b in edges:
+        union(a, b)
+    want = {n: find(n) for n in parent}
+    assert got == want
+
+    canon = {r.doc_id: (r.canonical_id, r.cluster_size)
+             for r in canonical_docs(df).collect()}
+    assert canon[4] == (1, 4) and canon[12] == (10, 3) and canon[21] == (20, 2)
+
+
+def test_connected_components_raises_past_max_iter(spark):
+    """A chain longer than max_iter must fail loudly, not return partial
+    components."""
+    import pytest
+
+    from priority_data_pipeline_azure_sql_db_spark.operators.graph import (
+        connected_components,
+    )
+
+    chain = [(i, i + 1) for i in range(8)]
+    df = spark.createDataFrame(chain, "id_a bigint, id_b bigint")
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(df, max_iter=2)
+    # and converges fine with room
+    out = connected_components(df, max_iter=12)
+    assert {r.component for r in out.collect()} == {0}
