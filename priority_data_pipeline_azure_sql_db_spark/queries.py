@@ -1800,8 +1800,9 @@ def streaming_tumbling_counts(spark, sf_dir):
 # =========================================================================
 # Tier B extensions — remaining expressible TPC-H shapes (correlated
 # subqueries, NOT EXISTS, nested aggregation, OR-predicate pushdown).
-# The fixture schema lacks partsupp / l_shipmode / l_receiptdate, so
-# Q2/Q11/Q12/Q16/Q20/Q21 are not expressible; Q9/Q22 are adapted.
+# The fixture schema lacks partsupp / l_shipmode / l_receiptdate; Q9/Q22
+# are adapted here, and round 5 adds Q2/Q11/Q12/Q16/Q20/Q21 SHAPES over
+# the available columns (see the round-5 section at the end of the file).
 # =========================================================================
 
 @query(
@@ -2968,3 +2969,53 @@ def q21_last_shipper(spark, sf_dir):
           )
         GROUP BY s.s_name
     """)
+
+
+@query(
+    "streaming_sliding_counts",
+    """
+    SELECT DATE_TRUNC('hour', CAST(e.ts AS TIMESTAMP)) - k.k * INTERVAL 1 HOUR
+               AS window_start,
+           e.event_type, CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM events e CROSS JOIN (VALUES (0), (1)) AS k(k)
+    GROUP BY 1, 2
+    """,
+)
+def streaming_sliding_counts(spark, sf_dir):
+    """Structured Streaming sliding windows (2h window / 1h slide): every
+    event lands in exactly two windows; the oracle replays that as a
+    fan-out-by-two batch group-by."""
+    from .streaming.events import read_events_stream, run_streaming_to_memory, sliding_counts
+
+    stream = read_events_stream(spark, sf_dir)
+    return run_streaming_to_memory(sliding_counts(stream), mode="complete")
+
+
+@query(
+    "streaming_static_join",
+    """
+    SELECT CASE WHEN event_type IN ('click', 'view') THEN 'browse'
+                WHEN event_type IN ('purchase', 'signup') THEN 'convert'
+                ELSE 'ops' END AS category,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+    FROM events GROUP BY 1
+    """,
+)
+def streaming_static_join(spark, sf_dir):
+    """Stream-static broadcast enrichment: the streaming side joins a
+    static dimension (planned per micro-batch, stateless) before a
+    grouped aggregate — the canonical enrichment shape."""
+    from .streaming.events import (
+        read_events_stream,
+        run_streaming_to_memory,
+        stream_static_enrich,
+    )
+
+    dim = spark.createDataFrame(
+        [("click", "browse"), ("view", "browse"),
+         ("purchase", "convert"), ("signup", "convert"), ("error", "ops")],
+        "event_type string, category string",
+    )
+    stream = read_events_stream(spark, sf_dir)
+    return run_streaming_to_memory(stream_static_enrich(stream, dim), mode="complete")

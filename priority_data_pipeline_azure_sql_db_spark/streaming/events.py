@@ -159,3 +159,36 @@ def run_streaming_to_memory(agg: DataFrame, mode: str = "complete") -> DataFrame
     )
     q.awaitTermination()
     return agg.sparkSession.sql(f"SELECT * FROM {name}")
+
+
+def sliding_counts(events: DataFrame, window: str = "2 hours",
+                   slide: str = "1 hour",
+                   watermark: str = "30 minutes") -> DataFrame:
+    """Sliding event-time windows: each event contributes to
+    window/slide overlapping windows (2 at the default 2h/1h). The
+    uncovered streaming-window shape next to tumbling and session."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window, slide), "event_type")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_events"))
+        .select(
+            F.col("window.start").alias("window_start"),
+            "event_type",
+            "n_events",
+        )
+    )
+
+
+def stream_static_enrich(events: DataFrame, dim: DataFrame,
+                         on: str = "event_type") -> DataFrame:
+    """Stream-static join: the canonical enrichment shape — the static
+    side is planned per micro-batch (broadcast, no state, no watermark
+    needed on the dim). Aggregates enriched counts per category."""
+    return (
+        events.join(F.broadcast(dim), on)
+        .groupBy("category")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("sum_value"),
+        )
+    )
