@@ -50,10 +50,24 @@ def table_hash(rows: list[tuple], col_names: list[str]) -> str:
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 and "/" in sys.argv[1] else "/root/testdata/sf0.01"
-    only = [a for a in sys.argv[1:] if "/" not in a]
+    args = [a for a in sys.argv[1:] if a != "--vanilla"]
+    vanilla = "--vanilla" in sys.argv[1:]
+    sf_dir = args[0] if args and "/" in args[0] else "/root/testdata/sf0.01"
+    only = [a for a in args if "/" not in a]
 
-    spark = get_spark("oracle-compare")
+    if vanilla:
+        # rehearse the real driver: a VANILLA SparkSession with none of
+        # session.py's confs — every runtime-settable conf the engine
+        # needs must be self-provisioned inside the query paths
+        from pyspark.sql import SparkSession
+
+        spark = (
+            SparkSession.builder.appName("oracle-compare-vanilla")
+            .master("local[8]")
+            .getOrCreate()
+        )
+    else:
+        spark = get_spark("oracle-compare")
     con = duckdb.connect()
     for t in TABLES:
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
