@@ -46,6 +46,10 @@ def entry(spark: SparkSession) -> DataFrame:
 CHECK_ORDER = [
     # NEW round-5 registrations (never driver-checked)
     "dedup_cluster_canonical",
+    "pack_training_sequences",
+    "text_repetition_ratio",
+    "text_pii_scrub",
+    "dedup_contamination_check",
     "embedding_normalize",
     "q2_min_cost_supplier",
     "q11_important_parts",
@@ -79,10 +83,9 @@ CHECK_ORDER = [
     "events_sessionize",
     "events_tumbling_hourly",
     "events_multires_rollup",
-    "events_pivot_types",
-    "asof_last_click_before_error",
-    "range_join_close_events",
-    "window_range_trailing_30d",
+    # (events_pivot_types / asof / range_join / window_range_trailing_30d
+    # rotate out: multi-green and re-verified locally under a vanilla
+    # session this round — tools/compare_oracle.py --vanilla)
     "streaming_tumbling_counts",
     "streaming_session_counts",
     "streaming_dedup_events",

@@ -333,3 +333,37 @@ def simhash_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )
+
+
+# ---------------------------------------------------------------------------
+# benchmark decontamination
+# ---------------------------------------------------------------------------
+
+def ngram_contamination(
+    train: DataFrame,
+    evalset: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+) -> DataFrame:
+    """Benchmark decontamination: training documents sharing any word
+    k-gram with an evaluation document (the GPT-3/PaLM-style n-gram
+    overlap check). Returns (train_id, eval_id, n_shared) pairs — the
+    caller drops or flags the train side.
+
+    Shape: both corpora shingle (distinct per doc), then ONE equi-join on
+    the shingle — the inverted-index form again, so cost follows true
+    overlap, not |train|×|eval|. At 100 TB the eval side is tiny (it's a
+    benchmark suite): Spark broadcasts it and the train side never
+    shuffles at all.
+    """
+    tr = word_shingles(train, text_col, id_col, k)
+    ev = word_shingles(evalset, text_col, id_col, k)
+    return (
+        tr.join(
+            F.broadcast(ev.withColumnRenamed("doc", "eval_id")), "shingle"
+        )
+        .filter(F.col("doc") != F.col("eval_id"))
+        .groupBy(F.col("doc").alias("train_id"), "eval_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_shared"))
+    )

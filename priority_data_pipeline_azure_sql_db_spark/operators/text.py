@@ -201,3 +201,71 @@ def winnow_near_dup(
         .agg(F.count(F.lit(1)).cast("bigint").alias("shared_fps"))
         .filter(F.col("shared_fps") >= min_shared)
     )
+
+
+def repetition_ratio(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+) -> DataFrame:
+    """Repeated-n-gram quality signal (Gopher-style "rep" filters): per
+    document, the count of its most frequent word n-gram and that count's
+    share of all its n-grams. Boilerplate/looping text scores high and
+    gets filtered before training.
+
+    Shape: one explode (n-gram rows), one (doc, gram) hash-agg, one doc
+    hash-agg — all partial-aggregated; the raw rows are spread before the
+    explode (operators/scale.py).
+    """
+    from .dedup import _shingle_rows
+
+    grams = _shingle_rows(df, text_col, id_col, n)
+    per_gram = grams.groupBy("doc", "shingle").agg(F.count(F.lit(1)).alias("_c"))
+    return (
+        per_gram.groupBy("doc")
+        .agg(
+            F.max("_c").cast("bigint").alias("max_gram_count"),
+            F.sum("_c").cast("bigint").alias("n_grams"),
+        )
+        .select(
+            F.col("doc").alias(id_col),
+            "max_gram_count",
+            "n_grams",
+            # floor(x*1e6+0.5)/1e6, not round(): ROUND(double, n) ties
+            # break differently across engines at representation edges
+            (F.floor(F.col("max_gram_count") / F.col("n_grams") * 1000000 + 0.5)
+             / 1000000.0).alias("rep_ratio"),
+        )
+    )
+
+
+# RE2-safe and DuckDB-identical: no backtracking constructs.
+EMAIL_RE = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+PHONE_RE = "\\+?[0-9][0-9()\\- ]{7,}[0-9]"
+
+
+def pii_scrub(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """PII redaction pass: emails → <EMAIL>, phone-shaped digit runs →
+    <PHONE>, with per-document redaction counts for audit. Pure
+    regexp_replace/regexp chain — codegen'd, linear scan, and the regexes
+    are RE2-compatible so the DuckDB oracle applies the identical
+    patterns. Email redaction runs FIRST (phone patterns can overlap
+    digit-heavy emails; fixed order keeps the output deterministic).
+    """
+    t = F.col(text_col)
+    n_email = F.size(F.regexp_extract_all(t, F.lit(EMAIL_RE), 0))
+    after_email = F.regexp_replace(t, EMAIL_RE, "<EMAIL>")
+    n_phone = F.size(F.regexp_extract_all(after_email, F.lit(PHONE_RE), 0))
+    scrubbed = F.regexp_replace(after_email, PHONE_RE, "<PHONE>")
+    return df.select(
+        F.col(id_col),
+        n_email.cast("bigint").alias("n_emails"),
+        n_phone.cast("bigint").alias("n_phones"),
+        F.md5(scrubbed).alias("scrubbed_md5"),
+        F.length(scrubbed).cast("bigint").alias("scrubbed_len"),
+    )

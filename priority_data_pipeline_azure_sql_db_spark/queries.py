@@ -3019,3 +3019,155 @@ def streaming_static_join(spark, sf_dir):
     )
     stream = read_events_stream(spark, sf_dir)
     return run_streaming_to_memory(stream_static_enrich(stream, dim), mode="complete")
+
+
+@query(
+    "pack_training_sequences",
+    """
+    WITH toks AS (
+        SELECT doc_id,
+               CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT)
+                   AS n_tokens
+        FROM documents
+    ), cum AS (
+        SELECT doc_id, n_tokens,
+               SUM(n_tokens) OVER (ORDER BY doc_id
+                                   ROWS UNBOUNDED PRECEDING) AS cum
+        FROM toks
+    )
+    SELECT doc_id, n_tokens,
+           (cum - n_tokens) // 512 AS first_seq,
+           (cum - n_tokens) % 512 AS offset_in_seq,
+           ((cum - 1) // 512 - (cum - n_tokens) // 512 + 1) AS n_seqs_spanned
+    FROM cum
+    """,
+)
+def pack_training_sequences(spark, sf_dir):
+    """Concat-and-chunk sequence packing (the standard pretraining
+    layout): documents laid out in id order, chunked into 512-token
+    sequences; per doc its first sequence, offset, and span. One window
+    cumsum — the oracle replays it verbatim."""
+    from .operators.pack import pack_sequences
+
+    d = load_table(spark, sf_dir, "documents")
+    return pack_sequences(d, budget=512)
+
+
+@query(
+    "text_repetition_ratio",
+    """
+    WITH toks AS (
+        SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t
+        FROM documents
+    ), grams AS (
+        SELECT doc_id, array_to_string(t[i:i+2], ' ') AS shingle
+        FROM toks, LATERAL (
+            SELECT UNNEST(range(1, GREATEST(len(t) - 2, 0) + 1)) AS i
+        )
+    ), per AS (
+        SELECT doc_id, shingle, COUNT(*) AS c FROM grams GROUP BY 1, 2
+    )
+    SELECT doc_id,
+           CAST(MAX(c) AS BIGINT) AS max_gram_count,
+           CAST(SUM(c) AS BIGINT) AS n_grams,
+           FLOOR(CAST(MAX(c) AS DOUBLE) / SUM(c) * 1000000 + 0.5) / 1000000
+               AS rep_ratio
+    FROM per GROUP BY doc_id
+    """,
+)
+def text_repetition_ratio(spark, sf_dir):
+    """Repeated-3-gram quality signal (Gopher-style rep filter): the most
+    frequent word trigram's share of each document's trigrams."""
+    d = load_table(spark, sf_dir, "documents")
+    return X.repetition_ratio(d, n=3)
+
+
+@query(
+    "text_pii_scrub",
+    """
+    WITH enriched AS (
+        SELECT doc_id,
+               text || CASE WHEN doc_id % 7 = 0
+                   THEN ' contact user' || doc_id ||
+                        '@example.com or +1 (555) 010-0199'
+                   ELSE '' END AS t
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(t,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS BIGINT)
+               AS n_emails,
+           CAST(len(regexp_extract_all(
+               regexp_replace(t,
+                   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
+                   '<EMAIL>', 'g'),
+               '\\+?[0-9][0-9()\\- ]{7,}[0-9]')) AS BIGINT) AS n_phones,
+           md5(regexp_replace(
+               regexp_replace(t,
+                   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
+                   '<EMAIL>', 'g'),
+               '\\+?[0-9][0-9()\\- ]{7,}[0-9]', '<PHONE>', 'g')) AS scrubbed_md5,
+           CAST(length(regexp_replace(
+               regexp_replace(t,
+                   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
+                   '<EMAIL>', 'g'),
+               '\\+?[0-9][0-9()\\- ]{7,}[0-9]', '<PHONE>', 'g')) AS BIGINT)
+               AS scrubbed_len
+    FROM enriched
+    """,
+)
+def text_pii_scrub(spark, sf_dir):
+    """PII redaction pass over the corpus (emails → <EMAIL>, phone-shaped
+    runs → <PHONE>) with per-doc redaction counts. The fixture text
+    carries no PII, so a deterministic contact line is appended to every
+    7th doc — the oracle applies the identical enrichment and regexes
+    ('g' flag: DuckDB replace is first-match by default, Spark's is
+    global)."""
+    d = load_table(spark, sf_dir, "documents")
+    enriched = d.withColumn(
+        "text",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 7 == 0,
+                F.concat(
+                    F.lit(" contact user"), F.col("doc_id").cast("string"),
+                    F.lit("@example.com or +1 (555) 010-0199"),
+                ),
+            ).otherwise(F.lit("")),
+        ),
+    )
+    return X.pii_scrub(enriched)
+
+
+@query(
+    "dedup_contamination_check",
+    """
+    WITH toks AS (
+        SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t
+        FROM documents
+    ), sh AS (
+        SELECT DISTINCT doc_id AS doc,
+               array_to_string(t[i:i+4], ' ') AS shingle
+        FROM toks, LATERAL (
+            SELECT UNNEST(range(1, GREATEST(len(t) - 4, 0) + 1)) AS i
+        )
+    )
+    SELECT tr.doc AS train_id, ev.doc AS eval_id,
+           CAST(COUNT(*) AS BIGINT) AS n_shared
+    FROM sh tr JOIN sh ev ON tr.shingle = ev.shingle
+    WHERE ev.doc % 20 = 0 AND tr.doc % 20 <> 0
+    GROUP BY 1, 2 HAVING COUNT(*) >= 3
+    """,
+)
+def dedup_contamination_check(spark, sf_dir):
+    """Benchmark decontamination (GPT-3/PaLM-style n-gram overlap):
+    training docs sharing >= 3 word 5-grams with a held-out eval slice
+    (every 20th doc). Inverted-index join with the tiny eval side
+    broadcast — at corpus scale the train side never shuffles."""
+    d = load_table(spark, sf_dir, "documents")
+    evalset = d.filter(F.col("doc_id") % 20 == 0)
+    train = d.filter(F.col("doc_id") % 20 != 0)
+    return D.ngram_contamination(train, evalset, k=5).filter(
+        F.col("n_shared") >= 3
+    )

@@ -313,3 +313,59 @@ def test_connected_components_raises_past_max_iter(spark):
     # and converges fine with room
     out = connected_components(df, max_iter=12)
     assert {r.component for r in out.collect()} == {0}
+
+
+def test_pack_sequences_straddle_and_shard(spark):
+    """A doc crossing the budget boundary spans 2 sequences; shard-local
+    packing restarts offsets per shard."""
+    from priority_data_pipeline_azure_sql_db_spark.operators.pack import pack_sequences
+
+    rows = [(1, "a b c"), (2, "d e f g"), (3, "h i")]  # 3,4,2 tokens
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    out = {r.doc_id: r for r in pack_sequences(df, budget=5).collect()}
+    assert (out[1].first_seq, out[1].offset_in_seq, out[1].n_seqs_spanned) == (0, 0, 1)
+    # doc 2: tokens 3..6 -> crosses the 5-token boundary, spans seqs 0-1
+    assert (out[2].first_seq, out[2].offset_in_seq, out[2].n_seqs_spanned) == (0, 3, 2)
+    assert (out[3].first_seq, out[3].offset_in_seq, out[3].n_seqs_spanned) == (1, 2, 1)
+
+    sharded = spark.createDataFrame(
+        [("s0", 1, "a b c"), ("s0", 2, "d e f"), ("s1", 9, "x y z w")],
+        "shard string, doc_id bigint, text string",
+    )
+    out2 = {r.doc_id: r for r in
+            pack_sequences(sharded, budget=4, shard_col="shard").collect()}
+    # shard s1 starts its own stream at offset 0
+    assert (out2[9].first_seq, out2[9].offset_in_seq) == (0, 0)
+    assert (out2[2].first_seq, out2[2].offset_in_seq, out2[2].n_seqs_spanned) == (0, 3, 2)
+
+
+def test_pii_scrub_redacts_and_counts(spark):
+    from priority_data_pipeline_azure_sql_db_spark.operators.text import pii_scrub
+
+    df = spark.createDataFrame(
+        [(1, "mail me at a.b+c@ex-ample.org or call +1 (555) 010-0199 now"),
+         (2, "no pii here")],
+        "doc_id bigint, text string",
+    )
+    out = {r.doc_id: r for r in pii_scrub(df).collect()}
+    assert (out[1].n_emails, out[1].n_phones) == (1, 1)
+    assert (out[2].n_emails, out[2].n_phones) == (0, 0)
+
+
+def test_ngram_contamination_finds_planted_overlap(spark):
+    from priority_data_pipeline_azure_sql_db_spark.operators.dedup import (
+        ngram_contamination,
+    )
+
+    shared = "the quick brown fox jumps over the lazy dog"
+    train = spark.createDataFrame(
+        [(1, f"prefix {shared} suffix"), (2, "completely different words here")],
+        "doc_id bigint, text string",
+    )
+    evalset = spark.createDataFrame(
+        [(100, f"eval context {shared} trailing")], "doc_id bigint, text string"
+    )
+    got = {(r.train_id, r.eval_id): r.n_shared
+           for r in ngram_contamination(train, evalset, k=5).collect()}
+    assert (1, 100) in got and got[(1, 100)] >= 5
+    assert not any(t == 2 for t, _ in got)
