@@ -185,7 +185,10 @@ def winnow_near_dup(
     near-copies than max_doc_freq shares only capped prints. Run exact
     dedup first (it removes the mega-clusters), THEN cap stop-prints.
     """
-    fp = winnow_fingerprints(df, text_col, id_col, k, w)
+    # cached: the doc-frequency filter and BOTH sides of the self-join
+    # consume the fingerprint table — uncached, the whole explode+window
+    # subtree executes three times (measured 3x wall at sf0.1)
+    fp = winnow_fingerprints(df, text_col, id_col, k, w).cache()
     if max_doc_freq is not None:
         keep = (
             fp.groupBy("fp").agg(F.count(F.lit(1)).alias("_df"))
