@@ -117,3 +117,52 @@ def test_check_order_window_integrity():
     missing = [n for n in E.CHECK_ORDER if n not in qs]
     assert not missing, f"CHECK_ORDER names not in registry: {missing}"
     assert list(qs)[:50] == E.CHECK_ORDER
+
+
+def test_embedding_near_dup_no_corpus_cartesian(spark, sf_dir):
+    """Plan-shape guard for the round-5 blocked-matmul near-dup: the only
+    nested-loop joins are the n_cells-row centroid/cell-pair broadcasts —
+    the packed-block pair generation is equi-joins + mapInPandas, never a
+    CartesianProduct over corpus rows."""
+    from priority_data_pipeline_azure_sql_db_spark.operators.similarity import (
+        embedding_near_dup,
+    )
+    from priority_data_pipeline_azure_sql_db_spark.sources.parquet import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    plan = embedding_near_dup(emb, threshold=0.4)._jdf.queryExecution() \
+        .executedPlan().toString()
+    # exactly one CartesianProduct is allowed: the n_cells² cell-pair
+    # triangle filter (a non-equi condition over two coalesce(1) sides of
+    # n_cells rows each — metadata-sized by construction). Anything more
+    # means a corpus-scale product crept in.
+    assert plan.count("CartesianProduct") <= 1, plan
+    assert "MapInPandas" in plan or "mapInPandas" in plan.lower(), plan
+
+
+def test_pack_sequences_conservation(spark, sf_dir):
+    """Packing invariants over the real corpus: offsets stay inside the
+    budget, spans are consistent with token counts, and the packed layout
+    accounts for every token exactly once (last doc's end offset equals
+    the corpus token total)."""
+    from pyspark.sql import functions as F
+
+    from priority_data_pipeline_azure_sql_db_spark.operators.pack import pack_sequences
+    from priority_data_pipeline_azure_sql_db_spark.sources.parquet import load_table
+
+    budget = 128
+    d = load_table(spark, sf_dir, "documents")
+    out = pack_sequences(d, budget=budget)
+    bad_offset = out.filter(
+        (F.col("offset_in_seq") < 0) | (F.col("offset_in_seq") >= budget)
+    ).count()
+    assert bad_offset == 0
+    # span = ceil((offset + n_tokens)/budget) relative to the first seq
+    bad_span = out.filter(
+        F.col("n_seqs_spanned")
+        != F.floor((F.col("offset_in_seq") + F.col("n_tokens") - 1) / budget) + 1
+    ).count()
+    assert bad_span == 0
+    total = d.select(F.sum(F.size(F.split(F.trim("text"), "\\s+")))).first()[0]
+    last = out.orderBy(F.desc("doc_id")).limit(1).first()
+    assert last.first_seq * budget + last.offset_in_seq + last.n_tokens == total
