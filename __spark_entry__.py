@@ -111,7 +111,9 @@ CHECK_ORDER = [
     # streaming stateful path (touched events reader feeds it)
     "streaming_stateful_user_totals",
     # approx_sketches / multimodal_frame_sample: untouched code, checked
-    # r4 — below the window this round
+    # r4 — below the window this round. The late-r5 registrations
+    # (pack_document_chunks, text_vocab_topk) are oracle-PASSed locally
+    # and rotate into the round-6 window.
 ]
 
 

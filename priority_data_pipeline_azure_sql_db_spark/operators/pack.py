@@ -62,3 +62,50 @@ def pack_sequences(
         (F.floor(end / budget) - F.floor(start / budget) + 1)
         .cast("bigint").alias("n_seqs_spanned"),
     )
+
+
+def chunk_documents(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    chunk_tokens: int = 64,
+    stride: int = 48,
+) -> DataFrame:
+    """Split documents into overlapping token windows (chunk_tokens wide,
+    stride apart) — the RAG / long-context prep layout, where overlap
+    keeps boundary context. The last chunk of a doc may be short; docs
+    shorter than one chunk emit exactly one chunk.
+
+    Shape: tokens materialized below the Generate (the explode fans out
+    ~len/stride chunks per doc), chunk text rebuilt by a single
+    concat_ws over an array slice — all codegen; rows pre-spread on the
+    doc id (operators/scale.py).
+    """
+    from .scale import spread
+    from .text import TOKEN_SPLIT_RE
+
+    src = spread(
+        df.select(F.col(id_col).alias("_id"), F.col(text_col).alias("_txt")), "_id"
+    )
+    toks = F.split(F.trim(F.col("_txt")), TOKEN_SPLIT_RE)
+    t = src.select("_id", toks.alias("_toks")).select(
+        "_id", "_toks", F.size("_toks").alias("_n")
+    )
+    # chunk starts: 1, 1+stride, ... while start <= max(n - chunk, 0) + 1
+    starts = F.sequence(
+        F.lit(1),
+        F.greatest(F.col("_n") - chunk_tokens, F.lit(0)) + 1,
+        F.lit(stride),
+    )
+    return (
+        t.select("_id", "_toks", "_n", F.posexplode(starts).alias("_k", "_start"))
+        .select(
+            F.col("_id").alias(id_col),
+            F.col("_k").cast("bigint").alias("chunk_id"),
+            F.concat_ws(" ", F.slice("_toks", F.col("_start"), chunk_tokens))
+            .alias("chunk_text"),
+            F.least(
+                F.lit(chunk_tokens), F.col("_n") - F.col("_start") + 1
+            ).cast("bigint").alias("n_tokens"),
+        )
+    )

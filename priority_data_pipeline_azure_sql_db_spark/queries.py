@@ -3171,3 +3171,59 @@ def dedup_contamination_check(spark, sf_dir):
     return D.ngram_contamination(train, evalset, k=5).filter(
         F.col("n_shared") >= 3
     )
+
+
+@query(
+    "pack_document_chunks",
+    """
+    WITH toks AS (
+        SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t
+        FROM documents
+    ), sized AS (
+        SELECT doc_id, t, len(t) AS n FROM toks
+    )
+    SELECT doc_id,
+           CAST((s - 1) // 16 AS BIGINT) AS chunk_id,
+           array_to_string(t[s:s+23], ' ') AS chunk_text,
+           CAST(LEAST(24, n - s + 1) AS BIGINT) AS n_tokens
+    FROM sized, LATERAL (
+        SELECT UNNEST(range(1, GREATEST(n - 24, 0) + 2, 16)) AS s
+    )
+    """,
+)
+def pack_document_chunks(spark, sf_dir):
+    """Overlapping token-window chunking (24-token chunks, stride 16 —
+    sized so typical fixture docs emit several overlapping chunks) — the
+    RAG / long-context data-prep layout; chunk text and per-chunk token
+    counts value-checked against the oracle's identical slicing."""
+    from .operators.pack import chunk_documents
+
+    d = load_table(spark, sf_dir, "documents")
+    return chunk_documents(d, chunk_tokens=24, stride=16)
+
+
+@query(
+    "text_vocab_topk",
+    """
+    SELECT token, CAST(COUNT(*) AS BIGINT) AS freq
+    FROM (
+        SELECT UNNEST(string_split_regex(trim(lower(text)), '\\s+')) AS token
+        FROM documents
+    )
+    GROUP BY token ORDER BY freq DESC, token LIMIT 50
+    """,
+)
+def text_vocab_topk(spark, sf_dir):
+    """Corpus vocabulary head: top-50 tokens by frequency (deterministic
+    tie-break on the token) — the first thing a tokenizer-training or
+    stopword-curation pass computes."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        F.explode(F.split(F.trim(F.lower(F.col("text"))), "\\s+")).alias("token")
+    )
+    return (
+        toks.groupBy("token")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("freq"))
+        .orderBy(F.desc("freq"), F.asc("token"))
+        .limit(50)
+    )

@@ -369,3 +369,24 @@ def test_ngram_contamination_finds_planted_overlap(spark):
            for r in ngram_contamination(train, evalset, k=5).collect()}
     assert (1, 100) in got and got[(1, 100)] >= 5
     assert not any(t == 2 for t, _ in got)
+
+
+def test_chunk_documents_overlap_semantics(spark):
+    """Chunk boundaries: stride overlap, short tail chunk, and a
+    shorter-than-one-chunk doc emitting exactly one chunk."""
+    from priority_data_pipeline_azure_sql_db_spark.operators.pack import chunk_documents
+
+    long_doc = " ".join(f"w{i}" for i in range(10))   # 10 tokens
+    df = spark.createDataFrame(
+        [(1, long_doc), (2, "a b")], "doc_id bigint, text string"
+    )
+    out = [(r.doc_id, r.chunk_id, r.chunk_text, r.n_tokens)
+           for r in chunk_documents(df, chunk_tokens=4, stride=3).collect()]
+    got = {(d, c): (t, n) for d, c, t, n in out}
+    # starts at 1,4,7 (last start <= 10-4+1=7): chunks of 4,4,4 tokens
+    assert got[(1, 0)] == ("w0 w1 w2 w3", 4)
+    assert got[(1, 1)] == ("w3 w4 w5 w6", 4)
+    assert got[(1, 2)] == ("w6 w7 w8 w9", 4)
+    assert (1, 3) not in got
+    # short doc: one chunk, actual token count
+    assert got[(2, 0)] == ("a b", 2)
