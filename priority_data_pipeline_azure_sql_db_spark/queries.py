@@ -3227,3 +3227,58 @@ def text_vocab_topk(spark, sf_dir):
         .orderBy(F.desc("freq"), F.asc("token"))
         .limit(50)
     )
+
+
+@query(
+    "pipeline_curation_e2e",
+    """
+    WITH scored AS (
+        SELECT doc_id, source, lang, text,
+               len(string_split_regex(trim(text), '\\s+')) AS n_tokens,
+               len(regexp_extract_all(text, '[A-Za-z]'))
+                   / GREATEST(length(text), 1) AS alpha_ratio,
+               md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp
+        FROM documents
+    ), kept AS (
+        SELECT * FROM scored WHERE n_tokens >= 10 AND alpha_ratio >= 0.5
+    ), mins AS (
+        SELECT fp, MIN(doc_id) AS doc_id FROM kept GROUP BY fp
+    ), deduped AS (
+        SELECT k.* FROM kept k JOIN mins m USING (fp, doc_id)
+    ), sampled AS (
+        SELECT * FROM deduped
+        WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) < '800000000000000'
+    )
+    SELECT source, lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
+    FROM sampled GROUP BY source, lang
+    """,
+)
+def pipeline_curation_e2e(spark, sf_dir):
+    """The full corpus-curation pipeline as ONE declarative plan:
+    quality gate (token count + alpha ratio) → exact-dup removal
+    (canonical = min doc id per normalized-text fingerprint) → 50%
+    deterministic hash sample → per-(source, lang) training-budget
+    rollup. Catalyst fuses the scoring into the scan and the dedup is a
+    single fingerprint aggregate + semi-join — the shape a 100 TB
+    curation job must take, and every stage reuses an operator that is
+    also individually oracle-checked."""
+    from .operators.sample import hash_sample
+
+    d = load_table(spark, sf_dir, "documents")
+    scored = d.select(
+        "doc_id", "source", "lang",
+        X.token_count(F.col("text")).alias("n_tokens"),
+        (F.size(F.regexp_extract_all(F.col("text"), F.lit("[A-Za-z]"), 0))
+         / F.greatest(F.length("text"), F.lit(1))).alias("alpha_ratio"),
+        X.fingerprint(F.col("text")).alias("fp"),
+    )
+    kept = scored.filter((F.col("n_tokens") >= 10) & (F.col("alpha_ratio") >= 0.5))
+    canon = kept.groupBy("fp").agg(F.min("doc_id").alias("doc_id"))
+    deduped = kept.join(canon, ["fp", "doc_id"], "left_semi")
+    sampled = hash_sample(deduped, "doc_id", 0.5)
+    return sampled.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+    )
