@@ -53,3 +53,41 @@ def cast_to_schema(df: DataFrame, schema: T.StructType) -> DataFrame:
         tgt = by_name.get(c.lower())
         out.append(F.col(c).cast(tgt).alias(c) if tgt is not None else F.col(c))
     return df.select(*out)
+
+
+def align_schemas(target: DataFrame, delta: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """Schema evolution at the merge boundary: widen BOTH sides to the
+    union of their columns. Missing columns become typed nulls; a column
+    present on both sides keeps the TARGET's type (the stored table wins —
+    the delta is cast, mirroring cast_to_schema's boundary rule). Column
+    order: target's columns first, then the delta's new ones.
+
+    This is what lets an incremental pipeline survive a source adding a
+    field mid-stream: old rows read back with nulls in the new column,
+    new rows carry it, nothing is silently dropped (the previous behavior
+    was ``delta.select(*target.columns)`` — new source fields vanished).
+    """
+    t_types = {f.name.lower(): f.dataType for f in target.schema.fields}
+    d_types = {f.name.lower(): f.dataType for f in delta.schema.fields}
+    ordered = [f.name for f in target.schema.fields] + [
+        f.name for f in delta.schema.fields if f.name.lower() not in t_types
+    ]
+
+    def widen(df: DataFrame, own: dict, other: dict, cast_to_other: bool) -> DataFrame:
+        cols = []
+        for name in ordered:
+            ln = name.lower()
+            if ln in own:
+                dt = other.get(ln) if cast_to_other else None
+                col = F.col(name)
+                if dt is not None and dt != own[ln]:
+                    col = col.cast(dt)
+                cols.append(col.alias(name))
+            else:
+                cols.append(F.lit(None).cast(own.get(ln) or other[ln]).alias(name))
+        return df.select(*cols)
+
+    return (
+        widen(target, t_types, d_types, cast_to_other=False),
+        widen(delta, d_types, t_types, cast_to_other=True),
+    )

@@ -36,7 +36,7 @@ from .catalog import primary_key
 from .config import EntityConfig, ExtractionConfig
 from .operators.flatten import flatten_expand
 from .operators.merge import merge_upsert
-from .operators.normalize import add_audit_columns, lowercase_columns
+from .operators.normalize import add_audit_columns, align_schemas, lowercase_columns
 from .operators.watermark import watermark_filter
 from .sources.parquet import load_table
 
@@ -80,7 +80,10 @@ class StagingStore:
     def read(self, spark: SparkSession, table: str) -> DataFrame:
         """Read a staging table. The partition column is an internal layout
         detail and is dropped — readers see exactly what was staged."""
-        df = spark.read.parquet(self.path(table))
+        # mergeSchema: after a schema-evolving merge, touched partitions
+        # carry new columns older partitions lack — the union schema is
+        # the table's real shape (plain reads sample one file's footer)
+        df = spark.read.option("mergeSchema", "true").parquet(self.path(table))
         return df.drop(PARTITION_COL) if PARTITION_COL in df.columns else df
 
     def overwrite(self, df: DataFrame, table: str) -> int:
@@ -105,12 +108,13 @@ class StagingStore:
         """
         if not self.exists(table):
             return self.overwrite(delta, table)
-        raw = spark.read.parquet(self.path(table))
+        raw = spark.read.option("mergeSchema", "true").parquet(self.path(table))
         dpart = self._with_partition(delta)
         if PARTITION_COL not in raw.columns or dpart is None:
             # legacy unpartitioned table: whole-table merge + swap
             target = raw.drop(PARTITION_COL) if PARTITION_COL in raw.columns else raw
-            merged = merge_upsert(target, delta.select(*target.columns), pk)
+            target, delta = align_schemas(target, delta)  # schema evolution
+            merged = merge_upsert(target, delta, pk)
             tmp = self.path(table) + ".__tmp__"
             merged.write.mode("overwrite").parquet(tmp)
             final = self.path(table)
@@ -134,7 +138,10 @@ class StagingStore:
         if None in touched:
             tcond = tcond | F.col(PARTITION_COL).isNull()
         target = raw.filter(tcond).drop(PARTITION_COL)
-        merged = merge_upsert(target, delta.select(*target.columns), pk)
+        # schema evolution: widen both sides to the column union (new
+        # source fields survive; dropped fields read back as nulls)
+        target, delta = align_schemas(target, delta)
+        merged = merge_upsert(target, delta, pk)
         tmp = self.path(table) + ".__tmp__"
         self._with_partition(merged).write.mode("overwrite") \
             .partitionBy(PARTITION_COL).parquet(tmp)

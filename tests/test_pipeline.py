@@ -371,3 +371,38 @@ def test_child_key_explicit_map_and_ambiguity(spark):
     # unambiguous heuristic still works unaided
     plain = spark.createDataFrame([(1, 10.0)], "l_orderkey bigint, amount double")
     assert PipelineRunner._child_key(plain, "o_orderkey") == "l_orderkey"
+
+
+def test_merge_schema_evolution(spark, tmp_path):
+    """A source adding a field mid-stream: the merge widens the stored
+    table, old rows read back with nulls in the new column, and a delta
+    MISSING a stored column leaves old values intact."""
+    from pyspark.sql import functions as F
+
+    from priority_data_pipeline_azure_sql_db_spark.pipeline import StagingStore
+
+    store = StagingStore(str(tmp_path / "stg"))
+    v1 = spark.createDataFrame(
+        [(1, "a", "2024-01-01 00:00:00"), (2, "b", "2024-01-01 00:00:00")],
+        "id bigint, val string, extractiontimestamputc string",
+    ).withColumn("extractiontimestamputc", F.col("extractiontimestamputc").cast("timestamp"))
+    store.overwrite(v1, "stg_t")
+
+    # delta adds a NEW column and updates row 2
+    v2 = spark.createDataFrame(
+        [(2, "b2", "fresh", "2024-01-02 00:00:00"), (3, "c", "fresh", "2024-01-02 00:00:00")],
+        "id bigint, val string, extra string, extractiontimestamputc string",
+    ).withColumn("extractiontimestamputc", F.col("extractiontimestamputc").cast("timestamp"))
+    store.merge(spark, v2, "stg_t", ["id"])
+    got = {r.id: (r.val, r.extra) for r in store.read(spark, "stg_t").collect()}
+    assert got == {1: ("a", None), 2: ("b2", "fresh"), 3: ("c", "fresh")}
+
+    # delta MISSING the evolved column: stored values survive
+    v3 = spark.createDataFrame(
+        [(3, "c3", "2024-01-03 00:00:00")],
+        "id bigint, val string, extractiontimestamputc string",
+    ).withColumn("extractiontimestamputc", F.col("extractiontimestamputc").cast("timestamp"))
+    store.merge(spark, v3, "stg_t", ["id"])
+    got = {r.id: (r.val, r.extra) for r in store.read(spark, "stg_t").collect()}
+    assert got[3] == ("c3", None)
+    assert got[2] == ("b2", "fresh")
