@@ -1,0 +1,108 @@
+"""Persisted IVF index: build once, serve many (north star ANN at scale).
+
+`cosine_topk_ivf` retrains centroids and reassigns the corpus on every
+query — right for one-shot analytics, wrong for a serving/eval loop. The
+persisted layout splits that:
+
+- :func:`build_ivf_index` trains centroids, assigns every vector to its
+  cell, and writes the corpus ``partitionBy("cell")`` — the inverted
+  file IS the directory layout.
+- :func:`query_ivf_index` assigns the query batch to its ``n_probe``
+  nearest cells and reads the corpus with ``cell IN (<probed>)`` —
+  Spark's partition pruning turns that into "open only the probed cell
+  directories": at 100 TB a 16-of-1024-cell probe reads ~1.6% of the
+  index bytes, and the scan shows it (``PartitionFilters`` in explain;
+  asserted in tests/test_scale_utils.py).
+
+Determinism: training and assignment reuse the hash-seeded
+:func:`~.similarity._train_centroids`, so rebuilding the index from the
+same corpus yields byte-identical cells.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .similarity import (
+    _as_double,
+    _assign_cells,
+    _train_centroids,
+    dot,
+    infer_dim,
+    l2_norm,
+)
+
+CENTROIDS_DIR = "centroids"
+CELLS_DIR = "cells"
+
+
+def build_ivf_index(
+    corpus: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_cells: int = 16,
+) -> None:
+    """Train + assign + persist: ``<path>/centroids`` (n_cells rows) and
+    ``<path>/cells`` partitioned by cell id."""
+    import os
+
+    dim = infer_dim(corpus, vec_col)
+    vecs = corpus.select(
+        F.col(id_col).alias("_id"), _as_double(F.col(vec_col)).alias("v")
+    )
+    cents = _train_centroids(vecs, n_cells, dim).coalesce(1).cache()
+    cents.write.mode("overwrite").parquet(os.path.join(path, CENTROIDS_DIR))
+    assigned = _assign_cells(
+        vecs.select(F.col("_id").alias(id_col), F.col("v").alias("vec"))
+        .select(id_col, "vec", l2_norm(F.col("vec"), dim).alias("norm")),
+        cents, id_col, "vec", 1, dim,
+    )
+    assigned.write.mode("overwrite").partitionBy("cell").parquet(
+        os.path.join(path, CELLS_DIR)
+    )
+
+
+def query_ivf_index(
+    spark: SparkSession,
+    path: str,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_probe: int = 4,
+) -> DataFrame:
+    """Top-k cosine against a persisted index. The corpus scan carries
+    ``cell IN (probed cells)`` so partition pruning skips every other
+    cell's files. Returns (query_id, neighbor_id, sim, rank)."""
+    import os
+
+    cents = spark.read.parquet(os.path.join(path, CENTROIDS_DIR))
+    cells = spark.read.parquet(os.path.join(path, CELLS_DIR))
+    dim = infer_dim(queries, vec_col)
+    q = _assign_cells(
+        queries.select(
+            F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("qv")
+        ).select("query_id", "qv", l2_norm(F.col("qv"), dim).alias("qn")),
+        cents, "query_id", "qv", n_probe, dim,
+    )
+    # the probed-cell set is n_probe × |queries| values — driver-side
+    # metadata that becomes a partition-pruning IN filter on the scan
+    probed = sorted({r["cell"] for r in q.select("cell").distinct().collect()})
+    pruned = cells.filter(F.col("cell").isin(probed))
+    scored = (
+        pruned.join(F.broadcast(q), "cell")
+        .filter(F.col(id_col) != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col(id_col).alias("neighbor_id"),
+            F.round(
+                dot(F.col("qv"), F.col("vec"), dim) / (F.col("qn") * F.col("norm")), 6
+            ).alias("sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return scored.withColumn("rank", F.row_number().over(w).cast("bigint")).filter(
+        F.col("rank") <= k
+    )

@@ -3282,3 +3282,22 @@ def pipeline_curation_e2e(spark, sf_dir):
         F.count(F.lit(1)).cast("bigint").alias("n_docs"),
         F.sum("n_tokens").cast("bigint").alias("total_tokens"),
     )
+
+
+@query("ann_ivf_index_persisted")  # approximate + filesystem layout → rows-only
+def ann_ivf_index_persisted(spark, sf_dir):
+    """Persisted IVF index round-trip: build (train + assign + write
+    cell-partitioned parquet) then query with partition pruning — only
+    probed cell directories are read (PartitionFilters asserted in
+    tests/test_scale_utils.py; result-equality vs the retrain-every-time
+    IVF also pytest-checked)."""
+    import tempfile
+
+    from .operators.ann_index import build_ivf_index, query_ivf_index
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    idx = tempfile.mkdtemp(prefix="ivf_idx_")
+    build_ivf_index(emb, idx, n_cells=8)
+    return query_ivf_index(
+        spark, idx, emb.filter(F.col("vec_id") < 5), k=5, n_probe=3
+    ).orderBy("query_id", "rank")

@@ -166,3 +166,33 @@ def test_pack_sequences_conservation(spark, sf_dir):
     total = d.select(F.sum(F.size(F.split(F.trim("text"), "\\s+")))).first()[0]
     last = out.orderBy(F.desc("doc_id")).limit(1).first()
     assert last.first_seq * budget + last.offset_in_seq + last.n_tokens == total
+
+
+def test_ivf_index_persist_prune_and_match(spark, sf_dir, tmp_path):
+    """Persisted IVF index: query results equal the retrain-every-time
+    cosine_topk_ivf (same hash-seeded training), and the probe scan's
+    plan prunes to the probed cell partitions (PartitionFilters on cell)."""
+    from pyspark.sql import functions as F
+
+    from priority_data_pipeline_azure_sql_db_spark.operators.ann_index import (
+        build_ivf_index,
+        query_ivf_index,
+    )
+    from priority_data_pipeline_azure_sql_db_spark.operators.similarity import (
+        cosine_topk_ivf,
+    )
+    from priority_data_pipeline_azure_sql_db_spark.sources.parquet import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    idx = str(tmp_path / "ivf")
+    build_ivf_index(emb, idx, n_cells=8)
+
+    got = query_ivf_index(spark, idx, queries, k=5, n_probe=3)
+    want = cosine_topk_ivf(emb, queries, k=5, n_probe=3, n_cells=8)
+    g = sorted((r.query_id, r.rank, r.neighbor_id, r.sim) for r in got.collect())
+    w = sorted((r.query_id, r.rank, r.neighbor_id, r.sim) for r in want.collect())
+    assert g == w and len(g) > 0
+
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [cell" in plan.replace("  ", " ") or "cell#" in plan.split("PartitionFilters")[1][:80], plan
