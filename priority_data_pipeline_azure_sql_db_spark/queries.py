@@ -2802,14 +2802,17 @@ def q2_min_cost_supplier(spark, sf_dir):
     )
     SELECT l_partkey AS p_partkey, CAST(val AS DOUBLE) AS part_value
     FROM value
-    WHERE val > (SELECT AVG(val) * 1.5 FROM value)
+    WHERE 2 * val * (SELECT COUNT(*) FROM value)
+          > 3 * (SELECT SUM(val) FROM value)
     """,
 )
 def q11_important_parts(spark, sf_dir):
-    """q11-shaped: parts whose total traded value exceeds a fraction of
-    the corpus total — the scalar-aggregate-subquery pattern (computed
-    once, broadcast into the filter). Decimal bridge keeps the sums
-    bit-identical across engines."""
+    """q11-shaped: parts whose total traded value exceeds 1.5x the
+    per-part average — the scalar-aggregate-subquery pattern (computed
+    once, broadcast into the filter). The threshold is the exact
+    cross-multiplied form 2*cnt*val > 3*total: decimal/integer
+    arithmetic only, so the boundary cannot diverge between engines
+    (AVG(decimal) is decimal in Spark, double in DuckDB)."""
     _views(spark, sf_dir, "lineitem")
     return spark.sql("""
         WITH value AS (
@@ -2819,7 +2822,8 @@ def q11_important_parts(spark, sf_dir):
         )
         SELECT l_partkey AS p_partkey, CAST(val AS DOUBLE) AS part_value
         FROM value
-        WHERE val > (SELECT AVG(val) * 1.5 FROM value)
+        WHERE 2 * val * (SELECT COUNT(*) FROM value)
+              > 3 * (SELECT SUM(val) FROM value)
     """)
 
 
@@ -2890,38 +2894,49 @@ def q16_supplier_part_counts(spark, sf_dir):
         SELECT l_suppkey, l_partkey,
                SUM(CAST(l_quantity AS DECIMAL(18,6))) AS qty
         FROM lineitem GROUP BY 1, 2
-    ), avgs AS (
-        SELECT l_partkey, AVG(qty) AS avg_qty FROM per GROUP BY 1
+    ), stats AS (
+        SELECT l_partkey, COUNT(*) AS n_supp, SUM(qty) AS sum_qty
+        FROM per GROUP BY 1
     )
     SELECT s.s_suppkey, s.s_name
     FROM supplier s
     WHERE s.s_suppkey IN (
         SELECT p.l_suppkey FROM per p
-        WHERE p.qty > (
-            SELECT 3.5 * a.avg_qty FROM avgs a WHERE a.l_partkey = p.l_partkey
+        WHERE 2 * p.qty * (
+            SELECT t.n_supp FROM stats t WHERE t.l_partkey = p.l_partkey
+        ) > 7 * (
+            SELECT t.sum_qty FROM stats t WHERE t.l_partkey = p.l_partkey
         )
     )
     """,
 )
 def q20_heavy_suppliers(spark, sf_dir):
-    """q20-shaped: suppliers with an outsized share of some part's volume (3.5x the part's per-supplier average) — an IN
-    subquery whose body contains a CORRELATED scalar subquery (the
-    nested-decorrelation pattern q20 exists to exercise)."""
+    """q20-shaped: suppliers with an outsized share of some part's
+    volume (> 3.5x the part's per-supplier average) — an IN subquery
+    whose body contains TWO correlated scalar subqueries (the
+    nested-decorrelation pattern q20 exists to exercise). The threshold
+    is the exact cross-multiplied form 2*cnt*qty > 7*sum: no division,
+    all decimal/integer arithmetic, so the boundary cannot diverge
+    between engines (AVG(decimal) is decimal in Spark but double in
+    DuckDB — a knife-edge supplier flipped at sf0.1)."""
     _views(spark, sf_dir, "supplier", "lineitem")
     return spark.sql("""
         WITH per AS (
             SELECT l_suppkey, l_partkey,
                    SUM(CAST(l_quantity AS DECIMAL(18,6))) AS qty
             FROM lineitem GROUP BY 1, 2
-        ), avgs AS (
-            SELECT l_partkey, AVG(qty) AS avg_qty FROM per GROUP BY 1
+        ), stats AS (
+            SELECT l_partkey, COUNT(*) AS n_supp, SUM(qty) AS sum_qty
+            FROM per GROUP BY 1
         )
         SELECT s.s_suppkey, s.s_name
         FROM supplier s
         WHERE s.s_suppkey IN (
             SELECT p.l_suppkey FROM per p
-            WHERE p.qty > (
-                SELECT 3.5 * a.avg_qty FROM avgs a WHERE a.l_partkey = p.l_partkey
+            WHERE 2 * p.qty * (
+                SELECT t.n_supp FROM stats t WHERE t.l_partkey = p.l_partkey
+            ) > 7 * (
+                SELECT t.sum_qty FROM stats t WHERE t.l_partkey = p.l_partkey
             )
         )
     """)
