@@ -90,7 +90,12 @@ def main() -> None:
             else:
                 best = min(best, dt)
                 since_improve += 1
-            if since_improve >= 2 and (attempt >= 3 or best < 1.0):
+            # queries still above ~1s get extra attempts: HotSpot
+            # occasionally parks a wide pipeline in a slow compiled state
+            # for several runs before the fast form lands (measured 8x
+            # bimodality on the shingle join), and two flat attempts is
+            # too early to call that converged
+            if since_improve >= 2 and (best < 1.0 or attempt >= 6):
                 break
         print(f"[bench] {name}: attempts={attempts} best={best:.3f}", file=sys.stderr)
         timings[name] = round(best, 3)
