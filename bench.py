@@ -78,6 +78,12 @@ def main() -> None:
         best = float("inf")
         since_improve = 0
         for attempt in range(9):
+            # cleared EVERY attempt, not just per query: operators that
+            # .cache() internally (winnow_near_dup's fingerprint table,
+            # the near-dup centroids) must repopulate inside the timed
+            # region, else every counted run skips the cached subtree and
+            # the min under-reports the true per-run cost (ADVICE r5)
+            spark.catalog.clearCache()
             t0 = time.time()
             df.write.format("noop").mode("overwrite").save()
             dt = time.time() - t0

@@ -91,10 +91,21 @@ def chunk_documents(
     t = src.select("_id", toks.alias("_toks")).select(
         "_id", "_toks", F.size("_toks").alias("_n")
     )
-    # chunk starts: 1, 1+stride, ... while start <= max(n - chunk, 0) + 1
+    # chunk starts on the stride grid: 1, 1+stride, ... The upper bound is
+    # max(n - chunk, 0) + stride (clamped to n), NOT n - chunk + 1: the
+    # tighter bound drops up to stride-1 trailing tokens whenever
+    # (n - chunk) % stride != 0 (e.g. n=30, chunk=24, stride=16 would emit
+    # only tokens 1-24). The extra grid start emits the short tail chunk
+    # the docstring promises, and the bound also guarantees the previous
+    # chunk did NOT already reach the end (s - stride + chunk - 1 < n), so
+    # no fully-contained redundant chunk is ever emitted. The n clamp
+    # keeps starts in-range when stride > chunk (gapped sampling).
     starts = F.sequence(
         F.lit(1),
-        F.greatest(F.col("_n") - chunk_tokens, F.lit(0)) + 1,
+        F.least(
+            F.greatest(F.col("_n") - chunk_tokens, F.lit(0)) + stride,
+            F.col("_n"),
+        ),
         F.lit(stride),
     )
     return (

@@ -395,6 +395,11 @@ def embedding_near_dup(
     r = float(max(2.0 - 2.0 * threshold, 0.0)) ** 0.5
     block_rows = 4096
     dim = infer_dim(df, vec_col)
+    # ids pass through the numpy kernel untyped: the output schema follows
+    # the INPUT id type (string doc ids work — numpy compares str arrays
+    # lexicographically, same order as the Spark `<` on strings), instead
+    # of the earlier hardcoded int64 that mangled non-integer ids
+    id_type = df.schema[id_col].dataType.simpleString()
     base = spread(df.select(
         F.col(id_col).alias("_id"), _as_double(F.col(vec_col)).alias("v")
     ), "_id").select("_id", "v", l2_norm(F.col("v"), dim).alias("n"))
@@ -486,8 +491,8 @@ def embedding_near_dup(
         for pdf in batches:
             out_a, out_b, out_s = [], [], []
             for i in range(len(pdf)):
-                ia = np.asarray(pdf["ids_a"].iloc[i], dtype=np.int64)
-                ib = np.asarray(pdf["ids_b"].iloc[i], dtype=np.int64)
+                ia = np.asarray(pdf["ids_a"].iloc[i])
+                ib = np.asarray(pdf["ids_b"].iloc[i])
                 A = np.array([np.asarray(x) for x in pdf["vecs_a"].iloc[i]])
                 B = np.array([np.asarray(x) for x in pdf["vecs_b"].iloc[i]])
                 na = np.asarray(pdf["norms_a"].iloc[i], dtype=np.float64)
@@ -499,12 +504,12 @@ def embedding_near_dup(
                 xi, yi = np.nonzero(keep)
                 out_a.append(ia[xi]); out_b.append(ib[yi]); out_s.append(sims[xi, yi])
             yield pd.DataFrame({
-                "id_a": np.concatenate(out_a) if out_a else np.array([], dtype=np.int64),
-                "id_b": np.concatenate(out_b) if out_b else np.array([], dtype=np.int64),
+                "id_a": np.concatenate(out_a) if out_a else [],
+                "id_b": np.concatenate(out_b) if out_b else [],
                 "sim": np.concatenate(out_s) if out_s else np.array([], dtype=np.float64),
             })
 
-    return blocks.mapInPandas(score, "id_a bigint, id_b bigint, sim double")
+    return blocks.mapInPandas(score, f"id_a {id_type}, id_b {id_type}, sim double")
 
 
 def normalize_embeddings(df: DataFrame, id_col: str = "vec_id",

@@ -2727,18 +2727,23 @@ def dedup_cluster_canonical(spark, sf_dir):
         FROM embeddings
     )
     SELECT vec_id,
+           CAST(i AS BIGINT) AS pos,
            CASE WHEN norm > 0
-                THEN list_transform(e, x -> FLOOR(x / norm * 1000000 + 0.5) / 1000000)
-                ELSE e END AS unit,
+                THEN FLOOR(e[i + 1] / norm * 1000000 + 0.5) / 1000000
+                ELSE e[i + 1] END AS value,
            FLOOR(norm * 1000000 + 0.5) / 1000000 AS norm
-    FROM v
+    FROM v, LATERAL (SELECT UNNEST(range(len(e))) AS i)
     """,
 )
 def embedding_normalize(spark, sf_dir):
-    """Unit-normalization of the embedding column (cosine → dot form).
-    Values fixed to 6 decimals via the floor(x*1e6+0.5) scheme — the
-    round-half-up both engines compute identically (ROUND(double, n)
-    disagrees at representation boundaries)."""
+    """Unit-normalization of the embedding column (cosine → dot form),
+    returned FLATTENED as (vec_id, pos, value, norm): the driver's
+    pandas comparator cannot hash list cells (r5 ERR, `unhashable type:
+    'list'`), so array-valued results posexplode at the query boundary —
+    the engine-side operator still produces the array. Values fixed to 6
+    decimals via the floor(x*1e6+0.5) scheme — the round-half-up both
+    engines compute identically (ROUND(double, n) disagrees at
+    representation boundaries)."""
     emb = load_table(spark, sf_dir, "embeddings")
     dim = S.infer_dim(emb, "embedding")
     fix6 = lambda c: F.floor(c * F.lit(1000000.0) + F.lit(0.5)) / F.lit(1000000.0)  # noqa: E731
@@ -2748,7 +2753,13 @@ def embedding_normalize(spark, sf_dir):
     unit = F.when(
         F.col("_n") > 0, F.transform("e", lambda x: fix6(x / F.col("_n")))
     ).otherwise(F.col("e"))
-    return base.select("vec_id", unit.alias("unit"), fix6(F.col("_n")).alias("norm"))
+    flat = base.select(
+        "vec_id", fix6(F.col("_n")).alias("norm"),
+        F.posexplode(unit).alias("pos", "value"),
+    )
+    return flat.select(
+        "vec_id", F.col("pos").cast("bigint").alias("pos"), "value", "norm"
+    )
 
 
 @query(
@@ -3040,32 +3051,41 @@ def streaming_static_join(spark, sf_dir):
     "pack_training_sequences",
     """
     WITH toks AS (
-        SELECT doc_id,
+        SELECT doc_id, doc_id % 8 AS shard,
                CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT)
                    AS n_tokens
         FROM documents
     ), cum AS (
-        SELECT doc_id, n_tokens,
-               SUM(n_tokens) OVER (ORDER BY doc_id
+        SELECT shard, doc_id, n_tokens,
+               SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
                                    ROWS UNBOUNDED PRECEDING) AS cum
         FROM toks
     )
-    SELECT doc_id, n_tokens,
-           (cum - n_tokens) // 512 AS first_seq,
-           (cum - n_tokens) % 512 AS offset_in_seq,
-           ((cum - 1) // 512 - (cum - n_tokens) // 512 + 1) AS n_seqs_spanned
+    SELECT CAST(shard AS BIGINT) AS shard, doc_id, n_tokens,
+           CAST((cum - n_tokens) // 512 AS BIGINT) AS first_seq,
+           CAST((cum - n_tokens) % 512 AS BIGINT) AS offset_in_seq,
+           CAST((cum - 1) // 512 - (cum - n_tokens) // 512 + 1 AS BIGINT)
+               AS n_seqs_spanned
     FROM cum
     """,
 )
 def pack_training_sequences(spark, sf_dir):
-    """Concat-and-chunk sequence packing (the standard pretraining
-    layout): documents laid out in id order, chunked into 512-token
-    sequences; per doc its first sequence, offset, and span. One window
-    cumsum — the oracle replays it verbatim."""
+    """SHARDED concat-and-chunk sequence packing (the standard
+    pretraining layout at scale): documents hash into 8 deterministic
+    shards (doc_id % 8 — SQL-twin-able), each shard's token stream is
+    independently chunked into 512-token sequences via one window cumsum
+    partitioned BY SHARD. This is the 100 TB plan — no global
+    single-partition WindowExec; each shard costs at most one partial
+    boundary sequence. (The r5 global variant's driver hash mismatch was
+    the oracle's un-cast HUGEINT window outputs arriving in pandas as
+    float64 — every derived column now casts to BIGINT explicitly; see
+    ARCHITECTURE.md, oracle-comparator contract.)"""
     from .operators.pack import pack_sequences
 
-    d = load_table(spark, sf_dir, "documents")
-    return pack_sequences(d, budget=512)
+    d = load_table(spark, sf_dir, "documents").withColumn(
+        "shard", (F.col("doc_id") % 8).cast("bigint")
+    )
+    return pack_sequences(d, budget=512, shard_col="shard")
 
 
 @query(
@@ -3202,7 +3222,7 @@ def dedup_contamination_check(spark, sf_dir):
            array_to_string(t[s:s+23], ' ') AS chunk_text,
            CAST(LEAST(24, n - s + 1) AS BIGINT) AS n_tokens
     FROM sized, LATERAL (
-        SELECT UNNEST(range(1, GREATEST(n - 24, 0) + 2, 16)) AS s
+        SELECT UNNEST(range(1, LEAST(GREATEST(n - 24, 0) + 16, n) + 1, 16)) AS s
     )
     """,
 )
@@ -3210,7 +3230,10 @@ def pack_document_chunks(spark, sf_dir):
     """Overlapping token-window chunking (24-token chunks, stride 16 —
     sized so typical fixture docs emit several overlapping chunks) — the
     RAG / long-context data-prep layout; chunk text and per-chunk token
-    counts value-checked against the oracle's identical slicing."""
+    counts value-checked against the oracle's identical slicing. Start
+    grid extends one stride past n-chunk so trailing tokens always land
+    in a (short) tail chunk — the r5 bound silently dropped up to
+    stride-1 tail tokens (ADVICE r5), and the oracle replicated it."""
     from .operators.pack import chunk_documents
 
     d = load_table(spark, sf_dir, "documents")

@@ -260,6 +260,15 @@ class ODataLikeDataSource(DataSource):
 
     def reader(self, schema: StructType) -> "ODataLikeReader":
         opts = dict(self.options)
+        # OData guarantees no stable ordering across independent requests,
+        # so N parallel $skip/$top page pulls can duplicate or drop rows
+        # unless every page is pinned with $orderby. Resolve the sort key
+        # from the EDMX <Key> (driver-side, once) unless the caller set one.
+        if opts.get("uri") and not opts.get("orderby"):
+            ents = self._edmx_entities()
+            ent = (ents or {}).get(opts.get("entity", "").lower())
+            if ent and ent.get("EntityPk"):
+                opts["orderby"] = ",".join(ent["EntityPk"])
         return ODataLikeReader(opts, schema)
 
 
@@ -295,10 +304,15 @@ class ODataLikeReader(DataSourceReader):
 
     def partitions(self) -> list[RowRangeSlice]:
         if self.uri:
-            # OData $count endpoint; single unbounded page when unsupported
+            # OData $count endpoint; single unbounded page when unsupported.
+            # The pushed $filter applies to the count too — otherwise a
+            # filtered scan plans pages from the unfiltered row count
+            # (harmless empty tail pulls, but wasted round-trips).
             try:
+                filt = odata_filter_string(self.accepted)
                 n_rows = int(http_get(
                     f"{self.uri.rstrip('/')}/{self.entity}/$count",
+                    params={"$filter": filt} if filt else None,
                     headers=ODataLikeDataSource._auth(self.options),
                     max_retries=self.max_retries,
                 ).decode().strip())
@@ -349,6 +363,12 @@ class ODataLikeReader(DataSourceReader):
         if expand:
             # reference naming: X -> X_SUBFORM (priorityDataSource.py:699-701)
             params["$expand"] = ",".join(f"{c.upper()}_SUBFORM" for c in expand)
+        # every paged pull pins $orderby (entity key, resolved in reader())
+        # — without it $skip/$top windows over an unstable ordering can
+        # duplicate or drop rows across parallel partitions
+        orderby = self.options.get("orderby")
+        if orderby:
+            params["$orderby"] = orderby
         if partition.offset:
             params["$skip"] = str(partition.offset)
         if partition.length is not None:
@@ -475,7 +495,15 @@ def _normalize_row(row: dict, schema: StructType) -> dict:
 
     def parse_ts(v):
         if isinstance(v, str):
-            return _dt.datetime.fromisoformat(v.replace("Z", "+00:00")).replace(tzinfo=None)
+            dt = _dt.datetime.fromisoformat(v.replace("Z", "+00:00"))
+            if dt.tzinfo is not None:
+                # CONVERT to UTC before dropping tzinfo — the reference
+                # server emits local-offset ISO stamps (priorityTimeZone),
+                # and the filter-rendering side (odata_filter_string)
+                # already converts; storing the naive wall clock unshifted
+                # would disagree with it by the offset
+                dt = dt.astimezone(_dt.timezone.utc).replace(tzinfo=None)
+            return dt
         return v
 
     lowered = {k.lower(): v for k, v in row.items()}

@@ -166,6 +166,32 @@ def test_embedding_near_dup_self_similarity(spark):
     assert pairs == {(1, 2): 1.0}
 
 
+def test_embedding_near_dup_string_ids(spark):
+    """The blocked-matmul kernel must preserve non-integer id types
+    (ADVICE r5: the int64 hardcode crashed/mangled string doc ids)."""
+    df = spark.sql(
+        """SELECT * FROM VALUES
+            ('doc-a', array(1.0F, 0.0F)), ('doc-b', array(1.0F, 0.0F)),
+            ('doc-c', array(0.0F, 1.0F))
+        AS t(vec_id, embedding)"""
+    )
+    out = S.embedding_near_dup(df, threshold=0.9)
+    assert dict(out.dtypes)["id_a"] == "string"
+    pairs = {(r.id_a, r.id_b): r.sim for r in out.collect()}
+    assert pairs == {("doc-a", "doc-b"): 1.0}
+
+
+def test_simhash_pairs_rejects_degenerate_radius(spark):
+    """max_hamming >= 64 makes every pigeonhole block zero-width (all
+    values collapse to 0 → silent O(n²) cross join); the guard must
+    refuse loudly instead."""
+    import pytest
+
+    for bad in (64, 100, -1):
+        with pytest.raises(ValueError, match="max_hamming"):
+            D.simhash_pairs(docs(spark), "text", "doc_id", max_hamming=bad)
+
+
 def test_embedding_normalize_and_quantize(spark):
     """Unit norms come out 1.0, zero vectors stay finite, and int8
     quantization bounds every value to [-127, 127] with the max-|x|

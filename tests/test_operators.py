@@ -390,3 +390,25 @@ def test_chunk_documents_overlap_semantics(spark):
     assert (1, 3) not in got
     # short doc: one chunk, actual token count
     assert got[(2, 0)] == ("a b", 2)
+
+
+def test_chunk_documents_tail_never_dropped(spark):
+    """(n - chunk) % stride != 0 must still emit the short tail chunk —
+    the r5 bound dropped up to stride-1 trailing tokens (ADVICE r5)."""
+    from priority_data_pipeline_azure_sql_db_spark.operators.pack import chunk_documents
+
+    df = spark.createDataFrame(
+        [(1, " ".join(f"w{i}" for i in range(11)))],  # 11 tokens
+        "doc_id bigint, text string",
+    )
+    out = {r.chunk_id: (r.chunk_text, r.n_tokens)
+           for r in chunk_documents(df, chunk_tokens=4, stride=3).collect()}
+    # starts 1,4,7,10: last grid start past n-chunk+1 emits the 2-token tail
+    assert out[3] == ("w9 w10", 2)
+    # every token appears in some chunk
+    covered = {t for text, _ in out.values() for t in text.split()}
+    assert covered == {f"w{i}" for i in range(11)}
+    # exact coverage emits no redundant fully-contained final chunk
+    df2 = spark.createDataFrame([(1, "a b c d")], "doc_id bigint, text string")
+    out2 = chunk_documents(df2, chunk_tokens=4, stride=3).collect()
+    assert len(out2) == 1 and out2[0].n_tokens == 4

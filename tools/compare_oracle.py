@@ -2,6 +2,21 @@
 entry on Spark AND its oracle_sql() twin on DuckDB, compare row count,
 column names, and an order-insensitive value hash.
 
+The comparison deliberately goes through PANDAS on both sides (Spark
+``toPandas()``, DuckDB ``.df()``), replicating the driver's own
+``_canon`` comparator (visible in the CORRECTNESS_r05 traceback):
+
+- DuckDB converts HUGEINT (e.g. any value derived from ``SUM(BIGINT)``)
+  to **float64** in ``.df()`` — an oracle that forgets to CAST such a
+  column back to BIGINT hashes as ``3.0`` vs Spark's ``3`` and FAILS
+  here exactly as it fails at the driver (this was r5's
+  pack_training_sequences red row; a ``fetchall()``-based comparison
+  hides it because HUGEINT→Python int).
+- ``sort_values`` over every column dies with ``unhashable type:
+  'list'`` on array-valued cells — replicated here as a loud driver-ERR
+  so list-returning queries are caught before registration (r5's
+  embedding_normalize red row).
+
 Usage: python tools/compare_oracle.py [sf_dir] [query ...]
 """
 
@@ -26,22 +41,40 @@ def normalize_cell(v) -> str:
 
     if v is None:
         return "NULL"
-    if isinstance(v, float):
+    if isinstance(v, float):  # incl. numpy float64 (subclass of float):
+        # a HUGEINT column arriving as float64 normalizes to "3.0" ≠ "3"
         if math.isnan(v):
             return "NaN"
         return repr(round(v, 9))
     if isinstance(v, decimal.Decimal):
         return str(v.normalize())
-    if isinstance(v, datetime.datetime):
+    if isinstance(v, datetime.datetime):  # incl. pd.Timestamp
         return v.replace(tzinfo=None).isoformat(timespec="microseconds")
     if isinstance(v, bytes):
         return v.hex()
-    return str(v)
+    return str(v)  # numpy int64 → "3"; everything else str()
 
 
-def table_hash(rows: list[tuple], col_names: list[str]) -> str:
-    order = sorted(range(len(col_names)), key=lambda i: col_names[i])
-    lines = sorted("|".join(normalize_cell(r[i]) for i in order) for r in rows)
+def canon_pandas(pdf):
+    """The driver's _canon: lowercase + name-sort columns, sort_values
+    over ALL of them (raises TypeError on unhashable list cells — that
+    IS the driver behavior, surface it), NaN-safe via na_position."""
+    pdf = pdf.copy()
+    pdf.columns = [c.lower() for c in pdf.columns]
+    cols = sorted(pdf.columns)
+    return pdf[cols].sort_values(by=cols, na_position="last").reset_index(drop=True)
+
+
+def table_hash(pdf) -> str:
+    import pandas as pd
+
+    lines = sorted(
+        "|".join(
+            normalize_cell(None if v is None or v is pd.NaT else v)
+            for v in row
+        )
+        for row in pdf.itertuples(index=False, name=None)
+    )
     h = hashlib.sha256()
     for line in lines:
         h.update(line.encode())
@@ -84,39 +117,47 @@ def main() -> int:
         t0 = time.time()
         try:
             df = fn(spark, sf_dir)
-            cols = df.columns
-            rows = [tuple(r) for r in df.collect()]
+            spdf = df.toPandas()
         except Exception as exc:
             print(f"FAIL  {name}: spark error: {type(exc).__name__}: {exc}")
             n_fail += 1
             continue
         if name not in oracles:
-            print(f"rows-only  {name}: {len(rows)} rows  ({time.time()-t0:.1f}s)")
+            print(f"rows-only  {name}: {len(spdf)} rows  ({time.time()-t0:.1f}s)")
             n_rowsonly += 1
             continue
         try:
-            rel = con.sql(oracles[name])
-            ocols = [c.lower() for c in rel.columns]
-            orows = rel.fetchall()
+            odf = con.sql(oracles[name]).df()
         except Exception as exc:
             print(f"FAIL  {name}: duckdb error: {type(exc).__name__}: {exc}")
             n_fail += 1
             continue
-        scols = [c.lower() for c in cols]
+        scols = sorted(c.lower() for c in spdf.columns)
+        ocols = sorted(c.lower() for c in odf.columns)
         problems = []
-        if len(rows) != len(orows):
-            problems.append(f"rowcount spark={len(rows)} duck={len(orows)}")
-        if sorted(scols) != sorted(ocols):
-            problems.append(f"cols spark={sorted(scols)} duck={sorted(ocols)}")
+        if len(spdf) != len(odf):
+            problems.append(f"rowcount spark={len(spdf)} duck={len(odf)}")
+        if scols != ocols:
+            problems.append(f"cols spark={scols} duck={ocols}")
         if not problems:
-            hs, ho = table_hash(rows, scols), table_hash(orows, ocols)
+            try:
+                cs, co = canon_pandas(spdf), canon_pandas(odf)
+            except TypeError as exc:
+                # the driver dies here on list-typed columns → ERR row
+                print(f"FAIL  {name}: driver-ERR (comparator cannot canon: {exc})")
+                n_fail += 1
+                continue
+            hs, ho = table_hash(cs), table_hash(co)
             if hs != ho:
                 problems.append(f"valuehash spark={hs} duck={ho}")
-                # show a few diff lines for debugging
-                order_s = sorted(range(len(scols)), key=lambda i: scols[i])
-                order_o = sorted(range(len(ocols)), key=lambda i: ocols[i])
-                ls = sorted("|".join(normalize_cell(r[i]) for i in order_s) for r in rows)
-                lo = sorted("|".join(normalize_cell(r[i]) for i in order_o) for r in orows)
+                ls = sorted(
+                    "|".join(normalize_cell(v) for v in row)
+                    for row in cs.itertuples(index=False, name=None)
+                )
+                lo = sorted(
+                    "|".join(normalize_cell(v) for v in row)
+                    for row in co.itertuples(index=False, name=None)
+                )
                 diffs = [(a, b) for a, b in zip(ls, lo) if a != b][:3]
                 for a, b in diffs:
                     print(f"      spark: {a[:200]}\n      duck : {b[:200]}")
@@ -124,7 +165,7 @@ def main() -> int:
             print(f"FAIL  {name}: {'; '.join(problems)}  ({time.time()-t0:.1f}s)")
             n_fail += 1
         else:
-            print(f"PASS  {name}: {len(rows)} rows  ({time.time()-t0:.1f}s)")
+            print(f"PASS  {name}: {len(spdf)} rows  ({time.time()-t0:.1f}s)")
             n_pass += 1
     print(f"\n{n_pass} pass, {n_fail} fail, {n_rowsonly} rows-only")
     return 1 if n_fail else 0
