@@ -25,95 +25,84 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The correctness driver evaluates the first 50 registry entries in order.
-# Round-5 rotation (rotation hygiene rule: any query whose OPERATOR code
-# changed since its last green round re-verifies first). The 8 round-5
-# registrations (near-dup clustering, normalize, the correlated-subquery
-# q2/q11/q12/q16/q20/q21 family) lead, then every query over a
-# round-5-touched path. Rotated below the window to make room (all green
-# r4 on untouched code): sample_stratified_mix, profile_documents_stats,
-# multimodal_binary_meta, skew_salted_join, q1_pricing_summary,
-# q9_product_profit, q17_small_quantity_revenue. Round 5 touched:
-# operators/text.py (winnowing — pinned pre-explode spread),
-# operators/dedup.py (shingle spread; SimHash de-fanned to 64 aggregate
-# expressions), operators/similarity.py (unrolled codegen dot/norm,
-# blocked-matmul near-dup, unified centroid training),
-# sources/parquet.py + streaming/events.py (events ts type adaptation),
-# sources/odata_like.py (HTTP transport, $select, $expand). Every query
-# over those paths leads the window; long-green queries on untouched
-# paths (TPC-H joins/aggs over orders/lineitem, scalar funcs, pipeline
-# config/DDL probes) rotate below it. The rows-only tail (no SQL twin
-# possible) closes the window as before.
+# Round-6 rotation. Priority: (1) the 8 never-driver-checked entries — the
+# two r5 reds, both restructured this round (pack_training_sequences now
+# graded on the SHARDED variant with BIGINT-cast oracle columns;
+# embedding_normalize flattened via posexplode — see ARCHITECTURE.md
+# "Oracle-comparator contract"), the 4 late-r5 registrations, and the 2
+# new r6 operators (merge-table BPE, greedy never-split packing);
+# (2) queries over round-6-touched code: events_tumbling_hourly
+# (date_trunc rewrite), q21_last_shipper (pre-aggregated plan),
+# embedding_near_dup_pairs (id-dtype generalization in similarity.py),
+# odata_source_scan + pipeline_e2e_flagship (odata reader: $orderby
+# resolution, filtered $count, tz conversion); (3) staleness repayment —
+# the 30 queries last driver-checked in ROUND 1 (TPC-H family, joins,
+# set ops, window/scalar funcs: five rounds on untouched code, but
+# 2+-round-unchecked is the hygiene bound, and all are locally
+# re-verified under the new driver-replica comparator this session), then
+# 7 of the round-3 bucket (the pipeline surface + events_pivot_types,
+# preferring touched load paths). Below the window: the remaining r3
+# stragglers (q8, q13, scalar_date_math, type_mapping_enrichment — next
+# round's head), the r4 bucket, and everything green r5 on code untouched
+# this round (clustering, winnowing, jaccard, simhash, streaming, text
+# quality family — all also locally green this session).
 CHECK_ORDER = [
-    # NEW round-5 registrations (never driver-checked)
-    "dedup_cluster_canonical",
+    # never driver-checked: r5 reds (both restructured r6) ...
     "pack_training_sequences",
-    "text_repetition_ratio",
-    "text_pii_scrub",
-    "dedup_contamination_check",
     "embedding_normalize",
-    "q2_min_cost_supplier",
-    "q11_important_parts",
-    "q12_late_shipment_priority",
-    "q16_supplier_part_counts",
-    "q20_heavy_suppliers",
-    "q21_last_shipper",
-    # similarity.py rework: kernels + blocked matmul + centroid unify
-    "embedding_near_dup_pairs",
-    "ann_cosine_topk",
-    "embedding_quantize_int8",
-    "embedding_centroids",
-    # text.py winnowing: spread + single-shuffle plan
-    "text_winnow_fingerprints",
-    "dedup_winnow_pairs",
-    "dedup_winnow_pairs_capped",
-    # dedup.py: shingle spread, SimHash de-fan, capped production paths
-    "dedup_exact_docs",
-    "dedup_fingerprint_docs",
-    "dedup_ngram_jaccard",
-    "dedup_jaccard_pairs_capped",
-    "dedup_simhash_pairs",
-    # text analysis over the spread shingle/token paths
-    "text_token_stats",
-    "text_quality_score",
-    "text_langid_heuristic",
-    "text_tfidf_top_terms",
-    "text_cleaning_pass_profile",
-    # events.ts type adaptation (load_table + read_events_stream)
-    "events_json_extract",
-    "events_sessionize",
+    # ... late-r5 registrations ...
+    "pack_document_chunks",
+    "text_vocab_topk",
+    "pipeline_curation_e2e",
+    "ann_ivf_index_persisted",
+    # ... and the round-6 additions
+    "text_bpe_tokens",
+    "pack_greedy_sequences",
+    # round-6-touched code paths
     "events_tumbling_hourly",
-    "events_multires_rollup",
-    # (events_pivot_types / asof / range_join / window_range_trailing_30d
-    # rotate out: multi-green and re-verified locally under a vanilla
-    # session this round — tools/compare_oracle.py --vanilla)
-    "streaming_tumbling_counts",
-    "streaming_session_counts",
-    "streaming_dedup_events",
-    "streaming_stream_stream_join",
-    "streaming_sliding_counts",
-    "streaming_static_join",
-    # source / pipeline surface over the reworked readers
-    # (pipeline_watermark_filter / pipeline_flatten_subform rotate out:
-    # triple-green r1-r3 and their orders/nation scan paths are untouched
-    # by the round-5 events-only load_table change)
+    "q21_last_shipper",
+    "embedding_near_dup_pairs",
     "odata_source_scan",
     "pipeline_e2e_flagship",
-    "pipeline_nest_explode_roundtrip",
-    "pipeline_cast_types",
-    "pipeline_merge_upsert",
-    # sampling over documents (single-green, keep warm)
-    "sample_documents_hash",
-    # rows-only by design (non-SQL-expressible)
-    "dedup_minhash_lsh",
-    "dedup_simhash",
-    "ann_cosine_topk_lsh",
-    "ann_cosine_topk_ivf",
-    # streaming stateful path (touched events reader feeds it)
-    "streaming_stateful_user_totals",
-    # approx_sketches / multimodal_frame_sample: untouched code, checked
-    # r4 — below the window this round. The late-r5 registrations
-    # (pack_document_chunks, text_vocab_topk) are oracle-PASSed locally
-    # and rotate into the round-6 window.
+    # staleness repayment: last driver-checked round 1
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q4_order_priority",
+    "q5_local_supplier_volume",
+    "q6_revenue_forecast",
+    "q10_returned_items",
+    "q14_promo_revenue",
+    "q18_large_orders",
+    "top_customers_by_revenue",
+    "agg_distinct_suppliers",
+    "percentiles_quantity",
+    "rollup_lineitem_status",
+    "cube_orders_status_priority",
+    "grouping_sets_lineitem",
+    "pivot_segment_by_region",
+    "join_left_outer_nulls",
+    "join_full_outer",
+    "semi_join_customers_with_orders",
+    "anti_join_customers_without_orders",
+    "setop_nation_intersect",
+    "setop_nation_except",
+    "union_all_distinct",
+    "window_running_total",
+    "window_lag_lead_ntile",
+    "window_topk_orders_per_customer",
+    "scalar_string_funcs",
+    "scalar_array_funcs",
+    "conditional_null_funcs",
+    "pipeline_count_rows",
+    "pipeline_limit_probe",
+    # staleness repayment: last driver-checked round 3 (7 of 11)
+    "pipeline_watermark_filter",
+    "pipeline_flatten_subform",
+    "pipeline_audit_columns",
+    "pipeline_project_drop",
+    "pipeline_config_flatten",
+    "events_pivot_types",
+    "q7_volume_shipping",
 ]
 
 

@@ -16,10 +16,12 @@ boundary error is at most one partial sequence per shard. The operator
 takes an optional ``shard_col`` for exactly that; with it the window
 partitions by shard and ordering stays within the shard.
 
-(The greedy first-fit bin-packing variant — never splitting a document
-— is a sequential scan with reset and NOT expressible as a window
-function; concat-and-chunk is both the more common pretraining layout
-and the one with an exact SQL twin.)
+The greedy never-split variant (:func:`pack_greedy`) — a document never
+straddles a sequence boundary — is a sequential scan with reset, not
+expressible as a window function or plain SQL; it runs as an
+Arrow-batched ``applyInPandas`` per shard (one pandas group per shard,
+never per-row Python) and is pytest-verified against a pure-Python
+reference (rows-only at the driver).
 """
 
 from __future__ import annotations
@@ -62,6 +64,72 @@ def pack_sequences(
         (F.floor(end / budget) - F.floor(start / budget) + 1)
         .cast("bigint").alias("n_seqs_spanned"),
     )
+
+
+def pack_greedy(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    budget: int = 512,
+    shard_col: str | None = None,
+    n_shards: int = 32,
+) -> DataFrame:
+    """Greedy NEVER-SPLIT sequence packing (sequential next-fit): walk
+    documents in ascending id order within each shard; a document joins
+    the current sequence iff it fits in the remaining budget, else a new
+    sequence opens. Documents longer than the budget occupy a sequence
+    alone, flagged ``overflow`` (the caller chooses truncate/drop).
+
+    Returns (shard, id, n_tokens, seq_id, offset_in_seq, overflow);
+    ``seq_id`` is shard-local — (shard, seq_id) is the global key.
+
+    Semantics: next-fit, not first-fit — no back-filling earlier
+    sequences, so document order is preserved inside and across
+    sequences (what curriculum/order-sensitive pretraining needs) and
+    the result is deterministic given the id order.
+
+    Scale shape: one shuffle (groupBy shard), then one Arrow batch per
+    shard through ``applyInPandas`` — the scan is O(shard size) in
+    pandas, never per-row Python. Size ``n_shards`` so a shard's
+    (id, n_tokens) pairs fit executor memory: rows are 24 bytes each, so
+    even a billion-doc corpus at 65k shards is ~370 KB per shard. The
+    boundary cost is at most one partially-filled sequence per shard.
+    """
+    id_type = df.schema[id_col].dataType.simpleString()
+    base = [
+        F.col(id_col),
+        token_count(F.col(text_col)).cast("bigint").alias("n_tokens"),
+    ]
+    if shard_col:
+        src = df.select(F.col(shard_col).cast("bigint").alias("shard"), *base)
+    else:
+        src = df.select(
+            F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_shards)).alias("shard"), *base
+        )
+    out_schema = (
+        f"shard bigint, {id_col} {id_type}, n_tokens bigint, "
+        "seq_id bigint, offset_in_seq bigint, overflow boolean"
+    )
+
+    def scan(pdf):
+        pdf = pdf.sort_values(id_col).reset_index(drop=True)
+        seq_ids, offsets, flags = [], [], []
+        seq, used = -1, 0
+        for n in pdf["n_tokens"]:
+            n = int(n)
+            if seq < 0 or used + n > budget:
+                seq += 1
+                used = 0
+            seq_ids.append(seq)
+            offsets.append(used)
+            flags.append(n > budget)
+            used += n
+        pdf["seq_id"] = seq_ids
+        pdf["offset_in_seq"] = offsets
+        pdf["overflow"] = flags
+        return pdf[["shard", id_col, "n_tokens", "seq_id", "offset_in_seq", "overflow"]]
+
+    return src.groupBy("shard").applyInPandas(scan, out_schema)
 
 
 def chunk_documents(

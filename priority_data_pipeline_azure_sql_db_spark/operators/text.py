@@ -43,8 +43,84 @@ BPE_TOKEN_RE = "[A-Za-z]+|[0-9]{1,3}|[^A-Za-z0-9\\s]"
 def bpe_token_count(col: Column) -> Column:
     """BPE-ish token count: the pre-tokenization pass of a GPT-style BPE
     (what scales corpus token budgeting) without the merge table — counts
-    regex pre-tokens, a tight upper bound on real BPE tokens."""
+    regex pre-tokens, a LOWER bound on real BPE tokens (a pre-token never
+    encodes below one symbol; the exact merge-table count is
+    :func:`bpe_token_count_merged`)."""
     return F.size(F.regexp_extract_all(col, F.lit(BPE_TOKEN_RE), F.lit(0)))
+
+
+# A small learned-style merge table (priority order; every part of a merge
+# is a single char or the output of an EARLIER merge — the consistency
+# property a real learned table has by construction). With a consistent
+# table, applying each merge globally in priority order is equivalent to
+# the reference min-rank loop (Sennrich et al. 2016): whenever the
+# iterative algorithm would pick rank r, every lower-rank merge is already
+# exhausted, and within one rank both schemes merge leftmost-first.
+BPE_MERGES: list[tuple[str, str]] = [
+    ("t", "h"), ("i", "n"), ("a", "n"), ("o", "n"), ("e", "r"),
+    ("a", "t"), ("e", "n"), ("o", "r"), ("e", "s"), ("th", "e"),
+    ("an", "d"), ("in", "g"), ("o", "u"), ("i", "s"), ("i", "t"),
+    ("o", "f"), ("a", "l"), ("e", "d"), ("a", "r"), ("c", "h"),
+]
+# Pre-tokens are joined with the unit separator before symbol spacing: it
+# becomes a symbol no merge rule contains, so merges can never cross a
+# pre-token boundary (BPE's word-boundary rule) in a SINGLE flat string —
+# no per-token higher-order function (HOFs run interpreted per element).
+BPE_SEP = "\x1f"
+
+
+def bpe_symbol_stream(col: Column, merges: list[tuple[str, str]] = BPE_MERGES) -> Column:
+    """Lowercased pre-token stream spelled as space-separated symbols with
+    the full merge table applied: ``" th is \\x1f is ... "``. Entirely
+    JVM string expressions — one regexp spelling pass plus one literal
+    ``replace`` pass per merge rule, all inside whole-stage codegen."""
+    pre = F.regexp_extract_all(F.lower(col), F.lit(BPE_TOKEN_RE), F.lit(0))
+    spaced = F.concat(
+        F.lit(" "), F.regexp_replace(F.array_join(pre, BPE_SEP), "(.)", "$1 ")
+    )
+    for a, b in merges:
+        spaced = F.replace(spaced, F.lit(f" {a} {b} "), F.lit(f" {a}{b} "))
+    return spaced
+
+
+def bpe_token_count_merged(
+    col: Column, merges: list[tuple[str, str]] = BPE_MERGES
+) -> Column:
+    """EXACT token count under the merge table: symbols in the merged
+    stream minus the pre-token separators. Bounded below by the
+    pre-token count (a pre-token never fuses past one symbol) and above
+    by the character count (merges only fuse)."""
+    n_pre = F.size(F.regexp_extract_all(F.lower(col), F.lit(BPE_TOKEN_RE), F.lit(0)))
+    n_syms = F.size(F.split(F.trim(bpe_symbol_stream(col, merges)), " "))
+    return (
+        F.when(n_pre == 0, F.lit(0))
+        .otherwise(n_syms - (n_pre - F.lit(1)))
+        .cast("bigint")
+    )
+
+
+def bpe_oracle_sql_expr(text_expr: str, merges: list[tuple[str, str]] = BPE_MERGES) -> str:
+    """The DuckDB twin of :func:`bpe_token_count_merged` as a SQL scalar
+    expression over ``text_expr`` — the identical spell-and-replace chain
+    (DuckDB ``replace`` is the same non-overlapping left-to-right global
+    scan as Spark's), so the oracle replays real BPE, not an
+    approximation."""
+    pre = (
+        "regexp_extract_all(lower(" + text_expr + "), "
+        "'[A-Za-z]+|[0-9]{1,3}|[^A-Za-z0-9\\s]')"
+    )
+    spaced = (
+        "' ' || regexp_replace(array_to_string(" + pre + ", chr(31)), "
+        "'(.)', '\\1 ', 'g')"
+    )
+    for a, b in merges:
+        spaced = f"replace({spaced}, ' {a} {b} ', ' {a}{b} ')"
+    n_syms = f"len(string_split(trim({spaced}), ' '))"
+    n_pre = f"len({pre})"
+    return (
+        f"CAST(CASE WHEN {n_pre} = 0 THEN 0 "
+        f"ELSE {n_syms} - ({n_pre} - 1) END AS BIGINT)"
+    )
 
 
 def char_count(col: Column) -> Column:

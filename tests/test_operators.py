@@ -412,3 +412,73 @@ def test_chunk_documents_tail_never_dropped(spark):
     df2 = spark.createDataFrame([(1, "a b c d")], "doc_id bigint, text string")
     out2 = chunk_documents(df2, chunk_tokens=4, stride=3).collect()
     assert len(out2) == 1 and out2[0].n_tokens == 4
+
+
+def _pack_greedy_reference(items, budget):
+    """Pure-Python next-fit: (id, n) in id order → (id, seq, offset)."""
+    out, seq, used = [], -1, 0
+    for i, n in sorted(items):
+        if seq < 0 or used + n > budget:
+            seq, used = seq + 1, 0
+        out.append((i, seq, used, n > budget))
+        used += n
+    return out
+
+
+def test_pack_greedy_never_splits_and_matches_reference(spark):
+    from priority_data_pipeline_azure_sql_db_spark.operators.pack import pack_greedy
+
+    docs = [(i, " ".join("w" for _ in range(3 + (i * 7) % 11))) for i in range(40)]
+    docs.append((100, " ".join("w" for _ in range(25))))  # oversized
+    df = spark.createDataFrame(docs, "doc_id bigint, text string").withColumn(
+        "shard", (F.col("doc_id") % 3).cast("bigint")
+    )
+    got = pack_greedy(df, budget=12, shard_col="shard").collect()
+    # every doc exactly once — never split, never dropped
+    assert sorted(r.doc_id for r in got) == sorted(i for i, _ in docs)
+    by_shard = {}
+    for r in got:
+        by_shard.setdefault(r.shard, []).append(r)
+    for shard, rows in by_shard.items():
+        # matches the pure-Python reference scan per shard
+        items = [(r.doc_id, r.n_tokens) for r in rows]
+        want = _pack_greedy_reference(items, 12)
+        assert sorted((r.doc_id, r.seq_id, r.offset_in_seq, r.overflow)
+                      for r in rows) == sorted(want)
+        # budget respected unless the sequence is a lone overflow doc
+        per_seq = {}
+        for r in rows:
+            per_seq.setdefault(r.seq_id, []).append(r)
+        for members in per_seq.values():
+            if len(members) == 1 and members[0].overflow:
+                continue
+            assert sum(m.n_tokens for m in members) <= 12
+        # order preserved: ascending doc_id ⇒ non-decreasing seq_id
+        rows = sorted(rows, key=lambda r: r.doc_id)
+        assert all(a.seq_id <= b.seq_id for a, b in zip(rows, rows[1:]))
+
+
+def test_bpe_merged_count_exact_and_bounded(spark):
+    from priority_data_pipeline_azure_sql_db_spark.operators import text as X
+
+    df = spark.createDataFrame(
+        [(1, "the cat"), (2, "thinking"), (3, ""), (4, "a 2024 test!")],
+        "doc_id bigint, text string",
+    )
+    out = {r.doc_id: (r.n_pre, r.n_bpe, r.n_chars) for r in df.select(
+        "doc_id",
+        X.bpe_token_count(F.lower(F.col("text"))).alias("n_pre"),
+        X.bpe_token_count_merged(F.col("text")).alias("n_bpe"),
+        F.length(F.regexp_replace(F.lower("text"), "\\s+", "")).alias("n_chars"),
+    ).collect()}
+    # hand-derived under BPE_MERGES (priority order, global replace):
+    # "the" → th+e → the (1); "cat" → c,at (2)
+    assert out[1] == (2, 3, 6)
+    # "thinking" → th,in,k,ing: (t,h) (i,n)x2 then (th,e)x0, (in,g)
+    assert out[2] == (1, 4, 8)
+    assert out[3][1] == 0  # empty text → 0 tokens
+    # "a 2024 test!" → a | 2,0,2 | 4 | t,es,t | ! (pre: a,202,4,test,!)
+    assert out[4] == (5, 9, 10)
+    # bounds hold on every row: pre <= bpe <= chars
+    for n_pre, n_bpe, n_chars in out.values():
+        assert n_pre <= n_bpe <= max(n_chars, 0) or n_bpe == 0
