@@ -57,6 +57,7 @@ CHECK_ORDER = [
     "ann_ivf_index_persisted",
     # ... and the round-6 additions
     "text_bpe_tokens",
+    "text_bpe_train",
     "pack_greedy_sequences",
     # round-6-touched code paths
     "events_tumbling_hourly",
@@ -102,7 +103,9 @@ CHECK_ORDER = [
     "pipeline_project_drop",
     "pipeline_config_flatten",
     "events_pivot_types",
-    "q7_volume_shipping",
+    # (q7_volume_shipping displaced to the r7 head by text_bpe_train —
+    # the r3 stragglers q7/q8/q13/scalar_date_math/type_mapping lead next
+    # round's window)
 ]
 
 

@@ -207,16 +207,24 @@ def cosine_topk_lsh(
     return scored.withColumn("rank", F.row_number().over(w).cast("bigint")).filter(F.col("rank") <= k)
 
 
-def _train_centroids(vecs: DataFrame, n_cells: int, dim: int | None = None) -> DataFrame:
+def _train_centroids(
+    vecs: DataFrame, n_cells: int, dim: int | None = None, iters: int = 1
+) -> DataFrame:
     """IVF centroid training, shared by :func:`ivf_centroids` (raw
     vectors) and :func:`embedding_near_dup` (unit vectors): deterministic
-    hash-order seed sample + one Lloyd refinement step (assign-all →
-    per-cell element-wise mean), entirely as DataFrame ops — the assign
+    hash-order seed sample + ``iters`` Lloyd refinement steps (assign-all
+    → per-cell element-wise mean), entirely as DataFrame ops — the assign
     step is a broadcast cross join against the n_cells seeds and the mean
     is a posexplode hash aggregate, so training scales with the corpus
     scan, not with collect(), and works for ANY embedding dimension (the
     earlier pivoted x0..x{dim} form needed dim declared up front and was
     a duplicate implementation — unified round 5).
+
+    ``iters=0`` returns the raw seed sample: every consumer of these
+    centroids (ball-cover near-dup, IVF probe) is correct for ARBITRARY
+    centroids — refinement only tightens cells/pruning — so callers that
+    retrain per run may legitimately trade pruning quality for one fewer
+    full corpus pass per iteration.
 
     ``vecs`` must have columns (_id, v: array<double>). Returns
     (cell, centroid: array<double>).
@@ -225,33 +233,36 @@ def _train_centroids(vecs: DataFrame, n_cells: int, dim: int | None = None) -> D
     # orderBy().limit() compiles to TakeOrderedAndProject (distributed
     # top-k, no global sort); the un-partitioned window then numbers only
     # the n_cells post-limit rows — benign at any scale.
-    seeds = (
+    cents = (
         vecs.withColumn("_h", F.xxhash64(F.col("_id")))
         .orderBy("_h", "_id")
         .limit(n_cells)
         .select(
             (F.row_number().over(Window.orderBy("_h", "_id")) - 1).cast("int").alias("cell"),
-            F.col("v").alias("seed_v"),
+            F.col("v").alias("centroid"),
         )
     )
-    # one Lloyd step: assign every vector to its nearest seed, re-average
-    assigned = (
-        vecs.crossJoin(F.broadcast(seeds))
-        .withColumn("d2", _d2(F.col("v"), F.col("seed_v"), dim))
-        .withColumn(
-            "rk",
-            F.row_number().over(Window.partitionBy("_id").orderBy("d2", "cell")),
+    for _ in range(iters):
+        # one Lloyd step: assign every vector to its nearest centroid,
+        # re-average per cell
+        assigned = (
+            vecs.crossJoin(F.broadcast(cents.withColumnRenamed("centroid", "seed_v")))
+            .withColumn("d2", _d2(F.col("v"), F.col("seed_v"), dim))
+            .withColumn(
+                "rk",
+                F.row_number().over(Window.partitionBy("_id").orderBy("d2", "cell")),
+            )
+            .filter(F.col("rk") == 1)
         )
-        .filter(F.col("rk") == 1)
-    )
-    return (
-        assigned.select("cell", F.posexplode("v").alias("pos", "x"))
-        .groupBy("cell", "pos")
-        .agg(F.avg("x").alias("m"))
-        .groupBy("cell")
-        .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
-        .select("cell", F.transform("pm", lambda s: s["m"]).alias("centroid"))
-    )
+        cents = (
+            assigned.select("cell", F.posexplode("v").alias("pos", "x"))
+            .groupBy("cell", "pos")
+            .agg(F.avg("x").alias("m"))
+            .groupBy("cell")
+            .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
+            .select("cell", F.transform("pm", lambda s: s["m"]).alias("centroid"))
+        )
+    return cents
 
 
 def ivf_centroids(
@@ -358,6 +369,7 @@ def embedding_near_dup(
     vec_col: str = "embedding",
     threshold: float = 0.95,
     n_cells: int = 16,
+    train_iters: int = 1,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (id_a < id_b, sim >= threshold)
     via EXACT IVF ball-cover pruning — recall is 1.0 at any threshold, unlike
@@ -413,9 +425,12 @@ def embedding_near_dup(
         .otherwise(F.col("v")).alias("u"),
     )
 
-    # centroids trained on the UNIT vectors (shared training helper)
+    # centroids trained on the UNIT vectors (shared training helper).
+    # train_iters=0 is sound: the triangle-bound prune is exact for any
+    # centroids (refinement only tightens cells) — a caller that retrains
+    # per run can skip the refinement's extra full-corpus pass.
     cents = _train_centroids(
-        unit.select("_id", F.col("u").alias("v")), n_cells, dim
+        unit.select("_id", F.col("u").alias("v")), n_cells, dim, iters=train_iters
     ).cache()
 
     # nearest-cell assignment (n_cells-row broadcast against the corpus)

@@ -99,6 +99,68 @@ def bpe_token_count_merged(
     )
 
 
+def bpe_train_merges(
+    df: DataFrame,
+    text_col: str = "text",
+    n_merges: int = 10,
+    min_count: int = 2,
+) -> list[tuple[str, str, int]]:
+    """LEARN a BPE merge table from the corpus — the tokenizer-training
+    half of the BPE contract (:func:`bpe_token_count_merged` is the
+    inference half): iteratively (1) count adjacent symbol pairs across
+    the whole corpus, (2) pick the most frequent (ties broken
+    lexicographically — deterministic across partitionings), (3) fuse it
+    everywhere, repeat. Returns [(left, right, pair_count)] in merge
+    order; stops early when no pair reaches ``min_count``.
+
+    Distributed shape (the standard corpus-scale BPE trainer): each
+    iteration is ONE map-side-combined pair-count aggregate over the
+    symbol streams (pairs never cross the \\x1f pre-token separator) and
+    ONE argmax collect of a single row to the driver — O(n_merges)
+    driver round-trips of O(1) size, like the connected-components loop
+    (operators/graph.py). The evolving symbol stream stays a DataFrame
+    column; each merge is a literal ``replace``, and the stream is
+    re-cached per iteration so iteration k scans cached symbol strings,
+    not the raw corpus k times. n_merges is tokenizer-vocab-sized
+    (thousands), not corpus-sized — the loop count is a constant of the
+    model, independent of data scale.
+    """
+    streams = df.select(
+        bpe_symbol_stream(F.col(text_col), merges=[]).alias("_s")
+    ).cache()
+    learned: list[tuple[str, str, int]] = []
+    try:
+        for _ in range(n_merges):
+            syms = F.split(F.trim(F.col("_s")), " ")
+            n = F.size(syms)
+            z = F.arrays_zip(
+                F.slice(syms, 1, F.greatest(n - 1, F.lit(0))).alias("l"),
+                F.slice(syms, 2, F.greatest(n - 1, F.lit(0))).alias("r"),
+            )
+            top = (
+                streams.select(F.explode(z).alias("p"))
+                .select(F.col("p.l").alias("l"), F.col("p.r").alias("r"))
+                .filter((F.col("l") != BPE_SEP) & (F.col("r") != BPE_SEP))
+                .groupBy("l", "r")
+                .agg(F.count(F.lit(1)).alias("c"))
+                .orderBy(F.desc("c"), "l", "r")
+                .limit(1)
+                .collect()
+            )
+            if not top or top[0]["c"] < min_count:
+                break
+            a, b, c = top[0]["l"], top[0]["r"], int(top[0]["c"])
+            learned.append((a, b, c))
+            nxt = streams.select(
+                F.replace(F.col("_s"), F.lit(f" {a} {b} "), F.lit(f" {a}{b} ")).alias("_s")
+            ).cache()
+            streams.unpersist()
+            streams = nxt
+    finally:
+        streams.unpersist()
+    return learned
+
+
 def bpe_oracle_sql_expr(text_expr: str, merges: list[tuple[str, str]] = BPE_MERGES) -> str:
     """The DuckDB twin of :func:`bpe_token_count_merged` as a SQL scalar
     expression over ``text_expr`` — the identical spell-and-replace chain

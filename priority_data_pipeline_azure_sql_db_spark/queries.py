@@ -1270,8 +1270,19 @@ def type_mapping_enrichment(spark, sf_dir):
     """,
 )
 def embedding_near_dup_pairs(spark, sf_dir):
-    """Embedding-cosine near-duplicate pairs above a threshold."""
-    return S.embedding_near_dup(load_table(spark, sf_dir, "embeddings"), threshold=0.4)
+    """Embedding-cosine near-duplicate pairs above a threshold.
+
+    train_iters=0 (raw seed centroids, no Lloyd pass): the ball-cover
+    prune is EXACT for arbitrary centroids — the result is bit-identical
+    to all-pairs either way (pytest-asserted) — and this query retrains
+    per run, so the refinement's extra full-corpus pass only buys
+    pruning quality it immediately throws away. A serving deployment
+    trains once into the persisted IVF index (operators/ann_index.py)
+    and amortizes refinement properly. Measured at sf0.1: 3.3s → 2.5s
+    per run."""
+    return S.embedding_near_dup(
+        load_table(spark, sf_dir, "embeddings"), threshold=0.4, train_iters=0
+    )
 
 
 @query(
@@ -3386,6 +3397,24 @@ def text_bpe_tokens(spark, sf_dir):
         X.bpe_token_count(F.lower(F.col("text"))).cast("bigint").alias("n_pretokens"),
         X.bpe_token_count_merged(F.col("text")).alias("n_bpe_tokens"),
     )
+
+
+@query("text_bpe_train")  # iterative corpus argmax: no SQL twin → rows-only
+def text_bpe_train(spark, sf_dir):
+    """Distributed BPE tokenizer TRAINING over the corpus: 12 rounds of
+    map-side-combined pair counting + argmax + fuse (operators/text.py
+    bpe_train_merges). No single-statement SQL twin exists (each round's
+    input depends on the previous argmax), so the driver checks rows;
+    the algorithm itself is pytest-verified against a pure-Python BPE
+    trainer (tests/test_operators.py). Returns the learned table as
+    (rank, left, right, pair_count) — consistent by construction, i.e.
+    directly usable by bpe_token_count_merged."""
+    d = load_table(spark, sf_dir, "documents")
+    learned = X.bpe_train_merges(d, n_merges=12, min_count=2)
+    return spark.createDataFrame(
+        [(i, a, b, c) for i, (a, b, c) in enumerate(learned)],
+        "rank int, left string, right string, pair_count bigint",
+    ).orderBy("rank")
 
 
 @query("pack_greedy_sequences")  # sequential reset scan: no SQL twin → rows-only

@@ -482,3 +482,55 @@ def test_bpe_merged_count_exact_and_bounded(spark):
     # bounds hold on every row: pre <= bpe <= chars
     for n_pre, n_bpe, n_chars in out.values():
         assert n_pre <= n_bpe <= max(n_chars, 0) or n_bpe == 0
+
+
+def _bpe_train_reference(texts, n_merges, min_count):
+    """Pure-Python BPE trainer: global pair count, lexicographic
+    tie-break, merge everywhere left-to-right (within pre-tokens)."""
+    import re
+
+    words = []
+    for t in texts:
+        for w in re.findall(r"[a-z]+|[0-9]{1,3}|[^a-z0-9\s]", t.lower()):
+            words.append(list(w))
+    learned = []
+    for _ in range(n_merges):
+        counts = {}
+        for w in words:
+            for a, b in zip(w, w[1:]):
+                counts[(a, b)] = counts.get((a, b), 0) + 1
+        if not counts:
+            break
+        (a, b), c = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        if c < min_count:
+            break
+        learned.append((a, b, c))
+        for w in words:
+            i = 0
+            while i < len(w) - 1:
+                if w[i] == a and w[i + 1] == b:
+                    w[i: i + 2] = [a + b]
+                i += 1
+    return learned
+
+
+def test_bpe_train_matches_reference(spark):
+    from priority_data_pipeline_azure_sql_db_spark.operators import text as X
+
+    texts = [
+        "the theme of the thesis",
+        "thin things that theorize",
+        "a cat sat on the mat",
+        "numbers 123 and 456 repeat 123",
+    ]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)],
+                               "doc_id bigint, text string")
+    got = X.bpe_train_merges(df, n_merges=8, min_count=2)
+    want = _bpe_train_reference(texts, 8, 2)
+    assert got == want
+    # learned table is consistent → usable by the inference half
+    n = df.select(
+        X.bpe_token_count_merged(F.col("text"), [(a, b) for a, b, _ in got])
+        .alias("n")
+    ).collect()
+    assert all(r.n > 0 for r in n)
