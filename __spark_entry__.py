@@ -59,6 +59,8 @@ CHECK_ORDER = [
     "text_bpe_tokens",
     "text_bpe_train",
     "pack_greedy_sequences",
+    "text_lm_quality_score",
+    "sample_epoch_shuffle",
     # round-6-touched code paths
     "events_tumbling_hourly",
     "q21_last_shipper",
@@ -101,11 +103,10 @@ CHECK_ORDER = [
     "pipeline_flatten_subform",
     "pipeline_audit_columns",
     "pipeline_project_drop",
-    "pipeline_config_flatten",
-    "events_pivot_types",
-    # (q7_volume_shipping displaced to the r7 head by text_bpe_train —
-    # the r3 stragglers q7/q8/q13/scalar_date_math/type_mapping lead next
-    # round's window)
+    # (pipeline_config_flatten / events_pivot_types / q7_volume_shipping
+    # displaced by the round-6 registrations — the r3 stragglers
+    # q7/q8/q13/scalar_date_math/type_mapping/config_flatten/pivot_types
+    # lead next round's window)
 ]
 
 

@@ -99,6 +99,116 @@ def bpe_token_count_merged(
     )
 
 
+def bigram_lm_score(
+    score_df: DataFrame,
+    train_df: DataFrame | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    alpha: float = 0.1,
+) -> DataFrame:
+    """CCNet-style LM quality scoring with a corpus-trained bigram model:
+    train add-α-smoothed bigram probabilities on ``train_df`` (defaults
+    to ``score_df`` — self-scoring), then score each document by its
+    mean token log-probability. Low scores flag gibberish / boilerplate /
+    wrong-language text — the classic perplexity quality gate
+    (Wenzek et al., CCNet; the reference pipeline has no quality tier at
+    all, this is engine-added).
+
+    P(w | p) = (C(p, w) + α) / (C(p) + α·V), V = train vocab size.
+    Unseen CONTEXTS (p not in train) fall back to α/(α·V) = 1/V — the
+    same smoothing limit, so scoring a held-out doc never divides by
+    zero and stays an exact expression both engines compute identically.
+
+    Determinism: each bigram's logprob is fixed to 6 decimals
+    (floor(x·1e6+0.5) — the engine-portable rounding), then summed via
+    the DECIMAL bridge so parallel double-summation order cannot perturb
+    the mean; the mean itself is re-fixed to 6 decimals.
+
+    Scale shape: token explode → bigram pairs → ONE (p, w) hash-agg for
+    counts (map-side combined), one p hash-agg for contexts, then the
+    score pass joins bigram rows to the count tables on their natural
+    keys — all keyed shuffles; the vocab-sized count tables broadcast
+    when small. Returns (id, n_bigrams, avg_logprob).
+    """
+    train_df = score_df if train_df is None else train_df
+
+    def bigrams(df):
+        toks = F.split(F.trim(F.lower(F.col(text_col))), TOKEN_SPLIT_RE)
+        t = df.select(F.col(id_col).alias("doc"), toks.alias("t")).select(
+            "doc", "t", F.size("t").alias("n")
+        )
+        z = F.arrays_zip(
+            F.slice("t", 1, F.greatest(F.col("n") - 1, F.lit(0))).alias("p"),
+            F.slice("t", 2, F.greatest(F.col("n") - 1, F.lit(0))).alias("w"),
+        )
+        return t.select("doc", F.explode(z).alias("b")).select(
+            "doc", F.col("b.p").alias("p"), F.col("b.w").alias("w")
+        )
+
+    tb = bigrams(train_df)
+    c2 = tb.groupBy("p", "w").agg(F.count(F.lit(1)).alias("c2"))
+    c1 = tb.groupBy("p").agg(F.count(F.lit(1)).alias("c1"))
+    vocab = train_df.select(
+        F.explode(F.split(F.trim(F.lower(F.col(text_col))), TOKEN_SPLIT_RE)).alias("w")
+    ).agg(F.countDistinct("w").alias("v"))
+
+    fix6 = lambda c: F.floor(c * F.lit(1000000.0) + F.lit(0.5)) / F.lit(1000000.0)  # noqa: E731
+    sb = bigrams(score_df)
+    scored = (
+        sb.join(c2, ["p", "w"], "left")
+        .join(c1, ["p"], "left")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "doc",
+            fix6(
+                F.log(
+                    (F.coalesce(F.col("c2"), F.lit(0)) + F.lit(alpha))
+                    / (F.coalesce(F.col("c1"), F.lit(0)) + F.lit(alpha) * F.col("v"))
+                )
+            ).alias("lp"),
+        )
+    )
+    return scored.groupBy("doc").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),
+        fix6(
+            F.sum(F.col("lp").cast("decimal(18,6)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("avg_logprob"),
+    ).select(F.col("doc").alias(id_col), "n_bigrams", "avg_logprob")
+
+
+def epoch_shuffle(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    seed: str = "epoch-0",
+) -> DataFrame:
+    """Deterministic, reproducible global training order for one epoch:
+    every row gets a pseudo-random md5 sort key derived from (seed, id),
+    a 16-way shard from the key's first hex digit, and its position
+    within the shard — shard-major traversal (shard 0's positions, then
+    shard 1's, ...) IS the epoch order. md5 (not xxhash64) so any
+    engine, including the DuckDB oracle, reproduces the exact
+    permutation; changing the seed string is a fresh independent
+    shuffle, rerunning the same seed is bit-identical (what resumable
+    training needs).
+
+    Scale shape: the per-shard ``row_number`` windows are independent —
+    no global single-partition ordering; at 100 TB you widen the shard
+    prefix (2 hex digits → 256 shards, etc.) and each shard's sort is a
+    normal distributed sort-within-partitions."""
+    key = F.md5(F.concat(F.lit(seed), F.lit(":"), F.col(id_col).cast("string")))
+    w = Window.partitionBy("shard").orderBy("sort_key", id_col)
+    return (
+        df.select(
+            F.col(id_col),
+            key.alias("sort_key"),
+        )
+        .withColumn("shard", F.substring("sort_key", 1, 1))
+        .withColumn("pos_in_shard", (F.row_number().over(w) - 1).cast("bigint"))
+        .select(id_col, "shard", "pos_in_shard", "sort_key")
+    )
+
+
 def bpe_train_merges(
     df: DataFrame,
     text_col: str = "text",

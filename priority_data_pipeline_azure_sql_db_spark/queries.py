@@ -3399,6 +3399,77 @@ def text_bpe_tokens(spark, sf_dir):
     )
 
 
+@query(
+    "text_lm_quality_score",
+    """
+    WITH toks AS (
+        SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t
+        FROM documents
+    ), big AS (
+        SELECT doc_id, t[i] AS p, t[i+1] AS w
+        FROM toks, LATERAL (
+            SELECT UNNEST(range(1, GREATEST(len(t) - 1, 0) + 1)) AS i
+        )
+    ), tbig AS (
+        SELECT * FROM big WHERE doc_id % 5 <> 0
+    ), c2 AS (SELECT p, w, COUNT(*) AS c2 FROM tbig GROUP BY 1, 2),
+    c1 AS (SELECT p, COUNT(*) AS c1 FROM tbig GROUP BY 1),
+    v AS (
+        SELECT COUNT(DISTINCT w) AS v FROM (
+            SELECT UNNEST(t) AS w FROM toks WHERE doc_id % 5 <> 0
+        )
+    ), lp AS (
+        SELECT b.doc_id,
+               FLOOR(LN((COALESCE(c2.c2, 0) + 0.1)
+                        / (COALESCE(c1.c1, 0) + 0.1 * v.v)) * 1000000 + 0.5)
+                   / 1000000 AS lp
+        FROM big b
+        LEFT JOIN c2 ON b.p = c2.p AND b.w = c2.w
+        LEFT JOIN c1 ON b.p = c1.p
+        CROSS JOIN v
+    )
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+           FLOOR(CAST(SUM(CAST(lp AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*)
+                 * 1000000 + 0.5) / 1000000 AS avg_logprob
+    FROM lp GROUP BY doc_id
+    """,
+)
+def text_lm_quality_score(spark, sf_dir):
+    """CCNet-style perplexity quality gate: an add-0.1-smoothed bigram
+    LM trained on 80% of the corpus (doc_id % 5 != 0) scores EVERY doc
+    by mean token log-probability — held-out docs exercise the
+    unseen-context fallback. Per-bigram logprobs fixed to 6 decimals
+    then decimal-bridge summed, so the mean is order-independent and the
+    oracle replays it exactly."""
+    d = load_table(spark, sf_dir, "documents")
+    train = d.filter(F.col("doc_id") % 5 != 0)
+    return X.bigram_lm_score(d, train_df=train)
+
+
+@query(
+    "sample_epoch_shuffle",
+    """
+    SELECT doc_id,
+           substr(md5('epoch-0:' || CAST(doc_id AS VARCHAR)), 1, 1) AS shard,
+           CAST(ROW_NUMBER() OVER (
+               PARTITION BY substr(md5('epoch-0:' || CAST(doc_id AS VARCHAR)), 1, 1)
+               ORDER BY md5('epoch-0:' || CAST(doc_id AS VARCHAR)), doc_id
+           ) - 1 AS BIGINT) AS pos_in_shard,
+           md5('epoch-0:' || CAST(doc_id AS VARCHAR)) AS sort_key
+    FROM documents
+    """,
+)
+def sample_epoch_shuffle(spark, sf_dir):
+    """Reproducible epoch shuffle: md5(seed:id) sort key, 16-way shard
+    from its first hex digit, per-shard positions — shard-major
+    traversal is the epoch's global training order. Same seed →
+    bit-identical permutation (resumable training); new seed → fresh
+    independent order. Per-shard windows keep the plan free of any
+    global single-partition sort."""
+    d = load_table(spark, sf_dir, "documents")
+    return X.epoch_shuffle(d, seed="epoch-0")
+
+
 @query("text_bpe_train")  # iterative corpus argmax: no SQL twin → rows-only
 def text_bpe_train(spark, sf_dir):
     """Distributed BPE tokenizer TRAINING over the corpus: 12 rounds of

@@ -514,6 +514,50 @@ def _bpe_train_reference(texts, n_merges, min_count):
     return learned
 
 
+def test_bigram_lm_unseen_context_fallback(spark):
+    """A doc of entirely novel tokens must score exactly ln(1/V) per
+    bigram — the smoothing limit, no division by zero, no nulls."""
+    import math
+
+    from priority_data_pipeline_azure_sql_db_spark.operators import text as X
+
+    train = spark.createDataFrame(
+        [(1, "the cat sat"), (2, "the dog sat")], "doc_id bigint, text string"
+    )
+    score = spark.createDataFrame(
+        [(9, "zx qy vk")], "doc_id bigint, text string"
+    )
+    out = X.bigram_lm_score(score, train_df=train).collect()
+    assert len(out) == 1 and out[0].n_bigrams == 2
+    v = 4  # train vocab: the, cat, sat, dog
+    want = math.floor(math.log(0.1 / (0.1 * v)) * 1e6 + 0.5) / 1e6
+    assert out[0].avg_logprob == want
+    # seen bigrams score higher than unseen ones
+    seen = X.bigram_lm_score(
+        spark.createDataFrame([(8, "the cat sat")], "doc_id bigint, text string"),
+        train_df=train,
+    ).collect()[0]
+    assert seen.avg_logprob > out[0].avg_logprob
+
+
+def test_epoch_shuffle_reproducible_and_complete(spark):
+    from priority_data_pipeline_azure_sql_db_spark.operators import text as X
+
+    df = spark.range(0, 200).withColumnRenamed("id", "doc_id")
+    a = sorted(tuple(r) for r in X.epoch_shuffle(df, seed="epoch-0").collect())
+    b = sorted(tuple(r) for r in X.epoch_shuffle(df, seed="epoch-0").collect())
+    c = sorted(tuple(r) for r in X.epoch_shuffle(df, seed="epoch-1").collect())
+    assert a == b            # same seed → bit-identical permutation
+    assert a != c            # new seed → different permutation
+    assert len(a) == 200 and len({t[0] for t in a}) == 200  # every doc once
+    # per-shard positions are contiguous 0..k-1 (shard-major order is total)
+    by_shard = {}
+    for doc, shard, pos, _ in a:
+        by_shard.setdefault(shard, []).append(pos)
+    for poss in by_shard.values():
+        assert sorted(poss) == list(range(len(poss)))
+
+
 def test_bpe_train_matches_reference(spark):
     from priority_data_pipeline_azure_sql_db_spark.operators import text as X
 
