@@ -64,6 +64,7 @@ CHECK_ORDER = [
     # round-6-touched code paths
     "events_tumbling_hourly",
     "q21_last_shipper",
+    "q21_last_shipper_preagg",
     "embedding_near_dup_pairs",
     "odata_source_scan",
     "pipeline_e2e_flagship",
@@ -102,11 +103,11 @@ CHECK_ORDER = [
     "pipeline_watermark_filter",
     "pipeline_flatten_subform",
     "pipeline_audit_columns",
-    "pipeline_project_drop",
-    # (pipeline_config_flatten / events_pivot_types / q7_volume_shipping
-    # displaced by the round-6 registrations — the r3 stragglers
-    # q7/q8/q13/scalar_date_math/type_mapping/config_flatten/pivot_types
-    # lead next round's window)
+    # (pipeline_project_drop / pipeline_config_flatten /
+    # events_pivot_types / q7_volume_shipping displaced by the round-6
+    # registrations — the r3 stragglers q7/q8/q13/scalar_date_math/
+    # type_mapping/config_flatten/project_drop/pivot_types lead next
+    # round's window)
 ]
 
 
