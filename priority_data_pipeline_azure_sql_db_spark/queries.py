@@ -3558,6 +3558,54 @@ def pack_greedy_sequences(spark, sf_dir):
     return pack_greedy(d, budget=512, shard_col="shard").orderBy("shard", "doc_id")
 
 
+@query(
+    "export_training_shards",
+    """
+    SELECT substr(md5('shard-0:' || CAST(doc_id AS VARCHAR)), 1, 1) AS shard,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(len(string_split_regex(trim(text), '\\s+'))) AS BIGINT)
+               AS total_tokens
+    FROM documents GROUP BY 1
+    """,
+)
+def export_training_shards(spark, sf_dir):
+    """Training-corpus EXPORT round-trip, value-checked end to end: the
+    corpus is written as a Hive-partitioned shard layout (deterministic
+    md5(seed:id) first-hex-digit shard — the engine-portable assignment
+    epoch_shuffle uses, so a key always lands in the same shard across
+    engines and reruns), a footer-scan manifest is built
+    (sinks/shards.py), the shards are read BACK from disk, and the
+    read-back aggregates per shard. The oracle computes the same rollup
+    straight from the source table — any row lost, duplicated, or
+    mangled through the writer/layout/reader makes the hash diverge, so
+    this is an integrity check of the SINK, not just the aggregation.
+    maxRecordsPerFile bounds file sizes inside each shard dir without an
+    extra shuffle (rolls files per write task)."""
+    import tempfile
+
+    from .sinks.shards import write_manifest
+
+    d = load_table(spark, sf_dir, "documents")
+    shard = F.substring(
+        F.md5(F.concat(F.lit("shard-0:"), F.col("doc_id").cast("string"))), 1, 1
+    )
+    out = tempfile.mkdtemp(prefix="train_shards_")
+    (
+        d.withColumn("shard", shard)
+        .repartition("shard")
+        .write.mode("overwrite")
+        .option("maxRecordsPerFile", 100_000)
+        .partitionBy("shard")
+        .parquet(out)
+    )
+    write_manifest(out)
+    back = spark.read.parquet(out)
+    return back.groupBy("shard").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum(X.token_count(F.col("text"))).cast("bigint").alias("total_tokens"),
+    )
+
+
 @query("ann_ivf_index_persisted")  # approximate + filesystem layout → rows-only
 def ann_ivf_index_persisted(spark, sf_dir):
     """Persisted IVF index round-trip: build (train + assign + write
