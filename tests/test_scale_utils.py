@@ -196,3 +196,37 @@ def test_ivf_index_persist_prune_and_match(spark, sf_dir, tmp_path):
 
     plan = got._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters: [cell" in plan.replace("  ", " ") or "cell#" in plan.split("PartitionFilters")[1][:80], plan
+
+
+def test_round6_operator_plan_shapes(spark, sf_dir):
+    """Plan-shape guards for the round-6 operators: greedy packing is one
+    shard shuffle + one Arrow group stage; the epoch shuffle's window is
+    shard-partitioned (never a global single-partition sort); the
+    bigram-LM scorer's only nested-loop join is the 1-row vocab
+    broadcast."""
+    from priority_data_pipeline_azure_sql_db_spark.operators import text as X
+    from priority_data_pipeline_azure_sql_db_spark.operators.pack import pack_greedy
+    from priority_data_pipeline_azure_sql_db_spark.sources.parquet import load_table
+
+    d = load_table(spark, sf_dir, "documents").withColumn(
+        "shard", (F.col("doc_id") % 8).cast("bigint")
+    )
+    gp = pack_greedy(d, budget=512, shard_col="shard")
+    plan = gp._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1, f"greedy pack should shuffle once:\n{plan}"
+    assert "FlatMapGroupsInPandas" in plan, plan
+
+    es = X.epoch_shuffle(load_table(spark, sf_dir, "documents"))
+    plan = es._jdf.queryExecution().executedPlan().toString()
+    assert "Window" in plan
+    # the window must be keyed on the shard column, not empty-partitioned
+    import re
+    specs = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
+    assert specs and all("shard" in s for s in specs), plan
+
+    lm = X.bigram_lm_score(load_table(spark, sf_dir, "documents"))
+    plan = lm._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan, plan
+    # count-table joins are equi (hash/sort-merge); only the 1-row vocab
+    # may broadcast-nested-loop
+    assert plan.count("BroadcastNestedLoopJoin") <= 1, plan
