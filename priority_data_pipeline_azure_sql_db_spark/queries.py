@@ -2217,6 +2217,14 @@ def streaming_stateful_user_totals(spark, sf_dir):
     )
 
 
+# (running_user_totals_tws — the transformWithStateInPandas successor
+# API — is implemented in streaming/stateful.py but NOT registered: its
+# Python driver worker needs google.protobuf, which this sandbox lacks
+# (ImportError at stream start). The pytest twin is skipif-gated on that
+# import; registration would be a guaranteed ERR row until the
+# dependency exists. Same stance as the multimodal codec stubs.)
+
+
 @query(
     "scalar_regex_funcs",
     """

@@ -50,6 +50,41 @@ def test_stateful_running_totals(spark, sf_dir):
         assert rows[uid].alert == (rows[uid].value_total > 1000.0)
 
 
+def test_stateful_running_totals_tws_matches_classic(spark, sf_dir):
+    """transformWithStateInPandas (Spark 4.x API) must produce the same
+    finals as the classic applyInPandasWithState operator. Skipped where
+    google.protobuf is broken (this sandbox) — the TWS Python driver
+    worker imports it at stream start; see streaming/stateful.py."""
+    import pytest
+
+    pytest.importorskip("google.protobuf.descriptor")
+    from priority_data_pipeline_azure_sql_db_spark.streaming.events import (
+        read_events_stream,
+        run_streaming_to_memory,
+    )
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    from priority_data_pipeline_azure_sql_db_spark.streaming.stateful import (
+        running_user_totals,
+        running_user_totals_tws,
+    )
+
+    new = run_streaming_to_memory(
+        running_user_totals_tws(read_events_stream(spark, sf_dir)), mode="update"
+    )
+    old = run_streaming_to_memory(
+        running_user_totals(read_events_stream(spark, sf_dir)), mode="update"
+    )
+    canon = lambda df: sorted(  # noqa: E731
+        (r.user_id, r.n_events_total, round(r.value_total, 6), r.alert)
+        for r in df.collect()
+    )
+    got, want = canon(new), canon(old)
+    assert got == want and len(got) > 0
+
+
 def test_jdbc_helpers_require_env(spark, monkeypatch):
     import pytest
 
