@@ -62,6 +62,7 @@ CHECK_ORDER = [
     "text_lm_quality_score",
     "sample_epoch_shuffle",
     "export_training_shards",
+    "pipeline_curation_v2",
     # round-6-touched code paths
     "events_tumbling_hourly",
     "q21_last_shipper",
@@ -102,12 +103,12 @@ CHECK_ORDER = [
     "pipeline_limit_probe",
     # staleness repayment: last driver-checked round 3 (7 of 11)
     "pipeline_watermark_filter",
-    "pipeline_flatten_subform",
-    # (pipeline_audit_columns / pipeline_project_drop /
-    # pipeline_config_flatten / events_pivot_types / q7_volume_shipping
-    # displaced by the round-6 registrations — the r3 stragglers
-    # q7/q8/q13/scalar_date_math/type_mapping/config_flatten/
-    # project_drop/audit_columns/pivot_types lead next round's window)
+    # (pipeline_flatten_subform / pipeline_audit_columns /
+    # pipeline_project_drop / pipeline_config_flatten /
+    # events_pivot_types / q7_volume_shipping displaced by the round-6
+    # registrations — the r3 stragglers q7/q8/q13/scalar_date_math/
+    # type_mapping/config_flatten/project_drop/audit_columns/
+    # flatten_subform/pivot_types lead next round's window)
 ]
 
 

@@ -3614,6 +3614,102 @@ def export_training_shards(spark, sf_dir):
     )
 
 
+@query(
+    "pipeline_curation_v2",
+    """
+    WITH scored AS (
+        SELECT doc_id, text,
+               CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT)
+                   AS n_tokens,
+               len(regexp_extract_all(text, '[A-Za-z]'))
+                   / GREATEST(length(text), 1) AS alpha_ratio,
+               md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp
+        FROM documents
+    ), kept AS (
+        SELECT * FROM scored WHERE n_tokens >= 10 AND alpha_ratio >= 0.5
+    ), toks AS (
+        SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t
+        FROM documents
+    ), sh5 AS (
+        SELECT DISTINCT doc_id AS doc, array_to_string(t[i:i+4], ' ') AS shingle
+        FROM toks, LATERAL (
+            SELECT UNNEST(range(1, GREATEST(len(t) - 4, 0) + 1)) AS i
+        )
+    ), contam AS (
+        SELECT tr.doc AS doc_id
+        FROM sh5 tr JOIN sh5 ev ON tr.shingle = ev.shingle
+        WHERE ev.doc % 20 = 0 AND tr.doc % 20 <> 0
+          AND tr.doc IN (SELECT doc_id FROM kept)
+        GROUP BY tr.doc, ev.doc HAVING COUNT(*) >= 3
+    ), clean AS (
+        SELECT * FROM kept
+        WHERE doc_id % 20 <> 0
+          AND doc_id NOT IN (SELECT doc_id FROM contam)
+    ), mins AS (
+        SELECT fp, MIN(doc_id) AS doc_id FROM clean GROUP BY fp
+    ), dedup AS (
+        SELECT c.* FROM clean c JOIN mins m USING (fp, doc_id)
+    ), shuf AS (
+        SELECT doc_id, n_tokens,
+               substr(md5('epoch-0:' || CAST(doc_id AS VARCHAR)), 1, 1) AS shard,
+               ROW_NUMBER() OVER (
+                   PARTITION BY substr(md5('epoch-0:' || CAST(doc_id AS VARCHAR)), 1, 1)
+                   ORDER BY md5('epoch-0:' || CAST(doc_id AS VARCHAR)), doc_id
+               ) - 1 AS pos
+        FROM dedup
+    )
+    SELECT shard, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+           md5(string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY pos)) AS order_md5
+    FROM shuf GROUP BY shard
+    """,
+)
+def pipeline_curation_v2(spark, sf_dir):
+    """The round-6 curation capstone, one declarative plan end to end:
+    quality gate (token count + alpha ratio) → benchmark DECONTAMINATION
+    (drop training docs sharing >= 3 word 5-grams with the eval slice —
+    the GPT-3/PaLM rule, via the inverted-index join) → exact-dup
+    removal (min doc id per normalized fingerprint) → reproducible EPOCH
+    SHUFFLE → per-shard training budget. The rollup hashes each shard's
+    doc-id sequence IN EPOCH ORDER (sorted collect over (pos, id) →
+    md5), so the driver value-checks the actual training ORDER the
+    pipeline would feed a dataloader, not just counts — any divergence
+    in gating, dedup election, shard assignment, or ordering flips the
+    hash. Every stage reuses an operator that is also individually
+    oracle-checked."""
+    d = load_table(spark, sf_dir, "documents")
+    scored = d.select(
+        "doc_id", "text",
+        X.token_count(F.col("text")).cast("bigint").alias("n_tokens"),
+        (F.size(F.regexp_extract_all(F.col("text"), F.lit("[A-Za-z]"), 0))
+         / F.greatest(F.length("text"), F.lit(1))).alias("alpha_ratio"),
+        X.fingerprint(F.col("text")).alias("fp"),
+    )
+    kept = scored.filter((F.col("n_tokens") >= 10) & (F.col("alpha_ratio") >= 0.5))
+    evalset = d.filter(F.col("doc_id") % 20 == 0)
+    train = kept.filter(F.col("doc_id") % 20 != 0)
+    contam = (
+        D.ngram_contamination(train, evalset, k=5)
+        .filter(F.col("n_shared") >= 3)
+        .select(F.col("train_id").alias("doc_id"))
+        .distinct()
+    )
+    clean = train.join(contam, "doc_id", "left_anti")
+    canon = clean.groupBy("fp").agg(F.min("doc_id").alias("doc_id"))
+    deduped = clean.join(canon, ["fp", "doc_id"], "left_semi")
+    sh = X.epoch_shuffle(deduped, seed="epoch-0")
+    joined = deduped.select("doc_id", "n_tokens").join(sh, "doc_id")
+    ordered_ids = F.transform(
+        F.array_sort(F.collect_list(F.struct("pos_in_shard", "doc_id"))),
+        lambda s: s["doc_id"].cast("string"),
+    )
+    return joined.groupBy("shard").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+        F.md5(F.array_join(ordered_ids, ",")).alias("order_md5"),
+    )
+
+
 @query("ann_ivf_index_persisted")  # approximate + filesystem layout → rows-only
 def ann_ivf_index_persisted(spark, sf_dir):
     """Persisted IVF index round-trip: build (train + assign + write
