@@ -465,6 +465,13 @@ def embedding_near_dup(
             F.sqrt(_d2(F.col("ca"), F.col("cb"), dim))
             <= F.col("rad_a") + F.col("rad_b") + F.lit(r)
         )
+        # visit each UNORDERED cell pair once (the triangle bound is
+        # symmetric): halves the packed-block join traffic and the
+        # matmul work — the dominant cost is block-row shuffle + Arrow
+        # exchange, not FLOPs. Cross-cell orientation is restored in the
+        # kernel (a vector lives in exactly ONE cell, so a pair appears
+        # in exactly one surviving block pair).
+        .filter(F.col("cell_a") <= F.col("cell_b"))
         .select("cell_a", "cell_b")
     )
 
@@ -513,11 +520,20 @@ def embedding_near_dup(
                 na = np.asarray(pdf["norms_a"].iloc[i], dtype=np.float64)
                 nb = np.asarray(pdf["norms_b"].iloc[i], dtype=np.float64)
                 sims = np.round((A @ B.T) / np.outer(na, nb), 6)
-                # id_a < id_b keeps each unordered pair exactly once across
-                # the (i,j)/(j,i) double-counted cell-pair relation
-                keep = (sims >= threshold) & (ia[:, None] < ib[None, :])
-                xi, yi = np.nonzero(keep)
-                out_a.append(ia[xi]); out_b.append(ib[yi]); out_s.append(sims[xi, yi])
+                if pdf["cell_a"].iloc[i] == pdf["cell_b"].iloc[i]:
+                    # same cell (incl. sub-block pairs, which still come
+                    # in both orders): ia < ib dedups exactly once
+                    keep = (sims >= threshold) & (ia[:, None] < ib[None, :])
+                    xi, yi = np.nonzero(keep)
+                    pa, pb = ia[xi], ib[yi]
+                else:
+                    # distinct cells are visited once (cell_a < cell_b):
+                    # every cross pair is unique already; restore the
+                    # id_a < id_b orientation elementwise
+                    xi, yi = np.nonzero(sims >= threshold)
+                    pa = np.minimum(ia[xi], ib[yi])
+                    pb = np.maximum(ia[xi], ib[yi])
+                out_a.append(pa); out_b.append(pb); out_s.append(sims[xi, yi])
             yield pd.DataFrame({
                 "id_a": np.concatenate(out_a) if out_a else [],
                 "id_b": np.concatenate(out_b) if out_b else [],
