@@ -171,3 +171,77 @@ def test_asof_join_property(spark, lefts, rights, exact, direction):
                 pick = None
         expect = pick[1] if pick else None
         assert got[i] == expect, (i, k, s, direction, exact, got[i], expect)
+
+
+chunk_params = st.tuples(
+    st.integers(min_value=1, max_value=30),   # n tokens
+    st.integers(min_value=2, max_value=12),   # chunk_tokens
+    st.integers(min_value=1, max_value=12),   # stride
+)
+
+
+@SETTINGS
+@given(params=chunk_params)
+def test_chunk_documents_coverage_property(spark, params):
+    """For any (n, chunk, stride) with stride <= chunk: every token lands
+    in >= 1 chunk, every chunk is on the stride grid with the promised
+    width (short tail allowed), and no chunk is fully contained in its
+    predecessor."""
+    from priority_data_pipeline_azure_sql_db_spark.operators.pack import chunk_documents
+
+    n, chunk, stride = params
+    if stride > chunk:
+        stride = chunk  # coverage is only promised for overlapping grids
+    text = " ".join(f"w{i}" for i in range(n))
+    df = spark.createDataFrame([(1, text)], "doc_id bigint, text string")
+    rows = sorted(
+        (r.chunk_id, r.chunk_text.split(), r.n_tokens)
+        for r in chunk_documents(df, chunk_tokens=chunk, stride=stride).collect()
+    )
+    assert rows, "at least one chunk always emits"
+    covered = set()
+    prev_end = -1
+    for k, (cid, toks, n_tok) in enumerate(rows):
+        assert cid == k
+        assert len(toks) == n_tok
+        start = int(toks[0][1:])
+        assert start == k * stride  # on the stride grid
+        end = start + len(toks) - 1
+        assert len(toks) == min(chunk, n - start)  # full width or clamped tail
+        assert end > prev_end  # never fully contained in the predecessor
+        prev_end = end
+        covered.update(toks)
+    assert covered == {f"w{i}" for i in range(n)}
+
+
+greedy_docs = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=500),   # doc id
+        st.integers(min_value=1, max_value=30),    # token count
+    ),
+    min_size=1, max_size=25, unique_by=lambda t: t[0],
+)
+
+
+@SETTINGS
+@given(docs=greedy_docs, budget=st.integers(min_value=5, max_value=40))
+def test_pack_greedy_property(spark, docs, budget):
+    """For any doc-size distribution and budget: never split, never drop,
+    next-fit semantics match the pure-Python reference on every shard."""
+    from priority_data_pipeline_azure_sql_db_spark.operators.pack import pack_greedy
+
+    rows = [(i, " ".join("w" for _ in range(n))) for i, n in docs]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string").withColumn(
+        "shard", (F.col("doc_id") % 3).cast("bigint")
+    )
+    got = pack_greedy(df, budget=budget, shard_col="shard").collect()
+    assert sorted(r.doc_id for r in got) == sorted(i for i, _ in docs)
+    from tests.test_operators import _pack_greedy_reference
+
+    by_shard = {}
+    for r in got:
+        by_shard.setdefault(r.shard, []).append(r)
+    for rows_ in by_shard.values():
+        want = _pack_greedy_reference([(r.doc_id, r.n_tokens) for r in rows_], budget)
+        assert sorted((r.doc_id, r.seq_id, r.offset_in_seq, r.overflow)
+                      for r in rows_) == sorted(want)
