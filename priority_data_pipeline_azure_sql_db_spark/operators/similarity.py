@@ -529,10 +529,15 @@ def embedding_near_dup(
                 else:
                     # distinct cells are visited once (cell_a < cell_b):
                     # every cross pair is unique already; restore the
-                    # id_a < id_b orientation elementwise
+                    # id_a < id_b orientation elementwise. Comparison +
+                    # np.where (not minimum/maximum ufuncs, which have no
+                    # loop for fixed-width unicode dtypes) so string doc
+                    # ids work the same as integer ones.
                     xi, yi = np.nonzero(sims >= threshold)
-                    pa = np.minimum(ia[xi], ib[yi])
-                    pb = np.maximum(ia[xi], ib[yi])
+                    lo, hi = ia[xi], ib[yi]
+                    swap = lo > hi
+                    pa = np.where(swap, hi, lo)
+                    pb = np.where(swap, lo, hi)
                 out_a.append(pa); out_b.append(pb); out_s.append(sims[xi, yi])
             yield pd.DataFrame({
                 "id_a": np.concatenate(out_a) if out_a else [],

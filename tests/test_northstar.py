@@ -181,6 +181,35 @@ def test_embedding_near_dup_string_ids(spark):
     assert pairs == {("doc-a", "doc-b"): 1.0}
 
 
+def test_embedding_near_dup_string_ids_cross_cell(spark):
+    """The CROSS-cell kernel branch must also survive string ids (ADVICE
+    r6: np.minimum/np.maximum have no ufunc loop for unicode dtypes, so
+    string-id corpora crashed whenever a cross-cell block pair survived
+    pruning — the same-cell test above never reached that branch).
+
+    Exactly two vectors with n_cells=2 makes the construction
+    deterministic: the hash-order seed sample takes both vectors, each
+    lands alone in its own cell (distance 0 to its own seed), and the
+    cell pair survives the triangle bound (|v1-v2| = 2·sin(5°) ≈ 0.17
+    <= r = sqrt(2-2·0.9) ≈ 0.45), so the pair is scored by the
+    cross-cell branch regardless of which id hashes first."""
+    import math
+
+    a = (1.0, 0.0)
+    b = (math.cos(math.radians(10)), math.sin(math.radians(10)))
+    df = spark.sql(
+        f"""SELECT * FROM VALUES
+            ('zz-9', array({a[0]}D, {a[1]}D)),
+            ('aa-1', array({b[0]}D, {b[1]}D))
+        AS t(vec_id, embedding)"""
+    )
+    out = S.embedding_near_dup(df, threshold=0.9, n_cells=2)
+    rows = out.collect()
+    assert len(rows) == 1
+    assert (rows[0].id_a, rows[0].id_b) == ("aa-1", "zz-9")
+    assert abs(rows[0].sim - math.cos(math.radians(10))) < 1e-5
+
+
 def test_simhash_pairs_rejects_degenerate_radius(spark):
     """max_hamming >= 64 makes every pigeonhole block zero-width (all
     values collapse to 0 → silent O(n²) cross join); the guard must
