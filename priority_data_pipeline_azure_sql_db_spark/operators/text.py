@@ -70,16 +70,27 @@ BPE_SEP = "\x1f"
 
 
 def bpe_symbol_stream(col: Column, merges: list[tuple[str, str]] = BPE_MERGES) -> Column:
-    """Lowercased pre-token stream spelled as space-separated symbols with
-    the full merge table applied: ``" th is \\x1f is ... "``. Entirely
-    JVM string expressions — one regexp spelling pass plus one literal
-    ``replace`` pass per merge rule, all inside whole-stage codegen."""
+    """Lowercased pre-token stream spelled as SELF-DELIMITED symbols with
+    the full merge table applied: every symbol carries its OWN leading and
+    trailing space (``" th  is  \\x1f  is "`` — adjacent symbols meet at a
+    double space). Entirely JVM string expressions — one regexp spelling
+    pass plus one literal ``replace`` pass per merge rule, all inside
+    whole-stage codegen.
+
+    Self-delimiting is what makes ONE non-overlapping global ``replace``
+    per rule EXACT (round 7 — the earlier single-shared-space spelling
+    consumed the next occurrence's boundary, so adjacent repeats of a
+    pair were missed: 'banana' under (a,n) gave 5 symbols, real BPE gives
+    [b,an,an,a]). With un-shared boundaries, adjacent occurrences of
+    ``" a  n "`` don't overlap, and a replacement can never CREATE a new
+    occurrence of the same rule (that would need the fused symbol ``ab``
+    to equal ``a`` or ``b`` — impossible, it is strictly longer), so a
+    single left-to-right global scan ≡ the iterative leftmost-first merge
+    loop for that rule."""
     pre = F.regexp_extract_all(F.lower(col), F.lit(BPE_TOKEN_RE), F.lit(0))
-    spaced = F.concat(
-        F.lit(" "), F.regexp_replace(F.array_join(pre, BPE_SEP), "(.)", "$1 ")
-    )
+    spaced = F.regexp_replace(F.array_join(pre, BPE_SEP), "(.)", " $1 ")
     for a, b in merges:
-        spaced = F.replace(spaced, F.lit(f" {a} {b} "), F.lit(f" {a}{b} "))
+        spaced = F.replace(spaced, F.lit(f" {a}  {b} "), F.lit(f" {a}{b} "))
     return spaced
 
 
@@ -91,7 +102,7 @@ def bpe_token_count_merged(
     pre-token count (a pre-token never fuses past one symbol) and above
     by the character count (merges only fuse)."""
     n_pre = F.size(F.regexp_extract_all(F.lower(col), F.lit(BPE_TOKEN_RE), F.lit(0)))
-    n_syms = F.size(F.split(F.trim(bpe_symbol_stream(col, merges)), " "))
+    n_syms = F.size(F.split(F.trim(bpe_symbol_stream(col, merges)), " +"))
     return (
         F.when(n_pre == 0, F.lit(0))
         .otherwise(n_syms - (n_pre - F.lit(1)))
@@ -241,7 +252,7 @@ def bpe_train_merges(
     learned: list[tuple[str, str, int]] = []
     try:
         for _ in range(n_merges):
-            syms = F.split(F.trim(F.col("_s")), " ")
+            syms = F.split(F.trim(F.col("_s")), " +")
             n = F.size(syms)
             z = F.arrays_zip(
                 F.slice(syms, 1, F.greatest(n - 1, F.lit(0))).alias("l"),
@@ -262,8 +273,13 @@ def bpe_train_merges(
             a, b, c = top[0]["l"], top[0]["r"], int(top[0]["c"])
             learned.append((a, b, c))
             nxt = streams.select(
-                F.replace(F.col("_s"), F.lit(f" {a} {b} "), F.lit(f" {a}{b} ")).alias("_s")
+                F.replace(F.col("_s"), F.lit(f" {a}  {b} "), F.lit(f" {a}{b} ")).alias("_s")
             ).cache()
+            # cache() is lazy: materialize nxt BEFORE dropping the parent,
+            # or iteration k replays the whole replace chain from the raw
+            # corpus (every earlier cache already evicted) — O(n_merges²)
+            # corpus work instead of one cached scan per iteration.
+            nxt.count()
             streams.unpersist()
             streams = nxt
     finally:
@@ -273,21 +289,23 @@ def bpe_train_merges(
 
 def bpe_oracle_sql_expr(text_expr: str, merges: list[tuple[str, str]] = BPE_MERGES) -> str:
     """The DuckDB twin of :func:`bpe_token_count_merged` as a SQL scalar
-    expression over ``text_expr`` — the identical spell-and-replace chain
-    (DuckDB ``replace`` is the same non-overlapping left-to-right global
-    scan as Spark's), so the oracle replays real BPE, not an
+    expression over ``text_expr`` — the identical self-delimited
+    spell-and-replace chain (DuckDB ``replace`` is the same
+    non-overlapping left-to-right global scan as Spark's, and the
+    un-shared symbol boundaries make that scan exact — see
+    :func:`bpe_symbol_stream`), so the oracle replays real BPE, not an
     approximation."""
     pre = (
         "regexp_extract_all(lower(" + text_expr + "), "
         "'[A-Za-z]+|[0-9]{1,3}|[^A-Za-z0-9\\s]')"
     )
     spaced = (
-        "' ' || regexp_replace(array_to_string(" + pre + ", chr(31)), "
-        "'(.)', '\\1 ', 'g')"
+        "regexp_replace(array_to_string(" + pre + ", chr(31)), "
+        "'(.)', ' \\1 ', 'g')"
     )
     for a, b in merges:
-        spaced = f"replace({spaced}, ' {a} {b} ', ' {a}{b} ')"
-    n_syms = f"len(string_split(trim({spaced}), ' '))"
+        spaced = f"replace({spaced}, ' {a}  {b} ', ' {a}{b} ')"
+    n_syms = f"len(string_split_regex(trim({spaced}), ' +'))"
     n_pre = f"len({pre})"
     return (
         f"CAST(CASE WHEN {n_pre} = 0 THEN 0 "

@@ -484,6 +484,36 @@ def test_bpe_merged_count_exact_and_bounded(spark):
         assert n_pre <= n_bpe <= max(n_chars, 0) or n_bpe == 0
 
 
+def test_bpe_merged_count_overlapping_repeats(spark):
+    """Adjacent repeats of one pair must ALL merge (ADVICE r6: the
+    shared-boundary spelling consumed the next occurrence's space, so
+    'banana' under (a,n) came out 5 symbols instead of real BPE's
+    [b,an,an,a]). Checks Spark and the DuckDB oracle twin agree on the
+    fixed semantics."""
+    import duckdb
+
+    from priority_data_pipeline_azure_sql_db_spark.operators import text as X
+
+    merges = [("a", "n")]
+    df = spark.createDataFrame(
+        [(1, "banana"), (2, "nanana"), (3, "bananana band")],
+        "doc_id bigint, text string",
+    )
+    out = {r.doc_id: r.n for r in df.select(
+        "doc_id",
+        X.bpe_token_count_merged(F.col("text"), merges).alias("n"),
+    ).collect()}
+    # banana → b,an,an,a; nanana → n,an,an,a; bananana → b,an,an,an,a
+    # band → b,an,d
+    assert out == {1: 4, 2: 4, 3: 5 + 3}
+    expr = X.bpe_oracle_sql_expr("t", merges)
+    for text, want in [("banana", 4), ("nanana", 4), ("bananana band", 8)]:
+        got = duckdb.sql(
+            f"SELECT {expr} AS n FROM (SELECT '{text}' AS t)"
+        ).fetchone()[0]
+        assert got == want, (text, got, want)
+
+
 def _bpe_train_reference(texts, n_merges, min_count):
     """Pure-Python BPE trainer: global pair count, lexicographic
     tie-break, merge everywhere left-to-right (within pre-tokens)."""
@@ -566,6 +596,9 @@ def test_bpe_train_matches_reference(spark):
         "thin things that theorize",
         "a cat sat on the mat",
         "numbers 123 and 456 repeat 123",
+        # overlapping adjacent repeats (ADVICE r6): the trainer and the
+        # pure-Python iterative reference must agree on banana-like words
+        "banana bandana nanana",
     ]
     df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)],
                                "doc_id bigint, text string")
