@@ -192,21 +192,28 @@ def epoch_shuffle(
     df: DataFrame,
     id_col: str = "doc_id",
     seed: str = "epoch-0",
+    shard_width: int = 1,
 ) -> DataFrame:
     """Deterministic, reproducible global training order for one epoch:
     every row gets a pseudo-random md5 sort key derived from (seed, id),
-    a 16-way shard from the key's first hex digit, and its position
-    within the shard — shard-major traversal (shard 0's positions, then
-    shard 1's, ...) IS the epoch order. md5 (not xxhash64) so any
-    engine, including the DuckDB oracle, reproduces the exact
-    permutation; changing the seed string is a fresh independent
-    shuffle, rerunning the same seed is bit-identical (what resumable
-    training needs).
+    a ``16**shard_width``-way shard from the key's first ``shard_width``
+    hex digits, and its position within the shard — shard-major
+    traversal (shard 0's positions, then shard 1's, ...) IS the epoch
+    order. md5 (not xxhash64) so any engine, including the DuckDB
+    oracle, reproduces the exact permutation; changing the seed string
+    is a fresh independent shuffle, rerunning the same seed is
+    bit-identical (what resumable training needs).
 
-    Scale shape: the per-shard ``row_number`` windows are independent —
-    no global single-partition ordering; at 100 TB you widen the shard
-    prefix (2 hex digits → 256 shards, etc.) and each shard's sort is a
-    normal distributed sort-within-partitions."""
+    ``shard_width`` is the scale knob (round 7 — previously a hardcoded
+    1): every per-shard structure (row_number window, order hash, shard
+    files) is ~1/16**width of the corpus, so at 100 TB you pass width
+    3-4 (4,096-65,536 shards, each a normal distributed sort) instead
+    of accepting 6%-of-corpus windows. Widening the prefix REFINES the
+    sharding (a width-2 shard is a subdivision of its width-1 parent)
+    and never changes the epoch order: the traversal order is
+    (sort_key, id) either way."""
+    if not 1 <= shard_width <= 8:
+        raise ValueError(f"shard_width must be in [1, 8], got {shard_width}")
     key = F.md5(F.concat(F.lit(seed), F.lit(":"), F.col(id_col).cast("string")))
     w = Window.partitionBy("shard").orderBy("sort_key", id_col)
     return (
@@ -214,7 +221,7 @@ def epoch_shuffle(
             F.col(id_col),
             key.alias("sort_key"),
         )
-        .withColumn("shard", F.substring("sort_key", 1, 1))
+        .withColumn("shard", F.substring("sort_key", 1, shard_width))
         .withColumn("pos_in_shard", (F.row_number().over(w) - 1).cast("bigint"))
         .select(id_col, "shard", "pos_in_shard", "sort_key")
     )

@@ -265,3 +265,74 @@ def test_round6_operator_plan_shapes(spark, sf_dir):
     # count-table joins are equi (hash/sort-merge); only the 1-row vocab
     # may broadcast-nested-loop
     assert plan.count("BroadcastNestedLoopJoin") <= 1, plan
+
+
+def test_curation_v2_order_tag_plan_and_semantics(spark, sf_dir):
+    """The curation capstone's per-shard order fingerprint must stay a
+    plain hash aggregate (VERDICT r6: the sorted collect_list → md5 tag
+    materialized a whole shard's id list in one task). Guards: (a) no
+    collect_list / ObjectHashAggregate anywhere in the graded plan;
+    (b) the position-keyed tag detects a single transposition — two
+    orders over the same doc set get different tags."""
+    from priority_data_pipeline_azure_sql_db_spark.queries import QUERIES
+
+    df = QUERIES["pipeline_curation_v2"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "collect_list" not in plan, plan
+    assert "ObjectHashAggregate" not in plan, plan
+
+    # transposition sensitivity of the tag formula itself
+    rows = spark.createDataFrame(
+        [("a", 0, 10), ("a", 1, 20)], "shard string, pos bigint, doc_id bigint"
+    )
+    swapped = spark.createDataFrame(
+        [("a", 0, 20), ("a", 1, 10)], "shard string, pos bigint, doc_id bigint"
+    )
+
+    def tag(t):
+        row_tag = F.conv(
+            F.substring(
+                F.md5(F.concat_ws(
+                    ":", F.col("shard"),
+                    F.col("pos").cast("string"), F.col("doc_id").cast("string"),
+                )), 1, 12,
+            ), 16, 10,
+        ).cast("decimal(38,0)")
+        return t.groupBy("shard").agg(
+            (F.sum(row_tag) % F.lit(2305843009213693951)).cast("bigint").alias("tag")
+        ).collect()[0].tag
+
+    assert tag(rows) != tag(swapped)
+
+
+def test_epoch_shuffle_shard_width(spark):
+    """shard_width is the 100-TB scale knob: width w → 16**w shards,
+    wider widths REFINE the width-1 sharding without changing the
+    global (sort_key, id) traversal order; out-of-range widths are
+    rejected loudly."""
+    import pytest as _pytest
+
+    from priority_data_pipeline_azure_sql_db_spark.operators import text as X
+
+    df = spark.range(0, 400).withColumnRenamed("id", "doc_id")
+    w1 = {r.doc_id: r for r in X.epoch_shuffle(df, seed="s").collect()}
+    w2 = {r.doc_id: r for r in X.epoch_shuffle(df, seed="s", shard_width=2).collect()}
+    assert len(w2) == 400
+    assert len({r.shard for r in w2.values()}) > 16  # genuinely wider
+    for doc, r in w2.items():
+        assert len(r.shard) == 2 and r.shard[0] == w1[doc].shard  # refinement
+        assert r.sort_key == w1[doc].sort_key
+    # global traversal order unchanged: ordering by (sort_key, id) is the
+    # epoch order under EVERY width
+    o1 = sorted(w1.values(), key=lambda r: (r.sort_key, r.doc_id))
+    o2 = sorted(w2.values(), key=lambda r: (r.sort_key, r.doc_id))
+    assert [r.doc_id for r in o1] == [r.doc_id for r in o2]
+    # per-shard positions contiguous at width 2
+    by_shard = {}
+    for r in w2.values():
+        by_shard.setdefault(r.shard, []).append(r.pos_in_shard)
+    for poss in by_shard.values():
+        assert sorted(poss) == list(range(len(poss)))
+    for bad in (0, 9, -1):
+        with _pytest.raises(ValueError, match="shard_width"):
+            X.epoch_shuffle(df, shard_width=bad)
