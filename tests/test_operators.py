@@ -611,3 +611,37 @@ def test_bpe_train_matches_reference(spark):
         .alias("n")
     ).collect()
     assert all(r.n > 0 for r in n)
+
+
+def test_pack_greedy_large_shard_matches_reference(spark):
+    """The vectorized (cumsum + per-sequence searchsorted) shard scan
+    must replay the sequential next-fit loop exactly on a big skewed
+    shard — overflow docs, single-token docs, and exact-boundary fits
+    all present."""
+    import random
+
+    rng = random.Random(7)
+    items = []
+    for i in range(20_000):
+        r = rng.random()
+        if r < 0.02:
+            n = rng.randint(513, 2000)   # overflow
+        elif r < 0.05:
+            n = 1                        # near-empty doc (token_count
+        else:                            # of "" is 1, so 1 is the floor)
+            n = rng.randint(1, 512)
+        items.append((i, n))
+    from priority_data_pipeline_azure_sql_db_spark.operators.pack import pack_greedy
+
+    df = spark.createDataFrame(
+        [(i, " ".join(["w"] * n)) for i, n in items],
+        "doc_id bigint, text string",
+    ).withColumn("shard", F.lit(0).cast("bigint"))
+    got = {
+        r.doc_id: (r.seq_id, r.offset_in_seq, r.overflow)
+        for r in pack_greedy(df, budget=512, shard_col="shard").collect()
+    }
+    want = _pack_greedy_reference(items, 512)
+    assert len(got) == len(items)
+    for doc_id, seq_id, off, ovf in want:
+        assert got[doc_id] == (seq_id, off, ovf), doc_id
