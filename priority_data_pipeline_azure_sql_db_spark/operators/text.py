@@ -232,6 +232,7 @@ def bpe_train_merges(
     text_col: str = "text",
     n_merges: int = 10,
     min_count: int = 2,
+    batch_merges: int = 1,
 ) -> list[tuple[str, str, int]]:
     """LEARN a BPE merge table from the corpus — the tokenizer-training
     half of the BPE contract (:func:`bpe_token_count_merged` is the
@@ -241,30 +242,52 @@ def bpe_train_merges(
     everywhere, repeat. Returns [(left, right, pair_count)] in merge
     order; stops early when no pair reaches ``min_count``.
 
+    ``batch_merges`` is the vocab-scale knob (round 7): each round may
+    adopt up to that many pairs from one count pass, greedily from the
+    (count desc, lex) ranking, KEEPING ONLY pairs whose symbol sets
+    {l, r, l+r} are disjoint from every pair already adopted this round.
+    Disjointness makes the adopted pairs' COUNTS merge-invariant within
+    the round (fusing (a,b) can only create/destroy occurrences of a
+    pair sharing a symbol with {a, b, ab}), so each adopted pair is
+    applied at the exact count the sequential algorithm would also see.
+    ``batch_merges=1`` (default) IS exact sequential BPE. Larger batches
+    are the standard corpus-scale approximation: selection order can
+    diverge from exact BPE when a merge would have PROMOTED a new pair
+    (e.g. (x, ab)) above the round's remaining candidates — the learned
+    table is still consistent and valid, just not guaranteed
+    rank-identical. Rounds ≈ n_merges / batch_merges Spark jobs — what
+    makes a 32k vocab trainable (32k sequential jobs at batch 1 is
+    not).
+
     Distributed shape (the standard corpus-scale BPE trainer): each
-    iteration is ONE map-side-combined pair-count aggregate over the
-    symbol streams (pairs never cross the \\x1f pre-token separator) and
-    ONE argmax collect of a single row to the driver — O(n_merges)
-    driver round-trips of O(1) size, like the connected-components loop
+    round is ONE map-side-combined pair-count aggregate over the symbol
+    streams (pairs never cross the \\x1f pre-token separator) and ONE
+    top-K collect of K = O(batch) rows to the driver — O(rounds) driver
+    round-trips of O(batch) size, like the connected-components loop
     (operators/graph.py). The evolving symbol stream stays a DataFrame
-    column; each merge is a literal ``replace``, and the stream is
-    re-cached per iteration so iteration k scans cached symbol strings,
-    not the raw corpus k times. n_merges is tokenizer-vocab-sized
-    (thousands), not corpus-sized — the loop count is a constant of the
-    model, independent of data scale.
+    column; each merge is a literal ``replace``; the next round's
+    stream is MATERIALIZED into the cache before the parent is dropped
+    (cache() is lazy — unpersisting first would replay the whole
+    replace chain from the raw corpus every round, O(rounds²) corpus
+    work). n_merges is tokenizer-vocab-sized, not corpus-sized — the
+    loop count is a constant of the model, independent of data scale.
     """
+    if batch_merges < 1:
+        raise ValueError(f"batch_merges must be >= 1, got {batch_merges}")
     streams = df.select(
         bpe_symbol_stream(F.col(text_col), merges=[]).alias("_s")
     ).cache()
     learned: list[tuple[str, str, int]] = []
     try:
-        for _ in range(n_merges):
+        while len(learned) < n_merges:
             syms = F.split(F.trim(F.col("_s")), " +")
             n = F.size(syms)
             z = F.arrays_zip(
                 F.slice(syms, 1, F.greatest(n - 1, F.lit(0))).alias("l"),
                 F.slice(syms, 2, F.greatest(n - 1, F.lit(0))).alias("r"),
             )
+            want = min(batch_merges, n_merges - len(learned))
+            # over-collect candidates: conflicts skip some of the top K
             top = (
                 streams.select(F.explode(z).alias("p"))
                 .select(F.col("p.l").alias("l"), F.col("p.r").alias("r"))
@@ -272,21 +295,27 @@ def bpe_train_merges(
                 .groupBy("l", "r")
                 .agg(F.count(F.lit(1)).alias("c"))
                 .orderBy(F.desc("c"), "l", "r")
-                .limit(1)
+                .limit(4 * want + 4)
                 .collect()
             )
             if not top or top[0]["c"] < min_count:
                 break
-            a, b, c = top[0]["l"], top[0]["r"], int(top[0]["c"])
-            learned.append((a, b, c))
-            nxt = streams.select(
-                F.replace(F.col("_s"), F.lit(f" {a}  {b} "), F.lit(f" {a}{b} ")).alias("_s")
-            ).cache()
-            # cache() is lazy: materialize nxt BEFORE dropping the parent,
-            # or iteration k replays the whole replace chain from the raw
-            # corpus (every earlier cache already evicted) — O(n_merges²)
-            # corpus work instead of one cached scan per iteration.
-            nxt.count()
+            adopted: list[tuple[str, str, int]] = []
+            used: set[str] = set()
+            for row in top:
+                if len(adopted) == want or row["c"] < min_count:
+                    break
+                trio = {row["l"], row["r"], row["l"] + row["r"]}
+                if used & trio:
+                    continue
+                adopted.append((row["l"], row["r"], int(row["c"])))
+                used |= trio
+            learned.extend(adopted)
+            upd = F.col("_s")
+            for a, b, _ in adopted:
+                upd = F.replace(upd, F.lit(f" {a}  {b} "), F.lit(f" {a}{b} "))
+            nxt = streams.select(upd.alias("_s")).cache()
+            nxt.count()  # materialize BEFORE dropping the parent
             streams.unpersist()
             streams = nxt
     finally:
@@ -317,6 +346,92 @@ def bpe_oracle_sql_expr(text_expr: str, merges: list[tuple[str, str]] = BPE_MERG
     return (
         f"CAST(CASE WHEN {n_pre} = 0 THEN 0 "
         f"ELSE {n_syms} - ({n_pre} - 1) END AS BIGINT)"
+    )
+
+
+def _bpe_encode_word(word: str, merges: list[tuple[str, str]],
+                     ranks: dict[tuple[str, str], int]) -> list[str]:
+    """Reference BPE encode of ONE pre-token (Sennrich et al. 2016):
+    repeatedly fuse the lowest-rank adjacent pair, all occurrences
+    leftmost-first, until no ranked pair remains. Exact for ANY merge
+    table (consistent or not) — this is the ground-truth semantics the
+    expression path reproduces for consistent tables."""
+    syms = list(word)
+    while len(syms) > 1:
+        best = None
+        for a, b in zip(syms, syms[1:]):
+            r = ranks.get((a, b))
+            if r is not None and (best is None or r < best):
+                best = r
+        if best is None:
+            break
+        a, b = merges[best]
+        out: list[str] = []
+        i = 0
+        while i < len(syms):
+            if i < len(syms) - 1 and syms[i] == a and syms[i + 1] == b:
+                out.append(a + b)
+                i += 2
+            else:
+                out.append(syms[i])
+                i += 1
+        syms = out
+    return syms
+
+
+def bpe_token_counts_arrow(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    merges: list[tuple[str, str]] = BPE_MERGES,
+) -> DataFrame:
+    """Per-document EXACT BPE token count for LARGE merge tables —
+    the ``mapInPandas`` inference path (round 7). The expression path
+    (:func:`bpe_token_count_merged`) compiles one literal ``replace``
+    per rule into the plan; at a real 16k-32k-entry vocab that chain
+    breaks codegen limits, and the oracle SQL string grows quadratically
+    in nesting. This path ships the merge table to executors once
+    (closure-captured rank dict) and runs the reference min-rank encode
+    loop per UNIQUE pre-token with a per-batch memo — Zipf makes the
+    memo hit rate ~99%, so cost scales with distinct words per batch,
+    not tokens. Exact for ANY table (the expression path additionally
+    requires a consistent table — parity on consistent tables is
+    pytest-checked). Returns (id, n_tokens).
+
+    Scale shape: embarrassingly parallel mapInPandas — no shuffle, no
+    driver state, merge table broadcast by closure (a 32k table is
+    ~1 MB). The kernel imports nothing per row and allocates one memo
+    dict per Arrow batch."""
+    import pandas as pd  # noqa: F401  (kernel-side)
+
+    import re as _re
+
+    merges = list(merges)
+    ranks = {(a, b): i for i, (a, b) in enumerate(merges)}
+    # BPE_TOKEN_RE is RE2-safe and reads identically in java.util.regex
+    # and Python re ("\\s" in source is the two-char sequence \s)
+    pat = _re.compile(BPE_TOKEN_RE)
+    id_type = df.schema[id_col].dataType.simpleString()
+
+    def kernel(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            memo: dict[str, int] = {}
+            counts = []
+            for txt in pdf[text_col]:
+                total = 0
+                for w in pat.findall((txt or "").lower()):
+                    c = memo.get(w)
+                    if c is None:
+                        c = len(_bpe_encode_word(w, merges, ranks))
+                        memo[w] = c
+                    total += c
+                counts.append(total)
+            yield pd.DataFrame({id_col: pdf[id_col], "n_tokens": counts})
+
+    return df.select(id_col, text_col).mapInPandas(
+        kernel, f"{id_col} {id_type}, n_tokens bigint"
     )
 
 

@@ -3460,6 +3460,49 @@ def text_bpe_tokens(spark, sf_dir):
 
 
 @query(
+    "text_bpe_tokens_arrow",
+    f"""
+    SELECT doc_id, {_bpe_sql('text')} AS n_tokens FROM documents
+    """,
+)
+def text_bpe_tokens_arrow(spark, sf_dir):
+    """The LARGE-VOCAB BPE inference path, value-checked cross-engine by
+    two UNRELATED algorithms: Spark runs the Arrow-batched min-rank
+    encode kernel (mapInPandas, per-unique-pre-token memo — the path a
+    16k-32k merge table takes, where the codegen replace chain of
+    text_bpe_tokens stops being viable), while the oracle replays the
+    literal replace chain in DuckDB SQL. Agreement on every document is
+    the strongest check either path can get: an error in the kernel's
+    rank loop, the memo, the pre-tokenizer port, or the replace-chain
+    spelling all flip the hash."""
+    d = load_table(spark, sf_dir, "documents")
+    return X.bpe_token_counts_arrow(d)
+
+
+@query("text_bpe_tokens_large")  # 256-rule learned table: no SQL twin → rows-only
+def text_bpe_tokens_large(spark, sf_dir):
+    """Tokenizer train + corpus tokenize at REALISTIC vocab shape: learn
+    a 256-rule merge table from a 200-doc sample with the BATCHED
+    trainer (32 disjoint merges adopted per count pass → 8 Spark rounds,
+    not 256 — the sublinear-rounds knob a 32k vocab needs), then count
+    every document's tokens with the Arrow min-rank kernel (the
+    expression path's replace chain is not viable at this table size).
+    No SQL twin — a 256-deep nested replace chain is exactly what this
+    path exists to avoid — so the driver records rows-only; the kernel
+    itself is hash-checked at text_bpe_tokens_arrow and
+    reference-checked in pytest at 1,000+ rules."""
+    d = load_table(spark, sf_dir, "documents")
+    sample = d.orderBy("doc_id").limit(200)
+    table = [
+        (a, b)
+        for a, b, _ in X.bpe_train_merges(
+            sample, n_merges=256, min_count=2, batch_merges=32
+        )
+    ]
+    return X.bpe_token_counts_arrow(d, merges=table)
+
+
+@query(
     "text_lm_quality_score",
     """
     WITH toks AS (

@@ -645,3 +645,103 @@ def test_pack_greedy_large_shard_matches_reference(spark):
     assert len(got) == len(items)
     for doc_id, seq_id, off, ovf in want:
         assert got[doc_id] == (seq_id, off, ovf), doc_id
+
+
+def _bpe_apply_priority_order(word, merges):
+    """Independent inference oracle: apply each rule in PRIORITY ORDER,
+    iterating that rule to fixpoint (leftmost-first), then move on —
+    the 'consistent table' equivalence partner of the min-rank loop."""
+    syms = list(word)
+    for a, b in merges:
+        changed = True
+        while changed:
+            changed = False
+            out, i = [], 0
+            while i < len(syms):
+                if i < len(syms) - 1 and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                    changed = True
+                else:
+                    out.append(syms[i])
+                    i += 1
+            syms = out
+    return syms
+
+
+def test_bpe_arrow_kernel_matches_expression_path(spark, sf_dir):
+    """The mapInPandas min-rank kernel and the codegen replace chain are
+    unrelated algorithms; on a consistent table they must agree on
+    every real document."""
+    from priority_data_pipeline_azure_sql_db_spark.operators import text as X
+    from priority_data_pipeline_azure_sql_db_spark.sources.parquet import load_table
+
+    d = load_table(spark, sf_dir, "documents")
+    expr = {r.doc_id: r.n for r in d.select(
+        "doc_id", X.bpe_token_count_merged(F.col("text")).alias("n")
+    ).collect()}
+    arrow = {r.doc_id: r.n_tokens for r in X.bpe_token_counts_arrow(d).collect()}
+    assert expr == arrow and len(expr) > 0
+
+
+def test_bpe_arrow_kernel_large_vocab(spark):
+    """1,000+-rule table (pure-Python-trained, hence consistent): the
+    Arrow kernel must agree with the independent priority-order oracle
+    on every word — the regime where the expression path is not viable."""
+    import random
+    import re
+
+    from priority_data_pipeline_azure_sql_db_spark.operators import text as X
+
+    rng = random.Random(11)
+    vocab = ["".join(rng.choices("abcdefghij", k=rng.randint(3, 10)))
+             for _ in range(700)]
+    corpus = [" ".join(rng.choices(vocab, k=30)) for _ in range(90)]
+    learned = _bpe_train_reference(corpus, 1200, 1)
+    table = [(a, b) for a, b, _ in learned]
+    assert len(table) >= 1000, f"seed corpus too small: {len(table)} merges"
+
+    docs = [(i, " ".join(rng.choices(vocab, k=25))) for i in range(40)]
+    df = spark.createDataFrame(docs, "doc_id bigint, text string")
+    got = {r.doc_id: r.n_tokens
+           for r in X.bpe_token_counts_arrow(df, merges=table).collect()}
+    for i, text in docs:
+        want = sum(
+            len(_bpe_apply_priority_order(w, table))
+            for w in re.findall(r"[a-z]+|[0-9]{1,3}|[^a-z0-9\s]", text.lower())
+        )
+        assert got[i] == want, i
+
+
+def test_bpe_train_batched(spark):
+    """batch_merges > 1 must produce a CONSISTENT usable table (every
+    rule part is a single char or an earlier rule's output) covering the
+    requested size, and batch_merges=1 stays exactly the sequential
+    reference (already checked in test_bpe_train_matches_reference)."""
+    from priority_data_pipeline_azure_sql_db_spark.operators import text as X
+
+    texts = [
+        "the theme of the thesis", "thin things that theorize",
+        "a cat sat on the mat", "banana bandana nanana",
+        "numbers 123 and 456 repeat 123", "the thin cat theorizes",
+    ]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)],
+                               "doc_id bigint, text string")
+    got = X.bpe_train_merges(df, n_merges=12, min_count=2, batch_merges=4)
+    assert len(got) > 4  # multiple batches adopted
+    produced = set()
+    for a, b, c in got:
+        assert c >= 2
+        for part in (a, b):
+            assert len(part) == 1 or part in produced, (a, b)
+        produced.add(a + b)
+    # within every adopted batch, symbol sets were disjoint → all pair
+    # counts are exact-at-adoption; the table tokenizes without error
+    n = df.select(
+        X.bpe_token_count_merged(F.col("text"), [(a, b) for a, b, _ in got])
+        .alias("n")
+    ).collect()
+    assert all(r.n > 0 for r in n)
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="batch_merges"):
+        X.bpe_train_merges(df, batch_merges=0)
