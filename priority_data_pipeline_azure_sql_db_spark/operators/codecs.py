@@ -1,0 +1,183 @@
+"""Pure-stdlib media codecs — the REAL decode path (round 7).
+
+The sandbox ships no PIL/librosa/av, but two production formats are
+decodable with nothing beyond ``struct`` + numpy: uncompressed 24-bit
+BMP (BITMAPINFOHEADER, the baseline Windows DIB every image tool can
+emit) and PCM WAV (RIFF, 8/16-bit). These are complete, real decoders —
+not stubs — so the multimodal pipeline computes genuine pixel/sample
+statistics in-sandbox, and richer codecs (PIL/av) slot in behind the
+same ``sniff``/decode interface via try-import gating
+(operators/multimodal.py) exactly like the protobuf-gated streaming
+twin.
+
+Encoders are included so tests and fixtures can round-trip: a decoder
+proven against its own encoder plus hand-checked golden bytes is
+verifiable without binary fixtures in the repo.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+BMP_MAGIC = b"BM"
+WAV_MAGIC = b"RIFF"
+
+
+def sniff(content: bytes | None) -> str | None:
+    """Identify a blob by magic bytes: 'bmp' | 'wav' | None."""
+    b = content or b""
+    if b[:2] == BMP_MAGIC and len(b) >= 54:
+        return "bmp"
+    if b[:4] == WAV_MAGIC and b[8:12] == b"WAVE":
+        return "wav"
+    return None
+
+
+# ---------------------------------------------------------------------------
+# BMP — uncompressed 24-bit BI_RGB, bottom-up or top-down
+# ---------------------------------------------------------------------------
+
+def decode_bmp(content: bytes) -> np.ndarray:
+    """Decode an uncompressed 24-bit BMP to an (h, w, 3) uint8 RGB array.
+
+    Layout (Microsoft DIB): 14-byte file header ('BM', file size,
+    reserved, pixel-data offset), 40-byte BITMAPINFOHEADER (width,
+    height signed — negative height = top-down row order), rows padded
+    to 4-byte boundaries, pixels stored BGR.
+    """
+    if content[:2] != BMP_MAGIC:
+        raise ValueError("not a BMP: missing 'BM' magic")
+    (data_offset,) = struct.unpack_from("<I", content, 10)
+    (header_size,) = struct.unpack_from("<I", content, 14)
+    width, height = struct.unpack_from("<ii", content, 18)
+    _planes, bitcount = struct.unpack_from("<HH", content, 26)
+    (compression,) = struct.unpack_from("<I", content, 30)
+    if header_size < 40:
+        raise ValueError(f"unsupported DIB header size {header_size}")
+    if bitcount != 24 or compression != 0:
+        raise NotImplementedError(
+            f"only uncompressed 24-bit BMP supported (got {bitcount}-bit, "
+            f"compression {compression})"
+        )
+    top_down = height < 0
+    h, w = abs(height), width
+    if w <= 0 or h <= 0:
+        raise ValueError(f"degenerate BMP dimensions {w}x{h}")
+    stride = (w * 3 + 3) & ~3  # rows pad to 4 bytes
+    need = data_offset + stride * h
+    if len(content) < need:
+        raise ValueError(f"truncated BMP: {len(content)} < {need} bytes")
+    rows = np.frombuffer(
+        content, dtype=np.uint8, count=stride * h, offset=data_offset
+    ).reshape(h, stride)[:, : w * 3].reshape(h, w, 3)
+    if not top_down:
+        rows = rows[::-1]  # bottom-up storage → natural top-down order
+    return rows[:, :, ::-1].copy()  # BGR → RGB
+
+
+def encode_bmp(pixels: np.ndarray) -> bytes:
+    """Encode an (h, w, 3) uint8 RGB array as an uncompressed 24-bit
+    bottom-up BMP — the exact layout :func:`decode_bmp` parses."""
+    arr = np.asarray(pixels, dtype=np.uint8)
+    h, w, _ = arr.shape
+    stride = (w * 3 + 3) & ~3
+    body = np.zeros((h, stride), dtype=np.uint8)
+    body[:, : w * 3] = arr[::-1, :, ::-1].reshape(h, w * 3)  # flip + RGB→BGR
+    data = body.tobytes()
+    file_header = struct.pack("<2sIHHI", BMP_MAGIC, 54 + len(data), 0, 0, 54)
+    info_header = struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(data), 2835, 2835, 0, 0
+    )
+    return file_header + info_header + data
+
+
+def image_features(pixels: np.ndarray) -> list[float]:
+    """8-dim real image descriptor: (w, h, mean R, mean G, mean B,
+    grayscale std, mean |vertical gradient|, mean |horizontal
+    gradient|), each fixed to 6 decimals (floor(x*1e6+0.5) — the
+    engine-portable rounding used across the repo)."""
+    h, w, _ = pixels.shape
+    px = pixels.astype(np.float64)
+    gray = px @ np.array([0.299, 0.587, 0.114])
+    gv = float(np.mean(np.abs(np.diff(gray, axis=0)))) if h > 1 else 0.0
+    gh = float(np.mean(np.abs(np.diff(gray, axis=1)))) if w > 1 else 0.0
+    vals = [
+        float(w), float(h),
+        float(px[:, :, 0].mean()), float(px[:, :, 1].mean()),
+        float(px[:, :, 2].mean()), float(gray.std()), gv, gh,
+    ]
+    return [np.floor(v * 1e6 + 0.5) / 1e6 for v in vals]
+
+
+# ---------------------------------------------------------------------------
+# WAV — RIFF PCM, 8-bit unsigned / 16-bit signed, any channel count
+# ---------------------------------------------------------------------------
+
+def decode_wav(content: bytes) -> tuple[int, np.ndarray]:
+    """Decode a PCM WAV to (sample_rate, (n_frames, n_channels) float64
+    array normalized to [-1, 1]). Walks RIFF chunks directly (stdlib
+    ``wave`` refuses some well-formed files with extra chunks)."""
+    if content[:4] != WAV_MAGIC or content[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE file")
+    pos, fmt, data = 12, None, None
+    while pos + 8 <= len(content):
+        cid, size = struct.unpack_from("<4sI", content, pos)
+        body = content[pos + 8: pos + 8 + size]
+        if cid == b"fmt ":
+            fmt = struct.unpack_from("<HHIIHH", body, 0)
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)  # chunks pad to even offsets
+    if fmt is None or data is None:
+        raise ValueError("WAV missing fmt/data chunk")
+    audio_format, n_channels, sample_rate, _, _, bits = fmt
+    if audio_format != 1:
+        raise NotImplementedError(f"only PCM WAV supported (format {audio_format})")
+    if bits == 16:
+        samples = np.frombuffer(data, dtype="<i2").astype(np.float64) / 32768.0
+    elif bits == 8:
+        samples = (np.frombuffer(data, dtype=np.uint8).astype(np.float64) - 128.0) / 128.0
+    else:
+        raise NotImplementedError(f"unsupported PCM width {bits}")
+    n_frames = len(samples) // n_channels
+    return sample_rate, samples[: n_frames * n_channels].reshape(n_frames, n_channels)
+
+
+def encode_wav(sample_rate: int, samples: np.ndarray) -> bytes:
+    """Encode an (n_frames, n_channels) float array in [-1, 1] as
+    16-bit PCM WAV — the exact layout :func:`decode_wav` parses."""
+    arr = np.asarray(samples, dtype=np.float64)
+    if arr.ndim == 1:
+        arr = arr[:, None]  # 1-D input → mono column
+    n_frames, n_channels = arr.shape
+    pcm = np.clip(np.round(arr * 32767.0), -32768, 32767).astype("<i2").tobytes()
+    fmt = struct.pack(
+        "<HHIIHH", 1, n_channels, sample_rate,
+        sample_rate * n_channels * 2, n_channels * 2, 16,
+    )
+    chunks = (
+        b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(pcm)) + pcm
+    )
+    return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+
+
+def audio_features(sample_rate: int, frames: np.ndarray) -> list[float]:
+    """8-dim real audio descriptor: (sample rate, n_frames, duration s,
+    RMS, peak |amplitude|, zero-crossing rate, mean, std) over the
+    channel-mean signal, fixed to 6 decimals."""
+    mono = frames.mean(axis=1) if frames.ndim == 2 else frames
+    n = len(mono)
+    zcr = float(np.mean(np.signbit(mono[1:]) != np.signbit(mono[:-1]))) if n > 1 else 0.0
+    vals = [
+        float(sample_rate), float(n),
+        n / sample_rate if sample_rate else 0.0,
+        float(np.sqrt(np.mean(mono**2))) if n else 0.0,
+        float(np.max(np.abs(mono))) if n else 0.0,
+        zcr,
+        float(mono.mean()) if n else 0.0,
+        float(mono.std()) if n else 0.0,
+    ]
+    return [np.floor(v * 1e6 + 0.5) / 1e6 for v in vals]

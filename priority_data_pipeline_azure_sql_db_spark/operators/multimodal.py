@@ -2,9 +2,13 @@
 
 Images / audio / video are opaque ``binary`` columns with typed metadata.
 The Spark-side plumbing — schema, Arrow batch shape, partition-parallel
-``mapInPandas`` — is real and tested; the codec step is a deterministic
-stub (the decode libraries aren't in this container) clearly marked with
-``NotImplementedError`` on the real path.
+``mapInPandas`` — is real and tested. The codec tier (round 7) is now
+REAL for two formats via pure-stdlib decoders (operators/codecs.py):
+uncompressed 24-bit BMP and PCM WAV decode to genuine pixel/sample
+statistics in-sandbox; richer codecs (PIL/av) slot in behind the same
+sniff/decode interface with try-import gating (the same stance as the
+protobuf-gated streaming twin), and only blobs NO available codec can
+decode fall back to the clearly-tagged deterministic stub.
 
 Scale note: ``mapInPandas`` streams Arrow batches per partition, so blob
 decode parallelizes with the scan and never materializes a partition in
@@ -35,6 +39,7 @@ FEATURE_SCHEMA = T.StructType([
     T.StructField("media_type", T.StringType()),
     T.StructField("n_bytes", T.LongType()),
     T.StructField("content_md5", T.StringType()),
+    T.StructField("codec", T.StringType()),       # bmp | wav | pil | stub-md5
     T.StructField("feature", T.ArrayType(T.DoubleType())),
 ])
 
@@ -64,11 +69,38 @@ def _decode_stub(media_type: str, content: bytes) -> list[float]:
     return [b / 255.0 for b in digest[:8]]
 
 
+try:  # richer codecs, if the environment has them (not in this sandbox)
+    from PIL import Image as _PIL_Image  # noqa: N813
+except ImportError:
+    _PIL_Image = None
+
+
 def decode_media(media_type: str, content: bytes):
-    """The REAL decode path — requires PIL/librosa/av, not in this image."""
+    """The REAL decode path. Routes by magic bytes (the blob is the
+    truth, not the declared media_type): uncompressed 24-bit BMP and
+    PCM WAV decode with the pure-stdlib codecs; other formats go to PIL
+    when installed; anything else raises ``NotImplementedError`` (the
+    honest boundary — callers wanting a total function use
+    :func:`extract_features`, which falls back to the tagged stub).
+
+    Returns ('bmp', (h, w, 3) uint8 RGB array),
+    ('wav', (sample_rate, (n, ch) float array)), or
+    ('pil', PIL.Image)."""
+    from . import codecs
+
+    kind = codecs.sniff(content)
+    if kind == "bmp":
+        return "bmp", codecs.decode_bmp(content)
+    if kind == "wav":
+        return "wav", codecs.decode_wav(content)
+    if _PIL_Image is not None and media_type == "image":
+        import io
+
+        return "pil", _PIL_Image.open(io.BytesIO(content))
     raise NotImplementedError(
-        "media codecs (PIL/librosa/av) are not installed in this container; "
-        "use extract_features() which routes through the deterministic stub"
+        f"no available codec for this blob (media_type={media_type!r}; "
+        "in-sandbox codecs: uncompressed 24-bit BMP, PCM WAV; install "
+        "PIL/librosa/av for more)"
     )
 
 
@@ -76,13 +108,39 @@ def extract_features(df: DataFrame) -> DataFrame:
     """Partition-parallel feature extraction over binary media columns.
 
     Arrow-batched ``mapInPandas`` — the production shape for codec work:
-    per-batch pandas in/out, no row-at-a-time serde.
+    per-batch pandas in/out, no row-at-a-time serde. Blobs an available
+    codec can decode get REAL features (pixel statistics for BMP,
+    sample statistics for WAV — operators/codecs.py) tagged with the
+    codec name; everything else falls back to the deterministic md5
+    stub tagged ``stub-md5``, so a consumer can always tell real
+    features from placeholders.
     """
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import hashlib
 
+        from . import codecs
+
+        def featurize(media_type, blob):
+            kind = codecs.sniff(blob)
+            if kind == "bmp":
+                try:
+                    return "bmp", codecs.image_features(codecs.decode_bmp(blob))
+                except (ValueError, NotImplementedError):
+                    pass  # BMP magic but undecodable variant → stub
+            elif kind == "wav":
+                try:
+                    return "wav", codecs.audio_features(*codecs.decode_wav(blob))
+                except (ValueError, NotImplementedError):
+                    pass
+            return "stub-md5", _decode_stub(media_type, blob)
+
         for pdf in batches:
+            tags, feats = [], []
+            for mt, blob in zip(pdf["media_type"], pdf["content"]):
+                tag, vec = featurize(mt, blob)
+                tags.append(tag)
+                feats.append(vec)
             out = pd.DataFrame({
                 "media_id": pdf["media_id"],
                 "media_type": pdf["media_type"],
@@ -90,9 +148,8 @@ def extract_features(df: DataFrame) -> DataFrame:
                 "content_md5": pdf["content"].map(
                     lambda b: hashlib.md5(b or b"").hexdigest()
                 ),
-                "feature": pdf.apply(
-                    lambda r: _decode_stub(r["media_type"], r["content"]), axis=1
-                ),
+                "codec": tags,
+                "feature": feats,
             })
             yield out
 

@@ -2204,6 +2204,62 @@ def multimodal_frame_sample(spark, sf_dir):
     return sample_frames(media, every_nth=10, max_frames=8)
 
 
+@query("multimodal_real_codec")  # binary decode path → rows-only check
+def multimodal_real_codec(spark, sf_dir):
+    """REAL media decode end to end (round 7): deterministic BMP images
+    and WAV clips are synthesized from each document's bytes inside the
+    executors (mapInPandas — blobs never touch the driver), then
+    extract_features routes them through the pure-stdlib codecs
+    (operators/codecs.py) and computes GENUINE pixel/sample statistics —
+    codec tags 'bmp'/'wav' in the result prove no row fell back to the
+    stub. Returns one flattened row per media item (arrays flattened for
+    the driver comparator). Pixel/sample math is golden-tested in
+    tests/test_northstar.py; no SQL twin (a BMP parser in SQL is not a
+    thing) → rows-only."""
+    import numpy as np
+    import pandas as pd
+
+    from .operators import codecs
+    from .operators.multimodal import extract_features
+
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+
+    def synth(batches):
+        for pdf in batches:
+            ids, types, blobs = [], [], []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                raw = (text or "").encode("utf-8")
+                pad = (raw * (192 // max(len(raw), 1) + 1))[:192]
+                px = np.frombuffer(pad, dtype=np.uint8).reshape(8, 8, 3)
+                ids.append(doc_id)
+                types.append("image")
+                blobs.append(codecs.encode_bmp(px))
+                sig = (np.frombuffer(pad, dtype=np.uint8).astype(np.float64)
+                       - 128.0) / 128.0
+                ids.append(doc_id)
+                types.append("audio")
+                blobs.append(codecs.encode_wav(4000, sig))
+            yield pd.DataFrame({
+                "media_id": pd.Series(ids, dtype="int64"),
+                "media_type": types,
+                "content": pd.Series(blobs, dtype="object"),
+                "meta_width": pd.Series([None] * len(ids), dtype="Int32"),
+                "meta_height": pd.Series([None] * len(ids), dtype="Int32"),
+                "meta_sample_rate": pd.Series([None] * len(ids), dtype="Int32"),
+            })
+
+    media = d.select("doc_id", "text").mapInPandas(
+        synth,
+        "media_id long, media_type string, content binary, "
+        "meta_width int, meta_height int, meta_sample_rate int",
+    )
+    feats = extract_features(media)
+    return feats.select(
+        "media_id", "media_type", "codec", "n_bytes", "content_md5",
+        *[F.col("feature")[i].alias(f"f{i}") for i in range(8)],
+    )
+
+
 @query("streaming_stateful_user_totals")  # custom stateful op → rows-only check
 def streaming_stateful_user_totals(spark, sf_dir):
     """applyInPandasWithState running per-user totals + alert flag — the
