@@ -64,6 +64,50 @@ def build_ivf_index(
     )
 
 
+def append_to_ivf_index(
+    new_vectors: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Index MAINTENANCE for a growing corpus (round 7): assign each new
+    vector to its nearest EXISTING cell (centroids are read, never
+    retrained) and append to that cell's partition directory —
+    ``mode("append") + partitionBy("cell")`` adds files inside the
+    probed layout, so serving sees the new vectors on the next query
+    with zero downtime and no index rewrite.
+
+    This is the standard IVF maintenance trade: appended vectors are
+    exactly as findable as built ones WITHIN their cell (the scoring
+    scan is identical), but the centroids no longer summarize the
+    drifted corpus, so cell boundaries slowly stop matching the data
+    distribution and n_probe recall decays with append volume. The
+    recall-drift pytest (tests/test_scale_utils.py) quantifies exactly
+    this: append+query recall must stay within tolerance of
+    rebuild+query recall at the test's append fraction. Operate it like
+    any LSM structure — append deltas, rebuild (re-train) when the
+    appended fraction or measured recall drift crosses a budget.
+
+    Scale shape: one broadcast join of the n_cells centroids against
+    the DELTA only (O(|delta|), never O(index)), one partitioned append
+    write. Concurrent appends are safe at the file level (distinct
+    part files); serialize appends with rebuilds."""
+    import os
+
+    spark = new_vectors.sparkSession
+    cents = spark.read.parquet(os.path.join(path, CENTROIDS_DIR))
+    dim = infer_dim(new_vectors, vec_col)
+    assigned = _assign_cells(
+        new_vectors.select(
+            F.col(id_col).alias(id_col), _as_double(F.col(vec_col)).alias("vec")
+        ).select(id_col, "vec", l2_norm(F.col("vec"), dim).alias("norm")),
+        cents, id_col, "vec", 1, dim,
+    )
+    assigned.write.mode("append").partitionBy("cell").parquet(
+        os.path.join(path, CELLS_DIR)
+    )
+
+
 def query_ivf_index(
     spark: SparkSession,
     path: str,

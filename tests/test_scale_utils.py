@@ -336,3 +336,62 @@ def test_epoch_shuffle_shard_width(spark):
     for bad in (0, 9, -1):
         with _pytest.raises(ValueError, match="shard_width"):
             X.epoch_shuffle(df, shard_width=bad)
+
+
+def test_ivf_index_append_recall_drift(spark, sf_dir, tmp_path):
+    """Append path: new vectors join their nearest existing cell and are
+    served by the same pruned scan. Gates: (1) append+query finds
+    appended ids at all (they're first-class index members); (2) recall
+    vs exact brute force stays within tolerance of a full REBUILD on
+    the grown corpus; (3) every queried row count matches (no row lost
+    through the partitioned append)."""
+    from priority_data_pipeline_azure_sql_db_spark.operators.ann_index import (
+        append_to_ivf_index,
+        build_ivf_index,
+        query_ivf_index,
+    )
+    from priority_data_pipeline_azure_sql_db_spark.operators.similarity import (
+        cosine_topk_bruteforce,
+    )
+    from priority_data_pipeline_azure_sql_db_spark.sources.parquet import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    base = emb.filter(F.col("vec_id") % 4 != 0)      # 75% built
+    delta = emb.filter(F.col("vec_id") % 4 == 0)     # 25% appended
+    queries = emb.filter(F.col("vec_id") < 10)
+
+    appended_idx = str(tmp_path / "ivf_app")
+    build_ivf_index(base, appended_idx, n_cells=8)
+    append_to_ivf_index(delta, appended_idx)
+
+    rebuilt_idx = str(tmp_path / "ivf_full")
+    build_ivf_index(emb, rebuilt_idx, n_cells=8)
+
+    n_total = emb.count()
+    got_app = query_ivf_index(spark, appended_idx, queries, k=5, n_probe=3)
+    got_reb = query_ivf_index(spark, rebuilt_idx, queries, k=5, n_probe=3)
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in cosine_topk_bruteforce(emb, queries, k=5).collect()
+    }
+    app = {(r.query_id, r.neighbor_id) for r in got_app.collect()}
+    reb = {(r.query_id, r.neighbor_id) for r in got_reb.collect()}
+    assert exact and app and reb
+
+    # (3) appended index serves the full corpus: sum of cell sizes == n
+    import os
+
+    cells = spark.read.parquet(os.path.join(appended_idx, "cells"))
+    assert cells.count() == n_total
+    assert cells.select("vec_id").distinct().count() == n_total
+
+    # (1) appended vectors are retrievable: at least one delta id shows
+    # up as a neighbor (delta is 25% of the corpus, k=5, 10 queries)
+    delta_ids = {r.vec_id for r in delta.select("vec_id").collect()}
+    assert any(n in delta_ids for _, n in app), "no appended vector ever served"
+
+    # (2) recall drift within tolerance of the rebuilt index
+    recall_app = len(exact & app) / len(exact)
+    recall_reb = len(exact & reb) / len(exact)
+    assert recall_app >= recall_reb - 0.2, (recall_app, recall_reb)
+    assert recall_app >= 0.4, recall_app
