@@ -45,6 +45,12 @@ HEADLINE = [
     # (uncapped twins remain registered for the exact oracle)
     "dedup_jaccard_pairs_capped",
     "dedup_winnow_pairs_capped",
+    # round-7: the RESIDENT twins — same answer, persisted fingerprint
+    # store built once at plan time (outside the timed region), so these
+    # report the steady-state serving cost while the one-shot entries
+    # above keep reporting the cold build+join cost
+    "dedup_jaccard_pairs_indexed",
+    "dedup_winnow_pairs_indexed",
     # round-5: correlated-subquery family representatives
     "q2_min_cost_supplier",
     "q21_last_shipper",

@@ -1,0 +1,161 @@
+"""Persisted dedup fingerprint store: build once, serve many (round 7).
+
+The capped winnow/Jaccard pair queries pay their full fingerprint build
+(normalize → k-gram md5 → window mins → distinct, the dominant ~70% of
+wall time) on EVERY run — right for one-shot analytics, wrong for the
+production loop where the same corpus is re-queried (different caps /
+thresholds / deltas) many times. This module splits the two phases
+exactly like the persisted IVF index (operators/ann_index.py):
+
+- :func:`build_dedup_index` computes the fingerprint relation once and
+  persists it as parquet — ``fps`` (doc, fp) for winnowing or
+  (doc, shingle) for word shingles, plus ``sizes`` (doc, n_sh) so the
+  Jaccard serve path never re-tokenizes.
+- :func:`winnow_pairs_from_index` / :func:`jaccard_pairs_from_index`
+  read the store and run ONLY the capped inverted-index pair join — the
+  cheap, cap-tunable half.
+
+``ensure_dedup_index`` is the build-if-absent gate (checks the parquet
+``_SUCCESS`` marker, so a crashed partial build rebuilds rather than
+serving torn files).
+
+Scale shape: the store is written ``repartition(fp)`` so fingerprint
+rows for one print are co-located per file — at 100 TB the serve join
+reads a fingerprint-clustered layout instead of re-sharding document
+order, and the doc-frequency cap computes per file-cluster with minimal
+shuffle skew. Serving still shuffles on fp (plain parquet carries no
+bucketing metadata) but moves only (doc, fp) pairs, never text.
+
+Both serve paths are value-identical to their one-shot twins
+(dedup_winnow_pairs_capped / dedup_jaccard_pairs_capped share the same
+DuckDB oracle SQL), so the driver hash-checks the whole
+build→persist→read→join cycle.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+FPS_DIR = "fps"
+SIZES_DIR = "sizes"
+
+
+def build_dedup_index(
+    df: DataFrame,
+    path: str,
+    kind: str = "winnow",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+    w: int = 4,
+) -> None:
+    """Materialize the fingerprint relation for ``kind``:
+
+    - ``winnow``: (doc, fp) winnowing fingerprints (k-gram size ``k``,
+      window ``w``) — serve with :func:`winnow_pairs_from_index`.
+    - ``shingle``: (doc, shingle) distinct word k-shingles plus a
+      ``sizes`` table of per-doc set sizes — serve with
+      :func:`jaccard_pairs_from_index`.
+    """
+    from .dedup import word_shingles
+    from .text import winnow_fingerprints
+
+    if kind == "winnow":
+        fps = winnow_fingerprints(df, text_col, id_col, k=k, w=w).select(
+            F.col(id_col).alias("doc"), "fp"
+        )
+        fps.repartition("fp").write.mode("overwrite").parquet(
+            os.path.join(path, FPS_DIR)
+        )
+    elif kind == "shingle":
+        sh = word_shingles(df, text_col, id_col, k=k).cache()
+        try:
+            sh.select(F.col("doc"), F.col("shingle").alias("fp")) \
+                .repartition("fp").write.mode("overwrite") \
+                .parquet(os.path.join(path, FPS_DIR))
+            sh.groupBy("doc").agg(F.count(F.lit(1)).alias("n_sh")) \
+                .write.mode("overwrite").parquet(os.path.join(path, SIZES_DIR))
+        finally:
+            sh.unpersist()
+    else:
+        raise ValueError(f"kind must be 'winnow' or 'shingle', got {kind!r}")
+
+
+def ensure_dedup_index(df: DataFrame, path: str, **kwargs) -> str:
+    """Build the index only if ``path`` lacks a completed build (parquet
+    ``_SUCCESS`` marker) — the serve-many entry point."""
+    marker = os.path.join(path, FPS_DIR, "_SUCCESS")
+    if not os.path.exists(marker):
+        build_dedup_index(df, path, **kwargs)
+    return path
+
+
+def _capped(fp: DataFrame, max_doc_freq: int | None) -> DataFrame:
+    if max_doc_freq is None:
+        return fp
+    keep = (
+        fp.groupBy("fp").agg(F.count(F.lit(1)).alias("_df"))
+        .filter(F.col("_df") <= max_doc_freq).select("fp")
+    )
+    return fp.join(keep, "fp")
+
+
+def winnow_pairs_from_index(
+    spark: SparkSession,
+    path: str,
+    min_shared: int = 5,
+    max_doc_freq: int | None = None,
+) -> DataFrame:
+    """The serve half of capped winnowing near-dup: read the persisted
+    (doc, fp) store, cap stop-prints, pair-join. Value-identical to
+    ``winnow_near_dup`` on the corpus the index was built from."""
+    fp = _capped(spark.read.parquet(os.path.join(path, FPS_DIR)), max_doc_freq)
+    a = fp.select(F.col("doc").alias("id_a"), "fp")
+    b = fp.select(F.col("doc").alias("id_b"), "fp")
+    return (
+        a.join(b, "fp")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("shared_fps"))
+        .filter(F.col("shared_fps") >= min_shared)
+    )
+
+
+def jaccard_pairs_from_index(
+    spark: SparkSession,
+    path: str,
+    threshold: float = 0.2,
+    max_doc_freq: int | None = None,
+) -> DataFrame:
+    """The serve half of capped n-gram Jaccard: persisted (doc, shingle)
+    store + persisted set sizes → capped inverted-index join → exact
+    Jaccard on the UNCAPPED sizes (the same lower-bound semantics as
+    ``jaccard_pairs(max_doc_freq=...)``)."""
+    sh = spark.read.parquet(os.path.join(path, FPS_DIR))
+    sizes = spark.read.parquet(os.path.join(path, SIZES_DIR))
+    shj = _capped(sh, max_doc_freq)
+    inter = (
+        shj.alias("a")
+        .join(shj.alias("b"),
+              (F.col("a.fp") == F.col("b.fp")) & (F.col("a.doc") < F.col("b.doc")))
+        .groupBy(F.col("a.doc").alias("id_a"), F.col("b.doc").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sa = sizes.select(F.col("doc").alias("id_a"), F.col("n_sh").alias("na"))
+    sb = sizes.select(F.col("doc").alias("id_b"), F.col("n_sh").alias("nb"))
+    return (
+        inter.join(sa, "id_a").join(sb, "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_inter").cast("double")
+                / (F.col("na") + F.col("nb") - F.col("n_inter")).cast("double"),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )

@@ -1542,9 +1542,10 @@ def dedup_simhash_pairs(spark, sf_dir):
     ).orderBy("id_a", "id_b")
 
 
-@query(
-    "dedup_jaccard_pairs_capped",
-    """
+# shared by the one-shot query and the persisted-index serve twin — the
+# store round-trip must be value-invisible, so both hash against the
+# same oracle
+_JACCARD_CAPPED_SQL = """
     WITH canon AS (
         SELECT CAST(MIN(doc_id) AS BIGINT) AS doc_id, text
         FROM documents GROUP BY text
@@ -1573,8 +1574,10 @@ def dedup_simhash_pairs(spark, sf_dir):
     JOIN sizes sa ON sa.doc = id_a
     JOIN sizes sb ON sb.doc = id_b
     WHERE CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter) >= 0.2
-    """,
-)
+    """
+
+
+@query("dedup_jaccard_pairs_capped", _JACCARD_CAPPED_SQL)
 def dedup_jaccard_pairs_capped(spark, sf_dir):
     """The PRODUCTION near-dup path: exact dedup first (removes the
     mega-clusters whose members would otherwise exceed any doc-freq
@@ -1588,9 +1591,7 @@ def dedup_jaccard_pairs_capped(spark, sf_dir):
     return D.jaccard_pairs(canon, "text", "doc_id", k=5, threshold=0.2, max_doc_freq=50)
 
 
-@query(
-    "dedup_winnow_pairs_capped",
-    """
+_WINNOW_CAPPED_SQL = """
     WITH canon AS (
         SELECT CAST(MIN(doc_id) AS BIGINT) AS doc_id, text
         FROM documents GROUP BY text
@@ -1616,8 +1617,10 @@ def dedup_jaccard_pairs_capped(spark, sf_dir):
            CAST(COUNT(*) AS BIGINT) AS shared_fps
     FROM fpk a JOIN fpk b ON a.fp = b.fp AND a.doc_id < b.doc_id
     GROUP BY 1, 2 HAVING COUNT(*) >= 25
-    """,
-)
+    """
+
+
+@query("dedup_winnow_pairs_capped", _WINNOW_CAPPED_SQL)
 def dedup_winnow_pairs_capped(spark, sf_dir):
     """Production winnowing near-dup: exact dedup → stop-print cap 50 →
     inverted-index pair join (the composition the winnow_near_dup
@@ -1628,6 +1631,54 @@ def dedup_winnow_pairs_capped(spark, sf_dir):
     canon = d.groupBy("text").agg(F.min("doc_id").cast("bigint").alias("doc_id"))
     return X.winnow_near_dup(canon, "text", "doc_id", k=8, w=4, min_shared=25,
                              max_doc_freq=50)
+
+
+def _dedup_index_path(sf_dir, kind):
+    import os
+    import tempfile
+
+    return os.path.join(
+        tempfile.gettempdir(),
+        f"dedup_idx_{kind}_{os.getpid()}_"
+        f"{os.path.basename(os.path.normpath(sf_dir))}",
+    )
+
+
+@query("dedup_winnow_pairs_indexed", _WINNOW_CAPPED_SQL)
+def dedup_winnow_pairs_indexed(spark, sf_dir):
+    """The RESIDENT (build-once/serve-many) form of
+    dedup_winnow_pairs_capped (VERDICT r6 ask #3): the winnowing
+    fingerprint table — the dominant ~70% of the one-shot query's wall
+    — is persisted per (process, sf_dir) on first use
+    (operators/dedup_index.py) and every later run pays only the
+    capped inverted-index pair join. Same oracle SQL as the one-shot
+    twin, so the driver hash-checks that the persist→read round-trip is
+    value-invisible. bench.py carries BOTH entries: the one-shot number
+    is the cold cost, this is the steady-state serving cost."""
+    from .operators.dedup_index import ensure_dedup_index, winnow_pairs_from_index
+
+    d = load_table(spark, sf_dir, "documents")
+    canon = d.groupBy("text").agg(F.min("doc_id").cast("bigint").alias("doc_id"))
+    path = ensure_dedup_index(
+        canon, _dedup_index_path(sf_dir, "winnow"), kind="winnow", k=8, w=4
+    )
+    return winnow_pairs_from_index(spark, path, min_shared=25, max_doc_freq=50)
+
+
+@query("dedup_jaccard_pairs_indexed", _JACCARD_CAPPED_SQL)
+def dedup_jaccard_pairs_indexed(spark, sf_dir):
+    """Resident twin of dedup_jaccard_pairs_capped: persisted
+    (doc, shingle) store + persisted set sizes; runs pay only the
+    capped join + Jaccard arithmetic. Hash-checked against the same
+    oracle as the one-shot query."""
+    from .operators.dedup_index import ensure_dedup_index, jaccard_pairs_from_index
+
+    d = load_table(spark, sf_dir, "documents")
+    canon = d.groupBy("text").agg(F.min("doc_id").cast("bigint").alias("doc_id"))
+    path = ensure_dedup_index(
+        canon, _dedup_index_path(sf_dir, "shingle"), kind="shingle", k=5
+    )
+    return jaccard_pairs_from_index(spark, path, threshold=0.2, max_doc_freq=50)
 
 
 @query(

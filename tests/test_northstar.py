@@ -514,3 +514,61 @@ def test_streaming_session_windows(spark, sf_dir):
     assert rows and all(r.session_end >= r.session_start for r in rows)
     total = sum(r.n_events for r in rows)
     assert total == load_table(spark, sf_dir, "events").count()
+
+
+def test_dedup_index_build_serve_matches_oneshot(spark, sf_dir, tmp_path):
+    """Persisted fingerprint store round-trip is value-invisible: the
+    serve-path pairs equal the one-shot operators' pairs for both
+    winnowing and capped Jaccard, and ensure_dedup_index only builds
+    once (the _SUCCESS marker gates rebuilds)."""
+    import os
+
+    from priority_data_pipeline_azure_sql_db_spark.operators import text as X
+    from priority_data_pipeline_azure_sql_db_spark.operators.dedup import jaccard_pairs
+    from priority_data_pipeline_azure_sql_db_spark.operators.dedup_index import (
+        ensure_dedup_index,
+        jaccard_pairs_from_index,
+        winnow_pairs_from_index,
+    )
+    from priority_data_pipeline_azure_sql_db_spark.sources.parquet import load_table
+
+    d = load_table(spark, sf_dir, "documents")
+    canon = d.groupBy("text").agg(F.min("doc_id").cast("bigint").alias("doc_id"))
+
+    wpath = str(tmp_path / "widx")
+    ensure_dedup_index(canon, wpath, kind="winnow", k=8, w=4)
+    served = {
+        (r.id_a, r.id_b, r.shared_fps)
+        for r in winnow_pairs_from_index(spark, wpath, min_shared=5,
+                                         max_doc_freq=50).collect()
+    }
+    oneshot = {
+        (r.id_a, r.id_b, r.shared_fps)
+        for r in X.winnow_near_dup(canon, "text", "doc_id", k=8, w=4,
+                                   min_shared=5, max_doc_freq=50).collect()
+    }
+    assert served == oneshot and served
+
+    # build-once: marker present, second ensure is a no-op (mtime stable)
+    marker = os.path.join(wpath, "fps", "_SUCCESS")
+    mtime = os.path.getmtime(marker)
+    ensure_dedup_index(canon, wpath, kind="winnow", k=8, w=4)
+    assert os.path.getmtime(marker) == mtime
+
+    jpath = str(tmp_path / "jidx")
+    ensure_dedup_index(canon, jpath, kind="shingle", k=5)
+    jserved = {
+        (r.id_a, r.id_b, r.jaccard)
+        for r in jaccard_pairs_from_index(spark, jpath, threshold=0.2,
+                                          max_doc_freq=50).collect()
+    }
+    joneshot = {
+        (r.id_a, r.id_b, r.jaccard)
+        for r in jaccard_pairs(canon, "text", "doc_id", k=5, threshold=0.2,
+                               max_doc_freq=50).collect()
+    }
+    assert jserved == joneshot and jserved
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="kind"):
+        ensure_dedup_index(canon, str(tmp_path / "bad"), kind="nope")
