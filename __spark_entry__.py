@@ -25,90 +25,83 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The correctness driver evaluates the first 50 registry entries in order.
-# Round-6 rotation. Priority: (1) the 8 never-driver-checked entries — the
-# two r5 reds, both restructured this round (pack_training_sequences now
-# graded on the SHARDED variant with BIGINT-cast oracle columns;
-# embedding_normalize flattened via posexplode — see ARCHITECTURE.md
-# "Oracle-comparator contract"), the 4 late-r5 registrations, and the 2
-# new r6 operators (merge-table BPE, greedy never-split packing);
-# (2) queries over round-6-touched code: events_tumbling_hourly
-# (date_trunc rewrite), q21_last_shipper (pre-aggregated plan),
-# embedding_near_dup_pairs (id-dtype generalization in similarity.py),
-# odata_source_scan + pipeline_e2e_flagship (odata reader: $orderby
-# resolution, filtered $count, tz conversion); (3) staleness repayment —
-# the 30 queries last driver-checked in ROUND 1 (TPC-H family, joins,
-# set ops, window/scalar funcs: five rounds on untouched code, but
-# 2+-round-unchecked is the hygiene bound, and all are locally
-# re-verified under the new driver-replica comparator this session), then
-# 7 of the round-3 bucket (the pipeline surface + events_pivot_types,
-# preferring touched load paths). Below the window: the remaining r3
-# stragglers (q8, q13, scalar_date_math, type_mapping_enrichment — next
-# round's head), the r4 bucket, and everything green r5 on code untouched
-# this round (clustering, winnowing, jaccard, simhash, streaming, text
-# quality family — all also locally green this session).
+# Round-7 rotation. Priority: (1) the 6 never-driver-checked round-7
+# registrations (resident dedup twins, wide epoch shuffle, Arrow BPE
+# kernel + large-vocab train/tokenize, real-codec multimodal);
+# (2) queries over round-7-touched code: the BPE family (self-delimited
+# symbol spelling + batched trainer), the shuffle/curation family
+# (shard_width parameter, position-keyed order tag, deterministic export
+# paths), embedding_near_dup_pairs (string-id cross-cell kernel fix),
+# pack_greedy_sequences (vectorized shard scan), the one-shot capped
+# dedup twins (oracle SQL refactored to shared constants),
+# multimodal_binary_meta (extract_features schema gained the codec
+# column), ann_ivf_index_persisted (deterministic index path);
+# (3) staleness repayment — ALL 10 round-3 stragglers (promised at the
+# head of this window in round 6) and the whole 17-query round-4 bucket;
+# (4) the oldest round-5 entries on code adjacent to this round's
+# changes (winnow fingerprints feed the new dedup index; exact dedup and
+# token stats feed the curation pipeline). Below the window: the rest of
+# the r5 bucket (streaming + text quality + ANN families, untouched this
+# round) and everything green r6 on untouched code — all locally
+# re-verified under the driver-replica comparator this session.
 CHECK_ORDER = [
-    # never driver-checked: r5 reds (both restructured r6) ...
-    "pack_training_sequences",
-    "embedding_normalize",
-    # ... late-r5 registrations ...
-    "pack_document_chunks",
-    "text_vocab_topk",
-    "pipeline_curation_e2e",
-    "ann_ivf_index_persisted",
-    # ... and the round-6 additions
+    # (1) never driver-checked round-7 registrations
+    "dedup_winnow_pairs_indexed",
+    "dedup_jaccard_pairs_indexed",
+    "sample_epoch_shuffle_wide",
+    "text_bpe_tokens_arrow",
+    "text_bpe_tokens_large",
+    "multimodal_real_codec",
+    # (2) round-7-touched code paths
     "text_bpe_tokens",
     "text_bpe_train",
-    "pack_greedy_sequences",
-    "text_lm_quality_score",
     "sample_epoch_shuffle",
     "export_training_shards",
     "pipeline_curation_v2",
-    # round-6-touched code paths
-    "events_tumbling_hourly",
-    "q21_last_shipper",
-    "q21_last_shipper_preagg",
     "embedding_near_dup_pairs",
-    "odata_source_scan",
-    "pipeline_e2e_flagship",
-    # staleness repayment: last driver-checked round 1
-    "q1_pricing_summary",
-    "q3_shipping_priority",
-    "q4_order_priority",
-    "q5_local_supplier_volume",
-    "q6_revenue_forecast",
-    "q10_returned_items",
-    "q14_promo_revenue",
-    "q18_large_orders",
-    "top_customers_by_revenue",
-    "agg_distinct_suppliers",
-    "percentiles_quantity",
-    "rollup_lineitem_status",
-    "cube_orders_status_priority",
-    "grouping_sets_lineitem",
-    "pivot_segment_by_region",
-    "join_left_outer_nulls",
-    "join_full_outer",
-    "semi_join_customers_with_orders",
-    "anti_join_customers_without_orders",
-    "setop_nation_intersect",
-    "setop_nation_except",
-    "union_all_distinct",
-    "window_running_total",
-    "window_lag_lead_ntile",
-    "window_topk_orders_per_customer",
-    "scalar_string_funcs",
-    "scalar_array_funcs",
-    "conditional_null_funcs",
-    "pipeline_count_rows",
-    "pipeline_limit_probe",
-    # staleness repayment: last driver-checked round 3 (7 of 11)
-    "pipeline_watermark_filter",
-    # (pipeline_flatten_subform / pipeline_audit_columns /
-    # pipeline_project_drop / pipeline_config_flatten /
-    # events_pivot_types / q7_volume_shipping displaced by the round-6
-    # registrations — the r3 stragglers q7/q8/q13/scalar_date_math/
-    # type_mapping/config_flatten/project_drop/audit_columns/
-    # flatten_subform/pivot_types lead next round's window)
+    "pack_greedy_sequences",
+    "dedup_winnow_pairs_capped",
+    "dedup_jaccard_pairs_capped",
+    "multimodal_binary_meta",
+    "ann_ivf_index_persisted",
+    # (3) staleness repayment: the 10 round-3 stragglers
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q13_customer_distribution",
+    "scalar_date_math_funcs",
+    "type_mapping_enrichment",
+    "pipeline_config_flatten",
+    "pipeline_project_drop",
+    "pipeline_audit_columns",
+    "pipeline_flatten_subform",
+    "events_pivot_types",
+    # (3) staleness repayment: the full round-4 bucket
+    "q9_product_profit",
+    "q15_top_supplier",
+    "q17_small_quantity_revenue",
+    "q19_discounted_revenue",
+    "q22_idle_customers",
+    "approx_sketches",
+    "asof_last_click_before_error",
+    "range_join_close_events",
+    "skew_salted_join",
+    "window_range_trailing_30d",
+    "scalar_regex_funcs",
+    "sample_stratified_mix",
+    "profile_documents_stats",
+    "pipeline_catalog_top1",
+    "pipeline_probe_counts",
+    "multimodal_frame_sample",
+    # (4) oldest r5 entries adjacent to round-7 changes
+    "text_winnow_fingerprints",
+    "dedup_ngram_jaccard",
+    "dedup_exact_docs",
+    "dedup_fingerprint_docs",
+    "text_token_stats",
+    "pipeline_merge_upsert",
+    "pipeline_cast_types",
+    # multimodal_binary_meta moved to tier (2); next round's head:
+    # the remaining r5 bucket (streaming family first)
 ]
 
 
