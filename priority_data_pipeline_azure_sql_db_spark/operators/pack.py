@@ -26,7 +26,7 @@ reference (rows-only at the driver).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from .text import token_count
@@ -38,19 +38,28 @@ def pack_sequences(
     id_col: str = "doc_id",
     budget: int = 512,
     shard_col: str | None = None,
+    count_expr: Column | None = None,
 ) -> DataFrame:
     """Assign each document its place in the packed token stream.
 
     Returns (id, n_tokens, first_seq, offset_in_seq, n_seqs_spanned)
     where sequences are ``budget`` tokens long and documents are laid
     out in ascending id order (within the shard when ``shard_col``).
+
+    ``count_expr`` overrides the length function (default: whitespace
+    ``token_count`` over ``text_col``) — pass e.g.
+    ``bpe_token_count_merged(F.col("text"))`` to pack against the REAL
+    tokenizer budget the training run will bill by, or a precomputed
+    ``F.col("n_tokens")`` when counts were materialized upstream.
     """
     part = Window.partitionBy(shard_col) if shard_col else Window.partitionBy()
     w = part.orderBy(id_col).rowsBetween(Window.unboundedPreceding, 0)
+    if count_expr is None:
+        count_expr = token_count(F.col(text_col))
     toks = df.select(
         *( [shard_col] if shard_col else [] ),
         F.col(id_col),
-        token_count(F.col(text_col)).cast("bigint").alias("n_tokens"),
+        count_expr.cast("bigint").alias("n_tokens"),
     )
     cum = toks.withColumn("_cum", F.sum("n_tokens").over(w))
     start = F.col("_cum") - F.col("n_tokens")        # first token's global offset
@@ -73,6 +82,7 @@ def pack_greedy(
     budget: int = 512,
     shard_col: str | None = None,
     n_shards: int = 32,
+    count_expr: Column | None = None,
 ) -> DataFrame:
     """Greedy NEVER-SPLIT sequence packing (sequential next-fit): walk
     documents in ascending id order within each shard; a document joins
@@ -102,9 +112,11 @@ def pack_greedy(
     sequence per shard.
     """
     id_type = df.schema[id_col].dataType.simpleString()
+    if count_expr is None:
+        count_expr = token_count(F.col(text_col))
     base = [
         F.col(id_col),
-        token_count(F.col(text_col)).cast("bigint").alias("n_tokens"),
+        count_expr.cast("bigint").alias("n_tokens"),
     ]
     if shard_col:
         src = df.select(F.col(shard_col).cast("bigint").alias("shard"), *base)

@@ -3300,6 +3300,50 @@ def pack_training_sequences(spark, sf_dir):
     return pack_sequences(d, budget=512, shard_col="shard")
 
 
+from .operators.text import bpe_oracle_sql_expr as _bpe_sql  # noqa: E402
+
+
+@query(
+    "pack_training_sequences_bpe",
+    f"""
+    WITH toks AS (
+        SELECT doc_id, doc_id % 8 AS shard,
+               {_bpe_sql('text')} AS n_tokens
+        FROM documents
+    ), cum AS (
+        SELECT shard, doc_id, n_tokens,
+               SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                                   ROWS UNBOUNDED PRECEDING) AS cum
+        FROM toks
+    )
+    SELECT CAST(shard AS BIGINT) AS shard, doc_id, n_tokens,
+           CAST((cum - n_tokens) // 512 AS BIGINT) AS first_seq,
+           CAST((cum - n_tokens) % 512 AS BIGINT) AS offset_in_seq,
+           CAST((cum - 1) // 512 - (cum - n_tokens) // 512 + 1 AS BIGINT)
+               AS n_seqs_spanned
+    FROM cum
+    """,
+)
+def pack_training_sequences_bpe(spark, sf_dir):
+    """Sharded concat-and-chunk packing against the REAL tokenizer
+    budget (round 7 composition): same plan as pack_training_sequences,
+    but the per-document length is the merge-table BPE token count — the
+    number a training run actually bills by, which whitespace counts
+    under-estimate by the fusion ratio. Exercises pack's ``count_expr``
+    seam end to end; the oracle replays the identical BPE replace chain
+    inside the same window cumsum, so budget math and tokenizer
+    semantics are hash-checked TOGETHER."""
+    from .operators.pack import pack_sequences
+
+    d = load_table(spark, sf_dir, "documents").withColumn(
+        "shard", (F.col("doc_id") % 8).cast("bigint")
+    )
+    return pack_sequences(
+        d, budget=512, shard_col="shard",
+        count_expr=X.bpe_token_count_merged(F.col("text")),
+    )
+
+
 @query(
     "text_repetition_ratio",
     """
@@ -3534,7 +3578,7 @@ def pipeline_curation_e2e(spark, sf_dir):
     )
 
 
-from .operators.text import bpe_oracle_sql_expr as _bpe_sql  # noqa: E402
+# (bpe_oracle_sql_expr is imported above pack_training_sequences_bpe)
 
 
 @query(
