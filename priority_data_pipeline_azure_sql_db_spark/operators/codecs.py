@@ -126,6 +126,8 @@ def decode_wav(content: bytes) -> tuple[int, np.ndarray]:
         cid, size = struct.unpack_from("<4sI", content, pos)
         body = content[pos + 8: pos + 8 + size]
         if cid == b"fmt ":
+            if len(body) < 16:
+                raise ValueError(f"malformed fmt chunk ({len(body)} bytes)")
             fmt = struct.unpack_from("<HHIIHH", body, 0)
         elif cid == b"data":
             data = body

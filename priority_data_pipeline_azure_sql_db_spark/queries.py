@@ -2279,8 +2279,8 @@ def multimodal_real_codec(spark, sf_dir):
         for pdf in batches:
             ids, types, blobs = [], [], []
             for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
-                raw = (text or "").encode("utf-8")
-                pad = (raw * (192 // max(len(raw), 1) + 1))[:192]
+                raw = (text or "").encode("utf-8") or b"\x00"  # empty doc safe
+                pad = (raw * (192 // len(raw) + 1))[:192]
                 px = np.frombuffer(pad, dtype=np.uint8).reshape(8, 8, 3)
                 ids.append(doc_id)
                 types.append("image")
