@@ -53,6 +53,7 @@ CHECK_ORDER = [
     "text_bpe_tokens_large",
     "multimodal_real_codec",
     "pack_training_sequences_bpe",
+    "embedding_near_dup_indexed",
     # (2) round-7-touched code paths
     "text_bpe_tokens",
     "text_bpe_train",
@@ -99,7 +100,6 @@ CHECK_ORDER = [
     "dedup_exact_docs",
     "dedup_fingerprint_docs",
     "text_token_stats",
-    "pipeline_merge_upsert",
     # multimodal_binary_meta moved to tier (2); next round's head:
     # the remaining r5 bucket (streaming family first)
 ]

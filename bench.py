@@ -51,6 +51,7 @@ HEADLINE = [
     # above keep reporting the cold build+join cost
     "dedup_jaccard_pairs_indexed",
     "dedup_winnow_pairs_indexed",
+    "embedding_near_dup_indexed",
     # round-5: correlated-subquery family representatives
     "q2_min_cost_supplier",
     "q21_last_shipper",

@@ -27,6 +27,8 @@ from pyspark.sql import functions as F
 from .similarity import (
     _as_double,
     _assign_cells,
+    _d2,
+    _near_dup_score_assignment,
     _train_centroids,
     dot,
     infer_dim,
@@ -35,6 +37,7 @@ from .similarity import (
 
 CENTROIDS_DIR = "centroids"
 CELLS_DIR = "cells"
+ASSIGN_DIR = "assigned"
 
 
 def build_ivf_index(
@@ -106,6 +109,75 @@ def append_to_ivf_index(
     assigned.write.mode("append").partitionBy("cell").parquet(
         os.path.join(path, CELLS_DIR)
     )
+
+
+def build_near_dup_index(
+    corpus: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_cells: int = 16,
+    train_iters: int = 1,
+) -> None:
+    """Persist the BUILD half of :func:`~.similarity.embedding_near_dup`
+    (round 7 — the same residency split as the dedup fingerprint store):
+    unit-normalize, train unit-sphere centroids, assign every vector to
+    its nearest cell, and write ``<path>/centroids`` plus
+    ``<path>/assigned`` (_id, v, n, cell, d). The assignment is
+    threshold-INDEPENDENT, so one build serves near-dup queries at any
+    threshold — the triangle-bound prune and the blocked-matmul scoring
+    happen at serve time (:func:`near_dup_pairs_from_index`) against
+    radii recomputed from the stored centroid distances (one
+    metadata-sized aggregate)."""
+    import os
+
+    from pyspark.sql import Window
+
+    dim = infer_dim(corpus, vec_col)
+    base = corpus.select(
+        F.col(id_col).alias("_id"), _as_double(F.col(vec_col)).alias("v")
+    ).select("_id", "v", l2_norm(F.col("v"), dim).alias("n"))
+    unit = base.select(
+        "_id", "v", "n",
+        F.when(F.col("n") > 0, F.transform("v", lambda x: x / F.col("n")))
+        .otherwise(F.col("v")).alias("u"),
+    )
+    cents = _train_centroids(
+        unit.select("_id", F.col("u").alias("v")), n_cells, dim, iters=train_iters
+    ).coalesce(1).cache()
+    cents.write.mode("overwrite").parquet(os.path.join(path, CENTROIDS_DIR))
+    assigned = (
+        unit.crossJoin(F.broadcast(cents))
+        .withColumn("d", F.sqrt(_d2(F.col("u"), F.col("centroid"), dim)))
+        .withColumn(
+            "rk", F.row_number().over(Window.partitionBy("_id").orderBy("d", "cell"))
+        )
+        .filter(F.col("rk") == 1)
+        .select("_id", "v", "n", "cell", "d")
+    )
+    assigned.write.mode("overwrite").partitionBy("cell").parquet(
+        os.path.join(path, ASSIGN_DIR)
+    )
+    cents.unpersist()
+
+
+def near_dup_pairs_from_index(
+    spark: SparkSession,
+    path: str,
+    threshold: float = 0.95,
+) -> DataFrame:
+    """Serve near-duplicate pairs from a persisted near-dup index —
+    bit-identical to running :func:`~.similarity.embedding_near_dup` on
+    the corpus the index was built from (same centroids, same
+    assignment, same kernel), minus the per-run corpus scans for
+    normalization, training, and assignment."""
+    import os
+
+    cents = spark.read.parquet(os.path.join(path, CENTROIDS_DIR)).coalesce(1).cache()
+    assigned = spark.read.parquet(os.path.join(path, ASSIGN_DIR))
+    dim = infer_dim(cents, "centroid")
+    id_type = assigned.schema["_id"].dataType.simpleString()
+    return _near_dup_score_assignment(assigned, cents, dim, threshold, id_type)
 
 
 def query_ivf_index(

@@ -402,10 +402,6 @@ def embedding_near_dup(
     thresholds (r → 2) nothing can be pruned by ANY exact method and the
     work degrades to blocked all-pairs — still distributed, never a
     single cartesian."""
-    import pandas as pd
-
-    r = float(max(2.0 - 2.0 * threshold, 0.0)) ** 0.5
-    block_rows = 4096
     dim = infer_dim(df, vec_col)
     # ids pass through the numpy kernel untyped: the output schema follows
     # the INPUT id type (string doc ids work — numpy compares str arrays
@@ -444,6 +440,30 @@ def embedding_near_dup(
         .select("_id", "v", "n", "cell", "d")
         .cache()
     )
+
+    return _near_dup_score_assignment(assigned, cents, dim, threshold, id_type)
+
+
+def _near_dup_score_assignment(
+    assigned: DataFrame,
+    cents: DataFrame,
+    dim: int,
+    threshold: float,
+    id_type: str,
+) -> DataFrame:
+    """The SCORING half of :func:`embedding_near_dup`, shared with the
+    persisted near-dup index (operators/ann_index.py): given a cell
+    assignment (_id, v, n, cell, d) and its centroids, prune cell pairs
+    with the triangle bound at ``threshold`` and score survivors with
+    the blocked-matmul kernel. Cells and assignment are
+    THRESHOLD-INDEPENDENT (nearest-centroid only), which is what makes
+    the build-once/serve-many split sound: one persisted assignment
+    serves any threshold, with radii recomputed from the stored
+    distances (one metadata-sized aggregate)."""
+    import pandas as pd
+
+    r = float(max(2.0 - 2.0 * threshold, 0.0)) ** 0.5
+    block_rows = 4096
 
     # surviving cell pairs under the triangle bound. Both sides are
     # n_cells rows; coalesce(1) so the tiny crossJoin doesn't inherit the

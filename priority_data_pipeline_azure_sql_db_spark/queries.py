@@ -1256,9 +1256,9 @@ def type_mapping_enrichment(spark, sf_dir):
     )
 
 
-@query(
-    "embedding_near_dup_pairs",
-    """
+# shared by the one-shot near-dup query and the persisted-index serve
+# twin — one build must serve any threshold with the identical answer
+_NEAR_DUP_SQL = """
     WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
     SELECT a.vec_id AS id_a, b.vec_id AS id_b,
            ROUND(list_dot_product(a.v, b.v)
@@ -1267,8 +1267,10 @@ def type_mapping_enrichment(spark, sf_dir):
     FROM e a JOIN e b ON a.vec_id < b.vec_id
     WHERE ROUND(list_dot_product(a.v, b.v)
           / (SQRT(list_dot_product(a.v, a.v)) * SQRT(list_dot_product(b.v, b.v))), 6) >= 0.4
-    """,
-)
+    """
+
+
+@query("embedding_near_dup_pairs", _NEAR_DUP_SQL)
 def embedding_near_dup_pairs(spark, sf_dir):
     """Embedding-cosine near-duplicate pairs above a threshold.
 
@@ -1283,6 +1285,33 @@ def embedding_near_dup_pairs(spark, sf_dir):
     return S.embedding_near_dup(
         load_table(spark, sf_dir, "embeddings"), threshold=0.4, train_iters=0
     )
+
+
+@query("embedding_near_dup_indexed", _NEAR_DUP_SQL)
+def embedding_near_dup_indexed(spark, sf_dir):
+    """The RESIDENT twin of embedding_near_dup_pairs (round 7 — the
+    same build-once/serve-many split as the dedup fingerprint store):
+    the unit-sphere cell assignment is trained and persisted per
+    (process, sf_dir) on first use (operators/ann_index.py
+    build_near_dup_index); each run pays only the triangle-bound cell
+    prune + blocked-matmul scoring, skipping the normalization /
+    training / assignment corpus scans. The assignment is
+    threshold-independent, so ONE build serves any threshold. Same
+    brute-force oracle as the one-shot twin — bit-identical recall is
+    hash-checked through the persist→read round-trip."""
+    import os
+    import tempfile
+
+    from .operators.ann_index import build_near_dup_index, near_dup_pairs_from_index
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    path = os.path.join(
+        tempfile.gettempdir(),
+        f"neardup_idx_{os.getpid()}_{os.path.basename(os.path.normpath(sf_dir))}",
+    )
+    if not os.path.exists(os.path.join(path, "assigned", "_SUCCESS")):
+        build_near_dup_index(emb, path, n_cells=16, train_iters=1)
+    return near_dup_pairs_from_index(spark, path, threshold=0.4)
 
 
 @query(

@@ -395,3 +395,38 @@ def test_ivf_index_append_recall_drift(spark, sf_dir, tmp_path):
     recall_reb = len(exact & reb) / len(exact)
     assert recall_app >= recall_reb - 0.2, (recall_app, recall_reb)
     assert recall_app >= 0.4, recall_app
+
+
+def test_near_dup_index_serves_any_threshold(spark, sf_dir, tmp_path):
+    """One persisted near-dup build must serve EVERY threshold with the
+    exact same pairs as the one-shot operator (the assignment is
+    nearest-centroid only — threshold enters at serve time via the
+    triangle bound and the kernel filter)."""
+    from priority_data_pipeline_azure_sql_db_spark.operators.ann_index import (
+        build_near_dup_index,
+        near_dup_pairs_from_index,
+    )
+    from priority_data_pipeline_azure_sql_db_spark.operators.similarity import (
+        embedding_near_dup,
+    )
+    from priority_data_pipeline_azure_sql_db_spark.sources.parquet import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    path = str(tmp_path / "nd_idx")
+    build_near_dup_index(emb, path, n_cells=8, train_iters=1)
+    by_threshold = {}
+    for threshold in (0.4, 0.7):
+        served = {
+            (r.id_a, r.id_b, r.sim)
+            for r in near_dup_pairs_from_index(spark, path, threshold).collect()
+        }
+        oneshot = {
+            (r.id_a, r.id_b, r.sim)
+            for r in embedding_near_dup(
+                emb, threshold=threshold, n_cells=8, train_iters=1
+            ).collect()
+        }
+        assert served == oneshot, threshold
+        by_threshold[threshold] = served
+    assert by_threshold[0.4], "corpus must yield pairs at the loose threshold"
+    assert by_threshold[0.7] <= by_threshold[0.4]  # tighter ⊆ looser
