@@ -2679,6 +2679,71 @@ def profile_documents_stats(spark, sf_dir):
 
 
 @query(
+    "profile_data_card",
+    """
+    WITH scored AS (
+        SELECT source, lang,
+               CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT)
+                   AS n_tokens,
+               FLOOR(len(regexp_extract_all(text, '[A-Za-z]'))
+                     / GREATEST(LENGTH(text), 1) * 1000000 + 0.5) / 1000000
+                   AS alpha_ratio,
+               md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp
+        FROM documents
+    )
+    SELECT source, lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+           CAST(COUNT(DISTINCT fp) AS BIGINT) AS n_unique,
+           FLOOR((1.0 - CAST(COUNT(DISTINCT fp) AS DOUBLE) / COUNT(*))
+                 * 1000000 + 0.5) / 1000000 AS dup_ratio,
+           FLOOR(CAST(SUM(CAST(alpha_ratio AS DECIMAL(18,6))) AS DOUBLE)
+                 / COUNT(*) * 1000000 + 0.5) / 1000000 AS mean_alpha,
+           CAST(SUM(CASE WHEN n_tokens < 10 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_short
+    FROM scored GROUP BY source, lang
+    """,
+)
+def profile_data_card(spark, sf_dir):
+    """The DATA CARD rollup a training corpus ships with (round 7):
+    per (source, declared-lang) stratum — doc and token counts,
+    exact-dup ratio (distinct normalized fingerprints over docs),
+    mean alpha-ratio quality (per-doc fix6 → decimal-bridge mean →
+    fix6, order-independent in both engines), and the short-doc count
+    the quality gate would drop. One hash-agg pass over the corpus
+    (COUNT DISTINCT expands to a second keyed shuffle under Catalyst's
+    expand rewrite — still no driver-side state), grouped on the
+    natural stratum keys, so the same plan rolls up 100 TB by source.
+    Every number is hash-checked against the oracle."""
+    d = load_table(spark, sf_dir, "documents")
+    fix6 = lambda c: F.floor(c * F.lit(1000000.0) + F.lit(0.5)) / F.lit(1000000.0)  # noqa: E731
+    alpha = fix6(
+        F.size(F.regexp_extract_all(F.col("text"), F.lit("[A-Za-z]"), 0))
+        / F.greatest(F.length("text"), F.lit(1))
+    )
+    scored = d.select(
+        "source", "lang",
+        X.token_count(F.col("text")).cast("bigint").alias("n_tokens"),
+        alpha.alias("alpha_ratio"),
+        X.fingerprint(F.col("text")).alias("fp"),
+    )
+    return scored.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+        F.countDistinct("fp").cast("bigint").alias("n_unique"),
+        fix6(
+            F.lit(1.0) - F.countDistinct("fp").cast("double") / F.count(F.lit(1))
+        ).alias("dup_ratio"),
+        fix6(
+            F.sum(F.col("alpha_ratio").cast("decimal(18,6)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("mean_alpha"),
+        F.sum(F.when(F.col("n_tokens") < 10, 1).otherwise(0))
+        .cast("bigint").alias("n_short"),
+    )
+
+
+@query(
     "embedding_quantize_int8",
     """
     WITH e AS (
