@@ -430,3 +430,39 @@ def test_near_dup_index_serves_any_threshold(spark, sf_dir, tmp_path):
         by_threshold[threshold] = served
     assert by_threshold[0.4], "corpus must yield pairs at the loose threshold"
     assert by_threshold[0.7] <= by_threshold[0.4]  # tighter ⊆ looser
+
+
+def test_stream_merge_into_staging(spark, sf_dir, tmp_path):
+    """Streaming ingest lands in the SAME MERGE staging layer the batch
+    pipeline uses: an available-now drain of the events stream upserts
+    every event exactly once (count + distinct-PK equal to the batch
+    table), and re-running against the same checkpoint is a no-op (the
+    effectively-once contract: checkpointed delivery x idempotent
+    MERGE)."""
+    from priority_data_pipeline_azure_sql_db_spark.pipeline import StagingStore
+    from priority_data_pipeline_azure_sql_db_spark.sources.parquet import load_table
+    from priority_data_pipeline_azure_sql_db_spark.streaming.events import (
+        read_events_stream,
+    )
+    from priority_data_pipeline_azure_sql_db_spark.streaming.sink import (
+        stream_merge_into_staging,
+    )
+
+    store = StagingStore(root=str(tmp_path / "stg"))
+    ckpt = str(tmp_path / "ckpt")
+    q = stream_merge_into_staging(
+        read_events_stream(spark, sf_dir), store, "events", ["event_id"], ckpt
+    )
+    q.awaitTermination(180)
+    batch = load_table(spark, sf_dir, "events")
+    want = batch.count()
+    got = store.read(spark, "events")
+    assert got.count() == want
+    assert got.select("event_id").distinct().count() == want
+
+    # same checkpoint → the source has nothing new → table unchanged
+    q2 = stream_merge_into_staging(
+        read_events_stream(spark, sf_dir), store, "events", ["event_id"], ckpt
+    )
+    q2.awaitTermination(180)
+    assert store.read(spark, "events").count() == want
