@@ -55,6 +55,7 @@ CHECK_ORDER = [
     "pack_training_sequences_bpe",
     "embedding_near_dup_indexed",
     "profile_data_card",
+    "streaming_merge_staging",
     # (2) round-7-touched code paths
     "text_bpe_tokens",
     "text_bpe_train",
@@ -99,7 +100,6 @@ CHECK_ORDER = [
     "text_winnow_fingerprints",
     "dedup_ngram_jaccard",
     "dedup_exact_docs",
-    "text_token_stats",
     # multimodal_binary_meta moved to tier (2); next round's head:
     # the remaining r5 bucket (streaming family first)
 ]

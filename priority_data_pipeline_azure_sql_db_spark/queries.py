@@ -2340,6 +2340,52 @@ def multimodal_real_codec(spark, sf_dir):
     )
 
 
+@query(
+    "streaming_merge_staging",
+    """
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(COUNT(DISTINCT event_id) AS BIGINT) AS n_ids,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+    FROM events GROUP BY event_type
+    """,
+)
+def streaming_merge_staging(spark, sf_dir):
+    """Streaming INGEST integrity, value-checked end to end (round 7):
+    the events stream drains through the foreachBatch MERGE sink
+    (streaming/sink.py) into the batch pipeline's staging store, the
+    staging table is read BACK, and the read-back aggregates per event
+    type. The oracle computes the same rollup straight from the source
+    table — any event lost, duplicated, or mangled through
+    checkpoint/micro-batch/MERGE/swap flips the hash (the streaming
+    twin of export_training_shards' sink check). Deterministic
+    per-(process, sf_dir) store + checkpoint: a re-drain against the
+    same checkpoint is a no-op, so repeated driver/bench executions
+    stay idempotent."""
+    import os
+    import tempfile
+
+    from .pipeline import StagingStore
+    from .streaming.events import read_events_stream
+    from .streaming.sink import stream_merge_into_staging
+
+    base = os.path.join(
+        tempfile.gettempdir(),
+        f"stream_stg_{os.getpid()}_{os.path.basename(os.path.normpath(sf_dir))}",
+    )
+    store = StagingStore(root=os.path.join(base, "stg"))
+    q = stream_merge_into_staging(
+        read_events_stream(spark, sf_dir), store, "events", ["event_id"],
+        os.path.join(base, "ckpt"),
+    )
+    q.awaitTermination(300)
+    return store.read(spark, "events").groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.countDistinct("event_id").cast("bigint").alias("n_ids"),
+        F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("sum_value"),
+    )
+
+
 @query("streaming_stateful_user_totals")  # custom stateful op → rows-only check
 def streaming_stateful_user_totals(spark, sf_dir):
     """applyInPandasWithState running per-user totals + alert flag — the
