@@ -25,9 +25,10 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The correctness driver evaluates the first 50 registry entries in order.
-# Round-7 rotation. Priority: (1) the 6 never-driver-checked round-7
-# registrations (resident dedup twins, wide epoch shuffle, Arrow BPE
-# kernel + large-vocab train/tokenize, real-codec multimodal);
+# Round-7 rotation. Priority: (1) the 10 never-driver-checked round-7
+# registrations (resident dedup + near-dup twins, wide epoch shuffle,
+# Arrow BPE kernel + large-vocab train/tokenize, BPE-budget packing,
+# real-codec multimodal, data card, streaming-merge sink check);
 # (2) queries over round-7-touched code: the BPE family (self-delimited
 # symbol spelling + batched trainer), the shuffle/curation family
 # (shard_width parameter, position-keyed order tag, deterministic export

@@ -173,7 +173,9 @@ def near_dup_pairs_from_index(
     normalization, training, and assignment."""
     import os
 
-    cents = spark.read.parquet(os.path.join(path, CENTROIDS_DIR)).coalesce(1).cache()
+    # metadata-sized (n_cells rows) — no cache: one cached relation per
+    # serve call would leak for the session in a serve-many loop
+    cents = spark.read.parquet(os.path.join(path, CENTROIDS_DIR)).coalesce(1)
     assigned = spark.read.parquet(os.path.join(path, ASSIGN_DIR))
     dim = infer_dim(cents, "centroid")
     id_type = assigned.schema["_id"].dataType.simpleString()

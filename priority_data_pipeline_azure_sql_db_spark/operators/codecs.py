@@ -137,6 +137,8 @@ def decode_wav(content: bytes) -> tuple[int, np.ndarray]:
     audio_format, n_channels, sample_rate, _, _, bits = fmt
     if audio_format != 1:
         raise NotImplementedError(f"only PCM WAV supported (format {audio_format})")
+    if n_channels == 0:
+        raise ValueError("malformed WAV: fmt chunk declares 0 channels")
     if bits == 16:
         samples = np.frombuffer(data, dtype="<i2").astype(np.float64) / 32768.0
     elif bits == 8:

@@ -85,9 +85,14 @@ def build_dedup_index(
 
 
 def ensure_dedup_index(df: DataFrame, path: str, **kwargs) -> str:
-    """Build the index only if ``path`` lacks a completed build (parquet
-    ``_SUCCESS`` marker) — the serve-many entry point."""
-    marker = os.path.join(path, FPS_DIR, "_SUCCESS")
+    """Build the index only if ``path`` lacks a completed build —
+    the serve-many entry point. The gate is the ``_SUCCESS`` marker of
+    the LAST artifact the build writes (``sizes`` for shingle, ``fps``
+    for winnow): gating on the first artifact would let a crash between
+    the two writes leave a permanently torn shingle index that never
+    rebuilds."""
+    last_dir = SIZES_DIR if kwargs.get("kind") == "shingle" else FPS_DIR
+    marker = os.path.join(path, last_dir, "_SUCCESS")
     if not os.path.exists(marker):
         build_dedup_index(df, path, **kwargs)
     return path

@@ -93,10 +93,13 @@ def decode_media(media_type: str, content: bytes):
         return "bmp", codecs.decode_bmp(content)
     if kind == "wav":
         return "wav", codecs.decode_wav(content)
-    if _PIL_Image is not None and media_type == "image":
+    if _PIL_Image is not None and media_type == "image" and content:
         import io
 
-        return "pil", _PIL_Image.open(io.BytesIO(content))
+        try:
+            return "pil", _PIL_Image.open(io.BytesIO(content))
+        except Exception as exc:  # PIL's open raises format-specific types
+            raise ValueError(f"PIL could not decode blob: {exc}") from exc
     raise NotImplementedError(
         f"no available codec for this blob (media_type={media_type!r}; "
         "in-sandbox codecs: uncompressed 24-bit BMP, PCM WAV; install "
@@ -119,20 +122,26 @@ def extract_features(df: DataFrame) -> DataFrame:
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import hashlib
 
+        import numpy as np
+
         from . import codecs
 
         def featurize(media_type, blob):
-            kind = codecs.sniff(blob)
+            # ONE dispatch: decode_media owns the magic-byte routing; this
+            # only maps each decode kind to its feature function, falling
+            # back to the tagged stub for anything no codec can decode
+            try:
+                kind, decoded = decode_media(media_type, blob)
+            except (ValueError, NotImplementedError):
+                return "stub-md5", _decode_stub(media_type, blob)
             if kind == "bmp":
-                try:
-                    return "bmp", codecs.image_features(codecs.decode_bmp(blob))
-                except (ValueError, NotImplementedError):
-                    pass  # BMP magic but undecodable variant → stub
-            elif kind == "wav":
-                try:
-                    return "wav", codecs.audio_features(*codecs.decode_wav(blob))
-                except (ValueError, NotImplementedError):
-                    pass
+                return kind, codecs.image_features(decoded)
+            if kind == "wav":
+                return kind, codecs.audio_features(*decoded)
+            if kind == "pil":  # gated path — PIL absent in this sandbox
+                return kind, codecs.image_features(
+                    np.asarray(decoded.convert("RGB"), dtype=np.uint8)
+                )
             return "stub-md5", _decode_stub(media_type, blob)
 
         for pdf in batches:

@@ -409,8 +409,11 @@ def bpe_token_counts_arrow(
     merges = list(merges)
     ranks = {(a, b): i for i, (a, b) in enumerate(merges)}
     # BPE_TOKEN_RE is RE2-safe and reads identically in java.util.regex
-    # and Python re ("\\s" in source is the two-char sequence \s)
-    pat = _re.compile(BPE_TOKEN_RE)
+    # and Python re ("\\s" in source is the two-char sequence \s) —
+    # EXCEPT that Python's \s matches Unicode whitespace by default
+    # while Java/RE2 treat it as ASCII-only; re.ASCII pins the Python
+    # kernel to the same class (an NBSP document diverged without it)
+    pat = _re.compile(BPE_TOKEN_RE, _re.ASCII)
     id_type = df.schema[id_col].dataType.simpleString()
 
     def kernel(batches):

@@ -1256,6 +1256,23 @@ def type_mapping_enrichment(spark, sf_dir):
     )
 
 
+def _resident_path(prefix, sf_dir):
+    """Deterministic per-(process, sf_dir) scratch path for resident
+    artifacts (persisted indexes, staging stores, shard exports):
+    build-once/serve-many within a process, never stale across
+    processes (pid in the name), never cross-contaminated across scale
+    factors, and overwritten in place instead of leaking a fresh
+    mkdtemp per call (ADVICE r6). ONE implementation — five inline
+    copies of this f-string drifted apart once already."""
+    import os
+    import tempfile
+
+    return os.path.join(
+        tempfile.gettempdir(),
+        f"{prefix}_{os.getpid()}_{os.path.basename(os.path.normpath(sf_dir))}",
+    )
+
+
 # shared by the one-shot near-dup query and the persisted-index serve
 # twin — one build must serve any threshold with the identical answer
 _NEAR_DUP_SQL = """
@@ -1300,15 +1317,11 @@ def embedding_near_dup_indexed(spark, sf_dir):
     brute-force oracle as the one-shot twin — bit-identical recall is
     hash-checked through the persist→read round-trip."""
     import os
-    import tempfile
 
     from .operators.ann_index import build_near_dup_index, near_dup_pairs_from_index
 
     emb = load_table(spark, sf_dir, "embeddings")
-    path = os.path.join(
-        tempfile.gettempdir(),
-        f"neardup_idx_{os.getpid()}_{os.path.basename(os.path.normpath(sf_dir))}",
-    )
+    path = _resident_path("neardup_idx", sf_dir)
     if not os.path.exists(os.path.join(path, "assigned", "_SUCCESS")):
         build_near_dup_index(emb, path, n_cells=16, train_iters=1)
     return near_dup_pairs_from_index(spark, path, threshold=0.4)
@@ -1663,14 +1676,7 @@ def dedup_winnow_pairs_capped(spark, sf_dir):
 
 
 def _dedup_index_path(sf_dir, kind):
-    import os
-    import tempfile
-
-    return os.path.join(
-        tempfile.gettempdir(),
-        f"dedup_idx_{kind}_{os.getpid()}_"
-        f"{os.path.basename(os.path.normpath(sf_dir))}",
-    )
+    return _resident_path(f"dedup_idx_{kind}", sf_dir)
 
 
 @query("dedup_winnow_pairs_indexed", _WINNOW_CAPPED_SQL)
@@ -2363,22 +2369,21 @@ def streaming_merge_staging(spark, sf_dir):
     same checkpoint is a no-op, so repeated driver/bench executions
     stay idempotent."""
     import os
-    import tempfile
 
     from .pipeline import StagingStore
     from .streaming.events import read_events_stream
     from .streaming.sink import stream_merge_into_staging
 
-    base = os.path.join(
-        tempfile.gettempdir(),
-        f"stream_stg_{os.getpid()}_{os.path.basename(os.path.normpath(sf_dir))}",
-    )
+    base = _resident_path("stream_stg", sf_dir)
     store = StagingStore(root=os.path.join(base, "stg"))
     q = stream_merge_into_staging(
         read_events_stream(spark, sf_dir), store, "events", ["event_id"],
         os.path.join(base, "ckpt"),
     )
-    q.awaitTermination(300)
+    if not q.awaitTermination(300):
+        # never aggregate a half-drained store with the writer still live
+        q.stop()
+        raise RuntimeError("streaming drain did not finish within 300s")
     return store.read(spark, "events").groupBy("event_type").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_events"),
         F.countDistinct("event_id").cast("bigint").alias("n_ids"),
@@ -3952,19 +3957,13 @@ def export_training_shards(spark, sf_dir):
     deterministic per (process, sf_dir) and overwritten in place —
     a fresh mkdtemp per call leaked one corpus copy per bench attempt
     (ADVICE r6)."""
-    import os
-    import tempfile
-
     from .sinks.shards import write_manifest
 
     d = load_table(spark, sf_dir, "documents")
     shard = F.substring(
         F.md5(F.concat(F.lit("shard-0:"), F.col("doc_id").cast("string"))), 1, 1
     )
-    out = os.path.join(
-        tempfile.gettempdir(),
-        f"train_shards_{os.getpid()}_{os.path.basename(os.path.normpath(sf_dir))}",
-    )
+    out = _resident_path("train_shards", sf_dir)
     (
         d.withColumn("shard", shard)
         .repartition("shard")
@@ -4105,16 +4104,10 @@ def ann_ivf_index_persisted(spark, sf_dir):
     IVF also pytest-checked). Deterministic per-(process, sf_dir) index
     path, overwritten in place — mkdtemp per call leaked an index copy
     per bench attempt (ADVICE r6)."""
-    import os
-    import tempfile
-
     from .operators.ann_index import build_ivf_index, query_ivf_index
 
     emb = load_table(spark, sf_dir, "embeddings")
-    idx = os.path.join(
-        tempfile.gettempdir(),
-        f"ivf_idx_{os.getpid()}_{os.path.basename(os.path.normpath(sf_dir))}",
-    )
+    idx = _resident_path("ivf_idx", sf_dir)
     build_ivf_index(emb, idx, n_cells=8)
     return query_ivf_index(
         spark, idx, emb.filter(F.col("vec_id") < 5), k=5, n_probe=3

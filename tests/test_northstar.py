@@ -572,3 +572,42 @@ def test_dedup_index_build_serve_matches_oneshot(spark, sf_dir, tmp_path):
     import pytest as _pytest
     with _pytest.raises(ValueError, match="kind"):
         ensure_dedup_index(canon, str(tmp_path / "bad"), kind="nope")
+
+
+def test_codec_malformed_blobs_fall_back_to_stub(spark):
+    """Hostile/malformed blobs (0-channel WAV, truncated BMP body, short
+    fmt chunk) must fall back to the tagged stub row, never crash the
+    mapInPandas task (review findings, round 7)."""
+    import struct
+
+    from priority_data_pipeline_azure_sql_db_spark.operators import codecs
+    from priority_data_pipeline_azure_sql_db_spark.operators.multimodal import (
+        extract_features,
+    )
+
+    zero_ch_fmt = struct.pack("<HHIIHH", 1, 0, 8000, 0, 0, 16)
+    zero_ch = (b"RIFF" + struct.pack("<I", 4 + 8 + len(zero_ch_fmt) + 8)
+               + b"WAVE" + b"fmt " + struct.pack("<I", len(zero_ch_fmt))
+               + zero_ch_fmt + b"data" + struct.pack("<I", 0))
+    short_fmt = (b"RIFF" + struct.pack("<I", 20) + b"WAVE"
+                 + b"fmt " + struct.pack("<I", 4) + b"\x01\x00\x01\x00")
+    trunc_bmp = (struct.pack("<2sIHHI", b"BM", 200, 0, 0, 54)
+                 + struct.pack("<IiiHHIIiiII", 40, 64, 64, 1, 24, 0, 0,
+                               0, 0, 0, 0))  # claims 64x64, has no body
+    import pytest as _pytest
+    for bad in (zero_ch, short_fmt):
+        with _pytest.raises(ValueError):
+            codecs.decode_wav(bad)
+    with _pytest.raises(ValueError):
+        codecs.decode_bmp(trunc_bmp)
+
+    media = spark.createDataFrame(
+        [(1, "audio", bytearray(zero_ch), None, None, None),
+         (2, "audio", bytearray(short_fmt), None, None, None),
+         (3, "image", bytearray(trunc_bmp), None, None, None)],
+        "media_id long, media_type string, content binary, "
+        "meta_width int, meta_height int, meta_sample_rate int",
+    )
+    rows = extract_features(media).collect()
+    assert len(rows) == 3
+    assert all(r.codec == "stub-md5" and len(r.feature) == 8 for r in rows)

@@ -745,3 +745,22 @@ def test_bpe_train_batched(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError, match="batch_merges"):
         X.bpe_train_merges(df, batch_merges=0)
+
+
+def test_bpe_arrow_kernel_ascii_whitespace_parity(spark):
+    """Python \\s matches Unicode whitespace unless re.ASCII is set;
+    Java regex and RE2 are ASCII-only — an NBSP document must tokenize
+    identically on the Arrow kernel and the expression path (review
+    finding, round 7)."""
+    from priority_data_pipeline_azure_sql_db_spark.operators import text as X
+
+    df = spark.createDataFrame(
+        [(1, "a b"), (2, "x y z")], "doc_id bigint, text string"
+    )
+    expr = {r.doc_id: r.n for r in df.select(
+        "doc_id", X.bpe_token_count_merged(F.col("text")).alias("n")
+    ).collect()}
+    arrow = {r.doc_id: r.n_tokens
+             for r in X.bpe_token_counts_arrow(df).collect()}
+    assert expr == arrow
+    assert expr[1] == 3  # a, NBSP, b — NBSP is a symbol, not whitespace
