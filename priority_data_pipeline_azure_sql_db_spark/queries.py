@@ -3981,6 +3981,48 @@ def export_training_shards(spark, sf_dir):
 
 
 @query(
+    "export_jsonl_corpus",
+    """
+    SELECT substr(md5('jshard:' || CAST(doc_id AS VARCHAR)), 1, 1) AS shard,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(len(string_split_regex(trim(text), '\\s+'))) AS BIGINT)
+               AS total_tokens,
+           CAST(SUM(doc_id) AS BIGINT) AS id_sum
+    FROM documents GROUP BY 1
+    """,
+)
+def export_jsonl_corpus(spark, sf_dir):
+    """JSONL corpus export round-trip, value-checked end to end (the
+    JSONL twin of export_training_shards): documents are written as
+    gzip JSON-Lines shards (sinks/jsonl.py — deterministic md5 shard
+    key, maxRecordsPerFile bound, file manifest), read BACK with an
+    explicit schema, and the read-back rolls up per shard. The oracle
+    computes the same rollup straight from the source table, so any
+    row lost, any JSON-escaping corruption of text (token counts run
+    over the round-tripped text), or any id mangled through the
+    writer/gzip/reader flips the hash."""
+    from .sinks.jsonl import read_jsonl_shards, write_jsonl_shards
+
+    d = load_table(spark, sf_dir, "documents")
+    out = _resident_path("jsonl_corpus", sf_dir)
+    staged = d.select(
+        "doc_id", "text",
+        F.substring(
+            F.md5(F.concat(F.lit("jshard:"), F.col("doc_id").cast("string"))), 1, 1
+        ).alias("shard"),
+    )
+    write_jsonl_shards(staged, out, shard_by="shard", num_shards=16)
+    back = read_jsonl_shards(
+        spark, out, "doc_id bigint, text string, shard string"
+    )
+    return back.groupBy("shard").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum(X.token_count(F.col("text"))).cast("bigint").alias("total_tokens"),
+        F.sum("doc_id").cast("bigint").alias("id_sum"),
+    )
+
+
+@query(
     "pipeline_curation_v2",
     """
     WITH scored AS (

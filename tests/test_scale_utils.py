@@ -466,3 +466,42 @@ def test_stream_merge_into_staging(spark, sf_dir, tmp_path):
     )
     q2.awaitTermination(180)
     assert store.read(spark, "events").count() == want
+
+
+def test_jsonl_shards_roundtrip_and_manifest(spark, tmp_path):
+    """JSONL sink: newline/quote/unicode text survives the
+    write→gzip→read round-trip byte-for-byte, same-key rows land in the
+    same shard file, and the manifest enumerates every shard."""
+    from priority_data_pipeline_azure_sql_db_spark.sinks.jsonl import (
+        read_jsonl_shards,
+        write_jsonl_shards,
+    )
+
+    rows = [
+        (1, 'line one\nline two', "a"),
+        (2, 'quote " and backslash \\ and tab\t', "a"),
+        (3, "unicode: café — nbsp end", "b"),
+        (4, "", "b"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string, shard string")
+    out = str(tmp_path / "jsonl")
+    summary = write_jsonl_shards(df, out, shard_by="shard", num_shards=2)
+    assert summary["shards"] >= 1 and summary["bytes"] > 0
+
+    back = read_jsonl_shards(spark, out, "doc_id bigint, text string, shard string")
+    got = {r.doc_id: (r.text, r.shard) for r in back.collect()}
+    assert got == {i: (t, s) for i, t, s in rows}
+
+    # same shard key → same file
+    files = {
+        r.shard: set(r.fs)
+        for r in back.select(
+            "shard", F.input_file_name().alias("f")
+        ).groupBy("shard").agg(F.collect_set("f").alias("fs")).collect()
+    }
+    for s, fs in files.items():
+        assert len(fs) == 1, (s, fs)
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="num_shards"):
+        write_jsonl_shards(df, out, shard_by="shard")
