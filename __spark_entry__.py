@@ -58,6 +58,7 @@ CHECK_ORDER = [
     "profile_data_card",
     "streaming_merge_staging",
     "export_jsonl_corpus",
+    "sample_source_budget",
     # (2) round-7-touched code paths
     "text_bpe_tokens",
     "text_bpe_train",
@@ -100,7 +101,6 @@ CHECK_ORDER = [
     "multimodal_frame_sample",
     # (4) oldest r5 entries adjacent to round-7 changes
     "text_winnow_fingerprints",
-    "dedup_exact_docs",
     # multimodal_binary_meta moved to tier (2); next round's head:
     # the remaining r5 bucket (streaming family first)
 ]

@@ -227,6 +227,60 @@ def epoch_shuffle(
     )
 
 
+def source_token_budget(
+    df: DataFrame,
+    budgets: dict[str, int],
+    default_budget: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    source_col: str = "source",
+    seed: str = "mix-0",
+) -> DataFrame:
+    """Data-MIXTURE enforcement: cap each source's contribution at a
+    token budget, admitting documents in the reproducible epoch order
+    (md5(seed:id) — same scheme as :func:`epoch_shuffle`, so the
+    admitted set is a deterministic function of (corpus, seed,
+    budgets), bit-identical across engines and reruns). A document is
+    admitted iff the source's running token total INCLUDING it stays
+    within budget — the first over-budget doc and everything after it
+    (in epoch order) are cut, so budgets bound the mixture exactly
+    rather than approximately.
+
+    This is the standard pretraining mixing step (fixed token budgets
+    per domain/source à la The Pile / Dolma mixture tables), expressed
+    as one per-source window cumsum — each source's window is
+    independent, so the plan is a keyed shuffle + window, no global
+    sort, no driver state. Returns (id, source, n_tokens, mix_pos,
+    cum_tokens) for admitted documents.
+    """
+    key = F.md5(F.concat(F.lit(seed), F.lit(":"), F.col(id_col).cast("string")))
+    w = (
+        Window.partitionBy(source_col)
+        .orderBy("_mix_key", id_col)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    budget_expr = F.lit(default_budget)
+    for src, b in sorted(budgets.items()):
+        budget_expr = F.when(F.col(source_col) == src, F.lit(b)).otherwise(budget_expr)
+    toks = df.select(
+        F.col(id_col),
+        F.col(source_col),
+        token_count(F.col(text_col)).cast("bigint").alias("n_tokens"),
+        key.alias("_mix_key"),
+    )
+    return (
+        toks.withColumn("cum_tokens", F.sum("n_tokens").over(w))
+        .withColumn(
+            "mix_pos",
+            (F.row_number().over(
+                Window.partitionBy(source_col).orderBy("_mix_key", id_col)
+            ) - 1).cast("bigint"),
+        )
+        .filter(F.col("cum_tokens") <= budget_expr)
+        .select(id_col, source_col, "n_tokens", "mix_pos", "cum_tokens")
+    )
+
+
 def bpe_train_merges(
     df: DataFrame,
     text_col: str = "text",

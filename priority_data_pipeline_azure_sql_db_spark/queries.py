@@ -4023,6 +4023,49 @@ def export_jsonl_corpus(spark, sf_dir):
 
 
 @query(
+    "sample_source_budget",
+    """
+    WITH toks AS (
+        SELECT doc_id, source,
+               CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT)
+                   AS n_tokens,
+               md5('mix-0:' || CAST(doc_id AS VARCHAR)) AS k
+        FROM documents
+    ), cum AS (
+        SELECT doc_id, source, n_tokens,
+               CAST(ROW_NUMBER() OVER (PARTITION BY source ORDER BY k, doc_id)
+                    - 1 AS BIGINT) AS mix_pos,
+               CAST(SUM(n_tokens) OVER (PARTITION BY source ORDER BY k, doc_id
+                                        ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                   AS cum_tokens
+        FROM toks
+    )
+    SELECT doc_id, source, n_tokens, mix_pos, cum_tokens
+    FROM cum
+    WHERE cum_tokens <= CASE source WHEN 'src0' THEN 300
+                                    WHEN 'src1' THEN 1200
+                                    ELSE 800 END
+    """,
+)
+def sample_source_budget(spark, sf_dir):
+    """Data-MIXTURE budget enforcement (round 7): each source
+    contributes documents in the reproducible md5 epoch order until its
+    token budget is exhausted (src0 300 / src1 1,200 / others 800 —
+    tight enough that every source is genuinely CUT at sf0.01, so the
+    check exercises the boundary, not a vacuous pass-through)
+    — the fixed-token-per-domain mixing step of Pile/Dolma-style
+    pretraining recipes, as one per-source window cumsum (independent
+    windows, keyed shuffle, no global sort). The monotone cumsum makes
+    the admitted set an exact epoch-order prefix per source; the
+    oracle replays key, order, cumsum, and budgets verbatim, so the
+    precise admitted mixture is hash-checked."""
+    d = load_table(spark, sf_dir, "documents")
+    return X.source_token_budget(
+        d, budgets={"src0": 300, "src1": 1200}, default_budget=800, seed="mix-0"
+    )
+
+
+@query(
     "pipeline_curation_v2",
     """
     WITH scored AS (

@@ -764,3 +764,36 @@ def test_bpe_arrow_kernel_ascii_whitespace_parity(spark):
              for r in X.bpe_token_counts_arrow(df).collect()}
     assert expr == arrow
     assert expr[1] == 3  # a, NBSP, b — NBSP is a symbol, not whitespace
+
+
+def test_source_token_budget_exact_prefix(spark):
+    """Budget admission is an exact epoch-order prefix per source: the
+    first over-budget doc and everything after it are cut, overrides
+    beat the default, and the same seed is bit-reproducible."""
+    from priority_data_pipeline_azure_sql_db_spark.operators import text as X
+
+    rows = [(i, "w " * 10 + "w", "a" if i % 2 == 0 else "b") for i in range(40)]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string, source string")
+    out = X.source_token_budget(
+        df, budgets={"a": 33}, default_budget=55, seed="s"
+    ).collect()
+    by_src = {}
+    for r in out:
+        by_src.setdefault(r.source, []).append(r)
+    # 11 tokens per doc: budget 33 → exactly 3 docs; 55 → exactly 5
+    assert len(by_src["a"]) == 3 and len(by_src["b"]) == 5
+    for src, rs in by_src.items():
+        rs = sorted(rs, key=lambda r: r.mix_pos)
+        assert [r.mix_pos for r in rs] == list(range(len(rs)))  # prefix
+        assert rs[-1].cum_tokens == 11 * len(rs)
+    again = X.source_token_budget(
+        df, budgets={"a": 33}, default_budget=55, seed="s"
+    ).collect()
+    assert sorted(map(tuple, again)) == sorted(map(tuple, out))
+    # different seed admits a different doc set for the capped source
+    other = X.source_token_budget(
+        df, budgets={"a": 33}, default_budget=55, seed="s2"
+    ).collect()
+    assert {r.doc_id for r in other if r.source == "a"} != {
+        r.doc_id for r in out if r.source == "a"
+    }
