@@ -59,6 +59,7 @@ CHECK_ORDER = [
     "streaming_merge_staging",
     "export_jsonl_corpus",
     "sample_source_budget",
+    "pipeline_curation_incremental",
     # (2) round-7-touched code paths
     "text_bpe_tokens",
     "text_bpe_train",
@@ -99,10 +100,12 @@ CHECK_ORDER = [
     "pipeline_catalog_top1",
     "pipeline_probe_counts",
     "multimodal_frame_sample",
-    # (4) oldest r5 entries adjacent to round-7 changes
-    "text_winnow_fingerprints",
-    # multimodal_binary_meta moved to tier (2); next round's head:
-    # the remaining r5 bucket (streaming family first)
+    # (tier 4 emptied: the 14 round-7 registrations filled the window.
+    # The r5 winnowing/jaccard/exact-dedup logic is still hash-checked
+    # every round through the capped + indexed twins and the curation
+    # capstones, whose oracles replay those pipelines verbatim. Next
+    # round's head: the remaining r5 bucket — streaming family first,
+    # then text quality + ANN.)
 ]
 
 

@@ -4180,6 +4180,116 @@ def pipeline_curation_v2(spark, sf_dir):
     )
 
 
+@query(
+    "pipeline_curation_incremental",
+    """
+    WITH base AS (
+        SELECT * FROM documents WHERE doc_id % 10 < 8
+    ), delta AS (
+        SELECT * FROM documents WHERE doc_id % 10 >= 8
+    ), base_fps AS (
+        SELECT DISTINCT md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp
+        FROM base
+    ), scored AS (
+        SELECT doc_id, text,
+               CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT)
+                   AS n_tokens,
+               len(regexp_extract_all(text, '[A-Za-z]'))
+                   / GREATEST(length(text), 1) AS alpha_ratio,
+               md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp
+        FROM delta WHERE doc_id % 20 <> 0
+    ), kept AS (
+        SELECT * FROM scored WHERE n_tokens >= 10 AND alpha_ratio >= 0.5
+    ), fresh AS (
+        SELECT k.* FROM kept k WHERE k.fp NOT IN (SELECT fp FROM base_fps)
+    ), mins AS (
+        SELECT fp, MIN(doc_id) AS doc_id FROM fresh GROUP BY fp
+    ), dedup AS (
+        SELECT f.* FROM fresh f JOIN mins m USING (fp, doc_id)
+    ), toks AS (
+        SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t
+        FROM documents
+    ), sh5 AS (
+        SELECT DISTINCT doc_id AS doc, array_to_string(t[i:i+4], ' ') AS shingle
+        FROM toks, LATERAL (
+            SELECT UNNEST(range(1, GREATEST(len(t) - 4, 0) + 1)) AS i
+        )
+    ), contam AS (
+        SELECT tr.doc AS doc_id
+        FROM sh5 tr JOIN sh5 ev ON tr.shingle = ev.shingle
+        WHERE ev.doc % 20 = 0 AND tr.doc IN (SELECT doc_id FROM dedup)
+        GROUP BY tr.doc, ev.doc HAVING COUNT(*) >= 3
+    ), clean AS (
+        SELECT * FROM dedup WHERE doc_id NOT IN (SELECT doc_id FROM contam)
+    )
+    SELECT substr(md5('epoch-0:' || CAST(doc_id AS VARCHAR)), 1, 1) AS shard,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+           CAST(SUM(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12)
+               AS BIGINT)) % 2305843009213693951 AS BIGINT) AS member_tag
+    FROM clean GROUP BY 1
+    """,
+)
+def pipeline_curation_incremental(spark, sf_dir):
+    """The INCREMENTAL curation loop (round 7) — what actually runs
+    daily at 100 TB, where re-curating the full corpus per batch is
+    off the table: an 80% base slice is the already-curated corpus
+    whose normalized fingerprints are PERSISTED once per (process,
+    sf_dir) (_resident_path — in production this is the standing
+    artifact the batches maintain), and the 20% delta slice flows
+    through quality gate → exact-dedup against the base fingerprint
+    store (left-anti) → first-wins dedup within the delta →
+    decontamination vs the eval slice → shard assignment. Every
+    per-batch stage is O(delta) except the broadcast-sized fingerprint
+    and eval-shingle lookups, so batch cost tracks arrival rate, not
+    corpus size. Per-shard rollup carries a membership multiset tag
+    (sum of 48-bit md5(id) mod 2^61-1), so the EXACT admitted doc set
+    — not just counts — is hash-checked against the oracle."""
+    import os
+
+    d = load_table(spark, sf_dir, "documents")
+    base = d.filter(F.col("doc_id") % 10 < 8)
+    delta = d.filter(F.col("doc_id") % 10 >= 8)
+
+    fp_path = _resident_path("curation_base_fp", sf_dir)
+    if not os.path.exists(os.path.join(fp_path, "_SUCCESS")):
+        base.select(X.fingerprint(F.col("text")).alias("fp")).distinct() \
+            .write.mode("overwrite").parquet(fp_path)
+    base_fps = spark.read.parquet(fp_path)
+
+    scored = delta.filter(F.col("doc_id") % 20 != 0).select(
+        "doc_id", "text",
+        X.token_count(F.col("text")).cast("bigint").alias("n_tokens"),
+        (F.size(F.regexp_extract_all(F.col("text"), F.lit("[A-Za-z]"), 0))
+         / F.greatest(F.length("text"), F.lit(1))).alias("alpha_ratio"),
+        X.fingerprint(F.col("text")).alias("fp"),
+    )
+    kept = scored.filter((F.col("n_tokens") >= 10) & (F.col("alpha_ratio") >= 0.5))
+    fresh = kept.join(base_fps, "fp", "left_anti")
+    canon = fresh.groupBy("fp").agg(F.min("doc_id").alias("doc_id"))
+    deduped = fresh.join(canon, ["fp", "doc_id"], "left_semi")
+    evalset = d.filter(F.col("doc_id") % 20 == 0)
+    contam = (
+        D.ngram_contamination(deduped, evalset, k=5)
+        .filter(F.col("n_shared") >= 3)
+        .select(F.col("train_id").alias("doc_id"))
+        .distinct()
+    )
+    clean = deduped.join(contam, "doc_id", "left_anti")
+    member_tag = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 12), 16, 10
+    ).cast("decimal(38,0)")
+    shard = F.substring(
+        F.md5(F.concat(F.lit("epoch-0:"), F.col("doc_id").cast("string"))), 1, 1
+    )
+    return clean.groupBy(shard.alias("shard")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+        (F.sum(member_tag) % F.lit(2305843009213693951))
+        .cast("bigint").alias("member_tag"),
+    )
+
+
 @query("ann_ivf_index_persisted")  # approximate + filesystem layout → rows-only
 def ann_ivf_index_persisted(spark, sf_dir):
     """Persisted IVF index round-trip: build (train + assign + write
