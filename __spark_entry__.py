@@ -60,6 +60,7 @@ CHECK_ORDER = [
     "export_jsonl_corpus",
     "sample_source_budget",
     "pipeline_curation_incremental",
+    "pack_length_bucket_batches",
     # (2) round-7-touched code paths
     "text_bpe_tokens",
     "text_bpe_train",
@@ -99,7 +100,10 @@ CHECK_ORDER = [
     "profile_documents_stats",
     "pipeline_catalog_top1",
     "pipeline_probe_counts",
-    "multimodal_frame_sample",
+    # (multimodal_frame_sample displaced by the round-7 registrations:
+    # it is rows-only — the weakest driver check — and its fan-out
+    # slicing is directly pytest-covered; leads next round with the
+    # r5 streaming bucket)
     # (tier 4 emptied: the 14 round-7 registrations filled the window.
     # The r5 winnowing/jaccard/exact-dedup logic is still hash-checked
     # every round through the capped + indexed twins and the curation

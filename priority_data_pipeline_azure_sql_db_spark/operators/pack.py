@@ -166,6 +166,69 @@ def pack_greedy(
     return src.groupBy("shard").applyInPandas(scan, out_schema)
 
 
+def length_bucket_batches(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_batch_tokens: int = 4096,
+    seed: str = "batch-0",
+    count_expr: Column | None = None,
+) -> DataFrame:
+    """Length-bucketed BATCHING for padded training/inference (round 7):
+    documents go to power-of-two length buckets (padded_len =
+    2^ceil(log2(n)) — padding waste is bounded at 2× by construction),
+    and within each bucket are packed into fixed-token batches of
+    ``max_batch_tokens // padded_len`` docs in the reproducible
+    md5(seed:id) order. The returned (bucket, batch_in_bucket,
+    pos_in_batch) triple is a complete deterministic batch schedule —
+    same seed, same schedule, any engine.
+
+    Scale shape: one keyed shuffle to the bucket windows; each bucket's
+    row_number is an independent distributed window (buckets are
+    log-many, but each window partitions further by nothing — at
+    100 TB, compose with a shard column the way epoch_shuffle does, or
+    accept ~40 buckets of corpus/40 rows each; the window is a sort
+    within the bucket, the same cost class as the epoch shuffle).
+    Returns (id, n_tokens, padded_len, bucket, batch_in_bucket,
+    pos_in_batch).
+    """
+    if count_expr is None:
+        count_expr = token_count(F.col(text_col))
+    key = F.md5(F.concat(F.lit(seed), F.lit(":"), F.col(id_col).cast("string")))
+    # bucket = ceil(log2(n)) computed EXACTLY as the bit length of n-1
+    # (length(bin(n-1))): float log2 may land an ulp under an integer at
+    # exact powers of two and ceil() differently across engines — bin()
+    # exists in both Spark and DuckDB and is exact by construction
+    bucket = F.when(F.col("n_tokens") <= 1, F.lit(0)).otherwise(
+        F.length(F.bin(F.col("n_tokens") - 1))
+    ).cast("bigint")
+    base = df.select(
+        F.col(id_col),
+        count_expr.cast("bigint").alias("n_tokens"),
+        key.alias("_key"),
+    ).withColumn("bucket", bucket).withColumn(
+        # SQL shiftleft takes a column bit count; the Python F.shiftleft
+        # wrapper only accepts an int literal
+        "padded_len", F.expr("CAST(shiftleft(1, CAST(bucket AS INT)) AS BIGINT)")
+    )
+    per_batch = F.greatest(
+        F.lit(1),
+        F.expr(f"CAST({int(max_batch_tokens)} AS BIGINT) div padded_len"),
+    )
+    pos = F.row_number().over(Window.partitionBy("bucket").orderBy("_key", id_col)) - 1
+    return (
+        base.withColumn("_pos", pos.cast("bigint"))
+        .withColumn("_per", per_batch)
+        .select(
+            id_col, "n_tokens", "padded_len", "bucket",
+            # `div` is exact integral division — a double `/` + cast
+            # can misround at large positions
+            F.expr("_pos div _per").cast("bigint").alias("batch_in_bucket"),
+            (F.col("_pos") % F.col("_per")).cast("bigint").alias("pos_in_batch"),
+        )
+    )
+
+
 def chunk_documents(
     df: DataFrame,
     text_col: str = "text",

@@ -4023,6 +4023,50 @@ def export_jsonl_corpus(spark, sf_dir):
 
 
 @query(
+    "pack_length_bucket_batches",
+    """
+    WITH toks AS (
+        SELECT doc_id,
+               CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT)
+                   AS n_tokens,
+               md5('batch-0:' || CAST(doc_id AS VARCHAR)) AS k
+        FROM documents
+    ), b AS (
+        SELECT doc_id, n_tokens, k,
+               CASE WHEN n_tokens <= 1 THEN 0
+                    ELSE LENGTH(bin(n_tokens - 1)) END AS bucket
+        FROM toks
+    ), p AS (
+        SELECT doc_id, n_tokens, bucket,
+               CAST(1 << bucket AS BIGINT) AS padded_len,
+               GREATEST(1, 4096 // CAST(1 << bucket AS BIGINT)) AS per,
+               CAST(ROW_NUMBER() OVER (PARTITION BY bucket ORDER BY k, doc_id)
+                    - 1 AS BIGINT) AS pos
+        FROM b
+    )
+    SELECT doc_id, n_tokens, padded_len, CAST(bucket AS BIGINT) AS bucket,
+           CAST(pos // per AS BIGINT) AS batch_in_bucket,
+           CAST(pos % per AS BIGINT) AS pos_in_batch
+    FROM p
+    """,
+)
+def pack_length_bucket_batches(spark, sf_dir):
+    """Length-bucketed BATCH SCHEDULE (round 7): power-of-two length
+    buckets (padding waste bounded at 2x), fixed 4,096-token batches of
+    max_batch_tokens/padded_len docs each, reproducible md5 order — the
+    deterministic dynamic-batching layout padded training/inference
+    loaders consume. The bucket is computed as the exact BIT LENGTH of
+    n_tokens-1 (bin() in both engines), never float log2, which can
+    ceil() differently across engines at exact powers of two; the
+    oracle replays the whole schedule, so batch membership and
+    within-batch positions are hash-checked."""
+    from .operators.pack import length_bucket_batches
+
+    d = load_table(spark, sf_dir, "documents")
+    return length_bucket_batches(d, max_batch_tokens=4096, seed="batch-0")
+
+
+@query(
     "sample_source_budget",
     """
     WITH toks AS (

@@ -797,3 +797,34 @@ def test_source_token_budget_exact_prefix(spark):
     assert {r.doc_id for r in other if r.source == "a"} != {
         r.doc_id for r in out if r.source == "a"
     }
+
+
+def test_length_bucket_batches_schedule(spark):
+    """Batch schedule invariants: padded_len is the least power of two
+    >= n_tokens (exact at powers of two — the float-log2 trap), every
+    batch holds at most max_batch_tokens/padded_len docs, positions are
+    contiguous, and overlong docs batch alone."""
+    from priority_data_pipeline_azure_sql_db_spark.operators.pack import (
+        length_bucket_batches,
+    )
+
+    rows = [(i, "w " * n + "w") for i, n in enumerate(
+        [0, 1, 2, 3, 7, 8, 15, 16, 17, 31, 32, 33, 63, 64, 100, 200] * 4
+    )]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    out = length_bucket_batches(df, max_batch_tokens=64, seed="s").collect()
+    assert len(out) == len(rows)
+    by_batch = {}
+    for r in out:
+        p = r.padded_len
+        assert p >= r.n_tokens and (p == 1 or p // 2 < r.n_tokens)  # least pow2
+        assert p == 1 << r.bucket
+        by_batch.setdefault((r.bucket, r.batch_in_bucket), []).append(r)
+    for (bucket, _), members in by_batch.items():
+        cap = max(1, 64 // (1 << bucket))
+        assert len(members) <= cap
+        assert sorted(m.pos_in_batch for m in members) == list(range(len(members)))
+    # doc longer than the batch budget (201 tokens → padded 256 > 64)
+    # still gets a singleton batch
+    long_batches = [k for k, ms in by_batch.items() if ms[0].n_tokens == 201]
+    assert long_batches and all(len(by_batch[k]) == 1 for k in long_batches)
