@@ -104,7 +104,11 @@ CHECK_ORDER = [
     # it is rows-only — the weakest driver check — and its fan-out
     # slicing is directly pytest-covered; leads next round with the
     # r5 streaming bucket)
-    # (tier 4 emptied: the 14 round-7 registrations filled the window.
+    # Below the window, leading next round's head:
+    # pack_materialized_sequences (locally PASS at sf0.01, vanilla
+    # included; kept out only to preserve the staleness repayment)
+    # and multimodal_frame_sample.
+    # (tier 4 emptied: the round-7 registrations filled the window.
     # The r5 winnowing/jaccard/exact-dedup logic is still hash-checked
     # every round through the capped + indexed twins and the curation
     # capstones, whose oracles replay those pipelines verbatim. Next

@@ -166,6 +166,69 @@ def pack_greedy(
     return src.groupBy("shard").applyInPandas(scan, out_schema)
 
 
+def materialize_packed_sequences(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    budget: int = 512,
+    shard_col: str | None = None,
+) -> DataFrame:
+    """MATERIALIZE the concat-and-chunk layout: not just per-doc
+    placement (:func:`pack_sequences`) but the actual per-sequence
+    token payload — each document's token array is sliced into the
+    sequences it spans (global token offsets from the same window
+    cumsum) and fragments reassemble per (shard, seq) in offset order.
+    Returns (shard?, seq_id, n_tokens, text_md5): the md5 is over the
+    exact space-joined sequence text, so an engine-independent checker
+    can verify the BYTES a dataloader would read, not just the
+    arithmetic.
+
+    Scale shape: the fragment explode fans out at most
+    (1 + n_tokens/budget) rows per doc; the per-sequence group is
+    bounded by ``budget`` tokens BY CONSTRUCTION (a sequence holds at
+    most ``budget`` fragment tokens), so the sorted collect that
+    rebuilds fragment order is a model-constant-sized array — never a
+    corpus-scaled one — and the whole plan is the pack window plus one
+    keyed aggregate."""
+    parts = [shard_col] if shard_col else []
+    part = Window.partitionBy(*parts) if shard_col else Window.partitionBy()
+    w = part.orderBy(id_col).rowsBetween(Window.unboundedPreceding, 0)
+    toks_arr = F.split(F.trim(F.col(text_col)), "\\s+")
+    base = df.select(
+        *parts, F.col(id_col), toks_arr.alias("_toks"),
+    ).select(
+        *parts, id_col, "_toks", F.size("_toks").cast("bigint").alias("_n")
+    ).withColumn("_cum", F.sum("_n").over(w)).withColumn(
+        "_start", F.col("_cum") - F.col("_n")
+    )
+    first_seq = F.floor(F.col("_start") / budget)
+    last_seq = F.floor((F.col("_cum") - 1) / budget)
+    spanned = base.select(
+        *parts, id_col, "_toks", "_n", "_start",
+        F.explode(F.sequence(first_seq, last_seq)).alias("seq_id"),
+    )
+    # doc tokens [local_lo, local_hi) land in this sequence
+    local_lo = F.greatest(F.lit(0), F.col("seq_id") * budget - F.col("_start"))
+    local_hi = F.least(F.col("_n"), (F.col("seq_id") + 1) * budget - F.col("_start"))
+    frags = spanned.select(
+        *parts, "seq_id",
+        (F.col("_start") + local_lo).alias("_frag_start"),
+        (local_hi - local_lo).cast("bigint").alias("_frag_tokens"),
+        F.concat_ws(
+            " ",
+            F.slice("_toks", (local_lo + 1).cast("int"), (local_hi - local_lo).cast("int")),
+        ).alias("_frag"),
+    )
+    ordered = F.transform(
+        F.array_sort(F.collect_list(F.struct("_frag_start", "_frag"))),
+        lambda s: s["_frag"],
+    )
+    return frags.groupBy(*parts, "seq_id").agg(
+        F.sum("_frag_tokens").cast("bigint").alias("n_tokens"),
+        F.md5(F.array_join(ordered, " ")).alias("text_md5"),
+    )
+
+
 def length_bucket_batches(
     df: DataFrame,
     text_col: str = "text",

@@ -4023,6 +4023,62 @@ def export_jsonl_corpus(spark, sf_dir):
 
 
 @query(
+    "pack_materialized_sequences",
+    """
+    WITH toks AS (
+        SELECT doc_id, doc_id % 8 AS shard,
+               string_split_regex(trim(text), '\\s+') AS t,
+               CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n
+        FROM documents
+    ), cum AS (
+        SELECT shard, doc_id, t, n,
+               SUM(n) OVER (PARTITION BY shard ORDER BY doc_id
+                            ROWS UNBOUNDED PRECEDING) AS cum
+        FROM toks
+    ), spanned AS (
+        SELECT shard, doc_id, t, n, cum - n AS strt, seq_id
+        FROM cum, LATERAL (
+            SELECT UNNEST(range(CAST((cum - n) // 512 AS BIGINT),
+                                CAST((cum - 1) // 512 + 1 AS BIGINT))) AS seq_id
+        )
+    ), frags AS (
+        SELECT shard, seq_id,
+               strt + GREATEST(0, seq_id * 512 - strt) AS frag_start,
+               LEAST(n, (seq_id + 1) * 512 - strt)
+                   - GREATEST(0, seq_id * 512 - strt) AS frag_tokens,
+               array_to_string(
+                   t[CAST(GREATEST(0, seq_id * 512 - strt) + 1 AS BIGINT)
+                     :CAST(LEAST(n, (seq_id + 1) * 512 - strt) AS BIGINT)],
+                   ' ') AS frag
+        FROM spanned
+    )
+    SELECT CAST(shard AS BIGINT) AS shard, CAST(seq_id AS BIGINT) AS seq_id,
+           CAST(SUM(frag_tokens) AS BIGINT) AS n_tokens,
+           md5(string_agg(frag, ' ' ORDER BY frag_start)) AS text_md5
+    FROM frags GROUP BY 1, 2
+    """,
+)
+def pack_materialized_sequences(spark, sf_dir):
+    """Packed-sequence MATERIALIZATION (round 7): pack_training_sequences
+    computes where each doc lands; this produces the actual per-sequence
+    payload — token arrays sliced at the 512-token boundaries, fragments
+    reassembled per (shard, seq) in offset order, and each sequence's
+    exact space-joined text md5-fingerprinted. The oracle rebuilds every
+    byte independently (lateral over spanned sequences + list slicing +
+    ordered string_agg), so the hash check covers the literal training
+    bytes a dataloader would read, boundary slicing included — not just
+    placement arithmetic. Per-sequence groups are bounded at 512 tokens
+    by construction, so the reassembly aggregate is model-constant-sized
+    at any corpus scale."""
+    from .operators.pack import materialize_packed_sequences
+
+    d = load_table(spark, sf_dir, "documents").withColumn(
+        "shard", (F.col("doc_id") % 8).cast("bigint")
+    )
+    return materialize_packed_sequences(d, budget=512, shard_col="shard")
+
+
+@query(
     "pack_length_bucket_batches",
     """
     WITH toks AS (

@@ -828,3 +828,30 @@ def test_length_bucket_batches_schedule(spark):
     # still gets a singleton batch
     long_batches = [k for k, ms in by_batch.items() if ms[0].n_tokens == 201]
     assert long_batches and all(len(by_batch[k]) == 1 for k in long_batches)
+
+
+def test_materialized_sequences_conserve_and_fill(spark, sf_dir):
+    """Materialization invariants: per-sequence token counts conserve
+    the corpus total, every sequence except each shard's last holds
+    exactly `budget` tokens, and seq ids are contiguous from 0."""
+    from priority_data_pipeline_azure_sql_db_spark.operators.pack import (
+        materialize_packed_sequences,
+    )
+    from priority_data_pipeline_azure_sql_db_spark.operators.text import token_count
+    from priority_data_pipeline_azure_sql_db_spark.sources.parquet import load_table
+
+    d = load_table(spark, sf_dir, "documents").withColumn(
+        "shard", (F.col("doc_id") % 4).cast("bigint")
+    )
+    out = materialize_packed_sequences(d, budget=128, shard_col="shard").collect()
+    total = d.select(F.sum(token_count(F.col("text")))).collect()[0][0]
+    assert sum(r.n_tokens for r in out) == total
+    by_shard = {}
+    for r in out:
+        by_shard.setdefault(r.shard, []).append(r)
+    for shard, rs in by_shard.items():
+        rs = sorted(rs, key=lambda r: r.seq_id)
+        assert [r.seq_id for r in rs] == list(range(len(rs)))
+        assert all(r.n_tokens == 128 for r in rs[:-1])
+        assert 1 <= rs[-1].n_tokens <= 128
+        assert len({r.text_md5 for r in rs}) == len(rs)  # payloads distinct
