@@ -52,6 +52,9 @@ HEADLINE = [
     "dedup_jaccard_pairs_indexed",
     "dedup_winnow_pairs_indexed",
     "embedding_near_dup_indexed",
+    # round-7: payload materialization + the O(delta) curation batch
+    "pack_materialized_sequences",
+    "pipeline_curation_incremental",
     # round-5: correlated-subquery family representatives
     "q2_min_cost_supplier",
     "q21_last_shipper",
