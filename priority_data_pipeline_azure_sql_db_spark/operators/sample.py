@@ -90,3 +90,38 @@ def split_train_eval(df: DataFrame, key_col: str, eval_fraction: float = 0.01,
     key = F.concat(F.lit(salt), F.col(key_col).cast("string"))
     prefix = _hash_prefix(key)
     return df.filter(prefix >= thr), df.filter(prefix < thr)
+
+
+def hash_sample_weighted(
+    df: DataFrame,
+    key_col: str,
+    weight_expr: Column,
+    seed: str = "w-0",
+) -> DataFrame:
+    """Deterministic IMPORTANCE sampling (round 7): keep a row iff its
+    uniform hash draw falls under its per-row weight — u(key) <
+    clamp(w, 0, 1), where u is the first 12 hex digits of
+    md5(seed:key) over 2^48. Membership is a pure function of (key,
+    seed, weight): reproducible across runs, engines, and
+    partitionings (the per-row generalization of hash_sample's fixed
+    fraction), which is what quality-proportional corpus downsampling
+    needs — e.g. weight = a quality score in [0, 1] keeps high-quality
+    documents at full rate and low-quality ones proportionally.
+
+    The 48-bit draw is exact in a double (2^48 < 2^53), so the
+    comparison is bit-identical in any engine with md5 and IEEE
+    doubles; inclusion uses strict ``<`` (weight 0 keeps nothing,
+    weight >= 1 keeps everything). Shuffle-free: a scan-side filter,
+    same plan shape as hash_sample."""
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(seed), F.lit(":"), F.col(key_col).cast("string"))),
+                1, 12,
+            ),
+            16, 10,
+        ).cast("double")
+        / F.lit(281474976710656.0)  # 16^12 = 2^48
+    )
+    w = F.least(F.greatest(weight_expr.cast("double"), F.lit(0.0)), F.lit(1.0))
+    return df.filter(u < w)

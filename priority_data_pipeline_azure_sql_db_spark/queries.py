@@ -4123,6 +4123,44 @@ def pack_length_bucket_batches(spark, sf_dir):
 
 
 @query(
+    "sample_quality_weighted",
+    """
+    WITH scored AS (
+        SELECT doc_id, source,
+               FLOOR(len(regexp_extract_all(text, '[A-Za-z]'))
+                     / GREATEST(LENGTH(text), 1) * 1000000 + 0.5) / 1000000
+                   AS alpha_ratio,
+               CAST('0x' || substr(md5('w-0:' || CAST(doc_id AS VARCHAR)), 1, 12)
+                   AS BIGINT) / 281474976710656.0 AS u
+        FROM documents
+    )
+    SELECT doc_id, source, alpha_ratio
+    FROM scored WHERE u < LEAST(GREATEST(alpha_ratio, 0.0), 1.0)
+    """,
+)
+def sample_quality_weighted(spark, sf_dir):
+    """Quality-PROPORTIONAL corpus downsampling (round 7): each document
+    survives with probability equal to its alpha-ratio quality score —
+    the deterministic importance-sampling gate (u(doc_id) < weight,
+    48-bit md5 draw) that keeps clean text at full rate and noisy text
+    proportionally, reproducible across engines and reruns. The oracle
+    replays draw, clamp, and comparison exactly, so the precise
+    surviving set is hash-checked."""
+    from .operators.sample import hash_sample_weighted
+
+    d = load_table(spark, sf_dir, "documents")
+    fix6 = lambda c: F.floor(c * F.lit(1000000.0) + F.lit(0.5)) / F.lit(1000000.0)  # noqa: E731
+    alpha = fix6(
+        F.size(F.regexp_extract_all(F.col("text"), F.lit("[A-Za-z]"), 0))
+        / F.greatest(F.length("text"), F.lit(1))
+    )
+    scored = d.select("doc_id", "source", alpha.alias("alpha_ratio"))
+    return hash_sample_weighted(
+        scored, "doc_id", F.col("alpha_ratio"), seed="w-0"
+    )
+
+
+@query(
     "sample_source_budget",
     """
     WITH toks AS (

@@ -855,3 +855,29 @@ def test_materialized_sequences_conserve_and_fill(spark, sf_dir):
         assert all(r.n_tokens == 128 for r in rs[:-1])
         assert 1 <= rs[-1].n_tokens <= 128
         assert len({r.text_md5 for r in rs}) == len(rs)  # payloads distinct
+
+
+def test_hash_sample_weighted_gates(spark):
+    """Weighted sampling invariants: weight 0 keeps nothing, weight 1
+    keeps everything, intermediate weights land near their expectation,
+    and membership is reproducible and MONOTONE in the weight (a doc
+    kept at w stays kept at any w' >= w — the property that makes
+    weight sweeps consistent)."""
+    from priority_data_pipeline_azure_sql_db_spark.operators.sample import (
+        hash_sample_weighted,
+    )
+
+    df = spark.range(0, 2000).withColumnRenamed("id", "doc_id")
+    assert hash_sample_weighted(df, "doc_id", F.lit(0.0)).count() == 0
+    assert hash_sample_weighted(df, "doc_id", F.lit(1.0)).count() == 2000
+    assert hash_sample_weighted(df, "doc_id", F.lit(5.0)).count() == 2000  # clamp
+    n_half = hash_sample_weighted(df, "doc_id", F.lit(0.5)).count()
+    assert 880 <= n_half <= 1120, n_half  # ~Binomial(2000, .5), 5+ sigma
+    a = {r.doc_id for r in hash_sample_weighted(df, "doc_id", F.lit(0.3)).collect()}
+    b = {r.doc_id for r in hash_sample_weighted(df, "doc_id", F.lit(0.3)).collect()}
+    c = {r.doc_id for r in hash_sample_weighted(df, "doc_id", F.lit(0.6)).collect()}
+    assert a == b          # reproducible
+    assert a <= c          # monotone in weight
+    d = {r.doc_id for r in
+         hash_sample_weighted(df, "doc_id", F.lit(0.3), seed="other").collect()}
+    assert a != d          # seed-sensitive
