@@ -105,9 +105,9 @@ CHECK_ORDER = [
     # slicing is directly pytest-covered; leads next round with the
     # r5 streaming bucket)
     # Below the window, leading next round's head:
-    # pack_materialized_sequences (locally PASS at sf0.01, vanilla
-    # included; kept out only to preserve the staleness repayment)
-    # and multimodal_frame_sample.
+    # pack_materialized_sequences and sample_quality_weighted (both
+    # locally PASS at sf0.01, vanilla included; kept out only to
+    # preserve the staleness repayment) and multimodal_frame_sample.
     # (tier 4 emptied: the round-7 registrations filled the window.
     # The r5 winnowing/jaccard/exact-dedup logic is still hash-checked
     # every round through the capped + indexed twins and the curation
