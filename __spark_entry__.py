@@ -38,7 +38,8 @@ def entry(spark: SparkSession) -> DataFrame:
 # multimodal_binary_meta (extract_features schema gained the codec
 # column), ann_ivf_index_persisted (deterministic index path);
 # (3) staleness repayment — ALL 10 round-3 stragglers (promised at the
-# head of this window in round 6) and the whole 17-query round-4 bucket;
+# head of this window in round 6) and 14 of the 17-query round-4 bucket
+# (the 3 displaced entries lead next round, see the tail comment);
 # (4) the oldest round-5 entries on code adjacent to this round's
 # changes (winnow fingerprints feed the new dedup index; exact dedup and
 # token stats feed the curation pipeline). Below the window: the rest of
@@ -61,6 +62,8 @@ CHECK_ORDER = [
     "sample_source_budget",
     "pipeline_curation_incremental",
     "pack_length_bucket_batches",
+    "pack_materialized_sequences",
+    "sample_quality_weighted",
     # (2) round-7-touched code paths
     "text_bpe_tokens",
     "text_bpe_train",
@@ -95,8 +98,6 @@ CHECK_ORDER = [
     "range_join_close_events",
     "skew_salted_join",
     "window_range_trailing_30d",
-    "scalar_regex_funcs",
-    "sample_stratified_mix",
     "profile_documents_stats",
     "pipeline_catalog_top1",
     "pipeline_probe_counts",
@@ -104,10 +105,12 @@ CHECK_ORDER = [
     # it is rows-only — the weakest driver check — and its fan-out
     # slicing is directly pytest-covered; leads next round with the
     # r5 streaming bucket)
-    # Below the window, leading next round's head:
-    # pack_materialized_sequences and sample_quality_weighted (both
-    # locally PASS at sf0.01, vanilla included; kept out only to
-    # preserve the staleness repayment) and multimodal_frame_sample.
+    # Below the window, leading next round's head: the last three r4
+    # entries (scalar_regex_funcs, sample_stratified_mix,
+    # multimodal_frame_sample — all green-when-last-checked, displaced
+    # because EVERY round-7 registration belongs inside the driver gate
+    # per the verify skill's window rule; new code has strictly higher
+    # driver-divergence risk than untouched always-green code).
     # (tier 4 emptied: the round-7 registrations filled the window.
     # The r5 winnowing/jaccard/exact-dedup logic is still hash-checked
     # every round through the capped + indexed twins and the curation

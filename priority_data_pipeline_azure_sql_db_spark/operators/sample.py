@@ -113,13 +113,11 @@ def hash_sample_weighted(
     doubles; inclusion uses strict ``<`` (weight 0 keeps nothing,
     weight >= 1 keeps everything). Shuffle-free: a scan-side filter,
     same plan shape as hash_sample."""
+    from .scale import md5_tag48
+
     u = (
-        F.conv(
-            F.substring(
-                F.md5(F.concat(F.lit(seed), F.lit(":"), F.col(key_col).cast("string"))),
-                1, 12,
-            ),
-            16, 10,
+        md5_tag48(
+            F.concat(F.lit(seed), F.lit(":"), F.col(key_col).cast("string"))
         ).cast("double")
         / F.lit(281474976710656.0)  # 16^12 = 2^48
     )

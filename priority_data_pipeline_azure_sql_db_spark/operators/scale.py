@@ -49,3 +49,17 @@ def spread(df: DataFrame, *key_cols: str, num_partitions: int | None = None) -> 
     """
     n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
     return df.repartition(n, *key_cols) if key_cols else df.repartition(n)
+
+
+def md5_tag48(col):
+    """48-bit integer draw from md5(col) — first 12 hex digits as
+    decimal(38,0). The ONE implementation of the cross-engine
+    determinism contract shared by order/membership multiset tags
+    (queries.py) and weighted sampling (operators/sample.py): 12 hex
+    chars = 2^48 < 2^53, so the value is exact in a double and in
+    DuckDB's ``CAST('0x' || substr(md5(x), 1, 12) AS BIGINT)`` replay.
+    Changing the width or encoding here without updating every oracle
+    twin breaks bit-parity — that is the point of having one copy."""
+    from pyspark.sql import functions as F
+
+    return F.conv(F.substring(F.md5(col), 1, 12), 16, 10).cast("decimal(38,0)")

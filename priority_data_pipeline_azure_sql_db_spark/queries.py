@@ -57,6 +57,21 @@ def _dsum(col, scale: int = 6):
     return F.sum(col.cast(f"decimal(18,{scale})")).cast("double")
 
 
+def _fix6(col):
+    """Engine-portable 6-decimal fix: floor(x*1e6 + 0.5)/1e6 — the
+    round-half-up both engines compute identically (ROUND uses
+    banker's/shortest-string rules that disagree at boundaries). ONE
+    implementation: three inline lambda copies drifted risk."""
+    return F.floor(col * F.lit(1000000.0) + F.lit(0.5)) / F.lit(1000000.0)
+
+
+def _md5_tag48(col):
+    """See operators/scale.py:md5_tag48 — the one shared copy."""
+    from .operators.scale import md5_tag48
+
+    return md5_tag48(col)
+
+
 # =========================================================================
 # Tier A — pipeline operators (SURVEY.md §2.1)
 # =========================================================================
@@ -2767,7 +2782,7 @@ def profile_data_card(spark, sf_dir):
     natural stratum keys, so the same plan rolls up 100 TB by source.
     Every number is hash-checked against the oracle."""
     d = load_table(spark, sf_dir, "documents")
-    fix6 = lambda c: F.floor(c * F.lit(1000000.0) + F.lit(0.5)) / F.lit(1000000.0)  # noqa: E731
+    fix6 = _fix6
     alpha = fix6(
         F.size(F.regexp_extract_all(F.col("text"), F.lit("[A-Za-z]"), 0))
         / F.greatest(F.length("text"), F.lit(1))
@@ -3024,7 +3039,7 @@ def embedding_normalize(spark, sf_dir):
     representation boundaries)."""
     emb = load_table(spark, sf_dir, "embeddings")
     dim = S.infer_dim(emb, "embedding")
-    fix6 = lambda c: F.floor(c * F.lit(1000000.0) + F.lit(0.5)) / F.lit(1000000.0)  # noqa: E731
+    fix6 = _fix6
     base = emb.select(
         "vec_id", F.col("embedding").cast("array<double>").alias("e")
     ).select("vec_id", "e", S.l2_norm(F.col("e"), dim).alias("_n"))
@@ -4149,7 +4164,7 @@ def sample_quality_weighted(spark, sf_dir):
     from .operators.sample import hash_sample_weighted
 
     d = load_table(spark, sf_dir, "documents")
-    fix6 = lambda c: F.floor(c * F.lit(1000000.0) + F.lit(0.5)) / F.lit(1000000.0)  # noqa: E731
+    fix6 = _fix6
     alpha = fix6(
         F.size(F.regexp_extract_all(F.col("text"), F.lit("[A-Za-z]"), 0))
         / F.greatest(F.length("text"), F.lit(1))
@@ -4298,18 +4313,12 @@ def pipeline_curation_v2(spark, sf_dir):
     deduped = clean.join(canon, ["fp", "doc_id"], "left_semi")
     sh = X.epoch_shuffle(deduped, seed="epoch-0")
     joined = deduped.select("doc_id", "n_tokens").join(sh, "doc_id")
-    row_tag = F.conv(
-        F.substring(
-            F.md5(F.concat_ws(
-                ":",
-                F.col("shard"),
-                F.col("pos_in_shard").cast("string"),
-                F.col("doc_id").cast("string"),
-            )),
-            1, 12,
-        ),
-        16, 10,
-    ).cast("decimal(38,0)")
+    row_tag = _md5_tag48(F.concat_ws(
+        ":",
+        F.col("shard"),
+        F.col("pos_in_shard").cast("string"),
+        F.col("doc_id").cast("string"),
+    ))
     return joined.groupBy("shard").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_docs"),
         F.sum("n_tokens").cast("bigint").alias("total_tokens"),
@@ -4395,6 +4404,10 @@ def pipeline_curation_incremental(spark, sf_dir):
             .write.mode("overwrite").parquet(fp_path)
     base_fps = spark.read.parquet(fp_path)
 
+    # guard, not a live filter: doc_id % 10 >= 8 ⇒ % 20 ∈ {8,9,18,19},
+    # so eval docs (% 20 == 0) are structurally inside the BASE slice —
+    # kept (mirrored in the oracle) so a future re-slicing of
+    # base/delta cannot silently admit eval docs into training
     scored = delta.filter(F.col("doc_id") % 20 != 0).select(
         "doc_id", "text",
         X.token_count(F.col("text")).cast("bigint").alias("n_tokens"),
@@ -4414,9 +4427,7 @@ def pipeline_curation_incremental(spark, sf_dir):
         .distinct()
     )
     clean = deduped.join(contam, "doc_id", "left_anti")
-    member_tag = F.conv(
-        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 12), 16, 10
-    ).cast("decimal(38,0)")
+    member_tag = _md5_tag48(F.col("doc_id").cast("string"))
     shard = F.substring(
         F.md5(F.concat(F.lit("epoch-0:"), F.col("doc_id").cast("string"))), 1, 1
     )

@@ -90,12 +90,20 @@ def write_jsonl_manifest(path: str) -> dict:
     }
 
 
-def read_jsonl_shards(spark: SparkSession, path: str, schema: str) -> DataFrame:
+def read_jsonl_shards(
+    spark: SparkSession, path: str, schema: str, mode: str = "FAILFAST"
+) -> DataFrame:
     """Read a JSONL shard directory back with an EXPLICIT schema (never
     inference — sampling-based inference can flip a column's type
-    between runs, which breaks hash-stable round-trips)."""
+    between runs, which breaks hash-stable round-trips) and FAILFAST
+    parsing by default: Spark's PERMISSIVE mode turns a corrupt or
+    truncated line into an all-null row, silently corrupting counts —
+    a sink that sells hash-stable round-trips must surface torn shards
+    at read time. Pass mode='PERMISSIVE' explicitly for salvage
+    reads."""
     return (
         spark.read.schema(schema)
+        .option("mode", mode)
         .option("pathGlobFilter", "part-*")
         .json(path)
     )
