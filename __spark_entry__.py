@@ -25,10 +25,12 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The correctness driver evaluates the first 50 registry entries in order.
-# Round-7 rotation. Priority: (1) the 10 never-driver-checked round-7
+# Round-7 rotation. Priority: (1) the 16 never-driver-checked round-7
 # registrations (resident dedup + near-dup twins, wide epoch shuffle,
 # Arrow BPE kernel + large-vocab train/tokenize, BPE-budget packing,
-# real-codec multimodal, data card, streaming-merge sink check);
+# real-codec multimodal, data card, streaming-merge sink check, JSONL
+# export, source-budget mixing, incremental curation, length-bucket
+# batching, sequence materialization, weighted sampling);
 # (2) queries over round-7-touched code: the BPE family (self-delimited
 # symbol spelling + batched trainer), the shuffle/curation family
 # (shard_width parameter, position-keyed order tag, deterministic export
