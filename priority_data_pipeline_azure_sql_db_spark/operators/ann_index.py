@@ -38,6 +38,7 @@ from .similarity import (
 CENTROIDS_DIR = "centroids"
 CELLS_DIR = "cells"
 ASSIGN_DIR = "assigned"
+RADII_DIR = "radii"
 
 
 def build_ivf_index(
@@ -158,6 +159,14 @@ def build_near_dup_index(
     assigned.write.mode("overwrite").partitionBy("cell").parquet(
         os.path.join(path, ASSIGN_DIR)
     )
+    # radii persist WITH the build (written last — the completed-build
+    # marker): serving would otherwise re-scan the whole corpus per
+    # query just to rebuild a 16-row table. Computed from the
+    # just-written assignment, not the in-flight one, so the stored
+    # radii provably describe the stored cells.
+    stored = corpus.sparkSession.read.parquet(os.path.join(path, ASSIGN_DIR))
+    stored.groupBy("cell").agg(F.max("d").alias("rad")).coalesce(1) \
+        .write.mode("overwrite").parquet(os.path.join(path, RADII_DIR))
     cents.unpersist()
 
 
@@ -170,16 +179,21 @@ def near_dup_pairs_from_index(
     bit-identical to running :func:`~.similarity.embedding_near_dup` on
     the corpus the index was built from (same centroids, same
     assignment, same kernel), minus the per-run corpus scans for
-    normalization, training, and assignment."""
+    normalization, training, assignment, AND radii (precomputed at
+    build — round-7 review: serving re-aggregated the whole corpus per
+    query to rebuild a 16-row table)."""
     import os
 
     # metadata-sized (n_cells rows) — no cache: one cached relation per
     # serve call would leak for the session in a serve-many loop
     cents = spark.read.parquet(os.path.join(path, CENTROIDS_DIR)).coalesce(1)
     assigned = spark.read.parquet(os.path.join(path, ASSIGN_DIR))
+    radii = spark.read.parquet(os.path.join(path, RADII_DIR))
     dim = infer_dim(cents, "centroid")
     id_type = assigned.schema["_id"].dataType.simpleString()
-    return _near_dup_score_assignment(assigned, cents, dim, threshold, id_type)
+    return _near_dup_score_assignment(
+        assigned, cents, dim, threshold, id_type, radii=radii
+    )
 
 
 def query_ivf_index(

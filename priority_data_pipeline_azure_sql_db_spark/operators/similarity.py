@@ -450,6 +450,7 @@ def _near_dup_score_assignment(
     dim: int,
     threshold: float,
     id_type: str,
+    radii: DataFrame | None = None,
 ) -> DataFrame:
     """The SCORING half of :func:`embedding_near_dup`, shared with the
     persisted near-dup index (operators/ann_index.py): given a cell
@@ -458,8 +459,11 @@ def _near_dup_score_assignment(
     the blocked-matmul kernel. Cells and assignment are
     THRESHOLD-INDEPENDENT (nearest-centroid only), which is what makes
     the build-once/serve-many split sound: one persisted assignment
-    serves any threshold, with radii recomputed from the stored
-    distances (one metadata-sized aggregate)."""
+    serves any threshold. ``radii`` (cell, rad = max member distance)
+    may be passed precomputed — the persisted index stores it at build
+    time so serving never re-scans the corpus for a 16-row table;
+    omitted, it is computed here (the one-shot path, where the
+    assignment is already in flight)."""
     import pandas as pd
 
     r = float(max(2.0 - 2.0 * threshold, 0.0)) ** 0.5
@@ -469,7 +473,9 @@ def _near_dup_score_assignment(
     # n_cells rows; coalesce(1) so the tiny crossJoin doesn't inherit the
     # session's shuffle-partition count as a task-count product
     # (200 × 200 = 40k empty tasks under default confs).
-    radii = assigned.groupBy("cell").agg(F.max("d").alias("rad")).coalesce(1)
+    if radii is None:
+        radii = assigned.groupBy("cell").agg(F.max("d").alias("rad"))
+    radii = radii.coalesce(1)
     side = cents.coalesce(1).join(F.broadcast(radii), "cell").coalesce(1)
     ca = side.select(
         F.col("cell").alias("cell_a"), F.col("centroid").alias("ca"),

@@ -1337,7 +1337,8 @@ def embedding_near_dup_indexed(spark, sf_dir):
 
     emb = load_table(spark, sf_dir, "embeddings")
     path = _resident_path("neardup_idx", sf_dir)
-    if not os.path.exists(os.path.join(path, "assigned", "_SUCCESS")):
+    # gate on the LAST-written artifact (radii) — see ensure_dedup_index
+    if not os.path.exists(os.path.join(path, "radii", "_SUCCESS")):
         build_near_dup_index(emb, path, n_cells=16, train_iters=1)
     return near_dup_pairs_from_index(spark, path, threshold=0.4)
 
