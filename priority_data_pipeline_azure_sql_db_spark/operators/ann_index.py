@@ -170,6 +170,62 @@ def build_near_dup_index(
     cents.unpersist()
 
 
+def append_to_near_dup_index(
+    new_vectors: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Grow a persisted near-dup index: unit-normalize the delta,
+    assign to the nearest EXISTING cell, append to the assignment
+    layout, then recompute and overwrite the radii table from the full
+    stored assignment (one index scan — append cadence, not query
+    cadence).
+
+    Unlike ANN probing, near-dup serving stays EXACT through appends:
+    the triangle-bound prune is correct for ARBITRARY centroids (stale
+    centroids only widen radii and weaken pruning, never correctness),
+    so append + serve is bit-identical to a fresh one-shot run on the
+    grown corpus — pytest-asserted, not just recall-bounded. The cost
+    of centroid staleness is performance (looser radii → fewer pruned
+    cell pairs); rebuild when the appended fraction makes serving slow.
+
+    NOT crash-atomic: the radii rewrite follows the assignment append,
+    and re-running a failed append would duplicate delta rows (parquet
+    append). On append failure, rebuild the index — the same
+    LSM-discipline trade as append_to_ivf_index."""
+    import os
+
+    from pyspark.sql import Window
+
+    spark = new_vectors.sparkSession
+    cents = spark.read.parquet(os.path.join(path, CENTROIDS_DIR)).coalesce(1)
+    dim = infer_dim(new_vectors, vec_col)
+    base = new_vectors.select(
+        F.col(id_col).alias("_id"), _as_double(F.col(vec_col)).alias("v")
+    ).select("_id", "v", l2_norm(F.col("v"), dim).alias("n"))
+    unit = base.select(
+        "_id", "v", "n",
+        F.when(F.col("n") > 0, F.transform("v", lambda x: x / F.col("n")))
+        .otherwise(F.col("v")).alias("u"),
+    )
+    assigned = (
+        unit.crossJoin(F.broadcast(cents))
+        .withColumn("d", F.sqrt(_d2(F.col("u"), F.col("centroid"), dim)))
+        .withColumn(
+            "rk", F.row_number().over(Window.partitionBy("_id").orderBy("d", "cell"))
+        )
+        .filter(F.col("rk") == 1)
+        .select("_id", "v", "n", "cell", "d")
+    )
+    assigned.write.mode("append").partitionBy("cell").parquet(
+        os.path.join(path, ASSIGN_DIR)
+    )
+    stored = spark.read.parquet(os.path.join(path, ASSIGN_DIR))
+    stored.groupBy("cell").agg(F.max("d").alias("rad")).coalesce(1) \
+        .write.mode("overwrite").parquet(os.path.join(path, RADII_DIR))
+
+
 def near_dup_pairs_from_index(
     spark: SparkSession,
     path: str,

@@ -505,3 +505,40 @@ def test_jsonl_shards_roundtrip_and_manifest(spark, tmp_path):
     import pytest as _pytest
     with _pytest.raises(ValueError, match="num_shards"):
         write_jsonl_shards(df, out, shard_by="shard")
+
+
+def test_near_dup_index_append_stays_exact(spark, sf_dir, tmp_path):
+    """Appending to the near-dup index must keep serving EXACT — not
+    recall-within-tolerance: the triangle bound is correct for
+    arbitrary centroids, so build(75%) + append(25%) + serve must be
+    bit-identical (ids AND sims) to a fresh one-shot run over the full
+    corpus."""
+    from priority_data_pipeline_azure_sql_db_spark.operators.ann_index import (
+        append_to_near_dup_index,
+        build_near_dup_index,
+        near_dup_pairs_from_index,
+    )
+    from priority_data_pipeline_azure_sql_db_spark.operators.similarity import (
+        embedding_near_dup,
+    )
+    from priority_data_pipeline_azure_sql_db_spark.sources.parquet import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    base = emb.filter(F.col("vec_id") % 4 != 0)
+    delta = emb.filter(F.col("vec_id") % 4 == 0)
+    path = str(tmp_path / "nd_app")
+    build_near_dup_index(base, path, n_cells=8, train_iters=1)
+    append_to_near_dup_index(delta, path)
+
+    served = {
+        (r.id_a, r.id_b, r.sim)
+        for r in near_dup_pairs_from_index(spark, path, threshold=0.4).collect()
+    }
+    oneshot = {
+        (r.id_a, r.id_b, r.sim)
+        for r in embedding_near_dup(emb, threshold=0.4, n_cells=8).collect()
+    }
+    assert served == oneshot and served
+    # cross-slice pairs exist, so the append path is genuinely exercised
+    delta_ids = {r.vec_id for r in delta.select("vec_id").collect()}
+    assert any((a in delta_ids) != (b in delta_ids) for a, b, _ in served)
