@@ -48,11 +48,19 @@ def connected_components(
     ``edges`` rows are undirected pairs; direction and duplicates don't
     matter (they're symmetrized and deduped here).
     """
+    # EAGER localCheckpoint, not cache(): the loop consumes the edge
+    # relation many times (neighbor join + convergence count per round),
+    # and a cache leaves the full upstream lineage in every plan — with
+    # an expensive edge source (round 7: the blocked-matmul embedding
+    # near-dup, ~15 s a pass) partial cache hits re-executed the whole
+    # pair computation inside the loop (measured 360 s for a 99-node
+    # graph). Checkpointing truncates the lineage to the materialized
+    # edges; the loop then only ever touches edge-sized data.
     sym = (
         edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
         .union(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
         .distinct()
-        .cache()
+        .localCheckpoint(eager=True)
     )
     labels = sym.select(F.col("u").alias("node")).distinct().withColumn(
         "label", F.col("node")
@@ -83,7 +91,6 @@ def connected_components(
         labels.unpersist()
         labels = new_labels
         if changed == 0:
-            sym.unpersist()
             return labels.select("node", F.col("label").alias("component"))
     raise RuntimeError(
         f"connected_components did not converge in {max_iter} rounds — "

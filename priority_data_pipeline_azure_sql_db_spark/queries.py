@@ -3012,6 +3012,51 @@ def dedup_cluster_canonical(spark, sf_dir):
 
 
 @query(
+    "embedding_dedup_canonical",
+    """
+    WITH RECURSIVE e AS (
+        SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+    ), pairs AS (
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        FROM e a JOIN e b ON a.vec_id < b.vec_id
+        WHERE ROUND(list_dot_product(a.v, b.v)
+              / (SQRT(list_dot_product(a.v, a.v))
+                 * SQRT(list_dot_product(b.v, b.v))), 6) >= 0.4
+    ), edges AS (
+        SELECT id_a AS u, id_b AS v FROM pairs
+        UNION SELECT id_b, id_a FROM pairs
+    ), reach(node, label) AS (
+        SELECT u, u FROM edges
+        UNION
+        SELECT ed.v, r.label FROM reach r JOIN edges ed ON r.node = ed.u
+    ), comp AS (
+        SELECT node, MIN(label) AS canonical_id FROM reach GROUP BY node
+    )
+    SELECT c.node AS doc_id, c.canonical_id,
+           CAST(s.cluster_size AS BIGINT) AS cluster_size
+    FROM comp c JOIN (
+        SELECT canonical_id, COUNT(*) AS cluster_size FROM comp GROUP BY 1
+    ) s USING (canonical_id)
+    """,
+)
+def embedding_dedup_canonical(spark, sf_dir):
+    """SEMANTIC dedup's last step (round 7 composition): the exact
+    ball-cover near-dup pairs feed the same min-label connected
+    components + canonical election the text pipeline uses — clusters
+    of embedding-similar items collapse to one representative, the
+    dedup decision a semantic (not lexical) pipeline acts on. Both
+    constituent operators are independently hash-checked; this query
+    hash-checks their composition, with the oracle replaying all-pairs
+    cosine + a recursive-CTE clustering."""
+    from .operators.graph import canonical_docs
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    pairs = S.embedding_near_dup(emb, threshold=0.4, train_iters=0) \
+        .select("id_a", "id_b")
+    return canonical_docs(pairs)
+
+
+@query(
     "embedding_normalize",
     """
     WITH v AS (
