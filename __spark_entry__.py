@@ -25,12 +25,13 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The correctness driver evaluates the first 50 registry entries in order.
-# Round-7 rotation. Priority: (1) the 16 never-driver-checked round-7
+# Round-7 rotation. Priority: (1) the 17 never-driver-checked round-7
 # registrations (resident dedup + near-dup twins, wide epoch shuffle,
 # Arrow BPE kernel + large-vocab train/tokenize, BPE-budget packing,
 # real-codec multimodal, data card, streaming-merge sink check, JSONL
 # export, source-budget mixing, incremental curation, length-bucket
-# batching, sequence materialization, weighted sampling);
+# batching, sequence materialization, weighted sampling, semantic
+# canonical dedup);
 # (2) queries over round-7-touched code: the BPE family (self-delimited
 # symbol spelling + batched trainer), the shuffle/curation family
 # (shard_width parameter, position-keyed order tag, deterministic export
@@ -40,8 +41,8 @@ def entry(spark: SparkSession) -> DataFrame:
 # multimodal_binary_meta (extract_features schema gained the codec
 # column), ann_ivf_index_persisted (deterministic index path);
 # (3) staleness repayment — ALL 10 round-3 stragglers (promised at the
-# head of this window in round 6) and 14 of the 17-query round-4 bucket
-# (the 3 displaced entries lead next round, see the tail comment);
+# head of this window in round 6) and 13 of the 17-query round-4 bucket
+# (the 4 displaced entries lead next round, see the tail comment);
 # (4) the oldest round-5 entries on code adjacent to this round's
 # changes (winnow fingerprints feed the new dedup index; exact dedup and
 # token stats feed the curation pipeline). Below the window: the rest of
@@ -66,6 +67,7 @@ CHECK_ORDER = [
     "pack_length_bucket_batches",
     "pack_materialized_sequences",
     "sample_quality_weighted",
+    "embedding_dedup_canonical",
     # (2) round-7-touched code paths
     "text_bpe_tokens",
     "text_bpe_train",
@@ -95,7 +97,6 @@ CHECK_ORDER = [
     "q17_small_quantity_revenue",
     "q19_discounted_revenue",
     "q22_idle_customers",
-    "approx_sketches",
     "asof_last_click_before_error",
     "range_join_close_events",
     "skew_salted_join",
@@ -107,8 +108,8 @@ CHECK_ORDER = [
     # it is rows-only — the weakest driver check — and its fan-out
     # slicing is directly pytest-covered; leads next round with the
     # r5 streaming bucket)
-    # Below the window, leading next round's head: the last three r4
-    # entries (scalar_regex_funcs, sample_stratified_mix,
+    # Below the window, leading next round's head: the last four r4
+    # entries (scalar_regex_funcs, sample_stratified_mix, approx_sketches,
     # multimodal_frame_sample — all green-when-last-checked, displaced
     # because EVERY round-7 registration belongs inside the driver gate
     # per the verify skill's window rule; new code has strictly higher
