@@ -27,12 +27,12 @@ from pyspark.sql import functions as F
 from .similarity import (
     _as_double,
     _assign_cells,
-    _d2,
     _near_dup_score_assignment,
     _train_centroids,
     dot,
     infer_dim,
     l2_norm,
+    normalize_and_assign,
 )
 
 CENTROIDS_DIR = "centroids"
@@ -123,47 +123,35 @@ def build_near_dup_index(
     """Persist the BUILD half of :func:`~.similarity.embedding_near_dup`
     (round 7 — the same residency split as the dedup fingerprint store):
     unit-normalize, train unit-sphere centroids, assign every vector to
-    its nearest cell, and write ``<path>/centroids`` plus
-    ``<path>/assigned`` (_id, v, n, cell, d). The assignment is
+    its nearest cell, and write ``<path>/centroids``,
+    ``<path>/assigned`` (_id, v, n, cell, d), and ``<path>/radii``
+    (cell, rad — per-cell max member distance, PRECOMPUTED so serving
+    never scans the corpus for a 16-row table; written last, doubling
+    as the completed-build marker). The assignment is
     threshold-INDEPENDENT, so one build serves near-dup queries at any
     threshold — the triangle-bound prune and the blocked-matmul scoring
-    happen at serve time (:func:`near_dup_pairs_from_index`) against
-    radii recomputed from the stored centroid distances (one
-    metadata-sized aggregate)."""
+    happen at serve time (:func:`near_dup_pairs_from_index`)."""
     import os
 
-    from pyspark.sql import Window
-
     dim = infer_dim(corpus, vec_col)
-    base = corpus.select(
+    unit = corpus.select(
         F.col(id_col).alias("_id"), _as_double(F.col(vec_col)).alias("v")
-    ).select("_id", "v", l2_norm(F.col("v"), dim).alias("n"))
-    unit = base.select(
-        "_id", "v", "n",
+    ).select(
+        "_id", F.col("v"), l2_norm(F.col("v"), dim).alias("n")
+    ).select(
+        "_id",
         F.when(F.col("n") > 0, F.transform("v", lambda x: x / F.col("n")))
-        .otherwise(F.col("v")).alias("u"),
+        .otherwise(F.col("v")).alias("v"),
     )
-    cents = _train_centroids(
-        unit.select("_id", F.col("u").alias("v")), n_cells, dim, iters=train_iters
-    ).coalesce(1).cache()
+    cents = _train_centroids(unit, n_cells, dim, iters=train_iters) \
+        .coalesce(1).cache()
     cents.write.mode("overwrite").parquet(os.path.join(path, CENTROIDS_DIR))
-    assigned = (
-        unit.crossJoin(F.broadcast(cents))
-        .withColumn("d", F.sqrt(_d2(F.col("u"), F.col("centroid"), dim)))
-        .withColumn(
-            "rk", F.row_number().over(Window.partitionBy("_id").orderBy("d", "cell"))
-        )
-        .filter(F.col("rk") == 1)
-        .select("_id", "v", "n", "cell", "d")
-    )
+    assigned = normalize_and_assign(corpus, cents, id_col, vec_col, dim)
     assigned.write.mode("overwrite").partitionBy("cell").parquet(
         os.path.join(path, ASSIGN_DIR)
     )
-    # radii persist WITH the build (written last — the completed-build
-    # marker): serving would otherwise re-scan the whole corpus per
-    # query just to rebuild a 16-row table. Computed from the
-    # just-written assignment, not the in-flight one, so the stored
-    # radii provably describe the stored cells.
+    # radii computed from the just-written assignment, not the in-flight
+    # one, so the stored radii provably describe the stored cells
     stored = corpus.sparkSession.read.parquet(os.path.join(path, ASSIGN_DIR))
     stored.groupBy("cell").agg(F.max("d").alias("rad")).coalesce(1) \
         .write.mode("overwrite").parquet(os.path.join(path, RADII_DIR))
@@ -176,54 +164,67 @@ def append_to_near_dup_index(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> None:
-    """Grow a persisted near-dup index: unit-normalize the delta,
-    assign to the nearest EXISTING cell, append to the assignment
-    layout, then recompute and overwrite the radii table from the full
-    stored assignment (one index scan — append cadence, not query
-    cadence).
+    """Grow a persisted near-dup index, O(delta) per append:
+
+    1. assign the delta to its nearest EXISTING cell (broadcast join
+       against the n_cells centroids — O(|delta|));
+    2. drop delta ids already present (column-pruned anti-join against
+       the stored ``_id`` column — the ONLY index-sized read, and it
+       reads one column; makes a retried append idempotent instead of
+       silently duplicating rows, which would break the kernel's
+       one-cell-per-vector invariant);
+    3. OVERWRITE radii with greatest(stored, delta per-cell max) — a
+       16-row merge, not an index rescan — BEFORE appending;
+    4. append the fresh delta rows to the assignment layout.
+
+    Radii-first ordering is what makes a crash SAFE: oversized radii
+    only loosen the triangle-bound prune (serving stays exact, just
+    slower), while undersized radii would silently DROP qualifying
+    pairs. A crash between 3 and 4 leaves radii covering vectors that
+    never landed — exactness preserved; re-run the append (step 2
+    makes that idempotent). Serialize appends with each other and with
+    serves (the radii overwrite is not atomic against a concurrent
+    read) — the same single-writer discipline as the staging MERGE.
 
     Unlike ANN probing, near-dup serving stays EXACT through appends:
-    the triangle-bound prune is correct for ARBITRARY centroids (stale
-    centroids only widen radii and weaken pruning, never correctness),
-    so append + serve is bit-identical to a fresh one-shot run on the
+    the triangle-bound prune is correct for ARBITRARY centroids, so
+    append + serve is bit-identical to a fresh one-shot run on the
     grown corpus — pytest-asserted, not just recall-bounded. The cost
     of centroid staleness is performance (looser radii → fewer pruned
-    cell pairs); rebuild when the appended fraction makes serving slow.
-
-    NOT crash-atomic: the radii rewrite follows the assignment append,
-    and re-running a failed append would duplicate delta rows (parquet
-    append). On append failure, rebuild the index — the same
-    LSM-discipline trade as append_to_ivf_index."""
+    cell pairs); rebuild when the appended fraction makes serving
+    slow."""
     import os
-
-    from pyspark.sql import Window
 
     spark = new_vectors.sparkSession
     cents = spark.read.parquet(os.path.join(path, CENTROIDS_DIR)).coalesce(1)
     dim = infer_dim(new_vectors, vec_col)
-    base = new_vectors.select(
-        F.col(id_col).alias("_id"), _as_double(F.col(vec_col)).alias("v")
-    ).select("_id", "v", l2_norm(F.col("v"), dim).alias("n"))
-    unit = base.select(
-        "_id", "v", "n",
-        F.when(F.col("n") > 0, F.transform("v", lambda x: x / F.col("n")))
-        .otherwise(F.col("v")).alias("u"),
-    )
-    assigned = (
-        unit.crossJoin(F.broadcast(cents))
-        .withColumn("d", F.sqrt(_d2(F.col("u"), F.col("centroid"), dim)))
-        .withColumn(
-            "rk", F.row_number().over(Window.partitionBy("_id").orderBy("d", "cell"))
+    assigned = normalize_and_assign(new_vectors, cents, id_col, vec_col, dim)
+    existing_ids = spark.read.parquet(os.path.join(path, ASSIGN_DIR)).select("_id")
+    fresh = assigned.join(existing_ids, "_id", "left_anti").cache()
+    try:
+        delta_radii = fresh.groupBy("cell").agg(F.max("d").alias("new_rad"))
+        old_radii = spark.read.parquet(os.path.join(path, RADII_DIR))
+        merged = (
+            old_radii.join(delta_radii, "cell", "full_outer")
+            .select(
+                "cell",
+                F.greatest(
+                    F.coalesce(F.col("rad"), F.lit(0.0)),
+                    F.coalesce(F.col("new_rad"), F.lit(0.0)),
+                ).alias("rad"),
+            )
+            .coalesce(1)
         )
-        .filter(F.col("rk") == 1)
-        .select("_id", "v", "n", "cell", "d")
-    )
-    assigned.write.mode("append").partitionBy("cell").parquet(
-        os.path.join(path, ASSIGN_DIR)
-    )
-    stored = spark.read.parquet(os.path.join(path, ASSIGN_DIR))
-    stored.groupBy("cell").agg(F.max("d").alias("rad")).coalesce(1) \
-        .write.mode("overwrite").parquet(os.path.join(path, RADII_DIR))
+        # materialize BEFORE the overwrite: the plan reads the same
+        # radii directory it is about to replace
+        rows = merged.collect()
+        spark.createDataFrame(rows, merged.schema).coalesce(1) \
+            .write.mode("overwrite").parquet(os.path.join(path, RADII_DIR))
+        fresh.write.mode("append").partitionBy("cell").parquet(
+            os.path.join(path, ASSIGN_DIR)
+        )
+    finally:
+        fresh.unpersist()
 
 
 def near_dup_pairs_from_index(

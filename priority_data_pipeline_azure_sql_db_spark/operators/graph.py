@@ -36,6 +36,16 @@ from pyspark.sql import functions as F
 _CHECKPOINT_EVERY = 5
 
 
+def _truncate_lineage(df: DataFrame) -> DataFrame:
+    """Eager checkpoint: reliable when the session has a checkpoint dir
+    (cluster deployments — localCheckpoint blocks are executor-local
+    and unrecoverable once lineage is truncated), local otherwise
+    (single-JVM mode, where executor loss is process death anyway)."""
+    if df.sparkSession.sparkContext.getCheckpointDir():
+        return df.checkpoint(eager=True)
+    return df.localCheckpoint(eager=True)
+
+
 def connected_components(
     edges: DataFrame,
     src: str = "id_a",
@@ -48,20 +58,25 @@ def connected_components(
     ``edges`` rows are undirected pairs; direction and duplicates don't
     matter (they're symmetrized and deduped here).
     """
-    # EAGER localCheckpoint, not cache(): the loop consumes the edge
+    # EAGER checkpoint, not cache(): the loop consumes the edge
     # relation many times (neighbor join + convergence count per round),
     # and a cache leaves the full upstream lineage in every plan — with
     # an expensive edge source (round 7: the blocked-matmul embedding
     # near-dup, ~15 s a pass) partial cache hits re-executed the whole
     # pair computation inside the loop (measured 360 s for a 99-node
     # graph). Checkpointing truncates the lineage to the materialized
-    # edges; the loop then only ever touches edge-sized data.
+    # edges; the loop then only ever touches edge-sized data. RELIABLE
+    # checkpoint when the session has a checkpoint dir (cluster
+    # deployments: localCheckpoint blocks are executor-local and die
+    # with the executor, unrecoverable once lineage is truncated);
+    # localCheckpoint otherwise (single-JVM local mode, where executor
+    # loss is process death anyway).
     sym = (
         edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
         .union(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
         .distinct()
-        .localCheckpoint(eager=True)
     )
+    sym = _truncate_lineage(sym)
     labels = sym.select(F.col("u").alias("node")).distinct().withColumn(
         "label", F.col("node")
     ).cache()
@@ -77,7 +92,7 @@ def connected_components(
             .agg(F.min("label").alias("label"))
         )
         if it % _CHECKPOINT_EVERY == _CHECKPOINT_EVERY - 1:
-            new_labels = new_labels.localCheckpoint(eager=True)
+            new_labels = _truncate_lineage(new_labels)
         # cached: the convergence count below and the next round's join
         # both consume this round's labels — without the cache each round
         # re-executes the whole prior lineage twice

@@ -363,6 +363,43 @@ def embedding_near_dup_allpairs(
     )
 
 
+def normalize_and_assign(
+    df: DataFrame,
+    cents: DataFrame,
+    id_col: str,
+    vec_col: str,
+    dim: int,
+) -> DataFrame:
+    """Unit-normalize vectors and assign each to its nearest centroid —
+    the ONE copy of the near-dup assignment contract, shared by
+    :func:`embedding_near_dup` and the persisted index's build/append
+    paths (operators/ann_index.py). The zero-norm guard and the
+    ``(d, cell)`` tie-break are load-bearing: the persisted-index
+    exactness tests hold only while every path assigns identically.
+    Returns (_id, v, n, cell, d)."""
+    base = df.select(
+        F.col(id_col).alias("_id"), _as_double(F.col(vec_col)).alias("v")
+    ).select("_id", "v", l2_norm(F.col("v"), dim).alias("n"))
+    # zero-norm guard mirrors normalize_embeddings: dividing by 0 would
+    # make u all-NaN, the vector's cell radius NaN, and (NaN-is-largest)
+    # every triangle test involving that cell vacuously true — silently
+    # disabling pruning for the whole cell
+    unit = base.select(
+        "_id", "v", "n",
+        F.when(F.col("n") > 0, F.transform("v", lambda x: x / F.col("n")))
+        .otherwise(F.col("v")).alias("u"),
+    )
+    return (
+        unit.crossJoin(F.broadcast(cents))
+        .withColumn("d", F.sqrt(_d2(F.col("u"), F.col("centroid"), dim)))
+        .withColumn(
+            "rk", F.row_number().over(Window.partitionBy("_id").orderBy("d", "cell"))
+        )
+        .filter(F.col("rk") == 1)
+        .select("_id", "v", "n", "cell", "d")
+    )
+
+
 def embedding_near_dup(
     df: DataFrame,
     id_col: str = "vec_id",
@@ -408,38 +445,26 @@ def embedding_near_dup(
     # lexicographically, same order as the Spark `<` on strings), instead
     # of the earlier hardcoded int64 that mangled non-integer ids
     id_type = df.schema[id_col].dataType.simpleString()
-    base = spread(df.select(
+    spread_df = spread(df.select(
         F.col(id_col).alias("_id"), _as_double(F.col(vec_col)).alias("v")
-    ), "_id").select("_id", "v", l2_norm(F.col("v"), dim).alias("n"))
-    # zero-norm guard mirrors normalize_embeddings: dividing by 0 would
-    # make u all-NaN, the vector's cell radius NaN, and (NaN-is-largest)
-    # every triangle test involving that cell vacuously true — silently
-    # disabling pruning for the whole cell
-    unit = base.select(
-        "_id", "v", "n",
+    ), "_id")
+    unit_for_training = spread_df.select(
+        "_id", "v", l2_norm(F.col("v"), dim).alias("n")
+    ).select(
+        "_id",
         F.when(F.col("n") > 0, F.transform("v", lambda x: x / F.col("n")))
-        .otherwise(F.col("v")).alias("u"),
+        .otherwise(F.col("v")).alias("v"),
     )
 
     # centroids trained on the UNIT vectors (shared training helper).
     # train_iters=0 is sound: the triangle-bound prune is exact for any
     # centroids (refinement only tightens cells) — a caller that retrains
     # per run can skip the refinement's extra full-corpus pass.
-    cents = _train_centroids(
-        unit.select("_id", F.col("u").alias("v")), n_cells, dim, iters=train_iters
-    ).cache()
+    cents = _train_centroids(unit_for_training, n_cells, dim, iters=train_iters).cache()
 
-    # nearest-cell assignment (n_cells-row broadcast against the corpus)
-    assigned = (
-        unit.crossJoin(F.broadcast(cents))
-        .withColumn("d", F.sqrt(_d2(F.col("u"), F.col("centroid"), dim)))
-        .withColumn(
-            "rk", F.row_number().over(Window.partitionBy("_id").orderBy("d", "cell"))
-        )
-        .filter(F.col("rk") == 1)
-        .select("_id", "v", "n", "cell", "d")
-        .cache()
-    )
+    # nearest-cell assignment (n_cells-row broadcast against the corpus;
+    # the shared helper — one copy of the zero-norm guard + tie-break)
+    assigned = normalize_and_assign(spread_df, cents, "_id", "v", dim).cache()
 
     return _near_dup_score_assignment(assigned, cents, dim, threshold, id_type)
 

@@ -1333,12 +1333,16 @@ def embedding_near_dup_indexed(spark, sf_dir):
     hash-checked through the persist→read round-trip."""
     import os
 
-    from .operators.ann_index import build_near_dup_index, near_dup_pairs_from_index
+    from .operators.ann_index import (
+        RADII_DIR,
+        build_near_dup_index,
+        near_dup_pairs_from_index,
+    )
 
     emb = load_table(spark, sf_dir, "embeddings")
     path = _resident_path("neardup_idx", sf_dir)
     # gate on the LAST-written artifact (radii) — see ensure_dedup_index
-    if not os.path.exists(os.path.join(path, "radii", "_SUCCESS")):
+    if not os.path.exists(os.path.join(path, RADII_DIR, "_SUCCESS")):
         build_near_dup_index(emb, path, n_cells=16, train_iters=1)
     return near_dup_pairs_from_index(spark, path, threshold=0.4)
 

@@ -542,3 +542,69 @@ def test_near_dup_index_append_stays_exact(spark, sf_dir, tmp_path):
     # cross-slice pairs exist, so the append path is genuinely exercised
     delta_ids = {r.vec_id for r in delta.select("vec_id").collect()}
     assert any((a in delta_ids) != (b in delta_ids) for a, b, _ in served)
+
+
+def test_near_dup_index_append_idempotent_and_radii_safe(spark, sf_dir, tmp_path):
+    """Append hardening (round-7 review): (1) re-running the SAME append
+    is a no-op (duplicate ids are anti-joined away — the retry path),
+    with served results unchanged; (2) radii are written radii-FIRST, so
+    a crash between the radii overwrite and the assignment append leaves
+    only OVERSIZED radii — simulated here by overwriting radii with the
+    merged values while withholding the delta rows — and serving the
+    committed index stays exact (oversized radii only weaken pruning)."""
+    import os
+
+    from priority_data_pipeline_azure_sql_db_spark.operators.ann_index import (
+        RADII_DIR,
+        append_to_near_dup_index,
+        build_near_dup_index,
+        near_dup_pairs_from_index,
+    )
+    from priority_data_pipeline_azure_sql_db_spark.operators.similarity import (
+        embedding_near_dup,
+    )
+    from priority_data_pipeline_azure_sql_db_spark.sources.parquet import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    base = emb.filter(F.col("vec_id") % 4 != 0)
+    delta = emb.filter(F.col("vec_id") % 4 == 0)
+    path = str(tmp_path / "nd_idem")
+    build_near_dup_index(base, path, n_cells=8, train_iters=1)
+
+    # (2) simulate the crash window: radii already merged for the delta,
+    # assignment append never landed — serve of the BASE index must
+    # still equal one-shot on the base corpus
+    import shutil
+
+    assert delta.count() > 0
+    append_to_near_dup_index(delta, path)  # completes fully
+    served_full = {
+        (r.id_a, r.id_b, r.sim)
+        for r in near_dup_pairs_from_index(spark, path, threshold=0.4).collect()
+    }
+    # torn-state simulation on a COPY: base assignment + post-append
+    # (oversized w.r.t. base) radii
+    torn = str(tmp_path / "nd_torn")
+    build_near_dup_index(base, torn, n_cells=8, train_iters=1)
+    shutil.rmtree(os.path.join(torn, RADII_DIR))
+    shutil.copytree(os.path.join(path, RADII_DIR), os.path.join(torn, RADII_DIR))
+    served_torn = {
+        (r.id_a, r.id_b, r.sim)
+        for r in near_dup_pairs_from_index(spark, torn, threshold=0.4).collect()
+    }
+    oneshot_base = {
+        (r.id_a, r.id_b, r.sim)
+        for r in embedding_near_dup(base, threshold=0.4, n_cells=8).collect()
+    }
+    assert served_torn == oneshot_base  # oversized radii stay exact
+
+    # (1) retried append: anti-join drops every duplicate id
+    n_before = spark.read.parquet(os.path.join(path, "assigned")).count()
+    append_to_near_dup_index(delta, path)
+    n_after = spark.read.parquet(os.path.join(path, "assigned")).count()
+    assert n_after == n_before
+    served_again = {
+        (r.id_a, r.id_b, r.sim)
+        for r in near_dup_pairs_from_index(spark, path, threshold=0.4).collect()
+    }
+    assert served_again == served_full
