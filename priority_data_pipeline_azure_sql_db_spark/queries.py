@@ -4143,9 +4143,7 @@ def pack_materialized_sequences(spark, sf_dir):
     return materialize_packed_sequences(d, budget=512, shard_col="shard")
 
 
-@query(
-    "pack_length_bucket_batches",
-    """
+_LENGTH_BUCKET_SQL = """
     WITH toks AS (
         SELECT doc_id,
                CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT)
@@ -4153,38 +4151,61 @@ def pack_materialized_sequences(spark, sf_dir):
                md5('batch-0:' || CAST(doc_id AS VARCHAR)) AS k
         FROM documents
     ), b AS (
-        SELECT doc_id, n_tokens, k,
+        SELECT doc_id, n_tokens, k, substr(k, 1, {width}) AS shard,
                CASE WHEN n_tokens <= 1 THEN 0
                     ELSE LENGTH(bin(n_tokens - 1)) END AS bucket
         FROM toks
     ), p AS (
-        SELECT doc_id, n_tokens, bucket,
+        SELECT doc_id, n_tokens, shard, bucket,
                CAST(1 << bucket AS BIGINT) AS padded_len,
                GREATEST(1, 4096 // CAST(1 << bucket AS BIGINT)) AS per,
-               CAST(ROW_NUMBER() OVER (PARTITION BY bucket ORDER BY k, doc_id)
+               CAST(ROW_NUMBER() OVER (PARTITION BY shard, bucket
+                                       ORDER BY k, doc_id)
                     - 1 AS BIGINT) AS pos
         FROM b
     )
-    SELECT doc_id, n_tokens, padded_len, CAST(bucket AS BIGINT) AS bucket,
+    SELECT doc_id, n_tokens, padded_len, shard,
+           CAST(bucket AS BIGINT) AS bucket,
            CAST(pos // per AS BIGINT) AS batch_in_bucket,
            CAST(pos % per AS BIGINT) AS pos_in_batch
     FROM p
-    """,
-)
+    """
+
+
+@query("pack_length_bucket_batches", _LENGTH_BUCKET_SQL.format(width=1))
 def pack_length_bucket_batches(spark, sf_dir):
-    """Length-bucketed BATCH SCHEDULE (round 7): power-of-two length
-    buckets (padding waste bounded at 2x), fixed 4,096-token batches of
-    max_batch_tokens/padded_len docs each, reproducible md5 order — the
-    deterministic dynamic-batching layout padded training/inference
-    loaders consume. The bucket is computed as the exact BIT LENGTH of
-    n_tokens-1 (bin() in both engines), never float log2, which can
-    ceil() differently across engines at exact powers of two; the
-    oracle replays the whole schedule, so batch membership and
-    within-batch positions are hash-checked."""
+    """Length-bucketed BATCH SCHEDULE (round 7, SHARDED round 8):
+    power-of-two length buckets (padding waste bounded at 2x), fixed
+    4,096-token batches of max_batch_tokens/padded_len docs each,
+    reproducible md5 order — the deterministic dynamic-batching layout
+    padded training/inference loaders consume. Round 8 keys the
+    schedule window on (shard, bucket) — buckets are log-many, so the
+    round-7 bucket-only window put corpus/~40 rows on one task at
+    scale (VERDICT r7); the shard is the md5 sort key's hex prefix,
+    exactly the epoch_shuffle discipline. The bucket is computed as
+    the exact BIT LENGTH of n_tokens-1 (bin() in both engines), never
+    float log2, which can ceil() differently across engines at exact
+    powers of two; the oracle replays the whole schedule, so batch
+    membership and within-batch positions are hash-checked."""
     from .operators.pack import length_bucket_batches
 
     d = load_table(spark, sf_dir, "documents")
     return length_bucket_batches(d, max_batch_tokens=4096, seed="batch-0")
+
+
+@query("pack_length_bucket_batches_wide", _LENGTH_BUCKET_SQL.format(width=2))
+def pack_length_bucket_batches_wide(spark, sf_dir):
+    """shard_width=2 twin of pack_length_bucket_batches (256 shards ×
+    ~10 buckets at sf0.01): hash-checks that widening the shard prefix
+    re-partitions the batch schedule exactly as the hex-prefix math
+    says — the same refinement contract epoch_shuffle_wide proves for
+    the epoch order."""
+    from .operators.pack import length_bucket_batches
+
+    d = load_table(spark, sf_dir, "documents")
+    return length_bucket_batches(
+        d, max_batch_tokens=4096, seed="batch-0", shard_width=2
+    )
 
 
 @query(

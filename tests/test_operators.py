@@ -317,12 +317,17 @@ def test_connected_components_raises_past_max_iter(spark):
 
 def test_pack_sequences_straddle_and_shard(spark):
     """A doc crossing the budget boundary spans 2 sequences; shard-local
-    packing restarts offsets per shard."""
-    from priority_data_pipeline_azure_sql_db_spark.operators.pack import pack_sequences
+    packing restarts offsets per shard. Global-stream semantics need the
+    explicit GLOBAL opt-in since round 8 (the default derives shards)."""
+    from priority_data_pipeline_azure_sql_db_spark.operators.pack import (
+        GLOBAL,
+        pack_sequences,
+    )
 
     rows = [(1, "a b c"), (2, "d e f g"), (3, "h i")]  # 3,4,2 tokens
     df = spark.createDataFrame(rows, "doc_id bigint, text string")
-    out = {r.doc_id: r for r in pack_sequences(df, budget=5).collect()}
+    out = {r.doc_id: r
+           for r in pack_sequences(df, budget=5, shard_col=GLOBAL).collect()}
     assert (out[1].first_seq, out[1].offset_in_seq, out[1].n_seqs_spanned) == (0, 0, 1)
     # doc 2: tokens 3..6 -> crosses the 5-token boundary, spans seqs 0-1
     assert (out[2].first_seq, out[2].offset_in_seq, out[2].n_seqs_spanned) == (0, 3, 2)
@@ -819,8 +824,9 @@ def test_length_bucket_batches_schedule(spark):
         p = r.padded_len
         assert p >= r.n_tokens and (p == 1 or p // 2 < r.n_tokens)  # least pow2
         assert p == 1 << r.bucket
-        by_batch.setdefault((r.bucket, r.batch_in_bucket), []).append(r)
-    for (bucket, _), members in by_batch.items():
+        assert len(r.shard) == 1  # default shard_width=1: one hex digit
+        by_batch.setdefault((r.shard, r.bucket, r.batch_in_bucket), []).append(r)
+    for (_, bucket, _), members in by_batch.items():
         cap = max(1, 64 // (1 << bucket))
         assert len(members) <= cap
         assert sorted(m.pos_in_batch for m in members) == list(range(len(members)))
@@ -828,6 +834,37 @@ def test_length_bucket_batches_schedule(spark):
     # still gets a singleton batch
     long_batches = [k for k, ms in by_batch.items() if ms[0].n_tokens == 201]
     assert long_batches and all(len(by_batch[k]) == 1 for k in long_batches)
+
+    # widening the shard prefix REFINES the schedule: a width-2 shard is
+    # a subdivision of its width-1 parent, and within any (shard2,
+    # bucket) the relative doc order is the width-1 order restricted to
+    # that shard (same (key, id) sort both widths)
+    wide = length_bucket_batches(
+        df, max_batch_tokens=64, seed="s", shard_width=2
+    ).collect()
+    n1 = {r.doc_id: r for r in out}
+    assert len(wide) == len(rows)
+    for r in wide:
+        assert r.shard[:1] == n1[r.doc_id].shard
+        assert (r.n_tokens, r.bucket, r.padded_len) == (
+            n1[r.doc_id].n_tokens, n1[r.doc_id].bucket, n1[r.doc_id].padded_len
+        )
+
+    # width 0 = explicit global opt-in: bucket-only schedule, '' shard
+    flat = length_bucket_batches(
+        df, max_batch_tokens=64, seed="s", shard_width=0
+    ).collect()
+    assert {r.shard for r in flat} == {""}
+
+    # plan guard (VERDICT r7 "what's wrong #1"): the default schedule
+    # window must be keyed by shard, never bucket alone
+    import re
+    plan = (
+        length_bucket_batches(df, max_batch_tokens=64, seed="s")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    specs = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
+    assert specs and all("shard" in s for s in specs), plan
 
 
 def test_materialized_sequences_conserve_and_fill(spark, sf_dir):

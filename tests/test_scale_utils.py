@@ -1,5 +1,6 @@
 """Tests for skew utilities and the stateful streaming operator."""
 
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from priority_data_pipeline_azure_sql_db_spark.operators.skew import salted_join
@@ -178,16 +179,27 @@ def test_embedding_near_dup_no_corpus_cartesian(spark, sf_dir):
 def test_pack_sequences_conservation(spark, sf_dir):
     """Packing invariants over the real corpus: offsets stay inside the
     budget, spans are consistent with token counts, and the packed layout
-    accounts for every token exactly once (last doc's end offset equals
-    the corpus token total)."""
+    accounts for every token exactly once (each shard's last doc ends at
+    the shard token total; GLOBAL's last doc at the corpus total). Also
+    guards the round-8 default: shard_col=None must derive a keyed
+    multi-shard layout, never the one-task global window."""
     from pyspark.sql import functions as F
 
-    from priority_data_pipeline_azure_sql_db_spark.operators.pack import pack_sequences
+    from priority_data_pipeline_azure_sql_db_spark.operators.pack import (
+        GLOBAL,
+        pack_sequences,
+    )
     from priority_data_pipeline_azure_sql_db_spark.sources.parquet import load_table
 
     budget = 128
     d = load_table(spark, sf_dir, "documents")
     out = pack_sequences(d, budget=budget)
+    assert "shard" in out.columns  # default derives a shard (round 8)
+    assert out.select("shard").distinct().count() > 1
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    import re
+    specs = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
+    assert specs and all("shard" in s for s in specs), plan
     bad_offset = out.filter(
         (F.col("offset_in_seq") < 0) | (F.col("offset_in_seq") >= budget)
     ).count()
@@ -198,8 +210,31 @@ def test_pack_sequences_conservation(spark, sf_dir):
         != F.floor((F.col("offset_in_seq") + F.col("n_tokens") - 1) / budget) + 1
     ).count()
     assert bad_span == 0
+    # per-shard conservation: the max-id doc of each shard ends exactly
+    # at that shard's token total
+    shard_tot = {
+        r.shard: r.tot
+        for r in d.withColumn(
+            "shard", F.pmod(F.xxhash64("doc_id"), F.lit(32))
+        ).groupBy("shard").agg(
+            F.sum(F.size(F.split(F.trim("text"), "\\s+"))).alias("tot")
+        ).collect()
+    }
+    last_per_shard = out.withColumn(
+        "_rn",
+        F.row_number().over(
+            Window.partitionBy("shard").orderBy(F.desc("doc_id"))
+        ),
+    ).filter(F.col("_rn") == 1).collect()
+    for r in last_per_shard:
+        assert r.first_seq * budget + r.offset_in_seq + r.n_tokens \
+            == shard_tot[r.shard]
+
+    # GLOBAL opt-in: old single-stream semantics, corpus-total end
+    g = pack_sequences(d, budget=budget, shard_col=GLOBAL)
+    assert "shard" not in g.columns
     total = d.select(F.sum(F.size(F.split(F.trim("text"), "\\s+")))).first()[0]
-    last = out.orderBy(F.desc("doc_id")).limit(1).first()
+    last = g.orderBy(F.desc("doc_id")).limit(1).first()
     assert last.first_seq * budget + last.offset_in_seq + last.n_tokens == total
 
 
