@@ -1,12 +1,15 @@
-"""Pure-stdlib media codecs — the REAL decode path (round 7).
+"""Pure-stdlib media codecs — the REAL decode path (round 7, PNG r8).
 
-The sandbox ships no PIL/librosa/av, but two production formats are
-decodable with nothing beyond ``struct`` + numpy: uncompressed 24-bit
-BMP (BITMAPINFOHEADER, the baseline Windows DIB every image tool can
-emit) and PCM WAV (RIFF, 8/16-bit). These are complete, real decoders —
-not stubs — so the multimodal pipeline computes genuine pixel/sample
-statistics in-sandbox, and richer codecs (PIL/av) slot in behind the
-same ``sniff``/decode interface via try-import gating
+The sandbox ships no PIL/librosa/av, but three production formats are
+decodable with nothing beyond ``struct``/``zlib`` + numpy: uncompressed
+24-bit BMP (BITMAPINFOHEADER, the baseline Windows DIB every image tool
+can emit), PCM WAV (RIFF, 8/16-bit), and — round 8 — non-interlaced
+8-bit RGB/RGBA PNG (zlib inflate + full scanline unfiltering: None/
+Sub/Up/Average/Paeth), by far the most common image container in real
+web corpora. These are complete, real decoders — not stubs — so the
+multimodal pipeline computes genuine pixel/sample statistics
+in-sandbox, and richer codecs (PIL/av) slot in behind the same
+``sniff``/decode interface via try-import gating
 (operators/multimodal.py) exactly like the protobuf-gated streaming
 twin.
 
@@ -18,18 +21,22 @@ verifiable without binary fixtures in the repo.
 from __future__ import annotations
 
 import struct
+import zlib
 
 import numpy as np
 
 BMP_MAGIC = b"BM"
 WAV_MAGIC = b"RIFF"
+PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
 
 
 def sniff(content: bytes | None) -> str | None:
-    """Identify a blob by magic bytes: 'bmp' | 'wav' | None."""
+    """Identify a blob by magic bytes: 'bmp' | 'png' | 'wav' | None."""
     b = content or b""
     if b[:2] == BMP_MAGIC and len(b) >= 54:
         return "bmp"
+    if b[:8] == PNG_MAGIC:
+        return "png"
     if b[:4] == WAV_MAGIC and b[8:12] == b"WAVE":
         return "wav"
     return None
@@ -97,18 +104,142 @@ def image_features(pixels: np.ndarray) -> list[float]:
     """8-dim real image descriptor: (w, h, mean R, mean G, mean B,
     grayscale std, mean |vertical gradient|, mean |horizontal
     gradient|), each fixed to 6 decimals (floor(x*1e6+0.5) — the
-    engine-portable rounding used across the repo)."""
+    engine-portable rounding used across the repo). RGBA input uses the
+    RGB planes (alpha is coverage, not color). Gray is the explicit
+    0.299*R + 0.587*G + 0.114*B left-to-right expression — not a BLAS
+    dot whose accumulation order (or FMA use) the SQL oracle could not
+    reproduce — and std is the two-pass sqrt(mean((x-mean)^2)), the
+    same formula an oracle writes."""
     h, w, _ = pixels.shape
-    px = pixels.astype(np.float64)
-    gray = px @ np.array([0.299, 0.587, 0.114])
+    px = pixels[:, :, :3].astype(np.float64)
+    gray = 0.299 * px[:, :, 0] + 0.587 * px[:, :, 1] + 0.114 * px[:, :, 2]
     gv = float(np.mean(np.abs(np.diff(gray, axis=0)))) if h > 1 else 0.0
     gh = float(np.mean(np.abs(np.diff(gray, axis=1)))) if w > 1 else 0.0
     vals = [
         float(w), float(h),
         float(px[:, :, 0].mean()), float(px[:, :, 1].mean()),
-        float(px[:, :, 2].mean()), float(gray.std()), gv, gh,
+        float(px[:, :, 2].mean()),
+        float(np.sqrt(np.mean((gray - gray.mean()) ** 2))), gv, gh,
     ]
     return [np.floor(v * 1e6 + 0.5) / 1e6 for v in vals]
+
+
+# ---------------------------------------------------------------------------
+# PNG — 8-bit RGB / RGBA, non-interlaced (round 8)
+# ---------------------------------------------------------------------------
+
+def decode_png(content: bytes) -> np.ndarray:
+    """Decode a non-interlaced 8-bit RGB/RGBA PNG to an (h, w, 3|4)
+    uint8 array.
+
+    Full spec-path decode: walk chunks (IHDR → IDAT* → IEND), inflate
+    the concatenated IDAT stream with stdlib zlib, then reverse the
+    per-scanline filter — each row starts with a filter byte and
+    filters 1 (Sub), 3 (Average), 4 (Paeth) have an in-row left
+    dependency, so those rows reconstruct left-to-right; 0 (None) and
+    2 (Up) vectorize whole-row. Palette/grayscale/16-bit/interlaced
+    variants raise ``NotImplementedError`` (the honest format boundary,
+    same stance as decode_bmp's non-24-bit branch).
+    """
+    if content[:8] != PNG_MAGIC:
+        raise ValueError("not a PNG: missing signature")
+    pos, ihdr, idat = 8, None, bytearray()
+    while pos + 8 <= len(content):
+        (length,) = struct.unpack_from(">I", content, pos)
+        ctype = content[pos + 4: pos + 8]
+        body = content[pos + 8: pos + 8 + length]
+        if len(body) < length:
+            raise ValueError(f"truncated PNG chunk {ctype!r}")
+        if ctype == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", body)
+        elif ctype == b"IDAT":
+            idat += body
+        elif ctype == b"IEND":
+            break
+        pos += 12 + length  # length + type + data + crc
+    if ihdr is None or not idat:
+        raise ValueError("PNG missing IHDR/IDAT chunk")
+    w, h, depth, color, comp, filt, interlace = ihdr
+    if depth != 8 or color not in (2, 6):
+        raise NotImplementedError(
+            f"only 8-bit RGB/RGBA PNG supported (depth {depth}, color type "
+            f"{color})"
+        )
+    if comp != 0 or filt != 0 or interlace != 0:
+        raise NotImplementedError(
+            f"unsupported PNG compression/filter/interlace method "
+            f"({comp}/{filt}/{interlace})"
+        )
+    if w <= 0 or h <= 0:
+        raise ValueError(f"degenerate PNG dimensions {w}x{h}")
+    bpp = 3 if color == 2 else 4
+    stride = w * bpp
+    raw = zlib.decompress(bytes(idat))
+    if len(raw) != h * (1 + stride):
+        raise ValueError(
+            f"PNG pixel stream is {len(raw)} bytes, expected {h * (1 + stride)}"
+        )
+    out = np.zeros((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.int32)
+    for r in range(h):
+        f = raw[r * (1 + stride)]
+        cur = np.frombuffer(
+            raw, dtype=np.uint8, count=stride, offset=r * (1 + stride) + 1
+        ).astype(np.int32)
+        if f == 0:
+            pass
+        elif f == 2:  # Up
+            cur = (cur + prev) & 0xFF
+        elif f == 1:  # Sub: left-neighbor prefix dependency
+            for x in range(bpp, stride):
+                cur[x] = (cur[x] + cur[x - bpp]) & 0xFF
+        elif f == 3:  # Average
+            for x in range(stride):
+                left = cur[x - bpp] if x >= bpp else 0
+                cur[x] = (cur[x] + ((left + prev[x]) >> 1)) & 0xFF
+        elif f == 4:  # Paeth
+            for x in range(stride):
+                a = cur[x - bpp] if x >= bpp else 0
+                b = prev[x]
+                c = prev[x - bpp] if x >= bpp else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+                cur[x] = (cur[x] + pred) & 0xFF
+        else:
+            raise ValueError(f"invalid PNG filter type {f}")
+        out[r] = cur
+        prev = cur
+    return out.reshape(h, w, bpp)
+
+
+def encode_png(pixels: np.ndarray, level: int = 9) -> bytes:
+    """Encode an (h, w, 3|4) uint8 array as a non-interlaced 8-bit
+    RGB/RGBA PNG (filter 0 scanlines, single IDAT) — the exact layout
+    :func:`decode_png` parses. Fixed zlib level so the bytes are
+    deterministic for a given input."""
+    arr = np.asarray(pixels, dtype=np.uint8)
+    h, w, ch = arr.shape
+    if ch not in (3, 4):
+        raise ValueError(f"expected 3 or 4 channels, got {ch}")
+    scanlines = bytearray()
+    for r in range(h):
+        scanlines.append(0)  # filter: None
+        scanlines += arr[r].tobytes()
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2 if ch == 3 else 6, 0, 0, 0)
+
+    def chunk(ctype: bytes, body: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(body)) + ctype + body
+            + struct.pack(">I", zlib.crc32(ctype + body) & 0xFFFFFFFF)
+        )
+
+    return (
+        PNG_MAGIC
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(scanlines), level))
+        + chunk(b"IEND", b"")
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -3,8 +3,9 @@
 Images / audio / video are opaque ``binary`` columns with typed metadata.
 The Spark-side plumbing — schema, Arrow batch shape, partition-parallel
 ``mapInPandas`` — is real and tested. The codec tier (round 7) is now
-REAL for two formats via pure-stdlib decoders (operators/codecs.py):
-uncompressed 24-bit BMP and PCM WAV decode to genuine pixel/sample
+REAL for three formats via pure-stdlib decoders (operators/codecs.py):
+uncompressed 24-bit BMP, 8-bit RGB/RGBA PNG (round 8 — zlib inflate +
+full scanline unfiltering), and PCM WAV decode to genuine pixel/sample
 statistics in-sandbox; richer codecs (PIL/av) slot in behind the same
 sniff/decode interface with try-import gating (the same stance as the
 protobuf-gated streaming twin), and only blobs NO available codec can
@@ -39,7 +40,7 @@ FEATURE_SCHEMA = T.StructType([
     T.StructField("media_type", T.StringType()),
     T.StructField("n_bytes", T.LongType()),
     T.StructField("content_md5", T.StringType()),
-    T.StructField("codec", T.StringType()),       # bmp | wav | pil | stub-md5
+    T.StructField("codec", T.StringType()),       # bmp | png | wav | pil | stub-md5
     T.StructField("feature", T.ArrayType(T.DoubleType())),
 ])
 
@@ -77,13 +78,15 @@ except ImportError:
 
 def decode_media(media_type: str, content: bytes):
     """The REAL decode path. Routes by magic bytes (the blob is the
-    truth, not the declared media_type): uncompressed 24-bit BMP and
-    PCM WAV decode with the pure-stdlib codecs; other formats go to PIL
-    when installed; anything else raises ``NotImplementedError`` (the
-    honest boundary — callers wanting a total function use
-    :func:`extract_features`, which falls back to the tagged stub).
+    truth, not the declared media_type): uncompressed 24-bit BMP,
+    8-bit RGB/RGBA PNG (round 8), and PCM WAV decode with the
+    pure-stdlib codecs; other formats go to PIL when installed;
+    anything else raises ``NotImplementedError`` (the honest boundary —
+    callers wanting a total function use :func:`extract_features`,
+    which falls back to the tagged stub).
 
     Returns ('bmp', (h, w, 3) uint8 RGB array),
+    ('png', (h, w, 3|4) uint8 array),
     ('wav', (sample_rate, (n, ch) float array)), or
     ('pil', PIL.Image)."""
     from . import codecs
@@ -91,6 +94,8 @@ def decode_media(media_type: str, content: bytes):
     kind = codecs.sniff(content)
     if kind == "bmp":
         return "bmp", codecs.decode_bmp(content)
+    if kind == "png":
+        return "png", codecs.decode_png(content)
     if kind == "wav":
         return "wav", codecs.decode_wav(content)
     if _PIL_Image is not None and media_type == "image" and content:
@@ -102,7 +107,8 @@ def decode_media(media_type: str, content: bytes):
             raise ValueError(f"PIL could not decode blob: {exc}") from exc
     raise NotImplementedError(
         f"no available codec for this blob (media_type={media_type!r}; "
-        "in-sandbox codecs: uncompressed 24-bit BMP, PCM WAV; install "
+        "in-sandbox codecs: uncompressed 24-bit BMP, 8-bit RGB/RGBA PNG, "
+        "PCM WAV; install "
         "PIL/librosa/av for more)"
     )
 
@@ -134,7 +140,7 @@ def extract_features(df: DataFrame) -> DataFrame:
                 kind, decoded = decode_media(media_type, blob)
             except (ValueError, NotImplementedError):
                 return "stub-md5", _decode_stub(media_type, blob)
-            if kind == "bmp":
+            if kind in ("bmp", "png"):
                 return kind, codecs.image_features(decoded)
             if kind == "wav":
                 return kind, codecs.audio_features(*decoded)

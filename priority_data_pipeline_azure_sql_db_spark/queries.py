@@ -2310,18 +2310,112 @@ def multimodal_frame_sample(spark, sf_dir):
     return sample_frames(media, every_nth=10, max_frames=8)
 
 
-@query("multimodal_real_codec")  # binary decode path → rows-only check
+@query(
+    "multimodal_real_codec",
+    """
+    WITH src AS (
+        SELECT doc_id, CASE WHEN text IS NULL OR length(text) = 0
+                            THEN chr(0) ELSE text END AS t
+        FROM documents WHERE doc_id < 200
+    ), padded AS (
+        SELECT doc_id,
+               substr(repeat(t, CAST(192 // length(t) + 1 AS INT)), 1, 192) AS p
+        FROM src
+    ), bytes AS (
+        SELECT doc_id, CAST(i.pos AS BIGINT) AS pos,
+               CAST(ascii(substr(p, CAST(i.pos + 1 AS INT), 1)) AS DOUBLE) AS b
+        FROM padded, LATERAL (SELECT UNNEST(range(192)) AS pos) i
+    ), pix AS (
+        SELECT doc_id, pos // 24 AS r, (pos % 24) // 3 AS c,
+               MAX(CASE WHEN pos % 3 = 0 THEN b END) AS pr,
+               MAX(CASE WHEN pos % 3 = 1 THEN b END) AS pg,
+               MAX(CASE WHEN pos % 3 = 2 THEN b END) AS pb
+        FROM bytes GROUP BY doc_id, pos // 24, (pos % 24) // 3
+    ), gray AS (
+        SELECT doc_id, r, c, pr, pg, pb,
+               CAST(0.299 AS DOUBLE)*pr + CAST(0.587 AS DOUBLE)*pg
+               + CAST(0.114 AS DOUBLE)*pb AS g
+        FROM pix
+    ), istats AS (
+        SELECT doc_id, AVG(pr) AS mr, AVG(pg) AS mg, AVG(pb) AS mb,
+               AVG(g) AS gmean
+        FROM gray GROUP BY doc_id
+    ), istd AS (
+        SELECT g.doc_id, SQRT(AVG((g.g - s.gmean)*(g.g - s.gmean))) AS sd
+        FROM gray g JOIN istats s USING (doc_id) GROUP BY g.doc_id
+    ), igv AS (
+        SELECT a.doc_id, AVG(ABS(d.g - a.g)) AS gv
+        FROM gray a JOIN gray d
+          ON a.doc_id = d.doc_id AND d.r = a.r + 1 AND d.c = a.c
+        GROUP BY a.doc_id
+    ), igh AS (
+        SELECT a.doc_id, AVG(ABS(d.g - a.g)) AS gh
+        FROM gray a JOIN gray d
+          ON a.doc_id = d.doc_id AND d.r = a.r AND d.c = a.c + 1
+        GROUP BY a.doc_id
+    ), image_feats AS (
+        SELECT i.doc_id, CAST(8 AS DOUBLE) AS f0, CAST(8 AS DOUBLE) AS f1,
+               FLOOR(mr*1e6 + 0.5)/1e6 AS f2, FLOOR(mg*1e6 + 0.5)/1e6 AS f3,
+               FLOOR(mb*1e6 + 0.5)/1e6 AS f4, FLOOR(sd*1e6 + 0.5)/1e6 AS f5,
+               FLOOR(gv*1e6 + 0.5)/1e6 AS f6, FLOOR(gh*1e6 + 0.5)/1e6 AS f7
+        FROM istats i JOIN istd USING (doc_id) JOIN igv USING (doc_id)
+             JOIN igh USING (doc_id)
+    ), aud AS (
+        SELECT doc_id, pos, ROUND((b - 128) * 32767.0 / 128, 0) / 32768.0 AS x
+        FROM bytes
+    ), astats AS (
+        SELECT doc_id, SQRT(AVG(x*x)) AS rms, MAX(ABS(x)) AS peak,
+               AVG(x) AS amean
+        FROM aud GROUP BY doc_id
+    ), astd AS (
+        SELECT a.doc_id, SQRT(AVG((a.x - s.amean)*(a.x - s.amean))) AS sd
+        FROM aud a JOIN astats s USING (doc_id) GROUP BY a.doc_id
+    ), azcr AS (
+        SELECT a.doc_id,
+               AVG(CASE WHEN (a.x < 0) <> (d.x < 0) THEN 1.0 ELSE 0.0 END) AS zcr
+        FROM aud a JOIN aud d ON a.doc_id = d.doc_id AND d.pos = a.pos + 1
+        GROUP BY a.doc_id
+    ), audio_feats AS (
+        SELECT s.doc_id, CAST(4000 AS DOUBLE) AS f0, CAST(192 AS DOUBLE) AS f1,
+               FLOOR((CAST(192 AS DOUBLE)/4000)*1e6 + 0.5)/1e6 AS f2,
+               FLOOR(rms*1e6 + 0.5)/1e6 AS f3, FLOOR(peak*1e6 + 0.5)/1e6 AS f4,
+               FLOOR(zcr*1e6 + 0.5)/1e6 AS f5, FLOOR(amean*1e6 + 0.5)/1e6 AS f6,
+               FLOOR(sd*1e6 + 0.5)/1e6 AS f7
+        FROM astats s JOIN astd USING (doc_id) JOIN azcr USING (doc_id)
+    )
+    SELECT doc_id AS media_id, 'image' AS media_type, 'bmp' AS codec,
+           CAST(246 AS BIGINT) AS n_bytes, f0, f1, f2, f3, f4, f5, f6, f7
+    FROM image_feats
+    UNION ALL
+    SELECT doc_id, 'image', 'png', CAST(NULL AS BIGINT),
+           f0, f1, f2, f3, f4, f5, f6, f7
+    FROM image_feats
+    UNION ALL
+    SELECT doc_id, 'audio', 'wav', CAST(428 AS BIGINT),
+           f0, f1, f2, f3, f4, f5, f6, f7
+    FROM audio_feats
+    """,
+)
 def multimodal_real_codec(spark, sf_dir):
-    """REAL media decode end to end (round 7): deterministic BMP images
-    and WAV clips are synthesized from each document's bytes inside the
-    executors (mapInPandas — blobs never touch the driver), then
-    extract_features routes them through the pure-stdlib codecs
-    (operators/codecs.py) and computes GENUINE pixel/sample statistics —
-    codec tags 'bmp'/'wav' in the result prove no row fell back to the
-    stub. Returns one flattened row per media item (arrays flattened for
-    the driver comparator). Pixel/sample math is golden-tested in
-    tests/test_northstar.py; no SQL twin (a BMP parser in SQL is not a
-    thing) → rows-only."""
+    """REAL media decode end to end (round 7; hash-checked + PNG round
+    8): deterministic BMP and PNG images and WAV clips are synthesized
+    from each document's bytes inside the executors (mapInPandas —
+    blobs never touch the driver), then extract_features routes them
+    through the pure-stdlib codecs (operators/codecs.py — the PNG path
+    includes a real zlib inflate + scanline unfilter) and computes
+    GENUINE pixel/sample statistics — codec tags 'bmp'/'png'/'wav' in
+    the result prove no row fell back to the stub. Round 8 upgraded
+    this from the rows-only check (VERDICT r7 ask #6): the features are
+    pure functions of the document bytes, so the oracle recomputes the
+    full pixel/sample math in SQL — pad the ASCII text to 192 bytes,
+    rebuild the 8x8x3 pixel grid / the 16-bit-quantized PCM samples
+    (ROUND half-away == np.round banker's here: the only .5 products
+    land on even), and replays means/std/gradients/ZCR with the exact
+    expression shapes the numpy side uses (explicit 0.299R+0.587G+0.114B
+    gray, two-pass std). The BMP/WAV blob sizes are fixed-layout
+    constants checked too; the PNG blob size depends on zlib's encoder
+    (NULL in both engines — the byte layout is golden-tested in
+    tests/test_northstar.py instead)."""
     import numpy as np
     import pandas as pd
 
@@ -2340,6 +2434,9 @@ def multimodal_real_codec(spark, sf_dir):
                 ids.append(doc_id)
                 types.append("image")
                 blobs.append(codecs.encode_bmp(px))
+                ids.append(doc_id)
+                types.append("image")
+                blobs.append(codecs.encode_png(px))
                 sig = (np.frombuffer(pad, dtype=np.uint8).astype(np.float64)
                        - 128.0) / 128.0
                 ids.append(doc_id)
@@ -2361,7 +2458,9 @@ def multimodal_real_codec(spark, sf_dir):
     )
     feats = extract_features(media)
     return feats.select(
-        "media_id", "media_type", "codec", "n_bytes", "content_md5",
+        "media_id", "media_type", "codec",
+        F.when(F.col("codec") == "png", F.lit(None))
+        .otherwise(F.col("n_bytes")).cast("bigint").alias("n_bytes"),
         *[F.col("feature")[i].alias(f"f{i}") for i in range(8)],
     )
 

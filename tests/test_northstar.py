@@ -386,6 +386,98 @@ def test_codec_bmp_roundtrip_and_golden(spark):
     assert sd == 0.0 and gv == 0.0 and gh == 0.0
 
 
+def test_codec_png_roundtrip_filters_and_features(spark):
+    """REAL in-sandbox PNG codec (round 8): encode→decode is the
+    identity on pixels (RGB and RGBA), every scanline filter type
+    (None/Sub/Up/Average/Paeth) reconstructs correctly from a
+    hand-filtered stream, and extract_features routes PNG blobs to the
+    real pixel statistics with codec tag 'png'."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from priority_data_pipeline_azure_sql_db_spark.operators import codecs
+
+    rng = np.random.default_rng(8)
+    rgb = rng.integers(0, 256, size=(6, 5, 3), dtype=np.uint8)
+    assert np.array_equal(codecs.decode_png(codecs.encode_png(rgb)), rgb)
+    rgba = rng.integers(0, 256, size=(4, 7, 4), dtype=np.uint8)
+    assert np.array_equal(codecs.decode_png(codecs.encode_png(rgba)), rgba)
+
+    # hand-filter a 5-row image with one row per filter type and check
+    # the decoder reverses each (filters reference RECONSTRUCTED
+    # neighbors, which is what makes 3/4 sequential)
+    px = rng.integers(0, 256, size=(5, 4, 3), dtype=np.uint8).astype(np.int64)
+    bpp, stride = 3, 4 * 3
+    flat = px.reshape(5, stride)
+
+    def paeth(a, b, c):
+        p = a + b - c
+        pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+        return a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+
+    raw = bytearray()
+    for r, f in enumerate([0, 1, 2, 3, 4]):
+        raw.append(f)
+        for x in range(stride):
+            left = flat[r][x - bpp] if x >= bpp else 0
+            up = flat[r - 1][x] if r > 0 else 0
+            upleft = flat[r - 1][x - bpp] if (r > 0 and x >= bpp) else 0
+            v = flat[r][x]
+            if f == 1:
+                v -= left
+            elif f == 2:
+                v -= up
+            elif f == 3:
+                v -= (left + up) >> 1
+            elif f == 4:
+                v -= paeth(left, up, upleft)
+            raw.append(int(v) & 0xFF)
+
+    def chunk(ctype, body):
+        return (struct.pack(">I", len(body)) + ctype + body
+                + struct.pack(">I", zlib.crc32(ctype + body) & 0xFFFFFFFF))
+
+    blob = (
+        codecs.PNG_MAGIC
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", 4, 5, 8, 2, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + chunk(b"IEND", b"")
+    )
+    assert np.array_equal(codecs.decode_png(blob), px.astype(np.uint8))
+
+    # format boundary: palette PNG refuses loudly, doesn't mis-decode
+    pal = (
+        codecs.PNG_MAGIC
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 8, 3, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(b"\x00\x00\x00\x00\x00\x00"))
+        + chunk(b"IEND", b"")
+    )
+    import pytest
+
+    with pytest.raises(NotImplementedError):
+        codecs.decode_png(pal)
+
+    # through the Spark path: solid green 4x2 PNG → exact means, tag png
+    solid = np.zeros((2, 4, 3), dtype=np.uint8)
+    solid[:, :, 1] = 120
+    media = spark.createDataFrame(
+        [(3, "image", bytearray(codecs.encode_png(solid)), None, None, None)],
+        "media_id long, media_type string, content binary, "
+        "meta_width int, meta_height int, meta_sample_rate int",
+    )
+    from priority_data_pipeline_azure_sql_db_spark.operators.multimodal import (
+        extract_features,
+    )
+
+    r = extract_features(media).collect()[0]
+    assert r.codec == "png"
+    w, h, mr, mg, mb, sd, gv, gh = r.feature
+    assert (w, h, mr, mg, mb) == (4.0, 2.0, 0.0, 120.0, 0.0)
+    assert sd == 0.0 and gv == 0.0 and gh == 0.0
+
+
 def test_codec_wav_roundtrip_and_features(spark):
     """REAL in-sandbox audio codec: 16-bit PCM encode→decode preserves
     samples to quantization, and features (rate, duration, RMS, ZCR)
