@@ -287,6 +287,7 @@ def bpe_train_merges(
     n_merges: int = 10,
     min_count: int = 2,
     batch_merges: int = 1,
+    stats: dict | None = None,
 ) -> list[tuple[str, str, int]]:
     """LEARN a BPE merge table from the corpus — the tokenizer-training
     half of the BPE contract (:func:`bpe_token_count_merged` is the
@@ -325,6 +326,9 @@ def bpe_train_merges(
     replace chain from the raw corpus every round, O(rounds²) corpus
     work). n_merges is tokenizer-vocab-sized, not corpus-sized — the
     loop count is a constant of the model, independent of data scale.
+    Pass a dict as ``stats`` to get ``stats["rounds"]`` (count-pass
+    rounds actually run) back — the knob's Spark-job budget is
+    asserted, not assumed, in tests/test_operators.py.
     """
     if batch_merges < 1:
         raise ValueError(f"batch_merges must be >= 1, got {batch_merges}")
@@ -332,8 +336,10 @@ def bpe_train_merges(
         bpe_symbol_stream(F.col(text_col), merges=[]).alias("_s")
     ).cache()
     learned: list[tuple[str, str, int]] = []
+    rounds = 0
     try:
         while len(learned) < n_merges:
+            rounds += 1
             syms = F.split(F.trim(F.col("_s")), " +")
             n = F.size(syms)
             z = F.arrays_zip(
@@ -374,6 +380,10 @@ def bpe_train_merges(
             streams = nxt
     finally:
         streams.unpersist()
+    if stats is not None:
+        # observability for the Spark-job budget claim: rounds ≈
+        # n_merges / batch_merges is what makes large vocabs trainable
+        stats["rounds"] = rounds
     return learned
 
 
