@@ -4538,13 +4538,27 @@ def pipeline_curation_v2(spark, sf_dir):
         GROUP BY tr.doc, ev.doc HAVING COUNT(*) >= 3
     ), clean AS (
         SELECT * FROM dedup WHERE doc_id NOT IN (SELECT doc_id FROM contam)
+    ), nd_pairs AS (
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        FROM (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings) a
+        JOIN (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings) b
+          ON a.vec_id < b.vec_id
+        WHERE ROUND(list_dot_product(a.v, b.v)
+              / (SQRT(list_dot_product(a.v, a.v))
+                 * SQRT(list_dot_product(b.v, b.v))), 6) >= 0.4
+    ), nd_drop AS (
+        SELECT id_b AS doc_id FROM nd_pairs WHERE id_b % 10 >= 8
+        UNION
+        SELECT id_a FROM nd_pairs WHERE id_a % 10 >= 8 AND id_b % 10 < 8
+    ), admitted AS (
+        SELECT * FROM clean WHERE doc_id NOT IN (SELECT doc_id FROM nd_drop)
     )
     SELECT substr(md5('epoch-0:' || CAST(doc_id AS VARCHAR)), 1, 1) AS shard,
            CAST(COUNT(*) AS BIGINT) AS n_docs,
            CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
            CAST(SUM(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12)
                AS BIGINT)) % 2305843009213693951 AS BIGINT) AS member_tag
-    FROM clean GROUP BY 1
+    FROM admitted GROUP BY 1
     """,
 )
 def pipeline_curation_incremental(spark, sf_dir):
@@ -4556,13 +4570,28 @@ def pipeline_curation_incremental(spark, sf_dir):
     artifact the batches maintain), and the 20% delta slice flows
     through quality gate → exact-dedup against the base fingerprint
     store (left-anti) → first-wins dedup within the delta →
-    decontamination vs the eval slice → shard assignment. Every
-    per-batch stage is O(delta) except the broadcast-sized fingerprint
-    and eval-shingle lookups, so batch cost tracks arrival rate, not
-    corpus size. Per-shard rollup carries a membership multiset tag
-    (sum of 48-bit md5(id) mod 2^61-1), so the EXACT admitted doc set
-    — not just counts — is hash-checked against the oracle."""
+    decontamination vs the eval slice → SEMANTIC near-dup against the
+    standing embedding index (round 8 — the last O(delta) piece:
+    build_near_dup_index once over the base embeddings, per batch
+    append_to_near_dup_index(delta) then serve pairs; a delta doc is
+    dropped when it near-dups a base doc or an earlier delta doc, and
+    because append+serve is bit-identical to a one-shot run on the
+    grown corpus the oracle can recompute the drop set by brute-force
+    cosine) → shard assignment. Every per-batch stage is O(delta)
+    except the broadcast-sized fingerprint and eval-shingle lookups and
+    the index serve's probe-pruned scans, so batch cost tracks arrival
+    rate, not corpus size. Per-shard rollup carries a membership
+    multiset tag (sum of 48-bit md5(id) mod 2^61-1), so the EXACT
+    admitted doc set — not just counts — is hash-checked against the
+    oracle."""
     import os
+
+    from .operators.ann_index import (
+        RADII_DIR,
+        append_to_near_dup_index,
+        build_near_dup_index,
+        near_dup_pairs_from_index,
+    )
 
     d = load_table(spark, sf_dir, "documents")
     base = d.filter(F.col("doc_id") % 10 < 8)
@@ -4573,6 +4602,18 @@ def pipeline_curation_incremental(spark, sf_dir):
         base.select(X.fingerprint(F.col("text")).alias("fp")).distinct() \
             .write.mode("overwrite").parquet(fp_path)
     base_fps = spark.read.parquet(fp_path)
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    nd_path = _resident_path("curation_nd_idx", sf_dir)
+    # standing semantic index over the curated base; gate on the
+    # LAST-written artifact (radii) — see ensure_dedup_index
+    if not os.path.exists(os.path.join(nd_path, RADII_DIR, "_SUCCESS")):
+        build_near_dup_index(
+            emb.filter(F.col("vec_id") % 10 < 8), nd_path,
+            n_cells=16, train_iters=1,
+        )
+    # O(delta) append, idempotent on re-runs (existing ids anti-joined)
+    append_to_near_dup_index(emb.filter(F.col("vec_id") % 10 >= 8), nd_path)
 
     # guard, not a live filter: doc_id % 10 >= 8 ⇒ % 20 ∈ {8,9,18,19},
     # so eval docs (% 20 == 0) are structurally inside the BASE slice —
@@ -4597,11 +4638,26 @@ def pipeline_curation_incremental(spark, sf_dir):
         .distinct()
     )
     clean = deduped.join(contam, "doc_id", "left_anti")
+    # semantic near-dup vs the standing index: drop a delta doc whose
+    # counterpart is in the base (either pair side) or is a SMALLER
+    # delta id (first-wins within the batch, non-recursive — the rule
+    # the oracle replays by brute force)
+    pairs = near_dup_pairs_from_index(spark, nd_path, threshold=0.4)
+    nd_drop = (
+        pairs.filter(F.col("id_b") % 10 >= 8)
+        .select(F.col("id_b").alias("doc_id"))
+        .unionByName(
+            pairs.filter((F.col("id_a") % 10 >= 8) & (F.col("id_b") % 10 < 8))
+            .select(F.col("id_a").alias("doc_id"))
+        )
+        .distinct()
+    )
+    admitted = clean.join(nd_drop, "doc_id", "left_anti")
     member_tag = _md5_tag48(F.col("doc_id").cast("string"))
     shard = F.substring(
         F.md5(F.concat(F.lit("epoch-0:"), F.col("doc_id").cast("string"))), 1, 1
     )
-    return clean.groupBy(shard.alias("shard")).agg(
+    return admitted.groupBy(shard.alias("shard")).agg(
         F.count(F.lit(1)).cast("bigint").alias("n_docs"),
         F.sum("n_tokens").cast("bigint").alias("total_tokens"),
         (F.sum(member_tag) % F.lit(2305843009213693951))

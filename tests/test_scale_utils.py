@@ -643,3 +643,49 @@ def test_near_dup_index_append_idempotent_and_radii_safe(spark, sf_dir, tmp_path
         for r in near_dup_pairs_from_index(spark, path, threshold=0.4).collect()
     }
     assert served_again == served_full
+
+
+def test_incremental_curation_semantic_admission_parity(spark, sf_dir, tmp_path):
+    """The round-8 semantic stage of pipeline_curation_incremental:
+    admission computed against the STANDING index (build base → append
+    delta → serve) must equal a full recompute (one-shot near-dup over
+    the grown corpus) under the same drop rule — drop a delta doc whose
+    near-dup counterpart is in the base or is a smaller delta id. The
+    rule must also be non-vacuous on the fixture (some delta dropped,
+    some kept)."""
+    from priority_data_pipeline_azure_sql_db_spark.operators.ann_index import (
+        append_to_near_dup_index,
+        build_near_dup_index,
+        near_dup_pairs_from_index,
+    )
+    from priority_data_pipeline_azure_sql_db_spark.operators.similarity import (
+        embedding_near_dup,
+    )
+    from priority_data_pipeline_azure_sql_db_spark.sources.parquet import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    is_delta = F.col("vec_id") % 10 >= 8
+    path = str(tmp_path / "nd_curation")
+    build_near_dup_index(emb.filter(~is_delta), path, n_cells=16, train_iters=1)
+    append_to_near_dup_index(emb.filter(is_delta), path)
+
+    def drop_set(pairs_df):
+        a_delta = F.col("id_a") % 10 >= 8
+        b_delta = F.col("id_b") % 10 >= 8
+        return {
+            r.doc_id
+            for r in pairs_df.filter(b_delta)
+            .select(F.col("id_b").alias("doc_id"))
+            .unionByName(
+                pairs_df.filter(a_delta & ~b_delta)
+                .select(F.col("id_a").alias("doc_id"))
+            )
+            .distinct()
+            .collect()
+        }
+
+    incremental = drop_set(near_dup_pairs_from_index(spark, path, threshold=0.4))
+    full = drop_set(embedding_near_dup(emb, threshold=0.4, n_cells=16))
+    assert incremental == full
+    delta_ids = {r.vec_id for r in emb.filter(is_delta).select("vec_id").collect()}
+    assert incremental and incremental < delta_ids  # drops some, keeps some
