@@ -25,101 +25,89 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The correctness driver evaluates the first 50 registry entries in order.
-# Round-7 rotation. Priority: (1) the 17 never-driver-checked round-7
-# registrations (resident dedup + near-dup twins, wide epoch shuffle,
-# Arrow BPE kernel + large-vocab train/tokenize, BPE-budget packing,
-# real-codec multimodal, data card, streaming-merge sink check, JSONL
-# export, source-budget mixing, incremental curation, length-bucket
-# batching, sequence materialization, weighted sampling, semantic
-# canonical dedup);
-# (2) queries over round-7-touched code: the BPE family (self-delimited
-# symbol spelling + batched trainer), the shuffle/curation family
-# (shard_width parameter, position-keyed order tag, deterministic export
-# paths), embedding_near_dup_pairs (string-id cross-cell kernel fix),
-# pack_greedy_sequences (vectorized shard scan), the one-shot capped
-# dedup twins (oracle SQL refactored to shared constants),
-# multimodal_binary_meta (extract_features schema gained the codec
-# column), ann_ivf_index_persisted (deterministic index path);
-# (3) staleness repayment — ALL 10 round-3 stragglers (promised at the
-# head of this window in round 6) and 13 of the 17-query round-4 bucket
-# (the 4 displaced entries lead next round, see the tail comment);
-# (4) the oldest round-5 entries on code adjacent to this round's
-# changes (winnow fingerprints feed the new dedup index; exact dedup and
-# token stats feed the curation pipeline). Below the window: the rest of
-# the r5 bucket (streaming + text quality + ANN families, untouched this
-# round) and everything green r6 on untouched code — all locally
-# re-verified under the driver-replica comparator this session.
+# Round-8 rotation: the staleness burn-down round (VERDICT r7 ask #1 —
+# "prefer verification over surface growth"). Priority:
+# (1) the 5 entries with round-8 code/oracle changes (highest
+# driver-divergence risk): length-bucket batching rewritten onto a
+# (shard, bucket) window + its new width-2 twin; multimodal_real_codec
+# upgraded from rows-only to a full-math hash oracle and extended with
+# the real PNG decode path; pipeline_curation_incremental extended with
+# the semantic near-dup stage against the standing embedding index;
+# pack_materialized_sequences (its body now routes through the shared
+# _sharded default resolution — behavior unchanged for its explicit
+# shard, re-proven under the driver);
+# (2) the ENTIRE ≥2-round-stale backlog, clearing it completely: the 4
+# three-round-stale round-4 entries first (scalar_regex_funcs,
+# sample_stratified_mix, approx_sketches, multimodal_frame_sample — the
+# displaced set promised at this window's head last round), then all 41
+# round-5 entries in the documented order — streaming family first,
+# then text quality + dedup + ANN, then the TPC-H subquery family
+# (q2/q11/q12/q16/q20).
+# 5 + 4 + 41 = 50: the window exactly clears the backlog. Below the
+# window: ONLY entries last checked round 6 or 7 on code untouched this
+# round (the r6 relational/scalar/window bucket and the r7 bucket) —
+# after this round no registry entry is more than 2 rounds unchecked.
+# All 50 were locally re-verified under the driver-replica comparator
+# (tools/compare_oracle.py) this session.
 CHECK_ORDER = [
-    # (1) never driver-checked round-7 registrations
-    "dedup_winnow_pairs_indexed",
-    "dedup_jaccard_pairs_indexed",
-    "sample_epoch_shuffle_wide",
-    "text_bpe_tokens_arrow",
-    "text_bpe_tokens_large",
-    "multimodal_real_codec",
-    "pack_training_sequences_bpe",
-    "embedding_near_dup_indexed",
-    "profile_data_card",
-    "streaming_merge_staging",
-    "export_jsonl_corpus",
-    "sample_source_budget",
-    "pipeline_curation_incremental",
+    # (1) round-8 code/oracle changes
     "pack_length_bucket_batches",
+    "pack_length_bucket_batches_wide",
+    "multimodal_real_codec",
+    "pipeline_curation_incremental",
     "pack_materialized_sequences",
-    "sample_quality_weighted",
-    "embedding_dedup_canonical",
-    # (2) round-7-touched code paths
-    "text_bpe_tokens",
-    "text_bpe_train",
-    "sample_epoch_shuffle",
-    "export_training_shards",
-    "pipeline_curation_v2",
-    "embedding_near_dup_pairs",
-    "pack_greedy_sequences",
-    "dedup_winnow_pairs_capped",
-    "dedup_jaccard_pairs_capped",
-    "multimodal_binary_meta",
-    "ann_ivf_index_persisted",
-    # (3) staleness repayment: the 10 round-3 stragglers
-    "q7_volume_shipping",
-    "q8_market_share",
-    "q13_customer_distribution",
-    "scalar_date_math_funcs",
-    "type_mapping_enrichment",
-    "pipeline_config_flatten",
-    "pipeline_project_drop",
-    "pipeline_audit_columns",
-    "pipeline_flatten_subform",
-    "events_pivot_types",
-    # (3) staleness repayment: the full round-4 bucket
-    "q9_product_profit",
-    "q15_top_supplier",
-    "q17_small_quantity_revenue",
-    "q19_discounted_revenue",
-    "q22_idle_customers",
-    "asof_last_click_before_error",
-    "range_join_close_events",
-    "skew_salted_join",
-    "window_range_trailing_30d",
-    "profile_documents_stats",
-    "pipeline_catalog_top1",
-    "pipeline_probe_counts",
-    # (multimodal_frame_sample displaced by the round-7 registrations:
-    # it is rows-only — the weakest driver check — and its fan-out
-    # slicing is directly pytest-covered; leads next round with the
-    # r5 streaming bucket)
-    # Below the window, leading next round's head: the last four r4
-    # entries (scalar_regex_funcs, sample_stratified_mix, approx_sketches,
-    # multimodal_frame_sample — all green-when-last-checked, displaced
-    # because EVERY round-7 registration belongs inside the driver gate
-    # per the verify skill's window rule; new code has strictly higher
-    # driver-divergence risk than untouched always-green code).
-    # (tier 4 emptied: the round-7 registrations filled the window.
-    # The r5 winnowing/jaccard/exact-dedup logic is still hash-checked
-    # every round through the capped + indexed twins and the curation
-    # capstones, whose oracles replay those pipelines verbatim. Next
-    # round's head: the remaining r5 bucket — streaming family first,
-    # then text quality + ANN.)
+    # (2) three-round-stale (last checked r4)
+    "scalar_regex_funcs",
+    "sample_stratified_mix",
+    "approx_sketches",
+    "multimodal_frame_sample",
+    # (2) the full round-5 bucket: streaming family
+    "streaming_tumbling_counts",
+    "streaming_stateful_user_totals",
+    "streaming_session_counts",
+    "streaming_dedup_events",
+    "streaming_stream_stream_join",
+    "streaming_sliding_counts",
+    "streaming_static_join",
+    # (2) round-5: text quality + cleaning
+    "text_token_stats",
+    "text_quality_score",
+    "text_langid_heuristic",
+    "text_tfidf_top_terms",
+    "text_repetition_ratio",
+    "text_pii_scrub",
+    "text_cleaning_pass_profile",
+    "text_winnow_fingerprints",
+    # (2) round-5: dedup family
+    "dedup_exact_docs",
+    "dedup_fingerprint_docs",
+    "dedup_ngram_jaccard",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "dedup_simhash_pairs",
+    "dedup_winnow_pairs",
+    "dedup_cluster_canonical",
+    "dedup_contamination_check",
+    # (2) round-5: ANN + embedding family
+    "ann_cosine_topk",
+    "ann_cosine_topk_lsh",
+    "ann_cosine_topk_ivf",
+    "embedding_centroids",
+    "embedding_quantize_int8",
+    # (2) round-5: events + sampling + pipeline
+    "events_json_extract",
+    "events_sessionize",
+    "events_multires_rollup",
+    "sample_documents_hash",
+    "pipeline_nest_explode_roundtrip",
+    "pipeline_cast_types",
+    "pipeline_merge_upsert",
+    # (2) round-5: TPC-H correlated-subquery family
+    "q2_min_cost_supplier",
+    "q11_important_parts",
+    "q12_late_shipment_priority",
+    "q16_supplier_part_counts",
+    "q20_heavy_suppliers",
 ]
 
 
