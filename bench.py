@@ -53,8 +53,12 @@ HEADLINE = [
     "dedup_winnow_pairs_indexed",
     "embedding_near_dup_indexed",
     # round-7: payload materialization + the O(delta) curation batch
+    # (round 8: curation_incremental now includes the semantic near-dup
+    # stage against the standing index — expect a step up vs r7)
     "pack_materialized_sequences",
     "pipeline_curation_incremental",
+    # round-8: the (shard, bucket)-windowed batch schedule
+    "pack_length_bucket_batches",
     # round-5: correlated-subquery family representatives
     "q2_min_cost_supplier",
     "q21_last_shipper",
