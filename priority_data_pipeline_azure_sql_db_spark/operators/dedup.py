@@ -151,6 +151,89 @@ def jaccard_pairs(
 
 
 # ---------------------------------------------------------------------------
+# duplicated spans (substring-level dedup)
+# ---------------------------------------------------------------------------
+
+def duplicated_spans(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+    min_run: int = 3,
+    max_gram_freq: int | None = None,
+) -> DataFrame:
+    """Maximal duplicated TOKEN SPANS between document pairs — the
+    substring-level dedup signal (Lee et al. 2022, "Deduplicating
+    Training Data Makes Language Models Better"): document-level dedup
+    misses long verbatim passages embedded in otherwise-distinct docs
+    (boilerplate, licenses, quoted articles), which is exactly what
+    memorization studies flag. Shape: positional k-gram inverted-index
+    equi-join (only genuinely shared grams fan out — the same trick as
+    :func:`jaccard_pairs`) → per-pair DIAGONAL islands (matches with
+    pa - pb constant and pa consecutive are one contiguous shared
+    substring; islands via the classic pos - row_number gaps-and-islands
+    trick) → each island reports once, maximal by construction.
+
+    Returns (id_a, id_b, start_a, start_b, n_tokens) with id_a < id_b:
+    the docs share the identical token run of length n_tokens =
+    run + k - 1 >= k + min_run - 1 starting at those 0-based token
+    offsets. Exact and engine-portable (joins the gram STRINGS, no
+    hashing), so the DuckDB twin replays it verbatim.
+
+    Scale: the join is bounded by true overlap, not corpus²;
+    ``max_gram_freq`` caps viral boilerplate grams exactly like
+    jaccard's stop-shingle cap (a gram in m docs contributes m² match
+    rows); the island window partitions by (pair, diagonal) — bounded
+    by one pair's matches, never a global sort. Pre-explode rows are
+    spread (operators/scale.py) like every shingle pipeline here."""
+    t = spread(
+        df.select(F.col(id_col).alias("doc"), F.col(text_col).alias("_txt")), "doc"
+    )
+    toks = F.split(F.trim(F.lower(F.col("_txt"))), TOKEN_SPLIT_RE)
+    t = t.select("doc", toks.alias("_toks"))
+    grams = F.when(
+        F.size("_toks") >= k,
+        F.transform(
+            F.sequence(F.lit(1), F.size("_toks") - (k - 1)),
+            lambda i: F.concat_ws(" ", F.slice("_toks", i, k)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    g = t.select("doc", F.posexplode(grams).alias("pos", "gram"))
+    if max_gram_freq is not None:
+        keep = (
+            g.groupBy("gram").agg(F.count(F.lit(1)).alias("_gf"))
+            .filter(F.col("_gf") <= max_gram_freq).select("gram")
+        )
+        g = g.join(keep, "gram")
+    a, b = g.alias("a"), g.alias("b")
+    m = a.join(
+        b, (F.col("a.gram") == F.col("b.gram")) & (F.col("a.doc") < F.col("b.doc"))
+    ).select(
+        F.col("a.doc").alias("id_a"), F.col("b.doc").alias("id_b"),
+        F.col("a.pos").cast("bigint").alias("pa"),
+        F.col("b.pos").cast("bigint").alias("pb"),
+        (F.col("a.pos") - F.col("b.pos")).cast("bigint").alias("diag"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("id_a", "id_b", "diag").orderBy("pa")
+    isl = m.withColumn("island", F.col("pa") - F.row_number().over(w))
+    return (
+        isl.groupBy("id_a", "id_b", "diag", "island")
+        .agg(
+            F.min("pa").alias("start_a"),
+            F.min("pb").alias("start_b"),
+            F.count(F.lit(1)).alias("run"),
+        )
+        .filter(F.col("run") >= min_run)
+        .select(
+            "id_a", "id_b", "start_a", "start_b",
+            (F.col("run") + (k - 1)).cast("bigint").alias("n_tokens"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # MinHash + LSH
 # ---------------------------------------------------------------------------
 

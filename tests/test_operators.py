@@ -1022,3 +1022,48 @@ def test_hash_sample_weighted_gates(spark):
     d = {r.doc_id for r in
          hash_sample_weighted(df, "doc_id", F.lit(0.3), seed="other").collect()}
     assert a != d          # seed-sensitive
+
+
+def test_duplicated_spans_known_overlaps(spark):
+    """Substring-level dedup: hand-built docs with known shared token
+    runs. Asserts exact span boundaries and lengths, maximality (one
+    island per contiguous run, not per gram), multiple distinct spans
+    per pair, the min-length gate, and that same-doc self-matches are
+    excluded."""
+    from priority_data_pipeline_azure_sql_db_spark.operators.dedup import duplicated_spans
+
+    shared = "alpha bravo charlie delta echo foxtrot golf hotel india juliett kilo lima"
+    shared2 = "one two three four five six seven eight nine ten"
+    rows = [
+        # doc 0: shared at offset 2, shared2 at offset 17
+        (0, "x0 x1 " + shared + " y0 y1 y2 " + shared2 + " z0"),
+        # doc 1: shared at offset 0, shared2 at offset 15
+        (1, shared + " q0 q1 q2 " + shared2),
+        # doc 2: a 9-token overlap with doc 0's shared run (below the
+        # k+min_run-1 = 10 gate at k=8, min_run=3)
+        (2, "p0 p1 p2 alpha bravo charlie delta echo foxtrot golf hotel india p3"),
+        # doc 3: no overlap with anything
+        (3, "m0 m1 m2 m3 m4 m5 m6 m7 m8 m9 m10 m11 m12 m13"),
+        # doc 4: internal repeat of an 8-gram (self-pairs must not appear)
+        (4, "r0 r1 r2 r3 r4 r5 r6 r7 r0 r1 r2 r3 r4 r5 r6 r7"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    out = duplicated_spans(df, k=8, min_run=3)
+    got = {(r.id_a, r.id_b, r.start_a, r.start_b, r.n_tokens)
+           for r in out.collect()}
+    assert (0, 1, 2, 0, 12) in got       # the 12-token shared run
+    assert (0, 1, 17, 15, 10) in got     # the 10-token shared2 run
+    # no span involves doc 2 (9 < 10 gate), doc 3 (no overlap), or doc 4
+    assert all(a in (0, 1) and b in (0, 1) for a, b, *_ in got), got
+    assert len(got) == 2                 # maximal: exactly one per run
+
+    # lowering the gate admits doc 2's 9-token overlap at its offsets
+    out2 = duplicated_spans(df, k=8, min_run=2)
+    got2 = {(r.id_a, r.id_b, r.start_a, r.start_b, r.n_tokens)
+            for r in out2.collect()}
+    assert (0, 2, 2, 3, 9) in got2
+
+    # gram-frequency cap: capping at 1 doc kills the boilerplate grams
+    # (every matched gram here appears in >= 2 docs' streams)
+    out3 = duplicated_spans(df, k=8, min_run=2, max_gram_freq=1)
+    assert out3.count() == 0
