@@ -727,3 +727,110 @@ def pii_scrub(
         F.md5(scrubbed).alias("scrubbed_md5"),
         F.length(scrubbed).cast("bigint").alias("scrubbed_len"),
     )
+
+
+def hashed_weight_table(
+    df_or_spark,
+    n_buckets: int = 1024,
+    seed: str = "qw-0",
+):
+    """Deterministic (bucket, w_milli) weight FIXTURE for
+    :func:`hashed_quality_score`: w_milli = (48-bit md5 draw mod 2001)
+    - 1000, i.e. integer milli-units in [-1000, 1000]. This stands in
+    for trained classifier parameters — the sandbox has no labeled
+    quality data — and is documented as such; a production deployment
+    loads its trained weights as the same (bucket, w_milli) table
+    (milli-unit quantization is what fastText-style exports do anyway)
+    and everything downstream is unchanged."""
+    from pyspark.sql import SparkSession
+
+    from .scale import md5_tag48
+
+    spark = (
+        df_or_spark if isinstance(df_or_spark, SparkSession)
+        else df_or_spark.sparkSession
+    )
+    b = spark.range(n_buckets).select(F.col("id").cast("bigint").alias("bucket"))
+    draw = md5_tag48(
+        F.concat(F.lit(seed), F.lit(":w:"), F.col("bucket").cast("string"))
+    ).cast("bigint")
+    return b.select("bucket", (draw % 2001 - 1000).cast("bigint").alias("w_milli"))
+
+
+def hashed_quality_score(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 1024,
+    seed: str = "qw-0",
+    weights: DataFrame | None = None,
+) -> DataFrame:
+    """Linear quality classifier over HASHED bag-of-words features —
+    the fastText/CCNet/DCLM-style model-based quality gate, the one
+    scoring family the pipeline lacked (heuristic gates exist in
+    quality_features): tokens hash into ``n_buckets`` buckets (48-bit
+    md5 draw mod n_buckets — the repo-wide cross-engine contract,
+    operators/scale.py:md5_tag48), per-doc bucket counts are the
+    feature vector, and the score is the dot product with a broadcast
+    weight table. All arithmetic is INTEGER milli-units — logit_milli =
+    SUM(w_milli * count) is exact BIGINT math in both engines, so the
+    admission decision (keep = logit_milli > 0) is bit-deterministic
+    with no float summation anywhere; the reported double logit is one
+    final division by 1000.
+
+    Returns (id, n_tokens, n_feats, logit_milli, logit, keep); docs
+    with no tokens score 0 (kept=false — a no-signal doc does not pass
+    a strict > 0 gate) and are never dropped from the output.
+
+    Scale: tokenize+explode is pre-spread; the feature aggregate is one
+    map-side-combinable (doc, bucket) count; the weight table is
+    O(n_buckets) and broadcast; the final per-doc SUM reuses the doc
+    key. No shuffle is corpus²-shaped and no window exists at all."""
+    from .scale import md5_tag48, spread
+
+    if weights is None:
+        weights = hashed_weight_table(df, n_buckets, seed)
+    t = spread(
+        df.select(F.col(id_col).alias("_id"), F.col(text_col).alias("_txt")),
+        "_id",
+    )
+    toks = F.split(F.trim(F.lower(F.col("_txt"))), TOKEN_SPLIT_RE)
+    base = t.select(
+        "_id", toks.alias("_toks")
+    ).select(
+        "_id", "_toks",
+        # split("") yields [""] — count real tokens only
+        F.size(F.filter("_toks", lambda x: x != "")).cast("bigint").alias("_n"),
+    )
+    tok = base.select("_id", "_n", F.explode("_toks").alias("_tok")) \
+        .filter(F.col("_tok") != "")
+    bucket = (
+        md5_tag48(F.concat(F.lit(seed), F.lit(":"), F.col("_tok")))
+        .cast("bigint") % n_buckets
+    )
+    feats = tok.groupBy("_id", bucket.alias("bucket")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt")
+    )
+    scored = (
+        feats.join(F.broadcast(weights), "bucket")
+        .groupBy("_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_feats"),
+            F.sum(F.col("w_milli") * F.col("cnt")).cast("bigint")
+            .alias("logit_milli"),
+        )
+    )
+    docs = base.select("_id", "_n")
+    return (
+        docs.join(scored, "_id", "left")
+        .select(
+            F.col("_id").alias(id_col),
+            F.col("_n").alias("n_tokens"),
+            F.coalesce("n_feats", F.lit(0)).cast("bigint").alias("n_feats"),
+            F.coalesce("logit_milli", F.lit(0)).cast("bigint")
+            .alias("logit_milli"),
+            (F.coalesce("logit_milli", F.lit(0)).cast("double") / 1000.0)
+            .alias("logit"),
+            (F.coalesce("logit_milli", F.lit(0)) > 0).alias("keep"),
+        )
+    )

@@ -4742,3 +4742,58 @@ def dedup_duplicated_spans(spark, sf_dir):
     return duplicated_spans(
         load_table(spark, sf_dir, "documents"), k=8, min_run=3
     )
+
+
+@query(
+    "text_quality_classifier",
+    """
+    WITH docs AS (
+        SELECT doc_id,
+               string_split_regex(trim(lower(text)), '\\s+') AS t
+        FROM documents
+    ), base AS (
+        SELECT doc_id, len(list_filter(t, x -> x <> '')) AS n_tokens
+        FROM docs
+    ), tok AS (
+        SELECT doc_id, u.tok
+        FROM docs, LATERAL (SELECT UNNEST(t) AS tok) u
+        WHERE u.tok <> ''
+    ), feats AS (
+        SELECT doc_id,
+               CAST('0x' || substr(md5('qw-0:' || tok), 1, 12) AS BIGINT)
+                   % 1024 AS bucket,
+               COUNT(*) AS cnt
+        FROM tok GROUP BY doc_id, bucket
+    ), w AS (
+        SELECT CAST(b.b AS BIGINT) AS bucket,
+               CAST('0x' || substr(md5('qw-0:w:' || CAST(b.b AS VARCHAR)),
+                    1, 12) AS BIGINT) % 2001 - 1000 AS w_milli
+        FROM (SELECT UNNEST(range(1024)) AS b) b
+    ), scored AS (
+        SELECT f.doc_id, COUNT(*) AS n_feats, SUM(w.w_milli * f.cnt) AS lm
+        FROM feats f JOIN w USING (bucket) GROUP BY f.doc_id
+    )
+    SELECT b.doc_id, CAST(b.n_tokens AS BIGINT) AS n_tokens,
+           CAST(COALESCE(s.n_feats, 0) AS BIGINT) AS n_feats,
+           CAST(COALESCE(s.lm, 0) AS BIGINT) AS logit_milli,
+           CAST(COALESCE(s.lm, 0) AS DOUBLE) / 1000.0 AS logit,
+           COALESCE(s.lm, 0) > 0 AS keep
+    FROM base b LEFT JOIN scored s USING (doc_id)
+    """,
+)
+def text_quality_classifier(spark, sf_dir):
+    """MODEL-based quality gate (round 8): linear classifier over
+    hashed bag-of-words features — the fastText/CCNet/DCLM scoring
+    family (heuristic gates and the bigram-LM perplexity gate existed;
+    the learned-classifier shape did not). 1,024 hash buckets via the
+    repo's 48-bit md5 contract, per-doc bucket counts, broadcast weight
+    table, and an ALL-INTEGER milli-unit dot product: logit_milli is
+    exact BIGINT math in both engines — no float summation — so the
+    admission bit is bit-deterministic and the whole score surface
+    hash-checks. The weight table is the deterministic fixture
+    (operators/text.py:hashed_weight_table — no labeled data ships in
+    the sandbox); trained weights drop in as the same (bucket, w_milli)
+    schema with everything downstream unchanged."""
+    from .operators.text import hashed_quality_score
+
+    return hashed_quality_score(load_table(spark, sf_dir, "documents"))

@@ -1067,3 +1067,57 @@ def test_duplicated_spans_known_overlaps(spark):
     # (every matched gram here appears in >= 2 docs' streams)
     out3 = duplicated_spans(df, k=8, min_run=2, max_gram_freq=1)
     assert out3.count() == 0
+
+
+def test_hashed_quality_score_exact_integer_math(spark):
+    """The hashed linear classifier must match a pure-Python replay of
+    its integer milli-unit contract exactly: same md5 bucket draws, same
+    fixture weights, same BIGINT dot product — plus empty docs score 0
+    (kept=False) and survive in the output."""
+    import hashlib
+
+    from priority_data_pipeline_azure_sql_db_spark.operators.text import (
+        hashed_quality_score,
+    )
+
+    def draw48(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:12], 16)
+
+    n_buckets = 64
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog"),
+        (1, "the the the the"),
+        (2, ""),
+        (3, "   "),
+        (4, "Mixed CASE tokens MIXED case TOKENS"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    out = {r.doc_id: r for r in
+           hashed_quality_score(df, n_buckets=n_buckets).collect()}
+    assert set(out) == {0, 1, 2, 3, 4}
+
+    w = {b: draw48(f"qw-0:w:{b}") % 2001 - 1000 for b in range(n_buckets)}
+    for doc_id, text in rows:
+        toks = [t for t in text.lower().strip().split() if t]
+        feats = {}
+        for t in toks:
+            feats[draw48(f"qw-0:{t}") % n_buckets] = \
+                feats.get(draw48(f"qw-0:{t}") % n_buckets, 0) + 1
+        lm = sum(w[b] * c for b, c in feats.items())
+        r = out[doc_id]
+        assert r.n_tokens == len(toks), doc_id
+        assert r.n_feats == len(feats), doc_id
+        assert r.logit_milli == lm, doc_id
+        assert r.logit == lm / 1000.0, doc_id
+        assert r.keep == (lm > 0), doc_id
+    assert out[2].logit_milli == 0 and out[2].keep is False
+    assert out[3].logit_milli == 0 and out[3].n_tokens == 0
+
+    # custom weight table overrides the fixture draws
+    wt = spark.createDataFrame(
+        [(b, 1) for b in range(n_buckets)], "bucket bigint, w_milli bigint"
+    )
+    out2 = {r.doc_id: r.logit_milli
+            for r in hashed_quality_score(df, n_buckets=n_buckets,
+                                          weights=wt).collect()}
+    assert out2[1] == 4  # all-ones weights: logit_milli = token count
