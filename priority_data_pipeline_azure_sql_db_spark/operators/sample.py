@@ -123,3 +123,72 @@ def hash_sample_weighted(
     )
     w = F.least(F.greatest(weight_expr.cast("double"), F.lit(0.0)), F.lit(1.0))
     return df.filter(u < w)
+
+
+def temperature_mix_sample(
+    df: DataFrame,
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    alpha: float = 0.5,
+    target_frac: float = 0.5,
+    seed: str = "mix-0",
+) -> DataFrame:
+    """TEMPERATURE-based source re-balancing (round 8) — the
+    multilingual/mixture standard (XLM-R, mT5): sample source s with
+    probability proportional to p_s^alpha, flattening the source
+    distribution (alpha < 1 upsamples small sources relative to big
+    ones; alpha = 1 is proportional sampling, where every source's rate
+    degenerates to exactly ``target_frac``). Per-source keep rate:
+
+        rate_s = min(1, target_frac · N · q_s / n_s),
+        q_s = p_s^alpha / Σ_t p_t^alpha,   p_s = n_s / N,
+
+    fixed to 6 decimals (the engine-portable rounding), then applied as
+    a deterministic per-row hash gate (:func:`hash_sample_weighted` —
+    u(seed:id) < rate_s), so the admitted SET is a pure function of
+    (corpus, seed, alpha, target_frac), bit-identical across engines.
+    alpha = 0.5 computes the power as SQRT — correctly-rounded IEEE in
+    every engine, unlike generic pow whose last ulp is libm-specific
+    (rates are fix6-rounded either way, so generic alpha still matches
+    oracles except within an ulp of a rounding boundary).
+
+    Returns the admitted rows as (id, source, n_s, rate). Scale shape:
+    one source-count aggregate (O(#sources) rows), two 1-row reductions
+    crossJoined back as coalesced broadcasts (the metadata-crossJoin
+    house rule), then a broadcast join + scan-side filter — no
+    corpus-sized shuffle and no window."""
+    if not 0.0 < target_frac <= 1.0:
+        raise ValueError(f"target_frac must be in (0, 1], got {target_frac}")
+    if alpha < 0.0:
+        raise ValueError(f"alpha must be >= 0, got {alpha}")
+    counts = df.groupBy(source_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_s")
+    )
+    tot = counts.agg(F.sum("n_s").cast("double").alias("n_tot")).coalesce(1)
+    withp = counts.crossJoin(F.broadcast(tot)).withColumn(
+        "p_s", F.col("n_s") / F.col("n_tot")
+    )
+    w_expr = (
+        F.sqrt(F.col("p_s")) if alpha == 0.5
+        else F.pow(F.col("p_s"), F.lit(float(alpha)))
+    )
+    weighted = withp.withColumn("w_s", w_expr)
+    z = weighted.agg(F.sum("w_s").alias("z")).coalesce(1)
+    fix6 = lambda c: F.floor(c * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)  # noqa: E731
+    rates = (
+        weighted.crossJoin(F.broadcast(z))
+        .withColumn(
+            "rate",
+            fix6(F.least(
+                F.lit(1.0),
+                F.lit(float(target_frac)) * F.col("n_tot")
+                * (F.col("w_s") / F.col("z")) / F.col("n_s"),
+            )),
+        )
+        .select(source_col, "n_s", "rate")
+    )
+    gated = hash_sample_weighted(
+        df.select(id_col, source_col).join(F.broadcast(rates), source_col),
+        id_col, F.col("rate"), seed=seed,
+    )
+    return gated.select(id_col, source_col, "n_s", "rate")

@@ -4797,3 +4797,57 @@ def text_quality_classifier(spark, sf_dir):
     from .operators.text import hashed_quality_score
 
     return hashed_quality_score(load_table(spark, sf_dir, "documents"))
+
+
+@query(
+    "sample_temperature_mix",
+    """
+    WITH fam AS (
+        SELECT doc_id,
+               'L' || CAST(LEAST(length(text) // 100, 5) AS VARCHAR) AS src
+        FROM documents
+    ), counts AS (
+        SELECT src, CAST(COUNT(*) AS BIGINT) AS n_s FROM fam GROUP BY src
+    ), tot AS (
+        SELECT CAST(SUM(n_s) AS DOUBLE) AS n_tot FROM counts
+    ), w AS (
+        SELECT src, n_s, n_tot, SQRT(n_s / n_tot) AS w_s FROM counts, tot
+    ), z AS (
+        SELECT SUM(w_s) AS z FROM w
+    ), rates AS (
+        SELECT src, n_s,
+               FLOOR(LEAST(1.0, 0.5 * n_tot * (w_s / z) / n_s) * 1e6 + 0.5)
+                   / 1e6 AS rate
+        FROM w, z
+    )
+    SELECT f.doc_id, f.src AS source, r.n_s, r.rate
+    FROM fam f JOIN rates r USING (src)
+    WHERE CAST('0x' || substr(md5('mix-0:' || CAST(f.doc_id AS VARCHAR)),
+               1, 12) AS BIGINT) / 281474976710656.0 < r.rate
+    """,
+)
+def sample_temperature_mix(spark, sf_dir):
+    """TEMPERATURE source mixing (round 8) — the XLM-R/mT5 resampling
+    step, the counterpart of the fixed-budget mixer
+    (sample_source_budget): sources sample at rates ∝ p_s^alpha
+    (alpha=0.5 via SQRT — correctly-rounded IEEE in both engines, no
+    libm pow drift), flattening the mixture toward small sources. The
+    fixture's `source` column is uniform by construction, so the query
+    mixes over the naturally-skewed LENGTH families (docs bucketed by
+    length(text)//100 — upsampling long-form relative to short
+    boilerplate, a realistic mixing axis); rates are fix6-rounded and
+    the admission gate is the exact 48-bit md5 draw, so the admitted
+    row SET hash-checks bit-for-bit."""
+    from .operators.sample import temperature_mix_sample
+
+    d = load_table(spark, sf_dir, "documents").withColumn(
+        "src",
+        F.concat(
+            F.lit("L"),
+            F.least(F.floor(F.length("text") / 100), F.lit(5)).cast("int")
+            .cast("string"),
+        ),
+    )
+    return temperature_mix_sample(
+        d, source_col="src", id_col="doc_id", alpha=0.5, target_frac=0.5
+    ).withColumnRenamed("src", "source")

@@ -1121,3 +1121,53 @@ def test_hashed_quality_score_exact_integer_math(spark):
             for r in hashed_quality_score(df, n_buckets=n_buckets,
                                           weights=wt).collect()}
     assert out2[1] == 4  # all-ones weights: logit_milli = token count
+
+
+def test_temperature_mix_sample_semantics(spark):
+    """Temperature mixing: rates follow the p^alpha formula exactly
+    (pure-Python replay, including the 48-bit gate), alpha=1 degenerates
+    to uniform target_frac for every source, alpha<1 upsamples the small
+    source relative to the big one, and membership is reproducible."""
+    import hashlib
+    import math
+
+    from priority_data_pipeline_azure_sql_db_spark.operators.sample import (
+        temperature_mix_sample,
+    )
+
+    # skewed corpus: 160 'web' docs, 30 'books', 10 'code'
+    rows = ([(i, "web") for i in range(160)]
+            + [(200 + i, "books") for i in range(30)]
+            + [(300 + i, "code") for i in range(10)])
+    df = spark.createDataFrame(rows, "doc_id bigint, source string")
+    out = temperature_mix_sample(df, alpha=0.5, target_frac=0.5).collect()
+
+    n = {"web": 160, "books": 30, "code": 10}
+    N = 200
+    w = {s: math.sqrt(n[s] / N) for s in n}
+    z = sum(w.values())  # deterministic dict order (insertion) — fine
+    rate = {
+        s: math.floor(min(1.0, 0.5 * N * (w[s] / z) / n[s]) * 1e6 + 0.5) / 1e6
+        for s in n
+    }
+    got_rates = {r.source: r.rate for r in out}
+    for s in got_rates:
+        assert abs(got_rates[s] - rate[s]) < 1e-12, s
+    # alpha<1 flattens: small sources sample at a HIGHER rate
+    assert rate["code"] > rate["books"] > rate["web"]
+
+    def u(doc_id):
+        h = hashlib.md5(f"mix-0:{doc_id}".encode()).hexdigest()[:12]
+        return int(h, 16) / 281474976710656.0
+
+    want = {(i, s) for i, s in rows if u(i) < rate[s]}
+    assert {(r.doc_id, r.source) for r in out} == want
+    assert want  # non-vacuous
+
+    # alpha=1: proportional sampling — every source at exactly target_frac
+    out1 = temperature_mix_sample(df, alpha=1.0, target_frac=0.25).collect()
+    assert {r.rate for r in out1} == {0.25}
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="target_frac"):
+        temperature_mix_sample(df, target_frac=0.0)
