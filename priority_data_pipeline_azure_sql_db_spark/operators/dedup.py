@@ -450,3 +450,84 @@ def ngram_contamination(
         .groupBy(F.col("doc").alias("train_id"), "eval_id")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_shared"))
     )
+
+
+# ---------------------------------------------------------------------------
+# line-level boilerplate removal (CCNet-style)
+# ---------------------------------------------------------------------------
+
+def remove_boilerplate_lines(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    sep: str = "\n",
+    min_docs: int = 2,
+    drop_empty: bool = True,
+) -> DataFrame:
+    """LINE-level dedup (CCNet, Wenzek et al. 2020): drop every line
+    whose trimmed form appears in >= ``min_docs`` distinct documents —
+    the navigation menus / cookie banners / license footers that
+    document- and span-level dedup both keep because the surrounding
+    document is unique. Returns one row per surviving document:
+    (id, text-with-kept-lines, n_lines_kept, n_lines_dropped), line
+    order preserved.
+
+    Shape: posexplode lines (no shuffle) → distinct (doc, line) then one
+    hash-agg for document frequency (the boilerplate set — shuffle 1) →
+    left join lines vs that set (shuffle 2; at real corpus scale the
+    >=min_docs set is the small side and Spark broadcasts it) → one
+    groupBy(doc) reassembly (shuffle 3) whose per-group state is one
+    document's own lines — bounded by document size like every text op
+    here, never by corpus size. Pre-explode rows are spread
+    (operators/scale.py) like the shingle pipelines.
+
+    Exact and engine-portable: lines are compared as trimmed STRINGS (no
+    hashing), empty lines never count as boilerplate, and reassembly
+    sorts by line position — the DuckDB twin replays it verbatim with
+    ``string_agg(... ORDER BY pos)``.
+    """
+    t = spread(
+        df.select(F.col(id_col).alias("doc"), F.col(text_col).alias("_txt")), "doc"
+    )
+    lines = t.select(
+        "doc", F.posexplode(F.split(F.col("_txt"), sep)).alias("pos", "line")
+    ).withColumn("nline", F.trim(F.col("line")))
+    boiler = (
+        lines.filter(F.col("nline") != "")
+        .select("doc", "nline")
+        .distinct()
+        .groupBy("nline")
+        .agg(F.count(F.lit(1)).alias("_df"))
+        .filter(F.col("_df") >= min_docs)
+        .select("nline", F.lit(True).alias("_dup"))
+    )
+    flagged = lines.join(boiler, "nline", "left").withColumn(
+        "_dup", F.coalesce(F.col("_dup"), F.lit(False))
+    )
+    out = flagged.groupBy("doc").agg(
+        F.concat_ws(
+            sep,
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(~F.col("_dup"), F.struct("pos", "line"))
+                    )
+                ),
+                lambda x: x["line"],
+            ),
+        ).alias("_clean"),
+        F.sum(F.when(F.col("_dup"), 0).otherwise(1)).cast("bigint").alias(
+            "n_lines_kept"
+        ),
+        F.sum(F.when(F.col("_dup"), 1).otherwise(0)).cast("bigint").alias(
+            "n_lines_dropped"
+        ),
+    )
+    if drop_empty:
+        out = out.filter(F.col("n_lines_kept") > 0)
+    return out.select(
+        F.col("doc").alias(id_col),
+        F.col("_clean").alias(text_col),
+        "n_lines_kept",
+        "n_lines_dropped",
+    )

@@ -4851,3 +4851,68 @@ def sample_temperature_mix(spark, sf_dir):
     return temperature_mix_sample(
         d, source_col="src", id_col="doc_id", alpha=0.5, target_frac=0.5
     ).withColumnRenamed("src", "source")
+
+
+@query(
+    "dedup_boilerplate_lines",
+    """
+    WITH toks AS (
+        SELECT doc_id AS doc,
+               list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                           x -> x <> '') AS t
+        FROM documents
+    ), w AS (
+        SELECT doc, i.pos, CAST(i.pos // 8 AS BIGINT) AS line_no,
+               t[CAST(i.pos + 1 AS INT)] AS tok
+        FROM toks, LATERAL (SELECT UNNEST(range(len(t))) AS pos) i
+    ), lines AS (
+        SELECT doc, line_no, string_agg(tok, ' ' ORDER BY pos) AS line
+        FROM w GROUP BY doc, line_no
+    ), boiler AS (
+        SELECT line FROM (
+            SELECT line, COUNT(DISTINCT doc) AS dfreq
+            FROM lines GROUP BY line
+        ) WHERE dfreq >= 2
+    ), flagged AS (
+        SELECT l.doc, l.line_no, l.line, (b.line IS NOT NULL) AS dup
+        FROM lines l LEFT JOIN boiler b ON l.line = b.line
+    )
+    SELECT doc AS doc_id,
+           COALESCE(string_agg(CASE WHEN NOT dup THEN line END,
+                               chr(10) ORDER BY line_no), '') AS text,
+           CAST(SUM(CASE WHEN dup THEN 0 ELSE 1 END) AS BIGINT)
+               AS n_lines_kept,
+           CAST(SUM(CASE WHEN dup THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_lines_dropped
+    FROM flagged GROUP BY doc
+    HAVING CAST(SUM(CASE WHEN dup THEN 0 ELSE 1 END) AS BIGINT) > 0
+    """,
+)
+def dedup_boilerplate_lines(spark, sf_dir):
+    """LINE-level dedup (round 8) — the CCNet paragraph/line-hash pass
+    (Wenzek et al. 2020): drop every line appearing verbatim in >= 2
+    distinct documents (menus, banners, license footers — boilerplate
+    that document- and span-level dedup both keep). The fixture corpus
+    has no newlines, so the query first frames each doc into 8-token
+    lines (fixed-width word groups — deterministic in both engines);
+    planted duplicate passages that agree mod-8 on their offsets then
+    surface as shared lines. Output: surviving docs with kept-line text
+    reassembled in order + kept/dropped line counts, hash-checked."""
+    from .operators.dedup import remove_boilerplate_lines
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.filter(
+        F.split(F.trim(F.lower(F.col("text"))), "\\s+"),
+        lambda x: x != F.lit(""),
+    )
+    d = d.withColumn("_toks", toks)
+    n_lines = F.floor((F.size("_toks") + F.lit(7)) / F.lit(8)).cast("int")
+    lines = F.when(
+        F.size("_toks") > 0,
+        F.transform(
+            F.sequence(F.lit(0), n_lines - 1),
+            lambda i: F.concat_ws(" ", F.slice("_toks", i * F.lit(8) + 1, 8)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    lined = d.select("doc_id", F.concat_ws("\n", lines).alias("text"))
+    return remove_boilerplate_lines(lined, min_docs=2)

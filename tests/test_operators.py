@@ -1171,3 +1171,57 @@ def test_temperature_mix_sample_semantics(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError, match="target_frac"):
         temperature_mix_sample(df, target_frac=0.0)
+
+
+def test_remove_boilerplate_lines_known_docs(spark):
+    """Line-level dedup: hand-built multi-line docs. The shared footer
+    is dropped everywhere, within-doc repeats survive (df counts
+    DISTINCT docs), trim-variant lines match, empty lines never count
+    as boilerplate, line order is preserved, and a doc made entirely of
+    boilerplate disappears under drop_empty."""
+    from priority_data_pipeline_azure_sql_db_spark.operators.dedup import (
+        remove_boilerplate_lines,
+    )
+
+    docs = [
+        (1, "alpha beta\nshared footer\nunique one"),
+        (2, "gamma delta\n  shared footer  \nunique two"),
+        (3, "solo line\nsolo line\n\nanother solo"),
+        (4, "shared footer"),
+    ]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    out = {
+        r["doc_id"]: r
+        for r in remove_boilerplate_lines(df, min_docs=2).collect()
+    }
+    assert set(out) == {1, 2, 3}  # doc 4 is pure boilerplate -> gone
+    assert out[1]["text"] == "alpha beta\nunique one"
+    assert (out[1]["n_lines_kept"], out[1]["n_lines_dropped"]) == (2, 1)
+    # trim-variant footer in doc 2 matched the boilerplate set, and the
+    # surviving lines keep their ORIGINAL (untrimmed) spelling
+    assert out[2]["text"] == "gamma delta\nunique two"
+    # doc 3: "solo line" twice is a within-doc repeat (1 distinct doc ->
+    # kept twice); the empty line is kept verbatim, never boilerplate
+    assert out[3]["text"] == "solo line\nsolo line\n\nanother solo"
+    assert (out[3]["n_lines_kept"], out[3]["n_lines_dropped"]) == (4, 0)
+
+    kept_all = remove_boilerplate_lines(df, min_docs=2, drop_empty=False)
+    empty = {r["doc_id"]: r for r in kept_all.collect()}[4]
+    assert empty["text"] == "" and empty["n_lines_kept"] == 0
+
+
+def test_remove_boilerplate_lines_min_docs_threshold(spark):
+    """min_docs=3 keeps a line shared by only two documents."""
+    from priority_data_pipeline_azure_sql_db_spark.operators.dedup import (
+        remove_boilerplate_lines,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "pair line\na"), (2, "pair line\nb"), (3, "c")],
+        ["doc_id", "text"],
+    )
+    out = {
+        r["doc_id"]: r["text"]
+        for r in remove_boilerplate_lines(df, min_docs=3).collect()
+    }
+    assert out[1] == "pair line\na" and out[2] == "pair line\nb"
