@@ -192,3 +192,72 @@ def temperature_mix_sample(
         id_col, F.col("rate"), seed=seed,
     )
     return gated.select(id_col, source_col, "n_s", "rate")
+
+
+def quantile_threshold_filter(
+    df: DataFrame,
+    score_col: str,
+    drop_frac_num: int,
+    drop_frac_den: int,
+    lo: float = 0.0,
+    hi: float = 1.0,
+    buckets: int = 10000,
+) -> DataFrame:
+    """CORPUS-RELATIVE quality gate: drop (approximately, conservatively)
+    the lowest ``drop_frac_num/drop_frac_den`` fraction of rows by
+    ``score_col`` — the DCLM/FineWeb-style percentile filter, where the
+    cut moves with the corpus instead of a hand-tuned constant.
+
+    An exact distributed quantile needs a global sort (or a driver-side
+    exact-percentile aggregate that buffers every value — neither
+    survives 100 TB), so this quantizes the BOUNDED score domain
+    [lo, hi] into ``buckets`` fixed-width bins and takes the histogram
+    CDF: one map-side-combinable groupBy over <= ``buckets`` keys, one
+    window over the <= ``buckets``-row histogram (bounded by the knob,
+    never by corpus size — the one single-partition window here is over
+    at most 10k rows), then a broadcast of the 1-row threshold back onto
+    the scan. Whole buckets are dropped while the running count stays
+    <= floor(N * num / den) — integer arithmetic, so the admitted SET is
+    exact and engine-portable (no float-percentile boundary drift), and
+    the realized drop rate is <= the requested one (ties at the cut
+    survive; resolution is (hi-lo)/buckets).
+
+    Returns the surviving rows of ``df`` plus their ``_qbucket``.
+    """
+    if drop_frac_num < 0 or drop_frac_den <= 0 or drop_frac_num > drop_frac_den:
+        raise ValueError("drop_frac must satisfy 0 <= num/den <= 1")
+    s = F.col(score_col).cast("double")
+    clamped = F.greatest(F.least(s, F.lit(float(hi))), F.lit(float(lo)))
+    bucket = F.least(
+        F.floor((clamped - F.lit(float(lo)))
+                * F.lit(float(buckets)) / F.lit(float(hi - lo))),
+        F.lit(buckets - 1),
+    ).cast("bigint")
+    b = df.withColumn("_qbucket", bucket)
+    hist = b.groupBy("_qbucket").agg(F.count(F.lit(1)).alias("_c"))
+    from pyspark.sql import Window
+
+    # histogram-sized window: <= `buckets` rows on one task by design
+    cdf = hist.withColumn(
+        "_cum",
+        F.sum("_c").over(
+            Window.orderBy("_qbucket")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    total = b.groupBy().agg(F.count(F.lit(1)).alias("_n"))
+    thresh = (
+        cdf.crossJoin(F.broadcast(total.coalesce(1)))
+        .filter(
+            # integer `div`: floor(N * num / den) with no float on the path
+            F.col("_cum")
+            <= F.expr(f"(_n * {drop_frac_num}) div {drop_frac_den}")
+        )
+        .groupBy()
+        .agg(F.coalesce(F.max("_qbucket"), F.lit(-1)).alias("_t"))
+    )
+    return (
+        b.crossJoin(F.broadcast(thresh.coalesce(1)))
+        .filter(F.col("_qbucket") > F.col("_t"))
+        .drop("_t")
+    )

@@ -4916,3 +4916,63 @@ def dedup_boilerplate_lines(spark, sf_dir):
     ).otherwise(F.array().cast("array<string>"))
     lined = d.select("doc_id", F.concat_ws("\n", lines).alias("text"))
     return remove_boilerplate_lines(lined, min_docs=2)
+
+
+@query(
+    "filter_quality_quantile",
+    """
+    WITH scored AS (
+        SELECT doc_id,
+               CAST(LEN(regexp_extract_all(text, '[A-Za-z]')) AS DOUBLE)
+                   / CAST(GREATEST(LENGTH(text), 1) AS DOUBLE) AS s
+        FROM documents
+    ), b AS (
+        SELECT doc_id, s,
+               CAST(LEAST(FLOOR((GREATEST(LEAST(s, 1.0), 0.0) - 0.0)
+                                * 10000.0 / 1.0), 9999) AS BIGINT) AS qb
+        FROM scored
+    ), hist AS (
+        SELECT qb, COUNT(*) AS c FROM b GROUP BY qb
+    ), cdf AS (
+        SELECT qb,
+               CAST(SUM(c) OVER (ORDER BY qb ROWS UNBOUNDED PRECEDING)
+                    AS BIGINT) AS cum
+        FROM hist
+    ), n AS (SELECT COUNT(*) AS n FROM b
+    ), t AS (
+        SELECT COALESCE(MAX(qb), -1) AS t
+        FROM cdf, n WHERE cum <= (n.n * 1) // 5
+    )
+    SELECT b.doc_id,
+           FLOOR(b.s * 1000000.0 + 0.5) / 1000000.0 AS score,
+           b.qb AS qbucket
+    FROM b, t WHERE b.qb > t.t
+    """,
+)
+def filter_quality_quantile(spark, sf_dir):
+    """CORPUS-RELATIVE quality gate (round 8) — the DCLM/FineWeb-style
+    percentile filter: drop the lowest ~20% of documents by
+    alphabetic-character ratio, with the cut derived from the corpus
+    itself rather than a hand constant. An exact global quantile needs a
+    global sort, so the operator takes the histogram-CDF route over the
+    BOUNDED quantized score domain (10k bins on [0,1]): one
+    map-side-combinable histogram agg, one window over the <=10k-row
+    histogram, one broadcast threshold back onto the scan. Whole buckets
+    drop while the running count stays <= (N*1) div 5 (integer
+    arithmetic — no float-percentile boundary drift), so the admitted
+    SET is exact and hash-checks bit-for-bit."""
+    from .operators.sample import quantile_threshold_filter
+
+    d = load_table(spark, sf_dir, "documents")
+    t = F.col("text")
+    s = (
+        F.size(F.regexp_extract_all(t, F.lit("[A-Za-z]"), 0)).cast("double")
+        / F.greatest(F.length(t), F.lit(1)).cast("double")
+    )
+    scored = d.select("doc_id", s.alias("score"))
+    kept = quantile_threshold_filter(scored, "score", 1, 5)
+    return kept.select(
+        "doc_id",
+        _fix6(F.col("score")).alias("score"),
+        F.col("_qbucket").alias("qbucket"),
+    )

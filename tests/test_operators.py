@@ -1225,3 +1225,55 @@ def test_remove_boilerplate_lines_min_docs_threshold(spark):
         for r in remove_boilerplate_lines(df, min_docs=3).collect()
     }
     assert out[1] == "pair line\na" and out[2] == "pair line\nb"
+
+
+def test_quantile_threshold_filter_semantics(spark):
+    """Histogram-CDF quantile gate: hand-built score distribution.
+    Whole buckets drop while the running count stays within the integer
+    budget, ties at the cut survive (realized drop <= requested), and
+    frac=0 / frac=1 behave."""
+    from priority_data_pipeline_azure_sql_db_spark.operators.sample import (
+        quantile_threshold_filter,
+    )
+
+    # 10 rows: scores .05 x2, .15 x3, .55 x5 -> buckets 500, 1500, 5500
+    rows = [(i, 0.05) for i in range(2)] + \
+           [(i + 2, 0.15) for i in range(3)] + \
+           [(i + 5, 0.55) for i in range(5)]
+    df = spark.createDataFrame(rows, ["doc_id", "score"])
+
+    # drop 20% -> budget floor(10*1/5)=2: exactly the .05 bucket
+    kept = quantile_threshold_filter(df, "score", 1, 5).collect()
+    assert sorted(r["doc_id"] for r in kept) == list(range(2, 10))
+
+    # drop 40% -> budget 4, but buckets are atomic: .05 (cum 2) drops,
+    # .15 (cum 5 > 4) survives whole -> realized drop 2/10 <= 4/10
+    kept = quantile_threshold_filter(df, "score", 2, 5).collect()
+    assert sorted(r["doc_id"] for r in kept) == list(range(2, 10))
+
+    # drop 50% -> budget 5: .05 and .15 both drop
+    kept = quantile_threshold_filter(df, "score", 1, 2).collect()
+    assert sorted(r["doc_id"] for r in kept) == list(range(5, 10))
+
+    # frac=0 keeps everything; frac=1 drops everything
+    assert len(quantile_threshold_filter(df, "score", 0, 1).collect()) == 10
+    assert len(quantile_threshold_filter(df, "score", 1, 1).collect()) == 0
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="drop_frac"):
+        quantile_threshold_filter(df, "score", 3, 2)
+
+
+def test_quantile_threshold_filter_clamps_out_of_range(spark):
+    """Scores outside [lo, hi] clamp into the edge buckets instead of
+    corrupting the histogram."""
+    from priority_data_pipeline_azure_sql_db_spark.operators.sample import (
+        quantile_threshold_filter,
+    )
+
+    df = spark.createDataFrame(
+        [(1, -5.0), (2, 0.5), (3, 99.0)], ["doc_id", "score"]
+    )
+    out = {r["doc_id"]: r["_qbucket"]
+           for r in quantile_threshold_filter(df, "score", 0, 1).collect()}
+    assert out == {1: 0, 2: 5000, 3: 9999}
