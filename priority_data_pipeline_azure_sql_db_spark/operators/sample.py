@@ -194,6 +194,22 @@ def temperature_mix_sample(
     return gated.select(id_col, source_col, "n_s", "rate")
 
 
+def score_bucket(
+    score: Column, lo: float = 0.0, hi: float = 1.0, buckets: int = 10000
+) -> Column:
+    """Fixed-width bin of a BOUNDED score: clamp to [lo, hi], quantize
+    into ``buckets`` bins (top edge folds into the last bin). Monotone
+    nondecreasing in the score — the invariant the histogram-CDF
+    operators below (quantile gate, global curriculum rank) rely on."""
+    s = score.cast("double")
+    clamped = F.greatest(F.least(s, F.lit(float(hi))), F.lit(float(lo)))
+    return F.least(
+        F.floor((clamped - F.lit(float(lo)))
+                * F.lit(float(buckets)) / F.lit(float(hi - lo))),
+        F.lit(buckets - 1),
+    ).cast("bigint")
+
+
 def quantile_threshold_filter(
     df: DataFrame,
     score_col: str,
@@ -226,14 +242,9 @@ def quantile_threshold_filter(
     """
     if drop_frac_num < 0 or drop_frac_den <= 0 or drop_frac_num > drop_frac_den:
         raise ValueError("drop_frac must satisfy 0 <= num/den <= 1")
-    s = F.col(score_col).cast("double")
-    clamped = F.greatest(F.least(s, F.lit(float(hi))), F.lit(float(lo)))
-    bucket = F.least(
-        F.floor((clamped - F.lit(float(lo)))
-                * F.lit(float(buckets)) / F.lit(float(hi - lo))),
-        F.lit(buckets - 1),
-    ).cast("bigint")
-    b = df.withColumn("_qbucket", bucket)
+    b = df.withColumn(
+        "_qbucket", score_bucket(F.col(score_col), lo, hi, buckets)
+    )
     hist = b.groupBy("_qbucket").agg(F.count(F.lit(1)).alias("_c"))
     from pyspark.sql import Window
 
@@ -260,4 +271,55 @@ def quantile_threshold_filter(
         b.crossJoin(F.broadcast(thresh.coalesce(1)))
         .filter(F.col("_qbucket") > F.col("_t"))
         .drop("_t")
+    )
+
+
+def curriculum_rank(
+    df: DataFrame,
+    score_col: str,
+    id_col: str = "doc_id",
+    lo: float = 0.0,
+    hi: float = 1.0,
+    buckets: int = 10000,
+) -> DataFrame:
+    """EXACT global curriculum position by (score, id) — easy-to-hard
+    ordering for curriculum training — WITHOUT a global sort. A naive
+    ``row_number() OVER (ORDER BY score)`` funnels the whole corpus
+    through one task; instead: quantize the bounded score
+    (:func:`score_bucket`, monotone, so bucket order == score order) →
+    histogram → per-bucket STARTING OFFSET via a window over the
+    <= ``buckets``-row histogram (bounded by the knob, not the corpus) →
+    broadcast-join offsets back → per-BUCKET ``row_number`` ordered by
+    (score, id) — a KEYED window whose partitions are corpus/buckets
+    rows. rank = bucket offset + within-bucket position: bit-identical
+    to the single-sort answer (the DuckDB twin IS the naive global
+    window), 1-based, dense, deterministic via the id tie-break.
+    """
+    b = df.withColumn(
+        "_qbucket", score_bucket(F.col(score_col), lo, hi, buckets)
+    )
+    hist = b.groupBy("_qbucket").agg(F.count(F.lit(1)).alias("_c"))
+    from pyspark.sql import Window
+
+    # histogram-sized window: <= `buckets` rows on one task by design
+    offs = hist.withColumn(
+        "_below",
+        F.coalesce(
+            F.sum("_c").over(
+                Window.orderBy("_qbucket")
+                .rowsBetween(Window.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        ),
+    ).select("_qbucket", "_below")
+    w = Window.partitionBy("_qbucket").orderBy(
+        F.col(score_col).cast("double"), F.col(id_col)
+    )
+    return (
+        b.join(F.broadcast(offs), "_qbucket")
+        .withColumn(
+            "curriculum_rank",
+            (F.col("_below") + F.row_number().over(w)).cast("bigint"),
+        )
+        .drop("_below")
     )

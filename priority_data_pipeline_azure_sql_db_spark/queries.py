@@ -4976,3 +4976,34 @@ def filter_quality_quantile(spark, sf_dir):
         _fix6(F.col("score")).alias("score"),
         F.col("_qbucket").alias("qbucket"),
     )
+
+
+@query(
+    "sample_curriculum_rank",
+    """
+    SELECT doc_id,
+           CAST(ROW_NUMBER() OVER (
+               ORDER BY CAST(LEAST(LENGTH(text), 1000) AS DOUBLE) / 1000.0,
+                        doc_id
+           ) AS BIGINT) AS curriculum_rank
+    FROM documents
+    """,
+)
+def sample_curriculum_rank(spark, sf_dir):
+    """GLOBAL curriculum ordering (round 8): every document's exact
+    1-based position in the short-to-long schedule (score =
+    min(length, 1000)/1000, id tie-break) — curriculum training's
+    easy-to-hard order. The oracle IS the naive single-sort global
+    window; the Spark plan must never run one (corpus through one
+    task), so the operator reconstructs the identical rank from a
+    10k-bin histogram: per-bucket starting offsets via a window over
+    the histogram ONLY, broadcast back, plus a KEYED per-bucket
+    row_number — bit-identical output, corpus-sized work stays
+    parallel (equality + plan shape pytest-checked)."""
+    from .operators.sample import curriculum_rank
+
+    d = load_table(spark, sf_dir, "documents")
+    s = F.least(F.length("text"), F.lit(1000)).cast("double") / F.lit(1000.0)
+    return curriculum_rank(
+        d.select("doc_id", s.alias("score")), "score"
+    ).select("doc_id", "curriculum_rank")

@@ -1277,3 +1277,54 @@ def test_quantile_threshold_filter_clamps_out_of_range(spark):
     out = {r["doc_id"]: r["_qbucket"]
            for r in quantile_threshold_filter(df, "score", 0, 1).collect()}
     assert out == {1: 0, 2: 5000, 3: 9999}
+
+
+def test_curriculum_rank_matches_global_sort(spark):
+    """The histogram-offset construction is bit-identical to the naive
+    global row_number, including out-of-range clamps, within-bucket
+    ties (id tie-break), and duplicate scores across buckets."""
+    from pyspark.sql import Window
+
+    from priority_data_pipeline_azure_sql_db_spark.operators.sample import (
+        curriculum_rank,
+    )
+
+    rows = [
+        (1, 0.73), (2, 0.12), (3, 0.12), (4, -3.0), (5, 42.0),
+        (6, 0.120001), (7, 0.9999), (8, 0.0), (9, 1.0), (10, 0.73),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "score"])
+    got = {
+        r["doc_id"]: r["curriculum_rank"]
+        for r in curriculum_rank(df, "score").collect()
+    }
+    naive = {
+        r["doc_id"]: r["rk"]
+        for r in df.withColumn(
+            "rk",
+            F.row_number().over(Window.orderBy("score", "doc_id")),
+        ).collect()
+    }
+    assert got == naive
+    assert sorted(got.values()) == list(range(1, 11))
+
+
+def test_curriculum_rank_plan_has_no_global_window(spark):
+    """The corpus-sized window must be keyed by bucket; only the
+    histogram-sized offset window may be unpartitioned."""
+    from priority_data_pipeline_azure_sql_db_spark.operators.sample import (
+        curriculum_rank,
+    )
+
+    df = spark.range(1000).select(
+        F.col("id").alias("doc_id"),
+        (F.col("id") % 97 / 100.0).alias("score"),
+    )
+    plan = curriculum_rank(df, "score")._jdf.queryExecution().executedPlan().toString()
+    import re
+
+    # every row_number window spec over the full relation must carry the
+    # bucket key; an unkeyed row_number would read "windowspecdefinition(
+    # score..., doc_id..." with no partition columns before the ORDER BY
+    for m in re.finditer(r"row_number\(\) windowspecdefinition\(([^)]*)\)", plan):
+        assert "_qbucket" in m.group(1), plan
