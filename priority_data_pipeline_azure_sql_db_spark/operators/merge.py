@@ -46,3 +46,52 @@ def merge_upsert(target: DataFrame, delta: DataFrame, pk: list[str]) -> DataFram
     """
     kept = target.join(delta.select(*pk), on=pk, how="left_anti")
     return kept.unionByName(delta)
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    pk: list[str],
+    compare_cols: list[str] | None = None,
+) -> DataFrame:
+    """Change-data audit between two snapshots of the same table: one
+    row per PK present in either side, tagged ``inserted`` / ``deleted``
+    / ``updated`` / ``unchanged`` — the diff the reference's
+    watermark-window reloads imply but never surface (a re-fetched
+    window silently overwrites; this says WHAT changed, the input to
+    CDC downstreams and load-correctness checks).
+
+    Shape: ONE full-outer join on the PK — at 100 TB both sides are the
+    same table family, so bucket/partition them identically and the join
+    is co-located with no shuffle (the StagingStore layout already
+    partitions by PK hash). Row equality is column-wise with NULL-safe
+    ``<=>`` over ``compare_cols`` (default: all shared non-PK columns,
+    name-sorted so the comparison set is deterministic) — no row-hash,
+    so engines can't disagree on serialization.
+    """
+    compare = compare_cols or sorted(
+        (set(old.columns) & set(new.columns)) - set(pk)
+    )
+    o = old.alias("o")
+    n = new.alias("n")
+    cond = None
+    for c in pk:
+        eq = F.col(f"o.{c}").eqNullSafe(F.col(f"n.{c}"))
+        cond = eq if cond is None else cond & eq
+    same = F.lit(True)
+    for c in compare:
+        same = same & F.col(f"o.{c}").eqNullSafe(F.col(f"n.{c}"))
+    in_old = F.col(f"o.{pk[0]}").isNotNull()
+    in_new = F.col(f"n.{pk[0]}").isNotNull()
+    change = (
+        F.when(~in_old, F.lit("inserted"))
+        .when(~in_new, F.lit("deleted"))
+        .when(same, F.lit("unchanged"))
+        .otherwise(F.lit("updated"))
+    )
+    keys = [
+        F.coalesce(F.col(f"n.{c}"), F.col(f"o.{c}")).alias(c) for c in pk
+    ]
+    return o.join(n, cond, "full_outer").select(
+        *keys, change.alias("change_type")
+    )

@@ -5007,3 +5007,55 @@ def sample_curriculum_rank(spark, sf_dir):
     return curriculum_rank(
         d.select("doc_id", s.alias("score")), "score"
     ).select("doc_id", "curriculum_rank")
+
+
+@query(
+    "pipeline_snapshot_diff",
+    """
+    WITH snap_old AS (
+        SELECT o_orderkey, o_totalprice, o_orderstatus
+        FROM orders WHERE o_orderkey % 100 <> 0
+    ), snap_new AS (
+        SELECT o_orderkey,
+               CASE WHEN o_orderkey % 100 = 1 THEN o_totalprice + 1.0
+                    ELSE o_totalprice END AS o_totalprice,
+               o_orderstatus
+        FROM orders WHERE o_orderkey % 100 <> 2
+    )
+    SELECT COALESCE(n.o_orderkey, o.o_orderkey) AS o_orderkey,
+           CASE WHEN o.o_orderkey IS NULL THEN 'inserted'
+                WHEN n.o_orderkey IS NULL THEN 'deleted'
+                WHEN o.o_totalprice IS NOT DISTINCT FROM n.o_totalprice
+                     AND o.o_orderstatus IS NOT DISTINCT FROM n.o_orderstatus
+                    THEN 'unchanged'
+                ELSE 'updated' END AS change_type
+    FROM snap_old o FULL OUTER JOIN snap_new n
+      ON o.o_orderkey = n.o_orderkey
+    """,
+)
+def pipeline_snapshot_diff(spark, sf_dir):
+    """CHANGE-DATA AUDIT (round 8): tag every PK across two snapshots
+    of the same table as inserted / deleted / updated / unchanged — the
+    diff the reference's watermark-window reloads imply but never
+    surface (a re-fetched window silently overwrites). One full-outer
+    join on the PK (co-located with no shuffle once both sides share
+    the staging layout's PK partitioning), NULL-safe column-wise
+    comparison (no row-hash for engines to disagree on). Snapshots are
+    derived deterministically from `orders`: ~1% of keys inserted, ~1%
+    deleted, ~1% repriced."""
+    from .operators.merge import snapshot_diff
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderstatus"
+    )
+    snap_old = o.filter(F.col("o_orderkey") % 100 != 0)
+    snap_new = o.filter(F.col("o_orderkey") % 100 != 2).withColumn(
+        "o_totalprice",
+        F.when(
+            F.col("o_orderkey") % 100 == 1, F.col("o_totalprice") + F.lit(1.0)
+        ).otherwise(F.col("o_totalprice")),
+    )
+    return snapshot_diff(
+        snap_old, snap_new, pk=["o_orderkey"],
+        compare_cols=["o_totalprice", "o_orderstatus"],
+    )

@@ -1328,3 +1328,40 @@ def test_curriculum_rank_plan_has_no_global_window(spark):
     # score..., doc_id..." with no partition columns before the ORDER BY
     for m in re.finditer(r"row_number\(\) windowspecdefinition\(([^)]*)\)", plan):
         assert "_qbucket" in m.group(1), plan
+
+
+def test_snapshot_diff_change_types(spark):
+    """Full-outer CDC diff: every change class on hand-built snapshots,
+    NULL-safe value comparison, and default compare-column derivation."""
+    from priority_data_pipeline_azure_sql_db_spark.operators.merge import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", None), (3, "c", 30.0), (4, "d", 40.0)],
+        ["pk", "val", "price"],
+    )
+    new = spark.createDataFrame(
+        [(1, "a", 10.0),      # unchanged
+         (2, "b", None),      # unchanged (NULL <=> NULL)
+         (3, "c", 31.0),      # updated
+         (5, "e", 50.0)],     # inserted; pk 4 deleted
+        ["pk", "val", "price"],
+    )
+    got = {
+        r["pk"]: r["change_type"]
+        for r in snapshot_diff(old, new, pk=["pk"]).collect()
+    }
+    assert got == {1: "unchanged", 2: "unchanged", 3: "updated",
+                   4: "deleted", 5: "inserted"}
+
+    # NULL -> value is an update, not unchanged
+    got2 = {
+        r["pk"]: r["change_type"]
+        for r in snapshot_diff(
+            old, new.withColumn(
+                "price",
+                F.when(F.col("pk") == 2, 2.0).otherwise(F.col("price")),
+            ),
+            pk=["pk"],
+        ).collect()
+    }
+    assert got2[2] == "updated"
