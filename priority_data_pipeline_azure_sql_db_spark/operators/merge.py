@@ -119,3 +119,44 @@ def combine_rollups(
     return u.groupBy(*keys).agg(
         *[F.sum(c).alias(c) for c in sum_cols]
     )
+
+
+def scd2_history(
+    df: DataFrame,
+    pk: list[str],
+    attr_cols: list[str],
+    ts_col: str,
+    tiebreak_cols: list[str] | None = None,
+) -> DataFrame:
+    """Type-2 slowly-changing-dimension history from a change log: one
+    row per (entity, attribute-state RUN) with ``valid_from`` /
+    ``valid_to`` / ``is_current`` — the versioned-dimension build that
+    turns the staging store's upsert stream into point-in-time joinable
+    history. Consecutive rows with identical attributes collapse
+    (NULL-safe comparison); ``valid_to`` is the next change's timestamp
+    (half-open intervals), NULL while current.
+
+    Shape: two KEYED windows over (pk) ordered by (ts, tiebreaks) —
+    partitions are one entity's history, never corpus-sized; both
+    windows share the same partitioning so Catalyst plans ONE sort +
+    shuffle. Ties on the timestamp are ordered by ``tiebreak_cols``
+    (pass the event/row id) — REQUIRED for determinism if the log can
+    carry two changes at the same instant.
+    """
+    from pyspark.sql import Window
+
+    tb = [F.col(c) for c in (tiebreak_cols or [])]
+    order = [F.col(ts_col)] + tb
+    w = Window.partitionBy(*pk).orderBy(*order)
+    changed = F.row_number().over(w) == 1
+    for c in attr_cols:
+        changed = changed | ~F.col(c).eqNullSafe(F.lag(c).over(w))
+    runs = df.withColumn("_chg", changed).filter("_chg")
+    w2 = Window.partitionBy(*pk).orderBy(*order)
+    return runs.select(
+        *pk,
+        *attr_cols,
+        F.col(ts_col).alias("valid_from"),
+        F.lead(ts_col).over(w2).alias("valid_to"),
+        F.lead(ts_col).over(w2).isNull().alias("is_current"),
+    )

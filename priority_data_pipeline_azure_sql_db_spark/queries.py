@@ -5112,3 +5112,49 @@ def events_rollup_incremental(spark, sf_dir):
         F.col("n_events").cast("bigint").alias("n_events"),
         F.col("sum_value").cast("double").alias("sum_value"),
     )
+
+
+@query(
+    "events_scd2_user_state",
+    """
+    WITH ordered AS (
+        SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts, event_id,
+               LAG(event_type) OVER (
+                   PARTITION BY user_id
+                   ORDER BY CAST(ts AS TIMESTAMP), event_id
+               ) AS prev_type,
+               ROW_NUMBER() OVER (
+                   PARTITION BY user_id
+                   ORDER BY CAST(ts AS TIMESTAMP), event_id
+               ) AS rn
+        FROM events
+    ), changes AS (
+        SELECT user_id, event_type, ts, event_id FROM ordered
+        WHERE rn = 1 OR event_type IS DISTINCT FROM prev_type
+    )
+    SELECT user_id, event_type, ts AS valid_from,
+           LEAD(ts) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+           ) AS valid_to,
+           (LEAD(ts) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+           ) IS NULL) AS is_current
+    FROM changes
+    """,
+)
+def events_scd2_user_state(spark, sf_dir):
+    """TYPE-2 HISTORY BUILD (round 8): collapse each user's event-type
+    stream into attribute-state runs with half-open
+    [valid_from, valid_to) intervals and an is_current flag — the SCD2
+    dimension that makes the staging store's upsert stream
+    point-in-time joinable. Two keyed windows sharing one (user_id)
+    partitioning (one sort+shuffle in the plan); event_id breaks
+    same-instant ties deterministically. Hash-checked against the
+    identical two-stage window construction in DuckDB."""
+    from .operators.merge import scd2_history
+
+    e = load_table(spark, sf_dir, "events")
+    return scd2_history(
+        e, pk=["user_id"], attr_cols=["event_type"], ts_col="ts",
+        tiebreak_cols=["event_id"],
+    )

@@ -1399,3 +1399,44 @@ def test_combine_rollups_equals_full_recompute(spark):
         for r in combine_rollups(parts, ["k"], ["n", "s"]).collect()
     }
     assert merged == full
+
+
+def test_scd2_history_runs_and_intervals(spark):
+    """SCD2 build on a hand-built change log: consecutive identical
+    states collapse (NULL-safely), intervals chain half-open, the last
+    run is current, and same-instant ties order by the tiebreak."""
+    from datetime import datetime as DT
+
+    from priority_data_pipeline_azure_sql_db_spark.operators.merge import scd2_history
+
+    t = lambda s: DT(2026, 1, s)
+    rows = [
+        (1, "gold",   t(1), 10),
+        (1, "gold",   t(2), 11),   # same state -> collapses into run 1
+        (1, "silver", t(3), 12),
+        (1, None,     t(4), 13),   # NULL state is a real run
+        (1, None,     t(5), 14),   # NULL == NULL -> collapses
+        (1, "gold",   t(6), 15),
+        (2, "bronze", t(1), 16),
+        # same-instant tie for user 3: event_id orders b before c
+        (3, "b", t(1), 17), (3, "c", t(1), 18),
+    ]
+    df = spark.createDataFrame(rows, ["user_id", "tier", "ts", "event_id"])
+    out = scd2_history(
+        df, pk=["user_id"], attr_cols=["tier"], ts_col="ts",
+        tiebreak_cols=["event_id"],
+    ).collect()
+    runs = sorted(
+        ((r["user_id"], r["tier"], r["valid_from"], r["valid_to"],
+          r["is_current"]) for r in out),
+        key=lambda x: (x[0], x[2], str(x[1])),
+    )
+    assert runs == [
+        (1, "gold",   t(1), t(3), False),
+        (1, "silver", t(3), t(4), False),
+        (1, None,     t(4), t(6), False),
+        (1, "gold",   t(6), None, True),
+        (2, "bronze", t(1), None, True),
+        (3, "b", t(1), t(1), False),   # zero-length run, tie resolved
+        (3, "c", t(1), None, True),
+    ]
