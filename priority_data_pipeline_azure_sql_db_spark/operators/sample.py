@@ -281,45 +281,86 @@ def curriculum_rank(
     lo: float = 0.0,
     hi: float = 1.0,
     buckets: int = 10000,
+    partition_cols: list[str] | None = None,
 ) -> DataFrame:
-    """EXACT global curriculum position by (score, id) — easy-to-hard
-    ordering for curriculum training — WITHOUT a global sort. A naive
-    ``row_number() OVER (ORDER BY score)`` funnels the whole corpus
-    through one task; instead: quantize the bounded score
-    (:func:`score_bucket`, monotone, so bucket order == score order) →
-    histogram → per-bucket STARTING OFFSET via a window over the
-    <= ``buckets``-row histogram (bounded by the knob, not the corpus) →
-    broadcast-join offsets back → per-BUCKET ``row_number`` ordered by
-    (score, id) — a KEYED window whose partitions are corpus/buckets
-    rows. rank = bucket offset + within-bucket position: bit-identical
-    to the single-sort answer (the DuckDB twin IS the naive global
-    window), 1-based, dense, deterministic via the id tie-break.
+    """EXACT curriculum position by (score, id) — easy-to-hard ordering
+    for curriculum training — WITHOUT a global sort; global by default,
+    per-group when ``partition_cols`` is given (the per-source ranking
+    behind domain caps). A naive ``row_number() OVER (ORDER BY score)``
+    funnels the whole corpus (or a whole mega-source) through one task;
+    instead: quantize the bounded score (:func:`score_bucket`, monotone,
+    so bucket order == score order) → histogram → per-bucket STARTING
+    OFFSET via a window over the <= groups × ``buckets``-row histogram
+    (bounded by the knobs, not the corpus) → broadcast-join offsets
+    back → per-(group, BUCKET) ``row_number`` ordered by (score, id) —
+    a KEYED window whose partitions are group-size/buckets rows.
+    rank = bucket offset + within-bucket position: bit-identical to the
+    single-sort answer (the DuckDB twin IS the naive window), 1-based,
+    dense, deterministic via the id tie-break.
     """
+    parts = list(partition_cols or [])
     b = df.withColumn(
         "_qbucket", score_bucket(F.col(score_col), lo, hi, buckets)
     )
-    hist = b.groupBy("_qbucket").agg(F.count(F.lit(1)).alias("_c"))
+    hist = b.groupBy(*parts, "_qbucket").agg(F.count(F.lit(1)).alias("_c"))
     from pyspark.sql import Window
 
-    # histogram-sized window: <= `buckets` rows on one task by design
+    # histogram-sized window: <= groups x `buckets` rows, keyed by group
     offs = hist.withColumn(
         "_below",
         F.coalesce(
             F.sum("_c").over(
-                Window.orderBy("_qbucket")
+                Window.partitionBy(*parts)
+                .orderBy("_qbucket")
                 .rowsBetween(Window.unboundedPreceding, -1)
             ),
             F.lit(0),
         ),
-    ).select("_qbucket", "_below")
-    w = Window.partitionBy("_qbucket").orderBy(
+    ).select(*parts, "_qbucket", "_below")
+    w = Window.partitionBy(*parts, "_qbucket").orderBy(
         F.col(score_col).cast("double"), F.col(id_col)
     )
     return (
-        b.join(F.broadcast(offs), "_qbucket")
+        b.join(F.broadcast(offs), [*parts, "_qbucket"])
         .withColumn(
             "curriculum_rank",
             (F.col("_below") + F.row_number().over(w)).cast("bigint"),
         )
         .drop("_below")
+    )
+
+
+def cap_per_group(
+    df: DataFrame,
+    group_cols: list[str],
+    score_col: str,
+    cap: int,
+    id_col: str = "doc_id",
+    lo: float = 0.0,
+    hi: float = 1.0,
+    buckets: int = 10000,
+) -> DataFrame:
+    """PER-DOMAIN CAP: keep at most ``cap`` rows per group, best-first
+    by score (id tie-break) — the Common-Crawl-style guard against one
+    domain flooding the corpus. The per-group top-``cap`` is exact: the
+    ordering inverts the bounded score (``lo + hi - score``, monotone
+    decreasing) and reuses :func:`curriculum_rank`'s histogram
+    construction, so no group is ever sorted on one task no matter how
+    large — the mega-domain case is exactly when the naive
+    ``row_number() OVER (PARTITION BY domain)`` dies. Returns the
+    surviving rows with ``rank_in_group``.
+    """
+    if cap < 1:
+        raise ValueError(f"cap must be >= 1, got {cap}")
+    inv = df.withColumn(
+        "_inv_score", F.lit(float(lo + hi)) - F.col(score_col).cast("double")
+    )
+    ranked = curriculum_rank(
+        inv, "_inv_score", id_col=id_col, lo=lo, hi=hi, buckets=buckets,
+        partition_cols=group_cols,
+    )
+    return (
+        ranked.filter(F.col("curriculum_rank") <= cap)
+        .withColumnRenamed("curriculum_rank", "rank_in_group")
+        .drop("_inv_score", "_qbucket")
     )

@@ -5158,3 +5158,45 @@ def events_scd2_user_state(spark, sf_dir):
         e, pk=["user_id"], attr_cols=["event_type"], ts_col="ts",
         tiebreak_cols=["event_id"],
     )
+
+
+@query(
+    "sample_source_cap",
+    """
+    WITH scored AS (
+        SELECT doc_id, source,
+               CAST(LEN(regexp_extract_all(text, '[A-Za-z]')) AS DOUBLE)
+                   / CAST(GREATEST(LENGTH(text), 1) AS DOUBLE) AS s
+        FROM documents
+    ), ranked AS (
+        SELECT doc_id, source,
+               CAST(ROW_NUMBER() OVER (
+                   PARTITION BY source ORDER BY 1.0 - s, doc_id
+               ) AS BIGINT) AS rank_in_group
+        FROM scored
+    )
+    SELECT doc_id, source, rank_in_group
+    FROM ranked WHERE rank_in_group <= 15
+    """,
+)
+def sample_source_cap(spark, sf_dir):
+    """PER-DOMAIN CAP (round 8) — the Common-Crawl-style guard against
+    one domain flooding the corpus: keep at most 15 documents per
+    source, best-first by alpha-character ratio (doc_id tie-break).
+    The oracle is the naive per-source window; the Spark plan must
+    survive a mega-domain (where PARTITION BY domain alone puts half
+    the corpus on one task), so the operator ranks through
+    curriculum_rank's per-group histogram construction — keyed
+    (source, bucket) windows, bit-identical to the naive answer."""
+    from .operators.sample import cap_per_group
+
+    d = load_table(spark, sf_dir, "documents")
+    t = F.col("text")
+    s = (
+        F.size(F.regexp_extract_all(t, F.lit("[A-Za-z]"), 0)).cast("double")
+        / F.greatest(F.length(t), F.lit(1)).cast("double")
+    )
+    return cap_per_group(
+        d.select("doc_id", "source", s.alias("score")),
+        ["source"], "score", cap=15,
+    ).select("doc_id", "source", "rank_in_group")

@@ -1440,3 +1440,41 @@ def test_scd2_history_runs_and_intervals(spark):
         (3, "b", t(1), t(1), False),   # zero-length run, tie resolved
         (3, "c", t(1), None, True),
     ]
+
+
+def test_cap_per_group_matches_naive_window(spark):
+    """Per-group cap equals the naive per-group row_number over score
+    DESC with id tie-break, across uneven group sizes and score ties."""
+    from pyspark.sql import Window
+
+    from priority_data_pipeline_azure_sql_db_spark.operators.sample import cap_per_group
+
+    rows = [
+        ("web", 1, 0.9), ("web", 2, 0.9), ("web", 3, 0.1),
+        ("web", 4, 0.5), ("web", 5, 0.7),
+        ("books", 6, 0.3), ("books", 7, 0.8),
+        ("tiny", 8, 0.2),
+    ]
+    df = spark.createDataFrame(rows, ["src", "doc_id", "score"])
+    got = {
+        (r["src"], r["doc_id"]): r["rank_in_group"]
+        for r in cap_per_group(df, ["src"], "score", cap=2).collect()
+    }
+    naive = {
+        (r["src"], r["doc_id"]): r["rk"]
+        for r in df.withColumn(
+            "rk",
+            F.row_number().over(
+                Window.partitionBy("src")
+                .orderBy(F.lit(1.0) - F.col("score"), "doc_id")
+            ),
+        ).filter(F.col("rk") <= 2).collect()
+    }
+    assert got == naive
+    # "tiny" keeps its single row; "web" keeps the tied 0.9s by id order
+    assert got[("tiny", 8)] == 1
+    assert got[("web", 1)] == 1 and got[("web", 2)] == 2
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="cap"):
+        cap_per_group(df, ["src"], "score", cap=0)
