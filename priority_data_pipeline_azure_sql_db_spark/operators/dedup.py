@@ -531,3 +531,47 @@ def remove_boilerplate_lines(
         "n_lines_kept",
         "n_lines_dropped",
     )
+
+
+def gram_novelty(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+) -> DataFrame:
+    """Per-document DUPLICATION PRESSURE profile: what fraction of each
+    document's distinct word k-grams also appear in at least one other
+    document. The ranking signal for curation policy — a doc near 1.0
+    is assembled from corpus-common material (aggressive dedup/drop
+    territory) even when no single pair-level match fires; near 0.0 it
+    is genuinely novel. Returns (id, n_grams, n_shared, dup_gram_frac)
+    for every doc with at least one k-gram.
+
+    Shape: the same distinct-shingle relation the Jaccard family uses
+    (:func:`word_shingles` — spread before the explode), ONE
+    doc-frequency hash-agg over grams, a join back on the gram (bounded
+    by the shingle relation, not corpus²), and a per-doc aggregate.
+    Unlike pair enumeration there is NO quadratic fan-out anywhere —
+    viral grams cost their row count, not its square — so this is the
+    cheap first pass that decides where the expensive pair operators
+    get pointed.
+    """
+    g = word_shingles(df, text_col, id_col, k)
+    dfreq = g.groupBy("shingle").agg(F.count(F.lit(1)).alias("_df"))
+    return (
+        g.join(dfreq, "shingle")
+        .groupBy(F.col("doc").alias(id_col))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_grams"),
+            F.sum(F.when(F.col("_df") >= 2, 1).otherwise(0))
+            .cast("bigint").alias("n_shared"),
+        )
+        .withColumn(
+            "dup_gram_frac",
+            F.floor(
+                F.col("n_shared").cast("double")
+                / F.col("n_grams").cast("double")
+                * F.lit(1000000.0) + F.lit(0.5)
+            ) / F.lit(1000000.0),
+        )
+    )

@@ -5200,3 +5200,41 @@ def sample_source_cap(spark, sf_dir):
         d.select("doc_id", "source", s.alias("score")),
         ["source"], "score", cap=15,
     ).select("doc_id", "source", "rank_in_group")
+
+
+@query(
+    "dedup_gram_novelty",
+    """
+    WITH toks AS (
+        SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t
+        FROM documents
+    ), sh AS (
+        SELECT DISTINCT doc_id AS doc,
+               array_to_string(t[i:i+4], ' ') AS shingle
+        FROM toks, LATERAL (
+            SELECT UNNEST(range(1, GREATEST(len(t) - 4, 0) + 1)) AS i
+        )
+    ), dfq AS (
+        SELECT shingle, COUNT(*) AS dfreq FROM sh GROUP BY shingle
+    )
+    SELECT doc AS doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_grams,
+           CAST(SUM(CASE WHEN dfreq >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_shared,
+           FLOOR(CAST(SUM(CASE WHEN dfreq >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+                 / CAST(COUNT(*) AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0
+               AS dup_gram_frac
+    FROM sh JOIN dfq USING (shingle)
+    GROUP BY doc
+    """,
+)
+def dedup_gram_novelty(spark, sf_dir):
+    """DUPLICATION-PRESSURE profile (round 8): per document, the
+    fraction of its distinct word 5-grams appearing in >= 1 other
+    document — the linear-cost first pass that decides where the
+    quadratic pair operators (jaccard/winnow/spans) get pointed. One
+    gram doc-frequency hash-agg + a join bounded by the shingle
+    relation; no pair enumeration anywhere. Hash-checked."""
+    from .operators.dedup import gram_novelty
+
+    return gram_novelty(load_table(spark, sf_dir, "documents"), k=5)

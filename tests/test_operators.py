@@ -1478,3 +1478,27 @@ def test_cap_per_group_matches_naive_window(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError, match="cap"):
         cap_per_group(df, ["src"], "score", cap=0)
+
+
+def test_gram_novelty_known_docs(spark):
+    """Hand-built corpus: a doc fully plagiarized from another scores
+    1.0, a disjoint doc scores 0.0, partial overlap counts only the
+    shared distinct grams, and short docs (< k tokens) drop out."""
+    from priority_data_pipeline_azure_sql_db_spark.operators.dedup import gram_novelty
+
+    docs = [
+        (1, "a b c d e f"),      # grams: abc bcd cde def
+        (2, "a b c d e f"),      # identical -> all 4 shared
+        (3, "x y z w v"),        # grams: xyz yzw zwv -> none shared
+        (4, "a b c q r s"),      # abc shared with 1/2; bcq cqr qrs not
+        (5, "t u"),              # too short: no grams
+    ]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    out = {
+        r["doc_id"]: (r["n_grams"], r["n_shared"], r["dup_gram_frac"])
+        for r in gram_novelty(df, k=3).collect()
+    }
+    assert set(out) == {1, 2, 3, 4}
+    assert out[1] == (4, 4, 1.0) and out[2] == (4, 4, 1.0)
+    assert out[3] == (3, 0, 0.0)
+    assert out[4] == (4, 1, 0.25)
