@@ -62,6 +62,13 @@ HEADLINE = [
     # round-5: correlated-subquery family representatives
     "q2_min_cost_supplier",
     "q21_last_shipper",
+    # round-8: CDC/warehouse family + the histogram-rank gate (the
+    # no-global-sort percentile/cap path) + line-level dedup
+    "pipeline_snapshot_diff",
+    "events_scd2_user_state",
+    "events_rollup_incremental",
+    "filter_quality_quantile",
+    "dedup_boilerplate_lines",
 ]
 
 

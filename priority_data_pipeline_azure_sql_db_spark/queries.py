@@ -5238,3 +5238,125 @@ def dedup_gram_novelty(spark, sf_dir):
     from .operators.dedup import gram_novelty
 
     return gram_novelty(load_table(spark, sf_dir, "documents"), k=5)
+
+
+@query(
+    "pipeline_curation_v3",
+    """
+    WITH toks AS (
+        SELECT doc_id AS doc,
+               list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                           x -> x <> '') AS t
+        FROM documents
+    ), w AS (
+        SELECT doc, i.pos, CAST(i.pos // 8 AS BIGINT) AS line_no,
+               t[CAST(i.pos + 1 AS INT)] AS tok
+        FROM toks, LATERAL (SELECT UNNEST(range(len(t))) AS pos) i
+    ), lines AS (
+        SELECT doc, line_no, string_agg(tok, ' ' ORDER BY pos) AS line
+        FROM w GROUP BY doc, line_no
+    ), boiler AS (
+        SELECT line FROM (
+            SELECT line, COUNT(DISTINCT doc) AS dfreq
+            FROM lines GROUP BY line
+        ) WHERE dfreq >= 2
+    ), flagged AS (
+        SELECT l.doc, l.line_no, l.line, (b.line IS NOT NULL) AS dup
+        FROM lines l LEFT JOIN boiler b ON l.line = b.line
+    ), cleaned AS (
+        SELECT doc AS doc_id,
+               string_agg(CASE WHEN NOT dup THEN line END,
+                          chr(10) ORDER BY line_no) AS text2
+        FROM flagged GROUP BY doc
+        HAVING SUM(CASE WHEN dup THEN 0 ELSE 1 END) > 0
+    ), scored AS (
+        SELECT c.doc_id, d.source,
+               CAST(LEN(string_split_regex(trim(text2), '\\s+')) AS BIGINT)
+                   AS n_tokens,
+               CAST(LEN(regexp_extract_all(text2, '[A-Za-z]')) AS DOUBLE)
+                   / CAST(GREATEST(LENGTH(text2), 1) AS DOUBLE) AS s
+        FROM cleaned c JOIN documents d USING (doc_id)
+    ), b AS (
+        SELECT scored.*,
+               CAST(LEAST(FLOOR((GREATEST(LEAST(s, 1.0), 0.0) - 0.0)
+                                * 10000.0 / 1.0), 9999) AS BIGINT) AS qb
+        FROM scored
+    ), hist AS (
+        SELECT qb, COUNT(*) AS c FROM b GROUP BY qb
+    ), cdf AS (
+        SELECT qb,
+               CAST(SUM(c) OVER (ORDER BY qb ROWS UNBOUNDED PRECEDING)
+                    AS BIGINT) AS cum
+        FROM hist
+    ), n AS (SELECT COUNT(*) AS n FROM b
+    ), t AS (
+        SELECT COALESCE(MAX(qb), -1) AS t
+        FROM cdf, n WHERE cum <= (n.n * 1) // 5
+    ), gated AS (
+        SELECT b.* FROM b, t WHERE b.qb > t.t
+    ), ranked AS (
+        SELECT doc_id, source, n_tokens,
+               ROW_NUMBER() OVER (
+                   PARTITION BY source ORDER BY 1.0 - s, doc_id
+               ) AS rk
+        FROM gated
+    ), admitted AS (
+        SELECT * FROM ranked WHERE rk <= 10
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+           CAST(SUM(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12)
+               AS BIGINT)) % 2305843009213693951 AS BIGINT) AS member_tag
+    FROM admitted GROUP BY source
+    """,
+)
+def pipeline_curation_v3(spark, sf_dir):
+    """CURATION CAPSTONE v3 (round 8) — the round-8 operator family
+    composed into ONE plan: 8-token linify → CCNet line-level
+    boilerplate removal → corpus-relative quantile quality gate (drop
+    the bottom ~20% by alpha ratio of the CLEANED text, histogram-CDF,
+    no global sort) → per-source cap (top 10 per source on the
+    per-group histogram-rank path, no whole-domain window) → per-source
+    mixing report with the house 48-bit membership multiset tag. Every
+    stage is the exact operator its standalone query verifies; the
+    oracle chains the same five proven constructions, so the admitted
+    doc SET hash-checks end to end."""
+    from .operators.dedup import remove_boilerplate_lines
+    from .operators.sample import cap_per_group, quantile_threshold_filter
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.filter(
+        F.split(F.trim(F.lower(F.col("text"))), "\\s+"),
+        lambda x: x != F.lit(""),
+    )
+    d2 = d.withColumn("_toks", toks)
+    n_lines = F.floor((F.size("_toks") + F.lit(7)) / F.lit(8)).cast("int")
+    lines_arr = F.when(
+        F.size("_toks") > 0,
+        F.transform(
+            F.sequence(F.lit(0), n_lines - 1),
+            lambda i: F.concat_ws(" ", F.slice("_toks", i * F.lit(8) + 1, 8)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    lined = d2.select("doc_id", F.concat_ws("\n", lines_arr).alias("text"))
+    cleaned = remove_boilerplate_lines(lined, min_docs=2)
+    t2 = F.col("text")
+    scored = cleaned.join(d.select("doc_id", "source"), "doc_id").select(
+        "doc_id", "source",
+        X.token_count(t2).cast("bigint").alias("n_tokens"),
+        (
+            F.size(F.regexp_extract_all(t2, F.lit("[A-Za-z]"), 0))
+            .cast("double")
+            / F.greatest(F.length(t2), F.lit(1)).cast("double")
+        ).alias("score"),
+    )
+    gated = quantile_threshold_filter(scored, "score", 1, 5).drop("_qbucket")
+    admitted = cap_per_group(gated, ["source"], "score", cap=10)
+    member_tag = _md5_tag48(F.col("doc_id").cast("string"))
+    return admitted.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+        (F.sum(member_tag) % F.lit(2305843009213693951))
+        .cast("bigint").alias("member_tag"),
+    )
