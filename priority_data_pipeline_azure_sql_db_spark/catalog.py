@@ -247,3 +247,56 @@ def struct_type_from_metadata(fields: list[dict]) -> T.StructType:
         _f(fld["fieldName"].lower(), edm_to_spark(fld["SourceDataType"]), True)
         for fld in fields
     ])
+
+
+def schema_drift(
+    old_fields: list[dict], new_fields: list[dict]
+) -> list[dict]:
+    """Diff two entity-metadata docs (``parse_edmx`` field lists) into a
+    drift report — what a production pipeline must check each run
+    before trusting yesterday's staging DDL, since the reference
+    re-fetches ``$metadata`` but silently assumes it never changes.
+
+    One dict per drifted field: ``{"fieldName", "change", "old_type",
+    "new_type", "breaking"}`` with change ∈ added / removed / retyped /
+    key_changed. Breaking = removed, retyped to an incompatible Spark
+    type (anything but a widening numeric promotion), or any key
+    change — the cases where the staging MERGE would corrupt rather
+    than append. Names compare lowercased (O9 normalization).
+    """
+    widening = {
+        ("smallint", "int"), ("smallint", "bigint"), ("int", "bigint"),
+        ("float", "double"), ("int", "double"), ("bigint", "double"),
+    }
+
+    def by_name(fields):
+        return {
+            f["fieldName"].lower(): (
+                edm_to_spark(f["SourceDataType"]).simpleString(),
+                bool(f.get("KeyFlag")),
+            )
+            for f in fields
+        }
+
+    old, new = by_name(old_fields), by_name(new_fields)
+    out = []
+    for name in sorted(old.keys() | new.keys()):
+        if name not in new:
+            out.append({"fieldName": name, "change": "removed",
+                        "old_type": old[name][0], "new_type": None,
+                        "breaking": True})
+        elif name not in old:
+            out.append({"fieldName": name, "change": "added",
+                        "old_type": None, "new_type": new[name][0],
+                        "breaking": False})
+        else:
+            (ot, ok), (nt, nk) = old[name], new[name]
+            if ok != nk:
+                out.append({"fieldName": name, "change": "key_changed",
+                            "old_type": ot, "new_type": nt,
+                            "breaking": True})
+            elif ot != nt:
+                out.append({"fieldName": name, "change": "retyped",
+                            "old_type": ot, "new_type": nt,
+                            "breaking": (ot, nt) not in widening})
+    return out

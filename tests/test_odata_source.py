@@ -344,3 +344,33 @@ def test_parquet_expand_roundtrip_matches_flatten_expand(spark, sf_dir):
     got = sorted(map(tuple, via_source.select(*cols).collect()))
     want = sorted(map(tuple, via_join.select(*cols).collect()))
     assert got == want
+
+
+def test_schema_drift_report():
+    """Drift between two $metadata versions: added is benign, removed
+    and key changes are breaking, retype breaks unless it is a widening
+    numeric promotion; unchanged fields stay silent."""
+    from priority_data_pipeline_azure_sql_db_spark.catalog import schema_drift
+
+    old = [
+        {"fieldName": "ID", "SourceDataType": "Edm.Int32", "KeyFlag": True},
+        {"fieldName": "Qty", "SourceDataType": "Edm.Int32", "KeyFlag": False},
+        {"fieldName": "Note", "SourceDataType": "Edm.String", "KeyFlag": False},
+        {"fieldName": "Price", "SourceDataType": "Edm.Double", "KeyFlag": False},
+        {"fieldName": "Gone", "SourceDataType": "Edm.String", "KeyFlag": False},
+    ]
+    new = [
+        {"fieldName": "ID", "SourceDataType": "Edm.Int32", "KeyFlag": True},
+        {"fieldName": "Qty", "SourceDataType": "Edm.Int64", "KeyFlag": False},
+        {"fieldName": "Note", "SourceDataType": "Edm.Int32", "KeyFlag": False},
+        {"fieldName": "Price", "SourceDataType": "Edm.Double", "KeyFlag": True},
+        {"fieldName": "Fresh", "SourceDataType": "Edm.String", "KeyFlag": False},
+    ]
+    drift = {d["fieldName"]: d for d in schema_drift(old, new)}
+    assert set(drift) == {"qty", "note", "price", "gone", "fresh"}
+    assert drift["qty"]["change"] == "retyped" and not drift["qty"]["breaking"]
+    assert drift["note"]["change"] == "retyped" and drift["note"]["breaking"]
+    assert drift["price"]["change"] == "key_changed" and drift["price"]["breaking"]
+    assert drift["gone"]["change"] == "removed" and drift["gone"]["breaking"]
+    assert drift["fresh"]["change"] == "added" and not drift["fresh"]["breaking"]
+    assert schema_drift(old, old) == []

@@ -689,3 +689,24 @@ def test_incremental_curation_semantic_admission_parity(spark, sf_dir, tmp_path)
     assert incremental == full
     delta_ids = {r.vec_id for r in emb.filter(is_delta).select("vec_id").collect()}
     assert incremental and incremental < delta_ids  # drops some, keeps some
+
+
+def test_curation_v3_plan_shapes(spark, sf_dir):
+    """The round-8 capstone must keep its scale guarantees when the
+    stages compose: every corpus-sized row_number window carries a
+    bucket key (the quantile gate and per-source cap both ride the
+    histogram-rank path — no whole-corpus or whole-domain window
+    partitions) and no CartesianProduct (the threshold/total crossJoins
+    are 1-row broadcasts). collect_list IS allowed here, uniquely among
+    the capstones: the line-reassembly group is one document's own
+    lines — bounded by document size like every text op, not by shard
+    or corpus (the v2 guard bans it because v2's groups are shards)."""
+    import re
+
+    from priority_data_pipeline_azure_sql_db_spark.queries import QUERIES
+
+    df = QUERIES["pipeline_curation_v3"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan, plan
+    for m in re.finditer(r"row_number\(\) windowspecdefinition\(([^)]*)\)", plan):
+        assert "_qbucket" in m.group(1), m.group(0)
