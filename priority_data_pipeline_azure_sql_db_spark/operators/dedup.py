@@ -575,3 +575,67 @@ def gram_novelty(
             ) / F.lit(1000000.0),
         )
     )
+
+
+def remove_duplicated_spans(
+    df: DataFrame,
+    spans: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """APPLY substring-level dedup: given :func:`duplicated_spans`
+    pairs, delete each duplicated token run from the HIGHER-id document
+    (first occurrence wins — the Lee et al. 2022 deletion policy),
+    keeping every document exactly once with its surviving tokens.
+    Returns (id, text, n_tokens_removed) for ALL input docs; output
+    text is whitespace-normalized (tokens rejoined with single spaces),
+    original token case preserved (span positions are case-insensitive
+    but position-exact, so they line up with the original split).
+
+    Shape: span intervals explode to removal positions (fan-out =
+    total duplicated tokens, not corpus²), distinct once; one
+    (doc, pos) equi-join against the posexploded token relation; one
+    per-doc reassembly bounded by document size. Overlapping spans on
+    the same doc union cleanly through the distinct.
+    """
+    iv = (
+        spans.select(
+            F.col("id_b").alias("doc"),
+            F.explode(
+                F.sequence(
+                    F.col("start_b"), F.col("start_b") + F.col("n_tokens") - 1
+                )
+            ).alias("pos"),
+        )
+        .withColumn("pos", F.col("pos").cast("bigint"))
+        .distinct()
+        .withColumn("_rm", F.lit(True))
+    )
+    t = spread(
+        df.select(F.col(id_col).alias("doc"), F.col(text_col).alias("_txt")), "doc"
+    )
+    toks = t.select(
+        "doc",
+        F.posexplode(F.split(F.trim(F.col("_txt")), TOKEN_SPLIT_RE)).alias(
+            "pos", "tok"
+        ),
+    ).withColumn("pos", F.col("pos").cast("bigint"))
+    flagged = toks.join(iv, ["doc", "pos"], "left").withColumn(
+        "_rm", F.coalesce(F.col("_rm"), F.lit(False))
+    )
+    return flagged.groupBy("doc").agg(
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(~F.col("_rm"), F.struct("pos", "tok"))
+                    )
+                ),
+                lambda x: x["tok"],
+            ),
+        ).alias(text_col),
+        F.sum(F.when(F.col("_rm"), 1).otherwise(0)).cast("bigint").alias(
+            "n_tokens_removed"
+        ),
+    ).withColumnRenamed("doc", id_col)

@@ -5360,3 +5360,71 @@ def pipeline_curation_v3(spark, sf_dir):
         (F.sum(member_tag) % F.lit(2305843009213693951))
         .cast("bigint").alias("member_tag"),
     )
+
+
+@query(
+    "dedup_span_removal",
+    """
+    WITH toks AS (
+        SELECT doc_id AS doc,
+               string_split_regex(trim(lower(text)), '\\s+') AS t
+        FROM documents
+    ), grams AS (
+        SELECT doc, CAST(i.pos AS BIGINT) AS pos,
+               array_to_string(
+                   t[CAST(i.pos + 1 AS INT):CAST(i.pos + 8 AS INT)], ' '
+               ) AS gram
+        FROM toks, LATERAL (
+            SELECT UNNEST(range(GREATEST(len(t) - 7, 0))) AS pos
+        ) i
+    ), m AS (
+        SELECT a.doc AS id_a, b.doc AS id_b, a.pos AS pa, b.pos AS pb,
+               a.pos - b.pos AS diag
+        FROM grams a JOIN grams b ON a.gram = b.gram AND a.doc < b.doc
+    ), isl AS (
+        SELECT id_a, id_b, diag, pa, pb,
+               pa - ROW_NUMBER() OVER (
+                   PARTITION BY id_a, id_b, diag ORDER BY pa
+               ) AS island
+        FROM m
+    ), spans AS (
+        SELECT id_b, CAST(MIN(pb) AS BIGINT) AS start_b,
+               CAST(COUNT(*) + 7 AS BIGINT) AS n_tokens
+        FROM isl GROUP BY id_a, id_b, diag, island
+        HAVING COUNT(*) >= 3
+    ), rmpos AS (
+        SELECT DISTINCT id_b AS doc, start_b + u.i AS pos
+        FROM spans, LATERAL (SELECT UNNEST(range(n_tokens)) AS i) u
+    ), otoks AS (
+        SELECT doc_id AS doc, string_split_regex(trim(text), '\\s+') AS t0
+        FROM documents
+    ), ot AS (
+        SELECT doc, CAST(i.pos AS BIGINT) AS pos,
+               t0[CAST(i.pos + 1 AS INT)] AS tok
+        FROM otoks, LATERAL (SELECT UNNEST(range(len(t0))) AS pos) i
+    ), flagged AS (
+        SELECT ot.doc, ot.pos, ot.tok, (r.pos IS NOT NULL) AS rm
+        FROM ot LEFT JOIN rmpos r ON ot.doc = r.doc AND ot.pos = r.pos
+    )
+    SELECT doc AS doc_id,
+           COALESCE(string_agg(CASE WHEN NOT rm THEN tok END,
+                               ' ' ORDER BY pos), '') AS text,
+           CAST(SUM(CASE WHEN rm THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_tokens_removed
+    FROM flagged GROUP BY doc
+    """,
+)
+def dedup_span_removal(spark, sf_dir):
+    """SUBSTRING dedup APPLIED (round 8): delete every duplicated
+    >= 10-token run (k=8, min_run=3 — the dedup_duplicated_spans
+    pairs) from the higher-id document, first occurrence wins — the
+    Lee et al. 2022 deletion policy, closing the loop from span
+    EXTRACTION to span REMOVAL. All documents come back with surviving
+    tokens (whitespace-normalized) and a removed-token count;
+    hash-checked against the oracle replaying the identical
+    extraction + interval-union + reassembly."""
+    from .operators.dedup import duplicated_spans, remove_duplicated_spans
+
+    d = load_table(spark, sf_dir, "documents")
+    spans = duplicated_spans(d, k=8, min_run=3)
+    return remove_duplicated_spans(d, spans)

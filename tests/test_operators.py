@@ -1502,3 +1502,33 @@ def test_gram_novelty_known_docs(spark):
     assert out[1] == (4, 4, 1.0) and out[2] == (4, 4, 1.0)
     assert out[3] == (3, 0, 0.0)
     assert out[4] == (4, 1, 0.25)
+
+
+def test_remove_duplicated_spans_known_docs(spark):
+    """Span deletion on hand-built docs: the duplicated run disappears
+    from the higher-id doc only, overlapping spans union, untouched
+    docs come back whitespace-normalized with zero removals, and
+    original case survives (positions are case-insensitive matches)."""
+    from priority_data_pipeline_azure_sql_db_spark.operators.dedup import (
+        duplicated_spans,
+        remove_duplicated_spans,
+    )
+
+    shared = "one two three four five six"
+    docs = [
+        (1, f"Alpha beta {shared} gamma"),
+        (2, f"delta {shared} epsilon zeta"),
+        (3, "totally  unrelated   words here"),
+    ]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    spans = duplicated_spans(df, k=3, min_run=1)
+    out = {
+        r["doc_id"]: (r["text"], r["n_tokens_removed"])
+        for r in remove_duplicated_spans(df, spans).collect()
+    }
+    # doc 1 (lower id) keeps the run, original case intact
+    assert out[1] == (f"Alpha beta {shared} gamma", 0)
+    # doc 2 loses exactly the 6 shared tokens
+    assert out[2] == ("delta epsilon zeta", 6)
+    # doc 3: untouched but whitespace-normalized
+    assert out[3] == ("totally unrelated words here", 0)
