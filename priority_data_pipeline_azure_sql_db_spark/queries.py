@@ -5428,3 +5428,79 @@ def dedup_span_removal(spark, sf_dir):
     d = load_table(spark, sf_dir, "documents")
     spans = duplicated_spans(d, k=8, min_run=3)
     return remove_duplicated_spans(d, spans)
+
+
+@query(
+    "profile_quantization_error",
+    """
+    WITH e AS (
+        SELECT label, embedding::DOUBLE[] AS v,
+               list_max(list_transform(embedding::DOUBLE[], x -> abs(x)))
+                   AS m
+        FROM embeddings
+    ), s AS (
+        SELECT label, v,
+               CASE WHEN m > 0 THEN 127.0 / m ELSE 0.0 END AS sc
+        FROM e
+    ), pv AS (
+        SELECT label,
+               FLOOR(list_sum(list_transform(v, x ->
+                     CASE WHEN sc > 0
+                          THEN abs(x - floor(x * sc + 0.5) / sc)
+                          ELSE abs(x) END)) / len(v)
+                     * 1000000.0 + 0.5) / 1000000.0 AS mv,
+               FLOOR(list_max(list_transform(v, x ->
+                     CASE WHEN sc > 0
+                          THEN abs(x - floor(x * sc + 0.5) / sc)
+                          ELSE abs(x) END))
+                     * 1000000.0 + 0.5) / 1000000.0 AS xv
+        FROM s
+    )
+    SELECT label,
+           CAST(COUNT(*) AS BIGINT) AS n_vecs,
+           FLOOR(CAST(SUM(CAST(mv AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*)
+                 * 1000000.0 + 0.5) / 1000000.0 AS mean_err,
+           FLOOR(MAX(xv) * 1000000.0 + 0.5) / 1000000.0 AS max_err
+    FROM pv GROUP BY label
+    """,
+)
+def profile_quantization_error(spark, sf_dir):
+    """QUANTIZATION QA (round 8): per-label reconstruction error of the
+    int8 quantizer — the check that decides whether the 4x-smaller ANN
+    store is usable for a given embedding family. Per vector: mean and
+    max |x - dequant(quant(x))| recomputed from the same
+    floor(x*scale+0.5) scheme the quantizer uses (zero vectors
+    reconstruct exactly); per label: vector count, decimal-bridged mean
+    of per-vector means, max of maxes — all fix6-rounded, hash-checked.
+    One scan, one hash-agg; the error math stays inside the same
+    whole-stage-codegen expressions as the quantizer itself."""
+    e = load_table(spark, sf_dir, "embeddings")
+    base = e.select(
+        "label",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    )
+    m = F.array_max(F.transform("v", lambda x: F.abs(x)))
+    base = base.withColumn(
+        "_sc", F.when(m > 0, F.lit(127.0) / m).otherwise(F.lit(0.0))
+    )
+    err = F.transform(
+        "v",
+        lambda x: F.when(
+            F.col("_sc") > 0,
+            F.abs(
+                x - F.floor(x * F.col("_sc") + F.lit(0.5)) / F.col("_sc")
+            ),
+        ).otherwise(F.abs(x)),
+    )
+    pv = base.select(
+        "label",
+        _fix6(
+            F.aggregate(err, F.lit(0.0), lambda a, x: a + x) / F.size("v")
+        ).alias("mv"),
+        _fix6(F.array_max(err)).alias("xv"),
+    )
+    return pv.groupBy("label").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_vecs"),
+        _fix6(_dsum(F.col("mv")) / F.count(F.lit(1))).alias("mean_err"),
+        _fix6(F.max("xv")).alias("max_err"),
+    )
