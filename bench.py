@@ -69,6 +69,8 @@ HEADLINE = [
     "events_rollup_incremental",
     "filter_quality_quantile",
     "dedup_boilerplate_lines",
+    # round-8 capstone: all five new curation stages in one plan
+    "pipeline_curation_v3",
 ]
 
 

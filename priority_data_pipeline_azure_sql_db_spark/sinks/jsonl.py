@@ -107,3 +107,40 @@ def read_jsonl_shards(
         .option("pathGlobFilter", "part-*")
         .json(path)
     )
+
+
+def read_jsonl_with_quarantine(
+    spark: SparkSession, path: str, schema: str
+) -> tuple[DataFrame, DataFrame]:
+    """Salvage read with row-level DEAD-LETTERING: parse a JSONL
+    directory against an explicit schema and split the result into
+    (good, quarantined) — the production middle ground between FAILFAST
+    (one torn line kills a 100 TB read) and plain PERMISSIVE (corrupt
+    lines silently become all-null rows that poison counts downstream).
+
+    Good rows parsed cleanly; quarantined rows carry the raw offending
+    line in ``_corrupt_record`` for replay/repair after the upstream
+    writer is fixed — the standard dead-letter loop. Both sides come
+    from ONE scan definition (Spark plans the parse once; the split is
+    two filters on the corrupt marker), and the caller decides the
+    policy: alert on ``quarantined.count() > 0``, persist it next to
+    the staging table, or fail the batch above a threshold.
+    """
+    full = (
+        spark.read.schema(schema + ", _corrupt_record string")
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .option("pathGlobFilter", "part-*")
+        .json(path)
+        # Spark requires caching/materializing referenced corrupt-record
+        # columns before filtering on them (SPARK-21610: the parser
+        # drops the raw line otherwise)
+        .cache()
+    )
+    good = full.filter(F.col("_corrupt_record").isNull()).drop(
+        "_corrupt_record"
+    )
+    bad = full.filter(F.col("_corrupt_record").isNotNull()).select(
+        "_corrupt_record"
+    )
+    return good, bad

@@ -710,3 +710,41 @@ def test_curation_v3_plan_shapes(spark, sf_dir):
     assert "CartesianProduct" not in plan, plan
     for m in re.finditer(r"row_number\(\) windowspecdefinition\(([^)]*)\)", plan):
         assert "_qbucket" in m.group(1), m.group(0)
+
+
+def test_jsonl_quarantine_split(spark, tmp_path):
+    """Dead-letter read: corrupt and schema-violating lines land in
+    quarantine with their raw text; clean lines parse fully; a
+    pristine directory quarantines nothing."""
+    import gzip
+    import os
+
+    from priority_data_pipeline_azure_sql_db_spark.sinks.jsonl import (
+        read_jsonl_with_quarantine,
+    )
+
+    d = tmp_path / "shards"
+    d.mkdir()
+    lines = [
+        '{"doc_id": 1, "text": "ok one"}',
+        '{"doc_id": 2, "text": "ok two"}',
+        '{"doc_id": "NOT_A_NUMBER", "text": "type violation"}',
+        '{"doc_id": 4, "text": "truncated',
+    ]
+    (d / "part-00000.json").write_text("\n".join(lines) + "\n")
+    good, bad = read_jsonl_with_quarantine(
+        spark, str(d), "doc_id bigint, text string"
+    )
+    assert sorted(r["doc_id"] for r in good.collect()) == [1, 2]
+    raw = [r["_corrupt_record"] for r in bad.collect()]
+    assert len(raw) == 2
+    assert any("NOT_A_NUMBER" in r for r in raw)
+    assert any("truncated" in r for r in raw)
+
+    clean = tmp_path / "clean"
+    clean.mkdir()
+    (clean / "part-00000.json").write_text(lines[0] + "\n")
+    g2, b2 = read_jsonl_with_quarantine(
+        spark, str(clean), "doc_id bigint, text string"
+    )
+    assert g2.count() == 1 and b2.count() == 0
