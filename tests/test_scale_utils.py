@@ -748,3 +748,68 @@ def test_jsonl_quarantine_split(spark, tmp_path):
         spark, str(clean), "doc_id bigint, text string"
     )
     assert g2.count() == 1 and b2.count() == 0
+
+
+def test_stream_rollup_maintenance(spark, sf_dir, tmp_path):
+    """Streaming continuous-aggregate maintenance: an available-now
+    drain folds per-batch day rollups into the standing store, whose
+    final contents equal the one-pass batch rollup; a replayed batch_id
+    is skipped (the non-idempotent-merge ledger), a fresh fold applies,
+    and reading an empty store fails loudly."""
+    import pytest
+
+    from priority_data_pipeline_azure_sql_db_spark.sources.parquet import load_table
+    from priority_data_pipeline_azure_sql_db_spark.streaming.events import (
+        read_events_stream,
+    )
+    from priority_data_pipeline_azure_sql_db_spark.streaming.sink import (
+        fold_rollup_batch,
+        read_rollup_store,
+        stream_rollup_into_store,
+    )
+
+    def day_rollup(ev):
+        return ev.groupBy(
+            F.date_trunc("day", "ts").alias("day"),
+            F.col("event_type").alias("event_type"),
+        ).agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,6)")).alias("sum_value"),
+        )
+
+    store = str(tmp_path / "rollup")
+    with pytest.raises(RuntimeError, match="no applied batches"):
+        read_rollup_store(spark, store)
+
+    q = stream_rollup_into_store(
+        read_events_stream(spark, sf_dir), day_rollup, store,
+        ["day", "event_type"], ["n_events", "sum_value"],
+        str(tmp_path / "ckpt"),
+    )
+    assert q.awaitTermination(180)
+
+    def canon(df):
+        return sorted(
+            (str(r["day"]), r["event_type"], r["n_events"], str(r["sum_value"]))
+            for r in df.collect()
+        )
+
+    want = canon(day_rollup(load_table(spark, sf_dir, "events")))
+    assert canon(read_rollup_store(spark, store)) == want
+
+    # replay of an already-folded batch id: ledger skips, store unchanged
+    extra = day_rollup(load_table(spark, sf_dir, "events").limit(50))
+    applied = fold_rollup_batch(
+        spark, store, extra, 0, ["day", "event_type"],
+        ["n_events", "sum_value"],
+    )
+    assert applied is False
+    assert canon(read_rollup_store(spark, store)) == want
+
+    # a genuinely new batch folds in and changes the totals
+    applied = fold_rollup_batch(
+        spark, store, extra, 10_000, ["day", "event_type"],
+        ["n_events", "sum_value"],
+    )
+    assert applied is True
+    assert canon(read_rollup_store(spark, store)) != want
