@@ -76,7 +76,11 @@ def snapshot_diff(
     n = new.alias("n")
     cond = None
     for c in pk:
-        eq = F.col(f"o.{c}").eqNullSafe(F.col(f"n.{c}"))
+        # plain equality, NOT eqNullSafe: PKs are non-null by definition,
+        # and <=> would rewrite the join keys to (coalesce(k), isnull(k)),
+        # which disables bucketed co-location and forces an exchange —
+        # caught by test_snapshot_diff_bucketed_no_exchange
+        eq = F.col(f"o.{c}") == F.col(f"n.{c}")
         cond = eq if cond is None else cond & eq
     same = F.lit(True)
     for c in compare:

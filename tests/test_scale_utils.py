@@ -813,3 +813,41 @@ def test_stream_rollup_maintenance(spark, sf_dir, tmp_path):
     )
     assert applied is True
     assert canon(read_rollup_store(spark, store)) != want
+
+
+def test_snapshot_diff_bucketed_no_exchange(spark, sf_dir):
+    """The CDC diff's scale claim, plan-asserted: over identically
+    bucketed snapshots the full-outer PK join runs with ZERO exchanges
+    (co-located SMJ), and the diff still reports the planted changes."""
+    from priority_data_pipeline_azure_sql_db_spark.operators.merge import snapshot_diff
+    from priority_data_pipeline_azure_sql_db_spark.sinks.bucketed import write_bucketed
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderstatus"
+    )
+    old = o.filter(F.col("o_orderkey") % 100 != 0)
+    new = o.filter(F.col("o_orderkey") % 100 != 2).withColumn(
+        "o_totalprice",
+        F.when(F.col("o_orderkey") % 100 == 1,
+               F.col("o_totalprice") + 1.0).otherwise(F.col("o_totalprice")),
+    )
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        write_bucketed(old, "bkt_snap_old", "o_orderkey", buckets=8)
+        write_bucketed(new, "bkt_snap_new", "o_orderkey", buckets=8)
+        diff = snapshot_diff(
+            spark.table("bkt_snap_old"), spark.table("bkt_snap_new"),
+            pk=["o_orderkey"],
+        )
+        plan = diff._jdf.queryExecution().executedPlan().toString()
+        assert "FullOuter" in plan and "SortMergeJoin" in plan, plan
+        assert "Exchange" not in plan, f"unexpected shuffle:\n{plan}"
+        counts = {r["change_type"]: r["n"] for r in
+                  diff.groupBy("change_type").agg(F.count(F.lit(1)).alias("n"))
+                  .collect()}
+        assert set(counts) >= {"inserted", "deleted", "updated", "unchanged"}
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold",
+                       str(64 * 1024 * 1024))
+        spark.sql("DROP TABLE IF EXISTS bkt_snap_old")
+        spark.sql("DROP TABLE IF EXISTS bkt_snap_new")
