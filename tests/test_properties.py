@@ -245,3 +245,111 @@ def test_pack_greedy_property(spark, docs, budget):
         want = _pack_greedy_reference([(r.doc_id, r.n_tokens) for r in rows_], budget)
         assert sorted((r.doc_id, r.seq_id, r.offset_in_seq, r.overflow)
                       for r in rows_) == sorted(want)
+
+
+scores = st.lists(
+    st.floats(min_value=-2.0, max_value=3.0, allow_nan=False, width=32),
+    min_size=1, max_size=30,
+)
+
+
+@SETTINGS
+@given(vals=scores)
+def test_curriculum_rank_property(spark, vals):
+    """For ANY bounded-ish score multiset (ties, clamped out-of-range
+    values, duplicates), the histogram-offset rank equals the naive
+    global window rank and forms a 1..n permutation."""
+    from pyspark.sql import Window
+
+    from priority_data_pipeline_azure_sql_db_spark.operators.sample import (
+        curriculum_rank,
+    )
+
+    df = spark.createDataFrame(
+        [(i, float(v)) for i, v in enumerate(vals)], "doc_id long, score double"
+    )
+    got = {
+        r.doc_id: r.curriculum_rank
+        for r in curriculum_rank(df, "score").collect()
+    }
+    want = {
+        r.doc_id: r.rk
+        for r in df.withColumn(
+            "rk", F.row_number().over(Window.orderBy("score", "doc_id"))
+        ).collect()
+    }
+    assert got == want
+    assert sorted(got.values()) == list(range(1, len(vals) + 1))
+
+
+@SETTINGS
+@given(
+    vals=scores,
+    num=st.integers(min_value=0, max_value=4),
+    den=st.integers(min_value=4, max_value=7),
+)
+def test_quantile_threshold_filter_property(spark, vals, num, den):
+    """For ANY score multiset and drop fraction: the realized drop
+    count never exceeds floor(n*num/den), survivors are exactly the
+    rows above the lowest dropped bucket, and no kept score sorts
+    below a dropped one."""
+    from priority_data_pipeline_azure_sql_db_spark.operators.sample import (
+        quantile_threshold_filter,
+        score_bucket,
+    )
+
+    df = spark.createDataFrame(
+        [(i, float(v)) for i, v in enumerate(vals)], "doc_id long, score double"
+    )
+    kept = quantile_threshold_filter(df, "score", num, den).collect()
+    n = len(vals)
+    budget = (n * num) // den
+    assert n - len(kept) <= budget
+    if kept and len(kept) < n:
+        kept_ids = {r.doc_id for r in kept}
+        bucketed = df.withColumn(
+            "b", score_bucket(F.col("score"))
+        ).collect()
+        min_kept_b = min(r.b for r in bucketed if r.doc_id in kept_ids)
+        max_drop_b = max(r.b for r in bucketed if r.doc_id not in kept_ids)
+        assert max_drop_b < min_kept_b
+
+
+@SETTINGS
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.sampled_from(["a", "b", "c"]),                  # group key
+            st.floats(min_value=-5, max_value=5,
+                      allow_nan=False, width=32),              # measure
+        ),
+        min_size=1, max_size=25,
+    ),
+    cut=st.integers(min_value=0, max_value=25),
+)
+def test_combine_rollups_property(spark, rows, cut):
+    """Splitting the fact rows at ANY point and merging per-slice
+    rollups reproduces the one-pass rollup exactly (decimal partials)."""
+    from priority_data_pipeline_azure_sql_db_spark.operators.merge import (
+        combine_rollups,
+    )
+
+    def rollup(d):
+        return d.groupBy("k").agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum(F.col("v").cast("decimal(18,6)")).alias("s"),
+        )
+
+    data = [(k, float(v)) for k, v in rows]
+    cut = min(cut, len(data))
+    df = spark.createDataFrame(data, "k string, v double")
+    a = spark.createDataFrame(data[:cut] or [("zz", None)], "k string, v double") \
+        .filter(F.col("v").isNotNull())
+    b = spark.createDataFrame(data[cut:] or [("zz", None)], "k string, v double") \
+        .filter(F.col("v").isNotNull())
+    full = {(r.k): (r.n, r.s) for r in rollup(df).collect()}
+    merged = {
+        (r.k): (r.n, r.s)
+        for r in combine_rollups([rollup(a), rollup(b)], ["k"], ["n", "s"]).collect()
+    }
+    assert merged == full
