@@ -316,3 +316,37 @@ def audio_features(sample_rate: int, frames: np.ndarray) -> list[float]:
         float(mono.std()) if n else 0.0,
     ]
     return [np.floor(v * 1e6 + 0.5) / 1e6 for v in vals]
+
+
+def average_hash(pixels: np.ndarray, hash_size: int = 8) -> int:
+    """Perceptual aHash of an (h, w, c) uint8 image: grayscale
+    (ITU-R 601 integer weights — no float luminance, so the hash is
+    bit-stable everywhere), average-pool to hash_size², threshold at
+    the mean, pack row-major into a hash_size²-bit int. Visually
+    identical images (re-encodes, codec changes) hash equal; small
+    edits flip few bits, so near-dup = small Hamming distance over the
+    64-bit space — the image-side analogue of SimHash.
+    """
+    gray = (
+        299 * pixels[:, :, 0].astype(np.int64)
+        + 587 * pixels[:, :, 1].astype(np.int64)
+        + 114 * pixels[:, :, 2].astype(np.int64)
+    ) if pixels.ndim == 3 and pixels.shape[2] >= 3 else (
+        1000 * pixels.reshape(pixels.shape[0], pixels.shape[1], -1)[:, :, 0]
+        .astype(np.int64)
+    )
+    h, w = gray.shape
+    # integer box-pool: split rows/cols into hash_size nearly-equal bins
+    re = np.linspace(0, h, hash_size + 1).astype(np.int64)
+    ce = np.linspace(0, w, hash_size + 1).astype(np.int64)
+    cells = np.empty((hash_size, hash_size), dtype=np.float64)
+    for i in range(hash_size):
+        for j in range(hash_size):
+            block = gray[re[i]:max(re[i + 1], re[i] + 1),
+                         ce[j]:max(ce[j + 1], ce[j] + 1)]
+            cells[i, j] = block.mean()
+    bits = (cells > cells.mean()).ravel()
+    out = 0
+    for b in bits:
+        out = (out << 1) | int(b)
+    return out

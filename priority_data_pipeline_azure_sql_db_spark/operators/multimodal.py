@@ -244,3 +244,53 @@ def sample_frames(df: DataFrame, every_nth: int = 10, max_frames: int = 8) -> Da
             })
 
     return df.mapInPandas(run, FRAME_SCHEMA)
+
+
+def image_phash(df: DataFrame, hash_size: int = 8) -> DataFrame:
+    """Perceptual aHash per image blob (codecs.average_hash over the
+    REAL decoded pixels) — cross-codec visual dedup: the same picture
+    re-encoded BMP vs PNG (or re-saved) hashes identical, which byte-
+    level fingerprints can never see. Arrow-batched mapInPandas like
+    extract_features; undecodable or non-image blobs are dropped (the
+    dedup pass only speaks for pixels it actually decoded). Returns
+    (media_id, codec, phash) with the hash as fixed-width hex — 64
+    packed bits overflow a signed BIGINT, strings don't.
+    """
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from . import codecs
+
+    width = (hash_size * hash_size + 3) // 4
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, cods, hashes = [], [], []
+            for media_id, blob in zip(pdf["media_id"], pdf["content"]):
+                if blob is None:
+                    continue
+                kind = codecs.sniff(bytes(blob))
+                try:
+                    if kind == "bmp":
+                        px = codecs.decode_bmp(bytes(blob))
+                    elif kind == "png":
+                        px = codecs.decode_png(bytes(blob))
+                    else:
+                        continue
+                except (ValueError, NotImplementedError):
+                    continue
+                ids.append(media_id)
+                cods.append(kind)
+                hashes.append(
+                    format(codecs.average_hash(px, hash_size), f"0{width}x")
+                )
+            yield pd.DataFrame({
+                "media_id": pd.Series(ids, dtype="int64"),
+                "codec": cods,
+                "phash": hashes,
+            })
+
+    return df.select("media_id", "content").mapInPandas(
+        run, "media_id long, codec string, phash string"
+    )

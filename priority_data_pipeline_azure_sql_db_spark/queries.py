@@ -5504,3 +5504,84 @@ def profile_quantization_error(spark, sf_dir):
         _fix6(_dsum(F.col("mv")) / F.count(F.lit(1))).alias("mean_err"),
         _fix6(F.max("xv")).alias("max_err"),
     )
+
+
+@query(
+    "multimodal_phash_dedup",
+    """
+    WITH src AS (
+        SELECT doc_id, CASE WHEN text IS NULL OR length(text) = 0
+                            THEN chr(0) ELSE text END AS t
+        FROM documents WHERE doc_id < 200
+    ), padded AS (
+        SELECT doc_id,
+               substr(repeat(t, CAST(192 // length(t) + 1 AS INT)), 1, 192) AS p
+        FROM src
+    ), grays AS (
+        SELECT doc_id,
+               list_transform(range(64), i ->
+                   299 * ascii(substr(p, CAST(3 * i + 1 AS INT), 1))
+                 + 587 * ascii(substr(p, CAST(3 * i + 2 AS INT), 1))
+                 + 114 * ascii(substr(p, CAST(3 * i + 3 AS INT), 1))) AS g
+        FROM padded
+    ), hashed AS (
+        SELECT doc_id,
+               array_to_string(list_transform(range(16), j ->
+                   substr('0123456789abcdef',
+                          CAST(CASE WHEN g[CAST(4*j + 1 AS INT)] * 64 > list_sum(g) THEN 8 ELSE 0 END
+                             + CASE WHEN g[CAST(4*j + 2 AS INT)] * 64 > list_sum(g) THEN 4 ELSE 0 END
+                             + CASE WHEN g[CAST(4*j + 3 AS INT)] * 64 > list_sum(g) THEN 2 ELSE 0 END
+                             + CASE WHEN g[CAST(4*j + 4 AS INT)] * 64 > list_sum(g) THEN 1 ELSE 0 END
+                             + 1 AS INT), 1)), '') AS phash
+        FROM grays
+    )
+    SELECT phash,
+           CAST(2 * COUNT(*) AS BIGINT) AS n_media,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(MIN(doc_id) AS BIGINT) AS min_doc
+    FROM hashed GROUP BY phash
+    """,
+)
+def multimodal_phash_dedup(spark, sf_dir):
+    """CROSS-CODEC visual dedup (round 8): every document's 8x8 pixel
+    grid is encoded BOTH as BMP and PNG, decoded back through the real
+    stdlib codecs, and perceptual-aHashed — the BMP and PNG of the same
+    picture MUST collide (n_media = 2 x n_docs in every group, the
+    property byte-level fingerprints can never give you), and documents
+    with identical pixel content merge across codecs. Fully
+    hash-checked: at 8x8 the aHash pooling is the identity, so the
+    oracle recomputes gray/threshold/nibble packing from the document
+    bytes in SQL (integer gray weights; the x64-vs-sum comparison
+    avoids the float mean entirely — equivalent because /64 is exact)."""
+    import numpy as np
+    import pandas as pd
+
+    from .operators import codecs
+    from .operators.multimodal import image_phash
+
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+
+    def synth(batches):
+        for pdf in batches:
+            ids, blobs = [], []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                raw = (text or "").encode("utf-8") or b"\x00"
+                pad = (raw * (192 // len(raw) + 1))[:192]
+                px = np.frombuffer(pad, dtype=np.uint8).reshape(8, 8, 3)
+                ids.append(doc_id)
+                blobs.append(codecs.encode_bmp(px))
+                ids.append(doc_id)
+                blobs.append(codecs.encode_png(px))
+            yield pd.DataFrame({
+                "media_id": pd.Series(ids, dtype="int64"),
+                "content": pd.Series(blobs, dtype="object"),
+            })
+
+    media = d.select("doc_id", "text").mapInPandas(
+        synth, "media_id long, content binary"
+    )
+    return image_phash(media).groupBy("phash").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_media"),
+        F.countDistinct("media_id").cast("bigint").alias("n_docs"),
+        F.min("media_id").cast("bigint").alias("min_doc"),
+    )

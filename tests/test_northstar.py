@@ -703,3 +703,31 @@ def test_codec_malformed_blobs_fall_back_to_stub(spark):
     rows = extract_features(media).collect()
     assert len(rows) == 3
     assert all(r.codec == "stub-md5" and len(r.feature) == 8 for r in rows)
+
+
+def test_average_hash_cross_codec_and_scale(spark):
+    """aHash properties on real encode/decode round-trips: identical
+    pixels hash equal across BMP and PNG; a 2x nearest-neighbor upscale
+    preserves the hash (pooling invariance); a localized edit flips
+    only a few bits; a constant image yields the all-zero hash."""
+    import numpy as np
+
+    from priority_data_pipeline_azure_sql_db_spark.operators import codecs
+
+    rng = np.random.default_rng(7)
+    px = rng.integers(0, 256, size=(16, 16, 3), dtype=np.uint8)
+
+    h_bmp = codecs.average_hash(codecs.decode_bmp(codecs.encode_bmp(px)))
+    h_png = codecs.average_hash(codecs.decode_png(codecs.encode_png(px)))
+    assert h_bmp == h_png
+
+    up = px.repeat(2, axis=0).repeat(2, axis=1)
+    assert codecs.average_hash(up) == h_bmp
+
+    edited = px.copy()
+    edited[:2, :2, :] = 255  # small local edit
+    d = bin(codecs.average_hash(edited) ^ h_bmp).count("1")
+    assert 0 < d <= 8
+
+    flat = np.full((8, 8, 3), 77, dtype=np.uint8)
+    assert codecs.average_hash(flat) == 0
