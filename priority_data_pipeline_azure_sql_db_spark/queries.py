@@ -5585,3 +5585,127 @@ def multimodal_phash_dedup(spark, sf_dir):
         F.countDistinct("media_id").cast("bigint").alias("n_docs"),
         F.min("media_id").cast("bigint").alias("min_doc"),
     )
+
+
+@query(
+    "pipeline_curation_funnel",
+    """
+    WITH toks AS (
+        SELECT doc_id AS doc,
+               list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                           x -> x <> '') AS t
+        FROM documents
+    ), w AS (
+        SELECT doc, i.pos, CAST(i.pos // 8 AS BIGINT) AS line_no,
+               t[CAST(i.pos + 1 AS INT)] AS tok
+        FROM toks, LATERAL (SELECT UNNEST(range(len(t))) AS pos) i
+    ), lines AS (
+        SELECT doc, line_no, string_agg(tok, ' ' ORDER BY pos) AS line
+        FROM w GROUP BY doc, line_no
+    ), boiler AS (
+        SELECT line FROM (
+            SELECT line, COUNT(DISTINCT doc) AS dfreq
+            FROM lines GROUP BY line
+        ) WHERE dfreq >= 2
+    ), flagged AS (
+        SELECT l.doc, l.line_no, l.line, (b.line IS NOT NULL) AS dup
+        FROM lines l LEFT JOIN boiler b ON l.line = b.line
+    ), cleaned AS (
+        SELECT doc AS doc_id,
+               string_agg(CASE WHEN NOT dup THEN line END,
+                          chr(10) ORDER BY line_no) AS text2
+        FROM flagged GROUP BY doc
+        HAVING SUM(CASE WHEN dup THEN 0 ELSE 1 END) > 0
+    ), scored AS (
+        SELECT c.doc_id, d.source,
+               CAST(LEN(regexp_extract_all(text2, '[A-Za-z]')) AS DOUBLE)
+                   / CAST(GREATEST(LENGTH(text2), 1) AS DOUBLE) AS s
+        FROM cleaned c JOIN documents d USING (doc_id)
+    ), b AS (
+        SELECT scored.*,
+               CAST(LEAST(FLOOR((GREATEST(LEAST(s, 1.0), 0.0) - 0.0)
+                                * 10000.0 / 1.0), 9999) AS BIGINT) AS qb
+        FROM scored
+    ), hist AS (
+        SELECT qb, COUNT(*) AS c FROM b GROUP BY qb
+    ), cdf AS (
+        SELECT qb,
+               CAST(SUM(c) OVER (ORDER BY qb ROWS UNBOUNDED PRECEDING)
+                    AS BIGINT) AS cum
+        FROM hist
+    ), n AS (SELECT COUNT(*) AS n FROM b
+    ), t AS (
+        SELECT COALESCE(MAX(qb), -1) AS t
+        FROM cdf, n WHERE cum <= (n.n * 1) // 5
+    ), gated AS (
+        SELECT b.* FROM b, t WHERE b.qb > t.t
+    ), ranked AS (
+        SELECT doc_id, source,
+               ROW_NUMBER() OVER (
+                   PARTITION BY source ORDER BY 1.0 - s, doc_id
+               ) AS rk
+        FROM gated
+    ), admitted AS (
+        SELECT * FROM ranked WHERE rk <= 10
+    )
+    SELECT stage, n_docs FROM (
+        SELECT 0 AS ord, 'input' AS stage,
+               CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents
+        UNION ALL
+        SELECT 1, 'after_boilerplate', CAST(COUNT(*) AS BIGINT) FROM cleaned
+        UNION ALL
+        SELECT 2, 'after_quantile_gate', CAST(COUNT(*) AS BIGINT) FROM gated
+        UNION ALL
+        SELECT 3, 'after_source_cap', CAST(COUNT(*) AS BIGINT) FROM admitted
+    ) ORDER BY ord
+    """,
+)
+def pipeline_curation_funnel(spark, sf_dir):
+    """CURATION OBSERVABILITY (round 8): the survivor count after each
+    v3 stage — input → boilerplate-line removal → quantile gate →
+    per-source cap — the funnel report every production curation run
+    logs so a mis-tuned gate (or an upstream corpus shift) shows up as
+    a step change instead of a silent quality drift. Same operators as
+    pipeline_curation_v3; four counts, hash-checked."""
+    from .operators.dedup import remove_boilerplate_lines
+    from .operators.sample import cap_per_group, quantile_threshold_filter
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.filter(
+        F.split(F.trim(F.lower(F.col("text"))), "\\s+"),
+        lambda x: x != F.lit(""),
+    )
+    d2 = d.withColumn("_toks", toks)
+    n_lines = F.floor((F.size("_toks") + F.lit(7)) / F.lit(8)).cast("int")
+    lines_arr = F.when(
+        F.size("_toks") > 0,
+        F.transform(
+            F.sequence(F.lit(0), n_lines - 1),
+            lambda i: F.concat_ws(" ", F.slice("_toks", i * F.lit(8) + 1, 8)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    lined = d2.select("doc_id", F.concat_ws("\n", lines_arr).alias("text"))
+    cleaned = remove_boilerplate_lines(lined, min_docs=2)
+    t2 = F.col("text")
+    scored = cleaned.join(d.select("doc_id", "source"), "doc_id").select(
+        "doc_id", "source",
+        (
+            F.size(F.regexp_extract_all(t2, F.lit("[A-Za-z]"), 0))
+            .cast("double")
+            / F.greatest(F.length(t2), F.lit(1)).cast("double")
+        ).alias("score"),
+    )
+    gated = quantile_threshold_filter(scored, "score", 1, 5).drop("_qbucket")
+    admitted = cap_per_group(gated, ["source"], "score", cap=10)
+
+    def stage(name, df):
+        return df.groupBy().agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs")
+        ).select(F.lit(name).alias("stage"), "n_docs")
+
+    return (
+        stage("input", d)
+        .unionByName(stage("after_boilerplate", cleaned))
+        .unionByName(stage("after_quantile_gate", gated))
+        .unionByName(stage("after_source_cap", admitted))
+    )
