@@ -167,6 +167,54 @@ class StagingStore:
     def _count(self, spark: SparkSession, table: str) -> int:
         return self.read(spark, table).count()
 
+    def compact(
+        self, spark: SparkSession, table: str,
+        max_files_per_partition: int = 1,
+    ) -> int:
+        """SMALL-FILE COMPACTION: rewrite any partition holding more
+        than ``max_files_per_partition`` parquet files down to that
+        budget — the maintenance pass every long-lived incremental
+        table needs, because each MERGE rewrites touched partitions
+        with the writer's parallelism and a year of daily deltas turns
+        the table into thousands of KB-files (open/footer overhead
+        dominates scans long before data size does). Data-identical by
+        construction (read → coalesce → rewrite); each partition swaps
+        via the same write-tmp + directory-replace discipline as
+        ``merge``, so readers never see a half state; partitions within
+        budget are never opened. Returns partitions rewritten — 0 means
+        the pass was a no-op (idempotent)."""
+
+        def squash(src_dir: str) -> None:
+            df = spark.read.parquet(src_dir)
+            tmp = src_dir + ".__compact__"
+            df.coalesce(max_files_per_partition).write.mode(
+                "overwrite"
+            ).parquet(tmp)
+            shutil.rmtree(src_dir, ignore_errors=True)
+            os.replace(tmp, src_dir)
+
+        def n_files(d: str) -> int:
+            return sum(1 for f in os.listdir(d) if f.startswith("part-"))
+
+        final = self.path(table)
+        subs = [
+            p for p in os.listdir(final)
+            if p.startswith(f"{PARTITION_COL}=")
+            and os.path.isdir(os.path.join(final, p))
+        ]
+        if not subs:  # unpartitioned fallback form
+            if n_files(final) <= max_files_per_partition:
+                return 0
+            squash(final)
+            return 1
+        done = 0
+        for sub in subs:
+            pdir = os.path.join(final, sub)
+            if n_files(pdir) > max_files_per_partition:
+                squash(pdir)
+                done += 1
+        return done
+
 
 @dataclass
 class RunResult:

@@ -406,3 +406,57 @@ def test_merge_schema_evolution(spark, tmp_path):
     got = {r.id: (r.val, r.extra) for r in store.read(spark, "stg_t").collect()}
     assert got[3] == ("c3", None)
     assert got[2] == ("b2", "fresh")
+
+
+def test_staging_compact_small_files(spark, sf_dir, tmp_path):
+    """Compaction squashes over-budget partitions to the file budget
+    with byte-identical contents, skips within-budget partitions, is
+    idempotent, and handles the unpartitioned table form."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from priority_data_pipeline_azure_sql_db_spark.pipeline import (
+        PARTITION_COL,
+        StagingStore,
+    )
+    from priority_data_pipeline_azure_sql_db_spark.sources.parquet import load_table
+
+    store = StagingStore(root=str(tmp_path / "stg"))
+    o = load_table(spark, sf_dir, "orders").limit(500).withColumn(
+        "extractiontimestamputc",
+        F.when(F.col("o_orderkey") % 2 == 0,
+               F.lit("2026-01-01 00:00:00")).otherwise(
+               F.lit("2026-01-02 00:00:00")).cast("timestamp"),
+    )
+    store.overwrite(o.repartition(8), "orders")
+    before = sorted((r["o_orderkey"], str(r["extractiontimestamputc"]))
+                    for r in store.read(spark, "orders").collect())
+    root = store.path("orders")
+    parts = [p for p in os.listdir(root) if p.startswith(f"{PARTITION_COL}=")]
+    assert len(parts) == 2
+    assert all(
+        sum(1 for f in os.listdir(os.path.join(root, p))
+            if f.startswith("part-")) == 8
+        for p in parts
+    )
+
+    assert store.compact(spark, "orders", max_files_per_partition=1) == 2
+    assert all(
+        sum(1 for f in os.listdir(os.path.join(root, p))
+            if f.startswith("part-")) == 1
+        for p in parts
+    )
+    after = sorted((r["o_orderkey"], str(r["extractiontimestamputc"]))
+                   for r in store.read(spark, "orders").collect())
+    assert after == before
+    # within budget now: second pass touches nothing
+    assert store.compact(spark, "orders", max_files_per_partition=1) == 0
+
+    # unpartitioned form (no audit column)
+    store.overwrite(
+        load_table(spark, sf_dir, "region").repartition(4), "region"
+    )
+    assert store.compact(spark, "region", max_files_per_partition=2) == 1
+    assert store.read(spark, "region").count() == 5
+    assert store.compact(spark, "region", max_files_per_partition=2) == 0
