@@ -294,3 +294,64 @@ def image_phash(df: DataFrame, hash_size: int = 8) -> DataFrame:
     return df.select("media_id", "content").mapInPandas(
         run, "media_id long, codec string, phash string"
     )
+
+
+def phash_near_dup_pairs(
+    hashes: DataFrame,
+    id_col: str = "media_id",
+    hash_col: str = "phash",
+    max_distance: int = 10,
+    n_blocks: int = 4,
+) -> DataFrame:
+    """NEAR-duplicate image pairs by Hamming distance over 64-bit
+    perceptual hashes — catches re-encodes plus small edits (crops,
+    banners, watermarks) that flip a few aHash bits, where exact-hash
+    grouping only sees bit-identical pictures. Same pigeonhole shape as
+    the SimHash text pairs: split the 16-hex hash into ``n_blocks``
+    equal substrings, equi-join per (block index, block value) — a pair
+    within distance < 64/n_blocks·1 must agree on some block when its
+    flipped bits cluster, and by pigeonhole agreement is GUARANTEED for
+    distance < n_blocks (exact below that; recall-bounded candidates
+    above, like every LSH here). Refine = exact popcount distance via
+    two 32-bit halves (64 packed bits overflow signed BIGINT; two
+    halves don't), keep <= ``max_distance``. No corpus cross join —
+    candidate fan-out follows block collisions.
+    """
+    width = 16 // n_blocks
+    blocks = hashes.select(
+        F.col(id_col).alias("doc"),
+        F.col(hash_col).alias("h"),
+        F.posexplode(
+            F.array(*[
+                F.substring(hash_col, j * width + 1, width)
+                for j in range(n_blocks)
+            ])
+        ).alias("j", "block"),
+    )
+    a, b = blocks.alias("a"), blocks.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.j") == F.col("b.j"))
+            & (F.col("a.block") == F.col("b.block"))
+            & (F.col("a.doc") < F.col("b.doc")),
+        )
+        .select(
+            F.col("a.doc").alias("id_a"), F.col("b.doc").alias("id_b"),
+            F.col("a.h").alias("ha"), F.col("b.h").alias("hb"),
+        )
+        .distinct()
+    )
+
+    def half(col, start):
+        return F.conv(F.substring(col, start, 8), 16, 10).cast("bigint")
+
+    dist = (
+        F.bit_count(half(F.col("ha"), 1).bitwiseXOR(half(F.col("hb"), 1)))
+        + F.bit_count(half(F.col("ha"), 9).bitwiseXOR(half(F.col("hb"), 9)))
+    )
+    return (
+        cand.withColumn("distance", dist.cast("bigint"))
+        .filter(F.col("distance") <= max_distance)
+        .select("id_a", "id_b", "distance")
+    )

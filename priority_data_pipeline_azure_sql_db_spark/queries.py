@@ -5709,3 +5709,92 @@ def pipeline_curation_funnel(spark, sf_dir):
         .unionByName(stage("after_quantile_gate", gated))
         .unionByName(stage("after_source_cap", admitted))
     )
+
+
+@query(
+    "multimodal_phash_near_dup",
+    """
+    WITH src AS (
+        SELECT doc_id, CASE WHEN text IS NULL OR length(text) = 0
+                            THEN chr(0) ELSE text END AS t
+        FROM documents WHERE doc_id < 200
+    ), padded AS (
+        SELECT doc_id,
+               substr(repeat(t, CAST(192 // length(t) + 1 AS INT)), 1, 192) AS p
+        FROM src
+    ), grays AS (
+        SELECT doc_id,
+               list_transform(range(64), i ->
+                   299 * ascii(substr(p, CAST(3 * i + 1 AS INT), 1))
+                 + 587 * ascii(substr(p, CAST(3 * i + 2 AS INT), 1))
+                 + 114 * ascii(substr(p, CAST(3 * i + 3 AS INT), 1))) AS g
+        FROM padded
+    ), hashed AS (
+        SELECT doc_id,
+               array_to_string(list_transform(range(16), j ->
+                   substr('0123456789abcdef',
+                          CAST(CASE WHEN g[CAST(4*j + 1 AS INT)] * 64 > list_sum(g) THEN 8 ELSE 0 END
+                             + CASE WHEN g[CAST(4*j + 2 AS INT)] * 64 > list_sum(g) THEN 4 ELSE 0 END
+                             + CASE WHEN g[CAST(4*j + 3 AS INT)] * 64 > list_sum(g) THEN 2 ELSE 0 END
+                             + CASE WHEN g[CAST(4*j + 4 AS INT)] * 64 > list_sum(g) THEN 1 ELSE 0 END
+                             + 1 AS INT), 1)), '') AS h
+        FROM grays
+    ), blocks AS (
+        SELECT doc_id AS doc, h, j.j,
+               substr(h, CAST(j.j * 4 + 1 AS INT), 4) AS block
+        FROM hashed, LATERAL (SELECT UNNEST(range(4)) AS j) j
+    ), cand AS (
+        SELECT DISTINCT a.doc AS id_a, b.doc AS id_b,
+               a.h AS ha, b.h AS hb
+        FROM blocks a JOIN blocks b
+          ON a.j = b.j AND a.block = b.block AND a.doc < b.doc
+    )
+    SELECT id_a, id_b,
+           CAST(bit_count(xor(CAST('0x' || substr(ha, 1, 8) AS BIGINT),
+                              CAST('0x' || substr(hb, 1, 8) AS BIGINT)))
+              + bit_count(xor(CAST('0x' || substr(ha, 9, 8) AS BIGINT),
+                              CAST('0x' || substr(hb, 9, 8) AS BIGINT)))
+               AS BIGINT) AS distance
+    FROM cand
+    WHERE bit_count(xor(CAST('0x' || substr(ha, 1, 8) AS BIGINT),
+                        CAST('0x' || substr(hb, 1, 8) AS BIGINT)))
+        + bit_count(xor(CAST('0x' || substr(ha, 9, 8) AS BIGINT),
+                        CAST('0x' || substr(hb, 9, 8) AS BIGINT))) <= 10
+    """,
+)
+def multimodal_phash_near_dup(spark, sf_dir):
+    """NEAR-dup image pairs (round 8): Hamming distance <= 10 over the
+    perceptual hashes of the per-document BMP images, via the pigeonhole
+    block join (4 x 4-hex blocks) + exact popcount refine on two 32-bit
+    halves — the image-side SimHash, catching small edits where exact
+    phash grouping only sees identical pictures. The hashes come from
+    the REAL decode path (mapInPandas -> stdlib BMP decoder ->
+    average_hash); the oracle recomputes them from document bytes (8x8
+    pooling is the identity) and replays the same candidates + refine,
+    so the pair set hash-checks exactly."""
+    import numpy as np
+    import pandas as pd
+
+    from .operators import codecs
+    from .operators.multimodal import image_phash, phash_near_dup_pairs
+
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+
+    def synth(batches):
+        for pdf in batches:
+            ids, blobs = [], []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                raw = (text or "").encode("utf-8") or b"\x00"
+                pad = (raw * (192 // len(raw) + 1))[:192]
+                px = np.frombuffer(pad, dtype=np.uint8).reshape(8, 8, 3)
+                ids.append(doc_id)
+                blobs.append(codecs.encode_bmp(px))
+            yield pd.DataFrame({
+                "media_id": pd.Series(ids, dtype="int64"),
+                "content": pd.Series(blobs, dtype="object"),
+            })
+
+    media = d.select("doc_id", "text").mapInPandas(
+        synth, "media_id long, content binary"
+    )
+    return phash_near_dup_pairs(image_phash(media), max_distance=10)

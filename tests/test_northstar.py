@@ -731,3 +731,33 @@ def test_average_hash_cross_codec_and_scale(spark):
 
     flat = np.full((8, 8, 3), 77, dtype=np.uint8)
     assert codecs.average_hash(flat) == 0
+
+
+def test_phash_near_dup_pairs_known_hashes(spark):
+    """Hand-built 64-bit hashes: identical -> distance 0; a 3-bit flip
+    inside one block -> found (pigeonhole guarantees distance <
+    n_blocks shares a block); distance above the threshold -> dropped;
+    a far hash pairs with nothing."""
+    from priority_data_pipeline_azure_sql_db_spark.operators.multimodal import (
+        phash_near_dup_pairs,
+    )
+
+    base = "00ff00ff00ff00ff"
+    flip3 = "00f800ff00ff00ff"   # 3 bits flipped in block 0
+    far = "ffffffffffffffff"     # distance 32 from base
+    df = spark.createDataFrame(
+        [(1, base), (2, base), (3, flip3), (4, far)],
+        ["media_id", "phash"],
+    )
+    got = {
+        (r["id_a"], r["id_b"]): r["distance"]
+        for r in phash_near_dup_pairs(df, max_distance=10).collect()
+    }
+    assert got == {(1, 2): 0, (1, 3): 3, (2, 3): 3}
+
+    # tighter threshold drops the 3-bit pair, keeps the exact dup
+    tight = {
+        (r["id_a"], r["id_b"]): r["distance"]
+        for r in phash_near_dup_pairs(df, max_distance=1).collect()
+    }
+    assert tight == {(1, 2): 0}
