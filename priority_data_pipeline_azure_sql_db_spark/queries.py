@@ -5798,3 +5798,27 @@ def multimodal_phash_near_dup(spark, sf_dir):
         synth, "media_id long, content binary"
     )
     return phash_near_dup_pairs(image_phash(media), max_distance=10)
+
+
+@query("export_curriculum_shards")  # rows-only: range boundaries are SAMPLED
+def export_curriculum_shards(spark, sf_dir):
+    """GLOBALLY ORDERED curriculum export (round 8): documents written
+    short-to-long across ALL shards via repartitionByRange +
+    per-shard sort — the scale-correct global sort (no single-task
+    orderBy), with an ordering manifest consumers use for resumable
+    in-order reads. Rows-only by design: the range partitioner SAMPLES
+    boundary splits, so per-shard sizes vary run to run; the ordering
+    contract itself (ascending non-overlapping shard ranges, shards
+    internally sorted, concatenation == global order) is exact and
+    asserted in tests/test_scale_utils.py::test_write_ordered_shards_global_order."""
+    from .sinks.shards import write_ordered_shards
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.length("text").cast("double").alias("score")
+    )
+    out = _resident_path("curriculum_shards", sf_dir)
+    manifest = write_ordered_shards(d, out, ["score", "doc_id"], n_shards=8)
+    return spark.createDataFrame(
+        [(m["shard"], m["rows"], m["lo"], m["hi"]) for m in manifest],
+        "shard int, rows bigint, lo string, hi string",
+    )

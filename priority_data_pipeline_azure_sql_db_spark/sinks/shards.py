@@ -102,3 +102,58 @@ def read_manifest(path: str) -> list[dict]:
     with filesystem.open_input_stream(f"{root.rstrip('/')}/{MANIFEST_NAME}") as fh:
         text = fh.read().decode()
     return [json.loads(line) for line in text.splitlines() if line.strip()]
+
+
+def write_ordered_shards(
+    df: DataFrame,
+    out_dir: str,
+    order_cols: list[str],
+    n_shards: int = 16,
+) -> list[dict]:
+    """GLOBALLY ORDERED export without a single-task sort: Spark's
+    range partitioner samples the order keys to pick ``n_shards``
+    boundary splits, each shard sorts locally, and shard k's every row
+    precedes shard k+1's — so reading shards in index order replays the
+    exact global order (the curriculum-schedule export: easy-to-hard
+    across the WHOLE corpus, written at full parallelism). A naive
+    ``orderBy().write`` collapses to one task for the final sort at
+    scale; ``orderBy`` + parquet keeps Spark's range exchange but
+    loses the shard→range map consumers need for resumable ordered
+    reads — this writer persists it.
+
+    Writes ``shard=k`` directories plus an ordering manifest (one row
+    per shard: index, rows, min/max of the leading order column) and
+    returns the manifest. Boundaries come from SAMPLING, so shard SIZES
+    vary run to run (the registered query is rows-only for exactly that
+    reason) — but the ordering contract itself is exact and is asserted
+    by pytest: non-overlapping ascending shard ranges, each shard
+    internally sorted.
+    """
+    import json as _json
+
+    ranged = df.repartitionByRange(n_shards, *[F.col(c) for c in order_cols]) \
+        .sortWithinPartitions(*order_cols) \
+        .withColumn("shard", F.spark_partition_id())
+    ranged.write.mode("overwrite").partitionBy("shard").parquet(out_dir)
+    spark = df.sparkSession
+    lead = order_cols[0]
+    stats = (
+        spark.read.parquet(out_dir)
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("rows"),
+            F.min(lead).alias("lo"),
+            F.max(lead).alias("hi"),
+        )
+        .orderBy("shard")
+        .collect()  # O(n_shards) manifest rows — metadata, not data
+    )
+    manifest = [
+        {"shard": r["shard"], "rows": r["rows"],
+         "lo": str(r["lo"]), "hi": str(r["hi"])}
+        for r in stats
+    ]
+    with open(os.path.join(out_dir, "_order_manifest.jsonl"), "w") as fh:
+        for m in manifest:
+            fh.write(_json.dumps(m) + "\n")
+    return manifest

@@ -851,3 +851,35 @@ def test_snapshot_diff_bucketed_no_exchange(spark, sf_dir):
                        str(64 * 1024 * 1024))
         spark.sql("DROP TABLE IF EXISTS bkt_snap_old")
         spark.sql("DROP TABLE IF EXISTS bkt_snap_new")
+
+
+def test_write_ordered_shards_global_order(spark, sf_dir, tmp_path):
+    """The range-partitioned export honors the global-order contract:
+    shard ranges ascend without overlap, every shard is internally
+    sorted, concatenating shards in index order replays the exact
+    global (score, id) order, and no row is lost."""
+    from priority_data_pipeline_azure_sql_db_spark.sinks.shards import (
+        write_ordered_shards,
+    )
+    from priority_data_pipeline_azure_sql_db_spark.sources.parquet import load_table
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.length("text").cast("double").alias("score")
+    )
+    out = str(tmp_path / "ordered")
+    manifest = write_ordered_shards(d, out, ["score", "doc_id"], n_shards=8)
+    assert sum(m["rows"] for m in manifest) == d.count()
+    ranges = [(float(m["lo"]), float(m["hi"])) for m in manifest if m["rows"]]
+    assert all(lo <= hi for lo, hi in ranges)
+    assert all(ranges[i][1] <= ranges[i + 1][0] for i in range(len(ranges) - 1))
+
+    back = spark.read.parquet(out)
+    concat = [
+        (r["score"], r["doc_id"])
+        for r in back.orderBy("shard", "score", "doc_id").collect()
+    ]
+    want = [
+        (r["score"], r["doc_id"])
+        for r in d.orderBy("score", "doc_id").collect()
+    ]
+    assert concat == want
