@@ -5822,3 +5822,120 @@ def export_curriculum_shards(spark, sf_dir):
         [(m["shard"], m["rows"], m["lo"], m["hi"]) for m in manifest],
         "shard int, rows bigint, lo string, hi string",
     )
+
+
+@query(
+    "events_session_sequences",
+    """
+    WITH flagged AS (
+        SELECT user_id, ts, event_id, event_type,
+               CASE WHEN epoch_ms(CAST(ts AS TIMESTAMP))
+                         - epoch_ms(LAG(CAST(ts AS TIMESTAMP)) OVER w) > 1800000
+                         OR LAG(ts) OVER w IS NULL
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), numbered AS (
+        SELECT user_id, ts, event_id, event_type,
+               SUM(new_session) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS session_id
+        FROM flagged
+    )
+    SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           string_agg(event_type, ' ' ORDER BY ts, event_id) AS seq
+    FROM numbered GROUP BY user_id, session_id
+    HAVING COUNT(*) >= 3
+    """,
+)
+def events_session_sequences(spark, sf_dir):
+    """BEHAVIORAL SEQUENCES (round 8): each session's event types in
+    exact time order as one training example — the sessionize →
+    sequence-corpus step of behavioral-model data prep (the event-log
+    analogue of document packing). Same two-window single-shuffle
+    sessionization as events_sessionize; the per-session ordered
+    reassembly is position-keyed (array_sort over (ts, event_id, type)
+    structs) and bounded by session length — never corpus-sized.
+    Sessions under 3 events are dropped (too short to train on);
+    hash-checked against the ORDER BY string_agg twin."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wrun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    gap_ms = F.unix_millis(F.col("ts")) - F.unix_millis(F.lag("ts").over(w))
+    flagged = e.select(
+        "user_id", "ts", "event_id", "event_type",
+        F.when(gap_ms > 1800000, 1)
+        .when(F.lag("ts").over(w).isNull(), 1).otherwise(0)
+        .alias("new_session"),
+    )
+    numbered = flagged.select(
+        "user_id", "ts", "event_id", "event_type",
+        F.sum("new_session").over(wrun).alias("session_id"),
+    )
+    return (
+        numbered.groupBy("user_id", "session_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.struct("ts", "event_id", "event_type")
+                        )
+                    ),
+                    lambda x: x["event_type"],
+                ),
+            ).alias("seq"),
+        )
+        .filter(F.col("n_events") >= 3)
+        .select(
+            "user_id", F.col("session_id").cast("bigint").alias("session_id"),
+            "n_events", "seq",
+        )
+    )
+
+
+@query(
+    "sample_eval_balanced",
+    """
+    WITH drawn AS (
+        SELECT vec_id, label,
+               CAST('0x' || substr(md5('bal-0:' || CAST(vec_id AS VARCHAR)),
+                                   1, 12) AS BIGINT)
+                   / 281474976710656.0 AS u
+        FROM embeddings
+    ), ranked AS (
+        SELECT vec_id, label,
+               CAST(ROW_NUMBER() OVER (
+                   PARTITION BY label ORDER BY 1.0 - u, vec_id
+               ) AS BIGINT) AS rank_in_group
+        FROM drawn
+    )
+    SELECT vec_id, label, rank_in_group
+    FROM ranked WHERE rank_in_group <= 5
+    """,
+)
+def sample_eval_balanced(spark, sf_dir):
+    """LABEL-BALANCED eval split (round 8): exactly 5 vectors per label,
+    chosen by the deterministic 48-bit hash draw — the class-balanced
+    held-out set construction (a plain fraction split starves rare
+    labels). Composition: the draw is the house md5 gate, the per-label
+    top-5 rides cap_per_group's histogram-rank path, so no label —
+    however dominant — funnels through one task. Hash-checked."""
+    from .operators.sample import cap_per_group
+    from .operators.scale import md5_tag48
+
+    e = load_table(spark, sf_dir, "embeddings")
+    u = (
+        md5_tag48(
+            F.concat(F.lit("bal-0:"), F.col("vec_id").cast("string"))
+        ).cast("double")
+        / F.lit(281474976710656.0)
+    )
+    return cap_per_group(
+        e.select("vec_id", "label", u.alias("score")),
+        ["label"], "score", cap=5, id_col="vec_id",
+    ).select("vec_id", "label", "rank_in_group")
