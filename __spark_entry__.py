@@ -47,16 +47,20 @@ def entry(spark: SparkSession) -> DataFrame:
 # window: entries last checked round 6 or 7 on code untouched this
 # round (the r6 relational/scalar/window bucket and the r7 bucket) —
 # after this round no PREVIOUSLY-CHECKED entry is more than 2 rounds
-# unchecked — plus the round-8 late registrations (12 entries, tagged
-# in queries.py: duplicated spans, quality classifier, temperature mix,
-# boilerplate lines, quantile gate, curriculum rank, snapshot diff,
-# rollup maintenance, SCD2 history, per-source cap, gram novelty,
-# curation v3), which the backlog directive deliberately keeps out of
-# this window; they are comparator-verified locally and LEAD THE
-# ROUND-9 WINDOW HEAD, followed by 38 of the 42-entry r6 bucket (3
-# rounds stale by then; the remaining 4 spill to the round-10 head).
-# All 50 window entries were locally re-verified under the
-# driver-replica comparator (tools/compare_oracle.py) this session.
+# unchecked — plus the round-8 late registrations (20 entries, in
+# order after the tagged marker in queries.py: duplicated spans,
+# quality classifier, temperature mix, boilerplate lines, quantile
+# gate, curriculum rank, snapshot diff, rollup maintenance, SCD2
+# history, per-source cap, gram novelty, curation v3, span removal,
+# quantization QA, phash dedup, curation funnel, phash near-dup,
+# ordered curriculum export, session sequences, balanced eval split),
+# which the backlog directive deliberately keeps out of this window;
+# they are comparator-verified locally (each at sf0.01; the first 14
+# also at sf0.1) and LEAD THE ROUND-9 WINDOW HEAD, followed by 30 of
+# the 42-entry r6 bucket (3 rounds stale by then; the remaining 12
+# spill to the round-10 head). All 50 window entries were locally
+# re-verified under the driver-replica comparator
+# (tools/compare_oracle.py) this session.
 CHECK_ORDER = [
     # (1) round-8 code/oracle changes
     "pack_length_bucket_batches",
