@@ -631,3 +631,54 @@ def quantize_int8(df: DataFrame, id_col: str = "vec_id",
     base = base.withColumn("_scale", scale)
     q = F.transform("v", lambda x: F.floor(x * F.col("_scale") + F.lit(0.5)).cast("int"))
     return base.select(id_col, q.alias("q"), F.col("_scale").alias("scale"))
+
+
+def negative_samples(
+    emb: DataFrame,
+    queries: DataFrame,
+    k_pos: int = 5,
+    n_neg: int = 3,
+    seed: str = "neg-0",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """CONTRASTIVE negative sampling: for each query vector, ``n_neg``
+    corpus vectors chosen by a deterministic per-(query, candidate)
+    hash draw, EXCLUDING the query itself and its ``k_pos`` nearest
+    neighbors — the (anchor, negative) pairs contrastive/embedding
+    training needs, where a random negative that is secretly a
+    positive poisons the loss. Deterministic: the draw is
+    md5(seed:qid:cid), so the sample is a pure function of (corpus,
+    queries, seed) — reproducible across runs, engines, partitionings.
+
+    Shape: positives from :func:`cosine_topk_bruteforce` (query side
+    broadcast); the candidate relation is corpus x queries with the
+    BROADCAST query side, ranked per query by the 48-bit draw
+    (keyed window partitioned by query). At 100 TB gate the corpus
+    first (hash_sample) so candidates are |Q| x corpus·fraction, and/or
+    swap positives to the IVF path — same exclusion join either way.
+    """
+    from pyspark.sql import Window
+
+    from .scale import md5_tag48
+
+    pos = cosine_topk_bruteforce(emb, queries, k=k_pos).select(
+        "query_id", F.col("neighbor_id").alias("cand_id")
+    )
+    q = queries.select(F.col(id_col).alias("query_id")).coalesce(1)
+    cand = emb.select(F.col(id_col).alias("cand_id")).crossJoin(F.broadcast(q))
+    cand = cand.filter(F.col("cand_id") != F.col("query_id")).join(
+        pos, ["query_id", "cand_id"], "left_anti"
+    )
+    u = md5_tag48(
+        F.concat_ws(":", F.lit(seed), F.col("query_id").cast("string"),
+                    F.col("cand_id").cast("string"))
+    ).cast("bigint")
+    w = Window.partitionBy("query_id").orderBy(u.asc(), F.col("cand_id"))
+    return (
+        cand.withColumn("draw", u)
+        .withColumn("neg_rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("neg_rank") <= n_neg)
+        .select("query_id", F.col("cand_id").alias("negative_id"),
+                "neg_rank")
+    )

@@ -5939,3 +5939,131 @@ def sample_eval_balanced(spark, sf_dir):
         e.select("vec_id", "label", u.alias("score")),
         ["label"], "score", cap=5, id_col="vec_id",
     ).select("vec_id", "label", "rank_in_group")
+
+
+@query(
+    "profile_table_stats",
+    """
+    SELECT 'o_custkey' AS column_name,
+           CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_nulls,
+           CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_distinct,
+           CAST(MIN(o_custkey) AS VARCHAR) AS min_val,
+           CAST(MAX(o_custkey) AS VARCHAR) AS max_val
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderstatus',
+           CAST(SUM(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+           CAST(COUNT(DISTINCT o_orderstatus) AS BIGINT),
+           CAST(MIN(o_orderstatus) AS VARCHAR),
+           CAST(MAX(o_orderstatus) AS VARCHAR)
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderpriority',
+           CAST(SUM(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+           CAST(COUNT(DISTINCT o_orderpriority) AS BIGINT),
+           CAST(MIN(o_orderpriority) AS VARCHAR),
+           CAST(MAX(o_orderpriority) AS VARCHAR)
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderkey',
+           CAST(SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+           CAST(COUNT(DISTINCT o_orderkey) AS BIGINT),
+           CAST(MIN(o_orderkey) AS VARCHAR),
+           CAST(MAX(o_orderkey) AS VARCHAR)
+    FROM orders
+    """,
+)
+def profile_table_stats(spark, sf_dir):
+    """ANALYZE-style column statistics (round 8): per column — null
+    count, exact distinct count, min/max rendered as strings — the
+    stats a cost-based planner and a data-quality monitor both feed on
+    (the reference has no stats surface at all). ONE scan: Spark plans
+    the multi-column distinct aggregate via Expand (rows x K columns)
+    with map-side partial aggregation; at 100 TB swap the exact
+    distincts for approx_count_distinct and the plan collapses to a
+    plain single-pass agg — the exact form is registered because it is
+    oracle-comparable. Integer/string min-max render identically in
+    both engines (no float formatting on the boundary)."""
+    o = load_table(spark, sf_dir, "orders")
+
+    def col_stats(c):
+        return [
+            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0))
+            .cast("bigint").alias(f"{c}__nulls"),
+            F.countDistinct(F.col(c)).cast("bigint").alias(f"{c}__nd"),
+            F.min(F.col(c)).cast("string").alias(f"{c}__min"),
+            F.max(F.col(c)).cast("string").alias(f"{c}__max"),
+        ]
+
+    cols = ["o_custkey", "o_orderstatus", "o_orderpriority", "o_orderkey"]
+    wide = o.groupBy().agg(*[e for c in cols for e in col_stats(c)])
+    stacked = wide.select(
+        F.expr(
+            "stack({}, {}) as (column_name, n_nulls, n_distinct, min_val, max_val)".format(
+                len(cols),
+                ", ".join(
+                    f"'{c}', {c}__nulls, {c}__nd, {c}__min, {c}__max"
+                    for c in cols
+                ),
+            )
+        )
+    )
+    return stacked
+
+
+@query(
+    "ann_negative_samples",
+    """
+    WITH q AS (
+        SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+        FROM embeddings WHERE vec_id < 5
+    ), c AS (
+        SELECT vec_id AS cand_id, embedding::DOUBLE[] AS cv FROM embeddings
+    ), scored AS (
+        SELECT q.query_id, c.cand_id,
+               ROUND(list_dot_product(q.qv, c.cv)
+                     / (SQRT(list_dot_product(q.qv, q.qv))
+                        * SQRT(list_dot_product(c.cv, c.cv))), 6) AS sim
+        FROM c, q WHERE c.cand_id <> q.query_id
+    ), pos AS (
+        SELECT query_id, cand_id FROM (
+            SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY query_id ORDER BY sim DESC, cand_id
+            ) AS rank FROM scored
+        ) WHERE rank <= 5
+    ), cand AS (
+        SELECT s.query_id, s.cand_id,
+               CAST('0x' || substr(md5('neg-0:' || CAST(s.query_id AS VARCHAR)
+                                       || ':' || CAST(s.cand_id AS VARCHAR)),
+                                   1, 12) AS BIGINT) AS draw
+        FROM scored s ANTI JOIN pos p
+          ON s.query_id = p.query_id AND s.cand_id = p.cand_id
+    )
+    SELECT query_id, cand_id AS negative_id,
+           CAST(neg_rank AS BIGINT) AS neg_rank
+    FROM (
+        SELECT query_id, cand_id,
+               ROW_NUMBER() OVER (
+                   PARTITION BY query_id ORDER BY draw, cand_id
+               ) AS neg_rank
+        FROM cand
+    ) WHERE neg_rank <= 3
+    """,
+)
+def ann_negative_samples(spark, sf_dir):
+    """CONTRASTIVE negatives (round 8): 3 deterministic negatives per
+    query vector, drawn by the 48-bit md5(seed:query:candidate) hash
+    and EXCLUDING the query's own top-5 cosine neighbors — the
+    (anchor, negative) pairs embedding training needs, where a random
+    negative that is secretly a near-neighbor poisons the loss.
+    Reproducible across runs/engines/partitionings by construction;
+    query side broadcasts, the per-query ranking window is keyed.
+    Hash-checked against the full SQL replay (positives + anti-join +
+    draw ranking)."""
+    from .operators.similarity import negative_samples
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return negative_samples(
+        emb, emb.filter(F.col("vec_id") < 5), k_pos=5, n_neg=3
+    )

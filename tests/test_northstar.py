@@ -761,3 +761,38 @@ def test_phash_near_dup_pairs_known_hashes(spark):
         for r in phash_near_dup_pairs(df, max_distance=1).collect()
     }
     assert tight == {(1, 2): 0}
+
+
+def test_negative_samples_excludes_positives(spark):
+    """Contrastive negatives never collide with the query's top-k
+    neighbors or itself, exactly n_neg per query, and the draw is
+    deterministic across calls."""
+    import numpy as np
+
+    from priority_data_pipeline_azure_sql_db_spark.operators.similarity import (
+        cosine_topk_bruteforce,
+        negative_samples,
+    )
+
+    rng = np.random.default_rng(3)
+    rows = [(i, [float(x) for x in rng.normal(size=8)]) for i in range(30)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = emb.filter(F.col("vec_id") < 3)
+
+    negs = negative_samples(emb, q, k_pos=4, n_neg=5).collect()
+    pos = {
+        (r["query_id"], r["neighbor_id"])
+        for r in cosine_topk_bruteforce(emb, q, k=4).collect()
+    }
+    by_q = {}
+    for r in negs:
+        assert (r["query_id"], r["negative_id"]) not in pos
+        assert r["negative_id"] != r["query_id"]
+        by_q.setdefault(r["query_id"], []).append(
+            (r["neg_rank"], r["negative_id"])
+        )
+    assert set(by_q) == {0, 1, 2}
+    assert all(sorted(v)[0][0] == 1 and len(v) == 5 for v in by_q.values())
+
+    again = negative_samples(emb, q, k_pos=4, n_neg=5).collect()
+    assert sorted(map(tuple, negs)) == sorted(map(tuple, again))
