@@ -6067,3 +6067,57 @@ def ann_negative_samples(spark, sf_dir):
     return negative_samples(
         emb, emb.filter(F.col("vec_id") < 5), k_pos=5, n_neg=3
     )
+
+
+@query(
+    "streaming_rollup_maintenance",
+    """
+    SELECT CAST(DATE_TRUNC('day', CAST(ts AS TIMESTAMP)) AS TIMESTAMP)
+               AS day,
+           event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def streaming_rollup_maintenance(spark, sf_dir):
+    """STREAMING continuous-aggregate maintenance, hash-checked end to
+    end (round 8): drain the events stream through the foreachBatch
+    rollup sink — each micro-batch folds its own (day, event_type)
+    delta through the exactly-once pointer ledger
+    (streaming/sink.py:fold_rollup_batch; replayed batch ids skip, a
+    crash before the atomic pointer swap re-folds against unchanged
+    state) — then read the standing store. The oracle is the one-pass
+    batch rollup over ALL events: equality holds because partial sums
+    stay DECIMAL through every fold (exact under re-aggregation), so
+    checkpointed at-least-once delivery composed with the ledger is
+    provably exactly-once ARITHMETIC, not just exactly-once rows.
+    Re-running against the same checkpoint is a no-op."""
+    import os
+
+    from .streaming.events import read_events_stream
+    from .streaming.sink import read_rollup_store, stream_rollup_into_store
+
+    def day_rollup(ev):
+        return ev.groupBy(
+            F.date_trunc("day", "ts").alias("day"), "event_type"
+        ).agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,6)")).alias("sum_value"),
+        )
+
+    base = _resident_path("stream_rollup", sf_dir)
+    q = stream_rollup_into_store(
+        read_events_stream(spark, sf_dir), day_rollup,
+        os.path.join(base, "store"), ["day", "event_type"],
+        ["n_events", "sum_value"], os.path.join(base, "ckpt"),
+    )
+    if not q.awaitTermination(300):
+        q.stop()
+        raise RuntimeError("streaming drain did not finish within 300s")
+    return read_rollup_store(spark, os.path.join(base, "store")).select(
+        "day", "event_type",
+        F.col("n_events").cast("bigint").alias("n_events"),
+        F.col("sum_value").cast("double").alias("sum_value"),
+    )
