@@ -1,0 +1,109 @@
+"""Config-driven corpus curation — the reference's core identity
+(declarative extraction config -> pipeline run; SURVEY.md §1.1
+extractionConfig) carried over to the training-data tier: a curation
+run is DATA, not code, so the same reviewed JSON document that a team
+ships to production also replays locally, diffs in version control,
+and parameterizes A/B corpus builds.
+
+A ``CurationConfig`` declares an ordered stage list; ``build_curation``
+composes the corresponding operators into ONE DataFrame plan (no
+materialization between stages — Catalyst sees the whole chain):
+
+    {"stages": [
+        {"op": "linify", "width": 8},
+        {"op": "boilerplate_lines", "min_docs": 2},
+        {"op": "quantile_gate", "drop_num": 1, "drop_den": 5},
+        {"op": "source_cap", "cap": 10},
+    ]}
+
+Unknown ops and invalid parameters fail loudly at BUILD time (the
+config reviewer's error, not a 3 a.m. executor stack trace). Stage
+semantics are exactly the standalone operators the oracle harness
+verifies (operators/dedup.py, operators/sample.py) — config-built
+plans are pytest-asserted equal to the hand-built capstone.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .operators.dedup import remove_boilerplate_lines
+from .operators.sample import cap_per_group, quantile_threshold_filter
+
+_ALPHA_SCORE_DOC = "alpha-character ratio of the current text"
+
+
+def _alpha_score(col):
+    return (
+        F.size(F.regexp_extract_all(col, F.lit("[A-Za-z]"), 0)).cast("double")
+        / F.greatest(F.length(col), F.lit(1)).cast("double")
+    )
+
+
+def _linify(df: DataFrame, width: int) -> DataFrame:
+    toks = F.filter(
+        F.split(F.trim(F.lower(F.col("text"))), "\\s+"),
+        lambda x: x != F.lit(""),
+    )
+    d = df.withColumn("_toks", toks)
+    n_lines = (
+        F.floor((F.size("_toks") + F.lit(width - 1)) / F.lit(width))
+        .cast("int")
+    )
+    lines = F.when(
+        F.size("_toks") > 0,
+        F.transform(
+            F.sequence(F.lit(0), n_lines - 1),
+            lambda i: F.concat_ws(
+                " ", F.slice("_toks", i * F.lit(width) + 1, width)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return d.withColumn("text", F.concat_ws("\n", lines)).drop("_toks")
+
+
+def build_curation(docs: DataFrame, config: dict) -> DataFrame:
+    """Compose the configured stage chain over a (doc_id, text, source)
+    relation. Returns the admitted rows with whatever bookkeeping
+    columns the final stage adds. Raises ``ValueError`` on unknown ops
+    or invalid parameters — at build time, before any job runs."""
+    stages = config.get("stages")
+    if not stages:
+        raise ValueError("curation config has no stages")
+    df = docs
+    for i, st in enumerate(stages):
+        op = st.get("op")
+        if op == "linify":
+            width = int(st.get("width", 8))
+            if width < 1:
+                raise ValueError(f"stage {i}: linify width must be >= 1")
+            df = _linify(df, width)
+        elif op == "boilerplate_lines":
+            extra = [c for c in df.columns if c not in ("doc_id", "text")]
+            cleaned = remove_boilerplate_lines(
+                df.select("doc_id", "text"),
+                min_docs=int(st.get("min_docs", 2)),
+            )
+            if extra:
+                cleaned = cleaned.join(
+                    df.select("doc_id", *extra), "doc_id"
+                )
+            df = cleaned
+        elif op == "quantile_gate":
+            df = df.withColumn("score", _alpha_score(F.col("text")))
+            df = quantile_threshold_filter(
+                df, "score",
+                int(st["drop_num"]), int(st["drop_den"]),
+            ).drop("_qbucket")
+        elif op == "source_cap":
+            if "source" not in df.columns:
+                raise ValueError(f"stage {i}: source_cap needs a source column")
+            if "score" not in df.columns:
+                df = df.withColumn("score", _alpha_score(F.col("text")))
+            df = cap_per_group(
+                df, ["source"], "score", cap=int(st["cap"])
+            )
+        else:
+            raise ValueError(f"stage {i}: unknown curation op {op!r}")
+    return df

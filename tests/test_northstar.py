@@ -796,3 +796,55 @@ def test_negative_samples_excludes_positives(spark):
 
     again = negative_samples(emb, q, k_pos=4, n_neg=5).collect()
     assert sorted(map(tuple, negs)) == sorted(map(tuple, again))
+
+
+def test_config_driven_curation_matches_capstone(spark, sf_dir):
+    """A declarative stage list reproduces the hand-built v3 capstone's
+    admitted set exactly; bad configs fail loudly at build time."""
+    import pytest
+
+    from priority_data_pipeline_azure_sql_db_spark.curation import build_curation
+    from priority_data_pipeline_azure_sql_db_spark.queries import QUERIES
+    from priority_data_pipeline_azure_sql_db_spark.sources.parquet import load_table
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "source"
+    )
+    cfg = {"stages": [
+        {"op": "linify", "width": 8},
+        {"op": "boilerplate_lines", "min_docs": 2},
+        {"op": "quantile_gate", "drop_num": 1, "drop_den": 5},
+        {"op": "source_cap", "cap": 10},
+    ]}
+    admitted = {
+        (r["source"], r["doc_id"])
+        for r in build_curation(d, cfg).select("source", "doc_id").collect()
+    }
+    # the capstone reports per-source counts + a membership multiset tag;
+    # recompute the same report from the config-built set and compare
+    from pyspark.sql import functions as F2
+
+    from priority_data_pipeline_azure_sql_db_spark.operators.scale import md5_tag48
+    got = {
+        r["source"]: (r["n_docs"], r["member_tag"])
+        for r in build_curation(d, cfg)
+        .groupBy("source")
+        .agg(
+            F2.count(F2.lit(1)).cast("bigint").alias("n_docs"),
+            (F2.sum(md5_tag48(F2.col("doc_id").cast("string")))
+             % F2.lit(2305843009213693951)).cast("bigint").alias("member_tag"),
+        ).collect()
+    }
+    want = {
+        r["source"]: (r["n_docs"], r["member_tag"])
+        for r in QUERIES["pipeline_curation_v3"](spark, sf_dir)
+        .select("source", "n_docs", "member_tag").collect()
+    }
+    assert got == want and len(admitted) == sum(n for n, _ in want.values())
+
+    with pytest.raises(ValueError, match="unknown curation op"):
+        build_curation(d, {"stages": [{"op": "nope"}]})
+    with pytest.raises(ValueError, match="no stages"):
+        build_curation(d, {})
+    with pytest.raises(ValueError, match="source_cap needs"):
+        build_curation(d.drop("source"), {"stages": [{"op": "source_cap", "cap": 1}]})
