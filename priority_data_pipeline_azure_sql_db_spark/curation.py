@@ -104,6 +104,28 @@ def build_curation(docs: DataFrame, config: dict) -> DataFrame:
             df = cap_per_group(
                 df, ["source"], "score", cap=int(st["cap"])
             )
+        elif op == "hash_sample":
+            from .operators.sample import hash_sample
+
+            df = hash_sample(
+                df, "doc_id", float(st["fraction"]),
+                salt=str(st.get("salt", "")),
+            )
+        elif op == "temperature_mix":
+            from .operators.sample import temperature_mix_sample
+
+            if "source" not in df.columns:
+                raise ValueError(
+                    f"stage {i}: temperature_mix needs a source column"
+                )
+            kept_cols = df.columns
+            mixed = temperature_mix_sample(
+                df, source_col="source", id_col="doc_id",
+                alpha=float(st.get("alpha", 0.5)),
+                target_frac=float(st.get("target_frac", 0.5)),
+                seed=str(st.get("seed", "mix-0")),
+            ).select("doc_id")
+            df = df.join(mixed, "doc_id").select(*kept_cols)
         else:
             raise ValueError(f"stage {i}: unknown curation op {op!r}")
     return df

@@ -848,3 +848,37 @@ def test_config_driven_curation_matches_capstone(spark, sf_dir):
         build_curation(d, {})
     with pytest.raises(ValueError, match="source_cap needs"):
         build_curation(d.drop("source"), {"stages": [{"op": "source_cap", "cap": 1}]})
+
+
+def test_config_curation_sampling_stages(spark, sf_dir):
+    """The sampling stages compose declaratively: hash_sample keeps the
+    deterministic subset, temperature_mix admits exactly the operator's
+    own set, and both preserve the relation's columns."""
+    from priority_data_pipeline_azure_sql_db_spark.curation import build_curation
+    from priority_data_pipeline_azure_sql_db_spark.operators.sample import (
+        hash_sample,
+        temperature_mix_sample,
+    )
+    from priority_data_pipeline_azure_sql_db_spark.sources.parquet import load_table
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "source"
+    )
+    got = build_curation(
+        d, {"stages": [{"op": "hash_sample", "fraction": 0.3, "salt": "s1"}]}
+    )
+    want = hash_sample(d, "doc_id", 0.3, salt="s1")
+    assert sorted(r["doc_id"] for r in got.collect()) == \
+        sorted(r["doc_id"] for r in want.collect())
+    assert got.columns == ["doc_id", "text", "source"]
+
+    got2 = build_curation(
+        d, {"stages": [{"op": "temperature_mix", "alpha": 0.5,
+                        "target_frac": 0.4}]}
+    )
+    want2 = temperature_mix_sample(
+        d, source_col="source", id_col="doc_id", alpha=0.5, target_frac=0.4
+    )
+    assert sorted(r["doc_id"] for r in got2.collect()) == \
+        sorted(r["doc_id"] for r in want2.collect())
+    assert got2.columns == ["doc_id", "text", "source"]
