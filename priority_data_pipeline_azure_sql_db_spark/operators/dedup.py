@@ -639,3 +639,50 @@ def remove_duplicated_spans(
             "n_tokens_removed"
         ),
     ).withColumnRenamed("doc", id_col)
+
+
+def fuzzy_match_pairs(
+    df: DataFrame,
+    key_col: str,
+    id_col: str,
+    block_cols: list[str],
+    max_edit: int = 2,
+) -> DataFrame:
+    """ENTITY RESOLUTION candidate pairs: classic blocking + edit
+    distance — records that agree on the blocking keys and whose match
+    key is within ``max_edit`` Levenshtein operations (typos,
+    transposed digits, OCR noise) are duplicate-entity candidates. The
+    record-level sibling of the document dedup family: exact dedup
+    catches identical rows, this catches NEARLY identical ones.
+
+    Shape: one equi-join on the blocking keys (never a corpus cross
+    join — pair fan-out is sum of block sizes squared, the knob the
+    caller controls by choosing selective blocks; split or salt any
+    block that grows super-linear) followed by the codegen'd
+    ``levenshtein`` refine. Returns (id_a, id_b, key_a, key_b,
+    edit_distance) with id_a < id_b — exact and engine-portable
+    (standard unit-cost Levenshtein in Spark and DuckDB alike).
+    """
+    sel = [F.col(id_col).alias("_id"), F.col(key_col).alias("_key")] + [
+        F.col(c) for c in block_cols
+    ]
+    t = spread(df.select(*sel), "_id")
+    a, b = t.alias("a"), t.alias("b")
+    cond = F.col("a._id") < F.col("b._id")
+    for c in block_cols:
+        cond = cond & (F.col(f"a.{c}") == F.col(f"b.{c}"))
+    return (
+        a.join(b, cond)
+        .withColumn(
+            "edit_distance",
+            F.levenshtein(F.col("a._key"), F.col("b._key")).cast("bigint"),
+        )
+        .filter(F.col("edit_distance") <= max_edit)
+        .select(
+            F.col("a._id").alias("id_a"),
+            F.col("b._id").alias("id_b"),
+            F.col("a._key").alias("key_a"),
+            F.col("b._key").alias("key_b"),
+            "edit_distance",
+        )
+    )

@@ -6121,3 +6121,36 @@ def streaming_rollup_maintenance(spark, sf_dir):
         F.col("n_events").cast("bigint").alias("n_events"),
         F.col("sum_value").cast("double").alias("sum_value"),
     )
+
+
+@query(
+    "er_fuzzy_customer_pairs",
+    """
+    WITH t AS (
+        SELECT c_custkey AS id, c_name AS key, c_nationkey
+        FROM customer
+    )
+    SELECT a.id AS id_a, b.id AS id_b,
+           a.key AS key_a, b.key AS key_b,
+           CAST(levenshtein(a.key, b.key) AS BIGINT) AS edit_distance
+    FROM t a JOIN t b
+      ON a.c_nationkey = b.c_nationkey AND a.id < b.id
+    WHERE levenshtein(a.key, b.key) <= 2
+    """,
+)
+def er_fuzzy_customer_pairs(spark, sf_dir):
+    """ENTITY RESOLUTION (round 8): duplicate-entity candidates by
+    classic blocking + edit distance — customers in the same nation
+    whose names are within 2 Levenshtein operations (typos, transposed
+    digits, OCR noise), the record-level sibling of the document dedup
+    family (exact dedup catches identical rows; this catches NEARLY
+    identical ones). One blocking equi-join, codegen'd levenshtein
+    refine, no cross join anywhere; unit-cost Levenshtein is identical
+    in both engines, so the pair set hash-checks exactly."""
+    from .operators.dedup import fuzzy_match_pairs
+
+    c = load_table(spark, sf_dir, "customer")
+    return fuzzy_match_pairs(
+        c, key_col="c_name", id_col="c_custkey",
+        block_cols=["c_nationkey"], max_edit=2,
+    )

@@ -1532,3 +1532,38 @@ def test_remove_duplicated_spans_known_docs(spark):
     assert out[2] == ("delta epsilon zeta", 6)
     # doc 3: untouched but whitespace-normalized
     assert out[3] == ("totally unrelated words here", 0)
+
+
+def test_fuzzy_match_pairs_blocking_and_distance(spark):
+    """Blocking confines comparisons (cross-block near-matches never
+    pair), the refine keeps only pairs within the edit budget, and
+    distances are exact."""
+    from priority_data_pipeline_azure_sql_db_spark.operators.dedup import (
+        fuzzy_match_pairs,
+    )
+
+    rows = [
+        (1, "acme corp", "US"),
+        (2, "acme c0rp", "US"),    # 1 substitution
+        (3, "acme corporation", "US"),  # 7 inserts -> over budget
+        (4, "acme corp", "DE"),    # exact twin, wrong block
+        (5, "acme inc", "US"),     # distance 4 from "acme corp"
+    ]
+    df = spark.createDataFrame(rows, ["rid", "name", "country"])
+    got = {
+        (r["id_a"], r["id_b"]): r["edit_distance"]
+        for r in fuzzy_match_pairs(
+            df, key_col="name", id_col="rid",
+            block_cols=["country"], max_edit=2,
+        ).collect()
+    }
+    assert got == {(1, 2): 1}
+
+    wider = {
+        (r["id_a"], r["id_b"]): r["edit_distance"]
+        for r in fuzzy_match_pairs(
+            df, key_col="name", id_col="rid",
+            block_cols=["country"], max_edit=4,
+        ).collect()
+    }
+    assert wider == {(1, 2): 1, (1, 5): 4, (2, 5): 4}
