@@ -6154,3 +6154,63 @@ def er_fuzzy_customer_pairs(spark, sf_dir):
         c, key_col="c_name", id_col="c_custkey",
         block_cols=["c_nationkey"], max_edit=2,
     )
+
+
+@query(
+    "er_golden_records",
+    """
+    WITH RECURSIVE t AS (
+        SELECT c_custkey AS id, c_name AS key, c_nationkey FROM customer
+    ), pairs AS (
+        SELECT a.id AS id_a, b.id AS id_b
+        FROM t a JOIN t b
+          ON a.c_nationkey = b.c_nationkey AND a.id < b.id
+        WHERE levenshtein(a.key, b.key) <= 2
+    ), edges AS (
+        SELECT id_a AS u, id_b AS v FROM pairs
+        UNION SELECT id_b, id_a FROM pairs
+    ), reach(node, label) AS (
+        SELECT u, u FROM edges
+        UNION
+        SELECT e.v, r.label FROM reach r JOIN edges e ON r.node = e.u
+    ), comp AS (
+        SELECT node, MIN(label) AS cluster_id FROM reach GROUP BY node
+    )
+    SELECT c.cluster_id,
+           CAST(COUNT(*) AS BIGINT) AS cluster_size,
+           CAST(COUNT(DISTINCT t.key) AS BIGINT) AS n_names,
+           MIN(CASE WHEN c.node = c.cluster_id THEN t.key END) AS golden_name
+    FROM comp c JOIN t ON t.id = c.node
+    GROUP BY c.cluster_id
+    """,
+)
+def er_golden_records(spark, sf_dir):
+    """GOLDEN RECORDS (round 8) — the full MDM loop: fuzzy candidate
+    pairs (blocking + Levenshtein) → connected components (duplicate
+    entities are transitive) → one surviving record per cluster under a
+    deterministic survivorship rule (first-registered wins: the
+    cluster's minimum id contributes the golden name). Per cluster:
+    size, distinct name variants, golden name. The components come from
+    the same iterative min-label propagation the document dedup tier
+    uses (operators/graph.py, lineage-truncated loop); the oracle
+    replays clustering as a recursive CTE — a full SQL twin for an
+    iterative distributed algorithm, composed with the ER refine."""
+    from .operators.dedup import fuzzy_match_pairs
+    from .operators.graph import connected_components
+
+    c = load_table(spark, sf_dir, "customer")
+    pairs = fuzzy_match_pairs(
+        c, key_col="c_name", id_col="c_custkey",
+        block_cols=["c_nationkey"], max_edit=2,
+    )
+    comp = connected_components(pairs, "id_a", "id_b")
+    named = comp.join(
+        c.select(F.col("c_custkey").alias("node"), F.col("c_name")), "node"
+    )
+    return named.groupBy(F.col("component").alias("cluster_id")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("cluster_size"),
+        F.countDistinct("c_name").cast("bigint").alias("n_names"),
+        F.min(
+            F.when(F.col("node") == F.col("component"), F.col("c_name"))
+        ).alias("golden_name"),
+    )
