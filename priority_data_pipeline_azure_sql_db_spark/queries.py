@@ -6214,3 +6214,75 @@ def er_golden_records(spark, sf_dir):
             F.when(F.col("node") == F.col("component"), F.col("c_name"))
         ).alias("golden_name"),
     )
+
+
+@query(
+    "events_pit_enrichment",
+    """
+    WITH ordered AS (
+        SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts, event_id,
+               LAG(event_type) OVER (
+                   PARTITION BY user_id
+                   ORDER BY CAST(ts AS TIMESTAMP), event_id
+               ) AS prev_type,
+               ROW_NUMBER() OVER (
+                   PARTITION BY user_id
+                   ORDER BY CAST(ts AS TIMESTAMP), event_id
+               ) AS rn
+        FROM events WHERE event_id % 2 = 0
+    ), changes AS (
+        SELECT user_id, event_type, ts, event_id FROM ordered
+        WHERE rn = 1 OR event_type IS DISTINCT FROM prev_type
+    ), hist AS (
+        SELECT user_id, event_type AS state, ts AS valid_from,
+               LEAD(ts) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+               ) AS valid_to
+        FROM changes
+    ), facts AS (
+        SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+        FROM events WHERE event_id % 2 = 1
+    )
+    SELECT f.event_id, f.user_id, f.ts, h.state AS state_at_event
+    FROM facts f LEFT JOIN hist h
+      ON f.user_id = h.user_id
+     AND h.valid_from <= f.ts
+     AND (h.valid_to IS NULL OR f.ts < h.valid_to)
+    """,
+)
+def events_pit_enrichment(spark, sf_dir):
+    """POINT-IN-TIME enrichment (round 8) — the standard query against
+    an SCD2 dimension: each fact joins the history row whose half-open
+    [valid_from, valid_to) interval contains its timestamp. History is
+    built from the EVEN events (scd2_history), facts are the ODD events
+    — so the enrichment is non-tautological: an odd event picks up the
+    latest even-event state at or before its ts (NULL before the first
+    change, the LEFT join's honest answer). Shape: equi-join on the
+    entity key with the interval refine as a join filter — fan-out is
+    per-user history length, never corpus x corpus; at warehouse scale
+    both sides co-partition on the entity key."""
+    from .operators.merge import scd2_history
+
+    e = load_table(spark, sf_dir, "events")
+    hist = scd2_history(
+        e.filter(F.col("event_id") % 2 == 0),
+        pk=["user_id"], attr_cols=["event_type"], ts_col="ts",
+        tiebreak_cols=["event_id"],
+    ).select(
+        "user_id", F.col("event_type").alias("state"),
+        "valid_from", "valid_to",
+    )
+    facts = e.filter(F.col("event_id") % 2 == 1).select(
+        "event_id", "user_id", "ts"
+    )
+    f, h = facts.alias("f"), hist.alias("h")
+    return f.join(
+        h,
+        (F.col("f.user_id") == F.col("h.user_id"))
+        & (F.col("h.valid_from") <= F.col("f.ts"))
+        & (F.col("h.valid_to").isNull() | (F.col("f.ts") < F.col("h.valid_to"))),
+        "left",
+    ).select(
+        "f.event_id", "f.user_id", "f.ts",
+        F.col("h.state").alias("state_at_event"),
+    )
