@@ -6286,3 +6286,79 @@ def events_pit_enrichment(spark, sf_dir):
         "f.event_id", "f.user_id", "f.ts",
         F.col("h.state").alias("state_at_event"),
     )
+
+
+@query(
+    "sample_soft_dedup",
+    """
+    WITH RECURSIVE norm AS (
+        SELECT doc_id, regexp_replace(lower(text), '[^a-z0-9]', '', 'g') AS t
+        FROM documents
+    ), grams AS (
+        SELECT doc_id, pos, LENGTH(t) - 7 AS maxpos, md5(substr(t, pos, 8)) AS h
+        FROM norm, UNNEST(generate_series(1, GREATEST(LENGTH(t) - 7, 0))) AS u(pos)
+    ), wins AS (
+        SELECT doc_id, pos, maxpos,
+               MIN(h) OVER (PARTITION BY doc_id ORDER BY pos
+                            ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp
+        FROM grams
+    ), fps AS (
+        SELECT DISTINCT doc_id, fp FROM wins WHERE pos <= maxpos - 3
+    ), pairs AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM fps a JOIN fps b ON a.fp = b.fp AND a.doc_id < b.doc_id
+        GROUP BY 1, 2 HAVING COUNT(*) >= 25
+    ), edges AS (
+        SELECT id_a AS u, id_b AS v FROM pairs
+        UNION SELECT id_b, id_a FROM pairs
+    ), reach(node, label) AS (
+        SELECT u, u FROM edges
+        UNION
+        SELECT e.v, r.label FROM reach r JOIN edges e ON r.node = e.u
+    ), comp AS (
+        SELECT node, MIN(label) AS canonical_id FROM reach GROUP BY node
+    ), sizes AS (
+        SELECT canonical_id, COUNT(*) AS n FROM comp GROUP BY 1
+    ), weighted AS (
+        SELECT d.doc_id,
+               CAST(COALESCE(s.n, 1) AS BIGINT) AS cluster_size,
+               FLOOR(1.0 / COALESCE(s.n, 1) * 1000000.0 + 0.5) / 1000000.0
+                   AS weight
+        FROM documents d
+        LEFT JOIN comp c ON c.node = d.doc_id
+        LEFT JOIN sizes s ON s.canonical_id = c.canonical_id
+    )
+    SELECT doc_id, cluster_size, weight
+    FROM weighted
+    WHERE CAST('0x' || substr(md5('soft-0:' || CAST(doc_id AS VARCHAR)),
+               1, 12) AS BIGINT) / 281474976710656.0 < weight
+    """,
+)
+def sample_soft_dedup(spark, sf_dir):
+    """SOFT dedup (round 8): instead of dropping near-duplicates, keep
+    every document with probability 1/cluster_size — each duplicate
+    cluster contributes ~one expected copy while unique docs pass at
+    full rate, preserving natural distribution mass that hard dedup
+    deletes (the SemDeDup-style soft policy). Clusters come from the
+    winnowing pair graph's connected components (the same iterative
+    min-label loop, recursive-CTE oracle); admission is the exact
+    48-bit hash gate, so the admitted SET is deterministic and
+    hash-checks bit-for-bit."""
+    from .operators.graph import canonical_docs
+    from .operators.sample import hash_sample_weighted
+
+    d = load_table(spark, sf_dir, "documents")
+    pairs = X.winnow_near_dup(d, k=8, w=4, min_shared=25).select("id_a", "id_b")
+    clusters = canonical_docs(pairs).select("doc_id", "cluster_size")
+    weighted = (
+        d.select("doc_id")
+        .join(clusters, "doc_id", "left")
+        .withColumn(
+            "cluster_size",
+            F.coalesce(F.col("cluster_size"), F.lit(1)).cast("bigint"),
+        )
+        .withColumn("weight", _fix6(F.lit(1.0) / F.col("cluster_size")))
+    )
+    return hash_sample_weighted(
+        weighted, "doc_id", F.col("weight"), seed="soft-0"
+    ).select("doc_id", "cluster_size", "weight")
