@@ -6362,3 +6362,67 @@ def sample_soft_dedup(spark, sf_dir):
     return hash_sample_weighted(
         weighted, "doc_id", F.col("weight"), seed="soft-0"
     ).select("doc_id", "cluster_size", "weight")
+
+
+@query(
+    "text_zipf_coverage",
+    """
+    WITH toks AS (
+        SELECT u.tok FROM (
+            SELECT list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                               x -> x <> '') AS t
+            FROM documents
+        ), LATERAL (SELECT UNNEST(t) AS tok) u
+    ), freq AS (
+        SELECT tok, CAST(COUNT(*) AS BIGINT) AS n FROM toks GROUP BY tok
+    ), tot AS (SELECT CAST(SUM(n) AS DOUBLE) AS total FROM freq
+    ), ranked AS (
+        SELECT tok, n,
+               CAST(ROW_NUMBER() OVER (ORDER BY n DESC, tok) AS BIGINT)
+                   AS rank,
+               CAST(SUM(n) OVER (ORDER BY n DESC, tok
+                    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+        FROM freq
+    )
+    SELECT rank, tok, n,
+           FLOOR(cum / tot.total * 1000000.0 + 0.5) / 1000000.0
+               AS coverage
+    FROM ranked, tot WHERE rank <= 20
+    """,
+)
+def text_zipf_coverage(spark, sf_dir):
+    """VOCAB COVERAGE profile (round 8): the top-20 corpus words with
+    their Zipf rank and CUMULATIVE token-coverage fraction — the
+    statistic that sizes a tokenizer vocabulary ("the top-k types cover
+    X% of running tokens"). One token hash-agg (map-side combinable) +
+    ranking over the (small) type table, never the token stream: the
+    window runs over distinct TYPES — vocabulary-sized, ~O(100k) for
+    real corpora — not the corpus; the 1-row total broadcasts back.
+    Deterministic tie-break by token string; hash-checked."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        F.explode(
+            F.filter(
+                F.split(F.trim(F.lower(F.col("text"))), "\\s+"),
+                lambda x: x != F.lit(""),
+            )
+        ).alias("tok")
+    )
+    freq = toks.groupBy("tok").agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    tot = freq.agg(F.sum("n").cast("double").alias("total")).coalesce(1)
+    w = Window.orderBy(F.desc("n"), F.asc("tok"))
+    ranked = freq.select(
+        "tok", "n",
+        F.row_number().over(w).cast("bigint").alias("rank"),
+        F.sum("n").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ).cast("bigint").alias("cum"),
+    )
+    return (
+        ranked.filter(F.col("rank") <= 20)
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "rank", "tok", "n",
+            _fix6(F.col("cum") / F.col("total")).alias("coverage"),
+        )
+    )
