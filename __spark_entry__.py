@@ -47,19 +47,21 @@ def entry(spark: SparkSession) -> DataFrame:
 # window: entries last checked round 6 or 7 on code untouched this
 # round (the r6 relational/scalar/window bucket and the r7 bucket) —
 # after this round no PREVIOUSLY-CHECKED entry is more than 2 rounds
-# unchecked — plus the round-8 late registrations (23 entries, in
+# unchecked — plus the round-8 late registrations (28 entries, in
 # order after the tagged marker in queries.py: duplicated spans,
 # quality classifier, temperature mix, boilerplate lines, quantile
 # gate, curriculum rank, snapshot diff, rollup maintenance, SCD2
 # history, per-source cap, gram novelty, curation v3, span removal,
 # quantization QA, phash dedup, curation funnel, phash near-dup,
 # ordered curriculum export, session sequences, balanced eval split,
-# table stats, contrastive negatives, streaming rollup maintenance),
-# which the backlog directive deliberately keeps out of this window;
-# they are comparator-verified locally (each at sf0.01; the first 20
-# also at sf0.1) and LEAD THE ROUND-9 WINDOW HEAD, followed by 27 of
-# the 42-entry r6 bucket (3 rounds stale by then; the remaining 15
-# spill to the round-10 head). All 50 window entries were locally
+# table stats, contrastive negatives, streaming rollup maintenance,
+# ER fuzzy pairs, ER golden records, point-in-time enrichment, soft
+# dedup, Zipf coverage), which the backlog directive deliberately
+# keeps out of this window; they are comparator-verified locally —
+# EVERY one at sf0.01 AND sf0.1 (ordered export rows-only at both by
+# design) — and LEAD THE ROUND-9 WINDOW HEAD, followed by 22 of the
+# 42-entry r6 bucket (3 rounds stale by then; the remaining 20 spill
+# to the round-10 head). All 50 window entries were locally
 # re-verified under the driver-replica comparator
 # (tools/compare_oracle.py) this session.
 CHECK_ORDER = [
