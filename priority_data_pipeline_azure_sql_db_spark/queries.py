@@ -6426,3 +6426,170 @@ def text_zipf_coverage(spark, sf_dir):
             _fix6(F.col("cum") / F.col("total")).alias("coverage"),
         )
     )
+
+
+@query(
+    "events_conversion_funnel",
+    """
+    WITH stage_ts AS (
+        SELECT user_id,
+               MIN(CASE WHEN event_type = 'view'
+                        THEN CAST(ts AS TIMESTAMP) END) AS t_view,
+               MIN(CASE WHEN event_type = 'click'
+                        THEN CAST(ts AS TIMESTAMP) END) AS t_click,
+               MIN(CASE WHEN event_type = 'purchase'
+                        THEN CAST(ts AS TIMESTAMP) END) AS t_purchase
+        FROM events GROUP BY user_id
+    ), flags AS (
+        SELECT user_id,
+               (t_view IS NOT NULL) AS s1,
+               (t_view IS NOT NULL AND t_click > t_view) AS s2,
+               (t_view IS NOT NULL AND t_click > t_view
+                AND t_purchase > t_click) AS s3
+        FROM stage_ts
+    )
+    SELECT stage, n_users FROM (
+        SELECT 1 AS ord, 'view' AS stage,
+               CAST(SUM(CASE WHEN s1 THEN 1 ELSE 0 END) AS BIGINT) AS n_users
+        FROM flags
+        UNION ALL
+        SELECT 2, 'view>click',
+               CAST(SUM(CASE WHEN s2 THEN 1 ELSE 0 END) AS BIGINT)
+        FROM flags
+        UNION ALL
+        SELECT 3, 'view>click>purchase',
+               CAST(SUM(CASE WHEN s3 THEN 1 ELSE 0 END) AS BIGINT)
+        FROM flags
+    ) ORDER BY ord
+    """,
+)
+def events_conversion_funnel(spark, sf_dir):
+    """CONVERSION FUNNEL (round 8): how many users progress through
+    view -> click -> purchase IN ORDER (each stage's first occurrence
+    strictly after the previous stage's) — the canonical product-
+    analytics query. ONE conditional-MIN aggregate per user computes
+    every stage timestamp in a single scan (no per-stage self-joins —
+    the naive form joins the events table once per stage); ordering
+    comparisons on NULL timestamps are NULL -> false, exactly the
+    drop-out semantics a funnel wants. Three counts, hash-checked."""
+    e = load_table(spark, sf_dir, "events")
+    stage = e.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("t_view"),
+        F.min(F.when(F.col("event_type") == "click", F.col("ts"))).alias("t_click"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias("t_purchase"),
+    )
+    s1 = F.col("t_view").isNotNull()
+    s2 = s1 & (F.col("t_click") > F.col("t_view"))
+    s3 = s2 & (F.col("t_purchase") > F.col("t_click"))
+    flags = stage.select(
+        s1.alias("s1"), s2.alias("s2"), s3.alias("s3")
+    )
+    def cnt(c, name):
+        return flags.agg(
+            F.sum(F.when(F.col(c), 1).otherwise(0)).cast("bigint").alias("n_users")
+        ).select(F.lit(name).alias("stage"), "n_users")
+    return (
+        cnt("s1", "view")
+        .unionByName(cnt("s2", "view>click"))
+        .unionByName(cnt("s3", "view>click>purchase"))
+    )
+
+
+@query(
+    "events_cohort_retention",
+    """
+    WITH first_seen AS (
+        SELECT user_id,
+               MIN(CAST(DATE_TRUNC('week', CAST(ts AS TIMESTAMP))
+                   AS TIMESTAMP)) AS cohort_week
+        FROM events GROUP BY user_id
+    ), activity AS (
+        SELECT DISTINCT user_id,
+               CAST(DATE_TRUNC('week', CAST(ts AS TIMESTAMP)) AS TIMESTAMP)
+                   AS active_week
+        FROM events
+    )
+    SELECT f.cohort_week,
+           CAST(date_diff('day', f.cohort_week, a.active_week) // 7
+               AS BIGINT) AS week_offset,
+           CAST(COUNT(DISTINCT a.user_id) AS BIGINT) AS n_users
+    FROM activity a JOIN first_seen f USING (user_id)
+    GROUP BY 1, 2
+    """,
+)
+def events_cohort_retention(spark, sf_dir):
+    """COHORT RETENTION (round 8): users grouped by first-activity week
+    (ISO Monday truncation — identical in both engines), counted
+    distinct in each subsequent week offset — the retention triangle
+    every product team reads. Two hash-aggs (first-seen per user,
+    distinct user-weeks) and one join on the user key; no window over
+    the event stream anywhere. Hash-checked."""
+    e = load_table(spark, sf_dir, "events")
+    wk = F.date_trunc("week", F.col("ts"))
+    first_seen = e.groupBy("user_id").agg(F.min(wk).alias("cohort_week"))
+    activity = e.select("user_id", wk.alias("active_week")).distinct()
+    return (
+        activity.join(first_seen, "user_id")
+        .groupBy(
+            "cohort_week",
+            F.floor(
+                F.datediff(F.col("active_week"), F.col("cohort_week"))
+                / F.lit(7)
+            ).cast("bigint").alias("week_offset"),
+        )
+        .agg(F.countDistinct("user_id").cast("bigint").alias("n_users"))
+    )
+
+
+@query(
+    "events_transition_matrix",
+    """
+    WITH ordered AS (
+        SELECT user_id, event_type,
+               LEAD(event_type) OVER (
+                   PARTITION BY user_id
+                   ORDER BY CAST(ts AS TIMESTAMP), event_id
+               ) AS next_type
+        FROM events
+    ), pairs AS (
+        SELECT event_type AS from_type, next_type AS to_type
+        FROM ordered WHERE next_type IS NOT NULL
+    ), counts AS (
+        SELECT from_type, to_type, CAST(COUNT(*) AS BIGINT) AS n
+        FROM pairs GROUP BY 1, 2
+    ), totals AS (
+        SELECT from_type, CAST(SUM(n) AS BIGINT) AS row_total
+        FROM counts GROUP BY 1
+    )
+    SELECT c.from_type, c.to_type, c.n,
+           FLOOR(CAST(c.n AS DOUBLE) / t.row_total * 1000000.0 + 0.5)
+               / 1000000.0 AS p
+    FROM counts c JOIN totals t USING (from_type)
+    """,
+)
+def events_transition_matrix(spark, sf_dir):
+    """BEHAVIOR TRANSITION MATRIX (round 8): first-order Markov
+    statistics of each user's event stream — P(next event type | this
+    event type), the summary behavioral models and anomaly detectors
+    start from. One keyed LEAD window (per-user partitions), one
+    bigram hash-agg, row-normalized probabilities fix6-rounded.
+    Hash-checked."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        e.select(
+            F.col("event_type").alias("from_type"),
+            F.lead("event_type").over(w).alias("to_type"),
+        )
+        .filter(F.col("to_type").isNotNull())
+    )
+    counts = pairs.groupBy("from_type", "to_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    totals = counts.groupBy("from_type").agg(
+        F.sum("n").cast("bigint").alias("row_total")
+    )
+    return counts.join(totals, "from_type").select(
+        "from_type", "to_type", "n",
+        _fix6(F.col("n").cast("double") / F.col("row_total")).alias("p"),
+    )
