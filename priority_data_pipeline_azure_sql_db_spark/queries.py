@@ -6593,3 +6593,132 @@ def events_transition_matrix(spark, sf_dir):
         "from_type", "to_type", "n",
         _fix6(F.col("n").cast("double") / F.col("row_total")).alias("p"),
     )
+
+
+@query(
+    "dq_validation_report",
+    """
+    SELECT rule, n_violations FROM (
+        SELECT 1 AS ord, 'o_orderkey_not_null' AS rule,
+               CAST(SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END)
+                   AS BIGINT) AS n_violations
+        FROM orders
+        UNION ALL
+        SELECT 2, 'o_orderkey_unique',
+               CAST((SELECT COUNT(*) - COUNT(DISTINCT o_orderkey)
+                     FROM orders) AS BIGINT)
+        UNION ALL
+        SELECT 3, 'o_totalprice_nonnegative',
+               CAST(SUM(CASE WHEN o_totalprice < 0 THEN 1 ELSE 0 END)
+                   AS BIGINT)
+        FROM orders
+        UNION ALL
+        SELECT 4, 'o_orderstatus_in_domain',
+               CAST(SUM(CASE WHEN o_orderstatus NOT IN ('O', 'F', 'P')
+                             THEN 1 ELSE 0 END) AS BIGINT)
+        FROM orders
+        UNION ALL
+        SELECT 5, 'o_custkey_fk_customer',
+               CAST((SELECT COUNT(*) FROM orders o
+                     WHERE NOT EXISTS (
+                         SELECT 1 FROM customer c
+                         WHERE c.c_custkey = o.o_custkey
+                     )) AS BIGINT)
+    ) ORDER BY ord
+    """,
+)
+def dq_validation_report(spark, sf_dir):
+    """DATA-QUALITY CONTRACT validation (round 8): the dbt-test /
+    Great-Expectations-style rule report — not-null, uniqueness, range,
+    domain membership, and referential integrity, each as a violation
+    COUNT so a scheduler can gate a load on `sum(n_violations) == 0`
+    (the check the reference's blind staging loads never run). Shapes:
+    the scalar rules fold into per-scan conditional sums; uniqueness is
+    count-minus-distinct (one hash-agg); the FK check is a left-anti
+    join against the (broadcastable) dimension — no rule scans the
+    fact table more than once. Hash-checked."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+
+    def row(name, df_count):
+        return df_count.select(
+            F.lit(name).alias("rule"),
+            F.col("n").cast("bigint").alias("n_violations"),
+        )
+
+    scalars = o.agg(
+        F.sum(F.when(F.col("o_orderkey").isNull(), 1).otherwise(0)).alias("nn"),
+        F.sum(F.when(F.col("o_totalprice") < 0, 1).otherwise(0)).alias("neg"),
+        F.sum(
+            F.when(~F.col("o_orderstatus").isin("O", "F", "P"), 1).otherwise(0)
+        ).alias("dom"),
+        (F.count(F.lit(1)) - F.countDistinct("o_orderkey")).alias("uniq"),
+    )
+    fk = o.join(
+        c.select(F.col("c_custkey").alias("o_custkey")), "o_custkey",
+        "left_anti",
+    ).agg(F.count(F.lit(1)).alias("n"))
+    return (
+        row("o_orderkey_not_null", scalars.select(F.col("nn").alias("n")))
+        .unionByName(row("o_orderkey_unique", scalars.select(F.col("uniq").alias("n"))))
+        .unionByName(row("o_totalprice_nonnegative", scalars.select(F.col("neg").alias("n"))))
+        .unionByName(row("o_orderstatus_in_domain", scalars.select(F.col("dom").alias("n"))))
+        .unionByName(row("o_custkey_fk_customer", fk))
+    )
+
+
+@query(
+    "events_value_outliers",
+    """
+    WITH stats AS (
+        SELECT event_type,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS s1,
+               CAST(SUM(CAST(value AS DECIMAL(18,6))
+                        * CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS s2
+        FROM events GROUP BY event_type
+    ), params AS (
+        SELECT event_type, n, s1 / n AS mu,
+               SQRT(GREATEST(s2 / n - (s1 / n) * (s1 / n), 0.0)) AS sigma
+        FROM stats
+    )
+    SELECT e.event_id, e.event_type,
+           FLOOR(ABS(e.value - p.mu) / p.sigma * 1000000.0 + 0.5)
+               / 1000000.0 AS z
+    FROM events e JOIN params p USING (event_type)
+    WHERE p.sigma > 0 AND ABS(e.value - p.mu) / p.sigma > 3.0
+    """,
+)
+def events_value_outliers(spark, sf_dir):
+    """ANOMALY FLAGGING (round 8): events whose value sits more than 3
+    sigma from its type's mean — the monitoring pass that catches a
+    broken upstream emitter before it poisons the rollups. Two-pass
+    shape: one per-type moment aggregate (sum + sum-of-squares through
+    the decimal bridge, so mu/sigma are bit-identical cross-engine),
+    broadcast the O(#types) parameter table back onto the scan, flag
+    with a scan-side filter — no window over the event stream. z
+    fix6-rounded; hash-checked."""
+    e = load_table(spark, sf_dir, "events")
+    dec = F.col("value").cast("decimal(18,6)")
+    stats = e.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(dec).cast("double").alias("s1"),
+        F.sum(dec * dec).cast("double").alias("s2"),
+    )
+    params = stats.select(
+        "event_type",
+        (F.col("s1") / F.col("n")).alias("mu"),
+        F.sqrt(
+            F.greatest(
+                F.col("s2") / F.col("n")
+                - (F.col("s1") / F.col("n")) * (F.col("s1") / F.col("n")),
+                F.lit(0.0),
+            )
+        ).alias("sigma"),
+    )
+    z = F.abs(F.col("value") - F.col("mu")) / F.col("sigma")
+    return (
+        e.join(F.broadcast(params), "event_type")
+        .filter((F.col("sigma") > 0) & (z > 3.0))
+        .select("event_id", "event_type", _fix6(z).alias("z"))
+    )
