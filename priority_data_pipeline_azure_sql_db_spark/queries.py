@@ -6722,3 +6722,106 @@ def events_value_outliers(spark, sf_dir):
         .filter((F.col("sigma") > 0) & (z > 3.0))
         .select("event_id", "event_type", _fix6(z).alias("z"))
     )
+
+
+@query(
+    "events_ab_lift",
+    """
+    WITH assigned AS (
+        SELECT e.*,
+               CASE WHEN CAST('0x' || substr(
+                        md5('exp1:' || CAST(user_id AS VARCHAR)), 1, 12)
+                    AS BIGINT) / 281474976710656.0 < 0.5
+                    THEN 'control' ELSE 'treatment' END AS arm
+        FROM events e
+    ), purchases AS (
+        SELECT arm, user_id,
+               CAST(SUM(CASE WHEN event_type = 'purchase'
+                    THEN CAST(value AS DECIMAL(18,6))
+                    ELSE CAST(0 AS DECIMAL(18,6)) END) AS DOUBLE)
+                   AS user_value
+        FROM assigned GROUP BY arm, user_id
+    )
+    SELECT arm,
+           CAST(COUNT(*) AS BIGINT) AS n_users,
+           FLOOR(CAST(SUM(CAST(user_value AS DECIMAL(18,6))) AS DOUBLE)
+                 / COUNT(*) * 1000000.0 + 0.5) / 1000000.0
+               AS mean_user_value
+    FROM purchases GROUP BY arm
+    """,
+)
+def events_ab_lift(spark, sf_dir):
+    """A/B EXPERIMENT readout (round 8): users deterministically
+    assigned to arms by the 48-bit hash gate (the same salted-split
+    machinery as train/eval splitting — assignment is a pure function
+    of (experiment, user), stable across sessions and engines), then
+    per-arm mean purchase value per user through the decimal bridge.
+    Two hash-aggs (per-user totals, per-arm means); assignment is a
+    scan-side expression, never a stored mapping table. Hash-checked."""
+    e = load_table(spark, sf_dir, "events")
+    from .operators.scale import md5_tag48
+
+    u = (
+        md5_tag48(
+            F.concat(F.lit("exp1:"), F.col("user_id").cast("string"))
+        ).cast("double")
+        / F.lit(281474976710656.0)
+    )
+    assigned = e.withColumn(
+        "arm", F.when(u < 0.5, "control").otherwise("treatment")
+    )
+    per_user = assigned.groupBy("arm", "user_id").agg(
+        F.sum(
+            F.when(
+                F.col("event_type") == "purchase",
+                F.col("value").cast("decimal(18,6)"),
+            ).otherwise(F.lit(0).cast("decimal(18,6)"))
+        ).cast("double").alias("user_value")
+    )
+    return per_user.groupBy("arm").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_users"),
+        _fix6(
+            _dsum(F.col("user_value")) / F.count(F.lit(1))
+        ).alias("mean_user_value"),
+    )
+
+
+@query(
+    "profile_value_histogram",
+    """
+    WITH b AS (
+        SELECT CAST(LEAST(FLOOR((GREATEST(LEAST(o_totalprice, 600000.0), 0.0)
+                                 - 0.0) * 20.0 / 600000.0), 19) AS BIGINT)
+                   AS bucket
+        FROM orders
+    )
+    SELECT bucket,
+           FLOOR(bucket * (600000.0 / 20.0) * 1000000.0 + 0.5) / 1000000.0
+               AS lo,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM b GROUP BY bucket
+    """,
+)
+def profile_value_histogram(spark, sf_dir):
+    """EQUI-WIDTH HISTOGRAM (round 8): the distribution profile behind
+    dashboards and CBO range statistics — o_totalprice in 20 fixed
+    bins over [0, 600k], out-of-range values clamped into the edge
+    bins (same quantizer as the histogram-rank family: score_bucket,
+    monotone, engine-portable float math). One map-side-combinable
+    hash-agg over <= 20 keys; bin lower bounds fix6-rendered.
+    Hash-checked."""
+    from .operators.sample import score_bucket
+
+    o = load_table(spark, sf_dir, "orders")
+    b = o.select(
+        score_bucket(
+            F.col("o_totalprice"), lo=0.0, hi=600000.0, buckets=20
+        ).alias("bucket")
+    )
+    return b.groupBy("bucket").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    ).select(
+        "bucket",
+        _fix6(F.col("bucket") * F.lit(600000.0 / 20.0)).alias("lo"),
+        "n",
+    )
