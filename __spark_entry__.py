@@ -56,11 +56,13 @@ def entry(spark: SparkSession) -> DataFrame:
 # ordered curriculum export, session sequences, balanced eval split,
 # table stats, contrastive negatives, streaming rollup maintenance,
 # ER fuzzy pairs, ER golden records, point-in-time enrichment, soft
-# dedup, Zipf coverage), which the backlog directive deliberately
+# dedup, Zipf coverage, conversion funnel, cohort retention,
+# transition matrix, DQ contracts, value outliers, A/B lift, value
+# histogram — 35 in all), which the backlog directive deliberately
 # keeps out of this window; they are comparator-verified locally —
 # EVERY one at sf0.01 AND sf0.1 (ordered export rows-only at both by
-# design) — and LEAD THE ROUND-9 WINDOW HEAD, followed by 22 of the
-# 42-entry r6 bucket (3 rounds stale by then; the remaining 20 spill
+# design) — and LEAD THE ROUND-9 WINDOW HEAD, followed by 15 of the
+# 42-entry r6 bucket (3 rounds stale by then; the remaining 27 spill
 # to the round-10 head). All 50 window entries were locally
 # re-verified under the driver-replica comparator
 # (tools/compare_oracle.py) this session.
