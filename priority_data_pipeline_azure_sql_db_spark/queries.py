@@ -6825,3 +6825,79 @@ def profile_value_histogram(spark, sf_dir):
         _fix6(F.col("bucket") * F.lit(600000.0 / 20.0)).alias("lo"),
         "n",
     )
+
+
+@query(
+    "events_gapfill_hourly",
+    """
+    WITH bounds AS (
+        SELECT CAST(DATE_TRUNC('hour', MIN(CAST(ts AS TIMESTAMP)))
+                    AS TIMESTAMP) AS h0,
+               CAST(DATE_TRUNC('hour', MAX(CAST(ts AS TIMESTAMP)))
+                    AS TIMESTAMP) AS h1
+        FROM events
+    ), spine AS (
+        SELECT u.h FROM bounds, LATERAL (
+            SELECT UNNEST(generate_series(h0, h1, INTERVAL 1 HOUR)) AS h
+        ) u
+    ), types AS (
+        SELECT DISTINCT event_type FROM events
+    ), grid AS (
+        SELECT t.event_type, s.h FROM spine s CROSS JOIN types t
+    ), counts AS (
+        SELECT event_type,
+               CAST(DATE_TRUNC('hour', CAST(ts AS TIMESTAMP)) AS TIMESTAMP)
+                   AS h,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM events GROUP BY 1, 2
+    ), filled AS (
+        SELECT g.event_type, g.h, COALESCE(c.n, 0) AS n
+        FROM grid g LEFT JOIN counts c
+          ON g.event_type = c.event_type AND g.h = c.h
+    )
+    SELECT event_type, h, CAST(n AS BIGINT) AS n,
+           FLOOR(AVG(CAST(n AS DOUBLE)) OVER (
+               PARTITION BY event_type ORDER BY h
+               ROWS BETWEEN 23 PRECEDING AND CURRENT ROW
+           ) * 1000000.0 + 0.5) / 1000000.0 AS ma24
+    FROM filled
+    """,
+)
+def events_gapfill_hourly(spark, sf_dir):
+    """GAP-FILLED time series + rolling window (round 8): the hourly
+    event-count series densified over a calendar spine (every hour from
+    corpus min to max exists, zero-filled — without the spine a silent
+    outage hour just disappears from the chart AND from any moving
+    average computed over present rows only) with a trailing 24h mean.
+    Shape: one bounds aggregate broadcasts into a sequence-explode
+    spine (O(hours) rows), cross join with the O(#types) type list,
+    left join the hourly counts, keyed window over the SPINE (hours x
+    types — calendar-sized, not event-sized). ma24 over int counts
+    divides exactly in doubles; fix6-rendered. Hash-checked."""
+    e = load_table(spark, sf_dir, "events")
+    bounds = e.agg(
+        F.date_trunc("hour", F.min("ts")).alias("h0"),
+        F.date_trunc("hour", F.max("ts")).alias("h1"),
+    ).coalesce(1)
+    spine = bounds.select(
+        F.explode(
+            F.sequence(F.col("h0"), F.col("h1"), F.expr("INTERVAL 1 HOUR"))
+        ).alias("h")
+    )
+    types = e.select("event_type").distinct().coalesce(1)
+    grid = spine.crossJoin(F.broadcast(types))
+    counts = e.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("h")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    filled = grid.join(counts, ["event_type", "h"], "left").withColumn(
+        "n", F.coalesce(F.col("n"), F.lit(0)).cast("bigint")
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("h")
+        .rowsBetween(-23, Window.currentRow)
+    )
+    return filled.select(
+        "event_type", "h", "n",
+        _fix6(F.avg(F.col("n").cast("double")).over(w)).alias("ma24"),
+    )
