@@ -6901,3 +6901,68 @@ def events_gapfill_hourly(spark, sf_dir):
         "event_type", "h", "n",
         _fix6(F.avg(F.col("n").cast("double")).over(w)).alias("ma24"),
     )
+
+
+@query(
+    "events_scd2_incremental",
+    """
+    WITH ordered AS (
+        SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts, event_id,
+               LAG(event_type) OVER (
+                   PARTITION BY user_id
+                   ORDER BY CAST(ts AS TIMESTAMP), event_id
+               ) AS prev_type,
+               ROW_NUMBER() OVER (
+                   PARTITION BY user_id
+                   ORDER BY CAST(ts AS TIMESTAMP), event_id
+               ) AS rn
+        FROM events
+    ), changes AS (
+        SELECT user_id, event_type, ts, event_id FROM ordered
+        WHERE rn = 1 OR event_type IS DISTINCT FROM prev_type
+    )
+    SELECT user_id, event_type, ts AS valid_from,
+           LEAD(ts) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+           ) AS valid_to,
+           (LEAD(ts) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+           ) IS NULL) AS is_current
+    FROM changes
+    """,
+)
+def events_scd2_incremental(spark, sf_dir):
+    """INCREMENTAL SCD2 maintenance (round 8): the standing per-user
+    history (built once from the base slice, persisted) is folded with
+    a delta change-log in O(touched entities) — untouched users' rows
+    come straight off the stored history unmodified, touched users
+    rebuild from their full log slice (correct for out-of-order and
+    same-instant deltas, since the rebuild sees the entity's whole log
+    with its tiebreaks). The oracle is the FULL-log SCD2 build over all
+    events: the incremental result must equal it exactly — the same
+    log-is-source-of-truth contract the rollup store proves for
+    aggregates, here for versioned dimensions. Split by user hash so
+    both touched and untouched sets are non-trivial."""
+    import os
+
+    from .operators.merge import scd2_apply_delta, scd2_history
+
+    e = load_table(spark, sf_dir, "events")
+    # "touched" entities: users whose hash lands in the delta slice
+    delta_users = F.crc32(F.col("user_id").cast("string")) % 4 == 0
+    base_log = e.filter(~delta_users)
+    delta_log = e.filter(delta_users)
+
+    hist_path = _resident_path("scd2_hist_base", sf_dir)
+    if not os.path.exists(os.path.join(hist_path, "_SUCCESS")):
+        scd2_history(
+            base_log, pk=["user_id"], attr_cols=["event_type"],
+            ts_col="ts", tiebreak_cols=["event_id"],
+        ).write.mode("overwrite").parquet(hist_path)
+    standing = spark.read.parquet(hist_path)
+
+    return scd2_apply_delta(
+        standing, base_log, delta_log,
+        pk=["user_id"], attr_cols=["event_type"], ts_col="ts",
+        tiebreak_cols=["event_id"],
+    ).select("user_id", "event_type", "valid_from", "valid_to", "is_current")

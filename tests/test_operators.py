@@ -1567,3 +1567,53 @@ def test_fuzzy_match_pairs_blocking_and_distance(spark):
         ).collect()
     }
     assert wider == {(1, 2): 1, (1, 5): 4, (2, 5): 4}
+
+
+def test_scd2_apply_delta_extends_existing_entities(spark, sf_dir):
+    """Incremental SCD2 where the delta adds NEW changes for EXISTING
+    entities (a time split, every user on both sides): folding the
+    delta into the standing history equals the full-log rebuild exactly
+    — including reopened is_current rows and out-of-order arrivals."""
+    from priority_data_pipeline_azure_sql_db_spark.operators.merge import (
+        scd2_apply_delta,
+        scd2_history,
+    )
+    from priority_data_pipeline_azure_sql_db_spark.sources.parquet import load_table
+
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts", "event_id"
+    )
+    cut = "2024-01-20 00:00:00"
+    base = e.filter(F.col("ts") < cut)
+    delta = e.filter(F.col("ts") >= cut)
+    standing = scd2_history(
+        base, pk=["user_id"], attr_cols=["event_type"], ts_col="ts",
+        tiebreak_cols=["event_id"],
+    )
+    got = scd2_apply_delta(
+        standing, base, delta,
+        pk=["user_id"], attr_cols=["event_type"], ts_col="ts",
+        tiebreak_cols=["event_id"],
+    )
+    want = scd2_history(
+        e, pk=["user_id"], attr_cols=["event_type"], ts_col="ts",
+        tiebreak_cols=["event_id"],
+    )
+    canon = lambda df: sorted(  # noqa: E731
+        (r["user_id"], r["event_type"], str(r["valid_from"]),
+         str(r["valid_to"]), r["is_current"])
+        for r in df.select(
+            "user_id", "event_type", "valid_from", "valid_to", "is_current"
+        ).collect()
+    )
+    assert canon(got) == canon(want)
+
+    # an out-of-order delta (older than the standing history's tail)
+    # still lands correctly because touched entities rebuild from log
+    weird = scd2_apply_delta(
+        scd2_history(delta, ["user_id"], ["event_type"], "ts", ["event_id"]),
+        delta, base,
+        pk=["user_id"], attr_cols=["event_type"], ts_col="ts",
+        tiebreak_cols=["event_id"],
+    )
+    assert canon(weird) == canon(want)
