@@ -6966,3 +6966,73 @@ def events_scd2_incremental(spark, sf_dir):
         pk=["user_id"], attr_cols=["event_type"], ts_col="ts",
         tiebreak_cols=["event_id"],
     ).select("user_id", "event_type", "valid_from", "valid_to", "is_current")
+
+
+@query(
+    "events_conversion_latency",
+    """
+    WITH stage_ts AS (
+        SELECT user_id,
+               MIN(CASE WHEN event_type = 'view'
+                        THEN CAST(ts AS TIMESTAMP) END) AS t_view,
+               MIN(CASE WHEN event_type = 'click'
+                        THEN CAST(ts AS TIMESTAMP) END) AS t_click
+        FROM events GROUP BY user_id
+    ), lat AS (
+        SELECT CAST(date_diff('second', t_view, t_click) AS BIGINT) AS sec
+        FROM stage_ts WHERE t_view IS NOT NULL AND t_click > t_view
+    ), hist AS (
+        SELECT sec, COUNT(*) AS c FROM lat GROUP BY sec
+    ), cdf AS (
+        SELECT sec,
+               CAST(SUM(c) OVER (ORDER BY sec ROWS UNBOUNDED PRECEDING)
+                    AS BIGINT) AS cum
+        FROM hist
+    ), n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM lat)
+    SELECT n.n AS n_users,
+           CAST((SELECT MIN(sec) FROM cdf WHERE cum * 2 >= n.n)
+               AS BIGINT) AS median_latency_sec
+    FROM n
+    """,
+)
+def events_conversion_latency(spark, sf_dir):
+    """CONVERSION LATENCY median (round 8): the exact LOWER-MEDIAN
+    seconds from first view to first click among converting users,
+    computed the scale-safe way — integer-second histogram + CDF
+    (values bounded by the corpus time range, so the window runs over
+    distinct SECONDS, not users) and an integer cum*2 >= n rule: no
+    global sort, no interpolated percentile for engines to disagree
+    on. One conditional-MIN agg per user feeds it (the funnel's
+    machinery). Hash-checked."""
+    e = load_table(spark, sf_dir, "events")
+    stage = e.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("t_view"),
+        F.min(F.when(F.col("event_type") == "click", F.col("ts"))).alias("t_click"),
+    )
+    lat = stage.filter(
+        F.col("t_view").isNotNull() & (F.col("t_click") > F.col("t_view"))
+    ).select(
+        (
+            F.col("t_click").cast("timestamp").cast("long")
+            - F.col("t_view").cast("timestamp").cast("long")
+        ).cast("bigint").alias("sec")
+    )
+    hist = lat.groupBy("sec").agg(F.count(F.lit(1)).alias("c"))
+    cdf = hist.withColumn(
+        "cum",
+        F.sum("c").over(
+            Window.orderBy("sec")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ).cast("bigint"),
+    )
+    n = lat.groupBy().agg(F.count(F.lit(1)).cast("bigint").alias("n")).coalesce(1)
+    med = (
+        cdf.crossJoin(F.broadcast(n))
+        .filter(F.col("cum") * 2 >= F.col("n"))
+        .groupBy()
+        .agg(
+            F.min("sec").cast("bigint").alias("median_latency_sec"),
+            F.first("n").alias("n_users"),
+        )
+    )
+    return med.select("n_users", "median_latency_sec")
