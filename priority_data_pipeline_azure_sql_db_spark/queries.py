@@ -7036,3 +7036,79 @@ def events_conversion_latency(spark, sf_dir):
         )
     )
     return med.select("n_users", "median_latency_sec")
+
+
+@query(
+    "dq_k_anonymity",
+    """
+    WITH groups AS (
+        SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS group_size
+        FROM documents GROUP BY source, lang
+    )
+    SELECT source, lang, group_size
+    FROM groups WHERE group_size < 5
+    """,
+)
+def dq_k_anonymity(spark, sf_dir):
+    """K-ANONYMITY audit (round 8): quasi-identifier combinations
+    (source, lang) whose group is smaller than k=5 — the re-
+    identification risk report a privacy review runs before a corpus
+    ships (a document that is the only member of its (source, lang)
+    cell is linkable even with direct identifiers scrubbed; composes
+    with the PII scrubber, which removes identifiers but cannot see
+    group sizes). One hash-agg over the quasi-identifier key + a
+    threshold filter. Hash-checked."""
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.groupBy("source", "lang")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("group_size"))
+        .filter(F.col("group_size") < 5)
+    )
+
+
+@query(
+    "profile_join_skew",
+    """
+    WITH freq AS (
+        SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS n
+        FROM orders GROUP BY o_custkey
+    ), tot AS (SELECT CAST(SUM(n) AS DOUBLE) AS total FROM freq
+    ), stats AS (
+        SELECT CAST(MAX(n) AS BIGINT) AS max_n,
+               CAST(COUNT(*) AS BIGINT) AS n_keys FROM freq
+    )
+    SELECT f.o_custkey, f.n,
+           FLOOR(f.n / tot.total * 1000000.0 + 0.5) / 1000000.0 AS frac,
+           FLOOR(f.n * s.n_keys / tot.total * 1000000.0 + 0.5) / 1000000.0
+               AS skew_ratio
+    FROM freq f, tot, stats s
+    WHERE f.n * s.n_keys > 2.0 * tot.total
+    """,
+)
+def profile_join_skew(spark, sf_dir):
+    """JOIN-SKEW ADVISOR (round 8): join keys whose row count exceeds
+    2x the mean per-key load — the keys that make one shuffle partition
+    a straggler and the direct input to the salting decision
+    (operators/skew.salted_join takes exactly this list). One key
+    hash-agg + two O(1) reductions crossJoined back as coalesced
+    broadcasts; skew_ratio = key_count / mean_count, fix6. At 100 TB
+    this report IS how you pick salt_buckets before the big join
+    instead of discovering the straggler at hour three. Hash-checked."""
+    o = load_table(spark, sf_dir, "orders")
+    freq = o.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    tot = freq.agg(F.sum("n").cast("double").alias("total")).coalesce(1)
+    stats = freq.agg(
+        F.max("n").cast("bigint").alias("max_n"),
+        F.count(F.lit(1)).cast("bigint").alias("n_keys"),
+    ).coalesce(1)
+    return (
+        freq.crossJoin(F.broadcast(tot)).crossJoin(F.broadcast(stats))
+        .filter(F.col("n") * F.col("n_keys") > F.lit(2.0) * F.col("total"))
+        .select(
+            "o_custkey", "n",
+            _fix6(F.col("n") / F.col("total")).alias("frac"),
+            _fix6(F.col("n") * F.col("n_keys") / F.col("total")).alias("skew_ratio"),
+        )
+    )
