@@ -71,6 +71,11 @@ HEADLINE = [
     "dedup_boilerplate_lines",
     # round-8 capstone: all five new curation stages in one plan
     "pipeline_curation_v3",
+    # round-8: event analytics + ER + DQ representatives
+    "events_transition_matrix",
+    "events_gapfill_hourly",
+    "er_fuzzy_customer_pairs",
+    "dq_validation_report",
 ]
 
 
