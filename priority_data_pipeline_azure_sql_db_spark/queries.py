@@ -7112,3 +7112,102 @@ def profile_join_skew(spark, sf_dir):
             _fix6(F.col("n") * F.col("n_keys") / F.col("total")).alias("skew_ratio"),
         )
     )
+
+
+@query(
+    "profile_quality_drift",
+    """
+    WITH scored AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % 2 = 0 THEN 'a' ELSE 'b' END AS side,
+               CAST(LEN(regexp_extract_all(text, '[A-Za-z]')) AS DOUBLE)
+                   / CAST(GREATEST(LENGTH(text), 1) AS DOUBLE) AS s
+        FROM documents
+    ), b AS (
+        SELECT side,
+               CAST(LEAST(FLOOR((GREATEST(LEAST(s, 1.0), 0.0) - 0.0)
+                                * 10000.0 / 1.0), 9999) AS BIGINT) AS qb
+        FROM scored
+    ), hist AS (
+        SELECT qb,
+               CAST(SUM(CASE WHEN side = 'a' THEN 1 ELSE 0 END) AS BIGINT)
+                   AS ca,
+               CAST(SUM(CASE WHEN side = 'b' THEN 1 ELSE 0 END) AS BIGINT)
+                   AS cb
+        FROM b GROUP BY qb
+    ), n AS (
+        SELECT CAST(SUM(ca) AS DOUBLE) AS na, CAST(SUM(cb) AS DOUBLE) AS nb
+        FROM hist
+    ), cdf AS (
+        SELECT qb,
+               CAST(SUM(ca) OVER (ORDER BY qb ROWS UNBOUNDED PRECEDING)
+                    AS BIGINT) AS cuma,
+               CAST(SUM(cb) OVER (ORDER BY qb ROWS UNBOUNDED PRECEDING)
+                    AS BIGINT) AS cumb
+        FROM hist
+    )
+    SELECT CAST(n.na AS BIGINT) AS n_a, CAST(n.nb AS BIGINT) AS n_b,
+           FLOOR(MAX(ABS(cuma / n.na - cumb / n.nb)) * 1000000.0 + 0.5)
+               / 1000000.0 AS ks_stat
+    FROM cdf, n GROUP BY n.na, n.nb
+    """,
+)
+def profile_quality_drift(spark, sf_dir):
+    """DISTRIBUTION DRIFT monitor (round 8): the exact two-sample
+    Kolmogorov-Smirnov statistic between two corpus slices' quality
+    distributions (here even vs odd doc ids; in production yesterday's
+    batch vs today's) — the alarm that catches a silent upstream change
+    in the score distribution before any individual rule fires. Exact
+    on the quantized domain: both empirical CDFs ride the same 10k-bin
+    histogram (the score_bucket quantizer again), so the max |CDF
+    difference| is a window over <= 10k rows — never a sort of either
+    corpus. Hash-checked."""
+    from .operators.sample import score_bucket
+
+    d = load_table(spark, sf_dir, "documents")
+    t = F.col("text")
+    s = (
+        F.size(F.regexp_extract_all(t, F.lit("[A-Za-z]"), 0)).cast("double")
+        / F.greatest(F.length(t), F.lit(1)).cast("double")
+    )
+    scored = d.select(
+        F.when(F.col("doc_id") % 2 == 0, "a").otherwise("b").alias("side"),
+        score_bucket(s).alias("qb"),
+    )
+    hist = scored.groupBy("qb").agg(
+        F.sum(F.when(F.col("side") == "a", 1).otherwise(0))
+        .cast("bigint").alias("ca"),
+        F.sum(F.when(F.col("side") == "b", 1).otherwise(0))
+        .cast("bigint").alias("cb"),
+    )
+    n = hist.agg(
+        F.sum("ca").cast("double").alias("na"),
+        F.sum("cb").cast("double").alias("nb"),
+    ).coalesce(1)
+    w = Window.orderBy("qb").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cdf = hist.select(
+        "qb",
+        F.sum("ca").over(w).cast("bigint").alias("cuma"),
+        F.sum("cb").over(w).cast("bigint").alias("cumb"),
+    )
+    return (
+        cdf.crossJoin(F.broadcast(n))
+        .groupBy("na", "nb")
+        .agg(
+            _fix6(
+                F.max(
+                    F.abs(
+                        F.col("cuma") / F.col("na")
+                        - F.col("cumb") / F.col("nb")
+                    )
+                )
+            ).alias("ks_stat")
+        )
+        .select(
+            F.col("na").cast("bigint").alias("n_a"),
+            F.col("nb").cast("bigint").alias("n_b"),
+            "ks_stat",
+        )
+    )
