@@ -47,8 +47,8 @@ def entry(spark: SparkSession) -> DataFrame:
 # window: entries last checked round 6 or 7 on code untouched this
 # round (the r6 relational/scalar/window bucket and the r7 bucket) —
 # after this round no PREVIOUSLY-CHECKED entry is more than 2 rounds
-# unchecked — plus the round-8 late registrations (28 entries, in
-# order after the tagged marker in queries.py: duplicated spans,
+# unchecked — plus the round-8 late registrations (in order after the
+# tagged marker in queries.py: duplicated spans,
 # quality classifier, temperature mix, boilerplate lines, quantile
 # gate, curriculum rank, snapshot diff, rollup maintenance, SCD2
 # history, per-source cap, gram novelty, curation v3, span removal,
