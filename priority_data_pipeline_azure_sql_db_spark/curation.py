@@ -71,6 +71,14 @@ def build_curation(docs: DataFrame, config: dict) -> DataFrame:
     stages = config.get("stages")
     if not stages:
         raise ValueError("curation config has no stages")
+
+    def need(st, i, *keys):
+        missing = [k for k in keys if k not in st]
+        if missing:
+            raise ValueError(
+                f"stage {i} ({st.get('op')}): missing parameter(s) {missing}"
+            )
+
     df = docs
     for i, st in enumerate(stages):
         op = st.get("op")
@@ -91,6 +99,7 @@ def build_curation(docs: DataFrame, config: dict) -> DataFrame:
                 )
             df = cleaned
         elif op == "quantile_gate":
+            need(st, i, "drop_num", "drop_den")
             df = df.withColumn("score", _alpha_score(F.col("text")))
             df = quantile_threshold_filter(
                 df, "score",
@@ -99,6 +108,7 @@ def build_curation(docs: DataFrame, config: dict) -> DataFrame:
         elif op == "source_cap":
             if "source" not in df.columns:
                 raise ValueError(f"stage {i}: source_cap needs a source column")
+            need(st, i, "cap")
             if "score" not in df.columns:
                 df = df.withColumn("score", _alpha_score(F.col("text")))
             df = cap_per_group(
@@ -107,6 +117,7 @@ def build_curation(docs: DataFrame, config: dict) -> DataFrame:
         elif op == "hash_sample":
             from .operators.sample import hash_sample
 
+            need(st, i, "fraction")
             df = hash_sample(
                 df, "doc_id", float(st["fraction"]),
                 salt=str(st.get("salt", "")),

@@ -882,3 +882,24 @@ def test_config_curation_sampling_stages(spark, sf_dir):
     assert sorted(r["doc_id"] for r in got2.collect()) == \
         sorted(r["doc_id"] for r in want2.collect())
     assert got2.columns == ["doc_id", "text", "source"]
+
+
+def test_config_curation_missing_params_fail_loudly(spark, sf_dir):
+    """Missing stage parameters raise the build-time ValueError the
+    config contract promises — never a bare KeyError from deep inside
+    a stage."""
+    import pytest
+
+    from priority_data_pipeline_azure_sql_db_spark.curation import build_curation
+    from priority_data_pipeline_azure_sql_db_spark.sources.parquet import load_table
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "source"
+    )
+    for bad in [
+        {"op": "quantile_gate", "drop_num": 1},        # no drop_den
+        {"op": "source_cap"},                           # no cap
+        {"op": "hash_sample"},                          # no fraction
+    ]:
+        with pytest.raises(ValueError, match="missing parameter"):
+            build_curation(d, {"stages": [bad]})
