@@ -7211,3 +7211,56 @@ def profile_quality_drift(spark, sf_dir):
             "ks_stat",
         )
     )
+
+
+@query(
+    "profile_corpus_fingerprint",
+    """
+    SELECT tbl, n_rows, member_tag FROM (
+        SELECT 1 AS ord, 'documents' AS tbl,
+               CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(SUM(CAST('0x' || substr(md5('documents:'
+                        || CAST(doc_id AS VARCHAR)), 1, 12) AS BIGINT))
+                    % 2305843009213693951 AS BIGINT) AS member_tag
+        FROM documents
+        UNION ALL
+        SELECT 2, 'embeddings', CAST(COUNT(*) AS BIGINT),
+               CAST(SUM(CAST('0x' || substr(md5('embeddings:'
+                        || CAST(vec_id AS VARCHAR)), 1, 12) AS BIGINT))
+                    % 2305843009213693951 AS BIGINT)
+        FROM embeddings
+        UNION ALL
+        SELECT 3, 'events', CAST(COUNT(*) AS BIGINT),
+               CAST(SUM(CAST('0x' || substr(md5('events:'
+                        || CAST(event_id AS VARCHAR)), 1, 12) AS BIGINT))
+                    % 2305843009213693951 AS BIGINT)
+        FROM events
+    ) ORDER BY ord
+    """,
+)
+def profile_corpus_fingerprint(spark, sf_dir):
+    """CORPUS FINGERPRINT (round 8): one row per table with its row
+    count and the order-independent 48-bit membership multiset tag —
+    the reproducibility stamp a model card records next to the
+    checkpoint ("trained on corpus <fingerprint>"), cheap enough to
+    log on every run and sensitive to any added, dropped, or
+    re-keyed row. One hash-agg per table, engine-portable by the
+    house md5 tag construction. Hash-checked."""
+    from .operators.scale import md5_tag48
+
+    def fp(table, id_col):
+        t = load_table(spark, sf_dir, table)
+        tag = md5_tag48(
+            F.concat(F.lit(f"{table}:"), F.col(id_col).cast("string"))
+        )
+        return t.groupBy().agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            (F.sum(tag) % F.lit(2305843009213693951))
+            .cast("bigint").alias("member_tag"),
+        ).select(F.lit(table).alias("tbl"), "n_rows", "member_tag")
+
+    return (
+        fp("documents", "doc_id")
+        .unionByName(fp("embeddings", "vec_id"))
+        .unionByName(fp("events", "event_id"))
+    )
