@@ -7264,3 +7264,45 @@ def profile_corpus_fingerprint(spark, sf_dir):
         .unionByName(fp("embeddings", "vec_id"))
         .unionByName(fp("events", "event_id"))
     )
+
+
+@query(
+    "sample_multi_epoch_plan",
+    """
+    WITH epochs AS (
+        SELECT 0 AS epoch UNION ALL SELECT 1 UNION ALL SELECT 2
+    )
+    SELECT e.epoch, d.doc_id,
+           substr(md5('epoch-' || CAST(e.epoch AS VARCHAR) || ':'
+                      || CAST(d.doc_id AS VARCHAR)), 1, 1) AS shard,
+           CAST(ROW_NUMBER() OVER (
+               PARTITION BY e.epoch,
+                   substr(md5('epoch-' || CAST(e.epoch AS VARCHAR) || ':'
+                              || CAST(d.doc_id AS VARCHAR)), 1, 1)
+               ORDER BY md5('epoch-' || CAST(e.epoch AS VARCHAR) || ':'
+                            || CAST(d.doc_id AS VARCHAR)), d.doc_id
+           ) - 1 AS BIGINT) AS pos_in_shard
+    FROM documents d CROSS JOIN epochs e
+    """,
+)
+def sample_multi_epoch_plan(spark, sf_dir):
+    """MULTI-EPOCH training schedule (round 8): three epochs of the
+    corpus, each under its own independent reproducible permutation
+    (seed = epoch-<k>) in ONE relation — (epoch, shard, position) is
+    the complete traversal plan a training loop resumes from at any
+    (epoch, shard, offset) checkpoint. The per-epoch permutations are
+    the proven epoch_shuffle construction; windows key on (epoch,
+    shard) so parallelism scales with epochs x shards, and the epoch
+    list is a broadcast O(E) side of the cross join. Hash-checked."""
+    from .operators.text import epoch_shuffle
+
+    d = load_table(spark, sf_dir, "documents")
+    plans = [
+        epoch_shuffle(d, seed=f"epoch-{k}")
+        .select(F.lit(k).alias("epoch"), "doc_id", "shard", "pos_in_shard")
+        for k in range(3)
+    ]
+    out = plans[0]
+    for p in plans[1:]:
+        out = out.unionByName(p)
+    return out
