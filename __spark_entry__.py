@@ -60,12 +60,12 @@ def entry(spark: SparkSession) -> DataFrame:
 # transition matrix, DQ contracts, value outliers, A/B lift, value
 # histogram, hourly gapfill, incremental SCD2, latency median,
 # k-anonymity, join-skew advisor, KS drift, corpus fingerprint,
-# multi-epoch plan — 43 in all), which the
+# multi-epoch plan, source dup-pressure — 44 in all), which the
 # backlog directive deliberately keeps out of this window; they are
 # comparator-verified locally — EVERY one at sf0.01 AND sf0.1
 # (ordered export rows-only at both by design) — and LEAD THE ROUND-9
-# WINDOW HEAD, followed by 7 of the 42-entry r6 bucket (3 rounds
-# stale by then; the remaining 35 spill to the round-10 head). All 50
+# WINDOW HEAD, followed by 6 of the 42-entry r6 bucket (3 rounds
+# stale by then; the remaining 36 spill to the round-10 head). All 50
 # window entries were locally re-verified under the driver-replica
 # comparator (tools/compare_oracle.py) this session.
 CHECK_ORDER = [

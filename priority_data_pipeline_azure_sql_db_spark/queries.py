@@ -7306,3 +7306,59 @@ def sample_multi_epoch_plan(spark, sf_dir):
     for p in plans[1:]:
         out = out.unionByName(p)
     return out
+
+
+@query(
+    "profile_source_dup_pressure",
+    """
+    WITH toks AS (
+        SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t
+        FROM documents
+    ), sh AS (
+        SELECT DISTINCT doc_id AS doc,
+               array_to_string(t[i:i+4], ' ') AS shingle
+        FROM toks, LATERAL (
+            SELECT UNNEST(range(1, GREATEST(len(t) - 4, 0) + 1)) AS i
+        )
+    ), dfq AS (
+        SELECT shingle, COUNT(*) AS dfreq FROM sh GROUP BY shingle
+    ), per_doc AS (
+        SELECT doc AS doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_grams,
+               FLOOR(CAST(SUM(CASE WHEN dfreq >= 2 THEN 1 ELSE 0 END)
+                          AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+                     * 1000000.0 + 0.5) / 1000000.0 AS dup_frac
+        FROM sh JOIN dfq USING (shingle)
+        GROUP BY doc
+    )
+    SELECT d.source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           FLOOR(CAST(SUM(CAST(p.dup_frac AS DECIMAL(18,6))) AS DOUBLE)
+                 / COUNT(*) * 1000000.0 + 0.5) / 1000000.0
+               AS mean_dup_frac
+    FROM per_doc p JOIN documents d USING (doc_id)
+    GROUP BY d.source
+    """,
+)
+def profile_source_dup_pressure(spark, sf_dir):
+    """DUP PRESSURE by SOURCE (round 8): each source's mean
+    duplication-pressure score (gram_novelty's per-doc shared-gram
+    fraction) — the report that decides WHERE the expensive pair-level
+    dedup budget goes (a source near 1.0 is internally templated; one
+    near 0.0 doesn't need span extraction at all). Same linear-cost
+    novelty machinery + one decimal-bridged per-source mean.
+    Hash-checked."""
+    from .operators.dedup import gram_novelty
+
+    d = load_table(spark, sf_dir, "documents")
+    per_doc = gram_novelty(d, k=5).select("doc_id", "dup_gram_frac")
+    return (
+        per_doc.join(d.select("doc_id", "source"), "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            _fix6(
+                _dsum(F.col("dup_gram_frac")) / F.count(F.lit(1))
+            ).alias("mean_dup_frac"),
+        )
+    )
