@@ -25,108 +25,93 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The correctness driver evaluates the first 50 registry entries in order.
-# Round-8 rotation: the staleness burn-down round (VERDICT r7 ask #1 —
-# "prefer verification over surface growth"). Priority:
-# (1) the 5 entries with round-8 code/oracle changes (highest
-# driver-divergence risk): length-bucket batching rewritten onto a
-# (shard, bucket) window + its new width-2 twin; multimodal_real_codec
-# upgraded from rows-only to a full-math hash oracle and extended with
-# the real PNG decode path; pipeline_curation_incremental extended with
-# the semantic near-dup stage against the standing embedding index;
-# pack_materialized_sequences (its body now routes through the shared
-# _sharded default resolution — behavior unchanged for its explicit
-# shard, re-proven under the driver);
-# (2) the ENTIRE ≥2-round-stale backlog, clearing it completely: the 4
-# three-round-stale round-4 entries first (scalar_regex_funcs,
-# sample_stratified_mix, approx_sketches, multimodal_frame_sample — the
-# displaced set promised at this window's head last round), then all 41
-# round-5 entries in the documented order — streaming family first,
-# then text quality + dedup + ANN, then the TPC-H subquery family
-# (q2/q11/q12/q16/q20).
-# 5 + 4 + 41 = 50: the window exactly clears the backlog. Below the
-# window: entries last checked round 6 or 7 on code untouched this
-# round (the r6 relational/scalar/window bucket and the r7 bucket) —
-# after this round no PREVIOUSLY-CHECKED entry is more than 2 rounds
-# unchecked — plus the round-8 late registrations (in order after the
-# tagged marker in queries.py: duplicated spans,
-# quality classifier, temperature mix, boilerplate lines, quantile
-# gate, curriculum rank, snapshot diff, rollup maintenance, SCD2
-# history, per-source cap, gram novelty, curation v3, span removal,
-# quantization QA, phash dedup, curation funnel, phash near-dup,
-# ordered curriculum export, session sequences, balanced eval split,
-# table stats, contrastive negatives, streaming rollup maintenance,
-# ER fuzzy pairs, ER golden records, point-in-time enrichment, soft
-# dedup, Zipf coverage, conversion funnel, cohort retention,
-# transition matrix, DQ contracts, value outliers, A/B lift, value
-# histogram, hourly gapfill, incremental SCD2, latency median,
-# k-anonymity, join-skew advisor, KS drift, corpus fingerprint,
-# multi-epoch plan, source dup-pressure — 44 in all), which the
-# backlog directive deliberately keeps out of this window; they are
-# comparator-verified locally — EVERY one at sf0.01 AND sf0.1
-# (ordered export rows-only at both by design) — and LEAD THE ROUND-9
-# WINDOW HEAD, followed by 6 of the 42-entry r6 bucket (3 rounds
-# stale by then; the remaining 36 spill to the round-10 head). All 50
-# window entries were locally re-verified under the driver-replica
-# comparator (tools/compare_oracle.py) this session.
+# Round-9 rotation: driver evidence for the 44 round-8 late
+# registrations (VERDICT r8 ask #1 — "front the r9 window with all 44
+# in the documented order, then 6 of the r6 bucket"). Priority:
+# (1) all 44 round-8 late registrations, in their queries.py
+# registration order (the order VERDICT r8 documents). Four of them
+# carry round-9 code+oracle changes and are therefore ALSO the
+# highest-divergence-risk entries this round: dedup_duplicated_spans
+# and dedup_span_removal now pass max_gram_freq and replay the cap in
+# the oracle as a doc-frequency CTE (r8 "What's wrong" #1);
+# er_fuzzy_customer_pairs and er_golden_records now block on the
+# compound (nation, pigeonhole name segment) key with the identical
+# segmentation in the oracle (r8 "What's wrong" #2).
+# (2) the first 6 entries of the 42-entry r6 bucket, in r6 order
+# (pack/embedding/text/curation) — 3 rounds stale at this check.
+# 44 + 6 = 50.
+#
+# ROTATION ARITHMETIC (r8 ask #4 — the published covering schedule):
+# registry 182 + ≤10 new per round ≈ 190-200 entries over a 50-slot
+# window ⇒ a full cycle takes ceil(190/50) = 4 rounds, so the
+# achievable invariant is "every entry re-checked at least every 4th
+# round" — max staleness 3 rounds, adopted as the STATED invariant
+# from this round on (the old ≤2 was arithmetically unkeepable at
+# 182 entries, as VERDICT r8 proved). Concrete schedule from here:
+#   r9  (this file): 44 never-checked r8 regs + r6 bucket[0:6]
+#   r10: r6 bucket[6:42] (36, 3-stale) + r9 late regs (never) +
+#        r7 bucket head — fills to 50
+#   r11: r7 bucket remainder + r8 bucket head — fills to 50
+#   r12: r8 bucket remainder + r9-window entries turning 3-stale
+# Under this round-robin no entry's age ever exceeds 3 rounds as long
+# as net registration stays ≤10/round (this round adds 2).
+# Below the window: the r6 bucket remainder (36, lead r10), the r7
+# bucket (46), the r8 bucket (50), and this round's 2 late
+# registrations (pipeline_refresh_cdc_audit, er_blocking_skew_audit) —
+# all comparator-verified locally at sf0.01 AND sf0.1 this session.
 CHECK_ORDER = [
-    # (1) round-8 code/oracle changes
-    "pack_length_bucket_batches",
-    "pack_length_bucket_batches_wide",
-    "multimodal_real_codec",
-    "pipeline_curation_incremental",
-    "pack_materialized_sequences",
-    # (2) three-round-stale (last checked r4)
-    "scalar_regex_funcs",
-    "sample_stratified_mix",
-    "approx_sketches",
-    "multimodal_frame_sample",
-    # (2) the full round-5 bucket: streaming family
-    "streaming_tumbling_counts",
-    "streaming_stateful_user_totals",
-    "streaming_session_counts",
-    "streaming_dedup_events",
-    "streaming_stream_stream_join",
-    "streaming_sliding_counts",
-    "streaming_static_join",
-    # (2) round-5: text quality + cleaning
-    "text_token_stats",
-    "text_quality_score",
-    "text_langid_heuristic",
-    "text_tfidf_top_terms",
-    "text_repetition_ratio",
-    "text_pii_scrub",
-    "text_cleaning_pass_profile",
-    "text_winnow_fingerprints",
-    # (2) round-5: dedup family
-    "dedup_exact_docs",
-    "dedup_fingerprint_docs",
-    "dedup_ngram_jaccard",
-    "dedup_minhash_lsh",
-    "dedup_simhash",
-    "dedup_simhash_pairs",
-    "dedup_winnow_pairs",
-    "dedup_cluster_canonical",
-    "dedup_contamination_check",
-    # (2) round-5: ANN + embedding family
-    "ann_cosine_topk",
-    "ann_cosine_topk_lsh",
-    "ann_cosine_topk_ivf",
-    "embedding_centroids",
-    "embedding_quantize_int8",
-    # (2) round-5: events + sampling + pipeline
-    "events_json_extract",
-    "events_sessionize",
-    "events_multires_rollup",
-    "sample_documents_hash",
-    "pipeline_nest_explode_roundtrip",
-    "pipeline_cast_types",
-    "pipeline_merge_upsert",
-    # (2) round-5: TPC-H correlated-subquery family
-    "q2_min_cost_supplier",
-    "q11_important_parts",
-    "q12_late_shipment_priority",
-    "q16_supplier_part_counts",
-    "q20_heavy_suppliers",
+    # (1) the 44 round-8 late registrations, registration order
+    "dedup_duplicated_spans",
+    "text_quality_classifier",
+    "sample_temperature_mix",
+    "dedup_boilerplate_lines",
+    "filter_quality_quantile",
+    "sample_curriculum_rank",
+    "pipeline_snapshot_diff",
+    "events_rollup_incremental",
+    "events_scd2_user_state",
+    "sample_source_cap",
+    "dedup_gram_novelty",
+    "pipeline_curation_v3",
+    "dedup_span_removal",
+    "profile_quantization_error",
+    "multimodal_phash_dedup",
+    "pipeline_curation_funnel",
+    "multimodal_phash_near_dup",
+    "export_curriculum_shards",
+    "events_session_sequences",
+    "sample_eval_balanced",
+    "profile_table_stats",
+    "ann_negative_samples",
+    "streaming_rollup_maintenance",
+    "er_fuzzy_customer_pairs",
+    "er_golden_records",
+    "events_pit_enrichment",
+    "sample_soft_dedup",
+    "text_zipf_coverage",
+    "events_conversion_funnel",
+    "events_cohort_retention",
+    "events_transition_matrix",
+    "dq_validation_report",
+    "events_value_outliers",
+    "events_ab_lift",
+    "profile_value_histogram",
+    "events_gapfill_hourly",
+    "events_scd2_incremental",
+    "events_conversion_latency",
+    "dq_k_anonymity",
+    "profile_join_skew",
+    "profile_quality_drift",
+    "profile_corpus_fingerprint",
+    "sample_multi_epoch_plan",
+    "profile_source_dup_pressure",
+    # (2) r6 bucket head (3 rounds stale), r6 order
+    "pack_training_sequences",
+    "embedding_normalize",
+    "pack_document_chunks",
+    "text_vocab_topk",
+    "pipeline_curation_e2e",
+    "text_lm_quality_score",
 ]
 
 
