@@ -485,6 +485,16 @@ def remove_boilerplate_lines(
     hashing), empty lines never count as boilerplate, and reassembly
     sorts by line position — the DuckDB twin replays it verbatim with
     ``string_agg(... ORDER BY pos)``.
+
+    ``drop_empty`` contract (round-9 ADVICE fix): a document survives
+    only if it keeps at least one NON-empty line. Interior empty lines
+    are still preserved verbatim in survivors (paragraph breaks are not
+    boilerplate), but a document that is empty, whitespace-only, or
+    whose every non-empty line was boilerplate is dropped — previously
+    a whitespace-only doc survived as one "kept" empty line
+    (n_lines_kept=1), a latent divergence from any oracle that builds
+    lines from non-empty tokens. Pinned by
+    tests/test_northstar.py::test_boilerplate_empty_doc_contract.
     """
     t = spread(
         df.select(F.col(id_col).alias("doc"), F.col(text_col).alias("_txt")), "doc"
@@ -522,9 +532,12 @@ def remove_boilerplate_lines(
         F.sum(F.when(F.col("_dup"), 1).otherwise(0)).cast("bigint").alias(
             "n_lines_dropped"
         ),
+        F.sum(
+            F.when(~F.col("_dup") & (F.col("nline") != ""), 1).otherwise(0)
+        ).cast("bigint").alias("_n_nonempty_kept"),
     )
     if drop_empty:
-        out = out.filter(F.col("n_lines_kept") > 0)
+        out = out.filter(F.col("_n_nonempty_kept") > 0)
     return out.select(
         F.col("doc").alias(id_col),
         F.col("_clean").alias(text_col),

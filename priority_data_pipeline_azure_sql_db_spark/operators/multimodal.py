@@ -302,28 +302,56 @@ def phash_near_dup_pairs(
     hash_col: str = "phash",
     max_distance: int = 10,
     n_blocks: int = 4,
+    hash_size: int = 8,
 ) -> DataFrame:
-    """NEAR-duplicate image pairs by Hamming distance over 64-bit
-    perceptual hashes — catches re-encodes plus small edits (crops,
-    banners, watermarks) that flip a few aHash bits, where exact-hash
-    grouping only sees bit-identical pictures. Same pigeonhole shape as
-    the SimHash text pairs: split the 16-hex hash into ``n_blocks``
-    equal substrings, equi-join per (block index, block value) — a pair
-    within distance < 64/n_blocks·1 must agree on some block when its
-    flipped bits cluster, and by pigeonhole agreement is GUARANTEED for
-    distance < n_blocks (exact below that; recall-bounded candidates
-    above, like every LSH here). Refine = exact popcount distance via
-    two 32-bit halves (64 packed bits overflow signed BIGINT; two
-    halves don't), keep <= ``max_distance``. No corpus cross join —
-    candidate fan-out follows block collisions.
-    """
-    width = 16 // n_blocks
+    """NEAR-duplicate image pairs by Hamming distance over
+    ``hash_size²``-bit perceptual hashes — catches re-encodes plus
+    small edits (crops, banners, watermarks) that flip a few aHash
+    bits, where exact-hash grouping only sees bit-identical pictures.
+    Same pigeonhole shape as the SimHash text pairs: split the hex hash
+    into ``n_blocks`` equal substrings, equi-join per (block index,
+    block value) — by pigeonhole agreement is GUARANTEED for distance
+    < n_blocks (exact below that; recall-bounded candidates above,
+    like every LSH here). Refine = exact popcount distance in 32-bit
+    hex chunks (the full packed hash would overflow signed BIGINT past
+    63 bits; 8-hex chunks never do), keep <= ``max_distance``. No
+    corpus cross join — candidate fan-out follows block collisions.
+
+    ``hash_size`` must match the :func:`image_phash` that produced the
+    column (round-9 ADVICE fix: block and chunk widths were hard-coded
+    to the 64-bit/16-hex layout — a 16×16 hash silently had its last
+    192 bits ignored). Every hash is length-checked IN the expression
+    feeding the blocks (``when``/``raise_error``, not a droppable
+    assert column Catalyst would prune) — fail loud, not wrong pairs."""
+    n_bits = hash_size * hash_size
+    hex_len = n_bits // 4
+    if hex_len % n_blocks:
+        raise ValueError(
+            f"hex length {hex_len} (hash_size={hash_size}) is not "
+            f"divisible into {n_blocks} equal blocks"
+        )
+    width = hex_len // n_blocks
+    h_checked = F.when(
+        F.length(F.col(hash_col)) == hex_len, F.col(hash_col)
+    ).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit(
+                    f"phash_near_dup_pairs: expected {hex_len}-hex hash "
+                    f"(hash_size={hash_size}), got length "
+                ),
+                F.length(F.col(hash_col)).cast("string"),
+            )
+        )
+    )
     blocks = hashes.select(
         F.col(id_col).alias("doc"),
-        F.col(hash_col).alias("h"),
+        h_checked.alias("h"),
+    ).select(
+        "doc", "h",
         F.posexplode(
             F.array(*[
-                F.substring(hash_col, j * width + 1, width)
+                F.substring("h", j * width + 1, width)
                 for j in range(n_blocks)
             ])
         ).alias("j", "block"),
@@ -343,12 +371,16 @@ def phash_near_dup_pairs(
         .distinct()
     )
 
-    def half(col, start):
+    def chunk(col, start):
         return F.conv(F.substring(col, start, 8), 16, 10).cast("bigint")
 
-    dist = (
-        F.bit_count(half(F.col("ha"), 1).bitwiseXOR(half(F.col("hb"), 1)))
-        + F.bit_count(half(F.col("ha"), 9).bitwiseXOR(half(F.col("hb"), 9)))
+    starts = range(1, hex_len + 1, 8)
+    dist = sum(
+        (
+            F.bit_count(chunk(F.col("ha"), s).bitwiseXOR(chunk(F.col("hb"), s)))
+            for s in starts
+        ),
+        F.lit(0),
     )
     return (
         cand.withColumn("distance", dist.cast("bigint"))

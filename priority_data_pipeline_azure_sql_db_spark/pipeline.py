@@ -179,19 +179,47 @@ class StagingStore:
         the table into thousands of KB-files (open/footer overhead
         dominates scans long before data size does). Data-identical by
         construction (read → coalesce → rewrite); each partition swaps
-        via the same write-tmp + directory-replace discipline as
-        ``merge``, so readers never see a half state; partitions within
-        budget are never opened. Returns partitions rewritten — 0 means
-        the pass was a no-op (idempotent)."""
+        via write-tmp + two renames, so readers never see a half state;
+        partitions within budget are never opened. Returns partitions
+        rewritten — 0 means the pass was a no-op (idempotent).
+
+        Staging discipline (round-9 fix): both the tmp write and the
+        displaced old copy live under underscore-prefixed CONTAINER
+        dirs (``_compact_tmp/<part>`` / ``_compact_old/<part>``) inside
+        the parent — Spark's hidden-path filter skips ``_``/``.``
+        prefixed names *unless they contain '='*, so the container
+        (whose name has no '=') hides the whole subtree even though the
+        partition dirs inside it keep their ``col=value`` names; a
+        concurrent partition-discovery reader never sees the staged
+        copy as a bogus partition value and never reads duplicated rows
+        (the previous ``<part>.__compact__`` sibling violated exactly
+        that — and a bare ``_<part>.__compact__`` underscore rename
+        would NOT fix it, because the name still contains '=').
+        Crash safety: the swap is rename(src → old) then rename(tmp →
+        src) then delete old — no rmtree-before-replace window where
+        the data exists nowhere; a crash between the renames leaves the
+        full copy under the hidden ``_compact_old/`` container for
+        manual recovery instead of losing the partition."""
 
         def squash(src_dir: str) -> None:
             df = spark.read.parquet(src_dir)
-            tmp = src_dir + ".__compact__"
+            parent, base = os.path.split(src_dir)
+            tmp_root = os.path.join(parent, "_compact_tmp")
+            old_root = os.path.join(parent, "_compact_old")
+            tmp, old = os.path.join(tmp_root, base), os.path.join(old_root, base)
             df.coalesce(max_files_per_partition).write.mode(
                 "overwrite"
             ).parquet(tmp)
-            shutil.rmtree(src_dir, ignore_errors=True)
+            shutil.rmtree(old, ignore_errors=True)  # stale crash leftover
+            os.makedirs(old_root, exist_ok=True)
+            os.replace(src_dir, old)
             os.replace(tmp, src_dir)
+            shutil.rmtree(old, ignore_errors=True)
+            for d in (tmp_root, old_root):  # drop empty containers
+                try:
+                    os.rmdir(d)
+                except OSError:
+                    pass
 
         def n_files(d: str) -> int:
             return sum(1 for f in os.listdir(d) if f.startswith("part-"))

@@ -26,6 +26,7 @@ from __future__ import annotations
 
 import json
 import os
+from typing import NamedTuple
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -109,9 +110,23 @@ def read_jsonl_shards(
     )
 
 
+class QuarantineRead(NamedTuple):
+    """Result of :func:`read_jsonl_with_quarantine`.
+
+    ``cached`` is the shared cached parse both sides filter — after
+    materializing ``good`` and ``bad``, call ``cached.unpersist()`` to
+    release it (round-9 ADVICE fix: the cache is REQUIRED by
+    SPARK-21610 but was previously unreleasable, leaking one cached
+    relation per call for the session's lifetime)."""
+
+    good: DataFrame
+    bad: DataFrame
+    cached: DataFrame
+
+
 def read_jsonl_with_quarantine(
     spark: SparkSession, path: str, schema: str
-) -> tuple[DataFrame, DataFrame]:
+) -> QuarantineRead:
     """Salvage read with row-level DEAD-LETTERING: parse a JSONL
     directory against an explicit schema and split the result into
     (good, quarantined) — the production middle ground between FAILFAST
@@ -124,7 +139,9 @@ def read_jsonl_with_quarantine(
     from ONE scan definition (Spark plans the parse once; the split is
     two filters on the corrupt marker), and the caller decides the
     policy: alert on ``quarantined.count() > 0``, persist it next to
-    the staging table, or fail the batch above a threshold.
+    the staging table, or fail the batch above a threshold. Release the
+    backing cache with ``result.cached.unpersist()`` once both sides
+    are materialized (see :class:`QuarantineRead`).
     """
     full = (
         spark.read.schema(schema + ", _corrupt_record string")
@@ -143,4 +160,4 @@ def read_jsonl_with_quarantine(
     bad = full.filter(F.col("_corrupt_record").isNotNull()).select(
         "_corrupt_record"
     )
-    return good, bad
+    return QuarantineRead(good, bad, full)

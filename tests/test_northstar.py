@@ -763,6 +763,40 @@ def test_phash_near_dup_pairs_known_hashes(spark):
     assert tight == {(1, 2): 0}
 
 
+def test_phash_near_dup_pairs_hash_size_generic(spark):
+    """Round-9 ADVICE fix: the pair finder derives block and popcount
+    widths from hash_size instead of the hard-coded 64-bit/16-hex
+    layout. A 16x16 (256-bit, 64-hex) hash with a flip in its LAST 8
+    hex chars — bits the old code silently ignored — must now be seen;
+    a wrong-length hash fails loud instead of producing wrong pairs."""
+    import pytest
+
+    from priority_data_pipeline_azure_sql_db_spark.operators.multimodal import (
+        phash_near_dup_pairs,
+    )
+
+    base = "00ff" * 16                       # 64 hex = 256 bits
+    tail_flip = base[:-2] + "f8"             # flips 3 bits in the last byte
+    df = spark.createDataFrame(
+        [(1, base), (2, base), (3, tail_flip)], ["media_id", "phash"]
+    )
+    got = {
+        (r["id_a"], r["id_b"]): r["distance"]
+        for r in phash_near_dup_pairs(df, max_distance=10, hash_size=16).collect()
+    }
+    assert got == {(1, 2): 0, (1, 3): 3, (2, 3): 3}
+
+    # wrong-length input: loud per-row failure, not silent truncation
+    bad = spark.createDataFrame([(1, base), (2, "00ff00ff00ff00ff")],
+                                ["media_id", "phash"])
+    with pytest.raises(Exception, match="expected 64-hex"):
+        phash_near_dup_pairs(bad, hash_size=16).collect()
+
+    # indivisible block layout rejected at build time
+    with pytest.raises(ValueError, match="divisible"):
+        phash_near_dup_pairs(df, n_blocks=3, hash_size=16)
+
+
 def test_negative_samples_excludes_positives(spark):
     """Contrastive negatives never collide with the query's top-k
     neighbors or itself, exactly n_neg per query, and the draw is
@@ -903,3 +937,34 @@ def test_config_curation_missing_params_fail_loudly(spark, sf_dir):
     ]:
         with pytest.raises(ValueError, match="missing parameter"):
             build_curation(d, {"stages": [bad]})
+
+
+def test_boilerplate_empty_doc_contract(spark):
+    """Round-9 ADVICE fix: the drop_empty contract is "keeps at least
+    one NON-empty line". Whitespace-only and empty docs are dropped
+    (they used to survive as one kept empty line — a divergence from
+    any line-from-tokens oracle); a doc whose every non-empty line is
+    boilerplate is dropped even if it has interior empty lines; and
+    interior empty lines ARE still preserved in survivors."""
+    from priority_data_pipeline_azure_sql_db_spark.operators.dedup import (
+        remove_boilerplate_lines,
+    )
+
+    rows = [
+        (1, "unique alpha\ncommon menu line\n\nunique beta"),
+        (2, "common menu line\nother unique"),
+        (3, ""),                          # empty doc → dropped
+        (4, "   "),                       # whitespace-only → dropped
+        (5, "common menu line\n\ncommon menu line"),  # only boiler + empty → dropped
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    out = {r["doc_id"]: r for r in remove_boilerplate_lines(df).collect()}
+    assert set(out) == {1, 2}
+    # interior empty line preserved in survivor 1
+    assert out[1]["text"] == "unique alpha\n\nunique beta"
+    assert out[1]["n_lines_kept"] == 3            # two text lines + the empty
+    assert out[1]["n_lines_dropped"] == 1
+    assert out[2]["text"] == "other unique"
+    # schema carries no internal helper column
+    cols = remove_boilerplate_lines(df).columns
+    assert cols == ["doc_id", "text", "n_lines_kept", "n_lines_dropped"]

@@ -460,3 +460,53 @@ def test_staging_compact_small_files(spark, sf_dir, tmp_path):
     assert store.compact(spark, "region", max_files_per_partition=2) == 1
     assert store.read(spark, "region").count() == 5
     assert store.compact(spark, "region", max_files_per_partition=2) == 0
+
+
+def test_staging_compact_tmp_invisible_to_readers(spark, sf_dir, tmp_path):
+    """Round-9 ADVICE fix: compaction's staging dirs must be invisible
+    to Spark's partition discovery. A reader racing the compactor may
+    see the parent dir with the staged copy present — the
+    underscore-prefixed container dirs (no '=' in their names) make
+    Spark's hidden-path filter skip the whole subtree, so the reader
+    sees each row exactly once (the old `<part>.__compact__` sibling
+    was discovered as a bogus partition VALUE and duplicated rows; note
+    a bare underscore rename would NOT work — names containing '=' are
+    exempt from the hidden filter, which this test's partition column
+    `_load_date` itself relies on). Also pins crash recovery: stale
+    `_compact_tmp`/`_compact_old` leftovers neither break reads nor
+    block the next compact pass."""
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from priority_data_pipeline_azure_sql_db_spark.pipeline import (
+        PARTITION_COL,
+        StagingStore,
+    )
+    from priority_data_pipeline_azure_sql_db_spark.sources.parquet import load_table
+
+    store = StagingStore(root=str(tmp_path / "stg"))
+    o = load_table(spark, sf_dir, "orders").limit(200).withColumn(
+        "extractiontimestamputc",
+        F.lit("2026-01-01 00:00:00").cast("timestamp"),
+    )
+    store.overwrite(o.repartition(4), "orders")
+    root = store.path("orders")
+    part = next(p for p in os.listdir(root) if p.startswith(f"{PARTITION_COL}="))
+    pdir = os.path.join(root, part)
+
+    # simulate the mid-compaction state: staged tmp AND displaced old
+    # copy both present alongside the live partition
+    shutil.copytree(pdir, os.path.join(root, "_compact_tmp", part))
+    shutil.copytree(pdir, os.path.join(root, "_compact_old", part))
+    n_live = store.read(spark, "orders").count()
+    assert n_live == 200  # hidden containers ignored: no duplicated rows
+
+    # and the next compact pass recovers: clears leftovers, stays
+    # data-identical
+    before = sorted(r["o_orderkey"] for r in store.read(spark, "orders").collect())
+    assert store.compact(spark, "orders", max_files_per_partition=1) == 1
+    assert not any(p.startswith("_compact_") for p in os.listdir(root))
+    after = sorted(r["o_orderkey"] for r in store.read(spark, "orders").collect())
+    assert after == before

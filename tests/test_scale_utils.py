@@ -732,7 +732,7 @@ def test_jsonl_quarantine_split(spark, tmp_path):
         '{"doc_id": 4, "text": "truncated',
     ]
     (d / "part-00000.json").write_text("\n".join(lines) + "\n")
-    good, bad = read_jsonl_with_quarantine(
+    good, bad, cached = read_jsonl_with_quarantine(
         spark, str(d), "doc_id bigint, text string"
     )
     assert sorted(r["doc_id"] for r in good.collect()) == [1, 2]
@@ -740,14 +740,21 @@ def test_jsonl_quarantine_split(spark, tmp_path):
     assert len(raw) == 2
     assert any("NOT_A_NUMBER" in r for r in raw)
     assert any("truncated" in r for r in raw)
+    # round-9 ADVICE fix: the SPARK-21610 cache is releasable — the
+    # returned handle unpersists it instead of leaking one cached
+    # relation per call
+    assert cached.storageLevel.useMemory
+    cached.unpersist()
+    assert not cached.storageLevel.useMemory
 
     clean = tmp_path / "clean"
     clean.mkdir()
     (clean / "part-00000.json").write_text(lines[0] + "\n")
-    g2, b2 = read_jsonl_with_quarantine(
+    res2 = read_jsonl_with_quarantine(
         spark, str(clean), "doc_id bigint, text string"
     )
-    assert g2.count() == 1 and b2.count() == 0
+    assert res2.good.count() == 1 and res2.bad.count() == 0
+    res2.cached.unpersist()
 
 
 def test_stream_rollup_maintenance(spark, sf_dir, tmp_path):
