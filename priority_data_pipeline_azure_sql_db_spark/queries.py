@@ -7417,3 +7417,141 @@ def profile_source_dup_pressure(spark, sf_dir):
             ).alias("mean_dup_frac"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# round-9 late registrations — BELOW the round-9 driver window (which is
+# promised to the 44 round-8 late registrations + 6 of the r6 bucket);
+# these 2 lead the round-10 window together with the 36-entry r6
+# remainder. Held to 2 new entries this round (VERDICT r8 ask #4:
+# registration ≤10/round so the 50-slot window keeps the ≤3-round
+# staleness invariant achievable).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "pipeline_refresh_cdc_audit",
+    """
+    SELECT o_orderkey,
+           CASE WHEN o_orderkey % 5 = 0 THEN 'inserted'
+                WHEN o_orderkey % 7 = 0 THEN 'updated'
+                ELSE 'unchanged' END AS change_type
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1998-01-01 00:00:00'
+    """,
+)
+def pipeline_refresh_cdc_audit(spark, sf_dir):
+    """CDC AUDIT of an incremental refresh (round 9, VERDICT r8 ask #7)
+    — the reference's silent-overwrite gap closed: refresh_data(
+    cdc_audit=True) now diffs every incremental window against the
+    standing staging table (pipeline.cdc_audit_delta: delta-PK semi-join
+    restriction → snapshot_diff, O(delta)) and persists the per-row
+    audit as `<table>__cdc` BEFORE the merge applies.
+
+    This query drives the REAL runner end to end: stage source snapshot
+    v1 (orders minus keys %5==0 — rows not yet created — and with
+    o_totalprice bumped for keys %7==0 — stale values), then refresh
+    from the true source with a 1998-01-01 watermark and read back the
+    persisted audit. Every window row classifies deterministically:
+    %5==0 → inserted (never staged), %7==0 → updated (stale price
+    corrected), else unchanged (byte-identical re-fetch) — which is
+    exactly the closed form the oracle states. Audit columns
+    (extractionid/ts) are excluded from the comparison by design:
+    lineage, not change. Fail-soft + merge-still-lands pinned by
+    tests/test_pipeline.py::test_refresh_cdc_audit_counts_and_fail_soft."""
+    import os
+
+    from .config import ExtractionConfig
+    from .pipeline import PipelineRunner, StagingStore
+
+    base = _resident_path("cdc_refresh", sf_dir)
+    v1_dir = os.path.join(base, "v1")
+    o = load_table(spark, sf_dir, "orders")
+    v1 = o.filter(F.col("o_orderkey") % 5 != 0).withColumn(
+        "o_totalprice",
+        F.when(
+            F.col("o_orderkey") % 7 == 0, F.col("o_totalprice") + F.lit(1.0)
+        ).otherwise(F.col("o_totalprice")),
+    )
+    v1.write.mode("overwrite").parquet(os.path.join(v1_dir, "orders.parquet"))
+
+    def cfg(last_run):
+        return ExtractionConfig.from_dict({
+            "datasourceName": "cdc", "systemTimezone": "UTC",
+            "entities": [{
+                "EntityID": "orders", "filterFlag": True,
+                "filterField": "o_orderdate", "expand": [],
+                "lastRun": last_run, "dataStartDate": "1990-01-01 00:00:00",
+            }],
+        })
+
+    store = StagingStore(os.path.join(base, "stg"))
+    PipelineRunner(spark, cfg(None), store, v1_dir).initial_data_load()
+    (res,) = PipelineRunner(
+        spark, cfg("1998-01-01 00:00:00"), store, sf_dir
+    ).refresh_data(incremental=True, cdc_audit=True)
+    if res.error or res.cdc_error:
+        raise RuntimeError(f"cdc refresh failed: {res.error or res.cdc_error}")
+    return store.read(spark, "stg_orders__cdc").select(
+        "o_orderkey", "change_type"
+    )
+
+
+@query(
+    "er_blocking_skew_audit",
+    """
+    WITH t AS (
+        SELECT c_nationkey,
+               substr(c_name, 1, GREATEST(len(c_name) - 4, 1)) AS name_block
+        FROM customer
+    ), freq AS (
+        SELECT c_nationkey, name_block, CAST(COUNT(*) AS BIGINT) AS n_rows
+        FROM t GROUP BY 1, 2
+    ), tot AS (
+        SELECT CAST(SUM(n_rows) AS DOUBLE) AS total,
+               CAST(COUNT(*) AS BIGINT) AS n_blocks
+        FROM freq
+    )
+    SELECT f.c_nationkey, f.name_block, f.n_rows,
+           CAST(f.n_rows * (f.n_rows - 1) / 2 AS BIGINT) AS n_pairs,
+           FLOOR(f.n_rows * t.n_blocks / t.total * 1000000.0 + 0.5)
+               / 1000000.0 AS skew_ratio
+    FROM freq f, tot t
+    """,
+)
+def er_blocking_skew_audit(spark, sf_dir):
+    """ER BLOCKING AUDIT (round 9, VERDICT r8 ask #3's composition):
+    the join-skew advisor shape (profile_join_skew) applied to the ER
+    compound blocking key BEFORE the pair join runs — per block: row
+    count, candidate-pair contribution n·(n-1)/2, and skew ratio
+    (block size / mean block size). This is the report that proves the
+    round-9 blocking fix holds at any scale: with (nation, name-prefix)
+    the max block is bounded by the trailing-4-char window (~400 rows),
+    so max n_pairs is a constant and total candidates grow linearly —
+    whereas nation-only blocking showed 25 blocks of n/25 rows each,
+    (n/25)² pairs. One hash-agg + one O(1) coalesced broadcast, the
+    same shape as profile_join_skew. Hash-checked."""
+    c = load_table(spark, sf_dir, "customer")
+    freq = (
+        c.select(
+            "c_nationkey",
+            F.expr(
+                "substring(c_name, 1, greatest(length(c_name) - 4, 1))"
+            ).alias("name_block"),
+        )
+        .groupBy("c_nationkey", "name_block")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_rows"))
+    )
+    tot = freq.agg(
+        F.sum("n_rows").cast("double").alias("total"),
+        F.count(F.lit(1)).cast("bigint").alias("n_blocks"),
+    ).coalesce(1)
+    return freq.crossJoin(F.broadcast(tot)).select(
+        "c_nationkey", "name_block", "n_rows",
+        (F.col("n_rows") * (F.col("n_rows") - 1) / 2).cast("bigint").alias(
+            "n_pairs"
+        ),
+        _fix6(
+            F.col("n_rows") * F.col("n_blocks") / F.col("total")
+        ).alias("skew_ratio"),
+    )

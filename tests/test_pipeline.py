@@ -510,3 +510,95 @@ def test_staging_compact_tmp_invisible_to_readers(spark, sf_dir, tmp_path):
     assert not any(p.startswith("_compact_") for p in os.listdir(root))
     after = sorted(r["o_orderkey"] for r in store.read(spark, "orders").collect())
     assert after == before
+
+
+def _cdc_v1_source(spark, sf_dir, out_dir):
+    """Source snapshot 'v1': orders minus keys %5==0 (not yet created),
+    with o_totalprice bumped +1.0 for keys %7==0 (stale values a later
+    window corrects)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from priority_data_pipeline_azure_sql_db_spark.sources.parquet import load_table
+
+    o = load_table(spark, sf_dir, "orders")
+    v1 = o.filter(F.col("o_orderkey") % 5 != 0).withColumn(
+        "o_totalprice",
+        F.when(F.col("o_orderkey") % 7 == 0,
+               F.col("o_totalprice") + F.lit(1.0))
+        .otherwise(F.col("o_totalprice")),
+    )
+    v1.write.mode("overwrite").parquet(os.path.join(out_dir, "orders.parquet"))
+
+
+def test_refresh_cdc_audit_counts_and_fail_soft(spark, sf_dir, tmp_path, monkeypatch):
+    """VERDICT r8 ask #7: refresh_data(cdc_audit=True) persists a
+    per-row change audit of each incremental window and reports counts,
+    without ever blocking the load. Stage v1 (keys %5==0 missing, %7==0
+    stale), refresh from the true source: the 1998+ window classifies
+    exactly as inserted/updated/unchanged; the audit table persists;
+    and when the audit itself blows up, the merge still lands and only
+    cdc_error is set (advisory, fail-soft)."""
+    from pyspark.sql import functions as F
+
+    import priority_data_pipeline_azure_sql_db_spark.pipeline as P
+    from priority_data_pipeline_azure_sql_db_spark.config import ExtractionConfig
+    from priority_data_pipeline_azure_sql_db_spark.sources.parquet import load_table
+
+    v1_dir = str(tmp_path / "v1")
+    _cdc_v1_source(spark, sf_dir, v1_dir)
+
+    def cfg(last_run):
+        return ExtractionConfig.from_dict({
+            "datasourceName": "cdc", "systemTimezone": "UTC",
+            "entities": [{
+                "EntityID": "orders", "filterFlag": True,
+                "filterField": "o_orderdate", "expand": [],
+                "lastRun": last_run, "dataStartDate": "1990-01-01 00:00:00",
+            }],
+        })
+
+    store = P.StagingStore(str(tmp_path / "stg"))
+    P.PipelineRunner(spark, cfg(None), store, v1_dir).initial_data_load()
+
+    runner = P.PipelineRunner(
+        spark, cfg("1998-01-01 00:00:00"), store, sf_dir
+    )
+    (res,) = runner.refresh_data(incremental=True, cdc_audit=True)
+    assert res.error is None and res.cdc_error is None
+
+    o = load_table(spark, sf_dir, "orders")
+    win = o.filter(F.col("o_orderdate") >= F.lit("1998-01-01").cast("timestamp"))
+    want = {
+        "inserted": win.filter(F.col("o_orderkey") % 5 == 0).count(),
+        "updated": win.filter(
+            (F.col("o_orderkey") % 5 != 0) & (F.col("o_orderkey") % 7 == 0)
+        ).count(),
+        "unchanged": win.filter(
+            (F.col("o_orderkey") % 5 != 0) & (F.col("o_orderkey") % 7 != 0)
+        ).count(),
+    }
+    assert res.cdc["stg_orders"] == {k: v for k, v in want.items() if v}
+    # the audit persisted as a real store table, one row per delta PK
+    audit = store.read(spark, "stg_orders__cdc")
+    assert audit.count() == win.count()
+    assert set(audit.columns) == {"o_orderkey", "change_type"}
+    # and the merge itself landed: stale prices in the window corrected
+    merged = store.read(spark, "stg_orders")
+    fixed = merged.join(win.select("o_orderkey", "o_totalprice"), "o_orderkey") \
+        .filter(merged.o_totalprice != win.o_totalprice)
+    # (column ambiguity guard: compare via aliased join)
+    assert fixed.count() == 0
+
+    # fail-soft: a broken audit must not break the load
+    def boom(*a, **k):
+        raise RuntimeError("audit exploded")
+
+    monkeypatch.setattr(P, "cdc_audit_delta", boom)
+    (res2,) = P.PipelineRunner(
+        spark, cfg("1998-01-01 00:00:00"), store, sf_dir
+    ).refresh_data(incremental=True, cdc_audit=True)
+    assert res2.error is None
+    assert res2.cdc_error and "audit exploded" in res2.cdc_error
+    assert res2.tables["stg_orders"] > 0
