@@ -3,10 +3,12 @@
 Images / audio / video are opaque ``binary`` columns with typed metadata.
 The Spark-side plumbing — schema, Arrow batch shape, partition-parallel
 ``mapInPandas`` — is real and tested. The codec tier (round 7) is now
-REAL for three formats via pure-stdlib decoders (operators/codecs.py):
+REAL for four formats via pure-stdlib decoders (operators/codecs.py):
 uncompressed 24-bit BMP, 8-bit RGB/RGBA PNG (round 8 — zlib inflate +
-full scanline unfiltering), and PCM WAV decode to genuine pixel/sample
-statistics in-sandbox; richer codecs (PIL/av) slot in behind the same
+full scanline unfiltering), baseline-sequential huffman JPEG (round 9 —
+the format real image corpora are actually made of), and PCM WAV decode
+to genuine pixel/sample statistics in-sandbox; richer codecs (PIL/av —
+progressive JPEG, WebP, video) slot in behind the same
 sniff/decode interface with try-import gating (the same stance as the
 protobuf-gated streaming twin), and only blobs NO available codec can
 decode fall back to the clearly-tagged deterministic stub.
@@ -40,7 +42,7 @@ FEATURE_SCHEMA = T.StructType([
     T.StructField("media_type", T.StringType()),
     T.StructField("n_bytes", T.LongType()),
     T.StructField("content_md5", T.StringType()),
-    T.StructField("codec", T.StringType()),       # bmp | png | wav | pil | stub-md5
+    T.StructField("codec", T.StringType()),       # bmp | png | jpeg | wav | pil | stub-md5
     T.StructField("feature", T.ArrayType(T.DoubleType())),
 ])
 
@@ -79,14 +81,16 @@ except ImportError:
 def decode_media(media_type: str, content: bytes):
     """The REAL decode path. Routes by magic bytes (the blob is the
     truth, not the declared media_type): uncompressed 24-bit BMP,
-    8-bit RGB/RGBA PNG (round 8), and PCM WAV decode with the
-    pure-stdlib codecs; other formats go to PIL when installed;
+    8-bit RGB/RGBA PNG (round 8), baseline huffman JPEG (round 9), and
+    PCM WAV decode with the pure-stdlib codecs; other formats
+    (progressive JPEG, WebP, ...) go to PIL when installed;
     anything else raises ``NotImplementedError`` (the honest boundary —
     callers wanting a total function use :func:`extract_features`,
     which falls back to the tagged stub).
 
     Returns ('bmp', (h, w, 3) uint8 RGB array),
     ('png', (h, w, 3|4) uint8 array),
+    ('jpeg', (h, w, 3) uint8 RGB array),
     ('wav', (sample_rate, (n, ch) float array)), or
     ('pil', PIL.Image)."""
     from . import codecs
@@ -96,6 +100,8 @@ def decode_media(media_type: str, content: bytes):
         return "bmp", codecs.decode_bmp(content)
     if kind == "png":
         return "png", codecs.decode_png(content)
+    if kind == "jpeg":
+        return "jpeg", codecs.decode_jpeg(content)
     if kind == "wav":
         return "wav", codecs.decode_wav(content)
     if _PIL_Image is not None and media_type == "image" and content:
@@ -108,7 +114,7 @@ def decode_media(media_type: str, content: bytes):
     raise NotImplementedError(
         f"no available codec for this blob (media_type={media_type!r}; "
         "in-sandbox codecs: uncompressed 24-bit BMP, 8-bit RGB/RGBA PNG, "
-        "PCM WAV; install "
+        "baseline huffman JPEG, PCM WAV; install "
         "PIL/librosa/av for more)"
     )
 
@@ -140,7 +146,7 @@ def extract_features(df: DataFrame) -> DataFrame:
                 kind, decoded = decode_media(media_type, blob)
             except (ValueError, NotImplementedError):
                 return "stub-md5", _decode_stub(media_type, blob)
-            if kind in ("bmp", "png"):
+            if kind in ("bmp", "png", "jpeg"):
                 return kind, codecs.image_features(decoded)
             if kind == "wav":
                 return kind, codecs.audio_features(*decoded)
@@ -276,6 +282,8 @@ def image_phash(df: DataFrame, hash_size: int = 8) -> DataFrame:
                         px = codecs.decode_bmp(bytes(blob))
                     elif kind == "png":
                         px = codecs.decode_png(bytes(blob))
+                    elif kind == "jpeg":
+                        px = codecs.decode_jpeg(bytes(blob))
                     else:
                         continue
                 except (ValueError, NotImplementedError):

@@ -968,3 +968,143 @@ def test_boilerplate_empty_doc_contract(spark):
     # schema carries no internal helper column
     cols = remove_boilerplate_lines(df).columns
     assert cols == ["doc_id", "text", "n_lines_kept", "n_lines_dropped"]
+
+
+def test_codec_jpeg_roundtrip_all_subsampling():
+    """Round 9: baseline JPEG encode→decode round-trips with bounded
+    lossy error across 4:4:4 / 4:2:2 / 4:2:0, grayscale, non-multiple
+    dimensions, and a restart interval. Exactness anchor: mid-gray is
+    DC-only with a zero level-shifted DC, so it decodes EXACTLY at any
+    quality/subsampling."""
+    import numpy as np
+
+    from priority_data_pipeline_azure_sql_db_spark.operators import codecs
+
+    # exactness anchor
+    img = np.full((24, 24, 3), 128, dtype=np.uint8)
+    for sub in ("4:4:4", "4:2:2", "4:2:0"):
+        out = codecs.decode_jpeg(codecs.encode_jpeg(img, quality=50, subsample=sub))
+        assert out.shape == (24, 24, 3)
+        assert np.array_equal(out, img), sub
+
+    # smooth gradient, awkward dims (not multiples of 8/16)
+    y, x = np.mgrid[0:37, 0:29]
+    grad = np.stack([
+        (255 * x / 28), (255 * y / 36), (255 * (x + y) / 64)
+    ], axis=-1).astype(np.uint8)
+    for sub, tol_max, tol_mean in (
+        ("4:4:4", 16, 3.0), ("4:2:2", 24, 4.0), ("4:2:0", 28, 5.0)
+    ):
+        out = codecs.decode_jpeg(codecs.encode_jpeg(grad, quality=92, subsample=sub))
+        err = np.abs(out.astype(int) - grad.astype(int))
+        assert out.shape == grad.shape
+        assert err.max() <= tol_max, (sub, err.max())
+        assert err.mean() <= tol_mean, (sub, err.mean())
+
+    # grayscale single-component stream
+    g = (y * 7 % 256).astype(np.uint8)
+    out = codecs.decode_jpeg(codecs.encode_jpeg(g, quality=95))
+    assert out.shape == (37, 29, 3)
+    assert np.abs(out[:, :, 0].astype(int) - g.astype(int)).mean() < 6.0
+
+    # restart interval exercises DRI/RSTn + DC predictor resets
+    rng = np.random.default_rng(7)
+    noisy = np.clip(grad.astype(int) + rng.integers(-20, 20, grad.shape), 0, 255).astype(np.uint8)
+    b_rst = codecs.encode_jpeg(noisy, quality=90, subsample="4:2:0", restart_interval=2)
+    assert b"\xff\xdd" in b_rst          # DRI segment present
+    assert b"\xff\xd0" in b_rst          # at least one RST0 marker
+    out_rst = codecs.decode_jpeg(b_rst)
+    out_plain = codecs.decode_jpeg(
+        codecs.encode_jpeg(noisy, quality=90, subsample="4:2:0")
+    )
+    # restart markers change framing, not content: decodes identical
+    assert np.array_equal(out_rst, out_plain)
+
+
+def test_codec_jpeg_golden_stream_hand_built():
+    """Decoder vs the SPEC, not just vs the sibling encoder: an 8x8
+    grayscale baseline JPEG hand-assembled byte by byte in this test —
+    flat quant table (all 16), trivial huffman tables (DC: symbol 4 ->
+    code '0'; AC: EOB -> code '0'), one block whose entropy data is DC
+    category 4 with magnitude bits 0101: high bit 0 means the NEGATIVE
+    branch of extend() -> 5 - 2^4 + 1 = -10 -> DC coef -10*16 = -160 ->
+    pixels 128 - 160/8 = 108. Any spec deviation in marker parsing,
+    huffman table construction, extend()'s sign handling, dequant, IDCT
+    scaling, or level shift breaks the expected constant 108."""
+    import struct
+
+    import numpy as np
+
+    from priority_data_pipeline_azure_sql_db_spark.operators import codecs
+
+    zz_flat = bytes([16] * 64)
+    stream = bytearray()
+    stream += b"\xff\xd8"                                   # SOI
+    stream += b"\xff\xdb" + struct.pack(">HB", 67, 0) + zz_flat   # DQT id 0
+    stream += b"\xff\xc0" + struct.pack(">HBHHB", 11, 8, 8, 8, 1) # SOF0 8x8 1 comp
+    stream += bytes([1, 0x11, 0])                           # comp 1, h1v1, q0
+    # DHT: DC table 0 — one code of length 1 for symbol 4 (category 4)
+    stream += b"\xff\xc4" + struct.pack(">HB", 2 + 17 + 1, 0x00)
+    stream += bytes([1] + [0] * 15) + bytes([4])
+    # DHT: AC table 0 — one code of length 1 for symbol 0 (EOB)
+    stream += b"\xff\xc4" + struct.pack(">HB", 2 + 17 + 1, 0x10)
+    stream += bytes([1] + [0] * 15) + bytes([0])
+    stream += b"\xff\xda" + struct.pack(">HB", 8, 1)        # SOS
+    stream += bytes([1, 0x00, 0, 63, 0])
+    # entropy: DC code '0' (1 bit) + magnitude 0101 (4 bits, extend ->
+    # -10) + AC EOB code '0' (1 bit) = 001010, padded with 1s -> 00101011
+    stream += bytes([0b00101011])
+    stream += b"\xff\xd9"                                   # EOI
+    out = codecs.decode_jpeg(bytes(stream))
+    # DC quantized -10, dequant -10*16=-160; IDCT of DC-only spreads
+    # -160/8 = -20 over the block; +128 level shift = 108, all channels
+    assert out.shape == (8, 8, 3)
+    assert np.array_equal(out, np.full((8, 8, 3), 108, dtype=np.uint8)), out[0, 0]
+
+
+def test_codec_jpeg_boundaries_and_dispatch(spark):
+    """The honest format boundary + pipeline integration: progressive /
+    arithmetic / 12-bit streams raise NotImplementedError (never wrong
+    pixels), truncated entropy data fails loudly, sniff routes JPEG
+    magic, and a JPEG blob flows through the REAL multimodal paths
+    (extract_features tags codec='jpeg'; image_phash sees re-encoded
+    BMP vs JPEG of the same picture as near-identical — the cross-codec
+    dedup claim now covers the format it mostly fires on)."""
+    import numpy as np
+    import pytest
+
+    from priority_data_pipeline_azure_sql_db_spark.operators import codecs
+    from priority_data_pipeline_azure_sql_db_spark.operators.multimodal import (
+        extract_features,
+        image_phash,
+    )
+
+    y, x = np.mgrid[0:32, 0:32]
+    px = np.stack([x * 8, y * 8, (x + y) * 4], axis=-1).astype(np.uint8)
+    blob = codecs.encode_jpeg(px, quality=95, subsample="4:4:4")
+    assert codecs.sniff(blob) == "jpeg"
+
+    # unsupported variants fail loud
+    prog = bytearray(blob)
+    sof = prog.index(b"\xff\xc0")
+    prog[sof + 1] = 0xC2  # rebrand as progressive
+    with pytest.raises(NotImplementedError, match="progressive"):
+        codecs.decode_jpeg(bytes(prog))
+    with pytest.raises(ValueError, match="truncated|huffman"):
+        codecs.decode_jpeg(blob[: len(blob) // 2])
+
+    rows = [
+        (1, "image", bytearray(codecs.encode_bmp(px)), None, None, None),
+        (2, "image", bytearray(blob), None, None, None),
+    ]
+    from priority_data_pipeline_azure_sql_db_spark.operators.multimodal import MEDIA_SCHEMA
+
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    feats = {r["media_id"]: r for r in extract_features(media).collect()}
+    assert feats[1]["codec"] == "bmp" and feats[2]["codec"] == "jpeg"
+    # real pixel features, not the md5 stub: width/height lead the vector
+    assert feats[2]["feature"][0] == 32.0 and feats[2]["feature"][1] == 32.0
+
+    hashes = {r["media_id"]: r["phash"] for r in image_phash(media).collect()}
+    d = bin(int(hashes[1], 16) ^ int(hashes[2], 16)).count("1")
+    assert d <= 6, f"cross-codec BMP vs JPEG hamming {d}"
