@@ -7422,8 +7422,8 @@ def profile_source_dup_pressure(spark, sf_dir):
 # ---------------------------------------------------------------------------
 # round-9 late registrations — BELOW the round-9 driver window (which is
 # promised to the 44 round-8 late registrations + 6 of the r6 bucket);
-# these 2 lead the round-10 window together with the 36-entry r6
-# remainder. Held to 2 new entries this round (VERDICT r8 ask #4:
+# these 3 lead the round-10 window together with the 36-entry r6
+# remainder. Held to 3 new entries this round (VERDICT r8 ask #4:
 # registration ≤10/round so the 50-slot window keeps the ≤3-round
 # staleness invariant achievable).
 # ---------------------------------------------------------------------------
@@ -7554,4 +7554,39 @@ def er_blocking_skew_audit(spark, sf_dir):
         _fix6(
             F.col("n_rows") * F.col("n_blocks") / F.col("total")
         ).alias("skew_ratio"),
+    )
+
+
+@query(
+    "er_incremental_match",
+    f"""
+    WITH t AS ({_ER_ORACLE_T})
+    SELECT a.id AS delta_id, b.id AS base_id,
+           a.key AS delta_key, b.key AS base_key,
+           CAST(levenshtein(a.key, b.key) AS BIGINT) AS edit_distance
+    FROM t a JOIN t b
+      ON a.c_nationkey = b.c_nationkey AND a.pfx = b.pfx AND a.id <> b.id
+    WHERE a.id % 10 = 0 AND b.id % 10 <> 0
+      AND levenshtein(a.key, b.key) <= 2
+    """,
+)
+def er_incremental_match(spark, sf_dir):
+    """INCREMENTAL ER (round 9) — the O(delta) MDM serve loop: arriving
+    records (customers with key % 10 == 0 standing in for a load's new
+    rows) matched against the STANDING base (the rest) under the same
+    compound (nation, name-prefix) blocking as the batch ER pass. The
+    delta×base block join costs O(Σ |delta_b|·|base_b|) — linear in the
+    delta for the bounded blocks the r9 key guarantees — and the base
+    is only scanned, never self-paired: the ER sibling of the merge/
+    SCD2 O(delta) maintenance discipline. Every refresh resolves ONLY
+    its new records; the full pairs/golden-records pass is the
+    build-once path. Hash-checked against the SQL replay."""
+    from .operators.dedup import fuzzy_match_delta
+
+    c = _er_blocked_customers(spark, sf_dir)
+    delta = c.filter(F.col("c_custkey") % 10 == 0)
+    base = c.filter(F.col("c_custkey") % 10 != 0)
+    return fuzzy_match_delta(
+        base, delta, key_col="c_name", id_col="c_custkey",
+        block_cols=["c_nationkey", "_name_block"], max_edit=2,
     )

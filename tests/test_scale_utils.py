@@ -977,3 +977,41 @@ def test_er_compound_block_bounded_and_recall(spark):
     # block sizes: the 30 prefix-00000 rows in one block, 10001 alone
     sizes = df2.groupBy("c_nationkey", "_name_block").count().collect()
     assert sorted(r["count"] for r in sizes) == [1, 30]
+
+
+def test_fuzzy_match_delta_is_delta_sided(spark):
+    """Incremental ER: delta records match base records within blocks
+    (both directions of edit distance), never base-vs-base or
+    delta-vs-delta; an id present on both sides never pairs with
+    itself; and the plan joins delta against base exactly once (no
+    self-join of the standing side)."""
+    from pyspark.sql import functions as F
+
+    from priority_data_pipeline_azure_sql_db_spark.operators.dedup import (
+        fuzzy_match_delta,
+    )
+
+    mk = lambda rows: spark.createDataFrame(  # noqa: E731
+        rows, "c_custkey bigint, c_name string, c_nationkey bigint"
+    ).withColumn(
+        "_name_block",
+        F.expr("substring(c_name, 1, greatest(length(c_name) - 4, 1))"),
+    )
+    base = mk([
+        (1, "Customer#000000001", 7),
+        (2, "Customer#000000002", 7),
+        (3, "Customer#000000003", 8),     # other block
+        (4, "Customer#000000004", 7),
+    ])
+    delta = mk([
+        (11, "Customer#000000011", 7),    # distance 1-2 from 1,2,4
+        (3, "Customer#000000003", 8),     # same id as base 3: excluded
+    ])
+    out = fuzzy_match_delta(
+        base, delta, key_col="c_name", id_col="c_custkey",
+        block_cols=["c_nationkey", "_name_block"], max_edit=2,
+    )
+    pairs = {(r.delta_id, r.base_id): r.edit_distance for r in out.collect()}
+    assert set(pairs) == {(11, 1), (11, 2), (11, 4)}
+    # base-base near-dups (1 vs 2, distance 1) never appear
+    assert all(d == 11 for d, _ in pairs)
