@@ -90,9 +90,10 @@ ANNEX = [
     # round-9: the CDC-audited refresh (the full runner drive — v1
     # stage, refresh, merge — happens once at PLAN time like every
     # resident-store entry; the timed region is the persisted audit's
-    # read-back) and the ER blocking audit
+    # read-back), the ER blocking audit, and the O(delta) ER serve
     "pipeline_refresh_cdc_audit",
     "er_blocking_skew_audit",
+    "er_incremental_match",
 ]
 
 HEADLINE = CORE + ANNEX

@@ -7422,8 +7422,8 @@ def profile_source_dup_pressure(spark, sf_dir):
 # ---------------------------------------------------------------------------
 # round-9 late registrations — BELOW the round-9 driver window (which is
 # promised to the 44 round-8 late registrations + 6 of the r6 bucket);
-# these 3 lead the round-10 window together with the 36-entry r6
-# remainder. Held to 3 new entries this round (VERDICT r8 ask #4:
+# these 4 lead the round-10 window together with the 36-entry r6
+# remainder. Held to 4 new entries this round (VERDICT r8 ask #4:
 # registration ≤10/round so the 50-slot window keeps the ≤3-round
 # staleness invariant achievable).
 # ---------------------------------------------------------------------------
@@ -7589,4 +7589,70 @@ def er_incremental_match(spark, sf_dir):
     return fuzzy_match_delta(
         base, delta, key_col="c_name", id_col="c_custkey",
         block_cols=["c_nationkey", "_name_block"], max_edit=2,
+    )
+
+
+@query(
+    "streaming_scd2_maintenance",
+    """
+    WITH ordered AS (
+        SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts, event_id,
+               LAG(event_type) OVER (
+                   PARTITION BY user_id
+                   ORDER BY CAST(ts AS TIMESTAMP), event_id
+               ) AS prev_type,
+               ROW_NUMBER() OVER (
+                   PARTITION BY user_id
+                   ORDER BY CAST(ts AS TIMESTAMP), event_id
+               ) AS rn
+        FROM events
+    ), changes AS (
+        SELECT user_id, event_type, ts, event_id FROM ordered
+        WHERE rn = 1 OR event_type IS DISTINCT FROM prev_type
+    )
+    SELECT user_id, event_type, ts AS valid_from,
+           LEAD(ts) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+           ) AS valid_to,
+           (LEAD(ts) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+           ) IS NULL) AS is_current
+    FROM changes
+    """,
+)
+def streaming_scd2_maintenance(spark, sf_dir):
+    """STREAMING SCD2 maintenance, hash-checked end to end (round 9) —
+    the versioned-dimension leg of the streaming-warehouse trio (PK
+    MERGE staging r7, additive rollup store r8, type-2 dimensions r9):
+    drain the events stream through the foreachBatch SCD2 sink — each
+    micro-batch's change-log slice persists append-only and folds into
+    the standing history via scd2_apply_delta in O(touched entities),
+    exactly once through the same atomically-swapped pointer ledger as
+    the rollup store (replayed batch ids skip; a crash before the swap
+    re-folds against unchanged state) — then read the standing
+    dimension. The oracle is the ONE-PASS batch SCD2 build over all
+    events: equality holds because scd2_apply_delta equals the full
+    rebuild even for out-of-order arrivals, so the final history is
+    provably independent of micro-batch boundaries. Re-running against
+    the same checkpoint is a no-op."""
+    import os
+
+    from .streaming.events import read_events_stream
+    from .streaming.sink import read_scd2_store, stream_scd2_into_store
+
+    base = _resident_path("stream_scd2", sf_dir)
+    ev = read_events_stream(spark, sf_dir).select(
+        "user_id", "event_type", "ts", "event_id"
+    )
+    q = stream_scd2_into_store(
+        ev, os.path.join(base, "store"), pk=["user_id"],
+        attr_cols=["event_type"], ts_col="ts",
+        checkpoint_dir=os.path.join(base, "ckpt"),
+        tiebreak_cols=["event_id"],
+    )
+    if not q.awaitTermination(300):
+        q.stop()
+        raise RuntimeError("streaming drain did not finish within 300s")
+    return read_scd2_store(spark, os.path.join(base, "store")).select(
+        "user_id", "event_type", "valid_from", "valid_to", "is_current"
     )

@@ -162,3 +162,122 @@ def read_rollup_store(spark, store_path: str) -> DataFrame:
     if cur is None:
         raise RuntimeError(f"rollup store has no applied batches: {store_path}")
     return spark.read.parquet(cur)
+
+
+# ---------------------------------------------------------------------------
+# streaming SCD2 dimension maintenance (round 9)
+# ---------------------------------------------------------------------------
+
+def fold_scd2_batch(
+    spark,
+    store_path: str,
+    delta_log: DataFrame,
+    batch_id: int,
+    pk: list[str],
+    attr_cols: list[str],
+    ts_col: str,
+    tiebreak_cols: list[str] | None = None,
+) -> bool:
+    """Fold one micro-batch of change-log rows into a standing SCD2
+    dimension store, exactly once — the type-2 counterpart of
+    :func:`fold_rollup_batch`, completing the streaming-warehouse trio
+    (PK MERGE staging → additive rollups → versioned dimensions).
+
+    Store layout: ``log/batch_<id>/`` holds each batch's raw change-log
+    slice APPEND-ONLY (a replayed batch overwrites its own dir with
+    identical content — idempotent); ``hist_<id>/`` dirs are history
+    versions; the CURRENT pointer file records
+    (last_applied_batch_id, current history dir) and swaps atomically
+    AFTER the new version lands, exactly like the rollup ledger — the
+    SCD2 fold is not idempotent (re-folding a batch would rebuild
+    touched entities against a log that already contains it), so
+    at-least-once delivery composes with the ledger into exactly-once
+    history maintenance.
+
+    Scale shape: the fold is :func:`operators.merge.scd2_apply_delta` —
+    O(touched entities) rebuild, untouched history rows unread past an
+    anti-join. The base-log read is a column-pruned semi-join probe
+    (only touched entities' slices feed the rebuild), the same I/O
+    class as the staging MERGE's partition probe; at 100 TB partition
+    ``log/`` by entity-key hash so the probe prunes files too.
+    """
+    import os
+    import shutil
+
+    from ..operators.merge import scd2_apply_delta, scd2_history
+
+    last, cur = _read_rollup_pointer(store_path)
+    if batch_id <= last:
+        return False  # replay of an already-folded batch
+    log_dir = os.path.join(store_path, "log", f"batch_{batch_id}")
+    delta_log.write.mode("overwrite").parquet(log_dir)
+    # re-read the just-written slice: the fold below must see exactly
+    # the persisted bytes (and decouples from the streaming source df)
+    delta = spark.read.parquet(log_dir)
+    prior = []
+    log_root = os.path.join(store_path, "log")
+    for d in sorted(os.listdir(log_root)):
+        bid = int(d.removeprefix("batch_"))
+        if bid < batch_id:
+            prior.append(os.path.join(log_root, d))
+    if cur is None or not prior:
+        new_hist = scd2_history(delta, pk, attr_cols, ts_col, tiebreak_cols)
+    else:
+        base_log = spark.read.parquet(*prior)
+        history = spark.read.parquet(cur)
+        new_hist = scd2_apply_delta(
+            history, base_log, delta, pk, attr_cols, ts_col, tiebreak_cols
+        )
+    new_dir = f"hist_{batch_id}"
+    new_hist.write.mode("overwrite").parquet(os.path.join(store_path, new_dir))
+    tmp = os.path.join(store_path, "CURRENT.tmp")
+    with open(tmp, "w") as fh:
+        fh.write(f"{batch_id}\n{new_dir}")
+    os.replace(tmp, os.path.join(store_path, "CURRENT"))
+    if cur is not None:
+        shutil.rmtree(cur, ignore_errors=True)  # superseded version
+    return True
+
+
+def stream_scd2_into_store(
+    stream: DataFrame,
+    store_path: str,
+    pk: list[str],
+    attr_cols: list[str],
+    ts_col: str,
+    checkpoint_dir: str,
+    tiebreak_cols: list[str] | None = None,
+):
+    """Streaming SCD2 MAINTENANCE: keep a type-2 dimension current
+    against a change stream, O(touched entities) per micro-batch via
+    the exactly-once ledger (:func:`fold_scd2_batch`). Because
+    ``scd2_apply_delta`` equals the full rebuild even for out-of-order
+    arrivals, the final history is independent of micro-batch
+    boundaries — which is what makes the standing store hash-checkable
+    against the one-pass batch build over all events."""
+
+    def upsert(batch_df: DataFrame, batch_id: int) -> None:
+        fold_scd2_batch(
+            batch_df.sparkSession, store_path, batch_df, batch_id,
+            pk, attr_cols, ts_col, tiebreak_cols,
+        )
+
+    return (
+        stream.writeStream
+        .foreachBatch(upsert)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def read_scd2_store(spark, store_path: str) -> DataFrame:
+    """Current SCD2 history (empty store fails loudly, like the rollup
+    read: a consumer before the first fold must not mistake 'not built
+    yet' for 'entity has no history')."""
+    _, cur = _read_rollup_pointer(store_path)
+    if cur is None:
+        raise FileNotFoundError(
+            f"SCD2 store at {store_path} has no applied batches yet"
+        )
+    return spark.read.parquet(cur)

@@ -1015,3 +1015,75 @@ def test_fuzzy_match_delta_is_delta_sided(spark):
     assert set(pairs) == {(11, 1), (11, 2), (11, 4)}
     # base-base near-dups (1 vs 2, distance 1) never appear
     assert all(d == 11 for d, _ in pairs)
+
+
+def test_stream_scd2_maintenance(spark, sf_dir, tmp_path):
+    """Streaming SCD2 maintenance: an available-now drain folds
+    per-batch change-log slices into the standing dimension, whose
+    final history equals the one-pass batch scd2_history over all
+    events (batch-boundary independence); a replayed batch_id is
+    skipped (the non-idempotent-fold ledger), a fresh fold applies and
+    rebuilds only touched entities; reading an empty store fails
+    loudly."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from priority_data_pipeline_azure_sql_db_spark.operators.merge import scd2_history
+    from priority_data_pipeline_azure_sql_db_spark.sources.parquet import load_table
+    from priority_data_pipeline_azure_sql_db_spark.streaming.events import (
+        read_events_stream,
+    )
+    from priority_data_pipeline_azure_sql_db_spark.streaming.sink import (
+        fold_scd2_batch,
+        read_scd2_store,
+        stream_scd2_into_store,
+    )
+
+    store = str(tmp_path / "scd2_store")
+    with pytest.raises(FileNotFoundError, match="no applied batches"):
+        read_scd2_store(spark, store)
+
+    ev = read_events_stream(spark, sf_dir).select(
+        "user_id", "event_type", "ts", "event_id"
+    )
+    q = stream_scd2_into_store(
+        ev, store, pk=["user_id"], attr_cols=["event_type"], ts_col="ts",
+        checkpoint_dir=str(tmp_path / "ckpt"), tiebreak_cols=["event_id"],
+    )
+    assert q.awaitTermination(300), "drain did not finish"
+
+    canon = lambda df: sorted(  # noqa: E731
+        (r.user_id, r.event_type, str(r.valid_from), str(r.valid_to), r.is_current)
+        for r in df.collect()
+    )
+    batch = scd2_history(
+        load_table(spark, sf_dir, "events"), pk=["user_id"],
+        attr_cols=["event_type"], ts_col="ts", tiebreak_cols=["event_id"],
+    )
+    got = canon(read_scd2_store(spark, store))
+    assert got == canon(batch) and len(got) > 0
+
+    # replayed batch id: skipped, store unchanged
+    delta = load_table(spark, sf_dir, "events").filter(
+        F.col("user_id") == 1
+    ).select("user_id", "event_type", "ts", "event_id")
+    assert fold_scd2_batch(
+        spark, store, delta, 0, ["user_id"], ["event_type"], "ts", ["event_id"]
+    ) is False
+    assert canon(read_scd2_store(spark, store)) == got
+
+    # fresh fold with genuinely new rows: applied, only the touched
+    # entity's history changes
+    new_rows = spark.createDataFrame(
+        [(999999, "zz_new_state", "2031-01-01 00:00:00", 10**9)],
+        "user_id bigint, event_type string, ts string, event_id bigint",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    assert fold_scd2_batch(
+        spark, store, new_rows, 10**6, ["user_id"], ["event_type"], "ts",
+        ["event_id"],
+    ) is True
+    after = read_scd2_store(spark, store)
+    assert after.filter(F.col("user_id") == 999999).count() == 1
+    assert canon(after.filter(F.col("user_id") != 999999)) == [
+        r for r in got if r[0] != 999999
+    ]
