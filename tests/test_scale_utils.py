@@ -1087,3 +1087,35 @@ def test_stream_scd2_maintenance(spark, sf_dir, tmp_path):
     assert canon(after.filter(F.col("user_id") != 999999)) == [
         r for r in got if r[0] != 999999
     ]
+
+    # crash window: a version dir + log slice written but the pointer
+    # NOT swapped (simulated by a later-id log dir with no pointer
+    # update) — the re-fold of that batch id applies cleanly against
+    # the unchanged pointer state and overwrites the torn artifacts
+    import os
+    import shutil
+
+    crash_id = 10**6 + 1
+    torn_log = os.path.join(store, "log", f"batch_{crash_id}")
+    new_rows.write.mode("overwrite").parquet(torn_log)
+    os.makedirs(os.path.join(store, f"hist_{crash_id}"), exist_ok=True)
+    before_crash = canon(read_scd2_store(spark, store))
+    more = spark.createDataFrame(
+        [(999999, "zz_second_state", "2032-01-01 00:00:00", 10**9 + 1)],
+        "user_id bigint, event_type string, ts string, event_id bigint",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    assert fold_scd2_batch(
+        spark, store, more, crash_id, ["user_id"], ["event_type"], "ts",
+        ["event_id"],
+    ) is True
+    recovered = read_scd2_store(spark, store)
+    hist_999999 = sorted(
+        (r.event_type, r.is_current)
+        for r in recovered.filter(F.col("user_id") == 999999).collect()
+    )
+    assert hist_999999 == [("zz_new_state", False), ("zz_second_state", True)]
+    # untouched entities identical to the pre-crash state
+    assert canon(recovered.filter(F.col("user_id") != 999999)) == [
+        r for r in before_crash if r[0] != 999999
+    ]
+    shutil.rmtree(store)
