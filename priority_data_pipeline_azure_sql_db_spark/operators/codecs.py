@@ -713,85 +713,63 @@ def encode_jpeg(
     return bytes(out)
 
 
-class _BitReader:
-    """Entropy-segment bit reader: MSB-first, unstuffs 0xFF00, stops at
-    any non-RST marker, byte-aligns + consumes RSTn on restart()."""
-
-    def __init__(self, data: bytes, pos: int) -> None:
-        self.data = data
-        self.pos = pos
-        self.acc = 0
-        self.nbits = 0
-        self.ended = False
-
-    def _fill(self) -> None:
-        if self.ended or self.pos >= len(self.data):
-            self.ended = True
-            # past the marker: feed 0-bits (a conforming stream never
-            # reads them; a truncated one fails loudly in the caller)
-            self.acc = (self.acc << 8)
-            self.nbits += 8
-            return
-        b = self.data[self.pos]
+def _entropy_segments(d: bytes, pos: int) -> list[bytes]:
+    """Entropy-coded data from the SOS payload: unstuff 0xFF00 -> 0xFF
+    and split at RSTn boundaries, stopping at the first real marker
+    (EOI / next segment). One pass over the raw bytes; the per-symbol
+    hot loop below then never checks for markers."""
+    segs: list[bytes] = []
+    cur = bytearray()
+    i, n = pos, len(d)
+    while i < n:
+        b = d[i]
         if b == 0xFF:
-            nxt = self.data[self.pos + 1] if self.pos + 1 < len(self.data) else 0xD9
+            nxt = d[i + 1] if i + 1 < n else 0xD9
             if nxt == 0x00:
-                self.pos += 2
-            elif 0xD0 <= nxt <= 0xD7:
-                # RST marker reached mid-read: only restart() may consume
-                self.ended = True
-                self.acc = self.acc << 8
-                self.nbits += 8
-                return
-            else:  # real marker (EOI / next segment): end of scan data
-                self.ended = True
-                self.acc = self.acc << 8
-                self.nbits += 8
-                return
-        else:
-            self.pos += 1
-        self.acc = (self.acc << 8) | b
-        self.nbits += 8
+                cur.append(0xFF)
+                i += 2
+                continue
+            if 0xD0 <= nxt <= 0xD7:
+                segs.append(bytes(cur))
+                cur = bytearray()
+                i += 2
+                continue
+            break  # real marker: end of scan data
+        cur.append(b)
+        i += 1
+    segs.append(bytes(cur))
+    return segs
 
-    def read_bit(self) -> int:
-        if self.nbits == 0:
-            self._fill()
-        self.nbits -= 1
-        return (self.acc >> self.nbits) & 1
 
-    def receive(self, n: int) -> int:
-        v = 0
-        for _ in range(n):
-            v = (v << 1) | self.read_bit()
-        return v
-
-    def restart(self) -> None:
-        """Byte-align and consume the expected RSTn marker."""
-        self.acc = 0
-        self.nbits = 0
-        self.ended = False
-        while self.pos + 1 < len(self.data):
-            if self.data[self.pos] == 0xFF and 0xD0 <= self.data[self.pos + 1] <= 0xD7:
-                self.pos += 2
-                return
-            self.pos += 1
-        raise ValueError("JPEG: expected restart marker, hit end of data")
+def _huff_lut(bits: list[int], huffval: list[int]) -> tuple[list[int], list[int]]:
+    """Table-driven huffman decode: two 65536-entry lists mapping the
+    NEXT 16 bits of the stream to (code length, symbol) — one list
+    index per symbol instead of up-to-16 bit reads (the difference
+    between ~0.3 and ~4 images/s on a 256x256 decode; plain lists beat
+    ndarray scalar indexing here). Entries not reachable as any code's
+    prefix keep length 0 -> invalid-code error."""
+    lut_len = [0] * 65536
+    lut_sym = [0] * 65536
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        span = 1 << (16 - length)
+        for _ in range(bits[length - 1]):
+            start = code << (16 - length)
+            # C-speed slice fill: the per-entry loop cost ~10 ms per
+            # decode and dominated small images
+            lut_len[start:start + span] = [length] * span
+            lut_sym[start:start + span] = [huffval[k]] * span
+            code += 1
+            k += 1
+        code <<= 1
+    return lut_len, lut_sym
 
 
 def _extend(v: int, t: int) -> int:
     if t == 0:
         return 0
     return v if v >= (1 << (t - 1)) else v - (1 << t) + 1
-
-
-def _huff_decode(reader: _BitReader, table: dict[tuple[int, int], int]) -> int:
-    code = 0
-    for length in range(1, 17):
-        code = (code << 1) | reader.read_bit()
-        sym = table.get((length, code))
-        if sym is not None:
-            return sym
-    raise ValueError("JPEG: invalid huffman code (corrupt or truncated stream)")
 
 
 def decode_jpeg(content: bytes) -> np.ndarray:
@@ -872,17 +850,10 @@ def decode_jpeg(content: bytes) -> np.ndarray:
                 tc, th = body[i] >> 4, body[i] & 15
                 bits = list(body[i + 1: i + 17])
                 n = sum(bits)
+                if len(body) < i + 17 + n:
+                    raise ValueError("JPEG: truncated huffman table")
                 huffval = list(body[i + 17: i + 17 + n])
-                dec: dict[tuple[int, int], int] = {}
-                code = 0
-                k = 0
-                for length in range(1, 17):
-                    for _ in range(bits[length - 1]):
-                        dec[(length, code)] = huffval[k]
-                        code += 1
-                        k += 1
-                    code <<= 1
-                htabs[(tc, th)] = dec
+                htabs[(tc, th)] = _huff_lut(bits, huffval)
                 i += 17 + n
         elif marker == 0xDD:  # DRI
             (restart_interval,) = struct.unpack_from(">H", body, 0)
@@ -906,52 +877,116 @@ def decode_jpeg(content: bytes) -> np.ndarray:
     planes = [
         np.zeros((mcus_y * 8 * v, mcus_x * 8 * h)) for _, h, v, _ in comps
     ]
-    reader = _BitReader(d, pos)
+    segments = _entropy_segments(d, pos)
     preds = [0] * len(comps)
     n_mcus = mcus_y * mcus_x
+    # pre-resolve per-component tables once (the MCU loop is the hot path)
+    ctabs = []
+    for cid, hi, vi, tq in comps:
+        dc_id, ac_id = scan[cid]
+        dct = htabs.get((0, dc_id))
+        act = htabs.get((1, ac_id))
+        q = qtabs.get(tq)
+        if dct is None or act is None or q is None:
+            raise ValueError("JPEG: scan references undefined table")
+        ctabs.append((dct[0], dct[1], act[0], act[1], q.ravel()))
+    zz_order = [int(z) for z in _ZIGZAG]
+    # bit cursor over the current unstuffed segment: acc holds the low
+    # `nb` undelivered bits; every symbol is ONE 16-bit peek + LUT index
+    seg_idx = 0
+    data = segments[0]
+    dn = len(data)
+    di = 0
+    acc = 0
+    nb = 0
+    truncated = ValueError("JPEG: entropy data truncated mid-scan")
+    coef_flat = np.zeros(64, dtype=np.float64)
     for m in range(n_mcus):
         if restart_interval and m and m % restart_interval == 0:
-            reader.restart()
+            seg_idx += 1
+            if seg_idx >= len(segments):
+                raise ValueError("JPEG: expected restart marker, hit end of data")
+            data = segments[seg_idx]
+            dn = len(data)
+            di = 0
+            acc = 0
+            nb = 0
             preds = [0] * len(comps)
         my, mx = divmod(m, mcus_x)
         for ci, (cid, hi, vi, tq) in enumerate(comps):
-            dc_id, ac_id = scan[cid]
-            dct = htabs.get((0, dc_id))
-            act = htabs.get((1, ac_id))
-            q = qtabs.get(tq)
-            if dct is None or act is None or q is None:
-                raise ValueError("JPEG: scan references undefined table")
+            dc_len, dc_sym, ac_len, ac_sym, q_flat = ctabs[ci]
             for by in range(vi):
                 for bx in range(hi):
-                    t = _huff_decode(reader, dct)
-                    preds[ci] += _extend(reader.receive(t), t)
-                    zz = np.zeros(64, dtype=np.int64)
-                    zz[0] = preds[ci]
+                    coef_flat[:] = 0.0
+                    # --- DC ---
+                    while nb < 16 and di < dn:
+                        acc = (acc << 8) | data[di]
+                        di += 1
+                        nb += 8
+                    peek = (acc << (16 - nb)) & 0xFFFF if nb < 16                         else (acc >> (nb - 16)) & 0xFFFF
+                    ln = dc_len[peek]
+                    if ln == 0 or ln > nb:
+                        raise truncated if di >= dn else ValueError(
+                            "JPEG: invalid huffman code (corrupt stream)"
+                        )
+                    t = dc_sym[peek]
+                    nb -= ln
+                    acc &= (1 << nb) - 1
+                    if t:
+                        while nb < t:
+                            if di >= dn:
+                                raise truncated
+                            acc = (acc << 8) | data[di]
+                            di += 1
+                            nb += 8
+                        v = (acc >> (nb - t)) & ((1 << t) - 1)
+                        nb -= t
+                        acc &= (1 << nb) - 1
+                        preds[ci] += v if v >= (1 << (t - 1)) else v - (1 << t) + 1
+                    coef_flat[0] = preds[ci] * q_flat[0]
+                    # --- AC ---
                     k = 1
                     while k < 64:
-                        rs = _huff_decode(reader, act)
-                        r, s = rs >> 4, rs & 15
+                        while nb < 16 and di < dn:
+                            acc = (acc << 8) | data[di]
+                            di += 1
+                            nb += 8
+                        peek = (acc << (16 - nb)) & 0xFFFF if nb < 16                             else (acc >> (nb - 16)) & 0xFFFF
+                        ln = ac_len[peek]
+                        if ln == 0 or ln > nb:
+                            raise truncated if di >= dn else ValueError(
+                                "JPEG: invalid huffman code (corrupt stream)"
+                            )
+                        rs = ac_sym[peek]
+                        nb -= ln
+                        acc &= (1 << nb) - 1
+                        s = rs & 15
                         if s == 0:
-                            if r == 15:
+                            if rs == 0xF0:
                                 k += 16
                                 continue
                             break  # EOB
-                        k += r
+                        k += rs >> 4
                         if k > 63:
                             raise ValueError("JPEG: AC run past block end")
-                        zz[k] = _extend(reader.receive(s), s)
+                        while nb < s:
+                            if di >= dn:
+                                raise truncated
+                            acc = (acc << 8) | data[di]
+                            di += 1
+                            nb += 8
+                        v = (acc >> (nb - s)) & ((1 << s) - 1)
+                        nb -= s
+                        acc &= (1 << nb) - 1
+                        zk = zz_order[k]
+                        coef_flat[zk] = (
+                            v if v >= (1 << (s - 1)) else v - (1 << s) + 1
+                        ) * q_flat[zk]
                         k += 1
-                    nat = np.zeros(64, dtype=np.int64)
-                    nat[_ZIGZAG] = zz
-                    coef = (nat.reshape(8, 8) * q).astype(np.float64)
-                    blk = _DCT.T @ coef @ _DCT + 128.0
+                    blk = _DCT.T @ coef_flat.reshape(8, 8) @ _DCT + 128.0
                     r0 = (my * vi + by) * 8
                     c0 = (mx * hi + bx) * 8
                     planes[ci][r0:r0 + 8, c0:c0 + 8] = blk
-        if reader.ended and m < n_mcus - 1 and not (
-            restart_interval and (m + 1) % restart_interval == 0
-        ):
-            raise ValueError("JPEG: entropy data truncated mid-scan")
     up = []
     for (cid, hi, vi, tq), plane in zip(comps, planes):
         p = np.repeat(np.repeat(plane, vmax // vi, axis=0), hmax // hi, axis=1)
