@@ -7422,8 +7422,8 @@ def profile_source_dup_pressure(spark, sf_dir):
 # ---------------------------------------------------------------------------
 # round-9 late registrations — BELOW the round-9 driver window (which is
 # promised to the 44 round-8 late registrations + 6 of the r6 bucket);
-# these 4 lead the round-10 window together with the 36-entry r6
-# remainder. Held to 4 new entries this round (VERDICT r8 ask #4:
+# these 5 lead the round-10 window together with the 36-entry r6
+# remainder. Held to 5 new entries this round (VERDICT r8 ask #4:
 # registration ≤10/round so the 50-slot window keeps the ≤3-round
 # staleness invariant achievable).
 # ---------------------------------------------------------------------------
@@ -7656,3 +7656,135 @@ def streaming_scd2_maintenance(spark, sf_dir):
     return read_scd2_store(spark, os.path.join(base, "store")).select(
         "user_id", "event_type", "valid_from", "valid_to", "is_current"
     )
+
+
+@query(
+    "er_assign_to_golden",
+    f"""
+    WITH RECURSIVE t AS ({_ER_ORACLE_T}
+    ), base AS (
+        SELECT * FROM t WHERE id % 10 <> 0
+    ), delta AS (
+        SELECT * FROM t WHERE id % 10 = 0
+    ), pairs AS (
+        SELECT a.id AS id_a, b.id AS id_b
+        FROM base a JOIN base b
+          ON a.c_nationkey = b.c_nationkey AND a.pfx = b.pfx
+         AND a.id < b.id
+        WHERE levenshtein(a.key, b.key) <= 2
+    ), edges AS (
+        SELECT id_a AS u, id_b AS v FROM pairs
+        UNION SELECT id_b, id_a FROM pairs
+    ), reach(node, label) AS (
+        SELECT u, u FROM edges
+        UNION
+        SELECT e.v, r.label FROM reach r JOIN edges e ON r.node = e.u
+    ), comp AS (
+        SELECT node, MIN(label) AS cluster_id FROM reach GROUP BY node
+    ), fullcomp AS (
+        SELECT b.id AS node,
+               COALESCE(c.cluster_id, b.id) AS cluster_id
+        FROM base b LEFT JOIN comp c ON c.node = b.id
+    ), m AS (
+        SELECT d.id AS delta_id, b.id AS base_id,
+               CAST(levenshtein(d.key, b.key) AS BIGINT) AS edit_distance
+        FROM delta d JOIN base b
+          ON d.c_nationkey = b.c_nationkey AND d.pfx = b.pfx
+         AND d.id <> b.id
+        WHERE levenshtein(d.key, b.key) <= 2
+    ), best AS (
+        SELECT delta_id, base_id, edit_distance
+        FROM (
+            SELECT m.*, ROW_NUMBER() OVER (
+                PARTITION BY delta_id ORDER BY edit_distance, base_id
+            ) AS rn
+            FROM m
+        ) WHERE rn = 1
+    )
+    SELECT d.id AS delta_id,
+           CAST(COALESCE(fc.cluster_id, d.id) AS BIGINT) AS cluster_id,
+           COALESCE(g.key, d.key) AS golden_name,
+           b.edit_distance,
+           (b.delta_id IS NOT NULL) AS matched
+    FROM delta d
+    LEFT JOIN best b ON b.delta_id = d.id
+    LEFT JOIN fullcomp fc ON fc.node = b.base_id
+    LEFT JOIN t g ON g.id = fc.cluster_id
+    """,
+)
+def er_assign_to_golden(spark, sf_dir):
+    """GOLDEN-RECORD ASSIGNMENT (round 9) — the second half of the
+    incremental-ER serve loop: er_incremental_match finds each arriving
+    record's candidates; this query ASSIGNS each arrival to a standing
+    golden cluster — nearest base match (min edit distance, min base_id
+    tiebreak — one delta-keyed window over the match set, never the
+    corpus) pulls in that match's connected-component cluster and its
+    golden name (cluster-min id's name, the batch pass's survivorship
+    rule); unmatched arrivals seed their own new cluster (cluster_id =
+    own id, golden name = own name — exactly what the next batch ER
+    pass would conclude for a singleton). Shape: O(delta) blocking join
+    + O(matches) window + three broadcast-sized joins against the
+    cluster map; the base is scanned, never self-paired at serve time.
+    The oracle replays clustering as a recursive CTE over the BASE
+    (the standing state) and the identical ranking."""
+    from pyspark.sql import Window
+
+    from .operators.dedup import fuzzy_match_delta, fuzzy_match_pairs
+    from .operators.graph import connected_components
+
+    c = _er_blocked_customers(spark, sf_dir)
+    base = c.filter(F.col("c_custkey") % 10 != 0)
+    delta = c.filter(F.col("c_custkey") % 10 == 0)
+    # standing state: clusters over the base (build-once in production)
+    pairs = fuzzy_match_pairs(
+        base, key_col="c_name", id_col="c_custkey",
+        block_cols=["c_nationkey", "_name_block"], max_edit=2,
+    )
+    comp = connected_components(pairs, "id_a", "id_b")
+    # serve: nearest base match per arriving record
+    m = fuzzy_match_delta(
+        base, delta, key_col="c_name", id_col="c_custkey",
+        block_cols=["c_nationkey", "_name_block"], max_edit=2,
+    )
+    w = Window.partitionBy("delta_id").orderBy("edit_distance", "base_id")
+    best = (
+        m.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("delta_id", "base_id", "edit_distance")
+    )
+    cluster_of = comp.select(
+        F.col("node").alias("base_id"), F.col("component").alias("_cl")
+    )
+    golden = c.select(
+        F.col("c_custkey").alias("_gid"), F.col("c_name").alias("_gname")
+    )
+    out = (
+        delta.select(
+            F.col("c_custkey").alias("delta_id"),
+            F.col("c_name").alias("_own_name"),
+        )
+        .join(best, "delta_id", "left")
+        .join(cluster_of, "base_id", "left")
+        # singleton base records have no component row: their cluster is
+        # themselves (same COALESCE as the oracle's fullcomp)
+        .withColumn(
+            "cluster_id",
+            F.coalesce(
+                F.col("_cl"),
+                F.col("base_id"),
+                F.col("delta_id"),
+            ).cast("bigint"),
+        )
+        .join(golden, F.col("_gid") == F.col("cluster_id"), "left")
+        .select(
+            "delta_id",
+            "cluster_id",
+            F.coalesce(
+                F.when(F.col("base_id").isNotNull(), F.col("_gname")),
+                F.col("_own_name"),
+            ).alias("golden_name"),
+            "edit_distance",
+            F.col("base_id").isNotNull().alias("matched"),
+        )
+    )
+    return out
