@@ -2298,16 +2298,54 @@ def ann_cosine_topk_ivf(spark, sf_dir):
     ).orderBy("query_id", "rank")
 
 
-@query("multimodal_frame_sample")  # stubbed codec → rows-only check
+@query(
+    "multimodal_frame_sample",
+    """
+    WITH src AS (
+        SELECT doc_id, COALESCE(text, '') AS t
+        FROM documents WHERE doc_id < 200
+    ), meta AS (
+        SELECT doc_id, t, GREATEST(length(t) // 16, 1) AS n_chunks
+        FROM src
+    ), frames AS (
+        SELECT doc_id,
+               CAST(u.fi AS INT) AS frame_index,
+               substr(t, CAST(u.fi AS INT) * 160 + 1, 16) AS fs
+        FROM meta, LATERAL (
+            SELECT UNNEST(range(LEAST(
+                CAST((n_chunks + 9) // 10 AS BIGINT), 8))) AS fi
+        ) u
+    )
+    SELECT doc_id AS media_id, frame_index,
+           CAST(length(fs) AS BIGINT) AS n_bytes,
+           md5(fs) AS frame_md5
+    FROM frames
+    """,
+)
 def multimodal_frame_sample(spark, sf_dir):
-    """1:N frame sampling over binary media blobs via mapInPandas (codec
-    stubbed; fan-out shape + deterministic slicing tested in
-    tests/test_operators.py)."""
+    """1:N frame sampling over binary media blobs via mapInPandas — the
+    output batch need not align 1:1 with the input batch, exactly how a
+    real av demuxer streams frames (real decode is PIL/av-gated; the
+    in-sandbox frame source slices the blob into fixed 16-byte fake
+    frames deterministically). Round 9: upgraded from rows-only to a
+    FULL HASH oracle — the graded projection is (media_id, frame_index,
+    byte length, md5 of the frame bytes), and because the fixture text
+    is pure ASCII (verified: zero non-ASCII rows), DuckDB's character
+    slicing replays the byte slicing exactly and md5(VARCHAR) equals
+    Spark's md5(BINARY) over the same utf-8 bytes. Every frame's
+    CONTENT is now value-checked, not just the fan-out row count
+    (the multimodal_real_codec upgrade pattern from r8)."""
     from .operators.multimodal import documents_as_media, sample_frames
 
     d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
     media = documents_as_media(d).withColumn("media_type", F.lit("video"))
-    return sample_frames(media, every_nth=10, max_frames=8)
+    frames = sample_frames(media, every_nth=10, max_frames=8)
+    return frames.select(
+        "media_id",
+        F.col("frame_index").cast("int").alias("frame_index"),
+        F.length("frame").cast("bigint").alias("n_bytes"),
+        F.md5("frame").alias("frame_md5"),
+    )
 
 
 @query(
