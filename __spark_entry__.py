@@ -54,11 +54,19 @@ def entry(spark: SparkSession) -> DataFrame:
 #   r11: r7 bucket remainder + r8 bucket head — fills to 50
 #   r12: r8 bucket remainder + r9-window entries turning 3-stale
 # Under this round-robin no entry's age ever exceeds 3 rounds as long
-# as net registration stays ≤10/round (this round adds 2).
+# as net registration stays ≤10/round (this round adds 5).
 # Below the window: the r6 bucket remainder (36, lead r10), the r7
-# bucket (46), the r8 bucket (50), and this round's 2 late
-# registrations (pipeline_refresh_cdc_audit, er_blocking_skew_audit) —
-# all comparator-verified locally at sf0.01 AND sf0.1 this session.
+# bucket (46), the r8 bucket (50), and this round's 5 late
+# registrations (pipeline_refresh_cdc_audit, er_blocking_skew_audit,
+# er_incremental_match, streaming_scd2_maintenance,
+# er_assign_to_golden) — all comparator-verified locally at sf0.01
+# AND sf0.1 this session (and under a vanilla session). ALSO
+# r10-head material: multimodal_frame_sample (r8 bucket) had its
+# oracle UPGRADED this round from rows-only to a full frame-content
+# hash (md5 projection); dedup_boilerplate_lines' operator gained the
+# non-empty-kept drop_empty contract — changed-code/oracle entries
+# carry the highest driver-divergence risk and should precede their
+# bucket's rotation order at the r10 window head.
 CHECK_ORDER = [
     # (1) the 44 round-8 late registrations, registration order
     "dedup_duplicated_spans",
