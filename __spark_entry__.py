@@ -61,12 +61,13 @@ def entry(spark: SparkSession) -> DataFrame:
 # er_incremental_match, streaming_scd2_maintenance,
 # er_assign_to_golden) — all comparator-verified locally at sf0.01
 # AND sf0.1 this session (and under a vanilla session). ALSO
-# r10-head material: multimodal_frame_sample (r8 bucket) had its
-# oracle UPGRADED this round from rows-only to a full frame-content
-# hash (md5 projection); dedup_boilerplate_lines' operator gained the
-# non-empty-kept drop_empty contract — changed-code/oracle entries
-# carry the highest driver-divergence risk and should precede their
-# bucket's rotation order at the r10 window head.
+# r10-head material: four entries had code/oracle CHANGES this round
+# and should precede their buckets' rotation order at the r10 window
+# head — multimodal_frame_sample, pack_greedy_sequences, and
+# streaming_stateful_user_totals were upgraded from rows-only to full
+# hash oracles (md5 frame projection / recursive-CTE greedy walk /
+# final-state projection), and dedup_boilerplate_lines' operator
+# gained the non-empty-kept drop_empty contract.
 CHECK_ORDER = [
     # (1) the 44 round-8 late registrations, registration order
     "dedup_duplicated_spans",

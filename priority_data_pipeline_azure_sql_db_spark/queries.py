@@ -2548,16 +2548,38 @@ def streaming_merge_staging(spark, sf_dir):
     )
 
 
-@query("streaming_stateful_user_totals")  # custom stateful op → rows-only check
+@query(
+    "streaming_stateful_user_totals",
+    """
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_events_total,
+           (SUM(value) > 1000.0) AS alert
+    FROM events GROUP BY user_id
+    """,
+)
 def streaming_stateful_user_totals(spark, sf_dir):
     """applyInPandasWithState running per-user totals + alert flag — the
-    custom-stateful-operator shape (state = O(active keys)). Equivalence
-    to the batch aggregate is asserted in tests/test_scale_utils.py."""
+    custom-stateful-operator shape (state = O(active keys)). Round 9:
+    upgraded from rows-only to a HASH oracle on the batch-boundary-
+    INDEPENDENT projection: the update-mode memory sink holds one row
+    per (user, touching micro-batch), so the graded result takes each
+    user's FINAL state (max_by over the strictly-increasing event
+    count) and checks (user_id, n_events_total, alert) against the
+    one-pass batch aggregate. value_total itself stays outside the
+    hash — it accumulates in arrival-order float addition that no SQL
+    SUM order replays (it is pytest-checked to 6dp instead,
+    tests/test_scale_utils.py) — but the alert BIT is safe to check:
+    the closest per-user total sits 461+ from the 1000 threshold at
+    both graded scales, dwarfing any summation-order ulp."""
     from .streaming.events import read_events_stream, run_streaming_to_memory
     from .streaming.stateful import running_user_totals
 
-    return run_streaming_to_memory(
+    updates = run_streaming_to_memory(
         running_user_totals(read_events_stream(spark, sf_dir)), mode="update"
+    )
+    return updates.groupBy("user_id").agg(
+        F.max("n_events_total").cast("bigint").alias("n_events_total"),
+        F.expr("max_by(alert, n_events_total)").alias("alert"),
     )
 
 
@@ -4115,16 +4137,50 @@ def text_bpe_train(spark, sf_dir):
     ).orderBy("rank")
 
 
-@query("pack_greedy_sequences")  # sequential reset scan: no SQL twin → rows-only
+@query(
+    "pack_greedy_sequences",
+    """
+    WITH RECURSIVE docs AS (
+        SELECT CAST(doc_id % 8 AS BIGINT) AS shard, doc_id,
+               CAST(LEN(string_split_regex(trim(text), '\\s+')) AS BIGINT)
+                   AS n_tokens,
+               ROW_NUMBER() OVER (
+                   PARTITION BY doc_id % 8 ORDER BY doc_id
+               ) AS rn
+        FROM documents
+    ), walk(shard, rn, doc_id, n_tokens, seq_id, offset_in_seq, fill) AS (
+        SELECT shard, rn, doc_id, n_tokens,
+               CAST(0 AS BIGINT), CAST(0 AS BIGINT), n_tokens
+        FROM docs WHERE rn = 1
+        UNION ALL
+        SELECT d.shard, d.rn, d.doc_id, d.n_tokens,
+               CASE WHEN w.fill + d.n_tokens > 512
+                    THEN w.seq_id + 1 ELSE w.seq_id END,
+               CASE WHEN w.fill + d.n_tokens > 512
+                    THEN CAST(0 AS BIGINT) ELSE w.fill END,
+               CASE WHEN w.fill + d.n_tokens > 512
+                    THEN d.n_tokens ELSE w.fill + d.n_tokens END
+        FROM walk w JOIN docs d ON d.shard = w.shard AND d.rn = w.rn + 1
+    )
+    SELECT shard, doc_id, n_tokens, seq_id, offset_in_seq,
+           (n_tokens > 512) AS overflow
+    FROM walk
+    """,
+)
 def pack_greedy_sequences(spark, sf_dir):
     """Greedy NEVER-SPLIT packing (next-fit per shard): the second
     pretraining layout (pack_training_sequences is concat-and-chunk).
-    No SQL twin exists — the scan resets state on overflow, which no
-    window frame expresses — so the driver row-count check plus the
-    pytest invariants (tests/test_operators.py: never split, budget
-    respected, order preserved, matches a pure-Python reference) carry
-    correctness. Row count == document count by construction (every doc
-    appears exactly once, split never)."""
+    Round 9: upgraded from rows-only to a FULL HASH oracle — the
+    "sequential reset scan no window expresses" IS expressible as a
+    row-at-a-time recursive CTE walking each shard in id order with
+    (seq_id, fill) as recursion state: a doc opens a new sequence iff
+    fill + n > budget (overflow docs land alone automatically — their
+    own count exceeds the budget at offset 0, and whatever follows
+    re-opens). The CTE advances every shard one row per iteration, so
+    recursion depth = max shard length, not corpus size. Every doc's
+    (seq_id, offset, overflow) placement is now value-checked against
+    the independent sequential construction — stronger than the pytest
+    reference alone (which shares no code with neither side)."""
     from .operators.pack import pack_greedy
 
     d = load_table(spark, sf_dir, "documents").withColumn(
