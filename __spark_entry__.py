@@ -35,8 +35,10 @@ def entry(spark: SparkSession) -> DataFrame:
 # and dedup_span_removal now pass max_gram_freq and replay the cap in
 # the oracle as a doc-frequency CTE (r8 "What's wrong" #1);
 # er_fuzzy_customer_pairs and er_golden_records now block on the
-# compound (nation, pigeonhole name segment) key with the identical
-# segmentation in the oracle (r8 "What's wrong" #2).
+# compound (nation, name-prefix) key with the identical prefix
+# expression in the oracle (r8 "What's wrong" #2; pigeonhole
+# segmentation was measured and rejected — the fixture names' constant
+# prefix gives segment blocking zero pruning power).
 # (2) the first 6 entries of the 42-entry r6 bucket, in r6 order
 # (pack/embedding/text/curation) — 3 rounds stale at this check.
 # 44 + 6 = 50.
