@@ -782,7 +782,25 @@ def decode_jpeg(content: bytes) -> np.ndarray:
     NotImplementedError — the honest format boundary, same stance as
     PNG's interlace guard. Nearest-neighbor chroma upsampling (the
     fancy-upsampling difference is sub-rounding-error for the feature/
-    hash consumers here)."""
+    hash consumers here).
+
+    Total over malformed input: every corrupt/truncated stream raises
+    ValueError (or NotImplementedError at a format boundary), never a
+    raw IndexError/struct.error — the call sites (extract_features /
+    image_phash) rely on that to fall back to the tagged stub instead
+    of failing the Spark task on one bad blob in a corpus.
+    """
+    try:
+        return _decode_jpeg_impl(content)
+    except (IndexError, struct.error) as exc:
+        # A lying segment length or a stream ending mid-header indexes
+        # past the buffer; normalize to the advertised ValueError.
+        raise ValueError(
+            f"JPEG: malformed stream ({type(exc).__name__}: {exc})"
+        ) from exc
+
+
+def _decode_jpeg_impl(content: bytes) -> np.ndarray:
     d = content
     if d[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG: missing SOI marker")

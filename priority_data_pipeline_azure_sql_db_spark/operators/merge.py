@@ -65,13 +65,21 @@ def snapshot_diff(
     same table family, so bucket/partition them identically and the join
     is co-located with no shuffle (the StagingStore layout already
     partitions by PK hash). Row equality is column-wise with NULL-safe
-    ``<=>`` over ``compare_cols`` (default: all shared non-PK columns,
-    name-sorted so the comparison set is deterministic) — no row-hash,
-    so engines can't disagree on serialization.
+    ``<=>`` over ``compare_cols`` (default ``None``: all shared non-PK
+    columns, name-sorted so the comparison set is deterministic) — no
+    row-hash, so engines can't disagree on serialization.
+
+    ``compare_cols=[]`` is a VALID, distinct input meaning "compare
+    nothing": every PK present on both sides is ``unchanged``. A caller
+    like ``cdc_audit_delta`` that subtracts audit columns from the
+    shared set can legitimately end up with an empty compare list; the
+    old ``or``-fallback silently re-included the audit columns and
+    misclassified byte-identical re-fetches as updated (round-9 ADVICE
+    fix).
     """
-    compare = compare_cols or sorted(
+    compare = sorted(
         (set(old.columns) & set(new.columns)) - set(pk)
-    )
+    ) if compare_cols is None else compare_cols
     o = old.alias("o")
     n = new.alias("n")
     cond = None

@@ -332,7 +332,10 @@ def phash_near_dup_pairs(
     feeding the blocks (``when``/``raise_error``, not a droppable
     assert column Catalyst would prune) — fail loud, not wrong pairs."""
     n_bits = hash_size * hash_size
-    hex_len = n_bits // 4
+    # ceil, matching image_phash's (n_bits + 3) // 4 formatting width —
+    # floor disagreed for odd hash_size and tripped the length check on
+    # every row (round-9 ADVICE fix).
+    hex_len = (n_bits + 3) // 4
     if hex_len % n_blocks:
         raise ValueError(
             f"hex length {hex_len} (hash_size={hash_size}) is not "

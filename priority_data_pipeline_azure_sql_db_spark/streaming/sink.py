@@ -168,6 +168,33 @@ def read_rollup_store(spark, store_path: str) -> DataFrame:
 # streaming SCD2 dimension maintenance (round 9)
 # ---------------------------------------------------------------------------
 
+def _scd2_log_state(log_root: str):
+    """Inventory of the SCD2 change log: (newest compact id, its dir,
+    {slice batch_id: dir}). Ignores ``.compact_*.tmp`` junk from a
+    crashed compaction — only a fully renamed ``compact_<id>`` dir is
+    live, so a mid-compaction crash can never double-count rows."""
+    import os
+
+    compacts: list[tuple[int, str]] = []
+    slices: dict[int, str] = {}
+    if not os.path.isdir(log_root):
+        return None, None, slices
+    for d in os.listdir(log_root):
+        p = os.path.join(log_root, d)
+        if d.startswith("batch_"):
+            try:
+                slices[int(d.removeprefix("batch_"))] = p
+            except ValueError:
+                continue
+        elif d.startswith("compact_") and not d.endswith(".tmp"):
+            try:
+                compacts.append((int(d.removeprefix("compact_")), p))
+            except ValueError:
+                continue
+    cid, cdir = max(compacts) if compacts else (None, None)
+    return cid, cdir, slices
+
+
 def fold_scd2_batch(
     spark,
     store_path: str,
@@ -177,6 +204,8 @@ def fold_scd2_batch(
     attr_cols: list[str],
     ts_col: str,
     tiebreak_cols: list[str] | None = None,
+    n_log_buckets: int = 16,
+    compact_every: int = 8,
 ) -> bool:
     """Fold one micro-batch of change-log rows into a standing SCD2
     dimension store, exactly once — the type-2 counterpart of
@@ -196,34 +225,62 @@ def fold_scd2_batch(
 
     Scale shape: the fold is :func:`operators.merge.scd2_apply_delta` —
     O(touched entities) rebuild, untouched history rows unread past an
-    anti-join. The base-log read is a column-pruned semi-join probe
-    (only touched entities' slices feed the rebuild), the same I/O
-    class as the staging MERGE's partition probe; at 100 TB partition
-    ``log/`` by entity-key hash so the probe prunes files too.
+    anti-join. The base-log read prunes FILES, not just rows (round-9
+    ADVICE fix — the semi-join alone still read the whole history's
+    slices): every slice is written hive-partitioned by
+    ``_kb = pmod(xxhash64(pk), n_log_buckets)``, and the fold reads
+    prior log roots with ``_kb IN (delta's touched buckets)``, so an
+    entity-local micro-batch touches 1/n_log_buckets of the log bytes.
+    Slice-count growth is bounded by crash-safe compaction: once
+    ``compact_every`` live slices accumulate, they merge into one
+    ``compact_<id>`` root (written to a ``.tmp`` dir, renamed, THEN the
+    superseded dirs are deleted — a crash between rename and delete
+    leaves stale slices that the floor ``id > compact_id`` excludes
+    from reads, never double-counted). Per-batch log I/O is therefore
+    O(touched buckets × bounded slice count), independent of total
+    stream history.
     """
     import os
     import shutil
+    from functools import reduce
+
+    from pyspark.sql import functions as F
 
     from ..operators.merge import scd2_apply_delta, scd2_history
 
     last, cur = _read_rollup_pointer(store_path)
     if batch_id <= last:
         return False  # replay of an already-folded batch
-    log_dir = os.path.join(store_path, "log", f"batch_{batch_id}")
-    delta_log.write.mode("overwrite").parquet(log_dir)
+    log_root = os.path.join(store_path, "log")
+    log_dir = os.path.join(log_root, f"batch_{batch_id}")
+    kb = F.pmod(
+        F.xxhash64(*[F.col(c) for c in pk]), F.lit(n_log_buckets)
+    ).cast("int")
+    (delta_log.withColumn("_kb", kb)
+        .write.partitionBy("_kb").mode("overwrite").parquet(log_dir))
     # re-read the just-written slice: the fold below must see exactly
     # the persisted bytes (and decouples from the streaming source df)
-    delta = spark.read.parquet(log_dir)
-    prior = []
-    log_root = os.path.join(store_path, "log")
-    for d in sorted(os.listdir(log_root)):
-        bid = int(d.removeprefix("batch_"))
-        if bid < batch_id:
-            prior.append(os.path.join(log_root, d))
-    if cur is None or not prior:
+    slice_df = spark.read.parquet(log_dir)
+    # O(n_log_buckets) metadata collect — which partitions this batch touches
+    touched = [r[0] for r in slice_df.select("_kb").distinct().collect()]
+    delta = slice_df.drop("_kb")
+    cid, cdir, slices = _scd2_log_state(log_root)
+    floor = cid if cid is not None else -1
+    prior_roots = ([cdir] if cdir is not None else []) + [
+        p for b, p in sorted(slices.items()) if floor < b < batch_id
+    ]
+    if cur is None or not prior_roots:
         new_hist = scd2_history(delta, pk, attr_cols, ts_col, tiebreak_cols)
     else:
-        base_log = spark.read.parquet(*prior)
+        base_log = reduce(
+            lambda a, b: a.unionByName(b),
+            [
+                # partition-directory pruning: untouched _kb= dirs unread
+                spark.read.parquet(p)
+                .where(F.col("_kb").isin(touched)).drop("_kb")
+                for p in prior_roots
+            ],
+        )
         history = spark.read.parquet(cur)
         new_hist = scd2_apply_delta(
             history, base_log, delta, pk, attr_cols, ts_col, tiebreak_cols
@@ -236,6 +293,24 @@ def fold_scd2_batch(
     os.replace(tmp, os.path.join(store_path, "CURRENT"))
     if cur is not None:
         shutil.rmtree(cur, ignore_errors=True)  # superseded version
+    # crash-safe log compaction, AFTER the pointer swap (the fold above
+    # already consumed the slices; compaction only bounds future reads)
+    live = [(b, p) for b, p in slices.items() if floor < b <= batch_id]
+    if (batch_id, log_dir) not in live:
+        live.append((batch_id, log_dir))
+    if len(live) >= compact_every:
+        parts = ([spark.read.parquet(cdir)] if cdir is not None else []) + [
+            spark.read.parquet(p) for _, p in sorted(live)
+        ]
+        merged_log = reduce(lambda a, b: a.unionByName(b), parts)
+        tmp_dir = os.path.join(log_root, f".compact_{batch_id}.tmp")
+        shutil.rmtree(tmp_dir, ignore_errors=True)
+        merged_log.write.partitionBy("_kb").mode("overwrite").parquet(tmp_dir)
+        os.rename(tmp_dir, os.path.join(log_root, f"compact_{batch_id}"))
+        for _, p in live:
+            shutil.rmtree(p, ignore_errors=True)
+        if cdir is not None:
+            shutil.rmtree(cdir, ignore_errors=True)
     return True
 
 

@@ -796,6 +796,35 @@ def test_phash_near_dup_pairs_hash_size_generic(spark):
     with pytest.raises(ValueError, match="divisible"):
         phash_near_dup_pairs(df, n_blocks=3, hash_size=16)
 
+    # round-10 ADVICE fix: odd hash_size — the pair finder's expected
+    # width must CEIL like image_phash's (n_bits+3)//4 formatting, so
+    # a 5x5 hash (25 bits -> 7 hex) flows through instead of tripping
+    # the length check on every row
+    import numpy as np
+
+    from priority_data_pipeline_azure_sql_db_spark.operators import codecs
+    from priority_data_pipeline_azure_sql_db_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        image_phash,
+    )
+
+    y, x = np.mgrid[0:16, 0:16]
+    px = np.stack([x * 16, y * 16, (x + y) * 8], axis=-1).astype(np.uint8)
+    media = spark.createDataFrame(
+        [(1, "image", bytearray(codecs.encode_bmp(px)), None, None, None),
+         (2, "image", bytearray(codecs.encode_bmp(px)), None, None, None)],
+        MEDIA_SCHEMA,
+    )
+    odd = image_phash(media, hash_size=5)
+    assert all(len(r["phash"]) == 7 for r in odd.collect())
+    got_odd = {
+        (r["id_a"], r["id_b"]): r["distance"]
+        for r in phash_near_dup_pairs(
+            odd, max_distance=2, hash_size=5, n_blocks=7
+        ).collect()
+    }
+    assert got_odd == {(1, 2): 0}
+
 
 def test_negative_samples_excludes_positives(spark):
     """Contrastive negatives never collide with the query's top-k
@@ -1108,3 +1137,57 @@ def test_codec_jpeg_boundaries_and_dispatch(spark):
     hashes = {r["media_id"]: r["phash"] for r in image_phash(media).collect()}
     d = bin(int(hashes[1], 16) ^ int(hashes[2], 16)).count("1")
     assert d <= 6, f"cross-codec BMP vs JPEG hamming {d}"
+
+
+def test_codec_jpeg_total_over_malformed(spark):
+    """decode_jpeg is a TOTAL function over corrupt input: every
+    malformed/truncated stream raises ValueError (or
+    NotImplementedError at a format boundary), never a raw
+    IndexError/struct.error that would escape the call sites'
+    except clauses and fail a whole Spark task on one bad corpus blob
+    (round-9 ADVICE). Covers the advisor's two repros — a blob ending
+    in 0xFF mid-header and a lying SOF segment length — plus a
+    byte-truncation sweep of a real stream, and the end-to-end
+    contract: one corrupt blob in extract_features/image_phash input
+    falls back to the stub / is skipped, the good blob still decodes."""
+    import numpy as np
+    import pytest
+
+    from priority_data_pipeline_azure_sql_db_spark.operators import codecs
+    from priority_data_pipeline_azure_sql_db_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        extract_features,
+        image_phash,
+    )
+
+    # advisor repro 1: stream ends in 0xFF mid-header (was IndexError)
+    with pytest.raises(ValueError):
+        codecs.decode_jpeg(b"\xff\xd8\xff")
+    # advisor repro 2: SOF declares a seglen whose body is too short
+    # for its own header fields (was struct.error)
+    lying_sof = b"\xff\xd8" + b"\xff\xc0" + b"\x00\x04" + b"\x08" + b"\xff\xd9"
+    with pytest.raises((ValueError, NotImplementedError)):
+        codecs.decode_jpeg(lying_sof)
+
+    # byte-truncation sweep of a real stream: every prefix fails with
+    # the advertised types only
+    y, x = np.mgrid[0:16, 0:16]
+    px = np.stack([x * 16, y * 16, (x + y) * 8], axis=-1).astype(np.uint8)
+    blob = codecs.encode_jpeg(px, quality=90, subsample="4:2:0")
+    for cut in range(2, len(blob), 7):
+        try:
+            codecs.decode_jpeg(blob[:cut])
+        except (ValueError, NotImplementedError):
+            pass  # the advertised total-function contract
+
+    # end-to-end: a corrupt blob among good ones must not fail the job
+    rows = [
+        (1, "image", bytearray(blob), None, None, None),
+        (2, "image", bytearray(b"\xff\xd8\xff"), None, None, None),
+    ]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    feats = {r["media_id"]: r for r in extract_features(media).collect()}
+    assert feats[1]["codec"] == "jpeg"
+    assert feats[2]["codec"] == "stub-md5"  # fell back, job survived
+    hashes = {r["media_id"]: r["phash"] for r in image_phash(media).collect()}
+    assert 1 in hashes and 2 not in hashes  # undecodable: skipped

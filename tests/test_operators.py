@@ -1366,6 +1366,41 @@ def test_snapshot_diff_change_types(spark):
     }
     assert got2[2] == "updated"
 
+    # round-10 ADVICE fix: compare_cols=[] means "compare nothing" —
+    # every PK present on both sides is unchanged even when values
+    # differ. The old `or`-fallback silently re-derived the default
+    # set, which for cdc_audit_delta re-included the audit columns and
+    # misclassified byte-identical re-fetches as updated.
+    got3 = {
+        r["pk"]: r["change_type"]
+        for r in snapshot_diff(old, new, pk=["pk"], compare_cols=[]).collect()
+    }
+    assert got3 == {1: "unchanged", 2: "unchanged", 3: "unchanged",
+                    4: "deleted", 5: "inserted"}
+
+
+def test_cdc_audit_delta_audit_only_columns(spark):
+    """cdc_audit_delta on a table whose only non-PK shared columns are
+    the excluded audit columns: a re-fetch with a fresh extraction id
+    is 'unchanged', not 'updated' (round-9 ADVICE — the empty compare
+    list must not fall back to comparing the audit columns)."""
+    from priority_data_pipeline_azure_sql_db_spark.pipeline import cdc_audit_delta
+
+    target = spark.createDataFrame(
+        [(1, "run-A", "2026-01-01"), (2, "run-A", "2026-01-01")],
+        ["pk", "extractionid", "extractiontimestamputc"],
+    )
+    delta = spark.createDataFrame(
+        [(1, "run-B", "2026-02-02"),   # same PK, fresh audit identity
+         (3, "run-B", "2026-02-02")],  # new PK
+        ["pk", "extractionid", "extractiontimestamputc"],
+    )
+    got = {
+        r["pk"]: r["change_type"]
+        for r in cdc_audit_delta(target, delta, pk=["pk"]).collect()
+    }
+    assert got == {1: "unchanged", 3: "inserted"}
+
 
 def test_combine_rollups_equals_full_recompute(spark):
     """Incremental aggregate maintenance: merging per-slice rollups

@@ -1119,3 +1119,89 @@ def test_stream_scd2_maintenance(spark, sf_dir, tmp_path):
         r for r in before_crash if r[0] != 999999
     ]
     shutil.rmtree(store)
+
+
+def test_scd2_log_pruning_and_compaction(spark, tmp_path):
+    """Round-9 ADVICE fix: the SCD2 change log is hive-partitioned by
+    entity-key-hash bucket (so per-batch reads prune FILES, not just
+    rows) and compacts every `compact_every` slices into one root, so
+    per-batch log I/O is bounded regardless of total stream history.
+    Checks: (a) slices land in _kb= partition dirs; (b) after enough
+    folds exactly one compact root remains and the superseded slice
+    dirs are gone; (c) the folded history still equals the one-pass
+    batch build; (d) a crash mid-compaction (leftover .tmp dir) and a
+    crash between rename and delete (stale slices below the compact
+    floor) are both read correctly — no double-counted log rows."""
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from priority_data_pipeline_azure_sql_db_spark.operators.merge import scd2_history
+    from priority_data_pipeline_azure_sql_db_spark.streaming.sink import (
+        _scd2_log_state,
+        fold_scd2_batch,
+        read_scd2_store,
+    )
+
+    store = str(tmp_path / "store")
+    log_root = os.path.join(store, "log")
+
+    def mk(rows):
+        return spark.createDataFrame(
+            rows, "user_id bigint, state string, ts string, seq bigint",
+        ).withColumn("ts", F.col("ts").cast("timestamp"))
+
+    all_rows = []
+    for b in range(1, 8):  # 7 batches, compact_every=3
+        rows = [
+            (uid, f"s{b}", f"2026-01-{b:02d} 00:00:00", b * 100 + uid)
+            for uid in range(1, 4 + (b % 2))
+        ]
+        all_rows.extend(rows)
+        assert fold_scd2_batch(
+            spark, store, mk(rows), b, ["user_id"], ["state"], "ts", ["seq"],
+            n_log_buckets=4, compact_every=3,
+        ) is True
+        if b == 1:
+            # (a) hive layout: the slice wrote _kb= partition dirs
+            subdirs = os.listdir(os.path.join(log_root, "batch_1"))
+            assert any(d.startswith("_kb=") for d in subdirs), subdirs
+
+    # (b) compaction fired: one compact root, fewer than compact_every
+    # live slices, no .tmp junk
+    cid, cdir, slices = _scd2_log_state(log_root)
+    assert cid is not None and len(slices) < 3
+    assert not any(d.endswith(".tmp") for d in os.listdir(log_root))
+    assert all(b > cid for b in slices)
+
+    canon = lambda df: sorted(  # noqa: E731
+        (r.user_id, r.state, str(r.valid_from), str(r.valid_to), r.is_current)
+        for r in df.collect()
+    )
+    # (c) standing store == one-pass batch build over all change rows
+    expect = canon(scd2_history(mk(all_rows), ["user_id"], ["state"], "ts", ["seq"]))
+    assert canon(read_scd2_store(spark, store)) == expect
+
+    # (d) crash simulations. Mid-compaction: a leftover .tmp dir must
+    # be ignored by the listing and by the next fold.
+    shutil.copytree(cdir, os.path.join(log_root, ".compact_999.tmp"))
+    # Between rename and delete: a stale slice BELOW the compact floor
+    # must be excluded by the floor, not double-counted.
+    stale = mk([(1, "s1", "2026-01-01 00:00:00", 101)]).withColumn(
+        "_kb", F.pmod(F.xxhash64("user_id"), F.lit(4)).cast("int")
+    )
+    stale.write.partitionBy("_kb").mode("overwrite").parquet(
+        os.path.join(log_root, f"batch_{cid}")
+    )
+    cid2, _, slices2 = _scd2_log_state(log_root)
+    assert cid2 == cid and cid in slices2  # stale slice listed...
+    more = [(1, "zz_final", "2026-02-01 00:00:00", 999)]
+    all_rows.extend(more)
+    assert fold_scd2_batch(
+        spark, store, mk(more), 99, ["user_id"], ["state"], "ts", ["seq"],
+        n_log_buckets=4, compact_every=3,
+    ) is True
+    # ...but the fold's floor excluded it: history still exact
+    expect2 = canon(scd2_history(mk(all_rows), ["user_id"], ["state"], "ts", ["seq"]))
+    assert canon(read_scd2_store(spark, store)) == expect2
