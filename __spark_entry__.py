@@ -25,104 +25,89 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The correctness driver evaluates the first 50 registry entries in order.
-# Round-9 rotation: driver evidence for the 44 round-8 late
-# registrations (VERDICT r8 ask #1 — "front the r9 window with all 44
-# in the documented order, then 6 of the r6 bucket"). Priority:
-# (1) all 44 round-8 late registrations, in their queries.py
-# registration order (the order VERDICT r8 documents). Four of them
-# carry round-9 code+oracle changes and are therefore ALSO the
-# highest-divergence-risk entries this round: dedup_duplicated_spans
-# and dedup_span_removal now pass max_gram_freq and replay the cap in
-# the oracle as a doc-frequency CTE (r8 "What's wrong" #1);
-# er_fuzzy_customer_pairs and er_golden_records now block on the
-# compound (nation, name-prefix) key with the identical prefix
-# expression in the oracle (r8 "What's wrong" #2; pigeonhole
-# segmentation was measured and rejected — the fixture names' constant
-# prefix gives segment blocking zero pruning power).
-# (2) the first 6 entries of the 42-entry r6 bucket, in r6 order
-# (pack/embedding/text/curation) — 3 rounds stale at this check.
-# 44 + 6 = 50.
+# Round-10 rotation: the window VERDICT r9 published verbatim
+# (`__spark_entry__.py:59-73` of the r9 file; VERDICT r9 ask #1).
+# Composition, in order:
+# (1) the four entries whose code/oracle CHANGED in round 9 — the
+# divergence-risk head: multimodal_frame_sample, pack_greedy_sequences,
+# and streaming_stateful_user_totals were upgraded from rows-only to
+# full hash oracles, dedup_boilerplate_lines' operator gained the
+# non-empty-kept drop_empty contract.
+# (2) the 36-entry r6 bucket remainder, in r6 window order — these
+# turned 3 rounds stale at this check, the staleness invariant's edge.
+# (3) the 5 round-9 late registrations, registration order — their
+# first driver evidence.
+# (4) the r7 bucket head (5 entries, r7 window order; the bucket's
+# pack_greedy_sequences already sits at the window head) — fills to 50.
 #
-# ROTATION ARITHMETIC (r8 ask #4 — the published covering schedule):
-# registry 182 + ≤10 new per round ≈ 190-200 entries over a 50-slot
-# window ⇒ a full cycle takes ceil(190/50) = 4 rounds, so the
-# achievable invariant is "every entry re-checked at least every 4th
-# round" — max staleness 3 rounds, adopted as the STATED invariant
-# from this round on (the old ≤2 was arithmetically unkeepable at
-# 182 entries, as VERDICT r8 proved). Concrete schedule from here:
-#   r9  (this file): 44 never-checked r8 regs + r6 bucket[0:6]
-#   r10: r6 bucket[6:42] (36, 3-stale) + r9 late regs (never) +
-#        r7 bucket head — fills to 50
-#   r11: r7 bucket remainder + r8 bucket head — fills to 50
+# ROTATION ARITHMETIC (the ≤3-round staleness covering schedule,
+# adopted in r9): registry 187 + ≤10 new per round over a 50-slot
+# window ⇒ full cycle ceil(~190/50) = 4 rounds ⇒ max staleness 3.
+# Schedule from here:
+#   r10 (this file): changed-head 4 + r6 bucket[6:42] + r9 regs (5) +
+#        r7 bucket[0:5]
+#   r11: r7 bucket remainder (40) + r8 bucket head + this round's
+#        late registrations at the head — fills to 50
 #   r12: r8 bucket remainder + r9-window entries turning 3-stale
-# Under this round-robin no entry's age ever exceeds 3 rounds as long
-# as net registration stays ≤10/round (this round adds 5).
-# Below the window: the r6 bucket remainder (36, lead r10), the r7
-# bucket (46), the r8 bucket (50), and this round's 5 late
-# registrations (pipeline_refresh_cdc_audit, er_blocking_skew_audit,
-# er_incremental_match, streaming_scd2_maintenance,
-# er_assign_to_golden) — all comparator-verified locally at sf0.01
-# AND sf0.1 this session (and under a vanilla session). ALSO
-# r10-head material: four entries had code/oracle CHANGES this round
-# and should precede their buckets' rotation order at the r10 window
-# head — multimodal_frame_sample, pack_greedy_sequences, and
-# streaming_stateful_user_totals were upgraded from rows-only to full
-# hash oracles (md5 frame projection / recursive-CTE greedy walk /
-# final-state projection), and dedup_boilerplate_lines' operator
-# gained the non-empty-kept drop_empty contract.
+# Below the window: the r7 bucket remainder (lead r11), the r8 bucket
+# (50), the r9-window bucket, and this round's late registrations
+# (see queries.py — each comparator-verified at sf0.01 AND sf0.1 the
+# session it landed); all r11-head material.
 CHECK_ORDER = [
-    # (1) the 44 round-8 late registrations, registration order
-    "dedup_duplicated_spans",
-    "text_quality_classifier",
-    "sample_temperature_mix",
+    # (1) round-9 code/oracle-changed entries — divergence-risk head
+    "multimodal_frame_sample",
+    "pack_greedy_sequences",
+    "streaming_stateful_user_totals",
     "dedup_boilerplate_lines",
-    "filter_quality_quantile",
-    "sample_curriculum_rank",
-    "pipeline_snapshot_diff",
-    "events_rollup_incremental",
-    "events_scd2_user_state",
-    "sample_source_cap",
-    "dedup_gram_novelty",
-    "pipeline_curation_v3",
-    "dedup_span_removal",
-    "profile_quantization_error",
-    "multimodal_phash_dedup",
-    "pipeline_curation_funnel",
-    "multimodal_phash_near_dup",
-    "export_curriculum_shards",
-    "events_session_sequences",
-    "sample_eval_balanced",
-    "profile_table_stats",
-    "ann_negative_samples",
-    "streaming_rollup_maintenance",
-    "er_fuzzy_customer_pairs",
-    "er_golden_records",
-    "events_pit_enrichment",
-    "sample_soft_dedup",
-    "text_zipf_coverage",
-    "events_conversion_funnel",
-    "events_cohort_retention",
-    "events_transition_matrix",
-    "dq_validation_report",
-    "events_value_outliers",
-    "events_ab_lift",
-    "profile_value_histogram",
-    "events_gapfill_hourly",
-    "events_scd2_incremental",
-    "events_conversion_latency",
-    "dq_k_anonymity",
-    "profile_join_skew",
-    "profile_quality_drift",
-    "profile_corpus_fingerprint",
-    "sample_multi_epoch_plan",
-    "profile_source_dup_pressure",
-    # (2) r6 bucket head (3 rounds stale), r6 order
-    "pack_training_sequences",
-    "embedding_normalize",
-    "pack_document_chunks",
-    "text_vocab_topk",
-    "pipeline_curation_e2e",
-    "text_lm_quality_score",
+    # (2) r6 bucket remainder (36, 3 rounds stale), r6 order
+    "events_tumbling_hourly",
+    "q21_last_shipper",
+    "q21_last_shipper_preagg",
+    "odata_source_scan",
+    "pipeline_e2e_flagship",
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q4_order_priority",
+    "q5_local_supplier_volume",
+    "q6_revenue_forecast",
+    "q10_returned_items",
+    "q14_promo_revenue",
+    "q18_large_orders",
+    "top_customers_by_revenue",
+    "agg_distinct_suppliers",
+    "percentiles_quantity",
+    "rollup_lineitem_status",
+    "cube_orders_status_priority",
+    "grouping_sets_lineitem",
+    "pivot_segment_by_region",
+    "join_left_outer_nulls",
+    "join_full_outer",
+    "semi_join_customers_with_orders",
+    "anti_join_customers_without_orders",
+    "setop_nation_intersect",
+    "setop_nation_except",
+    "union_all_distinct",
+    "window_running_total",
+    "window_lag_lead_ntile",
+    "window_topk_orders_per_customer",
+    "scalar_string_funcs",
+    "scalar_array_funcs",
+    "conditional_null_funcs",
+    "pipeline_count_rows",
+    "pipeline_limit_probe",
+    "pipeline_watermark_filter",
+    # (3) the 5 round-9 late registrations, registration order
+    "pipeline_refresh_cdc_audit",
+    "er_blocking_skew_audit",
+    "er_incremental_match",
+    "streaming_scd2_maintenance",
+    "er_assign_to_golden",
+    # (4) r7 bucket head, r7 order
+    "dedup_winnow_pairs_indexed",
+    "dedup_jaccard_pairs_indexed",
+    "sample_epoch_shuffle_wide",
+    "text_bpe_tokens_arrow",
+    "text_bpe_tokens_large",
 ]
 
 
