@@ -1,0 +1,372 @@
+"""Persisted entity-resolution cluster store: build once, serve many
+(round 10 — VERDICT r9 ask #2).
+
+The incremental-ER queries (er_incremental_match / er_assign_to_golden)
+proved the O(delta) serve SHAPE but recomputed the standing state —
+base pairs + connected components — inside every serve call. This
+module is the missing residency layer, the ER sibling of the dedup
+fingerprint store (dedup_index.py) and the persisted near-dup index
+(ann_index.py): the expensive base-pairs → components → cluster-map
+pass runs ONCE and persists; every refresh then resolves only its
+arriving records against the standing store.
+
+Store layout (all parquet under one root):
+
+- ``base/``      — the resolved records (id, match key, blocking
+  keys), repartitioned by the blocking keys so the serve-time
+  delta×base block join reads a block-clustered layout. Append-mode:
+  grows with :func:`append_to_er_index`.
+- ``clusters/``  — the cluster map (node, cluster_id), hive-partitioned
+  by ``_cb = pmod(xxhash64(node), n_buckets)`` so an append rewrites
+  only the buckets its touched clusters live in — O(touched), never a
+  full-map rewrite. ``cluster_id`` is the component's minimum member id
+  (the batch pass's label), so the GOLDEN name of a cluster is simply
+  the base record whose id equals ``cluster_id`` — golden names resolve
+  by one join against ``base/`` instead of a denormalized table an
+  append would have to keep consistent.
+- ``META.json``  — column names / max_edit / n_buckets, written at
+  build so serve and append cannot be called with mismatched
+  parameters.
+- ``MANIFEST``   — transient intent log for bucket swaps (below).
+
+Crash discipline (the append_to_near_dup_index standard — a retried or
+crashed append must converge to the rebuild, never serve torn state):
+
+1. Appends first stage every rewritten cluster bucket to
+   ``clusters/.stage_<b>`` (full writes, no live data touched).
+2. Then a ``MANIFEST`` file listing the pending bucket swaps is
+   created — the atomic commit point.
+3. Then each bucket is swapped (old dir aside, stage dir in, old dir
+   removed) and the MANIFEST deleted.
+4. ONLY THEN are the new records appended to ``base/``.
+
+Every entry point (serve/append/ensure) first ROLLS FORWARD a leftover
+MANIFEST, so a crash after step 2 completes on the next touch; a crash
+before step 2 leaves junk stage dirs and an untouched store. Because
+``base/`` gains the new rows LAST, a crashed append's retry re-detects
+them as fresh and recomputes the same bucket contents from the (fully
+swapped, hence consistent) cluster map — deterministic, idempotent.
+Serialize appends with each other and with serves, the same
+single-writer discipline as the staging MERGE and the ANN radii.
+
+Scale shape: serve is the bounded-block delta×base join + O(matches)
+window + two cluster-map joins (O(delta) for the bounded blocks the
+compound key guarantees); append is O(delta + members of touched
+clusters); nothing ever re-pairs the base with itself after the build.
+
+Reference parity: the reference (a pandas ELT service) has no MDM
+surface at all — this store is north-star scope, modeled on production
+MDM serve loops, with results hash-checked against the same recursive-
+CTE DuckDB oracle as er_assign_to_golden.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+BASE_DIR = "base"
+CLUSTERS_DIR = "clusters"
+META_FILE = "META.json"
+MANIFEST_FILE = "MANIFEST"
+
+
+def _bucket_col(node_col: str, n_buckets: int):
+    return F.pmod(F.xxhash64(F.col(node_col)), F.lit(n_buckets)).cast("int")
+
+
+def _roll_forward(path: str) -> None:
+    """Complete a crashed append's pending bucket swaps (MANIFEST
+    present ⇒ every listed stage dir was fully written before the
+    MANIFEST was created — roll forward is pure renames)."""
+    mpath = os.path.join(path, MANIFEST_FILE)
+    if not os.path.exists(mpath):
+        return
+    with open(mpath) as fh:
+        pending = json.load(fh)
+    cl_root = os.path.join(path, CLUSTERS_DIR)
+    for b in pending["buckets"]:
+        stage = os.path.join(cl_root, f".stage_{b}")
+        live = os.path.join(cl_root, f"_cb={b}")
+        old = os.path.join(cl_root, f".old_{b}")
+        if os.path.exists(stage):
+            if os.path.exists(live):
+                if os.path.exists(old):
+                    shutil.rmtree(old)
+                os.rename(live, old)
+            os.rename(stage, live)
+        # stage already consumed (crash mid-swap): live is the new dir
+        if os.path.exists(old):
+            shutil.rmtree(old)
+    os.remove(mpath)
+
+
+def _read_meta(path: str) -> dict:
+    with open(os.path.join(path, META_FILE)) as fh:
+        return json.load(fh)
+
+
+def _cluster_map(base: DataFrame, id_col: str, key_col: str,
+                 block_cols: list[str], max_edit: int) -> DataFrame:
+    """base pairs → connected components → (node, cluster_id), with
+    singletons mapped to themselves — the full-rebuild semantics every
+    append must stay equal to."""
+    from .dedup import fuzzy_match_pairs
+    from .graph import connected_components
+
+    pairs = fuzzy_match_pairs(
+        base, key_col=key_col, id_col=id_col,
+        block_cols=block_cols, max_edit=max_edit,
+    )
+    comp = connected_components(pairs, "id_a", "id_b")
+    return (
+        base.select(F.col(id_col).alias("node"))
+        .join(comp, "node", "left")
+        .select(
+            "node",
+            F.coalesce(F.col("component"), F.col("node"))
+            .cast("bigint").alias("cluster_id"),
+        )
+    )
+
+
+def build_er_index(
+    base: DataFrame,
+    path: str,
+    key_col: str,
+    id_col: str,
+    block_cols: list[str],
+    max_edit: int = 2,
+    n_buckets: int = 32,
+) -> None:
+    """One-shot build: persist the blocked base records and the full
+    cluster map. Write order is the torn-store discipline: ``base`` and
+    ``META`` first, ``clusters`` LAST — its ``_SUCCESS`` is the gate,
+    so a crash mid-build rebuilds instead of serving half a map."""
+    cols = [id_col, key_col, *block_cols]
+    (base.select(*cols).repartition(*[F.col(c) for c in block_cols])
+        .write.mode("overwrite").parquet(os.path.join(path, BASE_DIR)))
+    os.makedirs(path, exist_ok=True)
+    with open(os.path.join(path, META_FILE), "w") as fh:
+        json.dump({
+            "key_col": key_col, "id_col": id_col,
+            "block_cols": block_cols, "max_edit": max_edit,
+            "n_buckets": n_buckets,
+        }, fh)
+    cmap = _cluster_map(base, id_col, key_col, block_cols, max_edit)
+    (cmap.withColumn("_cb", _bucket_col("node", n_buckets))
+        .write.partitionBy("_cb").mode("overwrite")
+        .parquet(os.path.join(path, CLUSTERS_DIR)))
+
+
+def ensure_er_index(base: DataFrame, path: str, **kwargs) -> str:
+    """Build-if-absent gate (the serve-many entry point): gated on the
+    LAST build artifact's ``_SUCCESS``; also rolls forward a crashed
+    append's pending bucket swaps before anyone reads the map."""
+    marker = os.path.join(path, CLUSTERS_DIR, "_SUCCESS")
+    if os.path.exists(marker):
+        _roll_forward(path)
+    else:
+        build_er_index(base, path, **kwargs)
+    return path
+
+
+def read_er_clusters(spark: SparkSession, path: str) -> DataFrame:
+    """Current cluster map (node, cluster_id) — rolls forward first."""
+    _roll_forward(path)
+    return spark.read.parquet(os.path.join(path, CLUSTERS_DIR)).select(
+        "node", "cluster_id"
+    )
+
+
+def assign_from_index(
+    spark: SparkSession,
+    path: str,
+    delta: DataFrame,
+) -> DataFrame:
+    """The O(delta) serve twin of er_assign_to_golden, reading the
+    STANDING store instead of recomputing base pairs + components per
+    call: nearest base match per arriving record (min edit distance,
+    min base id), that match's standing cluster, and the cluster's
+    golden name (the base record whose id IS the cluster label);
+    unmatched arrivals seed their own singleton cluster. Returns
+    (delta_id, cluster_id, golden_name, edit_distance, matched) —
+    value-identical to the recompute-in-query twin, which is what the
+    driver hash-checks."""
+    from pyspark.sql import Window
+
+    from .dedup import fuzzy_match_delta
+
+    _roll_forward(path)
+    meta = _read_meta(path)
+    id_col, key_col = meta["id_col"], meta["key_col"]
+    base = spark.read.parquet(os.path.join(path, BASE_DIR))
+    clusters = read_er_clusters(spark, path)
+    m = fuzzy_match_delta(
+        base, delta, key_col=key_col, id_col=id_col,
+        block_cols=meta["block_cols"], max_edit=meta["max_edit"],
+    )
+    w = Window.partitionBy("delta_id").orderBy("edit_distance", "base_id")
+    best = (
+        m.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("delta_id", "base_id", "edit_distance")
+    )
+    cluster_of = clusters.select(
+        F.col("node").alias("base_id"), F.col("cluster_id").alias("_cl")
+    )
+    golden = base.select(
+        F.col(id_col).alias("_gid"), F.col(key_col).alias("_gname")
+    )
+    return (
+        delta.select(
+            F.col(id_col).alias("delta_id"),
+            F.col(key_col).alias("_own_name"),
+        )
+        .join(best, "delta_id", "left")
+        .join(cluster_of, "base_id", "left")
+        .withColumn(
+            "cluster_id",
+            F.coalesce(F.col("_cl"), F.col("base_id"), F.col("delta_id"))
+            .cast("bigint"),
+        )
+        .join(golden, F.col("_gid") == F.col("cluster_id"), "left")
+        .select(
+            "delta_id",
+            "cluster_id",
+            F.coalesce(
+                F.when(F.col("base_id").isNotNull(), F.col("_gname")),
+                F.col("_own_name"),
+            ).alias("golden_name"),
+            "edit_distance",
+            F.col("base_id").isNotNull().alias("matched"),
+        )
+    )
+
+
+def append_to_er_index(
+    spark: SparkSession,
+    path: str,
+    new_records: DataFrame,
+) -> int:
+    """Grow the store, O(delta + touched-cluster members) per append,
+    REBUILD-EQUAL: after the append, ``clusters/`` matches what
+    build_er_index would produce on the grown base — including cluster
+    MERGES (a new record bridging two standing clusters collapses them
+    to one label, exactly as the batch pass would conclude).
+
+    1. drop ids already in ``base/`` (idempotent retry — the only
+       index-sized read, one column);
+    2. edge set: delta×base matches within blocks + delta×delta pairs
+       (new records can also duplicate each other);
+    3. bounded relabel: connected components over ONLY the touched
+       subgraph — members of standing clusters hit by an edge (pulled
+       in as star edges node→cluster_id, which preserve each cluster's
+       connectivity and its min-id label) plus the fresh records;
+    4. rewrite ONLY the cluster-map buckets containing relabeled nodes
+       (stage → MANIFEST → swap, the crash discipline in the module
+       docstring);
+    5. append the fresh rows to ``base/`` LAST — a record is "in the
+       index" only once future appends can see it there, which is what
+       makes a crashed append's retry recompute instead of skip.
+
+    Returns the number of appended records."""
+    from .dedup import fuzzy_match_delta, fuzzy_match_pairs
+    from .graph import connected_components
+
+    _roll_forward(path)
+    meta = _read_meta(path)
+    id_col, key_col = meta["id_col"], meta["key_col"]
+    block_cols, max_edit = meta["block_cols"], meta["max_edit"]
+    n_buckets = meta["n_buckets"]
+    base = spark.read.parquet(os.path.join(path, BASE_DIR))
+    existing = base.select(F.col(id_col))
+    fresh = (
+        new_records.select(id_col, key_col, *block_cols)
+        .join(existing, id_col, "left_anti")
+        .cache()
+    )
+    try:
+        n_fresh = fresh.count()
+        if n_fresh == 0:
+            return 0
+        db = fuzzy_match_delta(
+            base, fresh, key_col=key_col, id_col=id_col,
+            block_cols=block_cols, max_edit=max_edit,
+        ).select(
+            F.col("delta_id").alias("u"), F.col("base_id").alias("v")
+        )
+        dd = fuzzy_match_pairs(
+            fresh, key_col=key_col, id_col=id_col,
+            block_cols=block_cols, max_edit=max_edit,
+        ).select(F.col("id_a").alias("u"), F.col("id_b").alias("v"))
+        clusters = spark.read.parquet(
+            os.path.join(path, CLUSTERS_DIR)
+        ).select("node", "cluster_id")
+        touched_cl = (
+            clusters.join(
+                db.select(F.col("v").alias("node")).distinct(), "node"
+            ).select("cluster_id").distinct()
+        )
+        members = clusters.join(touched_cl, "cluster_id")
+        star = members.select(
+            F.col("node").alias("u"), F.col("cluster_id").alias("v")
+        )
+        comp = connected_components(db.union(dd).union(star), "u", "v")
+        sub_nodes = (
+            members.select("node")
+            .union(fresh.select(F.col(id_col).alias("node")))
+            .distinct()
+        )
+        updated = (
+            sub_nodes.join(comp, "node", "left")
+            .select(
+                "node",
+                F.coalesce(F.col("component"), F.col("node"))
+                .cast("bigint").alias("cluster_id"),
+            )
+            .withColumn("_cb", _bucket_col("node", n_buckets))
+        )
+        # O(n_buckets) metadata collect — which buckets get rewritten
+        touched_b = sorted(
+            r[0] for r in updated.select("_cb").distinct().collect()
+        )
+        cl_root = os.path.join(path, CLUSTERS_DIR)
+        keep = (
+            spark.read.parquet(cl_root)
+            .where(F.col("_cb").isin(touched_b))
+            .select("node", "cluster_id", "_cb")
+            .join(sub_nodes, "node", "left_anti")
+        )
+        staged = keep.unionByName(updated)
+        # stage every bucket fully BEFORE the commit point — ONE job
+        # writing a partitioned staging root, then split into the
+        # per-bucket .stage_<b> dirs the swap/roll-forward works in
+        stage_root = os.path.join(cl_root, ".stage_root")
+        shutil.rmtree(stage_root, ignore_errors=True)
+        for b in touched_b:
+            shutil.rmtree(os.path.join(cl_root, f".stage_{b}"),
+                          ignore_errors=True)
+        staged.write.partitionBy("_cb").mode("overwrite").parquet(stage_root)
+        for b in touched_b:
+            src = os.path.join(stage_root, f"_cb={b}")
+            if not os.path.isdir(src):
+                os.makedirs(src)  # bucket emptied entirely: swap in empty
+            os.rename(src, os.path.join(cl_root, f".stage_{b}"))
+        shutil.rmtree(stage_root, ignore_errors=True)
+        mpath = os.path.join(path, MANIFEST_FILE)
+        tmp = mpath + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump({"buckets": touched_b}, fh)
+        os.replace(tmp, mpath)  # commit point
+        _roll_forward(path)
+        # base/ grows LAST (see module docstring crash discipline)
+        (fresh.write.mode("append")
+            .parquet(os.path.join(path, BASE_DIR)))
+        return n_fresh
+    finally:
+        fresh.unpersist()

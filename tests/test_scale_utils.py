@@ -1205,3 +1205,95 @@ def test_scd2_log_pruning_and_compaction(spark, tmp_path):
     # ...but the fold's floor excluded it: history still exact
     expect2 = canon(scd2_history(mk(all_rows), ["user_id"], ["state"], "ts", ["seq"]))
     assert canon(read_scd2_store(spark, store)) == expect2
+
+
+def test_er_index_store_rebuild_equality(spark, tmp_path):
+    """The persisted ER cluster store (round 10): build-once state
+    equals the in-query recompute; the append path is REBUILD-EQUAL —
+    after appending, the standing cluster map matches a fresh build on
+    the grown base, including cluster MERGES bridged by an appended
+    record; a retried append is a no-op; serving from the store equals
+    serving from the rebuilt store; a crashed bucket swap (MANIFEST
+    present, stage dirs written) rolls forward on the next touch."""
+    import json
+    import os
+
+    from pyspark.sql import functions as F
+
+    from priority_data_pipeline_azure_sql_db_spark.operators import er_index as EI
+
+    def mk(rows):
+        return spark.createDataFrame(rows, "id bigint, name string, grp int")
+
+    def cmap(path):
+        return sorted(
+            (r.node, r.cluster_id)
+            for r in EI.read_er_clusters(spark, path).collect()
+        )
+
+    # two standing clusters in block 1 at distance 3 from each other
+    # (aaaa#### vs abbb####, > max_edit=2), plus singletons
+    base = mk([
+        (1, "aaaa0001", 1), (2, "aaaa0002", 1),     # cluster A
+        (5, "abbb0001", 1), (6, "abbb0002", 1),     # cluster B
+        (9, "cccc0009", 1),                         # singleton
+        (11, "aaaa0001", 2),                        # other block
+    ])
+    kw = dict(key_col="name", id_col="id", block_cols=["grp"],
+              max_edit=2, n_buckets=4)
+    p1 = str(tmp_path / "store")
+    EI.ensure_er_index(base, p1, **kw)
+    assert cmap(p1) == [(1, 1), (2, 1), (5, 5), (6, 5), (9, 9), (11, 11)]
+
+    # the bridge: "aabb0001" is d=2 from cluster A ("aaaa0001") and
+    # d=1 from cluster B ("abbb0001") — one appended record merges A
+    # and B; the second duplicates the first (delta-delta edge)
+    new = mk([(20, "aabb0001", 1), (21, "aabb0002", 1)])
+    assert EI.append_to_er_index(spark, p1, new) == 2
+
+    p2 = str(tmp_path / "rebuilt")
+    EI.build_er_index(base.unionByName(new), p2, **kw)
+    assert cmap(p1) == cmap(p2), "append diverged from rebuild"
+    # the merge actually happened: A and B now share min-id label 1
+    assert dict(cmap(p1))[5] == 1 and dict(cmap(p1))[20] == 1
+
+    # retried append: idempotent no-op
+    assert EI.append_to_er_index(spark, p1, new) == 0
+    assert cmap(p1) == cmap(p2)
+
+    # serve equality store vs rebuilt store
+    delta = mk([(100, "abbb0003", 1), (101, "zzzz", 1)])
+    canon = lambda df: sorted(  # noqa: E731
+        (r.delta_id, r.cluster_id, r.golden_name, r.edit_distance, r.matched)
+        for r in df.collect()
+    )
+    got = canon(EI.assign_from_index(spark, p1, delta))
+    assert got == canon(EI.assign_from_index(spark, p2, delta))
+    by_id = {t[0]: t for t in got}
+    assert by_id[100][1] == 1 and by_id[100][4] is True   # joined merged cluster
+    assert by_id[101] == (101, 101, "zzzz", None, False)  # singleton seed
+
+    # crash window: stage dirs + MANIFEST written, swap not performed —
+    # simulate by staging a relabel of node 9 into its bucket and
+    # writing the MANIFEST by hand; the next read must roll it forward
+    b9 = spark.createDataFrame([(9,)], "n bigint").select(
+        F.pmod(F.xxhash64("n"), F.lit(4)).cast("int").alias("b")
+    ).collect()[0].b
+    cl_root = os.path.join(p1, EI.CLUSTERS_DIR)
+    bucket_rows = [
+        (n, 424242 if n == 9 else c)
+        for n, c in cmap(p1)
+        if spark.createDataFrame([(n,)], "n bigint").select(
+            F.pmod(F.xxhash64("n"), F.lit(4)).cast("int").alias("b")
+        ).collect()[0].b == b9
+    ]
+    spark.createDataFrame(
+        bucket_rows, "node bigint, cluster_id bigint"
+    ).coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(cl_root, f".stage_{b9}")
+    )
+    with open(os.path.join(p1, EI.MANIFEST_FILE), "w") as fh:
+        json.dump({"buckets": [b9]}, fh)
+    rolled = dict(cmap(p1))  # read_er_clusters rolls forward
+    assert rolled[9] == 424242
+    assert not os.path.exists(os.path.join(p1, EI.MANIFEST_FILE))
