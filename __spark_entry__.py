@@ -50,9 +50,12 @@ def entry(spark: SparkSession) -> DataFrame:
 #        late registrations at the head — fills to 50
 #   r12: r8 bucket remainder + r9-window entries turning 3-stale
 # Below the window: the r7 bucket remainder (lead r11), the r8 bucket
-# (50), the r9-window bucket, and this round's late registrations
-# (see queries.py — each comparator-verified at sf0.01 AND sf0.1 the
-# session it landed); all r11-head material.
+# (50), the r9-window bucket, and this round's late registrations —
+# er_assign_from_store (the persisted-ER serve, r9 ask #2),
+# er_first_token_pairs (free-text blocking, r9 ask #3), and
+# export_curriculum_readback (the shard-order round trip, r9 ask #4),
+# each comparator-verified at sf0.01 AND sf0.1 the session it landed;
+# all r11-head material.
 CHECK_ORDER = [
     # (1) round-9 code/oracle-changed entries — divergence-risk head
     "multimodal_frame_sample",
