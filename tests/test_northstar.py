@@ -1113,12 +1113,13 @@ def test_codec_jpeg_boundaries_and_dispatch(spark):
     blob = codecs.encode_jpeg(px, quality=95, subsample="4:4:4")
     assert codecs.sniff(blob) == "jpeg"
 
-    # unsupported variants fail loud
-    prog = bytearray(blob)
-    sof = prog.index(b"\xff\xc0")
-    prog[sof + 1] = 0xC2  # rebrand as progressive
-    with pytest.raises(NotImplementedError, match="progressive"):
-        codecs.decode_jpeg(bytes(prog))
+    # unsupported variants fail loud (progressive is SUPPORTED since
+    # round 10 — the boundary moved to the lossless/arithmetic modes)
+    lossless = bytearray(blob)
+    sof = lossless.index(b"\xff\xc0")
+    lossless[sof + 1] = 0xC3  # rebrand as lossless
+    with pytest.raises(NotImplementedError, match="lossless"):
+        codecs.decode_jpeg(bytes(lossless))
     with pytest.raises(ValueError, match="truncated|huffman"):
         codecs.decode_jpeg(blob[: len(blob) // 2])
 
@@ -1191,3 +1192,148 @@ def test_codec_jpeg_total_over_malformed(spark):
     assert feats[2]["codec"] == "stub-md5"  # fell back, job survived
     hashes = {r["media_id"]: r["phash"] for r in image_phash(media).collect()}
     assert 1 in hashes and 2 not in hashes  # undecodable: skipped
+
+
+def test_codec_jpeg_progressive_roundtrip():
+    """Progressive (SOF2) codec: a progressive and a baseline encoding
+    share the same quantized coefficients, so they must decode to
+    IDENTICAL pixels — across subsampling modes, grayscale, dense
+    noise (ZRL + refinement corrections), flat images (maximal EOB
+    runs), sparse spikes (long zero runs), and high-contrast content
+    (multi-bit successive-approximation refinement)."""
+    import numpy as np
+
+    from priority_data_pipeline_azure_sql_db_spark.operators import codecs
+
+    rng = np.random.default_rng(123)
+    y, x = np.mgrid[0:40, 0:40]
+    cb = (((x // 2 + y // 2) % 2) * 255).astype(np.uint8)
+    cases = [
+        (rng.integers(0, 256, size=(64, 64, 3)).astype(np.uint8), 95, "4:2:0"),
+        (np.full((48, 80, 3), 130, np.uint8), 85, "4:4:4"),
+        (np.stack([cb, 255 - cb, cb], axis=-1), 75, "4:2:2"),
+        (np.outer(np.arange(45) % 256, np.ones(67)).astype(np.uint8), 60, None),
+        (rng.integers(0, 256, size=(31, 29, 3)).astype(np.uint8), 20, "4:2:0"),
+    ]
+    sp = np.full((56, 56, 3), 128, np.uint8)
+    sp[::13, ::11] = 255
+    cases.append((sp, 92, "4:4:4"))
+    for px, q, sub in cases:
+        kw = {} if px.ndim == 2 else {"subsample": sub}
+        base = codecs.decode_jpeg(codecs.encode_jpeg(px, quality=q, **kw))
+        prog = codecs.decode_jpeg(
+            codecs.encode_jpeg_progressive(px, quality=q, **kw)
+        )
+        assert np.array_equal(base, prog), (px.shape, q, sub)
+
+
+def test_codec_jpeg_progressive_golden_stream_hand_built():
+    """A progressive stream assembled BY HAND from the T.81 Annex G
+    spec (not by our encoder — this catches a mirrored encoder/decoder
+    misunderstanding that round-trip tests cannot): one 8x8 grayscale
+    block, four scans exercising every construct — DC first at Al=1,
+    AC first with spectral selection + an EOBn code, DC single-bit
+    refinement, and an AC refinement scan containing a newly-
+    significant negative coefficient, a correction bit for an
+    already-significant one, and a closing EOB."""
+    import struct
+
+    import numpy as np
+
+    from priority_data_pipeline_azure_sql_db_spark.operators import codecs
+
+    # final quantized coefficients (zigzag index): DC=4, k1=2, k5=-1
+    q = 16
+    out = bytearray(b"\xff\xd8")
+    out += b"\xff\xdb" + struct.pack(">HB", 67, 0) + bytes([q] * 64)
+    out += b"\xff\xc2" + struct.pack(">HBHHB", 11, 8, 8, 8, 1)
+    out += bytes([1, 0x11, 0])
+
+    def dht(tc, th, huffval):
+        bits = [0] * 16
+        bits[len(huffval) - 1] = len(huffval)  # all codes same length
+        # canonical: n symbols at length n (1 symbol -> len 1, 2 -> len 2...)
+        # simpler: give each symbol its own length-k code with k = #symbols
+        return (b"\xff\xc4" + struct.pack(">HB", 19 + len(huffval),
+                                          (tc << 4) | th)
+                + bytes(bits) + bytes(huffval))
+
+    def sos(ss, se, ah, al):
+        return (b"\xff\xda" + struct.pack(">HB", 8, 1) + bytes([1, 0x00])
+                + bytes([ss, se, (ah << 4) | al]))
+
+    def pack(bitstr):
+        bitstr += "1" * (-len(bitstr) % 8)  # 1-pad per spec
+        return bytes(int(bitstr[i:i + 8], 2) for i in range(0, len(bitstr), 8))
+
+    # scan 1: DC first, Al=1. dc>>1 = 2 -> diff 2, category 2, bits '10'.
+    # DC table: single symbol {2} -> length-1 code '0'.
+    out += dht(0, 0, [2]) + sos(0, 0, 0, 1) + pack("0" + "10")
+    # scan 2: AC first 1..63, Al=1. k=1: (2>>1)=1 -> sym 0x01 + mag '1';
+    # rest zero -> EOB (sym 0x00). Table {0x01:'00', 0x00:'01'} (len-2).
+    out += dht(1, 0, [0x01, 0x00]) + sos(1, 63, 0, 1) + pack("00" + "1" + "01")
+    # scan 3: DC refinement Ah=1->Al=0: one raw bit (4 & 1) = 0.
+    out += sos(0, 0, 1, 0) + pack("0")
+    # scan 4: AC refinement 1..63, Ah=1->Al=0. k=1 already significant
+    # (correction bit 0), k=5 newly significant -1 after a run of 3
+    # zeros -> sym 0x31, sign '0', then the buffered correction bit;
+    # trailing zeros -> EOB. Table {0x31:'00', 0x00:'01'}.
+    out += dht(1, 0, [0x31, 0x00]) + sos(1, 63, 1, 0)
+    out += pack("00" + "0" + "0" + "01")
+    out += b"\xff\xd9"
+
+    got = codecs.decode_jpeg(bytes(out))
+    # expected: IDCT of the dequantized coefficients
+    from priority_data_pipeline_azure_sql_db_spark.operators.codecs import (
+        _DCT,
+        _ZIGZAG,
+    )
+
+    zz = np.zeros(64)
+    zz[0], zz[1], zz[5] = 4, 2, -1
+    nat = np.zeros(64)
+    nat[_ZIGZAG] = zz * q
+    blk = _DCT.T @ nat.reshape(8, 8) @ _DCT + 128.0
+    want = np.clip(blk.round(), 0, 255).astype(np.uint8)
+    assert np.array_equal(got[:, :, 0], want)
+    assert np.array_equal(got[:, :, 0], got[:, :, 1])
+
+
+def test_codec_jpeg_progressive_dispatch_and_totality(spark):
+    """A progressive blob flows through the REAL multimodal paths
+    (sniff -> decode_media -> features/phash) exactly like baseline,
+    its phash matches the baseline encoding of the same picture, and
+    truncating a progressive stream anywhere still fails with the
+    advertised ValueError/NotImplementedError (total-function
+    contract)."""
+    import numpy as np
+
+    from priority_data_pipeline_azure_sql_db_spark.operators import codecs
+    from priority_data_pipeline_azure_sql_db_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        extract_features,
+        image_phash,
+    )
+
+    y, x = np.mgrid[0:32, 0:32]
+    px = np.stack([x * 8, y * 8, (x + y) * 4], axis=-1).astype(np.uint8)
+    prog = codecs.encode_jpeg_progressive(px, quality=95, subsample="4:4:4")
+    base = codecs.encode_jpeg(px, quality=95, subsample="4:4:4")
+    assert codecs.sniff(prog) == "jpeg"
+
+    for cut in range(2, len(prog), 11):
+        try:
+            codecs.decode_jpeg(prog[:cut])
+        except (ValueError, NotImplementedError):
+            pass
+
+    rows = [
+        (1, "image", bytearray(base), None, None, None),
+        (2, "image", bytearray(prog), None, None, None),
+    ]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    feats = {r["media_id"]: r for r in extract_features(media).collect()}
+    assert feats[2]["codec"] == "jpeg"  # real decode, not the stub
+    hashes = {r["media_id"]: r["phash"] for r in image_phash(media).collect()}
+    d = bin(int(hashes[1], 16) ^ int(hashes[2], 16)).count("1")
+    assert d <= 2, f"progressive vs baseline hamming {d}"
