@@ -41,7 +41,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # pack_greedy_sequences already sits at the window head) — fills to 50.
 #
 # ROTATION ARITHMETIC (the ≤3-round staleness covering schedule,
-# adopted in r9): registry 190 (3 added r10) + ≤10 new per round over a 50-slot
+# adopted in r9): registry 191 (4 added r10) + ≤10 new per round over a 50-slot
 # window ⇒ full cycle ceil(~190/50) = 4 rounds ⇒ max staleness 3.
 # Schedule from here:
 #   r10 (this file): changed-head 4 + r6 bucket[6:42] + r9 regs (5) +
@@ -52,10 +52,11 @@ def entry(spark: SparkSession) -> DataFrame:
 # Below the window: the r7 bucket remainder (lead r11), the r8 bucket
 # (50), the r9-window bucket, and this round's late registrations —
 # er_assign_from_store (the persisted-ER serve, r9 ask #2),
-# er_first_token_pairs (free-text blocking, r9 ask #3), and
+# er_first_token_pairs (free-text blocking, r9 ask #3),
 # export_curriculum_readback (the shard-order round trip, r9 ask #4),
-# each comparator-verified at sf0.01 AND sf0.1 the session it landed;
-# all r11-head material.
+# and multimodal_codec_mix (the codec-mix profile incl. the new
+# progressive-JPEG class, r9 ask #8) — each comparator-verified at
+# sf0.01 AND sf0.1 the session it landed; all r11-head material.
 CHECK_ORDER = [
     # (1) round-9 code/oracle-changed entries — divergence-risk head
     "multimodal_frame_sample",

@@ -73,11 +73,9 @@ CORE = [
 ]
 
 ANNEX = [
-    # round-8: CDC/warehouse family + the histogram-rank gate (the
-    # no-global-sort percentile/cap path) + line-level dedup
-    "pipeline_snapshot_diff",
-    "events_scd2_user_state",
-    "events_rollup_incremental",
+    # round-8 (rotating out as entries prove stable two rounds running:
+    # snapshot_diff / scd2_user_state / rollup_incremental left after
+    # flat sub-0.15s readings in r8 AND r9)
     "filter_quality_quantile",
     "dedup_boilerplate_lines",
     # round-8 capstone: all five new curation stages in one plan
@@ -94,6 +92,13 @@ ANNEX = [
     "pipeline_refresh_cdc_audit",
     "er_blocking_skew_audit",
     "er_incremental_match",
+    # round-10: the persisted-ER serve (standing store built at plan
+    # time like every resident entry — the timed region is the O(delta)
+    # serve), free-text vocabulary blocking, and the ordered-export
+    # round trip (write + read-back + position check per attempt)
+    "er_assign_from_store",
+    "er_first_token_pairs",
+    "export_curriculum_readback",
 ]
 
 HEADLINE = CORE + ANNEX
