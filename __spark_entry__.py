@@ -41,7 +41,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # pack_greedy_sequences already sits at the window head) — fills to 50.
 #
 # ROTATION ARITHMETIC (the ≤3-round staleness covering schedule,
-# adopted in r9): registry 191 (4 added r10) + ≤10 new per round over a 50-slot
+# adopted in r9): registry 192 (5 added r10) + ≤10 new per round over a 50-slot
 # window ⇒ full cycle ceil(~190/50) = 4 rounds ⇒ max staleness 3.
 # Schedule from here:
 #   r10 (this file): changed-head 4 + r6 bucket[6:42] + r9 regs (5) +
@@ -54,9 +54,12 @@ def entry(spark: SparkSession) -> DataFrame:
 # er_assign_from_store (the persisted-ER serve, r9 ask #2),
 # er_first_token_pairs (free-text blocking, r9 ask #3),
 # export_curriculum_readback (the shard-order round trip, r9 ask #4),
-# and multimodal_codec_mix (the codec-mix profile incl. the new
-# progressive-JPEG class, r9 ask #8) — each comparator-verified at
-# sf0.01 AND sf0.1 the session it landed; all r11-head material.
+# multimodal_codec_mix (the codec-mix profile incl. the new
+# progressive-JPEG class, r9 ask #8), and er_store_append_serve
+# (append ≡ rebuild end to end: store built from part of the base,
+# rest appended, served against the full-base oracle) — each
+# comparator-verified at sf0.01 AND sf0.1 the session it landed; all
+# r11-head material.
 CHECK_ORDER = [
     # (1) round-9 code/oracle-changed entries — divergence-risk head
     "multimodal_frame_sample",

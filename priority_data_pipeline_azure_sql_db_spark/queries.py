@@ -8142,3 +8142,38 @@ def multimodal_codec_mix(spark, sf_dir):
         .groupBy("codec")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_media"))
     )
+
+
+@query("er_store_append_serve", _ER_ASSIGN_ORACLE)
+def er_store_append_serve(spark, sf_dir):
+    """ER STORE APPEND ≡ REBUILD, driver-checked (round 10): the store
+    is built from only PART of the base (customers with
+    c_custkey % 3 == 0 among the standing records), the remaining base
+    records arrive through append_to_er_index — the O(delta +
+    touched-cluster members) grow path with its stage→MANIFEST→swap
+    bucket rewrites — and the serve runs against the grown store. The
+    oracle is the SAME recursive-CTE assignment over the FULL base as
+    er_assign_from_store: a green hash row is end-to-end driver
+    evidence that the append path lands exactly the state a fresh
+    full-base build would (cluster merges bridged by appended records
+    included), beyond the unit-level rebuild-equality pytest. Repeat
+    executions are safe: the append of already-present ids is an
+    idempotent no-op (the anti-join retry gate)."""
+    from .operators.er_index import (
+        append_to_er_index,
+        assign_from_index,
+        ensure_er_index,
+    )
+
+    c = _er_blocked_customers(spark, sf_dir)
+    base = c.filter(F.col("c_custkey") % 10 != 0)
+    delta = c.filter(F.col("c_custkey") % 10 == 0)
+    part_a = base.filter(F.col("c_custkey") % 3 == 0)
+    part_b = base.filter(F.col("c_custkey") % 3 != 0)
+    path = _resident_path("er_index_app", sf_dir)
+    ensure_er_index(
+        part_a, path, key_col="c_name", id_col="c_custkey",
+        block_cols=["c_nationkey", "_name_block"], max_edit=2,
+    )
+    append_to_er_index(spark, path, part_b)
+    return assign_from_index(spark, path, delta)
