@@ -4,7 +4,8 @@ JPEG r9).
 The sandbox ships no PIL/librosa/av, but four production formats are
 decodable with nothing beyond ``struct``/``zlib`` + numpy: uncompressed
 24-bit BMP (BITMAPINFOHEADER, the baseline Windows DIB every image tool
-can emit), PCM WAV (RIFF, 8/16-bit), non-interlaced 8-bit RGB/RGBA PNG
+can emit), PCM WAV (RIFF, 8/16-bit), 8-bit RGB/RGBA PNG (sequential
+and Adam7-interlaced)
 (zlib inflate + full scanline unfiltering: None/Sub/Up/Average/Paeth),
 and — round 9 — baseline-sequential huffman JPEG (SOF0/SOF1, 4:4:4 /
 4:2:2 / 4:2:0, restart markers), THE dominant format of real web image
@@ -131,66 +132,35 @@ def image_features(pixels: np.ndarray) -> list[float]:
 
 
 # ---------------------------------------------------------------------------
-# PNG — 8-bit RGB / RGBA, non-interlaced (round 8)
+# PNG — 8-bit RGB / RGBA, sequential (round 8) + Adam7 (round 10)
 # ---------------------------------------------------------------------------
 
-def decode_png(content: bytes) -> np.ndarray:
-    """Decode a non-interlaced 8-bit RGB/RGBA PNG to an (h, w, 3|4)
-    uint8 array.
+# Adam7: (x_start, y_start, x_step, y_step) of the 7 interlace passes
+_ADAM7 = [
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+]
 
-    Full spec-path decode: walk chunks (IHDR → IDAT* → IEND), inflate
-    the concatenated IDAT stream with stdlib zlib, then reverse the
-    per-scanline filter — each row starts with a filter byte and
-    filters 1 (Sub), 3 (Average), 4 (Paeth) have an in-row left
-    dependency, so those rows reconstruct left-to-right; 0 (None) and
-    2 (Up) vectorize whole-row. Palette/grayscale/16-bit/interlaced
-    variants raise ``NotImplementedError`` (the honest format boundary,
-    same stance as decode_bmp's non-24-bit branch).
-    """
-    if content[:8] != PNG_MAGIC:
-        raise ValueError("not a PNG: missing signature")
-    pos, ihdr, idat = 8, None, bytearray()
-    while pos + 8 <= len(content):
-        (length,) = struct.unpack_from(">I", content, pos)
-        ctype = content[pos + 4: pos + 8]
-        body = content[pos + 8: pos + 8 + length]
-        if len(body) < length:
-            raise ValueError(f"truncated PNG chunk {ctype!r}")
-        if ctype == b"IHDR":
-            ihdr = struct.unpack(">IIBBBBB", body)
-        elif ctype == b"IDAT":
-            idat += body
-        elif ctype == b"IEND":
-            break
-        pos += 12 + length  # length + type + data + crc
-    if ihdr is None or not idat:
-        raise ValueError("PNG missing IHDR/IDAT chunk")
-    w, h, depth, color, comp, filt, interlace = ihdr
-    if depth != 8 or color not in (2, 6):
-        raise NotImplementedError(
-            f"only 8-bit RGB/RGBA PNG supported (depth {depth}, color type "
-            f"{color})"
-        )
-    if comp != 0 or filt != 0 or interlace != 0:
-        raise NotImplementedError(
-            f"unsupported PNG compression/filter/interlace method "
-            f"({comp}/{filt}/{interlace})"
-        )
-    if w <= 0 or h <= 0:
-        raise ValueError(f"degenerate PNG dimensions {w}x{h}")
-    bpp = 3 if color == 2 else 4
+
+def _png_unfilter(raw: bytes, offset: int, h: int, w: int, bpp: int) -> np.ndarray:
+    """Reverse the per-scanline filters of one (sub-)image starting at
+    ``offset`` in the inflated stream: each row leads with a filter
+    byte; 1 (Sub), 3 (Average), 4 (Paeth) have an in-row left
+    dependency and reconstruct left-to-right, 0 (None) and 2 (Up)
+    vectorize whole-row. Returns (h, w*bpp) uint8."""
     stride = w * bpp
-    raw = zlib.decompress(bytes(idat))
-    if len(raw) != h * (1 + stride):
+    need = offset + h * (1 + stride)
+    if len(raw) < need:
         raise ValueError(
-            f"PNG pixel stream is {len(raw)} bytes, expected {h * (1 + stride)}"
+            f"PNG pixel stream is {len(raw)} bytes, expected >= {need}"
         )
     out = np.zeros((h, stride), dtype=np.uint8)
     prev = np.zeros(stride, dtype=np.int32)
     for r in range(h):
-        f = raw[r * (1 + stride)]
+        base = offset + r * (1 + stride)
+        f = raw[base]
         cur = np.frombuffer(
-            raw, dtype=np.uint8, count=stride, offset=r * (1 + stride) + 1
+            raw, dtype=np.uint8, count=stride, offset=base + 1
         ).astype(np.int32)
         if f == 0:
             pass
@@ -216,23 +186,112 @@ def decode_png(content: bytes) -> np.ndarray:
             raise ValueError(f"invalid PNG filter type {f}")
         out[r] = cur
         prev = cur
-    return out.reshape(h, w, bpp)
+    return out
 
 
-def encode_png(pixels: np.ndarray, level: int = 9) -> bytes:
-    """Encode an (h, w, 3|4) uint8 array as a non-interlaced 8-bit
-    RGB/RGBA PNG (filter 0 scanlines, single IDAT) — the exact layout
-    :func:`decode_png` parses. Fixed zlib level so the bytes are
+def decode_png(content: bytes) -> np.ndarray:
+    """Decode an 8-bit RGB/RGBA PNG — sequential OR Adam7-interlaced
+    (round 10) — to an (h, w, 3|4) uint8 array.
+
+    Full spec-path decode: walk chunks (IHDR → IDAT* → IEND), inflate
+    the concatenated IDAT stream with stdlib zlib, then reverse the
+    per-scanline filters (see _png_unfilter). Interlace method 1
+    decodes the seven Adam7 sub-images — each with its OWN scanline
+    filtering and reduced dimensions ceil((dim - start) / step), empty
+    passes absent per spec — and scatters them onto the pixel grid.
+    Palette/grayscale/16-bit variants raise ``NotImplementedError``
+    (the honest format boundary, same stance as decode_bmp's
+    non-24-bit branch).
+    """
+    if content[:8] != PNG_MAGIC:
+        raise ValueError("not a PNG: missing signature")
+    pos, ihdr, idat = 8, None, bytearray()
+    while pos + 8 <= len(content):
+        (length,) = struct.unpack_from(">I", content, pos)
+        ctype = content[pos + 4: pos + 8]
+        body = content[pos + 8: pos + 8 + length]
+        if len(body) < length:
+            raise ValueError(f"truncated PNG chunk {ctype!r}")
+        if ctype == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", body)
+        elif ctype == b"IDAT":
+            idat += body
+        elif ctype == b"IEND":
+            break
+        pos += 12 + length  # length + type + data + crc
+    if ihdr is None or not idat:
+        raise ValueError("PNG missing IHDR/IDAT chunk")
+    w, h, depth, color, comp, filt, interlace = ihdr
+    if depth != 8 or color not in (2, 6):
+        raise NotImplementedError(
+            f"only 8-bit RGB/RGBA PNG supported (depth {depth}, color type "
+            f"{color})"
+        )
+    if comp != 0 or filt != 0 or interlace not in (0, 1):
+        raise NotImplementedError(
+            f"unsupported PNG compression/filter/interlace method "
+            f"({comp}/{filt}/{interlace})"
+        )
+    if w <= 0 or h <= 0:
+        raise ValueError(f"degenerate PNG dimensions {w}x{h}")
+    bpp = 3 if color == 2 else 4
+    raw = zlib.decompress(bytes(idat))
+    if interlace == 0:
+        stride = w * bpp
+        if len(raw) != h * (1 + stride):
+            raise ValueError(
+                f"PNG pixel stream is {len(raw)} bytes, "
+                f"expected {h * (1 + stride)}"
+            )
+        return _png_unfilter(raw, 0, h, w, bpp).reshape(h, w, bpp)
+    out = np.zeros((h, w, bpp), dtype=np.uint8)
+    offset = 0
+    for x0, y0, xs, ys in _ADAM7:
+        pw = -(-(w - x0) // xs) if w > x0 else 0
+        ph = -(-(h - y0) // ys) if h > y0 else 0
+        if pw == 0 or ph == 0:
+            continue  # empty pass: no bytes at all, not even filter bytes
+        sub = _png_unfilter(raw, offset, ph, pw, bpp).reshape(ph, pw, bpp)
+        offset += ph * (1 + pw * bpp)
+        out[y0::ys, x0::xs] = sub
+    if offset != len(raw):
+        raise ValueError(
+            f"PNG pixel stream is {len(raw)} bytes, expected {offset}"
+        )
+    return out
+
+
+def encode_png(
+    pixels: np.ndarray, level: int = 9, interlace: bool = False,
+) -> bytes:
+    """Encode an (h, w, 3|4) uint8 array as an 8-bit RGB/RGBA PNG
+    (filter 0 scanlines, single IDAT) — the exact layouts
+    :func:`decode_png` parses. ``interlace=True`` writes the seven
+    Adam7 sub-images in pass order (reduced dimensions, empty passes
+    omitted entirely), so the interlaced decode path is provable
+    without binary fixtures. Fixed zlib level so the bytes are
     deterministic for a given input."""
     arr = np.asarray(pixels, dtype=np.uint8)
     h, w, ch = arr.shape
     if ch not in (3, 4):
         raise ValueError(f"expected 3 or 4 channels, got {ch}")
     scanlines = bytearray()
-    for r in range(h):
-        scanlines.append(0)  # filter: None
-        scanlines += arr[r].tobytes()
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2 if ch == 3 else 6, 0, 0, 0)
+    if interlace:
+        for x0, y0, xs, ys in _ADAM7:
+            sub = arr[y0::ys, x0::xs]
+            for r in range(sub.shape[0]):
+                if sub.shape[1] == 0:
+                    break  # empty pass: no bytes
+                scanlines.append(0)  # filter: None
+                scanlines += sub[r].tobytes()
+    else:
+        for r in range(h):
+            scanlines.append(0)  # filter: None
+            scanlines += arr[r].tobytes()
+    ihdr = struct.pack(
+        ">IIBBBBB", w, h, 8, 2 if ch == 3 else 6, 0, 0,
+        1 if interlace else 0,
+    )
 
     def chunk(ctype: bytes, body: bytes) -> bytes:
         return (
@@ -373,7 +432,7 @@ def average_hash(pixels: np.ndarray, hash_size: int = 8) -> int:
 # coefficients across scans, then shares the same reconstruction
 # tail. The remaining non-baseline variants (arithmetic coding,
 # 12-bit, lossless, hierarchical) raise NotImplementedError — the
-# same honest format boundary as PNG's interlace guard. The matching
+# same honest format boundary as PNG's palette/16-bit guard. The matching
 # encoders (baseline AND progressive) exist so tests round-trip
 # without binary fixtures; both emit per-image OPTIMIZED huffman
 # tables (spec K.2 two-pass, per scan for progressive), which the
@@ -1441,7 +1500,7 @@ def decode_jpeg(content: bytes) -> np.ndarray:
     multi-scan decoder (round 10 — spectral selection, successive
     approximation, EOBn runs); arithmetic-coded, 12-bit, lossless, and
     hierarchical streams raise NotImplementedError — the honest format
-    boundary, same stance as PNG's interlace guard. Nearest-neighbor
+    boundary, same stance as PNG's palette/16-bit guard. Nearest-neighbor
     chroma upsampling (the
     fancy-upsampling difference is sub-rounding-error for the feature/
     hash consumers here).

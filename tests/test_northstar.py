@@ -1337,3 +1337,49 @@ def test_codec_jpeg_progressive_dispatch_and_totality(spark):
     hashes = {r["media_id"]: r["phash"] for r in image_phash(media).collect()}
     d = bin(int(hashes[1], 16) ^ int(hashes[2], 16)).count("1")
     assert d <= 2, f"progressive vs baseline hamming {d}"
+
+
+def test_codec_png_adam7_interlace():
+    """Adam7-interlaced PNG (round 10): interlaced and sequential
+    encodings of the same pixels decode identically (PNG is lossless),
+    across sizes that exercise empty passes (tiny images), partial
+    passes (non-multiple-of-8 dims), and RGBA. A hand-built 2x2
+    interlaced stream pins the PASS ORDER and geometry to the spec
+    independent of our encoder: pass 1 carries (0,0), pass 6 carries
+    (0,1), pass 7 carries row 1 — a mirrored encoder/decoder pass
+    permutation would decode it scrambled."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from priority_data_pipeline_azure_sql_db_spark.operators import codecs
+
+    rng = np.random.default_rng(11)
+    for shape in [(16, 16, 3), (13, 21, 3), (7, 5, 4), (1, 1, 3),
+                  (2, 9, 3), (8, 8, 4), (33, 3, 3)]:
+        px = rng.integers(0, 256, size=shape).astype(np.uint8)
+        seq = codecs.decode_png(codecs.encode_png(px))
+        inter = codecs.decode_png(codecs.encode_png(px, interlace=True))
+        assert np.array_equal(seq, inter), shape
+        assert np.array_equal(seq, px), shape
+
+    # spec-golden 2x2: A=(0,0) in pass 1, B=(0,1) in pass 6,
+    # C=(1,0) and D=(1,1) in pass 7; passes 2-5 are EMPTY (no bytes)
+    A, B, C, D = (255, 0, 0), (0, 255, 0), (0, 0, 255), (7, 7, 7)
+    raw = bytearray()
+    raw += b"\x00" + bytes(A)            # pass 1: one 1x1 scanline
+    raw += b"\x00" + bytes(B)            # pass 6: one 1x1 scanline
+    raw += b"\x00" + bytes(C) + bytes(D)  # pass 7: one 2x1 scanline
+
+    def chunk(ctype, body):
+        return (struct.pack(">I", len(body)) + ctype + body
+                + struct.pack(">I", zlib.crc32(ctype + body) & 0xFFFFFFFF))
+
+    blob = (codecs.PNG_MAGIC
+            + chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 8, 2, 0, 0, 1))
+            + chunk(b"IDAT", zlib.compress(bytes(raw)))
+            + chunk(b"IEND", b""))
+    got = codecs.decode_png(blob)
+    want = np.array([[A, B], [C, D]], dtype=np.uint8)
+    assert np.array_equal(got, want)
