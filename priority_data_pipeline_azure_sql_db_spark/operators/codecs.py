@@ -193,19 +193,23 @@ def decode_png(content: bytes) -> np.ndarray:
     """Decode an 8-bit RGB/RGBA PNG — sequential OR Adam7-interlaced
     (round 10) — to an (h, w, 3|4) uint8 array.
 
-    Full spec-path decode: walk chunks (IHDR → IDAT* → IEND), inflate
-    the concatenated IDAT stream with stdlib zlib, then reverse the
-    per-scanline filters (see _png_unfilter). Interlace method 1
-    decodes the seven Adam7 sub-images — each with its OWN scanline
-    filtering and reduced dimensions ceil((dim - start) / step), empty
-    passes absent per spec — and scatters them onto the pixel grid.
-    Palette/grayscale/16-bit variants raise ``NotImplementedError``
-    (the honest format boundary, same stance as decode_bmp's
-    non-24-bit branch).
+    Full spec-path decode: walk chunks (IHDR → PLTE/tRNS → IDAT* →
+    IEND), inflate the concatenated IDAT stream with stdlib zlib, then
+    reverse the per-scanline filters (see _png_unfilter). Interlace
+    method 1 decodes the seven Adam7 sub-images — each with its OWN
+    scanline filtering and reduced dimensions ceil((dim-start)/step),
+    empty passes absent per spec — and scatters them onto the pixel
+    grid. All five 8-bit color types decode (round 10): grayscale (0)
+    replicates to RGB like decode_jpeg's grayscale path, palette (3)
+    maps indices through PLTE (plus per-entry tRNS alpha → RGBA when
+    present), gray+alpha (4) expands to RGBA. 16-bit depth raises
+    ``NotImplementedError`` (the honest format boundary, same stance
+    as decode_bmp's non-24-bit branch).
     """
     if content[:8] != PNG_MAGIC:
         raise ValueError("not a PNG: missing signature")
     pos, ihdr, idat = 8, None, bytearray()
+    plte, trns = None, None
     while pos + 8 <= len(content):
         (length,) = struct.unpack_from(">I", content, pos)
         ctype = content[pos + 4: pos + 8]
@@ -214,6 +218,10 @@ def decode_png(content: bytes) -> np.ndarray:
             raise ValueError(f"truncated PNG chunk {ctype!r}")
         if ctype == b"IHDR":
             ihdr = struct.unpack(">IIBBBBB", body)
+        elif ctype == b"PLTE":
+            plte = body
+        elif ctype == b"tRNS":
+            trns = body
         elif ctype == b"IDAT":
             idat += body
         elif ctype == b"IEND":
@@ -222,10 +230,10 @@ def decode_png(content: bytes) -> np.ndarray:
     if ihdr is None or not idat:
         raise ValueError("PNG missing IHDR/IDAT chunk")
     w, h, depth, color, comp, filt, interlace = ihdr
-    if depth != 8 or color not in (2, 6):
+    if depth != 8 or color not in (0, 2, 3, 4, 6):
         raise NotImplementedError(
-            f"only 8-bit RGB/RGBA PNG supported (depth {depth}, color type "
-            f"{color})"
+            f"only 8-bit PNG color types 0/2/3/4/6 supported (depth "
+            f"{depth}, color type {color})"
         )
     if comp != 0 or filt != 0 or interlace not in (0, 1):
         raise NotImplementedError(
@@ -234,7 +242,7 @@ def decode_png(content: bytes) -> np.ndarray:
         )
     if w <= 0 or h <= 0:
         raise ValueError(f"degenerate PNG dimensions {w}x{h}")
-    bpp = 3 if color == 2 else 4
+    bpp = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[color]
     raw = zlib.decompress(bytes(idat))
     if interlace == 0:
         stride = w * bpp
@@ -243,22 +251,47 @@ def decode_png(content: bytes) -> np.ndarray:
                 f"PNG pixel stream is {len(raw)} bytes, "
                 f"expected {h * (1 + stride)}"
             )
-        return _png_unfilter(raw, 0, h, w, bpp).reshape(h, w, bpp)
-    out = np.zeros((h, w, bpp), dtype=np.uint8)
-    offset = 0
-    for x0, y0, xs, ys in _ADAM7:
-        pw = -(-(w - x0) // xs) if w > x0 else 0
-        ph = -(-(h - y0) // ys) if h > y0 else 0
-        if pw == 0 or ph == 0:
-            continue  # empty pass: no bytes at all, not even filter bytes
-        sub = _png_unfilter(raw, offset, ph, pw, bpp).reshape(ph, pw, bpp)
-        offset += ph * (1 + pw * bpp)
-        out[y0::ys, x0::xs] = sub
-    if offset != len(raw):
+        out = _png_unfilter(raw, 0, h, w, bpp).reshape(h, w, bpp)
+    else:
+        out = np.zeros((h, w, bpp), dtype=np.uint8)
+        offset = 0
+        for x0, y0, xs, ys in _ADAM7:
+            pw = -(-(w - x0) // xs) if w > x0 else 0
+            ph = -(-(h - y0) // ys) if h > y0 else 0
+            if pw == 0 or ph == 0:
+                continue  # empty pass: no bytes at all, not even filter bytes
+            sub = _png_unfilter(raw, offset, ph, pw, bpp).reshape(ph, pw, bpp)
+            offset += ph * (1 + pw * bpp)
+            out[y0::ys, x0::xs] = sub
+        if offset != len(raw):
+            raise ValueError(
+                f"PNG pixel stream is {len(raw)} bytes, expected {offset}"
+            )
+    if color in (2, 6):
+        return out
+    if color == 0:  # grayscale -> replicated RGB (decode_jpeg's stance)
+        return np.repeat(out, 3, axis=2)
+    if color == 4:  # gray + alpha -> RGBA
+        g, a = out[:, :, 0:1], out[:, :, 1:2]
+        return np.concatenate([g, g, g, a], axis=2)
+    # color == 3: palette indices through PLTE (+ optional tRNS alpha)
+    if plte is None or len(plte) % 3 != 0 or len(plte) == 0:
+        raise ValueError("palette PNG missing/malformed PLTE chunk")
+    pal = np.frombuffer(plte, dtype=np.uint8).reshape(-1, 3)
+    idx = out[:, :, 0]
+    if int(idx.max(initial=0)) >= pal.shape[0]:
         raise ValueError(
-            f"PNG pixel stream is {len(raw)} bytes, expected {offset}"
+            f"palette index {int(idx.max())} out of range "
+            f"({pal.shape[0]} entries)"
         )
-    return out
+    rgb = pal[idx]
+    if trns is None:
+        return rgb
+    alut = np.full(pal.shape[0], 255, dtype=np.uint8)
+    alut[: min(len(trns), pal.shape[0])] = np.frombuffer(
+        trns[: pal.shape[0]], dtype=np.uint8
+    )
+    return np.concatenate([rgb, alut[idx][:, :, None]], axis=2)
 
 
 def encode_png(

@@ -447,7 +447,9 @@ def test_codec_png_roundtrip_filters_and_features(spark):
     )
     assert np.array_equal(codecs.decode_png(blob), px.astype(np.uint8))
 
-    # format boundary: palette PNG refuses loudly, doesn't mis-decode
+    # palette PNG decodes since round 10 (test_codec_png_palette_gray_
+    # types); a malformed one (no PLTE) still refuses loudly rather
+    # than mis-decoding
     pal = (
         codecs.PNG_MAGIC
         + chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 8, 3, 0, 0, 0))
@@ -456,7 +458,7 @@ def test_codec_png_roundtrip_filters_and_features(spark):
     )
     import pytest
 
-    with pytest.raises(NotImplementedError):
+    with pytest.raises(ValueError, match="PLTE"):
         codecs.decode_png(pal)
 
     # through the Spark path: solid green 4x2 PNG → exact means, tag png
@@ -1383,3 +1385,75 @@ def test_codec_png_adam7_interlace():
     got = codecs.decode_png(blob)
     want = np.array([[A, B], [C, D]], dtype=np.uint8)
     assert np.array_equal(got, want)
+
+
+def test_codec_png_palette_gray_types():
+    """Round-10 PNG color-type closure: 8-bit grayscale (0), palette
+    (3, with and without tRNS alpha), and gray+alpha (4) decode via
+    hand-assembled spec streams (filters included, so bpp=1/2
+    unfiltering is exercised); 16-bit stays a loud boundary."""
+    import struct
+    import zlib
+
+    import numpy as np
+    import pytest
+
+    from priority_data_pipeline_azure_sql_db_spark.operators import codecs
+
+    def chunk(ctype, body):
+        return (struct.pack(">I", len(body)) + ctype + body
+                + struct.pack(">I", zlib.crc32(ctype + body) & 0xFFFFFFFF))
+
+    def png(w, h, color, raw, extra=b""):
+        return (codecs.PNG_MAGIC
+                + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, color,
+                                             0, 0, 0))
+                + extra
+                + chunk(b"IDAT", zlib.compress(bytes(raw)))
+                + chunk(b"IEND", b""))
+
+    # grayscale 2x3 with a Sub-filtered second row (bpp=1 left deps)
+    raw = bytearray()
+    raw += b"\x00" + bytes([10, 20, 30])
+    raw += b"\x01" + bytes([5, 250, 5])  # Sub: 5, 255, 4 after unfilter
+    got = codecs.decode_png(png(3, 2, 0, raw))
+    want_g = np.array([[10, 20, 30], [5, 255, 4]], dtype=np.uint8)
+    assert np.array_equal(got, np.repeat(want_g[:, :, None], 3, axis=2))
+
+    # palette 2x2: indices through PLTE; then the same with tRNS alpha
+    pal = bytes([255, 0, 0, 0, 255, 0, 0, 0, 255])  # R, G, B entries
+    raw = b"\x00" + bytes([0, 1]) + b"\x00" + bytes([2, 0])
+    got = codecs.decode_png(png(2, 2, 3, raw, chunk(b"PLTE", pal)))
+    want = np.array([[[255, 0, 0], [0, 255, 0]],
+                     [[0, 0, 255], [255, 0, 0]]], dtype=np.uint8)
+    assert np.array_equal(got, want)
+    got_a = codecs.decode_png(
+        png(2, 2, 3, raw, chunk(b"PLTE", pal) + chunk(b"tRNS", bytes([128])))
+    )
+    assert got_a.shape == (2, 2, 4)
+    assert np.array_equal(got_a[:, :, :3], want)
+    # entry 0 gets alpha 128, unlisted entries default 255
+    assert got_a[0, 0, 3] == 128 and got_a[0, 1, 3] == 255
+
+    # gray+alpha 1x2 -> RGBA
+    raw = b"\x00" + bytes([100, 200, 50, 25])
+    got = codecs.decode_png(png(2, 1, 4, raw))
+    assert np.array_equal(
+        got, np.array([[[100, 100, 100, 200], [50, 50, 50, 25]]],
+                      dtype=np.uint8))
+
+    # out-of-range palette index and missing PLTE fail loud
+    bad = b"\x00" + bytes([7, 0]) + b"\x00" + bytes([0, 0])
+    with pytest.raises(ValueError, match="out of range"):
+        codecs.decode_png(png(2, 2, 3, bad, chunk(b"PLTE", pal)))
+    pal_raw = b"\x00" + bytes([0, 1]) + b"\x00" + bytes([2, 0])
+    with pytest.raises(ValueError, match="PLTE"):
+        codecs.decode_png(png(2, 2, 3, pal_raw))
+
+    # 16-bit: still the honest boundary
+    blob16 = (codecs.PNG_MAGIC
+              + chunk(b"IHDR", struct.pack(">IIBBBBB", 1, 1, 16, 2, 0, 0, 0))
+              + chunk(b"IDAT", zlib.compress(b"\x00" + b"\x00" * 6))
+              + chunk(b"IEND", b""))
+    with pytest.raises(NotImplementedError):
+        codecs.decode_png(blob16)
