@@ -353,3 +353,99 @@ def test_combine_rollups_property(spark, rows, cut):
         for r in combine_rollups([rollup(a), rollup(b)], ["k"], ["n", "s"]).collect()
     }
     assert merged == full
+
+
+er_names = st.lists(
+    st.tuples(
+        st.integers(min_value=1, max_value=60),  # id
+        st.text(alphabet="abcx", min_size=3, max_size=6),  # noisy short name
+        st.integers(min_value=0, max_value=2),   # block group
+    ),
+    min_size=2,
+    max_size=18,
+    unique_by=lambda t: t[0],
+)
+
+
+@SETTINGS
+@given(rows=er_names, cut=st.integers(min_value=0, max_value=4))
+def test_er_index_append_rebuild_property(spark, tmp_path_factory, rows, cut):
+    """For ANY corpus of short noisy names and ANY build/append split,
+    building the ER cluster store from one part and appending the rest
+    yields EXACTLY the cluster map of a fresh full-corpus build — the
+    store's rebuild-equality contract under arbitrary merge topologies
+    (edit-distance-1 chains on a 4-letter alphabet merge aggressively,
+    so appended records routinely bridge several standing clusters)."""
+    from priority_data_pipeline_azure_sql_db_spark.operators import er_index as EI
+
+    df = spark.createDataFrame(rows, "id bigint, name string, grp int")
+    part_a = df.filter(F.col("id") % 5 >= cut)
+    part_b = df.filter(F.col("id") % 5 < cut)
+    kw = dict(key_col="name", id_col="id", block_cols=["grp"],
+              max_edit=1, n_buckets=4)
+
+    base = str(tmp_path_factory.mktemp("er_prop"))
+    p_inc, p_full = base + "/inc", base + "/full"
+    if part_a.count() == 0:
+        return  # build needs a non-empty base
+    EI.build_er_index(part_a, p_inc, **kw)
+    EI.append_to_er_index(spark, p_inc, part_b)
+    EI.build_er_index(df, p_full, **kw)
+    cmap = lambda p: sorted(  # noqa: E731
+        (r.node, r.cluster_id)
+        for r in EI.read_er_clusters(spark, p).collect()
+    )
+    assert cmap(p_inc) == cmap(p_full)
+
+
+@SETTINGS
+@given(
+    h=st.integers(min_value=1, max_value=20),
+    w=st.integers(min_value=1, max_value=20),
+    q=st.integers(min_value=15, max_value=97),
+    seed=st.integers(min_value=0, max_value=2**31),
+    sub=st.sampled_from(["4:4:4", "4:2:0", "4:2:2"]),
+)
+def test_jpeg_progressive_equals_baseline_property(h, w, q, seed, sub):
+    """For ANY image content/size/quality/subsampling, the progressive
+    and baseline encodings decode to IDENTICAL pixels (they share
+    quantized coefficients) — the spec-consistency property of the
+    whole Annex G scan machinery under arbitrary coefficient
+    distributions."""
+    import numpy as np
+
+    from priority_data_pipeline_azure_sql_db_spark.operators import codecs
+
+    px = np.random.default_rng(seed).integers(
+        0, 256, size=(h, w, 3)
+    ).astype(np.uint8)
+    base = codecs.decode_jpeg(codecs.encode_jpeg(px, quality=q, subsample=sub))
+    prog = codecs.decode_jpeg(
+        codecs.encode_jpeg_progressive(px, quality=q, subsample=sub)
+    )
+    assert np.array_equal(base, prog)
+
+
+@SETTINGS
+@given(
+    h=st.integers(min_value=1, max_value=24),
+    w=st.integers(min_value=1, max_value=24),
+    seed=st.integers(min_value=0, max_value=2**31),
+    alpha=st.booleans(),
+)
+def test_png_adam7_lossless_property(h, w, seed, alpha):
+    """For ANY pixel content and dimensions (including the degenerate
+    sub-8 sizes where most Adam7 passes are empty), interlaced encode →
+    decode is the identity, and equals the sequential path."""
+    import numpy as np
+
+    from priority_data_pipeline_azure_sql_db_spark.operators import codecs
+
+    ch = 4 if alpha else 3
+    px = np.random.default_rng(seed).integers(
+        0, 256, size=(h, w, ch)
+    ).astype(np.uint8)
+    assert np.array_equal(
+        codecs.decode_png(codecs.encode_png(px, interlace=True)), px
+    )
+    assert np.array_equal(codecs.decode_png(codecs.encode_png(px)), px)
