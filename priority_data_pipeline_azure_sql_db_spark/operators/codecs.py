@@ -230,9 +230,10 @@ def decode_png(content: bytes) -> np.ndarray:
     if ihdr is None or not idat:
         raise ValueError("PNG missing IHDR/IDAT chunk")
     w, h, depth, color, comp, filt, interlace = ihdr
-    if depth != 8 or color not in (0, 2, 3, 4, 6):
+    if (depth not in (8, 16) or color not in (0, 2, 3, 4, 6)
+            or (depth == 16 and color == 3)):
         raise NotImplementedError(
-            f"only 8-bit PNG color types 0/2/3/4/6 supported (depth "
+            f"only 8/16-bit PNG color types 0/2/3/4/6 supported (depth "
             f"{depth}, color type {color})"
         )
     if comp != 0 or filt != 0 or interlace not in (0, 1):
@@ -242,7 +243,8 @@ def decode_png(content: bytes) -> np.ndarray:
         )
     if w <= 0 or h <= 0:
         raise ValueError(f"degenerate PNG dimensions {w}x{h}")
-    bpp = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[color]
+    channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[color]
+    bpp = channels * (depth // 8)  # filter bpp is in BYTES per spec
     raw = zlib.decompress(bytes(idat))
     if interlace == 0:
         stride = w * bpp
@@ -267,6 +269,10 @@ def decode_png(content: bytes) -> np.ndarray:
             raise ValueError(
                 f"PNG pixel stream is {len(raw)} bytes, expected {offset}"
             )
+    if depth == 16:
+        # 16 -> 8 bit: keep the big-endian high byte (the standard
+        # consumer downscale; the codec contract is uint8 pixels)
+        out = out.reshape(h, w, channels, 2)[:, :, :, 0]
     if color in (2, 6):
         return out
     if color == 0:  # grayscale -> replicated RGB (decode_jpeg's stance)
@@ -811,6 +817,7 @@ def encode_jpeg(
 
 def encode_jpeg_progressive(
     pixels: np.ndarray, quality: int = 90, subsample: str = "4:2:0",
+    restart_interval: int = 0,
 ) -> bytes:
     """Encode an (h, w, 3) uint8 RGB (or (h, w) grayscale) array as a
     PROGRESSIVE (SOF2) JFIF JPEG using the standard successive-
@@ -905,32 +912,40 @@ def encode_jpeg_progressive(
         sh = -(-h * vi // vmax)
         return -(-sh // 8), -(-sw // 8)
 
-    def run_dc_first(scan_comps, al, emit_sym, emit_bits):
+    def run_dc_first(scan_comps, al, emit_sym, emit_bits, on_restart):
         preds = {ci: 0 for ci in scan_comps}
         if len(scan_comps) > 1:
-            blocks = []
+            units = []
             for m in range(mcus_x * mcus_y):
                 my, mx = divmod(m, mcus_x)
+                unit = []
                 for ci in scan_comps:
                     hi, vi = factors[ci]
                     for by in range(vi):
                         for bx in range(hi):
-                            blocks.append((ci, my * vi + by, mx * hi + bx))
+                            unit.append((ci, my * vi + by, mx * hi + bx))
+                units.append(unit)
         else:
             ci = scan_comps[0]
             ch, cw = comp_blocks(ci)
-            blocks = [(ci, b // cw, b % cw) for b in range(ch * cw)]
-        for ci, by, bx in blocks:
-            v = int(comp_zz[ci][by, bx, 0]) >> al  # DC: arithmetic shift
-            diff = v - preds[ci]
-            preds[ci] = v
-            cat = _mag_category(diff)
-            emit_sym(classes[ci], cat)
-            emit_bits(diff if diff >= 0 else diff + (1 << cat) - 1, cat)
+            units = [[(ci, b // cw, b % cw)] for b in range(ch * cw)]
+        for u, unit in enumerate(units):
+            if restart_interval and u and u % restart_interval == 0:
+                on_restart()
+                preds = {ci: 0 for ci in scan_comps}
+            for ci, by, bx in unit:
+                v = int(comp_zz[ci][by, bx, 0]) >> al  # DC: arithmetic shift
+                diff = v - preds[ci]
+                preds[ci] = v
+                cat = _mag_category(diff)
+                emit_sym(classes[ci], cat)
+                emit_bits(diff if diff >= 0 else diff + (1 << cat) - 1, cat)
 
-    def run_dc_refine(scan_comps, al, emit_sym, emit_bits):
+    def run_dc_refine(scan_comps, al, emit_sym, emit_bits, on_restart):
         if len(scan_comps) > 1:
             for m in range(mcus_x * mcus_y):
+                if restart_interval and m and m % restart_interval == 0:
+                    on_restart()
                 my, mx = divmod(m, mcus_x)
                 for ci in scan_comps:
                     hi, vi = factors[ci]
@@ -943,10 +958,12 @@ def encode_jpeg_progressive(
             ci = scan_comps[0]
             ch, cw = comp_blocks(ci)
             for b in range(ch * cw):
+                if restart_interval and b and b % restart_interval == 0:
+                    on_restart()
                 emit_bits(
                     (int(comp_zz[ci][b // cw, b % cw, 0]) >> al) & 1, 1)
 
-    def run_ac_first(ci, ss, se, al, emit_sym, emit_bits):
+    def run_ac_first(ci, ss, se, al, emit_sym, emit_bits, on_restart):
         cls = classes[ci]
         ch, cw = comp_blocks(ci)
         eobrun = 0
@@ -960,6 +977,9 @@ def encode_jpeg_progressive(
                 eobrun = 0
 
         for b in range(ch * cw):
+            if restart_interval and b and b % restart_interval == 0:
+                flush_eob()  # EOB runs never span a restart
+                on_restart()
             blk = comp_zz[ci][b // cw, b % cw]
             r = 0
             for k in range(ss, se + 1):
@@ -982,7 +1002,7 @@ def encode_jpeg_progressive(
                     flush_eob()
         flush_eob()
 
-    def run_ac_refine(ci, ss, se, al, emit_sym, emit_bits):
+    def run_ac_refine(ci, ss, se, al, emit_sym, emit_bits, on_restart):
         cls = classes[ci]
         ch, cw = comp_blocks(ci)
         eobrun = 0
@@ -1000,6 +1020,9 @@ def encode_jpeg_progressive(
             buffered.clear()
 
         for b in range(ch * cw):
+            if restart_interval and b and b % restart_interval == 0:
+                flush_eob()  # EOB run + buffered bits never span a restart
+                on_restart()
             blk = comp_zz[ci][b // cw, b % cw]
             tvals = []
             eob = -1
@@ -1047,18 +1070,19 @@ def encode_jpeg_progressive(
                     flush_eob()
         flush_eob()
 
-    def run_scan(scan_comps, ss, se, ah, al, emit_sym, emit_bits):
+    def run_scan(scan_comps, ss, se, ah, al, emit_sym, emit_bits,
+                 on_restart=lambda: None):
         if ss == 0:
             if ah == 0:
-                run_dc_first(scan_comps, al, emit_sym, emit_bits)
+                run_dc_first(scan_comps, al, emit_sym, emit_bits, on_restart)
             else:
-                run_dc_refine(scan_comps, al, emit_sym, emit_bits)
+                run_dc_refine(scan_comps, al, emit_sym, emit_bits, on_restart)
         else:
             (ci,) = scan_comps
             if ah == 0:
-                run_ac_first(ci, ss, se, al, emit_sym, emit_bits)
+                run_ac_first(ci, ss, se, al, emit_sym, emit_bits, on_restart)
             else:
-                run_ac_refine(ci, ss, se, al, emit_sym, emit_bits)
+                run_ac_refine(ci, ss, se, al, emit_sym, emit_bits, on_restart)
 
     # ---- headers ----
     n_classes = 1 if ncomp == 1 else 2
@@ -1072,6 +1096,8 @@ def encode_jpeg_progressive(
     out += b"\xff\xc2" + struct.pack(">HBHHB", 8 + 3 * ncomp, 8, h, w, ncomp)
     for ci, (hi, vi) in enumerate(factors):
         out += bytes([ci + 1, (hi << 4) | vi, min(classes[ci], 1)])
+    if restart_interval:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
 
     for scan_comps, ss, se, ah, al in script:
         # pass 1: per-class symbol stats for this scan
@@ -1102,10 +1128,19 @@ def encode_jpeg_progressive(
             out += bytes([ci + 1, (td << 4) | ta])
         out += bytes([ss, se, (ah << 4) | al])
         bw = _BitWriter()
+        nrst = 0
+
+        def on_restart():
+            nonlocal nrst
+            bw.flush()
+            bw.out += bytes([0xFF, 0xD0 + (nrst % 8)])
+            nrst += 1
+
         run_scan(
             scan_comps, ss, se, ah, al,
             lambda cls, s: bw.write(*codes[cls][s]),
             lambda v, n: bw.write(v, n),
+            on_restart,
         )
         bw.flush()
         out += bw.out

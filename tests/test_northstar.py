@@ -1228,6 +1228,18 @@ def test_codec_jpeg_progressive_roundtrip():
         )
         assert np.array_equal(base, prog), (px.shape, q, sub)
 
+    # restart markers inside progressive scans: EOB runs and buffered
+    # correction bits flush at every boundary, DC predictors reset —
+    # still bit-identical to baseline at several intervals
+    rng2 = np.random.default_rng(77)
+    px = rng2.integers(0, 256, size=(40, 56, 3)).astype(np.uint8)
+    base = codecs.decode_jpeg(codecs.encode_jpeg(px, quality=80,
+                                                 subsample="4:2:0"))
+    for ri in (1, 3, 7):
+        prog = codecs.decode_jpeg(codecs.encode_jpeg_progressive(
+            px, quality=80, subsample="4:2:0", restart_interval=ri))
+        assert np.array_equal(base, prog), ri
+
 
 def test_codec_jpeg_progressive_golden_stream_hand_built():
     """A progressive stream assembled BY HAND from the T.81 Annex G
@@ -1450,10 +1462,34 @@ def test_codec_png_palette_gray_types():
     with pytest.raises(ValueError, match="PLTE"):
         codecs.decode_png(png(2, 2, 3, pal_raw))
 
-    # 16-bit: still the honest boundary
+    # 16-bit decodes and downscales to the high byte (round 10)
+    raw16 = b"\x00" + struct.pack(">HHHHHH", 0x1234, 0xFF00, 0x0080,
+                                   0xABCD, 0x0001, 0x8000)
     blob16 = (codecs.PNG_MAGIC
-              + chunk(b"IHDR", struct.pack(">IIBBBBB", 1, 1, 16, 2, 0, 0, 0))
-              + chunk(b"IDAT", zlib.compress(b"\x00" + b"\x00" * 6))
+              + chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 1, 16, 2, 0, 0, 0))
+              + chunk(b"IDAT", zlib.compress(raw16))
               + chunk(b"IEND", b""))
+    got16 = codecs.decode_png(blob16)
+    assert got16.tolist() == [[[0x12, 0xFF, 0x00], [0xAB, 0x00, 0x80]]]
+    gray16 = (codecs.PNG_MAGIC
+              + chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 1, 16, 0, 0, 0, 0))
+              + chunk(b"IDAT",
+                      zlib.compress(b"\x00" + struct.pack(">HH", 0x4000,
+                                                           0x80FF)))
+              + chunk(b"IEND", b""))
+    assert codecs.decode_png(gray16).tolist() == [[[0x40] * 3, [0x80] * 3]]
+
+    # sub-8-bit depths and 16-bit palette: the honest boundary
+    blob4 = (codecs.PNG_MAGIC
+             + chunk(b"IHDR", struct.pack(">IIBBBBB", 1, 1, 4, 0, 0, 0, 0))
+             + chunk(b"IDAT", zlib.compress(b"\x00\x00"))
+             + chunk(b"IEND", b""))
     with pytest.raises(NotImplementedError):
-        codecs.decode_png(blob16)
+        codecs.decode_png(blob4)
+    pal16 = (codecs.PNG_MAGIC
+             + chunk(b"IHDR", struct.pack(">IIBBBBB", 1, 1, 16, 3, 0, 0, 0))
+             + chunk(b"PLTE", pal)
+             + chunk(b"IDAT", zlib.compress(b"\x00\x00\x00"))
+             + chunk(b"IEND", b""))
+    with pytest.raises(NotImplementedError):
+        codecs.decode_png(pal16)
