@@ -41,7 +41,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # pack_greedy_sequences already sits at the window head) — fills to 50.
 #
 # ROTATION ARITHMETIC (the ≤3-round staleness covering schedule,
-# adopted in r9): registry 192 (5 added r10) + ≤10 new per round over a 50-slot
+# adopted in r9): registry 194 (7 added r10) + ≤10 new per round over a 50-slot
 # window ⇒ full cycle ceil(~190/50) = 4 rounds ⇒ max staleness 3.
 # Schedule from here:
 #   r10 (this file): changed-head 4 + r6 bucket[6:42] + r9 regs (5) +

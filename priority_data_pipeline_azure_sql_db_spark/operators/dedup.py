@@ -301,6 +301,52 @@ def minhash_dedup_candidates(df: DataFrame, text_col: str, id_col: str,
     return lsh_candidates(minhash_signature(df, text_col, id_col, num_hashes, k), num_hashes, bands)
 
 
+def minhash_dedup_candidates_md5(
+    df: DataFrame, text_col: str, id_col: str,
+    num_hashes: int = 16, bands: int = 4, k: int = 5,
+) -> DataFrame:
+    """ENGINE-PORTABLE MinHash→LSH twin (round 10): the same
+    signature/banding pipeline with the md5 hash family instead of
+    xxhash64 — ``h_s(doc) = MIN over shingles of md5('s:' || shingle)``
+    compared as lowercase hex STRINGS (lexicographic min is identical
+    in every engine), and a band's bucket key is simply the
+    concatenation of its row minima (no second hash needed for
+    correctness — equal buckets ⟺ equal band minima). This buys the
+    one thing the fast xxhash64 path can't have: a DuckDB-replayable
+    oracle, so the driver hash-checks the ENTIRE minhash→band→bucket→
+    pair-join construction instead of the rows-only count. The
+    xxhash64 path (minhash_dedup_candidates) stays the production
+    default — one 64-bit JVM hash per shingle beats an md5 digest —
+    with this twin pinning the shared construction. Same banding
+    guarantee: P[candidate] = 1 - (1 - j^r)^b for Jaccard j.
+    """
+    sh = _shingle_rows(df, text_col, id_col, k)
+    mins = [
+        F.min(F.md5(F.concat(F.lit(f"{s}:"), F.col("shingle")))).alias(f"h{s}")
+        for s in range(num_hashes)
+    ]
+    sig = sh.groupBy("doc").agg(*mins)
+    r = num_hashes // bands
+    buckets = [
+        F.concat_ws("|", *[F.col(f"h{b * r + j}") for j in range(r)])
+        for b in range(bands)
+    ]
+    banded = sig.select(
+        "doc", F.posexplode(F.array(*buckets)).alias("band", "bucket")
+    )
+    lft, rgt = banded.alias("l"), banded.alias("r")
+    return (
+        lft.join(
+            rgt,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.bucket") == F.col("r.bucket"))
+            & (F.col("l.doc") < F.col("r.doc")),
+        )
+        .select(F.col("l.doc").alias("id_a"), F.col("r.doc").alias("id_b"))
+        .distinct()
+    )
+
+
 # ---------------------------------------------------------------------------
 # SimHash
 # ---------------------------------------------------------------------------
@@ -340,6 +386,64 @@ def simhash(df: DataFrame, text_col: str, id_col: str, bits: int = 64) -> DataFr
     for bv in bit_vals[1:]:
         sig = sig + bv
     return votes.select("doc", sig.cast("bigint").alias("simhash"))
+
+
+def simhash_md5(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """ENGINE-PORTABLE 64-bit SimHash twin (round 10): the same per-bit
+    majority vote as :func:`simhash`, but the token hash is the first
+    64 bits of md5 (two 32-bit hex halves, so no signed-BIGINT edge at
+    bit 63) and the signature is emitted as a 16-hex STRING — every
+    step (md5, hex→int, per-bit shift/mask votes, majority, int→hex)
+    has an identical builtin in DuckDB, so the driver hash-checks the
+    full vote/majority construction that the xxhash64 production path
+    (:func:`simhash`) shares. Same single-shuffle shape: explode
+    tokens → hash once per token → ONE doc-keyed hash-agg carrying 64
+    vote sums → bit assembly."""
+    src = spread(
+        df.select(F.col(id_col).alias("doc"), F.col(text_col).alias("_txt")), "doc"
+    )
+    toks = F.explode(
+        F.split(F.trim(F.lower(F.col("_txt"))), TOKEN_SPLIT_RE)
+    ).alias("tok")
+    hashed = src.select("doc", toks).select(
+        "doc",
+        F.expr("cast(conv(substring(md5(tok), 1, 8), 16, 10) as bigint)")
+        .alias("hi"),
+        F.expr("cast(conv(substring(md5(tok), 9, 8), 16, 10) as bigint)")
+        .alias("lo"),
+    )
+    votes = hashed.groupBy("doc").agg(
+        *[
+            F.sum(
+                F.when(F.expr(f"getbit(hi, {b})") == 1, F.lit(1))
+                .otherwise(F.lit(-1))
+            ).alias(f"vh{b}")
+            for b in range(32)
+        ],
+        *[
+            F.sum(
+                F.when(F.expr(f"getbit(lo, {b})") == 1, F.lit(1))
+                .otherwise(F.lit(-1))
+            ).alias(f"vl{b}")
+            for b in range(32)
+        ],
+    )
+
+    def pack(prefix: str):
+        val = F.lit(0).cast("bigint")
+        for b in range(32):
+            val = val + F.when(
+                F.col(f"{prefix}{b}") > 0, F.expr(f"shiftleft(1L, {b})")
+            ).otherwise(F.lit(0).cast("bigint"))
+        return val
+
+    return votes.select(
+        "doc",
+        F.concat(
+            F.lower(F.lpad(F.conv(pack("vh").cast("string"), 10, 16), 8, "0")),
+            F.lower(F.lpad(F.conv(pack("vl").cast("string"), 10, 16), 8, "0")),
+        ).alias("simhash_hex"),
+    )
 
 
 def simhash_pairs(

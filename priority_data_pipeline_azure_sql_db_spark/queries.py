@@ -8177,3 +8177,111 @@ def er_store_append_serve(spark, sf_dir):
     )
     append_to_er_index(spark, path, part_b)
     return assign_from_index(spark, path, delta)
+
+
+def _minhash_md5_oracle(num_hashes: int = 16, bands: int = 4, k: int = 5) -> str:
+    r = num_hashes // bands
+    mins = ",\n           ".join(
+        f"MIN(md5('{s}:' || shingle)) AS h{s}" for s in range(num_hashes)
+    )
+    band_rows = "\n        UNION ALL ".join(
+        "SELECT doc, {b} AS band, {expr} AS bucket FROM sig".format(
+            b=b,
+            expr=" || '|' || ".join(f"h{b * r + j}" for j in range(r)),
+        )
+        for b in range(bands)
+    )
+    return f"""
+    WITH toks AS (
+        SELECT doc_id AS doc,
+               string_split_regex(trim(lower(text)), '\\s+') AS t
+        FROM documents
+    ), sh AS (
+        SELECT doc, array_to_string(t[i:i+{k - 1}], ' ') AS shingle
+        FROM toks, LATERAL (
+            SELECT UNNEST(range(1, GREATEST(len(t) - {k - 1}, 0) + 1)) AS i
+        )
+    ), sig AS (
+        SELECT doc,
+           {mins}
+        FROM sh GROUP BY doc
+    ), banded AS (
+        {band_rows}
+    )
+    SELECT DISTINCT l.doc AS id_a, r.doc AS id_b
+    FROM banded l JOIN banded r
+      ON l.band = r.band AND l.bucket = r.bucket AND l.doc < r.doc
+    """
+
+
+def _simhash_md5_oracle() -> str:
+    vh = ",\n           ".join(
+        f"SUM(CASE WHEN ((hi >> {b}) & 1) = 1 THEN 1 ELSE -1 END) AS vh{b}"
+        for b in range(32)
+    )
+    vl = ",\n           ".join(
+        f"SUM(CASE WHEN ((lo >> {b}) & 1) = 1 THEN 1 ELSE -1 END) AS vl{b}"
+        for b in range(32)
+    )
+    hi_val = " + ".join(
+        f"(CASE WHEN vh{b} > 0 THEN {1 << b} ELSE 0 END)" for b in range(32)
+    )
+    lo_val = " + ".join(
+        f"(CASE WHEN vl{b} > 0 THEN {1 << b} ELSE 0 END)" for b in range(32)
+    )
+    return f"""
+    WITH toks AS (
+        SELECT doc_id AS doc,
+               UNNEST(string_split_regex(trim(lower(text)), '\\s+')) AS tok
+        FROM documents
+    ), hashed AS (
+        SELECT doc,
+               CAST('0x' || substr(md5(tok), 1, 8) AS BIGINT) AS hi,
+               CAST('0x' || substr(md5(tok), 9, 8) AS BIGINT) AS lo
+        FROM toks
+    ), votes AS (
+        SELECT doc,
+           {vh},
+           {vl}
+        FROM hashed GROUP BY doc
+    )
+    SELECT doc,
+           lower(lpad(to_hex({hi_val}), 8, '0'))
+           || lower(lpad(to_hex({lo_val}), 8, '0')) AS simhash_hex
+    FROM votes
+    """
+
+
+@query("dedup_minhash_lsh_md5", _minhash_md5_oracle())
+def dedup_minhash_lsh_md5(spark, sf_dir):
+    """MinHash→LSH with the ENGINE-PORTABLE md5 hash family (round 10)
+    — upgrades the MinHash construction from the rows-only check to a
+    full hash oracle: signature minima compare as lowercase-hex
+    strings and a band's bucket key is the concatenation of its row
+    minima, so DuckDB replays signature → banding → bucket join →
+    distinct pairs verbatim. The xxhash64 path (dedup_minhash_lsh)
+    stays the production default for speed; this twin pins the shared
+    pipeline's correctness end to end. Same one-shuffle-per-stage
+    shape: shingle explode → per-doc MIN agg → band explode →
+    bucket equi-join (fan-out bounded by collisions, never corpus²)."""
+    from .operators.dedup import minhash_dedup_candidates_md5
+
+    return minhash_dedup_candidates_md5(
+        load_table(spark, sf_dir, "documents"), "text", "doc_id",
+    )
+
+
+@query("dedup_simhash_md5", _simhash_md5_oracle())
+def dedup_simhash_md5(spark, sf_dir):
+    """64-bit SimHash with the ENGINE-PORTABLE md5 token hash (round
+    10) — upgrades the SimHash vote/majority construction from the
+    rows-only check to a full hash oracle: token md5 → two 32-bit
+    halves → 64 per-bit ±1 vote sums in ONE doc-keyed hash-agg →
+    majority bits packed to a 16-hex signature, every step replayed by
+    an identical DuckDB builtin. The xxhash64 path (dedup_simhash)
+    stays the production signature; this twin proves the shared
+    bit-vote machinery. Hamming retrieval over these signatures is the
+    already-oracle-checked phash block-join pattern."""
+    from .operators.dedup import simhash_md5
+
+    return simhash_md5(load_table(spark, sf_dir, "documents"), "text", "doc_id")

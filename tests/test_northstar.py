@@ -1493,3 +1493,45 @@ def test_codec_png_palette_gray_types():
              + chunk(b"IEND", b""))
     with pytest.raises(NotImplementedError):
         codecs.decode_png(pal16)
+
+
+def test_portable_hash_family_twins(spark):
+    """The md5-portable MinHash/SimHash twins (round 10) behave like
+    their xxhash64 production siblings on a crafted corpus: the
+    LSH candidates include every truly-similar pair (here: documents
+    sharing most shingles agree on at least one full band with high
+    probability — the fixture makes them IDENTICAL in one band region
+    by construction via near-identical texts), and near-identical
+    documents get near-identical simhash signatures while unrelated
+    ones differ widely."""
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from priority_data_pipeline_azure_sql_db_spark.operators.dedup import (
+        minhash_dedup_candidates_md5,
+        simhash_md5,
+    )
+
+    base = ("the quick brown fox jumps over the lazy dog again and again "
+            "while the cat watches from the warm windowsill every day")
+    rows = [
+        (1, base),
+        (2, base),                           # exact dup
+        (3, base + " extra trailing words"),  # near dup
+        (4, "completely different content about spark shuffles and "
+            "partition pruning in distributed query engines at scale"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+
+    cands = {
+        (r.id_a, r.id_b)
+        for r in minhash_dedup_candidates_md5(df, "text", "doc_id").collect()
+    }
+    assert (1, 2) in cands           # identical docs always collide
+    assert (1, 4) not in cands and (2, 4) not in cands
+
+    sigs = {r.doc: r.simhash_hex for r in simhash_md5(df, "text", "doc_id").collect()}
+    assert all(len(s) == 16 for s in sigs.values())
+    ham = lambda a, b: bin(int(a, 16) ^ int(b, 16)).count("1")  # noqa: E731
+    assert sigs[1] == sigs[2]
+    assert ham(sigs[1], sigs[3]) <= 12   # near dup: small distance
+    assert ham(sigs[1], sigs[4]) >= 20   # unrelated: wide distance
