@@ -55,11 +55,13 @@ def entry(spark: SparkSession) -> DataFrame:
 # er_first_token_pairs (free-text blocking, r9 ask #3),
 # export_curriculum_readback (the shard-order round trip, r9 ask #4),
 # multimodal_codec_mix (the codec-mix profile incl. the new
-# progressive-JPEG class, r9 ask #8), and er_store_append_serve
+# progressive-JPEG class, r9 ask #8), er_store_append_serve
 # (append ≡ rebuild end to end: store built from part of the base,
-# rest appended, served against the full-base oracle) — each
-# comparator-verified at sf0.01 AND sf0.1 the session it landed; all
-# r11-head material.
+# rest appended, served against the full-base oracle), and the two
+# md5-portable hash-family twins dedup_minhash_lsh_md5 and
+# dedup_simhash_md5 (full SQL oracles for the previously rows-only
+# MinHash/SimHash constructions) — each comparator-verified at
+# sf0.01 AND sf0.1 the session it landed; all r11-head material.
 CHECK_ORDER = [
     # (1) round-9 code/oracle-changed entries — divergence-risk head
     "multimodal_frame_sample",
