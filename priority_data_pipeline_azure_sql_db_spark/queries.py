@@ -8285,3 +8285,51 @@ def dedup_simhash_md5(spark, sf_dir):
     from .operators.dedup import simhash_md5
 
     return simhash_md5(load_table(spark, sf_dir, "documents"), "text", "doc_id")
+
+
+@query(
+    "dedup_simhash_pairs_md5",
+    f"""
+    WITH sig AS ({_simhash_md5_oracle()}
+    ), blocks AS (
+        SELECT doc, simhash_hex AS h, i AS j,
+               substr(simhash_hex, i * 4 + 1, 4) AS block
+        FROM sig, LATERAL (SELECT UNNEST(range(4)) AS i)
+    ), cand AS (
+        SELECT DISTINCT a.doc AS id_a, b.doc AS id_b,
+               a.h AS ha, b.h AS hb
+        FROM blocks a JOIN blocks b
+          ON a.j = b.j AND a.block = b.block AND a.doc < b.doc
+    )
+    SELECT id_a, id_b,
+           CAST(bit_count(xor(CAST('0x' || substr(ha, 1, 8) AS BIGINT),
+                              CAST('0x' || substr(hb, 1, 8) AS BIGINT)))
+              + bit_count(xor(CAST('0x' || substr(ha, 9, 8) AS BIGINT),
+                              CAST('0x' || substr(hb, 9, 8) AS BIGINT)))
+               AS BIGINT) AS distance
+    FROM cand
+    WHERE bit_count(xor(CAST('0x' || substr(ha, 1, 8) AS BIGINT),
+                        CAST('0x' || substr(hb, 1, 8) AS BIGINT)))
+        + bit_count(xor(CAST('0x' || substr(ha, 9, 8) AS BIGINT),
+                        CAST('0x' || substr(hb, 9, 8) AS BIGINT))) <= 3
+    """,
+)
+def dedup_simhash_pairs_md5(spark, sf_dir):
+    """SimHash NEAR-DUP RETRIEVAL over the md5-portable signatures
+    (round 10) — the pairs half of the SimHash contract, now hash-
+    checked end to end: the 16-hex signature feeds the SAME pigeonhole
+    block-join + exact-popcount operator the image path uses
+    (phash_near_dup_pairs — 4 blocks of 4 hex, any pair within Hamming
+    distance 3 agrees on ≥1 block, recall 1.0 by pigeonhole), which is
+    the architectural point: Hamming retrieval is ONE operator across
+    modalities, text simhash and image phash alike. The oracle chains
+    the vote/majority signature CTE with the proven block/popcount
+    replay."""
+    from .operators.dedup import simhash_md5
+    from .operators.multimodal import phash_near_dup_pairs
+
+    sigs = simhash_md5(load_table(spark, sf_dir, "documents"), "text", "doc_id")
+    return phash_near_dup_pairs(
+        sigs, id_col="doc", hash_col="simhash_hex",
+        max_distance=3, n_blocks=4, hash_size=8,
+    )
