@@ -41,7 +41,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # pack_greedy_sequences already sits at the window head) — fills to 50.
 #
 # ROTATION ARITHMETIC (the ≤3-round staleness covering schedule,
-# adopted in r9): registry 195 (8 added r10) + ≤10 new per round over a 50-slot
+# adopted in r9): registry 196 (9 added r10) + ≤10 new per round over a 50-slot
 # window ⇒ full cycle ceil(~190/50) = 4 rounds ⇒ max staleness 3.
 # Schedule from here:
 #   r10 (this file): changed-head 4 + r6 bucket[6:42] + r9 regs (5) +
@@ -61,8 +61,11 @@ def entry(spark: SparkSession) -> DataFrame:
 # md5-portable hash-family twins dedup_minhash_lsh_md5,
 # dedup_simhash_md5, and dedup_simhash_pairs_md5 (full SQL oracles
 # for the previously rows-only MinHash/SimHash constructions, incl.
-# the pigeonhole Hamming retrieval) — each comparator-verified at
-# sf0.01 AND sf0.1 the session it landed; all r11-head material.
+# the pigeonhole Hamming retrieval), plus streaming_er_maintenance
+# (the fourth streaming-warehouse leg: multi-batch drain through the
+# ER store's build+append path ≡ the one-pass cluster map) — each
+# comparator-verified at sf0.01 AND sf0.1 the session it landed; all
+# r11-head material.
 CHECK_ORDER = [
     # (1) round-9 code/oracle-changed entries — divergence-risk head
     "multimodal_frame_sample",

@@ -8333,3 +8333,74 @@ def dedup_simhash_pairs_md5(spark, sf_dir):
         sigs, id_col="doc", hash_col="simhash_hex",
         max_distance=3, n_blocks=4, hash_size=8,
     )
+
+
+@query(
+    "streaming_er_maintenance",
+    f"""
+    WITH RECURSIVE t AS ({_ER_ORACLE_T}
+    ), pairs AS (
+        SELECT a.id AS id_a, b.id AS id_b
+        FROM t a JOIN t b
+          ON a.c_nationkey = b.c_nationkey AND a.pfx = b.pfx
+         AND a.id < b.id
+        WHERE levenshtein(a.key, b.key) <= 2
+    ), edges AS (
+        SELECT id_a AS u, id_b AS v FROM pairs
+        UNION SELECT id_b, id_a FROM pairs
+    ), reach(node, label) AS (
+        SELECT u, u FROM edges
+        UNION
+        SELECT e.v, r.label FROM reach r JOIN edges e ON r.node = e.u
+    ), comp AS (
+        SELECT node, MIN(label) AS cluster_id FROM reach GROUP BY node
+    )
+    SELECT t.id AS node,
+           CAST(COALESCE(c.cluster_id, t.id) AS BIGINT) AS cluster_id
+    FROM t LEFT JOIN comp c ON c.node = t.id
+    """,
+)
+def streaming_er_maintenance(spark, sf_dir):
+    """STREAMING ER maintenance, hash-checked end to end (round 10) —
+    the fourth leg of the streaming-warehouse family (PK MERGE staging
+    r7, additive rollup store r8, SCD2 dimensions r9, golden-cluster
+    MDM r10): customers arrive as a four-file parquet stream
+    (maxFilesPerTrigger=1 → four micro-batches), the first batch
+    builds the persisted ER cluster store, every later batch flows
+    through the O(delta) append path, and the standing cluster map is
+    then read back. The oracle is the ONE-PASS recursive-CTE
+    clustering over ALL customers: equality holds because append ≡
+    rebuild (the store's proven contract), so the final map is
+    provably independent of micro-batch boundaries — and a replayed
+    batch is a no-op through the id anti-join rather than a ledger
+    (idempotence replaces exactly-once bookkeeping; see
+    streaming/sink.py stream_er_into_store)."""
+    import os
+
+    from .operators.er_index import read_er_clusters
+    from .streaming.sink import stream_er_into_store
+
+    base = _resident_path("stream_er", sf_dir)
+    src = os.path.join(base, "src")
+    if not os.path.exists(os.path.join(src, "_SUCCESS")):
+        (_er_blocked_customers(spark, sf_dir)
+            .select("c_custkey", "c_name", "c_nationkey", "_name_block")
+            .repartition(4)
+            .write.mode("overwrite").parquet(src))
+    stream = (
+        spark.readStream
+        .schema("c_custkey bigint, c_name string, c_nationkey bigint, "
+                "_name_block string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = stream_er_into_store(
+        stream, os.path.join(base, "store"),
+        checkpoint_dir=os.path.join(base, "ckpt"),
+        key_col="c_name", id_col="c_custkey",
+        block_cols=["c_nationkey", "_name_block"], max_edit=2,
+    )
+    if not q.awaitTermination(300):
+        q.stop()
+        raise RuntimeError("streaming drain did not finish within 300s")
+    return read_er_clusters(spark, os.path.join(base, "store"))

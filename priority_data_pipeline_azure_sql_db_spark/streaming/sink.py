@@ -356,3 +356,63 @@ def read_scd2_store(spark, store_path: str) -> DataFrame:
             f"SCD2 store at {store_path} has no applied batches yet"
         )
     return spark.read.parquet(cur)
+
+
+# ---------------------------------------------------------------------------
+# streaming entity-resolution maintenance (round 10)
+# ---------------------------------------------------------------------------
+
+def stream_er_into_store(
+    stream: DataFrame,
+    store_path: str,
+    checkpoint_dir: str,
+    key_col: str,
+    id_col: str,
+    block_cols: list[str],
+    max_edit: int = 2,
+    n_buckets: int = 32,
+):
+    """Streaming ENTITY-RESOLUTION maintenance — the fourth leg of the
+    streaming-warehouse family (PK MERGE staging r7 → additive rollup
+    store r8 → SCD2 dimensions r9 → golden-cluster MDM r10): keep the
+    persisted ER cluster store (operators/er_index.py) current against
+    a stream of arriving records. The first micro-batch builds the
+    store; every later batch flows through ``append_to_er_index`` —
+    O(delta + touched-cluster members), cluster merges bridged by
+    arrivals included.
+
+    Unlike the rollup/SCD2 sinks, NO batch-id ledger is needed: the
+    append is idempotent BY RECORD ID (the anti-join retry gate drops
+    ids already in ``base/``), so at-least-once redelivery of a batch
+    is a no-op rather than a double-fold — idempotence replaces
+    exactly-once bookkeeping. And because append ≡ rebuild (the
+    store's pytest- and driver-checked contract), the final cluster
+    map is provably independent of micro-batch boundaries — which is
+    what makes the standing store hash-checkable against the one-pass
+    batch build over all records."""
+    import os
+
+    from ..operators.er_index import (
+        CLUSTERS_DIR,
+        append_to_er_index,
+        build_er_index,
+    )
+
+    def upsert(batch_df: DataFrame, batch_id: int) -> None:
+        marker = os.path.join(store_path, CLUSTERS_DIR, "_SUCCESS")
+        if not os.path.exists(marker):
+            build_er_index(
+                batch_df, store_path, key_col=key_col, id_col=id_col,
+                block_cols=block_cols, max_edit=max_edit,
+                n_buckets=n_buckets,
+            )
+        else:
+            append_to_er_index(batch_df.sparkSession, store_path, batch_df)
+
+    return (
+        stream.writeStream
+        .foreachBatch(upsert)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

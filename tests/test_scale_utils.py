@@ -1375,3 +1375,68 @@ def test_first_token_blocking_recall(spark):
     assert max(sizes) <= 2 * n / len(firsts) + 3
     # ~1/n_first_tokens of the cross for a near-uniform token mix
     assert candidates < 2 / len(firsts) * n * (n - 1) / 2
+
+
+def test_stream_er_maintenance(spark, tmp_path):
+    """Streaming ER maintenance: a multi-file available-now drain
+    builds the cluster store from batch one and appends the rest; the
+    final map equals the one-pass batch build (batch-boundary
+    independence via append ≡ rebuild); re-draining the same
+    checkpoint is a no-op; re-appending already-present records is a
+    no-op (idempotence replaces the rollup/SCD2 ledger)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from priority_data_pipeline_azure_sql_db_spark.operators import er_index as EI
+    from priority_data_pipeline_azure_sql_db_spark.streaming.sink import (
+        stream_er_into_store,
+    )
+
+    rows = [
+        (1, "aaaa0001", 1), (2, "aaaa0002", 1),
+        (5, "abbb0001", 1), (6, "abbb0002", 1),
+        (20, "aabb0001", 1),               # bridges A and B when it arrives
+        (9, "cccc0009", 1), (11, "aaaa0001", 2),
+    ]
+    df = spark.createDataFrame(rows, "id bigint, name string, grp int")
+    src = str(tmp_path / "src")
+    df.repartition(3).write.mode("overwrite").parquet(src)
+
+    store = str(tmp_path / "store")
+    stream = (
+        spark.readStream.schema("id bigint, name string, grp int")
+        .option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    kw = dict(key_col="name", id_col="id", block_cols=["grp"], max_edit=2)
+    q = stream_er_into_store(
+        stream, store, checkpoint_dir=str(tmp_path / "ckpt"), **kw
+    )
+    assert q.awaitTermination(300), "drain did not finish"
+
+    cmap = lambda p: sorted(  # noqa: E731
+        (r.node, r.cluster_id)
+        for r in EI.read_er_clusters(spark, p).collect()
+    )
+    full = str(tmp_path / "full")
+    EI.build_er_index(df, full, **kw)
+    got = cmap(store)
+    assert got == cmap(full) and len(got) == len(rows)
+    assert dict(got)[20] == 1 and dict(got)[5] == 1  # merge happened
+
+    # re-drain the same checkpoint: no new files -> no batches -> no-op
+    stream2 = (
+        spark.readStream.schema("id bigint, name string, grp int")
+        .option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    q2 = stream_er_into_store(
+        stream2, store, checkpoint_dir=str(tmp_path / "ckpt"), **kw
+    )
+    assert q2.awaitTermination(300)
+    assert cmap(store) == got
+
+    # replayed records (no ledger needed): id anti-join makes it a no-op
+    assert EI.append_to_er_index(
+        spark, store, df.filter(F.col("id") < 10)
+    ) == 0
+    assert cmap(store) == got
