@@ -41,7 +41,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # pack_greedy_sequences already sits at the window head) — fills to 50.
 #
 # ROTATION ARITHMETIC (the ≤3-round staleness covering schedule,
-# adopted in r9): registry 196 (9 added r10) + ≤10 new per round over a 50-slot
+# adopted in r9): registry 197 (10 added r10) + ≤10 new per round over a 50-slot
 # window ⇒ full cycle ceil(~190/50) = 4 rounds ⇒ max staleness 3.
 # Schedule from here:
 #   r10 (this file): changed-head 4 + r6 bucket[6:42] + r9 regs (5) +
@@ -63,9 +63,11 @@ def entry(spark: SparkSession) -> DataFrame:
 # for the previously rows-only MinHash/SimHash constructions, incl.
 # the pigeonhole Hamming retrieval), plus streaming_er_maintenance
 # (the fourth streaming-warehouse leg: multi-batch drain through the
-# ER store's build+append path ≡ the one-pass cluster map) — each
-# comparator-verified at sf0.01 AND sf0.1 the session it landed; all
-# r11-head material.
+# ER store's build+append path ≡ the one-pass cluster map) and
+# multimodal_video_frames (REAL video: MJPEG-in-AVI mux/demux + kept-
+# frame JPEG decode, structure-hash-checked like multimodal_codec_mix)
+# — each comparator-verified at sf0.01 AND sf0.1 the session it
+# landed; all r11-head material.
 CHECK_ORDER = [
     # (1) round-9 code/oracle-changed entries — divergence-risk head
     "multimodal_frame_sample",

@@ -36,7 +36,7 @@ PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
 
 def sniff(content: bytes | None) -> str | None:
     """Identify a blob by magic bytes:
-    'bmp' | 'png' | 'jpeg' | 'wav' | None."""
+    'bmp' | 'png' | 'jpeg' | 'wav' | 'avi' | None."""
     b = content or b""
     if b[:2] == BMP_MAGIC and len(b) >= 54:
         return "bmp"
@@ -46,6 +46,8 @@ def sniff(content: bytes | None) -> str | None:
         return "jpeg"
     if b[:4] == WAV_MAGIC and b[8:12] == b"WAVE":
         return "wav"
+    if b[:4] == WAV_MAGIC and b[8:12] == b"AVI ":  # same RIFF outer magic
+        return "avi"
     return None
 
 
@@ -1804,3 +1806,226 @@ def _decode_jpeg_impl(content: bytes) -> np.ndarray:
         g = np.clip(up[0].round(), 0, 255).astype(np.uint8)
         return np.stack([g, g, g], axis=-1)
     return _ycbcr_to_rgb(up[0], up[1], up[2])
+
+
+# ---------------------------------------------------------------------------
+# AVI / MJPEG — RIFF-AVI container, Motion-JPEG video stream (round 10)
+# ---------------------------------------------------------------------------
+# The video modality graduates from the deterministic fake to a REAL
+# container: Motion-JPEG inside RIFF-AVI is the simplest production
+# video format (every frame is an independent baseline JPEG — exactly
+# the decoder shipped in round 9), so demux + per-frame decode compose
+# entirely from in-repo parts. Inter-frame codecs (H.264/VP9/AV1) stay
+# behind the honest av-gated boundary: their bitstreams need a full
+# motion-compensation pipeline, not a container walk.
+
+AVI_MAGIC = b"RIFF"  # RIFF<size>'AVI ' — same outer magic as WAV
+
+_MJPEG_HANDLERS = {b"MJPG", b"mjpg", b"dmb1", b"MJPA"}
+
+
+def _riff_chunk(fourcc: bytes, body: bytes) -> bytes:
+    pad = b"\x00" if len(body) & 1 else b""
+    return fourcc + struct.pack("<I", len(body)) + body + pad
+
+
+def _riff_list(list_type: bytes, body: bytes) -> bytes:
+    return _riff_chunk(b"LIST", list_type + body)
+
+
+def encode_avi_mjpeg(
+    frames: list[np.ndarray],
+    fps: float = 30.0,
+    quality: int = 90,
+    subsample: str = "4:4:4",
+) -> bytes:
+    """Encode (h, w, 3) uint8 RGB frames as a Motion-JPEG AVI — the
+    exact layout :func:`avi_frame_payloads` parses: RIFF('AVI ') with a
+    'hdrl' list (avih main header + one 'vids'/'MJPG' stream: strh +
+    BITMAPINFOHEADER strf), a 'movi' list of '00dc' chunks each holding
+    one complete baseline JPEG from :func:`encode_jpeg`, and the
+    standard 'idx1' index (offsets relative to the 'movi' fourcc, the
+    AVIIF_KEYFRAME flag on every frame — MJPEG frames are all
+    keyframes). Frames must share one (h, w): an AVI stream declares a
+    single size in strf."""
+    if not frames:
+        raise ValueError("AVI: need at least one frame")
+    if fps <= 0:
+        raise ValueError(f"AVI: fps must be positive (got {fps})")
+    h, w = frames[0].shape[0], frames[0].shape[1]
+    for i, f in enumerate(frames):
+        if f.shape[:2] != (h, w):
+            raise ValueError(
+                f"AVI: frame {i} is {f.shape[:2]}, stream declares {(h, w)}"
+            )
+    payloads = [encode_jpeg(f, quality=quality, subsample=subsample) for f in frames]
+    n = len(payloads)
+    bufsize = max(len(p) for p in payloads)
+    scale, rate = 1000, int(round(fps * 1000))
+    avih = struct.pack(
+        "<14I",
+        int(round(1_000_000 / fps)),  # dwMicroSecPerFrame
+        bufsize * int(round(fps)),    # dwMaxBytesPerSec (advisory)
+        0,                            # dwPaddingGranularity
+        0x10,                         # dwFlags: AVIF_HASINDEX
+        n, 0, 1, bufsize, w, h,       # frames, initial, streams, buf, w, h
+        0, 0, 0, 0,                   # dwReserved[4]
+    )
+    strh = struct.pack(
+        "<4s4sIHH8I4h",
+        b"vids", b"MJPG", 0, 0, 0,
+        0,                 # dwInitialFrames
+        scale, rate,       # dwScale / dwRate → fps = rate/scale
+        0, n,              # dwStart, dwLength
+        bufsize,
+        0xFFFF_FFFF,       # dwQuality: -1 = driver default
+        0,                 # dwSampleSize: 0 = variable-size samples
+        0, 0, w, h,        # rcFrame
+    )
+    strf = struct.pack(
+        "<IiiHH4sIiiII",
+        40, w, h, 1, 24, b"MJPG", w * h * 3, 0, 0, 0, 0,
+    )
+    hdrl = _riff_list(
+        b"hdrl",
+        _riff_chunk(b"avih", avih)
+        + _riff_list(b"strl", _riff_chunk(b"strh", strh) + _riff_chunk(b"strf", strf)),
+    )
+    movi_body = b""
+    idx1_body = b""
+    for p in payloads:
+        # idx1 offsets are relative to the 'movi' fourcc; the first
+        # chunk's ckid sits 4 bytes past it
+        idx1_body += struct.pack("<4sIII", b"00dc", 0x10, 4 + len(movi_body), len(p))
+        movi_body += _riff_chunk(b"00dc", p)
+    body = hdrl + _riff_list(b"movi", movi_body) + _riff_chunk(b"idx1", idx1_body)
+    return b"RIFF" + struct.pack("<I", 4 + len(body)) + b"AVI " + body
+
+
+def _avi_walk(d: bytes, pos: int, end: int, state: dict, depth: int) -> None:
+    """Walk one RIFF chunk range, collecting stream headers and video
+    frame payloads in stream order. Recurses only into the list types
+    that can contain them (hdrl/strl/movi/'rec ')."""
+    if depth > 8:
+        raise ValueError("AVI: RIFF list nesting too deep")
+    while pos + 8 <= end:
+        cid, size = struct.unpack_from("<4sI", d, pos)
+        body_start = pos + 8
+        body_end = body_start + size
+        if body_end > end:
+            raise ValueError(
+                f"AVI: truncated chunk {cid!r} at byte {pos} "
+                f"(declares {size}, {end - body_start} available)"
+            )
+        if cid == b"LIST":
+            if size < 4:
+                raise ValueError(f"AVI: malformed LIST at byte {pos}")
+            ltype = d[body_start:body_start + 4]
+            if ltype in (b"hdrl", b"strl", b"movi", b"rec "):
+                _avi_walk(d, body_start + 4, body_end, state, depth + 1)
+        elif cid == b"strh":
+            if size < 32:
+                raise ValueError(f"AVI: malformed strh ({size} bytes)")
+            fcc_type, handler = struct.unpack_from("<4s4s", d, body_start)
+            scale, rate = struct.unpack_from("<II", d, body_start + 20)
+            state["last_stream_type"] = fcc_type
+            if fcc_type == b"vids":
+                state["handler"] = handler
+                if scale > 0 and rate > 0:
+                    state["fps"] = rate / scale
+        elif cid == b"strf":
+            if state.get("last_stream_type") == b"vids" and size >= 20:
+                state["compression"] = d[body_start + 16:body_start + 20]
+        elif cid[2:4] in (b"dc", b"db") and cid[:2].isdigit():
+            # 'NNdc'/'NNdb' — compressed/uncompressed frame of stream NN;
+            # only the (first) video stream's chunks are frames here
+            if cid[:2] == b"00":
+                state["payloads"].append(d[body_start:body_end])
+        pos = body_end + (size & 1)  # chunks pad to even offsets
+
+
+def avi_frame_payloads(content: bytes) -> tuple[float, list[bytes]]:
+    """Parse a RIFF-AVI container WITHOUT decoding pixels: returns
+    (fps, per-frame encoded payload bytes) for the first video stream,
+    in stream order. The container walk is total over malformed input
+    (ValueError — truncated chunks, lying sizes, missing stream/movi)
+    and raises NotImplementedError at the honest codec boundary: a
+    video stream whose strh handler / strf biCompression is not
+    Motion-JPEG (inter-frame codecs need av, not a container walk)."""
+    d = content or b""
+    if d[:4] != AVI_MAGIC or d[8:12] != b"AVI ":
+        raise ValueError("not a RIFF/AVI file")
+    (riff_size,) = struct.unpack_from("<I", d, 4)
+    if len(d) < 8 + riff_size:
+        # a truncation landing exactly on a chunk boundary would
+        # otherwise demux to a silently shorter video — the RIFF size
+        # field makes every byte loss detectable, so use it
+        raise ValueError(
+            f"AVI: truncated (RIFF declares {riff_size} payload bytes, "
+            f"{len(d) - 8} available)"
+        )
+    end = 8 + riff_size  # trailing bytes past the RIFF payload are legal
+    state: dict = {"payloads": []}
+    _avi_walk(d, 12, end, state, 0)
+    if "handler" not in state:
+        raise ValueError("AVI: no video stream header (strh 'vids')")
+    handler = state["handler"]
+    compression = state.get("compression", b"")
+    if handler not in _MJPEG_HANDLERS and compression not in _MJPEG_HANDLERS:
+        raise NotImplementedError(
+            f"only Motion-JPEG AVI supported (stream handler {handler!r}, "
+            f"biCompression {compression!r}; H.264/VP9/... need the av-gated path)"
+        )
+    if not state["payloads"]:
+        raise ValueError("AVI: no video frame chunks ('00dc'/'00db') in movi")
+    return state.get("fps", 0.0), state["payloads"]
+
+
+def decode_avi_frames(content: bytes) -> tuple[float, list[np.ndarray]]:
+    """Demux + decode a Motion-JPEG AVI to (fps, [(h, w, 3) uint8 RGB
+    frame arrays]) — :func:`avi_frame_payloads` for the container walk,
+    :func:`decode_jpeg` per frame. Total over malformed input like the
+    other decoders: container damage and frame damage both surface as
+    ValueError (with the frame index), NotImplementedError only at the
+    stated format boundaries."""
+    fps, payloads = avi_frame_payloads(content)
+    frames = []
+    for i, p in enumerate(payloads):
+        if p[:2] != b"\xff\xd8":
+            raise ValueError(f"AVI: frame {i} payload is not JPEG-encoded")
+        try:
+            frames.append(decode_jpeg(p))
+        except ValueError as exc:
+            raise ValueError(f"AVI: frame {i}: {exc}") from exc
+    return fps, frames
+
+
+def video_features(fps: float, frames: list[np.ndarray]) -> list[float]:
+    """8-dim real video descriptor: (n_frames, fps, duration s, w, h,
+    mean gray over all frames, std of per-frame gray means — temporal
+    brightness activity, mean |gray diff| between consecutive frames —
+    motion energy), fixed to 6 decimals like the image/audio twins.
+    Grayscale is the same explicit 0.299/0.587/0.114 expression as
+    :func:`image_features` so a SQL oracle can reproduce it."""
+    n = len(frames)
+    h, w = (frames[0].shape[0], frames[0].shape[1]) if n else (0, 0)
+    grays = [
+        0.299 * f[:, :, 0].astype(np.float64)
+        + 0.587 * f[:, :, 1].astype(np.float64)
+        + 0.114 * f[:, :, 2].astype(np.float64)
+        for f in frames
+    ]
+    frame_means = [float(g.mean()) for g in grays]
+    motion = (
+        float(np.mean([np.mean(np.abs(b - a)) for a, b in zip(grays, grays[1:])]))
+        if n > 1 else 0.0
+    )
+    mean_all = float(np.mean(frame_means)) if n else 0.0
+    temporal = float(np.sqrt(np.mean((np.array(frame_means) - mean_all) ** 2))) if n else 0.0
+    vals = [
+        float(n), float(fps),
+        n / fps if fps else 0.0,
+        float(w), float(h),
+        mean_all, temporal, motion,
+    ]
+    return [np.floor(v * 1e6 + 0.5) / 1e6 for v in vals]

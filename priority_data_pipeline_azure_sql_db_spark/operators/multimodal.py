@@ -3,15 +3,16 @@
 Images / audio / video are opaque ``binary`` columns with typed metadata.
 The Spark-side plumbing — schema, Arrow batch shape, partition-parallel
 ``mapInPandas`` — is real and tested. The codec tier (round 7) is now
-REAL for four formats via pure-stdlib decoders (operators/codecs.py):
+REAL for five formats via pure-stdlib decoders (operators/codecs.py):
 uncompressed 24-bit BMP, 8-bit RGB/RGBA PNG (round 8 — zlib inflate +
-full scanline unfiltering), baseline-sequential huffman JPEG (round 9 —
-the format real image corpora are actually made of), and PCM WAV decode
-to genuine pixel/sample statistics in-sandbox; richer codecs (PIL/av —
-progressive JPEG, WebP, video) slot in behind the same
-sniff/decode interface with try-import gating (the same stance as the
-protobuf-gated streaming twin), and only blobs NO available codec can
-decode fall back to the clearly-tagged deterministic stub.
+full scanline unfiltering), baseline + progressive huffman JPEG
+(rounds 9/10 — the formats real image corpora are actually made of),
+PCM WAV, and Motion-JPEG AVI video (round 10 — RIFF demux + per-frame
+JPEG decode), to genuine pixel/sample/frame statistics in-sandbox;
+richer codecs (PIL/av — WebP, inter-frame video) slot in behind the
+same sniff/decode interface with try-import gating (the same stance as
+the protobuf-gated streaming twin), and only blobs NO available codec
+can decode fall back to the clearly-tagged deterministic stub.
 
 Scale note: ``mapInPandas`` streams Arrow batches per partition, so blob
 decode parallelizes with the scan and never materializes a partition in
@@ -42,7 +43,7 @@ FEATURE_SCHEMA = T.StructType([
     T.StructField("media_type", T.StringType()),
     T.StructField("n_bytes", T.LongType()),
     T.StructField("content_md5", T.StringType()),
-    T.StructField("codec", T.StringType()),       # bmp | png | jpeg | wav | pil | stub-md5
+    T.StructField("codec", T.StringType()),       # bmp | png | jpeg | wav | avi | pil | stub-md5
     T.StructField("feature", T.ArrayType(T.DoubleType())),
 ])
 
@@ -81,17 +82,19 @@ except ImportError:
 def decode_media(media_type: str, content: bytes):
     """The REAL decode path. Routes by magic bytes (the blob is the
     truth, not the declared media_type): uncompressed 24-bit BMP,
-    8-bit RGB/RGBA PNG (round 8), baseline huffman JPEG (round 9), and
-    PCM WAV decode with the pure-stdlib codecs; other formats
-    (progressive JPEG, WebP, ...) go to PIL when installed;
-    anything else raises ``NotImplementedError`` (the honest boundary —
-    callers wanting a total function use :func:`extract_features`,
-    which falls back to the tagged stub).
+    8-bit RGB/RGBA PNG (round 8), baseline+progressive huffman JPEG
+    (rounds 9/10), PCM WAV, and Motion-JPEG AVI video (round 10 —
+    RIFF demux + per-frame JPEG decode) with the pure-stdlib codecs;
+    other formats (WebP, inter-frame video, ...) go to PIL when
+    installed; anything else raises ``NotImplementedError`` (the honest
+    boundary — callers wanting a total function use
+    :func:`extract_features`, which falls back to the tagged stub).
 
     Returns ('bmp', (h, w, 3) uint8 RGB array),
     ('png', (h, w, 3|4) uint8 array),
     ('jpeg', (h, w, 3) uint8 RGB array),
-    ('wav', (sample_rate, (n, ch) float array)), or
+    ('wav', (sample_rate, (n, ch) float array)),
+    ('avi', (fps, [(h, w, 3) uint8 RGB frame arrays])), or
     ('pil', PIL.Image)."""
     from . import codecs
 
@@ -104,6 +107,8 @@ def decode_media(media_type: str, content: bytes):
         return "jpeg", codecs.decode_jpeg(content)
     if kind == "wav":
         return "wav", codecs.decode_wav(content)
+    if kind == "avi":
+        return "avi", codecs.decode_avi_frames(content)
     if _PIL_Image is not None and media_type == "image" and content:
         import io
 
@@ -150,6 +155,8 @@ def extract_features(df: DataFrame) -> DataFrame:
                 return kind, codecs.image_features(decoded)
             if kind == "wav":
                 return kind, codecs.audio_features(*decoded)
+            if kind == "avi":
+                return kind, codecs.video_features(*decoded)
             if kind == "pil":  # gated path — PIL absent in this sandbox
                 return kind, codecs.image_features(
                     np.asarray(decoded.convert("RGB"), dtype=np.uint8)
@@ -220,22 +227,43 @@ FRAME_SCHEMA = T.StructType([
 
 
 def sample_frames(df: DataFrame, every_nth: int = 10, max_frames: int = 8) -> DataFrame:
-    """Frame-sampling stub: one input video row fans out to ≤max_frames
-    frame rows (1:N via mapInPandas — the output batch need not align
-    1:1 with the input batch, which is exactly how a real ``av`` demuxer
-    would stream frames).
+    """Frame sampling: one input video row fans out to ≤max_frames frame
+    rows (1:N via mapInPandas — the output batch need not align 1:1 with
+    the input batch, which is exactly how a demuxer streams frames).
 
-    The real path is ``av.open(io.BytesIO(b)).decode(video=0)`` keeping
-    every ``every_nth`` frame; the stub slices the blob into fixed-size
-    fake frames deterministically.
+    Round 10: REAL for Motion-JPEG AVI blobs — the RIFF container walk
+    (codecs.avi_frame_payloads) yields each frame's encoded JPEG bytes
+    and every ``every_nth``-th is kept, without decoding pixels (a
+    sampler that decodes frames it then drops wastes the bulk of the
+    work at corpus scale; consumers decode only the kept frames).
+    Blobs that aren't a parseable MJPEG AVI keep the prior deterministic
+    stub (fixed-size blob slices) so the function stays total — same
+    tagged-fallback stance as extract_features. Inter-frame codecs
+    (H.264/...) would slot in via the av-gated path.
     """
     chunk = 16
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from . import codecs
+
         for pdf in batches:
             ids, idxs, frames = [], [], []
             for mid, blob in zip(pdf["media_id"], pdf["content"]):
                 blob = blob or b""
+                payloads = None
+                if codecs.sniff(blob) == "avi":
+                    try:
+                        _fps, payloads = codecs.avi_frame_payloads(blob)
+                    except (ValueError, NotImplementedError):
+                        payloads = None  # undecodable container → stub slices
+                if payloads is not None:
+                    for fi, pos in enumerate(range(0, len(payloads), every_nth)):
+                        if fi >= max_frames:
+                            break
+                        ids.append(mid)
+                        idxs.append(fi)
+                        frames.append(payloads[pos])
+                    continue
                 n_chunks = max(1, len(blob) // chunk)
                 for fi, pos in enumerate(range(0, n_chunks, every_nth)):
                     if fi >= max_frames:

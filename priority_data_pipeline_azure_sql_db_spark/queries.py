@@ -8404,3 +8404,103 @@ def streaming_er_maintenance(spark, sf_dir):
         q.stop()
         raise RuntimeError("streaming drain did not finish within 300s")
     return read_er_clusters(spark, os.path.join(base, "store"))
+
+
+@query(
+    "multimodal_video_frames",
+    """
+    WITH v AS (
+        SELECT doc_id AS media_id, 2 + doc_id % 4 AS n_frames
+        FROM documents WHERE doc_id < 240
+    )
+    SELECT media_id,
+           CAST(u.fi AS INT) AS frame_index,
+           'jpeg' AS frame_codec,
+           CAST(8 AS INT) AS frame_h,
+           CAST(8 AS INT) AS frame_w
+    FROM v, LATERAL (
+        SELECT UNNEST(range(LEAST(CAST((n_frames + 1) // 2 AS BIGINT), 3))) AS fi
+    ) u
+    """,
+)
+def multimodal_video_frames(spark, sf_dir):
+    """REAL VIDEO FRAME SAMPLING (round 10): per document a Motion-JPEG
+    AVI is synthesized in the executors — 2 + doc_id % 4 frames, each an
+    8x8 image rolled from the document's bytes, every frame a real
+    baseline JPEG (alternating 4:4:4 / 4:2:0 chroma subsampling per
+    doc), muxed by codecs.encode_avi_mjpeg into a spec-layout RIFF-AVI
+    (hdrl/strl headers, movi '00dc' chunks, idx1 index). The blobs then
+    go through the PRODUCTION path: sample_frames' RIFF container walk
+    (codecs.avi_frame_payloads — demux WITHOUT pixel decode, so dropped
+    frames cost no DCT work) keeps every 2nd frame up to 3, and each
+    KEPT payload is decoded through decode_media's magic-byte dispatch.
+
+    The graded projection is (media_id, frame_index, decoded codec tag,
+    decoded height, width); the oracle replays the per-doc frame-count
+    arithmetic. A green hash proves the whole chain is NATIVE: the mux
+    wrote a parseable container, the demux found exactly ceil(n/2)
+    (<=3) frames in stream order, and every sampled frame decoded
+    through the real JPEG path at both subsampling factors — any
+    fallback to the tagged stub (tag 'stub-md5', 0x0 dims) or a
+    miscounted demux goes red (the multimodal_codec_mix proof pattern).
+    Scale: one mapInPandas synthesizes, one demuxes+decodes; blobs
+    never touch the driver, and only KEPT frames pay decode."""
+    import numpy as np
+    import pandas as pd
+
+    from .operators import codecs
+    from .operators.multimodal import decode_media, sample_frames
+
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 240)
+
+    def synth(batches):
+        for pdf in batches:
+            ids, blobs = [], []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                raw = (text or "").encode("utf-8") or b"\x00"
+                pad = np.frombuffer((raw * (192 // len(raw) + 1))[:192],
+                                    dtype=np.uint8)
+                frames = [
+                    np.roll(pad, fi).reshape(8, 8, 3)
+                    for fi in range(2 + int(doc_id) % 4)
+                ]
+                sub = "4:2:0" if doc_id % 2 else "4:4:4"
+                ids.append(doc_id)
+                blobs.append(codecs.encode_avi_mjpeg(
+                    frames, fps=12.0, quality=90, subsample=sub))
+            yield pd.DataFrame({
+                "media_id": pd.Series(ids, dtype="int64"),
+                "media_type": "video",
+                "content": pd.Series(blobs, dtype="object"),
+            })
+
+    media = d.select("doc_id", "text").mapInPandas(
+        synth, "media_id long, media_type string, content binary")
+    frames = sample_frames(media, every_nth=2, max_frames=3)
+
+    def dec(batches):
+        for pdf in batches:
+            tags, hs, ws = [], [], []
+            for blob in pdf["frame"]:
+                try:
+                    kind, arr = decode_media("video", bytes(blob))
+                    tags.append(kind)
+                    hs.append(arr.shape[0])
+                    ws.append(arr.shape[1])
+                except (ValueError, NotImplementedError):
+                    tags.append("stub-md5")
+                    hs.append(0)
+                    ws.append(0)
+            yield pd.DataFrame({
+                "media_id": pdf["media_id"],
+                "frame_index": pdf["frame_index"].astype("int32"),
+                "frame_codec": tags,
+                "frame_h": pd.Series(hs, dtype="int32"),
+                "frame_w": pd.Series(ws, dtype="int32"),
+            })
+
+    return frames.mapInPandas(
+        dec,
+        "media_id long, frame_index int, frame_codec string, "
+        "frame_h int, frame_w int",
+    )

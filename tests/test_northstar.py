@@ -1535,3 +1535,146 @@ def test_portable_hash_family_twins(spark):
     assert sigs[1] == sigs[2]
     assert ham(sigs[1], sigs[3]) <= 12   # near dup: small distance
     assert ham(sigs[1], sigs[4]) >= 20   # unrelated: wide distance
+
+
+def test_codec_avi_mjpeg_roundtrip():
+    """Motion-JPEG AVI (round 10): mux → demux → per-frame decode is
+    exact against the component codecs — avi_frame_payloads returns the
+    embedded JPEG chunks verbatim and in stream order, decode_avi_frames
+    equals decode_jpeg(encode_jpeg(frame)) pixel-for-pixel at both
+    chroma subsampling factors, and the container contract fails loud
+    (mixed frame sizes, non-positive fps, empty frame list)."""
+    import numpy as np
+    import pytest
+
+    from priority_data_pipeline_azure_sql_db_spark.operators import codecs
+
+    rng = np.random.default_rng(7)
+    frames = [rng.integers(0, 256, (16, 24, 3), dtype=np.uint8) for _ in range(5)]
+    for sub in ("4:4:4", "4:2:0"):
+        blob = codecs.encode_avi_mjpeg(frames, fps=12.5, quality=85, subsample=sub)
+        assert codecs.sniff(blob) == "avi"
+        fps, payloads = codecs.avi_frame_payloads(blob)
+        assert fps == 12.5 and len(payloads) == 5
+        expected = [codecs.encode_jpeg(f, quality=85, subsample=sub) for f in frames]
+        assert payloads == expected, "demux must return the muxed chunks verbatim"
+        fps2, decoded = codecs.decode_avi_frames(blob)
+        assert fps2 == 12.5
+        for p, arr in zip(expected, decoded):
+            assert (arr == codecs.decode_jpeg(p)).all()
+
+    # single-frame video round-trips too (idx1 of one entry)
+    one = codecs.encode_avi_mjpeg(frames[:1], fps=1.0)
+    assert len(codecs.decode_avi_frames(one)[1]) == 1
+
+    feats = codecs.video_features(12.5, codecs.decode_avi_frames(blob)[1])
+    assert feats[0] == 5.0 and feats[1] == 12.5  # n_frames, fps lead
+    assert feats[3] == 24.0 and feats[4] == 16.0  # w, h
+    assert feats[7] > 0.0  # random frames have motion energy
+
+    with pytest.raises(ValueError, match="stream declares"):
+        codecs.encode_avi_mjpeg([frames[0], frames[0][:8]])
+    with pytest.raises(ValueError, match="fps"):
+        codecs.encode_avi_mjpeg(frames, fps=0)
+    with pytest.raises(ValueError, match="at least one frame"):
+        codecs.encode_avi_mjpeg([])
+
+
+def test_codec_avi_total_over_malformed():
+    """The demuxer is total: every byte-level truncation and container
+    damage raises the advertised ValueError (never IndexError /
+    struct.error), and a non-MJPEG video stream raises
+    NotImplementedError — the honest inter-frame-codec boundary."""
+    import numpy as np
+    import pytest
+
+    from priority_data_pipeline_azure_sql_db_spark.operators import codecs
+
+    frames = [np.full((8, 8, 3), 40 * i + 20, dtype=np.uint8) for i in range(3)]
+    blob = codecs.encode_avi_mjpeg(frames, fps=10.0)
+
+    for cut in range(0, len(blob), 7):
+        with pytest.raises(ValueError):
+            codecs.avi_frame_payloads(blob[:cut])
+    with pytest.raises(ValueError):  # flipped byte in a chunk size field
+        bad = bytearray(blob)
+        bad[4] = 0xFF  # RIFF size lies upward → truncated
+        codecs.avi_frame_payloads(bytes(bad))
+
+    # a WAV is RIFF too but must not route here
+    wav = codecs.encode_wav(8000, np.zeros(16))
+    assert codecs.sniff(wav) == "wav"
+    with pytest.raises(ValueError, match="not a RIFF/AVI"):
+        codecs.avi_frame_payloads(wav)
+
+    # rebrand the video stream as H.264 (both strh handler and strf
+    # biCompression) → honest NotImplementedError, not wrong pixels
+    h264 = blob.replace(b"MJPG", b"H264")
+    with pytest.raises(NotImplementedError, match="Motion-JPEG"):
+        codecs.avi_frame_payloads(h264)
+
+    # strip the hdrl list → no stream header → loud
+    import struct as st
+
+    list_at = blob.index(b"hdrl") - 8  # 'hdrl' sits 8 bytes into its LIST
+    (hdrl_sz,) = st.unpack_from("<I", blob, list_at + 4)
+    stripped = blob[:list_at] + blob[list_at + 8 + hdrl_sz + (hdrl_sz & 1):]
+    fixed = bytearray(stripped)
+    st.pack_into("<I", fixed, 4, len(stripped) - 8)
+    with pytest.raises(ValueError, match="no video stream header"):
+        codecs.avi_frame_payloads(bytes(fixed))
+
+    # frame damage surfaces with the frame index
+    corrupt = bytearray(blob)
+    soi = corrupt.index(b"\xff\xd8\xff", 200)  # a movi payload's SOI
+    corrupt[soi] = 0x00
+    with pytest.raises(ValueError, match="frame 0"):
+        codecs.decode_avi_frames(bytes(corrupt))
+
+
+def test_codec_avi_dispatch_and_frame_sampling(spark):
+    """Pipeline integration: decode_media routes RIFF/AVI to the video
+    decoder, extract_features tags codec='avi' with real frame
+    statistics, and sample_frames demuxes REAL containers — every
+    every_nth-th embedded JPEG chunk verbatim, max_frames capped —
+    while non-AVI blobs keep the deterministic stub slicing (the
+    multimodal_frame_sample oracle's contract) and a damaged container
+    falls back to the stub instead of failing the task."""
+    import numpy as np
+
+    from priority_data_pipeline_azure_sql_db_spark.operators import codecs
+    from priority_data_pipeline_azure_sql_db_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        decode_media,
+        extract_features,
+        sample_frames,
+    )
+
+    frames = [np.full((8, 8, 3), 30 * i + 15, dtype=np.uint8) for i in range(7)]
+    blob = codecs.encode_avi_mjpeg(frames, fps=10.0, quality=90, subsample="4:4:4")
+    kind, (fps, arrs) = decode_media("video", blob)
+    assert kind == "avi" and fps == 10.0 and len(arrs) == 7
+
+    stub_blob = b"not-a-container" * 8
+    rows = [
+        (1, "video", bytearray(blob), None, None, None),
+        (2, "video", bytearray(stub_blob), None, None, None),
+        (3, "video", bytearray(blob[:40]), None, None, None),  # damaged AVI
+    ]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+    feats = {r["media_id"]: r for r in extract_features(media).collect()}
+    assert feats[1]["codec"] == "avi"
+    assert feats[1]["feature"][:2] == [7.0, 10.0]  # n_frames, fps
+    assert feats[2]["codec"] == "stub-md5"
+    assert feats[3]["codec"] == "stub-md5"  # total over damage
+
+    out = sample_frames(media, every_nth=3, max_frames=2).collect()
+    got = {(r["media_id"], r["frame_index"]): bytes(r["frame"]) for r in out}
+    _, payloads = codecs.avi_frame_payloads(blob)
+    # real demux: kept frames are payloads 0 and 3, verbatim
+    assert got[(1, 0)] == payloads[0] and got[(1, 1)] == payloads[3]
+    assert len([k for k in got if k[0] == 1]) == 2  # max_frames cap
+    # stub path unchanged for non-AVI and undecodable blobs
+    assert got[(2, 0)] == stub_blob[:16]
+    assert got[(3, 0)] == blob[:40][:16]
