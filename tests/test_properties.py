@@ -449,3 +449,77 @@ def test_png_adam7_lossless_property(h, w, seed, alpha):
         codecs.decode_png(codecs.encode_png(px, interlace=True)), px
     )
     assert np.array_equal(codecs.decode_png(codecs.encode_png(px)), px)
+
+
+@SETTINGS
+@given(
+    n_frames=st.integers(min_value=1, max_value=6),
+    h=st.integers(min_value=1, max_value=20),
+    w=st.integers(min_value=1, max_value=20),
+    fps_milli=st.integers(min_value=1, max_value=120_000),
+    q=st.integers(min_value=50, max_value=95),
+    sub=st.sampled_from(["4:4:4", "4:2:0"]),
+    seed=st.integers(min_value=0, max_value=2**31),
+)
+def test_avi_mjpeg_roundtrip_property(n_frames, h, w, fps_milli, q, sub, seed):
+    """For ANY frame count, dimensions (including 1x1 and odd sizes that
+    exercise chroma-padding), millihertz fps, quality, and subsampling:
+    mux → demux returns the per-frame JPEG payloads verbatim in order
+    with the exact fps rational, and the decoded frames equal the
+    component decoder's output pixel-for-pixel."""
+    import numpy as np
+
+    from priority_data_pipeline_azure_sql_db_spark.operators import codecs
+
+    rng = np.random.default_rng(seed)
+    frames = [
+        rng.integers(0, 256, size=(h, w, 3)).astype(np.uint8)
+        for _ in range(n_frames)
+    ]
+    fps = fps_milli / 1000.0
+    blob = codecs.encode_avi_mjpeg(frames, fps=fps, quality=q, subsample=sub)
+    got_fps, payloads = codecs.avi_frame_payloads(blob)
+    assert got_fps == round(fps * 1000) / 1000
+    assert payloads == [
+        codecs.encode_jpeg(f, quality=q, subsample=sub) for f in frames
+    ]
+    _, decoded = codecs.decode_avi_frames(blob)
+    for p, arr in zip(payloads, decoded):
+        assert np.array_equal(arr, codecs.decode_jpeg(p))
+
+
+@SETTINGS
+@given(
+    cut_frac=st.floats(min_value=0.0, max_value=0.999),
+    flip_at_frac=st.floats(min_value=0.0, max_value=0.999),
+    seed=st.integers(min_value=0, max_value=2**31),
+)
+def test_avi_total_over_damage_property(cut_frac, flip_at_frac, seed):
+    """For ANY truncation point the demuxer raises ValueError (the RIFF
+    size field makes every byte loss detectable), and for ANY single
+    flipped byte it either still demuxes (payload damage is the frame
+    decoder's job), raises the advertised ValueError, or raises the
+    honest NotImplementedError (a flip landing in the handler fourcc) —
+    never IndexError/struct.error/RecursionError."""
+    import numpy as np
+    import pytest
+
+    from priority_data_pipeline_azure_sql_db_spark.operators import codecs
+
+    rng = np.random.default_rng(seed)
+    frames = [
+        rng.integers(0, 256, size=(6, 6, 3)).astype(np.uint8) for _ in range(3)
+    ]
+    blob = codecs.encode_avi_mjpeg(frames, fps=10.0)
+
+    with pytest.raises(ValueError):
+        codecs.avi_frame_payloads(blob[: int(len(blob) * cut_frac)])
+
+    flipped = bytearray(blob)
+    pos = int(len(blob) * flip_at_frac)
+    flipped[pos] ^= 0x5A
+    try:
+        _, payloads = codecs.avi_frame_payloads(bytes(flipped))
+        assert 1 <= len(payloads) <= 4  # at most one boundary broke
+    except (ValueError, NotImplementedError):
+        pass
