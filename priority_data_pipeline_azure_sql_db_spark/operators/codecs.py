@@ -2029,3 +2029,43 @@ def video_features(fps: float, frames: list[np.ndarray]) -> list[float]:
         mean_all, temporal, motion,
     ]
     return [np.floor(v * 1e6 + 0.5) / 1e6 for v in vals]
+
+
+# ---------------------------------------------------------------------------
+# Pixel resampling (round 10) — the real resize kernel behind
+# multimodal.resize_images
+# ---------------------------------------------------------------------------
+
+def resize_pixels(
+    px: np.ndarray, width: int, height: int, method: str = "bilinear"
+) -> np.ndarray:
+    """Resample an (h, w, c) uint8 image to (height, width, c) — fully
+    vectorized numpy, no per-pixel Python.
+
+    'nearest': floor source-index mapping (ri = y*h//height) — exact,
+    engine-replayable integer arithmetic. 'bilinear': half-pixel-center
+    sampling (the OpenCV/PIL convention: src = (dst + 0.5) * scale -
+    0.5, edge-clamped), round-half-up back to uint8. Anything else
+    raises ValueError."""
+    if width <= 0 or height <= 0:
+        raise ValueError(f"degenerate resize target {width}x{height}")
+    h, w = px.shape[0], px.shape[1]
+    if method == "nearest":
+        ri = (np.arange(height) * h) // height
+        ci = (np.arange(width) * w) // width
+        return px[ri][:, ci]
+    if method != "bilinear":
+        raise ValueError(f"unknown resize method {method!r}")
+    ys = (np.arange(height) + 0.5) * h / height - 0.5
+    xs = (np.arange(width) + 0.5) * w / width - 0.5
+    y0 = np.clip(np.floor(ys).astype(np.int64), 0, h - 1)
+    x0 = np.clip(np.floor(xs).astype(np.int64), 0, w - 1)
+    y1 = np.minimum(y0 + 1, h - 1)
+    x1 = np.minimum(x0 + 1, w - 1)
+    wy = np.clip(ys - y0, 0.0, 1.0)[:, None, None]
+    wx = np.clip(xs - x0, 0.0, 1.0)[None, :, None]
+    p = px.astype(np.float64)
+    top = p[y0][:, x0] * (1.0 - wx) + p[y0][:, x1] * wx
+    bot = p[y1][:, x0] * (1.0 - wx) + p[y1][:, x1] * wx
+    out = top * (1.0 - wy) + bot * wy
+    return np.clip(np.floor(out + 0.5), 0, 255).astype(np.uint8)

@@ -137,6 +137,7 @@ def test_ivf_recall_vs_bruteforce(spark, sf_dir):
 
 
 def test_resize_images_stub(spark):
+    """Undecodable blobs keep the deterministic stub path (tagged)."""
     from priority_data_pipeline_azure_sql_db_spark.operators.multimodal import (
         documents_as_media,
         resize_images,
@@ -149,8 +150,60 @@ def test_resize_images_stub(spark):
     assert len(out) == 2
     want = 64 * 64 // 64
     for r in out:
+        assert r.codec == "stub"
         assert len(r.content) == want
         assert (r.meta_width, r.meta_height) == (64, 64)
+
+
+def test_resize_images_real_codecs(spark):
+    """Round 10: resize is REAL for decodable visual media — decoded
+    output has the target dims, image pixel content equals the kernel
+    applied directly (PNG re-encode is lossless), and an MJPEG-AVI
+    resizes every frame and re-muxes at the original fps."""
+    import numpy as np
+
+    from priority_data_pipeline_azure_sql_db_spark.operators import codecs
+    from priority_data_pipeline_azure_sql_db_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        resize_images,
+    )
+
+    rng = np.random.default_rng(3)
+    px = rng.integers(0, 256, (10, 14, 3), dtype=np.uint8)
+    frames = [rng.integers(0, 256, (6, 6, 3), dtype=np.uint8) for _ in range(4)]
+    rows = [
+        (1, "image", bytearray(codecs.encode_bmp(px)), None, None, None),
+        (2, "image", bytearray(codecs.encode_png(px)), None, None, None),
+        (3, "video", bytearray(codecs.encode_avi_mjpeg(frames, fps=8.0)), None, None, None),
+    ]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    out = {r.media_id: r for r in resize_images(media, width=7, height=5).collect()}
+
+    want = codecs.resize_pixels(px, 7, 5, "bilinear")
+    for mid in (1, 2):
+        assert out[mid].codec == "png"
+        assert np.array_equal(codecs.decode_png(bytes(out[mid].content)), want)
+
+    assert out[3].codec == "avi"
+    fps, got = codecs.decode_avi_frames(bytes(out[3].content))
+    assert fps == 8.0 and len(got) == 4
+    for f, g in zip(frames, got):
+        # MJPEG re-encode is lossy; the demuxed payload must be the
+        # exact JPEG of the resized frame though
+        assert g.shape == (5, 7, 3)
+    _, payloads = codecs.avi_frame_payloads(bytes(out[3].content))
+    # the resize operates on the DECODED (lossy) frames, so the expected
+    # payload is encode(resize(decode(original payload)))
+    _, src_frames = codecs.decode_avi_frames(
+        bytes(codecs.encode_avi_mjpeg(frames, fps=8.0))
+    )
+    assert payloads == [
+        codecs.encode_jpeg(
+            codecs.resize_pixels(f, 7, 5, "bilinear"),
+            quality=90, subsample="4:4:4",  # encode_avi_mjpeg's defaults
+        )
+        for f in src_frames
+    ]
 
 
 def test_sample_frames_fanout(spark):
