@@ -51,10 +51,38 @@ def sniff(content: bytes | None) -> str | None:
     return None
 
 
+def _total_decoder(fmt: str):
+    """Make a decoder total over malformed input: a corrupt or truncated
+    stream can index past a buffer (IndexError), look up a table id the
+    stream never defined (KeyError), unpack a short header
+    (struct.error), or fail a checksum mid-inflate (zlib.error) — all
+    of those normalize to the advertised ValueError, so one flipped
+    byte in a 100 TB corpus lands on extract_features' tagged stub
+    instead of failing the Spark task. Real ValueError /
+    NotImplementedError guards pass through untouched. (Round 10: the
+    codec-wide generalization of decode_jpeg's round-9 fix — a byte-flip
+    fuzz sweep found the same classes escaping BMP/PNG and KeyError
+    escaping the huffman table lookups.)"""
+    import functools
+
+    def deco(fn):
+        @functools.wraps(fn)
+        def wrapper(content, *args, **kwargs):
+            try:
+                return fn(content, *args, **kwargs)
+            except (IndexError, KeyError, struct.error, zlib.error) as exc:
+                raise ValueError(
+                    f"{fmt}: malformed stream ({type(exc).__name__}: {exc})"
+                ) from exc
+        return wrapper
+    return deco
+
+
 # ---------------------------------------------------------------------------
 # BMP — uncompressed 24-bit BI_RGB, bottom-up or top-down
 # ---------------------------------------------------------------------------
 
+@_total_decoder("BMP")
 def decode_bmp(content: bytes) -> np.ndarray:
     """Decode an uncompressed 24-bit BMP to an (h, w, 3) uint8 RGB array.
 
@@ -191,6 +219,7 @@ def _png_unfilter(raw: bytes, offset: int, h: int, w: int, bpp: int) -> np.ndarr
     return out
 
 
+@_total_decoder("PNG")
 def decode_png(content: bytes) -> np.ndarray:
     """Decode an 8-bit RGB/RGBA PNG — sequential OR Adam7-interlaced
     (round 10) — to an (h, w, 3|4) uint8 array.
@@ -257,20 +286,27 @@ def decode_png(content: bytes) -> np.ndarray:
             )
         out = _png_unfilter(raw, 0, h, w, bpp).reshape(h, w, bpp)
     else:
-        out = np.zeros((h, w, bpp), dtype=np.uint8)
-        offset = 0
+        # size-check BEFORE allocating (h, w) — a corrupted IHDR can
+        # declare billions of pixels, and the inflated stream length
+        # exposes the lie for free (byte-flip fuzz, round 10)
+        passes, expected = [], 0
         for x0, y0, xs, ys in _ADAM7:
             pw = -(-(w - x0) // xs) if w > x0 else 0
             ph = -(-(h - y0) // ys) if h > y0 else 0
             if pw == 0 or ph == 0:
                 continue  # empty pass: no bytes at all, not even filter bytes
+            passes.append((x0, y0, xs, ys, pw, ph))
+            expected += ph * (1 + pw * bpp)
+        if len(raw) != expected:
+            raise ValueError(
+                f"PNG pixel stream is {len(raw)} bytes, expected {expected}"
+            )
+        out = np.zeros((h, w, bpp), dtype=np.uint8)
+        offset = 0
+        for x0, y0, xs, ys, pw, ph in passes:
             sub = _png_unfilter(raw, offset, ph, pw, bpp).reshape(ph, pw, bpp)
             offset += ph * (1 + pw * bpp)
             out[y0::ys, x0::xs] = sub
-        if offset != len(raw):
-            raise ValueError(
-                f"PNG pixel stream is {len(raw)} bytes, expected {offset}"
-            )
     if depth == 16:
         # 16 -> 8 bit: keep the big-endian high byte (the standard
         # consumer downscale; the codec contract is uint8 pixels)
@@ -352,6 +388,7 @@ def encode_png(
 # WAV — RIFF PCM, 8-bit unsigned / 16-bit signed, any channel count
 # ---------------------------------------------------------------------------
 
+@_total_decoder("WAV")
 def decode_wav(content: bytes) -> tuple[int, np.ndarray]:
     """Decode a PCM WAV to (sample_rate, (n_frames, n_channels) float64
     array normalized to [-1, 1]). Walks RIFF chunks directly (stdlib
@@ -1347,6 +1384,7 @@ def _decode_jpeg_progressive(d: bytes) -> np.ndarray:
             frame = (fh, fw, comps)
             if len(comps) not in (1, 3):
                 raise NotImplementedError(f"{len(comps)}-component JPEG (CMYK?)")
+            _validate_sof(fh, fw, comps, len(d) - pos)
             hmax = max(c[1] for c in comps)
             vmax = max(c[2] for c in comps)
             mcus_x = -(-fw // (8 * hmax))
@@ -1412,6 +1450,37 @@ def _decode_jpeg_progressive(d: bytes) -> np.ndarray:
         g = np.clip(planes[0].round(), 0, 255).astype(np.uint8)
         return np.stack([g, g, g], axis=-1)
     return _ycbcr_to_rgb(planes[0], planes[1], planes[2])
+
+
+def _validate_sof(fh: int, fw: int, comps, remaining: int) -> None:
+    """Reject corrupt frame headers BEFORE any dimension-sized
+    allocation (byte-flip fuzz, round 10): zero/over-spec sampling
+    factors divide by zero downstream, and a flipped dimension byte can
+    declare a multi-GiB coefficient array. The block bound is
+    information-theoretic, not a heuristic: every block costs >= 1 bit
+    in the (mandatory, non-refinement) first DC scan — baseline and
+    progressive alike — so declared blocks can never exceed 8x the
+    remaining stream bytes in a well-formed file."""
+    if not comps:
+        raise ValueError("JPEG: SOF with zero components")
+    if fh == 0 or fw == 0:
+        raise ValueError(f"JPEG: degenerate frame dimensions {fw}x{fh}")
+    for cid, hi, vi, _tq in comps:
+        if not (1 <= hi <= 4 and 1 <= vi <= 4):
+            raise ValueError(
+                f"JPEG: illegal sampling factors {hi}x{vi} (component {cid})"
+            )
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    blocks = (
+        (-(-fw // (8 * hmax))) * (-(-fh // (8 * vmax)))
+        * sum(c[1] * c[2] for c in comps)
+    )
+    if blocks > 8 * max(remaining, 0):
+        raise ValueError(
+            f"JPEG: declared dimensions need {blocks} blocks but only "
+            f"{remaining} stream bytes remain (corrupt SOF)"
+        )
 
 
 def _comp_block_dims(frame, ci: int) -> tuple[int, int]:
@@ -1583,9 +1652,11 @@ def decode_jpeg(content: bytes) -> np.ndarray:
     """
     try:
         return _decode_jpeg_impl(content)
-    except (IndexError, struct.error) as exc:
+    except (IndexError, KeyError, struct.error) as exc:
         # A lying segment length or a stream ending mid-header indexes
-        # past the buffer; normalize to the advertised ValueError.
+        # past the buffer; a corrupted table-id selects a huffman/quant
+        # table the stream never defined (KeyError — byte-flip fuzz,
+        # round 10); normalize all to the advertised ValueError.
         raise ValueError(
             f"JPEG: malformed stream ({type(exc).__name__}: {exc})"
         ) from exc
@@ -1654,6 +1725,7 @@ def _decode_jpeg_impl(content: bytes) -> np.ndarray:
             for ci in range(nc):
                 cid, hv, tq = body[6 + 3 * ci: 9 + 3 * ci]
                 comps.append((cid, hv >> 4, hv & 15, tq))
+            _validate_sof(fh, fw, comps, len(d) - pos)
             frame = (fh, fw, comps)
         elif marker == 0xC4:  # DHT
             i = 0
@@ -1944,6 +2016,7 @@ def _avi_walk(d: bytes, pos: int, end: int, state: dict, depth: int) -> None:
         pos = body_end + (size & 1)  # chunks pad to even offsets
 
 
+@_total_decoder("AVI")
 def avi_frame_payloads(content: bytes) -> tuple[float, list[bytes]]:
     """Parse a RIFF-AVI container WITHOUT decoding pixels: returns
     (fps, per-frame encoded payload bytes) for the first video stream,
