@@ -57,7 +57,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # multimodal_codec_mix (the codec-mix profile incl. the new
 # progressive-JPEG class, r9 ask #8), er_store_append_serve
 # (append ≡ rebuild end to end: store built from part of the base,
-# rest appended, served against the full-base oracle), and the two
+# rest appended, served against the full-base oracle), and the three
 # md5-portable hash-family twins dedup_minhash_lsh_md5,
 # dedup_simhash_md5, and dedup_simhash_pairs_md5 (full SQL oracles
 # for the previously rows-only MinHash/SimHash constructions, incl.
