@@ -67,7 +67,11 @@ def entry(spark: SparkSession) -> DataFrame:
 # multimodal_video_frames (REAL video: MJPEG-in-AVI mux/demux + kept-
 # frame JPEG decode, structure-hash-checked like multimodal_codec_mix)
 # — each comparator-verified at sf0.01 AND sf0.1 the session it
-# landed; all r11-head material.
+# landed; all r11-head material. Also r11-head (changed-oracle
+# divergence risk): ann_cosine_topk_lsh, upgraded rows-only → full
+# hash oracle (the hyperplanes were md5-derived all along, so the
+# DuckDB twin regenerates them bit-identically — registry now
+# 197 queries / 188 oracled / 9 rows-only by design).
 CHECK_ORDER = [
     # (1) round-9 code/oracle-changed entries — divergence-risk head
     "multimodal_frame_sample",

@@ -1842,9 +1842,71 @@ def ann_cosine_topk(spark, sf_dir):
     return S.cosine_topk_bruteforce(emb, emb.filter(F.col("vec_id") < 5), k=5)
 
 
-@query("ann_cosine_topk_lsh")  # approximate (recall<1) → rows-only check
+def _ann_lsh_md5_oracle(n_planes: int = 8, seed: int = 42) -> str:
+    """DuckDB replay of cosine_topk_lsh's EXACT candidate selection:
+    the hyperplanes are md5-derived (similarity._hyperplane — no RNG
+    state), so the oracle regenerates bit-identical plane weights and
+    the same sign-bit buckets, making the 'approximate' result fully
+    deterministic and hash-checkable. Weight parity trap: DuckDB's
+    HUGEINT→DOUBLE cast rounds differently from Python's int/2**63 by
+    one ulp — recombining the two md5 halves as exact doubles
+    (hi_signed/2^31 + lo/2^63, one IEEE add) matches Python's correctly
+    rounded division on all 512 weights."""
+    return f"""
+    WITH pl AS (
+        SELECT p.range AS p, i.range AS i,
+               CAST('0x' || substr(md5(CAST({seed * 1000} + p.range AS VARCHAR)
+                    || ':' || CAST(i.range AS VARCHAR)), 1, 8) AS BIGINT) AS hi,
+               CAST('0x' || substr(md5(CAST({seed * 1000} + p.range AS VARCHAR)
+                    || ':' || CAST(i.range AS VARCHAR)), 9, 8) AS BIGINT) AS lo
+        FROM range({n_planes}) p, range(64) i
+    ), pw AS (
+        SELECT p, list(
+            CAST(CASE WHEN hi >= 2147483648 THEN hi - 4294967296 ELSE hi END
+                 AS DOUBLE) / 2147483648.0
+            + CAST(lo AS DOUBLE) / 9223372036854775808.0
+            ORDER BY i) AS wv
+        FROM pl GROUP BY p
+    ), vecs AS (
+        SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+    ), sig AS (
+        SELECT vec_id,
+               CAST(SUM(CASE WHEN list_dot_product(v, wv) >= 0
+                             THEN 1 << p ELSE 0 END) AS BIGINT) AS bucket
+        FROM vecs CROSS JOIN pw GROUP BY vec_id
+    ), q AS (
+        SELECT v1.vec_id AS query_id, v1.v AS qv, s1.bucket
+        FROM vecs v1 JOIN sig s1 USING (vec_id) WHERE v1.vec_id < 5
+    ), c AS (
+        SELECT v2.vec_id AS neighbor_id, v2.v AS cv, s2.bucket
+        FROM vecs v2 JOIN sig s2 USING (vec_id)
+    ), scored AS (
+        SELECT q.query_id, c.neighbor_id,
+               ROUND(list_dot_product(q.qv, c.cv)
+                     / (SQRT(list_dot_product(q.qv, q.qv))
+                        * SQRT(list_dot_product(c.cv, c.cv))), 6) AS sim
+        FROM c JOIN q ON c.bucket = q.bucket AND c.neighbor_id <> q.query_id
+    )
+    SELECT query_id, neighbor_id, sim, rank FROM (
+        SELECT *, CAST(ROW_NUMBER() OVER (
+            PARTITION BY query_id ORDER BY sim DESC, neighbor_id
+        ) AS BIGINT) AS rank
+        FROM scored
+    ) WHERE rank <= 5
+    """
+
+
+@query("ann_cosine_topk_lsh", _ann_lsh_md5_oracle())
 def ann_cosine_topk_lsh(spark, sf_dir):
-    """LSH-bucketed ANN — the 100 TB scale path for ann_cosine_topk."""
+    """LSH-bucketed ANN — the 100 TB scale path for ann_cosine_topk.
+    Round 10: upgraded from rows-only to a FULL hash oracle. The
+    hyperplanes were md5-derived from the start, so 'approximate'
+    never meant nondeterministic — the oracle regenerates the same
+    plane weights bit-for-bit (see _ann_lsh_md5_oracle), assigns the
+    same sign-bit buckets, and replays the bucket-restricted scoring,
+    value-checking the ENTIRE construction: plane generation, bucket
+    assignment, candidate pruning, cosine scoring, and tie-broken
+    ranking."""
     emb = load_table(spark, sf_dir, "embeddings")
     return S.cosine_topk_lsh(emb, emb.filter(F.col("vec_id") < 5), k=5).orderBy(
         "query_id", "rank"
