@@ -1650,18 +1650,12 @@ def decode_jpeg(content: bytes) -> np.ndarray:
     image_phash) rely on that to fall back to the tagged stub instead
     of failing the Spark task on one bad blob in a corpus.
     """
-    try:
-        return _decode_jpeg_impl(content)
-    except (IndexError, KeyError, struct.error) as exc:
-        # A lying segment length or a stream ending mid-header indexes
-        # past the buffer; a corrupted table-id selects a huffman/quant
-        # table the stream never defined (KeyError — byte-flip fuzz,
-        # round 10); normalize all to the advertised ValueError.
-        raise ValueError(
-            f"JPEG: malformed stream ({type(exc).__name__}: {exc})"
-        ) from exc
+    # totality lives on _decode_jpeg_impl's _total_decoder — one shared
+    # normalization path for all five codecs, no hand-rolled copy here
+    return _decode_jpeg_impl(content)
 
 
+@_total_decoder("JPEG")
 def _decode_jpeg_impl(content: bytes) -> np.ndarray:
     d = content
     if d[:2] != b"\xff\xd8":
@@ -2000,18 +1994,27 @@ def _avi_walk(d: bytes, pos: int, end: int, state: dict, depth: int) -> None:
                 raise ValueError(f"AVI: malformed strh ({size} bytes)")
             fcc_type, handler = struct.unpack_from("<4s4s", d, body_start)
             scale, rate = struct.unpack_from("<II", d, body_start + 20)
-            state["last_stream_type"] = fcc_type
-            if fcc_type == b"vids":
+            # stream N's movi chunks are tagged 'NNdc'/'NNdb' by strl
+            # ORDER, so the ordinal — not "always 00" — identifies the
+            # video stream's frames (an audio-first MJPEG AVI stores
+            # them as '01dc'; round-10 review fix)
+            ordinal = state["n_streams"]
+            state["n_streams"] = ordinal + 1
+            state["last_is_first_vids"] = False
+            if fcc_type == b"vids" and "vid_stream" not in state:
+                state["vid_stream"] = ordinal
                 state["handler"] = handler
+                state["last_is_first_vids"] = True
                 if scale > 0 and rate > 0:
                     state["fps"] = rate / scale
         elif cid == b"strf":
-            if state.get("last_stream_type") == b"vids" and size >= 20:
+            # pair biCompression with the FIRST vids strh only — a
+            # later stream's strf must not overwrite the codec check
+            if state.get("last_is_first_vids") and size >= 20:
                 state["compression"] = d[body_start + 16:body_start + 20]
         elif cid[2:4] in (b"dc", b"db") and cid[:2].isdigit():
-            # 'NNdc'/'NNdb' — compressed/uncompressed frame of stream NN;
-            # only the (first) video stream's chunks are frames here
-            if cid[:2] == b"00":
+            # 'NNdc'/'NNdb' — compressed/uncompressed frame of stream NN
+            if int(cid[:2]) == state.get("vid_stream", -1):
                 state["payloads"].append(d[body_start:body_end])
         pos = body_end + (size & 1)  # chunks pad to even offsets
 
@@ -2038,7 +2041,7 @@ def avi_frame_payloads(content: bytes) -> tuple[float, list[bytes]]:
             f"{len(d) - 8} available)"
         )
     end = 8 + riff_size  # trailing bytes past the RIFF payload are legal
-    state: dict = {"payloads": []}
+    state: dict = {"payloads": [], "n_streams": 0}
     _avi_walk(d, 12, end, state, 0)
     if "handler" not in state:
         raise ValueError("AVI: no video stream header (strh 'vids')")

@@ -73,6 +73,7 @@ BASE_DIR = "base"
 CLUSTERS_DIR = "clusters"
 META_FILE = "META.json"
 MANIFEST_FILE = "MANIFEST"
+APPEND_STAGE_DIR = ".base_append_stage"
 
 
 def _bucket_col(node_col: str, n_buckets: int):
@@ -102,6 +103,22 @@ def _roll_forward(path: str) -> None:
         # stage already consumed (crash mid-swap): live is the new dir
         if os.path.exists(old):
             shutil.rmtree(old)
+    if pending.get("base_append"):
+        # second leg of the append transaction (round-10 review fix):
+        # the fresh base rows move into base/ HERE, under the same
+        # MANIFEST, so a crash after the bucket swaps can never leave
+        # clusters/ referencing ids that base/ doesn't have — the serve
+        # would silently fall back to the arrival's own name as
+        # golden_name. os.replace per part file is idempotent across
+        # retries (moved files are simply gone from the stage dir).
+        stage = os.path.join(path, APPEND_STAGE_DIR)
+        if os.path.isdir(stage):
+            base_dir = os.path.join(path, BASE_DIR)
+            for f in os.listdir(stage):
+                if f.startswith("part-"):
+                    os.replace(os.path.join(stage, f),
+                               os.path.join(base_dir, f))
+            shutil.rmtree(stage, ignore_errors=True)
     os.remove(mpath)
 
 
@@ -148,6 +165,13 @@ def build_er_index(
     ``META`` first, ``clusters`` LAST — its ``_SUCCESS`` is the gate,
     so a crash mid-build rebuilds instead of serving half a map."""
     cols = [id_col, key_col, *block_cols]
+    if base.isEmpty():
+        # fail loud: a zero-record build would write a cluster map whose
+        # hive-partitioned dir has _SUCCESS but NO parquet files — the
+        # built marker present, every later read/append failing with
+        # UNABLE_TO_INFER_SCHEMA (round-10 review finding). Callers with
+        # possibly-empty input (the streaming sink) skip instead.
+        raise ValueError("ER index build needs at least one record")
     (base.select(*cols).repartition(*[F.col(c) for c in block_cols])
         .write.mode("overwrite").parquet(os.path.join(path, BASE_DIR)))
     os.makedirs(path, exist_ok=True)
@@ -270,9 +294,13 @@ def append_to_er_index(
     4. rewrite ONLY the cluster-map buckets containing relabeled nodes
        (stage → MANIFEST → swap, the crash discipline in the module
        docstring);
-    5. append the fresh rows to ``base/`` LAST — a record is "in the
-       index" only once future appends can see it there, which is what
-       makes a crashed append's retry recompute instead of skip.
+    5. the ``base/`` growth is staged too and committed by the SAME
+       manifest — bucket swaps and base append roll forward as one
+       transaction, so no crash point lets a serve observe clusters
+       referencing ids that ``base/`` doesn't have (which would
+       silently mis-assign golden_name). Before the manifest commit
+       nothing is visible (retry recomputes); after it, roll-forward
+       completes both legs (retry's id anti-join is then a no-op).
 
     Returns the number of appended records."""
     from .dedup import fuzzy_match_delta, fuzzy_match_pairs
@@ -290,6 +318,7 @@ def append_to_er_index(
         .join(existing, id_col, "left_anti")
         .cache()
     )
+    members = updated = None
     try:
         n_fresh = fresh.count()
         if n_fresh == 0:
@@ -312,7 +341,11 @@ def append_to_er_index(
                 db.select(F.col("v").alias("node")).distinct(), "node"
             ).select("cluster_id").distinct()
         )
-        members = clusters.join(touched_cl, "cluster_id")
+        # cached: members feeds the star edges, sub_nodes, AND (via
+        # sub_nodes) both `updated` actions and the `keep` anti-join —
+        # uncached, the delta×base levenshtein block join re-executed
+        # once per consumer (measured 3x — round-10 review fix)
+        members = clusters.join(touched_cl, "cluster_id").cache()
         star = members.select(
             F.col("node").alias("u"), F.col("cluster_id").alias("v")
         )
@@ -330,6 +363,7 @@ def append_to_er_index(
                 .cast("bigint").alias("cluster_id"),
             )
             .withColumn("_cb", _bucket_col("node", n_buckets))
+            .cache()  # consumed by the collect below AND the staged write
         )
         # O(n_buckets) metadata collect — which buckets get rewritten
         touched_b = sorted(
@@ -358,15 +392,24 @@ def append_to_er_index(
                 os.makedirs(src)  # bucket emptied entirely: swap in empty
             os.rename(src, os.path.join(cl_root, f".stage_{b}"))
         shutil.rmtree(stage_root, ignore_errors=True)
+        # stage the base/ growth too: the cluster-map swaps and the
+        # base append commit as ONE manifest transaction, rolled
+        # forward together — a crash between them previously let a
+        # serve observe clusters referencing ids absent from base/
+        # and silently mis-assign golden_name (round-10 review fix)
+        append_stage = os.path.join(path, APPEND_STAGE_DIR)
+        shutil.rmtree(append_stage, ignore_errors=True)
+        fresh.write.mode("overwrite").parquet(append_stage)
         mpath = os.path.join(path, MANIFEST_FILE)
         tmp = mpath + ".tmp"
         with open(tmp, "w") as fh:
-            json.dump({"buckets": touched_b}, fh)
-        os.replace(tmp, mpath)  # commit point
+            json.dump({"buckets": touched_b, "base_append": True}, fh)
+        os.replace(tmp, mpath)  # commit point — both legs now roll forward
         _roll_forward(path)
-        # base/ grows LAST (see module docstring crash discipline)
-        (fresh.write.mode("append")
-            .parquet(os.path.join(path, BASE_DIR)))
         return n_fresh
     finally:
         fresh.unpersist()
+        if members is not None:
+            members.unpersist()
+        if updated is not None:
+            updated.unpersist()

@@ -251,6 +251,13 @@ def fold_scd2_batch(
     last, cur = _read_rollup_pointer(store_path)
     if batch_id <= last:
         return False  # replay of an already-folded batch
+    if delta_log.isEmpty():
+        # nothing to fold — and a hive-partitioned write of zero rows
+        # emits a slice dir with NO parquet files, which every later
+        # read (this one and all prior_roots unions) would fail on with
+        # UNABLE_TO_INFER_SCHEMA, permanently wedging the store
+        # (round-10 review finding)
+        return False
     log_root = os.path.join(store_path, "log")
     log_dir = os.path.join(log_root, f"batch_{batch_id}")
     kb = F.pmod(
@@ -399,6 +406,13 @@ def stream_er_into_store(
     )
 
     def upsert(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            # an empty FIRST batch would build a store whose
+            # hive-partitioned cluster map has zero parquet files —
+            # _SUCCESS present but unreadable, poisoning every later
+            # append (round-10 review finding); an empty later batch
+            # is just a no-op append
+            return
         marker = os.path.join(store_path, CLUSTERS_DIR, "_SUCCESS")
         if not os.path.exists(marker):
             build_er_index(

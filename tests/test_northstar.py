@@ -1742,3 +1742,53 @@ def test_codec_fuzz_totality_all_formats():
     st.pack_into(">I", pb, 16, 3_000_000_000)  # IHDR width
     with pytest.raises(ValueError, match="pixel stream"):
         C.decode_png(bytes(pb))
+
+
+def test_codec_avi_audio_first_stream():
+    """Round-10 review fix: movi chunk ids follow strl ORDER, so an
+    MJPEG AVI whose video stream is listed second (audio first — a
+    common real-world mux order) stores frames as '01dc'. The demuxer
+    must find them via the vids stream's ordinal, pair the codec check
+    with the FIRST vids strh only, and ignore other streams' chunks."""
+    import struct as st
+
+    import numpy as np
+
+    from priority_data_pipeline_azure_sql_db_spark.operators import codecs as C
+
+    frames = [np.full((8, 8, 3), 60 * i + 30, dtype=np.uint8) for i in range(3)]
+    payloads = [C.encode_jpeg(f, quality=90, subsample="4:4:4") for f in frames]
+
+    def strh(fcc, handler, scale, rate, length):
+        return st.pack("<4s4sIHH8I4h", fcc, handler, 0, 0, 0,
+                       0, scale, rate, 0, length, 4096, 0xFFFF_FFFF, 0,
+                       0, 0, 8, 8)
+
+    auds_strl = C._riff_list(b"strl",
+        C._riff_chunk(b"strh", strh(b"auds", b"\x01\x00\x00\x00", 1, 8000, 800))
+        + C._riff_chunk(b"strf", st.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16)))
+    vids_strf = st.pack("<IiiHH4sIiiII", 40, 8, 8, 1, 24, b"MJPG", 192, 0, 0, 0, 0)
+    vids_strl = C._riff_list(b"strl",
+        C._riff_chunk(b"strh", strh(b"vids", b"MJPG", 1000, 10_000, len(frames)))
+        + C._riff_chunk(b"strf", vids_strf))
+    avih = st.pack("<14I", 100_000, 0, 0, 0x10, len(frames), 0, 2, 4096,
+                   8, 8, 0, 0, 0, 0)
+    hdrl = C._riff_list(b"hdrl", C._riff_chunk(b"avih", avih)
+                        + auds_strl + vids_strl)
+    # audio is stream 00 (listed first), video is stream 01, interleaved
+    movi = b"".join(
+        C._riff_chunk(b"00wb", b"\x00\x01" * 40)
+        + C._riff_chunk(b"01dc", p)
+        for p in payloads
+    )
+    body = hdrl + C._riff_list(b"movi", movi)
+    blob = b"RIFF" + st.pack("<I", 4 + len(body)) + b"AVI " + body
+
+    fps, got = C.avi_frame_payloads(blob)
+    assert fps == 10.0
+    assert got == payloads, "video frames must come from stream 01"
+    _, decoded = C.decode_avi_frames(blob)
+    assert len(decoded) == 3
+    assert all(
+        np.array_equal(a, C.decode_jpeg(p)) for a, p in zip(decoded, payloads)
+    )

@@ -1440,3 +1440,148 @@ def test_stream_er_maintenance(spark, tmp_path):
         spark, store, df.filter(F.col("id") < 10)
     ) == 0
     assert cmap(store) == got
+
+
+def test_er_append_transaction_crash_window(spark, tmp_path, monkeypatch):
+    """Round-10 review fix: the bucket swaps and the base/ growth commit
+    as ONE manifest transaction. Simulate a crash immediately after the
+    manifest commit (roll-forward patched to a no-op during the append):
+    base/ must NOT yet contain the fresh ids — so no serve can observe
+    clusters referencing absent base records and mis-assign golden_name
+    — and the next store touch must complete BOTH legs."""
+    import os
+
+    from priority_data_pipeline_azure_sql_db_spark.operators import er_index as EI
+
+    def mk(rows):
+        return spark.createDataFrame(rows, "id bigint, name string, grp int")
+
+    base = mk([(7, "aaaa0001", 1), (8, "aaaa0002", 1), (9, "cccc0009", 1)])
+    kw = dict(key_col="name", id_col="id", block_cols=["grp"],
+              max_edit=2, n_buckets=4)
+    p = str(tmp_path / "store")
+    EI.ensure_er_index(base, p, **kw)
+
+    # id 3 < min(cluster A)=7: the append relabels A to cluster 3 —
+    # exactly the state where a torn base/ serves the WRONG golden_name
+    new = mk([(3, "aaaa0003", 1)])
+    real_roll = EI._roll_forward
+    monkeypatch.setattr(EI, "_roll_forward", lambda path: None)
+    assert EI.append_to_er_index(spark, p, new) == 1
+    monkeypatch.setattr(EI, "_roll_forward", real_roll)
+
+    # crashed-after-commit state: manifest + staged base rows, base/
+    # unchanged (the old layout had already appended here — the bug)
+    assert os.path.exists(os.path.join(p, EI.MANIFEST_FILE))
+    assert os.path.isdir(os.path.join(p, EI.APPEND_STAGE_DIR))
+    base_ids = {r.id for r in
+                spark.read.parquet(os.path.join(p, EI.BASE_DIR)).collect()}
+    assert 3 not in base_ids, "base/ grew before the roll-forward"
+
+    # next touch rolls BOTH legs forward
+    cm = dict((r.node, r.cluster_id)
+              for r in EI.read_er_clusters(spark, p).collect())
+    assert cm[7] == 3 and cm[3] == 3, "bucket leg did not roll forward"
+    assert not os.path.exists(os.path.join(p, EI.MANIFEST_FILE))
+    assert not os.path.isdir(os.path.join(p, EI.APPEND_STAGE_DIR))
+    base_ids = {r.id for r in
+                spark.read.parquet(os.path.join(p, EI.BASE_DIR)).collect()}
+    assert 3 in base_ids, "base leg did not roll forward"
+
+    # the serve the old layout corrupted: golden of cluster 3 resolves
+    delta = mk([(100, "aaaa0004", 1)])
+    got = {r.delta_id: r for r in EI.assign_from_index(spark, p, delta).collect()}
+    assert got[100].cluster_id == 3 and got[100].golden_name == "aaaa0003"
+
+    # retried append after the roll-forward: idempotent no-op
+    assert EI.append_to_er_index(spark, p, new) == 0
+
+
+def test_er_store_empty_inputs(spark, tmp_path):
+    """Round-10 review fix: an empty build would write a cluster map
+    with _SUCCESS but zero parquet files — marker present, every later
+    read failing — so build fails loud and the streaming sink skips
+    empty micro-batches instead of building from one."""
+    import os
+
+    import pytest
+
+    from priority_data_pipeline_azure_sql_db_spark.operators import er_index as EI
+    from priority_data_pipeline_azure_sql_db_spark.streaming.sink import (
+        stream_er_into_store,
+    )
+
+    schema = "id bigint, name string, grp int"
+    empty = spark.createDataFrame([], schema)
+    with pytest.raises(ValueError, match="at least one record"):
+        EI.build_er_index(empty, str(tmp_path / "p0"), key_col="name",
+                          id_col="id", block_cols=["grp"], max_edit=2)
+
+    # streaming: the FIRST batch is an empty file — the store must stay
+    # unbuilt (not poisoned), and the next drain with real rows builds
+    src = str(tmp_path / "src")
+    empty.coalesce(1).write.mode("overwrite").parquet(src)
+    store = str(tmp_path / "store")
+    kw = dict(key_col="name", id_col="id", block_cols=["grp"], max_edit=2)
+    q = stream_er_into_store(
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1)
+        .parquet(src),
+        store, checkpoint_dir=str(tmp_path / "ckpt"), **kw,
+    )
+    assert q.awaitTermination(300)
+    assert not os.path.exists(
+        os.path.join(store, EI.CLUSTERS_DIR, "_SUCCESS")
+    ), "empty first batch must not build the store"
+
+    rows = spark.createDataFrame(
+        [(1, "aaaa0001", 1), (2, "aaaa0002", 1)], schema
+    )
+    rows.coalesce(1).write.mode("append").parquet(src)
+    q2 = stream_er_into_store(
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1)
+        .parquet(src),
+        store, checkpoint_dir=str(tmp_path / "ckpt"), **kw,
+    )
+    assert q2.awaitTermination(300)
+    cm = sorted((r.node, r.cluster_id)
+                for r in EI.read_er_clusters(spark, store).collect())
+    assert cm == [(1, 1), (2, 1)]
+
+
+def test_scd2_empty_batch_no_wedge(spark, tmp_path):
+    """Round-10 review fix: an empty micro-batch must be a no-op fold —
+    the old path wrote a hive-partitioned slice dir with no parquet
+    files, which wedged THIS read and every later batch's prior-roots
+    union with UNABLE_TO_INFER_SCHEMA."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from priority_data_pipeline_azure_sql_db_spark.streaming.sink import (
+        fold_scd2_batch,
+        read_scd2_store,
+    )
+
+    def mk(rows):
+        return spark.createDataFrame(
+            rows, "user_id bigint, state string, ts string, seq bigint",
+        ).withColumn("ts", F.col("ts").cast("timestamp"))
+
+    store = str(tmp_path / "store")
+    args = (["user_id"], ["state"], "ts", ["seq"])
+
+    # empty FIRST batch: no store created, no wedged slice dir
+    assert fold_scd2_batch(spark, store, mk([]).limit(0), 1, *args) is False
+    assert not os.path.isdir(os.path.join(store, "log", "batch_1"))
+
+    assert fold_scd2_batch(
+        spark, store, mk([(1, "a", "2026-01-01 00:00:00", 1)]), 2, *args
+    ) is True
+    # empty LATER batch: skipped, store intact
+    assert fold_scd2_batch(spark, store, mk([]).limit(0), 3, *args) is False
+    assert fold_scd2_batch(
+        spark, store, mk([(1, "b", "2026-01-02 00:00:00", 2)]), 4, *args
+    ) is True
+    hist = read_scd2_store(spark, store)
+    states = sorted(r.state for r in hist.collect())
+    assert states == ["a", "b"], "folds around the empty batch must land"
