@@ -53,6 +53,11 @@ def build_ivf_index(
     import os
 
     dim = infer_dim(corpus, vec_col)
+    if dim is None:
+        # same empty-partitionBy wedge class as the ER store: zero rows
+        # through partitionBy('cell') writes a dir no read can infer a
+        # schema from, with the store's marker present — fail loud
+        raise ValueError("IVF index build needs at least one vector")
     vecs = corpus.select(
         F.col(id_col).alias("_id"), _as_double(F.col(vec_col)).alias("v")
     )
@@ -134,6 +139,9 @@ def build_near_dup_index(
     import os
 
     dim = infer_dim(corpus, vec_col)
+    if dim is None:
+        # empty-partitionBy wedge guard, same as build_ivf_index
+        raise ValueError("near-dup index build needs at least one vector")
     unit = corpus.select(
         F.col(id_col).alias("_id"), _as_double(F.col(vec_col)).alias("v")
     ).select(

@@ -1585,3 +1585,22 @@ def test_scd2_empty_batch_no_wedge(spark, tmp_path):
     hist = read_scd2_store(spark, store)
     states = sorted(r.state for r in hist.collect())
     assert states == ["a", "b"], "folds around the empty batch must land"
+
+
+def test_ann_index_empty_build_fails_loud(spark, tmp_path):
+    """Round-10 review-fix follow-through: the ANN stores share the ER
+    store's empty-partitionBy wedge class — a zero-vector build would
+    write a cell-partitioned dir with no parquet files. Both builders
+    fail loud instead."""
+    import pytest
+
+    from priority_data_pipeline_azure_sql_db_spark.operators.ann_index import (
+        build_ivf_index,
+        build_near_dup_index,
+    )
+
+    empty = spark.createDataFrame([], "vec_id bigint, embedding array<float>")
+    with pytest.raises(ValueError, match="at least one vector"):
+        build_ivf_index(empty, str(tmp_path / "ivf"))
+    with pytest.raises(ValueError, match="at least one vector"):
+        build_near_dup_index(empty, str(tmp_path / "nd"))
