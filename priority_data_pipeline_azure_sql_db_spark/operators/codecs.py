@@ -1630,6 +1630,7 @@ def _decode_progressive_scan(
                 eobrun -= 1
 
 
+@_total_decoder("JPEG")
 def decode_jpeg(content: bytes) -> np.ndarray:
     """Decode a baseline-sequential (SOF0/SOF1) huffman JPEG to an
     (h, w, 3) uint8 RGB array. Supports 8-bit precision, grayscale and
@@ -1644,19 +1645,14 @@ def decode_jpeg(content: bytes) -> np.ndarray:
     fancy-upsampling difference is sub-rounding-error for the feature/
     hash consumers here).
 
-    Total over malformed input: every corrupt/truncated stream raises
-    ValueError (or NotImplementedError at a format boundary), never a
-    raw IndexError/struct.error — the call sites (extract_features /
-    image_phash) rely on that to fall back to the tagged stub instead
-    of failing the Spark task on one bad blob in a corpus.
+    Total over malformed input via ``_total_decoder`` (the shared
+    normalization path of all five codecs): every corrupt/truncated
+    stream raises ValueError (or NotImplementedError at a format
+    boundary), never a raw IndexError/struct.error — the call sites
+    (extract_features / image_phash) rely on that to fall back to the
+    tagged stub instead of failing the Spark task on one bad blob in a
+    corpus.
     """
-    # totality lives on _decode_jpeg_impl's _total_decoder — one shared
-    # normalization path for all five codecs, no hand-rolled copy here
-    return _decode_jpeg_impl(content)
-
-
-@_total_decoder("JPEG")
-def _decode_jpeg_impl(content: bytes) -> np.ndarray:
     d = content
     if d[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG: missing SOI marker")
@@ -2053,7 +2049,10 @@ def avi_frame_payloads(content: bytes) -> tuple[float, list[bytes]]:
             f"biCompression {compression!r}; H.264/VP9/... need the av-gated path)"
         )
     if not state["payloads"]:
-        raise ValueError("AVI: no video frame chunks ('00dc'/'00db') in movi")
+        vs = state["vid_stream"]
+        raise ValueError(
+            f"AVI: no video frame chunks ('{vs:02d}dc'/'{vs:02d}db') in movi"
+        )
     return state.get("fps", 0.0), state["payloads"]
 
 

@@ -33,19 +33,25 @@ Crash discipline (the append_to_near_dup_index standard — a retried or
 crashed append must converge to the rebuild, never serve torn state):
 
 1. Appends first stage every rewritten cluster bucket to
-   ``clusters/.stage_<b>`` (full writes, no live data touched).
-2. Then a ``MANIFEST`` file listing the pending bucket swaps is
-   created — the atomic commit point.
-3. Then each bucket is swapped (old dir aside, stage dir in, old dir
-   removed) and the MANIFEST deleted.
-4. ONLY THEN are the new records appended to ``base/``.
+   ``clusters/.stage_<b>`` AND the fresh base rows to
+   ``.base_append_stage`` (full writes, no live data touched).
+2. Then a ``MANIFEST`` file listing the pending bucket swaps (and the
+   base-append flag) is created — the atomic commit point for BOTH
+   legs.
+3. Then roll-forward swaps each bucket (old dir aside, stage dir in,
+   old dir removed), moves the staged base part-files into ``base/``,
+   and deletes the MANIFEST.
 
 Every entry point (serve/append/ensure) first ROLLS FORWARD a leftover
-MANIFEST, so a crash after step 2 completes on the next touch; a crash
-before step 2 leaves junk stage dirs and an untouched store. Because
-``base/`` gains the new rows LAST, a crashed append's retry re-detects
-them as fresh and recomputes the same bucket contents from the (fully
-swapped, hence consistent) cluster map — deterministic, idempotent.
+MANIFEST, so a crash after step 2 completes BOTH legs on the next
+touch — the cluster map and ``base/`` commit together, so no crash
+point lets a serve observe clusters referencing ids ``base/`` doesn't
+have (round-10 review fix; the earlier layout appended base/ after the
+swaps, leaving a window where golden_name silently mis-resolved). A
+crash before step 2 leaves junk stage dirs and an untouched store, and
+the retry recomputes from the consistent pre-append state. After the
+commit, a retry's id anti-join sees the (rolled-forward) base rows and
+is a no-op — deterministic, idempotent either way.
 Serialize appends with each other and with serves, the same
 single-writer discipline as the staging MERGE and the ANN radii.
 

@@ -89,6 +89,17 @@ class StagingStore:
     def overwrite(self, df: DataFrame, table: str) -> int:
         part = self._with_partition(df)
         if part is not None:
+            if df.isEmpty():
+                # a partitionBy write of zero rows leaves a table dir
+                # with _SUCCESS but NO parquet files — the immediate
+                # _count and every later read/merge fails with
+                # UNABLE_TO_INFER_SCHEMA, wedging the table (round-10
+                # review finding, same class as the SCD2/ER stores).
+                # Truncate semantics without the wedge: remove the
+                # table; exists()=False is the staging "empty" signal,
+                # and the next non-empty load creates it cleanly.
+                shutil.rmtree(self.path(table), ignore_errors=True)
+                return 0
             part.write.mode("overwrite").partitionBy(PARTITION_COL).parquet(self.path(table))
         else:
             df.write.mode("overwrite").parquet(self.path(table))

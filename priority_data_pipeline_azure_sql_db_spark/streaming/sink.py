@@ -47,6 +47,8 @@ def stream_merge_into_staging(
     spark = stream.sparkSession
 
     def upsert(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return  # no-op batch — same guard as the other three sinks
         # dropDuplicates within the batch: a micro-batch may carry the
         # same PK twice (source replays, late files); MERGE semantics
         # need one row per key per batch. Deterministic survivor: max

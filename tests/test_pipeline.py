@@ -602,3 +602,83 @@ def test_refresh_cdc_audit_counts_and_fail_soft(spark, sf_dir, tmp_path, monkeyp
     assert res2.error is None
     assert res2.cdc_error and "audit exploded" in res2.cdc_error
     assert res2.tables["stg_orders"] > 0
+
+
+def test_staging_empty_overwrite_no_wedge(spark, tmp_path):
+    """Round-10 review fix: a zero-row audit-stamped overwrite must not
+    create a partitioned table dir with no parquet files (which wedges
+    every later read/merge with UNABLE_TO_INFER_SCHEMA). Empty
+    truncate-reload leaves NO table; the next non-empty load creates it
+    cleanly — including via the streaming MERGE sink."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from priority_data_pipeline_azure_sql_db_spark.pipeline import StagingStore
+
+    store = StagingStore(str(tmp_path / "staging"))
+    schema = "id bigint, v string, extractiontimestamputc timestamp"
+
+    def mk(rows):
+        return spark.createDataFrame(
+            [(i, v, "2026-01-01 00:00:00") for i, v in rows],
+            "id bigint, v string, extractiontimestamputc string",
+        ).withColumn(
+            "extractiontimestamputc",
+            F.col("extractiontimestamputc").cast("timestamp"),
+        )
+
+    empty = mk([]).limit(0)
+    assert store.overwrite(empty, "t") == 0
+    assert not store.exists("t"), "empty partitioned write must leave no dir"
+
+    # the next real load creates the table cleanly
+    assert store.merge(spark, mk([(1, "a"), (2, "b")]), "t", ["id"]) == 2
+    assert store.read(spark, "t").count() == 2
+
+    # truncate-to-empty on an EXISTING table removes it instead of
+    # wedging it; a later load recreates
+    assert store.overwrite(empty, "t") == 0
+    assert not store.exists("t")
+    assert store.merge(spark, mk([(3, "c")]), "t", ["id"]) == 1
+    assert {r.id for r in store.read(spark, "t").collect()} == {3}
+
+
+def test_streaming_merge_skips_empty_batches(spark, tmp_path):
+    """The staging MERGE sink skips empty micro-batches — an empty
+    FIRST batch previously wedged the table via the zero-row
+    partitioned overwrite (round-10 review fix)."""
+    from pyspark.sql import functions as F
+
+    from priority_data_pipeline_azure_sql_db_spark.pipeline import StagingStore
+    from priority_data_pipeline_azure_sql_db_spark.streaming.sink import (
+        stream_merge_into_staging,
+    )
+
+    schema = "id bigint, v string, extractiontimestamputc timestamp"
+    src = str(tmp_path / "src")
+    empty = spark.createDataFrame([], schema)
+    empty.coalesce(1).write.mode("overwrite").parquet(src)
+
+    store = StagingStore(str(tmp_path / "staging"))
+    q = stream_merge_into_staging(
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1)
+        .parquet(src),
+        store, "t", ["id"], checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    assert q.awaitTermination(300)
+    assert not store.exists("t"), "empty first batch must not create the table"
+
+    rows = spark.createDataFrame(
+        [(1, "a", "2026-01-01 00:00:00")],
+        "id bigint, v string, extractiontimestamputc string",
+    ).withColumn("extractiontimestamputc",
+                 F.col("extractiontimestamputc").cast("timestamp"))
+    rows.coalesce(1).write.mode("append").parquet(src)
+    q2 = stream_merge_into_staging(
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1)
+        .parquet(src),
+        store, "t", ["id"], checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    assert q2.awaitTermination(300)
+    assert store.read(spark, "t").count() == 1
