@@ -24,6 +24,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from .store_io import write_partitioned
 from .similarity import (
     _as_double,
     _assign_cells,
@@ -68,9 +69,8 @@ def build_ivf_index(
         .select(id_col, "vec", l2_norm(F.col("vec"), dim).alias("norm")),
         cents, id_col, "vec", 1, dim,
     )
-    assigned.write.mode("overwrite").partitionBy("cell").parquet(
-        os.path.join(path, CELLS_DIR)
-    )
+    write_partitioned(assigned, os.path.join(path, CELLS_DIR), ["cell"],
+                      what="IVF cells")
 
 
 def append_to_ivf_index(
@@ -112,9 +112,8 @@ def append_to_ivf_index(
         ).select(id_col, "vec", l2_norm(F.col("vec"), dim).alias("norm")),
         cents, id_col, "vec", 1, dim,
     )
-    assigned.write.mode("append").partitionBy("cell").parquet(
-        os.path.join(path, CELLS_DIR)
-    )
+    write_partitioned(assigned, os.path.join(path, CELLS_DIR), ["cell"],
+                      mode="append", what="IVF cells append")
 
 
 def build_near_dup_index(
@@ -155,9 +154,8 @@ def build_near_dup_index(
         .coalesce(1).cache()
     cents.write.mode("overwrite").parquet(os.path.join(path, CENTROIDS_DIR))
     assigned = normalize_and_assign(corpus, cents, id_col, vec_col, dim)
-    assigned.write.mode("overwrite").partitionBy("cell").parquet(
-        os.path.join(path, ASSIGN_DIR)
-    )
+    write_partitioned(assigned, os.path.join(path, ASSIGN_DIR), ["cell"],
+                      what="near-dup assignment")
     # radii computed from the just-written assignment, not the in-flight
     # one, so the stored radii provably describe the stored cells
     stored = corpus.sparkSession.read.parquet(os.path.join(path, ASSIGN_DIR))
@@ -228,9 +226,8 @@ def append_to_near_dup_index(
         rows = merged.collect()
         spark.createDataFrame(rows, merged.schema).coalesce(1) \
             .write.mode("overwrite").parquet(os.path.join(path, RADII_DIR))
-        fresh.write.mode("append").partitionBy("cell").parquet(
-            os.path.join(path, ASSIGN_DIR)
-        )
+        write_partitioned(fresh, os.path.join(path, ASSIGN_DIR), ["cell"],
+                          mode="append", what="near-dup append")
     finally:
         fresh.unpersist()
 

@@ -2019,7 +2019,8 @@ def _avi_walk(d: bytes, pos: int, end: int, state: dict, depth: int) -> None:
 def avi_frame_payloads(content: bytes) -> tuple[float, list[bytes]]:
     """Parse a RIFF-AVI container WITHOUT decoding pixels: returns
     (fps, per-frame encoded payload bytes) for the first video stream,
-    in stream order. The container walk is total over malformed input
+    in stream order, including frames in OpenDML 'AVIX' continuation
+    segments. The container walk is total over malformed input
     (ValueError — truncated chunks, lying sizes, missing stream/movi)
     and raises NotImplementedError at the honest codec boundary: a
     video stream whose strh handler / strf biCompression is not
@@ -2036,9 +2037,31 @@ def avi_frame_payloads(content: bytes) -> tuple[float, list[bytes]]:
             f"AVI: truncated (RIFF declares {riff_size} payload bytes, "
             f"{len(d) - 8} available)"
         )
-    end = 8 + riff_size  # trailing bytes past the RIFF payload are legal
     state: dict = {"payloads": [], "n_streams": 0}
-    _avi_walk(d, 12, end, state, 0)
+    _avi_walk(d, 12, 8 + riff_size, state, 0)
+    # OpenDML files (>~1 GiB muxers like ffmpeg) continue past the
+    # first RIFF in 'RIFF <sz> AVIX' extension segments holding further
+    # movi lists — stopping at the first RIFF would demux to a silently
+    # shorter video (round-10 review finding), so walk every
+    # continuation; non-RIFF trailing bytes past the last segment stay
+    # legal as before
+    pos = 8 + riff_size + (riff_size & 1)
+    while pos < len(d) and d[pos:pos + 4] == AVI_MAGIC:
+        if len(d) - pos < 12:
+            raise ValueError("AVI: truncated RIFF continuation header")
+        (ext_size,) = struct.unpack_from("<I", d, pos + 4)
+        form = d[pos + 8:pos + 12]
+        if form != b"AVIX":
+            raise NotImplementedError(
+                f"AVI: unsupported RIFF continuation form {form!r}"
+            )
+        if len(d) < pos + 8 + ext_size:
+            raise ValueError(
+                f"AVI: truncated AVIX segment (declares {ext_size} "
+                f"payload bytes, {len(d) - pos - 8} available)"
+            )
+        _avi_walk(d, pos + 12, pos + 8 + ext_size, state, 0)
+        pos += 8 + ext_size + (ext_size & 1)
     if "handler" not in state:
         raise ValueError("AVI: no video stream header (strh 'vids')")
     handler = state["handler"]

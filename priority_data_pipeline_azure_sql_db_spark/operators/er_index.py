@@ -75,6 +75,8 @@ import shutil
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from .store_io import write_partitioned
+
 BASE_DIR = "base"
 CLUSTERS_DIR = "clusters"
 META_FILE = "META.json"
@@ -171,6 +173,10 @@ def build_er_index(
     ``META`` first, ``clusters`` LAST — its ``_SUCCESS`` is the gate,
     so a crash mid-build rebuilds instead of serving half a map."""
     cols = [id_col, key_col, *block_cols]
+    # one row per id even if the input carries replays (the streaming
+    # sink's FIRST batch can): duplicate ids in base/ would make every
+    # golden join on the id fan out (round-10 review finding)
+    base = base.select(*cols).dropDuplicates([id_col])
     if base.isEmpty():
         # fail loud: a zero-record build would write a cluster map whose
         # hive-partitioned dir has _SUCCESS but NO parquet files — the
@@ -178,7 +184,7 @@ def build_er_index(
         # UNABLE_TO_INFER_SCHEMA (round-10 review finding). Callers with
         # possibly-empty input (the streaming sink) skip instead.
         raise ValueError("ER index build needs at least one record")
-    (base.select(*cols).repartition(*[F.col(c) for c in block_cols])
+    (base.repartition(*[F.col(c) for c in block_cols])
         .write.mode("overwrite").parquet(os.path.join(path, BASE_DIR)))
     os.makedirs(path, exist_ok=True)
     with open(os.path.join(path, META_FILE), "w") as fh:
@@ -188,9 +194,10 @@ def build_er_index(
             "n_buckets": n_buckets,
         }, fh)
     cmap = _cluster_map(base, id_col, key_col, block_cols, max_edit)
-    (cmap.withColumn("_cb", _bucket_col("node", n_buckets))
-        .write.partitionBy("_cb").mode("overwrite")
-        .parquet(os.path.join(path, CLUSTERS_DIR)))
+    write_partitioned(
+        cmap.withColumn("_cb", _bucket_col("node", n_buckets)),
+        os.path.join(path, CLUSTERS_DIR), ["_cb"], what="ER cluster map",
+    )
 
 
 def ensure_er_index(base: DataFrame, path: str, **kwargs) -> str:
@@ -289,8 +296,9 @@ def append_to_er_index(
     MERGES (a new record bridging two standing clusters collapses them
     to one label, exactly as the batch pass would conclude).
 
-    1. drop ids already in ``base/`` (idempotent retry — the only
-       index-sized read, one column);
+    1. one row per id: dedupe ids WITHIN the batch (source replays),
+       then drop ids already in ``base/`` (idempotent retry — the
+       only index-sized read, one column);
     2. edge set: delta×base matches within blocks + delta×delta pairs
        (new records can also duplicate each other);
     3. bounded relabel: connected components over ONLY the touched
@@ -321,6 +329,11 @@ def append_to_er_index(
     existing = base.select(F.col(id_col))
     fresh = (
         new_records.select(id_col, key_col, *block_cols)
+        # intra-batch dedup: the anti-join only screens against the
+        # STANDING base — a batch replaying the same id twice would
+        # append duplicate base rows and fan out every later golden
+        # join on that id (round-10 review finding)
+        .dropDuplicates([id_col])
         .join(existing, id_col, "left_anti")
         .cache()
     )
@@ -391,7 +404,7 @@ def append_to_er_index(
         for b in touched_b:
             shutil.rmtree(os.path.join(cl_root, f".stage_{b}"),
                           ignore_errors=True)
-        staged.write.partitionBy("_cb").mode("overwrite").parquet(stage_root)
+        write_partitioned(staged, stage_root, ["_cb"], what="ER stage")
         for b in touched_b:
             src = os.path.join(stage_root, f"_cb={b}")
             if not os.path.isdir(src):

@@ -217,10 +217,17 @@ def resize_images(
         from . import codecs
 
         def resize_one(blob: bytes) -> tuple[bytes, str]:
-            try:
-                kind, decoded = decode_media("image", blob)
-            except (ValueError, NotImplementedError):
+            # magic-byte gate BEFORE decoding: a WAV (or unknown) blob
+            # can never resize, so paying its full sample decode just
+            # to fall through to the stub wastes the per-blob hot path
+            # (round-10 review finding)
+            if codecs.sniff(blob) not in ("bmp", "png", "jpeg", "avi"):
                 kind = None
+            else:
+                try:
+                    kind, decoded = decode_media("image", blob)
+                except (ValueError, NotImplementedError):
+                    kind = None
             if kind in ("bmp", "png", "jpeg"):
                 return (
                     codecs.encode_png(

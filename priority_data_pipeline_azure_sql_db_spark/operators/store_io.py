@@ -1,0 +1,76 @@
+"""Guarded hive-partitioned writes for store artifacts.
+
+Why this exists (round-10 review): writing ZERO rows through
+``partitionBy(...)`` produces a directory holding ``_SUCCESS`` but no
+parquet data files — every later read of it fails with
+UNABLE_TO_INFER_SCHEMA, wedging the store behind its own
+completed-build marker. Six store paths (ER index, IVF / near-dup ANN
+indexes, the SCD2 log fold, streaming ER, staging overwrite) each grew
+a bespoke guard for this; routing every partitioned store write
+through :func:`write_partitioned` fixes the CLASS once, so the next
+partitioned write added to the codebase can't silently re-introduce
+the wedge.
+
+Division of labor: the empty POLICY stays at the call site — a
+one-shot index build fails loud before writing anything, a streaming
+fold skips the batch, the staging truncate removes the table — because
+those gates must fire BEFORE the write destroys or commits state. This
+helper is the backstop underneath them: it detects a write that landed
+zero data files WITHOUT an extra Spark job (an O(partitions) local
+directory walk, vs ``isEmpty()``'s extra action per write — the wrong
+cost on the append/fold hot paths) and removes the unreadable
+directory instead of leaving the wedge, then raises or skips per
+``on_empty``.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+from pyspark.sql import DataFrame
+
+
+def _has_data_files(path: str) -> bool:
+    """True iff any parquet data file exists under ``path`` (hidden /
+    marker entries like ``_SUCCESS`` and ``.crc`` don't count)."""
+    for root, dirs, files in os.walk(path):
+        dirs[:] = [d for d in dirs if not d.startswith((".", "_"))
+                   or d.count("=")]  # descend into hive key=value dirs
+        for f in files:
+            if not f.startswith((".", "_")):
+                return True
+    return False
+
+
+def write_partitioned(
+    df: DataFrame,
+    path: str,
+    partition_cols: list[str],
+    mode: str = "overwrite",
+    on_empty: str = "raise",
+    what: str = "store artifact",
+) -> bool:
+    """Write ``df`` partitioned by ``partition_cols``; guarantee the
+    result directory is never the unreadable zero-data-file wedge.
+
+    Returns True if data files exist under ``path`` after the write
+    (for ``mode="append"``, pre-existing files count — appending an
+    empty delta to a populated store is a legal no-op). On a write
+    that leaves NO data files: the directory is removed, then
+    ``on_empty="raise"`` raises ValueError (builds whose caller
+    already gates emptiness use this as an invariant backstop) while
+    ``on_empty="skip"`` returns False.
+    """
+    df.write.partitionBy(*partition_cols).mode(mode).parquet(path)
+    if _has_data_files(path):
+        return True
+    shutil.rmtree(path, ignore_errors=True)
+    if on_empty == "raise":
+        raise ValueError(
+            f"{what}: partitioned write to {path} landed zero rows — "
+            "an empty partitionBy dir is unreadable "
+            "(UNABLE_TO_INFER_SCHEMA); removed it instead of wedging "
+            "the store"
+        )
+    return False

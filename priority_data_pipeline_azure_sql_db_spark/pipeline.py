@@ -34,6 +34,7 @@ from pyspark.sql import functions as F
 
 from .catalog import primary_key
 from .config import EntityConfig, ExtractionConfig
+from .operators.store_io import write_partitioned
 from .operators.flatten import flatten_expand
 from .operators.merge import merge_upsert
 from .operators.normalize import add_audit_columns, align_schemas, lowercase_columns
@@ -100,7 +101,8 @@ class StagingStore:
                 # and the next non-empty load creates it cleanly.
                 shutil.rmtree(self.path(table), ignore_errors=True)
                 return 0
-            part.write.mode("overwrite").partitionBy(PARTITION_COL).parquet(self.path(table))
+            write_partitioned(part, self.path(table), [PARTITION_COL],
+                              what=f"staging table {table}")
         else:
             df.write.mode("overwrite").parquet(self.path(table))
         return self._count(df.sparkSession, table)

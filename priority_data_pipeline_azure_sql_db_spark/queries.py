@@ -8069,7 +8069,13 @@ def er_first_token_pairs(spark, sf_dir):
     """
     SELECT doc_id,
            CAST(length(text) AS DOUBLE) AS score,
-           CAST(ROW_NUMBER() OVER (ORDER BY length(text), doc_id)
+           -- NULLS FIRST pins DuckDB (asc defaults nulls-LAST) to
+           -- Spark's asc-nulls-first, which governs the shard range
+           -- partitioner AND the within-shard sort — a single NULL
+           -- text would otherwise shift every global_pos (round-10
+           -- review finding)
+           CAST(ROW_NUMBER() OVER (ORDER BY length(text) NULLS FIRST,
+                                   doc_id)
                 AS BIGINT) AS global_pos
     FROM documents
     """,

@@ -25,6 +25,8 @@ import os
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..operators.store_io import write_partitioned
+
 MANIFEST_NAME = "_manifest.jsonl"
 
 
@@ -134,7 +136,7 @@ def write_ordered_shards(
     ranged = df.repartitionByRange(n_shards, *[F.col(c) for c in order_cols]) \
         .sortWithinPartitions(*order_cols) \
         .withColumn("shard", F.spark_partition_id())
-    ranged.write.mode("overwrite").partitionBy("shard").parquet(out_dir)
+    write_partitioned(ranged, out_dir, ["shard"], what="ordered shards")
     spark = df.sparkSession
     lead = order_cols[0]
     stats = (

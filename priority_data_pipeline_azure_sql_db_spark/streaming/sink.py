@@ -25,6 +25,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 
+from ..operators.store_io import write_partitioned
 from ..pipeline import StagingStore
 
 
@@ -265,8 +266,8 @@ def fold_scd2_batch(
     kb = F.pmod(
         F.xxhash64(*[F.col(c) for c in pk]), F.lit(n_log_buckets)
     ).cast("int")
-    (delta_log.withColumn("_kb", kb)
-        .write.partitionBy("_kb").mode("overwrite").parquet(log_dir))
+    write_partitioned(delta_log.withColumn("_kb", kb), log_dir, ["_kb"],
+                      what="SCD2 log slice")
     # re-read the just-written slice: the fold below must see exactly
     # the persisted bytes (and decouples from the streaming source df)
     slice_df = spark.read.parquet(log_dir)
@@ -275,6 +276,21 @@ def fold_scd2_batch(
     delta = slice_df.drop("_kb")
     cid, cdir, slices = _scd2_log_state(log_root)
     floor = cid if cid is not None else -1
+    # GC below the floor: a crash between a compaction's rename and its
+    # source deletes leaves the superseded slices and the previous
+    # compact_ dir orphaned. _scd2_log_state never READS them (the max
+    # compact id is the floor), but without this sweep every such crash
+    # permanently leaks a full copy of the log and bloats each fold's
+    # listdir (round-10 review finding). Single-writer (foreachBatch is
+    # serial), so anything below the floor — and any .tmp leftover from
+    # a crashed compaction — is dead by construction.
+    for b in [b for b in slices if b <= floor]:
+        shutil.rmtree(slices.pop(b), ignore_errors=True)
+    for d in os.listdir(log_root):
+        if d.endswith(".tmp") or (
+            d.startswith("compact_") and d != f"compact_{cid}"
+        ):
+            shutil.rmtree(os.path.join(log_root, d), ignore_errors=True)
     prior_roots = ([cdir] if cdir is not None else []) + [
         p for b, p in sorted(slices.items()) if floor < b < batch_id
     ]
@@ -314,7 +330,8 @@ def fold_scd2_batch(
         merged_log = reduce(lambda a, b: a.unionByName(b), parts)
         tmp_dir = os.path.join(log_root, f".compact_{batch_id}.tmp")
         shutil.rmtree(tmp_dir, ignore_errors=True)
-        merged_log.write.partitionBy("_kb").mode("overwrite").parquet(tmp_dir)
+        write_partitioned(merged_log, tmp_dir, ["_kb"],
+                          what="SCD2 log compaction")
         os.rename(tmp_dir, os.path.join(log_root, f"compact_{batch_id}"))
         for _, p in live:
             shutil.rmtree(p, ignore_errors=True)

@@ -1792,3 +1792,54 @@ def test_codec_avi_audio_first_stream():
     assert all(
         np.array_equal(a, C.decode_jpeg(p)) for a, p in zip(decoded, payloads)
     )
+
+
+def test_codec_avi_opendml_avix_continuation():
+    """OpenDML AVIs (>~1 GiB muxers: ffmpeg et al.) continue past the
+    first RIFF in 'RIFF <sz> AVIX' extension segments holding further
+    movi lists. Round-10 review fix: the demux walks EVERY continuation
+    (stopping at the first RIFF silently truncated the video), raises
+    NotImplementedError on an unknown continuation form instead of
+    silently dropping it, detects a truncated AVIX segment, and still
+    tolerates non-RIFF trailing junk."""
+    import struct as st
+
+    import numpy as np
+    import pytest
+
+    from priority_data_pipeline_azure_sql_db_spark.operators import codecs as C
+
+    frames = [np.full((8, 8, 3), 30 * i + 15, dtype=np.uint8) for i in range(5)]
+    base = C.encode_avi_mjpeg(frames[:3], fps=10.0, quality=85)
+    jpg = lambda f: C.encode_jpeg(f, quality=85, subsample="4:4:4")  # noqa: E731
+    extra = [jpg(f) for f in frames[3:]]
+    movi = b"".join(C._riff_chunk(b"00dc", p) for p in extra)
+    ext_body = b"AVIX" + C._riff_list(b"movi", movi)
+    avix = b"RIFF" + st.pack("<I", len(ext_body)) + ext_body
+
+    fps, got = C.avi_frame_payloads(base + avix)
+    assert fps == 10.0
+    assert got == [jpg(f) for f in frames], \
+        "AVIX frames must append after the first segment's, in order"
+    _, decoded = C.decode_avi_frames(base + avix)
+    assert len(decoded) == 5
+
+    # two continuations chain
+    fps, got2 = C.avi_frame_payloads(base + avix + avix)
+    assert len(got2) == 3 + 2 + 2
+
+    # unknown RIFF continuation form: fail loud, not silently shorter
+    alien = b"RIFF" + st.pack("<I", 4) + b"WAVE"
+    with pytest.raises(NotImplementedError, match="continuation form"):
+        C.avi_frame_payloads(base + alien)
+
+    # truncated AVIX segment is detected, like first-RIFF truncation
+    # (a remnant shorter than the 4-byte 'RIFF' prefix is
+    # indistinguishable from legal trailing junk, so stop above it)
+    for cut in range(1, len(avix) - 4, 5):
+        with pytest.raises(ValueError):
+            C.avi_frame_payloads(base + avix[:-cut])
+
+    # non-RIFF trailing junk after the last segment stays legal
+    assert len(C.avi_frame_payloads(base + b"JUNKJUNKJUNK")[1]) == 3
+    assert len(C.avi_frame_payloads(base + avix + b"\x00\x01")[1]) == 5

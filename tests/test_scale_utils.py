@@ -1205,6 +1205,12 @@ def test_scd2_log_pruning_and_compaction(spark, tmp_path):
     # ...but the fold's floor excluded it: history still exact
     expect2 = canon(scd2_history(mk(all_rows), ["user_id"], ["state"], "ts", ["seq"]))
     assert canon(read_scd2_store(spark, store)) == expect2
+    # (e) round-10 review fix: the fold GC'd the crash leftovers below
+    # the floor (stale slice + .tmp junk) instead of leaking a full
+    # log copy per crash forever
+    left = os.listdir(log_root)
+    assert ".compact_999.tmp" not in left, left
+    assert f"batch_{cid}" not in left, left
 
 
 def test_er_index_store_rebuild_equality(spark, tmp_path):
@@ -1604,3 +1610,86 @@ def test_ann_index_empty_build_fails_loud(spark, tmp_path):
         build_ivf_index(empty, str(tmp_path / "ivf"))
     with pytest.raises(ValueError, match="at least one vector"):
         build_near_dup_index(empty, str(tmp_path / "nd"))
+
+
+def test_er_store_intra_batch_duplicate_ids(spark, tmp_path):
+    """Round-10 review fix: the append anti-join only screens against
+    the STANDING base, so a micro-batch replaying the same record id
+    twice would land duplicate base rows — and duplicate golden rows
+    for every later serve of that cluster. Both the build and the
+    append dedupe ids WITHIN their input; the grown store must equal a
+    rebuild on the deduped corpus, and serves must stay one-row-per-
+    delta-record."""
+    from priority_data_pipeline_azure_sql_db_spark.operators import er_index as EI
+
+    def mk(rows):
+        return spark.createDataFrame(rows, "id bigint, name string, grp int")
+
+    kw = dict(key_col="name", id_col="id", block_cols=["grp"],
+              max_edit=2, n_buckets=4)
+    # build input replays id 1
+    base = mk([(1, "aaaa0001", 1), (1, "aaaa0001", 1), (2, "aaaa0002", 1)])
+    p = str(tmp_path / "store")
+    EI.build_er_index(base, p, **kw)
+    base_rows = spark.read.parquet(f"{p}/{EI.BASE_DIR}").collect()
+    assert sorted(r.id for r in base_rows) == [1, 2]
+
+    # append batch replays new id 20 AND standing id 1
+    appended = EI.append_to_er_index(
+        spark, p, mk([(20, "aaaa0003", 1), (20, "aaaa0003", 1),
+                      (1, "aaaa0001", 1)])
+    )
+    assert appended == 1
+    base_rows = spark.read.parquet(f"{p}/{EI.BASE_DIR}").collect()
+    assert sorted(r.id for r in base_rows) == [1, 2, 20]
+
+    # store == rebuild on the deduped corpus
+    p2 = str(tmp_path / "rebuilt")
+    EI.build_er_index(
+        mk([(1, "aaaa0001", 1), (2, "aaaa0002", 1), (20, "aaaa0003", 1)]),
+        p2, **kw,
+    )
+    cmap = lambda q: sorted(  # noqa: E731
+        (r.node, r.cluster_id)
+        for r in EI.read_er_clusters(spark, q).collect()
+    )
+    assert cmap(p) == cmap(p2)
+
+    # the serve that duplicate base rows would have fanned out
+    out = EI.assign_from_index(spark, p, mk([(100, "aaaa0004", 1)])).collect()
+    assert len(out) == 1 and out[0].cluster_id == 1
+
+
+def test_write_partitioned_guard(spark, tmp_path):
+    """store_io.write_partitioned (round-10 review consolidation): the
+    shared backstop under every hive-partitioned store write. A write
+    landing zero data files is removed — never left as the unreadable
+    _SUCCESS-only wedge — then raises or skips per policy; appending an
+    empty delta to a populated store is a legal no-op; non-empty writes
+    report True and read back."""
+    import os
+
+    import pytest
+
+    from priority_data_pipeline_azure_sql_db_spark.operators.store_io import (
+        write_partitioned,
+    )
+
+    empty = spark.createDataFrame([], "k int, v string")
+    full = spark.createDataFrame([(1, "a"), (2, "b")], "k int, v string")
+
+    tgt = str(tmp_path / "skip")
+    assert write_partitioned(empty, tgt, ["k"], on_empty="skip") is False
+    assert not os.path.exists(tgt), "the wedge dir must be removed"
+
+    tgt = str(tmp_path / "raise")
+    with pytest.raises(ValueError, match="zero rows"):
+        write_partitioned(empty, tgt, ["k"], what="unit store")
+    assert not os.path.exists(tgt)
+
+    tgt = str(tmp_path / "store")
+    assert write_partitioned(full, tgt, ["k"]) is True
+    assert spark.read.parquet(tgt).count() == 2
+    # empty append to a populated store: no-op, data intact
+    assert write_partitioned(empty, tgt, ["k"], mode="append") is True
+    assert spark.read.parquet(tgt).count() == 2
