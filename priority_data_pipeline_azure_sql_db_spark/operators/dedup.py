@@ -263,10 +263,45 @@ def minhash_signature(df: DataFrame, text_col: str, id_col: str,
     return sig.select("doc", F.array(*[f"h{s}" for s in range(num_hashes)]).alias("signature"))
 
 
+def _check_banding(num_hashes: int, bands: int) -> int:
+    """Validate the LSH banding shape, returning rows-per-band. Fail loud
+    instead of degenerating: ``bands > num_hashes`` would slice ZERO rows
+    per band, so every doc's band bucket hashes the empty string and the
+    band equi-join silently becomes an all-pairs cross join (the exact
+    failure simhash_pairs already guards); a non-divisible split would
+    silently ignore the trailing ``num_hashes % bands`` signature rows."""
+    if bands <= 0 or num_hashes % bands != 0:
+        raise ValueError(
+            f"bands must divide num_hashes: got num_hashes={num_hashes}, "
+            f"bands={bands} (rows_per_band = 0 collapses every band bucket "
+            "to the same value, degenerating the equi-join into a cross "
+            "join; a remainder would silently drop trailing hash rows)"
+        )
+    return num_hashes // bands
+
+
+def _band_pairs(banded: DataFrame) -> DataFrame:
+    """Shared banded→candidate-pair join: docs sharing any (band, bucket)
+    become one distinct (id_a, id_b) pair with id_a < id_b. Used by BOTH
+    the production xxhash64 path and its md5 oracle twin so the join can
+    never drift between them."""
+    l, r = banded.alias("l"), banded.alias("r")
+    return (
+        l.join(
+            r,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.bucket") == F.col("r.bucket"))
+            & (F.col("l.doc") < F.col("r.doc")),
+        )
+        .select(F.col("l.doc").alias("id_a"), F.col("r.doc").alias("id_b"))
+        .distinct()
+    )
+
+
 def lsh_candidates(signatures: DataFrame, num_hashes: int = 32, bands: int = 8) -> DataFrame:
     """Band the signature; docs sharing any (band, band-hash) bucket are
     candidate near-dups. Returns distinct (id_a, id_b) with id_a < id_b."""
-    rows_per_band = num_hashes // bands
+    rows_per_band = _check_banding(num_hashes, bands)
     band_hash = [
         F.xxhash64(
             F.concat_ws(
@@ -282,17 +317,7 @@ def lsh_candidates(signatures: DataFrame, num_hashes: int = 32, bands: int = 8) 
     banded = signatures.select(
         "doc", F.posexplode(F.array(*band_hash)).alias("band", "bucket")
     )
-    l, r = banded.alias("l"), banded.alias("r")
-    return (
-        l.join(
-            r,
-            (F.col("l.band") == F.col("r.band"))
-            & (F.col("l.bucket") == F.col("r.bucket"))
-            & (F.col("l.doc") < F.col("r.doc")),
-        )
-        .select(F.col("l.doc").alias("id_a"), F.col("r.doc").alias("id_b"))
-        .distinct()
-    )
+    return _band_pairs(banded)
 
 
 def minhash_dedup_candidates(df: DataFrame, text_col: str, id_col: str,
@@ -320,13 +345,13 @@ def minhash_dedup_candidates_md5(
     with this twin pinning the shared construction. Same banding
     guarantee: P[candidate] = 1 - (1 - j^r)^b for Jaccard j.
     """
+    r = _check_banding(num_hashes, bands)
     sh = _shingle_rows(df, text_col, id_col, k)
     mins = [
         F.min(F.md5(F.concat(F.lit(f"{s}:"), F.col("shingle")))).alias(f"h{s}")
         for s in range(num_hashes)
     ]
     sig = sh.groupBy("doc").agg(*mins)
-    r = num_hashes // bands
     buckets = [
         F.concat_ws("|", *[F.col(f"h{b * r + j}") for j in range(r)])
         for b in range(bands)
@@ -334,17 +359,7 @@ def minhash_dedup_candidates_md5(
     banded = sig.select(
         "doc", F.posexplode(F.array(*buckets)).alias("band", "bucket")
     )
-    lft, rgt = banded.alias("l"), banded.alias("r")
-    return (
-        lft.join(
-            rgt,
-            (F.col("l.band") == F.col("r.band"))
-            & (F.col("l.bucket") == F.col("r.bucket"))
-            & (F.col("l.doc") < F.col("r.doc")),
-        )
-        .select(F.col("l.doc").alias("id_a"), F.col("r.doc").alias("id_b"))
-        .distinct()
-    )
+    return _band_pairs(banded)
 
 
 # ---------------------------------------------------------------------------
@@ -532,11 +547,20 @@ def ngram_contamination(
     text_col: str = "text",
     id_col: str = "doc_id",
     k: int = 8,
+    exclude_same_id: bool = False,
 ) -> DataFrame:
     """Benchmark decontamination: training documents sharing any word
     k-gram with an evaluation document (the GPT-3/PaLM-style n-gram
     overlap check). Returns (train_id, eval_id, n_shared) pairs — the
     caller drops or flags the train side.
+
+    ``exclude_same_id`` drops pairs whose two ids are equal — ONLY for
+    the self-check case where train and eval are slices of ONE id space
+    and the same physical document appears on both sides. It defaults
+    OFF because train and eval are normally independent corpora with
+    independent id spaces: there a coincidental id collision (both sides
+    numbering from 0 — the common case) is a REAL contamination pair,
+    and filtering it would silently leak the eval doc into training.
 
     Shape: both corpora shingle (distinct per doc), then ONE equi-join on
     the shingle — the inverted-index form again, so cost follows true
@@ -546,11 +570,13 @@ def ngram_contamination(
     """
     tr = word_shingles(train, text_col, id_col, k)
     ev = word_shingles(evalset, text_col, id_col, k)
+    joined = tr.join(
+        F.broadcast(ev.withColumnRenamed("doc", "eval_id")), "shingle"
+    )
+    if exclude_same_id:
+        joined = joined.filter(F.col("doc") != F.col("eval_id"))
     return (
-        tr.join(
-            F.broadcast(ev.withColumnRenamed("doc", "eval_id")), "shingle"
-        )
-        .filter(F.col("doc") != F.col("eval_id"))
+        joined
         .groupBy(F.col("doc").alias("train_id"), "eval_id")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_shared"))
     )
@@ -603,8 +629,13 @@ def remove_boilerplate_lines(
     t = spread(
         df.select(F.col(id_col).alias("doc"), F.col(text_col).alias("_txt")), "doc"
     )
+    # F.split takes a Java REGEX but concat_ws reassembles with the
+    # LITERAL sep — quote it (\Q..\E, Pattern.quote's own scheme) so a
+    # metacharacter separator like "|" doesn't split between every
+    # character and reassemble garbage.
+    sep_re = "\\Q" + sep.replace("\\E", "\\E\\\\E\\Q") + "\\E"
     lines = t.select(
-        "doc", F.posexplode(F.split(F.col("_txt"), sep)).alias("pos", "line")
+        "doc", F.posexplode(F.split(F.col("_txt"), sep_re)).alias("pos", "line")
     ).withColumn("nline", F.trim(F.col("line")))
     boiler = (
         lines.filter(F.col("nline") != "")

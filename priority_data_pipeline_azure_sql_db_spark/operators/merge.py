@@ -27,10 +27,23 @@ from pyspark.sql import functions as F
 def dedup_within(df: DataFrame, pk: list[str], order_col: str | None = None) -> DataFrame:
     """Keep exactly one row per PK. With ``order_col``, latest-wins
     (deterministic); otherwise an arbitrary-but-single row via
-    ``dropDuplicates`` (map-side partial agg, cheapest)."""
+    ``dropDuplicates`` (map-side partial agg, cheapest).
+
+    Determinism under TIES: two retries of the same PK can carry the
+    same ``order_col`` value with different payloads (the re-fetched
+    window case the module docstring cites) — ordering by ``order_col``
+    alone would leave the winner to physical partition order. The
+    ordering therefore tiebreaks on xxhash64 over every non-PK column,
+    a pure function of row CONTENT, so the kept row is identical across
+    runs, partitionings, and engines; fully identical duplicate rows
+    tie harmlessly (either copy is the same row)."""
     if order_col is None:
         return df.dropDuplicates(pk)
-    w = Window.partitionBy(*pk).orderBy(F.col(order_col).desc())
+    non_pk = [c for c in df.columns if c not in pk]
+    order = [F.col(order_col).desc()]
+    if non_pk:
+        order.append(F.xxhash64(*[F.col(c) for c in non_pk]).desc())
+    w = Window.partitionBy(*pk).orderBy(*order)
     return (
         df.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") == 1)

@@ -152,7 +152,12 @@ def pack_greedy(
         F.col(id_col),
         count_expr.cast("bigint").alias("n_tokens"),
     ]
-    if shard_col:
+    if shard_col == GLOBAL:
+        # the explicit one-task opt-in, same sentinel contract as
+        # _sharded (pack_sequences / materialize_packed_sequences):
+        # everything lands in one constant shard = one global stream.
+        src = df.select(F.lit(0).cast("bigint").alias("shard"), *base)
+    elif shard_col:
         src = df.select(F.col(shard_col).cast("bigint").alias("shard"), *base)
     else:
         src = df.select(

@@ -169,14 +169,29 @@ def cosine_topk_lsh(
     vec_col: str = "embedding",
     k: int = 5,
     n_planes: int = 8,
-    dim: int = 64,
+    dim: int | None = None,
     seed: int = 42,
 ) -> DataFrame:
     """Approximate top-k: candidates restricted to the query's LSH bucket.
 
     The bucket equi-join replaces the cross join — at corpus scale this is
     the difference between n·m and n·m/2^planes comparisons.
+
+    ``dim`` defaults to a one-row probe of the corpus (like the
+    bruteforce/IVF siblings) — the plane weights MUST cover every vector
+    component: a too-small dim silently truncates the dot products
+    (wrong sims, wrong top-k), a too-large one reads past the array and
+    NULLs the whole score, collapsing every vector into bucket 0 and the
+    bucket join into a cross join.
     """
+    if dim is None:
+        dim = infer_dim(corpus, vec_col)
+        if dim is None:
+            raise ValueError(
+                "cosine_topk_lsh: empty corpus — cannot infer the "
+                "embedding dimensionality the LSH planes must cover; "
+                "pass dim explicitly"
+            )
     planes = [_hyperplane(dim, seed * 1000 + p) for p in range(n_planes)]
     corpus = spread(corpus)
     q = (
@@ -662,9 +677,9 @@ def negative_samples(
 
     from .scale import md5_tag48
 
-    pos = cosine_topk_bruteforce(emb, queries, k=k_pos).select(
-        "query_id", F.col("neighbor_id").alias("cand_id")
-    )
+    pos = cosine_topk_bruteforce(
+        emb, queries, id_col=id_col, vec_col=vec_col, k=k_pos
+    ).select("query_id", F.col("neighbor_id").alias("cand_id"))
     q = queries.select(F.col(id_col).alias("query_id")).coalesce(1)
     cand = emb.select(F.col(id_col).alias("cand_id")).crossJoin(F.broadcast(q))
     cand = cand.filter(F.col("cand_id") != F.col("query_id")).join(

@@ -32,7 +32,13 @@ def tokens(col: Column) -> Column:
 
 
 def token_count(col: Column) -> Column:
-    return F.size(tokens(col))
+    """Whitespace token count; 0 for empty/whitespace-only text.
+    ``split('')`` yields ``['']`` — without the guard every empty doc
+    counts ONE phantom token, consuming a packed-sequence slot (shifting
+    every later offset) and billing a token against source budgets.
+    DuckDB twin: ``len(list_filter(string_split_regex(trim(x), '\\s+'),
+    t -> t <> ''))``."""
+    return F.when(F.trim(col) == "", F.lit(0)).otherwise(F.size(tokens(col)))
 
 
 # GPT-2-style pre-tokenizer, simplified to the RE2-safe core: letter runs,
@@ -179,13 +185,24 @@ def bigram_lm_score(
             ).alias("lp"),
         )
     )
-    return scored.groupBy("doc").agg(
+    agg = scored.groupBy("doc").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),
         fix6(
             F.sum(F.col("lp").cast("decimal(18,6)")).cast("double")
             / F.count(F.lit(1))
         ).alias("avg_logprob"),
-    ).select(F.col("doc").alias(id_col), "n_bigrams", "avg_logprob")
+    )
+    # every scored doc appears in the output: a 0/1-token doc has no
+    # bigrams (n_bigrams=0, avg_logprob NULL — "no evidence", distinct
+    # from a low score) instead of silently vanishing from the scored
+    # set, where a downstream inner-join quality gate would drop it
+    # without a signal.
+    universe = score_df.select(F.col(id_col).alias("doc")).distinct()
+    return universe.join(agg, "doc", "left").select(
+        F.col("doc").alias(id_col),
+        F.coalesce(F.col("n_bigrams"), F.lit(0).cast("bigint")).alias("n_bigrams"),
+        "avg_logprob",
+    )
 
 
 def epoch_shuffle(

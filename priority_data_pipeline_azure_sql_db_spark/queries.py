@@ -1741,7 +1741,7 @@ def dedup_jaccard_pairs_indexed(spark, sf_dir):
     """
     SELECT doc_id,
            CAST(LENGTH(text) AS BIGINT) AS n_chars_obs,
-           CAST(LEN(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tokens,
+           CAST(len(list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '')) AS BIGINT) AS n_tokens,
            CAST(LEN(regexp_extract_all(text, '[A-Za-z]+|[0-9]{1,3}|[^A-Za-z0-9\\s]'))
                AS BIGINT) AS n_bpe_tokens
     FROM documents
@@ -1764,7 +1764,7 @@ def text_token_stats(spark, sf_dir):
     """
     SELECT doc_id,
            CAST(LENGTH(text) AS BIGINT) AS n_chars_obs,
-           CAST(LEN(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tokens,
+           CAST(len(list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '')) AS BIGINT) AS n_tokens,
            ROUND(CAST(LEN(regexp_extract_all(text, '[!?.,;:]')) AS DOUBLE)
                  / GREATEST(LENGTH(text), 1), 6) AS punct_ratio,
            ROUND(CAST(LEN(regexp_extract_all(text, '[A-Za-z]')) AS DOUBLE)
@@ -1772,7 +1772,7 @@ def text_token_stats(spark, sf_dir):
            ROUND(CAST(LEN(regexp_extract_all(text, '[A-Z]')) AS DOUBLE)
                  / GREATEST(LENGTH(text), 1), 6) AS upper_ratio,
            ROUND(CAST(LEN(regexp_extract_all(text, '[A-Za-z]')) AS DOUBLE)
-                 / GREATEST(LEN(string_split_regex(trim(text), '\\s+')), 1), 6)
+                 / GREATEST(len(list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '')), 1), 6)
                AS mean_word_len
     FROM documents
     """,
@@ -2975,7 +2975,7 @@ def profile_documents_stats(spark, sf_dir):
     """
     WITH scored AS (
         SELECT source, lang,
-               CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT)
+               CAST(len(list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '')) AS BIGINT)
                    AS n_tokens,
                FLOOR(len(regexp_extract_all(text, '[A-Za-z]'))
                      / GREATEST(LENGTH(text), 1) * 1000000 + 0.5) / 1000000
@@ -3132,7 +3132,7 @@ def events_multires_rollup(spark, sf_dir):
     WITH q AS (
         SELECT doc_id, source,
                CAST(LENGTH(text) AS BIGINT) AS n_chars_obs,
-               CAST(LEN(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tokens,
+               CAST(len(list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '')) AS BIGINT) AS n_tokens,
                ROUND(CAST(LEN(regexp_extract_all(text, '[A-Za-z]')) AS DOUBLE)
                      / GREATEST(LENGTH(text), 1), 6) AS alpha_ratio
         FROM documents
@@ -3695,7 +3695,7 @@ def streaming_static_join(spark, sf_dir):
     """
     WITH toks AS (
         SELECT doc_id, doc_id % 8 AS shard,
-               CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT)
+               CAST(len(list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '')) AS BIGINT)
                    AS n_tokens
         FROM documents
     ), cum AS (
@@ -3959,7 +3959,7 @@ def text_vocab_topk(spark, sf_dir):
     """
     WITH scored AS (
         SELECT doc_id, source, lang, text,
-               len(string_split_regex(trim(text), '\\s+')) AS n_tokens,
+               len(list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '')) AS n_tokens,
                len(regexp_extract_all(text, '[A-Za-z]'))
                    / GREATEST(length(text), 1) AS alpha_ratio,
                md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp
@@ -4112,11 +4112,16 @@ def text_bpe_tokens_large(spark, sf_dir):
         LEFT JOIN c2 ON b.p = c2.p AND b.w = c2.w
         LEFT JOIN c1 ON b.p = c1.p
         CROSS JOIN v
+    ), per_doc AS (
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+               FLOOR(CAST(SUM(CAST(lp AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*)
+                     * 1000000 + 0.5) / 1000000 AS avg_logprob
+        FROM lp GROUP BY doc_id
     )
-    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
-           FLOOR(CAST(SUM(CAST(lp AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*)
-                 * 1000000 + 0.5) / 1000000 AS avg_logprob
-    FROM lp GROUP BY doc_id
+    -- every doc appears: 0/1-token docs score (0, NULL), not vanish
+    SELECT d.doc_id, CAST(COALESCE(p.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+           p.avg_logprob
+    FROM documents d LEFT JOIN per_doc p USING (doc_id)
     """,
 )
 def text_lm_quality_score(spark, sf_dir):
@@ -4204,7 +4209,7 @@ def text_bpe_train(spark, sf_dir):
     """
     WITH RECURSIVE docs AS (
         SELECT CAST(doc_id % 8 AS BIGINT) AS shard, doc_id,
-               CAST(LEN(string_split_regex(trim(text), '\\s+')) AS BIGINT)
+               CAST(len(list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '')) AS BIGINT)
                    AS n_tokens,
                ROW_NUMBER() OVER (
                    PARTITION BY doc_id % 8 ORDER BY doc_id
@@ -4256,7 +4261,7 @@ def pack_greedy_sequences(spark, sf_dir):
     """
     SELECT substr(md5('shard-0:' || CAST(doc_id AS VARCHAR)), 1, 1) AS shard,
            CAST(COUNT(*) AS BIGINT) AS n_docs,
-           CAST(SUM(len(string_split_regex(trim(text), '\\s+'))) AS BIGINT)
+           CAST(SUM(len(list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> ''))) AS BIGINT)
                AS total_tokens
     FROM documents GROUP BY 1
     """,
@@ -4305,7 +4310,7 @@ def export_training_shards(spark, sf_dir):
     """
     SELECT substr(md5('jshard:' || CAST(doc_id AS VARCHAR)), 1, 1) AS shard,
            CAST(COUNT(*) AS BIGINT) AS n_docs,
-           CAST(SUM(len(string_split_regex(trim(text), '\\s+'))) AS BIGINT)
+           CAST(SUM(len(list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> ''))) AS BIGINT)
                AS total_tokens,
            CAST(SUM(doc_id) AS BIGINT) AS id_sum
     FROM documents GROUP BY 1
@@ -4348,7 +4353,7 @@ def export_jsonl_corpus(spark, sf_dir):
     WITH toks AS (
         SELECT doc_id, doc_id % 8 AS shard,
                string_split_regex(trim(text), '\\s+') AS t,
-               CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n
+               CAST(len(list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '')) AS BIGINT) AS n
         FROM documents
     ), cum AS (
         SELECT shard, doc_id, t, n,
@@ -4401,7 +4406,7 @@ def pack_materialized_sequences(spark, sf_dir):
 _LENGTH_BUCKET_SQL = """
     WITH toks AS (
         SELECT doc_id,
-               CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT)
+               CAST(len(list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '')) AS BIGINT)
                    AS n_tokens,
                md5('batch-0:' || CAST(doc_id AS VARCHAR)) AS k
         FROM documents
@@ -4506,7 +4511,7 @@ def sample_quality_weighted(spark, sf_dir):
     """
     WITH toks AS (
         SELECT doc_id, source,
-               CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT)
+               CAST(len(list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '')) AS BIGINT)
                    AS n_tokens,
                md5('mix-0:' || CAST(doc_id AS VARCHAR)) AS k
         FROM documents
@@ -4549,7 +4554,7 @@ def sample_source_budget(spark, sf_dir):
     """
     WITH scored AS (
         SELECT doc_id, text,
-               CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT)
+               CAST(len(list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '')) AS BIGINT)
                    AS n_tokens,
                len(regexp_extract_all(text, '[A-Za-z]'))
                    / GREATEST(length(text), 1) AS alpha_ratio,
@@ -4665,7 +4670,7 @@ def pipeline_curation_v2(spark, sf_dir):
         FROM base
     ), scored AS (
         SELECT doc_id, text,
-               CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT)
+               CAST(len(list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '')) AS BIGINT)
                    AS n_tokens,
                len(regexp_extract_all(text, '[A-Za-z]'))
                    / GREATEST(length(text), 1) AS alpha_ratio,
@@ -5444,7 +5449,7 @@ def dedup_gram_novelty(spark, sf_dir):
         HAVING SUM(CASE WHEN dup THEN 0 ELSE 1 END) > 0
     ), scored AS (
         SELECT c.doc_id, d.source,
-               CAST(LEN(string_split_regex(trim(text2), '\\s+')) AS BIGINT)
+               CAST(len(list_filter(string_split_regex(trim(text2), '\\s+'), x -> x <> '')) AS BIGINT)
                    AS n_tokens,
                CAST(LEN(regexp_extract_all(text2, '[A-Za-z]')) AS DOUBLE)
                    / CAST(GREATEST(LENGTH(text2), 1) AS DOUBLE) AS s

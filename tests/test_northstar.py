@@ -1843,3 +1843,137 @@ def test_codec_avi_opendml_avix_continuation():
     # non-RIFF trailing junk after the last segment stays legal
     assert len(C.avi_frame_payloads(base + b"JUNKJUNKJUNK")[1]) == 3
     assert len(C.avi_frame_payloads(base + avix + b"\x00\x01")[1]) == 5
+
+
+# ---------------------------------------------------------------------------
+# round-10 core-operator review fixes
+# ---------------------------------------------------------------------------
+
+def test_lsh_banding_guard(spark):
+    """bands must divide num_hashes — a zero-rows-per-band slice hashes
+    the empty string for EVERY doc, silently degenerating the band
+    equi-join into an all-pairs cross join (and a remainder silently
+    drops trailing signature rows). Both the production path and its
+    md5 twin fail loud now."""
+    import pytest
+
+    d = docs(spark)
+    sig = D.minhash_signature(d, "text", "doc_id", num_hashes=8, k=3)
+    with pytest.raises(ValueError, match="bands must divide"):
+        D.lsh_candidates(sig, num_hashes=8, bands=16).collect()
+    with pytest.raises(ValueError, match="bands must divide"):
+        D.lsh_candidates(sig, num_hashes=8, bands=3).collect()
+    with pytest.raises(ValueError, match="bands must divide"):
+        D.minhash_dedup_candidates_md5(d, "text", "doc_id",
+                                       num_hashes=8, bands=16, k=3)
+
+
+def test_ngram_contamination_cross_corpus_id_collision(spark):
+    """Train and eval are independent corpora: a train doc whose id
+    coincidentally equals an eval doc's id is still a REAL contamination
+    pair (both sides numbering from 0 is the common case). The same-id
+    filter is opt-in for self-check slices of one id space."""
+    train = spark.sql(
+        "SELECT * FROM VALUES (7, 'alpha beta gamma delta epsilon zeta') "
+        "AS t(doc_id, text)"
+    )
+    ev = spark.sql(
+        "SELECT * FROM VALUES (7, 'alpha beta gamma delta epsilon zeta') "
+        "AS t(doc_id, text)"
+    )
+    got = D.ngram_contamination(train, ev, k=5).collect()
+    assert [(r.train_id, r.eval_id) for r in got] == [(7, 7)]
+    assert D.ngram_contamination(train, ev, k=5, exclude_same_id=True).count() == 0
+
+
+def test_boilerplate_metachar_separator(spark):
+    """A regex-metacharacter separator ('|', '.') is treated LITERALLY:
+    split and reassembly agree. Pre-fix, '|' split between every
+    character (empty-alternation regex), so shared single CHARACTERS
+    became boilerplate and documents reassembled as garbage."""
+    df = spark.sql(
+        "SELECT * FROM VALUES "
+        "(1, 'shared menu|unique line one'), "
+        "(2, 'shared menu|unique line two') "
+        "AS t(doc_id, text)"
+    )
+    out = {r.doc_id: r for r in
+           D.remove_boilerplate_lines(df, sep="|", min_docs=2).collect()}
+    assert out[1].text == "unique line one"
+    assert out[2].text == "unique line two"
+    assert out[1].n_lines_kept == 1 and out[1].n_lines_dropped == 1
+
+
+def test_pack_greedy_global_sentinel(spark):
+    """pack_greedy honors the module's GLOBAL sentinel like its siblings
+    (pre-fix it looked up a literal '__global__' column and crashed)."""
+    from priority_data_pipeline_azure_sql_db_spark.operators.pack import GLOBAL, pack_greedy
+
+    df = spark.sql(
+        "SELECT * FROM VALUES (1, 'a b c'), (2, 'd e'), (3, 'f g h i') "
+        "AS t(doc_id, text)"
+    )
+    rows = sorted(pack_greedy(df, budget=5, shard_col=GLOBAL).collect(),
+                  key=lambda r: r.doc_id)
+    assert [r.shard for r in rows] == [0, 0, 0]
+    # next-fit over global id order: doc1(3)+doc2(2)=5 fits seq 0; doc3 opens seq 1
+    assert [(r.seq_id, r.offset_in_seq) for r in rows] == [(0, 0), (0, 3), (1, 0)]
+
+
+def test_negative_samples_custom_columns(spark, sf_dir):
+    """id_col/vec_col forward into the positives sub-query (pre-fix the
+    bruteforce call used hardcoded defaults and threw UNRESOLVED_COLUMN
+    on renamed frames)."""
+    emb = load_table(spark, sf_dir, "embeddings").limit(40)
+    ren = emb.select(F.col("vec_id").alias("id2"), F.col("embedding").alias("v2"))
+    base = {(r.query_id, r.negative_id, r.neg_rank) for r in S.negative_samples(
+        emb, emb.filter(F.col("vec_id") < 3), k_pos=3, n_neg=2).collect()}
+    got = {(r.query_id, r.negative_id, r.neg_rank) for r in S.negative_samples(
+        ren, ren.filter(F.col("id2") < 3), k_pos=3, n_neg=2,
+        id_col="id2", vec_col="v2").collect()}
+    assert got == base and len(got) > 0
+
+
+def test_cosine_topk_lsh_infers_dim(spark):
+    """dim defaults to a corpus probe like the bruteforce/IVF siblings
+    (pre-fix the hardcoded dim=64 NULLed every sim on non-64-dim vectors
+    and collapsed all rows into bucket 0)."""
+    df = spark.sql(
+        "SELECT id AS vec_id, "
+        "transform(sequence(1, 8), x -> CAST(hash(id, x) % 100 AS DOUBLE) / 10.0)"
+        " AS embedding FROM range(30)"
+    )
+    q = df.filter(F.col("vec_id") < 2)
+    inferred = S.cosine_topk_lsh(df, q, k=3).collect()
+    explicit = S.cosine_topk_lsh(df, q, k=3, dim=8).collect()
+    assert len(inferred) > 0
+    assert {tuple(r) for r in inferred} == {tuple(r) for r in explicit}
+    assert all(r.sim is not None for r in inferred)
+
+
+def test_token_count_empty_text_is_zero(spark):
+    """split('') yields [''] — the raw size() counted one phantom token
+    per empty doc, consuming packed-sequence slots and billing source
+    budgets; the guard returns 0 for empty/whitespace-only text."""
+    df = spark.sql(
+        "SELECT * FROM VALUES ('', 0), ('   ', 0), ('a b', 2), (' x ', 1) "
+        "AS t(text, want)"
+    )
+    got = df.select(X.token_count(F.col("text")).alias("n"), "want").collect()
+    assert all(r.n == r.want for r in got)
+
+
+def test_bigram_lm_score_keeps_short_docs(spark):
+    """0/1-token docs stay in the scored output as (n_bigrams=0,
+    avg_logprob NULL) — 'no evidence', distinct from a low score — so a
+    downstream inner-join quality gate can't silently drop them."""
+    df = spark.sql(
+        "SELECT * FROM VALUES "
+        "(1, 'the quick brown fox jumps'), (2, 'single'), (3, '') "
+        "AS t(doc_id, text)"
+    )
+    out = {r.doc_id: r for r in X.bigram_lm_score(df).collect()}
+    assert set(out) == {1, 2, 3}
+    assert out[1].n_bigrams == 4 and out[1].avg_logprob is not None
+    assert out[2].n_bigrams == 0 and out[2].avg_logprob is None
+    assert out[3].n_bigrams == 0 and out[3].avg_logprob is None

@@ -1705,3 +1705,20 @@ def test_scd2_apply_delta_extends_existing_entities(spark, sf_dir):
         tiebreak_cols=["event_id"],
     )
     assert canon(weird) == canon(want)
+
+
+def test_dedup_within_tie_deterministic(spark):
+    """Ties on order_col (same PK, same version, different payload — the
+    re-fetched-retry case) resolve by content hash, not physical row
+    order: the kept row is identical across input orderings and
+    partitionings."""
+    rows = "(1, 5, 'payload-a'), (1, 5, 'payload-b'), (1, 5, 'payload-c')"
+    fwd = spark.sql(f"SELECT * FROM VALUES {rows} AS t(pk, ver, v)")
+    rev = spark.sql(
+        f"SELECT * FROM (SELECT * FROM VALUES {rows} AS t(pk, ver, v)) "
+        "ORDER BY v DESC"
+    ).repartition(7)
+    a = dedup_within(fwd, ["pk"], "ver").collect()
+    b = dedup_within(rev, ["pk"], "ver").collect()
+    assert len(a) == len(b) == 1
+    assert a[0].v == b[0].v
