@@ -63,14 +63,19 @@ def build_ivf_index(
         F.col(id_col).alias("_id"), _as_double(F.col(vec_col)).alias("v")
     )
     cents = _train_centroids(vecs, n_cells, dim).coalesce(1).cache()
-    cents.write.mode("overwrite").parquet(os.path.join(path, CENTROIDS_DIR))
-    assigned = _assign_cells(
-        vecs.select(F.col("_id").alias(id_col), F.col("v").alias("vec"))
-        .select(id_col, "vec", l2_norm(F.col("vec"), dim).alias("norm")),
-        cents, id_col, "vec", 1, dim,
-    )
-    write_partitioned(assigned, os.path.join(path, CELLS_DIR), ["cell"],
-                      what="IVF cells")
+    try:
+        cents.write.mode("overwrite").parquet(os.path.join(path, CENTROIDS_DIR))
+        assigned = _assign_cells(
+            vecs.select(F.col("_id").alias(id_col), F.col("v").alias("vec"))
+            .select(id_col, "vec", l2_norm(F.col("vec"), dim).alias("norm")),
+            cents, id_col, "vec", 1, dim,
+        )
+        write_partitioned(assigned, os.path.join(path, CELLS_DIR), ["cell"],
+                          what="IVF cells")
+    finally:
+        # same discipline as build_near_dup_index: a leaked cached
+        # relation per build accumulates across the LSM rebuild loop
+        cents.unpersist()
 
 
 def append_to_ivf_index(
@@ -98,21 +103,37 @@ def append_to_ivf_index(
     appended fraction or measured recall drift crosses a budget.
 
     Scale shape: one broadcast join of the n_cells centroids against
-    the DELTA only (O(|delta|), never O(index)), one partitioned append
-    write. Concurrent appends are safe at the file level (distinct
-    part files); serialize appends with rebuilds."""
+    the DELTA only (O(|delta|)), one column-pruned id anti-join against
+    the stored cells (the only index-sized read — one column; makes a
+    retried append idempotent instead of silently duplicating vectors,
+    which would occupy two of the k serve slots with the same id and
+    displace a real neighbor — the same step 2 as
+    append_to_near_dup_index), one partitioned append write. Concurrent
+    appends are safe at the file level (distinct part files); serialize
+    appends with rebuilds."""
     import os
 
     spark = new_vectors.sparkSession
     cents = spark.read.parquet(os.path.join(path, CENTROIDS_DIR))
     dim = infer_dim(new_vectors, vec_col)
+    stored_dim = infer_dim(cents, "centroid")
+    if dim is not None and stored_dim is not None and dim != stored_dim:
+        # a mismatched delta would be assigned by a truncated/NULLed dot
+        # product — silently wrong cells, wrong serves forever after
+        raise ValueError(
+            f"append dimensionality {dim} != index dimensionality "
+            f"{stored_dim} at {path}"
+        )
     assigned = _assign_cells(
         new_vectors.select(
             F.col(id_col).alias(id_col), _as_double(F.col(vec_col)).alias("vec")
         ).select(id_col, "vec", l2_norm(F.col("vec"), dim).alias("norm")),
         cents, id_col, "vec", 1, dim,
     )
-    write_partitioned(assigned, os.path.join(path, CELLS_DIR), ["cell"],
+    existing_ids = spark.read.parquet(os.path.join(path, CELLS_DIR)) \
+        .select(id_col)
+    fresh = assigned.join(existing_ids, id_col, "left_anti")
+    write_partitioned(fresh, os.path.join(path, CELLS_DIR), ["cell"],
                       mode="append", what="IVF cells append")
 
 
@@ -204,6 +225,12 @@ def append_to_near_dup_index(
     spark = new_vectors.sparkSession
     cents = spark.read.parquet(os.path.join(path, CENTROIDS_DIR)).coalesce(1)
     dim = infer_dim(new_vectors, vec_col)
+    stored_dim = infer_dim(cents, "centroid")
+    if dim is not None and stored_dim is not None and dim != stored_dim:
+        raise ValueError(
+            f"append dimensionality {dim} != index dimensionality "
+            f"{stored_dim} at {path}"
+        )
     assigned = normalize_and_assign(new_vectors, cents, id_col, vec_col, dim)
     existing_ids = spark.read.parquet(os.path.join(path, ASSIGN_DIR)).select("_id")
     fresh = assigned.join(existing_ids, "_id", "left_anti").cache()
@@ -282,7 +309,14 @@ def query_ivf_index(
         cents, "query_id", "qv", n_probe, dim,
     )
     # the probed-cell set is n_probe × |queries| values — driver-side
-    # metadata that becomes a partition-pruning IN filter on the scan
+    # metadata that becomes a partition-pruning IN filter on the scan.
+    # This collect executes the assignment subplan once, and the scored
+    # join below executes it again — a CONSIDERED trade: pruning needs
+    # a driver-side literal before the main job, the assignment
+    # (|Q|·n_cells dots) is the minor term against the corpus-side
+    # scoring scan, caching q would leak one relation per serve call
+    # (the defect near_dup_pairs_from_index documents), and collecting
+    # the per-query assignment instead is unbounded in |Q|.
     probed = sorted({r["cell"] for r in q.select("cell").distinct().collect()})
     pruned = cells.filter(F.col("cell").isin(probed))
     scored = (

@@ -41,6 +41,16 @@ from pyspark.sql import functions as F
 
 FPS_DIR = "fps"
 SIZES_DIR = "sizes"
+PARAMS_FILE = "_PARAMS.json"
+
+
+def _build_params(kind: str, text_col: str, id_col: str, k: int, w: int) -> dict:
+    # w only shapes winnow stores; normalize it out of the shingle
+    # fingerprint identity so a param-compare can't false-alarm on it
+    return {
+        "kind": kind, "text_col": text_col, "id_col": id_col, "k": k,
+        "w": w if kind == "winnow" else None,
+    }
 
 
 def build_dedup_index(
@@ -82,19 +92,48 @@ def build_dedup_index(
             sh.unpersist()
     else:
         raise ValueError(f"kind must be 'winnow' or 'shingle', got {kind!r}")
+    # the params manifest is the LAST artifact: it doubles as the
+    # completed-build marker (a crash anywhere above leaves no manifest
+    # → ensure rebuilds) AND records the build's identity so a later
+    # ensure with different params can't silently serve mismatched
+    # fingerprints (a winnow serve against a shingle store, or a
+    # changed k/w, returns plausible-but-wrong pairs with no error)
+    import json
+
+    with open(os.path.join(path, PARAMS_FILE), "w") as fh:
+        json.dump(_build_params(kind, text_col, id_col, k, w), fh)
 
 
 def ensure_dedup_index(df: DataFrame, path: str, **kwargs) -> str:
     """Build the index only if ``path`` lacks a completed build —
-    the serve-many entry point. The gate is the ``_SUCCESS`` marker of
-    the LAST artifact the build writes (``sizes`` for shingle, ``fps``
-    for winnow): gating on the first artifact would let a crash between
-    the two writes leave a permanently torn shingle index that never
-    rebuilds."""
-    last_dir = SIZES_DIR if kwargs.get("kind") == "shingle" else FPS_DIR
-    marker = os.path.join(path, last_dir, "_SUCCESS")
-    if not os.path.exists(marker):
+    the serve-many entry point. The gate is the params manifest, the
+    LAST artifact the build writes (gating on an earlier artifact would
+    let a crash between writes leave a permanently torn index that
+    never rebuilds). The manifest also pins the build's parameters:
+    asking for a different (kind, k, w, cols) at an existing path is a
+    caller bug and FAILS LOUD instead of silently serving fingerprints
+    built under other semantics."""
+    import inspect
+    import json
+
+    sig = inspect.signature(build_dedup_index)
+    bound = sig.bind(df, path, **kwargs)
+    bound.apply_defaults()
+    want = _build_params(*(bound.arguments[p]
+                           for p in ("kind", "text_col", "id_col", "k", "w")))
+    manifest = os.path.join(path, PARAMS_FILE)
+    if not os.path.exists(manifest):
         build_dedup_index(df, path, **kwargs)
+        return path
+    with open(manifest) as fh:
+        have = json.load(fh)
+    if have != want:
+        raise ValueError(
+            f"dedup index at {path} was built with {have}, but this call "
+            f"asks for {want} — use a different path per parameter set "
+            "(serving a mismatched store would return wrong pairs "
+            "without any error)"
+        )
     return path
 
 

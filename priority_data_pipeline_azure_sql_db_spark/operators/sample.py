@@ -256,7 +256,10 @@ def quantile_threshold_filter(
             .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         ),
     )
-    total = b.groupBy().agg(F.count(F.lit(1)).alias("_n"))
+    # N from the ≤`buckets`-row histogram, not a second corpus scan:
+    # sum(_c) is provably the same count (every row lands in exactly
+    # one bucket) and saves one full pass at the scale this targets
+    total = hist.groupBy().agg(F.sum("_c").alias("_n"))
     thresh = (
         cdf.crossJoin(F.broadcast(total.coalesce(1)))
         .filter(

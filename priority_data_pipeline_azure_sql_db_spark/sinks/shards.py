@@ -133,9 +133,17 @@ def write_ordered_shards(
     """
     import json as _json
 
+    # sort key leads with the to-be partition column: FileFormatWriter
+    # requires ordering by partitionBy cols, and an unsatisfied child
+    # ordering gets a SortExec(shard) injected ABOVE this sort — stable
+    # in memory, but a spilled external merge interleaves equal-key
+    # runs arbitrarily, silently unsorting shards exactly at the scale
+    # the writer exists for. shard is constant per task here, so the
+    # row order is identical to sorting by order_cols alone — the
+    # leading key only makes the writer's requirement already-satisfied.
     ranged = df.repartitionByRange(n_shards, *[F.col(c) for c in order_cols]) \
-        .sortWithinPartitions(*order_cols) \
-        .withColumn("shard", F.spark_partition_id())
+        .withColumn("shard", F.spark_partition_id()) \
+        .sortWithinPartitions("shard", *order_cols)
     write_partitioned(ranged, out_dir, ["shard"], what="ordered shards")
     spark = df.sparkSession
     lead = order_cols[0]

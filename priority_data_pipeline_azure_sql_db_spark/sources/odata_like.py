@@ -121,18 +121,41 @@ def http_get(
         time.sleep(backoff_s * (2 ** (attempt - 1)))
 
 
-def odata_filter_string(accepted: list[tuple[str, str, object]]) -> str | None:
+def _odata_renderable(value) -> bool:
+    """Can this filter value be rendered as an OData literal? pushFilters
+    gates acceptance on this: a filter we accept but render wrong is
+    NOT re-evaluated by Spark (it trusts the source served it), so an
+    unrenderable value must be yielded back, never repr()'d into the URL."""
+    import datetime as _dt
+    import decimal as _dec
+
+    return isinstance(
+        value, (bool, int, float, str, _dt.datetime, _dt.date, _dec.Decimal)
+    )
+
+
+def odata_filter_string(
+    accepted: list[tuple[str, str, object]],
+    namemap: dict[str, str] | None = None,
+) -> str | None:
     """Render accepted Catalyst filters as an OData v4 ``$filter`` string
     (the machine-built analog of the reference's hand-built
-    ``FIELD ge <ts>``, priorityDataSource.py:670-675)."""
+    ``FIELD ge <ts>``, priorityDataSource.py:670-675). ``namemap``
+    restores the server's original property casing from the engine's
+    lowercased column names (OData property names are case-sensitive;
+    the reference server's are uppercase — the same mapping $expand
+    always applied)."""
     import datetime as _dt
+    import decimal as _dec
 
+    nm = namemap or {}
     ops = {
         "EqualTo": "eq", "GreaterThan": "gt", "GreaterThanOrEqual": "ge",
         "LessThan": "lt", "LessThanOrEqual": "le",
     }
     parts = []
     for col, op, value in accepted:
+        col = nm.get(col.lower(), col)
         if op == "IsNotNull":
             parts.append(f"{col} ne null")
             continue
@@ -143,8 +166,15 @@ def odata_filter_string(accepted: list[tuple[str, str, object]]) -> str | None:
             v = "'" + value.replace("'", "''") + "'"
         elif isinstance(value, bool):
             v = "true" if value else "false"
-        else:
-            v = repr(value) if not isinstance(value, (int, float)) else str(value)
+        elif isinstance(value, _dec.Decimal):
+            # plain decimal notation — repr() would render Decimal('10.5')
+            v = format(value, "f")
+        elif isinstance(value, _dt.date):
+            v = value.isoformat()
+        elif isinstance(value, (int, float)):
+            v = str(value)
+        else:  # unreachable: pushFilters gates on _odata_renderable
+            raise ValueError(f"unrenderable OData literal: {value!r}")
         parts.append(f"{col} {ops[op]} {v}")
     return " and ".join(parts) if parts else None
 
@@ -264,11 +294,22 @@ class ODataLikeDataSource(DataSource):
         # so N parallel $skip/$top page pulls can duplicate or drop rows
         # unless every page is pinned with $orderby. Resolve the sort key
         # from the EDMX <Key> (driver-side, once) unless the caller set one.
-        if opts.get("uri") and not opts.get("orderby"):
+        if opts.get("uri"):
             ents = self._edmx_entities()
             ent = (ents or {}).get(opts.get("entity", "").lower())
-            if ent and ent.get("EntityPk"):
-                opts["orderby"] = ",".join(ent["EntityPk"])
+            if ent:
+                # lowercase engine name -> the server's ORIGINAL property
+                # casing, for $filter/$select rendering (OData property
+                # names are case-sensitive; the engine lowercases all
+                # identifiers at O9, so pushed names must be mapped back
+                # — the same restoration $expand always applied)
+                opts["_namemap"] = {
+                    f["fieldName"].lower(): f["fieldName"]
+                    for f in ent.get("Fields", [])
+                    if f.get("fieldName")
+                }
+                if not opts.get("orderby") and ent.get("EntityPk"):
+                    opts["orderby"] = ",".join(ent["EntityPk"])
         return ODataLikeReader(opts, schema)
 
 
@@ -296,6 +337,12 @@ class ODataLikeReader(DataSourceReader):
             if isinstance(f, _SUPPORTED) and len(f.attribute) == 1:
                 op = type(f).__name__
                 value = getattr(f, "value", None)
+                # only accept values we can render as OData literals —
+                # an accepted filter is NOT re-checked by Spark, so a
+                # bad rendering would silently return wrong rows
+                if op != "IsNotNull" and not _odata_renderable(value):
+                    yield f
+                    continue
                 self.accepted.append((f.attribute[0], op, value))
             else:
                 yield f
@@ -304,12 +351,22 @@ class ODataLikeReader(DataSourceReader):
 
     def partitions(self) -> list[RowRangeSlice]:
         if self.uri:
+            # no sort key to pin the pages (keyless EDMX entity, no
+            # caller orderby): parallel $skip/$top pulls would window
+            # over an ordering OData does not guarantee stable across
+            # requests — rows silently duplicated in one page, dropped
+            # from another. Fall back to ONE unbounded pull: slower,
+            # never wrong.
+            if not self.options.get("orderby"):
+                return [RowRangeSlice(0, None)]
             # OData $count endpoint; single unbounded page when unsupported.
             # The pushed $filter applies to the count too — otherwise a
             # filtered scan plans pages from the unfiltered row count
             # (harmless empty tail pulls, but wasted round-trips).
             try:
-                filt = odata_filter_string(self.accepted)
+                filt = odata_filter_string(
+                    self.accepted, namemap=self.options.get("_namemap")
+                )
                 n_rows = int(http_get(
                     f"{self.uri.rstrip('/')}/{self.entity}/$count",
                     params={"$filter": filt} if filt else None,
@@ -351,13 +408,15 @@ class ODataLikeReader(DataSourceReader):
         from pyspark.sql.pandas.types import to_arrow_schema
 
         params: dict[str, str] = {}
-        filt = odata_filter_string(self.accepted)
+        nm = self.options.get("_namemap") or {}
+        filt = odata_filter_string(self.accepted, namemap=nm)
         if filt:
             params["$filter"] = filt
         select = self.options.get("select")
         if select:
             params["$select"] = ",".join(
-                c.strip() for c in select.split(",") if c.strip()
+                nm.get(c.strip().lower(), c.strip())
+                for c in select.split(",") if c.strip()
             )
         expand = ODataLikeDataSource._expand_list(self.options)
         if expand:

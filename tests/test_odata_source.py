@@ -374,3 +374,50 @@ def test_schema_drift_report():
     assert drift["gone"]["change"] == "removed" and drift["gone"]["breaking"]
     assert drift["fresh"]["change"] == "added" and not drift["fresh"]["breaking"]
     assert schema_drift(old, old) == []
+
+
+def test_odata_filter_string_decimal_date_and_namemap():
+    """Decimal/date filter values render as OData literals (repr() gave
+    Decimal('10.5') / datetime.date(...)); the namemap restores the
+    server's original property casing for pushed names."""
+    import datetime
+    import decimal
+
+    from priority_data_pipeline_azure_sql_db_spark.sources.odata_like import odata_filter_string
+
+    got = odata_filter_string(
+        [
+            ("price", "GreaterThanOrEqual", decimal.Decimal("10.50")),
+            ("duedate", "GreaterThan", datetime.date(2026, 8, 15)),
+            ("custname", "EqualTo", "o'brien"),
+        ],
+        namemap={"price": "PRICE", "duedate": "DUEDATE", "custname": "CUSTNAME"},
+    )
+    assert got == ("PRICE ge 10.50 and DUEDATE gt 2026-08-15 "
+                   "and CUSTNAME eq 'o''brien'")
+
+
+def test_odata_push_filters_reject_unrenderable():
+    """pushFilters yields back filters whose value can't render as an
+    OData literal — an accepted filter is never re-checked by Spark, so
+    accepting it would silently return wrong rows."""
+    from pyspark.sql.datasource import EqualTo
+
+    from priority_data_pipeline_azure_sql_db_spark.sources.odata_like import ODataLikeReader
+
+    r = ODataLikeReader({"uri": "http://x", "entity": "orders"}, None)
+    rejected = list(r.pushFilters([EqualTo(("blob",), b"\x00bytes")]))
+    assert len(rejected) == 1
+    assert r.accepted == []
+
+
+def test_odata_keyless_entity_single_partition():
+    """No EDMX key and no caller orderby → ONE unbounded pull, not
+    parallel $skip/$top pages over an unpinned server ordering (which
+    can silently duplicate/drop rows across pages)."""
+    from priority_data_pipeline_azure_sql_db_spark.sources.odata_like import ODataLikeReader
+
+    r = ODataLikeReader({"uri": "http://unused", "entity": "keyless"}, None)
+    parts = r.partitions()
+    assert len(parts) == 1
+    assert (parts[0].offset, parts[0].length) == (0, None)

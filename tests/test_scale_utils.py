@@ -1693,3 +1693,67 @@ def test_write_partitioned_guard(spark, tmp_path):
     # empty append to a populated store: no-op, data intact
     assert write_partitioned(empty, tgt, ["k"], mode="append") is True
     assert spark.read.parquet(tgt).count() == 2
+
+
+def test_dedup_index_params_guard(spark, sf_dir, tmp_path):
+    """The store's params manifest (written LAST — it is also the
+    completed-build marker) pins (kind, k, w, cols): serving a path
+    with different parameters fails loud instead of silently returning
+    pairs computed under other semantics; a missing manifest (crashed
+    build) rebuilds."""
+    import os
+
+    import pytest
+
+    from priority_data_pipeline_azure_sql_db_spark.operators.dedup_index import (
+        PARAMS_FILE,
+        ensure_dedup_index,
+    )
+    from priority_data_pipeline_azure_sql_db_spark.sources.parquet import load_table
+
+    d = load_table(spark, sf_dir, "documents").limit(50)
+    path = str(tmp_path / "didx")
+    ensure_dedup_index(d, path, kind="winnow", k=8, w=4)
+    manifest = os.path.join(path, PARAMS_FILE)
+    assert os.path.exists(manifest)
+    # same params: serve as-is, no error
+    ensure_dedup_index(d, path, kind="winnow", k=8, w=4)
+    # different kind / different k: fail loud
+    with pytest.raises(ValueError, match="was built with"):
+        ensure_dedup_index(d, path, kind="shingle", k=5)
+    with pytest.raises(ValueError, match="was built with"):
+        ensure_dedup_index(d, path, kind="winnow", k=9, w=4)
+    # crashed build (no manifest): rebuilds rather than serving torn files
+    os.remove(manifest)
+    ensure_dedup_index(d, path, kind="winnow", k=8, w=4)
+    assert os.path.exists(manifest)
+
+
+def test_ivf_append_idempotent_and_dim_guard(spark, sf_dir, tmp_path):
+    """A replayed IVF append is a no-op (id anti-join — a duplicated
+    vector would occupy two of the k serve slots and displace a real
+    neighbor), and a wrong-dimensionality delta fails loud instead of
+    being assigned by a truncated dot product."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from priority_data_pipeline_azure_sql_db_spark.operators.ann_index import (
+        append_to_ivf_index,
+        build_ivf_index,
+    )
+    from priority_data_pipeline_azure_sql_db_spark.sources.parquet import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    base = emb.filter(F.col("vec_id") < 80)
+    delta = emb.filter((F.col("vec_id") >= 80) & (F.col("vec_id") < 100))
+    idx = str(tmp_path / "ivf")
+    build_ivf_index(base, idx, n_cells=4)
+    append_to_ivf_index(delta, idx)
+    import os
+    n1 = spark.read.parquet(os.path.join(idx, "cells")).count()
+    append_to_ivf_index(delta, idx)  # replay — must not duplicate
+    n2 = spark.read.parquet(os.path.join(idx, "cells")).count()
+    assert n1 == n2 == 100
+    bad = delta.select("vec_id", F.slice("embedding", 1, 8).alias("embedding"))
+    with pytest.raises(ValueError, match="dimensionality"):
+        append_to_ivf_index(bad, idx)
