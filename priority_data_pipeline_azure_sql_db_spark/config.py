@@ -56,8 +56,9 @@ class EntityConfig:
     # Explicit parent-PK → child-FK map for sub-form joins, e.g.
     # {"o_orderkey": "l_orderkey"}. When a key is absent the engine falls
     # back to the suffix-stem heuristic (pipeline._child_key) — which
-    # silently picks the FIRST match when two child columns share the
-    # stem, so schemas with ambiguous stems must configure this.
+    # REFUSES ambiguous schemas with a ValueError (never a silent pick),
+    # so schemas where two child columns share the stem must configure
+    # this map explicitly.
     expand_keys: dict[str, str] = field(default_factory=dict)
 
     @classmethod

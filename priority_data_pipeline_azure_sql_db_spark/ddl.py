@@ -26,6 +26,10 @@ _SPARK_TO_SQL: dict[type, dict[str, str]] = {
     T.IntegerType: {"azuresql": "INT", "spark": "INT"},
     T.DoubleType: {"azuresql": "FLOAT", "spark": "DOUBLE"},
     T.TimestampType: {"azuresql": "DATETIMEOFFSET", "spark": "TIMESTAMP"},
+    # Edm.Boolean is in catalog.EDM_TO_SPARK — the sink DDL must accept
+    # every type the ingestion catalog admits
+    T.BooleanType: {"azuresql": "BIT", "spark": "BOOLEAN"},
+    T.DateType: {"azuresql": "DATE", "spark": "DATE"},
 }
 
 AUDIT_DDL = {
@@ -55,6 +59,11 @@ def create_table_ddl(
     Table/column names lowercased (O9, reference resources/sqlDwh.py:220-224).
     """
     pk_set = {c.lower() for c in pk}
+    # PK emitted in DECLARED order (order-preserving dedup): the PK is
+    # the clustered index in Azure SQL — sorted() would lead a composite
+    # key with its lowest-cardinality column and turn every by-leading-
+    # key lookup into a scan
+    pk_cols = list(dict.fromkeys(c.lower() for c in pk))
     cols: list[str] = []
     for f in schema.fields:
         name = f.name.lower()
@@ -67,7 +76,7 @@ def create_table_ddl(
         cols += [f"{n} {t}" for n, t in AUDIT_DDL[dialect]]
     body = ", ".join(cols)
     if dialect == "azuresql" and pk:
-        body += f", PRIMARY KEY ({', '.join(sorted(pk_set))})"
+        body += f", PRIMARY KEY ({', '.join(pk_cols)})"
     return f"CREATE TABLE IF NOT EXISTS {table.lower()} ({body})"
 
 

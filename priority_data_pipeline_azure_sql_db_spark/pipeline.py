@@ -37,7 +37,13 @@ from .config import EntityConfig, ExtractionConfig
 from .operators.store_io import write_partitioned
 from .operators.flatten import flatten_expand
 from .operators.merge import merge_upsert
-from .operators.normalize import add_audit_columns, align_schemas, lowercase_columns
+from .operators.normalize import (
+    AUDIT_ID_COL,
+    AUDIT_TS_COL,
+    add_audit_columns,
+    align_schemas,
+    lowercase_columns,
+)
 from .operators.watermark import watermark_filter
 from .sources.parquet import load_table
 
@@ -45,7 +51,7 @@ SUBFORM_SUFFIX = "_subform"
 
 
 PARTITION_COL = "_load_date"
-_AUDIT_TS = "extractiontimestamputc"
+_AUDIT_TS = AUDIT_TS_COL  # single source of truth: operators/normalize.py
 
 
 @dataclass
@@ -81,6 +87,10 @@ class StagingStore:
     def read(self, spark: SparkSession, table: str) -> DataFrame:
         """Read a staging table. The partition column is an internal layout
         detail and is dropped — readers see exactly what was staged."""
+        # roll forward any crashed merge swap before reading — a reader
+        # must never see the mid-swap state (partition deleted, its
+        # replacement still in tmp)
+        self._recover(table)
         # mergeSchema: after a schema-evolving merge, touched partitions
         # carry new columns older partitions lack — the union schema is
         # the table's real shape (plain reads sample one file's footer)
@@ -88,6 +98,7 @@ class StagingStore:
         return df.drop(PARTITION_COL) if PARTITION_COL in df.columns else df
 
     def overwrite(self, df: DataFrame, table: str) -> int:
+        self._recover(table)  # settle any crashed merge before replacing
         part = self._with_partition(df)
         if part is not None:
             if df.isEmpty():
@@ -119,20 +130,32 @@ class StagingStore:
         opened, let alone rewritten. The driver-side ``collect`` holds
         partition VALUES (load dates) — partition metadata, not data.
         """
+        self._recover(table)
         if not self.exists(table):
             return self.overwrite(delta, table)
         raw = spark.read.option("mergeSchema", "true").parquet(self.path(table))
         dpart = self._with_partition(delta)
         if PARTITION_COL not in raw.columns or dpart is None:
-            # legacy unpartitioned table: whole-table merge + swap
+            # legacy unpartitioned table: whole-table merge + swap.
+            # rename-aside, NEVER rmtree-before-replace: a crash between
+            # delete and replace would leave the only copy of the table
+            # in a tmp dir the next merge's overwrite clobbers — rows
+            # never re-sent by a later delta would be lost for good.
+            # The intent marker makes every crash window roll FORWARD
+            # (_recover): tmp is complete before the marker exists.
             target = raw.drop(PARTITION_COL) if PARTITION_COL in raw.columns else raw
             target, delta = align_schemas(target, delta)  # schema evolution
             merged = merge_upsert(target, delta, pk)
             tmp = self.path(table) + ".__tmp__"
             merged.write.mode("overwrite").parquet(tmp)
-            final = self.path(table)
-            shutil.rmtree(final, ignore_errors=True)
+            final, old = self.path(table), self.path(table) + ".__old__"
+            self._write_intent(table, {"kind": "table"})
+            shutil.rmtree(old, ignore_errors=True)
+            if os.path.isdir(final):
+                os.replace(final, old)
             os.replace(tmp, final)
+            shutil.rmtree(old, ignore_errors=True)
+            self._clear_intent(table)
             return self._count(spark, table)
 
         delta_keys = dpart.select(*pk).distinct()
@@ -158,16 +181,107 @@ class StagingStore:
         tmp = self.path(table) + ".__tmp__"
         self._with_partition(merged).write.mode("overwrite") \
             .partitionBy(PARTITION_COL).parquet(tmp)
-        final = self.path(table)
+        # intent AFTER tmp is complete, swaps after the intent: any
+        # crash from here rolls FORWARD in _recover (the partition swap
+        # is re-applied idempotently from tmp), so no window leaves a
+        # live partition deleted with its replacement stranded in tmp —
+        # the data-loss class compact() was already hardened against
+        subs = []
         for v in touched:
             part_val = v.isoformat() if v is not None else "__HIVE_DEFAULT_PARTITION__"
-            sub = f"{PARTITION_COL}={part_val}"
-            dst, src = os.path.join(final, sub), os.path.join(tmp, sub)
-            shutil.rmtree(dst, ignore_errors=True)
-            if os.path.isdir(src):
-                os.replace(src, dst)  # partition emptied by the merge: stays deleted
-        shutil.rmtree(tmp, ignore_errors=True)
+            subs.append(f"{PARTITION_COL}={part_val}")
+        # record WHICH subs tmp holds data for: on a replay, a data sub
+        # with no tmp source was already swapped (skip it) while an
+        # empty sub is re-deleted (idempotent) — without the split, a
+        # mid-swap crash replay would mistake a swapped sub for an
+        # emptied one and delete the just-committed new data
+        subs_data = [s for s in subs if os.path.isdir(os.path.join(tmp, s))]
+        subs_empty = [s for s in subs if s not in set(subs_data)]
+        self._write_intent(
+            table, {"kind": "parts", "data": subs_data, "empty": subs_empty}
+        )
+        self._apply_part_swap(table, subs_data, subs_empty)
+        self._clear_intent(table)
         return self._count(spark, table)
+
+    def _intent_path(self, table: str) -> str:
+        # sibling of the table dir: survives whole-table renames
+        return self.path(table) + ".__intent__.json"
+
+    def _write_intent(self, table: str, payload: dict) -> None:
+        import json
+
+        p = self._intent_path(table)
+        with open(p + ".part", "w") as fh:
+            json.dump(payload, fh)
+        os.replace(p + ".part", p)  # atomic: never a torn marker
+
+    def _clear_intent(self, table: str) -> None:
+        try:
+            os.remove(self._intent_path(table))
+        except FileNotFoundError:
+            pass
+
+    def _apply_part_swap(
+        self, table: str, subs_data: list[str], subs_empty: list[str]
+    ) -> None:
+        """Idempotently swap touched partitions in from tmp. ``subs_data``
+        have a tmp source (none present on a replay → already swapped,
+        skip); ``subs_empty`` were emptied by the merge (re-deleting is
+        a no-op)."""
+        final, tmp = self.path(table), self.path(table) + ".__tmp__"
+        for sub in subs_data:
+            src, dst = os.path.join(tmp, sub), os.path.join(final, sub)
+            if os.path.isdir(src):
+                shutil.rmtree(dst, ignore_errors=True)
+                os.replace(src, dst)
+        for sub in subs_empty:
+            shutil.rmtree(os.path.join(final, sub), ignore_errors=True)
+        shutil.rmtree(tmp, ignore_errors=True)
+
+    def _recover(self, table: str) -> None:
+        """Roll a crashed merge forward (idempotent; called before every
+        merge and read). No intent marker → any leftover tmp/old dirs
+        are pre-intent debris from an incomplete merge write: discard
+        them (the merge never committed; the live table is intact)."""
+        import json
+
+        final = self.path(table)
+        tmp, old = final + ".__tmp__", final + ".__old__"
+        marker = self._intent_path(table)
+        if not os.path.exists(marker):
+            shutil.rmtree(tmp, ignore_errors=True)
+            shutil.rmtree(old, ignore_errors=True)
+            return
+        try:
+            with open(marker) as fh:
+                intent = json.load(fh)
+        except (OSError, ValueError):
+            intent = None
+        if intent is None:
+            shutil.rmtree(tmp, ignore_errors=True)
+            shutil.rmtree(old, ignore_errors=True)
+            self._clear_intent(table)
+            return
+        if intent.get("kind") == "table":
+            if os.path.isdir(tmp):
+                # tmp is complete (the intent is written after it) —
+                # finish the swap from wherever the crash left it
+                if os.path.isdir(final):
+                    shutil.rmtree(old, ignore_errors=True)
+                    os.replace(final, old)
+                os.replace(tmp, final)
+            elif not os.path.isdir(final) and os.path.isdir(old):
+                # defensive (unreachable in the protocol: final only
+                # goes missing while tmp still exists): restore the
+                # pre-merge table rather than leave nothing
+                os.replace(old, final)
+            shutil.rmtree(old, ignore_errors=True)
+        else:
+            self._apply_part_swap(
+                table, intent.get("data", []), intent.get("empty", [])
+            )
+        self._clear_intent(table)
 
     def drop_all(self) -> int:
         """O17: drop every staging table."""
@@ -257,7 +371,7 @@ class StagingStore:
         return done
 
 
-AUDIT_EXCLUDE = ("extractionid", "extractiontimestamputc")
+AUDIT_EXCLUDE = (AUDIT_ID_COL, AUDIT_TS_COL)
 
 
 def cdc_audit_delta(
@@ -295,7 +409,10 @@ def cdc_audit_delta(
 @dataclass
 class RunResult:
     entity: str
-    tables: dict[str, int] = field(default_factory=dict)  # table -> rows written
+    # table -> row count of the staging table AFTER the load (full and
+    # incremental alike — NOT "rows in the delta": a merge reports the
+    # post-merge table size, same semantics as a full overwrite)
+    tables: dict[str, int] = field(default_factory=dict)
     error: str | None = None
     cdc: dict[str, dict[str, int]] = field(default_factory=dict)  # table -> {change_type: n}
     cdc_error: str | None = None  # audit is advisory: its failure never fails the load
@@ -311,6 +428,13 @@ class PipelineRunner:
         self.store = store
         self.source_dir = source_dir
         # Per-run audit identity (reference resources/priorityDataSource.py:65-66).
+        # Regenerated at the top of every refresh_data call — a reused
+        # runner must not stamp two runs with one identity, nor advance
+        # the bookmark back to construction time forever (which would
+        # grow every "incremental" window toward a full reload).
+        self._new_run_identity()
+
+    def _new_run_identity(self) -> None:
         self.extraction_id = str(uuid.uuid4())
         self.extraction_ts = datetime.now(timezone.utc).replace(tzinfo=None)
 
@@ -418,6 +542,12 @@ class PipelineRunner:
         for table, df in outputs.items():
             src = table.removeprefix("stg_")
             if incremental and self.store.exists(table):
+                # the delta plan (scan → watermark filter → flatten →
+                # audit columns) is executed by the CDC audit write AND
+                # 2-3 times inside merge (touched-partition probes + the
+                # tmp write) — cache it once instead of re-running the
+                # full extract per action
+                df = df.cache()
                 if src == ent.entity_id.lower():
                     key = primary_key(src)
                 else:  # sub-form child
@@ -443,8 +573,18 @@ class PipelineRunner:
                             }
                     except Exception as exc:  # advisory: never block the load
                         if result is not None:
-                            result.cdc_error = f"{type(exc).__name__}: {exc}"
-                written[table] = self.store.merge(self.spark, df, table, key)
+                            # ACCUMULATE per table — a scalar overwrite
+                            # would keep only the last failing table's
+                            # error in a multi-table entity
+                            msg = f"{table}: {type(exc).__name__}: {exc}"
+                            result.cdc_error = (
+                                f"{result.cdc_error}; {msg}"
+                                if result.cdc_error else msg
+                            )
+                try:
+                    written[table] = self.store.merge(self.spark, df, table, key)
+                finally:
+                    df.unpersist()
             else:
                 written[table] = self.store.overwrite(df, table)
         return written
@@ -456,6 +596,7 @@ class PipelineRunner:
         """EP1: per-entity extract→parse→load→bookmark, fail-soft (O22).
         ``cdc_audit`` opts each incremental merge into the persisted
         per-row change audit (see :meth:`load_entity`)."""
+        self._new_run_identity()  # one fresh (id, ts) per run, not per runner
         results: list[RunResult] = []
         for ent in self.config.entities:
             res = RunResult(entity=ent.entity_id)

@@ -3,9 +3,12 @@
 Running per-user event counter with a high-value alert flag — the shape
 of any custom stateful op (fraud scoring, session enrichment, dedup
 windows): grouped state keyed by user, Arrow-batched updates, timeout
-handling. State is O(active keys), bounded by the processing-time
-timeout.
-"""
+handling. State is O(all keys ever seen) by default — the exact
+RUNNING-total semantics the hash-checked query needs — and O(active
+keys) when ``idle_timeout_ms`` opts into processing-time eviction
+(idle users' state is dropped; a re-appearing user restarts from zero —
+the right trade for alerting-style ops on unbounded key spaces, wrong
+for exact lifetime totals)."""
 
 from __future__ import annotations
 
@@ -40,13 +43,56 @@ def _update(key, pdfs, state: GroupState):
     )
 
 
-def running_user_totals(events: DataFrame) -> DataFrame:
-    """Stateful per-user running totals over a stream of events."""
+def running_user_totals(
+    events: DataFrame, idle_timeout_ms: int | None = None
+) -> DataFrame:
+    """Stateful per-user running totals over a stream of events.
+
+    Default: exact lifetime totals (state never evicted — unbounded key
+    spaces grow the store; that is inherent to the semantics, not a
+    leak). ``idle_timeout_ms`` bounds the store to ACTIVE keys instead:
+    a user idle past the timeout has their state removed (emitting
+    nothing — the last emitted total stands in the sink), and restarts
+    from zero on reappearance.
+
+    ENVIRONMENT GATE (same class as the TWS twin below): in this
+    sandbox, aIPWS + ProcessingTimeTimeout wedges an availableNow drain
+    at the second micro-batch's state-store commit regardless of the
+    timeout value (measured at 1 h and 0.5 s — not a timer artifact);
+    the eviction path is therefore gate-tested
+    (tests/test_scale_utils.py::test_stateful_running_totals_idle_timeout_path)
+    and the hash-checked driver query uses the default exact path."""
+    if idle_timeout_ms is None:
+        return (
+            events.groupBy("user_id")
+            .applyInPandasWithState(
+                _update, OUTPUT_SCHEMA, STATE_SCHEMA, "update",
+                GroupStateTimeout.NoTimeout,
+            )
+        )
+
+    def _update_evicting(key, pdfs, state: GroupState):
+        import pandas as pd
+
+        if state.hasTimedOut:
+            state.remove()
+            return
+        n, v = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            v += float(pdf["value"].sum())
+        state.update((n, v))
+        state.setTimeoutDuration(idle_timeout_ms)
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events_total": [n], "value_total": [v],
+             "alert": [v > 1000.0]}
+        )
+
     return (
         events.groupBy("user_id")
         .applyInPandasWithState(
-            _update, OUTPUT_SCHEMA, STATE_SCHEMA, "update",
-            GroupStateTimeout.NoTimeout,
+            _update_evicting, OUTPUT_SCHEMA, STATE_SCHEMA, "update",
+            GroupStateTimeout.ProcessingTimeTimeout,
         )
     )
 

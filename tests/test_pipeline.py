@@ -682,3 +682,131 @@ def test_streaming_merge_skips_empty_batches(spark, tmp_path):
     )
     assert q2.awaitTermination(300)
     assert store.read(spark, "t").count() == 1
+
+
+def _mk_store_with_table(spark, sf_dir, tmp_path):
+    """Seed a partitioned staging table via the real overwrite path."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from priority_data_pipeline_azure_sql_db_spark.operators.normalize import add_audit_columns
+    from priority_data_pipeline_azure_sql_db_spark.pipeline import StagingStore
+    from priority_data_pipeline_azure_sql_db_spark.sources.parquet import load_table
+    from datetime import datetime
+
+    store = StagingStore(str(tmp_path / "stg"))
+    o = load_table(spark, sf_dir, "orders").limit(200)
+    # two load dates -> two partitions
+    a = add_audit_columns(o.filter(F.col("o_orderkey") % 2 == 0), "r1",
+                          datetime(2026, 1, 1))
+    b = add_audit_columns(o.filter(F.col("o_orderkey") % 2 == 1), "r2",
+                          datetime(2026, 1, 2))
+    store.overwrite(a.unionByName(b), "stg_orders")
+    return store, os
+
+
+def test_merge_crash_rolls_forward_partitioned(spark, sf_dir, tmp_path):
+    """A crash mid-partition-swap (intent written, some partitions
+    swapped, tmp still holding the rest) rolls FORWARD on the next read:
+    no partition is lost, the merged data is fully visible. Pre-fix the
+    swap rmtree'd the live partition before replacing it — a crash there
+    stranded the only copy in a tmp dir the next merge clobbered."""
+    import json
+    import shutil
+
+    store, os = _mk_store_with_table(spark, sf_dir, tmp_path)
+    before = store.read(spark, "stg_orders").count()
+    final = store.path("stg_orders")
+    tmp = final + ".__tmp__"
+    # hand-craft the crash window: tmp holds the NEW copy of partition
+    # 2026-01-01 (here: the existing one, relocated), the live dir was
+    # already deleted, the intent is on disk, the process "died"
+    sub = "_load_date=2026-01-01"
+    os.makedirs(tmp, exist_ok=True)
+    os.replace(os.path.join(final, sub), os.path.join(tmp, sub))
+    with open(final + ".__intent__.json", "w") as fh:
+        json.dump({"kind": "parts", "data": [sub], "empty": []}, fh)
+    # reader after the crash sees the COMPLETE table (rolled forward)
+    assert store.read(spark, "stg_orders").count() == before
+    assert not os.path.isdir(tmp)
+    assert not os.path.exists(final + ".__intent__.json")
+    # replaying recovery is a no-op
+    store._recover("stg_orders")
+    assert store.read(spark, "stg_orders").count() == before
+    shutil.rmtree(store.root, ignore_errors=True)
+
+
+def test_merge_crash_rolls_forward_whole_table(spark, sf_dir, tmp_path):
+    """Legacy unpartitioned swap: a crash after final->old rename (tmp
+    complete, final missing) promotes tmp on the next access instead of
+    losing the table."""
+    import json
+
+    from priority_data_pipeline_azure_sql_db_spark.pipeline import StagingStore
+    from priority_data_pipeline_azure_sql_db_spark.sources.parquet import load_table
+
+    store = StagingStore(str(tmp_path / "stg2"))
+    n = load_table(spark, sf_dir, "nation")
+    store.overwrite(n, "stg_nation")  # no audit ts -> unpartitioned
+    before = store.read(spark, "stg_nation").count()
+    final = store.path("stg_nation")
+    import os
+    # crash state: table renamed aside, new copy still in tmp
+    os.replace(final, final + ".__old__")
+    os.makedirs(final + ".__tmp__", exist_ok=True)
+    import shutil
+    shutil.rmtree(final + ".__tmp__")
+    shutil.copytree(final + ".__old__", final + ".__tmp__")
+    with open(final + ".__intent__.json", "w") as fh:
+        json.dump({"kind": "table"}, fh)
+    assert store.read(spark, "stg_nation").count() == before
+    assert not os.path.isdir(final + ".__old__")
+    assert not os.path.isdir(final + ".__tmp__")
+
+
+def test_runner_fresh_identity_per_refresh(spark, sf_dir, tmp_path):
+    """A reused runner stamps each refresh with a FRESH extraction
+    identity and advances the bookmark to THAT run's time — pre-fix the
+    construction-time identity made every later 'incremental' window
+    restart from t0 (monotonically growing reloads, collapsed lineage)."""
+    from priority_data_pipeline_azure_sql_db_spark.config import ExtractionConfig
+    from priority_data_pipeline_azure_sql_db_spark.pipeline import PipelineRunner, StagingStore
+
+    cfg = ExtractionConfig.from_dict({
+        "datasourceName": "x", "systemTimezone": "UTC",
+        "entities": [{
+            "EntityID": "nation", "filterFlag": False, "expand": [],
+            "lastRun": None, "dataStartDate": "1990-01-01 00:00:00",
+        }],
+    })
+    runner = PipelineRunner(spark, cfg, StagingStore(str(tmp_path / "stg3")), sf_dir)
+    runner.refresh_data(incremental=False)
+    id1, ts1 = runner.extraction_id, runner.extraction_ts
+    runner.refresh_data(incremental=False)
+    id2, ts2 = runner.extraction_id, runner.extraction_ts
+    assert id1 != id2
+    assert ts2 >= ts1
+    assert cfg.entities[0].last_run == cfg.format_bookmark(
+        ts2.replace(tzinfo=__import__("datetime").timezone.utc)
+    )
+
+
+def test_ddl_boolean_and_pk_order():
+    """The sink DDL accepts every catalog type (Edm.Boolean -> BIT) and
+    emits composite PKs in DECLARED order (the clustered index), not
+    alphabetical."""
+    from pyspark.sql import types as T
+
+    from priority_data_pipeline_azure_sql_db_spark.ddl import create_table_ddl
+
+    schema = T.StructType([
+        T.StructField("l_orderkey", T.LongType()),
+        T.StructField("l_linenumber", T.IntegerType()),
+        T.StructField("returned", T.BooleanType()),
+    ])
+    ddl = create_table_ddl("lineitem", schema,
+                           pk=["l_orderkey", "l_linenumber"],
+                           dialect="azuresql", with_audit=False)
+    assert "returned BIT" in ddl
+    assert "PRIMARY KEY (l_orderkey, l_linenumber)" in ddl
