@@ -45,6 +45,12 @@ WATERMARK = "1998-01-01 00:00:00"
 
 def query(name: str, oracle: str | None = None):
     def deco(fn):
+        if name in QUERIES:
+            # a silent overwrite would drop the original from the
+            # driver's correctness surface undetected — and a rows-only
+            # re-registration would leave the OLD oracle paired with
+            # the NEW function, hash-checking it against the wrong SQL
+            raise ValueError(f"duplicate query registration: {name!r}")
         QUERIES[name] = fn
         if oracle is not None:
             ORACLE_SQL[name] = oracle
@@ -55,6 +61,22 @@ def query(name: str, oracle: str | None = None):
 def _dsum(col, scale: int = 6):
     """Decimal-bridge sum: deterministic across engines (see module doc)."""
     return F.sum(col.cast(f"decimal(18,{scale})")).cast("double")
+
+
+def _day_rollup(ev):
+    """The (day, event_type) rollup leaf SHARED by the batch store
+    (events_rollup_incremental) and the streaming store
+    (streaming_rollup_maintenance): both fold the same decimal partials,
+    so the two stores can only stay oracle-consistent if the leaf is
+    ONE function (two inline copies drifted-apart risk — the _fix6
+    lesson). sum_value stays DECIMAL here: the stores fold partials;
+    the final projection casts to double."""
+    return ev.groupBy(
+        F.date_trunc("day", "ts").alias("day"), "event_type"
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.sum(F.col("value").cast("decimal(18,6)")).alias("sum_value"),
+    )
 
 
 def _fix6(col):
@@ -1271,21 +1293,50 @@ def type_mapping_enrichment(spark, sf_dir):
     )
 
 
+def _resident_root():
+    """This process's resident-artifact root, created once per session
+    with a random token (not the pid: a recycled pid would inherit a
+    dead process's stale stores) and removed at interpreter exit so a
+    machine running many comparator/bench processes doesn't accumulate
+    one full corpus copy per run (only a crash leaks debris — bounded
+    by crash count, not run count)."""
+    import atexit
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    global _RESIDENT_ROOT
+    if _RESIDENT_ROOT is None:
+        _RESIDENT_ROOT = os.path.join(
+            tempfile.gettempdir(), f"spark_graft_res_{uuid.uuid4().hex[:10]}"
+        )
+        os.makedirs(_RESIDENT_ROOT, exist_ok=True)
+        atexit.register(shutil.rmtree, _RESIDENT_ROOT, ignore_errors=True)
+    return _RESIDENT_ROOT
+
+
+_RESIDENT_ROOT = None
+
+
 def _resident_path(prefix, sf_dir):
     """Deterministic per-(process, sf_dir) scratch path for resident
     artifacts (persisted indexes, staging stores, shard exports):
     build-once/serve-many within a process, never stale across
-    processes (pid in the name), never cross-contaminated across scale
-    factors, and overwritten in place instead of leaking a fresh
-    mkdtemp per call (ADVICE r6). ONE implementation — five inline
-    copies of this f-string drifted apart once already."""
+    processes (fresh session root — see _resident_root), never
+    cross-contaminated across datasets (the key is a hash of the
+    ABSOLUTE fixture path: two different dirs that share a basename,
+    e.g. v1/sf0.1 vs v2/sf0.1, must never share a store), and
+    overwritten in place instead of leaking a fresh mkdtemp per call
+    (ADVICE r6). ONE implementation — five inline copies of this
+    f-string drifted apart once already."""
+    import hashlib
     import os
-    import tempfile
 
-    return os.path.join(
-        tempfile.gettempdir(),
-        f"{prefix}_{os.getpid()}_{os.path.basename(os.path.normpath(sf_dir))}",
-    )
+    key = hashlib.md5(
+        os.path.abspath(os.path.normpath(sf_dir)).encode()
+    ).hexdigest()[:10]
+    return os.path.join(_resident_root(), f"{prefix}_{key}")
 
 
 # shared by the one-shot near-dup query and the persisted-index serve
@@ -2606,7 +2657,7 @@ def streaming_merge_staging(spark, sf_dir):
     return store.read(spark, "events").groupBy("event_type").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_events"),
         F.countDistinct("event_id").cast("bigint").alias("n_ids"),
-        F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("sum_value"),
+        _dsum(F.col("value")).alias("sum_value"),
     )
 
 
@@ -5267,21 +5318,13 @@ def events_rollup_incremental(spark, sf_dir):
 
     from .operators.merge import combine_rollups
 
-    def day_rollup(ev):
-        return ev.groupBy(
-            F.date_trunc("day", "ts").alias("day"), "event_type"
-        ).agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_events"),
-            F.sum(F.col("value").cast("decimal(18,6)")).alias("sum_value"),
-        )
-
     e = load_table(spark, sf_dir, "events")
     base_path = _resident_path("events_rollup_base", sf_dir)
     if not os.path.exists(os.path.join(base_path, "_SUCCESS")):
-        day_rollup(e.filter(F.col("event_id") % 10 < 8)) \
+        _day_rollup(e.filter(F.col("event_id") % 10 < 8)) \
             .write.mode("overwrite").parquet(base_path)
     standing = spark.read.parquet(base_path)
-    delta = day_rollup(e.filter(F.col("event_id") % 10 >= 8))
+    delta = _day_rollup(e.filter(F.col("event_id") % 10 >= 8))
     merged = combine_rollups(
         [standing, delta], ["day", "event_type"], ["n_events", "sum_value"]
     )
@@ -6284,17 +6327,9 @@ def streaming_rollup_maintenance(spark, sf_dir):
     from .streaming.events import read_events_stream
     from .streaming.sink import read_rollup_store, stream_rollup_into_store
 
-    def day_rollup(ev):
-        return ev.groupBy(
-            F.date_trunc("day", "ts").alias("day"), "event_type"
-        ).agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_events"),
-            F.sum(F.col("value").cast("decimal(18,6)")).alias("sum_value"),
-        )
-
     base = _resident_path("stream_rollup", sf_dir)
     q = stream_rollup_into_store(
-        read_events_stream(spark, sf_dir), day_rollup,
+        read_events_stream(spark, sf_dir), _day_rollup,
         os.path.join(base, "store"), ["day", "event_type"],
         ["n_events", "sum_value"], os.path.join(base, "ckpt"),
     )
@@ -7242,16 +7277,20 @@ def events_conversion_latency(spark, sf_dir):
         ).cast("bigint"),
     )
     n = lat.groupBy().agg(F.count(F.lit(1)).cast("bigint").alias("n")).coalesce(1)
-    med = (
+    # drive the output row from `n` (always exactly one row, even with
+    # ZERO converting users) so the empty case yields (0, NULL) like
+    # the oracle's FROM n — aggregating the filtered cdf alone would
+    # return (NULL, NULL) when no user converts
+    best = (
         cdf.crossJoin(F.broadcast(n))
         .filter(F.col("cum") * 2 >= F.col("n"))
         .groupBy()
-        .agg(
-            F.min("sec").cast("bigint").alias("median_latency_sec"),
-            F.first("n").alias("n_users"),
-        )
+        .agg(F.min("sec").cast("bigint").alias("median_latency_sec"))
+        .coalesce(1)
     )
-    return med.select("n_users", "median_latency_sec")
+    return n.crossJoin(F.broadcast(best)).select(
+        F.col("n").alias("n_users"), "median_latency_sec"
+    )
 
 
 @query(
@@ -8109,10 +8148,21 @@ def export_curriculum_readback(spark, sf_dir):
     d = load_table(spark, sf_dir, "documents").select(
         "doc_id", F.length("text").cast("double").alias("score")
     )
-    out = _resident_path("curriculum_shards", sf_dir)
+    # own prefix (not "curriculum_shards"): sharing the export query's
+    # mutable store would let its overwrite race this query's lazy scan
+    out = _resident_path("curriculum_readback", sf_dir)
     write_ordered_shards(d, out, ["score", "doc_id"], n_shards=8)
+    # _mono captures the PHYSICAL row order of the read-back files:
+    # ranking by it (not by re-sorting on score) is what makes this
+    # check sensitive to an internally UNSORTED shard — re-deriving the
+    # rank from the sort keys would hash green no matter how the rows
+    # were laid out, covering only range non-overlap. monotonically
+    # increasing ids order by (scan partition, row), and scan partitions
+    # follow file/row-group offset order, so per shard this IS the
+    # written layout.
     back = spark.read.parquet(out).select(
-        "doc_id", "score", F.col("shard").cast("int").alias("shard")
+        "doc_id", "score", F.col("shard").cast("int").alias("shard"),
+        F.monotonically_increasing_id().alias("_mono"),
     )
     per_shard = back.groupBy("shard").agg(
         F.count(F.lit(1)).cast("bigint").alias("_n")
@@ -8125,7 +8175,7 @@ def export_curriculum_readback(spark, sf_dir):
         "shard",
         F.coalesce(F.sum("_n").over(w_off), F.lit(0)).alias("_offset"),
     )
-    w_rank = Window.partitionBy("shard").orderBy("score", "doc_id")
+    w_rank = Window.partitionBy("shard").orderBy("_mono")
     return (
         back.withColumn("_rank", F.row_number().over(w_rank))
         .join(F.broadcast(offsets), "shard")

@@ -146,7 +146,16 @@ def click_error_join_stream(spark: SparkSession, sf_dir: str,
 
 def run_streaming_to_memory(agg: DataFrame, mode: str = "complete") -> DataFrame:
     """Drive a streaming aggregation to completion synchronously against a
-    memory sink (test harness path) and return the final batch result."""
+    memory sink (test harness path) and return the final batch result.
+
+    The memory sink pins the full result in DRIVER heap under a
+    uniquely-named temp view — without the drop below, every call in a
+    comparator/bench session leaks one complete result for the session
+    lifetime (the cached-relation-per-serve leak class). The result is
+    detached into a local-backed DataFrame first; memory sinks are
+    driver-sized by design (this is the harness path, never a
+    production sink), so the copy does not change the asymptotics."""
+    spark = agg.sparkSession
     name = f"stream_out_{uuid.uuid4().hex[:8]}"
     q = (
         agg.writeStream.outputMode(mode)
@@ -156,7 +165,10 @@ def run_streaming_to_memory(agg: DataFrame, mode: str = "complete") -> DataFrame
         .start()
     )
     q.awaitTermination()
-    return agg.sparkSession.sql(f"SELECT * FROM {name}")
+    sunk = spark.sql(f"SELECT * FROM {name}")
+    out = spark.createDataFrame(sunk.collect(), sunk.schema)
+    spark.catalog.dropTempView(name)
+    return out
 
 
 def sliding_counts(events: DataFrame, window: str = "2 hours",

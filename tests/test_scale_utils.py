@@ -1803,3 +1803,35 @@ def test_stateful_running_totals_idle_timeout_path(spark, sf_dir):
     for uid, (n, v) in batch.items():
         assert got[uid].n_events_total == n
         assert round(got[uid].value_total, 6) == v
+
+
+def test_query_registry_duplicate_guard():
+    """@query fails loud on a duplicate name — a silent overwrite would
+    drop the original from the driver's correctness surface, and a
+    rows-only re-registration would pair the OLD oracle with the NEW
+    function."""
+    import pytest
+
+    from priority_data_pipeline_azure_sql_db_spark.queries import query
+
+    with pytest.raises(ValueError, match="duplicate query registration"):
+        @query("pipeline_count_rows")
+        def clash(spark, sf_dir):  # pragma: no cover
+            return None
+
+
+def test_resident_path_distinct_dirs_same_basename(tmp_path):
+    """Two fixture dirs sharing a basename (v1/sf0.1 vs v2/sf0.1) get
+    DISTINCT resident stores — pre-fix they collided on basename and a
+    build-once gate served v1 state against v2 data."""
+    import os
+
+    from priority_data_pipeline_azure_sql_db_spark.queries import _resident_path
+
+    a = tmp_path / "v1" / "sf0.1"
+    b = tmp_path / "v2" / "sf0.1"
+    os.makedirs(a); os.makedirs(b)
+    pa, pb = _resident_path("x", str(a)), _resident_path("x", str(b))
+    assert pa != pb
+    # stable within the process for the same dir
+    assert pa == _resident_path("x", str(a))
