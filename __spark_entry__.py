@@ -72,6 +72,22 @@ def entry(spark: SparkSession) -> DataFrame:
 # hash oracle (the hyperplanes were md5-derived all along, so the
 # DuckDB twin regenerates them bit-identically — registry now
 # 197 queries / 188 oracled / 9 rows-only by design).
+#
+# LATE ROUND-10 REVIEW FIXES (seven adversarial passes, see SURVEY.md):
+# every entry whose code or oracle changed was comparator-verified at
+# sf0.01 the session it changed (plus a full 188-query sweep), and the
+# oracle-TEXT-changed set also at sf0.1. Additional r11 window-head
+# material (changed-oracle divergence risk): the 16 token-count
+# replays upgraded to the list_filter zero-for-empty form
+# (text_quality_score, text_token_stats, text_cleaning_pass_profile,
+# profile_data_card, sample_source_budget, pack_training_sequences,
+# pack_materialized_sequences, pack_document_chunks,
+# export_training_shards, export_jsonl_corpus, pipeline_curation_v2/
+# v3/e2e/incremental, dedup_contamination_check, sample_quality_weighted),
+# text_lm_quality_score (doc-universe left join: 0/1-token docs now
+# score (0, NULL)), export_curriculum_readback (ranks by PHYSICAL file
+# order — the check is now sensitive to an unsorted shard), and
+# events_conversion_latency (empty-converter edge now (0, NULL)).
 CHECK_ORDER = [
     # (1) round-9 code/oracle-changed entries — divergence-risk head
     "multimodal_frame_sample",
