@@ -203,12 +203,40 @@ def build_er_index(
 def ensure_er_index(base: DataFrame, path: str, **kwargs) -> str:
     """Build-if-absent gate (the serve-many entry point): gated on the
     LAST build artifact's ``_SUCCESS``; also rolls forward a crashed
-    append's pending bucket swaps before anyone reads the map."""
+    append's pending bucket swaps before anyone reads the map.
+
+    The standing META is COMPARED against this call's parameters —
+    asking for a different (key_col, block_cols, max_edit, ...) at an
+    existing path would otherwise silently serve a cluster map built
+    under other matching semantics (the dedup-store params-manifest
+    lesson, applied to the store that already had the manifest but
+    never checked it)."""
+    import inspect
+
     marker = os.path.join(path, CLUSTERS_DIR, "_SUCCESS")
-    if os.path.exists(marker):
-        _roll_forward(path)
-    else:
+    if not os.path.exists(marker):
         build_er_index(base, path, **kwargs)
+        return path
+    _roll_forward(path)
+    sig = inspect.signature(build_er_index)
+    bound = sig.bind(base, path, **kwargs)
+    bound.apply_defaults()
+    want = {
+        k: bound.arguments[k]
+        for k in ("key_col", "id_col", "block_cols", "max_edit", "n_buckets")
+    }
+    try:
+        with open(os.path.join(path, META_FILE)) as fh:
+            have = json.load(fh)
+    except (OSError, ValueError):
+        have = None
+    if have != want:
+        raise ValueError(
+            f"ER index at {path} was built with {have}, but this call "
+            f"asks for {want} — use a different path per parameter set "
+            "(serving a mismatched store would return wrong clusters "
+            "without any error)"
+        )
     return path
 
 

@@ -32,13 +32,19 @@ def tokens(col: Column) -> Column:
 
 
 def token_count(col: Column) -> Column:
-    """Whitespace token count; 0 for empty/whitespace-only text.
-    ``split('')`` yields ``['']`` — without the guard every empty doc
-    counts ONE phantom token, consuming a packed-sequence slot (shifting
-    every later offset) and billing a token against source budgets.
-    DuckDB twin: ``len(list_filter(string_split_regex(trim(x), '\\s+'),
-    t -> t <> ''))``."""
-    return F.when(F.trim(col) == "", F.lit(0)).otherwise(F.size(tokens(col)))
+    """Whitespace token count; 0 for empty/whitespace-only text and no
+    phantom token for leading non-space whitespace. ``split`` emits
+    empty strings wherever the splitter touches a boundary (``''`` →
+    ``['']``; ``'\\ta'`` → ``['', 'a']`` because trim strips only
+    SPACES in both engines) — counting them billed phantom tokens
+    against packed-sequence slots and source budgets. Counting the
+    NON-EMPTY tokens is the exact semantic, identical to the DuckDB
+    twin ``len(list_filter(string_split_regex(trim(x), '\\s+'),
+    t -> t <> ''))``; property-pinned against Python ``str.split()``
+    (tests/test_properties.py). The trivial HOF lambda carries no
+    inlined expressions, so the per-element interpretation cost is one
+    comparison."""
+    return F.size(F.filter(tokens(col), lambda t: t != ""))
 
 
 # GPT-2-style pre-tokenizer, simplified to the RE2-safe core: letter runs,

@@ -523,3 +523,76 @@ def test_avi_total_over_damage_property(cut_frac, flip_at_frac, seed):
         assert 1 <= len(payloads) <= 4  # at most one boundary broke
     except (ValueError, NotImplementedError):
         pass
+
+
+# ---------------------------------------------------------------------------
+# round-10 review-fix properties
+# ---------------------------------------------------------------------------
+
+_texts = st.lists(
+    st.text(
+        alphabet=st.sampled_from(list("ab |.\t")), min_size=0, max_size=24
+    ),
+    min_size=1, max_size=6,
+)
+
+
+@SETTINGS
+@given(texts=_texts)
+def test_token_count_matches_python_reference(spark, texts):
+    """token_count ≡ len(text.split()) for ANY text incl. empty /
+    whitespace-only / metacharacter-heavy (the phantom-token fix)."""
+    from priority_data_pipeline_azure_sql_db_spark.operators.text import token_count
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "i long, text string"
+    )
+    got = {r.i: r.n for r in df.select(
+        "i", token_count(F.col("text")).alias("n")).collect()}
+    for i, t in enumerate(texts):
+        assert got[i] == len(t.split()), (t, got[i])
+
+
+@SETTINGS
+@given(
+    sep=st.sampled_from(["|", ".", "*", "+", "(", "\\", "\n", "x"]),
+    lines=st.lists(
+        st.text(alphabet=st.sampled_from(list("abc ")), min_size=1, max_size=8),
+        min_size=1, max_size=5,
+    ),
+)
+def test_boilerplate_separator_literal_roundtrip(spark, sep, lines):
+    """With min_docs high enough that NOTHING is boilerplate, split +
+    reassemble over ANY separator (incl. every regex metacharacter) is
+    the identity — the \\Q..\\E quoting property."""
+    from priority_data_pipeline_azure_sql_db_spark.operators.dedup import (
+        remove_boilerplate_lines,
+    )
+
+    text = sep.join(lines)
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    out = remove_boilerplate_lines(df, sep=sep, min_docs=99, drop_empty=False)
+    rows = out.collect()
+    assert len(rows) == 1 and rows[0].text == text
+
+
+@SETTINGS
+@given(
+    payloads=st.lists(
+        st.text(alphabet=st.sampled_from(list("xyz")), min_size=1, max_size=4),
+        min_size=2, max_size=5,
+    ),
+    nparts=st.integers(min_value=1, max_value=8),
+)
+def test_dedup_within_tie_partition_invariant(spark, payloads, nparts):
+    """dedup_within's winner under full order_col ties is invariant to
+    input partitioning and row order (content-hash tiebreak)."""
+    from priority_data_pipeline_azure_sql_db_spark.operators.merge import dedup_within
+
+    rows = [(1, 7, p) for p in payloads]
+    a = spark.createDataFrame(rows, "pk long, ver long, v string")
+    b = spark.createDataFrame(list(reversed(rows)), "pk long, ver long, v string") \
+        .repartition(nparts)
+    va = dedup_within(a, ["pk"], "ver").collect()[0].v
+    vb = dedup_within(b, ["pk"], "ver").collect()[0].v
+    assert va == vb

@@ -1835,3 +1835,27 @@ def test_resident_path_distinct_dirs_same_basename(tmp_path):
     assert pa != pb
     # stable within the process for the same dir
     assert pa == _resident_path("x", str(a))
+
+
+def test_er_index_params_guard(spark, tmp_path):
+    """ensure_er_index COMPARES the standing META against the call's
+    parameters — a different blocking key / edit budget at an existing
+    path fails loud instead of silently serving clusters computed under
+    other matching semantics; identical params serve as-is."""
+    import pytest
+
+    from priority_data_pipeline_azure_sql_db_spark.operators import er_index as EI
+
+    base = spark.sql(
+        "SELECT * FROM VALUES (1, 'aaaa0001', 10), (2, 'aaaa0002', 10), "
+        "(5, 'bbbb0001', 20) AS t(id, name, grp)"
+    )
+    kw = dict(key_col="name", id_col="id", block_cols=["grp"],
+              max_edit=2, n_buckets=4)
+    p = str(tmp_path / "er_guard")
+    EI.ensure_er_index(base, p, **kw)
+    EI.ensure_er_index(base, p, **kw)  # same params: serve, no error
+    with pytest.raises(ValueError, match="was built with"):
+        EI.ensure_er_index(base, p, **{**kw, "max_edit": 1})
+    with pytest.raises(ValueError, match="was built with"):
+        EI.ensure_er_index(base, p, **{**kw, "block_cols": ["name"]})
