@@ -245,8 +245,15 @@ def decode_png(content: bytes) -> np.ndarray:
         (length,) = struct.unpack_from(">I", content, pos)
         ctype = content[pos + 4: pos + 8]
         body = content[pos + 8: pos + 8 + length]
-        if len(body) < length:
+        if len(body) < length or pos + 12 + length > len(content):
             raise ValueError(f"truncated PNG chunk {ctype!r}")
+        # verify the chunk CRC: corruption in chunks zlib's adler32
+        # can't see (PLTE, tRNS, IHDR) otherwise decodes to silently
+        # WRONG pixels where every independent decoder raises —
+        # defeating the flipped-byte-lands-on-the-stub totality goal
+        (crc,) = struct.unpack_from(">I", content, pos + 8 + length)
+        if zlib.crc32(ctype + body) & 0xFFFFFFFF != crc:
+            raise ValueError(f"PNG chunk {ctype!r} CRC mismatch")
         if ctype == b"IHDR":
             ihdr = struct.unpack(">IIBBBBB", body)
         elif ctype == b"PLTE":
@@ -311,10 +318,30 @@ def decode_png(content: bytes) -> np.ndarray:
         # 16 -> 8 bit: keep the big-endian high byte (the standard
         # consumer downscale; the codec contract is uint8 pixels)
         out = out.reshape(h, w, channels, 2)[:, :, :, 0]
-    if color in (2, 6):
+    if color == 6:
+        return out
+    if color == 2:  # truecolor (+ optional tRNS transparent-color -> RGBA)
+        if trns is not None and len(trns) >= 6:
+            shift = 8 if depth == 16 else 0
+            tr = np.array([
+                (struct.unpack_from(">H", trns, 2 * i)[0] >> shift) & 0xFF
+                for i in range(3)
+            ], dtype=np.uint8)
+            alpha = np.where(
+                (out == tr).all(axis=2), 0, 255
+            ).astype(np.uint8)[:, :, None]
+            return np.concatenate([out, alpha], axis=2)
         return out
     if color == 0:  # grayscale -> replicated RGB (decode_jpeg's stance)
-        return np.repeat(out, 3, axis=2)
+        rgb = np.repeat(out, 3, axis=2)
+        if trns is not None and len(trns) >= 2:
+            shift = 8 if depth == 16 else 0
+            tg = (struct.unpack_from(">H", trns, 0)[0] >> shift) & 0xFF
+            alpha = np.where(
+                out[:, :, 0] == tg, 0, 255
+            ).astype(np.uint8)[:, :, None]
+            return np.concatenate([rgb, alpha], axis=2)
+        return rgb
     if color == 4:  # gray + alpha -> RGBA
         g, a = out[:, :, 0:1], out[:, :, 1:2]
         return np.concatenate([g, g, g, a], axis=2)
@@ -399,6 +426,14 @@ def decode_wav(content: bytes) -> tuple[int, np.ndarray]:
     while pos + 8 <= len(content):
         cid, size = struct.unpack_from("<4sI", content, pos)
         body = content[pos + 8: pos + 8 + size]
+        if len(body) < size:
+            # honor the declared chunk size: a short slice would decode
+            # a truncated file to silently shorter audio (wrong
+            # duration/RMS) instead of the advertised loud failure
+            raise ValueError(
+                f"truncated WAV: chunk {cid!r} declares {size} bytes, "
+                f"{len(body)} present"
+            )
         if cid == b"fmt ":
             if len(body) < 16:
                 raise ValueError(f"malformed fmt chunk ({len(body)} bytes)")
@@ -425,12 +460,19 @@ def decode_wav(content: bytes) -> tuple[int, np.ndarray]:
 
 def encode_wav(sample_rate: int, samples: np.ndarray) -> bytes:
     """Encode an (n_frames, n_channels) float array in [-1, 1] as
-    16-bit PCM WAV — the exact layout :func:`decode_wav` parses."""
+    16-bit PCM WAV — the exact layout :func:`decode_wav` parses.
+
+    Scaling is SYMMETRIC with decode (×32768 here, ÷32768 there, clip
+    at the int16 ceiling): encode(decode(pcm)) is the bit identity for
+    every int16 sample. The old ×32767 form attenuated every
+    |s| ≥ 16384 by one LSB per transcode — a drift an independent tool
+    sees while bounded-error round-trip tests stay green. Only exact
+    +1.0 clips (to 32767); decode can never produce it."""
     arr = np.asarray(samples, dtype=np.float64)
     if arr.ndim == 1:
         arr = arr[:, None]  # 1-D input → mono column
     n_frames, n_channels = arr.shape
-    pcm = np.clip(np.round(arr * 32767.0), -32768, 32767).astype("<i2").tobytes()
+    pcm = np.clip(np.round(arr * 32768.0), -32768, 32767).astype("<i2").tobytes()
     fmt = struct.pack(
         "<HHIIHH", 1, n_channels, sample_rate,
         sample_rate * n_channels * 2, n_channels * 2, 16,
@@ -1211,6 +1253,13 @@ def _entropy_segments_end(d: bytes, pos: int) -> tuple[list[bytes], int]:
                 cur.append(0xFF)
                 i += 2
                 continue
+            if nxt == 0xFF:
+                # T.81 B.1.1.2: 0xFF FILL bytes may precede any marker,
+                # including RSTn inside entropy data — drop one fill and
+                # re-examine (treating FF FF as end-of-scan truncated
+                # conforming streams at the first padded restart)
+                i += 1
+                continue
             if 0xD0 <= nxt <= 0xD7:
                 segs.append(bytes(cur))
                 cur = bytearray()
@@ -1630,6 +1679,163 @@ def _decode_progressive_scan(
                 eobrun -= 1
 
 
+def _decode_baseline_scan(
+    d: bytes, pos: int, frame, scan: dict, qtabs, htabs,
+    restart_interval: int, planes,
+) -> int:
+    """Decode ONE baseline scan's entropy data into ``planes``; returns
+    the index just past the scan (at the terminating marker's 0xFF).
+
+    T.81 A.2: a single-component scan is NON-interleaved over that
+    component's OWN ceil(dim/8) block grid (its sampling factors do not
+    shape the scan — pre-fix a grayscale SOF0 declaring 2x2 factors
+    decoded with every 16x16 tile's blocks scrambled); multi-component
+    scans interleave on the frame MCU grid in SOS component order.
+    Restart intervals count MCUs — for a non-interleaved scan the MCU
+    is one block. Decoding per scan (not per file) is what lets
+    conforming multi-SOS baseline files decode at all."""
+    fh, fw, comps = frame
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    ids = [c[0] for c in comps]
+    for cid in scan:
+        if cid not in ids:
+            raise ValueError("JPEG: scan references unknown component")
+    ns = len(scan)
+    if ns == 1:
+        (cid,) = scan
+        ci = ids.index(cid)
+        _, hi, vi, _tq = comps[ci]
+        cw = -(-(fw * hi) // hmax)
+        ch = -(-(fh * vi) // vmax)
+        gx, gy = -(-cw // 8), -(-ch // 8)
+        template = [(ci, 0, 0, 1, 1)]
+    elif ns == len(comps):
+        gx = -(-fw // (8 * hmax))
+        gy = -(-fh // (8 * vmax))
+        template = []
+        for cid in scan:  # SOS order (dict preserves insertion order)
+            ci = ids.index(cid)
+            _, hi, vi, _tq = comps[ci]
+            for by in range(vi):
+                for bx in range(hi):
+                    template.append((ci, by, bx, vi, hi))
+    else:
+        raise NotImplementedError(
+            "partially interleaved baseline scan (1 < ns < frame components)"
+        )
+    # pre-resolve per-component tables once (the MCU loop is the hot path)
+    ctabs = {}
+    for cid, (dc_id, ac_id) in scan.items():
+        ci = ids.index(cid)
+        dct = htabs.get((0, dc_id))
+        act = htabs.get((1, ac_id))
+        q = qtabs.get(comps[ci][3])
+        if dct is None or act is None or q is None:
+            raise ValueError("JPEG: scan references undefined table")
+        ctabs[ci] = (dct[0], dct[1], act[0], act[1], q.ravel())
+    zz_order = [int(z) for z in _ZIGZAG]
+    segments, end = _entropy_segments_end(d, pos)
+    preds = [0] * len(comps)
+    # bit cursor over the current unstuffed segment: acc holds the low
+    # `nb` undelivered bits; every symbol is ONE 16-bit peek + LUT index
+    seg_idx = 0
+    data = segments[0]
+    dn = len(data)
+    di = 0
+    acc = 0
+    nb = 0
+    truncated = ValueError("JPEG: entropy data truncated mid-scan")
+    coef_flat = np.zeros(64, dtype=np.float64)
+    for m in range(gy * gx):
+        if restart_interval and m and m % restart_interval == 0:
+            seg_idx += 1
+            if seg_idx >= len(segments):
+                raise ValueError("JPEG: expected restart marker, hit end of data")
+            data = segments[seg_idx]
+            dn = len(data)
+            di = 0
+            acc = 0
+            nb = 0
+            preds = [0] * len(comps)
+        my, mx = divmod(m, gx)
+        for ci, by, bx, vm, hm in template:
+            dc_len, dc_sym, ac_len, ac_sym, q_flat = ctabs[ci]
+            coef_flat[:] = 0.0
+            # --- DC ---
+            while nb < 16 and di < dn:
+                acc = (acc << 8) | data[di]
+                di += 1
+                nb += 8
+            peek = (acc << (16 - nb)) & 0xFFFF if nb < 16 \
+                else (acc >> (nb - 16)) & 0xFFFF
+            ln = dc_len[peek]
+            if ln == 0 or ln > nb:
+                raise truncated if di >= dn else ValueError(
+                    "JPEG: invalid huffman code (corrupt stream)"
+                )
+            t = dc_sym[peek]
+            nb -= ln
+            acc &= (1 << nb) - 1
+            if t:
+                while nb < t:
+                    if di >= dn:
+                        raise truncated
+                    acc = (acc << 8) | data[di]
+                    di += 1
+                    nb += 8
+                v = (acc >> (nb - t)) & ((1 << t) - 1)
+                nb -= t
+                acc &= (1 << nb) - 1
+                preds[ci] += v if v >= (1 << (t - 1)) else v - (1 << t) + 1
+            coef_flat[0] = preds[ci] * q_flat[0]
+            # --- AC ---
+            k = 1
+            while k < 64:
+                while nb < 16 and di < dn:
+                    acc = (acc << 8) | data[di]
+                    di += 1
+                    nb += 8
+                peek = (acc << (16 - nb)) & 0xFFFF if nb < 16 \
+                    else (acc >> (nb - 16)) & 0xFFFF
+                ln = ac_len[peek]
+                if ln == 0 or ln > nb:
+                    raise truncated if di >= dn else ValueError(
+                        "JPEG: invalid huffman code (corrupt stream)"
+                    )
+                rs = ac_sym[peek]
+                nb -= ln
+                acc &= (1 << nb) - 1
+                s = rs & 15
+                if s == 0:
+                    if rs == 0xF0:
+                        k += 16
+                        continue
+                    break  # EOB
+                k += rs >> 4
+                if k > 63:
+                    raise ValueError("JPEG: AC run past block end")
+                while nb < s:
+                    if di >= dn:
+                        raise truncated
+                    acc = (acc << 8) | data[di]
+                    di += 1
+                    nb += 8
+                v = (acc >> (nb - s)) & ((1 << s) - 1)
+                nb -= s
+                acc &= (1 << nb) - 1
+                zk = zz_order[k]
+                coef_flat[zk] = (
+                    v if v >= (1 << (s - 1)) else v - (1 << s) + 1
+                ) * q_flat[zk]
+                k += 1
+            blk = _DCT.T @ coef_flat.reshape(8, 8) @ _DCT + 128.0
+            r0 = (my * vm + by) * 8
+            c0 = (mx * hm + bx) * 8
+            planes[ci][r0:r0 + 8, c0:c0 + 8] = blk
+    return end
+
+
 @_total_decoder("JPEG")
 def decode_jpeg(content: bytes) -> np.ndarray:
     """Decode a baseline-sequential (SOF0/SOF1) huffman JPEG to an
@@ -1661,7 +1867,9 @@ def decode_jpeg(content: bytes) -> np.ndarray:
     htabs: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
     frame = None
     restart_interval = 0
-    scan = None
+    planes = None
+    scanned: set[int] = set()
+    adobe_transform = None
     _UNSUPPORTED_SOF = {
         0xC3: "lossless (SOF3)",
         0xC5: "differential sequential (SOF5)",
@@ -1730,136 +1938,44 @@ def decode_jpeg(content: bytes) -> np.ndarray:
                 i += 17 + n
         elif marker == 0xDD:  # DRI
             (restart_interval,) = struct.unpack_from(">H", body, 0)
-        elif marker == 0xDA:  # SOS
+        elif marker == 0xEE and body[:5] == b"Adobe" and len(body) >= 12:
+            # APP14: transform 0 marks an already-RGB 3-component frame
+            adobe_transform = body[11]
+        elif marker == 0xDA:  # SOS — decode this scan, then keep parsing
+            if frame is None:
+                raise ValueError("JPEG: SOS before SOF")
+            fh, fw, comps = frame
+            if planes is None:
+                if len(comps) not in (1, 3):
+                    raise NotImplementedError(
+                        f"{len(comps)}-component JPEG (CMYK?)"
+                    )
+                hmax = max(c[1] for c in comps)
+                vmax = max(c[2] for c in comps)
+                mcus_x = -(-fw // (8 * hmax))
+                mcus_y = -(-fh // (8 * vmax))
+                planes = [
+                    np.zeros((mcus_y * 8 * v, mcus_x * 8 * h))
+                    for _, h, v, _ in comps
+                ]
             ns = body[0]
             scan = {}
             for ci in range(ns):
                 cid, tt = body[1 + 2 * ci: 3 + 2 * ci]
                 scan[cid] = (tt >> 4, tt & 15)
-            break  # entropy-coded data follows
+            pos = _decode_baseline_scan(
+                d, pos, frame, scan, qtabs, htabs, restart_interval, planes
+            )
+            scanned.update(scan)
         # else: APPn/COM/other — skipped
-    if frame is None or scan is None:
+    if frame is None or planes is None:
         raise ValueError("JPEG: missing SOF/SOS (truncated stream)")
     fh, fw, comps = frame
-    if len(comps) not in (1, 3):
-        raise NotImplementedError(f"{len(comps)}-component JPEG (CMYK?)")
+    missing = [c[0] for c in comps if c[0] not in scanned]
+    if missing:
+        raise ValueError(f"JPEG: no scan for component(s) {missing}")
     hmax = max(c[1] for c in comps)
     vmax = max(c[2] for c in comps)
-    mcus_x = -(-fw // (8 * hmax))
-    mcus_y = -(-fh // (8 * vmax))
-    planes = [
-        np.zeros((mcus_y * 8 * v, mcus_x * 8 * h)) for _, h, v, _ in comps
-    ]
-    segments = _entropy_segments(d, pos)
-    preds = [0] * len(comps)
-    n_mcus = mcus_y * mcus_x
-    # pre-resolve per-component tables once (the MCU loop is the hot path)
-    ctabs = []
-    for cid, hi, vi, tq in comps:
-        dc_id, ac_id = scan[cid]
-        dct = htabs.get((0, dc_id))
-        act = htabs.get((1, ac_id))
-        q = qtabs.get(tq)
-        if dct is None or act is None or q is None:
-            raise ValueError("JPEG: scan references undefined table")
-        ctabs.append((dct[0], dct[1], act[0], act[1], q.ravel()))
-    zz_order = [int(z) for z in _ZIGZAG]
-    # bit cursor over the current unstuffed segment: acc holds the low
-    # `nb` undelivered bits; every symbol is ONE 16-bit peek + LUT index
-    seg_idx = 0
-    data = segments[0]
-    dn = len(data)
-    di = 0
-    acc = 0
-    nb = 0
-    truncated = ValueError("JPEG: entropy data truncated mid-scan")
-    coef_flat = np.zeros(64, dtype=np.float64)
-    for m in range(n_mcus):
-        if restart_interval and m and m % restart_interval == 0:
-            seg_idx += 1
-            if seg_idx >= len(segments):
-                raise ValueError("JPEG: expected restart marker, hit end of data")
-            data = segments[seg_idx]
-            dn = len(data)
-            di = 0
-            acc = 0
-            nb = 0
-            preds = [0] * len(comps)
-        my, mx = divmod(m, mcus_x)
-        for ci, (cid, hi, vi, tq) in enumerate(comps):
-            dc_len, dc_sym, ac_len, ac_sym, q_flat = ctabs[ci]
-            for by in range(vi):
-                for bx in range(hi):
-                    coef_flat[:] = 0.0
-                    # --- DC ---
-                    while nb < 16 and di < dn:
-                        acc = (acc << 8) | data[di]
-                        di += 1
-                        nb += 8
-                    peek = (acc << (16 - nb)) & 0xFFFF if nb < 16                         else (acc >> (nb - 16)) & 0xFFFF
-                    ln = dc_len[peek]
-                    if ln == 0 or ln > nb:
-                        raise truncated if di >= dn else ValueError(
-                            "JPEG: invalid huffman code (corrupt stream)"
-                        )
-                    t = dc_sym[peek]
-                    nb -= ln
-                    acc &= (1 << nb) - 1
-                    if t:
-                        while nb < t:
-                            if di >= dn:
-                                raise truncated
-                            acc = (acc << 8) | data[di]
-                            di += 1
-                            nb += 8
-                        v = (acc >> (nb - t)) & ((1 << t) - 1)
-                        nb -= t
-                        acc &= (1 << nb) - 1
-                        preds[ci] += v if v >= (1 << (t - 1)) else v - (1 << t) + 1
-                    coef_flat[0] = preds[ci] * q_flat[0]
-                    # --- AC ---
-                    k = 1
-                    while k < 64:
-                        while nb < 16 and di < dn:
-                            acc = (acc << 8) | data[di]
-                            di += 1
-                            nb += 8
-                        peek = (acc << (16 - nb)) & 0xFFFF if nb < 16                             else (acc >> (nb - 16)) & 0xFFFF
-                        ln = ac_len[peek]
-                        if ln == 0 or ln > nb:
-                            raise truncated if di >= dn else ValueError(
-                                "JPEG: invalid huffman code (corrupt stream)"
-                            )
-                        rs = ac_sym[peek]
-                        nb -= ln
-                        acc &= (1 << nb) - 1
-                        s = rs & 15
-                        if s == 0:
-                            if rs == 0xF0:
-                                k += 16
-                                continue
-                            break  # EOB
-                        k += rs >> 4
-                        if k > 63:
-                            raise ValueError("JPEG: AC run past block end")
-                        while nb < s:
-                            if di >= dn:
-                                raise truncated
-                            acc = (acc << 8) | data[di]
-                            di += 1
-                            nb += 8
-                        v = (acc >> (nb - s)) & ((1 << s) - 1)
-                        nb -= s
-                        acc &= (1 << nb) - 1
-                        zk = zz_order[k]
-                        coef_flat[zk] = (
-                            v if v >= (1 << (s - 1)) else v - (1 << s) + 1
-                        ) * q_flat[zk]
-                        k += 1
-                    blk = _DCT.T @ coef_flat.reshape(8, 8) @ _DCT + 128.0
-                    r0 = (my * vi + by) * 8
-                    c0 = (mx * hi + bx) * 8
-                    planes[ci][r0:r0 + 8, c0:c0 + 8] = blk
     up = []
     for (cid, hi, vi, tq), plane in zip(comps, planes):
         p = np.repeat(np.repeat(plane, vmax // vi, axis=0), hmax // hi, axis=1)
@@ -1867,6 +1983,14 @@ def decode_jpeg(content: bytes) -> np.ndarray:
     if len(up) == 1:
         g = np.clip(up[0].round(), 0, 255).astype(np.uint8)
         return np.stack([g, g, g], axis=-1)
+    # Adobe APP14 transform=0 and R/G/B component ids both mark an
+    # already-RGB frame (Photoshop RGB JPEGs in real corpora):
+    # applying the YCbCr rotation there is a silent color corruption
+    # every independent decoder avoids
+    if adobe_transform == 0 or [c[0] for c in comps] == [0x52, 0x47, 0x42]:
+        return np.stack(
+            [np.clip(p.round(), 0, 255) for p in up], axis=-1
+        ).astype(np.uint8)
     return _ycbcr_to_rgb(up[0], up[1], up[2])
 
 

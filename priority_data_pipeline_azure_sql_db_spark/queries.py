@@ -2512,7 +2512,10 @@ def multimodal_frame_sample(spark, sf_dir):
         FROM istats i JOIN istd USING (doc_id) JOIN igv USING (doc_id)
              JOIN igh USING (doc_id)
     ), aud AS (
-        SELECT doc_id, pos, ROUND((b - 128) * 32767.0 / 128, 0) / 32768.0 AS x
+        -- symmetric PCM scaling (encode x32768, decode /32768): the
+        -- synth signal (b-128)/128 round-trips EXACTLY ((b-128)*256 is
+        -- an integer within int16 range), so no rounding term remains
+        SELECT doc_id, pos, (b - 128) / 128.0 AS x
         FROM bytes
     ), astats AS (
         SELECT doc_id, SQRT(AVG(x*x)) AS rms, MAX(ABS(x)) AS peak,

@@ -1736,10 +1736,21 @@ def test_codec_fuzz_totality_all_formats():
     st.pack_into(">HH", jb, sof + 5, 65535, 65535)
     with pytest.raises(ValueError, match="corrupt SOF"):
         C.decode_jpeg(bytes(jb))
-    # (c) interlaced-PNG IHDR width flip: expected-size check beats the
-    # (h, w) allocation
+    # (c) interlaced-PNG IHDR width flip. A raw flip now fails at the
+    # chunk CRC (the new first line of defense: corruption in chunks
+    # adler32 can't see must not decode to silently wrong pixels)...
+    import zlib as _zlib
+
     pb = bytearray(C.encode_png(pxa, interlace=True))
     st.pack_into(">I", pb, 16, 3_000_000_000)  # IHDR width
+    with pytest.raises(ValueError, match="CRC mismatch"):
+        C.decode_png(bytes(pb))
+    # ...and with the CRC recomputed (a hostile-but-consistent stream),
+    # the expected-size check still beats the (h, w) allocation
+    st.pack_into(
+        ">I", pb, 8 + 8 + 13,
+        _zlib.crc32(bytes(pb[12:12 + 4 + 13])) & 0xFFFFFFFF,
+    )
     with pytest.raises(ValueError, match="pixel stream"):
         C.decode_png(bytes(pb))
 
@@ -1977,3 +1988,234 @@ def test_bigram_lm_score_keeps_short_docs(spark):
     assert out[1].n_bigrams == 4 and out[1].avg_logprob is not None
     assert out[2].n_bigrams == 0 and out[2].avg_logprob is None
     assert out[3].n_bigrams == 0 and out[3].avg_logprob is None
+
+
+# ---------------------------------------------------------------------------
+# round-10 late codec spec fixes (independent-decoder-agreement class)
+# ---------------------------------------------------------------------------
+
+def _trivial_tables_jpeg_header(w, h, comps, dc_syms):
+    """SOI + flat DQT(16s) + SOF0 + trivial DHTs shared by the
+    hand-built spec streams below. ``comps`` = [(cid, hv)] with q
+    table 0; DC table 0 codes ``dc_syms`` in order (lengths 1, 2, ...),
+    AC table 0 codes EOB as '0'."""
+    import struct as st
+
+    s = bytearray()
+    s += b"\xff\xd8"
+    s += b"\xff\xdb" + st.pack(">HB", 67, 0) + bytes([16] * 64)
+    s += b"\xff\xc0" + st.pack(">HBHHB", 8 + 3 * len(comps), 8, h, w, len(comps))
+    for cid, hv in comps:
+        s += bytes([cid, hv, 0])
+    bits = [0] * 16
+    for i in range(len(dc_syms)):
+        bits[i] = 1  # one code per length: '0', '10', '110', ...
+    s += b"\xff\xc4" + st.pack(">HB", 2 + 17 + len(dc_syms), 0x00)
+    s += bytes(bits) + bytes(dc_syms)
+    s += b"\xff\xc4" + st.pack(">HB", 2 + 17 + 1, 0x10)
+    s += bytes([1] + [0] * 15) + bytes([0])
+    return s
+
+
+def test_codec_jpeg_single_component_scan_noninterleaved_grid():
+    """T.81 A.2: a SINGLE-component scan is non-interleaved over the
+    component's OWN block grid — its sampling factors do not shape the
+    scan. A 32x16 grayscale SOF0 declaring 2x2 factors carries its 8
+    blocks in RASTER order; the pre-fix MCU-grid decode would lay them
+    out 16x16-tile-major (top-left quad first), scrambling every tile."""
+    import struct as st
+
+    import numpy as np
+
+    from priority_data_pipeline_azure_sql_db_spark.operators import codecs
+
+    s = _trivial_tables_jpeg_header(32, 16, [(1, 0x22)], [3])
+    s += b"\xff\xda" + st.pack(">HB", 8, 1) + bytes([1, 0x00, 0, 63, 0])
+    # 8 blocks, each: DC code '0' + category-3 bits '100' (diff +4) +
+    # AC EOB '0' -> 5 bits; cumulative DC 4,8,..,32 -> constant tiles
+    stream_bits = "".join("0" + "100" + "0" for _ in range(8))
+    stream_bits += "1" * (-len(stream_bits) % 8)
+    s += int(stream_bits, 2).to_bytes(len(stream_bits) // 8, "big")
+    s += b"\xff\xd9"
+    out = codecs.decode_jpeg(bytes(s))
+    assert out.shape == (16, 32, 3)
+    # raster block order: tile (by, bx) holds 128 + 8*(4*by + bx + 1)
+    for by in range(2):
+        for bx in range(4):
+            tile = out[by * 8:(by + 1) * 8, bx * 8:(bx + 1) * 8, 0]
+            want = 128 + 8 * (4 * by + bx + 1)
+            assert np.all(tile == want), (by, bx, tile[0, 0], want)
+
+
+def test_codec_jpeg_multi_sos_baseline():
+    """A conforming baseline file coded as THREE single-component scans
+    (legal per T.81) decodes: the scan loop keeps parsing after each
+    SOS instead of stopping at the first. Y=-10 path (the golden-stream
+    arithmetic), Cb/Cr zero-diff -> 128 -> neutral chroma -> gray 108."""
+    import struct as st
+
+    import numpy as np
+
+    from priority_data_pipeline_azure_sql_db_spark.operators import codecs
+
+    s = _trivial_tables_jpeg_header(
+        8, 8, [(1, 0x11), (2, 0x11), (3, 0x11)], [4, 0]
+    )
+    # scan 1 (Y): DC '0' + 0101 (extend -> -10) + EOB '0' = 6 bits
+    s += b"\xff\xda" + st.pack(">HB", 8, 1) + bytes([1, 0x00, 0, 63, 0])
+    s += bytes([0b00101011])
+    # scans 2/3 (Cb, Cr): DC '10' (category 0, no bits) + EOB '0' = 3 bits
+    for cid in (2, 3):
+        s += b"\xff\xda" + st.pack(">HB", 8, 1) + bytes([cid, 0x00, 0, 63, 0])
+        s += bytes([0b10011111])
+    s += b"\xff\xd9"
+    out = codecs.decode_jpeg(bytes(s))
+    assert out.shape == (8, 8, 3)
+    assert np.array_equal(out, np.full((8, 8, 3), 108, dtype=np.uint8)), out[0, 0]
+    # a file MISSING one component's scan fails loud, not half-decoded
+    import pytest
+
+    s2 = _trivial_tables_jpeg_header(
+        8, 8, [(1, 0x11), (2, 0x11), (3, 0x11)], [4, 0]
+    )
+    s2 += b"\xff\xda" + st.pack(">HB", 8, 1) + bytes([1, 0x00, 0, 63, 0])
+    s2 += bytes([0b00101011]) + b"\xff\xd9"
+    with pytest.raises(ValueError, match="no scan for component"):
+        codecs.decode_jpeg(bytes(s2))
+
+
+def test_codec_jpeg_adobe_rgb_no_rotation():
+    """APP14 transform=0 marks a 3-component frame as already-RGB: the
+    YCbCr rotation must be skipped (Photoshop RGB JPEGs). transform=1
+    keeps the standard conversion. Relationship check: rotating the
+    transform=0 planes by hand reproduces the transform=1 pixels."""
+    import numpy as np
+
+    from priority_data_pipeline_azure_sql_db_spark.operators import codecs
+    from priority_data_pipeline_azure_sql_db_spark.operators.codecs import _ycbcr_to_rgb
+
+    rng = np.random.default_rng(7)
+    px = rng.integers(80, 176, size=(16, 16, 3), dtype=np.uint8)  # mid-range
+    blob = codecs.encode_jpeg(px, quality=95, subsample="4:4:4")
+    app14 = (b"\xff\xee" + (14).to_bytes(2, "big")
+             + b"Adobe" + bytes([0, 100, 0, 0, 0, 0, 1]))
+    t1 = bytearray(blob)
+    t1[2:2] = app14
+    t0 = bytearray(blob)
+    t0[2:2] = app14[:-1] + bytes([0])
+    base = codecs.decode_jpeg(blob)
+    d1 = codecs.decode_jpeg(bytes(t1))
+    d0 = codecs.decode_jpeg(bytes(t0))
+    assert np.array_equal(d1, base)          # explicit YCbCr == default
+    assert not np.array_equal(d0, base)      # RGB flag changes pixels
+    rotated = _ycbcr_to_rgb(*(d0[:, :, i].astype(np.float64) for i in range(3)))
+    # d0's planes were already quantized to uint8 once, so the hand
+    # rotation rounds TWICE where the decoder rounds once — each
+    # rounding contributes up to 0.5, hence the <=2 bound
+    assert np.abs(rotated.astype(np.int32) - d1.astype(np.int32)).max() <= 2
+
+
+def test_codec_jpeg_fill_bytes_before_restart():
+    """T.81 B.1.1.2: 0xFF FILL bytes may pad entropy data before any
+    marker, including RSTn — a padded conforming stream must decode
+    identically (the pre-fix segmenter read FF FF as end-of-scan and
+    raised mid-scan truncation)."""
+    import numpy as np
+
+    from priority_data_pipeline_azure_sql_db_spark.operators import codecs
+
+    y, x = np.mgrid[0:32, 0:32]
+    px = np.stack([x * 7, y * 7, (x + y) * 3], axis=-1).astype(np.uint8)
+    blob = codecs.encode_jpeg(px, quality=85, subsample="4:2:0",
+                              restart_interval=2)
+    base = codecs.decode_jpeg(blob)
+    padded = bytearray()
+    i, injected = 0, 0
+    while i < len(blob):
+        if (blob[i] == 0xFF and i + 1 < len(blob)
+                and 0xD0 <= blob[i + 1] <= 0xD7 and injected < 3):
+            padded += b"\xff"  # fill byte before the RSTn
+            injected += 1
+        padded.append(blob[i])
+        i += 1
+    assert injected > 0
+    out = codecs.decode_jpeg(bytes(padded))
+    assert np.array_equal(out, base)
+
+
+def test_codec_wav_truncation_and_exact_transcode():
+    """A data chunk shorter than its declared size fails LOUD (silently
+    shorter audio corrupted duration/RMS); and the symmetric x32768
+    scaling makes encode(decode(pcm)) the bit identity for extreme
+    int16 samples (the old x32767 form attenuated |s|>=16384 by 1 LSB
+    per transcode)."""
+    import struct as st
+
+    import numpy as np
+    import pytest
+
+    from priority_data_pipeline_azure_sql_db_spark.operators import codecs
+
+    pcm = np.array([[32767], [-32768], [16384], [-16384], [1], [0]],
+                   dtype=np.int64) / 32768.0
+    blob = codecs.encode_wav(8000, pcm)
+    rate, frames = codecs.decode_wav(blob)
+    assert codecs.encode_wav(rate, frames) == blob  # bit-identity transcode
+    with pytest.raises(ValueError, match="truncated WAV"):
+        codecs.decode_wav(blob[:-3])
+
+
+def test_codec_png_trns_gray_truecolor_and_crc():
+    """tRNS transparency applies to grayscale/truecolor too (alpha=0 at
+    the named transparent value — pre-fix those PNGs lost their alpha);
+    and a flipped PLTE byte fails the chunk CRC instead of decoding to
+    silently wrong colors."""
+    import struct as st
+    import zlib
+
+    import numpy as np
+    import pytest
+
+    from priority_data_pipeline_azure_sql_db_spark.operators import codecs
+
+    def chunk(ctype, body):
+        return (len(body).to_bytes(4, "big") + ctype + body
+                + st.pack(">I", zlib.crc32(ctype + body) & 0xFFFFFFFF))
+
+    # 2x1 truecolor with tRNS naming (10, 20, 30): pixel 0 transparent
+    raw = b"\x00" + bytes([10, 20, 30, 99, 99, 99])
+    png = (codecs.PNG_MAGIC
+           + chunk(b"IHDR", st.pack(">IIBBBBB", 2, 1, 8, 2, 0, 0, 0))
+           + chunk(b"tRNS", st.pack(">HHH", 10, 20, 30))
+           + chunk(b"IDAT", zlib.compress(raw))
+           + chunk(b"IEND", b""))
+    out = codecs.decode_png(png)
+    assert out.shape == (1, 2, 4)
+    assert out[0, 0, 3] == 0 and out[0, 1, 3] == 255
+    # grayscale tRNS
+    raw_g = b"\x00" + bytes([7, 8])
+    png_g = (codecs.PNG_MAGIC
+             + chunk(b"IHDR", st.pack(">IIBBBBB", 2, 1, 8, 0, 0, 0, 0))
+             + chunk(b"tRNS", st.pack(">H", 7))
+             + chunk(b"IDAT", zlib.compress(raw_g))
+             + chunk(b"IEND", b""))
+    out_g = codecs.decode_png(png_g)
+    assert out_g.shape == (1, 2, 4)
+    assert out_g[0, 0, 3] == 0 and out_g[0, 1, 3] == 255
+    assert tuple(out_g[0, 1, :3]) == (8, 8, 8)
+    # CRC: flip a palette byte in a palette PNG -> loud, not wrong colors
+    pal_px = np.zeros((1, 2, 3), dtype=np.uint8)
+    pal_png = bytearray(codecs.encode_png(pal_px, palette=True)) \
+        if "palette" in codecs.encode_png.__doc__.lower() else None
+    if pal_png is None:
+        # hand-build: 2 palette entries, both pixels index 0/1
+        pal_png = bytearray(
+            codecs.PNG_MAGIC
+            + chunk(b"IHDR", st.pack(">IIBBBBB", 2, 1, 8, 3, 0, 0, 0))
+            + chunk(b"PLTE", bytes([255, 0, 0, 0, 255, 0]))
+            + chunk(b"IDAT", zlib.compress(b"\x00" + bytes([0, 1])))
+            + chunk(b"IEND", b""))
+    i = bytes(pal_png).index(b"PLTE") + 4
+    pal_png[i] ^= 0xFF
+    with pytest.raises(ValueError, match="CRC mismatch"):
+        codecs.decode_png(bytes(pal_png))
