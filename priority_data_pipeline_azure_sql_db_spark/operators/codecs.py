@@ -505,6 +505,15 @@ def audio_features(sample_rate: int, frames: np.ndarray) -> list[float]:
 
 def average_hash(pixels: np.ndarray, hash_size: int = 8) -> int:
     """Perceptual aHash of an (h, w, c) uint8 image: grayscale
+
+    Known aHash property (shared with the standard imagehash
+    implementation, kept deliberately): any UNIFORM image hashes to
+    all-zero bits regardless of brightness — cells > mean is everywhere
+    false — so flat black and flat white are Hamming-0 "duplicates".
+    Flat frames are degenerate for every mean-threshold hash; callers
+    deduping synthetic/flat-heavy corpora should pre-filter by the
+    brightness features extract_features already computes.
+
     (ITU-R 601 integer weights — no float luminance, so the hash is
     bit-stable everywhere), average-pool to hash_size², threshold at
     the mean, pack row-major into a hash_size²-bit int. Visually
@@ -2024,6 +2033,7 @@ def encode_avi_mjpeg(
     fps: float = 30.0,
     quality: int = 90,
     subsample: str = "4:4:4",
+    rate_scale: tuple[int, int] | None = None,
 ) -> bytes:
     """Encode (h, w, 3) uint8 RGB frames as a Motion-JPEG AVI — the
     exact layout :func:`avi_frame_payloads` parses: RIFF('AVI ') with a
@@ -2047,10 +2057,19 @@ def encode_avi_mjpeg(
     payloads = [encode_jpeg(f, quality=quality, subsample=subsample) for f in frames]
     n = len(payloads)
     bufsize = max(len(p) for p in payloads)
-    scale, rate = 1000, int(round(fps * 1000))
+    if rate_scale is not None:
+        rate, scale = rate_scale
+        if rate <= 0 or scale <= 0:
+            raise ValueError(f"AVI: rate/scale must be positive {rate_scale}")
+        fps = rate / scale
+    else:
+        scale, rate = 1000, int(round(fps * 1000))
     avih = struct.pack(
         "<14I",
-        int(round(1_000_000 / fps)),  # dwMicroSecPerFrame
+        # derive from the SAME rational pair as strh so the two timing
+        # fields can never disagree (a float-derived usec drifted off
+        # the rate/scale rate by rounding independently)
+        int(round(1_000_000 * scale / rate)),  # dwMicroSecPerFrame
         bufsize * int(round(fps)),    # dwMaxBytesPerSec (advisory)
         0,                            # dwPaddingGranularity
         0x10,                         # dwFlags: AVIF_HASINDEX
@@ -2127,6 +2146,9 @@ def _avi_walk(d: bytes, pos: int, end: int, state: dict, depth: int) -> None:
                 state["last_is_first_vids"] = True
                 if scale > 0 and rate > 0:
                     state["fps"] = rate / scale
+                    # keep the RATIONAL pair: re-muxing through a float
+                    # quantizes exact rates like NTSC 30000/1001
+                    state["rate_scale"] = (rate, scale)
         elif cid == b"strf":
             # pair biCompression with the FIRST vids strh only — a
             # later stream's strf must not overwrite the codec check
@@ -2203,6 +2225,22 @@ def avi_frame_payloads(content: bytes) -> tuple[float, list[bytes]]:
     return state.get("fps", 0.0), state["payloads"]
 
 
+def avi_stream_timing(content: bytes) -> tuple[int, int] | None:
+    """The video stream's RATIONAL (dwRate, dwScale) pair, or None if
+    the header lacks one. Use it (not the float fps) when re-muxing a
+    demuxed stream — round-tripping NTSC 30000/1001 through a float
+    re-muxes as 29970/1000, a drift every independent probe reports."""
+    state: dict = {"payloads": [], "n_streams": 0}
+    d = content or b""
+    if d[:4] != AVI_MAGIC or d[8:12] != b"AVI ":
+        raise ValueError("not a RIFF/AVI file")
+    (riff_size,) = struct.unpack_from("<I", d, 4)
+    if len(d) < 8 + riff_size:
+        raise ValueError("AVI: truncated")
+    _avi_walk(d, 12, 8 + riff_size, state, 0)
+    return state.get("rate_scale")
+
+
 def decode_avi_frames(content: bytes) -> tuple[float, list[np.ndarray]]:
     """Demux + decode a Motion-JPEG AVI to (fps, [(h, w, 3) uint8 RGB
     frame arrays]) — :func:`avi_frame_payloads` for the container walk,
@@ -2231,6 +2269,16 @@ def video_features(fps: float, frames: list[np.ndarray]) -> list[float]:
     :func:`image_features` so a SQL oracle can reproduce it."""
     n = len(frames)
     h, w = (frames[0].shape[0], frames[0].shape[1]) if n else (0, 0)
+    for i, f in enumerate(frames):
+        if f.shape[:2] != (h, w):
+            # legal MJPEG: each frame's JPEG carries its own SOF size,
+            # so mid-stream resolution changes decode — but the motion
+            # diff below would then raise a raw broadcast error OUTSIDE
+            # the callers' except clause; fail with the advertised type
+            raise ValueError(
+                f"AVI: frame {i} is {f.shape[:2]}, features need one "
+                f"stream size {(h, w)}"
+            )
     grays = [
         0.299 * f[:, :, 0].astype(np.float64)
         + 0.587 * f[:, :, 1].astype(np.float64)
@@ -2266,8 +2314,13 @@ def resize_pixels(
 
     'nearest': floor source-index mapping (ri = y*h//height) — exact,
     engine-replayable integer arithmetic. 'bilinear': half-pixel-center
-    sampling (the OpenCV/PIL convention: src = (dst + 0.5) * scale -
-    0.5, edge-clamped), round-half-up back to uint8. Anything else
+    sampling (OpenCV INTER_LINEAR's convention: src = (dst + 0.5) *
+    scale - 0.5, edge-clamped, FIXED 2-tap kernel), round-half-up back
+    to uint8. NOTE the honest boundary: at heavy downscale a 2-tap
+    kernel samples ~2 of every scale source rows (aliasing); PIL's
+    BILINEAR widens its support on downscale (area-weighted) and
+    produces a smoother thumbnail — match OpenCV, not PIL, at extreme
+    ratios. Anything else
     raises ValueError."""
     if width <= 0 or height <= 0:
         raise ValueError(f"degenerate resize target {width}x{height}")

@@ -148,19 +148,23 @@ def extract_features(df: DataFrame) -> DataFrame:
             # only maps each decode kind to its feature function, falling
             # back to the tagged stub for anything no codec can decode
             try:
+                # feature computation stays INSIDE the try: a decodable
+                # but feature-hostile stream (e.g. an MJPEG whose frames
+                # change size mid-stream — legal, every JPEG carries its
+                # own SOF) must land on the stub, not fail the task
                 kind, decoded = decode_media(media_type, blob)
+                if kind in ("bmp", "png", "jpeg"):
+                    return kind, codecs.image_features(decoded)
+                if kind == "wav":
+                    return kind, codecs.audio_features(*decoded)
+                if kind == "avi":
+                    return kind, codecs.video_features(*decoded)
+                if kind == "pil":  # gated path — PIL absent in this sandbox
+                    return kind, codecs.image_features(
+                        np.asarray(decoded.convert("RGB"), dtype=np.uint8)
+                    )
             except (ValueError, NotImplementedError):
-                return "stub-md5", _decode_stub(media_type, blob)
-            if kind in ("bmp", "png", "jpeg"):
-                return kind, codecs.image_features(decoded)
-            if kind == "wav":
-                return kind, codecs.audio_features(*decoded)
-            if kind == "avi":
-                return kind, codecs.video_features(*decoded)
-            if kind == "pil":  # gated path — PIL absent in this sandbox
-                return kind, codecs.image_features(
-                    np.asarray(decoded.convert("RGB"), dtype=np.uint8)
-                )
+                pass
             return "stub-md5", _decode_stub(media_type, blob)
 
         for pdf in batches:
@@ -237,11 +241,16 @@ def resize_images(
                 )
             if kind == "avi":
                 fps, frames = decoded
+                # re-mux with the source's RATIONAL (rate, scale) pair:
+                # round-tripping NTSC 30000/1001 through the float fps
+                # would re-mux as 29970/1000 — a rate drift every
+                # independent probe reports
                 return (
                     codecs.encode_avi_mjpeg(
                         [codecs.resize_pixels(f, width, height, method)
                          for f in frames],
                         fps=fps or 30.0,
+                        rate_scale=codecs.avi_stream_timing(blob),
                     ),
                     "avi",
                 )
@@ -268,6 +277,10 @@ def resize_images(
 FRAME_SCHEMA = T.StructType([
     T.StructField("media_id", T.LongType()),
     T.StructField("frame_index", T.IntegerType()),
+    # provenance: 'mjpeg-avi' = a real demuxed frame payload,
+    # 'stub-slice' = the deterministic fallback for non-AVI blobs —
+    # without the tag a consumer can't tell garbage slices from frames
+    T.StructField("source", T.StringType()),
     T.StructField("frame", T.BinaryType()),
 ])
 
@@ -293,7 +306,7 @@ def sample_frames(df: DataFrame, every_nth: int = 10, max_frames: int = 8) -> Da
         from . import codecs
 
         for pdf in batches:
-            ids, idxs, frames = [], [], []
+            ids, idxs, srcs, frames = [], [], [], []
             for mid, blob in zip(pdf["media_id"], pdf["content"]):
                 blob = blob or b""
                 payloads = None
@@ -307,7 +320,12 @@ def sample_frames(df: DataFrame, every_nth: int = 10, max_frames: int = 8) -> Da
                         if fi >= max_frames:
                             break
                         ids.append(mid)
-                        idxs.append(fi)
+                        # SOURCE frame number, not the sample ordinal:
+                        # a consumer's timestamp = frame_index / fps is
+                        # off by every_nth otherwise (ffmpeg's select
+                        # filter keeps the real PTS the same way)
+                        idxs.append(pos)
+                        srcs.append("mjpeg-avi")
                         frames.append(payloads[pos])
                     continue
                 n_chunks = max(1, len(blob) // chunk)
@@ -315,11 +333,13 @@ def sample_frames(df: DataFrame, every_nth: int = 10, max_frames: int = 8) -> Da
                     if fi >= max_frames:
                         break
                     ids.append(mid)
-                    idxs.append(fi)
+                    idxs.append(pos)
+                    srcs.append("stub-slice")
                     frames.append(blob[pos * chunk:(pos + 1) * chunk])
             yield pd.DataFrame({
                 "media_id": pd.Series(ids, dtype="int64"),
                 "frame_index": pd.Series(idxs, dtype="int32"),
+                "source": srcs,
                 "frame": pd.Series(frames, dtype="object"),
             })
 

@@ -2421,8 +2421,10 @@ def ann_cosine_topk_ivf(spark, sf_dir):
         SELECT doc_id, t, GREATEST(length(t) // 16, 1) AS n_chunks
         FROM src
     ), frames AS (
+        -- frame_index is the SOURCE frame (chunk) number, fi * 10 for
+        -- every_nth=10 — the sample ordinal lost temporal position
         SELECT doc_id,
-               CAST(u.fi AS INT) AS frame_index,
+               CAST(u.fi * 10 AS INT) AS frame_index,
                substr(t, CAST(u.fi AS INT) * 160 + 1, 16) AS fs
         FROM meta, LATERAL (
             SELECT UNNEST(range(LEAST(
@@ -2430,6 +2432,7 @@ def ann_cosine_topk_ivf(spark, sf_dir):
         ) u
     )
     SELECT doc_id AS media_id, frame_index,
+           'stub-slice' AS source,
            CAST(length(fs) AS BIGINT) AS n_bytes,
            md5(fs) AS frame_md5
     FROM frames
@@ -2456,6 +2459,7 @@ def multimodal_frame_sample(spark, sf_dir):
     return frames.select(
         "media_id",
         F.col("frame_index").cast("int").alias("frame_index"),
+        "source",
         F.length("frame").cast("bigint").alias("n_bytes"),
         F.md5("frame").alias("frame_md5"),
     )
@@ -8540,7 +8544,8 @@ def streaming_er_maintenance(spark, sf_dir):
         FROM documents WHERE doc_id < 240
     )
     SELECT media_id,
-           CAST(u.fi AS INT) AS frame_index,
+           -- SOURCE frame number (fi * 2 for every_nth=2), not ordinal
+           CAST(u.fi * 2 AS INT) AS frame_index,
            'jpeg' AS frame_codec,
            CAST(8 AS INT) AS frame_h,
            CAST(8 AS INT) AS frame_w

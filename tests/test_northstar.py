@@ -1671,13 +1671,16 @@ def test_codec_avi_dispatch_and_frame_sampling(spark):
 
     out = sample_frames(media, every_nth=3, max_frames=2).collect()
     got = {(r["media_id"], r["frame_index"]): bytes(r["frame"]) for r in out}
+    srcs = {(r["media_id"], r["frame_index"]): r["source"] for r in out}
     _, payloads = codecs.avi_frame_payloads(blob)
-    # real demux: kept frames are payloads 0 and 3, verbatim
-    assert got[(1, 0)] == payloads[0] and got[(1, 1)] == payloads[3]
+    # real demux: kept frames carry their SOURCE numbers 0 and 3
+    assert got[(1, 0)] == payloads[0] and got[(1, 3)] == payloads[3]
+    assert srcs[(1, 0)] == "mjpeg-avi"
     assert len([k for k in got if k[0] == 1]) == 2  # max_frames cap
-    # stub path unchanged for non-AVI and undecodable blobs
-    assert got[(2, 0)] == stub_blob[:16]
-    assert got[(3, 0)] == blob[:40][:16]
+    # stub path unchanged for non-AVI and undecodable blobs — and
+    # PROVENANCE-TAGGED, so garbage slices are distinguishable
+    assert got[(2, 0)] == stub_blob[:16] and srcs[(2, 0)] == "stub-slice"
+    assert got[(3, 0)] == blob[:40][:16] and srcs[(3, 0)] == "stub-slice"
 
 
 def test_codec_fuzz_totality_all_formats():
@@ -2219,3 +2222,47 @@ def test_codec_png_trns_gray_truecolor_and_crc():
     pal_png[i] ^= 0xFF
     with pytest.raises(ValueError, match="CRC mismatch"):
         codecs.decode_png(bytes(pal_png))
+
+
+def test_codec_avi_rational_timing_roundtrip(spark):
+    """NTSC-style rational rates survive a demux → resize → re-mux
+    round trip: the (dwRate, dwScale) pair is preserved verbatim (the
+    float-fps path would re-mux 30000/1001 as 29970/1000), and avih's
+    dwMicroSecPerFrame derives from the SAME pair. Mixed-shape frame
+    lists also fail LOUD in video_features — inside the stub fallback's
+    exception contract — instead of a raw broadcast error."""
+    import numpy as np
+    import pytest
+
+    from priority_data_pipeline_azure_sql_db_spark.operators import codecs
+    from priority_data_pipeline_azure_sql_db_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        extract_features,
+        resize_images,
+    )
+
+    frames = [np.full((16, 16, 3), 40 * (i + 1), dtype=np.uint8)
+              for i in range(3)]
+    blob = codecs.encode_avi_mjpeg(frames, rate_scale=(30000, 1001))
+    assert codecs.avi_stream_timing(blob) == (30000, 1001)
+    fps, _ = codecs.avi_frame_payloads(blob)
+    assert abs(fps - 29.97002997) < 1e-6
+    media = spark.createDataFrame(
+        [(1, "video", bytearray(blob), None, None, None)], MEDIA_SCHEMA
+    )
+    out = resize_images(media, width=8, height=8).collect()[0]
+    assert out.codec == "avi"
+    assert codecs.avi_stream_timing(bytes(out.content)) == (30000, 1001)
+    # mixed frame sizes: decodable (each JPEG carries its own SOF) but
+    # feature-hostile -> ValueError -> the tagged stub, never a task crash
+    j1 = codecs.encode_jpeg(frames[0])
+    j2 = codecs.encode_jpeg(np.zeros((8, 8, 3), dtype=np.uint8))
+    one = codecs.encode_avi_mjpeg(frames[:1])
+    # splicing a differently-sized frame into an AVI's movi is
+    # intricate; assert the guard directly instead
+    with pytest.raises(ValueError, match="features need one"):
+        codecs.video_features(10.0, [codecs.decode_jpeg(j1), codecs.decode_jpeg(j2)])
+    med2 = spark.createDataFrame(
+        [(2, "video", bytearray(one), None, None, None)], MEDIA_SCHEMA
+    )
+    assert extract_features(med2).collect()[0].codec == "avi"

@@ -221,7 +221,10 @@ def test_sample_frames_fanout(spark):
         by_id.setdefault(r.media_id, []).append(r)
     # 95 chunks, every 10th → ceil? positions 0,10,...,90 → 10 frames capped at 8
     assert len(by_id[1]) == 8
-    assert [r.frame_index for r in sorted(by_id[1], key=lambda r: r.frame_index)] == list(range(8))
+    # frame_index is the SOURCE chunk number (0, 10, ..., 70), not the
+    # sample ordinal — temporal position survives sampling
+    assert [r.frame_index for r in sorted(by_id[1], key=lambda r: r.frame_index)] == [10 * i for i in range(8)]
+    assert all(r.source == "stub-slice" for r in by_id[1])
     assert all(len(r.frame) == 16 for r in by_id[1])
     # tiny blob still yields exactly one frame
     assert len(by_id[2]) == 1
