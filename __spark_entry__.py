@@ -88,6 +88,11 @@ def entry(spark: SparkSession) -> DataFrame:
 # score (0, NULL)), export_curriculum_readback (ranks by PHYSICAL file
 # order — the check is now sensitive to an unsorted shard), and
 # events_conversion_latency (empty-converter edge now (0, NULL)).
+# The codec spec-agreement passes also changed: multimodal_real_codec
+# (symmetric WAV scaling — the oracle's PCM term simplifies to the
+# exact (b-128)/128), multimodal_frame_sample (IN THE r10 WINDOW HEAD:
+# frame_index = SOURCE frame number + value-checked provenance column),
+# and multimodal_video_frames (same frame_index semantics; r11-head).
 CHECK_ORDER = [
     # (1) round-9 code/oracle-changed entries — divergence-risk head
     "multimodal_frame_sample",
