@@ -93,6 +93,13 @@ def entry(spark: SparkSession) -> DataFrame:
 # exact (b-128)/128), multimodal_frame_sample (IN THE r10 WINDOW HEAD:
 # frame_index = SOURCE frame number + value-checked provenance column),
 # and multimodal_video_frames (same frame_index semantics; r11-head).
+# WIDEST oracle change (text/dedup published-algorithm agreement pass):
+# every token-array oracle moved to the empty-token-free list_filter
+# form and the 6 fingerprint replays flipped to collapse-before-trim —
+# identical values on this fixture (no tab/newline-padded texts), full
+# 188-sweep green post-change; the whole shingle/fingerprint family is
+# therefore r11-head divergence-risk material alongside the entries
+# named above.
 CHECK_ORDER = [
     # (1) round-9 code/oracle-changed entries — divergence-risk head
     "multimodal_frame_sample",

@@ -31,7 +31,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from .text import token_count
+from .text import drop_empty_tokens, token_count
 
 #: Explicit opt-in to a SINGLE global packing stream (one window
 #: partition holding the whole corpus). Round 8: ``shard_col=None`` now
@@ -235,7 +235,7 @@ def materialize_packed_sequences(
     src, parts = _sharded(df, id_col, shard_col, n_shards)
     part = Window.partitionBy(*parts) if parts else Window.partitionBy()
     w = part.orderBy(id_col).rowsBetween(Window.unboundedPreceding, 0)
-    toks_arr = F.split(F.trim(F.col(text_col)), "\\s+")
+    toks_arr = drop_empty_tokens(F.split(F.trim(F.col(text_col)), "\\s+"))
     base = src.select(
         *parts, F.col(id_col), toks_arr.alias("_toks"),
     ).select(
@@ -370,7 +370,7 @@ def chunk_documents(
     src = spread(
         df.select(F.col(id_col).alias("_id"), F.col(text_col).alias("_txt")), "_id"
     )
-    toks = F.split(F.trim(F.col("_txt")), TOKEN_SPLIT_RE)
+    toks = drop_empty_tokens(F.split(F.trim(F.col("_txt")), TOKEN_SPLIT_RE))
     t = src.select("_id", toks.alias("_toks")).select(
         "_id", "_toks", F.size("_toks").alias("_n")
     )

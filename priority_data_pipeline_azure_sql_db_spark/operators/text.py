@@ -26,9 +26,21 @@ LANG_STOPWORDS: dict[str, list[str]] = {
 }
 
 
+def drop_empty_tokens(arr: Column) -> Column:
+    """Filter the boundary empty strings a whitespace split emits for
+    text padded with NON-SPACE whitespace (trim strips spaces only in
+    Spark AND DuckDB, so a tab-led text splits to ['', ...]). The
+    canonical w-shingling/token conventions are empty-token-free; a
+    phantom '' token shifted shingles, MinHash signatures, and SimHash
+    votes for tab/newline-padded duplicates. DuckDB twin:
+    ``list_filter(string_split_regex(...), x -> x <> '')``."""
+    return F.filter(arr, lambda t: t != "")
+
+
 def tokens(col: Column) -> Column:
-    """Whitespace tokenization (BPE-ish regex split)."""
-    return F.split(F.trim(col), TOKEN_SPLIT_RE)
+    """Whitespace tokenization (BPE-ish regex split); empty-token-free
+    (see :func:`drop_empty_tokens`)."""
+    return drop_empty_tokens(F.split(F.trim(col), TOKEN_SPLIT_RE))
 
 
 def token_count(col: Column) -> Column:
@@ -44,7 +56,7 @@ def token_count(col: Column) -> Column:
     (tests/test_properties.py). The trivial HOF lambda carries no
     inlined expressions, so the per-element interpretation cost is one
     comparison."""
-    return F.size(F.filter(tokens(col), lambda t: t != ""))
+    return F.size(tokens(col))
 
 
 # GPT-2-style pre-tokenizer, simplified to the RE2-safe core: letter runs,
@@ -156,7 +168,9 @@ def bigram_lm_score(
     train_df = score_df if train_df is None else train_df
 
     def bigrams(df):
-        toks = F.split(F.trim(F.lower(F.col(text_col))), TOKEN_SPLIT_RE)
+        toks = drop_empty_tokens(
+            F.split(F.trim(F.lower(F.col(text_col))), TOKEN_SPLIT_RE)
+        )
         t = df.select(F.col(id_col).alias("doc"), toks.alias("t")).select(
             "doc", "t", F.size("t").alias("n")
         )
@@ -172,7 +186,8 @@ def bigram_lm_score(
     c2 = tb.groupBy("p", "w").agg(F.count(F.lit(1)).alias("c2"))
     c1 = tb.groupBy("p").agg(F.count(F.lit(1)).alias("c1"))
     vocab = train_df.select(
-        F.explode(F.split(F.trim(F.lower(F.col(text_col))), TOKEN_SPLIT_RE)).alias("w")
+        F.explode(drop_empty_tokens(
+            F.split(F.trim(F.lower(F.col(text_col))), TOKEN_SPLIT_RE))).alias("w")
     ).agg(F.countDistinct("w").alias("v"))
 
     fix6 = lambda c: F.floor(c * F.lit(1000000.0) + F.lit(0.5)) / F.lit(1000000.0)  # noqa: E731
@@ -377,7 +392,10 @@ def bpe_train_merges(
                 .filter((F.col("l") != BPE_SEP) & (F.col("r") != BPE_SEP))
                 .groupBy("l", "r")
                 .agg(F.count(F.lit(1)).alias("c"))
-                .orderBy(F.desc("c"), "l", "r")
+                # count ties break on the lexicographically GREATEST
+                # pair — subword-nmt's max(stats, key=(count, pair));
+                # the ascending order diverged from the reference trainer
+                .orderBy(F.desc("c"), F.desc("l"), F.desc("r"))
                 .limit(4 * want + 4)
                 .collect()
             )
@@ -581,7 +599,10 @@ def langid(df: DataFrame, text_col: str = "text") -> DataFrame:
 def fingerprint(col: Column) -> Column:
     """Canonical document fingerprint: md5 of whitespace-collapsed,
     lowercased text. md5 (not xxhash) so external systems reproduce it."""
-    normalized = F.regexp_replace(F.lower(F.trim(col)), TOKEN_SPLIT_RE, " ")
+    # collapse BEFORE trim: trim strips SPACES only, so trim-first left
+    # a residual boundary space for tab/newline-padded text — a
+    # newline-padded exact duplicate fingerprinted differently
+    normalized = F.trim(F.regexp_replace(F.lower(col), TOKEN_SPLIT_RE, " "))
     return F.md5(normalized)
 
 
@@ -817,7 +838,8 @@ def hashed_quality_score(
         df.select(F.col(id_col).alias("_id"), F.col(text_col).alias("_txt")),
         "_id",
     )
-    toks = F.split(F.trim(F.lower(F.col("_txt"))), TOKEN_SPLIT_RE)
+    toks = drop_empty_tokens(
+        F.split(F.trim(F.lower(F.col("_txt"))), TOKEN_SPLIT_RE))
     base = t.select(
         "_id", toks.alias("_toks")
     ).select(

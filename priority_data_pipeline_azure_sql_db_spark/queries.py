@@ -1498,7 +1498,7 @@ def union_all_distinct(spark, sf_dir):
     "text_tfidf_top_terms",
     """
     WITH terms AS (
-        SELECT doc_id, UNNEST(string_split_regex(trim(lower(text)), '\\s+')) AS term
+        SELECT doc_id, UNNEST(list_filter(string_split_regex(trim(lower(text)), '\\s+'), x -> x <> '')) AS term
         FROM documents
     ), tf AS (
         SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
@@ -1583,7 +1583,7 @@ def dedup_exact_docs(spark, sf_dir):
 @query(
     "dedup_fingerprint_docs",
     """
-    SELECT md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp,
+    SELECT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp,
            CAST(MIN(doc_id) AS BIGINT) AS canonical_id,
            CAST(COUNT(*) AS BIGINT) AS n_copies
     FROM documents GROUP BY 1
@@ -1598,7 +1598,7 @@ def dedup_fingerprint_docs(spark, sf_dir):
     "dedup_ngram_jaccard",
     """
     WITH toks AS (
-        SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t FROM documents
+        SELECT doc_id, list_filter(string_split_regex(trim(lower(text)), '\\s+'), x -> x <> '') AS t FROM documents
     ), sh AS (
         SELECT DISTINCT doc_id AS doc,
                array_to_string(t[i:i+4], ' ') AS shingle
@@ -1663,7 +1663,7 @@ _JACCARD_CAPPED_SQL = """
         SELECT CAST(MIN(doc_id) AS BIGINT) AS doc_id, text
         FROM documents GROUP BY text
     ), toks AS (
-        SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t FROM canon
+        SELECT doc_id, list_filter(string_split_regex(trim(lower(text)), '\\s+'), x -> x <> '') AS t FROM canon
     ), sh AS (
         SELECT DISTINCT doc_id AS doc,
                array_to_string(t[i:i+4], ' ') AS shingle
@@ -3038,7 +3038,7 @@ def profile_documents_stats(spark, sf_dir):
                FLOOR(len(regexp_extract_all(text, '[A-Za-z]'))
                      / GREATEST(LENGTH(text), 1) * 1000000 + 0.5) / 1000000
                    AS alpha_ratio,
-               md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp
+               md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
         FROM documents
     )
     SELECT source, lang,
@@ -3837,7 +3837,7 @@ def pack_training_sequences_bpe(spark, sf_dir):
     "text_repetition_ratio",
     """
     WITH toks AS (
-        SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t
+        SELECT doc_id, list_filter(string_split_regex(trim(lower(text)), '\\s+'), x -> x <> '') AS t
         FROM documents
     ), grams AS (
         SELECT doc_id, array_to_string(t[i:i+2], ' ') AS shingle
@@ -3924,7 +3924,7 @@ def text_pii_scrub(spark, sf_dir):
     "dedup_contamination_check",
     """
     WITH toks AS (
-        SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t
+        SELECT doc_id, list_filter(string_split_regex(trim(lower(text)), '\\s+'), x -> x <> '') AS t
         FROM documents
     ), sh AS (
         SELECT DISTINCT doc_id AS doc,
@@ -3957,7 +3957,7 @@ def dedup_contamination_check(spark, sf_dir):
     "pack_document_chunks",
     """
     WITH toks AS (
-        SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t
+        SELECT doc_id, list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '') AS t
         FROM documents
     ), sized AS (
         SELECT doc_id, t, len(t) AS n FROM toks
@@ -3990,7 +3990,7 @@ def pack_document_chunks(spark, sf_dir):
     """
     SELECT token, CAST(COUNT(*) AS BIGINT) AS freq
     FROM (
-        SELECT UNNEST(string_split_regex(trim(lower(text)), '\\s+')) AS token
+        SELECT UNNEST(list_filter(string_split_regex(trim(lower(text)), '\\s+'), x -> x <> '')) AS token
         FROM documents
     )
     GROUP BY token ORDER BY freq DESC, token LIMIT 50
@@ -4002,7 +4002,10 @@ def text_vocab_topk(spark, sf_dir):
     stopword-curation pass computes."""
     d = load_table(spark, sf_dir, "documents")
     toks = d.select(
-        F.explode(F.split(F.trim(F.lower(F.col("text"))), "\\s+")).alias("token")
+        F.explode(F.filter(
+            F.split(F.trim(F.lower(F.col("text"))), "\\s+"),
+            lambda x: x != F.lit(""),
+        )).alias("token")
     )
     return (
         toks.groupBy("token")
@@ -4020,7 +4023,7 @@ def text_vocab_topk(spark, sf_dir):
                len(list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '')) AS n_tokens,
                len(regexp_extract_all(text, '[A-Za-z]'))
                    / GREATEST(length(text), 1) AS alpha_ratio,
-               md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp
+               md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
         FROM documents
     ), kept AS (
         SELECT * FROM scored WHERE n_tokens >= 10 AND alpha_ratio >= 0.5
@@ -4146,7 +4149,7 @@ def text_bpe_tokens_large(spark, sf_dir):
     "text_lm_quality_score",
     """
     WITH toks AS (
-        SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t
+        SELECT doc_id, list_filter(string_split_regex(trim(lower(text)), '\\s+'), x -> x <> '') AS t
         FROM documents
     ), big AS (
         SELECT doc_id, t[i] AS p, t[i+1] AS w
@@ -4410,7 +4413,7 @@ def export_jsonl_corpus(spark, sf_dir):
     """
     WITH toks AS (
         SELECT doc_id, doc_id % 8 AS shard,
-               string_split_regex(trim(text), '\\s+') AS t,
+               list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '') AS t,
                CAST(len(list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '')) AS BIGINT) AS n
         FROM documents
     ), cum AS (
@@ -4616,12 +4619,12 @@ def sample_source_budget(spark, sf_dir):
                    AS n_tokens,
                len(regexp_extract_all(text, '[A-Za-z]'))
                    / GREATEST(length(text), 1) AS alpha_ratio,
-               md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp
+               md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
         FROM documents
     ), kept AS (
         SELECT * FROM scored WHERE n_tokens >= 10 AND alpha_ratio >= 0.5
     ), toks AS (
-        SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t
+        SELECT doc_id, list_filter(string_split_regex(trim(lower(text)), '\\s+'), x -> x <> '') AS t
         FROM documents
     ), sh5 AS (
         SELECT DISTINCT doc_id AS doc, array_to_string(t[i:i+4], ' ') AS shingle
@@ -4724,7 +4727,7 @@ def pipeline_curation_v2(spark, sf_dir):
     ), delta AS (
         SELECT * FROM documents WHERE doc_id % 10 >= 8
     ), base_fps AS (
-        SELECT DISTINCT md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp
+        SELECT DISTINCT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
         FROM base
     ), scored AS (
         SELECT doc_id, text,
@@ -4732,7 +4735,7 @@ def pipeline_curation_v2(spark, sf_dir):
                    AS n_tokens,
                len(regexp_extract_all(text, '[A-Za-z]'))
                    / GREATEST(length(text), 1) AS alpha_ratio,
-               md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp
+               md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
         FROM delta WHERE doc_id % 20 <> 0
     ), kept AS (
         SELECT * FROM scored WHERE n_tokens >= 10 AND alpha_ratio >= 0.5
@@ -4743,7 +4746,7 @@ def pipeline_curation_v2(spark, sf_dir):
     ), dedup AS (
         SELECT f.* FROM fresh f JOIN mins m USING (fp, doc_id)
     ), toks AS (
-        SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t
+        SELECT doc_id, list_filter(string_split_regex(trim(lower(text)), '\\s+'), x -> x <> '') AS t
         FROM documents
     ), sh5 AS (
         SELECT DISTINCT doc_id AS doc, array_to_string(t[i:i+4], ' ') AS shingle
@@ -4917,7 +4920,7 @@ def ann_ivf_index_persisted(spark, sf_dir):
     """
     WITH toks AS (
         SELECT doc_id AS doc,
-               string_split_regex(trim(lower(text)), '\\s+') AS t
+               list_filter(string_split_regex(trim(lower(text)), '\\s+'), x -> x <> '') AS t
         FROM documents
     ), grams AS (
         SELECT doc, CAST(i.pos AS BIGINT) AS pos,
@@ -4985,7 +4988,7 @@ def dedup_duplicated_spans(spark, sf_dir):
     """
     WITH docs AS (
         SELECT doc_id,
-               string_split_regex(trim(lower(text)), '\\s+') AS t
+               list_filter(string_split_regex(trim(lower(text)), '\\s+'), x -> x <> '') AS t
         FROM documents
     ), base AS (
         SELECT doc_id, len(list_filter(t, x -> x <> '')) AS n_tokens
@@ -5434,7 +5437,7 @@ def sample_source_cap(spark, sf_dir):
     "dedup_gram_novelty",
     """
     WITH toks AS (
-        SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t
+        SELECT doc_id, list_filter(string_split_regex(trim(lower(text)), '\\s+'), x -> x <> '') AS t
         FROM documents
     ), sh AS (
         SELECT DISTINCT doc_id AS doc,
@@ -5595,7 +5598,7 @@ def pipeline_curation_v3(spark, sf_dir):
     """
     WITH toks AS (
         SELECT doc_id AS doc,
-               string_split_regex(trim(lower(text)), '\\s+') AS t
+               list_filter(string_split_regex(trim(lower(text)), '\\s+'), x -> x <> '') AS t
         FROM documents
     ), grams AS (
         SELECT doc, CAST(i.pos AS BIGINT) AS pos,
@@ -5628,7 +5631,7 @@ def pipeline_curation_v3(spark, sf_dir):
         SELECT DISTINCT id_b AS doc, start_b + u.i AS pos
         FROM spans, LATERAL (SELECT UNNEST(range(n_tokens)) AS i) u
     ), otoks AS (
-        SELECT doc_id AS doc, string_split_regex(trim(text), '\\s+') AS t0
+        SELECT doc_id AS doc, list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '') AS t0
         FROM documents
     ), ot AS (
         SELECT doc, CAST(i.pos AS BIGINT) AS pos,
@@ -7574,7 +7577,7 @@ def sample_multi_epoch_plan(spark, sf_dir):
     "profile_source_dup_pressure",
     """
     WITH toks AS (
-        SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t
+        SELECT doc_id, list_filter(string_split_regex(trim(lower(text)), '\\s+'), x -> x <> '') AS t
         FROM documents
     ), sh AS (
         SELECT DISTINCT doc_id AS doc,
@@ -8324,7 +8327,7 @@ def _minhash_md5_oracle(num_hashes: int = 16, bands: int = 4, k: int = 5) -> str
     return f"""
     WITH toks AS (
         SELECT doc_id AS doc,
-               string_split_regex(trim(lower(text)), '\\s+') AS t
+               list_filter(string_split_regex(trim(lower(text)), '\\s+'), x -> x <> '') AS t
         FROM documents
     ), sh AS (
         SELECT doc, array_to_string(t[i:i+{k - 1}], ' ') AS shingle
@@ -8362,7 +8365,7 @@ def _simhash_md5_oracle() -> str:
     return f"""
     WITH toks AS (
         SELECT doc_id AS doc,
-               UNNEST(string_split_regex(trim(lower(text)), '\\s+')) AS tok
+               UNNEST(list_filter(string_split_regex(trim(lower(text)), '\\s+'), x -> x <> '')) AS tok
         FROM documents
     ), hashed AS (
         SELECT doc,

@@ -2266,3 +2266,46 @@ def test_codec_avi_rational_timing_roundtrip(spark):
         [(2, "video", bytearray(one), None, None, None)], MEDIA_SCHEMA
     )
     assert extract_features(med2).collect()[0].codec == "avi"
+
+
+def test_tokenize_no_phantom_empty_tokens(spark):
+    """Canonical w-shingling is empty-token-free: a tab/newline-padded
+    duplicate matches its clean twin exactly (trim strips SPACES only,
+    so the split used to emit a boundary '' that shifted shingles,
+    MinHash signatures, and SimHash votes — and the md5 fingerprint
+    normalization now collapses BEFORE trimming for the same reason)."""
+    df = spark.sql(
+        "SELECT * FROM VALUES "
+        "(1, 'alpha beta gamma delta epsilon'), "
+        "(2, '\\talpha beta gamma delta epsilon\\n') "
+        "AS t(doc_id, text)"
+    )
+    pairs = D.jaccard_pairs(df, "text", "doc_id", k=5, threshold=0.1).collect()
+    assert [(r.id_a, r.id_b, r.jaccard) for r in pairs] == [(1, 2, 1.0)]
+    fps = D.dedup_fingerprint(df, "text", "doc_id").collect()
+    assert len(fps) == 1 and fps[0].n_copies == 2
+    sigs = {r.doc: r.signature for r in
+            D.minhash_signature(df, "text", "doc_id", num_hashes=8, k=5).collect()}
+    assert sigs[1] == sigs[2]
+
+
+def test_boilerplate_ccnet_normalize_mode(spark):
+    """normalize=True collapses case/digit variants of the same footer
+    into one boilerplate key (Wenzek et al. 2020's normalized-paragraph
+    hash); the default raw mode keeps them (each doc-frequency 1).
+    Kept lines stay verbatim either way."""
+    df = spark.sql(
+        "SELECT * FROM VALUES "
+        "(1, 'real content one\\nPage 1 of 10'), "
+        "(2, 'real content two\\nPage 2 of 10'), "
+        "(3, 'real content three\\nPAGE 3 OF 10') "
+        "AS t(doc_id, text)"
+    )
+    raw = {r.doc_id: r.text for r in
+           D.remove_boilerplate_lines(df, min_docs=2).collect()}
+    assert raw[1] == "real content one\nPage 1 of 10"  # footers survive raw
+    norm = {r.doc_id: r for r in
+            D.remove_boilerplate_lines(df, min_docs=2, normalize=True).collect()}
+    assert norm[1].text == "real content one"
+    assert norm[3].text == "real content three"
+    assert norm[2].n_lines_dropped == 1

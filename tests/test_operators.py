@@ -576,8 +576,10 @@ def test_bpe_merged_count_overlapping_repeats(spark):
 
 
 def _bpe_train_reference(texts, n_merges, min_count):
-    """Pure-Python BPE trainer: global pair count, lexicographic
-    tie-break, merge everywhere left-to-right (within pre-tokens)."""
+    """Pure-Python BPE trainer: global pair count, subword-nmt's
+    tie-break — ``max(stats, key=lambda x: (stats[x], x))``, i.e. the
+    lexicographically GREATEST pair on count ties — merge everywhere
+    left-to-right (within pre-tokens)."""
     import re
 
     words = []
@@ -592,7 +594,7 @@ def _bpe_train_reference(texts, n_merges, min_count):
                 counts[(a, b)] = counts.get((a, b), 0) + 1
         if not counts:
             break
-        (a, b), c = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        (a, b), c = max(counts.items(), key=lambda kv: (kv[1], kv[0]))
         if c < min_count:
             break
         learned.append((a, b, c))
