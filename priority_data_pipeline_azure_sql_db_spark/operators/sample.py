@@ -152,6 +152,17 @@ def temperature_mix_sample(
     (rates are fix6-rounded either way, so generic alpha still matches
     oracles except within an ulp of a rounding boundary).
 
+    DELIBERATE deviation from the paper mixtures: XLM-R/mT5 sample WITH
+    replacement and therefore realize q_s exactly even when a tiny
+    source needs >1x its size; a deterministic KEEP-GATE cannot
+    replicate rows, so ``rate_s`` caps at 1 and the clipped mass is NOT
+    redistributed — a capped source contributes all its rows, the
+    realized mix flattens toward the cap, and the admitted total can
+    fall below ``target_frac``·N. Upsampling past 1x is this pipeline's
+    job for the multi-epoch plan (queries.sample_multi_epoch_plan
+    replicates small sources across epochs), composed downstream of
+    this gate.
+
     Returns the admitted rows as (id, source, n_s, rate). Scale shape:
     one source-count aggregate (O(#sources) rows), two 1-row reductions
     crossJoined back as coalesced broadcasts (the metadata-crossJoin

@@ -90,6 +90,19 @@ def _d2(a: Column, b: Column, dim: int | None = None) -> Column:
     )
 
 
+def _safe_sim(dot_expr: Column, qn: Column, cn: Column, round_to: int = 6) -> Column:
+    """Rounded cosine with the ZERO-NORM guard: cosine is undefined for
+    a zero vector — dividing gives NULL in Spark but +-inf in DuckDB, a
+    cross-engine divergence AND a nonsense ranking (a zero query
+    otherwise still 'ranks' k arbitrary neighbors with NULL sims).
+    Defining sim = 0 for zero vectors keeps row counts stable, sorts
+    such pairs below every positive match, and is identical in both
+    engines (oracles carry the matching CASE WHEN)."""
+    return F.when(
+        (qn > 0) & (cn > 0), F.round(dot_expr / (qn * cn), round_to)
+    ).otherwise(F.lit(0.0))
+
+
 def cosine_topk_bruteforce(
     corpus: DataFrame,
     queries: DataFrame,
@@ -123,8 +136,9 @@ def cosine_topk_bruteforce(
         .select(
             "query_id",
             "neighbor_id",
-            F.round(
-                dot(F.col("qv"), F.col("cv"), dim) / (F.col("qn") * F.col("cn")), round_to
+            _safe_sim(
+                dot(F.col("qv"), F.col("cv"), dim),
+                F.col("qn"), F.col("cn"), round_to,
             ).alias("sim"),
         )
     )
@@ -137,7 +151,18 @@ def cosine_topk_bruteforce(
 
 def _hyperplane(dim: int, seed: int) -> list[float]:
     """Deterministic pseudo-random unit-free hyperplane (hash-derived, no RNG
-    state — reproducible across runs and engines)."""
+    state — reproducible across runs and engines).
+
+    DELIBERATE deviation from the published random-hyperplane LSH
+    (Charikar 2002 draws GAUSSIAN directions, for which P(bit match) =
+    1 - theta/pi exactly): components here are uniform in [-1, 1).
+    Uniform-cube directions bias slightly toward the diagonals, so
+    per-region collision rates deviate from the closed form — accepted
+    because a Gaussian draw needs transcendentals (Box-Muller ln/cos)
+    whose libm results are NOT bit-portable across the JVM, numpy, and
+    DuckDB, and bit-identical cross-engine replay of the planes is what
+    makes the LSH query hash-checkable. Recall adequacy is pinned by
+    pytest instead of the closed form."""
     import hashlib
 
     vals = []
@@ -215,7 +240,8 @@ def cosine_topk_lsh(
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .select(
             "query_id", "neighbor_id",
-            F.round(dot(F.col("qv"), F.col("cv"), dim) / (F.col("qn") * F.col("cn")), 6).alias("sim"),
+            _safe_sim(dot(F.col("qv"), F.col("cv"), dim),
+                      F.col("qn"), F.col("cn")).alias("sim"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
@@ -269,13 +295,25 @@ def _train_centroids(
             )
             .filter(F.col("rk") == 1)
         )
-        cents = (
+        refined = (
             assigned.select("cell", F.posexplode("v").alias("pos", "x"))
             .groupBy("cell", "pos")
             .agg(F.avg("x").alias("m"))
             .groupBy("cell")
             .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
             .select("cell", F.transform("pm", lambda s: s["m"]).alias("centroid"))
+        )
+        # EMPTY-CLUSTER handling (standard k-means keeps k cells): a
+        # cell that attracted no members vanishes from the re-average
+        # groupBy — silently training < n_cells centroids and degrading
+        # IVF probe granularity below the requested k. Retain the
+        # previous centroid for empty cells (deterministic, no re-scan).
+        cents = (
+            cents.select("cell", F.col("centroid").alias("_prev"))
+            .join(refined, "cell", "left")
+            .select(
+                "cell", F.coalesce(F.col("centroid"), F.col("_prev")).alias("centroid")
+            )
         )
     return cents
 
@@ -345,7 +383,8 @@ def cosine_topk_ivf(
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .select(
             "query_id", "neighbor_id",
-            F.round(dot(F.col("qv"), F.col("cv"), dim) / (F.col("qn") * F.col("cn")), 6).alias("sim"),
+            _safe_sim(dot(F.col("qv"), F.col("cv"), dim),
+                      F.col("qn"), F.col("cn")).alias("sim"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
@@ -372,7 +411,14 @@ def embedding_near_dup_allpairs(
         .filter(F.col("id_a") < F.col("id_b"))
         .select(
             "id_a", "id_b",
-            F.round(dot(F.col("va"), F.col("vb"), dim) / (F.col("na") * F.col("nb")), 6).alias("sim"),
+            # floor(x*1e6+0.5): the repo's decimal-fix rounding — the SAME
+            # convention as the blocked kernel and the DuckDB twin, where
+            # F.round (HALF_UP) / np.round (half-even) / DuckDB ROUND are
+            # THREE conventions that disagree exactly on .5 boundaries,
+            # breaking the bit-identical-twin contract
+            (F.floor(dot(F.col("va"), F.col("vb"), dim)
+                     / (F.col("na") * F.col("nb")) * 1e6 + 0.5) / 1e6
+             ).alias("sim"),
         )
         .filter(F.col("sim") >= threshold)
     )
@@ -585,7 +631,9 @@ def _near_dup_score_assignment(
                 B = np.array([np.asarray(x) for x in pdf["vecs_b"].iloc[i]])
                 na = np.asarray(pdf["norms_a"].iloc[i], dtype=np.float64)
                 nb = np.asarray(pdf["norms_b"].iloc[i], dtype=np.float64)
-                sims = np.round((A @ B.T) / np.outer(na, nb), 6)
+                # floor(x*1e6+0.5) — matches the allpairs twin and the
+                # DuckDB oracle exactly (np.round is half-EVEN)
+                sims = np.floor((A @ B.T) / np.outer(na, nb) * 1e6 + 0.5) / 1e6
                 if pdf["cell_a"].iloc[i] == pdf["cell_b"].iloc[i]:
                     # same cell (incl. sub-block pairs, which still come
                     # in both orders): ia < ib dedups exactly once

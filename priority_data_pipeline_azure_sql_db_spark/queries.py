@@ -1344,12 +1344,11 @@ def _resident_path(prefix, sf_dir):
 _NEAR_DUP_SQL = """
     WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
     SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-           ROUND(list_dot_product(a.v, b.v)
-                 / (SQRT(list_dot_product(a.v, a.v)) * SQRT(list_dot_product(b.v, b.v))),
-                 6) AS sim
+           FLOOR((list_dot_product(a.v, b.v)
+                 / (SQRT(list_dot_product(a.v, a.v)) * SQRT(list_dot_product(b.v, b.v)))) * 1e6 + 0.5) / 1e6 AS sim
     FROM e a JOIN e b ON a.vec_id < b.vec_id
-    WHERE ROUND(list_dot_product(a.v, b.v)
-          / (SQRT(list_dot_product(a.v, a.v)) * SQRT(list_dot_product(b.v, b.v))), 6) >= 0.4
+    WHERE FLOOR((list_dot_product(a.v, b.v)
+          / (SQRT(list_dot_product(a.v, a.v)) * SQRT(list_dot_product(b.v, b.v)))) * 1e6 + 0.5) / 1e6 >= 0.4
     """
 
 
@@ -1874,9 +1873,12 @@ def text_langid_heuristic(spark, sf_dir):
         SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv FROM embeddings
     ), scored AS (
         SELECT q.query_id, c.neighbor_id,
-               ROUND(list_dot_product(q.qv, c.cv)
-                     / (SQRT(list_dot_product(q.qv, q.qv)) * SQRT(list_dot_product(c.cv, c.cv))),
-                     6) AS sim
+               CASE WHEN list_dot_product(q.qv, q.qv) > 0
+                         AND list_dot_product(c.cv, c.cv) > 0
+                    THEN ROUND(list_dot_product(q.qv, c.cv)
+                         / (SQRT(list_dot_product(q.qv, q.qv))
+                            * SQRT(list_dot_product(c.cv, c.cv))), 6)
+                    ELSE 0 END AS sim
         FROM c, q WHERE c.neighbor_id <> q.query_id
     )
     SELECT query_id, neighbor_id, sim, rank FROM (
@@ -1933,9 +1935,12 @@ def _ann_lsh_md5_oracle(n_planes: int = 8, seed: int = 42) -> str:
         FROM vecs v2 JOIN sig s2 USING (vec_id)
     ), scored AS (
         SELECT q.query_id, c.neighbor_id,
-               ROUND(list_dot_product(q.qv, c.cv)
+               CASE WHEN list_dot_product(q.qv, q.qv) > 0
+                         AND list_dot_product(c.cv, c.cv) > 0
+                    THEN ROUND(list_dot_product(q.qv, c.cv)
                      / (SQRT(list_dot_product(q.qv, q.qv))
-                        * SQRT(list_dot_product(c.cv, c.cv))), 6) AS sim
+                        * SQRT(list_dot_product(c.cv, c.cv))), 6)
+                    ELSE 0 END AS sim
         FROM c JOIN q ON c.bucket = q.bucket AND c.neighbor_id <> q.query_id
     )
     SELECT query_id, neighbor_id, sim, rank FROM (
@@ -3302,9 +3307,9 @@ def dedup_cluster_canonical(spark, sf_dir):
     ), pairs AS (
         SELECT a.vec_id AS id_a, b.vec_id AS id_b
         FROM e a JOIN e b ON a.vec_id < b.vec_id
-        WHERE ROUND(list_dot_product(a.v, b.v)
+        WHERE FLOOR((list_dot_product(a.v, b.v)
               / (SQRT(list_dot_product(a.v, a.v))
-                 * SQRT(list_dot_product(b.v, b.v))), 6) >= 0.4
+                 * SQRT(list_dot_product(b.v, b.v)))) * 1e6 + 0.5) / 1e6 >= 0.4
     ), edges AS (
         SELECT id_a AS u, id_b AS v FROM pairs
         UNION SELECT id_b, id_a FROM pairs
@@ -4765,9 +4770,9 @@ def pipeline_curation_v2(spark, sf_dir):
         FROM (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings) a
         JOIN (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings) b
           ON a.vec_id < b.vec_id
-        WHERE ROUND(list_dot_product(a.v, b.v)
+        WHERE FLOOR((list_dot_product(a.v, b.v)
               / (SQRT(list_dot_product(a.v, a.v))
-                 * SQRT(list_dot_product(b.v, b.v))), 6) >= 0.4
+                 * SQRT(list_dot_product(b.v, b.v)))) * 1e6 + 0.5) / 1e6 >= 0.4
     ), nd_drop AS (
         SELECT id_b AS doc_id FROM nd_pairs WHERE id_b % 10 >= 8
         UNION
@@ -6260,9 +6265,12 @@ def profile_table_stats(spark, sf_dir):
         SELECT vec_id AS cand_id, embedding::DOUBLE[] AS cv FROM embeddings
     ), scored AS (
         SELECT q.query_id, c.cand_id,
-               ROUND(list_dot_product(q.qv, c.cv)
+               CASE WHEN list_dot_product(q.qv, q.qv) > 0
+                         AND list_dot_product(c.cv, c.cv) > 0
+                    THEN ROUND(list_dot_product(q.qv, c.cv)
                      / (SQRT(list_dot_product(q.qv, q.qv))
-                        * SQRT(list_dot_product(c.cv, c.cv))), 6) AS sim
+                        * SQRT(list_dot_product(c.cv, c.cv))), 6)
+                    ELSE 0 END AS sim
         FROM c, q WHERE c.cand_id <> q.query_id
     ), pos AS (
         SELECT query_id, cand_id FROM (

@@ -2309,3 +2309,30 @@ def test_boilerplate_ccnet_normalize_mode(spark):
     assert norm[1].text == "real content one"
     assert norm[3].text == "real content three"
     assert norm[2].n_lines_dropped == 1
+
+
+def test_cosine_zero_vector_guard_and_empty_cell_reseed(spark):
+    """Zero-norm vectors score sim=0 (cosine is undefined; dividing gave
+    Spark NULL vs DuckDB inf — a zero query 'ranked' k arbitrary
+    neighbors with NULL sims), and Lloyd refinement keeps ALL n_cells
+    centroids (an empty cell used to vanish from the re-average,
+    silently training fewer cells than requested)."""
+    df = spark.sql(
+        "SELECT id AS vec_id, CASE WHEN id = 0 THEN array(0.0D, 0.0D, 0.0D) "
+        "ELSE array(CAST(id AS DOUBLE), 1.0D, 0.5D) END AS embedding "
+        "FROM range(20)"
+    )
+    out = S.cosine_topk_bruteforce(df, df.filter(F.col("vec_id") <= 1), k=3).collect()
+    zero_q = [r for r in out if r.query_id == 0]
+    assert len(zero_q) == 3 and all(r.sim == 0.0 for r in zero_q)
+    live_q = [r for r in out if r.query_id == 1]
+    assert all(r.sim is not None and r.sim > 0 for r in live_q)
+    # empty-cell re-seed: 16 requested cells over 4 distinct points —
+    # most cells empty after refinement, count must stay 16
+    tight = spark.sql(
+        "SELECT id AS _id, array(CAST(id % 4 AS DOUBLE), 0.0D) AS v FROM range(64)"
+    )
+    from priority_data_pipeline_azure_sql_db_spark.operators.similarity import _train_centroids
+
+    cents = _train_centroids(tight, 16, dim=2, iters=2)
+    assert cents.count() == 16
