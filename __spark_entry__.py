@@ -25,6 +25,49 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The correctness driver evaluates the first 50 registry entries in order.
+# Round-11 rotation: the window VERDICT r10 published (ask #1), resolved
+# against the hard 50-slot limit. Composition, in order:
+# (1) the 10 round-10 late registrations, registry order — their first
+#     driver evidence (VERDICT r10's done criterion), and themselves the
+#     divergence-risk head: multimodal_video_frames / multimodal_codec_mix
+#     carry the r10 codec spec-agreement oracle changes,
+#     export_curriculum_readback the physical-file-order check, and
+#     er_first_token_pairs was upgraded THIS round to the multi-pass
+#     (first-token ∪ last-token) blocking union (VERDICT r10 ask #4).
+# (2) the 40-entry r7 bucket, r7 window order — every entry last checked
+#     in round 7, turning 3-rounds-stale at this check (the staleness
+#     invariant's edge). This sweeps in 9 of the 16 token-count-changed
+#     oracle replays (profile_data_card, sample_source_budget,
+#     export_training_shards, export_jsonl_corpus, pipeline_curation_v2,
+#     sample_quality_weighted, pack_training_sequences_bpe,
+#     text_bpe_tokens, text_bpe_train).
+# 10 + 40 = 50 exactly: the two hard constraints (all r10 registrations
+# + the whole r7 bucket) consume the full window, so the REMAINING
+# changed-oracle divergence-risk set — ann_cosine_topk_lsh (rows-only →
+# full hash oracle) and the r8-bucket token-count/shingle replays
+# (text_quality_score, text_token_stats, text_cleaning_pass_profile,
+# dedup_contamination_check, pack_materialized_sequences,
+# pipeline_curation_incremental, dedup_fingerprint_docs,
+# text_winnow_fingerprints, dedup_winnow_pairs, dedup_ngram_jaccard,
+# dedup_minhash_lsh, dedup_simhash, dedup_simhash_pairs,
+# multimodal_real_codec) — rides at the r12 head with its own bucket:
+# they are ALL r8-bucket members, so r12 re-checks them on schedule
+# anyway. Each was comparator-verified at sf0.01 (and the oracle-text
+# set at sf0.1) the session it changed, plus full-sweep green.
+#
+# ROTATION ARITHMETIC: window 50 × 4-round cycle = 200-entry registry
+# CEILING for the ≤3-round staleness invariant. Registry is 197 + this
+# round's registrations — therefore r11 registrations are capped at 2
+# by arithmetic (tighter than the judge's ≤10), and future rounds must
+# retire an entry for each new one beyond 199. Schedule from here:
+#   r11 (this file): r10 late regs (10) + r7 bucket (40)
+#   r12: r8 bucket (48, incl. ann_cosine_topk_lsh + the changed-oracle
+#        replays named above) + r11's ≤2 late registrations = 50
+#   r13: r9 bucket (49) + 1 slack
+#   r14: r10 bucket (50)
+#   r15: r11 bucket (50)
+#
+# Previous round's comment (kept for the audit trail):
 # Round-10 rotation: the window VERDICT r9 published verbatim
 # (`__spark_entry__.py:59-73` of the r9 file; VERDICT r9 ask #1).
 # Composition, in order:
@@ -101,60 +144,59 @@ def entry(spark: SparkSession) -> DataFrame:
 # therefore r11-head divergence-risk material alongside the entries
 # named above.
 CHECK_ORDER = [
-    # (1) round-9 code/oracle-changed entries — divergence-risk head
-    "multimodal_frame_sample",
-    "pack_greedy_sequences",
-    "streaming_stateful_user_totals",
-    "dedup_boilerplate_lines",
-    # (2) r6 bucket remainder (36, 3 rounds stale), r6 order
-    "events_tumbling_hourly",
-    "q21_last_shipper",
-    "q21_last_shipper_preagg",
-    "odata_source_scan",
-    "pipeline_e2e_flagship",
-    "q1_pricing_summary",
-    "q3_shipping_priority",
-    "q4_order_priority",
-    "q5_local_supplier_volume",
-    "q6_revenue_forecast",
-    "q10_returned_items",
-    "q14_promo_revenue",
-    "q18_large_orders",
-    "top_customers_by_revenue",
-    "agg_distinct_suppliers",
-    "percentiles_quantity",
-    "rollup_lineitem_status",
-    "cube_orders_status_priority",
-    "grouping_sets_lineitem",
-    "pivot_segment_by_region",
-    "join_left_outer_nulls",
-    "join_full_outer",
-    "semi_join_customers_with_orders",
-    "anti_join_customers_without_orders",
-    "setop_nation_intersect",
-    "setop_nation_except",
-    "union_all_distinct",
-    "window_running_total",
-    "window_lag_lead_ntile",
-    "window_topk_orders_per_customer",
-    "scalar_string_funcs",
-    "scalar_array_funcs",
-    "conditional_null_funcs",
-    "pipeline_count_rows",
-    "pipeline_limit_probe",
-    "pipeline_watermark_filter",
-    # (3) the 5 round-9 late registrations, registration order
-    "pipeline_refresh_cdc_audit",
-    "er_blocking_skew_audit",
-    "er_incremental_match",
-    "streaming_scd2_maintenance",
-    "er_assign_to_golden",
-    # (4) r7 bucket head, r7 order
-    "dedup_winnow_pairs_indexed",
-    "dedup_jaccard_pairs_indexed",
-    "sample_epoch_shuffle_wide",
-    "text_bpe_tokens_arrow",
-    "text_bpe_tokens_large",
+    # (1) the 10 round-10 late registrations — first driver evidence,
+    # registry order; the head carries this round's divergence risk
+    "er_assign_from_store",
+    "er_first_token_pairs",
+    "export_curriculum_readback",
+    "multimodal_codec_mix",
+    "er_store_append_serve",
+    "dedup_minhash_lsh_md5",
+    "dedup_simhash_md5",
+    "dedup_simhash_pairs_md5",
+    "streaming_er_maintenance",
+    "multimodal_video_frames",
+    # (2) the r7 bucket (40, turning 3-rounds-stale), r7 window order
+    "pack_training_sequences_bpe",
+    "embedding_near_dup_indexed",
+    "profile_data_card",
+    "streaming_merge_staging",
+    "export_jsonl_corpus",
+    "sample_source_budget",
+    "sample_quality_weighted",
+    "embedding_dedup_canonical",
+    "text_bpe_tokens",
+    "text_bpe_train",
+    "sample_epoch_shuffle",
+    "export_training_shards",
+    "pipeline_curation_v2",
+    "embedding_near_dup_pairs",
+    "dedup_winnow_pairs_capped",
+    "dedup_jaccard_pairs_capped",
+    "multimodal_binary_meta",
+    "ann_ivf_index_persisted",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q13_customer_distribution",
+    "scalar_date_math_funcs",
+    "type_mapping_enrichment",
+    "pipeline_config_flatten",
+    "pipeline_project_drop",
+    "pipeline_audit_columns",
+    "pipeline_flatten_subform",
+    "events_pivot_types",
+    "q9_product_profit",
+    "q15_top_supplier",
+    "q17_small_quantity_revenue",
+    "q19_discounted_revenue",
+    "q22_idle_customers",
+    "asof_last_click_before_error",
+    "range_join_close_events",
+    "skew_salted_join",
+    "window_range_trailing_30d",
+    "profile_documents_stats",
+    "pipeline_catalog_top1",
+    "pipeline_probe_counts",
 ]
 
 

@@ -118,6 +118,46 @@ def main() -> None:
     spark = get_spark("bench", extra_conf={"spark.sql.adaptive.enabled": "false"})
     spark.range(1).count()  # JVM warm-up outside the timed region
 
+    # Host-noise calibration probe (VERDICT r10 ask #2): a FIXED amount
+    # of pure whole-stage-codegen work — no I/O, no Python, one scalar
+    # result — benched min-of-warm before the headline queries. Its time
+    # depends only on host CPU availability, so round-over-round it
+    # carries the hypervisor-contention factor (the documented 1.2-1.6×
+    # uniform band, ARCHITECTURE.md "host-variance calibration") as DATA:
+    # compare core_total/calibration ("core_per_calib") across rounds to
+    # separate host drift from plan regressions without archaeology.
+    # The work size is frozen (same reason CORE is frozen) — do not
+    # retune it, or the ratio stops being comparable.
+    from pyspark.sql import functions as F  # noqa: E402
+    probe = spark.range(0, 800_000_000, 1, 32).select(
+        # pmod keeps the running sum < 4e14 (ANSI mode: sum of raw
+        # xxhash64 overflows long)
+        F.sum(F.pmod(F.xxhash64("id"), F.lit(1_000_000))).alias("h"))
+    probe_attempts: list[float] = []
+    for _ in range(6):
+        t0 = time.time()
+        probe.write.format("noop").mode("overwrite").save()
+        probe_attempts.append(round(time.time() - t0, 3))
+    calibration = min(probe_attempts[1:])  # first run = JIT, never counted
+    print(f"[bench] calibration probe: attempts={probe_attempts} "
+          f"best={calibration:.3f}", file=sys.stderr)
+
+    # Pre-warm pipeline_curation_incremental's standing stores (VERDICT
+    # r10 ask #3): its three resident artifacts (base fingerprint store,
+    # IVF cell store, radii) are unique to it — unlike the dedup/ANN
+    # resident twins, no earlier headline entry touches them, so without
+    # this its timed attempts fold cold file-cache reads and store-path
+    # JIT into the min and the number carries no round-over-round signal
+    # (r9 1.28s → r10 1.84s with no code change on its path). Build the
+    # plan (which materializes the stores at plan time) and execute it
+    # untimed here so the in-loop measurement below starts warm.
+    if "pipeline_curation_incremental" in HEADLINE:
+        warm_df = QUERIES["pipeline_curation_incremental"](spark, SF_DIR)
+        for _ in range(2):
+            warm_df.write.format("noop").mode("overwrite").save()
+        print("[bench] pre-warmed pipeline_curation_incremental stores",
+              file=sys.stderr)
+
     timings: dict[str, float] = {}
     for name in HEADLINE:
         spark.catalog.clearCache()
@@ -177,6 +217,12 @@ def main() -> None:
         # frozen at 28 queries, while the annex rotates with new work
         "core_total": core_total,
         "annex_total": annex_total,
+        # fixed-work pure-codegen probe (no I/O): host-speed control.
+        # core_per_calib = core_total / calibration_sec is the
+        # host-normalized round-over-round number — a plan regression
+        # moves it, hypervisor contention largely cancels out.
+        "calibration_sec": calibration,
+        "core_per_calib": round(core_total / calibration, 2) if calibration else None,
         "queries": timings,
         "sf": float(sf),
     }))

@@ -8053,18 +8053,33 @@ def er_assign_from_store(spark, sf_dir):
                    AS name,
                CAST(COUNT(*) AS BIGINT) AS n
         FROM part WHERE p_partkey % 7 = 0 GROUP BY 1
+    ), lead_noised AS (
+        SELECT concat('zz', substring(p_name, 3)) AS name,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM part WHERE p_partkey % 11 = 0 GROUP BY 1
     ), corpus AS (
         SELECT name, CAST(SUM(n) AS BIGINT) AS n
-        FROM (SELECT * FROM base UNION ALL SELECT * FROM noised)
+        FROM (SELECT * FROM base UNION ALL SELECT * FROM noised
+              UNION ALL SELECT * FROM lead_noised)
         GROUP BY 1
     ), t AS (
-        SELECT name, n, lower(split_part(name, ' ', 1)) AS blk FROM corpus
+        SELECT name, n,
+               lower(split_part(name, ' ', 1)) AS blk1,
+               lower(regexp_extract(name, '(\\S+)\\s*$', 1)) AS blk2
+        FROM corpus
+    ), cand AS (
+        SELECT a.name AS name_a, b.name AS name_b, a.n AS n_a, b.n AS n_b
+        FROM t a JOIN t b ON a.blk1 = b.blk1 AND a.name < b.name
+        WHERE levenshtein(a.name, b.name) <= 2
+        UNION
+        SELECT a.name, b.name, a.n, b.n
+        FROM t a JOIN t b ON a.blk2 = b.blk2 AND a.name < b.name
+        WHERE levenshtein(a.name, b.name) <= 2
     )
-    SELECT a.name AS name_a, b.name AS name_b,
-           CAST(levenshtein(a.name, b.name) AS BIGINT) AS edit_distance,
-           a.n AS n_a, b.n AS n_b
-    FROM t a JOIN t b ON a.blk = b.blk AND a.name < b.name
-    WHERE levenshtein(a.name, b.name) <= 2
+    SELECT name_a, name_b,
+           CAST(levenshtein(name_a, name_b) AS BIGINT) AS edit_distance,
+           n_a, n_b
+    FROM cand
     """,
 )
 def er_first_token_pairs(spark, sf_dir):
@@ -8092,8 +8107,23 @@ def er_first_token_pairs(spark, sf_dir):
     doesn't DEPEND on that shape. Hash-checked: Spark plan and DuckDB
     oracle replay the identical noise, key, and levenshtein refine;
     the recall/fan-out trade is pytest-graded on a padded-structure-
-    free person-name corpus (test_first_token_blocking_recall)."""
-    from .operators.dedup import first_token_block, fuzzy_match_pairs
+    free person-name corpus (test_first_token_blocking_recall).
+
+    Round 11 (VERDICT r10 ask #4): MULTI-PASS blocking — first-token
+    candidates unioned with LAST-token candidates
+    (operators/dedup.py multi_pass_match_pairs / last_token_block).
+    First-token blocking's priced-in miss class was a leading-token
+    edit; the fixture now injects exactly that class (every 11th part
+    re-enters with its first two characters replaced) and the
+    last-token pass catches it — a leading typo leaves the tail token
+    intact. Cost stays the sum of two vocabulary-level block joins;
+    the remaining (strictly smaller, still priced-in) miss class is an
+    edit budget split across BOTH end tokens."""
+    from .operators.dedup import (
+        first_token_block,
+        last_token_block,
+        multi_pass_match_pairs,
+    )
 
     part = load_table(spark, sf_dir, "part")
     base = part.groupBy(F.col("p_name").alias("name")).agg(
@@ -8104,13 +8134,21 @@ def er_first_token_pairs(spark, sf_dir):
             F.expr("substring(p_name, 1, length(p_name) - 2)"), F.lit("zz")
         ).alias("name")
     ).agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    lead_noised = part.filter(F.col("p_partkey") % 11 == 0).groupBy(
+        F.concat(F.lit("zz"), F.expr("substring(p_name, 3)")).alias("name")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n"))
     corpus = (
-        base.unionByName(noised)
+        base.unionByName(noised).unionByName(lead_noised)
         .groupBy("name").agg(F.sum("n").cast("bigint").alias("n"))
     )
-    pairs = fuzzy_match_pairs(
-        corpus.withColumn("_blk", first_token_block("name")),
-        key_col="name", id_col="name", block_cols=["_blk"], max_edit=2,
+    pairs = multi_pass_match_pairs(
+        corpus,
+        key_col="name", id_col="name",
+        block_keys={
+            "first": first_token_block("name"),
+            "last": last_token_block("name"),
+        },
+        max_edit=2,
     ).select(
         F.col("id_a").alias("name_a"), F.col("id_b").alias("name_b"),
         "edit_distance",

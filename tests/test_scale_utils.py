@@ -1383,6 +1383,89 @@ def test_first_token_blocking_recall(spark):
     assert candidates < 2 / len(firsts) * n * (n - 1) / 2
 
 
+def test_multi_pass_blocking_recall(spark):
+    """Round-11 multi-pass blocking (VERDICT r10 ask #4): unioning
+    first-token and last-token candidate passes closes first-token
+    blocking's priced-in miss class (leading-token edits) — a leading
+    typo leaves the LAST token intact, so the second pass catches it.
+    The remaining miss class is an edit budget split across BOTH end
+    tokens; the fixture injects all three noise classes and asserts the
+    split exactly: single-end noise 100% caught, both-ends noise is the
+    entire (non-empty) miss set."""
+    from pyspark.sql import functions as F
+
+    from priority_data_pipeline_azure_sql_db_spark.operators.dedup import (
+        first_token_block,
+        fuzzy_match_pairs,
+        last_token_block,
+        multi_pass_match_pairs,
+    )
+
+    firsts = ["garcia", "martin", "lopez", "smith", "muller", "rossi",
+              "tanaka", "kumar", "chen", "okafor", "silva", "novak"]
+    seconds = ["maria", "john", "wei", "amara", "luca", "priya",
+               "sofia", "ahmed", "yuki", "ana"]
+    rows = []
+    rid = 0
+    for i, f1 in enumerate(firsts):
+        for j, s1 in enumerate(seconds):
+            name = f"{f1} {s1}"
+            rows.append((rid, name)); rid += 1
+            k = i * len(seconds) + j
+            if k % 3 == 0:
+                rows.append((rid, name[:-1] + "x")); rid += 1  # tail edit
+            if k % 9 == 0:
+                rows.append((rid, "z" + name[1:])); rid += 1  # leading edit
+            if k % 15 == 0:
+                # BOTH end tokens edited (still distance 2): the one
+                # class a two-end-key union structurally cannot block
+                rows.append((rid, "z" + name[1:-1] + "x")); rid += 1
+    df = spark.createDataFrame(rows, "id bigint, name string")
+
+    truth = {
+        (r.id_a, r.id_b)
+        for r in fuzzy_match_pairs(
+            df.withColumn("_one", F.lit(1)),
+            key_col="name", id_col="id", block_cols=["_one"], max_edit=2,
+        ).collect()
+    }
+    got = {
+        (r.id_a, r.id_b)
+        for r in multi_pass_match_pairs(
+            df, key_col="name", id_col="id",
+            block_keys={"first": first_token_block("name"),
+                        "last": last_token_block("name")},
+            max_edit=2,
+        ).collect()
+    }
+    assert got <= truth  # blocking only prunes, never invents
+    missed = truth - got
+    names = dict(rows)
+    first = lambda i: names[i].split(" ", 1)[0].lower()  # noqa: E731
+    last = lambda i: names[i].rsplit(" ", 1)[-1].lower()  # noqa: E731
+    # missed ⟺ BOTH end tokens disagree — the leading-edit class the
+    # single first-token key dropped is now fully caught
+    assert all(first(a) != first(b) and last(a) != last(b)
+               for a, b in missed)
+    assert missed, "fixture must exercise the remaining (both-ends) trade"
+    caught_leading = {
+        (a, b) for a, b in truth
+        if first(a) != first(b) and last(a) == last(b)
+    }
+    assert caught_leading, "fixture must exercise the leading-edit class"
+    assert caught_leading <= got
+    recall = len(got) / len(truth)
+    single_pass = {
+        (r.id_a, r.id_b)
+        for r in fuzzy_match_pairs(
+            df.withColumn("_blk", first_token_block("name")),
+            key_col="name", id_col="id", block_cols=["_blk"], max_edit=2,
+        ).collect()
+    }
+    assert recall > len(single_pass) / len(truth)  # strictly better
+    assert recall < 1.0  # and the residual trade is real
+
+
 def test_stream_er_maintenance(spark, tmp_path):
     """Streaming ER maintenance: a multi-file available-now drain
     builds the cluster store from batch one and appends the rest; the
