@@ -56,19 +56,20 @@ def entry(spark: SparkSession) -> DataFrame:
 # set at sf0.1) the session it changed, plus full-sweep green.
 #
 # ROTATION ARITHMETIC: window 50 × 4-round cycle = 200-entry registry
-# CEILING for the ≤3-round staleness invariant. Registry stands at 197
+# CEILING for the ≤3-round staleness invariant. Registry stands at 198
 # (196 carried + ann_cosine_topk_ivf RETIRED in favor of the new
 # ann_cosine_topk_ivf_full — VERDICT r10 ask #5: the full-probe twin is
 # EXACT, hash-checked against the brute-force oracle, so the rows-only
 # set shrinks to 8 and ann_ivf_index_persisted is the lone approximate
-# ANN rows-only). Future registrations beyond 200 must retire an entry
-# each. Schedule from here:
+# ANN rows-only — + multimodal_gif_codec, ask #8). Future registrations
+# beyond 200 must retire an entry each. Schedule from here:
 #   r11 (this file): r10 late regs (10) + r7 bucket (40)
 #   r12: r8 bucket (47 after the ivf retirement, incl.
 #        ann_cosine_topk_lsh + the changed-oracle replays named above)
-#        + r11's late registrations (ann_cosine_topk_ivf_full,
-#        comparator-verified at sf0.01 AND sf0.1 the session it landed)
-#        — 2 slack remaining
+#        + r11's 2 late registrations (ann_cosine_topk_ivf_full and
+#        multimodal_gif_codec — the GIF decoder's every-pixel md5
+#        check, VERDICT r10 ask #8 — each comparator-verified at
+#        sf0.01 AND sf0.1 the session it landed) = 49, 1 slack
 #   r13: r9 bucket (49) + 1 slack
 #   r14: r10 bucket (50)
 #   r15: r11 bucket (50)

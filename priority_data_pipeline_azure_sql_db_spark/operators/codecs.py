@@ -1,15 +1,18 @@
 """Pure-stdlib media codecs — the REAL decode path (round 7; PNG r8;
 JPEG r9).
 
-The sandbox ships no PIL/librosa/av, but four production formats are
+The sandbox ships no PIL/librosa/av, but five production formats are
 decodable with nothing beyond ``struct``/``zlib`` + numpy: uncompressed
 24-bit BMP (BITMAPINFOHEADER, the baseline Windows DIB every image tool
 can emit), PCM WAV (RIFF, 8/16-bit), 8-bit RGB/RGBA PNG (sequential
 and Adam7-interlaced)
 (zlib inflate + full scanline unfiltering: None/Sub/Up/Average/Paeth),
-and — round 9 — baseline-sequential huffman JPEG (SOF0/SOF1, 4:4:4 /
+round 9 — baseline-sequential huffman JPEG (SOF0/SOF1, 4:4:4 /
 4:2:2 / 4:2:0, restart markers), THE dominant format of real web image
-corpora and the one the perceptual-dedup story actually fires on.
+corpora and the one the perceptual-dedup story actually fires on,
+and — round 11 — GIF87a/89a (variable-width LSB-first LZW, interlace,
+local color tables, transparency, multi-frame animation composited
+through disposal methods 0-3).
 These are complete, real decoders — not stubs — so the multimodal
 pipeline computes genuine pixel/sample statistics in-sandbox, and
 richer codecs (PIL/av: WebP, video) slot in behind
@@ -36,12 +39,14 @@ PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
 
 def sniff(content: bytes | None) -> str | None:
     """Identify a blob by magic bytes:
-    'bmp' | 'png' | 'jpeg' | 'wav' | 'avi' | None."""
+    'bmp' | 'png' | 'gif' | 'jpeg' | 'wav' | 'avi' | None."""
     b = content or b""
     if b[:2] == BMP_MAGIC and len(b) >= 54:
         return "bmp"
     if b[:8] == PNG_MAGIC:
         return "png"
+    if b[:6] in (b"GIF87a", b"GIF89a"):
+        return "gif"
     if b[:3] == b"\xff\xd8\xff":  # SOI + first marker prefix
         return "jpeg"
     if b[:4] == WAV_MAGIC and b[8:12] == b"WAVE":
@@ -2299,6 +2304,354 @@ def video_features(fps: float, frames: list[np.ndarray]) -> list[float]:
         mean_all, temporal, motion,
     ]
     return [np.floor(v * 1e6 + 0.5) / 1e6 for v in vals]
+
+
+# ---------------------------------------------------------------------------
+# GIF — LZW-compressed indexed color (87a/89a), full multi-frame decode
+# with disposal compositing (round 11)
+# ---------------------------------------------------------------------------
+
+GIF_MAGICS = (b"GIF87a", b"GIF89a")
+
+
+def _gif_subblocks(d: bytes, pos: int) -> tuple[bytes, int]:
+    """Concatenate a GIF sub-block chain (len byte + payload, 0 ends)."""
+    out = bytearray()
+    while True:
+        if pos >= len(d):
+            raise ValueError("GIF: truncated sub-block chain")
+        n = d[pos]
+        pos += 1
+        if n == 0:
+            return bytes(out), pos
+        if pos + n > len(d):
+            raise ValueError("GIF: truncated sub-block payload")
+        out += d[pos:pos + n]
+        pos += n
+
+
+def _lzw_decode(data: bytes, min_code_size: int, n_expected: int) -> bytes:
+    """GIF-variant LZW: LSB-first variable-width codes starting at
+    min_code_size+1 bits, CLEAR = 2^mcs, END = CLEAR+1, dictionary
+    capped at 4096 (deferred-clear: growth stops until the next CLEAR).
+    The width bump happens AFTER the entry whose index fills the current
+    width is added — GIF timing, not TIFF's early-change."""
+    if not 2 <= min_code_size <= 11:
+        raise ValueError(f"GIF: LZW min code size {min_code_size} out of range")
+    clear = 1 << min_code_size
+    end = clear + 1
+    literals = [bytes([i]) for i in range(clear)] + [b"", b""]
+    table = list(literals)
+    width = min_code_size + 1
+    out = bytearray()
+    bitbuf = nbits = 0
+    prev: bytes | None = None
+    ip = 0
+    while True:
+        while nbits < width:
+            if ip >= len(data):
+                # stream ran out before the END code: accept only a
+                # byte-complete frame (some writers omit END)
+                if len(out) >= n_expected:
+                    return bytes(out[:n_expected])
+                raise ValueError("GIF: LZW stream truncated")
+            bitbuf |= data[ip] << nbits
+            nbits += 8
+            ip += 1
+        code = bitbuf & ((1 << width) - 1)
+        bitbuf >>= width
+        nbits -= width
+        if code == clear:
+            table = list(literals)
+            width = min_code_size + 1
+            prev = None
+            continue
+        if code == end:
+            break
+        if prev is None:
+            if code >= clear:
+                raise ValueError("GIF: first LZW code after clear not a literal")
+            entry = table[code]
+        elif code < len(table):
+            entry = table[code]
+        elif code == len(table):
+            entry = prev + prev[:1]  # the KwKwK case
+        else:
+            raise ValueError(f"GIF: LZW code {code} beyond table size {len(table)}")
+        if prev is not None and len(table) < 4096:
+            table.append(prev + entry[:1])
+            if len(table) == (1 << width) and width < 12:
+                width += 1
+        out += entry
+        prev = entry
+        if len(out) > n_expected:
+            raise ValueError(
+                f"GIF: LZW emitted {len(out)} pixels for a {n_expected}-pixel frame"
+            )
+    if len(out) != n_expected:
+        raise ValueError(
+            f"GIF: LZW ended at {len(out)} of {n_expected} pixels"
+        )
+    return bytes(out)
+
+
+def _lzw_encode(indices: bytes, min_code_size: int) -> bytes:
+    """GIF-variant LZW encoder — the exact inverse timing of
+    :func:`_lzw_decode` (emit in the OLD width, then grow the table,
+    then bump the width; emit CLEAR + reset when the table fills)."""
+    clear = 1 << min_code_size
+    end = clear + 1
+    out = bytearray()
+    bitbuf = nbits = 0
+
+    def emit(code: int, w: int) -> None:
+        nonlocal bitbuf, nbits
+        bitbuf |= code << nbits
+        nbits += w
+        while nbits >= 8:
+            out.append(bitbuf & 0xFF)
+            bitbuf >>= 8
+            nbits -= 8
+
+    table = {bytes([i]): i for i in range(clear)}
+    next_code = end + 1
+    width = min_code_size + 1
+    emit(clear, width)
+    prefix = b""
+    for ch in indices:
+        cand = prefix + bytes([ch])
+        if cand in table:
+            prefix = cand
+            continue
+        emit(table[prefix], width)
+        if next_code < 4096:
+            table[cand] = next_code
+            next_code += 1
+            # the decoder reconstructs entry k one code LATER than the
+            # encoder defines it (the KwKwK lag), so the encoder bumps
+            # when the newly ASSIGNED index no longer fits the width —
+            # one entry after the decoder's len(table) == 2^width rule
+            if next_code - 1 == (1 << width) and width < 12:
+                width += 1
+        else:
+            emit(clear, width)
+            table = {bytes([i]): i for i in range(clear)}
+            next_code = end + 1
+            width = min_code_size + 1
+        prefix = bytes([ch])
+    if prefix:
+        emit(table[prefix], width)
+    emit(end, width)
+    if nbits:
+        out.append(bitbuf & 0xFF)
+    return bytes(out)
+
+
+def _gif_deinterlace(rows: np.ndarray) -> np.ndarray:
+    """Undo GIF 4-pass interlacing: stored row order is rows 0,8,16,…
+    then 4,12,…, then 2,6,…, then 1,3,5,…"""
+    h = rows.shape[0]
+    order = np.concatenate([
+        np.arange(0, h, 8), np.arange(4, h, 8),
+        np.arange(2, h, 4), np.arange(1, h, 2),
+    ])
+    out = np.empty_like(rows)
+    out[order] = rows
+    return out
+
+
+@_total_decoder("GIF")
+def decode_gif_frames(content: bytes) -> tuple[float, list[np.ndarray]]:
+    """Decode a GIF87a/89a to (fps, [(H, W, 3) uint8 RGB canvas frames])
+    — full animation support: per-frame local color tables, interlacing,
+    GIF89a transparency, and disposal methods 0/1 (leave), 2 (restore to
+    background), 3 (restore to previous). Each emitted frame is the
+    COMPOSITED logical-screen canvas, the way a viewer renders it.
+
+    The 3-channel RGB boundary (honest): pixels no frame ever paints —
+    and disposal-2 restored regions — render as the background color
+    (the global palette's background entry, else black) instead of
+    transparent; a consumer needing real alpha compositing is one
+    documented step beyond this decoder. fps comes from the first
+    frame's graphic-control delay (centiseconds); 10.0 when absent or
+    zero (the browser-compatible default for delay 0).
+    """
+    d = content
+    if d[:6] not in GIF_MAGICS:
+        raise ValueError("not a GIF: missing GIF87a/GIF89a magic")
+    width, height = struct.unpack_from("<HH", d, 6)
+    if width <= 0 or height <= 0:
+        raise ValueError(f"degenerate GIF dimensions {width}x{height}")
+    packed = d[10]
+    bg_index = d[11]
+    pos = 13
+    gct = None
+    if packed & 0x80:
+        n = 2 << (packed & 0x07)
+        if pos + 3 * n > len(d):
+            raise ValueError("GIF: truncated global color table")
+        gct = np.frombuffer(d, np.uint8, 3 * n, pos).reshape(n, 3)
+        pos += 3 * n
+    bg = gct[bg_index] if gct is not None and bg_index < len(gct) \
+        else np.zeros(3, np.uint8)
+    canvas = np.empty((height, width, 3), np.uint8)
+    canvas[:] = bg
+    frames: list[np.ndarray] = []
+    first_delay: int | None = None
+    delay_cs: int | None = None
+    transparent: int | None = None
+    disposal = 0
+    while True:
+        if pos >= len(d):
+            raise ValueError("GIF: stream ended without trailer")
+        b0 = d[pos]
+        if b0 == 0x3B:  # trailer
+            break
+        if b0 == 0x21:  # extension: GCE applies to the NEXT image
+            if pos + 2 > len(d):
+                raise ValueError("GIF: truncated extension header")
+            label = d[pos + 1]
+            blk, pos = _gif_subblocks(d, pos + 2)
+            if label == 0xF9:
+                if len(blk) < 4:
+                    raise ValueError("GIF: short graphic control extension")
+                disposal = (blk[0] >> 2) & 0x07
+                delay_cs = struct.unpack_from("<H", blk, 1)[0]
+                transparent = blk[3] if blk[0] & 0x01 else None
+            continue  # comment/app/plain-text extensions skipped
+        if b0 != 0x2C:
+            raise ValueError(f"GIF: unknown block introducer 0x{b0:02x}")
+        left, top, w, h = struct.unpack_from("<HHHH", d, pos + 1)
+        ipacked = d[pos + 9]
+        pos += 10
+        if w <= 0 or h <= 0 or left + w > width or top + h > height:
+            raise ValueError(
+                f"GIF: image descriptor {w}x{h}@({left},{top}) outside "
+                f"the {width}x{height} logical screen"
+            )
+        ct = gct
+        if ipacked & 0x80:
+            n = 2 << (ipacked & 0x07)
+            if pos + 3 * n > len(d):
+                raise ValueError("GIF: truncated local color table")
+            ct = np.frombuffer(d, np.uint8, 3 * n, pos).reshape(n, 3)
+            pos += 3 * n
+        if ct is None:
+            raise ValueError("GIF: image has neither local nor global color table")
+        if pos >= len(d):
+            raise ValueError("GIF: truncated before LZW min code size")
+        mcs = d[pos]
+        data, pos = _gif_subblocks(d, pos + 1)
+        idx = np.frombuffer(
+            _lzw_decode(data, mcs, w * h), np.uint8
+        ).reshape(h, w)
+        if ipacked & 0x40:
+            idx = _gif_deinterlace(idx)
+        if int(idx.max()) >= len(ct):
+            raise ValueError(
+                f"GIF: pixel index {int(idx.max())} beyond the "
+                f"{len(ct)}-entry color table"
+            )
+        region = canvas[top:top + h, left:left + w]
+        prev_region = region.copy() if disposal == 3 else None
+        px = ct[idx]
+        if transparent is not None:
+            mask = idx != transparent
+            region[mask] = px[mask]
+        else:
+            region[:] = px
+        frames.append(canvas.copy())
+        if first_delay is None:
+            first_delay = delay_cs
+        if disposal == 2:
+            canvas[top:top + h, left:left + w] = bg
+        elif disposal == 3:
+            canvas[top:top + h, left:left + w] = prev_region
+        delay_cs = None
+        transparent = None
+        disposal = 0
+    if not frames:
+        raise ValueError("GIF: no image data before trailer")
+    fps = 100.0 / first_delay if first_delay else 10.0
+    return fps, frames
+
+
+def decode_gif(content: bytes) -> np.ndarray:
+    """First composited frame of a GIF as an (H, W, 3) uint8 RGB array —
+    the image-shaped view (thumbnailing, perceptual hashing); animation
+    consumers use :func:`decode_gif_frames`."""
+    return decode_gif_frames(content)[1][0]
+
+
+def encode_gif(
+    frames: list[np.ndarray] | np.ndarray,
+    delay_cs: int = 10,
+) -> bytes:
+    """Encode (h, w, 3) uint8 RGB frame(s) as GIF89a — PALETTE-EXACT:
+    the global color table is the union of the frames' distinct colors
+    (lexicographically sorted — deterministic bytes), and more than 256
+    distinct colors raises NotImplementedError rather than silently
+    quantizing (the honest boundary; a real thumbnail pipeline adds
+    median-cut in front). Single frame → plain image; multiple frames →
+    animation with a NETSCAPE2.0 infinite loop block and one
+    graphic-control delay per frame. Full-canvas frames, no interlace,
+    no transparency — exactly the subset :func:`decode_gif_frames`
+    round-trips losslessly."""
+    if isinstance(frames, np.ndarray):
+        frames = [frames]
+    if not frames:
+        raise ValueError("GIF: no frames to encode")
+    h, w = frames[0].shape[0], frames[0].shape[1]
+    arrs = []
+    for i, f in enumerate(frames):
+        a = np.asarray(f, dtype=np.uint8)
+        if a.ndim != 3 or a.shape[2] != 3:
+            raise ValueError(f"GIF: frame {i} is not (h, w, 3) RGB")
+        if a.shape[:2] != (h, w):
+            raise ValueError(
+                f"GIF: frame {i} is {a.shape[:2]}, expected {(h, w)}"
+            )
+        arrs.append(a)
+    palette = np.unique(
+        np.concatenate([a.reshape(-1, 3) for a in arrs]), axis=0
+    )
+    if len(palette) > 256:
+        raise NotImplementedError(
+            f"GIF: {len(palette)} distinct colors need quantization "
+            "(palette-exact encoder supports <= 256)"
+        )
+    # color -> index lookup via a dense 24-bit key table
+    keys = (palette[:, 0].astype(np.int64) << 16) \
+        | (palette[:, 1].astype(np.int64) << 8) | palette[:, 2]
+    depth = max(int(len(palette) - 1).bit_length(), 1)
+    n_table = 1 << depth
+    table = np.zeros((n_table, 3), np.uint8)
+    table[: len(palette)] = palette
+    mcs = max(depth, 2)
+    out = bytearray()
+    out += b"GIF89a"
+    out += struct.pack("<HH", w, h)
+    out += bytes([0x80 | (depth - 1), 0, 0])  # GCT flag+size, bg 0, aspect 0
+    out += table.tobytes()
+    if len(arrs) > 1:
+        # NETSCAPE2.0 application extension: loop forever
+        out += b"\x21\xff\x0bNETSCAPE2.0\x03\x01\x00\x00\x00"
+    for a in arrs:
+        if len(arrs) > 1:
+            out += b"\x21\xf9\x04\x00" + struct.pack("<H", delay_cs) + b"\x00\x00"
+        out += b"\x2c" + struct.pack("<HHHH", 0, 0, w, h) + b"\x00"
+        flat = (a[:, :, 0].astype(np.int64) << 16) \
+            | (a[:, :, 1].astype(np.int64) << 8) | a[:, :, 2]
+        idx = np.searchsorted(keys, flat.reshape(-1)).astype(np.uint8)
+        out.append(mcs)
+        lzw = _lzw_encode(idx.tobytes(), mcs)
+        for off in range(0, len(lzw), 255):
+            chunk = lzw[off:off + 255]
+            out.append(len(chunk))
+            out += chunk
+        out.append(0)
+    out += b"\x3b"
+    return bytes(out)
 
 
 # ---------------------------------------------------------------------------

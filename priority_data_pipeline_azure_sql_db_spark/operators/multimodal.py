@@ -83,7 +83,8 @@ def decode_media(media_type: str, content: bytes):
     """The REAL decode path. Routes by magic bytes (the blob is the
     truth, not the declared media_type): uncompressed 24-bit BMP,
     8-bit RGB/RGBA PNG (round 8), baseline+progressive huffman JPEG
-    (rounds 9/10), PCM WAV, and Motion-JPEG AVI video (round 10 —
+    (rounds 9/10), GIF87a/89a incl. LZW + animation compositing
+    (round 11), PCM WAV, and Motion-JPEG AVI video (round 10 —
     RIFF demux + per-frame JPEG decode) with the pure-stdlib codecs;
     other formats (WebP, inter-frame video, ...) go to PIL when
     installed; anything else raises ``NotImplementedError`` (the honest
@@ -94,7 +95,7 @@ def decode_media(media_type: str, content: bytes):
     ('png', (h, w, 3|4) uint8 array),
     ('jpeg', (h, w, 3) uint8 RGB array),
     ('wav', (sample_rate, (n, ch) float array)),
-    ('avi', (fps, [(h, w, 3) uint8 RGB frame arrays])), or
+    ('avi' | 'gif', (fps, [(h, w, 3) uint8 RGB frame arrays])), or
     ('pil', PIL.Image)."""
     from . import codecs
 
@@ -103,6 +104,10 @@ def decode_media(media_type: str, content: bytes):
         return "bmp", codecs.decode_bmp(content)
     if kind == "png":
         return "png", codecs.decode_png(content)
+    if kind == "gif":
+        # (fps, frames) like AVI: a GIF is a 1..n-frame animation; a
+        # single-frame GIF is the n=1 case of the same composited decode
+        return "gif", codecs.decode_gif_frames(content)
     if kind == "jpeg":
         return "jpeg", codecs.decode_jpeg(content)
     if kind == "wav":
@@ -157,7 +162,9 @@ def extract_features(df: DataFrame) -> DataFrame:
                     return kind, codecs.image_features(decoded)
                 if kind == "wav":
                     return kind, codecs.audio_features(*decoded)
-                if kind == "avi":
+                if kind in ("avi", "gif"):
+                    # GIF shares the video descriptor: a single-frame
+                    # GIF is the n_frames=1 case (motion/temporal 0)
                     return kind, codecs.video_features(*decoded)
                 if kind == "pil":  # gated path — PIL absent in this sandbox
                     return kind, codecs.image_features(
@@ -225,13 +232,30 @@ def resize_images(
             # can never resize, so paying its full sample decode just
             # to fall through to the stub wastes the per-blob hot path
             # (round-10 review finding)
-            if codecs.sniff(blob) not in ("bmp", "png", "jpeg", "avi"):
+            if codecs.sniff(blob) not in ("bmp", "png", "gif", "jpeg", "avi"):
                 kind = None
             else:
                 try:
                     kind, decoded = decode_media("image", blob)
                 except (ValueError, NotImplementedError):
                     kind = None
+            if kind == "gif":
+                # single frame → lossless PNG like the other stills;
+                # animation → MJPEG-AVI at the GIF's fps (re-encoding
+                # resampled frames as GIF would need palette
+                # quantization — the encoder's documented boundary)
+                fps, frames = decoded
+                if len(frames) == 1:
+                    kind, decoded = "png", frames[0]
+                else:
+                    return (
+                        codecs.encode_avi_mjpeg(
+                            [codecs.resize_pixels(f, width, height, method)
+                             for f in frames],
+                            fps=fps or 10.0,
+                        ),
+                        "avi",
+                    )
             if kind in ("bmp", "png", "jpeg"):
                 return (
                     codecs.encode_png(
@@ -298,7 +322,12 @@ def sample_frames(df: DataFrame, every_nth: int = 10, max_frames: int = 8) -> Da
     Blobs that aren't a parseable MJPEG AVI keep the prior deterministic
     stub (fixed-size blob slices) so the function stays total — same
     tagged-fallback stance as extract_features. Inter-frame codecs
-    (H.264/...) would slot in via the av-gated path.
+    (H.264/...) would slot in via the av-gated path; GIF is excluded
+    here BY that same boundary — its frames composite onto the prior
+    canvas (disposal methods), so sampling the nth frame requires
+    decoding every frame before it, the opposite of MJPEG's
+    demux-without-decode economy (decode_gif_frames does the full
+    composited decode when a consumer wants GIF frames).
     """
     chunk = 16
 
@@ -376,6 +405,10 @@ def image_phash(df: DataFrame, hash_size: int = 8) -> DataFrame:
                         px = codecs.decode_bmp(bytes(blob))
                     elif kind == "png":
                         px = codecs.decode_png(bytes(blob))
+                    elif kind == "gif":
+                        # first composited frame — the thumbnail a viewer
+                        # shows, so cross-codec dedup sees GIF stills
+                        px = codecs.decode_gif(bytes(blob))
                     elif kind == "jpeg":
                         px = codecs.decode_jpeg(bytes(blob))
                     else:

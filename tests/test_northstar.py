@@ -1711,6 +1711,12 @@ def test_codec_fuzz_totality_all_formats():
         (C.encode_jpeg_progressive(px, quality=80), C.decode_jpeg),
         (C.encode_wav(8000, rng.uniform(-1, 1, 64)), C.decode_wav),
         (C.encode_avi_mjpeg(frames, fps=10.0), C.decode_avi_frames),
+        # round 11: GIF joins the totality contract (truncated
+        # sub-block chains, LZW codes beyond the table, oversized
+        # image descriptors — all ValueError, nothing else)
+        (C.encode_gif((px // 64) * 64), C.decode_gif_frames),
+        (C.encode_gif([(f // 64) * 64 for f in frames], delay_cs=4),
+         C.decode_gif_frames),
     ]
     for blob, dec in cases:
         for cut in range(0, len(blob), 2):
@@ -1857,6 +1863,240 @@ def test_codec_avi_opendml_avix_continuation():
     # non-RIFF trailing junk after the last segment stays legal
     assert len(C.avi_frame_payloads(base + b"JUNKJUNKJUNK")[1]) == 3
     assert len(C.avi_frame_payloads(base + avix + b"\x00\x01")[1]) == 5
+
+
+def test_codec_gif_roundtrip_single_and_animated():
+    """Round-11 GIF codec: palette-exact encode → full decode round
+    trips bit-identical pixels for single frames and animations,
+    including the LZW table-overflow/clear path, the 1-color and
+    256-color palette edges, fps from the graphic-control delay, and
+    the honest >256-color quantization boundary."""
+    import numpy as np
+    import pytest
+
+    from priority_data_pipeline_azure_sql_db_spark.operators import codecs as C
+
+    rng = np.random.default_rng(11)
+    px = (rng.integers(0, 4, (13, 17, 3)) * 85).astype(np.uint8)
+    blob = C.encode_gif(px)
+    assert C.sniff(blob) == "gif"
+    fps, frames = C.decode_gif_frames(blob)
+    assert fps == 10.0 and len(frames) == 1  # no GCE → default fps
+    assert np.array_equal(frames[0], px)
+    assert np.array_equal(C.decode_gif(blob), px)
+
+    anim = [(rng.integers(0, 6, (9, 11, 3)) * 40).astype(np.uint8)
+            for _ in range(4)]
+    ablob = C.encode_gif(anim, delay_cs=5)
+    afps, aframes = C.decode_gif_frames(ablob)
+    assert afps == 20.0 and len(aframes) == 4
+    for want, got in zip(anim, aframes):
+        assert np.array_equal(want, got)
+
+    # palette edges: 1 color (depth floor) and exactly 256 colors
+    flat = np.full((5, 5, 3), 77, np.uint8)
+    assert np.array_equal(C.decode_gif(C.encode_gif(flat)), flat)
+    p256 = np.zeros((16, 16, 3), np.uint8)
+    p256[:, :, 0] = np.arange(16, dtype=np.uint8)[:, None] * 16
+    p256[:, :, 2] = np.arange(16, dtype=np.uint8)[None, :] * 16
+    assert np.array_equal(C.decode_gif(C.encode_gif(p256)), p256)
+
+    # big enough that LZW fills its 4096-entry table and emits CLEAR
+    overflow = (rng.integers(0, 6, (300, 301, 3)) * 42).astype(np.uint8)
+    assert np.array_equal(C.decode_gif(C.encode_gif(overflow)), overflow)
+
+    # >256 distinct colors: refuse (palette-exact, no silent quantize)
+    many = np.zeros((16, 17, 3), np.uint8)
+    many[:, :, 0] = np.arange(16, dtype=np.uint8)[:, None] * 16
+    many[:, :, 1] = np.arange(17, dtype=np.uint8)[None, :] * 15
+    with pytest.raises(NotImplementedError, match="quantization"):
+        C.encode_gif(many)
+
+
+def test_codec_gif_golden_lzw_bitstream():
+    """The LZW layer pinned against FIRST-PRINCIPLES bytes, not just
+    its own inverse: for indices [0,1,1,0] at min code size 2 the spec
+    gives codes CLEAR(4),0,1,1 in 3 bits — the third add fills the
+    3-bit table so 0,END(5) follow in 4 bits — packing LSB-first to
+    exactly 44 02 05. The full-file golden then pins every header byte
+    of the 2x2 encode (hand-assembled from the GIF89a spec layout)."""
+    import struct as st
+
+    import numpy as np
+
+    from priority_data_pipeline_azure_sql_db_spark.operators import codecs as C
+
+    assert C._lzw_encode(bytes([0, 1, 1, 0]), 2) == bytes([0x44, 0x02, 0x05])
+    assert C._lzw_decode(bytes([0x44, 0x02, 0x05]), 2, 4) == bytes([0, 1, 1, 0])
+
+    px = np.array([[[10, 20, 30], [90, 80, 70]],
+                   [[90, 80, 70], [10, 20, 30]]], dtype=np.uint8)
+    golden = (
+        b"GIF89a"
+        + st.pack("<HH", 2, 2)      # logical screen 2x2
+        + bytes([0x80, 0, 0])       # GCT present, 2 entries; bg 0; aspect 0
+        + bytes([10, 20, 30, 90, 80, 70])  # palette, lexicographic
+        + b"\x2c" + st.pack("<HHHH", 0, 0, 2, 2) + b"\x00"  # image desc
+        + bytes([2])                # LZW min code size
+        + bytes([3, 0x44, 0x02, 0x05, 0])  # one sub-block + terminator
+        + b"\x3b"
+    )
+    assert C.encode_gif(px) == golden
+    _fps, frames = C.decode_gif_frames(golden)
+    assert np.array_equal(frames[0], px)
+
+
+def test_codec_gif_interlace_lct_transparency_disposal():
+    """Decode-only GIF features the encoder never emits, each pinned by
+    a hand-assembled stream: 4-pass interlacing (stored rows 0,4,2,6,
+    1,3,5,7 for h=8), a local color table overriding the global one,
+    GIF89a transparency (masked pixels keep the prior canvas), and
+    disposal methods 2 (restore region to background) and 3 (restore to
+    previous) between animation frames."""
+    import struct as st
+
+    import numpy as np
+    import pytest
+
+    from priority_data_pipeline_azure_sql_db_spark.operators import codecs as C
+
+    def screen(w, h, palette, bg=0):
+        depth = max((len(palette) - 1).bit_length(), 1)
+        table = bytearray(3 * (1 << depth))
+        for i, c in enumerate(palette):
+            table[3 * i:3 * i + 3] = bytes(c)
+        return (b"GIF89a" + st.pack("<HH", w, h)
+                + bytes([0x80 | (depth - 1), bg, 0]) + bytes(table))
+
+    def image(idx, left, top, w, h, mcs, interlace=False, lct=None):
+        out = bytearray()
+        flags = 0x40 if interlace else 0
+        if lct is not None:
+            depth = max((len(lct) - 1).bit_length(), 1)
+            flags |= 0x80 | (depth - 1)
+        out += b"\x2c" + st.pack("<HHHH", left, top, w, h) + bytes([flags])
+        if lct is not None:
+            depth = max((len(lct) - 1).bit_length(), 1)
+            table = bytearray(3 * (1 << depth))
+            for i, c in enumerate(lct):
+                table[3 * i:3 * i + 3] = bytes(c)
+            out += bytes(table)
+        lzw = C._lzw_encode(bytes(idx), mcs)
+        out += bytes([mcs])
+        for off in range(0, len(lzw), 255):
+            chunk = lzw[off:off + 255]
+            out += bytes([len(chunk)]) + chunk
+        out += b"\x00"
+        return bytes(out)
+
+    def gce(disposal=0, transparent=None, delay=0):
+        packed = (disposal & 7) << 2 | (1 if transparent is not None else 0)
+        return (b"\x21\xf9\x04" + bytes([packed]) + st.pack("<H", delay)
+                + bytes([transparent or 0, 0]))
+
+    # interlace: 8 rows of 2 px, pixel value = row number; stored in
+    # pass order — the decoder must hand back rows 0..7
+    pal8 = [(i, i, i) for i in range(8)]
+    stored_rows = [0, 4, 2, 6, 1, 3, 5, 7]
+    idx = bytes(r for r in stored_rows for _ in range(2))
+    g = screen(2, 8, pal8) + image(idx, 0, 0, 2, 8, 3, interlace=True) + b"\x3b"
+    _, frames = C.decode_gif_frames(g)
+    assert np.array_equal(frames[0][:, 0, 0], np.arange(8, dtype=np.uint8))
+
+    # local color table wins over the global one
+    lct = [(200, 0, 0), (0, 200, 0)]
+    g = screen(2, 1, [(9, 9, 9), (1, 1, 1)]) \
+        + image(bytes([0, 1]), 0, 0, 2, 1, 2, lct=lct) + b"\x3b"
+    _, frames = C.decode_gif_frames(g)
+    assert frames[0].tolist() == [[[200, 0, 0], [0, 200, 0]]]
+
+    # transparency + disposals across three frames on a 2x2 canvas:
+    pal = [(0, 0, 0), (255, 0, 0), (0, 255, 0), (0, 0, 255)]
+    f1 = image(bytes([1, 1, 1, 1]), 0, 0, 2, 2, 2)        # all red
+    # frame 2: 1x1 at (1,1), transparent index 3 -> keeps red there,
+    # and disposal 2 on frame 1 restored nothing yet (disposal acts
+    # AFTER the frame is emitted)
+    f2 = image(bytes([3]), 1, 1, 1, 1, 2)
+    f3 = image(bytes([2]), 0, 0, 1, 1, 2)                 # green at (0,0)
+    g = (screen(2, 2, pal, bg=0)
+         + gce(disposal=2) + f1          # after emit: restore ALL to bg
+         + gce(transparent=3) + f2       # paints nothing (masked)
+         + gce(disposal=3) + f3          # green; then restore (moot, last)
+         + b"\x3b")
+    _, frames = C.decode_gif_frames(g)
+    assert frames[0].tolist() == [[[255, 0, 0]] * 2] * 2
+    # disposal 2 wiped frame 1's region to background (black) BEFORE
+    # frame 2, whose only pixel is transparent -> all black
+    assert frames[1].tolist() == [[[0, 0, 0]] * 2] * 2
+    assert frames[2].tolist() == [[[0, 255, 0], [0, 0, 0]],
+                                  [[0, 0, 0], [0, 0, 0]]]
+
+    # disposal 3: frame 2 paints blue over red, then restores -> frame 3
+    # sees red again
+    g = (screen(2, 2, pal) + gce() + f1
+         + gce(disposal=3) + image(bytes([3, 3, 3, 3]), 0, 0, 2, 2, 2)
+         + gce(transparent=3) + f2 + b"\x3b")
+    _, frames = C.decode_gif_frames(g)
+    assert frames[1].tolist() == [[[0, 0, 255]] * 2] * 2
+    assert frames[2].tolist() == [[[255, 0, 0]] * 2] * 2
+
+    # pixel index beyond the palette: loud, not modulo-wrapped
+    bad = screen(2, 1, [(9, 9, 9), (1, 1, 1)]) \
+        + image(bytes([0, 3]), 0, 0, 2, 1, 2) + b"\x3b"
+    with pytest.raises(ValueError, match="color table"):
+        C.decode_gif_frames(bad)
+
+    # image descriptor outside the logical screen: loud
+    bad = screen(2, 1, pal8) + image(bytes([0, 1]), 1, 0, 2, 1, 3) + b"\x3b"
+    with pytest.raises(ValueError, match="logical screen"):
+        C.decode_gif_frames(bad)
+
+
+def test_codec_gif_dispatch_and_features(spark):
+    """GIF through the Spark surfaces: extract_features tags 'gif' and
+    computes the REAL video descriptor (n_frames, fps, duration, w, h —
+    a single-frame GIF is the n=1 case), image_phash sees the first
+    composited frame (cross-codec: a GIF still and the same pixels as
+    PNG hash identical), and resize_images re-encodes stills as PNG and
+    animations as MJPEG-AVI at the GIF's fps."""
+    import numpy as np
+
+    from priority_data_pipeline_azure_sql_db_spark.operators import codecs as C
+    from priority_data_pipeline_azure_sql_db_spark.operators.multimodal import (
+        extract_features,
+        image_phash,
+        resize_images,
+    )
+
+    rng = np.random.default_rng(3)
+    still = (rng.integers(0, 4, (8, 8, 3)) * 80).astype(np.uint8)
+    anim = [(rng.integers(0, 4, (8, 8, 3)) * 80).astype(np.uint8)
+            for _ in range(3)]
+    rows = [
+        (1, "image", bytearray(C.encode_gif(still))),
+        (2, "video", bytearray(C.encode_gif(anim, delay_cs=4))),
+        (3, "image", bytearray(C.encode_png(still))),
+    ]
+    df = spark.createDataFrame(
+        rows, "media_id long, media_type string, content binary"
+    )
+    feats = {r.media_id: r for r in extract_features(df).collect()}
+    assert feats[1].codec == "gif"
+    assert feats[1].feature[0] == 1.0 and feats[1].feature[1] == 10.0
+    assert feats[2].codec == "gif"
+    assert feats[2].feature[0] == 3.0 and feats[2].feature[1] == 25.0
+    assert (feats[2].feature[3], feats[2].feature[4]) == (8.0, 8.0)
+
+    ph = {r.media_id: r.phash for r in image_phash(df).collect()}
+    assert ph[1] == ph[3], "same pixels as GIF and PNG must phash equal"
+
+    rs = {r.media_id: r for r in
+          resize_images(df, width=4, height=4).collect()}
+    assert rs[1].codec == "png" and C.sniff(bytes(rs[1].content)) == "png"
+    assert rs[2].codec == "avi" and C.sniff(bytes(rs[2].content)) == "avi"
+    rfps, rframes = C.decode_avi_frames(bytes(rs[2].content))
+    assert rfps == 25.0 and len(rframes) == 3
+    assert rframes[0].shape == (4, 4, 3)
 
 
 # ---------------------------------------------------------------------------
