@@ -2460,28 +2460,32 @@ def _gif_deinterlace(rows: np.ndarray) -> np.ndarray:
     return out
 
 
-@_total_decoder("GIF")
-def decode_gif_frames(content: bytes) -> tuple[float, list[np.ndarray]]:
-    """Decode a GIF87a/89a to (fps, [(H, W, 3) uint8 RGB canvas frames])
-    — full animation support: per-frame local color tables, interlacing,
-    GIF89a transparency, and disposal methods 0/1 (leave), 2 (restore to
-    background), 3 (restore to previous). Each emitted frame is the
-    COMPOSITED logical-screen canvas, the way a viewer renders it.
+# LZW emits at most ~2730 pixels per data byte (a 12-bit code every
+# 1.5 bytes, each naming a <=4096-pixel table entry) — 4096/byte is a
+# safely generous ceiling used to reject header-declared sizes the
+# stream could never have painted, BEFORE any allocation.
+_GIF_MAX_PX_PER_BYTE = 4096
+# composited-output floor: small legit animations always pass even if
+# the per-byte bound is tight (16M px = 48 MB of frames)
+_GIF_MIN_TOTAL_PX = 16_000_000
 
-    The 3-channel RGB boundary (honest): pixels no frame ever paints —
-    and disposal-2 restored regions — render as the background color
-    (the global palette's background entry, else black) instead of
-    transparent; a consumer needing real alpha compositing is one
-    documented step beyond this decoder. fps comes from the first
-    frame's graphic-control delay (centiseconds); 10.0 when absent or
-    zero (the browser-compatible default for delay 0).
-    """
+
+def _decode_gif(content: bytes, first_only: bool) -> tuple[float, list[np.ndarray]]:
     d = content
     if d[:6] not in GIF_MAGICS:
         raise ValueError("not a GIF: missing GIF87a/GIF89a magic")
     width, height = struct.unpack_from("<HH", d, 6)
     if width <= 0 or height <= 0:
         raise ValueError(f"degenerate GIF dimensions {width}x{height}")
+    # totality guard (the decode_bmp/PNG/JPEG size-check stance): a
+    # corrupt dimension byte must raise the advertised ValueError, not
+    # MemoryError on a 12.9 GB (65535^2) canvas write — validate the
+    # DECLARED size against what the stream could possibly paint
+    if width * height > _GIF_MAX_PX_PER_BYTE * len(d):
+        raise ValueError(
+            f"GIF: {width}x{height} logical screen exceeds what a "
+            f"{len(d)}-byte stream can paint"
+        )
     packed = d[10]
     bg_index = d[11]
     pos = 13
@@ -2563,6 +2567,20 @@ def decode_gif_frames(content: bytes) -> tuple[float, list[np.ndarray]]:
         frames.append(canvas.copy())
         if first_delay is None:
             first_delay = delay_cs
+        if first_only:
+            break  # frame 0 needs no disposal state — stop paying LZW
+        # composited-output guard: each emitted frame copies the whole
+        # canvas, so a crafted stream of tiny image blocks on a large
+        # screen amplifies far past its own size — cap total output at
+        # the per-byte paint bound (floored so small legit animations
+        # always pass) and fail with the advertised type
+        if (len(frames) + 1) * width * height > max(
+            _GIF_MAX_PX_PER_BYTE * len(d), _GIF_MIN_TOTAL_PX
+        ):
+            raise ValueError(
+                f"GIF: frame {len(frames) + 1} would push composited "
+                f"output past the {len(d)}-byte stream's paint bound"
+            )
         if disposal == 2:
             canvas[top:top + h, left:left + w] = bg
         elif disposal == 3:
@@ -2576,11 +2594,37 @@ def decode_gif_frames(content: bytes) -> tuple[float, list[np.ndarray]]:
     return fps, frames
 
 
+@_total_decoder("GIF")
+def decode_gif_frames(content: bytes) -> tuple[float, list[np.ndarray]]:
+    """Decode a GIF87a/89a to (fps, [(H, W, 3) uint8 RGB canvas frames])
+    — full animation support: per-frame local color tables, interlacing,
+    GIF89a transparency, and disposal methods 0/1 (leave), 2 (restore to
+    background), 3 (restore to previous). Each emitted frame is the
+    COMPOSITED logical-screen canvas, the way a viewer renders it.
+
+    The 3-channel RGB boundary (honest): pixels no frame ever paints —
+    and disposal-2 restored regions — render as the background color
+    (the global palette's background entry, else black) instead of
+    transparent; a consumer needing real alpha compositing is one
+    documented step beyond this decoder. fps comes from the first
+    frame's graphic-control delay (centiseconds); 10.0 when absent or
+    zero (the browser-compatible default for delay 0). Output is
+    bounded by the stream's LZW paint capacity (declared-size and
+    composited-total guards) — corrupt or hostile dimensions raise
+    ValueError before any canvas-sized allocation.
+    """
+    return _decode_gif(content, first_only=False)
+
+
+@_total_decoder("GIF")
 def decode_gif(content: bytes) -> np.ndarray:
     """First composited frame of a GIF as an (H, W, 3) uint8 RGB array —
     the image-shaped view (thumbnailing, perceptual hashing); animation
-    consumers use :func:`decode_gif_frames`."""
-    return decode_gif_frames(content)[1][0]
+    consumers use :func:`decode_gif_frames`. Stops after the first
+    image block — frame 0 needs no disposal state, so an animated
+    corpus pays one frame's LZW per blob, not the whole animation
+    (the sample_frames decode-only-what-you-keep economy)."""
+    return _decode_gif(content, first_only=True)[1][0]
 
 
 def encode_gif(

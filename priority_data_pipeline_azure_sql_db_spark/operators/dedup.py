@@ -846,7 +846,7 @@ def last_token_block(col: str) -> Column:
     candidates (multi-pass blocking, the classic Fellegi–Sunter-era
     record-linkage recipe) closes that hole. The remaining miss class
     is an edit budget split across BOTH end tokens, strictly smaller
-    and pytest-graded (test_first_token_blocking_recall). Regex rather
+    and pytest-graded (test_multi_pass_blocking_recall). Regex rather
     than a negative split_part index: ``(\\S+)\\s*$`` has identical
     no-match ('' on empty input) and trailing-space semantics in Spark
     and DuckDB, so oracles replay it verbatim.
@@ -871,6 +871,10 @@ def multi_pass_match_pairs(
     smaller than the corpus at production block sizes; edit_distance is
     a function of the pair so the wider distinct is value-identical.
     """
+    if not block_keys:
+        raise ValueError(
+            "multi_pass_match_pairs: at least one blocking key required"
+        )
     out = None
     for name, key in block_keys.items():
         blk = f"_blk_{name}"

@@ -123,9 +123,9 @@ def decode_media(media_type: str, content: bytes):
             raise ValueError(f"PIL could not decode blob: {exc}") from exc
     raise NotImplementedError(
         f"no available codec for this blob (media_type={media_type!r}; "
-        "in-sandbox codecs: uncompressed 24-bit BMP, 8-bit RGB/RGBA PNG, "
-        "baseline huffman JPEG, PCM WAV; install "
-        "PIL/librosa/av for more)"
+        "in-sandbox codecs: uncompressed 24-bit BMP, 8-bit PNG, "
+        "baseline+progressive huffman JPEG, GIF87a/89a, PCM WAV, "
+        "MJPEG AVI; install PIL/librosa/av for more)"
     )
 
 

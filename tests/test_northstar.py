@@ -2046,6 +2046,26 @@ def test_codec_gif_interlace_lct_transparency_disposal():
     with pytest.raises(ValueError, match="color table"):
         C.decode_gif_frames(bad)
 
+    # review fix: corrupt header dimensions raise the advertised
+    # ValueError BEFORE any canvas-sized allocation — a 65535x65535
+    # declaration on a tiny stream used to MemoryError on a 12.9 GB
+    # write, escaping every tagged-stub fallback handler
+    tiny = bytearray(screen(2, 1, pal8) + image(bytes([0, 1]), 0, 0, 2, 1, 3)
+                     + b"\x3b")
+    st.pack_into("<HH", tiny, 6, 65535, 65535)
+    with pytest.raises(ValueError, match="can paint"):
+        C.decode_gif_frames(bytes(tiny))
+
+    # review fix: decode_gif stops after frame 0 of an animation (no
+    # disposal state needed) — a frame-2 LZW corruption that fails the
+    # full decode must NOT reach the first-frame view
+    good = (screen(2, 2, pal) + gce() + f1 + gce() + f3 + b"\x3b")
+    broken = bytearray(good)
+    broken[-6] ^= 0xFF  # corrupt inside frame 2's data sub-block
+    with pytest.raises(ValueError):
+        C.decode_gif_frames(bytes(broken))
+    assert C.decode_gif(bytes(broken)).tolist() == [[[255, 0, 0]] * 2] * 2
+
     # image descriptor outside the logical screen: loud
     bad = screen(2, 1, pal8) + image(bytes([0, 1]), 1, 0, 2, 1, 3) + b"\x3b"
     with pytest.raises(ValueError, match="logical screen"):
