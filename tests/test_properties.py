@@ -596,3 +596,42 @@ def test_dedup_within_tie_partition_invariant(spark, payloads, nparts):
     va = dedup_within(a, ["pk"], "ver").collect()[0].v
     vb = dedup_within(b, ["pk"], "ver").collect()[0].v
     assert va == vb
+
+
+@SETTINGS
+@given(
+    h=st.integers(min_value=1, max_value=12),
+    w=st.integers(min_value=1, max_value=12),
+    n_frames=st.integers(min_value=1, max_value=4),
+    levels=st.integers(min_value=1, max_value=6),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+    delay=st.integers(min_value=0, max_value=20),
+)
+def test_gif_roundtrip_property(h, w, n_frames, levels, seed, delay):
+    """encode_gif → decode_gif_frames is the pixel identity for ANY
+    (h, w) shape, frame count, palette size (incl. the 1-color and
+    power-of-two depth edges), and delay — the palette-exact contract.
+    fps replays 100/delay for animations (10.0 default for delay 0 and
+    for single frames, which carry no graphic control block). No Spark
+    session: the codec layer is pure numpy."""
+    import numpy as np
+
+    from priority_data_pipeline_azure_sql_db_spark.operators import codecs as C
+
+    rng = np.random.RandomState(seed)
+    frames = [
+        (rng.randint(0, levels, (h, w, 3)) * (255 // max(levels - 1, 1))
+         ).astype(np.uint8)
+        for _ in range(n_frames)
+    ]
+    blob = C.encode_gif(frames if n_frames > 1 else frames[0],
+                        delay_cs=delay)
+    fps, out = C.decode_gif_frames(blob)
+    assert len(out) == n_frames
+    for want, got in zip(frames, out):
+        assert np.array_equal(want, got)
+    if n_frames == 1 or delay == 0:
+        assert fps == 10.0
+    else:
+        assert fps == 100.0 / delay
+    assert np.array_equal(C.decode_gif(blob), frames[0])
