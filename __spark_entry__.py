@@ -207,7 +207,21 @@ CHECK_ORDER = [
 ]
 
 
-def _ordered(mapping: dict) -> dict:
+def _ordered(mapping: dict, strict: bool = False) -> dict:
+    # strict (the queries() path) fails LOUD on a stale window:
+    # silently dropping a retired/renamed CHECK_ORDER name would shrink
+    # the 50-slot window and slide in an arbitrary registry-order
+    # entry, violating the staleness schedule undetected (review
+    # finding; test_check_order_window_integrity is the pytest twin).
+    # oracle_sql() stays lenient — rows-only entries are legitimately
+    # absent from the oracle mapping.
+    if strict:
+        missing = [n for n in CHECK_ORDER if n not in mapping]
+        if missing:
+            raise ValueError(
+                f"CHECK_ORDER names not in the registry: {missing} — "
+                "update the rotation window in __spark_entry__.py"
+            )
     head = {n: mapping[n] for n in CHECK_ORDER if n in mapping}
     tail = {n: v for n, v in mapping.items() if n not in head}
     return {**head, **tail}
@@ -215,7 +229,7 @@ def _ordered(mapping: dict) -> dict:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2."""
-    return _ordered(dict(QUERIES))
+    return _ordered(dict(QUERIES), strict=True)
 
 
 def oracle_sql() -> dict[str, str]:

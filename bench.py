@@ -159,9 +159,16 @@ def main() -> None:
               file=sys.stderr)
 
     timings: dict[str, float] = {}
+    errors: dict[str, str] = {}
     for name in HEADLINE:
-        spark.catalog.clearCache()
-        df = QUERIES[name](spark, SF_DIR)  # plan ONCE; execute hot below
+        # one failing entry must not discard the whole run's timings
+        # (review finding): record the failure, keep benching
+        try:
+            df = QUERIES[name](spark, SF_DIR)  # plan ONCE; execute hot below
+        except Exception as exc:  # noqa: BLE001
+            errors[name] = f"{type(exc).__name__}: {exc}"
+            print(f"[bench] {name}: PLAN ERROR {errors[name]}", file=sys.stderr)
+            continue
         # Warm-up + min-of-warm: generated code JITs lazily, and wide
         # fused pipelines compile enough bytecode that the first 1-3
         # executions run partly interpreted. Run until the minimum stops
@@ -178,17 +185,23 @@ def main() -> None:
             # the min under-reports the true per-run cost (ADVICE r5)
             spark.catalog.clearCache()
             t0 = time.time()
-            df.write.format("noop").mode("overwrite").save()
+            try:
+                df.write.format("noop").mode("overwrite").save()
+            except Exception as exc:  # noqa: BLE001
+                errors[name] = f"{type(exc).__name__}: {exc}"
+                print(f"[bench] {name}: RUN ERROR {errors[name]}",
+                      file=sys.stderr)
+                break
             dt = time.time() - t0
             attempts.append(round(dt, 3))
             if attempt == 0:
                 continue  # cold run: JIT/codegen, never counted
-            if dt < best * 0.95:
-                best = min(best, dt)
-                since_improve = 0
-            else:
-                best = min(best, dt)
-                since_improve += 1
+            # >5% improvement vs the PRIOR best resets the convergence
+            # counter; best always takes the min (hoisted — it was
+            # duplicated in both branches)
+            improved = dt < best * 0.95
+            best = min(best, dt)
+            since_improve = 0 if improved else since_improve + 1
             # queries still above ~1s get extra attempts: HotSpot
             # occasionally parks a wide pipeline in a slow compiled state
             # for several runs before the fast form lands (measured 8x
@@ -203,10 +216,17 @@ def main() -> None:
                 continue
             if since_improve >= 2 and (best < 1.0 or attempt >= 6):
                 break
+        if name in errors:
+            continue  # mid-attempt failure: no honest number to record
         print(f"[bench] {name}: attempts={attempts} best={best:.3f}", file=sys.stderr)
         timings[name] = round(best, 3)
 
-    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    # a non-'sf<number>' fixture dir must not crash AFTER all the
+    # timing work and lose the output line (review finding)
+    try:
+        sf = float(SF_DIR.rstrip("/").rsplit("sf", 1)[-1])
+    except ValueError:
+        sf = None
     core_total = round(sum(timings[n] for n in CORE if n in timings), 3)
     annex_total = round(sum(timings[n] for n in ANNEX if n in timings), 3)
     print(json.dumps({
@@ -224,7 +244,10 @@ def main() -> None:
         "calibration_sec": calibration,
         "core_per_calib": round(core_total / calibration, 2) if calibration else None,
         "queries": timings,
-        "sf": float(sf),
+        # present (and non-empty) only when an entry failed — a failed
+        # entry is also absent from queries/totals
+        **({"errors": errors} if errors else {}),
+        "sf": sf,
     }))
 
 

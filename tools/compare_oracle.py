@@ -47,7 +47,13 @@ def normalize_cell(v) -> str:
             return "NaN"
         return repr(round(v, 9))
     if isinstance(v, decimal.Decimal):
-        return str(v.normalize())
+        # render through the FLOAT path: the DuckDB side of a DECIMAL
+        # column arrives as float64 from .df(), and Decimal.normalize()
+        # emits scientific notation for trailing-zero integral values
+        # ('3E+2' for 300) — equal values would hash differently
+        # (review finding; the repo convention is to never RETURN
+        # decimals, but the gate itself must not false-fail)
+        return normalize_cell(float(v))
     if isinstance(v, datetime.datetime):  # incl. pd.Timestamp
         return v.replace(tzinfo=None).isoformat(timespec="microseconds")
     if isinstance(v, bytes):
@@ -65,18 +71,27 @@ def canon_pandas(pdf):
     return pdf[cols].sort_values(by=cols, na_position="last").reset_index(drop=True)
 
 
-def table_hash(pdf) -> str:
+def row_lines(pdf) -> list[str]:
+    """One sorted line per row. Cells are LENGTH-PREFIXED before the
+    '|' join so the encoding is injective — ('a|b','c') and ('a','b|c')
+    used to serialize identically, a false-PASS class for text cells
+    containing pipes (review finding). NaT normalizes to NULL here, the
+    ONE place both the hash and the mismatch printer go through."""
     import pandas as pd
 
-    lines = sorted(
-        "|".join(
-            normalize_cell(None if v is None or v is pd.NaT else v)
-            for v in row
-        )
+    def cell(v) -> str:
+        s = normalize_cell(None if v is None or v is pd.NaT else v)
+        return f"{len(s)}:{s}"
+
+    return sorted(
+        "|".join(cell(v) for v in row)
         for row in pdf.itertuples(index=False, name=None)
     )
+
+
+def table_hash(pdf) -> str:
     h = hashlib.sha256()
-    for line in lines:
+    for line in row_lines(pdf):
         h.update(line.encode())
         h.update(b"\n")
     return h.hexdigest()[:16]
@@ -85,7 +100,14 @@ def table_hash(pdf) -> str:
 def main() -> int:
     args = [a for a in sys.argv[1:] if a != "--vanilla"]
     vanilla = "--vanilla" in sys.argv[1:]
-    sf_dir = args[0] if args and "/" in args[0] else "/root/testdata/sf0.01"
+    # any '/'-bearing arg is a fixture dir regardless of position — an
+    # sf_dir passed AFTER query names used to be silently dropped and
+    # the default sf0.01 ran instead (review finding)
+    dirs = [a for a in args if "/" in a]
+    if len(dirs) > 1:
+        print(f"ERROR: multiple fixture dirs given: {dirs}", file=sys.stderr)
+        return 2
+    sf_dir = dirs[0] if dirs else "/root/testdata/sf0.01"
     only = [a for a in args if "/" not in a]
 
     if vanilla:
@@ -109,6 +131,13 @@ def main() -> int:
 
     queries = entrymod.queries()
     oracles = entrymod.oracle_sql()
+
+    # a misspelled subset name used to skip everything and exit 0 —
+    # '0 pass, 0 fail' read as green in scripted gates (review finding)
+    unknown = [n for n in only if n not in queries]
+    if unknown:
+        print(f"ERROR: not in the registry: {unknown}", file=sys.stderr)
+        return 2
 
     n_pass = n_fail = n_rowsonly = 0
     for name, fn in queries.items():
@@ -150,17 +179,16 @@ def main() -> int:
             hs, ho = table_hash(cs), table_hash(co)
             if hs != ho:
                 problems.append(f"valuehash spark={hs} duck={ho}")
-                ls = sorted(
-                    "|".join(normalize_cell(v) for v in row)
-                    for row in cs.itertuples(index=False, name=None)
-                )
-                lo = sorted(
-                    "|".join(normalize_cell(v) for v in row)
-                    for row in co.itertuples(index=False, name=None)
-                )
-                diffs = [(a, b) for a, b in zip(ls, lo) if a != b][:3]
-                for a, b in diffs:
-                    print(f"      spark: {a[:200]}\n      duck : {b[:200]}")
+                # diagnostics through the SAME normalization the hash
+                # used (the old inline copy printed NaT where the hash
+                # saw NULL), as SET DIFFERENCES — zipping two sorted
+                # lists pairs unrelated rows once one insertion shifts
+                # alignment (review finding)
+                ls, lo = row_lines(cs), row_lines(co)
+                for a in [x for x in ls if x not in set(lo)][:3]:
+                    print(f"      spark-only: {a[:200]}")
+                for b in [x for x in lo if x not in set(ls)][:3]:
+                    print(f"      duck-only : {b[:200]}")
         if problems:
             print(f"FAIL  {name}: {'; '.join(problems)}  ({time.time()-t0:.1f}s)")
             n_fail += 1
