@@ -886,6 +886,36 @@ def multi_pass_match_pairs(
     return out.dropDuplicates(["id_a", "id_b"])
 
 
+def multi_pass_match_delta(
+    base: DataFrame,
+    delta: DataFrame,
+    key_col: str,
+    id_col: str,
+    block_keys: dict[str, Column],
+    max_edit: int = 2,
+) -> DataFrame:
+    """The O(delta) sibling of :func:`multi_pass_match_pairs`: one
+    :func:`fuzzy_match_delta` pass per blocking key, candidates unioned
+    and de-duplicated on (delta_id, base_id) — the multi-key recall
+    union at the incremental serve's delta × base cost, so the daily
+    MDM loop gets the same leading-token-typo coverage the batch pairs
+    query gained in round 11."""
+    if not block_keys:
+        raise ValueError(
+            "multi_pass_match_delta: at least one blocking key required"
+        )
+    out = None
+    for name, key in block_keys.items():
+        blk = f"_blk_{name}"
+        pairs = fuzzy_match_delta(
+            base.withColumn(blk, key), delta.withColumn(blk, key),
+            key_col=key_col, id_col=id_col,
+            block_cols=[blk], max_edit=max_edit,
+        )
+        out = pairs if out is None else out.unionByName(pairs)
+    return out.dropDuplicates(["delta_id", "base_id"])
+
+
 def fuzzy_match_pairs(
     df: DataFrame,
     key_col: str,

@@ -1465,6 +1465,45 @@ def test_multi_pass_blocking_recall(spark):
     assert recall > len(single_pass) / len(truth)  # strictly better
     assert recall < 1.0  # and the residual trade is real
 
+    # the O(delta) sibling: arriving records with LEADING-token typos
+    # must match their standing-base originals through the last-token
+    # pass — the incremental serve gets the same recall union
+    from priority_data_pipeline_azure_sql_db_spark.operators.dedup import (
+        multi_pass_match_delta,
+    )
+
+    base_rows = [(i, f"{f1} {s1}") for i, (f1, s1) in enumerate(
+        (f, s) for f in firsts for s in seconds)]
+    delta_rows = [(1000 + i, "z" + nm[1:]) for i, nm in base_rows[:8]]
+    base_df = spark.createDataFrame(base_rows, "id bigint, name string")
+    delta_df = spark.createDataFrame(delta_rows, "id bigint, name string")
+    got_delta = {
+        (r.delta_id, r.base_id)
+        for r in multi_pass_match_delta(
+            base_df, delta_df, key_col="name", id_col="id",
+            block_keys={"first": first_token_block("name"),
+                        "last": last_token_block("name")},
+            max_edit=2,
+        ).collect()
+    }
+    # every typo'd arrival resolves to its original (plus possibly
+    # other base rows within edit distance — only the must-hits pinned)
+    assert {(1000 + i, i) for i, _ in base_rows[:8]} <= got_delta
+    # single-key first-token blocking finds NONE of them (the miss
+    # class the second pass exists for)
+    from priority_data_pipeline_azure_sql_db_spark.operators.dedup import (
+        fuzzy_match_delta,
+    )
+    single_delta = {
+        (r.delta_id, r.base_id)
+        for r in fuzzy_match_delta(
+            base_df.withColumn("_blk", first_token_block("name")),
+            delta_df.withColumn("_blk", first_token_block("name")),
+            key_col="name", id_col="id", block_cols=["_blk"], max_edit=2,
+        ).collect()
+    }
+    assert not ({(1000 + i, i) for i, _ in base_rows[:8]} & single_delta)
+
 
 def test_stream_er_maintenance(spark, tmp_path):
     """Streaming ER maintenance: a multi-file available-now drain
