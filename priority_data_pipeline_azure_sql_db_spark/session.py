@@ -42,11 +42,27 @@ def get_spark(
     # flushed cache forces re-interpretation (measured multi-minute stalls
     # of single interpreted tasks before OSR compilation).
     java_opts = "-Duser.timezone=UTC -XX:ReservedCodeCacheSize=512m"
-    os.environ.setdefault(
-        "PYSPARK_SUBMIT_ARGS",
+    submit_args = (
         f'--driver-memory {mem} --conf "spark.driver.extraJavaOptions={java_opts}" '
-        "pyspark-shell",
+        "pyspark-shell"
     )
+    preset = os.environ.get("PYSPARK_SUBMIT_ARGS")
+    if preset is None:
+        os.environ["PYSPARK_SUBMIT_ARGS"] = submit_args
+    elif "--driver-memory" not in preset:
+        # a pre-set launcher line (another project's shell, an earlier
+        # tool in this process) would silently launch the ~1g-default
+        # heap — the exact spill/thrash pathology the comment above
+        # documents (review finding). Don't clobber the caller's args;
+        # do say why things may be slow.
+        import sys
+
+        print(
+            "[session] WARNING: PYSPARK_SUBMIT_ARGS is pre-set without "
+            f"--driver-memory; the JVM heap will not get {mem} and wide "
+            "aggregations may spill (unset it or add --driver-memory)",
+            file=sys.stderr,
+        )
     b = (
         SparkSession.builder.appName(app_name)
         .master(f"local[{cpus}]")
@@ -63,7 +79,11 @@ def get_spark(
         # split generated code into sub-8k-bytecode methods so HotSpot can
         # JIT them (huge monolithic methods run interpreted: 10-60x slower)
         .config("spark.sql.codegen.methodSplitThreshold", "512")
-        .config("spark.sql.shuffle.spill.compress", "true")
+        # core namespace: "spark.sql.shuffle.spill.compress" is not a
+        # real conf key — Spark accepts unknown keys silently, so the
+        # old line was a no-op (review finding; true IS the default,
+        # kept explicit as documentation of the spill stance)
+        .config("spark.shuffle.spill.compress", "true")
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
         # events.parquet stores TIMESTAMP(NANOS) which the vectorized reader

@@ -26,9 +26,11 @@ import hashlib
 import sys
 import time
 
+import os
+
 import duckdb
 
-sys.path.insert(0, "/root/repo")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from priority_data_pipeline_azure_sql_db_spark.catalog import TABLES  # noqa: E402
 from priority_data_pipeline_azure_sql_db_spark.session import get_spark  # noqa: E402
