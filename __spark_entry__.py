@@ -30,7 +30,9 @@ def entry(spark: SparkSession) -> DataFrame:
 # (1) the 10 round-10 late registrations, registry order — their first
 #     driver evidence (VERDICT r10's done criterion), and themselves the
 #     divergence-risk head: multimodal_video_frames / multimodal_codec_mix
-#     carry the r10 codec spec-agreement oracle changes,
+#     carry the r10 codec spec-agreement oracle changes (and codec_mix
+#     was upgraded AGAIN this round to the six-way profile incl. GIF —
+#     comparator-verified at sf0.01 AND sf0.1 the session it changed),
 #     export_curriculum_readback the physical-file-order check, and
 #     er_first_token_pairs was upgraded THIS round to the multi-pass
 #     (first-token ∪ last-token) blocking union (VERDICT r10 ask #4).

@@ -8382,9 +8382,9 @@ def export_curriculum_readback(spark, sf_dir):
 @query(
     "multimodal_codec_mix",
     """
-    SELECT CASE doc_id % 5
+    SELECT CASE doc_id % 6
                WHEN 0 THEN 'bmp' WHEN 1 THEN 'png' WHEN 2 THEN 'wav'
-               ELSE 'jpeg' END AS codec,
+               WHEN 5 THEN 'gif' ELSE 'jpeg' END AS codec,
            CAST(COUNT(*) AS BIGINT) AS n_media
     FROM documents WHERE doc_id < 400
     GROUP BY 1
@@ -8392,10 +8392,11 @@ def export_curriculum_readback(spark, sf_dir):
 )
 def multimodal_codec_mix(spark, sf_dir):
     """CORPUS CODEC-MIX PROFILE (round 10, VERDICT r9 ask #8's cheap
-    half — and the measurement that the round-10 progressive-JPEG
-    closure fires on the fixture): a five-way mixed-codec media corpus
+    half — and the measurement that each round's codec closure fires on
+    the fixture): a six-way mixed-codec media corpus
     is synthesized from document bytes in the executors (BMP, PNG, WAV,
-    baseline JPEG, and PROGRESSIVE JPEG blobs — the real encoders from
+    baseline JPEG, PROGRESSIVE JPEG, and — round 11 — GIF blobs, the
+    real encoders from
     operators/codecs.py), pushed through the REAL decode dispatch
     (extract_features → sniff → stdlib codecs), and profiled per
     decoded-codec tag. The oracle knows which class each doc_id was
@@ -8420,7 +8421,7 @@ def multimodal_codec_mix(spark, sf_dir):
                 raw = (text or "").encode("utf-8") or b"\x00"
                 pad = (raw * (192 // len(raw) + 1))[:192]
                 px = np.frombuffer(pad, dtype=np.uint8).reshape(8, 8, 3)
-                cls = doc_id % 5
+                cls = doc_id % 6
                 if cls == 0:
                     mt, blob = "image", codecs.encode_bmp(px)
                 elif cls == 1:
@@ -8432,9 +8433,13 @@ def multimodal_codec_mix(spark, sf_dir):
                 elif cls == 3:
                     mt, blob = "image", codecs.encode_jpeg(
                         px, quality=90, subsample="4:4:4")
-                else:
+                elif cls == 4:
                     mt, blob = "image", codecs.encode_jpeg_progressive(
                         px, quality=90, subsample="4:4:4")
+                else:
+                    # 64 pixels ⇒ <= 64 distinct colors: the palette-
+                    # exact GIF contract holds by construction
+                    mt, blob = "image", codecs.encode_gif(px)
                 ids.append(doc_id)
                 types.append(mt)
                 blobs.append(blob)
