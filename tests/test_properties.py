@@ -635,3 +635,57 @@ def test_gif_roundtrip_property(h, w, n_frames, levels, seed, delay):
     else:
         assert fps == 100.0 / delay
     assert np.array_equal(C.decode_gif(blob), frames[0])
+
+
+@SETTINGS
+@given(
+    names=st.lists(
+        st.text(alphabet=st.sampled_from(list("abc xyz")), min_size=1,
+                max_size=12).map(lambda s: s.strip() or "a"),
+        min_size=2, max_size=10, unique=True,
+    ),
+)
+def test_multi_pass_blocking_superset_property(spark, names):
+    """Multi-pass blocking's candidate set is a SUPERSET of every
+    single-key pass (union can only add recall) and a SUBSET of the
+    unblocked truth (blocking only prunes, never invents) — for
+    arbitrary whitespace-y name corpora, not just the curated noise
+    fixtures."""
+    from pyspark.sql import functions as F
+
+    from priority_data_pipeline_azure_sql_db_spark.operators.dedup import (
+        first_token_block,
+        fuzzy_match_pairs,
+        last_token_block,
+        multi_pass_match_pairs,
+    )
+
+    df = spark.createDataFrame(
+        list(enumerate(names)), "id bigint, name string"
+    )
+    truth = {
+        (r.id_a, r.id_b)
+        for r in fuzzy_match_pairs(
+            df.withColumn("_one", F.lit(1)),
+            key_col="name", id_col="id", block_cols=["_one"], max_edit=2,
+        ).collect()
+    }
+    keys = {"first": first_token_block("name"),
+            "last": last_token_block("name")}
+    multi = {
+        (r.id_a, r.id_b)
+        for r in multi_pass_match_pairs(
+            df, key_col="name", id_col="id", block_keys=keys, max_edit=2,
+        ).collect()
+    }
+    assert multi <= truth
+    for kname, key in keys.items():
+        single = {
+            (r.id_a, r.id_b)
+            for r in fuzzy_match_pairs(
+                df.withColumn("_blk", key),
+                key_col="name", id_col="id", block_cols=["_blk"],
+                max_edit=2,
+            ).collect()
+        }
+        assert single <= multi, f"pass {kname} escaped the union"
