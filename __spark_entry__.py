@@ -57,6 +57,19 @@ def entry(spark: SparkSession) -> DataFrame:
 # anyway. Each was comparator-verified at sf0.01 (and the oracle-text
 # set at sf0.1) the session it changed, plus full-sweep green.
 #
+# LATE ROUND-11 DEFINITIONS PASS (published-definition review over the
+# analytics family — see SURVEY.md): five entries changed code AND
+# oracle — events_conversion_funnel + events_conversion_latency
+# (ordered-subsequence semantics replacing the undercounting
+# global-MIN shortcut; latency floors the elapsed microseconds),
+# profile_quality_drift (KS at fix6 resolution — the 10k-bin form
+# could read 0.0 on fully drifted data), embedding_quantize_int8 +
+# profile_quantization_error (round-half-away-from-zero, the published
+# symmetric-absmax convention). Each verified at sf0.01 AND sf0.1 the
+# session it changed. Bucket placement: embedding_quantize_int8 is r8
+# bucket (r12 on schedule); the other four are r9 bucket (r13) — all
+# five are divergence-risk HEAD material for their window.
+#
 # ROTATION ARITHMETIC: window 50 × 4-round cycle = 200-entry registry
 # CEILING for the ≤3-round staleness invariant. Registry stands at 198
 # (196 carried + ann_cosine_topk_ivf RETIRED in favor of the new

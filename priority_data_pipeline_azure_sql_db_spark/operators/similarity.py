@@ -679,11 +679,16 @@ def normalize_embeddings(df: DataFrame, id_col: str = "vec_id",
 def quantize_int8(df: DataFrame, id_col: str = "vec_id",
                   vec_col: str = "embedding") -> DataFrame:
     """Symmetric int8 quantization per vector: scale = 127 / max|x|,
-    q_i = floor(x_i * scale + 0.5) ∈ [-127, 127], stored with the scale
-    for dequantization — 4× smaller ANN storage with the standard
-    round-to-nearest scheme (floor(x+0.5), not banker's rounding, so any
-    engine reproduces it bit-for-bit). Zero vectors quantize to zeros
-    with scale 0."""
+    q_i = sign(x_i) * floor(|x_i| * scale + 0.5) ∈ [-127, 127], stored
+    with the scale for dequantization — 4× smaller ANN storage with
+    round-half-AWAY-FROM-ZERO, the published symmetric-absmax
+    convention (round 11: plain floor(x+0.5) rounded NEGATIVE half-ties
+    toward +inf — -126.5 -> -126 where every standard int8 quantizer
+    stores -127 — a sign-asymmetric grid an independent implementation
+    would disagree with; sign/abs/floor are bit-identical builtins in
+    Spark and DuckDB, so the scheme stays engine-reproducible, which
+    banker's rounding is not). Zero vectors quantize to zeros with
+    scale 0."""
     base = df.select(
         F.col(id_col).alias(id_col), _as_double(F.col(vec_col)).alias("v")
     ).select(
@@ -692,7 +697,12 @@ def quantize_int8(df: DataFrame, id_col: str = "vec_id",
     )
     scale = F.when(F.col("_m") > 0, F.lit(127.0) / F.col("_m")).otherwise(F.lit(0.0))
     base = base.withColumn("_scale", scale)
-    q = F.transform("v", lambda x: F.floor(x * F.col("_scale") + F.lit(0.5)).cast("int"))
+    q = F.transform(
+        "v",
+        lambda x: (
+            F.signum(x) * F.floor(F.abs(x) * F.col("_scale") + F.lit(0.5))
+        ).cast("int"),
+    )
     return base.select(id_col, q.alias("q"), F.col("_scale").alias("scale"))
 
 

@@ -3244,7 +3244,9 @@ def profile_data_card(spark, sf_dir):
     ), q AS (
         SELECT vec_id,
                CASE WHEN m > 0
-                    THEN list_transform(v, x -> CAST(floor(x * (127.0 / m) + 0.5) AS BIGINT))
+                    THEN list_transform(v, x -> CAST(
+                         sign(x) * floor(abs(x) * (127.0 / m) + 0.5)
+                         AS BIGINT))
                     ELSE list_transform(v, x -> CAST(0 AS BIGINT)) END AS qv,
                CASE WHEN m > 0 THEN 127.0 / m ELSE 0.0 END AS scale
         FROM e
@@ -3260,8 +3262,10 @@ def profile_data_card(spark, sf_dir):
 def embedding_quantize_int8(spark, sf_dir):
     """Symmetric int8 quantization of the embedding column, summarized per
     vector (sum/min/max of the quantized ints + rounded scale) — the
-    oracle replays the exact floor(x*scale+0.5) scheme, proving the
-    quantizer is engine-reproducible."""
+    oracle replays the exact sign(x)*floor(|x|*scale+0.5) scheme
+    (round-half-away-from-zero, the published symmetric-absmax
+    convention — round 11), proving the quantizer is
+    engine-reproducible."""
     from .operators.similarity import quantize_int8
 
     e = load_table(spark, sf_dir, "embeddings")
@@ -5825,12 +5829,12 @@ def dedup_span_removal(spark, sf_dir):
         SELECT label,
                FLOOR(list_sum(list_transform(v, x ->
                      CASE WHEN sc > 0
-                          THEN abs(x - floor(x * sc + 0.5) / sc)
+                          THEN abs(x - sign(x) * floor(abs(x) * sc + 0.5) / sc)
                           ELSE abs(x) END)) / len(v)
                      * 1000000.0 + 0.5) / 1000000.0 AS mv,
                FLOOR(list_max(list_transform(v, x ->
                      CASE WHEN sc > 0
-                          THEN abs(x - floor(x * sc + 0.5) / sc)
+                          THEN abs(x - sign(x) * floor(abs(x) * sc + 0.5) / sc)
                           ELSE abs(x) END))
                      * 1000000.0 + 0.5) / 1000000.0 AS xv
         FROM s
@@ -5848,9 +5852,14 @@ def profile_quantization_error(spark, sf_dir):
     int8 quantizer — the check that decides whether the 4x-smaller ANN
     store is usable for a given embedding family. Per vector: mean and
     max |x - dequant(quant(x))| recomputed from the same
-    floor(x*scale+0.5) scheme the quantizer uses (zero vectors
+    sign(x)*floor(|x|*scale+0.5) half-away-from-zero scheme the
+    quantizer uses (round 11, matching the published symmetric-absmax
+    convention; zero vectors
     reconstruct exactly); per label: vector count, decimal-bridged mean
-    of per-vector means, max of maxes — all fix6-rounded, hash-checked.
+    of per-vector means, max of maxes — all fix6-rounded, hash-checked
+    (the mean is BY DEFINITION the mean of fix6-quantized per-vector
+    means: the DECIMAL(18,6) bridge sums those exactly in any order,
+    which a raw-double mean cannot promise cross-engine).
     One scan, one hash-agg; the error math stays inside the same
     whole-stage-codegen expressions as the quantizer itself."""
     e = load_table(spark, sf_dir, "embeddings")
@@ -5867,7 +5876,9 @@ def profile_quantization_error(spark, sf_dir):
         lambda x: F.when(
             F.col("_sc") > 0,
             F.abs(
-                x - F.floor(x * F.col("_sc") + F.lit(0.5)) / F.col("_sc")
+                x
+                - F.signum(x) * F.floor(F.abs(x) * F.col("_sc") + F.lit(0.5))
+                / F.col("_sc")
             ),
         ).otherwise(F.abs(x)),
     )
@@ -6836,67 +6847,75 @@ def text_zipf_coverage(spark, sf_dir):
 @query(
     "events_conversion_funnel",
     """
-    WITH stage_ts AS (
-        SELECT user_id,
-               MIN(CASE WHEN event_type = 'view'
-                        THEN CAST(ts AS TIMESTAMP) END) AS t_view,
-               MIN(CASE WHEN event_type = 'click'
-                        THEN CAST(ts AS TIMESTAMP) END) AS t_click,
-               MIN(CASE WHEN event_type = 'purchase'
-                        THEN CAST(ts AS TIMESTAMP) END) AS t_purchase
-        FROM events GROUP BY user_id
-    ), flags AS (
-        SELECT user_id,
-               (t_view IS NOT NULL) AS s1,
-               (t_view IS NOT NULL AND t_click > t_view) AS s2,
-               (t_view IS NOT NULL AND t_click > t_view
-                AND t_purchase > t_click) AS s3
-        FROM stage_ts
+    WITH t1 AS (
+        SELECT user_id, MIN(CAST(ts AS TIMESTAMP)) AS t_view
+        FROM events WHERE event_type = 'view' GROUP BY user_id
+    ), t2 AS (
+        SELECT e.user_id, MIN(CAST(e.ts AS TIMESTAMP)) AS t_click
+        FROM events e JOIN t1 USING (user_id)
+        WHERE e.event_type = 'click' AND CAST(e.ts AS TIMESTAMP) > t1.t_view
+        GROUP BY e.user_id
+    ), t3 AS (
+        SELECT e.user_id, MIN(CAST(e.ts AS TIMESTAMP)) AS t_purchase
+        FROM events e JOIN t2 USING (user_id)
+        WHERE e.event_type = 'purchase'
+          AND CAST(e.ts AS TIMESTAMP) > t2.t_click
+        GROUP BY e.user_id
     )
     SELECT stage, n_users FROM (
         SELECT 1 AS ord, 'view' AS stage,
-               CAST(SUM(CASE WHEN s1 THEN 1 ELSE 0 END) AS BIGINT) AS n_users
-        FROM flags
+               CAST(COUNT(*) AS BIGINT) AS n_users FROM t1
         UNION ALL
-        SELECT 2, 'view>click',
-               CAST(SUM(CASE WHEN s2 THEN 1 ELSE 0 END) AS BIGINT)
-        FROM flags
+        SELECT 2, 'view>click', CAST(COUNT(*) AS BIGINT) FROM t2
         UNION ALL
-        SELECT 3, 'view>click>purchase',
-               CAST(SUM(CASE WHEN s3 THEN 1 ELSE 0 END) AS BIGINT)
-        FROM flags
+        SELECT 3, 'view>click>purchase', CAST(COUNT(*) AS BIGINT) FROM t3
     ) ORDER BY ord
     """,
 )
 def events_conversion_funnel(spark, sf_dir):
-    """CONVERSION FUNNEL (round 8): how many users progress through
-    view -> click -> purchase IN ORDER (each stage's first occurrence
-    strictly after the previous stage's) — the canonical product-
-    analytics query. ONE conditional-MIN aggregate per user computes
-    every stage timestamp in a single scan (no per-stage self-joins —
-    the naive form joins the events table once per stage); ordering
-    comparisons on NULL timestamps are NULL -> false, exactly the
-    drop-out semantics a funnel wants. Three counts, hash-checked."""
+    """CONVERSION FUNNEL (round 8; SEMANTICS FIXED round 11): how many
+    users progress through view -> click -> purchase IN ORDER, under
+    the published ordered-funnel (subsequence) definition every
+    product-analytics tool implements: a user converts stage k if some
+    stage-k event follows their stage-(k-1) conversion time — t1 =
+    first view, t2 = first click AFTER t1, t3 = first purchase AFTER
+    t2. The round-8 single-scan conditional-MIN shortcut compared
+    GLOBAL first occurrences (t_click > t_view on corpus-wide minima),
+    which UNDERCOUNTS: a user with click@t1 < view@t2 < click@t3 <
+    purchase@t4 has a valid view->click->purchase progression but was
+    dropped because their first-ever click preceded their first view
+    (round-11 published-definition review; the oracle shared the
+    shortcut, so the twins agreed while both were wrong vs. the
+    definition). Shape: one chained keyed groupBy per stage, each scan
+    pruned by the pushed event_type predicate — stage cardinality
+    shrinks monotonically, so the later joins are the cheap ones."""
     e = load_table(spark, sf_dir, "events")
-    stage = e.groupBy("user_id").agg(
-        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("t_view"),
-        F.min(F.when(F.col("event_type") == "click", F.col("ts"))).alias("t_click"),
-        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias("t_purchase"),
+    t1 = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id").agg(F.min("ts").alias("t_view"))
     )
-    s1 = F.col("t_view").isNotNull()
-    s2 = s1 & (F.col("t_click") > F.col("t_view"))
-    s3 = s2 & (F.col("t_purchase") > F.col("t_click"))
-    flags = stage.select(
-        s1.alias("s1"), s2.alias("s2"), s3.alias("s3")
+    t2 = (
+        e.filter(F.col("event_type") == "click")
+        .join(t1, "user_id")
+        .filter(F.col("ts") > F.col("t_view"))
+        .groupBy("user_id").agg(F.min("ts").alias("t_click"))
     )
-    def cnt(c, name):
-        return flags.agg(
-            F.sum(F.when(F.col(c), 1).otherwise(0)).cast("bigint").alias("n_users")
+    t3 = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(t2, "user_id")
+        .filter(F.col("ts") > F.col("t_click"))
+        .groupBy("user_id").agg(F.min("ts").alias("t_purchase"))
+    )
+
+    def cnt(df, name):
+        return df.agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_users")
         ).select(F.lit(name).alias("stage"), "n_users")
+
     return (
-        cnt("s1", "view")
-        .unionByName(cnt("s2", "view>click"))
-        .unionByName(cnt("s3", "view>click>purchase"))
+        cnt(t1, "view")
+        .unionByName(cnt(t2, "view>click"))
+        .unionByName(cnt(t3, "view>click>purchase"))
     )
 
 
@@ -7278,7 +7297,17 @@ def events_gapfill_hourly(spark, sf_dir):
     spine (O(hours) rows), cross join with the O(#types) type list,
     left join the hourly counts, keyed window over the SPINE (hours x
     types — calendar-sized, not event-sized). ma24 over int counts
-    divides exactly in doubles; fix6-rendered. Hash-checked."""
+    divides exactly in doubles; fix6-rendered. Hash-checked.
+
+    Two DELIBERATE conventions (round-11 definitions review): ma24
+    averages over the AVAILABLE frame for the first 23 spine hours
+    (standard SQL ROWS BETWEEN — monitoring dashboards emit
+    partial-window averages rather than 23 leading NULLs), and every
+    type is zero-filled back to the GLOBAL min hour (one aligned
+    spine for all series — a type first seen mid-corpus shows real
+    zeros before launch, the aligned-dashboard convention; a
+    per-series spine is one filter away for consumers who want MA
+    undefined pre-launch)."""
     e = load_table(spark, sf_dir, "events")
     bounds = e.agg(
         F.date_trunc("hour", F.min("ts")).alias("h0"),
@@ -7376,16 +7405,19 @@ def events_scd2_incremental(spark, sf_dir):
 @query(
     "events_conversion_latency",
     """
-    WITH stage_ts AS (
-        SELECT user_id,
-               MIN(CASE WHEN event_type = 'view'
-                        THEN CAST(ts AS TIMESTAMP) END) AS t_view,
-               MIN(CASE WHEN event_type = 'click'
-                        THEN CAST(ts AS TIMESTAMP) END) AS t_click
-        FROM events GROUP BY user_id
+    WITH t1 AS (
+        SELECT user_id, MIN(CAST(ts AS TIMESTAMP)) AS t_view
+        FROM events WHERE event_type = 'view' GROUP BY user_id
+    ), conv AS (
+        SELECT e.user_id, t1.t_view,
+               MIN(CAST(e.ts AS TIMESTAMP)) AS t_click
+        FROM events e JOIN t1 USING (user_id)
+        WHERE e.event_type = 'click' AND CAST(e.ts AS TIMESTAMP) > t1.t_view
+        GROUP BY e.user_id, t1.t_view
     ), lat AS (
-        SELECT CAST(date_diff('second', t_view, t_click) AS BIGINT) AS sec
-        FROM stage_ts WHERE t_view IS NOT NULL AND t_click > t_view
+        SELECT CAST(date_diff('microsecond', t_view, t_click) // 1000000
+                    AS BIGINT) AS sec
+        FROM conv
     ), hist AS (
         SELECT sec, COUNT(*) AS c FROM lat GROUP BY sec
     ), cdf AS (
@@ -7401,25 +7433,37 @@ def events_scd2_incremental(spark, sf_dir):
     """,
 )
 def events_conversion_latency(spark, sf_dir):
-    """CONVERSION LATENCY median (round 8): the exact LOWER-MEDIAN
-    seconds from first view to first click among converting users,
-    computed the scale-safe way — integer-second histogram + CDF
-    (values bounded by the corpus time range, so the window runs over
-    distinct SECONDS, not users) and an integer cum*2 >= n rule: no
-    global sort, no interpolated percentile for engines to disagree
-    on. One conditional-MIN agg per user feeds it (the funnel's
-    machinery). Hash-checked."""
+    """CONVERSION LATENCY median (round 8; SEMANTICS FIXED round 11):
+    the exact LOWER-MEDIAN whole seconds from first view to the first
+    click AFTER it, among users who have one — the published
+    first-click-after-view definition (the round-8 global-MIN shortcut
+    dropped users whose first-ever click preceded their first view
+    even when a later click followed it, and measured against the
+    wrong click — the funnel fix's sibling). Latency floors the
+    ELAPSED interval at microsecond precision (diff of per-endpoint
+    epoch-second floors was off by one whenever the sub-second
+    fractions wrapped: view@.900 -> click@1.100 is 0s elapsed, not
+    1s). Scale-safe: integer-second histogram + CDF (the window runs
+    over distinct SECONDS, not users) and the integer cum*2 >= n
+    lower-median rule — deliberately NOT the interpolated even-n
+    median, which engines disagree on. Hash-checked."""
     e = load_table(spark, sf_dir, "events")
-    stage = e.groupBy("user_id").agg(
-        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("t_view"),
-        F.min(F.when(F.col("event_type") == "click", F.col("ts"))).alias("t_click"),
+    t1 = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id").agg(F.min("ts").alias("t_view"))
     )
-    lat = stage.filter(
-        F.col("t_view").isNotNull() & (F.col("t_click") > F.col("t_view"))
-    ).select(
-        (
-            F.col("t_click").cast("timestamp").cast("long")
-            - F.col("t_view").cast("timestamp").cast("long")
+    conv = (
+        e.filter(F.col("event_type") == "click")
+        .join(t1, "user_id")
+        .filter(F.col("ts") > F.col("t_view"))
+        .groupBy("user_id", "t_view").agg(F.min("ts").alias("t_click"))
+    )
+    lat = conv.select(
+        F.floor(
+            (
+                F.unix_micros(F.col("t_click").cast("timestamp"))
+                - F.unix_micros(F.col("t_view").cast("timestamp"))
+            ) / F.lit(1_000_000)
         ).cast("bigint").alias("sec")
     )
     hist = lat.groupBy("sec").agg(F.count(F.lit(1)).alias("c"))
@@ -7535,7 +7579,7 @@ def profile_join_skew(spark, sf_dir):
     ), b AS (
         SELECT side,
                CAST(LEAST(FLOOR((GREATEST(LEAST(s, 1.0), 0.0) - 0.0)
-                                * 10000.0 / 1.0), 9999) AS BIGINT) AS qb
+                                * 1000000.0 / 1.0), 999999) AS BIGINT) AS qb
         FROM scored
     ), hist AS (
         SELECT qb,
@@ -7567,10 +7611,15 @@ def profile_quality_drift(spark, sf_dir):
     distributions (here even vs odd doc ids; in production yesterday's
     batch vs today's) — the alarm that catches a silent upstream change
     in the score distribution before any individual rule fires. Exact
-    on the quantized domain: both empirical CDFs ride the same 10k-bin
-    histogram (the score_bucket quantizer again), so the max |CDF
-    difference| is a window over <= 10k rows — never a sort of either
-    corpus. Hash-checked."""
+    at the engine's PUBLISHED precision: both empirical CDFs ride a
+    fix6-resolution histogram (1e6 score_bucket bins — round 11: the
+    10k-bin form could report ks_stat = 0.0 for two FULLY separated
+    distributions whose scores differ inside one 1e-4 bin, the
+    published-definition review's false-negative class for a drift
+    ALARM; at 1e-6 the quantization error is below every fix6-rounded
+    number the engine reports), while the max |CDF difference| window
+    keeps a hard 1e6-row ceiling regardless of corpus size — never a
+    sort of either corpus. Hash-checked."""
     from .operators.sample import score_bucket
 
     d = load_table(spark, sf_dir, "documents")
@@ -7581,7 +7630,7 @@ def profile_quality_drift(spark, sf_dir):
     )
     scored = d.select(
         F.when(F.col("doc_id") % 2 == 0, "a").otherwise("b").alias("side"),
-        score_bucket(s).alias("qb"),
+        score_bucket(s, buckets=1_000_000).alias("qb"),
     )
     hist = scored.groupBy("qb").agg(
         F.sum(F.when(F.col("side") == "a", 1).otherwise(0))

@@ -241,6 +241,14 @@ def test_embedding_normalize_and_quantize(spark):
     assert quant[3].q == [-127, 64]          # 1/2*127 = 63.5 → 64
     for r in quant.values():
         assert all(-127 <= x <= 127 for x in r.q)
+    # round 11: NEGATIVE half-ties round AWAY FROM ZERO (the published
+    # symmetric-absmax convention) — plain floor(x+0.5) gave -63 here,
+    # a sign-asymmetric grid
+    tie = spark.sql(
+        "SELECT * FROM VALUES (9, array(-1.0F, 2.0F)) AS t(vec_id, embedding)"
+    )
+    assert {r.vec_id: r.q for r in S.quantize_int8(tie).collect()}[9] \
+        == [-64, 127]  # -1 * 63.5 = -63.5 → -64, not -63
 
 
 def test_winnow_fingerprint_guarantee(spark):
