@@ -27,12 +27,24 @@ EDM_TO_SPARK: dict[str, T.DataType] = {
     "Edm.Decimal": T.DecimalType(38, 6),
     "Edm.DateTimeOffset": T.TimestampType(),
     "Edm.Int64": T.LongType(),
-    # Extensions beyond the reference's four-entry mapping: the remaining
-    # OData v4 primitive types a real $metadata can declare (the reference
-    # simply never met them; OData CSDL defines them).
+    # Extensions beyond the reference's four-entry mapping: the OData v4
+    # CSDL primitives a real $metadata can declare (the reference simply
+    # never met them). Round 11 (protocol review) completes the set —
+    # Guid keys in particular are ubiquitous and previously made the
+    # whole entity unreadable.
     "Edm.Int32": T.IntegerType(),
     "Edm.Double": T.DoubleType(),
     "Edm.Boolean": T.BooleanType(),
+    "Edm.Guid": T.StringType(),        # canonical 8-4-4-4-12 text form
+    "Edm.Date": T.DateType(),
+    "Edm.Int16": T.ShortType(),
+    "Edm.Single": T.FloatType(),
+    "Edm.SByte": T.ByteType(),         # [-128, 127] — exact
+    "Edm.Byte": T.ShortType(),         # [0, 255] needs the wider type
+    "Edm.Binary": T.BinaryType(),
+    # no native Spark type; ISO-8601 text round-trips losslessly
+    "Edm.TimeOfDay": T.StringType(),
+    "Edm.Duration": T.StringType(),
 }
 
 # SQL dialect strings for the sink-DDL boundary (reference keeps per-dialect
@@ -45,6 +57,15 @@ EDM_TO_SQL: dict[str, dict[str, str]] = {
     "Edm.Int32": {"azuresql": "INT", "postgres": "INTEGER", "spark": "INT"},
     "Edm.Double": {"azuresql": "FLOAT", "postgres": "DOUBLE PRECISION", "spark": "DOUBLE"},
     "Edm.Boolean": {"azuresql": "BIT", "postgres": "BOOLEAN", "spark": "BOOLEAN"},
+    "Edm.Guid": {"azuresql": "UNIQUEIDENTIFIER", "postgres": "UUID", "spark": "STRING"},
+    "Edm.Date": {"azuresql": "DATE", "postgres": "DATE", "spark": "DATE"},
+    "Edm.Int16": {"azuresql": "SMALLINT", "postgres": "SMALLINT", "spark": "SMALLINT"},
+    "Edm.Single": {"azuresql": "REAL", "postgres": "REAL", "spark": "FLOAT"},
+    "Edm.SByte": {"azuresql": "SMALLINT", "postgres": "SMALLINT", "spark": "TINYINT"},
+    "Edm.Byte": {"azuresql": "SMALLINT", "postgres": "SMALLINT", "spark": "SMALLINT"},
+    "Edm.Binary": {"azuresql": "VARBINARY(MAX)", "postgres": "BYTEA", "spark": "BINARY"},
+    "Edm.TimeOfDay": {"azuresql": "TIME", "postgres": "TIME", "spark": "STRING"},
+    "Edm.Duration": {"azuresql": "VARCHAR(64)", "postgres": "INTERVAL", "spark": "STRING"},
 }
 
 
@@ -196,7 +217,8 @@ def parse_edmx(edmx_xml: str, source_system: str = "odata") -> list[dict]:
         return None
 
     root = ET.fromstring(edmx_xml)
-    entities: list[dict] = []
+    raw: dict[str, dict] = {}
+    order: list[str] = []
     for entity_el in root.iter():
         if local(entity_el.tag) != "EntityType":
             continue
@@ -220,6 +242,41 @@ def parse_edmx(edmx_xml: str, source_system: str = "odata") -> list[dict]:
                 if desc is not None:
                     fld["desc"] = desc
                 fields.append(fld)
+        raw[name] = {
+            "name": name,
+            # CSDL BaseType is namespace-qualified ("NS.Base")
+            "base": (entity_el.get("BaseType") or "").rsplit(".", 1)[-1] or None,
+            "keys": keys,
+            "fields": fields,
+            "desc": annotation_string(entity_el),
+        }
+        order.append(name)
+
+    def resolve(name: str, seen: tuple = ()) -> tuple[list[str], list[dict]]:
+        # BaseType inheritance (round-11 protocol review): derived
+        # entities inherit the base chain's key and properties — ignoring
+        # BaseType silently DROPPED every inherited column from every row
+        # and lost the key (degrading the reader to the unbounded
+        # single-pull path). Base fields come first, spec declaration
+        # order; unknown bases and cycles fail loud.
+        if name in seen:
+            raise ValueError(f"EDMX BaseType cycle at {name!r}")
+        ent = raw[name]
+        if not ent["base"]:
+            return list(ent["keys"]), list(ent["fields"])
+        if ent["base"] not in raw:
+            raise ValueError(
+                f"EDMX entity {name!r} derives from unknown BaseType "
+                f"{ent['base']!r}"
+            )
+        bkeys, bfields = resolve(ent["base"], seen + (name,))
+        return (ent["keys"] or bkeys), bfields + list(ent["fields"])
+
+    entities: list[dict] = []
+    by_name: dict[str, dict] = {}
+    for name in order:
+        keys, fields = resolve(name)
+        fields = [dict(f) for f in fields]
         for fld in fields:
             fld["KeyFlag"] = fld["fieldName"] in keys
         entity = {
@@ -228,10 +285,33 @@ def parse_edmx(edmx_xml: str, source_system: str = "odata") -> list[dict]:
             "Fields": fields,
             "EntityPk": [f["fieldName"] for f in fields if f["KeyFlag"]],
         }
-        desc = annotation_string(entity_el)
-        if desc is not None:
-            entity["desc"] = desc
+        if raw[name]["desc"] is not None:
+            entity["desc"] = raw[name]["desc"]
         entities.append(entity)
+        by_name[name.lower()] = entity
+
+    # EntityContainer/EntitySet aliases (round-11 protocol review):
+    # OData URLs address ENTITY SETS, whose names routinely differ from
+    # their EntityType (the spec's own example: EntitySet 'Orders' of
+    # type 'NS.Order'). Emit an alias doc per differently-named set so
+    # callers can pass the addressable name; 'EntityTypeName' records
+    # the underlying type. Priority-style same-name services are
+    # unaffected (alias would collide, so it is skipped).
+    for set_el in root.iter():
+        if local(set_el.tag) != "EntitySet":
+            continue
+        set_name = set_el.get("Name")
+        type_name = (set_el.get("EntityType") or "").rsplit(".", 1)[-1]
+        if not set_name or not type_name:
+            continue
+        base = by_name.get(type_name.lower())
+        if base is None or set_name.lower() in by_name:
+            continue
+        alias = dict(base)
+        alias["_id"] = set_name
+        alias["EntityTypeName"] = type_name
+        entities.append(alias)
+        by_name[set_name.lower()] = alias
     return entities
 
 

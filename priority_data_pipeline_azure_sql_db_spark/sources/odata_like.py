@@ -93,42 +93,70 @@ def http_get(
 ) -> bytes:
     """GET with bounded exponential-backoff retry.
 
-    Retries connection errors and 5xx (transient server side); 4xx raise
-    immediately (caller bug — retrying would mask it). The reference has
-    no retry at all and logs-and-continues on error status
+    Retries connection errors, 5xx (transient server side), AND 429
+    throttling — honoring a sane Retry-After when the server sends one
+    (round-11 protocol review: N executors pulling pages concurrently is
+    exactly what triggers throttling on real services; raising on the
+    first 429 failed the whole stage). Other 4xx raise immediately
+    (caller bug — retrying would mask it). The reference has no retry at
+    all and logs-and-continues on error status
     (priorityDataSource.py:255-259); failing loudly is the fix SURVEY §4
     calls for.
+
+    Query strings percent-encode spaces as %20 (quote, not quote_plus):
+    per RFC 3986 — which the OData URL conventions normatively require —
+    '+' in a query is a LITERAL plus, so a '+'-separated $filter reads
+    as one garbage token to a strict parser (round-11 protocol review;
+    the old form-encoding only worked because the test server decoded
+    with the same HTML-form convention).
     """
     import time
     import urllib.error
     import urllib.parse
     import urllib.request
 
-    full = url + ("?" + urllib.parse.urlencode(params) if params else "")
+    full = url + (
+        "?" + urllib.parse.urlencode(params, quote_via=urllib.parse.quote)
+        if params else ""
+    )
     attempt = 0
     while True:
+        retry_after = None
         try:
             req = urllib.request.Request(full, headers=headers or {})
             with urllib.request.urlopen(req, timeout=timeout_s) as r:
                 return r.read()
         except urllib.error.HTTPError as e:
-            if e.code < 500 or attempt >= max_retries:
+            if (e.code < 500 and e.code != 429) or attempt >= max_retries:
                 raise
+            ra = e.headers.get("Retry-After") if e.headers else None
+            if ra and ra.isdigit():
+                retry_after = min(float(ra), 30.0)
         except (urllib.error.URLError, OSError, TimeoutError):
             if attempt >= max_retries:
                 raise
         attempt += 1
-        time.sleep(backoff_s * (2 ** (attempt - 1)))
+        time.sleep(retry_after if retry_after is not None
+                   else backoff_s * (2 ** (attempt - 1)))
 
 
 def _odata_renderable(value) -> bool:
     """Can this filter value be rendered as an OData literal? pushFilters
     gates acceptance on this: a filter we accept but render wrong is
     NOT re-evaluated by Spark (it trusts the source served it), so an
-    unrenderable value must be yielded back, never repr()'d into the URL."""
+    unrenderable value must be yielded back, never repr()'d into the URL.
+
+    Non-finite floats yield back too (round-11 protocol review):
+    str(float('inf')) is 'inf' but OData's doubleValue ABNF admits only
+    INF/-INF/NaN case-sensitively — and NaN comparisons are false in
+    Spark anyway, so letting Spark evaluate them is both safe and
+    simpler than special-casing the spellings."""
     import datetime as _dt
     import decimal as _dec
+    import math
 
+    if isinstance(value, float) and not math.isfinite(value):
+        return False
     return isinstance(
         value, (bool, int, float, str, _dt.datetime, _dt.date, _dec.Decimal)
     )
@@ -211,6 +239,11 @@ class ODataLikeDataSource(DataSource):
     def _edmx_entities(self) -> dict | None:
         from ..catalog import parse_edmx
 
+        # memoized per DataSource instance (round-11 review): schema()
+        # and reader() both need the parsed EDMX, and $metadata is often
+        # a real service's slowest endpoint — one round-trip, not two+
+        if getattr(self, "_ents_cache", None) is not None:
+            return self._ents_cache or None
         edmx = self.options.get("edmx")
         if not edmx and self.options.get("uri"):
             headers = self._auth(self.options)
@@ -218,9 +251,10 @@ class ODataLikeDataSource(DataSource):
                 self.options["uri"].rstrip("/") + "/$metadata", headers=headers,
                 max_retries=int(self.options.get("maxretries", 3)),
             ).decode()
-        if not edmx:
-            return None
-        return {e["_id"].lower(): e for e in parse_edmx(edmx)}
+        self._ents_cache = (
+            {e["_id"].lower(): e for e in parse_edmx(edmx)} if edmx else {}
+        )
+        return self._ents_cache or None
 
     def schema(self) -> str | StructType:
         from pyspark.sql import types as T
@@ -434,13 +468,32 @@ class ODataLikeReader(DataSourceReader):
             params["$top"] = str(partition.length)
         if partition.length == 0:
             return
-        body = http_get(
-            f"{self.uri.rstrip('/')}/{self.entity}",
-            params=params,
-            headers=ODataLikeDataSource._auth(self.options),
-            max_retries=self.max_retries,
-        )
-        rows = json.loads(body.decode()).get("value", [])
+        # follow @odata.nextLink (round-11 protocol review): a v4 service
+        # MAY apply server-driven paging to ANY response regardless of
+        # $top (maxpagesize et al.), and the unbounded fallback pull is
+        # paginated by virtually every production service — reading only
+        # the first page silently dropped every row after it. The link
+        # is an opaque absolute-or-relative URL carrying its own
+        # continuation state; fetch it verbatim until the requested
+        # budget is filled or the server stops linking.
+        import urllib.parse as _up
+
+        headers = ODataLikeDataSource._auth(self.options)
+        url = f"{self.uri.rstrip('/')}/{self.entity}"
+        budget = partition.length  # None = until exhausted
+        rows: list[dict] = []
+        body = http_get(url, params=params, headers=headers,
+                        max_retries=self.max_retries)
+        while True:
+            doc = json.loads(body.decode())
+            rows.extend(doc.get("value", []))
+            link = doc.get("@odata.nextLink")
+            if not link or (budget is not None and len(rows) >= budget):
+                break
+            body = http_get(_up.urljoin(url + "/", link), params=None,
+                            headers=headers, max_retries=self.max_retries)
+        if budget is not None:
+            rows = rows[:budget]
         arrow_schema = to_arrow_schema(self.schema)
         rows = [_normalize_row(r, self.schema) for r in rows]
         table = pa.Table.from_pylist(rows, schema=arrow_schema)
@@ -565,6 +618,8 @@ def _normalize_row(row: dict, schema: StructType) -> dict:
             return dt
         return v
 
+    import decimal as _dec
+
     lowered = {k.lower(): v for k, v in row.items()}
     out = {}
     for fld in schema.fields:
@@ -573,6 +628,17 @@ def _normalize_row(row: dict, schema: StructType) -> dict:
             fld.dataType, getattr(T, "TimestampNTZType", ())
         ):
             v = parse_ts(v)
+        elif isinstance(fld.dataType, T.DecimalType) and v is not None:
+            # OData v4 JSON serializes Edm.Decimal as a JSON NUMBER
+            # (without IEEE754Compatible), which json.loads hands back
+            # as float — and pyarrow REJECTS float for decimal128
+            # columns, so any real decimal entity crashed every
+            # partition (round-11 protocol review). str() first: the
+            # shortest-repr round trip preserves the serialized value;
+            # IEEE754Compatible string payloads take the same path.
+            v = _dec.Decimal(str(v))
+        elif isinstance(fld.dataType, T.DateType) and isinstance(v, str):
+            v = _dt.date.fromisoformat(v)
         elif isinstance(fld.dataType, T.ArrayType) and isinstance(
             fld.dataType.elementType, T.StructType
         ) and v is not None:

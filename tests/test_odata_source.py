@@ -117,18 +117,32 @@ _NATION_EDMX = """<?xml version="1.0" encoding="utf-8"?>
         <Property Name="s_name" Type="Edm.String"/>
         <Property Name="s_nationkey" Type="Edm.Int64"/>
       </EntityType>
+      <EntityType Name="dec_entity">
+        <Key><PropertyRef Name="d_id"/></Key>
+        <Property Name="d_id" Type="Edm.Int64" Nullable="false"/>
+        <Property Name="amount" Type="Edm.Decimal"/>
+      </EntityType>
     </Schema>
   </edmx:DataServices>
 </edmx:Edmx>"""
 
 
 class _FakeODataServer:
-    """Minimal OData v4 server over the nation/supplier fixture rows:
-    $metadata, $count, $skip/$top paging, numeric $filter (ge/gt/le/lt/eq),
-    $select, $expand=SUPPLIER_SUBFORM, Basic-auth check, and an optional
-    one-shot 500 to exercise retry."""
+    """Minimal but protocol-STRICT OData v4 server over the
+    nation/supplier fixture rows: $metadata, $count, $skip/$top paging,
+    numeric $filter (ge/gt/le/lt/eq), $select,
+    $expand=SUPPLIER_SUBFORM, Basic-auth check, an optional one-shot
+    500 / 429 to exercise retry, and optional SERVER-DRIVEN paging
+    (every response truncated to ``server_page`` rows + an
+    @odata.nextLink continuation — the round-11 protocol review's
+    silent-data-loss class). Strict per RFC 3986 (which the OData URL
+    conventions require): a raw '+' in the query string is REJECTED
+    with 400 — tokens must be %20-separated — and pairs decode with
+    unquote, never the HTML-form '+'-to-space rule the old parse_qsl
+    applied (the exact misunderstanding the connector used to share)."""
 
-    def __init__(self, rows, child_rows, expect_auth=None, fail_first_n=0):
+    def __init__(self, rows, child_rows, expect_auth=None, fail_first_n=0,
+                 throttle_first_n=0, server_page=None):
         import http.server
         import json
         import threading
@@ -137,26 +151,41 @@ class _FakeODataServer:
         srv = self
         srv.requests = []
         srv.remaining_failures = fail_first_n
+        srv.remaining_throttles = throttle_first_n
 
         class Handler(http.server.BaseHTTPRequestHandler):
             def log_message(self, *a):
                 pass
 
-            def _send(self, code, body, ctype="application/json"):
+            def _send(self, code, body, ctype="application/json", extra=None):
                 self.send_response(code)
                 self.send_header("Content-Type", ctype)
+                for k, v in (extra or {}).items():
+                    self.send_header(k, v)
                 self.end_headers()
                 self.wfile.write(body if isinstance(body, bytes) else body.encode())
 
             def do_GET(self):
                 parsed = urllib.parse.urlparse(self.path)
-                params = dict(urllib.parse.parse_qsl(parsed.query))
+                if "+" in parsed.query:
+                    # strict RFC 3986: '+' is a literal plus; OData
+                    # separates filter tokens with %20
+                    return self._send(400, '{"error": "raw + in query"}')
+                params = {}
+                for pair in parsed.query.split("&") if parsed.query else []:
+                    k, _, v = pair.partition("=")
+                    params[urllib.parse.unquote(k)] = urllib.parse.unquote(v)
                 srv.requests.append((parsed.path, params, dict(self.headers)))
                 if expect_auth and self.headers.get("Authorization") != expect_auth:
                     return self._send(401, '{"error": "unauthorized"}')
                 if srv.remaining_failures > 0:
                     srv.remaining_failures -= 1
                     return self._send(500, '{"error": "transient"}')
+                if srv.remaining_throttles > 0:
+                    srv.remaining_throttles -= 1
+                    return self._send(
+                        429, '{"error": "throttled"}', extra={"Retry-After": "0"}
+                    )
                 if parsed.path.endswith("/$metadata"):
                     return self._send(200, _NATION_EDMX, "application/xml")
                 if parsed.path.endswith("/$count"):
@@ -178,20 +207,36 @@ class _FakeODataServer:
                         out = [r for r in out if cmp(r[col], v)]
                 skip = int(params.get("$skip", 0))
                 top = params.get("$top")
-                out = out[skip:skip + int(top)] if top is not None else out[skip:]
+                remaining = out[skip:]
+                budget = min(int(top), len(remaining)) if top is not None \
+                    else len(remaining)
+                page_n = min(budget, server_page) if server_page else budget
+                page = remaining[:page_n]
+                next_link = None
+                if page_n < budget:
+                    nxt = dict(params)
+                    nxt["$skip"] = str(skip + page_n)
+                    if top is not None:
+                        nxt["$top"] = str(budget - page_n)
+                    next_link = parsed.path + "?" + urllib.parse.urlencode(
+                        nxt, quote_via=urllib.parse.quote
+                    )
                 if "$expand" in params:
                     assert params["$expand"] == "SUPPLIER_SUBFORM"
-                    out = [
+                    page = [
                         {**r, "supplier_subform": [
                             c for c in child_rows if c["s_nationkey"] == r["n_nationkey"]
                         ]}
-                        for r in out
+                        for r in page
                     ]
                 sel = params.get("$select")
                 if sel:
                     keep = set(sel.split(",")) | ({"supplier_subform"} if "$expand" in params else set())
-                    out = [{k: v for k, v in r.items() if k in keep} for r in out]
-                self._send(200, json.dumps({"value": out}))
+                    page = [{k: v for k, v in r.items() if k in keep} for r in page]
+                doc = {"value": page}
+                if next_link:
+                    doc["@odata.nextLink"] = next_link
+                self._send(200, json.dumps(doc))
 
         self._httpd = http.server.ThreadingHTTPServer(("127.0.0.1", 0), Handler)
         self.uri = f"http://127.0.0.1:{self._httpd.server_port}"
@@ -421,3 +466,138 @@ def test_odata_keyless_entity_single_partition():
     parts = r.partitions()
     assert len(parts) == 1
     assert (parts[0].offset, parts[0].length) == (0, None)
+
+
+def test_http_server_driven_paging_next_link(spark):
+    """Round-11 protocol fix: a v4 service MAY truncate ANY response
+    (maxpagesize) and point at the rest via @odata.nextLink — the
+    connector must follow the chain or silently lose every row after
+    the first server page. The strict fake server truncates every
+    response to 4 rows; client pagesize 10 means each partition must
+    chain multiple links to fill its $top budget."""
+    srv = _FakeODataServer(_NATION_ROWS, _SUPPLIER_ROWS, server_page=4)
+    try:
+        df = _http_read(spark, srv.uri)
+        got = sorted(r.n_nationkey for r in df.collect())
+        assert got == sorted(r["n_nationkey"] for r in _NATION_ROWS)
+        # the chain really happened: more data pulls than the 3 pages
+        data_reqs = [p for p in srv.requests if p[0].endswith("/nation")
+                     and "$top" in p[1]]
+        assert len(data_reqs) > 3
+    finally:
+        srv.close()
+
+
+def test_http_transport_retry_on_429_throttle(spark):
+    """Round-11 protocol fix: 429 Too Many Requests retries (honoring
+    Retry-After) instead of failing the stage — parallel page pulls are
+    exactly what triggers real services' throttling."""
+    srv = _FakeODataServer(_NATION_ROWS, [], throttle_first_n=2)
+    try:
+        df = _http_read(spark, srv.uri)
+        assert df.count() == len(_NATION_ROWS)
+    finally:
+        srv.close()
+
+
+def test_http_decimal_column_roundtrip(spark):
+    """Round-11 protocol fix: OData v4 JSON serializes Edm.Decimal as a
+    JSON number, which json.loads hands back as float — and pyarrow
+    rejects float for decimal128 columns, so any real decimal entity
+    crashed every partition. The normalize path now parses decimals."""
+    import decimal
+
+    rows = [{"d_id": i, "amount": i + 0.5} for i in range(7)]
+    srv = _FakeODataServer(rows, [])
+    try:
+        register(spark)
+        df = (spark.read.format(FORMAT_NAME).option("uri", srv.uri)
+              .option("entity", "dec_entity").option("pagesize", "3").load())
+        got = {r.d_id: r.amount for r in df.collect()}
+        assert got[3] == decimal.Decimal("3.5")
+        assert len(got) == 7
+        assert dict(df.dtypes)["amount"] == "decimal(38,6)"
+    finally:
+        srv.close()
+
+
+def test_odata_push_filters_reject_nonfinite_floats():
+    """Round-11 protocol fix: str(float('inf')) renders 'inf', which the
+    OData ABNF does not admit (INF/-INF/NaN case-sensitive) — non-finite
+    floats yield back to Spark instead of poisoning the URL."""
+    from pyspark.sql.datasource import EqualTo, GreaterThan
+
+    from priority_data_pipeline_azure_sql_db_spark.sources.odata_like import ODataLikeReader
+
+    r = ODataLikeReader({"uri": "http://x", "entity": "orders"}, None)
+    rejected = list(r.pushFilters([
+        EqualTo(("a",), float("inf")),
+        GreaterThan(("b",), float("nan")),
+        EqualTo(("c",), 1.5),
+    ]))
+    assert len(rejected) == 2
+    assert r.accepted == [("c", "EqualTo", 1.5)]
+
+
+def test_parse_edmx_basetype_inheritance_and_entitysets():
+    """Round-11 protocol fixes in parse_edmx: (a) BaseType chains —
+    derived entities inherit the base's key and properties (ignoring
+    BaseType silently dropped every inherited column and lost the key);
+    (b) EntityContainer/EntitySet aliases — OData URLs address SETS,
+    whose names routinely differ from their EntityType (the spec's own
+    'Orders' set of type 'Order'); (c) unknown bases fail loud."""
+    import pytest
+
+    from priority_data_pipeline_azure_sql_db_spark.catalog import parse_edmx
+
+    edmx = """<?xml version="1.0"?>
+<edmx:Edmx xmlns:edmx="http://docs.oasis-open.org/odata/ns/edmx" Version="4.0">
+  <edmx:DataServices>
+    <Schema xmlns="http://docs.oasis-open.org/odata/ns/edm" Namespace="NS">
+      <EntityType Name="Base">
+        <Key><PropertyRef Name="id"/></Key>
+        <Property Name="id" Type="Edm.Int64" Nullable="false"/>
+        <Property Name="created" Type="Edm.DateTimeOffset"/>
+      </EntityType>
+      <EntityType Name="Order" BaseType="NS.Base">
+        <Property Name="total" Type="Edm.Decimal"/>
+      </EntityType>
+      <EntityContainer Name="C">
+        <EntitySet Name="Orders" EntityType="NS.Order"/>
+      </EntityContainer>
+    </Schema>
+  </edmx:DataServices>
+</edmx:Edmx>"""
+    ents = {e["_id"]: e for e in parse_edmx(edmx)}
+    order = ents["Order"]
+    assert [f["fieldName"] for f in order["Fields"]] == ["id", "created", "total"]
+    assert order["EntityPk"] == ["id"]  # inherited key
+    assert "Orders" in ents  # the addressable set name resolves
+    assert ents["Orders"]["EntityTypeName"] == "Order"
+    assert ents["Orders"]["Fields"] == order["Fields"]
+
+    bad = edmx.replace('BaseType="NS.Base"', 'BaseType="NS.Missing"')
+    with pytest.raises(ValueError, match="unknown BaseType"):
+        parse_edmx(bad)
+
+
+def test_edm_guid_date_primitives():
+    """Round-11: the CSDL primitives a real $metadata declares (Guid
+    keys above all) map instead of raising — and the sink-DDL table
+    carries matching dialect strings."""
+    from pyspark.sql import types as T
+
+    from priority_data_pipeline_azure_sql_db_spark.catalog import (
+        EDM_TO_SQL,
+        edm_to_spark,
+    )
+
+    assert edm_to_spark("Edm.Guid") == T.StringType()
+    assert edm_to_spark("Edm.Date") == T.DateType()
+    assert edm_to_spark("Edm.Int16") == T.ShortType()
+    assert edm_to_spark("Edm.Single") == T.FloatType()
+    assert edm_to_spark("Edm.Binary") == T.BinaryType()
+    for t in ("Edm.Guid", "Edm.Date", "Edm.Int16", "Edm.Single",
+              "Edm.SByte", "Edm.Byte", "Edm.Binary", "Edm.TimeOfDay",
+              "Edm.Duration"):
+        assert t in EDM_TO_SQL and "azuresql" in EDM_TO_SQL[t]
