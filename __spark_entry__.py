@@ -71,20 +71,22 @@ def entry(spark: SparkSession) -> DataFrame:
 # five are divergence-risk HEAD material for their window.
 #
 # ROTATION ARITHMETIC: window 50 × 4-round cycle = 200-entry registry
-# CEILING for the ≤3-round staleness invariant. Registry stands at 198
+# CEILING for the ≤3-round staleness invariant. Registry stands at 199
 # (196 carried + ann_cosine_topk_ivf RETIRED in favor of the new
 # ann_cosine_topk_ivf_full — VERDICT r10 ask #5: the full-probe twin is
 # EXACT, hash-checked against the brute-force oracle, so the rows-only
 # set shrinks to 8 and ann_ivf_index_persisted is the lone approximate
-# ANN rows-only — + multimodal_gif_codec, ask #8). Future registrations
-# beyond 200 must retire an entry each. Schedule from here:
+# ANN rows-only — + multimodal_gif_codec, ask #8, +
+# events_scd2_with_deletes, the Kimball-review delete-handling gap).
+# ONE registration remains below the ceiling; beyond 200, retire an
+# entry each. Schedule from here:
 #   r11 (this file): r10 late regs (10) + r7 bucket (40)
 #   r12: r8 bucket (47 after the ivf retirement, incl.
 #        ann_cosine_topk_lsh + the changed-oracle replays named above)
-#        + r11's 2 late registrations (ann_cosine_topk_ivf_full and
+#        + r11's 3 late registrations (ann_cosine_topk_ivf_full,
 #        multimodal_gif_codec — the GIF decoder's every-pixel md5
-#        check, VERDICT r10 ask #8 — each comparator-verified at
-#        sf0.01 AND sf0.1 the session it landed) = 49, 1 slack
+#        check — and events_scd2_with_deletes; each comparator-verified
+#        at sf0.01 AND sf0.1 the session it landed) = 50 exactly
 #   r13: r9 bucket (49) + 1 slack
 #   r14: r10 bucket (50)
 #   r15: r11 bucket (50)

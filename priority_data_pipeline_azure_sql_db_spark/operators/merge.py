@@ -25,9 +25,12 @@ from pyspark.sql import functions as F
 
 
 def dedup_within(df: DataFrame, pk: list[str], order_col: str | None = None) -> DataFrame:
-    """Keep exactly one row per PK. With ``order_col``, latest-wins
-    (deterministic); otherwise an arbitrary-but-single row via
-    ``dropDuplicates`` (map-side partial agg, cheapest).
+    """Keep exactly one row per PK. With ``order_col``, latest-wins;
+    without one, content-hash-wins — BOTH deterministic (round 11: the
+    old ``order_col=None`` path used ``dropDuplicates``, whose winner
+    depends on physical partition order; every caller of this operator
+    wants the reproducibility contract, so the cheap-but-arbitrary
+    form is gone).
 
     Determinism under TIES: two retries of the same PK can carry the
     same ``order_col`` value with different payloads (the re-fetched
@@ -37,12 +40,12 @@ def dedup_within(df: DataFrame, pk: list[str], order_col: str | None = None) -> 
     a pure function of row CONTENT, so the kept row is identical across
     runs, partitionings, and engines; fully identical duplicate rows
     tie harmlessly (either copy is the same row)."""
-    if order_col is None:
-        return df.dropDuplicates(pk)
     non_pk = [c for c in df.columns if c not in pk]
-    order = [F.col(order_col).desc()]
+    order = [F.col(order_col).desc()] if order_col is not None else []
     if non_pk:
         order.append(F.xxhash64(*[F.col(c) for c in non_pk]).desc())
+    if not order:  # pk-only frame: all dups identical, any copy is fine
+        return df.dropDuplicates(pk)
     w = Window.partitionBy(*pk).orderBy(*order)
     return (
         df.withColumn("__rn", F.row_number().over(w))
@@ -161,18 +164,34 @@ def scd2_history(
     (NULL-safe comparison); ``valid_to`` is the next change's timestamp
     (half-open intervals), NULL while current.
 
-    Shape: two KEYED windows over (pk) ordered by (ts, tiebreaks) —
-    partitions are one entity's history, never corpus-sized; both
-    windows share the same partitioning so Catalyst plans ONE sort +
-    shuffle. Ties on the timestamp are ordered by ``tiebreak_cols``
-    (pass the event/row id) — REQUIRED for determinism if the log can
-    carry two changes at the same instant.
-    """
-    from pyspark.sql import Window
+    LAST-CHANGE-WINS PER INSTANT (round-11 Kimball-agreement fix): a
+    published SCD2 dimension has at most ONE state per (entity,
+    valid_from) — two changes at the same timestamp must collapse to
+    the final one, not materialize a zero-length ``[t, t)`` version
+    row. The old build emitted those: A@t1, B@t2, A@t2 produced THREE
+    rows with the current row claiming "A since t2" although the
+    entity was observably A since t1 (and alternating same-instant
+    states emitted byte-identical rows, breaking the (pk, valid_from)
+    uniqueness every downstream consumer assumes). Only the last row
+    of each equal-timestamp group (by tiebreaks, then a content hash
+    for full determinism) can now open or extend a run.
 
+    Shape: KEYED windows over (pk) ordered by (ts, tiebreaks, content
+    hash) — partitions are one entity's history, never corpus-sized;
+    all windows share the same partitioning so Catalyst plans ONE
+    shuffle. Ties on the timestamp are ordered by ``tiebreak_cols``
+    (pass the event/row id) — REQUIRED for a meaningful
+    last-change-per-instant if the log can carry two changes at the
+    same instant.
+    """
     tb = [F.col(c) for c in (tiebreak_cols or [])]
-    order = [F.col(ts_col)] + tb
+    order = [F.col(ts_col)] + tb + [
+        F.xxhash64(*[F.col(c) for c in attr_cols])
+    ]
     w = Window.partitionBy(*pk).orderBy(*order)
+    nxt_ts = F.lead(ts_col).over(w)
+    last_of_instant = nxt_ts.isNull() | (nxt_ts != F.col(ts_col))
+    df = df.withColumn("_loi", last_of_instant).filter("_loi").drop("_loi")
     changed = F.row_number().over(w) == 1
     for c in attr_cols:
         changed = changed | ~F.col(c).eqNullSafe(F.lag(c).over(w))
@@ -184,6 +203,48 @@ def scd2_history(
         F.col(ts_col).alias("valid_from"),
         F.lead(ts_col).over(w2).alias("valid_to"),
         F.lead(ts_col).over(w2).isNull().alias("is_current"),
+    )
+
+
+def scd2_close_deleted(
+    history: DataFrame,
+    present: DataFrame,
+    pk: list[str],
+    as_of,
+) -> DataFrame:
+    """Kimball CDC delete handling (round 11): entities ABSENT from the
+    latest full snapshot get their current row end-dated — valid_to =
+    ``as_of``, is_current = false — so point-in-time lookups after the
+    deletion return no state and the dimension's current set matches
+    reality. Before this operator existed, no SCD2 surface could expire
+    an entity: snapshot_diff correctly TAGS 'deleted' rows but nothing
+    consumed the tag, and a hard-deleted source entity stayed
+    is_current=true with a NULL valid_to forever.
+
+    ``present`` is the full set of live entity keys (the latest
+    snapshot — NOT a watermark delta, whose absences mean 'unchanged');
+    historical (already-closed) rows pass through untouched, so the
+    operator is idempotent. Shape: one distinct + one left join on the
+    entity key — O(|history| + |present|), co-partitionable at scale.
+    """
+    gone = (
+        history.filter(F.col("is_current"))
+        .select(*pk)
+        .join(present.select(*pk).distinct(), pk, "left_anti")
+        .withColumn("_gone", F.lit(True))
+    )
+    h = history.join(gone, pk, "left")
+    closing = F.col("is_current") & F.coalesce(F.col("_gone"), F.lit(False))
+    # match the history's own timestamp flavor (ntz vs ltz) — a bare
+    # datetime literal is ltz and would fail analysis against an ntz
+    # valid_to column
+    as_of_lit = F.lit(as_of).cast(history.schema["valid_to"].dataType)
+    return h.select(
+        *[c for c in history.columns if c not in ("valid_to", "is_current")],
+        F.when(closing, as_of_lit).otherwise(F.col("valid_to"))
+        .alias("valid_to"),
+        (F.col("is_current") & ~F.coalesce(F.col("_gone"), F.lit(False)))
+        .alias("is_current"),
     )
 
 

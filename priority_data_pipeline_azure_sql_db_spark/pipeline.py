@@ -36,7 +36,7 @@ from .catalog import primary_key
 from .config import EntityConfig, ExtractionConfig
 from .operators.store_io import write_partitioned
 from .operators.flatten import flatten_expand
-from .operators.merge import merge_upsert
+from .operators.merge import dedup_within, merge_upsert
 from .operators.normalize import (
     AUDIT_ID_COL,
     AUDIT_TS_COL,
@@ -129,8 +129,19 @@ class StagingStore:
         see a half-written partition; untouched partitions' files are never
         opened, let alone rewritten. The driver-side ``collect`` holds
         partition VALUES (load dates) — partition metadata, not data.
+
+        The delta dedups on the PK first (round-11 review: published
+        MERGE semantics ERROR when the source matches a target row more
+        than once — SQL MERGE, Delta MERGE alike; silently unioning
+        both copies persisted duplicate PKs into staging, fanning out
+        every later CDC audit and violating snapshot_diff's one-row-
+        per-PK contract. merge.py's docstring promised dedup_within for
+        exactly this case; now the merge path actually calls it —
+        deterministic content-hash winner, since a re-fetched window
+        carries no intra-batch ordering column).
         """
         self._recover(table)
+        delta = dedup_within(delta, pk)
         if not self.exists(table):
             return self.overwrite(delta, table)
         raw = spark.read.option("mergeSchema", "true").parquet(self.path(table))
@@ -395,14 +406,24 @@ def cdc_audit_delta(
     watermark source re-sends rows; it doesn't retract them). Audit
     columns are excluded from the comparison (a re-fetch always gets a
     fresh extraction id — that's lineage, not change).
+
+    The comparison runs over the UNION of both sides' columns, aligned
+    with NULLs (round-11 review: intersecting them made the audit BLIND
+    to schema evolution — a source-added column tagged every rewritten
+    row 'unchanged' although the merge materially writes the new
+    values, and a dropped column's real NULL-out went unreported; the
+    merge path itself already aligns to the union, so the audit now
+    sees exactly what the merge changes).
     """
     from .operators.merge import snapshot_diff
+    from .operators.normalize import align_schemas
 
     compare = sorted(
-        (set(target.columns) & set(delta.columns))
+        (set(target.columns) | set(delta.columns))
         - set(pk) - set(exclude_cols)
     )
     old = target.join(delta.select(*pk).distinct(), pk, "left_semi")
+    old, delta = align_schemas(old, delta)
     return snapshot_diff(old, delta, pk, compare)
 
 

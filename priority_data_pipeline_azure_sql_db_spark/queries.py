@@ -5493,17 +5493,30 @@ def events_rollup_incremental(spark, sf_dir):
 @query(
     "events_scd2_user_state",
     """
-    WITH ordered AS (
-        SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts, event_id,
+    WITH last_per_instant AS (
+        -- Kimball: at most ONE state per (entity, valid_from) — the
+        -- last change (by tiebreak) at an instant wins, never a
+        -- zero-length [t, t) version row (round-11 agreement fix;
+        -- event_id is unique in this fixture, so values are unchanged
+        -- and the rule is pinned by pytest on a tied synthetic log)
+        SELECT user_id, event_type, ts, event_id FROM (
+            SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts,
+                   event_id,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY user_id, CAST(ts AS TIMESTAMP)
+                       ORDER BY event_id DESC
+                   ) AS ri
+            FROM events
+        ) WHERE ri = 1
+    ), ordered AS (
+        SELECT user_id, event_type, ts, event_id,
                LAG(event_type) OVER (
-                   PARTITION BY user_id
-                   ORDER BY CAST(ts AS TIMESTAMP), event_id
+                   PARTITION BY user_id ORDER BY ts, event_id
                ) AS prev_type,
                ROW_NUMBER() OVER (
-                   PARTITION BY user_id
-                   ORDER BY CAST(ts AS TIMESTAMP), event_id
+                   PARTITION BY user_id ORDER BY ts, event_id
                ) AS rn
-        FROM events
+        FROM last_per_instant
     ), changes AS (
         SELECT user_id, event_type, ts, event_id FROM ordered
         WHERE rn = 1 OR event_type IS DISTINCT FROM prev_type
@@ -6635,17 +6648,27 @@ def er_golden_records(spark, sf_dir):
 @query(
     "events_pit_enrichment",
     """
-    WITH ordered AS (
-        SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts, event_id,
+    WITH last_per_instant AS (
+        -- one state per (entity, valid_from): last change at an
+        -- instant wins (round-11 Kimball-agreement fix)
+        SELECT user_id, event_type, ts, event_id FROM (
+            SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts,
+                   event_id,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY user_id, CAST(ts AS TIMESTAMP)
+                       ORDER BY event_id DESC
+                   ) AS ri
+            FROM events WHERE event_id % 2 = 0
+        ) WHERE ri = 1
+    ), ordered AS (
+        SELECT user_id, event_type, ts, event_id,
                LAG(event_type) OVER (
-                   PARTITION BY user_id
-                   ORDER BY CAST(ts AS TIMESTAMP), event_id
+                   PARTITION BY user_id ORDER BY ts, event_id
                ) AS prev_type,
                ROW_NUMBER() OVER (
-                   PARTITION BY user_id
-                   ORDER BY CAST(ts AS TIMESTAMP), event_id
+                   PARTITION BY user_id ORDER BY ts, event_id
                ) AS rn
-        FROM events WHERE event_id % 2 = 0
+        FROM last_per_instant
     ), changes AS (
         SELECT user_id, event_type, ts, event_id FROM ordered
         WHERE rn = 1 OR event_type IS DISTINCT FROM prev_type
@@ -7340,17 +7363,27 @@ def events_gapfill_hourly(spark, sf_dir):
 @query(
     "events_scd2_incremental",
     """
-    WITH ordered AS (
-        SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts, event_id,
+    WITH last_per_instant AS (
+        -- one state per (entity, valid_from): last change at an
+        -- instant wins (round-11 Kimball-agreement fix)
+        SELECT user_id, event_type, ts, event_id FROM (
+            SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts,
+                   event_id,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY user_id, CAST(ts AS TIMESTAMP)
+                       ORDER BY event_id DESC
+                   ) AS ri
+            FROM events
+        ) WHERE ri = 1
+    ), ordered AS (
+        SELECT user_id, event_type, ts, event_id,
                LAG(event_type) OVER (
-                   PARTITION BY user_id
-                   ORDER BY CAST(ts AS TIMESTAMP), event_id
+                   PARTITION BY user_id ORDER BY ts, event_id
                ) AS prev_type,
                ROW_NUMBER() OVER (
-                   PARTITION BY user_id
-                   ORDER BY CAST(ts AS TIMESTAMP), event_id
+                   PARTITION BY user_id ORDER BY ts, event_id
                ) AS rn
-        FROM events
+        FROM last_per_instant
     ), changes AS (
         SELECT user_id, event_type, ts, event_id FROM ordered
         WHERE rn = 1 OR event_type IS DISTINCT FROM prev_type
@@ -7375,17 +7408,30 @@ def events_scd2_incremental(spark, sf_dir):
     with its tiebreaks). The oracle is the FULL-log SCD2 build over all
     events: the incremental result must equal it exactly — the same
     log-is-source-of-truth contract the rollup store proves for
-    aggregates, here for versioned dimensions. Split by user hash so
-    both touched and untouched sets are non-trivial."""
+    aggregates, here for versioned dimensions.
+
+    Round-11 review fix: the delta is a PARTIAL slice of each touched
+    user's events (one in three rows, for a quarter of users), so the
+    base log RETAINS rows for every touched user — the old
+    whole-user-to-delta split left the rebuild's base-side semi-join
+    structurally EMPTY, meaning a broken semi-join (wrong key, wrong
+    join type) would still have passed the driver's hash check. Now
+    the semi-join contributes most of each touched user's history and
+    a wrong join goes red; untouched users (three quarters) still
+    exercise the anti-join passthrough."""
     import os
 
     from .operators.merge import scd2_apply_delta, scd2_history
 
     e = load_table(spark, sf_dir, "events")
-    # "touched" entities: users whose hash lands in the delta slice
-    delta_users = F.crc32(F.col("user_id").cast("string")) % 4 == 0
-    base_log = e.filter(~delta_users)
-    delta_log = e.filter(delta_users)
+    # touched entities: a quarter of users, arriving with PART of their
+    # rows (the rest already sit in the standing base log)
+    in_delta = (
+        (F.crc32(F.col("user_id").cast("string")) % 4 == 0)
+        & (F.col("event_id") % 3 == 0)
+    )
+    base_log = e.filter(~in_delta)
+    delta_log = e.filter(in_delta)
 
     hist_path = _resident_path("scd2_hist_base", sf_dir)
     if not os.path.exists(os.path.join(hist_path, "_SUCCESS")):
@@ -7996,19 +8042,105 @@ def er_incremental_match(spark, sf_dir):
 
 
 @query(
-    "streaming_scd2_maintenance",
+    "events_scd2_with_deletes",
     """
-    WITH ordered AS (
-        SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts, event_id,
+    WITH last_per_instant AS (
+        SELECT user_id, event_type, ts, event_id FROM (
+            SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts,
+                   event_id,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY user_id, CAST(ts AS TIMESTAMP)
+                       ORDER BY event_id DESC
+                   ) AS ri
+            FROM events
+        ) WHERE ri = 1
+    ), ordered AS (
+        SELECT user_id, event_type, ts, event_id,
                LAG(event_type) OVER (
-                   PARTITION BY user_id
-                   ORDER BY CAST(ts AS TIMESTAMP), event_id
+                   PARTITION BY user_id ORDER BY ts, event_id
                ) AS prev_type,
                ROW_NUMBER() OVER (
-                   PARTITION BY user_id
-                   ORDER BY CAST(ts AS TIMESTAMP), event_id
+                   PARTITION BY user_id ORDER BY ts, event_id
                ) AS rn
-        FROM events
+        FROM last_per_instant
+    ), changes AS (
+        SELECT user_id, event_type, ts, event_id FROM ordered
+        WHERE rn = 1 OR event_type IS DISTINCT FROM prev_type
+    ), hist AS (
+        SELECT user_id, event_type, ts AS valid_from,
+               LEAD(ts) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+               ) AS valid_to,
+               (LEAD(ts) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+               ) IS NULL) AS is_current
+        FROM changes
+    )
+    SELECT user_id, event_type, valid_from,
+           CASE WHEN is_current AND user_id % 7 = 0
+                THEN TIMESTAMP '2027-01-01 00:00:00'
+                ELSE valid_to END AS valid_to,
+           (is_current AND user_id % 7 <> 0) AS is_current
+    FROM hist
+    """,
+)
+def events_scd2_with_deletes(spark, sf_dir):
+    """SCD2 WITH DELETE HANDLING (round 11, the Kimball-agreement
+    review's capability gap): the type-2 history is reconciled against
+    the latest FULL snapshot of live entities — entities absent from it
+    (every 7th user here; in production the keys of the latest full
+    extract) get their current row END-DATED at the reconciliation
+    timestamp via operators/merge.scd2_close_deleted, so point-in-time
+    lookups after the deletion return no state and is_current matches
+    reality. Before round 11 no SCD2 surface could expire an entity:
+    snapshot_diff TAGGED 'deleted' but nothing consumed it, and a
+    hard-deleted source entity stayed current forever (both twins
+    shared the gap — no oracle contained a delete, which is exactly why
+    this query exists). Hash-checked: the oracle replays the build +
+    the close as one CASE over the current rows. Shape: the close is
+    one distinct + one left join on the entity key over the O(entities)
+    dimension — never a log re-scan."""
+    from datetime import datetime as _DT
+
+    from .operators.merge import scd2_close_deleted, scd2_history
+
+    e = load_table(spark, sf_dir, "events")
+    hist = scd2_history(
+        e, pk=["user_id"], attr_cols=["event_type"], ts_col="ts",
+        tiebreak_cols=["event_id"],
+    )
+    present = e.select("user_id").distinct().filter(
+        F.col("user_id") % 7 != 0
+    )
+    return scd2_close_deleted(
+        hist, present, ["user_id"], _DT(2027, 1, 1)
+    ).select("user_id", "event_type", "valid_from", "valid_to", "is_current")
+
+
+@query(
+    "streaming_scd2_maintenance",
+    """
+    WITH last_per_instant AS (
+        -- one state per (entity, valid_from): last change at an
+        -- instant wins (round-11 Kimball-agreement fix)
+        SELECT user_id, event_type, ts, event_id FROM (
+            SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts,
+                   event_id,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY user_id, CAST(ts AS TIMESTAMP)
+                       ORDER BY event_id DESC
+                   ) AS ri
+            FROM events
+        ) WHERE ri = 1
+    ), ordered AS (
+        SELECT user_id, event_type, ts, event_id,
+               LAG(event_type) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+               ) AS prev_type,
+               ROW_NUMBER() OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+               ) AS rn
+        FROM last_per_instant
     ), changes AS (
         SELECT user_id, event_type, ts, event_id FROM ordered
         WHERE rn = 1 OR event_type IS DISTINCT FROM prev_type
@@ -8037,15 +8169,29 @@ def streaming_scd2_maintenance(spark, sf_dir):
     events: equality holds because scd2_apply_delta equals the full
     rebuild even for out-of-order arrivals, so the final history is
     provably independent of micro-batch boundaries. Re-running against
-    the same checkpoint is a no-op."""
+    the same checkpoint is a no-op.
+
+    Round-11 review fix: the drain is now genuinely MULTI-BATCH — the
+    log is staged as four files and streamed with maxFilesPerTrigger=1,
+    so the driver's hash check covers the scd2_apply_delta fold, the
+    key-bucket log pruning, and compaction (the old single-file
+    availableNow drain took only the batch-one scd2_history bootstrap
+    branch: the incremental machinery this query exists to prove was
+    pinned by pytest alone)."""
     import os
 
-    from .streaming.events import read_events_stream
     from .streaming.sink import read_scd2_store, stream_scd2_into_store
 
     base = _resident_path("stream_scd2", sf_dir)
-    ev = read_events_stream(spark, sf_dir).select(
-        "user_id", "event_type", "ts", "event_id"
+    src = os.path.join(base, "src")
+    if not os.path.exists(os.path.join(src, "_SUCCESS")):
+        load_table(spark, sf_dir, "events").select(
+            "user_id", "event_type", "ts", "event_id"
+        ).repartition(4).write.mode("overwrite").parquet(src)
+    ev = (
+        spark.readStream.schema(spark.read.parquet(src).schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
     )
     q = stream_scd2_into_store(
         ev, os.path.join(base, "store"), pk=["user_id"],

@@ -1497,7 +1497,10 @@ def test_combine_rollups_equals_full_recompute(spark):
 def test_scd2_history_runs_and_intervals(spark):
     """SCD2 build on a hand-built change log: consecutive identical
     states collapse (NULL-safely), intervals chain half-open, the last
-    run is current, and same-instant ties order by the tiebreak."""
+    run is current, and same-instant changes collapse to the LAST one
+    (by tiebreak) — Kimball: at most one state per (entity,
+    valid_from), never a zero-length [t, t) version row (round-11
+    agreement fix: the old build emitted those)."""
     from datetime import datetime as DT
 
     from priority_data_pipeline_azure_sql_db_spark.operators.merge import scd2_history
@@ -1511,8 +1514,13 @@ def test_scd2_history_runs_and_intervals(spark):
         (1, None,     t(5), 14),   # NULL == NULL -> collapses
         (1, "gold",   t(6), 15),
         (2, "bronze", t(1), 16),
-        # same-instant tie for user 3: event_id orders b before c
+        # same-instant tie for user 3: the LAST change (event_id 18) is
+        # the instant's one state — 'b' never becomes a version row
         (3, "b", t(1), 17), (3, "c", t(1), 18),
+        # user 4: A, then same-instant B->A churn at t2 — the entity is
+        # observably A throughout, so ONE run since t1 (the old build
+        # said 'A since t2' plus zero-length phantoms)
+        (4, "A", t(1), 20), (4, "B", t(2), 21), (4, "A", t(2), 22),
     ]
     df = spark.createDataFrame(rows, ["user_id", "tier", "ts", "event_id"])
     out = scd2_history(
@@ -1530,9 +1538,47 @@ def test_scd2_history_runs_and_intervals(spark):
         (1, None,     t(4), t(6), False),
         (1, "gold",   t(6), None, True),
         (2, "bronze", t(1), None, True),
-        (3, "b", t(1), t(1), False),   # zero-length run, tie resolved
         (3, "c", t(1), None, True),
+        (4, "A", t(1), None, True),
     ]
+    # (pk, valid_from) is unique — the published dimension key
+    assert len({(r[0], r[2]) for r in runs}) == len(runs)
+
+
+def test_scd2_close_deleted(spark):
+    """Kimball CDC delete handling (round 11): entities absent from the
+    latest full snapshot get their current row end-dated at as_of; the
+    operator is idempotent and leaves live entities and historical rows
+    untouched."""
+    from datetime import datetime as DT
+
+    from priority_data_pipeline_azure_sql_db_spark.operators.merge import (
+        scd2_close_deleted,
+        scd2_history,
+    )
+
+    t = lambda s: DT(2026, 1, s)
+    log = [
+        (1, "gold", t(1), 1), (1, "silver", t(3), 2),
+        (2, "bronze", t(1), 3),
+    ]
+    hist = scd2_history(
+        spark.createDataFrame(log, ["user_id", "tier", "ts", "event_id"]),
+        pk=["user_id"], attr_cols=["tier"], ts_col="ts",
+        tiebreak_cols=["event_id"],
+    )
+    # latest full snapshot: user 2 is gone
+    present = spark.createDataFrame([(1,)], ["user_id"])
+    closed = scd2_close_deleted(hist, present, ["user_id"], t(9))
+    rows = {(r.user_id, r.tier): (r.valid_to, r.is_current)
+            for r in closed.collect()}
+    assert rows[(2, "bronze")] == (t(9), False)   # end-dated
+    assert rows[(1, "silver")] == (None, True)    # live entity untouched
+    assert rows[(1, "gold")] == (t(3), False)     # history untouched
+    # idempotent: a second close changes nothing
+    again = scd2_close_deleted(closed, present, ["user_id"], t(10))
+    assert {(r.user_id, r.tier): (r.valid_to, r.is_current)
+            for r in again.collect()} == rows
 
 
 def test_cap_per_group_matches_naive_window(spark):

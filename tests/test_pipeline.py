@@ -196,6 +196,72 @@ def test_merge_rewrites_only_touched_partitions(spark, tmp_path):
     assert rows == 0
 
 
+def test_merge_dedups_delta_on_pk(spark, tmp_path):
+    """Round-11 review fix: a delta carrying the same PK twice must not
+    persist duplicate PKs into staging (published MERGE semantics error
+    on multi-matching sources; our whole-row-replace keeps exactly one,
+    the deterministic content-hash winner) — and the winner is the same
+    across row orders."""
+    from pyspark.sql import functions as F
+
+    from priority_data_pipeline_azure_sql_db_spark.pipeline import StagingStore
+
+    def batch(rows):
+        return spark.createDataFrame(
+            rows, "pk bigint, v string"
+        ).withColumn("extractionid", F.lit("run-1")).withColumn(
+            "extractiontimestamputc",
+            F.lit("2026-01-01 12:00:00").cast("timestamp"),
+        )
+
+    store = StagingStore(root=str(tmp_path / "stg"))
+    store.overwrite(batch([(1, "a")]), "t")
+    store.merge(spark, batch([(2, "x"), (2, "y"), (3, "c")]), "t", ["pk"])
+    rows = {r.pk: r.v for r in store.read(spark, "t").collect()}
+    assert set(rows) == {1, 2, 3}  # exactly one row per PK
+    dup_winner = rows[2]
+
+    store2 = StagingStore(root=str(tmp_path / "stg2"))
+    store2.overwrite(batch([(1, "a")]), "t")
+    store2.merge(spark, batch([(3, "c"), (2, "y"), (2, "x")]), "t", ["pk"])
+    assert {r.pk: r.v for r in store2.read(spark, "t").collect()}[2] \
+        == dup_winner  # order-invariant winner
+
+
+def test_cdc_audit_sees_schema_evolution(spark, tmp_path):
+    """Round-11 review fix: the CDC audit compares over the UNION of
+    both sides' columns — a source-ADDED column makes re-fetched rows
+    'updated' (the merge really rewrites them with the new values), and
+    a DROPPED column's NULL-out is a reported change, not silence."""
+    from priority_data_pipeline_azure_sql_db_spark.pipeline import cdc_audit_delta
+
+    target = spark.createDataFrame(
+        [(1, "a"), (2, "b")], "pk bigint, v string"
+    )
+    # added column: same v, new non-null w -> updated
+    delta_add = spark.createDataFrame(
+        [(1, "a", "new")], "pk bigint, v string, w string"
+    )
+    tags = {r.pk: r.change_type
+            for r in cdc_audit_delta(target, delta_add, ["pk"]).collect()}
+    assert tags[1] == "updated"
+    # added column arriving NULL: still byte-identical -> unchanged
+    delta_null = spark.createDataFrame(
+        [(2, "b", None)], "pk bigint, v string, w string"
+    )
+    tags = {r.pk: r.change_type
+            for r in cdc_audit_delta(target, delta_null, ["pk"]).collect()}
+    assert tags[2] == "unchanged"
+    # dropped column: the merge NULLs the staged value -> updated
+    target2 = spark.createDataFrame(
+        [(1, "a", "old")], "pk bigint, v string, w string"
+    )
+    delta_drop = spark.createDataFrame([(1, "a")], "pk bigint, v string")
+    tags = {r.pk: r.change_type
+            for r in cdc_audit_delta(target2, delta_drop, ["pk"]).collect()}
+    assert tags[1] == "updated"
+
+
 def test_merge_handles_null_audit_timestamp(spark, tmp_path):
     """Rows with a NULL audit timestamp live in Hive's default partition;
     the partition-scoped merge must still update them (isin() alone never
