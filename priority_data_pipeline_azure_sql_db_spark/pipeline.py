@@ -36,7 +36,7 @@ from .catalog import primary_key
 from .config import EntityConfig, ExtractionConfig
 from .operators.store_io import write_partitioned
 from .operators.flatten import flatten_expand
-from .operators.merge import dedup_within, merge_upsert
+from .operators.merge import merge_upsert
 from .operators.normalize import (
     AUDIT_ID_COL,
     AUDIT_TS_COL,
@@ -130,18 +130,22 @@ class StagingStore:
         opened, let alone rewritten. The driver-side ``collect`` holds
         partition VALUES (load dates) — partition metadata, not data.
 
-        The delta dedups on the PK first (round-11 review: published
-        MERGE semantics ERROR when the source matches a target row more
-        than once — SQL MERGE, Delta MERGE alike; silently unioning
-        both copies persisted duplicate PKs into staging, fanning out
-        every later CDC audit and violating snapshot_diff's one-row-
-        per-PK contract. merge.py's docstring promised dedup_within for
-        exactly this case; now the merge path actually calls it —
-        deterministic content-hash winner, since a re-fetched window
-        carries no intra-batch ordering column).
+        MERGE SEMANTICS — GROUP-replace, not row-replace (round-11
+        review, resolved the other way after its blanket-PK-dedup
+        "fix" was caught by test_incremental_overlap_idempotent): the
+        anti-join + union replaces ALL target rows sharing a key with
+        ALL delta rows sharing it. For row-identified tables that is
+        exactly SQL/Delta MERGE whole-row-replace; for CHILD tables
+        merged on the PARENT key (lineitem on o_orderkey — the
+        reference's sub-form shape) the delta legitimately carries many
+        rows per key and the group swap IS the contract (Delta's WHEN
+        MATCHED DELETE + INSERT ALL pattern) — deduping the delta on
+        the key here would silently discard every child but one.
+        Callers with a row-identifying PK that need source-side dedup
+        apply :func:`operators.merge.dedup_within` (deterministic
+        content-hash winner) before calling merge.
         """
         self._recover(table)
-        delta = dedup_within(delta, pk)
         if not self.exists(table):
             return self.overwrite(delta, table)
         raw = spark.read.option("mergeSchema", "true").parquet(self.path(table))
