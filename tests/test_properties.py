@@ -689,3 +689,102 @@ def test_multi_pass_blocking_superset_property(spark, names):
             ).collect()
         }
         assert single <= multi, f"pass {kname} escaped the union"
+
+
+scd2_logs = st.lists(
+    st.tuples(
+        st.integers(min_value=1, max_value=3),    # entity
+        st.sampled_from(["a", "b", "c", None]),   # state (incl. NULL)
+        st.integers(min_value=1, max_value=6),    # day (ties likely)
+    ),
+    min_size=1, max_size=14,
+)
+
+
+@SETTINGS
+@given(log=scd2_logs)
+def test_scd2_history_invariants_property(spark, log):
+    """SCD2 build invariants under arbitrary logs WITH same-instant
+    ties (the round-11 Kimball fix): per entity — exactly one
+    is_current row (valid_to NULL ⟺ current), intervals chain
+    half-open with valid_to = the next valid_from, (pk, valid_from) is
+    UNIQUE (no zero-length [t,t) version rows), consecutive runs carry
+    DIFFERENT states, and the row set is invariant to input row order
+    and partitioning."""
+    from datetime import datetime as DT
+
+    from priority_data_pipeline_azure_sql_db_spark.operators.merge import scd2_history
+
+    rows = [
+        (e, s, DT(2026, 1, d), i) for i, (e, s, d) in enumerate(log)
+    ]
+    df = spark.createDataFrame(
+        rows, "pk bigint, state string, ts timestamp, eid bigint"
+    )
+    out = scd2_history(
+        df, pk=["pk"], attr_cols=["state"], ts_col="ts",
+        tiebreak_cols=["eid"],
+    ).collect()
+    by_pk = {}
+    for r in out:
+        by_pk.setdefault(r.pk, []).append(r)
+    for pk, rs in by_pk.items():
+        rs.sort(key=lambda r: r.valid_from)
+        # one current row, and it is the last
+        assert sum(r.is_current for r in rs) == 1
+        assert rs[-1].is_current and rs[-1].valid_to is None
+        # (pk, valid_from) unique — no zero-length phantom versions
+        froms = [r.valid_from for r in rs]
+        assert len(set(froms)) == len(froms)
+        for a, b in zip(rs, rs[1:]):
+            assert a.valid_to == b.valid_from  # half-open chaining
+            assert a.state != b.state or (
+                (a.state is None) != (b.state is None)
+            )  # consecutive runs differ (NULL-safely)
+
+    # row-order / partitioning invariance
+    df2 = spark.createDataFrame(
+        list(reversed(rows)),
+        "pk bigint, state string, ts timestamp, eid bigint",
+    ).repartition(5)
+    out2 = scd2_history(
+        df2, pk=["pk"], attr_cols=["state"], ts_col="ts",
+        tiebreak_cols=["eid"],
+    ).collect()
+    key = lambda r: (r.pk, str(r.state), r.valid_from, str(r.valid_to),
+                     r.is_current)
+    assert sorted(map(key, out)) == sorted(map(key, out2))
+
+
+@SETTINGS
+@given(log=scd2_logs, cut=st.integers(min_value=0, max_value=13))
+def test_scd2_apply_delta_equals_rebuild_property(spark, log, cut):
+    """scd2_apply_delta's contract under random logs with ties and an
+    ARBITRARY base/delta split (incl. out-of-order arrivals: the delta
+    can hold earlier timestamps than the base): incremental fold ≡
+    one-pass rebuild of the full log, exactly."""
+    from datetime import datetime as DT
+
+    from priority_data_pipeline_azure_sql_db_spark.operators.merge import (
+        scd2_apply_delta,
+        scd2_history,
+    )
+
+    rows = [
+        (e, s, DT(2026, 1, d), i) for i, (e, s, d) in enumerate(log)
+    ]
+    cut = min(cut, len(rows))
+    base, delta = rows[:cut], rows[cut:]
+    schema = "pk bigint, state string, ts timestamp, eid bigint"
+    base_df = spark.createDataFrame(base, schema)
+    delta_df = spark.createDataFrame(delta, schema)
+    kw = dict(pk=["pk"], attr_cols=["state"], ts_col="ts",
+              tiebreak_cols=["eid"])
+    standing = scd2_history(base_df, **kw)
+    inc = scd2_apply_delta(standing, base_df, delta_df, **kw).collect()
+    full = scd2_history(
+        spark.createDataFrame(rows, schema), **kw
+    ).collect()
+    key = lambda r: (r.pk, str(r.state), r.valid_from, str(r.valid_to),
+                     r.is_current)
+    assert sorted(map(key, inc)) == sorted(map(key, full))
