@@ -25,6 +25,84 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The correctness driver evaluates the first 50 registry entries in order.
+# Round-12 rotation: the window VERDICT r11 published verbatim (ask #1).
+# Composition, in order:
+# (1) the 3 round-11 late registrations — their first driver evidence
+#     and the divergence-risk head: ann_cosine_topk_ivf_full (the exact
+#     full-probe IVF twin that retired ann_cosine_topk_ivf),
+#     multimodal_gif_codec (every decoded frame's RGB md5-checked vs
+#     the SQL-rebuilt document slice), events_scd2_with_deletes (the
+#     Kimball delete-handling leg). Each was comparator-verified at
+#     sf0.01 AND sf0.1 the session it landed (r11), and again by the
+#     r11 judge.
+# (2) the 47-entry r8 bucket, r8 window order (48 minus the retired
+#     ann_cosine_topk_ivf) — every entry last checked in round 8,
+#     turning 3-rounds-stale at this check (the staleness invariant's
+#     edge). This sweeps in the remaining changed-oracle divergence
+#     risk on schedule: ann_cosine_topk_lsh (rows-only → full hash
+#     oracle, r10), the r8-bucket token-count/shingle replays
+#     (text_quality_score, text_token_stats, text_cleaning_pass_profile,
+#     dedup_contamination_check, pack_materialized_sequences,
+#     pipeline_curation_incremental, dedup_fingerprint_docs,
+#     text_winnow_fingerprints, dedup_winnow_pairs, dedup_ngram_jaccard,
+#     dedup_minhash_lsh, dedup_simhash, dedup_simhash_pairs,
+#     multimodal_real_codec), embedding_quantize_int8 (+ the r11
+#     round-half-away-from-zero definition change).
+# 3 + 47 = 50 exactly.
+#
+# ROUND-12 IN-PLACE UPGRADES (divergence-risk head material for r13):
+# er_incremental_match and er_assign_from_store moved to the multi-pass
+# (first-token ∪ last-token) blocking union on the SERVE path (VERDICT
+# r11 ask #2), wiring multi_pass_match_delta as the production serve
+# half; er_store_append_serve exercises the same store path. Each was
+# comparator-verified at sf0.01 AND sf0.1 the session it changed.
+# NEW REGISTRATION (1, under the ≤10 cap): streaming_scd2_with_deletes
+# (VERDICT r11 ask #4 — tombstone-bearing multi-batch drain through the
+# streaming SCD2 store ≡ the batch scd2+close_deleted oracle).
+#
+# ROTATION ARITHMETIC: window 50 × 4-round cycle = 200-entry registry
+# CEILING for the ≤3-round staleness invariant. Registry stands at 200
+# after this round's single registration (199 carried +
+# streaming_scd2_with_deletes) — AT the ceiling, not beyond it.
+#
+# RETIREMENT POLICY (published per VERDICT r11 ask #3 — applies to
+# every registration from here on, one retirement per registration,
+# chosen in this priority order):
+#   P1. Superseded approximate/rows-only siblings whose exact md5-twin
+#       already grades the same machinery end-to-end: dedup_minhash_lsh
+#       → dedup_minhash_lsh_md5, dedup_simhash → dedup_simhash_md5,
+#       dedup_simhash_pairs → dedup_simhash_pairs_md5 (three slots; the
+#       retiree keeps its pytest coverage and stays importable — only
+#       the registry slot is freed, exactly like ann_cosine_topk_ivf in
+#       r11).
+#   P2. Narrow probes subsumed by a wider graded profile:
+#       pack_length_bucket_batches → pack_length_bucket_batches_wide,
+#       text_bpe_tokens → text_bpe_tokens_large? NO — the large variant
+#       is rows-only; retire pack_length_bucket_batches first (its wide
+#       twin hash-grades a strict superset of the plan).
+#   P3. Redundant TPC-H shapes already covered by a same-operator
+#       sibling (q6 vs q14 both scan-agg on lineitem date bands): only
+#       after P1/P2 are exhausted, and never below 20 relational shapes.
+# Each retirement is recorded in this comment with its round number.
+#   r12: streaming_scd2_with_deletes registered → registry lands at
+#        exactly 200 (the ceiling, not beyond it): no retirement is
+#        forced this round. The FIRST r13 registration retires
+#        dedup_minhash_lsh (P1) — committed here so the choice is made
+#        deliberately, not under pressure. dedup_minhash_lsh is an r8-
+#        bucket member of THIS round's window, so it exits with fresh
+#        r12 evidence and full pytest coverage intact.
+#
+# Schedule from here:
+#   r12 (this file): r11 late regs (3) + r8 bucket (47)
+#   r13: r9 bucket (49) + streaming_scd2_with_deletes + the r12
+#        changed-oracle head named above = 50 with the slack consumed;
+#        if over 50, the r9-bucket tail spills to r14's head ahead of
+#        the r10 bucket.
+#   r14: r10 bucket (50)
+#   r15: r11 bucket (50)
+#
+# Previous round's comment (kept for the audit trail):
+# The correctness driver evaluates the first 50 registry entries in order.
 # Round-11 rotation: the window VERDICT r10 published (ask #1), resolved
 # against the hard 50-slot limit. Composition, in order:
 # (1) the 10 round-10 late registrations, registry order — their first
@@ -91,136 +169,61 @@ def entry(spark: SparkSession) -> DataFrame:
 #   r14: r10 bucket (50)
 #   r15: r11 bucket (50)
 #
-# Previous round's comment (kept for the audit trail):
-# Round-10 rotation: the window VERDICT r9 published verbatim
-# (`__spark_entry__.py:59-73` of the r9 file; VERDICT r9 ask #1).
-# Composition, in order:
-# (1) the four entries whose code/oracle CHANGED in round 9 — the
-# divergence-risk head: multimodal_frame_sample, pack_greedy_sequences,
-# and streaming_stateful_user_totals were upgraded from rows-only to
-# full hash oracles, dedup_boilerplate_lines' operator gained the
-# non-empty-kept drop_empty contract.
-# (2) the 36-entry r6 bucket remainder, in r6 window order — these
-# turned 3 rounds stale at this check, the staleness invariant's edge.
-# (3) the 5 round-9 late registrations, registration order — their
-# first driver evidence.
-# (4) the r7 bucket head (5 entries, r7 window order; the bucket's
-# pack_greedy_sequences already sits at the window head) — fills to 50.
-#
-# ROTATION ARITHMETIC (the ≤3-round staleness covering schedule,
-# adopted in r9): registry 197 (10 added r10) + ≤10 new per round over a 50-slot
-# window ⇒ full cycle ceil(~190/50) = 4 rounds ⇒ max staleness 3.
-# Schedule from here:
-#   r10 (this file): changed-head 4 + r6 bucket[6:42] + r9 regs (5) +
-#        r7 bucket[0:5]
-#   r11: r7 bucket remainder (40) + r8 bucket head + this round's
-#        late registrations at the head — fills to 50
-#   r12: r8 bucket remainder + r9-window entries turning 3-stale
-# Below the window: the r7 bucket remainder (lead r11), the r8 bucket
-# (50), the r9-window bucket, and this round's late registrations —
-# er_assign_from_store (the persisted-ER serve, r9 ask #2),
-# er_first_token_pairs (free-text blocking, r9 ask #3),
-# export_curriculum_readback (the shard-order round trip, r9 ask #4),
-# multimodal_codec_mix (the codec-mix profile incl. the new
-# progressive-JPEG class, r9 ask #8), er_store_append_serve
-# (append ≡ rebuild end to end: store built from part of the base,
-# rest appended, served against the full-base oracle), and the three
-# md5-portable hash-family twins dedup_minhash_lsh_md5,
-# dedup_simhash_md5, and dedup_simhash_pairs_md5 (full SQL oracles
-# for the previously rows-only MinHash/SimHash constructions, incl.
-# the pigeonhole Hamming retrieval), plus streaming_er_maintenance
-# (the fourth streaming-warehouse leg: multi-batch drain through the
-# ER store's build+append path ≡ the one-pass cluster map) and
-# multimodal_video_frames (REAL video: MJPEG-in-AVI mux/demux + kept-
-# frame JPEG decode, structure-hash-checked like multimodal_codec_mix)
-# — each comparator-verified at sf0.01 AND sf0.1 the session it
-# landed; all r11-head material. Also r11-head (changed-oracle
-# divergence risk): ann_cosine_topk_lsh, upgraded rows-only → full
-# hash oracle (the hyperplanes were md5-derived all along, so the
-# DuckDB twin regenerates them bit-identically — registry now
-# 197 queries / 188 oracled / 9 rows-only by design).
-#
-# LATE ROUND-10 REVIEW FIXES (seven adversarial passes, see SURVEY.md):
-# every entry whose code or oracle changed was comparator-verified at
-# sf0.01 the session it changed (plus a full 188-query sweep), and the
-# oracle-TEXT-changed set also at sf0.1. Additional r11 window-head
-# material (changed-oracle divergence risk): the 16 token-count
-# replays upgraded to the list_filter zero-for-empty form
-# (text_quality_score, text_token_stats, text_cleaning_pass_profile,
-# profile_data_card, sample_source_budget, pack_training_sequences,
-# pack_materialized_sequences, pack_document_chunks,
-# export_training_shards, export_jsonl_corpus, pipeline_curation_v2/
-# v3/e2e/incremental, dedup_contamination_check, sample_quality_weighted),
-# text_lm_quality_score (doc-universe left join: 0/1-token docs now
-# score (0, NULL)), export_curriculum_readback (ranks by PHYSICAL file
-# order — the check is now sensitive to an unsorted shard), and
-# events_conversion_latency (empty-converter edge now (0, NULL)).
-# The codec spec-agreement passes also changed: multimodal_real_codec
-# (symmetric WAV scaling — the oracle's PCM term simplifies to the
-# exact (b-128)/128), multimodal_frame_sample (IN THE r10 WINDOW HEAD:
-# frame_index = SOURCE frame number + value-checked provenance column),
-# and multimodal_video_frames (same frame_index semantics; r11-head).
-# WIDEST oracle change (text/dedup published-algorithm agreement pass):
-# every token-array oracle moved to the empty-token-free list_filter
-# form and the 6 fingerprint replays flipped to collapse-before-trim —
-# identical values on this fixture (no tab/newline-padded texts), full
-# 188-sweep green post-change; the whole shingle/fingerprint family is
-# therefore r11-head divergence-risk material alongside the entries
-# named above.
 CHECK_ORDER = [
-    # (1) the 10 round-10 late registrations — first driver evidence,
-    # registry order; the head carries this round's divergence risk
-    "er_assign_from_store",
-    "er_first_token_pairs",
-    "export_curriculum_readback",
-    "multimodal_codec_mix",
-    "er_store_append_serve",
-    "dedup_minhash_lsh_md5",
-    "dedup_simhash_md5",
-    "dedup_simhash_pairs_md5",
-    "streaming_er_maintenance",
-    "multimodal_video_frames",
-    # (2) the r7 bucket (40, turning 3-rounds-stale), r7 window order
-    "pack_training_sequences_bpe",
-    "embedding_near_dup_indexed",
-    "profile_data_card",
-    "streaming_merge_staging",
-    "export_jsonl_corpus",
-    "sample_source_budget",
-    "sample_quality_weighted",
-    "embedding_dedup_canonical",
-    "text_bpe_tokens",
-    "text_bpe_train",
-    "sample_epoch_shuffle",
-    "export_training_shards",
-    "pipeline_curation_v2",
-    "embedding_near_dup_pairs",
-    "dedup_winnow_pairs_capped",
-    "dedup_jaccard_pairs_capped",
-    "multimodal_binary_meta",
-    "ann_ivf_index_persisted",
-    "q7_volume_shipping",
-    "q8_market_share",
-    "q13_customer_distribution",
-    "scalar_date_math_funcs",
-    "type_mapping_enrichment",
-    "pipeline_config_flatten",
-    "pipeline_project_drop",
-    "pipeline_audit_columns",
-    "pipeline_flatten_subform",
-    "events_pivot_types",
-    "q9_product_profit",
-    "q15_top_supplier",
-    "q17_small_quantity_revenue",
-    "q19_discounted_revenue",
-    "q22_idle_customers",
-    "asof_last_click_before_error",
-    "range_join_close_events",
-    "skew_salted_join",
-    "window_range_trailing_30d",
-    "profile_documents_stats",
-    "pipeline_catalog_top1",
-    "pipeline_probe_counts",
+    # (1) the 3 round-11 late registrations — first driver evidence,
+    # divergence-risk head
+    "ann_cosine_topk_ivf_full",
+    "multimodal_gif_codec",
+    "events_scd2_with_deletes",
+    # (2) the r8 bucket (47 = 48 minus the retired ann_cosine_topk_ivf,
+    # turning 3-rounds-stale), r8 window order
+    "pack_length_bucket_batches",
+    "pack_length_bucket_batches_wide",
+    "multimodal_real_codec",
+    "pipeline_curation_incremental",
+    "pack_materialized_sequences",
+    "scalar_regex_funcs",
+    "sample_stratified_mix",
+    "approx_sketches",
+    "streaming_tumbling_counts",
+    "streaming_session_counts",
+    "streaming_dedup_events",
+    "streaming_stream_stream_join",
+    "streaming_sliding_counts",
+    "streaming_static_join",
+    "text_token_stats",
+    "text_quality_score",
+    "text_langid_heuristic",
+    "text_tfidf_top_terms",
+    "text_repetition_ratio",
+    "text_pii_scrub",
+    "text_cleaning_pass_profile",
+    "text_winnow_fingerprints",
+    "dedup_exact_docs",
+    "dedup_fingerprint_docs",
+    "dedup_ngram_jaccard",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "dedup_simhash_pairs",
+    "dedup_winnow_pairs",
+    "dedup_cluster_canonical",
+    "dedup_contamination_check",
+    "ann_cosine_topk",
+    "ann_cosine_topk_lsh",
+    "embedding_centroids",
+    "embedding_quantize_int8",
+    "events_json_extract",
+    "events_sessionize",
+    "events_multires_rollup",
+    "sample_documents_hash",
+    "pipeline_nest_explode_roundtrip",
+    "pipeline_cast_types",
+    "pipeline_merge_upsert",
+    "q2_min_cost_supplier",
+    "q11_important_parts",
+    "q12_late_shipment_priority",
+    "q16_supplier_part_counts",
+    "q20_heavy_suppliers",
 ]
 
 
