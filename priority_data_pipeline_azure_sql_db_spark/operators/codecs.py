@@ -2468,6 +2468,13 @@ _GIF_MAX_PX_PER_BYTE = 4096
 # composited-output floor: small legit animations always pass even if
 # the per-byte bound is tight (16M px = 48 MB of frames)
 _GIF_MIN_TOTAL_PX = 16_000_000
+# ABSOLUTE canvas ceiling, independent of stream length: the per-byte
+# bound alone scales with len(d), so a crafted ~1 MB blob could declare
+# a ~4e9-px screen (12 GB RGB) that passes it — the executor-OOM class
+# the guard exists to close. 64M px (8K-class, 192 MB RGB) bounds the
+# allocation regardless of input size; larger legit screens are a
+# documented decoder boundary, rejected loud with ValueError.
+_GIF_MAX_CANVAS_PX = 64_000_000
 
 
 def _decode_gif(content: bytes, first_only: bool) -> tuple[float, list[np.ndarray]]:
@@ -2481,10 +2488,11 @@ def _decode_gif(content: bytes, first_only: bool) -> tuple[float, list[np.ndarra
     # corrupt dimension byte must raise the advertised ValueError, not
     # MemoryError on a 12.9 GB (65535^2) canvas write — validate the
     # DECLARED size against what the stream could possibly paint
-    if width * height > _GIF_MAX_PX_PER_BYTE * len(d):
+    if width * height > min(_GIF_MAX_PX_PER_BYTE * len(d), _GIF_MAX_CANVAS_PX):
         raise ValueError(
             f"GIF: {width}x{height} logical screen exceeds what a "
-            f"{len(d)}-byte stream can paint"
+            f"{len(d)}-byte stream can paint (or the "
+            f"{_GIF_MAX_CANVAS_PX}-px absolute canvas ceiling)"
         )
     packed = d[10]
     bg_index = d[11]

@@ -190,7 +190,14 @@ def scd2_history(
     ]
     w = Window.partitionBy(*pk).orderBy(*order)
     nxt_ts = F.lead(ts_col).over(w)
-    last_of_instant = nxt_ts.isNull() | (nxt_ts != F.col(ts_col))
+    # null-safe (round-12 review fix): `nxt_ts != ts` is NULL (filtered
+    # out) when ts_col is NULL, silently dropping NULL-timestamp
+    # changes. And `nxt_ts.isNull()` can't mark the partition end — it
+    # also fires when the NEXT row's ts is NULL, keeping both rows of a
+    # NULL-instant tie. lead(lit(1)) is NULL exactly at partition end;
+    # eqNullSafe makes NULL <=> NULL a tie that collapses to the last.
+    at_end = F.lead(F.lit(1)).over(w).isNull()
+    last_of_instant = at_end | ~nxt_ts.eqNullSafe(F.col(ts_col))
     df = df.withColumn("_loi", last_of_instant).filter("_loi").drop("_loi")
     changed = F.row_number().over(w) == 1
     for c in attr_cols:

@@ -490,7 +490,12 @@ class ODataLikeReader(DataSourceReader):
             link = doc.get("@odata.nextLink")
             if not link or (budget is not None and len(rows) >= budget):
                 break
-            body = http_get(_up.urljoin(url + "/", link), params=None,
+            # resolve against the REQUEST URL itself (RFC 3986): with the
+            # trailing slash appended, a document-relative link like
+            # 'nation?$skiptoken=...' resolved to .../nation/nation?...
+            # (404 on a real service); absolute and absolute-path links
+            # resolve identically either way.
+            body = http_get(_up.urljoin(url, link), params=None,
                             headers=headers, max_retries=self.max_retries)
         if budget is not None:
             rows = rows[:budget]

@@ -2064,6 +2064,18 @@ def test_codec_gif_interlace_lct_transparency_disposal():
     with pytest.raises(ValueError, match="can paint"):
         C.decode_gif_frames(bytes(tiny))
 
+    # round-12 review fix: the per-byte bound alone scales with the
+    # stream length, so a ~100 KB blob could declare a 256M-px screen
+    # (768 MB RGB) that passed it — the ABSOLUTE canvas ceiling must
+    # reject hostile dimensions regardless of input size, still before
+    # any canvas allocation
+    big = bytearray(screen(2, 1, pal8) + image(bytes([0, 1]), 0, 0, 2, 1, 3)
+                    + b"\x3b") + bytes(100_000)
+    st.pack_into("<HH", big, 6, 16000, 16000)
+    assert 16000 * 16000 <= 4096 * len(big)  # per-byte bound would pass
+    with pytest.raises(ValueError, match="can paint"):
+        C.decode_gif_frames(bytes(big))
+
     # review fix: decode_gif stops after frame 0 of an animation (no
     # disposal state needed) — a frame-2 LZW corruption that fails the
     # full decode must NOT reach the first-frame view

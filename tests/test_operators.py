@@ -1545,6 +1545,42 @@ def test_scd2_history_runs_and_intervals(spark):
     assert len({(r[0], r[2]) for r in runs}) == len(runs)
 
 
+def test_scd2_null_timestamp_rows_kept(spark):
+    """Round-12 review fix: the last-of-instant collapse used a
+    non-null-safe `nxt_ts != ts`, which evaluates to NULL (row silently
+    FILTERED) when ts is NULL and the next row's ts is not — dropping
+    NULL-timestamp changes the pre-collapse build kept. eqNullSafe
+    keeps them, and two NULL-ts rows still collapse to the last."""
+    from datetime import datetime as DT
+
+    from priority_data_pipeline_azure_sql_db_spark.operators.merge import scd2_history
+
+    t = lambda s: DT(2026, 1, s)
+    rows = [
+        # NULL ts sorts first: its run must survive, end-dated at t1
+        (1, "pre",  None, 10),
+        (1, "gold", t(1), 11),
+        # two NULL-ts changes = one instant: last (by tiebreak) wins
+        (2, "a", None, 20), (2, "b", None, 21),
+    ]
+    df = spark.createDataFrame(rows, ["user_id", "tier", "ts", "event_id"])
+    out = scd2_history(
+        df, pk=["user_id"], attr_cols=["tier"], ts_col="ts",
+        tiebreak_cols=["event_id"],
+    ).collect()
+    runs = sorted(
+        ((r["user_id"], r["tier"], r["valid_from"], r["valid_to"],
+          r["is_current"]) for r in out),
+        key=lambda x: (x[0], str(x[2])),
+    )
+    # str(None) sorts after ISO dates, so gold's run lists first
+    assert runs == [
+        (1, "gold", t(1), None, True),
+        (1, "pre",  None, t(1), False),
+        (2, "b",    None, None, True),
+    ]
+
+
 def test_scd2_close_deleted(spark):
     """Kimball CDC delete handling (round 11): entities absent from the
     latest full snapshot get their current row end-dated at as_of; the
