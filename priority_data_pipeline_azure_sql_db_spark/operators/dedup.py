@@ -877,13 +877,28 @@ def multi_pass_match_pairs(
         )
     out = None
     for name, key in block_keys.items():
-        blk = f"_blk_{name}"
+        keyed, blks = _apply_pass(df, name, key)
         pairs = fuzzy_match_pairs(
-            df.withColumn(blk, key), key_col=key_col, id_col=id_col,
-            block_cols=[blk], max_edit=max_edit,
+            keyed, key_col=key_col, id_col=id_col,
+            block_cols=blks, max_edit=max_edit,
         )
         out = pairs if out is None else out.unionByName(pairs)
     return out.dropDuplicates(["id_a", "id_b"])
+
+
+def _apply_pass(df: DataFrame, name: str, key) -> tuple[DataFrame, list[str]]:
+    """One blocking pass's key may be a single Column or a COMPOUND
+    list of Columns (round 12 — the persisted ER store's (nation,
+    name-prefix) ∪ (nation, name-suffix) union needs multi-column
+    passes); materialize each as its own _blk column so the per-pass
+    equi-join stays a plain multi-key hash join."""
+    cols = list(key) if isinstance(key, (list, tuple)) else [key]
+    blks = []
+    for i, c in enumerate(cols):
+        blk = f"_blk_{name}_{i}"
+        df = df.withColumn(blk, c)
+        blks.append(blk)
+    return df, blks
 
 
 def multi_pass_match_delta(
@@ -906,11 +921,11 @@ def multi_pass_match_delta(
         )
     out = None
     for name, key in block_keys.items():
-        blk = f"_blk_{name}"
+        kb, blks = _apply_pass(base, name, key)
+        kd, _ = _apply_pass(delta, name, key)
         pairs = fuzzy_match_delta(
-            base.withColumn(blk, key), delta.withColumn(blk, key),
-            key_col=key_col, id_col=id_col,
-            block_cols=[blk], max_edit=max_edit,
+            kb, kd, key_col=key_col, id_col=id_col,
+            block_cols=blks, max_edit=max_edit,
         )
         out = pairs if out is None else out.unionByName(pairs)
     return out.dropDuplicates(["delta_id", "base_id"])

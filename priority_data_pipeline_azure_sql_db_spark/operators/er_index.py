@@ -135,17 +135,55 @@ def _read_meta(path: str) -> dict:
         return json.load(fh)
 
 
+def _normalize_passes(block_cols, block_passes) -> list[list[str]]:
+    """One canonical blocking spec (round 12 — VERDICT r11 ask #2):
+    ``block_cols`` (the original AND-agreement single pass) normalizes
+    to the one-element ``block_passes`` list, so a store built either
+    way carries the SAME META shape and the serve/append legs have one
+    code path. Multi-pass = candidates UNIONED across passes (OR of
+    keys) — the recall recipe the batch pairs queries gained in r11,
+    now reaching the persisted store and its O(delta) serve."""
+    if block_passes is not None:
+        if block_cols is not None:
+            raise ValueError(
+                "pass block_cols OR block_passes, not both"
+            )
+        passes = [list(p) for p in block_passes]
+        if not passes or any(not p for p in passes):
+            raise ValueError("block_passes needs >=1 non-empty pass")
+        return passes
+    if not block_cols:
+        raise ValueError("one of block_cols / block_passes is required")
+    return [list(block_cols)]
+
+
+def _pass_keys(passes: list[list[str]]) -> dict:
+    """block_passes → the multi_pass_match_* block_keys mapping (each
+    pass a compound list of physical base/delta columns)."""
+    return {f"p{i}": [F.col(c) for c in p] for i, p in enumerate(passes)}
+
+
+def _pass_cols(passes: list[list[str]]) -> list[str]:
+    seen: list[str] = []
+    for p in passes:
+        for c in p:
+            if c not in seen:
+                seen.append(c)
+    return seen
+
+
 def _cluster_map(base: DataFrame, id_col: str, key_col: str,
-                 block_cols: list[str], max_edit: int) -> DataFrame:
+                 passes: list[list[str]], max_edit: int) -> DataFrame:
     """base pairs → connected components → (node, cluster_id), with
     singletons mapped to themselves — the full-rebuild semantics every
-    append must stay equal to."""
-    from .dedup import fuzzy_match_pairs
+    append must stay equal to. Pairs are the UNION over the blocking
+    passes (one-pass stores degenerate to the original single join)."""
+    from .dedup import multi_pass_match_pairs
     from .graph import connected_components
 
-    pairs = fuzzy_match_pairs(
+    pairs = multi_pass_match_pairs(
         base, key_col=key_col, id_col=id_col,
-        block_cols=block_cols, max_edit=max_edit,
+        block_keys=_pass_keys(passes), max_edit=max_edit,
     )
     comp = connected_components(pairs, "id_a", "id_b")
     return (
@@ -164,15 +202,22 @@ def build_er_index(
     path: str,
     key_col: str,
     id_col: str,
-    block_cols: list[str],
+    block_cols: list[str] | None = None,
     max_edit: int = 2,
     n_buckets: int = 32,
+    block_passes: list[list[str]] | None = None,
 ) -> None:
     """One-shot build: persist the blocked base records and the full
     cluster map. Write order is the torn-store discipline: ``base`` and
     ``META`` first, ``clusters`` LAST — its ``_SUCCESS`` is the gate,
-    so a crash mid-build rebuilds instead of serving half a map."""
-    cols = [id_col, key_col, *block_cols]
+    so a crash mid-build rebuilds instead of serving half a map.
+
+    ``block_passes`` (round 12) is the multi-pass union spec — a list
+    of independent compound blocking keys whose candidates are UNIONED
+    (build, serve, and append alike, so append ≡ rebuild holds per
+    pass set); ``block_cols`` remains the one-pass shorthand."""
+    passes = _normalize_passes(block_cols, block_passes)
+    cols = [id_col, key_col, *_pass_cols(passes)]
     # one row per id even if the input carries replays (the streaming
     # sink's FIRST batch can): duplicate ids in base/ would make every
     # golden join on the id fan out (round-10 review finding)
@@ -184,16 +229,18 @@ def build_er_index(
         # UNABLE_TO_INFER_SCHEMA (round-10 review finding). Callers with
         # possibly-empty input (the streaming sink) skip instead.
         raise ValueError("ER index build needs at least one record")
-    (base.repartition(*[F.col(c) for c in block_cols])
+    # layout clusters on the FIRST pass's key (one physical order can
+    # serve one clustering; later passes' joins still block-bound)
+    (base.repartition(*[F.col(c) for c in passes[0]])
         .write.mode("overwrite").parquet(os.path.join(path, BASE_DIR)))
     os.makedirs(path, exist_ok=True)
     with open(os.path.join(path, META_FILE), "w") as fh:
         json.dump({
             "key_col": key_col, "id_col": id_col,
-            "block_cols": block_cols, "max_edit": max_edit,
+            "block_passes": passes, "max_edit": max_edit,
             "n_buckets": n_buckets,
         }, fh)
-    cmap = _cluster_map(base, id_col, key_col, block_cols, max_edit)
+    cmap = _cluster_map(base, id_col, key_col, passes, max_edit)
     write_partitioned(
         cmap.withColumn("_cb", _bucket_col("node", n_buckets)),
         os.path.join(path, CLUSTERS_DIR), ["_cb"], what="ER cluster map",
@@ -223,8 +270,13 @@ def ensure_er_index(base: DataFrame, path: str, **kwargs) -> str:
     bound.apply_defaults()
     want = {
         k: bound.arguments[k]
-        for k in ("key_col", "id_col", "block_cols", "max_edit", "n_buckets")
+        for k in ("key_col", "id_col", "max_edit", "n_buckets")
     }
+    # block_cols and its one-element block_passes spelling are the SAME
+    # store — compare the normalized form META records
+    want["block_passes"] = _normalize_passes(
+        bound.arguments["block_cols"], bound.arguments["block_passes"]
+    )
     try:
         with open(os.path.join(path, META_FILE)) as fh:
             have = json.load(fh)
@@ -261,19 +313,26 @@ def assign_from_index(
     unmatched arrivals seed their own singleton cluster. Returns
     (delta_id, cluster_id, golden_name, edit_distance, matched) —
     value-identical to the recompute-in-query twin, which is what the
-    driver hash-checks."""
+    driver hash-checks.
+
+    Round 12 (VERDICT r11 ask #2): the match is multi_pass_match_delta
+    — the union over the store's blocking passes — so the O(delta)
+    serve catches the same leading-token-typo class the batch pairs
+    queries gained in r11; the standing golden store can no longer
+    diverge from what a fresh batch build would conclude."""
     from pyspark.sql import Window
 
-    from .dedup import fuzzy_match_delta
+    from .dedup import multi_pass_match_delta
 
     _roll_forward(path)
     meta = _read_meta(path)
     id_col, key_col = meta["id_col"], meta["key_col"]
     base = spark.read.parquet(os.path.join(path, BASE_DIR))
     clusters = read_er_clusters(spark, path)
-    m = fuzzy_match_delta(
+    m = multi_pass_match_delta(
         base, delta, key_col=key_col, id_col=id_col,
-        block_cols=meta["block_cols"], max_edit=meta["max_edit"],
+        block_keys=_pass_keys(meta["block_passes"]),
+        max_edit=meta["max_edit"],
     )
     w = Window.partitionBy("delta_id").orderBy("edit_distance", "base_id")
     best = (
@@ -345,18 +404,18 @@ def append_to_er_index(
        completes both legs (retry's id anti-join is then a no-op).
 
     Returns the number of appended records."""
-    from .dedup import fuzzy_match_delta, fuzzy_match_pairs
+    from .dedup import multi_pass_match_delta, multi_pass_match_pairs
     from .graph import connected_components
 
     _roll_forward(path)
     meta = _read_meta(path)
     id_col, key_col = meta["id_col"], meta["key_col"]
-    block_cols, max_edit = meta["block_cols"], meta["max_edit"]
+    passes, max_edit = meta["block_passes"], meta["max_edit"]
     n_buckets = meta["n_buckets"]
     base = spark.read.parquet(os.path.join(path, BASE_DIR))
     existing = base.select(F.col(id_col))
     fresh = (
-        new_records.select(id_col, key_col, *block_cols)
+        new_records.select(id_col, key_col, *_pass_cols(passes))
         # intra-batch dedup: the anti-join only screens against the
         # STANDING base — a batch replaying the same id twice would
         # append duplicate base rows and fan out every later golden
@@ -370,15 +429,15 @@ def append_to_er_index(
         n_fresh = fresh.count()
         if n_fresh == 0:
             return 0
-        db = fuzzy_match_delta(
+        db = multi_pass_match_delta(
             base, fresh, key_col=key_col, id_col=id_col,
-            block_cols=block_cols, max_edit=max_edit,
+            block_keys=_pass_keys(passes), max_edit=max_edit,
         ).select(
             F.col("delta_id").alias("u"), F.col("base_id").alias("v")
         )
-        dd = fuzzy_match_pairs(
+        dd = multi_pass_match_pairs(
             fresh, key_col=key_col, id_col=id_col,
-            block_cols=block_cols, max_edit=max_edit,
+            block_keys=_pass_keys(passes), max_edit=max_edit,
         ).select(F.col("id_a").alias("u"), F.col("id_b").alias("v"))
         clusters = spark.read.parquet(
             os.path.join(path, CLUSTERS_DIR)

@@ -155,6 +155,7 @@ def scd2_history(
     attr_cols: list[str],
     ts_col: str,
     tiebreak_cols: list[str] | None = None,
+    op_col: str | None = None,
 ) -> DataFrame:
     """Type-2 slowly-changing-dimension history from a change log: one
     row per (entity, attribute-state RUN) with ``valid_from`` /
@@ -183,11 +184,25 @@ def scd2_history(
     (pass the event/row id) — REQUIRED for a meaningful
     last-change-per-instant if the log can carry two changes at the
     same instant.
+
+    TOMBSTONES (round 12, VERDICT r11 ask #4): ``op_col`` names an
+    optional boolean is-delete column. A tombstone row closes the
+    entity's open run at its timestamp — valid_to = tombstone ts,
+    is_current = false — and emits no run of its own; a later change
+    RE-CREATES the entity (a new run opens even if the attributes
+    equal the pre-delete state — the entity observably left and
+    returned). Consecutive tombstones collapse (a double delete is a
+    no-op), and a leading tombstone (delete for an entity with no
+    prior state in the log) emits nothing. Because the semantics live
+    in THIS builder, scd2_apply_delta and the streaming fold inherit
+    delete handling unchanged — rebuild-equality and micro-batch
+    boundary independence carry over to hard deletes.
     """
     tb = [F.col(c) for c in (tiebreak_cols or [])]
-    order = [F.col(ts_col)] + tb + [
-        F.xxhash64(*[F.col(c) for c in attr_cols])
-    ]
+    hash_cols = [F.col(c) for c in attr_cols] + (
+        [F.col(op_col)] if op_col else []
+    )
+    order = [F.col(ts_col)] + tb + [F.xxhash64(*hash_cols)]
     w = Window.partitionBy(*pk).orderBy(*order)
     nxt_ts = F.lead(ts_col).over(w)
     # null-safe (round-12 review fix): `nxt_ts != ts` is NULL (filtered
@@ -199,17 +214,48 @@ def scd2_history(
     at_end = F.lead(F.lit(1)).over(w).isNull()
     last_of_instant = at_end | ~nxt_ts.eqNullSafe(F.col(ts_col))
     df = df.withColumn("_loi", last_of_instant).filter("_loi").drop("_loi")
-    changed = F.row_number().over(w) == 1
+    attr_change = F.lit(False)
     for c in attr_cols:
-        changed = changed | ~F.col(c).eqNullSafe(F.lag(c).over(w))
-    runs = df.withColumn("_chg", changed).filter("_chg")
+        attr_change = attr_change | ~F.col(c).eqNullSafe(F.lag(c).over(w))
+    if op_col is None:
+        changed = (F.row_number().over(w) == 1) | attr_change
+        runs = df.withColumn("_chg", changed).filter("_chg")
+        w2 = Window.partitionBy(*pk).orderBy(*order)
+        return runs.select(
+            *pk,
+            *attr_cols,
+            F.col(ts_col).alias("valid_from"),
+            F.lead(ts_col).over(w2).alias("valid_to"),
+            F.lead(ts_col).over(w2).isNull().alias("is_current"),
+        )
+    # tombstone path: a BOUNDARY row is the first row, any delete/
+    # upsert flip (closing or re-creating), or a genuine attribute
+    # change between two upserts. Deletes stay in the boundary
+    # sequence so the following lead(ts) end-dates the prior run, then
+    # drop out of the emitted history.
+    dcur = F.coalesce(F.col(op_col).cast("boolean"), F.lit(False))
+    dprev = F.lag(dcur).over(w)
+    changed = (
+        (F.row_number().over(w) == 1)
+        | ~dcur.eqNullSafe(dprev)
+        | (~dcur & ~F.coalesce(dprev, F.lit(True)) & attr_change)
+    )
+    runs = (
+        df.withColumn("_del", dcur)
+        .withColumn("_chg", changed).filter("_chg")
+    )
     w2 = Window.partitionBy(*pk).orderBy(*order)
-    return runs.select(
-        *pk,
-        *attr_cols,
-        F.col(ts_col).alias("valid_from"),
-        F.lead(ts_col).over(w2).alias("valid_to"),
-        F.lead(ts_col).over(w2).isNull().alias("is_current"),
+    return (
+        runs.select(
+            *pk,
+            *attr_cols,
+            F.col(ts_col).alias("valid_from"),
+            F.lead(ts_col).over(w2).alias("valid_to"),
+            F.lead(ts_col).over(w2).isNull().alias("is_current"),
+            "_del",
+        )
+        .filter(~F.col("_del"))
+        .drop("_del")
     )
 
 

@@ -394,9 +394,10 @@ def stream_er_into_store(
     checkpoint_dir: str,
     key_col: str,
     id_col: str,
-    block_cols: list[str],
+    block_cols: list[str] | None = None,
     max_edit: int = 2,
     n_buckets: int = 32,
+    block_passes: list[list[str]] | None = None,
 ):
     """Streaming ENTITY-RESOLUTION maintenance — the fourth leg of the
     streaming-warehouse family (PK MERGE staging r7 → additive rollup
@@ -437,7 +438,7 @@ def stream_er_into_store(
             build_er_index(
                 batch_df, store_path, key_col=key_col, id_col=id_col,
                 block_cols=block_cols, max_edit=max_edit,
-                n_buckets=n_buckets,
+                n_buckets=n_buckets, block_passes=block_passes,
             )
         else:
             append_to_er_index(batch_df.sparkSession, store_path, batch_df)

@@ -1505,6 +1505,77 @@ def test_multi_pass_blocking_recall(spark):
     assert not ({(1000 + i, i) for i, _ in base_rows[:8]} & single_delta)
 
 
+def test_multi_pass_serve_through_persisted_store(spark, tmp_path):
+    """Round 12 (VERDICT r11 ask #2): the PERSISTED store's O(delta)
+    serve gets the multi-pass recall union. A leading-token typo
+    arriving through assign_from_index must resolve to its standing
+    original via the second (last-token) pass — the exact record the
+    single-key store misses — and append ≡ rebuild must hold under
+    block_passes (the union is part of the rebuild semantics, so a
+    store grown by appends concludes what a fresh two-pass build
+    would)."""
+    from priority_data_pipeline_azure_sql_db_spark.operators import er_index as EI
+    from priority_data_pipeline_azure_sql_db_spark.operators.dedup import (
+        first_token_block,
+        last_token_block,
+    )
+
+    def mk(rows):
+        df = spark.createDataFrame(rows, "id bigint, name string")
+        return df.withColumn("f_tok", first_token_block("name")) \
+                 .withColumn("l_tok", last_token_block("name"))
+
+    base = mk([
+        (1, "miller north"), (2, "miller norti"),   # one cluster (d=1)
+        (5, "garcia south"),                        # singleton
+    ])
+    passes = dict(key_col="name", id_col="id", max_edit=2, n_buckets=4,
+                  block_passes=[["f_tok"], ["l_tok"]])
+    p_multi = str(tmp_path / "multi")
+    EI.ensure_er_index(base, p_multi, **passes)
+    # 'ziller north': first token typo'd (moves first-token block),
+    # last token intact — only the second pass can block it with id 1
+    delta = mk([(100, "ziller north"), (101, "nobody here")])
+    got = {r.delta_id: r for r in
+           EI.assign_from_index(spark, p_multi, delta).collect()}
+    assert got[100].matched is True
+    assert got[100].cluster_id == 1 and got[100].golden_name == "miller north"
+    assert got[101].matched is False  # still seeds its own singleton
+
+    # the single-pass store misses exactly that arrival
+    p_single = str(tmp_path / "single")
+    EI.ensure_er_index(base, p_single, key_col="name", id_col="id",
+                       block_cols=["f_tok"], max_edit=2, n_buckets=4)
+    miss = {r.delta_id: r for r in
+            EI.assign_from_index(spark, p_single, delta).collect()}
+    assert miss[100].matched is False
+
+    # append ≡ rebuild under two passes, including a union-only edge:
+    # the appended record bridges to cluster 1 through the LAST-token
+    # pass only (its first token is typo'd)
+    EI.append_to_er_index(spark, p_multi, mk([(20, "ziller north")]))
+    p_rebuilt = str(tmp_path / "rebuilt")
+    EI.build_er_index(base.unionByName(mk([(20, "ziller north")])),
+                      p_rebuilt, **passes)
+    cmap = lambda p: sorted(  # noqa: E731
+        (r.node, r.cluster_id)
+        for r in EI.read_er_clusters(spark, p).collect()
+    )
+    assert cmap(p_multi) == cmap(p_rebuilt)
+    assert dict(cmap(p_multi))[20] == 1  # bridged via the union pass
+
+    # META guard: a two-pass store refuses single-pass (and reordered-
+    # pass) ensure calls — mismatched semantics would serve silently
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="built with"):
+        EI.ensure_er_index(base, p_multi, key_col="name", id_col="id",
+                           block_cols=["f_tok"], max_edit=2, n_buckets=4)
+    with _pytest.raises(ValueError, match="built with"):
+        EI.ensure_er_index(base, p_multi, key_col="name", id_col="id",
+                           block_passes=[["l_tok"], ["f_tok"]],
+                           max_edit=2, n_buckets=4)
+
+
 def test_stream_er_maintenance(spark, tmp_path):
     """Streaming ER maintenance: a multi-file available-now drain
     builds the cluster store from batch one and appends the rest; the
