@@ -309,6 +309,7 @@ def scd2_apply_delta(
     attr_cols: list[str],
     ts_col: str,
     tiebreak_cols: list[str] | None = None,
+    op_col: str | None = None,
 ) -> DataFrame:
     """INCREMENTAL SCD2 maintenance: fold a delta change-log into an
     existing type-2 history in O(touched entities), not a full-log
@@ -321,6 +322,11 @@ def scd2_apply_delta(
     their existing history rows UNREAD beyond an anti-join on the key.
     Result is exactly ``scd2_history(base + delta)`` — equality is the
     operator's contract (pytest + the driver-checked query twin).
+    ``op_col`` (round 12) carries tombstones: because the touched
+    entities are rebuilt from their FULL log slice, delete handling —
+    closing, re-creation, double-delete collapse — is inherited from
+    scd2_history verbatim, and a tombstone arriving in any micro-batch
+    ends up exactly where the one-pass build would put it.
     """
     touched = delta_log.select(*pk).distinct()
     untouched = history.join(touched, pk, "left_anti")
@@ -328,6 +334,6 @@ def scd2_apply_delta(
         base_log.join(touched, pk, "left_semi").unionByName(delta_log)
     )
     rebuilt = scd2_history(
-        touched_log, pk, attr_cols, ts_col, tiebreak_cols
+        touched_log, pk, attr_cols, ts_col, tiebreak_cols, op_col=op_col
     )
     return untouched.unionByName(rebuilt)

@@ -8238,6 +8238,116 @@ def streaming_scd2_maintenance(spark, sf_dir):
     )
 
 
+@query(
+    "streaming_scd2_with_deletes",
+    """
+    WITH log AS (
+        SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts,
+               event_id, FALSE AS del
+        FROM events
+        UNION ALL
+        SELECT user_id, NULL, TIMESTAMP '2024-01-16 00:00:00',
+               -(user_id + 1), TRUE
+        FROM (SELECT DISTINCT user_id FROM events WHERE user_id % 7 = 0)
+    ), last_per_instant AS (
+        SELECT user_id, event_type, ts, event_id, del FROM (
+            SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY user_id, ts ORDER BY event_id DESC
+            ) AS ri FROM log
+        ) WHERE ri = 1
+    ), ordered AS (
+        SELECT user_id, event_type, ts, event_id, del,
+               LAG(del) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+               ) AS prev_del,
+               LAG(event_type) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+               ) AS prev_type,
+               ROW_NUMBER() OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+               ) AS rn
+        FROM last_per_instant
+    ), boundaries AS (
+        -- first row | delete/upsert flip | genuine attr change
+        SELECT user_id, event_type, ts, event_id, del FROM ordered
+        WHERE rn = 1 OR del IS DISTINCT FROM prev_del
+           OR (NOT del AND NOT prev_del
+               AND event_type IS DISTINCT FROM prev_type)
+    ), hist AS (
+        SELECT user_id, event_type, ts AS valid_from, del,
+               LEAD(ts) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+               ) AS valid_to,
+               (LEAD(ts) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+               ) IS NULL) AS is_current
+        FROM boundaries
+    )
+    SELECT user_id, event_type, valid_from, valid_to, is_current
+    FROM hist WHERE NOT del
+    """,
+)
+def streaming_scd2_with_deletes(spark, sf_dir):
+    """STREAMING SCD2 WITH TOMBSTONES (round 12, VERDICT r11 ask #4 —
+    the delete path events_scd2_with_deletes proved for BATCH
+    snapshots, now through the streaming store): the change log gains
+    hard-delete tombstones (every user_id % 7 == 0 is deleted at
+    2024-01-16 mid-stream, so both closure AND re-creation by later
+    events are exercised), the log drains through the foreachBatch
+    SCD2 sink as four micro-batches (maxFilesPerTrigger=1, tombstones
+    interleaved by the repartition), and the standing history is read
+    back. op_col rides the existing machinery end to end: the
+    scd2_history boundary builder owns the tombstone semantics, so
+    scd2_apply_delta's touched-entity rebuild and the exactly-once
+    batch ledger apply to deletes unchanged — the oracle is the
+    ONE-PASS batch build over the full tombstoned log, and a green
+    hash proves the final history is independent of which micro-batch
+    delivered each tombstone. Tombstone event_id is -(user_id+1):
+    unique, below every real event_id, deterministic in both engines.
+    """
+    import os
+
+    from .streaming.sink import read_scd2_store, stream_scd2_into_store
+
+    base = _resident_path("stream_scd2_del", sf_dir)
+    src = os.path.join(base, "src")
+    if not os.path.exists(os.path.join(src, "_SUCCESS")):
+        ev = load_table(spark, sf_dir, "events").select(
+            "user_id", "event_type", "ts", "event_id",
+            F.lit(False).alias("deleted"),
+        )
+        tomb = (
+            ev.filter(F.col("user_id") % 7 == 0)
+            .select("user_id").distinct()
+            .select(
+                "user_id",
+                F.lit(None).cast("string").alias("event_type"),
+                F.lit("2024-01-16 00:00:00").cast("timestamp").alias("ts"),
+                (-(F.col("user_id") + 1)).alias("event_id"),
+                F.lit(True).alias("deleted"),
+            )
+        )
+        ev.unionByName(tomb).repartition(4) \
+            .write.mode("overwrite").parquet(src)
+    stream = (
+        spark.readStream.schema(spark.read.parquet(src).schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    q = stream_scd2_into_store(
+        stream, os.path.join(base, "store"), pk=["user_id"],
+        attr_cols=["event_type"], ts_col="ts",
+        checkpoint_dir=os.path.join(base, "ckpt"),
+        tiebreak_cols=["event_id"], op_col="deleted",
+    )
+    if not q.awaitTermination(300):
+        q.stop()
+        raise RuntimeError("streaming drain did not finish within 300s")
+    return read_scd2_store(spark, os.path.join(base, "store")).select(
+        "user_id", "event_type", "valid_from", "valid_to", "is_current"
+    )
+
+
 # Shared by er_assign_to_golden (recompute-in-query) and
 # er_assign_from_store (reads the persisted cluster store): both return
 # the identical assignment relation, so one oracle hash-checks both —

@@ -1581,6 +1581,60 @@ def test_scd2_null_timestamp_rows_kept(spark):
     ]
 
 
+def test_scd2_history_tombstones(spark):
+    """Round-12 tombstone semantics (op_col): a delete closes the open
+    run at its ts and emits no run; a later change RE-CREATES the
+    entity (new run even with identical attributes); double deletes
+    collapse; a leading delete emits nothing; a delete tied with an
+    upsert at the same instant resolves by tiebreak."""
+    from datetime import datetime as DT
+
+    from priority_data_pipeline_azure_sql_db_spark.operators.merge import scd2_history
+
+    t = lambda s: DT(2026, 1, s)
+    rows = [
+        # user 1: create, delete, re-create with the SAME attrs
+        (1, "gold", t(1), 10, False),
+        (1, None,   t(3), 11, True),
+        (1, "gold", t(5), 12, False),
+        # user 2: delete then delete again (collapse), still closed
+        (2, "a", t(1), 20, False),
+        (2, None, t(2), 21, True), (2, None, t(4), 22, True),
+        # user 3: leading tombstone only — no history at all
+        (3, None, t(1), 30, True),
+        # user 4: upsert and delete at the SAME instant — the delete
+        # (higher event_id) wins the instant, entity closed at t2
+        (4, "x", t(1), 40, False),
+        (4, "y", t(2), 41, False), (4, None, t(2), 42, True),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id bigint, tier string, ts timestamp, "
+              "event_id bigint, deleted boolean")
+    out = scd2_history(
+        df, pk=["user_id"], attr_cols=["tier"], ts_col="ts",
+        tiebreak_cols=["event_id"], op_col="deleted",
+    ).collect()
+    runs = sorted(
+        ((r["user_id"], r["tier"], r["valid_from"], r["valid_to"],
+          r["is_current"]) for r in out),
+        key=lambda x: (x[0], str(x[2])),
+    )
+    assert runs == [
+        (1, "gold", t(1), t(3), False),   # closed by the tombstone
+        (1, "gold", t(5), None, True),    # re-created, same attrs
+        (2, "a",    t(1), t(2), False),   # one close, double-delete noop
+        (4, "x",    t(1), t(2), False),   # delete won the t2 instant
+    ]
+    # op_col=None path is unchanged by the tombstone code
+    upserts_only = df.filter(~F.col("deleted")).drop("deleted")
+    a = scd2_history(upserts_only, ["user_id"], ["tier"], "ts",
+                     ["event_id"]).collect()
+    b = scd2_history(upserts_only.withColumn("deleted", F.lit(False)),
+                     ["user_id"], ["tier"], "ts", ["event_id"],
+                     op_col="deleted").collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
 def test_scd2_close_deleted(spark):
     """Kimball CDC delete handling (round 11): entities absent from the
     latest full snapshot get their current row end-dated at as_of; the
