@@ -198,6 +198,78 @@ def _scd2_log_state(log_root: str):
     return cid, cdir, slices
 
 
+_HIST_MANIFEST = "HIST_MANIFEST"
+
+
+def _hist_roll_forward(store_path: str) -> None:
+    """Complete a crashed SCD2 fold's pending history-bucket swaps —
+    the er_index discipline: a MANIFEST present means every listed
+    ``hist/.stage_<b>`` dir was fully written before the commit point,
+    so roll-forward is pure renames, then the CURRENT ledger advances
+    to the manifest's batch_id and the manifest is removed. Idempotent
+    across crashes at any point inside itself."""
+    import json as _json
+    import os
+    import shutil
+
+    mpath = os.path.join(store_path, _HIST_MANIFEST)
+    if not os.path.exists(mpath):
+        return
+    with open(mpath) as fh:
+        pending = _json.load(fh)
+    hist_root = os.path.join(store_path, "hist")
+    for b in pending["buckets"]:
+        stage = os.path.join(hist_root, f".stage_{b}")
+        live = os.path.join(hist_root, f"_kb={b}")
+        old = os.path.join(hist_root, f".old_{b}")
+        if os.path.exists(stage):
+            if os.path.exists(live):
+                if os.path.exists(old):
+                    shutil.rmtree(old)
+                os.rename(live, old)
+            os.rename(stage, live)
+        if os.path.exists(old):
+            shutil.rmtree(old)
+    tmp = os.path.join(store_path, "CURRENT.tmp")
+    with open(tmp, "w") as fh:
+        fh.write(f"{pending['batch_id']}\nhist")
+    os.replace(tmp, os.path.join(store_path, "CURRENT"))
+    os.remove(mpath)
+
+
+def _swap_hist_buckets(spark, store_path: str, staged, touched: list,
+                       batch_id: int) -> None:
+    """Stage the rewritten history buckets, commit via MANIFEST, roll
+    forward. ``staged`` carries the recomputed ``_kb``; only the
+    ``touched`` buckets are swapped — untouched bucket dirs are never
+    opened. A touched bucket with zero staged rows (every entity in it
+    was deleted from the history) swaps to an empty dir."""
+    import json as _json
+    import os
+    import shutil
+
+    hist_root = os.path.join(store_path, "hist")
+    stage_root = os.path.join(hist_root, ".stage_root")
+    shutil.rmtree(stage_root, ignore_errors=True)
+    for b in touched:
+        shutil.rmtree(os.path.join(hist_root, f".stage_{b}"),
+                      ignore_errors=True)
+    write_partitioned(staged, stage_root, ["_kb"], on_empty="skip",
+                      what="SCD2 history stage")
+    for b in touched:
+        src = os.path.join(stage_root, f"_kb={b}")
+        if not os.path.isdir(src):
+            os.makedirs(src)  # bucket emptied entirely: swap in empty
+        os.rename(src, os.path.join(hist_root, f".stage_{b}"))
+    shutil.rmtree(stage_root, ignore_errors=True)
+    mpath = os.path.join(store_path, _HIST_MANIFEST)
+    tmp = mpath + ".tmp"
+    with open(tmp, "w") as fh:
+        _json.dump({"buckets": sorted(touched), "batch_id": batch_id}, fh)
+    os.replace(tmp, mpath)  # commit point
+    _hist_roll_forward(store_path)
+
+
 def fold_scd2_batch(
     spark,
     store_path: str,
@@ -218,14 +290,25 @@ def fold_scd2_batch(
 
     Store layout: ``log/batch_<id>/`` holds each batch's raw change-log
     slice APPEND-ONLY (a replayed batch overwrites its own dir with
-    identical content — idempotent); ``hist_<id>/`` dirs are history
-    versions; the CURRENT pointer file records
-    (last_applied_batch_id, current history dir) and swaps atomically
-    AFTER the new version lands, exactly like the rollup ledger — the
-    SCD2 fold is not idempotent (re-folding a batch would rebuild
-    touched entities against a log that already contains it), so
-    at-least-once delivery composes with the ledger into exactly-once
-    history maintenance.
+    identical content — idempotent); ``hist/`` is the standing history,
+    hive-partitioned by the SAME ``_kb`` entity-hash bucket as the log
+    (round 12 — the maintenance-probe finding: the old flat
+    ``hist_<id>`` versioning rewrote the ENTIRE history every fold, an
+    O(store) term that read slope ~1 on the per-batch-cost-vs-store-
+    size probe). A fold now rewrites ONLY the buckets holding touched
+    entities, through the ER-store crash discipline: stage every
+    rewritten bucket to ``hist/.stage_<b>``, then write a MANIFEST
+    recording (buckets, batch_id) — the atomic commit point — then
+    roll forward: swap each bucket, update the CURRENT ledger from the
+    manifest, delete the manifest. Every entry point rolls a leftover
+    MANIFEST forward first, so a crash after the commit completes on
+    the next touch and a crash before it leaves junk stage dirs and an
+    untouched store for the retry to overwrite. The CURRENT pointer
+    file still records (last_applied_batch_id, "hist") — the SCD2 fold
+    is not idempotent (re-folding a batch would rebuild touched
+    entities against a log that already contains it), so at-least-once
+    delivery composes with the ledger into exactly-once history
+    maintenance.
 
     Scale shape: the fold is :func:`operators.merge.scd2_apply_delta` —
     O(touched entities) rebuild, untouched history rows unread past an
@@ -252,6 +335,7 @@ def fold_scd2_batch(
 
     from ..operators.merge import scd2_apply_delta, scd2_history
 
+    _hist_roll_forward(store_path)  # settle a crashed fold's commit first
     last, cur = _read_rollup_pointer(store_path)
     if batch_id <= last:
         return False  # replay of an already-folded batch
@@ -296,8 +380,17 @@ def fold_scd2_batch(
         p for b, p in sorted(slices.items()) if floor < b < batch_id
     ]
     if cur is None or not prior_roots:
+        # bootstrap: the full history lands hive-partitioned by the
+        # same entity buckets as the log, so every later fold can prune
         new_hist = scd2_history(delta, pk, attr_cols, ts_col, tiebreak_cols,
                                 op_col=op_col)
+        write_partitioned(new_hist.withColumn("_kb", kb),
+                          os.path.join(store_path, "hist"), ["_kb"],
+                          what="SCD2 history")
+        tmp = os.path.join(store_path, "CURRENT.tmp")
+        with open(tmp, "w") as fh:
+            fh.write(f"{batch_id}\nhist")
+        os.replace(tmp, os.path.join(store_path, "CURRENT"))
     else:
         base_log = reduce(
             lambda a, b: a.unionByName(b),
@@ -308,19 +401,20 @@ def fold_scd2_batch(
                 for p in prior_roots
             ],
         )
-        history = spark.read.parquet(cur)
+        # bucket pruning on the HISTORY too: entities hash to the same
+        # _kb in hist/ as in the log, so untouched buckets hold no
+        # touched entities and are neither read nor rewritten — the
+        # fold's I/O is O(touched buckets), not O(store)
+        history = (
+            spark.read.parquet(cur)
+            .where(F.col("_kb").isin(touched)).drop("_kb")
+        )
         new_hist = scd2_apply_delta(
             history, base_log, delta, pk, attr_cols, ts_col, tiebreak_cols,
             op_col=op_col,
         )
-    new_dir = f"hist_{batch_id}"
-    new_hist.write.mode("overwrite").parquet(os.path.join(store_path, new_dir))
-    tmp = os.path.join(store_path, "CURRENT.tmp")
-    with open(tmp, "w") as fh:
-        fh.write(f"{batch_id}\n{new_dir}")
-    os.replace(tmp, os.path.join(store_path, "CURRENT"))
-    if cur is not None:
-        shutil.rmtree(cur, ignore_errors=True)  # superseded version
+        _swap_hist_buckets(spark, store_path, new_hist.withColumn("_kb", kb),
+                           touched, batch_id)
     # crash-safe log compaction, AFTER the pointer swap (the fold above
     # already consumed the slices; compaction only bounds future reads)
     live = [(b, p) for b, p in slices.items() if floor < b <= batch_id]
@@ -387,13 +481,17 @@ def stream_scd2_into_store(
 def read_scd2_store(spark, store_path: str) -> DataFrame:
     """Current SCD2 history (empty store fails loudly, like the rollup
     read: a consumer before the first fold must not mistake 'not built
-    yet' for 'entity has no history')."""
+    yet' for 'entity has no history'). Rolls a crashed fold's pending
+    bucket swaps forward first — a reader must never see the mid-swap
+    state."""
+    _hist_roll_forward(store_path)
     _, cur = _read_rollup_pointer(store_path)
     if cur is None:
         raise FileNotFoundError(
             f"SCD2 store at {store_path} has no applied batches yet"
         )
-    return spark.read.parquet(cur)
+    df = spark.read.parquet(cur)
+    return df.drop("_kb") if "_kb" in df.columns else df
 
 
 # ---------------------------------------------------------------------------

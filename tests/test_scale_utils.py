@@ -1121,6 +1121,84 @@ def test_stream_scd2_maintenance(spark, sf_dir, tmp_path):
     shutil.rmtree(store)
 
 
+def test_scd2_hist_bucket_swap_crash_window(spark, tmp_path):
+    """Round 12: the SCD2 history is hive-bucketed by the log's _kb and
+    a fold swaps ONLY touched buckets through stage → MANIFEST → swap
+    (the er_index discipline, replacing the flat full-rewrite
+    hist_<id> versioning whose O(store) cost the maintenance probe
+    exposed). Crash cases: (a) stage dirs + MANIFEST written, swap not
+    performed — the next READ rolls forward (swapped bucket visible,
+    ledger advanced, manifest gone); (b) a replay of the committed
+    batch is a ledger no-op; (c) stage junk WITHOUT a manifest is
+    ignored and overwritten by the next fold."""
+    import json
+    import os
+
+    from pyspark.sql import functions as F
+
+    from priority_data_pipeline_azure_sql_db_spark.streaming.sink import (
+        _HIST_MANIFEST,
+        fold_scd2_batch,
+        read_scd2_store,
+    )
+
+    def mk(rows):
+        return spark.createDataFrame(
+            rows, "user_id bigint, state string, ts string, seq bigint",
+        ).withColumn("ts", F.col("ts").cast("timestamp"))
+
+    store = str(tmp_path / "store")
+    fold_scd2_batch(spark, store, mk([
+        (1, "a", "2026-01-01 00:00:00", 10),
+        (2, "x", "2026-01-01 00:00:00", 20),
+    ]), 1, ["user_id"], ["state"], "ts", ["seq"], n_log_buckets=4)
+    canon = lambda df: sorted(  # noqa: E731
+        (r.user_id, r.state, str(r.valid_from), str(r.valid_to),
+         r.is_current) for r in df.collect()
+    )
+    base_state = canon(read_scd2_store(spark, store))
+    assert os.path.isdir(os.path.join(store, "hist"))
+    assert any(d.startswith("_kb=") for d in os.listdir(
+        os.path.join(store, "hist")))
+
+    # (a) simulate the crash: hand-stage a relabeled bucket for user 1
+    # and write the MANIFEST, but don't swap. user 1's bucket:
+    b1 = spark.createDataFrame([(1,)], "u bigint").select(
+        F.pmod(F.xxhash64("u"), F.lit(4)).cast("int").alias("b")
+    ).collect()[0].b
+    hist_root = os.path.join(store, "hist")
+    staged = spark.read.parquet(os.path.join(hist_root, f"_kb={b1}")) \
+        .withColumn("state", F.lit("CRASHED_SWAP_STATE"))
+    staged.write.mode("overwrite").parquet(
+        os.path.join(hist_root, f".stage_{b1}"))
+    with open(os.path.join(store, _HIST_MANIFEST), "w") as fh:
+        json.dump({"buckets": [b1], "batch_id": 7}, fh)
+    got = canon(read_scd2_store(spark, store))  # read rolls forward
+    assert ("CRASHED_SWAP_STATE" in {r[1] for r in got})
+    assert not os.path.exists(os.path.join(store, _HIST_MANIFEST))
+    with open(os.path.join(store, "CURRENT")) as fh:
+        assert fh.read().startswith("7\n")
+
+    # (b) replay of the committed batch id: skipped by the ledger
+    assert fold_scd2_batch(
+        spark, store, mk([(1, "never", "2026-02-01 00:00:00", 99)]), 7,
+        ["user_id"], ["state"], "ts", ["seq"], n_log_buckets=4,
+    ) is False
+    assert canon(read_scd2_store(spark, store)) == got
+
+    # (c) orphan stage dir without a manifest: next fold overwrites it
+    os.makedirs(os.path.join(hist_root, ".stage_0"), exist_ok=True)
+    assert fold_scd2_batch(
+        spark, store, mk([(2, "y", "2026-03-01 00:00:00", 30)]), 8,
+        ["user_id"], ["state"], "ts", ["seq"], n_log_buckets=4,
+    ) is True
+    after = canon(read_scd2_store(spark, store))
+    assert (2, "y", "2026-03-01 00:00:00", "None", True) in after
+    # untouched entity 1's rows unchanged by entity 2's fold
+    assert {r for r in after if r[0] == 1} == {r for r in got if r[0] == 1}
+    assert base_state  # silence the unused-var lint; layout asserted above
+
+
 def test_scd2_tombstone_boundary_independence(spark, tmp_path):
     """Round 12 (VERDICT r11 ask #4): tombstones through the streaming
     SCD2 fold are independent of micro-batch boundaries — for every

@@ -1,0 +1,275 @@
+"""O(delta) maintenance-leg probe (round 12, VERDICT r11 ask #5):
+measure PER-BATCH FOLD COST against STANDING-STORE SIZE for the four
+warehouse maintenance paths — staging MERGE, SCD2 fold, rollup
+combine, ER append — the direct 100 TB claim for the streaming-
+warehouse family: a fixed-size delta must cost (near-)constant time
+no matter how big the standing store has grown.
+
+Design: standing stores are seeded at 1x/2x/4x/8x replicas of the
+sf0.1 events/customer fixtures (entity counts grow linearly — user_id
+and key ids shifted per replica; staging replicas shift ts by one
+month per replica so the PARTITION COUNT grows while per-partition
+volume stays constant, the production time-partitioned shape). A
+FIXED delta is then folded into each store and only the fold is
+timed (min of 3 attempts with fresh batch ids / fresh record ids —
+folds mutate state, so attempts use disjoint deltas of identical
+size). The fitted log-log slope vs store scale is the exponent: ~0 is
+flat, ~1 means the fold secretly rewrites or rescans the store.
+
+NEGATIVE CONTROL: scd2_rebuild_control rebuilds the FULL history from
+the FULL log per "batch" (what a naive maintenance loop would do) —
+it must read slope ~1 with a large constant, demonstrating the probe
+detects store-sized work where the fold paths avoid it.
+
+Usage: python tools/maintenance_probe.py [base_sf_dir] [out_json]
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import duckdb  # noqa: E402
+from pyspark.sql import functions as F  # noqa: E402
+
+from priority_data_pipeline_azure_sql_db_spark.session import get_spark  # noqa: E402
+
+SCALES = [1, 2, 4, 8]
+USER_STRIDE = 10_000_000
+EVENT_STRIDE = 100_000_000
+CUST_STRIDE = 10_000_000
+
+
+def build_replicas(base: str, root: str) -> dict[int, str]:
+    """events + customer replicas; ids shifted so entity counts grow
+    linearly; staging events additionally shift ts by one month per
+    replica (partition count grows, per-partition volume constant)."""
+    out = {}
+    con = duckdb.connect()
+    for k in SCALES:
+        d = os.path.join(root, f"x{k}")
+        out[k] = d
+        if os.path.exists(os.path.join(d, "_READY")):
+            continue
+        shutil.rmtree(d, ignore_errors=True)
+        os.makedirs(d)
+        ev_parts, st_parts, cu_parts = [], [], []
+        for r in range(k):
+            ev_parts.append(
+                f"SELECT event_id + {r * EVENT_STRIDE} AS event_id, ts,"
+                f" user_id + {r * USER_STRIDE} AS user_id, event_type,"
+                f" value FROM read_parquet('{base}/events.parquet')"
+            )
+            st_parts.append(
+                f"SELECT event_id + {r * EVENT_STRIDE} AS event_id,"
+                f" ts + INTERVAL {r} MONTH AS extractiontimestamputc,"
+                f" user_id + {r * USER_STRIDE} AS user_id, event_type,"
+                f" value FROM read_parquet('{base}/events.parquet')"
+            )
+            cu_parts.append(
+                f"SELECT c_custkey + {r * CUST_STRIDE} AS c_custkey,"
+                f" c_name || ' rep{r}tok' AS c_name, c_nationkey"
+                f" FROM read_parquet('{base}/customer.parquet')"
+            )
+        for name, parts in [("events", ev_parts), ("staging", st_parts),
+                            ("customer", cu_parts)]:
+            con.execute(
+                f"COPY ({' UNION ALL '.join(parts)}) TO "
+                f"'{d}/{name}.parquet' (FORMAT PARQUET)"
+            )
+        open(os.path.join(d, "_READY"), "w").close()
+    return out
+
+
+def _fit(per_scale: dict[str, float]) -> tuple[float, list[float]]:
+    xs = [math.log(k) for k in SCALES]
+    ys = [math.log(max(per_scale[str(k)], 1e-3)) for k in SCALES]
+    mx, my = sum(xs) / len(xs), sum(ys) / len(ys)
+    slope = sum((x - mx) * (y - my) for x, y in zip(xs, ys)) \
+        / sum((x - mx) ** 2 for x in xs)
+    steps = [round(math.log2(per_scale[str(b)] / per_scale[str(a)]), 2)
+             for a, b in zip(SCALES, SCALES[1:])]
+    return round(slope, 2), steps
+
+
+def main() -> None:
+    base = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    out_json = sys.argv[2] if len(sys.argv) > 2 else "/tmp/maintenance_probe.json"
+    root = "/tmp/spark_graft_maint_probe"
+    os.makedirs(root, exist_ok=True)
+    dirs = build_replicas(base, root)
+    print(f"[probe] replicas ready under {root}", file=sys.stderr)
+
+    spark = get_spark("maintenance-probe",
+                      extra_conf={"spark.sql.adaptive.enabled": "false"})
+    spark.range(1).count()
+
+    from priority_data_pipeline_azure_sql_db_spark.operators.er_index import (
+        append_to_er_index,
+        build_er_index,
+    )
+    from priority_data_pipeline_azure_sql_db_spark.operators.merge import scd2_history
+    from priority_data_pipeline_azure_sql_db_spark.pipeline import StagingStore
+    from priority_data_pipeline_azure_sql_db_spark.streaming.sink import (
+        fold_rollup_batch,
+        fold_scd2_batch,
+    )
+
+    results: dict[str, dict] = {}
+
+    def record(name: str, per_scale: dict[str, float]) -> None:
+        slope, steps = _fit(per_scale)
+        results[name] = {"sec": per_scale, "slope": slope,
+                         "step_slopes": steps}
+        print(f"[probe] {name}: slope {slope:.2f} steps {steps}",
+              file=sys.stderr)
+
+    ATTEMPTS = 3
+
+    # ---- SCD2 fold: fixed 50-entity / 100-row delta per attempt -----
+    def scd2_delta(attempt: int):
+        rows = [
+            (900_000_000 + attempt * 1000 + e,
+             f"state_{attempt}_{i}",
+             f"2026-0{attempt + 1}-0{1 + i} 00:00:00",
+             1_000_000_000 + attempt * 1000 + e * 2 + i)
+            for e in range(50) for i in range(2)
+        ]
+        return spark.createDataFrame(
+            rows, "user_id bigint, event_type string, ts string, "
+                  "event_id bigint",
+        ).withColumn("ts", F.col("ts").cast("timestamp"))
+
+    per = {}
+    for k in SCALES:
+        store = os.path.join(root, f"scd2_store_x{k}")
+        if not os.path.exists(os.path.join(store, "CURRENT")):
+            shutil.rmtree(store, ignore_errors=True)
+            log = spark.read.parquet(f"{dirs[k]}/events.parquet").select(
+                "user_id", "event_type", "ts", "event_id")
+            fold_scd2_batch(spark, store, log, 1, ["user_id"],
+                            ["event_type"], "ts", ["event_id"])
+        best = math.inf
+        for a in range(ATTEMPTS):
+            t0 = time.time()
+            fold_scd2_batch(spark, store, scd2_delta(a), 2 + a,
+                            ["user_id"], ["event_type"], "ts",
+                            ["event_id"])
+            best = min(best, time.time() - t0)
+        per[str(k)] = round(best, 3)
+        print(f"[probe] scd2_fold x{k}: {best:.3f}s", file=sys.stderr)
+    record("scd2_fold", per)
+
+    # ---- NEGATIVE CONTROL: naive full rebuild from the full log -----
+    per = {}
+    for k in SCALES:
+        log = spark.read.parquet(f"{dirs[k]}/events.parquet").select(
+            "user_id", "event_type", "ts", "event_id")
+        best = math.inf
+        for a in range(ATTEMPTS):
+            out = os.path.join(root, f"naive_x{k}")
+            t0 = time.time()
+            scd2_history(log.unionByName(scd2_delta(a)), ["user_id"],
+                         ["event_type"], "ts", ["event_id"]) \
+                .write.mode("overwrite").parquet(out)
+            best = min(best, time.time() - t0)
+        per[str(k)] = round(best, 3)
+        print(f"[probe] scd2_rebuild_control x{k}: {best:.3f}s",
+              file=sys.stderr)
+    record("scd2_rebuild_control", per)
+
+    # ---- rollup combine: fixed 100-group delta ----------------------
+    per = {}
+    for k in SCALES:
+        store = os.path.join(root, f"rollup_store_x{k}")
+        if not os.path.exists(os.path.join(store, "CURRENT")):
+            shutil.rmtree(store, ignore_errors=True)
+            agg = (spark.read.parquet(f"{dirs[k]}/events.parquet")
+                   .groupBy("user_id", "event_type")
+                   .agg(F.count(F.lit(1)).alias("n"),
+                        F.sum("value").alias("sv")))
+            fold_rollup_batch(spark, store, agg, 1,
+                              ["user_id", "event_type"], ["n", "sv"])
+        best = math.inf
+        for a in range(ATTEMPTS):
+            delta = spark.createDataFrame(
+                [(900_000_000 + a * 1000 + g, "probe", 1, 1.0)
+                 for g in range(100)],
+                "user_id bigint, event_type string, n bigint, sv double")
+            t0 = time.time()
+            fold_rollup_batch(spark, store, delta, 2 + a,
+                              ["user_id", "event_type"], ["n", "sv"])
+            best = min(best, time.time() - t0)
+        per[str(k)] = round(best, 3)
+        print(f"[probe] rollup_combine x{k}: {best:.3f}s", file=sys.stderr)
+    record("rollup_combine", per)
+
+    # ---- staging MERGE: fixed 100-row delta touching ONE partition --
+    per = {}
+    for k in SCALES:
+        wh = os.path.join(root, f"staging_x{k}")
+        stg = StagingStore(wh)
+        if not stg.exists("events"):
+            stg.overwrite(
+                spark.read.parquet(f"{dirs[k]}/staging.parquet"), "events")
+        best = math.inf
+        for a in range(ATTEMPTS):
+            delta = spark.createDataFrame(
+                [(2_000_000_000 + a * 1000 + i,
+                  "2024-01-15 12:00:00", 900_000_000 + i, "probe", 1.0)
+                 for i in range(100)],
+                "event_id bigint, extractiontimestamputc string, "
+                "user_id bigint, event_type string, value double",
+            ).withColumn("extractiontimestamputc",
+                         F.col("extractiontimestamputc").cast("timestamp"))
+            t0 = time.time()
+            stg.merge(spark, delta, "events", ["event_id"])
+            best = min(best, time.time() - t0)
+        per[str(k)] = round(best, 3)
+        print(f"[probe] staging_merge x{k}: {best:.3f}s", file=sys.stderr)
+    record("staging_merge", per)
+
+    # ---- ER append: fixed 50-record batch ---------------------------
+    per = {}
+    for k in SCALES:
+        store = os.path.join(root, f"er_store_x{k}")
+        cust = spark.read.parquet(f"{dirs[k]}/customer.parquet") \
+            .withColumn("_name_block",
+                        F.expr("substring(c_name, 1, "
+                               "greatest(length(c_name) - 4, 1))"))
+        if not os.path.exists(os.path.join(store, "clusters", "_SUCCESS")):
+            shutil.rmtree(store, ignore_errors=True)
+            build_er_index(cust, store, key_col="c_name",
+                           id_col="c_custkey",
+                           block_cols=["c_nationkey", "_name_block"],
+                           max_edit=2)
+        best = math.inf
+        for a in range(ATTEMPTS):
+            fresh = spark.createDataFrame(
+                [(900_000_000 + a * 1000 + i,
+                  f"Customer#{900000 + a * 1000 + i:09d}", i % 25)
+                 for i in range(50)],
+                "c_custkey bigint, c_name string, c_nationkey bigint",
+            ).withColumn("_name_block",
+                         F.expr("substring(c_name, 1, "
+                                "greatest(length(c_name) - 4, 1))"))
+            t0 = time.time()
+            append_to_er_index(spark, store, fresh)
+            best = min(best, time.time() - t0)
+        per[str(k)] = round(best, 3)
+        print(f"[probe] er_append x{k}: {best:.3f}s", file=sys.stderr)
+    record("er_append", per)
+
+    with open(out_json, "w") as fh:
+        json.dump(results, fh, indent=1)
+    print(json.dumps(results))
+
+
+if __name__ == "__main__":
+    main()
