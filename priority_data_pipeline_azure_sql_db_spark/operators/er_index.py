@@ -75,7 +75,7 @@ import shutil
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .store_io import write_partitioned
+from .store_io import swap_staged_buckets, write_partitioned
 
 BASE_DIR = "base"
 CLUSTERS_DIR = "clusters"
@@ -98,19 +98,7 @@ def _roll_forward(path: str) -> None:
     with open(mpath) as fh:
         pending = json.load(fh)
     cl_root = os.path.join(path, CLUSTERS_DIR)
-    for b in pending["buckets"]:
-        stage = os.path.join(cl_root, f".stage_{b}")
-        live = os.path.join(cl_root, f"_cb={b}")
-        old = os.path.join(cl_root, f".old_{b}")
-        if os.path.exists(stage):
-            if os.path.exists(live):
-                if os.path.exists(old):
-                    shutil.rmtree(old)
-                os.rename(live, old)
-            os.rename(stage, live)
-        # stage already consumed (crash mid-swap): live is the new dir
-        if os.path.exists(old):
-            shutil.rmtree(old)
+    swap_staged_buckets(cl_root, pending["buckets"], key="_cb")
     if pending.get("base_append"):
         # second leg of the append transaction (round-10 review fix):
         # the fresh base rows move into base/ HERE, under the same
@@ -133,6 +121,16 @@ def _roll_forward(path: str) -> None:
 def _read_meta(path: str) -> dict:
     with open(os.path.join(path, META_FILE)) as fh:
         return json.load(fh)
+
+
+def _meta_passes(meta: dict) -> list[list[str]]:
+    """META back-compat (round-12 review): a store built before the
+    multi-pass change recorded ``block_cols`` — the one-pass spelling
+    IS the same store, so normalize instead of KeyError-ing a
+    checkpoint-restarted append against a standing store."""
+    if "block_passes" in meta:
+        return meta["block_passes"]
+    return [list(meta["block_cols"])]
 
 
 def _normalize_passes(block_cols, block_passes) -> list[list[str]]:
@@ -280,7 +278,13 @@ def ensure_er_index(base: DataFrame, path: str, **kwargs) -> str:
     try:
         with open(os.path.join(path, META_FILE)) as fh:
             have = json.load(fh)
-    except (OSError, ValueError):
+        # normalize a block_cols-era META to the block_passes form so a
+        # pre-upgrade store still serves under its (identical) params
+        if have is not None and "block_passes" not in have:
+            passes = _meta_passes(have)
+            have = {k: v for k, v in have.items() if k != "block_cols"}
+            have["block_passes"] = passes
+    except (OSError, ValueError, KeyError):
         have = None
     if have != want:
         raise ValueError(
@@ -331,7 +335,7 @@ def assign_from_index(
     clusters = read_er_clusters(spark, path)
     m = multi_pass_match_delta(
         base, delta, key_col=key_col, id_col=id_col,
-        block_keys=_pass_keys(meta["block_passes"]),
+        block_keys=_pass_keys(_meta_passes(meta)),
         max_edit=meta["max_edit"],
     )
     w = Window.partitionBy("delta_id").orderBy("edit_distance", "base_id")
@@ -410,7 +414,7 @@ def append_to_er_index(
     _roll_forward(path)
     meta = _read_meta(path)
     id_col, key_col = meta["id_col"], meta["key_col"]
-    passes, max_edit = meta["block_passes"], meta["max_edit"]
+    passes, max_edit = _meta_passes(meta), meta["max_edit"]
     n_buckets = meta["n_buckets"]
     base = spark.read.parquet(os.path.join(path, BASE_DIR))
     existing = base.select(F.col(id_col))

@@ -43,6 +43,31 @@ def _has_data_files(path: str) -> bool:
     return False
 
 
+def swap_staged_buckets(root: str, buckets, key: str = "_kb") -> None:
+    """The crash-safe per-bucket swap shared by the ER cluster store
+    and the SCD2 history store (round-12 review: two hand-rolled copies
+    of this rename dance is exactly the crash-critical code that must
+    not drift). For each bucket b: ``<root>/.stage_<b>`` (fully written
+    BEFORE the caller's manifest commit) replaces ``<root>/<key>=<b>``
+    via rename-aside — live → .old_<b>, stage → live, .old removed.
+    Idempotent across crashes at any point: a consumed stage dir means
+    live already is the new version; a leftover .old dir is removed.
+    Callers drive this from their manifest roll-forward ONLY."""
+    for b in buckets:
+        stage = os.path.join(root, f".stage_{b}")
+        live = os.path.join(root, f"{key}={b}")
+        old = os.path.join(root, f".old_{b}")
+        if os.path.exists(stage):
+            if os.path.exists(live):
+                if os.path.exists(old):
+                    shutil.rmtree(old)
+                os.rename(live, old)
+            os.rename(stage, live)
+        # stage already consumed (crash mid-swap): live is the new dir
+        if os.path.exists(old):
+            shutil.rmtree(old)
+
+
 def write_partitioned(
     df: DataFrame,
     path: str,

@@ -25,7 +25,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 
-from ..operators.store_io import write_partitioned
+from ..operators.store_io import _has_data_files, write_partitioned
 from ..pipeline import StagingStore
 
 
@@ -217,19 +217,10 @@ def _hist_roll_forward(store_path: str) -> None:
         return
     with open(mpath) as fh:
         pending = _json.load(fh)
+    from ..operators.store_io import swap_staged_buckets
+
     hist_root = os.path.join(store_path, "hist")
-    for b in pending["buckets"]:
-        stage = os.path.join(hist_root, f".stage_{b}")
-        live = os.path.join(hist_root, f"_kb={b}")
-        old = os.path.join(hist_root, f".old_{b}")
-        if os.path.exists(stage):
-            if os.path.exists(live):
-                if os.path.exists(old):
-                    shutil.rmtree(old)
-                os.rename(live, old)
-            os.rename(stage, live)
-        if os.path.exists(old):
-            shutil.rmtree(old)
+    swap_staged_buckets(hist_root, pending["buckets"], key="_kb")
     tmp = os.path.join(store_path, "CURRENT.tmp")
     with open(tmp, "w") as fh:
         fh.write(f"{pending['batch_id']}\nhist")
@@ -237,7 +228,7 @@ def _hist_roll_forward(store_path: str) -> None:
     os.remove(mpath)
 
 
-def _swap_hist_buckets(spark, store_path: str, staged, touched: list,
+def _swap_hist_buckets(store_path: str, staged, touched: list,
                        batch_id: int) -> None:
     """Stage the rewritten history buckets, commit via MANIFEST, roll
     forward. ``staged`` carries the recomputed ``_kb``; only the
@@ -268,6 +259,54 @@ def _swap_hist_buckets(spark, store_path: str, staged, touched: list,
         _json.dump({"buckets": sorted(touched), "batch_id": batch_id}, fh)
     os.replace(tmp, mpath)  # commit point
     _hist_roll_forward(store_path)
+
+def _write_hist_schema(store_path: str, df) -> None:
+    """Schema sidecar: lets a reader of a legally-EMPTY history (a
+    tombstone-only bootstrap deleted every entity before any create)
+    return a typed empty frame instead of UNABLE_TO_INFER_SCHEMA."""
+    import os
+
+    os.makedirs(store_path, exist_ok=True)
+    tmp = os.path.join(store_path, "HIST_SCHEMA.json.tmp")
+    with open(tmp, "w") as fh:
+        fh.write(df.schema.json())
+    os.replace(tmp, os.path.join(store_path, "HIST_SCHEMA.json"))
+
+
+def _read_hist_schema_empty(spark, store_path: str):
+    import json as _json
+    import os
+
+    from pyspark.sql.types import StructType
+
+    with open(os.path.join(store_path, "HIST_SCHEMA.json")) as fh:
+        schema = StructType.fromJson(_json.loads(fh.read()))
+    return spark.createDataFrame([], schema)
+
+
+def _migrate_flat_hist(spark, store_path: str, cur: str, kb) -> None:
+    """One-shot upgrade of a pre-round-12 store (flat ``hist_<id>``
+    full-rewrite versioning, no ``_kb``) into the bucketed layout —
+    without this, the first fold after an engine upgrade would raise
+    UNRESOLVED_COLUMN '_kb' inside foreachBatch and wedge the stream
+    against its own checkpoint (round-12 review). Cost: one full
+    rewrite, the same price every old-layout fold used to pay."""
+    import os
+    import shutil
+
+    hist_root = os.path.join(store_path, "hist")
+    if os.path.normpath(cur) == os.path.normpath(hist_root):
+        return  # already bucketed
+    old_df = spark.read.parquet(cur)
+    _write_hist_schema(store_path, old_df)
+    write_partitioned(old_df.withColumn("_kb", kb), hist_root, ["_kb"],
+                      what="SCD2 history migration")
+    last, _ = _read_rollup_pointer(store_path)
+    tmp = os.path.join(store_path, "CURRENT.tmp")
+    with open(tmp, "w") as fh:
+        fh.write(f"{last}\nhist")
+    os.replace(tmp, os.path.join(store_path, "CURRENT"))
+    shutil.rmtree(cur, ignore_errors=True)
 
 
 def fold_scd2_batch(
@@ -384,9 +423,15 @@ def fold_scd2_batch(
         # same entity buckets as the log, so every later fold can prune
         new_hist = scd2_history(delta, pk, attr_cols, ts_col, tiebreak_cols,
                                 op_col=op_col)
+        # a tombstone-only first batch builds ZERO history rows — a
+        # legal state (entities deleted before any create reached us).
+        # on_empty="skip" + committing the ledger anyway keeps the
+        # stream from wedging on eternal redelivery (round-12 review);
+        # the schema sidecar lets readers return a typed empty frame.
+        _write_hist_schema(store_path, new_hist)
         write_partitioned(new_hist.withColumn("_kb", kb),
                           os.path.join(store_path, "hist"), ["_kb"],
-                          what="SCD2 history")
+                          on_empty="skip", what="SCD2 history")
         tmp = os.path.join(store_path, "CURRENT.tmp")
         with open(tmp, "w") as fh:
             fh.write(f"{batch_id}\nhist")
@@ -401,19 +446,27 @@ def fold_scd2_batch(
                 for p in prior_roots
             ],
         )
+        _migrate_flat_hist(spark, store_path, cur, kb)
+        cur = os.path.join(store_path, "hist")
         # bucket pruning on the HISTORY too: entities hash to the same
         # _kb in hist/ as in the log, so untouched buckets hold no
         # touched entities and are neither read nor rewritten — the
         # fold's I/O is O(touched buckets), not O(store)
-        history = (
-            spark.read.parquet(cur)
-            .where(F.col("_kb").isin(touched)).drop("_kb")
-        )
+        if _has_data_files(cur):
+            history = (
+                spark.read.parquet(cur)
+                .where(F.col("_kb").isin(touched)).drop("_kb")
+            )
+        else:
+            # legal empty standing history (tombstone-only bootstrap):
+            # fold the touched log against a typed empty frame
+            history = _read_hist_schema_empty(spark, store_path)
         new_hist = scd2_apply_delta(
             history, base_log, delta, pk, attr_cols, ts_col, tiebreak_cols,
             op_col=op_col,
         )
-        _swap_hist_buckets(spark, store_path, new_hist.withColumn("_kb", kb),
+        _write_hist_schema(store_path, new_hist)
+        _swap_hist_buckets(store_path, new_hist.withColumn("_kb", kb),
                            touched, batch_id)
     # crash-safe log compaction, AFTER the pointer swap (the fold above
     # already consumed the slices; compaction only bounds future reads)
@@ -481,15 +534,24 @@ def stream_scd2_into_store(
 def read_scd2_store(spark, store_path: str) -> DataFrame:
     """Current SCD2 history (empty store fails loudly, like the rollup
     read: a consumer before the first fold must not mistake 'not built
-    yet' for 'entity has no history'). Rolls a crashed fold's pending
-    bucket swaps forward first — a reader must never see the mid-swap
-    state."""
+    yet' for 'entity has no history' — but a store whose ONLY folds
+    were tombstones legitimately HAS no history and reads back as a
+    typed empty frame via the schema sidecar). Rolls a crashed fold's
+    pending bucket swaps forward first — a reader must never see the
+    mid-swap state. SERIALIZE reads with folds (and with each other),
+    the same single-writer discipline as the ER store's
+    read_er_clusters: roll-forward renames are not safe under
+    concurrent callers."""
+    import os as _os
+
     _hist_roll_forward(store_path)
     _, cur = _read_rollup_pointer(store_path)
     if cur is None:
         raise FileNotFoundError(
             f"SCD2 store at {store_path} has no applied batches yet"
         )
+    if not _os.path.isdir(cur) or not _has_data_files(cur):
+        return _read_hist_schema_empty(spark, store_path)
     df = spark.read.parquet(cur)
     return df.drop("_kb") if "_kb" in df.columns else df
 

@@ -1199,6 +1199,89 @@ def test_scd2_hist_bucket_swap_crash_window(spark, tmp_path):
     assert base_state  # silence the unused-var lint; layout asserted above
 
 
+def test_scd2_flat_hist_layout_migration(spark, tmp_path):
+    """Round-12 review fix: a store created by the pre-bucketing layout
+    (flat hist_<id> full-rewrite versioning, CURRENT → hist_<id>, no
+    _kb column) must keep folding after the upgrade — the first new
+    fold migrates it into the bucketed layout once instead of raising
+    UNRESOLVED_COLUMN '_kb' against its own checkpoint forever."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from priority_data_pipeline_azure_sql_db_spark.operators.merge import scd2_history
+    from priority_data_pipeline_azure_sql_db_spark.streaming.sink import (
+        fold_scd2_batch,
+        read_scd2_store,
+    )
+
+    def mk(rows):
+        return spark.createDataFrame(
+            rows, "user_id bigint, state string, ts string, seq bigint",
+        ).withColumn("ts", F.col("ts").cast("timestamp"))
+
+    store = str(tmp_path / "old_store")
+    first = [(1, "a", "2026-01-01 00:00:00", 10),
+             (2, "x", "2026-01-01 00:00:00", 20)]
+    # hand-build the OLD layout: flat history dir + old-style pointer +
+    # the batch-1 log slice in the (unchanged) hive-bucketed log form
+    hist = scd2_history(mk(first), ["user_id"], ["state"], "ts", ["seq"])
+    hist.write.mode("overwrite").parquet(os.path.join(store, "hist_1"))
+    kb = F.pmod(F.xxhash64("user_id"), F.lit(4)).cast("int")
+    mk(first).withColumn("_kb", kb).write.partitionBy("_kb") \
+        .mode("overwrite").parquet(os.path.join(store, "log", "batch_1"))
+    with open(os.path.join(store, "CURRENT"), "w") as fh:
+        fh.write("1\nhist_1")
+
+    more = [(1, "b", "2026-02-01 00:00:00", 11)]
+    assert fold_scd2_batch(
+        spark, store, mk(more), 2, ["user_id"], ["state"], "ts", ["seq"],
+        n_log_buckets=4,
+    ) is True
+    canon = lambda df: sorted(  # noqa: E731
+        (r.user_id, r.state, str(r.valid_from), str(r.valid_to),
+         r.is_current) for r in df.collect()
+    )
+    assert canon(read_scd2_store(spark, store)) == canon(scd2_history(
+        mk(first + more), ["user_id"], ["state"], "ts", ["seq"]))
+    # migrated: bucketed hist/ is live, the flat version dir is gone
+    assert os.path.isdir(os.path.join(store, "hist"))
+    assert not os.path.exists(os.path.join(store, "hist_1"))
+
+
+def test_er_meta_block_cols_back_compat(spark, tmp_path):
+    """Round-12 review fix: an ER store whose META predates block_passes
+    (records block_cols) still serves, appends, and passes the ensure
+    parameter check under the identical one-pass spelling instead of
+    dying with KeyError on a checkpoint-restarted append."""
+    import json
+    import os
+
+    from priority_data_pipeline_azure_sql_db_spark.operators import er_index as EI
+
+    def mk(rows):
+        return spark.createDataFrame(rows, "id bigint, name string, grp int")
+
+    base = mk([(1, "aaaa0001", 1), (2, "aaaa0002", 1), (5, "zzzz", 2)])
+    p = str(tmp_path / "store")
+    EI.build_er_index(base, p, key_col="name", id_col="id",
+                      block_cols=["grp"], max_edit=2, n_buckets=4)
+    # rewrite META to the PRE-round-12 shape
+    mpath = os.path.join(p, EI.META_FILE)
+    meta = json.load(open(mpath))
+    meta["block_cols"] = meta.pop("block_passes")[0]
+    json.dump(meta, open(mpath, "w"))
+
+    # ensure with the same params: accepted, not a mismatch error
+    EI.ensure_er_index(base, p, key_col="name", id_col="id",
+                       block_cols=["grp"], max_edit=2, n_buckets=4)
+    # serve and append read the normalized passes
+    got = {r.delta_id: r for r in EI.assign_from_index(
+        spark, p, mk([(100, "aaaa0003", 1)])).collect()}
+    assert got[100].matched is True and got[100].cluster_id == 1
+    assert EI.append_to_er_index(spark, p, mk([(20, "aaab0001", 1)])) == 1
+
+
 def test_scd2_tombstone_boundary_independence(spark, tmp_path):
     """Round 12 (VERDICT r11 ask #4): tombstones through the streaming
     SCD2 fold are independent of micro-batch boundaries — for every
@@ -1244,6 +1327,12 @@ def test_scd2_tombstone_boundary_independence(spark, tmp_path):
         [log[:3], log[3:6], log[6:]],            # per-entity-ish
         [[r] for r in log],                      # one row per batch
         [log[2:], log[:2]],                      # tombstones arrive LAST
+        # tombstone-ONLY first batch: the bootstrap builds ZERO history
+        # rows — the ledger must still commit (round-12 review: the old
+        # raise wedged the stream on eternal redelivery) and the later
+        # batches rebuild the full state from the log slices
+        [[log[1], log[5], log[6]], [r for i, r in enumerate(log)
+                                    if i not in (1, 5, 6)]],
     ]
     for si, batches in enumerate(splits):
         store = str(tmp_path / f"store_{si}")
@@ -1261,6 +1350,27 @@ def test_scd2_tombstone_boundary_independence(spark, tmp_path):
         ) is False
         assert canon(read_scd2_store(spark, store)) == expect
         shutil.rmtree(store)
+
+    # a store whose ONLY folds are tombstones reads back as a TYPED
+    # empty frame (schema sidecar), never UNABLE_TO_INFER_SCHEMA
+    store = str(tmp_path / "only_tombs")
+    fold_scd2_batch(
+        spark, store, mk([(9, None, t(1), 90, True)]), 1, ["user_id"],
+        ["state"], "ts", ["seq"], n_log_buckets=4, op_col="del",
+    )
+    empty = read_scd2_store(spark, store)
+    assert empty.count() == 0
+    assert set(empty.columns) == {"user_id", "state", "valid_from",
+                                  "valid_to", "is_current"}
+    # ...and a later create for that entity folds normally
+    fold_scd2_batch(
+        spark, store, mk([(9, "alive", t(2), 91, False)]), 2,
+        ["user_id"], ["state"], "ts", ["seq"], n_log_buckets=4,
+        op_col="del",
+    )
+    assert canon(read_scd2_store(spark, store)) == [
+        (9, "alive", "2026-01-02 00:00:00", "None", True)
+    ]
 
 
 def test_scd2_log_pruning_and_compaction(spark, tmp_path):

@@ -41,6 +41,10 @@ from pyspark.sql import functions as F  # noqa: E402
 from priority_data_pipeline_azure_sql_db_spark.session import get_spark  # noqa: E402
 
 SCALES = [1, 2, 4, 8]
+# the naive-rebuild control (and the fold it contrasts with) run
+# further out: at this base size the control's linear term only clears
+# the ~0.5s fixed Spark-job overhead past ~8x
+CONTROL_SCALES = [1, 2, 4, 8, 16, 32]
 USER_STRIDE = 10_000_000
 EVENT_STRIDE = 100_000_000
 CUST_STRIDE = 10_000_000
@@ -52,10 +56,11 @@ def build_replicas(base: str, root: str) -> dict[int, str]:
     replica (partition count grows, per-partition volume constant)."""
     out = {}
     con = duckdb.connect()
-    for k in SCALES:
+    for k in sorted(set(SCALES) | set(CONTROL_SCALES)):
         d = os.path.join(root, f"x{k}")
         out[k] = d
-        if os.path.exists(os.path.join(d, "_READY")):
+        marker = "_READY" if k in SCALES else "_READY_EV"
+        if os.path.exists(os.path.join(d, "_READY")) or                 os.path.exists(os.path.join(d, marker)):
             continue
         shutil.rmtree(d, ignore_errors=True)
         os.makedirs(d)
@@ -77,24 +82,28 @@ def build_replicas(base: str, root: str) -> dict[int, str]:
                 f" c_name || ' rep{r}tok' AS c_name, c_nationkey"
                 f" FROM read_parquet('{base}/customer.parquet')"
             )
-        for name, parts in [("events", ev_parts), ("staging", st_parts),
-                            ("customer", cu_parts)]:
+        # the control-only scales (16x/32x) need just the events log
+        tables = [("events", ev_parts)] if k not in SCALES else [
+            ("events", ev_parts), ("staging", st_parts),
+            ("customer", cu_parts)]
+        for name, parts in tables:
             con.execute(
                 f"COPY ({' UNION ALL '.join(parts)}) TO "
                 f"'{d}/{name}.parquet' (FORMAT PARQUET)"
             )
-        open(os.path.join(d, "_READY"), "w").close()
+        open(os.path.join(d, marker), "w").close()
     return out
 
 
-def _fit(per_scale: dict[str, float]) -> tuple[float, list[float]]:
-    xs = [math.log(k) for k in SCALES]
-    ys = [math.log(max(per_scale[str(k)], 1e-3)) for k in SCALES]
+def _fit(per_scale: dict[str, float],
+         scales: list[int] = SCALES) -> tuple[float, list[float]]:
+    xs = [math.log(k) for k in scales]
+    ys = [math.log(max(per_scale[str(k)], 1e-3)) for k in scales]
     mx, my = sum(xs) / len(xs), sum(ys) / len(ys)
     slope = sum((x - mx) * (y - my) for x, y in zip(xs, ys)) \
         / sum((x - mx) ** 2 for x in xs)
     steps = [round(math.log2(per_scale[str(b)] / per_scale[str(a)]), 2)
-             for a, b in zip(SCALES, SCALES[1:])]
+             for a, b in zip(scales, scales[1:])]
     return round(slope, 2), steps
 
 
@@ -122,9 +131,16 @@ def main() -> None:
     )
 
     results: dict[str, dict] = {}
+    # re-runnability: folds mutate standing stores, so a re-run must not
+    # collide with a previous run's batch ids / record ids (a replayed
+    # batch is a ledger no-op and an already-appended id anti-joins
+    # away — both would measure nothing). The nonce keys this run's
+    # deltas; batch ids advance from each store's own ledger.
+    nonce = (int(time.time()) % 9000) + 1
 
-    def record(name: str, per_scale: dict[str, float]) -> None:
-        slope, steps = _fit(per_scale)
+    def record(name: str, per_scale: dict[str, float],
+               scales: list[int] = SCALES) -> None:
+        slope, steps = _fit(per_scale, scales)
         results[name] = {"sec": per_scale, "slope": slope,
                          "step_slopes": steps}
         print(f"[probe] {name}: slope {slope:.2f} steps {steps}",
@@ -135,10 +151,10 @@ def main() -> None:
     # ---- SCD2 fold: fixed 50-entity / 100-row delta per attempt -----
     def scd2_delta(attempt: int):
         rows = [
-            (900_000_000 + attempt * 1000 + e,
-             f"state_{attempt}_{i}",
+            (900_000_000 + nonce * 100_000 + attempt * 1000 + e,
+             f"state_{nonce}_{attempt}_{i}",
              f"2026-0{attempt + 1}-0{1 + i} 00:00:00",
-             1_000_000_000 + attempt * 1000 + e * 2 + i)
+             1_000_000_000 + nonce * 100_000 + attempt * 1000 + e * 2 + i)
             for e in range(50) for i in range(2)
         ]
         return spark.createDataFrame(
@@ -147,7 +163,7 @@ def main() -> None:
         ).withColumn("ts", F.col("ts").cast("timestamp"))
 
     per = {}
-    for k in SCALES:
+    for k in CONTROL_SCALES:
         store = os.path.join(root, f"scd2_store_x{k}")
         if not os.path.exists(os.path.join(store, "CURRENT")):
             shutil.rmtree(store, ignore_errors=True)
@@ -155,20 +171,24 @@ def main() -> None:
                 "user_id", "event_type", "ts", "event_id")
             fold_scd2_batch(spark, store, log, 1, ["user_id"],
                             ["event_type"], "ts", ["event_id"])
+        from priority_data_pipeline_azure_sql_db_spark.streaming.sink import (
+            _read_rollup_pointer,
+        )
+        last_bid, _ = _read_rollup_pointer(store)
         best = math.inf
         for a in range(ATTEMPTS):
             t0 = time.time()
-            fold_scd2_batch(spark, store, scd2_delta(a), 2 + a,
+            fold_scd2_batch(spark, store, scd2_delta(a), last_bid + 1 + a,
                             ["user_id"], ["event_type"], "ts",
                             ["event_id"])
             best = min(best, time.time() - t0)
         per[str(k)] = round(best, 3)
         print(f"[probe] scd2_fold x{k}: {best:.3f}s", file=sys.stderr)
-    record("scd2_fold", per)
+    record("scd2_fold", per, CONTROL_SCALES)
 
     # ---- NEGATIVE CONTROL: naive full rebuild from the full log -----
     per = {}
-    for k in SCALES:
+    for k in CONTROL_SCALES:
         log = spark.read.parquet(f"{dirs[k]}/events.parquet").select(
             "user_id", "event_type", "ts", "event_id")
         best = math.inf
@@ -182,7 +202,7 @@ def main() -> None:
         per[str(k)] = round(best, 3)
         print(f"[probe] scd2_rebuild_control x{k}: {best:.3f}s",
               file=sys.stderr)
-    record("scd2_rebuild_control", per)
+    record("scd2_rebuild_control", per, CONTROL_SCALES)
 
     # ---- rollup combine: fixed 100-group delta ----------------------
     per = {}
@@ -196,14 +216,18 @@ def main() -> None:
                         F.sum("value").alias("sv")))
             fold_rollup_batch(spark, store, agg, 1,
                               ["user_id", "event_type"], ["n", "sv"])
+        from priority_data_pipeline_azure_sql_db_spark.streaming.sink import (
+            _read_rollup_pointer,
+        )
+        last_bid, _ = _read_rollup_pointer(store)
         best = math.inf
         for a in range(ATTEMPTS):
             delta = spark.createDataFrame(
-                [(900_000_000 + a * 1000 + g, "probe", 1, 1.0)
-                 for g in range(100)],
+                [(900_000_000 + nonce * 100_000 + a * 1000 + g,
+                  "probe", 1, 1.0) for g in range(100)],
                 "user_id bigint, event_type string, n bigint, sv double")
             t0 = time.time()
-            fold_rollup_batch(spark, store, delta, 2 + a,
+            fold_rollup_batch(spark, store, delta, last_bid + 1 + a,
                               ["user_id", "event_type"], ["n", "sv"])
             best = min(best, time.time() - t0)
         per[str(k)] = round(best, 3)
@@ -221,7 +245,7 @@ def main() -> None:
         best = math.inf
         for a in range(ATTEMPTS):
             delta = spark.createDataFrame(
-                [(2_000_000_000 + a * 1000 + i,
+                [(2_000_000_000 + nonce * 100_000 + a * 1000 + i,
                   "2024-01-15 12:00:00", 900_000_000 + i, "probe", 1.0)
                  for i in range(100)],
                 "event_id bigint, extractiontimestamputc string, "
@@ -251,11 +275,14 @@ def main() -> None:
                            max_edit=2)
         best = math.inf
         for a in range(ATTEMPTS):
+            # c_nationkey is int32 in the fixture — a bigint delta
+            # would stage INT64 part files into an INT32 base/
+            off = nonce * 100_000 + a * 1000
             fresh = spark.createDataFrame(
-                [(900_000_000 + a * 1000 + i,
-                  f"Customer#{900000 + a * 1000 + i:09d}", i % 25)
-                 for i in range(50)],
-                "c_custkey bigint, c_name string, c_nationkey bigint",
+                [(900_000_000 + off + i,
+                  f"Customer#{(900_000_000 + off + i) % 10**9:09d}",
+                  i % 25) for i in range(50)],
+                "c_custkey bigint, c_name string, c_nationkey int",
             ).withColumn("_name_block",
                          F.expr("substring(c_name, 1, "
                                 "greatest(length(c_name) - 4, 1))"))
