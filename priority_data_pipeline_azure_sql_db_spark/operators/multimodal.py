@@ -43,7 +43,7 @@ FEATURE_SCHEMA = T.StructType([
     T.StructField("media_type", T.StringType()),
     T.StructField("n_bytes", T.LongType()),
     T.StructField("content_md5", T.StringType()),
-    T.StructField("codec", T.StringType()),       # bmp | png | jpeg | wav | avi | pil | stub-md5
+    T.StructField("codec", T.StringType()),       # bmp | png | jpeg | webp | wav | avi | pil | stub-md5
     T.StructField("feature", T.ArrayType(T.DoubleType())),
 ])
 
@@ -84,15 +84,18 @@ def decode_media(media_type: str, content: bytes):
     truth, not the declared media_type): uncompressed 24-bit BMP,
     8-bit RGB/RGBA PNG (round 8), baseline+progressive huffman JPEG
     (rounds 9/10), GIF87a/89a incl. LZW + animation compositing
-    (round 11), PCM WAV, and Motion-JPEG AVI video (round 10 —
-    RIFF demux + per-frame JPEG decode) with the pure-stdlib codecs;
-    other formats (WebP, inter-frame video, ...) go to PIL when
-    installed; anything else raises ``NotImplementedError`` (the honest
-    boundary — callers wanting a total function use
-    :func:`extract_features`, which falls back to the tagged stub).
+    (round 11), lossless WebP / VP8L incl. all four transforms, color
+    cache and LZ77 (round 12), PCM WAV, and Motion-JPEG AVI video
+    (round 10 — RIFF demux + per-frame JPEG decode) with the
+    pure-stdlib codecs; other formats (lossy VP8, inter-frame
+    video, ...) go to PIL when installed; anything else raises
+    ``NotImplementedError`` (the honest boundary — callers wanting a
+    total function use :func:`extract_features`, which falls back to
+    the tagged stub).
 
     Returns ('bmp', (h, w, 3) uint8 RGB array),
     ('png', (h, w, 3|4) uint8 array),
+    ('webp', (h, w, 3) uint8 RGB array),
     ('jpeg', (h, w, 3) uint8 RGB array),
     ('wav', (sample_rate, (n, ch) float array)),
     ('avi' | 'gif', (fps, [(h, w, 3) uint8 RGB frame arrays])), or
@@ -114,6 +117,15 @@ def decode_media(media_type: str, content: bytes):
         return "wav", codecs.decode_wav(content)
     if kind == "avi":
         return "avi", codecs.decode_avi_frames(content)
+    if kind == "webp":
+        # lossless VP8L decodes natively; lossy VP8 raises
+        # NotImplementedError inside and falls to PIL/stub below
+        try:
+            return "webp", codecs.decode_webp(content)
+        except NotImplementedError:
+            if _PIL_Image is None or media_type != "image":
+                raise
+            # fall through to the PIL path for lossy VP8
     if _PIL_Image is not None and media_type == "image" and content:
         import io
 
@@ -124,8 +136,8 @@ def decode_media(media_type: str, content: bytes):
     raise NotImplementedError(
         f"no available codec for this blob (media_type={media_type!r}; "
         "in-sandbox codecs: uncompressed 24-bit BMP, 8-bit PNG, "
-        "baseline+progressive huffman JPEG, GIF87a/89a, PCM WAV, "
-        "MJPEG AVI; install PIL/librosa/av for more)"
+        "baseline+progressive huffman JPEG, GIF87a/89a, lossless "
+        "WebP/VP8L, PCM WAV, MJPEG AVI; install PIL/librosa/av for more)"
     )
 
 
@@ -158,7 +170,7 @@ def extract_features(df: DataFrame) -> DataFrame:
                 # change size mid-stream — legal, every JPEG carries its
                 # own SOF) must land on the stub, not fail the task
                 kind, decoded = decode_media(media_type, blob)
-                if kind in ("bmp", "png", "jpeg"):
+                if kind in ("bmp", "png", "jpeg", "webp"):
                     return kind, codecs.image_features(decoded)
                 if kind == "wav":
                     return kind, codecs.audio_features(*decoded)
@@ -232,7 +244,8 @@ def resize_images(
             # can never resize, so paying its full sample decode just
             # to fall through to the stub wastes the per-blob hot path
             # (round-10 review finding)
-            if codecs.sniff(blob) not in ("bmp", "png", "gif", "jpeg", "avi"):
+            if codecs.sniff(blob) not in ("bmp", "png", "gif", "jpeg",
+                                          "avi", "webp"):
                 kind = None
             else:
                 try:
@@ -256,7 +269,7 @@ def resize_images(
                         ),
                         "avi",
                     )
-            if kind in ("bmp", "png", "jpeg"):
+            if kind in ("bmp", "png", "jpeg", "webp"):
                 return (
                     codecs.encode_png(
                         codecs.resize_pixels(decoded, width, height, method)
@@ -411,6 +424,8 @@ def image_phash(df: DataFrame, hash_size: int = 8) -> DataFrame:
                         px = codecs.decode_gif(bytes(blob))
                     elif kind == "jpeg":
                         px = codecs.decode_jpeg(bytes(blob))
+                    elif kind == "webp":
+                        px = codecs.decode_webp(bytes(blob))
                     else:
                         continue
                 except (ValueError, NotImplementedError):

@@ -8749,9 +8749,10 @@ def export_curriculum_readback(spark, sf_dir):
 @query(
     "multimodal_codec_mix",
     """
-    SELECT CASE doc_id % 6
+    SELECT CASE doc_id % 7
                WHEN 0 THEN 'bmp' WHEN 1 THEN 'png' WHEN 2 THEN 'wav'
-               WHEN 5 THEN 'gif' ELSE 'jpeg' END AS codec,
+               WHEN 5 THEN 'gif' WHEN 6 THEN 'webp' ELSE 'jpeg' END
+               AS codec,
            CAST(COUNT(*) AS BIGINT) AS n_media
     FROM documents WHERE doc_id < 400
     GROUP BY 1
@@ -8762,14 +8763,15 @@ def multimodal_codec_mix(spark, sf_dir):
     half — and the measurement that each round's codec closure fires on
     the fixture): a six-way mixed-codec media corpus
     is synthesized from document bytes in the executors (BMP, PNG, WAV,
-    baseline JPEG, PROGRESSIVE JPEG, and — round 11 — GIF blobs, the
-    real encoders from
+    baseline JPEG, PROGRESSIVE JPEG, GIF — round 11 — and, round 12,
+    lossless WebP/VP8L blobs, the real encoders from
     operators/codecs.py), pushed through the REAL decode dispatch
     (extract_features → sniff → stdlib codecs), and profiled per
     decoded-codec tag. The oracle knows which class each doc_id was
     assigned, so the count-per-tag hash check proves every blob decoded
     NATIVELY: any fallback to the 'stub-md5' tag (e.g., a codec gap
-    like pre-round-10 SOF2) changes the groups and goes red. This is
+    like pre-round-10 SOF2, or VP8L regressing to the PIL-absent
+    stub) changes the groups and goes red. This is
     the query a 100 TB multimodal ingest runs first — which formats the
     engine decodes in-cluster vs which need the gated PIL/av path —
     one mapInPandas + one hash-agg, blobs never touch the driver."""
@@ -8788,7 +8790,7 @@ def multimodal_codec_mix(spark, sf_dir):
                 raw = (text or "").encode("utf-8") or b"\x00"
                 pad = (raw * (192 // len(raw) + 1))[:192]
                 px = np.frombuffer(pad, dtype=np.uint8).reshape(8, 8, 3)
-                cls = doc_id % 6
+                cls = doc_id % 7
                 if cls == 0:
                     mt, blob = "image", codecs.encode_bmp(px)
                 elif cls == 1:
@@ -8803,10 +8805,12 @@ def multimodal_codec_mix(spark, sf_dir):
                 elif cls == 4:
                     mt, blob = "image", codecs.encode_jpeg_progressive(
                         px, quality=90, subsample="4:4:4")
-                else:
+                elif cls == 5:
                     # 64 pixels ⇒ <= 64 distinct colors: the palette-
                     # exact GIF contract holds by construction
                     mt, blob = "image", codecs.encode_gif(px)
+                else:
+                    mt, blob = "image", codecs.encode_webp_lossless(px)
                 ids.append(doc_id)
                 types.append(mt)
                 blobs.append(blob)

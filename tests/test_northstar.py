@@ -1725,6 +1725,8 @@ def test_codec_fuzz_totality_all_formats():
         (C.encode_gif((px // 64) * 64), C.decode_gif_frames),
         (C.encode_gif([(f // 64) * 64 for f in frames], delay_cs=4),
          C.decode_gif_frames),
+        # round 12: lossless WebP joins the totality contract
+        (C.encode_webp_lossless(px), C.decode_webp),
     ]
     for blob, dec in cases:
         for cut in range(0, len(blob), 2):
@@ -1919,6 +1921,211 @@ def test_codec_gif_roundtrip_single_and_animated():
     many[:, :, 1] = np.arange(17, dtype=np.uint8)[None, :] * 15
     with pytest.raises(NotImplementedError, match="quantization"):
         C.encode_gif(many)
+
+
+def test_codec_webp_lossless_roundtrip():
+    """Round-12 VP8L: encode (literal-only, real canonical prefix
+    codes) → full decode is an EXACT round trip across histogram
+    shapes (random, flat, two-value, gradient, 1x1, wide, tall), the
+    container sniffs as webp, dims are validated, and lossy VP8 /
+    extended VP8X raise the honest NotImplementedError."""
+    import struct as st
+
+    import numpy as np
+    import pytest
+
+    from priority_data_pipeline_azure_sql_db_spark.operators import codecs as C
+
+    rng = np.random.default_rng(12)
+    shapes = [(13, 9), (1, 1), (1, 40), (40, 1), (8, 8)]
+    for h, w in shapes:
+        px = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+        blob = C.encode_webp_lossless(px)
+        assert C.sniff(blob) == "webp"
+        assert np.array_equal(C.decode_webp(blob), px)
+    flat = np.full((6, 7, 3), (9, 250, 0), dtype=np.uint8)
+    assert np.array_equal(C.decode_webp(C.encode_webp_lossless(flat)), flat)
+    grad = np.zeros((16, 16, 3), np.uint8)
+    grad[:, :, 0] = np.arange(16)[:, None]
+    grad[:, :, 1] = np.arange(16)[None, :]
+    grad[:, :, 2] = 128
+    assert np.array_equal(C.decode_webp(C.encode_webp_lossless(grad)), grad)
+    with pytest.raises(ValueError, match="uint8"):
+        C.encode_webp_lossless(np.zeros((4, 4), np.uint8))
+    # lossy / extended containers: honest boundary
+    vp8 = b"RIFF" + st.pack("<I", 12) + b"WEBPVP8 " + b"\x00" * 8
+    with pytest.raises(NotImplementedError, match="VP8"):
+        C.decode_webp(vp8)
+    # hostile header dims: rejected before any canvas allocation
+    blob = bytearray(C.encode_webp_lossless(rng.integers(
+        0, 256, (4, 4, 3), dtype=np.uint8)))
+    # the 28 dim bits start at payload byte 1 (after the 0x2F signature)
+    big = (16383) | (16383 << 14)
+    blob[21] = big & 0xFF
+    blob[22] = (big >> 8) & 0xFF
+    blob[23] = (big >> 16) & 0xFF
+    blob[24] = ((blob[24] & 0xF0) | ((big >> 24) & 0x0F))
+    with pytest.raises(ValueError, match="can paint"):
+        C.decode_webp(bytes(blob))
+
+
+def test_codec_webp_vp8l_transform_decode():
+    """Decode-only VP8L spec features the literal-only encoder never
+    emits, each pinned by a hand-assembled bitstream with hand-computed
+    expected pixels: subtract-green, the predictor transform, color
+    transform (signed >>5 delta), color indexing with 1-bit pixel
+    bundling, the color cache, and LZ77 backrefs through both the 2D
+    distance map and the direct code."""
+    import struct as st
+
+    import numpy as np
+
+    from priority_data_pipeline_azure_sql_db_spark.operators import codecs as C
+
+    def container(bw):
+        payload = b"\x2f" + bytes(bw.bytes)
+        chunk = b"VP8L" + st.pack("<I", len(payload)) + payload
+        if len(payload) % 2:
+            chunk += b"\x00"
+        riff = b"WEBP" + chunk
+        return b"RIFF" + st.pack("<I", len(riff)) + riff
+
+    def header(bw, w, h):
+        bw.write(w - 1, 14)
+        bw.write(h - 1, 14)
+        bw.write(0, 1)
+        bw.write(0, 3)
+
+    def literal_stream(bw, pix, sub=False):
+        """no-cache/no-meta literal pixels (a, r, g, b tuples); sub-image
+        streams carry NO meta bit (meta prefix codes are ARGB-role-only,
+        spec 6.2.3)."""
+        bw.write(0, 1)      # no color cache
+        if not sub:
+            bw.write(0, 1)  # no meta
+        hist = lambda vals: {v: vals.count(v) for v in set(vals)}  # noqa: E731
+        gs = [p[2] for p in pix]
+        g_codes = C._vp8l_write_code(bw, hist(gs), 256 + 24)
+        r_codes = C._vp8l_write_code(bw, hist([p[1] for p in pix]), 256)
+        b_codes = C._vp8l_write_code(bw, hist([p[3] for p in pix]), 256)
+        a_codes = C._vp8l_write_code(bw, hist([p[0] for p in pix]), 256)
+        C._vp8l_write_code(bw, {0: 1}, 40)
+        for a, r, g, b in pix:
+            for codes, v in ((g_codes, g), (r_codes, r), (b_codes, b),
+                             (a_codes, a)):
+                c, n = codes[v]
+                if n:
+                    bw.write(C._revbits(c, n), n)
+
+    # --- subtract-green: stored (r-g, g, b-g); inverse adds g back ---
+    bw = C._LsbBitWriter()
+    header(bw, 2, 1)
+    bw.write(1, 1); bw.write(2, 2)  # transform: SUBTRACT_GREEN
+    bw.write(0, 1)                  # no more transforms
+    literal_stream(bw, [(255, 5, 10, 7), (255, 5, 20, 7)])
+    out = C.decode_webp(container(bw))
+    assert out.tolist() == [[[15, 10, 17], [25, 20, 27]]]
+
+    # --- predictor: one 1x1 mode-1 (=L) block over a 2x2 image -------
+    bw = C._LsbBitWriter()
+    header(bw, 2, 2)
+    bw.write(1, 1); bw.write(0, 2)  # transform: PREDICTOR
+    bw.write(0, 3)                  # size_bits = 0 + 2 = 4px blocks
+    literal_stream(bw, [(0, 0, 1, 0)], sub=True)  # sub: mode 1 in green
+    bw.write(0, 1)                  # no more transforms
+    # residuals: (0,0)+=ff000000; (1,0)+=L; (0,1)+=T; (1,1)+=L (mode 1)
+    literal_stream(bw, [(255, 10, 10, 10), (0, 1, 1, 1),
+                        (0, 2, 2, 2), (0, 3, 3, 3)])
+    out = C.decode_webp(container(bw))
+    assert out.tolist() == [[[10, 10, 10], [11, 11, 11]],
+                            [[12, 12, 12], [15, 15, 15]]]
+
+    # --- color transform: g2r=16 over one block ----------------------
+    bw = C._LsbBitWriter()
+    header(bw, 1, 1)
+    bw.write(1, 1); bw.write(1, 2)  # transform: COLOR
+    bw.write(0, 3)                  # size_bits = 2
+    # cte pixel: blue byte = green_to_red = 16, others 0
+    literal_stream(bw, [(0, 0, 0, 16)], sub=True)
+    bw.write(0, 1)
+    literal_stream(bw, [(255, 10, 64, 20)])
+    out = C.decode_webp(container(bw))
+    # delta = (16 * 64) >> 5 = 32 → r = 10 + 32
+    assert out.tolist() == [[[42, 64, 20]]]
+
+    # --- color indexing, 2 colors → 1-bit bundling over a 5x1 row ----
+    bw = C._LsbBitWriter()
+    header(bw, 5, 1)
+    bw.write(1, 1); bw.write(3, 2)  # transform: COLOR_INDEXING
+    bw.write(1, 8)                  # 2 colors
+    # palette sub-image (2x1), DELTA-coded per channel:
+    # color0 = (255, 1, 2, 3); delta1 = (0, +1, +1, +1)
+    literal_stream(bw, [(255, 1, 2, 3), (0, 1, 1, 1)], sub=True)
+    bw.write(0, 1)
+    # packed 1x1 image: indices [1,0,1,0,1] → green bits 0b10101
+    literal_stream(bw, [(255, 0, 0b10101, 0)])
+    out = C.decode_webp(container(bw))
+    assert out.tolist() == [[[2, 3, 4], [1, 2, 3], [2, 3, 4],
+                             [1, 2, 3], [2, 3, 4]]]
+
+    # --- color cache + LZ77 (2D map and direct distance) -------------
+    A = (255 << 24) | (1 << 16) | (2 << 8) | 3
+    idx_a = (0x1E35A7BD * A & 0xFFFFFFFF) >> 31  # cache_bits = 1
+    bw = C._LsbBitWriter()
+    header(bw, 6, 1)
+    bw.write(0, 1)                  # no transforms
+    bw.write(1, 1); bw.write(1, 4)  # color cache, 1 bit
+    bw.write(0, 1)                  # no meta
+    # green alphabet 256+24+2: literals 1 and 9, length prefix 257
+    # (length 2), cache symbol 280+idx_a
+    # (255,20,30,40) hashes to cache slot 0, A to slot 1 — the copies
+    # must not evict A before the cache hit
+    g_hist = {2: 1, 30: 1, 256 + 1: 1, 280 + idx_a: 1}
+    g_codes = C._vp8l_write_code(bw, g_hist, 256 + 24 + 2)
+    r_codes = C._vp8l_write_code(bw, {1: 1, 20: 1}, 256)
+    b_codes = C._vp8l_write_code(bw, {3: 1, 40: 1}, 256)
+    a_codes = C._vp8l_write_code(bw, {255: 1}, 256)
+    d_codes = C._vp8l_write_code(bw, {1: 1}, 40)  # dist prefix 1 → 2
+
+    def emit(codes, v):
+        c, n = codes[v]
+        if n:
+            bw.write(C._revbits(c, n), n)
+
+    # px0: literal A=(255,1,2,3) → cache slot 1;
+    # px1: literal (255,20,30,40) → cache slot 0;
+    # px2-3: LZ77 len 2, dist prefix 1 → value 2 → map[1]=(1,0) → dist 1
+    #        (copies px1 twice; re-caches into slot 0, A survives);
+    # px4: cache hit slot 1 → A; px5: literal (255,20,30,40)
+    emit(g_codes, 2); emit(r_codes, 1); emit(b_codes, 3); emit(a_codes, 255)
+    emit(g_codes, 30); emit(r_codes, 20); emit(b_codes, 40); emit(a_codes, 255)
+    emit(g_codes, 256 + 1)          # length prefix 1 → length 2
+    emit(d_codes, 1)                # distance prefix 1 → dist_code 2
+    emit(g_codes, 280 + idx_a)      # cache hit → A
+    emit(g_codes, 30); emit(r_codes, 20); emit(b_codes, 40); emit(a_codes, 255)
+    out = C.decode_webp(container(bw))
+    assert out.tolist() == [[[1, 2, 3], [20, 30, 40], [20, 30, 40],
+                             [20, 30, 40], [1, 2, 3], [20, 30, 40]]]
+
+    # direct distance (code > 120): 3x1, literal then backref dist 1
+    bw = C._LsbBitWriter()
+    header(bw, 3, 1)
+    bw.write(0, 1); bw.write(0, 1); bw.write(0, 1)
+    g_codes = C._vp8l_write_code(bw, {7: 1, 256 + 1: 1}, 256 + 24)
+    r_codes = C._vp8l_write_code(bw, {4: 1}, 256)
+    b_codes = C._vp8l_write_code(bw, {5: 1}, 256)
+    a_codes = C._vp8l_write_code(bw, {255: 1}, 256)
+    # dist_code 121 → direct distance 1; prefix value 121 needs prefix
+    # symbol p where value = offset + extra + 1: p=13 → extra_bits=5,
+    # offset=(2+1)<<5=96, extra=24 → 96+24+1=121
+    d_codes = C._vp8l_write_code(bw, {13: 1}, 40)
+    emit(g_codes, 7); emit(r_codes, 4); emit(b_codes, 5); emit(a_codes, 255)
+    emit(g_codes, 256 + 1)
+    emit(d_codes, 13)
+    bw.write(24, 5)
+    out = C.decode_webp(container(bw))
+    assert out.tolist() == [[[4, 7, 5]] * 3]
+    assert np is not None  # keep the import grouped with its siblings
 
 
 def test_codec_gif_golden_lzw_bitstream():
