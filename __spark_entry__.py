@@ -50,15 +50,29 @@ def entry(spark: SparkSession) -> DataFrame:
 #     round-half-away-from-zero definition change).
 # 3 + 47 = 50 exactly.
 #
-# ROUND-12 IN-PLACE UPGRADES (divergence-risk head material for r13):
-# er_incremental_match and er_assign_from_store moved to the multi-pass
-# (first-token ∪ last-token) blocking union on the SERVE path (VERDICT
-# r11 ask #2), wiring multi_pass_match_delta as the production serve
-# half; er_store_append_serve exercises the same store path. Each was
-# comparator-verified at sf0.01 AND sf0.1 the session it changed.
+# ROUND-12 IN-PLACE UPGRADES (divergence-risk head material for r13),
+# each comparator-verified at sf0.01 AND sf0.1 the session it changed,
+# plus a FULL 200-entry sweep (192 pass / 0 fail / 8 rows-only) after
+# all of them landed:
+# (a) the customer-ER serve family moved to the multi-pass
+#     (nation,prefix) ∪ (nation,SUFFIX) blocking union (VERDICT r11
+#     ask #2): er_incremental_match, er_assign_to_golden,
+#     er_assign_from_store, er_store_append_serve — code AND the shared
+#     recursive-CTE oracle; multi_pass_match_delta is now the
+#     production serve half inside the persisted store.
+# (b) multimodal_codec_mix upgraded to the SEVEN-way native-decode
+#     proof (lossless WebP/VP8L joins the codec set — full spec
+#     decoder, literal-only encoder).
+# (c) the SCD2 family: null-safe + partition-end-aware last-of-instant
+#     collapse (values unchanged on this fixture — no NULL-ts events —
+#     but the operator changed under events_scd2_user_state/
+#     events_scd2_incremental/events_scd2_with_deletes/
+#     streaming_scd2_maintenance), and the streaming store moved to the
+#     BUCKETED history layout (fold swaps only touched _kb buckets).
 # NEW REGISTRATION (1, under the ≤10 cap): streaming_scd2_with_deletes
 # (VERDICT r11 ask #4 — tombstone-bearing multi-batch drain through the
-# streaming SCD2 store ≡ the batch scd2+close_deleted oracle).
+# streaming SCD2 store ≡ the batch one-pass boundary oracle; the
+# op_col tombstone semantics live in scd2_history itself).
 #
 # ROTATION ARITHMETIC: window 50 × 4-round cycle = 200-entry registry
 # CEILING for the ≤3-round staleness invariant. Registry stands at 200
