@@ -2847,8 +2847,9 @@ class _Huff:
             raise ValueError("VP8L: invalid prefix code (kraft sum)")
         code = 0
         table = {}
+        nz.sort(key=lambda x: (x[0], x[1]))
         for length in range(1, 16):
-            for l, s in sorted(nz, key=lambda x: (x[0], x[1])):
+            for l, s in nz:
                 if l == length:
                     table[(length, code)] = s
                     code += 1
@@ -3064,7 +3065,9 @@ def _vp8l_predict(mode: int, left: int, top: int, tl: int, tr: int) -> int:
             pred = lc + tc - tlc
             pl += abs(pred - lc)
             pt += abs(pred - tc)
-        return left if pl <= pt else top
+        # ties go to TOP: the spec returns L only when strictly closer
+        # (round-12 review fix)
+        return left if pl < pt else top
     if mode == 12:  # ClampAddSubtractFull
         v = 0
         for sh in (24, 16, 8, 0):
@@ -3099,7 +3102,12 @@ def _vp8l_inv_predictor(px: list[int], xsize: int, ysize: int,
             else:
                 mode = (sub[(y >> size_bits) * bx + (x >> size_bits)]
                         >> 8) & 0xFF
-                tr = px[i - xsize + 1] if x + 1 < xsize else px[i - xsize]
+                # rightmost column: i-xsize+1 lands on the CURRENT
+                # row's leftmost (already-decoded) pixel — exactly the
+                # spec's TR definition there, so no guard (round-12
+                # review fix: the top-pixel fallback diverged from
+                # real encoder output on modes 3/5/9/10)
+                tr = px[i - xsize + 1]
                 pred = _vp8l_predict(mode, px[i - 1], px[i - xsize],
                                      px[i - xsize - 1], tr)
             px[i] = _addpix(px[i], pred)
@@ -3390,7 +3398,15 @@ def _vp8l_write_code(bw: _BitWriter, freqs: dict[int, int],
         bw.write(syms[1], 8)
         return {s0: (0, 1), syms[1]: (1, 1)}
     bw.write(0, 1)                        # normal
-    lengths = _vp8l_code_lengths(freqs, alphabet, 15)
+    if len(syms) == 1:
+        # a lone symbol >= 256 (length/cache code) can't use the simple
+        # form; in the normal form the decoder's _Huff reads it with
+        # ZERO bits, so the writer's map must charge zero too (round-12
+        # review fix: the old 1-bit map desynced hand-built streams)
+        lengths = [0] * alphabet
+        lengths[syms[0]] = 1
+    else:
+        lengths = _vp8l_code_lengths(freqs, alphabet, 15)
     # RLE the length sequence into CL symbols (+ extra-bit payloads)
     ops: list[tuple[int, int, int]] = []  # (cl_symbol, extra, extra_bits)
     i = 0
@@ -3435,6 +3451,8 @@ def _vp8l_write_code(bw: _BitWriter, freqs: dict[int, int],
         bw.write(_revbits(c, n), n)
         if ebits:
             bw.write(extra, ebits)
+    if len(syms) == 1:
+        return {syms[0]: (0, 0)}  # decoder reads a lone symbol 0-bit
     return _vp8l_canonical(lengths)
 
 

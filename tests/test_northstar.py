@@ -2040,6 +2040,54 @@ def test_codec_webp_vp8l_transform_decode():
     assert out.tolist() == [[[10, 10, 10], [11, 11, 11]],
                             [[12, 12, 12], [15, 15, 15]]]
 
+    # --- predictor edge semantics (round-12 review fixes) -------------
+    # (a) rightmost column's TR is the SAME row's leftmost pixel (the
+    # unguarded i-xsize+1 wrap), not the top pixel: 2x2, mode 3 (=TR).
+    bw = C._LsbBitWriter()
+    header(bw, 2, 2)
+    bw.write(1, 1); bw.write(0, 2); bw.write(0, 3)
+    literal_stream(bw, [(0, 0, 3, 0)], sub=True)   # mode 3 in green
+    bw.write(0, 1)
+    # px(0,0)=10 (+ff000000); px(1,0)=+L=5 → 15; px(0,1)=+T=20 → 30;
+    # px(1,1): TR wraps to row 1's leftmost = 30 → +0 = 30 (the old
+    # top-fallback predicted 15 and decoded 15)
+    literal_stream(bw, [(255, 10, 10, 10), (0, 5, 5, 5),
+                        (0, 20, 20, 20), (0, 0, 0, 0)])
+    out = C.decode_webp(container(bw))
+    assert out.tolist() == [[[10, 10, 10], [15, 15, 15]],
+                            [[30, 30, 30], [30, 30, 30]]]
+
+    # (b) Select (mode 11) ties go to TOP: L=10, T=20, TL=15 → the
+    # gradient prediction is equidistant, spec picks T.
+    bw = C._LsbBitWriter()
+    header(bw, 2, 2)
+    bw.write(1, 1); bw.write(0, 2); bw.write(0, 3)
+    literal_stream(bw, [(0, 0, 11, 0)], sub=True)  # mode 11 in green
+    bw.write(0, 1)
+    literal_stream(bw, [(255, 15, 15, 15), (0, 5, 5, 5),
+                        (0, 5, 5, 5), (0, 0, 0, 0)])
+    # canvas: (0,0)=15; (1,0)=15+5=20 (L); (0,1)=15+5=20 (T)... wait
+    # L for (1,1) is 20, T is 20? use asymmetric residuals instead:
+    out = C.decode_webp(container(bw))
+    # (0,0)=15, (1,0)=20, (0,1)=20, (1,1): L=20, T=20, TL=15 →
+    # pred=L+T-TL=25, |25-20|=5 both → tie → T=20 → +0 = 20
+    assert out.tolist()[1][1] == [20, 20, 20]
+
+    bw = C._LsbBitWriter()
+    header(bw, 2, 2)
+    bw.write(1, 1); bw.write(0, 2); bw.write(0, 3)
+    literal_stream(bw, [(0, 0, 11, 0)], sub=True)
+    bw.write(0, 1)
+    # make L=10, T=20, TL=15: residuals (0,0)=15, (1,0)=+T? no — (1,0)
+    # adds L: 15+(-5)%256=251 → wraps. Use: (0,0)=15, (1,0)=+L res 5 →
+    # T-row pixel 20; (0,1)=+T res 251 → (15+251)%256=10 → L=10;
+    # (1,1): L=10, T=20, TL=15, pl=|15-10|=5, pt=|15-20|=5 → tie → T.
+    literal_stream(bw, [(255, 15, 15, 15), (0, 5, 5, 5),
+                        (0, 251, 251, 251), (0, 0, 0, 0)])
+    out = C.decode_webp(container(bw))
+    assert out.tolist() == [[[15, 15, 15], [20, 20, 20]],
+                            [[10, 10, 10], [20, 20, 20]]]
+
     # --- color transform: g2r=16 over one block ----------------------
     bw = C._LsbBitWriter()
     header(bw, 1, 1)
