@@ -17,9 +17,24 @@ size). The fitted log-log slope vs store scale is the exponent: ~0 is
 flat, ~1 means the fold secretly rewrites or rescans the store.
 
 NEGATIVE CONTROL: scd2_rebuild_control rebuilds the FULL history from
-the FULL log per "batch" (what a naive maintenance loop would do) —
-it must read slope ~1 with a large constant, demonstrating the probe
-detects store-sized work where the fold paths avoid it.
+the FULL log per "batch" (what a naive maintenance loop would do).
+Because fixed per-job Spark overhead (~0.5-0.7 s) dominates at fixture
+sizes, a log-log slope UNDER-reads affine growth (c + m·k fits as a
+small exponent) — so the probe reports BOTH the log-log slope and the
+least-squares MARGINAL cost m (sec per 1x of store growth): the
+discriminating criterion is the control's m being large and positive
+while every fold's |m| stays near zero (round-12 review fix — the
+original slope-only criterion had no power against store-sized work
+hidden under the overhead).
+
+SCD2 bucket-pruning note (round-12 review fix): the delta is 3
+entities — small enough that only ~3 of the log/history buckets are
+touched, so the fold's pruned path (NOT a full-store rewrite) is what
+gets timed — and n_log_buckets scales with the store (16·k), the
+production deployment rule that makes per-fold I/O flat. The ER delta
+uses BASE-SHAPED names (last-4-char perturbations of real replica
+names) so the delta×base block join and touched-cluster relabel — the
+store-coupled work — actually run.
 
 Usage: python tools/maintenance_probe.py [base_sf_dir] [out_json]
 """
@@ -96,7 +111,7 @@ def build_replicas(base: str, root: str) -> dict[int, str]:
 
 
 def _fit(per_scale: dict[str, float],
-         scales: list[int] = SCALES) -> tuple[float, list[float]]:
+         scales: list[int] = SCALES) -> tuple[float, list[float], float]:
     xs = [math.log(k) for k in scales]
     ys = [math.log(max(per_scale[str(k)], 1e-3)) for k in scales]
     mx, my = sum(xs) / len(xs), sum(ys) / len(ys)
@@ -104,7 +119,14 @@ def _fit(per_scale: dict[str, float],
         / sum((x - mx) ** 2 for x in xs)
     steps = [round(math.log2(per_scale[str(b)] / per_scale[str(a)]), 2)
              for a, b in zip(scales, scales[1:])]
-    return round(slope, 2), steps
+    # affine fit sec = c + m·k: m is the marginal cost per 1x of store
+    # growth — the metric with POWER when fixed overhead dominates
+    ks = [float(k) for k in scales]
+    vs = [per_scale[str(k)] for k in scales]
+    mk, mv = sum(ks) / len(ks), sum(vs) / len(vs)
+    m = sum((k - mk) * (v - mv) for k, v in zip(ks, vs)) \
+        / sum((k - mk) ** 2 for k in ks)
+    return round(slope, 2), steps, round(m, 4)
 
 
 def main() -> None:
@@ -134,53 +156,72 @@ def main() -> None:
     # re-runnability: folds mutate standing stores, so a re-run must not
     # collide with a previous run's batch ids / record ids (a replayed
     # batch is a ledger no-op and an already-appended id anti-joins
-    # away — both would measure nothing). The nonce keys this run's
-    # deltas; batch ids advance from each store's own ledger.
-    nonce = (int(time.time()) % 9000) + 1
+    # away — both would measure nothing). A PERSISTED counter next to
+    # the stores keys this run's deltas (round-12 review fix: the old
+    # time-derived nonce wrapped every 2.5 h and could silently reuse
+    # ids); batch ids advance from each store's own ledger.
+    ctr_path = os.path.join(root, "RUN_COUNTER")
+    try:
+        with open(ctr_path) as fh:
+            nonce = int(fh.read().strip()) + 1
+    except (OSError, ValueError):
+        nonce = 1
+    with open(ctr_path, "w") as fh:
+        fh.write(str(nonce))
 
     def record(name: str, per_scale: dict[str, float],
                scales: list[int] = SCALES) -> None:
-        slope, steps = _fit(per_scale, scales)
+        slope, steps, m = _fit(per_scale, scales)
         results[name] = {"sec": per_scale, "slope": slope,
-                         "step_slopes": steps}
-        print(f"[probe] {name}: slope {slope:.2f} steps {steps}",
-              file=sys.stderr)
+                         "step_slopes": steps, "marginal_sec_per_x": m}
+        print(f"[probe] {name}: slope {slope:.2f} marginal {m:+.4f}s/x "
+              f"steps {steps}", file=sys.stderr)
 
     ATTEMPTS = 3
 
-    # ---- SCD2 fold: fixed 50-entity / 100-row delta per attempt -----
+    # ---- SCD2 fold: fixed 3-entity / 6-row delta per attempt --------
+    # 3 entities touch <= 3 of the store's buckets, so the timed fold
+    # runs the PRUNED path (round-12 review fix: a 50-entity delta hit
+    # ~all 16 buckets and timed a de-facto full-store rewrite)
     def scd2_delta(attempt: int):
         rows = [
             (900_000_000 + nonce * 100_000 + attempt * 1000 + e,
              f"state_{nonce}_{attempt}_{i}",
              f"2026-0{attempt + 1}-0{1 + i} 00:00:00",
              1_000_000_000 + nonce * 100_000 + attempt * 1000 + e * 2 + i)
-            for e in range(50) for i in range(2)
+            for e in range(3) for i in range(2)
         ]
         return spark.createDataFrame(
             rows, "user_id bigint, event_type string, ts string, "
                   "event_id bigint",
         ).withColumn("ts", F.col("ts").cast("timestamp"))
 
+    from priority_data_pipeline_azure_sql_db_spark.streaming.sink import (
+        _read_rollup_pointer,
+    )
+
     per = {}
     for k in CONTROL_SCALES:
-        store = os.path.join(root, f"scd2_store_x{k}")
+        # production bucket rule: n_log_buckets scales with the store
+        # (16·k), which is what makes per-fold I/O flat — a FIXED
+        # bucket count is the documented linear-with-small-constant
+        # configuration (touched/n_buckets of the store per fold)
+        store = os.path.join(root, f"scd2_store_v2_x{k}")
+        nb = 16 * k
         if not os.path.exists(os.path.join(store, "CURRENT")):
             shutil.rmtree(store, ignore_errors=True)
             log = spark.read.parquet(f"{dirs[k]}/events.parquet").select(
                 "user_id", "event_type", "ts", "event_id")
             fold_scd2_batch(spark, store, log, 1, ["user_id"],
-                            ["event_type"], "ts", ["event_id"])
-        from priority_data_pipeline_azure_sql_db_spark.streaming.sink import (
-            _read_rollup_pointer,
-        )
+                            ["event_type"], "ts", ["event_id"],
+                            n_log_buckets=nb)
         last_bid, _ = _read_rollup_pointer(store)
         best = math.inf
         for a in range(ATTEMPTS):
             t0 = time.time()
             fold_scd2_batch(spark, store, scd2_delta(a), last_bid + 1 + a,
                             ["user_id"], ["event_type"], "ts",
-                            ["event_id"])
+                            ["event_id"], n_log_buckets=nb)
             best = min(best, time.time() - t0)
         per[str(k)] = round(best, 3)
         print(f"[probe] scd2_fold x{k}: {best:.3f}s", file=sys.stderr)
@@ -216,9 +257,6 @@ def main() -> None:
                         F.sum("value").alias("sv")))
             fold_rollup_batch(spark, store, agg, 1,
                               ["user_id", "event_type"], ["n", "sv"])
-        from priority_data_pipeline_azure_sql_db_spark.streaming.sink import (
-            _read_rollup_pointer,
-        )
         last_bid, _ = _read_rollup_pointer(store)
         best = math.inf
         for a in range(ATTEMPTS):
@@ -273,6 +311,12 @@ def main() -> None:
                            id_col="c_custkey",
                            block_cols=["c_nationkey", "_name_block"],
                            max_edit=2)
+        # the real (custkey → nationkey) of the 50 perturbation targets:
+        # the compound block key needs the TRUE nationkey to match
+        nk = {r.c_custkey: r.c_nationkey for r in
+              spark.read.parquet(f"{dirs[k]}/customer.parquet")
+              .filter(F.col("c_custkey") <= 50)
+              .select("c_custkey", "c_nationkey").collect()}
         best = math.inf
         for a in range(ATTEMPTS):
             # c_nationkey is int32 in the fixture — a bigint delta
