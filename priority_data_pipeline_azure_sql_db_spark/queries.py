@@ -2909,9 +2909,14 @@ def window_range_trailing_30d(spark, sf_dir):
     "streaming_session_counts",
     """
     WITH flagged AS (
+        -- full-precision gap, split on STRICTLY greater (round-12
+        -- review: Spark's session_window MERGES an exactly-gap pair
+        -- and timestamps carry microseconds the old epoch_ms diff
+        -- truncated away — both sides of a shared misunderstanding)
         SELECT user_id, ts, event_id,
-               CASE WHEN epoch_ms(CAST(ts AS TIMESTAMP))
-                         - epoch_ms(LAG(CAST(ts AS TIMESTAMP)) OVER w) >= 1800000
+               CASE WHEN CAST(ts AS TIMESTAMP)
+                         - LAG(CAST(ts AS TIMESTAMP)) OVER w
+                         > INTERVAL 30 MINUTE
                          OR LAG(ts) OVER w IS NULL
                     THEN 1 ELSE 0 END AS new_session
         FROM events
@@ -2935,9 +2940,15 @@ def streaming_session_counts(spark, sf_dir):
     """Structured Streaming session_window twin of events_sessionize.
 
     Semantics differences vs the batch lag-gap query, mirrored exactly in
-    the oracle: a gap of EXACTLY the 30-minute timeout starts a new
-    session (session intervals are half-open [ts, ts+gap), adjacent ≠
-    overlapping), and session_end is last-event + gap, not max(ts)."""
+    the oracle: Spark's session_window MERGES two events whose gap
+    equals the timeout (sessions are [ts, last+gap) and windows that
+    merely TOUCH are coalesced — verified empirically on 4.1.2; only a
+    strictly greater gap splits, so the oracle's boundary is
+    `gap > INTERVAL 30 MINUTE` at full microsecond precision), and
+    session_end is last-event + gap, not max(ts). Round-12 review fix:
+    the previous oracle split at >= on millisecond-truncated diffs —
+    the inverted boundary passed the hash only because the frozen
+    fixtures contain no exactly-gap pair."""
     from .streaming.events import read_events_stream, run_streaming_to_memory, sessionized_counts
 
     stream = read_events_stream(spark, sf_dir)
@@ -2981,7 +2992,13 @@ def streaming_dedup_events(spark, sf_dir):
     is a self-UNION of the events source — every event arrives twice —
     and the dedup must collapse it back to one row per event_id. State is
     watermark-bounded (streaming/events.py docstring). Deterministic
-    because duplicate arrivals are identical rows."""
+    because duplicate arrivals are identical rows. CONTRACT BOUNDARY
+    (round-12 review): the operator covers at-least-once REDELIVERY
+    (byte-identical duplicates); two source rows sharing an event_id
+    with DIFFERENT payloads are a data-quality error upstream — Spark
+    keeps the nondeterministic first arrival there, which no
+    deterministic oracle can express, and the full-projection DISTINCT
+    twin is key-dedup exactly on the redelivery contract."""
     from .streaming.events import dedup_events_stream, read_events_stream, run_streaming_to_memory
 
     doubled = read_events_stream(spark, sf_dir).unionByName(
@@ -3866,18 +3883,27 @@ def streaming_sliding_counts(spark, sf_dir):
 @query(
     "streaming_static_join",
     """
-    SELECT CASE WHEN event_type IN ('click', 'view') THEN 'browse'
-                WHEN event_type IN ('purchase', 'signup') THEN 'convert'
-                ELSE 'ops' END AS category,
+    -- explicit INNER join against the same 5-row dim (round-12 review:
+    -- the old CASE ... ELSE 'ops' silently COUNTED any event_type the
+    -- dim lacks, where the Spark side's inner join DROPS it — the two
+    -- coincided only because the fixture's domain equals the dim's)
+    SELECT d.category,
            CAST(COUNT(*) AS BIGINT) AS n_events,
-           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
-    FROM events GROUP BY 1
+           CAST(SUM(CAST(e.value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+    FROM events e
+    JOIN (VALUES ('click', 'browse'), ('view', 'browse'),
+                 ('purchase', 'convert'), ('signup', 'convert'),
+                 ('error', 'ops')) AS d(event_type, category)
+      ON e.event_type = d.event_type
+    GROUP BY 1
     """,
 )
 def streaming_static_join(spark, sf_dir):
     """Stream-static broadcast enrichment: the streaming side joins a
     static dimension (planned per micro-batch, stateless) before a
-    grouped aggregate — the canonical enrichment shape."""
+    grouped aggregate — the canonical enrichment shape. The oracle is
+    the same INNER join, so an event_type outside the dim drops on
+    both sides."""
     from .streaming.events import (
         read_events_stream,
         run_streaming_to_memory,

@@ -113,8 +113,12 @@ def click_error_join_stream(spark: SparkSession, sf_dir: str,
     interval, so state is bounded by the time window, not the stream. The
     batch twin is ``range_join_close_events``'s bucketized form.
     """
+    # ONE source read: the footer-schema probe + nanosAsLong conf-set
+    # inside read_events_stream need to run once, not per join side
+    # (round-12 review)
+    src = read_events_stream(spark, sf_dir)
     clicks = (
-        read_events_stream(spark, sf_dir)
+        src
         .filter(F.col("event_type") == "click")
         .select(
             F.col("event_id").alias("click_id"),
@@ -124,7 +128,7 @@ def click_error_join_stream(spark: SparkSession, sf_dir: str,
         .withWatermark("click_ts", watermark)
     )
     errors = (
-        read_events_stream(spark, sf_dir)
+        src
         .filter(F.col("event_type") == "error")
         .select(
             F.col("event_id").alias("error_id"),
@@ -164,7 +168,12 @@ def run_streaming_to_memory(agg: DataFrame, mode: str = "complete") -> DataFrame
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination()
+    # bounded like the sink drains (round-12 review): the documented
+    # state-store wedge class must surface as an error row, not hang
+    # the whole comparator/bench session forever
+    if not q.awaitTermination(300):
+        q.stop()
+        raise RuntimeError("streaming drain did not finish within 300s")
     sunk = spark.sql(f"SELECT * FROM {name}")
     out = spark.createDataFrame(sunk.collect(), sunk.schema)
     spark.catalog.dropTempView(name)

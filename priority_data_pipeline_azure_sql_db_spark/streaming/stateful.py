@@ -29,18 +29,32 @@ STATE_SCHEMA = T.StructType([
 ])
 
 
-def _update(key, pdfs, state: GroupState):
-    import pandas as pd
-
-    n, v = state.get if state.exists else (0, 0.0)
+def _accumulate(prior: tuple, pdfs) -> tuple:
+    """The ONE accumulate rule all three stateful variants share
+    (round-12 review: three hand-synced copies of this body risked the
+    gate-tested eviction path and the TWS twin silently diverging from
+    the hash-checked default path)."""
+    n, v = prior
     for pdf in pdfs:
         n += len(pdf)
         v += float(pdf["value"].sum())
-    state.update((n, v))
-    yield pd.DataFrame(
+    return n, v
+
+
+def _emit(key, n: int, v: float):
+    """The ONE emit/alert rule (alert threshold lives here only)."""
+    import pandas as pd
+
+    return pd.DataFrame(
         {"user_id": [key[0]], "n_events_total": [n], "value_total": [v],
          "alert": [v > 1000.0]}
     )
+
+
+def _update(key, pdfs, state: GroupState):
+    n, v = _accumulate(state.get if state.exists else (0, 0.0), pdfs)
+    state.update((n, v))
+    yield _emit(key, n, v)
 
 
 def running_user_totals(
@@ -72,21 +86,13 @@ def running_user_totals(
         )
 
     def _update_evicting(key, pdfs, state: GroupState):
-        import pandas as pd
-
         if state.hasTimedOut:
             state.remove()
             return
-        n, v = state.get if state.exists else (0, 0.0)
-        for pdf in pdfs:
-            n += len(pdf)
-            v += float(pdf["value"].sum())
+        n, v = _accumulate(state.get if state.exists else (0, 0.0), pdfs)
         state.update((n, v))
         state.setTimeoutDuration(idle_timeout_ms)
-        yield pd.DataFrame(
-            {"user_id": [key[0]], "n_events_total": [n], "value_total": [v],
-             "alert": [v > 1000.0]}
-        )
+        yield _emit(key, n, v)
 
     return (
         events.groupBy("user_id")
@@ -123,18 +129,11 @@ def running_user_totals_tws(events: DataFrame) -> DataFrame:
             self._totals = handle.getValueState("totals", STATE_SCHEMA)
 
         def handleInputRows(self, key, rows, timerValues):
-            import pandas as pd
-
-            prior = self._totals.get() if self._totals.exists() else (0, 0.0)
-            n, v = prior
-            for pdf in rows:
-                n += len(pdf)
-                v += float(pdf["value"].sum())
+            prior = (self._totals.get() if self._totals.exists()
+                     else (0, 0.0))
+            n, v = _accumulate(prior, rows)
             self._totals.update((n, v))
-            yield pd.DataFrame(
-                {"user_id": [key[0]], "n_events_total": [n],
-                 "value_total": [v], "alert": [v > 1000.0]}
-            )
+            yield _emit(key, n, v)
 
         def close(self) -> None:
             pass

@@ -618,6 +618,50 @@ def test_streaming_session_windows(spark, sf_dir):
     assert total == load_table(spark, sf_dir, "events").count()
 
 
+def test_streaming_session_gap_boundary(spark):
+    """Round-12 review fix (the shared-misunderstanding class): Spark's
+    session_window MERGES two events whose gap EQUALS the timeout —
+    windows that touch coalesce; only a strictly greater gap splits.
+    The old oracle (and docstring) asserted the opposite and passed the
+    hash only because the frozen fixtures contain no exactly-gap pair.
+    Pinned at microsecond precision on a synthetic stream."""
+    import os
+    import tempfile
+
+    from priority_data_pipeline_azure_sql_db_spark.streaming.events import (
+        run_streaming_to_memory,
+        sessionized_counts,
+    )
+
+    rows = [
+        # user 1: gap EXACTLY 1800s → ONE session of 2
+        (1, "2026-01-01 00:00:00.000000", 10),
+        (1, "2026-01-01 00:30:00.000000", 11),
+        # user 2: gap 1800.000001s → TWO sessions
+        (2, "2026-01-01 00:00:00.000000", 20),
+        (2, "2026-01-01 00:30:00.000001", 21),
+        # user 3: gap 1799.9999s (sub-ms below) → ONE session — the ms-
+        # truncated oracle diff would have read this as exactly 1800000
+        (3, "2026-01-01 00:00:00.000900", 30),
+        (3, "2026-01-01 00:30:00.000100", 31),
+    ]
+    src = os.path.join(tempfile.mkdtemp(prefix="sess_gap_"), "ev")
+    spark.createDataFrame(
+        rows, "user_id bigint, ts string, event_id bigint"
+    ).withColumn("ts", F.col("ts").cast("timestamp")) \
+        .write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(
+        "user_id bigint, ts timestamp, event_id bigint").parquet(src)
+    out = run_streaming_to_memory(sessionized_counts(stream),
+                                  mode="complete")
+    per_user = {}
+    for r in out.collect():
+        per_user.setdefault(r.user_id, []).append(r.n_events)
+    assert sorted(per_user[1]) == [2]      # exactly-gap pair merged
+    assert sorted(per_user[2]) == [1, 1]   # strictly-greater gap split
+    assert sorted(per_user[3]) == [2]      # sub-ms-below gap merged
+
+
 def test_dedup_index_build_serve_matches_oneshot(spark, sf_dir, tmp_path):
     """Persisted fingerprint store round-trip is value-invisible: the
     serve-path pairs equal the one-shot operators' pairs for both
