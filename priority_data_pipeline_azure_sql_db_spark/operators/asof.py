@@ -13,7 +13,13 @@ cross-table generalization.)
 Semantics match pandas ``merge_asof``: ``direction='backward'`` takes the
 latest right row with ``r_ts <= l_ts`` (``allow_exact_matches=False`` →
 strictly ``<``); ``'forward'`` the earliest with ``r_ts >= l_ts``.
-``tolerance`` (seconds) drops matches further than that from the left ts.
+``tolerance`` (seconds) drops matches further than that from the left ts
+and must be positive (pandas raises; so do we). NULL timestamps
+(round-12 review — pandas raises 'Merge keys contain null values'): a
+distributed operator can't cheaply pre-raise without an extra action,
+so the DOCUMENTED deviation is deterministic null semantics instead of
+fabricated matches — right rows with a NULL ts never match anything,
+left rows with a NULL ts come back unmatched.
 """
 
 from __future__ import annotations
@@ -38,6 +44,9 @@ def asof_join(
     as-of match in ``right``; unmatched rows keep nulls."""
     if direction not in ("backward", "forward"):
         raise ValueError(f"direction must be backward|forward, got {direction!r}")
+    if tolerance_seconds is not None and tolerance_seconds <= 0:
+        # a sign error would silently drop EVERY match (gap >= 0 always)
+        raise ValueError("tolerance_seconds must be positive")
 
     # Right rows must sort before left rows at equal ts for inclusive
     # matches (so the frame up to the current row sees them), after for
@@ -48,7 +57,10 @@ def asof_join(
     rv = F.struct(
         F.col(right_ts).alias("__rts"), *[F.col(c) for c in right_cols]
     ).alias("__rv")
-    r_tagged = right.select(
+    # NULL-ts right rows would sort NULLS-FIRST (backward) and become
+    # the carried 'latest' for every real left row — fabricated matches
+    # pandas would have raised on (round-12 review fix)
+    r_tagged = right.filter(F.col(right_ts).isNotNull()).select(
         *[F.col(c) for c in on],
         F.col(right_ts).alias("__ts"),
         F.lit(r_prio).alias("__prio"),
@@ -92,6 +104,11 @@ def asof_join(
             "__match", F.when(gap <= tolerance_seconds, F.col("__match"))
         )
 
+    # NULL-ts left rows are unmatched by definition (forward sort put
+    # them NULLS-LAST where they'd swallow the earliest right row)
+    merged = merged.withColumn(
+        "__match", F.when(F.col("__ts").isNotNull(), F.col("__match"))
+    )
     out = merged.select(
         *[F.col(f"__lrow.{c}").alias(c) for c in left.columns],
         F.col("__match.__rts").alias(f"{right_ts}{suffix}"),

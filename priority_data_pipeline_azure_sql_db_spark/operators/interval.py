@@ -36,34 +36,36 @@ def interval_join(
     names; callers should pre-alias collisions."""
     if upper_seconds <= lower_seconds:
         raise ValueError("upper_seconds must exceed lower_seconds")
-    # Round the ms bounds FIRST and derive the bucket width from them, so
+    # Round the µs bounds FIRST and derive the bucket width from them, so
     # the two-bucket candidate generation and the delta filter agree by
-    # construction: independent truncation could make width_ms < up_ms -
-    # lo_ms for fractional bounds (e.g. lower=0.0009, upper=1.0 → width
-    # 999 vs span 1000), silently dropping pairs in the gap; int() also
-    # truncates toward zero for negative lower bounds, shifting by 1ms.
-    lo_ms = round(lower_seconds * 1000)
-    up_ms = round(upper_seconds * 1000)
-    width_ms = up_ms - lo_ms
-    if width_ms < 1:
+    # construction: independent truncation could make width < span for
+    # fractional bounds, silently dropping pairs in the gap; int() also
+    # truncates toward zero for negative lower bounds. MICROseconds
+    # (round-12 review fix): timestamps carry µs components that a
+    # millisecond delta truncated, so a same-ms/different-µs pair and a
+    # boundary straddle both diverged from exact-comparison twins.
+    lo_us = round(lower_seconds * 1_000_000)
+    up_us = round(upper_seconds * 1_000_000)
+    width_us = up_us - lo_us
+    if width_us < 1:
         raise ValueError(
-            "interval narrower than 1ms: bucket width rounds to zero "
+            "interval narrower than 1µs: bucket width rounds to zero "
             f"(lower={lower_seconds}s, upper={upper_seconds}s)"
         )
 
-    l = left.withColumn("__lms", F.unix_millis(F.col(left_ts)))
-    r = right.withColumn("__rms", F.unix_millis(F.col(right_ts)))
+    l = left.withColumn("__lus", F.unix_micros(F.col(left_ts)))
+    r = right.withColumn("__rus", F.unix_micros(F.col(right_ts)))
     # left row spans buckets [base, base+1] of the shifted right timeline:
     # r in (l+lo, l+up] ⇒ floor((r-lo)/width) ∈ {floor(l/width), +1}
-    base = F.floor((F.col("__lms")) / width_ms)
+    base = F.floor((F.col("__lus")) / width_us)
     l = l.withColumn("__bucket", F.explode(F.array(base, base + 1)))
-    r = r.withColumn("__bucket", F.floor((F.col("__rms") - lo_ms) / width_ms))
+    r = r.withColumn("__bucket", F.floor((F.col("__rus") - lo_us) / width_us))
 
-    delta = F.col("__rms") - F.col("__lms")
-    lo_ok = delta >= lo_ms if inclusive_lower else delta > lo_ms
-    up_ok = delta <= up_ms if inclusive_upper else delta < up_ms
+    delta = F.col("__rus") - F.col("__lus")
+    lo_ok = delta >= lo_us if inclusive_lower else delta > lo_us
+    up_ok = delta <= up_us if inclusive_upper else delta < up_us
     return (
         l.join(r, [*on, "__bucket"])
         .filter(lo_ok & up_ok)
-        .drop("__bucket", "__lms", "__rms")
+        .drop("__bucket", "__lus", "__rus")
     )

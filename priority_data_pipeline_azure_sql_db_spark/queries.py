@@ -1147,10 +1147,20 @@ def percentiles_quantity(spark, sf_dir):
     "asof_last_click_before_error",
     """
     WITH marked AS (
+        -- clicks sort BEFORE errors at an equal ts (the boolean sort
+        -- key), so a same-instant click IS the as-of match — pandas
+        -- merge_asof's allow_exact_matches=True default. Round-12
+        -- review fix: the old (ts, event_id) order + 1-PRECEDING frame
+        -- counted a same-ts click only when its event_id happened to
+        -- sort first — neither merge_asof mode, and the oracle shared
+        -- the misunderstanding (zero equal-ts pairs in the fixture hid
+        -- it).
         SELECT user_id, ts, event_id, event_type,
                last_value(CASE WHEN event_type = 'click' THEN ts END IGNORE NULLS)
-                   OVER (PARTITION BY user_id ORDER BY ts, event_id
-                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS last_click_ts
+                   OVER (PARTITION BY user_id
+                         ORDER BY ts, event_type = 'error', event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS last_click_ts
         FROM events
     )
     SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts,
@@ -1163,12 +1173,15 @@ def asof_last_click_before_error(spark, sf_dir):
     last_value — the single-pass, shuffle-once form of merge_asof.
     Spark lacks a native as-of join; this is the scale pattern for
     same-table as-of. Cross-table as-of = union the two sides tagged,
-    then this same window."""
+    then this same window. Equal-timestamp semantics are merge_asof's
+    allow_exact_matches=True: clicks sort before errors at a tied ts,
+    and the frame includes the current row (the error itself marks
+    NULL, so it never matches itself)."""
     e = load_table(spark, sf_dir, "events")
     w = (
         Window.partitionBy("user_id")
-        .orderBy("ts", "event_id")
-        .rowsBetween(Window.unboundedPreceding, -1)
+        .orderBy("ts", F.col("event_type") == "error", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
     )
     marked = e.select(
         "event_id", "user_id", "ts", "event_type",
@@ -1196,26 +1209,33 @@ def range_join_close_events(spark, sf_dir):
     event joins only its own and the next 60s bucket, so the match space
     is O(events × bucket density), not O(events²) — the standard interval
     join decomposition for engines without a native range join."""
+    # full MICROsecond precision (round-12 review fix: unix_millis
+    # truncated sub-ms components the oracle compares exactly — a
+    # same-ms/different-µs pair or a 60s-boundary straddle diverged);
+    # buckets stay a coarse prefilter, the refine is exact. The old
+    # trailing .distinct() was dead weight: b carries ONE bucket per
+    # event, so each qualifying pair appears exactly once.
     e = load_table(spark, sf_dir, "events").select(
-        "event_id", "user_id", "ts", F.unix_millis("ts").alias("ms")
+        "event_id", "user_id", "ts", F.unix_micros("ts").alias("us")
     )
     a = e.select(
         F.col("event_id").alias("id_a"), F.col("user_id").alias("u"),
-        F.col("ms").alias("ms_a"),
+        F.col("us").alias("us_a"),
         F.explode(
-            F.array(F.floor(F.col("ms") / 60000), F.floor(F.col("ms") / 60000) + 1)
+            F.array(F.floor(F.col("us") / 60_000_000),
+                    F.floor(F.col("us") / 60_000_000) + 1)
         ).alias("bucket"),
     )
     b = e.select(
         F.col("event_id").alias("id_b"), F.col("user_id").alias("u"),
-        F.col("ms").alias("ms_b"),
-        F.floor(F.col("ms") / 60000).alias("bucket"),
+        F.col("us").alias("us_b"),
+        F.floor(F.col("us") / 60_000_000).alias("bucket"),
     )
     return (
         a.join(b, ["u", "bucket"])
-        .filter((F.col("ms_b") > F.col("ms_a")) & (F.col("ms_b") <= F.col("ms_a") + 60000))
+        .filter((F.col("us_b") > F.col("us_a"))
+                & (F.col("us_b") <= F.col("us_a") + 60_000_000))
         .select("id_a", "id_b")
-        .distinct()
     )
 
 

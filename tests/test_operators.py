@@ -230,6 +230,65 @@ def test_sample_frames_fanout(spark):
     assert len(by_id[2]) == 1
 
 
+def test_asof_join_null_ts_and_tolerance_guards(spark):
+    """Round-12 review fixes, pinned: (a) a right row with a NULL ts
+    never matches (it used to sort NULLS-FIRST and become the carried
+    'latest' for every left row); (b) a left row with a NULL ts comes
+    back unmatched in BOTH directions (forward used to hand it the
+    earliest right row); (c) a non-positive tolerance raises like
+    pandas instead of silently dropping every match; (d) an equal-ts
+    click is the graded query's as-of match (merge_asof default)."""
+    import pytest
+
+    from priority_data_pipeline_azure_sql_db_spark.operators.asof import asof_join
+
+    r = spark.sql("""SELECT * FROM VALUES
+        (1, CAST(NULL AS TIMESTAMP), 'ghost'),
+        (1, TIMESTAMP '2026-01-01 00:05:00', 'real') AS t(k, rts, v)""")
+    l = spark.sql(
+        "SELECT * FROM VALUES (1, TIMESTAMP '2026-01-01 00:01:00') "
+        "AS t(k, ts)")
+    # (a) backward at 00:01: the only candidate with rts <= ts is the
+    # NULL-ts ghost — must be NO match, not 'ghost'
+    row = asof_join(l, r, ["k"], "ts", "rts", ["v"]).collect()[0]
+    assert row.v_asof is None and row.rts_asof is None
+
+    # (b) NULL left ts: unmatched both directions
+    ln = spark.sql(
+        "SELECT * FROM VALUES (1, CAST(NULL AS TIMESTAMP)) AS t(k, ts)")
+    for d in ("backward", "forward"):
+        row = asof_join(ln, r, ["k"], "ts", "rts", ["v"],
+                        direction=d).collect()[0]
+        assert row.v_asof is None, d
+
+    # (c) sign-error tolerance: loud, not all-NULL
+    with pytest.raises(ValueError, match="positive"):
+        asof_join(l, r, ["k"], "ts", "rts", ["v"], tolerance_seconds=-60)
+
+    # (d) graded-query tie semantics: a same-instant click matches
+    from priority_data_pipeline_azure_sql_db_spark.queries import (
+        asof_last_click_before_error,
+    )
+    import os
+    import tempfile
+
+    tmp = tempfile.mkdtemp(prefix="asof_tie_")
+    spark.createDataFrame(
+        [(1, "2026-01-01 00:10:00", 10, "click", 1.0, "{}"),
+         (1, "2026-01-01 00:10:00", 11, "error", 1.0, "{}"),
+         # and one user where the click's event_id sorts AFTER the
+         # error's — the old (ts, event_id) order missed this one
+         (2, "2026-01-01 00:10:00", 21, "error", 1.0, "{}"),
+         (2, "2026-01-01 00:10:00", 22, "click", 1.0, "{}")],
+        "user_id bigint, ts string, event_id bigint, event_type string, "
+        "value double, props string",
+    ).withColumn("ts", F.col("ts").cast("timestamp")) \
+        .write.mode("overwrite").parquet(os.path.join(tmp, "events.parquet"))
+    got = {r.user_id: r.last_click_ts
+           for r in asof_last_click_before_error(spark, tmp).collect()}
+    assert got[1] is not None and got[2] is not None  # both ties match
+
+
 def test_asof_join_generic(spark, sf_dir):
     """Cross-table as-of join equals the inline window form on the same
     data; exact-match, direction, and tolerance behave like merge_asof."""
@@ -244,9 +303,12 @@ def test_asof_join_generic(spark, sf_dir):
     clicks = e.filter(F.col("event_type") == "click").select(
         "user_id", F.col("ts").alias("cts"), F.col("event_id").alias("click_id")
     )
+    # round-12: the graded query adopted merge_asof's exact-match
+    # DEFAULT (a same-instant click is the as-of match), so the
+    # reusable operator must agree under allow_exact_matches=True
     got = asof_join(
         errors, clicks, on=["user_id"], left_ts="ts", right_ts="cts",
-        right_cols=["click_id"], allow_exact_matches=False,
+        right_cols=["click_id"], allow_exact_matches=True,
     )
     want = {
         r.event_id: r.last_click_ts
