@@ -69,6 +69,21 @@ def entry(spark: SparkSession) -> DataFrame:
 #     events_scd2_incremental/events_scd2_with_deletes/
 #     streaming_scd2_maintenance), and the streaming store moved to the
 #     BUCKETED history layout (fold swaps only touched _kb buckets).
+# (d) the streaming-windows spec-agreement pass: the SESSION oracle's
+#     gap boundary was inverted vs Spark's touch-merge semantics and
+#     ms-truncated (streaming_session_counts — oracle text changed),
+#     streaming_static_join's oracle became the same INNER join,
+#     streaming_dedup_events' contract boundary documented; plus
+#     bounded drains and the factored stateful accumulate (code under
+#     streaming_stateful_user_totals / streaming_stream_stream_join).
+# (e) the as-of/merge_asof spec-agreement pass:
+#     asof_last_click_before_error (query AND oracle moved to the
+#     allow_exact_matches=True tie rule), range_join_close_events
+#     (microsecond-precision refine, Spark side only), and the shared
+#     asof/interval operators' NULL-ts + tolerance guards.
+# All of (d)/(e) comparator-verified sf0.01 (changed oracles also
+# sf0.1) the session they changed; every (a)-(e) entry is r13-head
+# divergence-risk material alongside the r9 bucket.
 # NEW REGISTRATION (1, under the ≤10 cap): streaming_scd2_with_deletes
 # (VERDICT r11 ask #4 — tombstone-bearing multi-batch drain through the
 # streaming SCD2 store ≡ the batch one-pass boundary oracle; the
