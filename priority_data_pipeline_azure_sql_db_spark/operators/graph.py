@@ -19,13 +19,26 @@ Scale notes:
   pointer-jumping / large-star-small-star (Kiveris et al., "Connected
   Components in MapReduce and Beyond", SoCC'14) which converges in
   O(log n) rounds; near-dup graphs never need it, so this operator
-  keeps the simpler propagation with an explicit ``max_iter`` guard and
-  raises if the guard is hit without convergence (silent wrong
-  components are worse than a loud failure).
-- Labels are checkpoint-free: each round's DataFrame is a fresh lineage
-  from the (cached) edge list, so the plan doesn't deepen unboundedly —
-  the loop rebinds ``labels`` to a materialized local checkpoint every
-  ``_CHECKPOINT_EVERY`` rounds to cut lineage growth on long runs.
+  keeps the simpler propagation with an explicit ``max_iter`` guard
+  (default 50 — the loop exits on convergence, so a generous cap costs
+  nothing for normal graphs and only bounds pathological ones;
+  round-12 review raised it from 20, whose diameter-20 ceiling one
+  21-document drift chain could hit, and exposed the knob on
+  canonical_docs) and raises if the guard is hit without convergence
+  (silent wrong components are worse than a loud failure).
+- Lineage: the loop rebinds ``labels`` to a materialized checkpoint
+  every ``_CHECKPOINT_EVERY`` rounds (plans otherwise deepen by one
+  join+agg per round), and the EDGE list is checkpointed once up front
+  so per-round work never re-executes the edge source.
+- Cluster-deployment note (round-12 review): RELIABLE checkpoint files
+  (written when a checkpoint dir is set) are only garbage-collected by
+  Spark when ``spark.cleaner.referenceTracking.cleanCheckpoints=true``
+  (default false) and the RDD is GC'd — set that flag (and run
+  periodic checkpoint-dir GC) in long-lived drivers, or each
+  connected_components call leaks one materialized edge copy. The
+  returned labels frame is intentionally still cached: every caller
+  consumes it immediately into its own store; long-lived drivers that
+  don't should unpersist it.
 """
 
 from __future__ import annotations
@@ -40,9 +53,19 @@ def _truncate_lineage(df: DataFrame) -> DataFrame:
     """Eager checkpoint: reliable when the session has a checkpoint dir
     (cluster deployments — localCheckpoint blocks are executor-local
     and unrecoverable once lineage is truncated), local otherwise
-    (single-JVM mode, where executor loss is process death anyway)."""
+    (single-JVM mode, where executor loss is process death anyway).
+    The reliable branch persists FIRST: a bare checkpoint(eager=True)
+    computes the plan twice — once for the eager materialization, again
+    for the checkpoint write job (round-12 review; the exact
+    re-execution pathology the round-7 cache→checkpoint change was
+    made to avoid, reintroduced on the cluster path only)."""
     if df.sparkSession.sparkContext.getCheckpointDir():
-        return df.checkpoint(eager=True)
+        df = df.persist()
+        try:
+            ck = df.checkpoint(eager=True)
+        finally:
+            df.unpersist()
+        return ck
     return df.localCheckpoint(eager=True)
 
 
@@ -50,7 +73,7 @@ def connected_components(
     edges: DataFrame,
     src: str = "id_a",
     dst: str = "id_b",
-    max_iter: int = 20,
+    max_iter: int = 50,
 ) -> DataFrame:
     """Label every node of the undirected pair graph with its component's
     minimum node id. Returns (node, component).
@@ -107,6 +130,7 @@ def connected_components(
         labels = new_labels
         if changed == 0:
             return labels.select("node", F.col("label").alias("component"))
+    labels.unpersist()  # error path must not leak the last round's cache
     raise RuntimeError(
         f"connected_components did not converge in {max_iter} rounds — "
         "pathological diameter; raise max_iter or switch to pointer-jumping"
@@ -117,12 +141,13 @@ def canonical_docs(
     pairs: DataFrame,
     src: str = "id_a",
     dst: str = "id_b",
+    max_iter: int = 50,
 ) -> DataFrame:
     """Near-dup clustering summary: for every document in a near-dup
     component, its canonical (minimum) doc id and the cluster size.
     Returns (doc_id, canonical_id, cluster_size) for clustered docs only
     (singletons are by definition already canonical)."""
-    comp = connected_components(pairs, src, dst)
+    comp = connected_components(pairs, src, dst, max_iter=max_iter)
     sizes = comp.groupBy("component").agg(
         F.count(F.lit(1)).cast("bigint").alias("cluster_size")
     )
