@@ -25,6 +25,60 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The correctness driver evaluates the first 50 registry entries in order.
+# Round-13 rotation: the window VERDICT r12 published (ask #1), resolved
+# against the hard 50-slot limit. Composition, in order:
+# (1) the 10-entry r12 divergence-risk head — every entry whose code or
+#     oracle changed in round 12 WITHOUT a subsequent driver row (the
+#     r12 window ran BEFORE none of these; entries like
+#     streaming_session_counts / streaming_static_join /
+#     streaming_dedup_events / streaming_stream_stream_join /
+#     events_scd2_with_deletes that were IN the r12 window already have
+#     post-change driver evidence and are not re-listed):
+#     streaming_scd2_with_deletes (r12's one registration — first
+#     driver row), the four multi-pass ER serve queries
+#     (er_incremental_match, er_assign_to_golden, er_assign_from_store,
+#     er_store_append_serve — code AND shared recursive-CTE oracle
+#     moved to the (nation,prefix) ∪ (nation,suffix) blocking union),
+#     multimodal_codec_mix (seven-way VP8L upgrade),
+#     asof_last_click_before_error + range_join_close_events
+#     (merge_asof-conformance pass), streaming_scd2_maintenance
+#     (null-safe SCD2 collapse + bucketed history store),
+#     streaming_stateful_user_totals (factored stateful accumulate).
+# (2) the r9 bucket, r9 window order, MINUS dedup_boilerplate_lines
+#     (re-checked r10 → r10 bucket) = 49 entries, of which the FIRST 40
+#     fit this window. 10 + 40 = 50 exactly. The 9-entry tail spills to
+#     r14's head AHEAD of the r10 bucket, exactly as the r12 rotation
+#     comment pre-approved ("if over 50, the r9-bucket tail spills to
+#     r14's head"): profile_corpus_fingerprint, sample_multi_epoch_plan,
+#     profile_source_dup_pressure, pack_training_sequences,
+#     embedding_normalize, pack_document_chunks, text_vocab_topk,
+#     pipeline_curation_e2e, text_lm_quality_score. The spill set was
+#     chosen from the bucket TAIL excluding the late-r11
+#     definitions-pass members (events_conversion_funnel,
+#     events_conversion_latency, profile_quality_drift,
+#     profile_quantization_error — changed-definition divergence risk
+#     stays in-window). The spilled 9 turn 4-rounds-stale at their r14
+#     check — the one documented, pre-approved exception to the
+#     3-round invariant, paid once to give every r12 changed-oracle
+#     entry its first driver evidence now.
+#
+# RETIREMENT EXECUTED (r13, per the published P1 policy below):
+#   dedup_minhash_lsh RETIRED → its exact md5 twin dedup_minhash_lsh_md5
+#   (registered r8, hash-graded, judge-swept) grades the same
+#   shingle→minhash→band→bucket-join machinery end-to-end; the retiree
+#   keeps its pytest coverage and stays importable — only the registry
+#   slot is freed. Paired registration: text_html_extract (HTML
+#   main-content extraction — VERDICT r12 ask #6). Registry stays at
+#   200 (the ceiling), rows-only set shrinks to 7.
+#
+# Schedule from here:
+#   r13 (this file): r12 changed head (10) + r9 bucket head (40)
+#   r14: r9 spill (9) + text_html_extract first evidence (1) + r10
+#        bucket head (40); r10 tail (10) spills to r15
+#   r15: r10 spill (10) + r11 bucket head (40); r11 tail spills to r16
+#   r16: r11 spill + r12 bucket head
+#
+# Previous round's comment (kept for the audit trail):
 # Round-12 rotation: the window VERDICT r11 published verbatim (ask #1).
 # Composition, in order:
 # (1) the 3 round-11 late registrations — their first driver evidence
@@ -130,129 +184,61 @@ def entry(spark: SparkSession) -> DataFrame:
 #   r14: r10 bucket (50)
 #   r15: r11 bucket (50)
 #
-# Previous round's comment (kept for the audit trail):
-# The correctness driver evaluates the first 50 registry entries in order.
-# Round-11 rotation: the window VERDICT r10 published (ask #1), resolved
-# against the hard 50-slot limit. Composition, in order:
-# (1) the 10 round-10 late registrations, registry order — their first
-#     driver evidence (VERDICT r10's done criterion), and themselves the
-#     divergence-risk head: multimodal_video_frames / multimodal_codec_mix
-#     carry the r10 codec spec-agreement oracle changes (and codec_mix
-#     was upgraded AGAIN this round to the six-way profile incl. GIF —
-#     comparator-verified at sf0.01 AND sf0.1 the session it changed),
-#     export_curriculum_readback the physical-file-order check, and
-#     er_first_token_pairs was upgraded THIS round to the multi-pass
-#     (first-token ∪ last-token) blocking union (VERDICT r10 ask #4).
-# (2) the 40-entry r7 bucket, r7 window order — every entry last checked
-#     in round 7, turning 3-rounds-stale at this check (the staleness
-#     invariant's edge). This sweeps in 9 of the 16 token-count-changed
-#     oracle replays (profile_data_card, sample_source_budget,
-#     export_training_shards, export_jsonl_corpus, pipeline_curation_v2,
-#     sample_quality_weighted, pack_training_sequences_bpe,
-#     text_bpe_tokens, text_bpe_train).
-# 10 + 40 = 50 exactly: the two hard constraints (all r10 registrations
-# + the whole r7 bucket) consume the full window, so the REMAINING
-# changed-oracle divergence-risk set — ann_cosine_topk_lsh (rows-only →
-# full hash oracle) and the r8-bucket token-count/shingle replays
-# (text_quality_score, text_token_stats, text_cleaning_pass_profile,
-# dedup_contamination_check, pack_materialized_sequences,
-# pipeline_curation_incremental, dedup_fingerprint_docs,
-# text_winnow_fingerprints, dedup_winnow_pairs, dedup_ngram_jaccard,
-# dedup_minhash_lsh, dedup_simhash, dedup_simhash_pairs,
-# multimodal_real_codec) — rides at the r12 head with its own bucket:
-# they are ALL r8-bucket members, so r12 re-checks them on schedule
-# anyway. Each was comparator-verified at sf0.01 (and the oracle-text
-# set at sf0.1) the session it changed, plus full-sweep green.
-#
-# LATE ROUND-11 DEFINITIONS PASS (published-definition review over the
-# analytics family — see SURVEY.md): five entries changed code AND
-# oracle — events_conversion_funnel + events_conversion_latency
-# (ordered-subsequence semantics replacing the undercounting
-# global-MIN shortcut; latency floors the elapsed microseconds),
-# profile_quality_drift (KS at fix6 resolution — the 10k-bin form
-# could read 0.0 on fully drifted data), embedding_quantize_int8 +
-# profile_quantization_error (round-half-away-from-zero, the published
-# symmetric-absmax convention). Each verified at sf0.01 AND sf0.1 the
-# session it changed. Bucket placement: embedding_quantize_int8 is r8
-# bucket (r12 on schedule); the other four are r9 bucket (r13) — all
-# five are divergence-risk HEAD material for their window.
-#
-# ROTATION ARITHMETIC: window 50 × 4-round cycle = 200-entry registry
-# CEILING for the ≤3-round staleness invariant. Registry stands at 199
-# (196 carried + ann_cosine_topk_ivf RETIRED in favor of the new
-# ann_cosine_topk_ivf_full — VERDICT r10 ask #5: the full-probe twin is
-# EXACT, hash-checked against the brute-force oracle, so the rows-only
-# set shrinks to 8 and ann_ivf_index_persisted is the lone approximate
-# ANN rows-only — + multimodal_gif_codec, ask #8, +
-# events_scd2_with_deletes, the Kimball-review delete-handling gap).
-# ONE registration remains below the ceiling; beyond 200, retire an
-# entry each. Schedule from here:
-#   r11 (this file): r10 late regs (10) + r7 bucket (40)
-#   r12: r8 bucket (47 after the ivf retirement, incl.
-#        ann_cosine_topk_lsh + the changed-oracle replays named above)
-#        + r11's 3 late registrations (ann_cosine_topk_ivf_full,
-#        multimodal_gif_codec — the GIF decoder's every-pixel md5
-#        check — and events_scd2_with_deletes; each comparator-verified
-#        at sf0.01 AND sf0.1 the session it landed) = 50 exactly
-#   r13: r9 bucket (49) + 1 slack
-#   r14: r10 bucket (50)
-#   r15: r11 bucket (50)
-#
 CHECK_ORDER = [
-    # (1) the 3 round-11 late registrations — first driver evidence,
-    # divergence-risk head
-    "ann_cosine_topk_ivf_full",
-    "multimodal_gif_codec",
-    "events_scd2_with_deletes",
-    # (2) the r8 bucket (47 = 48 minus the retired ann_cosine_topk_ivf,
-    # turning 3-rounds-stale), r8 window order
-    "pack_length_bucket_batches",
-    "pack_length_bucket_batches_wide",
-    "multimodal_real_codec",
-    "pipeline_curation_incremental",
-    "pack_materialized_sequences",
-    "scalar_regex_funcs",
-    "sample_stratified_mix",
-    "approx_sketches",
-    "streaming_tumbling_counts",
-    "streaming_session_counts",
-    "streaming_dedup_events",
-    "streaming_stream_stream_join",
-    "streaming_sliding_counts",
-    "streaming_static_join",
-    "text_token_stats",
-    "text_quality_score",
-    "text_langid_heuristic",
-    "text_tfidf_top_terms",
-    "text_repetition_ratio",
-    "text_pii_scrub",
-    "text_cleaning_pass_profile",
-    "text_winnow_fingerprints",
-    "dedup_exact_docs",
-    "dedup_fingerprint_docs",
-    "dedup_ngram_jaccard",
-    "dedup_minhash_lsh",
-    "dedup_simhash",
-    "dedup_simhash_pairs",
-    "dedup_winnow_pairs",
-    "dedup_cluster_canonical",
-    "dedup_contamination_check",
-    "ann_cosine_topk",
-    "ann_cosine_topk_lsh",
-    "embedding_centroids",
-    "embedding_quantize_int8",
-    "events_json_extract",
-    "events_sessionize",
-    "events_multires_rollup",
-    "sample_documents_hash",
-    "pipeline_nest_explode_roundtrip",
-    "pipeline_cast_types",
-    "pipeline_merge_upsert",
-    "q2_min_cost_supplier",
-    "q11_important_parts",
-    "q12_late_shipment_priority",
-    "q16_supplier_part_counts",
-    "q20_heavy_suppliers",
+    # (1) the 10-entry r12 divergence-risk head — first driver
+    # evidence after the r12 code/oracle changes
+    "streaming_scd2_with_deletes",
+    "er_incremental_match",
+    "er_assign_to_golden",
+    "er_assign_from_store",
+    "er_store_append_serve",
+    "multimodal_codec_mix",
+    "asof_last_click_before_error",
+    "range_join_close_events",
+    "streaming_scd2_maintenance",
+    "streaming_stateful_user_totals",
+    # (2) the r9 bucket head (40 of 49, r9 window order; the
+    # 9-entry tail spills to r14 per the pre-approved policy)
+    "dedup_duplicated_spans",
+    "text_quality_classifier",
+    "sample_temperature_mix",
+    "filter_quality_quantile",
+    "sample_curriculum_rank",
+    "pipeline_snapshot_diff",
+    "events_rollup_incremental",
+    "events_scd2_user_state",
+    "sample_source_cap",
+    "dedup_gram_novelty",
+    "pipeline_curation_v3",
+    "dedup_span_removal",
+    "profile_quantization_error",
+    "multimodal_phash_dedup",
+    "pipeline_curation_funnel",
+    "multimodal_phash_near_dup",
+    "export_curriculum_shards",
+    "events_session_sequences",
+    "sample_eval_balanced",
+    "profile_table_stats",
+    "ann_negative_samples",
+    "streaming_rollup_maintenance",
+    "er_fuzzy_customer_pairs",
+    "er_golden_records",
+    "events_pit_enrichment",
+    "sample_soft_dedup",
+    "text_zipf_coverage",
+    "events_conversion_funnel",
+    "events_cohort_retention",
+    "events_transition_matrix",
+    "dq_validation_report",
+    "events_value_outliers",
+    "events_ab_lift",
+    "profile_value_histogram",
+    "events_gapfill_hourly",
+    "events_scd2_incremental",
+    "events_conversion_latency",
+    "dq_k_anonymity",
+    "profile_join_skew",
+    "profile_quality_drift",
 ]
 
 
