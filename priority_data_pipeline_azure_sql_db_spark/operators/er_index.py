@@ -240,7 +240,11 @@ def build_er_index(
         }, fh)
     cmap = _cluster_map(base, id_col, key_col, passes, max_edit)
     write_partitioned(
-        cmap.withColumn("_cb", _bucket_col("node", n_buckets)),
+        # one file per bucket (repartition ON the bucket key): the map
+        # is (node, cluster_id) rows — a per-bucket slice is small, and
+        # a 32-files-per-bucket layout taxes every serve/append read
+        cmap.withColumn("_cb", _bucket_col("node", n_buckets))
+        .repartition(F.col("_cb")),
         os.path.join(path, CLUSTERS_DIR), ["_cb"], what="ER cluster map",
     )
 
@@ -480,13 +484,36 @@ def append_to_er_index(
             r[0] for r in updated.select("_cb").distinct().collect()
         )
         cl_root = os.path.join(path, CLUSTERS_DIR)
-        keep = (
-            spark.read.parquet(cl_root)
-            .where(F.col("_cb").isin(touched_b))
-            .select("node", "cluster_id", "_cb")
-            .join(sub_nodes, "node", "left_anti")
-        )
-        staged = keep.unionByName(updated)
+        # direct-path read of ONLY the touched bucket dirs (round 13):
+        # `.where(_cb.isin(...))` prunes partitions but still pays a
+        # partition-DISCOVERY listing of every _cb= dir at plan time —
+        # the same O(n_buckets) listing term the maintenance probe
+        # attributed on the SCD2 store's 16-vs-512 A/B. The touched
+        # set is known before the read, so read those dirs and nothing
+        # else; basePath keeps _cb as a partition column. A touched
+        # bucket with no live dir simply has no standing rows to keep.
+        live_b = [
+            b for b in touched_b
+            if os.path.isdir(os.path.join(cl_root, f"_cb={b}"))
+        ]
+        if live_b:
+            keep = (
+                spark.read.option("basePath", cl_root)
+                .parquet(*[os.path.join(cl_root, f"_cb={b}")
+                           for b in live_b])
+                .select("node", "cluster_id", "_cb")
+                .join(sub_nodes, "node", "left_anti")
+            )
+            staged = keep.unionByName(updated)
+        else:
+            staged = updated
+        # one output file per touched bucket, not one per shuffle
+        # partition: a 50-row micro-batch append otherwise strews ~32
+        # KB-files into every touched bucket and the store's read cost
+        # grows with APPEND COUNT, not data (the profiled x1 store had
+        # accumulated 492 cluster / 190 base part files, and the
+        # standing-base read dominated the append's fixed cost)
+        staged = staged.repartition(max(len(touched_b), 1), "_cb")
         # stage every bucket fully BEFORE the commit point — ONE job
         # writing a partitioned staging root, then split into the
         # per-bucket .stage_<b> dirs the swap/roll-forward works in
@@ -509,7 +536,11 @@ def append_to_er_index(
         # and silently mis-assign golden_name (round-10 review fix)
         append_stage = os.path.join(path, APPEND_STAGE_DIR)
         shutil.rmtree(append_stage, ignore_errors=True)
-        fresh.write.mode("overwrite").parquet(append_stage)
+        # one part file per append (delta-sized micro-batches): see the
+        # staged-write coalesce above — base/ otherwise grows one file
+        # per shuffle partition per append and every later append's
+        # standing-base read pays footer overhead per file
+        fresh.coalesce(1).write.mode("overwrite").parquet(append_stage)
         mpath = os.path.join(path, MANIFEST_FILE)
         tmp = mpath + ".tmp"
         with open(tmp, "w") as fh:

@@ -69,18 +69,78 @@ def _truncate_lineage(df: DataFrame) -> DataFrame:
     return df.localCheckpoint(eager=True)
 
 
+def _local_components(spark, rows, node_type) -> DataFrame:
+    """Driver-side union-find over a collected edge list — value-equal
+    to the distributed loop (component = min member id). One pass with
+    path compression + union by attaching the larger root under the
+    smaller, so the root IS the min id throughout."""
+    parent: dict = {}
+
+    def find(x):
+        r = x
+        while parent.get(r, r) != r:
+            r = parent[r]
+        while parent.get(x, x) != r:  # path compression
+            parent[x], x = r, parent[x]
+        return r
+
+    for u, v in rows:
+        ru, rv = find(u), find(v)
+        if ru != rv:
+            lo, hi = (ru, rv) if ru < rv else (rv, ru)
+            parent[hi] = lo
+        parent.setdefault(ru, ru)
+        parent.setdefault(rv, rv)
+    out = [(n, find(n)) for n in parent]
+    from pyspark.sql.types import StructField, StructType
+
+    schema = StructType([
+        StructField("node", node_type, True),
+        StructField("component", node_type, True),
+    ])
+    return spark.createDataFrame(out, schema)
+
+
 def connected_components(
     edges: DataFrame,
     src: str = "id_a",
     dst: str = "id_b",
     max_iter: int = 50,
+    local_edge_threshold: int = 100_000,
 ) -> DataFrame:
     """Label every node of the undirected pair graph with its component's
     minimum node id. Returns (node, component).
 
     ``edges`` rows are undirected pairs; direction and duplicates don't
     matter (they're symmetrized and deduped here).
+
+    Small-graph fast path (round 13 — the er_append fixed-cost cut):
+    when a ``limit(threshold+1)`` probe shows at most
+    ``local_edge_threshold`` edge rows, the edges are collected and
+    solved with driver-side union-find — metadata-sized data (100k
+    edges ≈ a few MB), and it replaces the loop's per-round join +
+    aggregate + convergence-count JOBS (each with fixed scheduler
+    cost that dominates micro-batch appends) with ONE collect that
+    executes the edge lineage exactly once. Labels are value-identical
+    to the distributed loop (min member id per component). Graphs over
+    the threshold pay only the short-circuiting limit probe (LocalLimit
+    stops the scan at threshold+1 rows) and take the distributed loop
+    unchanged; pass ``local_edge_threshold=0`` to disable the probe
+    entirely. Null endpoints or mixed src/dst types fall back to the
+    distributed path, which defines their semantics.
     """
+    if local_edge_threshold:
+        src_t = edges.schema[src].dataType
+        dst_t = edges.schema[dst].dataType
+        if src_t == dst_t:
+            head = (
+                edges.select(F.col(src), F.col(dst))
+                .limit(local_edge_threshold + 1).collect()
+            )
+            if len(head) <= local_edge_threshold and not any(
+                u is None or v is None for u, v in head
+            ):
+                return _local_components(edges.sparkSession, head, src_t)
     # EAGER checkpoint, not cache(): the loop consumes the edge
     # relation many times (neighbor join + convergence count per round),
     # and a cache leaves the full upstream lineage in every plan — with

@@ -417,7 +417,8 @@ def test_connected_components_matches_union_find(spark):
 
 def test_connected_components_raises_past_max_iter(spark):
     """A chain longer than max_iter must fail loudly, not return partial
-    components."""
+    components — on the DISTRIBUTED loop (the small-graph union-find
+    fast path needs no iterations; disable it to exercise the guard)."""
     import pytest
 
     from priority_data_pipeline_azure_sql_db_spark.operators.graph import (
@@ -427,10 +428,36 @@ def test_connected_components_raises_past_max_iter(spark):
     chain = [(i, i + 1) for i in range(8)]
     df = spark.createDataFrame(chain, "id_a bigint, id_b bigint")
     with pytest.raises(RuntimeError, match="did not converge"):
-        connected_components(df, max_iter=2)
+        connected_components(df, max_iter=2, local_edge_threshold=0)
     # and converges fine with room
-    out = connected_components(df, max_iter=12)
+    out = connected_components(df, max_iter=12, local_edge_threshold=0)
     assert {r.component for r in out.collect()} == {0}
+
+
+def test_connected_components_local_equals_distributed(spark):
+    """The round-13 union-find fast path must label exactly like the
+    distributed loop — min member id per component, same node set —
+    including duplicate/reversed edges, self-loops, and singleton-free
+    output; and a threshold the graph exceeds must fall back."""
+    from priority_data_pipeline_azure_sql_db_spark.operators.graph import (
+        connected_components,
+    )
+
+    edges = [(5, 3), (3, 5), (3, 9), (20, 21), (7, 7), (100, 2), (2, 1)]
+    df = spark.createDataFrame(edges, "id_a bigint, id_b bigint")
+    local = {(r.node, r.component)
+             for r in connected_components(df).collect()}
+    dist = {(r.node, r.component)
+            for r in connected_components(
+                df, local_edge_threshold=0).collect()}
+    assert local == dist
+    assert local == {(3, 3), (5, 3), (9, 3), (20, 20), (21, 20), (7, 7),
+                     (1, 1), (2, 1), (100, 1)}
+    # a threshold smaller than the edge count falls back (same labels)
+    fb = {(r.node, r.component)
+          for r in connected_components(
+              df, local_edge_threshold=3).collect()}
+    assert fb == dist
 
 
 def test_pack_sequences_straddle_and_shard(spark):
