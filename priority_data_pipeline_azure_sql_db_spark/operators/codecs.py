@@ -3373,7 +3373,7 @@ def _vp8l_canonical(lengths: list[int]) -> dict[int, tuple[int, int]]:
     return out
 
 
-def _vp8l_write_code(bw: _BitWriter, freqs: dict[int, int],
+def _vp8l_write_code(bw: _LsbBitWriter, freqs: dict[int, int],
                      alphabet: int) -> dict[int, tuple[int, int]]:
     """Emit one prefix code (simple for <=2 symbols, else normal with
     code-length coding) and return the symbol->(code, nbits) map the

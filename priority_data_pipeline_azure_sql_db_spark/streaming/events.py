@@ -13,6 +13,7 @@ so throughput is O(input), not O(history).
 
 from __future__ import annotations
 
+import os
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
@@ -148,7 +149,8 @@ def click_error_join_stream(spark: SparkSession, sf_dir: str,
     ).select("click_id", "error_id")
 
 
-def run_streaming_to_memory(agg: DataFrame, mode: str = "complete") -> DataFrame:
+def run_streaming_to_memory(agg: DataFrame, mode: str = "complete",
+                            timeout_s: float | None = None) -> DataFrame:
     """Drive a streaming aggregation to completion synchronously against a
     memory sink (test harness path) and return the final batch result.
 
@@ -170,10 +172,17 @@ def run_streaming_to_memory(agg: DataFrame, mode: str = "complete") -> DataFrame
     )
     # bounded like the sink drains (round-12 review): the documented
     # state-store wedge class must surface as an error row, not hang
-    # the whole comparator/bench session forever
-    if not q.awaitTermination(300):
+    # the whole comparator/bench session forever. The bound is a knob
+    # (round-13 ADVICE fix): a legitimately slow but healthy drain —
+    # larger scale factor, loaded host — must be raisable without a
+    # code edit (param, else SPARK_GRAFT_STREAM_TIMEOUT_S, else 300).
+    if timeout_s is None:
+        timeout_s = float(os.environ.get("SPARK_GRAFT_STREAM_TIMEOUT_S", 300))
+    if not q.awaitTermination(timeout_s):
         q.stop()
-        raise RuntimeError("streaming drain did not finish within 300s")
+        raise RuntimeError(
+            f"streaming drain did not finish within {timeout_s:g}s"
+        )
     sunk = spark.sql(f"SELECT * FROM {name}")
     out = spark.createDataFrame(sunk.collect(), sunk.schema)
     spark.catalog.dropTempView(name)

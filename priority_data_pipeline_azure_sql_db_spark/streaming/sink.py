@@ -260,6 +260,65 @@ def _swap_hist_buckets(store_path: str, staged, touched: list,
     os.replace(tmp, mpath)  # commit point
     _hist_roll_forward(store_path)
 
+_SCD2_META = "SCD2_META.json"
+
+
+def _check_scd2_meta(store_path: str, n_log_buckets: int) -> None:
+    """Pin the store's bucket count (round-13 ADVICE fix): ``_kb``
+    pruning and the per-bucket hist swaps are only correct when every
+    fold hashes with the SAME n_log_buckets the store was built with —
+    a mismatched caller would silently mis-prune (touched entities
+    surviving as stale duplicates in old buckets while the rebuilt copy
+    lands in a new one). Persisted in a sidecar at bootstrap and
+    validated on every later fold, the same guard the ER store's META
+    gives its params. A store predating the sidecar adopts the first
+    post-upgrade caller's value (the best evidence available) and pins
+    it from then on."""
+    import json as _json
+    import os
+
+    path = os.path.join(store_path, _SCD2_META)
+    if os.path.exists(path):
+        with open(path) as fh:
+            meta = _json.load(fh)
+        if meta.get("n_log_buckets") != n_log_buckets:
+            raise ValueError(
+                f"SCD2 store at {store_path} was built with "
+                f"n_log_buckets={meta.get('n_log_buckets')}; folding "
+                f"with {n_log_buckets} would mis-prune _kb buckets "
+                "and strand stale history. Pass the store's value."
+            )
+        return
+    os.makedirs(store_path, exist_ok=True)
+    tmp = path + ".tmp"
+    with open(tmp, "w") as fh:
+        _json.dump({"n_log_buckets": n_log_buckets}, fh)
+    os.replace(tmp, path)
+
+
+def _read_touched_buckets(spark, root: str, touched, key: str = "_kb"):
+    """Direct-path read of ONLY the touched bucket dirs under a
+    hive-partitioned root (round 13, VERDICT r12 ask #3): a
+    ``.where(_kb.isin(touched))`` read prunes partitions but still pays
+    a partition-DISCOVERY listing of every ``_kb=`` dir at plan time —
+    the O(n_buckets) term the maintenance probe's 16-vs-512 A/B
+    attributed (2.54 vs 3.61 s at x32). The touched set is known before
+    the read, so list those dirs and nothing else; ``basePath`` keeps
+    ``key`` as a partition column. Returns None when no touched bucket
+    has data files under ``root`` (absent dir = no rows in that bucket;
+    a present-but-empty dir is a swapped-in emptied bucket)."""
+    import os
+
+    dirs = []
+    for b in touched:
+        d = os.path.join(root, f"{key}={b}")
+        if os.path.isdir(d) and _has_data_files(d):
+            dirs.append(d)
+    if not dirs:
+        return None
+    return spark.read.option("basePath", root).parquet(*dirs)
+
+
 def _write_hist_schema(store_path: str, df) -> None:
     """Schema sidecar: lets a reader of a legally-EMPTY history (a
     tombstone-only bootstrap deleted every entity before any create)
@@ -385,6 +444,7 @@ def fold_scd2_batch(
         # UNABLE_TO_INFER_SCHEMA, permanently wedging the store
         # (round-10 review finding)
         return False
+    _check_scd2_meta(store_path, n_log_buckets)
     log_root = os.path.join(store_path, "log")
     log_dir = os.path.join(log_root, f"batch_{batch_id}")
     kb = F.pmod(
@@ -418,7 +478,20 @@ def fold_scd2_batch(
     prior_roots = ([cdir] if cdir is not None else []) + [
         p for b, p in sorted(slices.items()) if floor < b < batch_id
     ]
-    if cur is None or not prior_roots:
+    if cur is not None and not prior_roots:
+        # round-13 ADVICE fix: a store with a CURRENT pointer but no
+        # readable prior log slices is a CORRUPTED state (compaction
+        # always leaves a compact_ root; slices are only GC'd below
+        # it), not a fresh bootstrap — re-bootstrapping here would
+        # overwrite hist/ from the delta alone and silently discard
+        # the standing history.
+        raise RuntimeError(
+            f"SCD2 store at {store_path} has applied batches (CURRENT "
+            f"= {last}) but no prior log slices — the log was lost or "
+            "externally deleted; refusing to re-bootstrap over the "
+            "standing history"
+        )
+    if cur is None:
         # bootstrap: the full history lands hive-partitioned by the
         # same entity buckets as the log, so every later fold can prune
         new_hist = scd2_history(delta, pk, attr_cols, ts_col, tiebreak_cols,
@@ -437,14 +510,20 @@ def fold_scd2_batch(
             fh.write(f"{batch_id}\nhist")
         os.replace(tmp, os.path.join(store_path, "CURRENT"))
     else:
-        base_log = reduce(
-            lambda a, b: a.unionByName(b),
-            [
-                # partition-directory pruning: untouched _kb= dirs unread
-                spark.read.parquet(p)
-                .where(F.col("_kb").isin(touched)).drop("_kb")
-                for p in prior_roots
-            ],
+        # direct-path reads of only the touched _kb= dirs (round 13):
+        # partition discovery over a `.where(isin)` read would still
+        # LIST every bucket dir per root — O(n_log_buckets) per fold,
+        # the 16-vs-512 A/B's listing term. A root with no touched
+        # bucket holds no rows of the touched entities at all.
+        parts = [
+            d.drop("_kb") for d in
+            (_read_touched_buckets(spark, p, touched)
+             for p in prior_roots)
+            if d is not None
+        ]
+        base_log = (
+            reduce(lambda a, b: a.unionByName(b), parts)
+            if parts else delta.limit(0)
         )
         _migrate_flat_hist(spark, store_path, cur, kb)
         cur = os.path.join(store_path, "hist")
@@ -452,14 +531,13 @@ def fold_scd2_batch(
         # _kb in hist/ as in the log, so untouched buckets hold no
         # touched entities and are neither read nor rewritten — the
         # fold's I/O is O(touched buckets), not O(store)
-        if _has_data_files(cur):
-            history = (
-                spark.read.parquet(cur)
-                .where(F.col("_kb").isin(touched)).drop("_kb")
-            )
+        hist_touched = _read_touched_buckets(spark, cur, touched)
+        if hist_touched is not None:
+            history = hist_touched.drop("_kb")
         else:
-            # legal empty standing history (tombstone-only bootstrap):
-            # fold the touched log against a typed empty frame
+            # no touched bucket has standing rows (or the history is
+            # the legal tombstone-only empty): fold the touched log
+            # against a typed empty frame
             history = _read_hist_schema_empty(spark, store_path)
         new_hist = scd2_apply_delta(
             history, base_log, delta, pk, attr_cols, ts_col, tiebreak_cols,
@@ -499,6 +577,7 @@ def stream_scd2_into_store(
     checkpoint_dir: str,
     tiebreak_cols: list[str] | None = None,
     op_col: str | None = None,
+    n_log_buckets: int = 16,
 ):
     """Streaming SCD2 MAINTENANCE: keep a type-2 dimension current
     against a change stream, O(touched entities) per micro-batch via
@@ -520,6 +599,7 @@ def stream_scd2_into_store(
         fold_scd2_batch(
             batch_df.sparkSession, store_path, batch_df, batch_id,
             pk, attr_cols, ts_col, tiebreak_cols, op_col=op_col,
+            n_log_buckets=n_log_buckets,
         )
 
     return (

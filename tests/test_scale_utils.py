@@ -2038,6 +2038,57 @@ def test_scd2_empty_batch_no_wedge(spark, tmp_path):
     assert states == ["a", "b"], "folds around the empty batch must land"
 
 
+def test_scd2_store_guards_bucket_count_and_lost_log(spark, tmp_path):
+    """Round-13 ADVICE fixes: (1) n_log_buckets is load-bearing for the
+    bucketed hist/ layout — a fold with a different value than the
+    store was built with must raise, not silently mis-prune touched
+    entities into new buckets while stale copies survive in old ones;
+    (2) a store with a CURRENT pointer but no prior log slices is a
+    corrupted state — re-bootstrapping would overwrite hist/ from the
+    delta alone, silently discarding the standing history."""
+    import os
+    import shutil
+
+    import pytest
+    from pyspark.sql import functions as F
+
+    from priority_data_pipeline_azure_sql_db_spark.streaming.sink import (
+        fold_scd2_batch,
+    )
+
+    def mk(rows):
+        return spark.createDataFrame(
+            rows, "user_id bigint, state string, ts string, seq bigint",
+        ).withColumn("ts", F.col("ts").cast("timestamp"))
+
+    store = str(tmp_path / "store")
+    args = (["user_id"], ["state"], "ts", ["seq"])
+    assert fold_scd2_batch(
+        spark, store, mk([(1, "a", "2026-01-01 00:00:00", 1)]), 1, *args,
+        n_log_buckets=4,
+    ) is True
+    # (1) mismatched bucket count: refused before any write
+    with pytest.raises(ValueError, match="n_log_buckets=4"):
+        fold_scd2_batch(
+            spark, store, mk([(1, "b", "2026-01-02 00:00:00", 2)]), 2,
+            *args, n_log_buckets=8,
+        )
+    # matching count still folds
+    assert fold_scd2_batch(
+        spark, store, mk([(1, "b", "2026-01-02 00:00:00", 2)]), 2, *args,
+        n_log_buckets=4,
+    ) is True
+    # (2) external log loss: CURRENT present, slices gone → loud, and
+    # the standing history is left untouched
+    shutil.rmtree(os.path.join(store, "log"))
+    with pytest.raises(RuntimeError, match="no prior log slices"):
+        fold_scd2_batch(
+            spark, store, mk([(1, "c", "2026-01-03 00:00:00", 3)]), 3,
+            *args, n_log_buckets=4,
+        )
+    assert os.path.isdir(os.path.join(store, "hist"))
+
+
 def test_ann_index_empty_build_fails_loud(spark, tmp_path):
     """Round-10 review-fix follow-through: the ANN stores share the ER
     store's empty-partitionBy wedge class — a zero-vector build would
