@@ -78,6 +78,139 @@ class StagingStore:
     def exists(self, table: str) -> bool:
         return os.path.isdir(self.path(table))
 
+    # -- partition-stats sidecar (round 13, VERDICT r12 ask #2) ----------
+    # Per-partition pk min/max + row counts in `<table>.__meta__.json`:
+    # the delta-PK semi-join that finds partitions holding an old version
+    # of a delta key was the staging store's one store-wide read (the
+    # maintenance probe's steepest marginal, +0.141 s/x) — with exact
+    # zone maps it scans only partitions whose pk RANGE can contain a
+    # delta key, which for the production shape (monotonic ids: inserts
+    # land above every standing range, updates hit recent partitions) is
+    # O(delta), not O(store). Stats are exact, not sampled: bootstrap is
+    # one pk-column scan folded into the first merge (the same scan that
+    # merge already paid every time), and every later merge recomputes
+    # the touched partitions' entries from the data it just wrote. Row
+    # counts make the merge's return value an O(touched) sum instead of
+    # a store-wide count. Crash-safe: the post-merge meta rides inside
+    # the intent marker, so _recover's roll-forward lands the stats with
+    # the swap — stale stats would silently mis-prune (the mirror of the
+    # SCD2 store's n_log_buckets guard).
+
+    _NULL_PART = "__HIVE_DEFAULT_PARTITION__"
+    _DELTA_VALS_CAP = 50_000  # above this, prune by range, not value set
+
+    def _meta_path(self, table: str) -> str:
+        return self.path(table) + ".__meta__.json"
+
+    def _read_meta(self, table: str) -> dict | None:
+        import json
+
+        try:
+            with open(self._meta_path(table)) as fh:
+                return json.load(fh)
+        except (OSError, ValueError):
+            return None
+
+    def _write_meta(self, table: str, meta: dict) -> None:
+        import json
+
+        p = self._meta_path(table)
+        with open(p + ".part", "w") as fh:
+            json.dump(meta, fh)
+        os.replace(p + ".part", p)
+
+    def _clear_meta(self, table: str) -> None:
+        try:
+            os.remove(self._meta_path(table))
+        except FileNotFoundError:
+            pass
+
+    @classmethod
+    def _part_sub(cls, v) -> str:
+        """Partition value (date | None) → hive sub-dir name."""
+        name = v.isoformat() if v is not None else cls._NULL_PART
+        return f"{PARTITION_COL}={name}"
+
+    @staticmethod
+    def _stat_val(v):
+        """JSON-safe min/max, or None when the pk type's driver-side
+        ordering can't be trusted to mirror Spark's (Decimal, timestamp,
+        ...) — a None bound makes the partition an always-candidate,
+        never a wrong prune. int/float/str are safe: Python's str
+        compare is code-point order, which equals Spark's UTF-8 binary
+        order for valid Unicode."""
+        return v if isinstance(v, (int, float, str)) \
+            and not isinstance(v, bool) else None
+
+    def _partition_stats(self, df: DataFrame, key0: str) -> dict:
+        """Exact per-partition zone map of ``df`` (which carries
+        PARTITION_COL): {sub: {rows, min, max, null}}. One pk-column
+        scan."""
+        rows = (
+            df.groupBy(PARTITION_COL)
+            .agg(
+                F.count(F.lit(1)).alias("_n"),
+                F.min(key0).alias("_lo"),
+                F.max(key0).alias("_hi"),
+                F.max(F.col(key0).isNull().cast("int")).alias("_hasnull"),
+            )
+            .collect()
+        )
+        return {
+            self._part_sub(r[0]): {
+                "rows": r["_n"],
+                "min": self._stat_val(r["_lo"]),
+                "max": self._stat_val(r["_hi"]),
+                "null": bool(r["_hasnull"]),
+            }
+            for r in rows
+        }
+
+    @staticmethod
+    def _prune_candidates(parts: dict, dvals, drange, dhasnull: bool) -> list[str]:
+        """Partitions whose zone map can hold a delta key — conservative:
+        unknown bounds or uncomparable types are always candidates."""
+        import bisect
+
+        svals = sorted(dvals) if dvals is not None else None
+        out = []
+        for sub, st in parts.items():
+            if dhasnull and st.get("null"):
+                out.append(sub)
+                continue
+            lo, hi = st.get("min"), st.get("max")
+            if lo is None or hi is None:
+                out.append(sub)
+                continue
+            try:
+                if svals is not None:
+                    i = bisect.bisect_left(svals, lo)
+                    if i < len(svals) and svals[i] <= hi:
+                        out.append(sub)
+                elif drange is not None and not (drange[1] < lo or drange[0] > hi):
+                    out.append(sub)
+                elif drange is None:
+                    out.append(sub)
+            except TypeError:  # pk type changed under the stats
+                out.append(sub)
+        return out
+
+    def _read_subs(self, spark: SparkSession, table: str,
+                   subs: list[str]) -> DataFrame | None:
+        """Direct-path read of named partition sub-dirs — partition
+        discovery lists ONLY these dirs, never the whole table (the
+        same O(n_partitions) listing term the SCD2/ER stores shed).
+        Returns None when no named sub exists on disk."""
+        root = self.path(table)
+        dirs = [os.path.join(root, s) for s in subs
+                if os.path.isdir(os.path.join(root, s))]
+        if not dirs:
+            return None
+        return (
+            spark.read.option("basePath", root)
+            .option("mergeSchema", "true").parquet(*dirs)
+        )
+
     @staticmethod
     def _with_partition(df: DataFrame) -> DataFrame | None:
         if _AUDIT_TS in df.columns:
@@ -97,8 +230,14 @@ class StagingStore:
         df = spark.read.option("mergeSchema", "true").parquet(self.path(table))
         return df.drop(PARTITION_COL) if PARTITION_COL in df.columns else df
 
-    def overwrite(self, df: DataFrame, table: str) -> int:
+    def overwrite(self, df: DataFrame, table: str,
+                  pk: list[str] | None = None) -> int:
+        """Full replace. With ``pk`` given, the partition-stats sidecar
+        is built in the same pass (one extra pk-column scan of what was
+        just written), so the FIRST incremental merge already prunes;
+        without it, the first merge bootstraps the stats lazily."""
         self._recover(table)  # settle any crashed merge before replacing
+        self._clear_meta(table)  # stale stats must not survive a replace
         part = self._with_partition(df)
         if part is not None:
             if df.isEmpty():
@@ -114,6 +253,12 @@ class StagingStore:
                 return 0
             write_partitioned(part, self.path(table), [PARTITION_COL],
                               what=f"staging table {table}")
+            if pk:
+                spark = df.sparkSession
+                back = spark.read.parquet(self.path(table))
+                parts = self._partition_stats(back, pk[0])
+                self._write_meta(table, {"pk": pk, "parts": parts})
+                return sum(st["rows"] for st in parts.values())
         else:
             df.write.mode("overwrite").parquet(self.path(table))
         return self._count(df.sparkSession, table)
@@ -147,10 +292,16 @@ class StagingStore:
         """
         self._recover(table)
         if not self.exists(table):
-            return self.overwrite(delta, table)
-        raw = spark.read.option("mergeSchema", "true").parquet(self.path(table))
+            return self.overwrite(delta, table, pk=pk)
+        partitioned = any(
+            e.startswith(f"{PARTITION_COL}=")
+            for e in os.listdir(self.path(table))
+        )
         dpart = self._with_partition(delta)
-        if PARTITION_COL not in raw.columns or dpart is None:
+        if not partitioned or dpart is None:
+            raw = spark.read.option("mergeSchema", "true") \
+                .parquet(self.path(table))
+            self._clear_meta(table)  # whole-table path invalidates stats
             # legacy unpartitioned table: whole-table merge + swap.
             # rename-aside, NEVER rmtree-before-replace: a crash between
             # delete and replace would leave the only copy of the table
@@ -174,21 +325,55 @@ class StagingStore:
             return self._count(spark, table)
 
         delta_keys = dpart.select(*pk).distinct()
-        old_parts = (
-            raw.join(delta_keys, on=pk, how="left_semi")
-            .select(PARTITION_COL).distinct()
-        )
-        new_parts = dpart.select(PARTITION_COL).distinct()
-        touched = {r[0] for r in old_parts.unionByName(new_parts).distinct().collect()}
-
-        # NULL audit timestamps land in Hive's default partition — isin()
-        # never matches NULL, so the null partition needs its own branch
-        # both in the merge-target filter and in the directory swap below.
-        non_null = [v for v in touched if v is not None]
-        tcond = F.col(PARTITION_COL).isin(non_null)
-        if None in touched:
-            tcond = tcond | F.col(PARTITION_COL).isNull()
-        target = raw.filter(tcond).drop(PARTITION_COL)
+        meta = self._read_meta(table)
+        if meta is not None and meta.get("pk") != pk:
+            # merge key changed under the stats: the zone maps are keyed
+            # to the OLD pk[0] — rebuild below rather than mis-prune
+            meta = None
+        if meta is None:
+            # stats bootstrap: the one full pk-column scan, folded into
+            # the merge that already paid it before round 13; every
+            # later merge prunes with the sidecar this pass writes
+            raw = spark.read.option("mergeSchema", "true") \
+                .parquet(self.path(table))
+            boot_parts = self._partition_stats(raw, pk[0])
+            old_vals = {
+                r[0] for r in raw.join(delta_keys, on=pk, how="left_semi")
+                .select(PARTITION_COL).distinct().collect()
+            }
+        else:
+            boot_parts = dict(meta["parts"])
+            # delta key profile (one agg on the cached delta): value set
+            # when small, [min,max] range above the cap, NULLs tracked
+            prof = dpart.agg(
+                F.min(pk[0]).alias("_lo"), F.max(pk[0]).alias("_hi"),
+                F.count_distinct(F.col(pk[0])).alias("_nd"),
+                F.max(F.col(pk[0]).isNull().cast("int")).alias("_null"),
+            ).collect()[0]
+            dhasnull = bool(prof["_null"])
+            lo, hi = self._stat_val(prof["_lo"]), self._stat_val(prof["_hi"])
+            dvals = drange = None
+            if prof["_nd"] <= self._DELTA_VALS_CAP:
+                dvals = [r[0] for r in
+                         dpart.select(pk[0]).distinct().collect()
+                         if r[0] is not None]
+            elif lo is not None and hi is not None:
+                drange = (lo, hi)
+            cand = self._prune_candidates(boot_parts, dvals, drange, dhasnull)
+            cand_df = self._read_subs(spark, table, cand)
+            old_vals = set() if cand_df is None else {
+                r[0] for r in
+                cand_df.join(delta_keys, on=pk, how="left_semi")
+                .select(PARTITION_COL).distinct().collect()
+            }
+        new_vals = {r[0] for r in dpart.select(PARTITION_COL).distinct().collect()}
+        touched = old_vals | new_vals
+        subs = [self._part_sub(v) for v in touched]
+        # merge target: direct-path read of ONLY the touched partitions
+        # (subs absent on disk hold nothing to merge against)
+        target_df = self._read_subs(spark, table, subs)
+        target = (delta.limit(0) if target_df is None
+                  else target_df.drop(PARTITION_COL))
         # schema evolution: widen both sides to the column union (new
         # source fields survive; dropped fields read back as nulls)
         target, delta = align_schemas(target, delta)
@@ -196,15 +381,20 @@ class StagingStore:
         tmp = self.path(table) + ".__tmp__"
         self._with_partition(merged).write.mode("overwrite") \
             .partitionBy(PARTITION_COL).parquet(tmp)
+        # recompute the touched partitions' zone maps from the bytes
+        # just written (O(touched)); untouched entries carry over
+        new_parts = {s: st for s, st in boot_parts.items() if s not in set(subs)}
+        new_parts.update(self._partition_stats(
+            spark.read.parquet(tmp), pk[0]))
+        new_meta = {"pk": pk, "parts": new_parts}
         # intent AFTER tmp is complete, swaps after the intent: any
         # crash from here rolls FORWARD in _recover (the partition swap
         # is re-applied idempotently from tmp), so no window leaves a
         # live partition deleted with its replacement stranded in tmp —
-        # the data-loss class compact() was already hardened against
-        subs = []
-        for v in touched:
-            part_val = v.isoformat() if v is not None else "__HIVE_DEFAULT_PARTITION__"
-            subs.append(f"{PARTITION_COL}={part_val}")
+        # the data-loss class compact() was already hardened against.
+        # The post-merge stats ride in the intent: _recover lands them
+        # WITH the swap, so a crash can never leave stats that mis-prune
+        # a later merge.
         # record WHICH subs tmp holds data for: on a replay, a data sub
         # with no tmp source was already swapped (skip it) while an
         # empty sub is re-deleted (idempotent) — without the split, a
@@ -213,11 +403,15 @@ class StagingStore:
         subs_data = [s for s in subs if os.path.isdir(os.path.join(tmp, s))]
         subs_empty = [s for s in subs if s not in set(subs_data)]
         self._write_intent(
-            table, {"kind": "parts", "data": subs_data, "empty": subs_empty}
+            table, {"kind": "parts", "data": subs_data, "empty": subs_empty,
+                    "meta": new_meta},
         )
         self._apply_part_swap(table, subs_data, subs_empty)
+        self._write_meta(table, new_meta)
         self._clear_intent(table)
-        return self._count(spark, table)
+        # O(touched) total: per-partition row counts summed from the
+        # sidecar instead of a store-wide count per merge
+        return sum(st["rows"] for st in new_parts.values())
 
     def _intent_path(self, table: str) -> str:
         # sibling of the table dir: survives whole-table renames
@@ -296,6 +490,11 @@ class StagingStore:
             self._apply_part_swap(
                 table, intent.get("data", []), intent.get("empty", [])
             )
+            if intent.get("meta") is not None:
+                # the post-merge partition stats committed with the swap:
+                # rolling the swap forward without them would leave zone
+                # maps that mis-prune the next merge's old-version probe
+                self._write_meta(table, intent["meta"])
         self._clear_intent(table)
 
     def drop_all(self) -> int:
@@ -566,6 +765,14 @@ class PipelineRunner:
         written: dict[str, int] = {}
         for table, df in outputs.items():
             src = table.removeprefix("stg_")
+
+            def _key() -> list[str]:
+                if src == ent.entity_id.lower():
+                    return primary_key(src)
+                return primary_key(ent.entity_id) + [  # sub-form child
+                    k for k in primary_key(src) if k in df.columns
+                ]
+
             if incremental and self.store.exists(table):
                 # the delta plan (scan → watermark filter → flatten →
                 # audit columns) is executed by the CDC audit write AND
@@ -573,12 +780,7 @@ class PipelineRunner:
                 # tmp write) — cache it once instead of re-running the
                 # full extract per action
                 df = df.cache()
-                if src == ent.entity_id.lower():
-                    key = primary_key(src)
-                else:  # sub-form child
-                    key = primary_key(ent.entity_id) + [
-                        k for k in primary_key(src) if k in df.columns
-                    ]
+                key = _key()
                 if cdc_audit:
                     try:
                         audit = cdc_audit_delta(
@@ -611,7 +813,15 @@ class PipelineRunner:
                 finally:
                     df.unpersist()
             else:
-                written[table] = self.store.overwrite(df, table)
+                # pk at full-load time seeds the partition-stats sidecar,
+                # so the FIRST incremental merge already prunes. An
+                # uncataloged entity (no PK registered) still full-loads —
+                # its first merge bootstraps the stats lazily instead.
+                try:
+                    key = _key()
+                except KeyError:
+                    key = None
+                written[table] = self.store.overwrite(df, table, pk=key)
         return written
 
     # -- orchestration (EP1/EP2) ---------------------------------------------

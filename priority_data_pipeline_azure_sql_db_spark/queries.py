@@ -1645,11 +1645,16 @@ def dedup_ngram_jaccard(spark, sf_dir):
                            k=5, threshold=0.2)
 
 
-@query("dedup_minhash_lsh")  # xxhash64-based: no SQL twin → rows-only check
+# RETIRED from the registry in round 13 (P1, pre-committed in the
+# __spark_entry__ rotation comment; paired registration:
+# text_html_extract): the exact md5 twin dedup_minhash_lsh_md5 grades
+# the same shingle→minhash→band→bucket-join machinery end-to-end with a
+# full hash oracle, making this rows-only sibling redundant driver
+# surface. The function stays importable and pytest-covered.
 def dedup_minhash_lsh(spark, sf_dir):
     """MinHash+LSH candidate pairs (hash family is Spark xxhash64 — not
-    expressible in DuckDB, driver does the weaker rows-only check; the
-    Jaccard ground truth it approximates IS oracle-checked above)."""
+    expressible in DuckDB; its md5 twin dedup_minhash_lsh_md5 is the
+    hash-graded registry entry since this one's round-13 retirement)."""
     return D.minhash_dedup_candidates(
         load_table(spark, sf_dir, "documents"), "text", "doc_id"
     ).orderBy("id_a", "id_b")
@@ -1854,6 +1859,77 @@ def text_quality_score(spark, sf_dir):
         "doc_id", "n_chars_obs", "n_tokens", "punct_ratio", "alpha_ratio",
         "upper_ratio", "mean_word_len",
     )
+
+
+@query(
+    "text_html_extract",
+    r"""
+    WITH src AS (
+        SELECT doc_id, COALESCE(text, '') AS t FROM documents
+    ), halves AS (
+        SELECT doc_id,
+               trim(regexp_replace(substr(t, 1, CAST(floor(length(t) / 2) AS INT)),
+                                   '[ ' || chr(9) || chr(13) || chr(10) || ']+', ' ', 'g'), ' ') AS p1,
+               trim(regexp_replace(substr(t, CAST(floor(length(t) / 2) AS INT) + 1),
+                                   '[ ' || chr(9) || chr(13) || chr(10) || ']+', ' ', 'g'), ' ') AS p2
+        FROM src
+    )
+    SELECT doc_id,
+           concat_ws(chr(10),
+                     CASE WHEN length(p1) >= 25 THEN p1 END,
+                     CASE WHEN length(p2) >= 25 THEN p2 END) AS content
+    FROM halves
+    """,
+)
+def text_html_extract(spark, sf_dir):
+    """HTML main-content extraction (round 13, VERDICT r12 ask #6) —
+    the C4/CCNet stage BEFORE linify: raw crawl HTML → text via
+    tag-level drops + block link-density/length rules
+    (operators/text.py extract_main_content, Arrow mapInPandas).
+
+    Graded the codec-twin way: each document's text is wrapped — split
+    into two <p> paragraphs, entity-escaped — in a deterministic page
+    TEMPLATE whose boilerplate exercises every rule class (a <nav> and
+    a <footer> for the tag drops, a link-only "related articles" <div>
+    for the density gate, a <style> block for the subtree drops), and
+    the oracle predicts the extraction output from the raw column: the
+    two normalized halves, each gated by the 25-char minimum (texts of
+    length <50 naturally drop a half — the length rule fires on real
+    fixture rows, not just in pytest), joined with one newline. A
+    parser bug, a drop-tag leak, a density miscount, or a whitespace-
+    normalization drift all surface as hash mismatches."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.coalesce("text", F.lit("")).alias("t")
+    )
+    # split FIRST, escape EACH HALF (never split inside an entity)
+    esc = ("replace(replace(replace({0}, '&', '&amp;'), "
+           "'<', '&lt;'), '>', '&gt;')")
+    h = d.select(
+        "doc_id",
+        F.concat(
+            F.lit(
+                '<html><head><title>doc</title><style>p {margin:0}'
+                '</style></head><body>'
+                '<nav><a href="/">Home</a> <a href="/about">About</a> '
+                '<a href="/contact">Contact us today</a></nav>'
+                '<div class="related">'
+                '<a href="/r1">First related article teaser link</a> '
+                '<a href="/r2">Second related article teaser link</a>'
+                '</div><article><p>'
+            ),
+            F.expr(esc.format(
+                "substring(t, 1, CAST(floor(length(t) / 2) AS INT))")),
+            F.lit("</p><p>"),
+            F.expr(esc.format(
+                "substring(t, CAST(floor(length(t) / 2) AS INT) + 1, "
+                "length(t))")),
+            F.lit(
+                '</p></article><footer><a href="/tos">Terms of service'
+                '</a> (c) 2026 example corp</footer></body></html>'
+            ),
+        ).alias("html"),
+    )
+    return X.extract_main_content(h, "html", "doc_id").orderBy("doc_id")
 
 
 @query(

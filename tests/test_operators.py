@@ -502,6 +502,58 @@ def test_pii_scrub_redacts_and_counts(spark):
     assert (out[2].n_emails, out[2].n_phones) == (0, 0)
 
 
+def test_html_extract_main_content_rules(spark):
+    """HTML main-content extraction (round 13): tag-level drops,
+    link-density gate, block min-length, entity unescape, <br> block
+    split, malformed-markup totality, and the Arrow operator returning
+    the same result as the per-string kernel."""
+    from priority_data_pipeline_azure_sql_db_spark.operators.text import (
+        _extract_main_content_str as x,
+        extract_main_content,
+    )
+
+    para = "The quick brown fox jumps over the lazy dog again tonight."
+    # drop tags: nav/footer/style/script subtrees vanish wholesale
+    page = (
+        "<html><head><style>p{color:red}</style></head><body>"
+        '<nav><a href="/">Home</a> <a href="/a">About page link</a></nav>'
+        f"<article><p>{para}</p></article>"
+        "<script>var x = 'long enough to pass length rules';</script>"
+        '<footer>Copyright and a trailing legal sentence long enough.</footer>'
+        "</body></html>"
+    )
+    assert x(page) == para
+    # link-density gate: a long all-links block dies, a low-density one
+    # of the same length survives
+    links = ('<div><a href="/1">First related article teaser</a> '
+             '<a href="/2">Second related article teaser</a></div>')
+    assert x(links) == ""
+    mixed = ('<div>Mostly prose with one small <a href="/x">link</a> '
+             "inside a clearly long enough block of text.</div>")
+    assert x(mixed) != ""
+    # min length: short blocks die even with zero links
+    assert x("<p>short block</p>") == ""
+    # entities unescape; whitespace collapses; blocks join with \n
+    two = ("<p>First paragraph with &amp; entity and    wide   gaps "
+           "kept long.</p><p>Second\tparagraph also definitely long "
+           "enough to keep.</p>")
+    got = x(two)
+    assert got.count("\n") == 1 and "&" in got and "  " not in got
+    # <br> splits blocks: each side gated independently
+    assert x("<p>tiny<br>also tiny</p>") == ""
+    # totality: tag soup and empties never raise
+    assert x("<div><p>unclosed <b>bold <a href=") == ""
+    assert x("") == "" and x(None) == ""
+
+    # distributed operator ≡ kernel, schema (doc_id, content)
+    df = spark.createDataFrame(
+        [(1, page), (2, links), (3, None)], "doc_id bigint, html string"
+    )
+    out = {r.doc_id: r.content
+           for r in extract_main_content(df, "html", "doc_id").collect()}
+    assert out == {1: para, 2: "", 3: ""}
+
+
 def test_ngram_contamination_finds_planted_overlap(spark):
     from priority_data_pipeline_azure_sql_db_spark.operators.dedup import (
         ngram_contamination,

