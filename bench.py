@@ -16,8 +16,17 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+from priority_data_pipeline_azure_sql_db_spark import queries as _qmod  # noqa: E402
 from priority_data_pipeline_azure_sql_db_spark.queries import QUERIES  # noqa: E402
 from priority_data_pipeline_azure_sql_db_spark.session import get_spark  # noqa: E402
+
+
+def _resolve(name: str):
+    """Registry entry, else the module-level function of the same name —
+    registry-RETIRED queries (dedup_minhash_lsh, round 13) keep their
+    frozen CORE timing series through the importable function; a name
+    that is neither is a real error."""
+    return QUERIES.get(name) or getattr(_qmod, name)
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
@@ -99,6 +108,9 @@ ANNEX = [
     "er_assign_from_store",
     "er_first_token_pairs",
     "export_curriculum_readback",
+    # round-13: HTML main-content extraction (the new ingest map stage —
+    # template-wrapped fixture pages through the Arrow parser kernel)
+    "text_html_extract",
 ]
 
 HEADLINE = CORE + ANNEX
@@ -164,7 +176,7 @@ def main() -> None:
         # one failing entry must not discard the whole run's timings
         # (review finding): record the failure, keep benching
         try:
-            df = QUERIES[name](spark, SF_DIR)  # plan ONCE; execute hot below
+            df = _resolve(name)(spark, SF_DIR)  # plan ONCE; execute hot below
         except Exception as exc:  # noqa: BLE001
             errors[name] = f"{type(exc).__name__}: {exc}"
             print(f"[bench] {name}: PLAN ERROR {errors[name]}", file=sys.stderr)

@@ -82,7 +82,33 @@ def build_curation(docs: DataFrame, config: dict) -> DataFrame:
     df = docs
     for i, st in enumerate(stages):
         op = st.get("op")
-        if op == "linify":
+        if op == "html_extract":
+            # optional FIRST stage (round 13): raw crawl HTML → text —
+            # the C4/CCNet step upstream of linify/quality gates. Reads
+            # the configured html column, REPLACES text with the
+            # extracted main content, and keeps every other column.
+            from .operators.text import (
+                HTML_MAX_LINK_DENSITY,
+                HTML_MIN_BLOCK_LEN,
+                extract_main_content,
+            )
+
+            html_col = str(st.get("html_col", "html"))
+            if html_col not in df.columns:
+                raise ValueError(
+                    f"stage {i}: html_extract needs a {html_col!r} column"
+                )
+            extra = [c for c in df.columns
+                     if c not in ("doc_id", html_col, "text")]
+            content = extract_main_content(
+                df.select("doc_id", html_col), html_col, "doc_id",
+                min_len=int(st.get("min_len", HTML_MIN_BLOCK_LEN)),
+                max_link_density=float(
+                    st.get("max_link_density", HTML_MAX_LINK_DENSITY)),
+            ).withColumnRenamed("content", "text")
+            df = (content.join(df.select("doc_id", *extra), "doc_id")
+                  if extra else content)
+        elif op == "linify":
             width = int(st.get("width", 8))
             if width < 1:
                 raise ValueError(f"stage {i}: linify width must be >= 1")

@@ -966,6 +966,30 @@ def test_config_driven_curation_matches_capstone(spark, sf_dir):
     with pytest.raises(ValueError, match="source_cap needs"):
         build_curation(d.drop("source"), {"stages": [{"op": "source_cap", "cap": 1}]})
 
+    # html_extract as the optional FIRST stage (round 13): raw HTML in,
+    # the rest of the chain sees plain text; other columns survive
+    from pyspark.sql import functions as F3
+
+    pages = d.limit(20).select(
+        "doc_id", "source",
+        F3.concat(
+            F3.lit('<body><nav><a href="/">Home</a> <a href="/a">About'
+                   ' page</a></nav><p>'),
+            F3.col("text"),
+            F3.lit("</p></body>"),
+        ).alias("html"),
+    )
+    out = build_curation(pages, {"stages": [
+        {"op": "html_extract"},
+        {"op": "linify", "width": 8},
+    ]})
+    assert set(out.columns) >= {"doc_id", "text", "source"}
+    rows = out.collect()
+    assert len(rows) == 20
+    assert all("Home" not in r["text"] and "<" not in r["text"] for r in rows)
+    with pytest.raises(ValueError, match="html_extract needs"):
+        build_curation(d, {"stages": [{"op": "html_extract"}]})
+
 
 def test_config_curation_sampling_stages(spark, sf_dir):
     """The sampling stages compose declaratively: hash_sample keeps the
