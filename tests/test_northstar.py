@@ -1992,11 +1992,14 @@ def test_codec_gif_roundtrip_single_and_animated():
 
 
 def test_codec_webp_lossless_roundtrip():
-    """Round-12 VP8L: encode (literal-only, real canonical prefix
-    codes) → full decode is an EXACT round trip across histogram
-    shapes (random, flat, two-value, gradient, 1x1, wide, tall), the
-    container sniffs as webp, dims are validated, and lossy VP8 /
-    extended VP8X raise the honest NotImplementedError."""
+    """Round-12 VP8L: encode → full decode is an EXACT round trip
+    across histogram shapes (random, flat, two-value, gradient, 1x1,
+    wide, tall), the container sniffs as webp, dims are validated, and
+    lossy VP8 / extended VP8X raise the honest NotImplementedError.
+    Round 13 upgraded the encoder to LZ77 backrefs + color cache, so
+    these same round trips now drive the decoder's backref/cache/extra-
+    bit paths on encoder-produced streams (see the compression test
+    below for the shape-targeted cases)."""
     import struct as st
 
     import numpy as np
@@ -2035,6 +2038,66 @@ def test_codec_webp_lossless_roundtrip():
     blob[24] = ((blob[24] & 0xF0) | ((big >> 24) & 0x0F))
     with pytest.raises(ValueError, match="can paint"):
         C.decode_webp(bytes(blob))
+
+
+def test_codec_webp_encoder_compression_paths():
+    """Round-13 encoder upgrade (VERDICT r12 stretch): LZ77 backrefs +
+    color cache. Shape-targeted cases force each token kind — vertical
+    stripes take the dist-1 (left) backref, horizontal stripes the
+    dist-width (above) backref, a small palette hits the color cache,
+    flat images collapse to one long run — every one an exact round
+    trip, and the compressed sizes prove the paths actually fired (a
+    literal-only encoding of a flat 40x33 image cannot fit in 100
+    bytes). A max-length run (>4096 px) exercises the length-prefix
+    extra-bit ceiling."""
+    import numpy as np
+
+    from priority_data_pipeline_azure_sql_db_spark.operators import codecs as C
+
+    rng = np.random.default_rng(7)
+    flat = np.full((40, 33, 3), 7, dtype=np.uint8)
+    blob = C.encode_webp_lossless(flat)
+    assert np.array_equal(C.decode_webp(blob), flat)
+    assert len(blob) < 100, "flat image must compress via backrefs"
+
+    v = np.tile(rng.integers(0, 256, (37, 1, 3), dtype=np.uint8), (1, 19, 1))
+    bv = C.encode_webp_lossless(v)
+    assert np.array_equal(C.decode_webp(bv), v)
+    assert len(bv) < v.size  # d=1 runs
+
+    h = np.tile(rng.integers(0, 256, (1, 29, 3), dtype=np.uint8), (31, 1, 1))
+    bh = C.encode_webp_lossless(h)
+    assert np.array_equal(C.decode_webp(bh), h)
+    assert len(bh) < h.size  # d=width runs
+
+    pal = rng.integers(0, 4, (50, 50, 3), dtype=np.uint8) * 80
+    bp = C.encode_webp_lossless(pal)
+    assert np.array_equal(C.decode_webp(bp), pal)
+    assert len(bp) < pal.size  # cache hits beat 3-channel literals
+
+    # one run longer than the 4096 length ceiling → split refs with
+    # the max extra-bit length prefix in play
+    tall = np.full((70, 70, 3), 200, dtype=np.uint8)  # 4900 px
+    bt = C.encode_webp_lossless(tall)
+    assert np.array_equal(C.decode_webp(bt), tall)
+
+    # the prefix encode/decode pair is a bijection over the range
+    from priority_data_pipeline_azure_sql_db_spark.operators.codecs import (
+        _vp8l_prefix_encode,
+    )
+
+    class _FakeBR:
+        def __init__(self, v, n):
+            self.v, self.n = v, n
+
+        def read(self, k):
+            assert k == self.n
+            return self.v
+
+    for val in [1, 2, 3, 4, 5, 6, 7, 8, 9, 15, 16, 17, 100, 1000, 4096]:
+        p, extra, nbits = _vp8l_prefix_encode(val)
+        assert 0 <= p < 24
+        assert C._vp8l_prefix_value(_FakeBR(extra, nbits), p) == val
 
 
 def test_codec_webp_vp8l_transform_decode():

@@ -54,6 +54,10 @@ AUDIT = [
     # + probe-rank + bucket join in one plan; multimodal_gif_codec is
     # mapInPandas-dominated like codec_mix, so no plan to audit)
     "ann_cosine_topk_ivf_full",
+    # round-13: the HTML ingest map stage — the audit shows the
+    # template concat staying inside codegen below one ArrowEvalPython-
+    # free mapInPandas, no shuffle anywhere
+    "text_html_extract",
 ]
 
 
