@@ -62,20 +62,27 @@ def entry(spark: SparkSession) -> DataFrame:
 #     3-round invariant, paid once to give every r12 changed-oracle
 #     entry its first driver evidence now.
 #
-# RETIREMENT EXECUTED (r13, per the published P1 policy below):
-#   dedup_minhash_lsh RETIRED → its exact md5 twin dedup_minhash_lsh_md5
-#   (registered r8, hash-graded, judge-swept) grades the same
-#   shingle→minhash→band→bucket-join machinery end-to-end; the retiree
-#   keeps its pytest coverage and stays importable — only the registry
-#   slot is freed. Paired registration: text_html_extract (HTML
-#   main-content extraction — VERDICT r12 ask #6). Registry stays at
-#   200 (the ceiling), rows-only set shrinks to 7.
+# RETIREMENTS EXECUTED (r13, per the published P1 policy below —
+# two registrations, two paired retirements, registry pinned at 200):
+#   1. dedup_minhash_lsh RETIRED → its exact md5 twin
+#      dedup_minhash_lsh_md5 (registered r8, hash-graded, judge-swept)
+#      grades the same shingle→minhash→band→bucket-join machinery
+#      end-to-end. Paired registration: text_html_extract (HTML
+#      main-content extraction — VERDICT r12 ask #6; comparator-green
+#      sf0.01 AND sf0.1 the session it landed).
+#   2. dedup_simhash RETIRED → its exact md5 twin dedup_simhash_md5.
+#      Paired registration: pipeline_curation_html (curation capstone
+#      v4 — the v3 chain with html_extract prepended, driven through
+#      the CONFIG builder; comparator-green sf0.01 + sf0.1).
+#   Retirees keep pytest coverage and stay importable — only registry
+#   slots are freed. Rows-only set shrinks 8 → 6.
 #
 # Schedule from here:
 #   r13 (this file): r12 changed head (10) + r9 bucket head (40)
-#   r14: r9 spill (9) + text_html_extract first evidence (1) + r10
-#        bucket head (40); r10 tail (10) spills to r15
-#   r15: r10 spill (10) + r11 bucket head (40); r11 tail spills to r16
+#   r14: r9 spill (9) + text_html_extract + pipeline_curation_html
+#        first evidence (2) + r10 bucket head (39); r10 tail (11)
+#        spills to r15
+#   r15: r10 spill (11) + r11 bucket head (39); r11 tail spills to r16
 #   r16: r11 spill + r12 bucket head
 #
 # Previous round's comment (kept for the audit trail):

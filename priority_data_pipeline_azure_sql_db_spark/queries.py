@@ -1660,9 +1660,14 @@ def dedup_minhash_lsh(spark, sf_dir):
     ).orderBy("id_a", "id_b")
 
 
-@query("dedup_simhash")  # xxhash64-based: no SQL twin → rows-only check
+# RETIRED from the registry in round 13 (P1 #2, per the published
+# policy; paired registration: pipeline_curation_html): the exact md5
+# twin dedup_simhash_md5 hash-grades the same bitwise-majority-vote
+# signature machinery. Function importable, pytest coverage intact.
 def dedup_simhash(spark, sf_dir):
-    """64-bit SimHash signatures per document (bitwise majority vote)."""
+    """64-bit SimHash signatures per document (bitwise majority vote;
+    hash family is Spark xxhash64 — its md5 twin dedup_simhash_md5 is
+    the hash-graded registry entry since this one's r13 retirement)."""
     return D.simhash(load_table(spark, sf_dir, "documents"), "text", "doc_id").orderBy("doc")
 
 
@@ -5864,6 +5869,156 @@ def pipeline_curation_v3(spark, sf_dir):
     )
     gated = quantile_threshold_filter(scored, "score", 1, 5).drop("_qbucket")
     admitted = cap_per_group(gated, ["source"], "score", cap=10)
+    member_tag = _md5_tag48(F.col("doc_id").cast("string"))
+    return admitted.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+        (F.sum(member_tag) % F.lit(2305843009213693951))
+        .cast("bigint").alias("member_tag"),
+    )
+
+
+@query(
+    "pipeline_curation_html",
+    r"""
+    WITH src AS (
+        SELECT doc_id, source, COALESCE(text, '') AS t FROM documents
+    ), halves AS (
+        SELECT doc_id, source,
+               trim(regexp_replace(substr(t, 1, CAST(floor(length(t) / 2) AS INT)),
+                                   '[ ' || chr(9) || chr(13) || chr(10) || ']+', ' ', 'g'), ' ') AS p1,
+               trim(regexp_replace(substr(t, CAST(floor(length(t) / 2) AS INT) + 1),
+                                   '[ ' || chr(9) || chr(13) || chr(10) || ']+', ' ', 'g'), ' ') AS p2
+        FROM src
+    ), ex AS (
+        SELECT doc_id, source,
+               concat_ws(chr(10),
+                         CASE WHEN length(p1) >= 25 THEN p1 END,
+                         CASE WHEN length(p2) >= 25 THEN p2 END) AS text
+        FROM halves
+    ), toks AS (
+        SELECT doc_id AS doc,
+               list_filter(string_split_regex(trim(lower(text)), '\s+'),
+                           x -> x <> '') AS t
+        FROM ex
+    ), w AS (
+        SELECT doc, i.pos, CAST(i.pos // 8 AS BIGINT) AS line_no,
+               t[CAST(i.pos + 1 AS INT)] AS tok
+        FROM toks, LATERAL (SELECT UNNEST(range(len(t))) AS pos) i
+    ), lines AS (
+        SELECT doc, line_no, string_agg(tok, ' ' ORDER BY pos) AS line
+        FROM w GROUP BY doc, line_no
+    ), boiler AS (
+        SELECT line FROM (
+            SELECT line, COUNT(DISTINCT doc) AS dfreq
+            FROM lines GROUP BY line
+        ) WHERE dfreq >= 2
+    ), flagged AS (
+        SELECT l.doc, l.line_no, l.line, (b.line IS NOT NULL) AS dup
+        FROM lines l LEFT JOIN boiler b ON l.line = b.line
+    ), cleaned AS (
+        SELECT doc AS doc_id,
+               string_agg(CASE WHEN NOT dup THEN line END,
+                          chr(10) ORDER BY line_no) AS text2
+        FROM flagged GROUP BY doc
+        HAVING SUM(CASE WHEN dup THEN 0 ELSE 1 END) > 0
+    ), scored AS (
+        SELECT c.doc_id, e.source,
+               CAST(len(list_filter(string_split_regex(trim(text2), '\s+'), x -> x <> '')) AS BIGINT)
+                   AS n_tokens,
+               CAST(LEN(regexp_extract_all(text2, '[A-Za-z]')) AS DOUBLE)
+                   / CAST(GREATEST(LENGTH(text2), 1) AS DOUBLE) AS s
+        FROM cleaned c JOIN ex e USING (doc_id)
+    ), b AS (
+        SELECT scored.*,
+               CAST(LEAST(FLOOR((GREATEST(LEAST(s, 1.0), 0.0) - 0.0)
+                                * 10000.0 / 1.0), 9999) AS BIGINT) AS qb
+        FROM scored
+    ), hist AS (
+        SELECT qb, COUNT(*) AS c FROM b GROUP BY qb
+    ), cdf AS (
+        SELECT qb,
+               CAST(SUM(c) OVER (ORDER BY qb ROWS UNBOUNDED PRECEDING)
+                    AS BIGINT) AS cum
+        FROM hist
+    ), n AS (SELECT COUNT(*) AS n FROM b
+    ), t AS (
+        SELECT COALESCE(MAX(qb), -1) AS t
+        FROM cdf, n WHERE cum <= (n.n * 1) // 5
+    ), gated AS (
+        SELECT b.* FROM b, t WHERE b.qb > t.t
+    ), ranked AS (
+        SELECT doc_id, source, n_tokens,
+               ROW_NUMBER() OVER (
+                   PARTITION BY source ORDER BY 1.0 - s, doc_id
+               ) AS rk
+        FROM gated
+    ), admitted AS (
+        SELECT * FROM ranked WHERE rk <= 10
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+           CAST(SUM(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12)
+               AS BIGINT)) % 2305843009213693951 AS BIGINT) AS member_tag
+    FROM admitted GROUP BY source
+    """,
+)
+def pipeline_curation_html(spark, sf_dir):
+    """CURATION CAPSTONE v4 (round 13): the v3 chain with HTML
+    main-content extraction prepended, driven through the CONFIG path —
+    `build_curation` with `{"op": "html_extract"}` as the first stage
+    (raw template-wrapped pages → extracted text → 8-token linify →
+    boilerplate removal → quantile gate → per-source cap → the same
+    per-source mixing report with the 48-bit membership tag). This
+    grades three things at once that no other entry covers together:
+    the extraction operator INSIDE a composition (not just standalone),
+    the config-driven builder itself on the driver surface (v3 builds
+    its chain by hand; the config≡capstone equality was pytest-only
+    until now), and the empty-extraction edge (a sub-50-char document
+    drops BOTH halves and must vanish identically in both engines).
+    Oracle: the v3 CTE chain re-rooted on the predicted extraction.
+    Registered r13 with its paired P1 retirement (dedup_simhash → its
+    md5 twin), per the published policy."""
+    from .curation import build_curation
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", F.coalesce("text", F.lit("")).alias("t")
+    )
+    esc = ("replace(replace(replace({0}, '&', '&amp;'), "
+           "'<', '&lt;'), '>', '&gt;')")
+    pages = d.select(
+        "doc_id", "source",
+        F.concat(
+            F.lit(
+                '<html><head><title>doc</title><style>p {margin:0}'
+                '</style></head><body>'
+                '<nav><a href="/">Home</a> <a href="/about">About</a> '
+                '<a href="/contact">Contact us today</a></nav>'
+                '<div class="related">'
+                '<a href="/r1">First related article teaser link</a> '
+                '<a href="/r2">Second related article teaser link</a>'
+                '</div><article><p>'
+            ),
+            F.expr(esc.format(
+                "substring(t, 1, CAST(floor(length(t) / 2) AS INT))")),
+            F.lit("</p><p>"),
+            F.expr(esc.format(
+                "substring(t, CAST(floor(length(t) / 2) AS INT) + 1, "
+                "length(t))")),
+            F.lit(
+                '</p></article><footer><a href="/tos">Terms of service'
+                '</a> (c) 2026 example corp</footer></body></html>'
+            ),
+        ).alias("html"),
+    )
+    admitted = build_curation(pages, {"stages": [
+        {"op": "html_extract"},
+        {"op": "linify", "width": 8},
+        {"op": "boilerplate_lines", "min_docs": 2},
+        {"op": "quantile_gate", "drop_num": 1, "drop_den": 5},
+        {"op": "source_cap", "cap": 10},
+    ]}).withColumn("n_tokens", X.token_count(F.col("text")).cast("bigint"))
     member_tag = _md5_tag48(F.col("doc_id").cast("string"))
     return admitted.groupBy("source").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_docs"),
