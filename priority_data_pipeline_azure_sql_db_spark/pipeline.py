@@ -34,7 +34,7 @@ from pyspark.sql import functions as F
 
 from .catalog import primary_key
 from .config import EntityConfig, ExtractionConfig
-from .operators.store_io import write_partitioned
+from .operators.store_io import _has_data_files, write_partitioned
 from .operators.flatten import flatten_expand
 from .operators.merge import merge_upsert
 from .operators.normalize import (
@@ -382,10 +382,15 @@ class StagingStore:
         self._with_partition(merged).write.mode("overwrite") \
             .partitionBy(PARTITION_COL).parquet(tmp)
         # recompute the touched partitions' zone maps from the bytes
-        # just written (O(touched)); untouched entries carry over
+        # just written (O(touched)); untouched entries carry over. An
+        # EMPTY merged frame (empty delta / every touched partition
+        # emptied) leaves tmp with _SUCCESS but no parquet files —
+        # reading it back would raise UNABLE_TO_INFER_SCHEMA; there is
+        # nothing to restat, the touched entries simply drop out.
         new_parts = {s: st for s, st in boot_parts.items() if s not in set(subs)}
-        new_parts.update(self._partition_stats(
-            spark.read.parquet(tmp), pk[0]))
+        if _has_data_files(tmp):
+            new_parts.update(self._partition_stats(
+                spark.read.parquet(tmp), pk[0]))
         new_meta = {"pk": pk, "parts": new_parts}
         # intent AFTER tmp is complete, swaps after the intent: any
         # crash from here rolls FORWARD in _recover (the partition swap

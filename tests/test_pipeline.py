@@ -273,6 +273,11 @@ def test_merge_partition_stats_prune_and_crash_safety(spark, tmp_path):
     got = {(r.pk, r.v) for r in store.read(spark, "t").collect()}
     assert got == {(1, "a2"), (2, "b2"), (3, "c")}
 
+    # EMPTY delta merge: a no-op that keeps totals and stats (the tmp
+    # dir lands zero parquet files — the stats read-back must not wedge)
+    assert store.merge(spark, batch([], 5).limit(0), "t", ["pk"]) == 3
+    assert {(r.pk, r.v) for r in store.read(spark, "t").collect()} == got
+
 
 def test_merge_group_replace_semantics(spark, tmp_path):
     """The merge is GROUP-replace on the key (round-11 review, resolved
