@@ -138,7 +138,11 @@ class StagingStore:
         ...) — a None bound makes the partition an always-candidate,
         never a wrong prune. int/float/str are safe: Python's str
         compare is code-point order, which equals Spark's UTF-8 binary
-        order for valid Unicode."""
+        order for valid Unicode. float NaN is NOT safe (every ordered
+        comparison is False, so a NaN bound would prune a partition
+        that can match) — unknown, therefore always-candidate."""
+        if isinstance(v, float) and v != v:
+            return None
         return v if isinstance(v, (int, float, str)) \
             and not isinstance(v, bool) else None
 
@@ -354,9 +358,12 @@ class StagingStore:
             lo, hi = self._stat_val(prof["_lo"]), self._stat_val(prof["_hi"])
             dvals = drange = None
             if prof["_nd"] <= self._DELTA_VALS_CAP:
-                dvals = [r[0] for r in
+                # NaN delta keys drop out of the value set: they break
+                # bisect ordering, and any partition HOLDING a NaN has a
+                # NaN (→ None) bound, making it an always-candidate
+                dvals = [v for (v,) in
                          dpart.select(pk[0]).distinct().collect()
-                         if r[0] is not None]
+                         if v is not None and v == v]
             elif lo is not None and hi is not None:
                 drange = (lo, hi)
             cand = self._prune_candidates(boot_parts, dvals, drange, dhasnull)

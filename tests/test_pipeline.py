@@ -278,6 +278,25 @@ def test_merge_partition_stats_prune_and_crash_safety(spark, tmp_path):
     assert store.merge(spark, batch([], 5).limit(0), "t", ["pk"]) == 3
     assert {(r.pk, r.v) for r in store.read(spark, "t").collect()} == got
 
+    # float-NaN pk: never pruned wrongly. NaN bounds read as unknown
+    # (always-candidate) and NaN delta keys leave the bisect value set,
+    # so a NaN-keyed update still finds and replaces its old version.
+    def fbatch(rows, day):
+        return spark.createDataFrame(
+            rows, "pk double, v string"
+        ).withColumn("extractionid", F.lit(f"run-{day}")).withColumn(
+            "extractiontimestamputc",
+            F.lit(f"2026-01-0{day} 12:00:00").cast("timestamp"),
+        )
+
+    nan = float("nan")
+    store.overwrite(fbatch([(1.0, "a"), (nan, "n1")], 1), "tf", pk=["pk"])
+    meta_f = json.load(open(store._meta_path("tf")))
+    assert meta_f["parts"]["_load_date=2026-01-01"]["max"] is None  # NaN
+    store.merge(spark, fbatch([(nan, "n2")], 2), "tf", ["pk"])
+    vals = sorted(r.v for r in store.read(spark, "tf").collect())
+    assert vals == ["a", "n2"], "NaN old version must be found and replaced"
+
 
 def test_merge_group_replace_semantics(spark, tmp_path):
     """The merge is GROUP-replace on the key (round-11 review, resolved
