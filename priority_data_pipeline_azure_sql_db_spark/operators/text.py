@@ -625,6 +625,19 @@ def winnow_fingerprints(
     lexicographic order in both engines). Only windows fully inside the
     gram sequence select (faithful winnowing, no partial tail windows).
 
+    Spec-agreement review (round 13, vs Schleimer/Wilkerson/Aiken 2003):
+    the paper's tie rule ("rightmost minimal hash per window") affects
+    POSITION bookkeeping only — the selected hash VALUE is the same
+    whichever tied occurrence wins, and this operator's output is the
+    distinct value set, so the rule cannot diverge here; the guarantee
+    (shared substring >= k+w-1 ⇒ shared print) holds for value sets.
+    One reviewed BOUNDARY, kept deliberately: a document whose
+    normalized text has fewer than k+w-1 characters has no complete
+    window and emits ZERO fingerprints — it can never near-dup match,
+    even against an identical copy. That is the paper's own undefined
+    region (no guarantee below k+w-1); run exact dedup first (the
+    pipeline capstones do), which catches identical shorts.
+
     Scale shape: ONE shuffle total — the raw (id, text) rows are
     hash-spread on the doc id *before* the ~300× k-gram explode (see
     operators/scale.py for why this must be a pinned repartition), and
