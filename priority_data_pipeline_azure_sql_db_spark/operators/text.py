@@ -1018,12 +1018,19 @@ def extract_main_content(
     text-pipeline stage the repo lacked (VERDICT r12 §missing #6): raw
     crawl HTML → text, upstream of linify/quality/dedup.
 
-    Scale shape: identical to the codec kernels — scan-side, pipelined
-    with the parquet read, output column pruned like any other. At
-    100 TB this is the map stage of the ingest job; nothing here
-    accumulates state across rows or partitions.
+    Scale shape: embarrassingly parallel map stage — nothing here
+    accumulates state across rows or partitions. The input is SPREAD
+    (operators/scale.py pinned repartition) before the kernel: the
+    Python parse is the expensive half, and a small parquet input
+    arriving as one split would otherwise run it on ONE core (measured
+    2.24 s → 0.66 s at sf0.1, the same single-partition pathology the
+    shingle pipelines pin against). At 100 TB the scan arrives in many
+    splits and the exchange moves only (id, html) rows once, before
+    the row-expensive work.
     """
     id_type = df.schema[id_col].dataType.simpleString()
+
+    from .scale import spread
 
     def kernel(batches):
         import pandas as pd
@@ -1037,6 +1044,6 @@ def extract_main_content(
                 ],
             })
 
-    return df.select(id_col, html_col).mapInPandas(
+    return spread(df.select(id_col, html_col), id_col).mapInPandas(
         kernel, f"{id_col} {id_type}, content string"
     )
