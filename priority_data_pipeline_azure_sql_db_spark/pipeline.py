@@ -199,6 +199,52 @@ class StagingStore:
                 out.append(sub)
         return out
 
+    def _delta_profile(self, delta: DataFrame, key0: str):
+        """Delta key profile for zone-map pruning (one agg + one small
+        collect): (value set | None, [min,max] range | None, has-null).
+        Value set when the delta has <= _DELTA_VALS_CAP distinct keys
+        (NaN floats excluded — they break bisect ordering, and any
+        partition holding NaN has a None bound, staying a candidate);
+        range above the cap; (None, None) when the type is uncomparable
+        driver-side — every partition stays a candidate then."""
+        prof = delta.agg(
+            F.min(key0).alias("_lo"), F.max(key0).alias("_hi"),
+            F.count_distinct(F.col(key0)).alias("_nd"),
+            F.max(F.col(key0).isNull().cast("int")).alias("_null"),
+        ).collect()[0]
+        dhasnull = bool(prof["_null"])
+        lo, hi = self._stat_val(prof["_lo"]), self._stat_val(prof["_hi"])
+        dvals = drange = None
+        if prof["_nd"] <= self._DELTA_VALS_CAP:
+            dvals = [v for (v,) in delta.select(key0).distinct().collect()
+                     if v is not None and v == v]
+        elif lo is not None and hi is not None:
+            drange = (lo, hi)
+        return dvals, drange, dhasnull
+
+    def read_for_keys(self, spark: SparkSession, table: str,
+                      keys: DataFrame, pk: list[str]) -> DataFrame:
+        """Read ONLY the partitions whose pk zone maps can hold a key of
+        ``keys`` — exact for any consumer that only needs rows matching
+        those keys (the CDC audit's standing-side restriction): a
+        non-candidate partition provably contains none of them. Falls
+        back to the full :meth:`read` when the table has no stats
+        sidecar (legacy layout, no pk at overwrite, or pk mismatch).
+        O(candidate partitions) instead of O(store) — the same pruning
+        the MERGE's old-version probe uses."""
+        self._recover(table)
+        meta = self._read_meta(table)
+        if meta is None or meta.get("pk") != pk:
+            return self.read(spark, table)
+        cand = self._prune_candidates(
+            meta["parts"], *self._delta_profile(keys, pk[0]))
+        df = self._read_subs(spark, table, cand)
+        if df is None:
+            # no candidate partition exists on disk: typed-empty via a
+            # zero-row slice of the full table (metadata-only read)
+            return self.read(spark, table).limit(0)
+        return df.drop(PARTITION_COL)
+
     def _read_subs(self, spark: SparkSession, table: str,
                    subs: list[str]) -> DataFrame | None:
         """Direct-path read of named partition sub-dirs — partition
@@ -347,26 +393,8 @@ class StagingStore:
             }
         else:
             boot_parts = dict(meta["parts"])
-            # delta key profile (one agg on the cached delta): value set
-            # when small, [min,max] range above the cap, NULLs tracked
-            prof = dpart.agg(
-                F.min(pk[0]).alias("_lo"), F.max(pk[0]).alias("_hi"),
-                F.count_distinct(F.col(pk[0])).alias("_nd"),
-                F.max(F.col(pk[0]).isNull().cast("int")).alias("_null"),
-            ).collect()[0]
-            dhasnull = bool(prof["_null"])
-            lo, hi = self._stat_val(prof["_lo"]), self._stat_val(prof["_hi"])
-            dvals = drange = None
-            if prof["_nd"] <= self._DELTA_VALS_CAP:
-                # NaN delta keys drop out of the value set: they break
-                # bisect ordering, and any partition HOLDING a NaN has a
-                # NaN (→ None) bound, making it an always-candidate
-                dvals = [v for (v,) in
-                         dpart.select(pk[0]).distinct().collect()
-                         if v is not None and v == v]
-            elif lo is not None and hi is not None:
-                drange = (lo, hi)
-            cand = self._prune_candidates(boot_parts, dvals, drange, dhasnull)
+            cand = self._prune_candidates(
+                boot_parts, *self._delta_profile(delta, pk[0]))
             cand_df = self._read_subs(spark, table, cand)
             old_vals = set() if cand_df is None else {
                 r[0] for r in
@@ -795,8 +823,15 @@ class PipelineRunner:
                 key = _key()
                 if cdc_audit:
                     try:
+                        # zone-map-pruned standing side (round 13): the
+                        # audit only needs target rows matching delta
+                        # PKs, so non-candidate partitions never open —
+                        # O(delta candidates), not O(store), same as
+                        # the merge's old-version probe
                         audit = cdc_audit_delta(
-                            self.store.read(self.spark, table), df, key
+                            self.store.read_for_keys(
+                                self.spark, table, df, key),
+                            df, key,
                         )
                         # materialize the audit BEFORE the merge swaps
                         # the table's partition dirs out from under it
