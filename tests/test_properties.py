@@ -788,3 +788,72 @@ def test_scd2_apply_delta_equals_rebuild_property(spark, log, cut):
     key = lambda r: (r.pk, str(r.state), r.valid_from, str(r.valid_to),
                      r.is_current)
     assert sorted(map(key, inc)) == sorted(map(key, full))
+
+
+merge_seq = st.lists(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=12),   # pk
+            st.integers(min_value=1, max_value=5),    # load day
+            st.text(alphabet="abc", min_size=1, max_size=3),  # value
+        ),
+        min_size=0, max_size=6,
+    ),
+    min_size=1, max_size=4,
+)
+
+
+@SETTINGS
+@given(seq=merge_seq)
+def test_staging_merge_zone_map_property(spark, seq, tmp_path_factory):
+    """Round-13 zone maps under RANDOM merge sequences (repeated keys,
+    key moves across load dates, empty deltas, duplicate keys within a
+    delta): the store's final content must equal a driver-side
+    reference fold of GROUP-replace semantics — a single wrong prune
+    (a partition holding an old key version skipped by its min/max)
+    surfaces as a stale duplicate or a lost row here. Also asserts the
+    returned count matches the reference's row count at every step
+    (the sidecar row accounting never drifts)."""
+    from pyspark.sql import functions as F2
+
+    from priority_data_pipeline_azure_sql_db_spark.pipeline import StagingStore
+
+    store = StagingStore(str(tmp_path_factory.mktemp("zstg")))
+
+    # reference model: dict pk -> list of (day, v) rows (GROUP-replace:
+    # a delta's key group replaces the standing group wholesale)
+    ref: dict[int, list] = {}
+    first = True
+    for run, delta in enumerate(seq):
+        rows = [(pk, f"2026-01-0{day} 12:00:00", v) for pk, day, v in delta]
+        df = spark.createDataFrame(
+            rows, "pk bigint, extractiontimestamputc string, v string"
+        ).withColumn("extractionid", F2.lit(f"run-{run}")).withColumn(
+            "extractiontimestamputc",
+            F2.col("extractiontimestamputc").cast("timestamp"),
+        )
+        if first:
+            n = store.overwrite(df, "t", pk=["pk"])
+            ref = {}
+            first = False
+        else:
+            n = store.merge(spark, df, "t", ["pk"])
+        groups: dict[int, list] = {}
+        for pk, day, v in delta:
+            groups.setdefault(pk, []).append((day, v))
+        for pk, g in groups.items():
+            ref[pk] = g
+        assert n == sum(len(g) for g in ref.values())
+    if not store.exists("t"):
+        # an empty FIRST load truncates (removes) the table; it only
+        # reappears on the first non-empty delta
+        assert ref == {} or all(not g for g in ref.values())
+        return
+    got = sorted(
+        (r.pk, int(str(r.extractiontimestamputc)[9]), r.v)
+        for r in store.read(spark, "t").collect()
+    )
+    want = sorted(
+        (pk, day, v) for pk, g in ref.items() for day, v in g
+    )
+    assert got == want

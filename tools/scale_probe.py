@@ -38,8 +38,15 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import duckdb  # noqa: E402
 
+from priority_data_pipeline_azure_sql_db_spark import queries as _qmod  # noqa: E402
 from priority_data_pipeline_azure_sql_db_spark.queries import QUERIES  # noqa: E402
 from priority_data_pipeline_azure_sql_db_spark.session import get_spark  # noqa: E402
+
+
+def _resolve(name: str):
+    """Registry entry, else the importable module function — registry-
+    RETIRED probes (dedup_minhash_lsh, r13) keep their scaling series."""
+    return QUERIES.get(name) or getattr(_qmod, name)
 
 SCALES = [1, 2, 4, 8]
 # the negative control runs further out: its quadratic pair term only
@@ -56,6 +63,11 @@ PROBES = {
     "pack_greedy_sequences": ["documents"],
     "er_first_token_pairs": ["part"],
     "ann_cosine_topk_lsh": ["embeddings"],
+    # round 13: the HTML ingest map stage — spread + Arrow parser
+    # kernel; the claim is embarrassingly-parallel linearity (slope ~1
+    # is CORRECT here: the work IS the corpus, unlike the bounded-
+    # fan-out joins above whose claim is sub-linear growth)
+    "text_html_extract": ["documents"],
     # NEGATIVE CONTROL: the uncapped shingle join's pair term grows
     # quadratically when replicas share shingles (every cross-replica
     # doc pair that shares one multiplies by k^2) — the probe must read
@@ -132,7 +144,7 @@ def main() -> None:
         scales = CONTROL_SCALES.get(name, SCALES)
         per_scale: dict[str, float] = {}
         for k in scales:
-            df = QUERIES[name](spark, dirs[k])
+            df = _resolve(name)(spark, dirs[k])
             best = math.inf
             for attempt in range(4):
                 spark.catalog.clearCache()
