@@ -74,15 +74,26 @@ def entry(spark: SparkSession) -> DataFrame:
 #      Paired registration: pipeline_curation_html (curation capstone
 #      v4 — the v3 chain with html_extract prepended, driven through
 #      the CONFIG builder; comparator-green sf0.01 + sf0.1).
+#   3. dedup_simhash_pairs RETIRED → its exact md5 twin
+#      dedup_simhash_pairs_md5. Paired registration:
+#      streaming_html_ingest (transform-on-ingest: extraction inside
+#      foreachBatch draining into the zone-mapped staging MERGE,
+#      multi-batch, 48-bit content multiset tag; comparator-green
+#      sf0.01 + sf0.1).
 #   Retirees keep pytest coverage and stay importable — only registry
-#   slots are freed. Rows-only set shrinks 8 → 6.
+#   slots are freed. Rows-only set shrinks 8 → 5; the P1 pool (md5-twin
+#   superseded siblings) is now EXHAUSTED — the remaining 5 rows-only
+#   entries are genuinely engine-specific/approximate, and the next
+#   retirement draws from P2 (pack_length_bucket_batches → its wide
+#   twin) per the published order.
 #
 # Schedule from here:
 #   r13 (this file): r12 changed head (10) + r9 bucket head (40)
-#   r14: r9 spill (9) + text_html_extract + pipeline_curation_html
-#        first evidence (2) + r10 bucket head (39); r10 tail (11)
+#   r14: r9 spill (9) + the 3 r13 registrations' first evidence
+#        (text_html_extract, pipeline_curation_html,
+#        streaming_html_ingest) + r10 bucket head (38); r10 tail (12)
 #        spills to r15
-#   r15: r10 spill (11) + r11 bucket head (39); r11 tail spills to r16
+#   r15: r10 spill (12) + r11 bucket head (38); r11 tail spills to r16
 #   r16: r11 spill + r12 bucket head
 #
 # Previous round's comment (kept for the audit trail):

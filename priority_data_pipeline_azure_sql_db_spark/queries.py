@@ -1671,14 +1671,20 @@ def dedup_simhash(spark, sf_dir):
     return D.simhash(load_table(spark, sf_dir, "documents"), "text", "doc_id").orderBy("doc")
 
 
-@query("dedup_simhash_pairs")  # xxhash64-based: no SQL twin → rows-only check
+# RETIRED from the registry in round 13 (P1 #3, per the published
+# policy; paired registration: streaming_html_ingest): the exact md5
+# twin dedup_simhash_pairs_md5 hash-grades the same pigeonhole
+# block-LSH + Hamming-refine retrieval. Function importable, pytest
+# coverage intact.
 def dedup_simhash_pairs(spark, sf_dir):
     """SimHash near-dup retrieval: pigeonhole block-LSH candidates +
     exact bit_count(xor) <= 3 Hamming refine — recall 1.0 by
     construction (any pair within distance d agrees on one of the d+1
-    signature blocks). Signature hash family is Spark xxhash64, so no
-    DuckDB twin; the retrieval math itself is pytest-verified against
-    brute-force Hamming (tests/test_northstar.py)."""
+    signature blocks). Signature hash family is Spark xxhash64 (its md5
+    twin dedup_simhash_pairs_md5 is the hash-graded registry entry
+    since this one's r13 retirement); the retrieval math itself is
+    pytest-verified against brute-force Hamming
+    (tests/test_northstar.py)."""
     return D.simhash_pairs(
         load_table(spark, sf_dir, "documents"), "text", "doc_id", max_hamming=3
     ).orderBy("id_a", "id_b")
@@ -1866,6 +1872,139 @@ def text_quality_score(spark, sf_dir):
     )
 
 
+def _html_template_pages(d):
+    """The ONE deterministic page template shared by every HTML-graded
+    query (text_html_extract / pipeline_curation_html /
+    streaming_html_ingest): the document text splits into two
+    entity-escaped <p> halves inside boilerplate that exercises every
+    extraction rule class (nav + footer for the tag drops, a link-only
+    related-articles div for the density gate, a <style> block for the
+    subtree drops). Input needs (doc_id, t [, ...]); every other column
+    passes through. One copy — the oracles all predict from the same
+    construction, so the template must never fork."""
+    esc = ("replace(replace(replace({0}, '&', '&amp;'), "
+           "'<', '&lt;'), '>', '&gt;')")
+    return d.withColumn(
+        "html",
+        F.concat(
+            F.lit(
+                '<html><head><title>doc</title><style>p {margin:0}'
+                '</style></head><body>'
+                '<nav><a href="/">Home</a> <a href="/about">About</a> '
+                '<a href="/contact">Contact us today</a></nav>'
+                '<div class="related">'
+                '<a href="/r1">First related article teaser link</a> '
+                '<a href="/r2">Second related article teaser link</a>'
+                '</div><article><p>'
+            ),
+            F.expr(esc.format(
+                "substring(t, 1, CAST(floor(length(t) / 2) AS INT))")),
+            F.lit("</p><p>"),
+            F.expr(esc.format(
+                "substring(t, CAST(floor(length(t) / 2) AS INT) + 1, "
+                "length(t))")),
+            F.lit(
+                '</p></article><footer><a href="/tos">Terms of service'
+                '</a> (c) 2026 example corp</footer></body></html>'
+            ),
+        ),
+    ).drop("t")
+
+
+# the oracle-side twin of _html_template_pages + extract_main_content:
+# the predicted extraction is the two normalized halves, each gated by
+# the 25-char minimum, joined with one newline
+_HTML_EXTRACT_PREDICT = r"""
+    halves AS (
+        SELECT *,
+               trim(regexp_replace(substr(t, 1, CAST(floor(length(t) / 2) AS INT)),
+                                   '[ ' || chr(9) || chr(13) || chr(10) || ']+', ' ', 'g'), ' ') AS p1,
+               trim(regexp_replace(substr(t, CAST(floor(length(t) / 2) AS INT) + 1),
+                                   '[ ' || chr(9) || chr(13) || chr(10) || ']+', ' ', 'g'), ' ') AS p2
+        FROM src
+    ), predicted AS (
+        SELECT *, concat_ws(chr(10),
+                            CASE WHEN length(p1) >= 25 THEN p1 END,
+                            CASE WHEN length(p2) >= 25 THEN p2 END) AS content
+        FROM halves
+    )
+"""
+
+
+@query(
+    "streaming_html_ingest",
+    f"""
+    WITH src AS (
+        SELECT doc_id, source, COALESCE(text, '') AS t FROM documents
+    ), {_HTML_EXTRACT_PREDICT}
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_ids,
+           CAST(SUM(length(content)) AS BIGINT) AS total_chars,
+           CAST(SUM(CAST('0x' || substr(md5(content), 1, 12) AS BIGINT))
+                % 2305843009213693951 AS BIGINT) AS content_tag
+    FROM predicted GROUP BY source
+    """,
+)
+def streaming_html_ingest(spark, sf_dir):
+    """Streaming TRANSFORM-ON-INGEST, value-checked end to end (round
+    13): raw template-wrapped HTML pages staged as four files stream in
+    with maxFilesPerTrigger=1, each micro-batch runs the HTML
+    main-content extraction INSIDE foreachBatch (the sink's new
+    ``transform`` hook — the decode/extract/normalize step every real
+    crawl ingest runs between source and staging), audit-stamps, and
+    MERGE-upserts into the zone-mapped staging store; the staging table
+    is read BACK and aggregated per source with a 48-bit md5 multiset
+    tag over the extracted content. The oracle predicts the extraction
+    from the raw column — any page lost or duplicated across batch
+    boundaries, any extraction drift, and any merge/zone-map mis-prune
+    under multi-batch upserts flips the hash. Deterministic
+    per-(process, sf_dir) store + checkpoint: a re-drain against the
+    same checkpoint is a no-op (idempotent across driver/bench runs)."""
+    import os
+    from datetime import datetime as _DT
+
+    from .pipeline import StagingStore
+    from .streaming.sink import stream_merge_into_staging
+
+    base = _resident_path("stream_html", sf_dir)
+    src = os.path.join(base, "src")
+    if not os.path.exists(os.path.join(src, "_SUCCESS")):
+        _html_template_pages(
+            load_table(spark, sf_dir, "documents").select(
+                "doc_id", "source", F.coalesce("text", F.lit("")).alias("t")
+            )
+        ).repartition(4).write.mode("overwrite").parquet(src)
+    pages = (
+        spark.readStream.schema(spark.read.parquet(src).schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    run_ts = _DT(2026, 1, 1)
+
+    def ingest(batch):
+        ex = X.extract_main_content(batch, "html", "doc_id")
+        out = ex.join(batch.select("doc_id", "source"), "doc_id")
+        return add_audit_columns(out, RUN_ID, run_ts)
+
+    store = StagingStore(root=os.path.join(base, "stg"))
+    q = stream_merge_into_staging(
+        pages, store, "docs", ["doc_id"],
+        os.path.join(base, "ckpt"), transform=ingest,
+    )
+    if not q.awaitTermination(300):
+        q.stop()  # never aggregate with the writer still live
+        raise RuntimeError("streaming drain did not finish within 300s")
+    tag = _md5_tag48(F.col("content"))
+    return store.read(spark, "docs").groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.countDistinct("doc_id").cast("bigint").alias("n_ids"),
+        F.sum(F.length("content")).cast("bigint").alias("total_chars"),
+        (F.sum(tag) % F.lit(2305843009213693951))
+        .cast("bigint").alias("content_tag"),
+    )
+
+
 @query(
     "text_html_extract",
     r"""
@@ -1903,36 +2042,10 @@ def text_html_extract(spark, sf_dir):
     fixture rows, not just in pytest), joined with one newline. A
     parser bug, a drop-tag leak, a density miscount, or a whitespace-
     normalization drift all surface as hash mismatches."""
-    d = load_table(spark, sf_dir, "documents").select(
-        "doc_id", F.coalesce("text", F.lit("")).alias("t")
-    )
-    # split FIRST, escape EACH HALF (never split inside an entity)
-    esc = ("replace(replace(replace({0}, '&', '&amp;'), "
-           "'<', '&lt;'), '>', '&gt;')")
-    h = d.select(
-        "doc_id",
-        F.concat(
-            F.lit(
-                '<html><head><title>doc</title><style>p {margin:0}'
-                '</style></head><body>'
-                '<nav><a href="/">Home</a> <a href="/about">About</a> '
-                '<a href="/contact">Contact us today</a></nav>'
-                '<div class="related">'
-                '<a href="/r1">First related article teaser link</a> '
-                '<a href="/r2">Second related article teaser link</a>'
-                '</div><article><p>'
-            ),
-            F.expr(esc.format(
-                "substring(t, 1, CAST(floor(length(t) / 2) AS INT))")),
-            F.lit("</p><p>"),
-            F.expr(esc.format(
-                "substring(t, CAST(floor(length(t) / 2) AS INT) + 1, "
-                "length(t))")),
-            F.lit(
-                '</p></article><footer><a href="/tos">Terms of service'
-                '</a> (c) 2026 example corp</footer></body></html>'
-            ),
-        ).alias("html"),
+    h = _html_template_pages(
+        load_table(spark, sf_dir, "documents").select(
+            "doc_id", F.coalesce("text", F.lit("")).alias("t")
+        )
     )
     return X.extract_main_content(h, "html", "doc_id").orderBy("doc_id")
 
@@ -5982,35 +6095,10 @@ def pipeline_curation_html(spark, sf_dir):
     md5 twin), per the published policy."""
     from .curation import build_curation
 
-    d = load_table(spark, sf_dir, "documents").select(
-        "doc_id", "source", F.coalesce("text", F.lit("")).alias("t")
-    )
-    esc = ("replace(replace(replace({0}, '&', '&amp;'), "
-           "'<', '&lt;'), '>', '&gt;')")
-    pages = d.select(
-        "doc_id", "source",
-        F.concat(
-            F.lit(
-                '<html><head><title>doc</title><style>p {margin:0}'
-                '</style></head><body>'
-                '<nav><a href="/">Home</a> <a href="/about">About</a> '
-                '<a href="/contact">Contact us today</a></nav>'
-                '<div class="related">'
-                '<a href="/r1">First related article teaser link</a> '
-                '<a href="/r2">Second related article teaser link</a>'
-                '</div><article><p>'
-            ),
-            F.expr(esc.format(
-                "substring(t, 1, CAST(floor(length(t) / 2) AS INT))")),
-            F.lit("</p><p>"),
-            F.expr(esc.format(
-                "substring(t, CAST(floor(length(t) / 2) AS INT) + 1, "
-                "length(t))")),
-            F.lit(
-                '</p></article><footer><a href="/tos">Terms of service'
-                '</a> (c) 2026 example corp</footer></body></html>'
-            ),
-        ).alias("html"),
+    pages = _html_template_pages(
+        load_table(spark, sf_dir, "documents").select(
+            "doc_id", "source", F.coalesce("text", F.lit("")).alias("t")
+        )
     )
     admitted = build_curation(pages, {"stages": [
         {"op": "html_extract"},

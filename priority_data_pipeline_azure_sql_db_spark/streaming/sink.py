@@ -35,11 +35,20 @@ def stream_merge_into_staging(
     table: str,
     pk: list[str],
     checkpoint_dir: str,
+    transform=None,
 ):
     """Run an available-now streaming MERGE: drain everything the source
     currently has into ``stg_<table>`` through per-micro-batch upserts,
     then stop. Returns the finished StreamingQuery (caller inspects
     ``lastProgress``/recentProgress for batch accounting).
+
+    ``transform`` (round 13): an optional per-micro-batch DataFrame →
+    DataFrame map applied BEFORE the dedup/merge — the
+    transform-on-ingest shape (decode, extract, normalize, audit-stamp)
+    every real ingest pipeline runs between source and staging. It must
+    be DETERMINISTIC per row (a replayed batch must merge the same
+    rows to the same values, or the sink's effectively-once contract
+    degrades to at-least-once with drift) and must preserve ``pk``.
 
     ``availableNow`` (not ``once``) so the drain respects source rate
     limits (maxFilesPerTrigger) while still terminating — the batch-job
@@ -50,6 +59,8 @@ def stream_merge_into_staging(
     def upsert(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return  # no-op batch — same guard as the other three sinks
+        if transform is not None:
+            batch_df = transform(batch_df)
         # dropDuplicates within the batch: a micro-batch may carry the
         # same PK twice (source replays, late files); MERGE semantics
         # need one row per key per batch. Deterministic survivor: max
