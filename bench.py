@@ -109,8 +109,12 @@ ANNEX = [
     "er_first_token_pairs",
     "export_curriculum_readback",
     # round-13: HTML main-content extraction (the new ingest map stage —
-    # template-wrapped fixture pages through the Arrow parser kernel)
+    # template-wrapped fixture pages through the Arrow parser kernel),
+    # and the streaming transform-on-ingest round trip (drain happens
+    # once at PLAN time like every resident entry; the timed region is
+    # the staged table's read-back aggregate)
     "text_html_extract",
+    "streaming_html_ingest",
 ]
 
 HEADLINE = CORE + ANNEX
