@@ -130,8 +130,15 @@ def fold_rollup_batch(
     with open(tmp, "w") as fh:
         fh.write(f"{batch_id}\n{new_dir}")
     os.replace(tmp, os.path.join(store_path, "CURRENT"))
-    if cur is not None:
-        shutil.rmtree(cur, ignore_errors=True)  # superseded version
+    # GC every superseded version, not just this fold's predecessor
+    # (round-13 review): a crash between the pointer swap and the old
+    # rmtree stranded ONE full rollup copy per crash forever — the next
+    # fold only removed ITS predecessor. Single-writer (foreachBatch is
+    # serial), so any agg_* dir other than the just-committed one is
+    # dead by construction.
+    for d in os.listdir(store_path):
+        if d.startswith("agg_") and d != new_dir:
+            shutil.rmtree(os.path.join(store_path, d), ignore_errors=True)
     return True
 
 
@@ -253,9 +260,16 @@ def _swap_hist_buckets(store_path: str, staged, touched: list,
     hist_root = os.path.join(store_path, "hist")
     stage_root = os.path.join(hist_root, ".stage_root")
     shutil.rmtree(stage_root, ignore_errors=True)
-    for b in touched:
-        shutil.rmtree(os.path.join(hist_root, f".stage_{b}"),
-                      ignore_errors=True)
+    # sweep ALL leftover stage dirs, not just this fold's touched set
+    # (round-13 review): a crash BEFORE the manifest leaves .stage_<b>
+    # dirs for buckets a later fold may never touch — dead by
+    # construction (roll-forward ran at entry: a manifest would have
+    # consumed them), they only leak disk and listing time
+    if os.path.isdir(hist_root):
+        for d in os.listdir(hist_root):
+            if d.startswith(".stage_") or d.startswith(".old_"):
+                shutil.rmtree(os.path.join(hist_root, d),
+                              ignore_errors=True)
     write_partitioned(staged, stage_root, ["_kb"], on_empty="skip",
                       what="SCD2 history stage")
     for b in touched:

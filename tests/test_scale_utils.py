@@ -819,7 +819,25 @@ def test_stream_rollup_maintenance(spark, sf_dir, tmp_path):
         ["n_events", "sum_value"],
     )
     assert applied is True
-    assert canon(read_rollup_store(spark, store)) != want
+    after_new = canon(read_rollup_store(spark, store))
+    assert after_new != want
+
+    # round-13 GC fix: a crash between the pointer swap and the old
+    # version's rmtree used to strand one full rollup copy per crash
+    # forever (later folds only removed THEIR predecessor). Plant such
+    # an orphan; the next fold sweeps every superseded agg_* dir.
+    import os
+
+    orphan = os.path.join(store, "agg_7")
+    os.makedirs(orphan, exist_ok=True)
+    applied = fold_rollup_batch(
+        spark, store, extra, 10_001, ["day", "event_type"],
+        ["n_events", "sum_value"],
+    )
+    assert applied is True
+    aggs = [d for d in os.listdir(store) if d.startswith("agg_")]
+    assert aggs == ["agg_10001"], f"superseded versions must be swept: {aggs}"
+    assert canon(read_rollup_store(spark, store)) != after_new
 
 
 def test_snapshot_diff_bucketed_no_exchange(spark, sf_dir):
