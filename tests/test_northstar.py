@@ -2812,6 +2812,69 @@ def test_codec_jpeg_fill_bytes_before_restart():
     assert np.array_equal(out, base)
 
 
+def test_codec_wav_ima_adpcm():
+    """IMA/DVI ADPCM WAV (format tag 0x0011, round 13 — previously the
+    NotImplementedError boundary): (1) a HAND-BUILT single block decodes
+    to hand-computed samples (pred 0, step index 0, nibbles [2,9,0...] →
+    [0,3,2,2,...] — pins nibble order, the diff formula, and the
+    header-sample-is-first-frame rule); (2) encoder-produced streams
+    round-trip within the step-table's quantization bound after the
+    step-size adaptation settles (ADPCM is lossy; the early slope
+    overload on a loud signal from step 7 is ALGORITHM behavior), with
+    every block's first frame stored verbatim; (3) stereo 8-byte group
+    interleaving; (4) truncated blocks and out-of-range step indexes
+    fail loud; (5) the container still sniffs as wav, so decode_media
+    routes it untouched."""
+    import struct as st
+
+    import numpy as np
+    import pytest
+
+    from priority_data_pipeline_azure_sql_db_spark.operators import codecs as C
+
+    # (1) hand-built block
+    body = bytes([2 | (9 << 4), 0, 0, 0])
+    block = st.pack("<hBB", 0, 0, 0) + body
+    fmt = st.pack("<HHIIHH", 17, 1, 8000, 8000, 8, 4)
+    wav = (b"RIFF" + st.pack("<I", 4 + 8 + len(fmt) + 8 + len(block))
+           + b"WAVE" + b"fmt " + st.pack("<I", len(fmt)) + fmt
+           + b"data" + st.pack("<I", len(block)) + block)
+    assert C.sniff(wav) == "wav"
+    rate, frames = C.decode_wav(wav)
+    assert rate == 8000
+    assert [round(v * 32768) for v in frames[:, 0]] == [0, 3, 2, 2, 2, 2, 2, 2, 2]
+
+    # (2) mono round trip: first frame exact, post-adaptation error
+    # bounded by the step quantization (~step/8), rms small
+    t = np.arange(3000) / 8000.0
+    mono = 0.6 * np.sin(2 * np.pi * 440 * t)
+    r2, f2 = C.decode_wav(C.encode_wav_adpcm(8000, mono))
+    err = np.abs(f2[: len(mono), 0] - mono)
+    assert r2 == 8000
+    assert abs(f2[0, 0] - round(mono[0] * 32768) / 32768.0) < 1e-9
+    assert err[500:].max() < 0.08 and np.sqrt((err ** 2).mean()) < 0.05
+
+    # (3) stereo interleave
+    stereo = np.stack([mono, 0.3 * np.cos(2 * np.pi * 220 * t)], axis=1)
+    r3, f3 = C.decode_wav(C.encode_wav_adpcm(8000, stereo,
+                                             samples_per_block=257))
+    assert f3.shape[1] == 2
+    assert np.abs(f3[500: len(stereo)] - stereo[500:]).max() < 0.08
+
+    # (4) totality: torn block / hostile step index → loud ValueError
+    torn = (b"RIFF" + st.pack("<I", 4 + 8 + len(fmt) + 8 + 6) + b"WAVE"
+            + b"fmt " + st.pack("<I", len(fmt)) + fmt
+            + b"data" + st.pack("<I", 6) + block[:6])
+    with pytest.raises(ValueError, match="truncated"):
+        C.decode_wav(torn)
+    bad = bytearray(wav)
+    bad[-6] = 99  # header step index byte
+    with pytest.raises(ValueError, match="step index"):
+        C.decode_wav(bytes(bad))
+    with pytest.raises(ValueError, match="samples_per_block"):
+        C.encode_wav_adpcm(8000, mono, samples_per_block=10)
+
+
 def test_codec_wav_truncation_and_exact_transcode():
     """A data chunk shorter than its declared size fails LOUD (silently
     shorter audio corrupted duration/RMS); and the symmetric x32768
