@@ -85,7 +85,8 @@ def decode_media(media_type: str, content: bytes):
     8-bit RGB/RGBA PNG (round 8), baseline+progressive huffman JPEG
     (rounds 9/10), GIF87a/89a incl. LZW + animation compositing
     (round 11), lossless WebP / VP8L incl. all four transforms, color
-    cache and LZ77 (round 12), PCM WAV, and Motion-JPEG AVI video
+    cache and LZ77 (round 12), PCM + IMA-ADPCM WAV (round 13), and
+    Motion-JPEG AVI video
     (round 10 — RIFF demux + per-frame JPEG decode) with the
     pure-stdlib codecs; other formats (lossy VP8, inter-frame
     video, ...) go to PIL when installed; anything else raises

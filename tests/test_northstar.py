@@ -2874,6 +2874,14 @@ def test_codec_wav_ima_adpcm():
     with pytest.raises(ValueError, match="samples_per_block"):
         C.encode_wav_adpcm(8000, mono, samples_per_block=10)
 
+    # (5) the routing layer sees an ordinary wav (the blob is the truth)
+    from priority_data_pipeline_azure_sql_db_spark.operators.multimodal import (
+        decode_media,
+    )
+
+    kind, (rr, ff) = decode_media("audio", C.encode_wav_adpcm(8000, mono))
+    assert kind == "wav" and rr == 8000 and ff.shape[1] == 1
+
 
 def test_codec_wav_truncation_and_exact_transcode():
     """A data chunk shorter than its declared size fails LOUD (silently
