@@ -25,6 +25,63 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The correctness driver evaluates the first 50 registry entries in order.
+# Round-14 rotation: the window VERDICT r13 published (ask #1), run
+# exactly. Composition, in order:
+# (1) the 9-entry r9 spill (pre-approved in the r12/r13 rotation
+#     comments; these turn 4-rounds-stale at this check — the last
+#     spill charged to the OLD 3-round invariant, which this round's
+#     amended arithmetic below replaces):
+#     profile_corpus_fingerprint, sample_multi_epoch_plan,
+#     profile_source_dup_pressure, pack_training_sequences,
+#     embedding_normalize, pack_document_chunks, text_vocab_topk,
+#     pipeline_curation_e2e, text_lm_quality_score.
+# (2) the 3 round-13 registrations' first driver evidence:
+#     text_html_extract, pipeline_curation_html, streaming_html_ingest
+#     (each comparator-green sf0.01 + sf0.1 the r13 session it landed,
+#     judge-swept r13).
+# (3) the r10 bucket head — 38 of the 46 entries last checked in
+#     round 10 (the r10 window was 50; er_incremental_match,
+#     er_assign_to_golden, streaming_scd2_maintenance and
+#     streaming_stateful_user_totals were re-checked in r13's head and
+#     now sit in the r13 bucket), r10 window order. The 8-entry tail
+#     goes to r15's head: pipeline_watermark_filter,
+#     pipeline_refresh_cdc_audit, er_blocking_skew_audit,
+#     dedup_winnow_pairs_indexed, dedup_jaccard_pairs_indexed,
+#     sample_epoch_shuffle_wide, text_bpe_tokens_arrow,
+#     text_bpe_tokens_large.
+# 9 + 3 + 38 = 50 exactly.
+#
+# AMENDED ROTATION INVARIANT (VERDICT r13 ask #2 — replaces the
+# 3-round invariant, which the 200/50 arithmetic could not satisfy):
+#   I1. Nominal cadence: every registered entry is re-checked within
+#       FOUR rounds of its last driver row (registry_size <= 4 x 50).
+#   I2. Head insertions (changed code/oracle entries and new
+#       registrations get first-next-round driver evidence — unchanged
+#       rule) displace bucket entries; a displaced tail is checked the
+#       NEXT round, so worst-case staleness is FIVE rounds, and only
+#       for unchanged, previously-green entries.
+#   I3. Slack budget: head insertions consume registry slack
+#       (4 x 50 - registry_size). To keep I1/I2 from accumulating
+#       unboundedly, the registry must sit BELOW the 200 ceiling by at
+#       least the expected insertions per 4-round cycle. This round
+#       burns the P2/P3 retirement ladder to registry 188 (see
+#       RETIREMENTS r14 below) = slack 12 = 3 insertions/round
+#       sustained, which covers the observed r11-r13 insertion rate.
+#   No per-round exception language: spills are I2 behavior, scheduled
+#   and bounded, not exceptions.
+#
+# Schedule from here (bucket sizes AFTER the r14 retirements):
+#   r14 (this file): r9 spill (9) + r13 regs (3) + r10 bucket head (38)
+#   r15: r10 tail (8) + r14 changed-head (multimodal_codec_mix
+#        eight-way ADPCM upgrade, + any r14 in-place upgrades named in
+#        the r14 SURVEY changelog) + r11 bucket head (fills to 50)
+#   r16: r11 tail + r12 bucket (fills to 50)
+#   r17: r12 tail (if any) + r13 bucket head
+#   r18: r13 tail + r14 bucket head
+#   Every bucket clears within 4 rounds of its last check, tails
+#   within 5, per I1/I2.
+#
+# Previous round's comment (kept for the audit trail):
 # Round-13 rotation: the window VERDICT r12 published (ask #1), resolved
 # against the hard 50-slot limit. Composition, in order:
 # (1) the 10-entry r12 divergence-risk head — every entry whose code or
@@ -203,60 +260,60 @@ def entry(spark: SparkSession) -> DataFrame:
 #   r15: r11 bucket (50)
 #
 CHECK_ORDER = [
-    # (1) the 10-entry r12 divergence-risk head — first driver
-    # evidence after the r12 code/oracle changes
-    "streaming_scd2_with_deletes",
-    "er_incremental_match",
-    "er_assign_to_golden",
-    "er_assign_from_store",
-    "er_store_append_serve",
-    "multimodal_codec_mix",
-    "asof_last_click_before_error",
-    "range_join_close_events",
-    "streaming_scd2_maintenance",
-    "streaming_stateful_user_totals",
-    # (2) the r9 bucket head (40 of 49, r9 window order; the
-    # 9-entry tail spills to r14 per the pre-approved policy)
-    "dedup_duplicated_spans",
-    "text_quality_classifier",
-    "sample_temperature_mix",
-    "filter_quality_quantile",
-    "sample_curriculum_rank",
-    "pipeline_snapshot_diff",
-    "events_rollup_incremental",
-    "events_scd2_user_state",
-    "sample_source_cap",
-    "dedup_gram_novelty",
-    "pipeline_curation_v3",
-    "dedup_span_removal",
-    "profile_quantization_error",
-    "multimodal_phash_dedup",
-    "pipeline_curation_funnel",
-    "multimodal_phash_near_dup",
-    "export_curriculum_shards",
-    "events_session_sequences",
-    "sample_eval_balanced",
-    "profile_table_stats",
-    "ann_negative_samples",
-    "streaming_rollup_maintenance",
-    "er_fuzzy_customer_pairs",
-    "er_golden_records",
-    "events_pit_enrichment",
-    "sample_soft_dedup",
-    "text_zipf_coverage",
-    "events_conversion_funnel",
-    "events_cohort_retention",
-    "events_transition_matrix",
-    "dq_validation_report",
-    "events_value_outliers",
-    "events_ab_lift",
-    "profile_value_histogram",
-    "events_gapfill_hourly",
-    "events_scd2_incremental",
-    "events_conversion_latency",
-    "dq_k_anonymity",
-    "profile_join_skew",
-    "profile_quality_drift",
+    # (1) the 9-entry r9 spill — last checked r9, pre-approved
+    "profile_corpus_fingerprint",
+    "sample_multi_epoch_plan",
+    "profile_source_dup_pressure",
+    "pack_training_sequences",
+    "embedding_normalize",
+    "pack_document_chunks",
+    "text_vocab_topk",
+    "pipeline_curation_e2e",
+    "text_lm_quality_score",
+    # (2) the 3 r13 registrations — first driver evidence
+    "text_html_extract",
+    "pipeline_curation_html",
+    "streaming_html_ingest",
+    # (3) the r10 bucket head (38 of 46, r10 window order; the
+    # 8-entry tail goes to r15's head per invariant I2)
+    "multimodal_frame_sample",
+    "pack_greedy_sequences",
+    "dedup_boilerplate_lines",
+    "events_tumbling_hourly",
+    "q21_last_shipper",
+    "q21_last_shipper_preagg",
+    "odata_source_scan",
+    "pipeline_e2e_flagship",
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q4_order_priority",
+    "q5_local_supplier_volume",
+    "q6_revenue_forecast",
+    "q10_returned_items",
+    "q14_promo_revenue",
+    "q18_large_orders",
+    "top_customers_by_revenue",
+    "agg_distinct_suppliers",
+    "percentiles_quantity",
+    "rollup_lineitem_status",
+    "cube_orders_status_priority",
+    "grouping_sets_lineitem",
+    "pivot_segment_by_region",
+    "join_left_outer_nulls",
+    "join_full_outer",
+    "semi_join_customers_with_orders",
+    "anti_join_customers_without_orders",
+    "setop_nation_intersect",
+    "setop_nation_except",
+    "union_all_distinct",
+    "window_running_total",
+    "window_lag_lead_ntile",
+    "window_topk_orders_per_customer",
+    "scalar_string_funcs",
+    "scalar_array_funcs",
+    "conditional_null_funcs",
+    "pipeline_count_rows",
+    "pipeline_limit_probe",
 ]
 
 
