@@ -64,11 +64,48 @@ def entry(spark: SparkSession) -> DataFrame:
 #       (4 x 50 - registry_size). To keep I1/I2 from accumulating
 #       unboundedly, the registry must sit BELOW the 200 ceiling by at
 #       least the expected insertions per 4-round cycle. This round
-#       burns the P2/P3 retirement ladder to registry 188 (see
-#       RETIREMENTS r14 below) = slack 12 = 3 insertions/round
-#       sustained, which covers the observed r11-r13 insertion rate.
+#       burns the P2 retirement ladder to registry 193 (7 retirements,
+#       see RETIREMENTS r14 below) = slack 7; the three pre-committed
+#       r15 exits below take it to 190 = slack 10 ~= 2-3
+#       insertions/round sustained, matching the observed r11-r14
+#       insertion rate (r12: 1, r13: 3, r14: 0 registrations + 1
+#       in-place upgrade). The ladder continues (P2 then P3, never
+#       below 20 relational shapes) whenever insertions outpace slack.
 #   No per-round exception language: spills are I2 behavior, scheduled
 #   and bounded, not exceptions.
+#
+# RETIREMENTS EXECUTED (r14, P2 — exact-twin / strict-refinement
+# class; every retiree keeps its function importable and its machinery
+# pytest-covered, only the registry slot is freed):
+#   1. dedup_winnow_pairs_capped → dedup_winnow_pairs_indexed
+#      (IDENTICAL oracle SQL (_WINNOW_CAPPED_SQL) and result hash; the
+#      capped machinery runs at the twin's index build).
+#   2. dedup_jaccard_pairs_capped → dedup_jaccard_pairs_indexed
+#      (identical _JACCARD_CAPPED_SQL; uncapped definitional form
+#      stays registered as dedup_ngram_jaccard).
+#   3. embedding_near_dup_pairs → embedding_near_dup_indexed
+#      (identical _NEAR_DUP_SQL; same blocked-matmul ball-cover kernel
+#      at the twin's build).
+#   4. sample_epoch_shuffle → sample_epoch_shuffle_wide (strict
+#      width-2 refinement, full permutation replayed by its oracle).
+#   5. pack_length_bucket_batches → pack_length_bucket_batches_wide
+#      (P2 #1 of the published ladder, pre-committed in r12).
+#   6. pipeline_curation_v2 → the five surviving curation capstones
+#      (e2e/v3/html/funnel/incremental) + per-stage graded entries.
+#   7. streaming_merge_staging → streaming_html_ingest (same
+#      foreachBatch MERGE sink + read-back hash, plus
+#      transform-on-ingest).
+# PRE-COMMITTED r15 EXITS (each is an r14-window member, so it leaves
+# with fresh r14 driver evidence — the r12 dedup_minhash_lsh
+# precedent):
+#   8. q21_last_shipper → q21_last_shipper_preagg (same result hash by
+#      construction; the pre-agg is the scale plan).
+#   9. q14_promo_revenue → q6_revenue_forecast (lineitem date-band
+#      scan-agg, the judge-named P3 pair) + q19_discounted_revenue
+#      (part-join revenue predicate shape).
+#  10. pack_training_sequences → pack_materialized_sequences (same
+#      shard/cumsum/512-token span math, checked at finer grain via
+#      per-sequence content md5).
 #
 # Schedule from here (bucket sizes AFTER the r14 retirements):
 #   r14 (this file): r9 spill (9) + r13 regs (3) + r10 bucket head (38)

@@ -657,10 +657,20 @@ def winnow_fingerprints(
         ).otherwise(F.array().cast("array<int>")).alias("ps"),
     )
     # maxpos = len(t) - k + 1 is known BEFORE the explode — carrying it as
-    # a column saves a whole second window pass over the gram rows
+    # a column saves a whole second window pass over the gram rows.
+    # explode_OUTER, not explode (round 14): the inner explode lets
+    # Catalyst infer `size(ps) > 0` and push it below the spread()
+    # exchange into the SCAN stage — re-evaluating the full-document
+    # regexp_replace at the scan's parallelism, which for a
+    # single-row-group parquet file is ONE task (measured: the whole
+    # normalize pass serialized; 0.67 s → 0.35 s at sf0.1 after the
+    # change). Outer explode implies nothing about the array, so the
+    # normalize runs exactly once, after the exchange, at full width;
+    # the empty-array docs' single null-pos row fails the
+    # pos <= maxpos - (w-1) filter below, leaving results identical.
     grams = base.select(
         "_id", "t", (F.length("t") - k + 1).alias("_maxpos"),
-        F.explode("ps").alias("pos"),
+        F.explode_outer("ps").alias("pos"),
     ).select("_id", "pos", "_maxpos", F.expr(f"md5(substring(t, pos, {k}))").alias("h"))
     wmin = Window.partitionBy("_id").orderBy("pos").rowsBetween(0, w - 1)
     return (

@@ -1372,7 +1372,13 @@ _NEAR_DUP_SQL = """
     """
 
 
-@query("embedding_near_dup_pairs", _NEAR_DUP_SQL)
+# RETIRED from the registry in round 14 (P2, invariant-I3 slack; see
+# the __spark_entry__ rotation comment): its RESIDENT twin
+# embedding_near_dup_indexed shares _NEAR_DUP_SQL verbatim and hashes
+# identically — the same blocked-matmul ball-cover kernel runs at the
+# twin's index build, so the machinery stays driver-graded. Function
+# importable; kernel pytest coverage intact
+# (test_embedding_near_dup_matches_allpairs_and_prunes et al.).
 def embedding_near_dup_pairs(spark, sf_dir):
     """Embedding-cosine near-duplicate pairs above a threshold.
 
@@ -1725,7 +1731,13 @@ _JACCARD_CAPPED_SQL = """
     """
 
 
-@query("dedup_jaccard_pairs_capped", _JACCARD_CAPPED_SQL)
+# RETIRED from the registry in round 14 (P2, invariant-I3 slack; see
+# the __spark_entry__ rotation comment): dedup_jaccard_pairs_indexed
+# shares _JACCARD_CAPPED_SQL verbatim and hashes identically — the
+# same canon→cap→inverted-index machinery runs at the twin's index
+# build, so it stays driver-graded; the uncapped definitional form
+# stays registered as dedup_ngram_jaccard. Function importable; pytest
+# coverage intact (test_northstar index-vs-direct parity).
 def dedup_jaccard_pairs_capped(spark, sf_dir):
     """The PRODUCTION near-dup path: exact dedup first (removes the
     mega-clusters whose members would otherwise exceed any doc-freq
@@ -1768,7 +1780,12 @@ _WINNOW_CAPPED_SQL = """
     """
 
 
-@query("dedup_winnow_pairs_capped", _WINNOW_CAPPED_SQL)
+# RETIRED from the registry in round 14 (P2, invariant-I3 slack; see
+# the __spark_entry__ rotation comment): dedup_winnow_pairs_indexed
+# shares _WINNOW_CAPPED_SQL verbatim and hashes identically — the same
+# winnow→cap→inverted-index machinery runs at the twin's index build,
+# so it stays driver-graded. Function importable; pytest coverage
+# intact (test_northstar winnow_pairs_from_index parity).
 def dedup_winnow_pairs_capped(spark, sf_dir):
     """Production winnowing near-dup: exact dedup → stop-print cap 50 →
     inverted-index pair join (the composition the winnow_near_dup
@@ -2978,16 +2995,13 @@ def multimodal_gif_codec(spark, sf_dir):
     )
 
 
-@query(
-    "streaming_merge_staging",
-    """
-    SELECT event_type,
-           CAST(COUNT(*) AS BIGINT) AS n_events,
-           CAST(COUNT(DISTINCT event_id) AS BIGINT) AS n_ids,
-           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
-    FROM events GROUP BY event_type
-    """,
-)
+# RETIRED from the registry in round 14 (P2, invariant-I3 slack; see
+# the __spark_entry__ rotation comment): streaming_html_ingest grades
+# the same foreachBatch-MERGE-into-staging sink end to end (multi-batch
+# drain, zone-mapped MERGE, read-back hash) PLUS transform-on-ingest,
+# and the events-stream drain machinery stays graded by the four
+# streaming maintenance/dedup entries. Function importable; sink pytest
+# coverage intact (test_pipeline stream_merge_into_staging tests).
 def streaming_merge_staging(spark, sf_dir):
     """Streaming INGEST integrity, value-checked end to end (round 7):
     the events stream drains through the foreachBatch MERGE sink
@@ -4582,19 +4596,12 @@ def text_lm_quality_score(spark, sf_dir):
     return X.bigram_lm_score(d, train_df=train)
 
 
-@query(
-    "sample_epoch_shuffle",
-    """
-    SELECT doc_id,
-           substr(md5('epoch-0:' || CAST(doc_id AS VARCHAR)), 1, 1) AS shard,
-           CAST(ROW_NUMBER() OVER (
-               PARTITION BY substr(md5('epoch-0:' || CAST(doc_id AS VARCHAR)), 1, 1)
-               ORDER BY md5('epoch-0:' || CAST(doc_id AS VARCHAR)), doc_id
-           ) - 1 AS BIGINT) AS pos_in_shard,
-           md5('epoch-0:' || CAST(doc_id AS VARCHAR)) AS sort_key
-    FROM documents
-    """,
-)
+# RETIRED from the registry in round 14 (P2, invariant-I3 slack; see
+# the __spark_entry__ rotation comment): sample_epoch_shuffle_wide runs
+# the SAME operator at shard_width=2 — a strict refinement whose oracle
+# replays the whole permutation, so the width-1 probe added no graded
+# machinery. Function importable; pytest coverage intact
+# (test_epoch_shuffle_reproducible_and_complete).
 def sample_epoch_shuffle(spark, sf_dir):
     """Reproducible epoch shuffle: md5(seed:id) sort key, 16-way shard
     from its first hex digit, per-shard positions — shard-major
@@ -4878,7 +4885,11 @@ _LENGTH_BUCKET_SQL = """
     """
 
 
-@query("pack_length_bucket_batches", _LENGTH_BUCKET_SQL.format(width=1))
+# RETIRED from the registry in round 14 (P2 #1 of the published
+# ladder, pre-committed in the r12 rotation comment): its wide twin
+# pack_length_bucket_batches_wide hash-grades a strict superset of the
+# plan (shard_width=2 → 256 shards, same schedule math). Function
+# importable; pytest coverage intact (test_length_bucket_batches_*).
 def pack_length_bucket_batches(spark, sf_dir):
     """Length-bucketed BATCH SCHEDULE (round 7, SHARDED round 8):
     power-of-two length buckets (padding waste bounded at 2x), fixed
@@ -4995,59 +5006,16 @@ def sample_source_budget(spark, sf_dir):
     )
 
 
-@query(
-    "pipeline_curation_v2",
-    """
-    WITH scored AS (
-        SELECT doc_id, text,
-               CAST(len(list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '')) AS BIGINT)
-                   AS n_tokens,
-               len(regexp_extract_all(text, '[A-Za-z]'))
-                   / GREATEST(length(text), 1) AS alpha_ratio,
-               md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
-        FROM documents
-    ), kept AS (
-        SELECT * FROM scored WHERE n_tokens >= 10 AND alpha_ratio >= 0.5
-    ), toks AS (
-        SELECT doc_id, list_filter(string_split_regex(trim(lower(text)), '\\s+'), x -> x <> '') AS t
-        FROM documents
-    ), sh5 AS (
-        SELECT DISTINCT doc_id AS doc, array_to_string(t[i:i+4], ' ') AS shingle
-        FROM toks, LATERAL (
-            SELECT UNNEST(range(1, GREATEST(len(t) - 4, 0) + 1)) AS i
-        )
-    ), contam AS (
-        SELECT tr.doc AS doc_id
-        FROM sh5 tr JOIN sh5 ev ON tr.shingle = ev.shingle
-        WHERE ev.doc % 20 = 0 AND tr.doc % 20 <> 0
-          AND tr.doc IN (SELECT doc_id FROM kept)
-        GROUP BY tr.doc, ev.doc HAVING COUNT(*) >= 3
-    ), clean AS (
-        SELECT * FROM kept
-        WHERE doc_id % 20 <> 0
-          AND doc_id NOT IN (SELECT doc_id FROM contam)
-    ), mins AS (
-        SELECT fp, MIN(doc_id) AS doc_id FROM clean GROUP BY fp
-    ), dedup AS (
-        SELECT c.* FROM clean c JOIN mins m USING (fp, doc_id)
-    ), shuf AS (
-        SELECT doc_id, n_tokens,
-               substr(md5('epoch-0:' || CAST(doc_id AS VARCHAR)), 1, 1) AS shard,
-               ROW_NUMBER() OVER (
-                   PARTITION BY substr(md5('epoch-0:' || CAST(doc_id AS VARCHAR)), 1, 1)
-                   ORDER BY md5('epoch-0:' || CAST(doc_id AS VARCHAR)), doc_id
-               ) - 1 AS pos
-        FROM dedup
-    )
-    SELECT shard, CAST(COUNT(*) AS BIGINT) AS n_docs,
-           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
-           CAST(SUM(CAST('0x' || substr(
-                   md5(shard || ':' || CAST(pos AS VARCHAR)
-                             || ':' || CAST(doc_id AS VARCHAR)), 1, 12)
-               AS BIGINT)) % 2305843009213693951 AS BIGINT) AS order_tag
-    FROM shuf GROUP BY shard
-    """,
-)
+# RETIRED from the registry in round 14 (P2, invariant-I3 slack; see
+# the __spark_entry__ rotation comment): the sixth of six curation
+# capstones — every stage it composes is individually hash-graded
+# (quality gate: filter_quality_quantile / pipeline_curation_e2e;
+# decontamination: dedup_contamination_check; exact dedup + shuffle +
+# budget: pipeline_curation_e2e, sample_epoch_shuffle_wide,
+# sample_source_budget) and the one-declarative-plan composition
+# property stays graded five ways (pipeline_curation_e2e, _v3, _html,
+# _funnel, _incremental). Function importable; stage pytest coverage
+# intact.
 def pipeline_curation_v2(spark, sf_dir):
     """The round-6 curation capstone, one declarative plan end to end:
     quality gate (token count + alpha ratio) → benchmark DECONTAMINATION

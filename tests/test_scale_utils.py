@@ -309,9 +309,11 @@ def test_curation_v2_order_tag_plan_and_semantics(spark, sf_dir):
     collect_list / ObjectHashAggregate anywhere in the graded plan;
     (b) the position-keyed tag detects a single transposition — two
     orders over the same doc set get different tags."""
-    from priority_data_pipeline_azure_sql_db_spark.queries import QUERIES
+    # curation_v2 was retired from the registry in r14 (P2 ladder) but
+    # stays importable — this plan guard keeps covering it
+    from priority_data_pipeline_azure_sql_db_spark.queries import pipeline_curation_v2
 
-    df = QUERIES["pipeline_curation_v2"](spark, sf_dir)
+    df = pipeline_curation_v2(spark, sf_dir)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "collect_list" not in plan, plan
     assert "ObjectHashAggregate" not in plan, plan

@@ -15,7 +15,14 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+from priority_data_pipeline_azure_sql_db_spark import queries as _qmod  # noqa: E402
 from priority_data_pipeline_azure_sql_db_spark.queries import QUERIES  # noqa: E402
+
+
+def _resolve(name):
+    # retired entries stay importable as module attributes (bench.py
+    # pattern) so the audit keeps covering their plans
+    return QUERIES.get(name) or getattr(_qmod, name)
 from priority_data_pipeline_azure_sql_db_spark.session import get_spark  # noqa: E402
 
 AUDIT = [
@@ -149,7 +156,7 @@ def main() -> None:
         "",
     ]
     for name in AUDIT:
-        df = QUERIES[name](spark, sf_dir)
+        df = _resolve(name)(spark, sf_dir)
         # execute THIS DataFrame's own queryExecution (a noop write or
         # count() would mint a fresh one and leave this plan unfinalized):
         # AQE only shows final stages + codegen spans after a run
