@@ -448,7 +448,7 @@ def decode_wav(content: bytes) -> tuple[int, np.ndarray]:
     ``wave`` refuses some well-formed files with extra chunks)."""
     if content[:4] != WAV_MAGIC or content[8:12] != b"WAVE":
         raise ValueError("not a RIFF/WAVE file")
-    pos, fmt, data = 12, None, None
+    pos, fmt, data, fact = 12, None, None, None
     while pos + 8 <= len(content):
         cid, size = struct.unpack_from("<4sI", content, pos)
         body = content[pos + 8: pos + 8 + size]
@@ -464,6 +464,10 @@ def decode_wav(content: bytes) -> tuple[int, np.ndarray]:
             if len(body) < 16:
                 raise ValueError(f"malformed fmt chunk ({len(body)} bytes)")
             fmt = struct.unpack_from("<HHIIHH", body, 0)
+        elif cid == b"fact" and len(body) >= 4:
+            # dwSampleLength: true per-channel frame count — required
+            # by the RIFF spec for compressed formats
+            fact = struct.unpack_from("<I", body, 0)[0]
         elif cid == b"data":
             data = body
         pos += 8 + size + (size & 1)  # chunks pad to even offsets
@@ -473,7 +477,14 @@ def decode_wav(content: bytes) -> tuple[int, np.ndarray]:
     if n_channels == 0:
         raise ValueError("malformed WAV: fmt chunk declares 0 channels")
     if audio_format == 17:  # IMA/DVI ADPCM (round 13)
-        return sample_rate, _decode_ima_adpcm(data, n_channels, block_align)
+        frames = _decode_ima_adpcm(data, n_channels, block_align)
+        if fact is not None and 0 < fact < len(frames):
+            # round-14 ADVICE fix: trim the final block's encoder
+            # padding to the declared length (a fact larger than the
+            # decoded stream is an inconsistent container — keep the
+            # decoded audio rather than invent silence)
+            frames = frames[:fact]
+        return sample_rate, frames
     if audio_format != 1:
         raise NotImplementedError(
             f"only PCM / IMA-ADPCM WAV supported (format {audio_format})"
@@ -533,7 +544,11 @@ def _decode_ima_adpcm(data: bytes, n_channels: int,
     n_channels) float64 in [-1, 1]. Per block and channel: a 4-byte
     header (int16 initial sample — emitted as the block's first frame —
     uint8 step index, reserved byte), then 4-bit nibbles LOW-nibble
-    first; stereo interleaves 4-byte (8-nibble) groups per channel."""
+    first; stereo interleaves 4-byte (8-nibble) groups per channel.
+    A short FINAL block is accepted and its present nibbles decoded
+    (round-14 ADVICE fix — real encoders emit them); a block without a
+    full header, or a short stereo body that breaks the 8-byte group
+    structure, still fails loud."""
     if n_channels not in (1, 2):
         raise NotImplementedError(
             f"IMA ADPCM: {n_channels} channels unsupported (1 or 2)"
@@ -541,11 +556,6 @@ def _decode_ima_adpcm(data: bytes, n_channels: int,
     hdr = 4 * n_channels
     if block_align <= hdr:
         raise ValueError(f"IMA ADPCM: block align {block_align} too small")
-    if len(data) % block_align:
-        raise ValueError(
-            f"truncated IMA ADPCM: {len(data)} bytes is not a whole "
-            f"number of {block_align}-byte blocks"
-        )
     body_len = block_align - hdr
     if n_channels == 2 and body_len % 8:
         raise ValueError(
@@ -553,22 +563,39 @@ def _decode_ima_adpcm(data: bytes, n_channels: int,
         )
     chans: list[list[int]] = [[] for _ in range(n_channels)]
     for off in range(0, len(data), block_align):
+        block = data[off: off + block_align]
+        if len(block) < hdr:
+            # a FINAL block must still carry its full header; anything
+            # less is real truncation, not a short last block
+            raise ValueError(
+                f"truncated IMA ADPCM: final block is {len(block)} "
+                f"bytes, shorter than its {hdr}-byte header"
+            )
+        if len(block) < block_align and n_channels == 2 \
+                and (len(block) - hdr) % 8:
+            # round-14 ADVICE fix: short FINAL blocks are accepted
+            # (real encoders emit them), but a stereo body must still
+            # be whole 8-byte channel groups to be decodable
+            raise ValueError(
+                "truncated IMA ADPCM: stereo final block body is not "
+                "whole 8-byte groups"
+            )
         preds, idxs = [], []
         for c in range(n_channels):
-            p, i, _ = struct.unpack_from("<hBB", data, off + 4 * c)
+            p, i, _ = struct.unpack_from("<hBB", block, 4 * c)
             if i > 88:
                 raise ValueError(f"IMA ADPCM: step index {i} > 88")
             preds.append(p)
             idxs.append(i)
             chans[c].append(p)
-        body = data[off + hdr: off + block_align]
+        body = block[hdr:]
         if n_channels == 1:
             for byte in body:
                 for n in (byte & 0xF, byte >> 4):
                     preds[0], idxs[0] = _ima_step(preds[0], idxs[0], n)
                     chans[0].append(preds[0])
         else:
-            for g in range(0, body_len, 8):
+            for g in range(0, len(body), 8):
                 for c in range(2):
                     for byte in body[g + 4 * c: g + 4 * c + 4]:
                         for n in (byte & 0xF, byte >> 4):
@@ -586,9 +613,11 @@ def encode_wav_adpcm(sample_rate: int, samples: np.ndarray,
     machinery is round-trip-tested on encoder-produced streams (ADPCM
     is lossy: reconstruction error is bounded by the step table, never
     bit-exact; each block's FIRST frame is stored verbatim and IS
-    exact). The final partial block pads by repeating the last frame —
-    decoded audio lengthens to the block boundary, the standard
-    container behavior. ``samples_per_block`` must be odd with
+    exact). The final partial block pads by repeating the last frame,
+    and the emitted fact chunk records the TRUE frame count (required
+    by the RIFF spec for compressed formats) — decode trims the pad
+    back, so the round trip is length-exact (round 14). ``samples_per_
+    block`` must be odd with
     (samples_per_block - 1) a multiple of 8 (nibble/group packing);
     505 is the conventional 256-byte mono block."""
     arr = np.asarray(samples, dtype=np.float64)
@@ -651,8 +680,14 @@ def encode_wav_adpcm(sample_rate: int, samples: np.ndarray,
         "<HHIIHHHH", 17, n_channels, sample_rate, byte_rate,
         block_align, 4, 2, spb,
     )
+    # fact chunk (round-14 ADVICE fix): REQUIRED by the RIFF spec for
+    # compressed formats — dwSampleLength is the true per-channel frame
+    # count, so decoders (ours included) can trim the final block's
+    # repeat-last-frame padding instead of returning it
+    fact = struct.pack("<I", n_frames)
     chunks = (
         b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"fact" + struct.pack("<I", len(fact)) + fact
         + b"data" + struct.pack("<I", len(blocks)) + bytes(blocks)
     )
     return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
@@ -3712,6 +3747,11 @@ def encode_webp_lossless(pixels: np.ndarray) -> bytes:
         eqw[w:] = argb[w:] == argb[:-w]
 
     def run_len(eq: np.ndarray, i: int) -> int:
+        if not eq[i]:
+            # round-14 ADVICE fix: incompressible (noise) images hit
+            # this for almost every pixel — without the short-circuit
+            # each one paid two O(4096) argmin window scans
+            return 0
         stop = np.argmin(eq[i:i + _VP8L_MAX_REF_LEN])
         if eq[i + stop]:  # no False found in the window: full run
             return min(_VP8L_MAX_REF_LEN, n - i)
@@ -3725,7 +3765,10 @@ def encode_webp_lossless(pixels: np.ndarray) -> bytes:
     i = 0
     while i < n:
         l1 = run_len(eq1, i) if i >= 1 else 0
-        lw = run_len(eqw, i) if i >= w and w > 1 else 0
+        # a capped left-run already wins any tie (the l1 >= lw rule),
+        # so the second window scan is pure waste then
+        lw = (run_len(eqw, i)
+              if l1 < _VP8L_MAX_REF_LEN and i >= w and w > 1 else 0)
         length, dist = (l1, 1) if l1 >= lw else (lw, w)
         if length >= _VP8L_MIN_REF_LEN:
             off = (1, 0) if dist == 1 else (0, 1)

@@ -58,6 +58,22 @@ def query(name: str, oracle: str | None = None):
     return deco
 
 
+def _await_drain(q):
+    """Bounded foreachBatch drain, shared by every queries.py streaming
+    entry (round-14 ADVICE fix): the bound reads
+    SPARK_GRAFT_STREAM_TIMEOUT_S (default 300) exactly like
+    streaming/events.py, so a slow-but-healthy drain at a larger scale
+    factor is raisable without a code edit; on timeout the writer is
+    stopped BEFORE raising — never aggregate a half-drained store with
+    the writer still live."""
+    import os as _os
+
+    t = float(_os.environ.get("SPARK_GRAFT_STREAM_TIMEOUT_S", 300))
+    if not q.awaitTermination(t):
+        q.stop()
+        raise RuntimeError(f"streaming drain did not finish within {t:g}s")
+
+
 def _dsum(col, scale: int = 6):
     """Decimal-bridge sum: deterministic across engines (see module doc)."""
     return F.sum(col.cast(f"decimal(18,{scale})")).cast("double")
@@ -2009,9 +2025,7 @@ def streaming_html_ingest(spark, sf_dir):
         pages, store, "docs", ["doc_id"],
         os.path.join(base, "ckpt"), transform=ingest,
     )
-    if not q.awaitTermination(300):
-        q.stop()  # never aggregate with the writer still live
-        raise RuntimeError("streaming drain did not finish within 300s")
+    _await_drain(q)
     tag = _md5_tag48(F.col("content"))
     return store.read(spark, "docs").groupBy("source").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_docs"),
@@ -3026,10 +3040,7 @@ def streaming_merge_staging(spark, sf_dir):
         read_events_stream(spark, sf_dir), store, "events", ["event_id"],
         os.path.join(base, "ckpt"),
     )
-    if not q.awaitTermination(300):
-        # never aggregate a half-drained store with the writer still live
-        q.stop()
-        raise RuntimeError("streaming drain did not finish within 300s")
+    _await_drain(q)
     return store.read(spark, "events").groupBy("event_type").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_events"),
         F.countDistinct("event_id").cast("bigint").alias("n_ids"),
@@ -6844,9 +6855,7 @@ def streaming_rollup_maintenance(spark, sf_dir):
         os.path.join(base, "store"), ["day", "event_type"],
         ["n_events", "sum_value"], os.path.join(base, "ckpt"),
     )
-    if not q.awaitTermination(300):
-        q.stop()
-        raise RuntimeError("streaming drain did not finish within 300s")
+    _await_drain(q)
     return read_rollup_store(spark, os.path.join(base, "store")).select(
         "day", "event_type",
         F.col("n_events").cast("bigint").alias("n_events"),
@@ -8563,9 +8572,7 @@ def streaming_scd2_maintenance(spark, sf_dir):
         checkpoint_dir=os.path.join(base, "ckpt"),
         tiebreak_cols=["event_id"],
     )
-    if not q.awaitTermination(300):
-        q.stop()
-        raise RuntimeError("streaming drain did not finish within 300s")
+    _await_drain(q)
     return read_scd2_store(spark, os.path.join(base, "store")).select(
         "user_id", "event_type", "valid_from", "valid_to", "is_current"
     )
@@ -8673,9 +8680,7 @@ def streaming_scd2_with_deletes(spark, sf_dir):
         checkpoint_dir=os.path.join(base, "ckpt"),
         tiebreak_cols=["event_id"], op_col="deleted",
     )
-    if not q.awaitTermination(300):
-        q.stop()
-        raise RuntimeError("streaming drain did not finish within 300s")
+    _await_drain(q)
     return read_scd2_store(spark, os.path.join(base, "store")).select(
         "user_id", "event_type", "valid_from", "valid_to", "is_current"
     )
@@ -9440,9 +9445,7 @@ def streaming_er_maintenance(spark, sf_dir):
         key_col="c_name", id_col="c_custkey",
         block_cols=["c_nationkey", "_name_block"], max_edit=2,
     )
-    if not q.awaitTermination(300):
-        q.stop()
-        raise RuntimeError("streaming drain did not finish within 300s")
+    _await_drain(q)
     return read_er_clusters(spark, os.path.join(base, "store"))
 
 

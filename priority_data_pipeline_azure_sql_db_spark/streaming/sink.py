@@ -297,10 +297,15 @@ def _check_scd2_meta(store_path: str, n_log_buckets: int) -> None:
     lands in a new one). Persisted in a sidecar at bootstrap and
     validated on every later fold, the same guard the ER store's META
     gives its params. A store predating the sidecar adopts the first
-    post-upgrade caller's value (the best evidence available) and pins
-    it from then on."""
+    post-upgrade caller's value — CROSS-CHECKED against the observed
+    bucket layout first (round-14 ADVICE fix): a wrong first caller
+    would otherwise permanently pin the very mis-pruning value the
+    guard exists to prevent. Any existing ``_kb=`` index under hist/ or
+    log/ must be < the adopted count (bucket ids are hash % n, so an
+    index >= n is impossible under the true count)."""
     import json as _json
     import os
+    import re as _re
 
     path = os.path.join(store_path, _SCD2_META)
     if os.path.exists(path):
@@ -314,6 +319,22 @@ def _check_scd2_meta(store_path: str, n_log_buckets: int) -> None:
                 "and strand stale history. Pass the store's value."
             )
         return
+    kb = _re.compile(r"^_kb=(\d+)$")
+    for sub in ("hist", "log"):
+        root = os.path.join(store_path, sub)
+        if not os.path.isdir(root):
+            continue
+        seen = [int(m.group(1)) for d in os.listdir(root)
+                for m in [kb.match(d)] if m]
+        bad = [b for b in seen if b >= n_log_buckets]
+        if bad:
+            raise ValueError(
+                f"SCD2 store at {store_path} has no meta sidecar but "
+                f"its {sub}/ layout contains _kb={max(bad)} — "
+                f"inconsistent with adopting n_log_buckets="
+                f"{n_log_buckets}. Pass the count the store was "
+                "actually built with."
+            )
     os.makedirs(store_path, exist_ok=True)
     tmp = path + ".tmp"
     with open(tmp, "w") as fh:

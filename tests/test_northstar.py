@@ -2861,12 +2861,25 @@ def test_codec_wav_ima_adpcm():
     assert f3.shape[1] == 2
     assert np.abs(f3[500: len(stereo)] - stereo[500:]).max() < 0.08
 
-    # (4) totality: torn block / hostile step index → loud ValueError
-    torn = (b"RIFF" + st.pack("<I", 4 + 8 + len(fmt) + 8 + 6) + b"WAVE"
+    # (4) totality: a block missing its header / hostile step index →
+    # loud ValueError; but a SHORT FINAL block with a full header
+    # decodes its present nibbles (round-14 ADVICE fix — real-corpus
+    # encoders emit short last blocks)
+    torn = (b"RIFF" + st.pack("<I", 4 + 8 + len(fmt) + 8 + 3) + b"WAVE"
             + b"fmt " + st.pack("<I", len(fmt)) + fmt
-            + b"data" + st.pack("<I", 6) + block[:6])
+            + b"data" + st.pack("<I", 3) + block[:3])
     with pytest.raises(ValueError, match="truncated"):
         C.decode_wav(torn)
+    shortblk = (b"RIFF" + st.pack("<I", 4 + 8 + len(fmt) + 8 + 6)
+                + b"WAVE" + b"fmt " + st.pack("<I", len(fmt)) + fmt
+                + b"data" + st.pack("<I", 6) + block[:6])
+    _, sf = C.decode_wav(shortblk)
+    # header sample + 2 body bytes = 4 nibbles → 5 frames
+    assert sf.shape == (5, 1)
+    assert [round(v * 32768) for v in sf[:, 0]] == [0, 3, 2, 2, 2]
+    # fact chunk: the encoder records the true frame count and decode
+    # trims the final block's repeat-pad — length-exact round trip
+    assert C.decode_wav(C.encode_wav_adpcm(8000, mono))[1].shape[0] == len(mono)
     bad = bytearray(wav)
     bad[-6] = 99  # header step index byte
     with pytest.raises(ValueError, match="step index"):

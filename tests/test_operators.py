@@ -539,8 +539,26 @@ def test_html_extract_main_content_rules(spark):
            "enough to keep.</p>")
     got = x(two)
     assert got.count("\n") == 1 and "&" in got and "  " not in got
-    # <br> splits blocks: each side gated independently
-    assert x("<p>tiny<br>also tiny</p>") == ""
+    # <br> (round 14, jusText conformance): a SINGLE <br> is a line
+    # break inside the paragraph — short lines that only together
+    # clear min_len survive as ONE block (the old per-<br> flush
+    # shattered and dropped them)
+    lines = "<p>Line one here<br>line two here<br>line three here</p>"
+    assert x(lines) == "Line one here line two here line three here"
+    # ...while <br><br> (whitespace between allowed) IS a block
+    # boundary, each side gated independently
+    a25 = "First paragraph clearly over the minimum length rule."
+    b25 = "Second paragraph also clearly over the minimum length."
+    assert x(f"<p>{a25}<br><br>{b25}</p>") == f"{a25}\n{b25}"
+    assert x(f"<p>{a25}<br> \n <br>{b25}</p>") == f"{a25}\n{b25}"
+    assert x("<p>tiny<br>also tiny</p>") == ""  # still under min_len
+    # nested <a> (round 14, HTML5 conformance): a second <a> start
+    # implicitly closes the first, so plain text after the inner
+    # </a> is NOT link text — density stays low and the block lives
+    nested = ('<div><a href="/x">link<a href="/y">deep</a> '
+              "trailing plain prose long enough to clear every "
+              "minimum comfortably here</div>")
+    assert "trailing plain prose" in x(nested)
     # totality: tag soup and empties never raise
     assert x("<div><p>unclosed <b>bold <a href=") == ""
     assert x("") == "" and x(None) == ""

@@ -2098,12 +2098,30 @@ def test_scd2_store_guards_bucket_count_and_lost_log(spark, tmp_path):
         spark, store, mk([(1, "b", "2026-01-02 00:00:00", 2)]), 2, *args,
         n_log_buckets=4,
     ) is True
+    # (1b) pre-sidecar adoption cross-check (round-14 ADVICE fix): a
+    # store without SCD2_META must NOT adopt a first caller whose count
+    # contradicts the observed _kb= layout — hist/ holds _kb ids up to
+    # 3 here, so adopting n_log_buckets=2 would pin mis-pruning
+    os.remove(os.path.join(store, "SCD2_META.json"))
+    # ensure the layout evidence exists under hist/ (a _kb index >= 2)
+    os.makedirs(os.path.join(store, "hist", "_kb=3"), exist_ok=True)
+    with pytest.raises(ValueError, match="inconsistent with adopting"):
+        fold_scd2_batch(
+            spark, store, mk([(1, "z", "2026-01-04 00:00:00", 9)]), 9,
+            *args, n_log_buckets=2,
+        )
+    # a layout-consistent adoption still bootstraps the sidecar
+    assert fold_scd2_batch(
+        spark, store, mk([(1, "c", "2026-01-03 00:00:00", 3)]), 3, *args,
+        n_log_buckets=4,
+    ) is True
+    assert os.path.exists(os.path.join(store, "SCD2_META.json"))
     # (2) external log loss: CURRENT present, slices gone → loud, and
     # the standing history is left untouched
     shutil.rmtree(os.path.join(store, "log"))
     with pytest.raises(RuntimeError, match="no prior log slices"):
         fold_scd2_batch(
-            spark, store, mk([(1, "c", "2026-01-03 00:00:00", 3)]), 3,
+            spark, store, mk([(1, "d", "2026-01-05 00:00:00", 4)]), 4,
             *args, n_log_buckets=4,
         )
     assert os.path.isdir(os.path.join(store, "hist"))

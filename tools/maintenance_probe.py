@@ -177,7 +177,11 @@ def main() -> None:
         print(f"[probe] {name}: slope {slope:.2f} marginal {m:+.4f}s/x "
               f"steps {steps}", file=sys.stderr)
 
-    ATTEMPTS = 3
+    # 5 disjoint folds per scale (round 14, VERDICT r13 ask #5: the
+    # r13 er_append series had an unexplained 2x spike with only 3
+    # attempts — min-of-5 disjoint folds gives the min real power
+    # against one unlucky store state without changing what is timed)
+    ATTEMPTS = 5
 
     # ---- SCD2 fold: fixed 3-entity / 6-row delta per attempt --------
     # 3 entities touch <= 3 of the store's buckets, so the timed fold
