@@ -120,8 +120,11 @@ def decode_media(media_type: str, content: bytes):
         # (0x0011) from PCM so count-per-codec profiles can hash-check
         # that ADPCM blobs decoded through the ADPCM path natively
         decoded = codecs.decode_wav(content)
-        if codecs.wav_audio_format(content) == 17:
+        afmt = codecs.wav_audio_format(content)
+        if afmt == 17:
             return "wav-adpcm", decoded
+        if afmt == 2:  # round 14: Microsoft ADPCM joins the boundary
+            return "wav-ms-adpcm", decoded
         return "wav", decoded
     if kind == "avi":
         return "avi", codecs.decode_avi_frames(content)
@@ -180,7 +183,7 @@ def extract_features(df: DataFrame) -> DataFrame:
                 kind, decoded = decode_media(media_type, blob)
                 if kind in ("bmp", "png", "jpeg", "webp"):
                     return kind, codecs.image_features(decoded)
-                if kind in ("wav", "wav-adpcm"):
+                if kind in ("wav", "wav-adpcm", "wav-ms-adpcm"):
                     return kind, codecs.audio_features(*decoded)
                 if kind in ("avi", "gif"):
                     # GIF shares the video descriptor: a single-frame

@@ -9087,10 +9087,11 @@ def export_curriculum_readback(spark, sf_dir):
 @query(
     "multimodal_codec_mix",
     """
-    SELECT CASE doc_id % 8
+    SELECT CASE doc_id % 9
                WHEN 0 THEN 'bmp' WHEN 1 THEN 'png' WHEN 2 THEN 'wav'
                WHEN 5 THEN 'gif' WHEN 6 THEN 'webp'
-               WHEN 7 THEN 'wav-adpcm' ELSE 'jpeg' END
+               WHEN 7 THEN 'wav-adpcm' WHEN 8 THEN 'wav-ms-adpcm'
+               ELSE 'jpeg' END
                AS codec,
            CAST(COUNT(*) AS BIGINT) AS n_media
     FROM documents WHERE doc_id < 400
@@ -9100,11 +9101,12 @@ def export_curriculum_readback(spark, sf_dir):
 def multimodal_codec_mix(spark, sf_dir):
     """CORPUS CODEC-MIX PROFILE (round 10, VERDICT r9 ask #8's cheap
     half — and the measurement that each round's codec closure fires on
-    the fixture): an EIGHT-way mixed-codec media corpus
+    the fixture): a NINE-way mixed-codec media corpus
     is synthesized from document bytes in the executors (BMP, PNG,
     PCM WAV, baseline JPEG, PROGRESSIVE JPEG, GIF — round 11 — round
-    12's lossless WebP/VP8L, and, round 14 per VERDICT r13 ask #4, IMA
-    ADPCM WAV — the real encoders from
+    12's lossless WebP/VP8L, and, round 14, BOTH common compressed-WAV
+    tags: IMA ADPCM per VERDICT r13 ask #4 and the MS ADPCM stretch —
+    the real encoders from
     operators/codecs.py), pushed through the REAL decode dispatch
     (extract_features → sniff → stdlib codecs), and profiled per
     decoded-codec tag. The oracle knows which class each doc_id was
@@ -9133,7 +9135,7 @@ def multimodal_codec_mix(spark, sf_dir):
                 raw = (text or "").encode("utf-8") or b"\x00"
                 pad = (raw * (192 // len(raw) + 1))[:192]
                 px = np.frombuffer(pad, dtype=np.uint8).reshape(8, 8, 3)
-                cls = doc_id % 8
+                cls = doc_id % 9
                 if cls == 0:
                     mt, blob = "image", codecs.encode_bmp(px)
                 elif cls == 1:
@@ -9154,7 +9156,7 @@ def multimodal_codec_mix(spark, sf_dir):
                     mt, blob = "image", codecs.encode_gif(px)
                 elif cls == 6:
                     mt, blob = "image", codecs.encode_webp_lossless(px)
-                else:
+                elif cls == 7:
                     # round 14: the IMA ADPCM leg — decode_media tags
                     # format 0x0011 'wav-adpcm', so the count-per-tag
                     # hash proves the compressed family routed through
@@ -9163,6 +9165,13 @@ def multimodal_codec_mix(spark, sf_dir):
                     pcm = (np.frombuffer(pad, dtype=np.uint8)
                            .astype(np.float64) - 128.0) / 128.0
                     mt, blob = "audio", codecs.encode_wav_adpcm(8000, pcm)
+                else:
+                    # round 14 stretch: Microsoft ADPCM (0x0002), the
+                    # other common compressed-WAV tag — same routing
+                    # proof through its own predictor/delta decode
+                    pcm = (np.frombuffer(pad, dtype=np.uint8)
+                           .astype(np.float64) - 128.0) / 128.0
+                    mt, blob = "audio", codecs.encode_wav_ms_adpcm(8000, pcm)
                 ids.append(doc_id)
                 types.append(mt)
                 blobs.append(blob)

@@ -2901,6 +2901,84 @@ def test_codec_wav_ima_adpcm():
     assert kp == "wav"
 
 
+def test_codec_wav_ms_adpcm():
+    """Microsoft ADPCM WAV (format tag 0x0002, round 14 — closing the
+    common-WAV boundary next to IMA 0x0011): (1) a HAND-BUILT single
+    block decodes to hand-computed samples (predictor 0, idelta 16,
+    header samples emitted sample2-first, HIGH-nibble-first packing,
+    the published adaptation table's max(16, (230*d)>>8) floor); (2)
+    encoder-produced streams round-trip within the adaptive-delta
+    bound with both header samples per block stored verbatim; (3)
+    stereo alternates channels within each byte; (4) missing header /
+    predictor > 6 fail loud, but a short FINAL block decodes its
+    present nibbles; (5) decode_media tags it 'wav-ms-adpcm'; (6) the
+    fact chunk makes round trips length-exact."""
+    import struct as st
+
+    import numpy as np
+    import pytest
+
+    from priority_data_pipeline_azure_sql_db_spark.operators import codecs as C
+
+    # (1) hand-built mono block: spb=6 -> block_align 9
+    blk = (bytes([0]) + st.pack("<h", 16) + st.pack("<h", 4)
+           + st.pack("<h", 0) + bytes([0x12, 0x9F]))
+    fmt = (st.pack("<HHIIHHHHH", 2, 1, 8000, 8000 * 9 // 6, 9, 4, 32, 6, 7)
+           + b"".join(st.pack("<hh", a, b) for a, b in
+                      zip((256, 512, 0, 192, 240, 460, 392),
+                          (0, -256, 0, 64, 0, -208, -232))))
+    wav = (b"RIFF" + st.pack("<I", 4 + 8 + len(fmt) + 8 + len(blk))
+           + b"WAVE" + b"fmt " + st.pack("<I", len(fmt)) + fmt
+           + b"data" + st.pack("<I", len(blk)) + blk)
+    assert C.sniff(wav) == "wav"
+    rate, frames = C.decode_wav(wav)
+    assert rate == 8000
+    assert [round(v * 32768) for v in frames[:, 0]] == [0, 4, 20, 52, -60, -98]
+
+    # (2) mono round trip: header samples exact, adaptive-delta bound
+    t = np.arange(3000) / 8000.0
+    mono = 0.6 * np.sin(2 * np.pi * 440 * t)
+    r2, f2 = C.decode_wav(C.encode_wav_ms_adpcm(8000, mono))
+    assert r2 == 8000
+    assert f2.shape[0] == len(mono)  # (6) fact-trimmed, length-exact
+    assert abs(f2[0, 0] - round(mono[0] * 32768) / 32768.0) < 1e-9
+    assert abs(f2[1, 0] - round(mono[1] * 32768) / 32768.0) < 1e-9
+    err = np.abs(f2[:, 0] - mono)
+    assert err[100:].max() < 0.08 and np.sqrt((err ** 2).mean()) < 0.05
+
+    # (3) stereo: channels come back separated, same bound
+    stereo = np.stack([mono, 0.3 * np.cos(2 * np.pi * 220 * t)], axis=1)
+    r3, f3 = C.decode_wav(C.encode_wav_ms_adpcm(8000, stereo,
+                                                samples_per_block=256))
+    assert f3.shape == (len(stereo), 2)
+    assert np.abs(f3[100:] - stereo[100:]).max() < 0.08
+
+    # (4) totality: header-short final block raises; short final block
+    # with full header decodes its present nibbles; predictor 7 raises
+    torn = (b"RIFF" + st.pack("<I", 4 + 8 + len(fmt) + 8 + 5) + b"WAVE"
+            + b"fmt " + st.pack("<I", len(fmt)) + fmt
+            + b"data" + st.pack("<I", 5) + blk[:5])
+    with pytest.raises(ValueError, match="truncated MS ADPCM"):
+        C.decode_wav(torn)
+    shortblk = wav.replace(
+        b"data" + st.pack("<I", len(blk)) + blk,
+        b"data" + st.pack("<I", 8) + blk[:8])
+    _, sf = C.decode_wav(shortblk)
+    assert [round(v * 32768) for v in sf[:, 0]] == [0, 4, 20, 52]
+    bad = bytearray(wav)
+    bad[-9] = 7  # predictor byte of the single block
+    with pytest.raises(ValueError, match="predictor index"):
+        C.decode_wav(bytes(bad))
+
+    # (5) routing: distinct tag, one decode path
+    from priority_data_pipeline_azure_sql_db_spark.operators.multimodal import (
+        decode_media,
+    )
+
+    kind, (rr, ff) = decode_media("audio", C.encode_wav_ms_adpcm(8000, mono))
+    assert kind == "wav-ms-adpcm" and rr == 8000 and ff.shape[1] == 1
+
+
 def test_codec_wav_truncation_and_exact_transcode():
     """A data chunk shorter than its declared size fails LOUD (silently
     shorter audio corrupted duration/RMS); and the symmetric x32768
