@@ -717,7 +717,14 @@ def _ms_step(s1: int, s2: int, delta: int, c1: int, c2: int,
     """One MS ADPCM state update: reconstruct the sample nibble ``n``
     encodes from the two-sample linear predictor and advance the
     adaptive delta — the SHARED kernel (the encoder mirrors the
-    decoder's reconstruction, so their states never drift)."""
+    decoder's reconstruction, so their states never drift).
+
+    Rounding pin: the predictor divide-by-256 uses the ARITHMETIC
+    SHIFT (floor) of Microsoft's reference MSADPCM.C (``>> 8``); some
+    decoders (FFmpeg's C ``/``) truncate toward zero instead, which
+    differs on negative predictors by 1 LSB. Encoder and decoder share
+    this kernel, so round trips are exact either way; a hostile
+    negative header idelta self-heals through the max(16, ...) floor."""
     pred = (s1 * c1 + s2 * c2) >> 8
     signed = n - 16 if n >= 8 else n
     sample = max(-32768, min(32767, pred + delta * signed))
