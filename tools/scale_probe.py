@@ -68,6 +68,12 @@ PROBES = {
     # is CORRECT here: the work IS the corpus, unlike the bounded-
     # fan-out joins above whose claim is sub-linear growth)
     "text_html_extract": ["documents"],
+    # round 14: the winnow fingerprint path changed (explode_outer
+    # killed the scan-side inferred-filter regexp) — per the published
+    # discipline its scaling series re-enters the probe; one shuffle,
+    # per-doc window+distinct clustered on the id (slope ~1 correct,
+    # same class as html_extract)
+    "text_winnow_fingerprints": ["documents"],
     # NEGATIVE CONTROL: the uncapped shingle join's pair term grows
     # quadratically when replicas share shingles (every cross-replica
     # doc pair that shares one multiplies by k^2) — the probe must read
