@@ -115,6 +115,10 @@ ANNEX = [
     # the staged table's read-back aggregate)
     "text_html_extract",
     "streaming_html_ingest",
+    # round-14: the nine-way codec routing profile (both ADPCM
+    # families joined this round) — tracked so codec-side regressions
+    # (a stub fallback would also flip correctness) get a timing series
+    "multimodal_codec_mix",
 ]
 
 HEADLINE = CORE + ANNEX

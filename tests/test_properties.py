@@ -857,3 +857,110 @@ def test_staging_merge_zone_map_property(spark, seq, tmp_path_factory):
         (pk, day, v) for pk, g in ref.items() for day, v in g
     )
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# ADPCM codec properties (round 14) — pure-Python kernels, no Spark, so
+# these can afford real example counts.
+# ---------------------------------------------------------------------------
+
+_audio = st.lists(
+    st.floats(min_value=-1.0, max_value=1.0, allow_nan=False, width=32),
+    min_size=1, max_size=900,
+)
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    vals=_audio,
+    stereo=st.booleans(),
+    fam=st.sampled_from(["ima", "ms"]),
+    spb_pick=st.integers(min_value=0, max_value=2),
+)
+def test_adpcm_roundtrip_structure_property(vals, stereo, fam, spb_pick):
+    """For BOTH ADPCM families, any audio, any channel count, several
+    block sizes: (a) encode is deterministic; (b) decode(encode(x)) is
+    length-exact (the fact chunk trims the final block's pad) with the
+    channel count preserved; (c) every decoded sample is in [-1, 1];
+    (d) the per-block verbatim header samples are bit-exact after
+    input quantization — frame 0 (and frame 1 for MS) of the FIRST
+    block, which survives any trim."""
+    import numpy as np
+
+    from priority_data_pipeline_azure_sql_db_spark.operators import codecs as C
+
+    x = np.array(vals, dtype=np.float64)
+    if stereo:
+        x = np.stack([x, -x], axis=1)
+    if fam == "ima":
+        spb = [9, 257, 505][spb_pick]
+        enc = lambda a: C.encode_wav_adpcm(8000, a, samples_per_block=spb)  # noqa: E731
+        n_exact = 1
+    else:
+        spb = [4, 256, 500][spb_pick]
+        if len(x) < 2:
+            return  # MS needs two header samples; 1-frame audio pads to 2+
+        enc = lambda a: C.encode_wav_ms_adpcm(8000, a, samples_per_block=spb)  # noqa: E731
+        n_exact = 2
+    blob = enc(x)
+    assert blob == enc(x)  # deterministic
+    rate, frames = C.decode_wav(blob)
+    assert rate == 8000
+    want_frames = len(x) if x.ndim == 1 else x.shape[0]
+    assert frames.shape == (want_frames, 2 if stereo else 1)
+    assert np.all(frames >= -1.0) and np.all(frames <= 1.0)
+    arr = x if x.ndim == 2 else x[:, None]
+    q = np.clip(np.round(arr * 32768.0), -32768, 32767) / 32768.0
+    for f in range(min(n_exact, want_frames)):
+        assert np.array_equal(frames[f], q[f]), (f, frames[f], q[f])
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    n=st.integers(min_value=3, max_value=400),
+    cut=st.integers(min_value=1, max_value=64),
+    fam=st.sampled_from(["ima", "ms"]),
+)
+def test_adpcm_truncation_dichotomy_property(n, cut, fam):
+    """Cutting k bytes off the data chunk (container sizes rewritten to
+    stay self-consistent) either decodes a SHORTER-OR-EQUAL stream
+    (short final block accepted) or raises ValueError (header-short /
+    broken stereo group) — never crashes, never returns MORE frames,
+    and the accept/reject split lands exactly where the block math
+    says it must for mono."""
+    import struct as stc
+
+    import numpy as np
+
+    from priority_data_pipeline_azure_sql_db_spark.operators import codecs as C
+
+    x = np.linspace(-0.5, 0.5, n)
+    if fam == "ima":
+        blob, hdr = C.encode_wav_adpcm(8000, x, samples_per_block=9), 4
+    else:
+        blob, hdr = C.encode_wav_ms_adpcm(8000, x, samples_per_block=4), 7
+    # locate the data chunk and rebuild the container cut bytes short
+    pos = 12
+    while True:
+        cid, size = stc.unpack_from("<4sI", blob, pos)
+        if cid == b"data":
+            break
+        pos += 8 + size + (size & 1)
+    body = blob[pos + 8: pos + 8 + size]
+    k = min(cut, len(body) - 1)
+    short = body[:-k]
+    rebuilt = (
+        blob[:4] + stc.pack("<I", len(blob) - 8 - k)
+        + blob[8:pos] + b"data" + stc.pack("<I", len(short)) + short
+    )
+    _, full = C.decode_wav(blob)
+    block_align = 8  # ima: 4 + (9-1)//2; ms: 7 + (4-2)//2 — both 8 at these spb
+    tail = len(short) % block_align
+    try:
+        _, got = C.decode_wav(rebuilt)
+    except ValueError:
+        # legal only when the final block lost header bytes
+        assert 0 < tail < hdr, (fam, tail)
+        return
+    assert 0 <= got.shape[0] <= full.shape[0]
+    assert tail == 0 or tail >= hdr, (fam, tail)
