@@ -95,6 +95,13 @@ def entry(spark: SparkSession) -> DataFrame:
 #   7. streaming_merge_staging → streaming_html_ingest (same
 #      foreachBatch MERGE sink + read-back hash, plus
 #      transform-on-ingest).
+#   8. dedup_winnow_pairs (uncapped pair probe) → PAIRED with the one
+#      r14 registration, dedup_index_append_serve (the fingerprint
+#      store's O(delta) append path, graded append≡rebuild against the
+#      same full-corpus _WINNOW_CAPPED_SQL); the uncapped machinery
+#      stays graded via text_winnow_fingerprints (selection hash) and
+#      dedup_winnow_pairs_indexed (capped pair join). Registry stays
+#      at 193 (one out, one in).
 # PRE-COMMITTED r15 EXITS (each is an r14-window member, so it leaves
 # with fresh r14 driver evidence — the r12 dedup_minhash_lsh
 # precedent):
@@ -109,13 +116,16 @@ def entry(spark: SparkSession) -> DataFrame:
 #
 # Schedule from here (bucket sizes AFTER the r14 retirements):
 #   r14 (this file): r9 spill (9) + r13 regs (3) + r10 bucket head (38)
-#   r15: r10 tail (8) + r14 changed-head — multimodal_codec_mix
-#        (nine-way: IMA + MS ADPCM legs) and the four third-pass ER
+#   r15: r10 tail (8) + r14 changed/new head — multimodal_codec_mix
+#        (nine-way: IMA + MS ADPCM legs), the four third-pass ER
 #        serve entries (er_incremental_match, er_assign_to_golden,
 #        er_assign_from_store, er_store_append_serve — code AND the
 #        shared recursive-CTE oracle moved to the prefix ∪ suffix ∪
-#        MIDDLE union), each comparator-green sf0.01 + sf0.1 the r14
-#        session it changed — + r11 bucket head (fills to 50)
+#        MIDDLE union), and the r14 registration
+#        dedup_index_append_serve — each comparator-green sf0.01 +
+#        sf0.1 the r14 session it changed/landed — + r11 bucket head
+#        (fills to 50; the few displaced r11 tail entries go to r16
+#        per I2)
 #   r16: r11 tail + r12 bucket (fills to 50)
 #   r17: r12 tail (if any) + r13 bucket head
 #   r18: r13 tail + r14 bucket head

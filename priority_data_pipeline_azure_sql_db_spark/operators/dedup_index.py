@@ -154,9 +154,11 @@ def winnow_pairs_from_index(
     max_doc_freq: int | None = None,
 ) -> DataFrame:
     """The serve half of capped winnowing near-dup: read the persisted
-    (doc, fp) store, cap stop-prints, pair-join. Value-identical to
-    ``winnow_near_dup`` on the corpus the index was built from."""
-    fp = _capped(spark.read.parquet(os.path.join(path, FPS_DIR)), max_doc_freq)
+    (doc, fp) store — base plus committed append deltas (round 14) —
+    cap stop-prints, pair-join. Value-identical to ``winnow_near_dup``
+    on the corpus the index was built from and grown to; the doc-freq
+    cap computes over the UNION, exactly as a fresh full build would."""
+    fp = _capped(_read_fps(spark, path), max_doc_freq)
     a = fp.select(F.col("doc").alias("id_a"), "fp")
     b = fp.select(F.col("doc").alias("id_b"), "fp")
     return (
@@ -177,9 +179,11 @@ def jaccard_pairs_from_index(
     """The serve half of capped n-gram Jaccard: persisted (doc, shingle)
     store + persisted set sizes → capped inverted-index join → exact
     Jaccard on the UNCAPPED sizes (the same lower-bound semantics as
-    ``jaccard_pairs(max_doc_freq=...)``)."""
-    sh = spark.read.parquet(os.path.join(path, FPS_DIR))
-    sizes = spark.read.parquet(os.path.join(path, SIZES_DIR))
+    ``jaccard_pairs(max_doc_freq=...)``). Reads base plus committed
+    append deltas (round 14); the cap and the exact Jaccard sizes both
+    compute over the union, as a fresh full build would."""
+    sh = _read_fps(spark, path)
+    sizes = _read_sizes(spark, path)
     shj = _capped(sh, max_doc_freq)
     inter = (
         shj.alias("a")
@@ -203,3 +207,126 @@ def jaccard_pairs_from_index(
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
+
+
+# ---------------------------------------------------------------------------
+# O(delta) growth (round 14): the standing fingerprint store learns the
+# ER store's append discipline — new documents' fingerprints land in
+# committed delta dirs instead of forcing a corpus rebuild.
+# ---------------------------------------------------------------------------
+
+_DELTA_FPS = "fps_delta_"
+_DELTA_SIZES = "sizes_delta_"
+_DELTA_DOCS = "docs_delta_"
+
+
+def _committed_deltas(path: str) -> list[int]:
+    """Delta generations whose COMMIT artifact (the fps parquet dir's
+    own _SUCCESS) exists. fps is written LAST per generation, so a
+    crash mid-append leaves the whole generation invisible — torn
+    sizes/docs dirs under an uncommitted generation are dead weight a
+    retry overwrites, never data."""
+    out = []
+    if not os.path.isdir(path):
+        return out
+    for d in os.listdir(path):
+        if d.startswith(_DELTA_FPS):
+            n = d[len(_DELTA_FPS):]
+            if n.isdigit() and os.path.exists(
+                os.path.join(path, d, "_SUCCESS")
+            ):
+                out.append(int(n))
+    return sorted(out)
+
+
+def _read_fps(spark: SparkSession, path: str) -> DataFrame:
+    """Base fingerprints plus every COMMITTED delta generation."""
+    fp = spark.read.parquet(os.path.join(path, FPS_DIR))
+    for n in _committed_deltas(path):
+        fp = fp.unionByName(
+            spark.read.parquet(os.path.join(path, f"{_DELTA_FPS}{n}"))
+        )
+    return fp
+
+
+def _read_sizes(spark: SparkSession, path: str) -> DataFrame:
+    sz = spark.read.parquet(os.path.join(path, SIZES_DIR))
+    for n in _committed_deltas(path):
+        d = os.path.join(path, f"{_DELTA_SIZES}{n}")
+        if os.path.isdir(d):
+            sz = sz.unionByName(spark.read.parquet(d))
+    return sz
+
+
+def append_to_dedup_index(spark: SparkSession, path: str,
+                          df: DataFrame) -> int:
+    """Grow the standing fingerprint store by the documents in ``df``
+    that are not already indexed — O(delta) fingerprint compute + one
+    delta-generation write, never a base rewrite (the ER store's
+    append discipline, VERDICT-r13-stretch sibling). Returns the number
+    of NEW documents appended (0 = idempotent no-op, e.g. a retry after
+    a crash that DID commit).
+
+    Crash safety: per generation the docs (and shingle sizes) tables
+    write FIRST and the fps parquet dir LAST — fps's _SUCCESS is the
+    commit point, so a crash anywhere earlier leaves the generation
+    invisible to serves AND to the membership read below; the retry
+    overwrites the same generation number. Membership is the committed
+    docs tables plus the base fingerprints' doc ids (a zero-fingerprint
+    document in the BASE build is unknowable and re-appends once into a
+    delta docs table, harmlessly — appended short docs are tracked
+    exactly)."""
+    import json
+
+    from .dedup import word_shingles
+    from .text import winnow_fingerprints
+
+    manifest = os.path.join(path, PARAMS_FILE)
+    if not os.path.exists(manifest):
+        raise ValueError(
+            f"append_to_dedup_index: no completed build at {path} — "
+            "build_dedup_index/ensure_dedup_index first"
+        )
+    with open(manifest) as fh:
+        p = json.load(fh)
+    id_col, text_col = p["id_col"], p["text_col"]
+
+    present = _read_fps(spark, path).select(F.col("doc")).distinct()
+    for n in _committed_deltas(path):
+        d = os.path.join(path, f"{_DELTA_DOCS}{n}")
+        if os.path.isdir(d):
+            present = present.unionByName(spark.read.parquet(d))
+    fresh = (
+        df.select(F.col(id_col), F.col(text_col))
+        .join(present.select(F.col("doc").alias(id_col)), id_col,
+              "left_anti")
+    )
+    n_new = fresh.count()
+    if n_new == 0:
+        return 0
+
+    gens = _committed_deltas(path)
+    gen = (max(gens) + 1) if gens else 0
+    docs_dir = os.path.join(path, f"{_DELTA_DOCS}{gen}")
+    fps_dir = os.path.join(path, f"{_DELTA_FPS}{gen}")
+    fresh = fresh.cache()
+    try:
+        fresh.select(F.col(id_col).alias("doc")).write.mode(
+            "overwrite").parquet(docs_dir)
+        if p["kind"] == "winnow":
+            fps = winnow_fingerprints(
+                fresh, text_col, id_col, k=p["k"], w=p["w"]
+            ).select(F.col(id_col).alias("doc"), "fp")
+        else:
+            sh = word_shingles(fresh, text_col, id_col, k=p["k"])
+            sh.groupBy("doc").agg(
+                F.count(F.lit(1)).alias("n_sh")
+            ).write.mode("overwrite").parquet(
+                os.path.join(path, f"{_DELTA_SIZES}{gen}")
+            )
+            fps = sh.select(F.col("doc"), F.col("shingle").alias("fp"))
+        # LAST artifact = commit point
+        fps.repartition("fp").write.mode("overwrite").parquet(fps_dir)
+    finally:
+        fresh.unpersist()
+    return n_new

@@ -1818,6 +1818,39 @@ def _dedup_index_path(sf_dir, kind):
     return _resident_path(f"dedup_idx_{kind}", sf_dir)
 
 
+@query("dedup_index_append_serve", _WINNOW_CAPPED_SQL)
+def dedup_index_append_serve(spark, sf_dir):
+    """DEDUP STORE APPEND ≡ REBUILD, driver-checked (round 14 — the
+    fingerprint store learns the ER store's O(delta) growth path): the
+    winnow index is built from only PART of the canon corpus (docs with
+    doc_id % 3 != 0 after the exact-dedup canon step), the remaining
+    docs arrive through append_to_dedup_index — delta fingerprints into
+    a committed generation dir, the base never rewritten — and the
+    serve runs the capped pair join against the GROWN store. The oracle
+    is the SAME full-corpus SQL as the indexed/capped twins
+    (_WINNOW_CAPPED_SQL): a green hash row is end-to-end evidence that
+    the append lands exactly the state a fresh full-corpus build would
+    — including the doc-frequency cap computing over base ∪ delta.
+    Repeat executions are safe: re-appending present ids is an
+    idempotent no-op (the anti-join gate), so bench attempts and
+    driver re-runs serve the same store."""
+    from .operators.dedup_index import (
+        append_to_dedup_index,
+        ensure_dedup_index,
+        winnow_pairs_from_index,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    canon = d.groupBy("text").agg(F.min("doc_id").cast("bigint").alias("doc_id"))
+    part_a = canon.filter(F.col("doc_id") % 3 != 0)
+    part_b = canon.filter(F.col("doc_id") % 3 == 0)
+    path = _resident_path("dedup_idx_app", sf_dir)
+    ensure_dedup_index(part_a, path, kind="winnow", k=8, w=4)
+    append_to_dedup_index(spark, path, part_b)
+    return winnow_pairs_from_index(spark, path, min_shared=25,
+                                   max_doc_freq=50)
+
+
 @query("dedup_winnow_pairs_indexed", _WINNOW_CAPPED_SQL)
 def dedup_winnow_pairs_indexed(spark, sf_dir):
     """The RESIDENT (build-once/serve-many) form of
@@ -3309,29 +3342,13 @@ def text_winnow_fingerprints(spark, sf_dir):
     )
 
 
-@query(
-    "dedup_winnow_pairs",
-    """
-    WITH norm AS (
-        SELECT doc_id, regexp_replace(lower(text), '[^a-z0-9]', '', 'g') AS t
-        FROM documents
-    ), grams AS (
-        SELECT doc_id, pos, LENGTH(t) - 7 AS maxpos, md5(substr(t, pos, 8)) AS h
-        FROM norm, UNNEST(generate_series(1, GREATEST(LENGTH(t) - 7, 0))) AS u(pos)
-    ), wins AS (
-        SELECT doc_id, pos, maxpos,
-               MIN(h) OVER (PARTITION BY doc_id ORDER BY pos
-                            ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp
-        FROM grams
-    ), fps AS (
-        SELECT DISTINCT doc_id, fp FROM wins WHERE pos <= maxpos - 3
-    )
-    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-           CAST(COUNT(*) AS BIGINT) AS shared_fps
-    FROM fps a JOIN fps b ON a.fp = b.fp AND a.doc_id < b.doc_id
-    GROUP BY 1, 2 HAVING COUNT(*) >= 25
-    """,
-)
+# RETIRED from the registry in round 14 (P2, invariant-I3 slack —
+# paired with the dedup_index_append_serve registration; see the
+# __spark_entry__ rotation comment): the uncapped winnow pair probe's
+# machinery stays driver-graded three ways — text_winnow_fingerprints
+# hash-checks the fingerprint selection, dedup_winnow_pairs_indexed the
+# capped pair join, dedup_index_append_serve the store growth path.
+# Function importable; pytest coverage intact (winnow parity tests).
 def dedup_winnow_pairs(spark, sf_dir):
     """Near-dup pairs by shared winnowing fingerprints (inverted-index
     join; >= 25 shared prints — below the corpus's boilerplate plateau the

@@ -720,6 +720,83 @@ def test_dedup_index_build_serve_matches_oneshot(spark, sf_dir, tmp_path):
         ensure_dedup_index(canon, str(tmp_path / "bad"), kind="nope")
 
 
+def test_dedup_index_append_equals_rebuild_and_crash_safe(spark, sf_dir, tmp_path):
+    """Round-14 O(delta) growth for the fingerprint store: (1) append
+    ≡ rebuild for BOTH kinds — pairs served from a part-built store
+    grown by append_to_dedup_index equal pairs from a fresh full-corpus
+    build, including the doc-freq cap over base ∪ delta; (2) the
+    commit discipline — a torn generation (docs written, fps commit
+    missing) is invisible to serves AND does not block the retry,
+    which overwrites it; (3) re-appending present ids is an idempotent
+    no-op; (4) appending to an unbuilt path fails loud."""
+    import os
+    import shutil
+
+    import pytest
+    from pyspark.sql import functions as F
+
+    from priority_data_pipeline_azure_sql_db_spark.operators.dedup_index import (
+        append_to_dedup_index,
+        ensure_dedup_index,
+        jaccard_pairs_from_index,
+        winnow_pairs_from_index,
+    )
+    from priority_data_pipeline_azure_sql_db_spark.sources.parquet import load_table
+
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    canon = d.groupBy("text").agg(F.min("doc_id").cast("bigint").alias("doc_id"))
+    part_a = canon.filter(F.col("doc_id") % 3 != 0)
+    part_b = canon.filter(F.col("doc_id") % 3 == 0)
+
+    for kind, serve, kw in (
+        ("winnow",
+         lambda p_: winnow_pairs_from_index(spark, p_, min_shared=5,
+                                            max_doc_freq=50),
+         dict(kind="winnow", k=8, w=4)),
+        ("shingle",
+         lambda p_: jaccard_pairs_from_index(spark, p_, threshold=0.2,
+                                             max_doc_freq=50),
+         dict(kind="shingle", k=5)),
+    ):
+        grown = str(tmp_path / f"grown_{kind}")
+        full = str(tmp_path / f"full_{kind}")
+        ensure_dedup_index(part_a, grown, **kw)
+        n = append_to_dedup_index(spark, grown, part_b)
+        assert n == part_b.count() and n > 0
+        ensure_dedup_index(canon, full, **kw)
+        got = {tuple(r) for r in serve(grown).collect()}
+        want = {tuple(r) for r in serve(full).collect()}
+        assert got == want and got, kind
+        # (3) idempotent re-append
+        assert append_to_dedup_index(spark, grown, part_b) == 0
+        assert {tuple(r) for r in serve(grown).collect()} == want
+
+    # (2) crash window on the winnow store: fake a torn generation —
+    # docs table present, fps commit missing
+    grown = str(tmp_path / "grown_winnow")
+    torn_docs = os.path.join(grown, "docs_delta_1")
+    torn_fps = os.path.join(grown, "fps_delta_1")
+    part_c = spark.createDataFrame(
+        [(900001, "a brand new crash window document with words " * 3)],
+        "doc_id bigint, text string",
+    )
+    part_c.select(F.col("doc_id").alias("doc")).write.mode(
+        "overwrite").parquet(torn_docs)
+    shutil.rmtree(torn_fps, ignore_errors=True)  # no fps => uncommitted
+    before = {tuple(r) for r in winnow_pairs_from_index(
+        spark, grown, min_shared=5, max_doc_freq=50).collect()}
+    # torn docs table must not block the retry's membership read
+    assert append_to_dedup_index(spark, grown, part_c) == 1
+    assert os.path.exists(os.path.join(torn_fps, "_SUCCESS"))
+    after = {tuple(r) for r in winnow_pairs_from_index(
+        spark, grown, min_shared=5, max_doc_freq=50).collect()}
+    assert after == before  # the new doc pairs with nothing
+
+    # (4) append before any build is a caller bug
+    with pytest.raises(ValueError, match="no completed build"):
+        append_to_dedup_index(spark, str(tmp_path / "absent"), part_c)
+
+
 def test_codec_malformed_blobs_fall_back_to_stub(spark):
     """Hostile/malformed blobs (0-channel WAV, truncated BMP body, short
     fmt chunk) must fall back to the tagged stub row, never crash the
