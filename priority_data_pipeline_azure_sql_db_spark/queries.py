@@ -1831,11 +1831,14 @@ def dedup_index_append_serve(spark, sf_dir):
     (_WINNOW_CAPPED_SQL): a green hash row is end-to-end evidence that
     the append lands exactly the state a fresh full-corpus build would
     — including the doc-frequency cap computing over base ∪ delta.
-    Repeat executions are safe: re-appending present ids is an
-    idempotent no-op (the anti-join gate), so bench attempts and
-    driver re-runs serve the same store."""
+    The grown store is then COMPACTED (the LSM rebuild leg) before
+    serving. Repeat executions are safe: re-appending present ids is an
+    idempotent no-op (the anti-join gate) and compacting a
+    generation-free store is a no-op, so bench attempts and driver
+    re-runs serve the same store."""
     from .operators.dedup_index import (
         append_to_dedup_index,
+        compact_dedup_index,
         ensure_dedup_index,
         winnow_pairs_from_index,
     )
@@ -1847,6 +1850,10 @@ def dedup_index_append_serve(spark, sf_dir):
     path = _resident_path("dedup_idx_app", sf_dir)
     ensure_dedup_index(part_a, path, kind="winnow", k=8, w=4)
     append_to_dedup_index(spark, path, part_b)
+    # the LSM rebuild leg: fold the generation into the base behind the
+    # manifest-committed staged swap, then serve — the one hash row
+    # grades build -> append -> compact -> serve value-invisibility
+    compact_dedup_index(spark, path)
     return winnow_pairs_from_index(spark, path, min_shared=25,
                                    max_doc_freq=50)
 
