@@ -119,6 +119,10 @@ ANNEX = [
     # families joined this round) — tracked so codec-side regressions
     # (a stub fallback would also flip correctness) get a timing series
     "multimodal_codec_mix",
+    # round-14: the grown+compacted fingerprint store's serve cost —
+    # the first attempt pays build/append/compact (resident-store
+    # pattern), min-of-attempts reports the steady-state serve
+    "dedup_index_append_serve",
 ]
 
 HEADLINE = CORE + ANNEX
