@@ -124,8 +124,36 @@ def entry(spark: SparkSession) -> DataFrame:
 #        MIDDLE union), and the r14 registration
 #        dedup_index_append_serve — each comparator-green sf0.01 +
 #        sf0.1 the r14 session it changed/landed — + r11 bucket head
-#        (fills to 50; the few displaced r11 tail entries go to r16
-#        per I2)
+#        (36 of 39, r11 window order). EXACT 50-name list, in order
+#        (execute the three pre-committed retirements FIRST — they are
+#        r14-bucket members and do not appear here):
+#        pipeline_watermark_filter, pipeline_refresh_cdc_audit,
+#        er_blocking_skew_audit, dedup_winnow_pairs_indexed,
+#        dedup_jaccard_pairs_indexed, sample_epoch_shuffle_wide,
+#        text_bpe_tokens_arrow, text_bpe_tokens_large,
+#        multimodal_codec_mix, er_incremental_match,
+#        er_assign_to_golden, er_assign_from_store,
+#        er_store_append_serve, dedup_index_append_serve,
+#        er_first_token_pairs, export_curriculum_readback,
+#        dedup_minhash_lsh_md5, dedup_simhash_md5,
+#        dedup_simhash_pairs_md5, streaming_er_maintenance,
+#        multimodal_video_frames, pack_training_sequences_bpe,
+#        embedding_near_dup_indexed, profile_data_card,
+#        export_jsonl_corpus, sample_source_budget,
+#        sample_quality_weighted, embedding_dedup_canonical,
+#        text_bpe_tokens, text_bpe_train, export_training_shards,
+#        multimodal_binary_meta, ann_ivf_index_persisted,
+#        q7_volume_shipping, q8_market_share, q13_customer_distribution,
+#        scalar_date_math_funcs, type_mapping_enrichment,
+#        pipeline_config_flatten, pipeline_project_drop,
+#        pipeline_audit_columns, pipeline_flatten_subform,
+#        events_pivot_types, q9_product_profit, q15_top_supplier,
+#        q17_small_quantity_revenue, q19_discounted_revenue,
+#        q22_idle_customers, skew_salted_join, window_range_trailing_30d.
+#        The r11 tail (3: profile_documents_stats, pipeline_catalog_top1,
+#        pipeline_probe_counts) goes to r16's head per I2. Any r15
+#        in-round change/registration displaces from THIS list's r11
+#        head, tail-first.
 #   r16: r11 tail + r12 bucket (fills to 50)
 #   r17: r12 tail (if any) + r13 bucket head
 #   r18: r13 tail + r14 bucket head
