@@ -95,13 +95,19 @@ def entry(spark: SparkSession) -> DataFrame:
 #   7. streaming_merge_staging → streaming_html_ingest (same
 #      foreachBatch MERGE sink + read-back hash, plus
 #      transform-on-ingest).
-#   8. dedup_winnow_pairs (uncapped pair probe) → PAIRED with the one
-#      r14 registration, dedup_index_append_serve (the fingerprint
+#   8. dedup_winnow_pairs (uncapped pair probe) → PAIRED with the r14
+#      registration dedup_index_append_serve (the fingerprint
 #      store's O(delta) append path, graded append≡rebuild against the
 #      same full-corpus _WINNOW_CAPPED_SQL); the uncapped machinery
 #      stays graded via text_winnow_fingerprints (selection hash) and
-#      dedup_winnow_pairs_indexed (capped pair join). Registry stays
-#      at 193 (one out, one in).
+#      dedup_winnow_pairs_indexed (capped pair join).
+#   9. text_bpe_tokens (expression-path encode) → PAIRED with the r14
+#      registration sample_dsir_weights (DSIR hashed-bigram importance
+#      weights, full DuckDB oracle): the 20-rule merge chain stays
+#      driver-graded by text_bpe_tokens_arrow, whose oracle replays
+#      the IDENTICAL replace chain, and the Spark expression path
+#      keeps a direct pytest parity assertion vs the Arrow kernel.
+#   Registry stays at 193 after both pairs (two out, two in).
 # PRE-COMMITTED r15 EXITS (each is an r14-window member, so it leaves
 # with fresh r14 driver evidence — the r12 dedup_minhash_lsh
 # precedent):
@@ -122,11 +128,13 @@ def entry(spark: SparkSession) -> DataFrame:
 #        er_assign_from_store, er_store_append_serve — code AND the
 #        shared recursive-CTE oracle moved to the prefix ∪ suffix ∪
 #        MIDDLE union), and the r14 registration
-#        dedup_index_append_serve — each comparator-green sf0.01 +
-#        sf0.1 the r14 session it changed/landed — + r11 bucket head
-#        (36 of 39, r11 window order). EXACT 50-name list, in order
-#        (execute the three pre-committed retirements FIRST — they are
-#        r14-bucket members and do not appear here):
+#        dedup_index_append_serve and sample_dsir_weights (the DSIR
+#        importance-weight registration, paired with text_bpe_tokens's
+#        P2 retirement) — each comparator-green sf0.01 + sf0.1 the r14
+#        session it changed/landed — + r11 bucket head (35 of 38, r11
+#        window order). EXACT 50-name list, in order (execute the
+#        three pre-committed retirements FIRST — they are r14-bucket
+#        members and do not appear here):
 #        pipeline_watermark_filter, pipeline_refresh_cdc_audit,
 #        er_blocking_skew_audit, dedup_winnow_pairs_indexed,
 #        dedup_jaccard_pairs_indexed, sample_epoch_shuffle_wide,
@@ -134,6 +142,7 @@ def entry(spark: SparkSession) -> DataFrame:
 #        multimodal_codec_mix, er_incremental_match,
 #        er_assign_to_golden, er_assign_from_store,
 #        er_store_append_serve, dedup_index_append_serve,
+#        sample_dsir_weights,
 #        er_first_token_pairs, export_curriculum_readback,
 #        dedup_minhash_lsh_md5, dedup_simhash_md5,
 #        dedup_simhash_pairs_md5, streaming_er_maintenance,
@@ -141,7 +150,7 @@ def entry(spark: SparkSession) -> DataFrame:
 #        embedding_near_dup_indexed, profile_data_card,
 #        export_jsonl_corpus, sample_source_budget,
 #        sample_quality_weighted, embedding_dedup_canonical,
-#        text_bpe_tokens, text_bpe_train, export_training_shards,
+#        text_bpe_train, export_training_shards,
 #        multimodal_binary_meta, ann_ivf_index_persisted,
 #        q7_volume_shipping, q8_market_share, q13_customer_distribution,
 #        scalar_date_math_funcs, type_mapping_enrichment,

@@ -378,3 +378,105 @@ def cap_per_group(
         .withColumnRenamed("curriculum_rank", "rank_in_group")
         .drop("_inv_score", "_qbucket")
     )
+
+
+def dsir_log_weights(
+    df: DataFrame,
+    target_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 4096,
+    alpha: float = 0.5,
+) -> DataFrame:
+    """DSIR-style importance weights for data selection (round 14 —
+    the published hashed-n-gram importance-resampling recipe, Xie et
+    al. 2023): fit two bag-of-hashed-bigram categorical distributions —
+    ``p`` over a small TARGET corpus (the distribution you want more
+    of) and ``q`` over the raw corpus being selected from — and score
+    every raw document by its log importance weight
+    ``log w(x) = Σ_f count_f(x) · log(p_f / q_f)`` over its hashed
+    features. Resampling by these weights shifts the selected corpus
+    toward the target distribution; a fixed threshold at 0 keeps the
+    "more target-like than raw" half.
+
+    Determinism across engines (the repo's standard kit): features are
+    md5-bucketed bigrams (md5, not xxhash64, so DuckDB replays the
+    bucketing bit-for-bit), each feature's log-ratio is fixed to 6
+    decimals BEFORE the per-doc aggregation, and the aggregation is a
+    decimal-bridge sum — order-independent in both engines. Add-α
+    smoothing keeps every bucket's ratio finite (a bucket unseen in
+    both corpora contributes log(α·q_total' / α·p_total') — a constant
+    per-occurrence prior offset, not a NaN).
+
+    Scale shape: two hash-agg count passes (target is typically tiny;
+    the ratio table is at most ``n_buckets`` rows and BROADCASTS), then
+    one map-side-combinable join+sum over the raw corpus's bigram
+    occurrences — no corpus-sized shuffle beyond the per-doc groupBy,
+    no Python. Docs with no bigrams (0/1 token) surface with
+    n_feats = 0 and a NULL weight ("no evidence"), never vanish —
+    the bigram_lm_score discipline."""
+    from .text import TOKEN_SPLIT_RE, drop_empty_tokens
+
+    def feats(d: DataFrame, keep_id: bool) -> DataFrame:
+        t = d.select(
+            F.col(id_col).alias("doc"),
+            drop_empty_tokens(
+                F.split(F.trim(F.lower(F.col(text_col))), TOKEN_SPLIT_RE)
+            ).alias("t"),
+        )
+        z = F.zip_with(
+            F.slice(F.col("t"), 1, F.greatest(F.size("t") - 1, F.lit(0))),
+            F.slice(F.col("t"), 2, F.greatest(F.size("t") - 1, F.lit(0))),
+            lambda p, w: F.concat_ws(" ", p, w),
+        )
+        g = t.select("doc", F.explode(z).alias("g"))
+        bucket = (
+            F.conv(F.substring(F.md5(F.col("g")), 1, 12), 16, 10)
+            .cast("bigint") % n_buckets
+        ).alias("f")
+        return g.select("doc", bucket) if keep_id else g.select(bucket)
+
+    p_cnt = feats(target_df, False).groupBy("f").agg(
+        F.count(F.lit(1)).alias("pc"))
+    q_cnt = feats(df, False).groupBy("f").agg(
+        F.count(F.lit(1)).alias("qc"))
+    # totals ride as 1-row scalar aggregates broadcast with the ratio table
+    pt = p_cnt.agg(F.sum("pc").alias("pt"))
+    qt = q_cnt.agg(F.sum("qc").alias("qt"))
+    fix6 = lambda c: (F.floor(c * F.lit(1000000.0) + F.lit(0.5))  # noqa: E731
+                      / F.lit(1000000.0))
+    ratio = (
+        p_cnt.join(q_cnt, "f", "full")
+        .crossJoin(F.broadcast(pt)).crossJoin(F.broadcast(qt))
+        .select(
+            "f",
+            fix6(
+                F.log(
+                    (F.coalesce(F.col("pc"), F.lit(0)) + F.lit(alpha))
+                    / (F.col("pt") + F.lit(alpha) * F.lit(float(n_buckets)))
+                )
+                - F.log(
+                    (F.coalesce(F.col("qc"), F.lit(0)) + F.lit(alpha))
+                    / (F.col("qt") + F.lit(alpha) * F.lit(float(n_buckets)))
+                )
+            ).alias("lr"),
+        )
+    )
+    occ = feats(df, True)
+    agg = (
+        occ.join(F.broadcast(ratio), "f")
+        .groupBy("doc")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_feats"),
+            fix6(
+                F.sum(F.col("lr").cast("decimal(18,6)")).cast("double")
+            ).alias("log_weight"),
+        )
+    )
+    universe = df.select(F.col(id_col).alias("doc")).distinct()
+    return universe.join(agg, "doc", "left").select(
+        F.col("doc").alias(id_col),
+        F.coalesce(F.col("n_feats"), F.lit(0).cast("bigint")).alias("n_feats"),
+        "log_weight",
+        (F.coalesce(F.col("log_weight"), F.lit(0.0)) > 0).alias("selected"),
+    )

@@ -4507,17 +4507,14 @@ def pipeline_curation_e2e(spark, sf_dir):
 # (bpe_oracle_sql_expr is imported above pack_training_sequences_bpe)
 
 
-@query(
-    "text_bpe_tokens",
-    f"""
-    SELECT doc_id,
-           CAST(len(regexp_extract_all(lower(text),
-               '[A-Za-z]+|[0-9]{{1,3}}|[^A-Za-z0-9\\s]')) AS BIGINT)
-               AS n_pretokens,
-           {_bpe_sql('text')} AS n_bpe_tokens
-    FROM documents
-    """,
-)
+# RETIRED from the registry in round 14 (P2, paired with the
+# sample_dsir_weights registration; see the __spark_entry__ rotation
+# comment): the 20-rule merge-chain semantics stay driver-graded by
+# text_bpe_tokens_arrow, whose DuckDB oracle replays the IDENTICAL
+# literal replace chain (the cross-engine check this entry provided),
+# and the Spark expression path keeps direct pytest parity against the
+# Arrow kernel (test_operators.py bpe expression==arrow assertion).
+# Function importable.
 def text_bpe_tokens(spark, sf_dir):
     """REAL merge-table BPE token counting (VERDICT r5 ask): the GPT-style
     pre-tokenizer followed by a 20-rule learned-style merge table applied
@@ -4957,6 +4954,66 @@ def pack_length_bucket_batches_wide(spark, sf_dir):
     d = load_table(spark, sf_dir, "documents")
     return length_bucket_batches(
         d, max_batch_tokens=4096, seed="batch-0", shard_width=2
+    )
+
+
+@query(
+    "sample_dsir_weights",
+    r"""
+    WITH toks AS (
+        SELECT doc_id, lang,
+               list_filter(string_split_regex(trim(lower(text)), '\s+'), x -> x <> '') AS t
+        FROM documents
+    ), big AS (
+        SELECT doc_id, lang,
+               CAST('0x' || substr(md5(t[i] || ' ' || t[i+1]), 1, 12) AS BIGINT) % 4096 AS f
+        FROM toks, LATERAL (
+            SELECT UNNEST(range(1, GREATEST(len(t) - 1, 0) + 1)) AS i
+        )
+    ), pc AS (SELECT f, COUNT(*) AS pc FROM big WHERE lang = 'en' GROUP BY f),
+    qc AS (SELECT f, COUNT(*) AS qc FROM big GROUP BY f),
+    pt AS (SELECT SUM(pc) AS pt FROM pc),
+    qt AS (SELECT SUM(qc) AS qt FROM qc),
+    ratio AS (
+        SELECT f,
+               FLOOR((LN((COALESCE(pc, 0) + 0.5) / (pt + 0.5 * 4096))
+                      - LN((COALESCE(qc, 0) + 0.5) / (qt + 0.5 * 4096)))
+                     * 1000000 + 0.5) / 1000000 AS lr
+        FROM pc FULL JOIN qc USING (f) CROSS JOIN pt CROSS JOIN qt
+    ), agg AS (
+        SELECT b.doc_id, CAST(COUNT(*) AS BIGINT) AS n_feats,
+               FLOOR(CAST(SUM(CAST(r.lr AS DECIMAL(18,6))) AS DOUBLE)
+                     * 1000000 + 0.5) / 1000000 AS log_weight
+        FROM big b JOIN ratio r USING (f) GROUP BY b.doc_id
+    )
+    SELECT d.doc_id, CAST(COALESCE(a.n_feats, 0) AS BIGINT) AS n_feats,
+           a.log_weight,
+           COALESCE(a.log_weight, 0.0) > 0 AS selected
+    FROM documents d LEFT JOIN agg a USING (doc_id)
+    """,
+)
+def sample_dsir_weights(spark, sf_dir):
+    """DSIR importance weights (round 14 — the published hashed-n-gram
+    importance-resampling data-selection recipe): the lang='en' slice
+    is the TARGET distribution, the whole corpus is the RAW
+    distribution, both modeled as add-0.5-smoothed categoricals over
+    4,096 md5-hashed bigram buckets, and every document scores
+    log w = Σ count_f · log(p_f / q_f) — resampling by w shifts the
+    selection toward the target; `selected` keeps the
+    more-target-like-than-raw half (log w > 0). The oracle replays the
+    bucketing (md5 48-bit prefix, the repo's one hashing convention),
+    the smoothed log-ratios (fix6 per feature), and the decimal-bridge
+    per-doc sum exactly — every weight is hash-checked, not
+    approximated. Zero-bigram docs surface as (0, NULL, false), never
+    vanish. Plan: two hash-agg count passes, a ≤4,096-row broadcast
+    ratio table, one map-side-combinable join+sum — no corpus-sized
+    shuffle beyond the per-doc groupBy."""
+    from .operators.sample import dsir_log_weights
+
+    d = load_table(spark, sf_dir, "documents")
+    return dsir_log_weights(
+        d, d.filter(F.col("lang") == "en"),
+        n_buckets=4096, alpha=0.5,
     )
 
 

@@ -2022,3 +2022,43 @@ def test_dedup_within_tie_deterministic(spark):
     b = dedup_within(rev, ["pk"], "ver").collect()
     assert len(a) == len(b) == 1
     assert a[0].v == b[0].v
+
+
+def test_dsir_log_weights_shifts_toward_target(spark):
+    """DSIR importance weights (round 14): (a) a pure-target-bigram doc
+    scores positive (selected) while same-length pure-raw docs score
+    negative, and a half-target doc beats a length-matched pure-raw
+    doc (the weight is the document's log importance under the product
+    model — a SUM over occurrences, so comparisons hold at matched
+    length); (b) deterministic across runs; (c) 0/1-token docs surface
+    as (0, NULL, false), never vanish; (d) n_feats counts every bigram
+    occurrence."""
+    from pyspark.sql import functions as F
+
+    from priority_data_pipeline_azure_sql_db_spark.operators.sample import (
+        dsir_log_weights,
+    )
+
+    tgt = "alpha beta gamma delta " * 30          # 120 tokens
+    raws = [f"r{i}a r{i}b r{i}c r{i}d " * 30 for i in range(10)]
+    rows = [
+        (1, tgt, "xx"),                 # pure target-like (NOT in slice)
+        (2, raws[0] * 2, "xx"),         # pure raw, length-matched to 3
+        (3, tgt + raws[1], "xx"),       # half target, half raw
+        (4, "solo", "xx"),              # 1 token -> no bigrams
+    ]
+    rows += [(10 + i, r, "xx") for i, r in enumerate(raws)]
+    rows += [(30 + i, tgt, "en") for i in range(3)]   # the target slice
+    df = spark.createDataFrame(rows, "doc_id bigint, text string, lang string")
+    out = {r.doc_id: r for r in dsir_log_weights(
+        df, df.filter(F.col("lang") == "en"), n_buckets=512
+    ).collect()}
+    assert out[1].log_weight > 0 and out[1].selected
+    assert out[2].log_weight < 0 and not out[2].selected
+    assert out[3].log_weight > out[2].log_weight  # length-matched pair
+    assert (out[4].n_feats, out[4].log_weight, out[4].selected) == (0, None, False)
+    assert out[1].n_feats == len(tgt.split()) - 1
+    again = {r.doc_id: r.log_weight for r in dsir_log_weights(
+        df, df.filter(F.col("lang") == "en"), n_buckets=512
+    ).collect()}
+    assert again == {k: v.log_weight for k, v in out.items()}
