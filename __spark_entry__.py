@@ -25,6 +25,41 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The correctness driver evaluates the first 50 registry entries in order.
+# Round-15 rotation: the window VERDICT r14 published (ask #1), run
+# exactly as listed there. Composition, in order:
+# (1) the 8-entry r10 tail (displaced from the r14 window per I2;
+#     checked this round, 5-round worst case honored):
+#     pipeline_watermark_filter, pipeline_refresh_cdc_audit,
+#     er_blocking_skew_audit, dedup_winnow_pairs_indexed,
+#     dedup_jaccard_pairs_indexed, sample_epoch_shuffle_wide,
+#     text_bpe_tokens_arrow, text_bpe_tokens_large.
+# (2) the 7-entry r14 changed/new head — first driver evidence:
+#     multimodal_codec_mix (nine-way), er_incremental_match,
+#     er_assign_to_golden, er_assign_from_store, er_store_append_serve
+#     (three-pass blocking union), dedup_index_append_serve,
+#     sample_dsir_weights.
+# (3) the r11 bucket head (35 of 38, r11 window order). The 3-entry
+#     tail (profile_documents_stats, pipeline_catalog_top1,
+#     pipeline_probe_counts) goes to r16's head per I2.
+# 8 + 7 + 35 = 50 exactly.
+#
+# RETIREMENTS EXECUTED (r15 — the three pre-committed exits below,
+# published in r14 and VERDICT r14 ask #1; each left with fresh r14
+# driver evidence):
+#   8. q21_last_shipper → q21_last_shipper_preagg (identical oracle
+#      SQL and result hash by construction; the pre-agg is the scale
+#      plan). Registry 193 → 192.
+#   9. q14_promo_revenue → q6_revenue_forecast + q19_discounted_revenue
+#      (its two constituent shapes, both registered). 192 → 191.
+#  10. pack_training_sequences → pack_materialized_sequences (same
+#      shard/cumsum/512-token span math at finer per-sequence-md5
+#      grain; pack_training_sequences_bpe keeps the window plan
+#      registered). 191 → 190 = slack 10 under I3.
+#
+# In-round r15 changes (displacements per I2, tail-first from the r11
+# head above, recorded here as they land): none yet.
+#
+# Previous round's comment (kept for the audit trail):
 # Round-14 rotation: the window VERDICT r13 published (ask #1), run
 # exactly. Composition, in order:
 # (1) the 9-entry r9 spill (pre-approved in the r12/r13 rotation
@@ -348,60 +383,64 @@ def entry(spark: SparkSession) -> DataFrame:
 #   r15: r11 bucket (50)
 #
 CHECK_ORDER = [
-    # (1) the 9-entry r9 spill — last checked r9, pre-approved
-    "profile_corpus_fingerprint",
-    "sample_multi_epoch_plan",
-    "profile_source_dup_pressure",
-    "pack_training_sequences",
-    "embedding_normalize",
-    "pack_document_chunks",
-    "text_vocab_topk",
-    "pipeline_curation_e2e",
-    "text_lm_quality_score",
-    # (2) the 3 r13 registrations — first driver evidence
-    "text_html_extract",
-    "pipeline_curation_html",
-    "streaming_html_ingest",
-    # (3) the r10 bucket head (38 of 46, r10 window order; the
-    # 8-entry tail goes to r15's head per invariant I2)
-    "multimodal_frame_sample",
-    "pack_greedy_sequences",
-    "dedup_boilerplate_lines",
-    "events_tumbling_hourly",
-    "q21_last_shipper",
-    "q21_last_shipper_preagg",
-    "odata_source_scan",
-    "pipeline_e2e_flagship",
-    "q1_pricing_summary",
-    "q3_shipping_priority",
-    "q4_order_priority",
-    "q5_local_supplier_volume",
-    "q6_revenue_forecast",
-    "q10_returned_items",
-    "q14_promo_revenue",
-    "q18_large_orders",
-    "top_customers_by_revenue",
-    "agg_distinct_suppliers",
-    "percentiles_quantity",
-    "rollup_lineitem_status",
-    "cube_orders_status_priority",
-    "grouping_sets_lineitem",
-    "pivot_segment_by_region",
-    "join_left_outer_nulls",
-    "join_full_outer",
-    "semi_join_customers_with_orders",
-    "anti_join_customers_without_orders",
-    "setop_nation_intersect",
-    "setop_nation_except",
-    "union_all_distinct",
-    "window_running_total",
-    "window_lag_lead_ntile",
-    "window_topk_orders_per_customer",
-    "scalar_string_funcs",
-    "scalar_array_funcs",
-    "conditional_null_funcs",
-    "pipeline_count_rows",
-    "pipeline_limit_probe",
+    # (1) the 8-entry r10 tail — displaced from the r14 window per
+    # invariant I2, checked this round (5-round worst case honored)
+    "pipeline_watermark_filter",
+    "pipeline_refresh_cdc_audit",
+    "er_blocking_skew_audit",
+    "dedup_winnow_pairs_indexed",
+    "dedup_jaccard_pairs_indexed",
+    "sample_epoch_shuffle_wide",
+    "text_bpe_tokens_arrow",
+    "text_bpe_tokens_large",
+    # (2) the r14 changed/new head — first driver evidence for the
+    # nine-way codec mix, the four three-pass ER serve entries, and
+    # the two r14 registrations
+    "multimodal_codec_mix",
+    "er_incremental_match",
+    "er_assign_to_golden",
+    "er_assign_from_store",
+    "er_store_append_serve",
+    "dedup_index_append_serve",
+    "sample_dsir_weights",
+    # (3) the r11 bucket head (35 of 38, r11 window order; the 3-entry
+    # tail — profile_documents_stats, pipeline_catalog_top1,
+    # pipeline_probe_counts — goes to r16's head per invariant I2)
+    "er_first_token_pairs",
+    "export_curriculum_readback",
+    "dedup_minhash_lsh_md5",
+    "dedup_simhash_md5",
+    "dedup_simhash_pairs_md5",
+    "streaming_er_maintenance",
+    "multimodal_video_frames",
+    "pack_training_sequences_bpe",
+    "embedding_near_dup_indexed",
+    "profile_data_card",
+    "export_jsonl_corpus",
+    "sample_source_budget",
+    "sample_quality_weighted",
+    "embedding_dedup_canonical",
+    "text_bpe_train",
+    "export_training_shards",
+    "multimodal_binary_meta",
+    "ann_ivf_index_persisted",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q13_customer_distribution",
+    "scalar_date_math_funcs",
+    "type_mapping_enrichment",
+    "pipeline_config_flatten",
+    "pipeline_project_drop",
+    "pipeline_audit_columns",
+    "pipeline_flatten_subform",
+    "events_pivot_types",
+    "q9_product_profit",
+    "q15_top_supplier",
+    "q17_small_quantity_revenue",
+    "q19_discounted_revenue",
+    "q22_idle_customers",
+    "skew_salted_join",
+    "window_range_trailing_30d",
 ]
 
 
