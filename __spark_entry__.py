@@ -57,7 +57,14 @@ def entry(spark: SparkSession) -> DataFrame:
 #      registered). 191 → 190 = slack 10 under I3.
 #
 # In-round r15 changes (displacements per I2, tail-first from the r11
-# head above, recorded here as they land): none yet.
+# head above, recorded here as they land):
+#   a. streaming_scd2_maintenance + streaming_scd2_with_deletes — the
+#      round-15 ADVICE fix strengthened _check_scd2_meta (two-
+#      directional pre-sidecar adoption cross-check) on their fold
+#      path; zero functional delta for graded runs (fresh stores
+#      always carry the sidecar), but changed-call-path code gets
+#      driver evidence per I2. Displaces window_range_trailing_30d and
+#      skew_salted_join to r16's head (joining the r11 3-entry tail).
 #
 # Previous round's comment (kept for the audit trail):
 # Round-14 rotation: the window VERDICT r13 published (ask #1), run
@@ -403,9 +410,14 @@ CHECK_ORDER = [
     "er_store_append_serve",
     "dedup_index_append_serve",
     "sample_dsir_weights",
-    # (3) the r11 bucket head (35 of 38, r11 window order; the 3-entry
-    # tail — profile_documents_stats, pipeline_catalog_top1,
-    # pipeline_probe_counts — goes to r16's head per invariant I2)
+    # (2b) in-round r15 changed-path entries (see rotation comment a.)
+    "streaming_scd2_maintenance",
+    "streaming_scd2_with_deletes",
+    # (3) the r11 bucket head (33 of 38 after the two I2 displacements
+    # above, r11 window order; the 5-entry tail —
+    # profile_documents_stats, pipeline_catalog_top1,
+    # pipeline_probe_counts, skew_salted_join,
+    # window_range_trailing_30d — goes to r16's head per invariant I2)
     "er_first_token_pairs",
     "export_curriculum_readback",
     "dedup_minhash_lsh_md5",
@@ -439,8 +451,6 @@ CHECK_ORDER = [
     "q17_small_quantity_revenue",
     "q19_discounted_revenue",
     "q22_idle_customers",
-    "skew_salted_join",
-    "window_range_trailing_30d",
 ]
 
 

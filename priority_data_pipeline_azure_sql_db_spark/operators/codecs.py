@@ -81,6 +81,12 @@ def _total_decoder(fmt: str):
                 raise ValueError(
                     f"{fmt}: malformed stream ({type(exc).__name__}: {exc})"
                 ) from exc
+        # marker for the totality invariant test: every public decode_*
+        # must carry the wrapper (round 15 — decode_wav silently lost it
+        # in round 14 when wav_audio_format was inserted between the
+        # decorator and the def; the structural check makes that class
+        # of regression loud)
+        wrapper._total_fmt = fmt
         return wrapper
     return deco
 
@@ -442,6 +448,7 @@ def wav_audio_format(content: bytes) -> int:
     raise ValueError("WAV missing fmt chunk")
 
 
+@_total_decoder("WAV")
 def decode_wav(content: bytes) -> tuple[int, np.ndarray]:
     """Decode a PCM WAV to (sample_rate, (n_frames, n_channels) float64
     array normalized to [-1, 1]). Walks RIFF chunks directly (stdlib
@@ -2669,6 +2676,7 @@ def avi_stream_timing(content: bytes) -> tuple[int, int] | None:
     return state.get("rate_scale")
 
 
+@_total_decoder("AVI")
 def decode_avi_frames(content: bytes) -> tuple[float, list[np.ndarray]]:
     """Demux + decode a Motion-JPEG AVI to (fps, [(h, w, 3) uint8 RGB
     frame arrays]) — :func:`avi_frame_payloads` for the container walk,

@@ -445,6 +445,23 @@ def dsir_log_weights(
     qt = q_cnt.agg(F.sum("qc").alias("qt"))
     fix6 = lambda c: (F.floor(c * F.lit(1000000.0) + F.lit(0.5))  # noqa: E731
                       / F.lit(1000000.0))
+    # Fail LOUD on an empty target (round-15 ADVICE): SUM over zero rows
+    # makes pt NULL, which would otherwise NULL every log-ratio and
+    # surface the whole corpus as log_weight NULL / selected=false with
+    # no signal. assert_true is embedded in the pt expression itself (not
+    # a separate column Catalyst could prune), so the plan stays lazy —
+    # no extra driver-side pass over the target — and an accidentally
+    # empty target fails the job with this message at first execution.
+    pt_checked = F.when(
+        F.assert_true(
+            F.col("pt").isNotNull(),
+            F.lit(
+                "dsir_log_weights: target corpus has zero bigram "
+                "occurrences (empty target_df or all 0/1-token docs)"
+            ),
+        ).isNull(),
+        F.col("pt"),
+    )
     ratio = (
         p_cnt.join(q_cnt, "f", "full")
         .crossJoin(F.broadcast(pt)).crossJoin(F.broadcast(qt))
@@ -453,7 +470,7 @@ def dsir_log_weights(
             fix6(
                 F.log(
                     (F.coalesce(F.col("pc"), F.lit(0)) + F.lit(alpha))
-                    / (F.col("pt") + F.lit(alpha) * F.lit(float(n_buckets)))
+                    / (pt_checked + F.lit(alpha) * F.lit(float(n_buckets)))
                 )
                 - F.log(
                     (F.coalesce(F.col("qc"), F.lit(0)) + F.lit(alpha))

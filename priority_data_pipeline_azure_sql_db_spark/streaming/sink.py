@@ -302,7 +302,24 @@ def _check_scd2_meta(store_path: str, n_log_buckets: int) -> None:
     would otherwise permanently pin the very mis-pruning value the
     guard exists to prevent. Any existing ``_kb=`` index under hist/ or
     log/ must be < the adopted count (bucket ids are hash % n, so an
-    index >= n is impossible under the true count)."""
+    index >= n is impossible under the true count).
+
+    The cross-check is two-directional since round 15 (ADVICE): the
+    inverse error — a store built with FEWER buckets than the first
+    caller claims (built with 2, caller passes 4: every observed _kb
+    fits the larger modulus too) — is rejected when the observed ids
+    all fit a smaller power-of-two modulus that DIVIDES the claimed
+    count (``h % 2`` and ``h % 4`` disagree on half of all hashes, so
+    adopting 4 over a %2 layout mis-prunes exactly like the forward
+    case). Residual gap, documented: the heuristic cannot distinguish
+    "built with m" from "built with n but every entity hashed below m
+    by chance" — vanishingly unlikely past a handful of entities
+    (P = (m/n)^entities) but possible for a near-empty pre-sidecar
+    store; such a store must assert its true count by hand-writing the
+    SCD2_META sidecar (the raise says how). Non-power-of-two or
+    non-dividing undercounts are NOT caught — the ambiguity there is
+    unresolvable from layout alone and both moduli disagree on ids the
+    store has simply never touched."""
     import json as _json
     import os
     import re as _re
@@ -320,6 +337,7 @@ def _check_scd2_meta(store_path: str, n_log_buckets: int) -> None:
             )
         return
     kb = _re.compile(r"^_kb=(\d+)$")
+    all_seen: list[int] = []
     for sub in ("hist", "log"):
         root = os.path.join(store_path, sub)
         if not os.path.isdir(root):
@@ -334,6 +352,28 @@ def _check_scd2_meta(store_path: str, n_log_buckets: int) -> None:
                 f"inconsistent with adopting n_log_buckets="
                 f"{n_log_buckets}. Pass the count the store was "
                 "actually built with."
+            )
+        all_seen.extend(seen)
+    if all_seen:
+        # inverse direction (round 15): the smallest power-of-two
+        # modulus every observed id fits under
+        m = 1
+        while m <= max(all_seen):
+            m *= 2
+        if m < n_log_buckets and n_log_buckets % m == 0:
+            raise ValueError(
+                f"SCD2 store at {store_path} has no meta sidecar and "
+                f"every observed _kb index (max {max(all_seen)}) fits "
+                f"the smaller power-of-two modulus {m}, which divides "
+                f"the claimed n_log_buckets={n_log_buckets} — this "
+                f"layout is consistent with a store BUILT with {m} "
+                f"buckets, and adopting {n_log_buckets} over it would "
+                f"mis-prune half of all entity hashes. Pass {m} if "
+                f"that is the store's true count; if the store really "
+                f"was built with {n_log_buckets} and its entities "
+                f"merely hash low, assert it by writing "
+                f'{{"n_log_buckets": {n_log_buckets}}} to '
+                f"{path} by hand."
             )
     os.makedirs(store_path, exist_ok=True)
     tmp = path + ".tmp"

@@ -2062,3 +2062,29 @@ def test_dsir_log_weights_shifts_toward_target(spark):
         df, df.filter(F.col("lang") == "en"), n_buckets=512
     ).collect()}
     assert again == {k: v.log_weight for k, v in out.items()}
+
+
+def test_dsir_log_weights_empty_target_fails_loud(spark):
+    """Round-15 ADVICE fix: an accidentally-empty target corpus (or one
+    whose docs are all 0/1-token) must fail the job with the explicit
+    dsir_log_weights message, not silently surface every document as
+    log_weight NULL / selected=false. The guard is a plan-embedded
+    assert_true on the target total — lazy (no extra target pass), but
+    loud at first execution."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from priority_data_pipeline_azure_sql_db_spark.operators.sample import (
+        dsir_log_weights,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma", "xx"), (2, "solo", "en")],
+        "doc_id bigint, text string, lang string",
+    )
+    # lang='zz' slice is empty; lang='en' slice has only a 1-token doc —
+    # both yield zero target bigram occurrences and must raise.
+    for target in (df.filter(F.col("lang") == "zz"),
+                   df.filter(F.col("lang") == "en")):
+        with pytest.raises(Exception, match="zero bigram occurrences"):
+            dsir_log_weights(df, target, n_buckets=64).collect()

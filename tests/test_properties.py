@@ -964,3 +964,66 @@ def test_adpcm_truncation_dichotomy_property(n, cut, fam):
         return
     assert 0 <= got.shape[0] <= full.shape[0]
     assert tail == 0 or tail >= hdr, (fam, tail)
+
+
+# ---------------------------------------------------------------------------
+# round-15 ADVICE fix: decoder-totality invariant
+# ---------------------------------------------------------------------------
+
+
+def test_every_public_decoder_carries_totality_wrapper():
+    """Structural invariant (round-15 ADVICE, medium): every public
+    decode_* (plus the header-only wav_audio_format router) must carry
+    the _total_decoder wrapper that normalizes IndexError/KeyError/
+    struct.error/zlib.error to ValueError — decode_wav silently lost it
+    in round 14 when wav_audio_format was inserted between the decorator
+    and the def, which would have turned a byte-flip escape into a whole
+    Spark-task failure instead of extract_features' tagged stub."""
+    from priority_data_pipeline_azure_sql_db_spark.operators import codecs as C
+
+    public = [n for n in dir(C) if n.startswith("decode_")]
+    public.append("wav_audio_format")
+    missing = [n for n in public
+               if not getattr(getattr(C, n), "_total_fmt", None)]
+    assert not missing, f"decoders missing @_total_decoder: {missing}"
+
+
+@SETTINGS
+@given(
+    fam=st.sampled_from(["pcm", "ima", "ms"]),
+    flip_at_frac=st.floats(min_value=0.0, max_value=0.999),
+    xor=st.integers(min_value=1, max_value=255),
+    seed=st.integers(min_value=0, max_value=2**31),
+)
+def test_wav_decode_total_over_byte_flips_property(fam, flip_at_frac, xor, seed):
+    """Behavioral totality for all three WAV families (PCM, IMA ADPCM,
+    MS ADPCM — the round-14 insertion that broke the structural
+    invariant): ANY single flipped byte either still decodes or raises
+    the advertised ValueError/NotImplementedError, never a raw
+    IndexError/KeyError/struct.error."""
+    import numpy as np
+    import pytest
+
+    from priority_data_pipeline_azure_sql_db_spark.operators import codecs as C
+
+    rng = np.random.default_rng(seed)
+    samples = (rng.random((64, 2)) * 2 - 1) * 0.8
+    if fam == "pcm":
+        blob = C.encode_wav(16000, samples)
+    elif fam == "ima":
+        blob = C.encode_wav_adpcm(16000, samples, samples_per_block=9)
+    else:
+        blob = C.encode_wav_ms_adpcm(16000, samples, samples_per_block=4)
+
+    flipped = bytearray(blob)
+    flipped[int(len(blob) * flip_at_frac)] ^= xor
+    try:
+        rate, arr = C.decode_wav(bytes(flipped))
+        assert arr.ndim == 2
+    except (ValueError, NotImplementedError):
+        pass
+    # the router must be total too
+    try:
+        C.wav_audio_format(bytes(flipped))
+    except (ValueError, NotImplementedError):
+        pass

@@ -2203,6 +2203,48 @@ def test_scd2_store_guards_bucket_count_and_lost_log(spark, tmp_path):
     assert os.path.isdir(os.path.join(store, "hist"))
 
 
+def test_scd2_presidecar_adoption_rejects_undercount_layout(spark, tmp_path):
+    """Round-15 ADVICE fix: the pre-sidecar adoption cross-check is now
+    two-directional. A store built with 2 buckets whose sidecar is lost
+    must NOT adopt a first caller claiming 4 (all observed _kb fit the
+    larger modulus too, but h%2 and h%4 disagree on half of all hashes
+    — the exact mis-pruning the guard exists for). Re-adopting the true
+    smaller count still works and re-bootstraps the sidecar."""
+    import os
+
+    import pytest
+    from pyspark.sql import functions as F
+
+    from priority_data_pipeline_azure_sql_db_spark.streaming.sink import (
+        fold_scd2_batch,
+    )
+
+    def mk(rows):
+        return spark.createDataFrame(
+            rows, "user_id bigint, state string, ts string, seq bigint",
+        ).withColumn("ts", F.col("ts").cast("timestamp"))
+
+    store = str(tmp_path / "store2")
+    args = (["user_id"], ["state"], "ts", ["seq"])
+    # enough entities to populate both %2 buckets
+    batch = [(i, "a", "2026-01-01 00:00:00", 1) for i in range(1, 9)]
+    assert fold_scd2_batch(
+        spark, store, mk(batch), 1, *args, n_log_buckets=2,
+    ) is True
+    os.remove(os.path.join(store, "SCD2_META.json"))
+    with pytest.raises(ValueError, match="BUILT with 2"):
+        fold_scd2_batch(
+            spark, store, mk([(1, "b", "2026-01-02 00:00:00", 2)]), 2,
+            *args, n_log_buckets=4,
+        )
+    # the true count re-adopts and re-bootstraps the sidecar
+    assert fold_scd2_batch(
+        spark, store, mk([(1, "b", "2026-01-02 00:00:00", 2)]), 2,
+        *args, n_log_buckets=2,
+    ) is True
+    assert os.path.exists(os.path.join(store, "SCD2_META.json"))
+
+
 def test_ann_index_empty_build_fails_loud(spark, tmp_path):
     """Round-10 review-fix follow-through: the ANN stores share the ER
     store's empty-partitionBy wedge class — a zero-vector build would
