@@ -65,6 +65,17 @@ def entry(spark: SparkSession) -> DataFrame:
 #      always carry the sidecar), but changed-call-path code gets
 #      driver evidence per I2. Displaces window_range_trailing_30d and
 #      skew_salted_join to r16's head (joining the r11 3-entry tail).
+#   b. pipeline_curation_dsir REGISTERED (VERDICT r14 ask #3: curation
+#      capstone v5 — the v3 chain with a config-driven {"op": "dsir"}
+#      importance-selection gate prepended; oracle = the proven DSIR
+#      CTE chained with the v3 CTEs re-rooted on the admitted subset).
+#      PAIRED P2 RETIREMENT: dedup_simhash_md5 — its pairs twin
+#      (dedup_simhash_pairs_md5, in this window) embeds the identical
+#      signature oracle CTE and runs the same simhash_md5 operator;
+#      per-doc signature parity additionally pinned at pytest time by
+#      test_simhash_md5_signatures_match_duckdb. Registry stays 190
+#      (one out, one in); the retiree's r11-head window slot funds the
+#      registration's head slot, so no further displacement.
 #
 # Previous round's comment (kept for the audit trail):
 # Round-14 rotation: the window VERDICT r13 published (ask #1), run
@@ -410,9 +421,11 @@ CHECK_ORDER = [
     "er_store_append_serve",
     "dedup_index_append_serve",
     "sample_dsir_weights",
-    # (2b) in-round r15 changed-path entries (see rotation comment a.)
+    # (2b) in-round r15 changed-path entries + the round's one new
+    # registration (see rotation comment a./b.)
     "streaming_scd2_maintenance",
     "streaming_scd2_with_deletes",
+    "pipeline_curation_dsir",
     # (3) the r11 bucket head (33 of 38 after the two I2 displacements
     # above, r11 window order; the 5-entry tail —
     # profile_documents_stats, pipeline_catalog_top1,
@@ -421,7 +434,6 @@ CHECK_ORDER = [
     "er_first_token_pairs",
     "export_curriculum_readback",
     "dedup_minhash_lsh_md5",
-    "dedup_simhash_md5",
     "dedup_simhash_pairs_md5",
     "streaming_er_maintenance",
     "multimodal_video_frames",

@@ -123,6 +123,11 @@ ANNEX = [
     # the first attempt pays build/append/compact (resident-store
     # pattern), min-of-attempts reports the steady-state serve
     "dedup_index_append_serve",
+    # round-15: DSIR standalone weights + the capstone-v5 chain it
+    # composes into (config path: dsir gate → linify → boilerplate →
+    # quantile → source cap in ONE plan)
+    "sample_dsir_weights",
+    "pipeline_curation_dsir",
 ]
 
 HEADLINE = CORE + ANNEX

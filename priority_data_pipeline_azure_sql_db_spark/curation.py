@@ -148,6 +148,32 @@ def build_curation(docs: DataFrame, config: dict) -> DataFrame:
                 df, "doc_id", float(st["fraction"]),
                 salt=str(st.get("salt", "")),
             )
+        elif op == "dsir":
+            # target-conditioned importance selection (round 15, VERDICT
+            # r14 ask #3): DSIR log-weights scored against a TARGET
+            # slice of the ORIGINAL input relation (the distribution you
+            # want more of is defined on raw corpus attributes — a later
+            # stage may have dropped the filter column or mutated text),
+            # with q fitted on the CURRENT curated state (the corpus
+            # actually being selected from). Keeps rows whose log
+            # importance weight clears the threshold; zero-bigram rows
+            # have NULL weight and drop (no evidence of target
+            # affinity). Same composability contract as every other
+            # stage: pure DataFrame ops, one Catalyst plan, no
+            # materialization.
+            from .operators.sample import dsir_log_weights
+
+            need(st, i, "target_filter")
+            target = docs.filter(str(st["target_filter"]))
+            w = dsir_log_weights(
+                df.select("doc_id", "text"), target,
+                text_col="text", id_col="doc_id",
+                n_buckets=int(st.get("n_buckets", 4096)),
+                alpha=float(st.get("alpha", 0.5)),
+            )
+            thr = float(st.get("threshold", 0.0))
+            keep = w.filter(F.col("log_weight") > thr).select("doc_id")
+            df = df.join(keep, "doc_id")
         elif op == "temperature_mix":
             from .operators.sample import temperature_mix_sample
 

@@ -6143,6 +6143,144 @@ def pipeline_curation_html(spark, sf_dir):
 
 
 @query(
+    "pipeline_curation_dsir",
+    r"""
+    WITH toks0 AS (
+        SELECT doc_id, lang,
+               list_filter(string_split_regex(trim(lower(text)), '\s+'), x -> x <> '') AS t
+        FROM documents
+    ), big AS (
+        SELECT doc_id, lang,
+               CAST('0x' || substr(md5(t[i] || ' ' || t[i+1]), 1, 12) AS BIGINT) % 4096 AS f
+        FROM toks0, LATERAL (
+            SELECT UNNEST(range(1, GREATEST(len(t) - 1, 0) + 1)) AS i
+        )
+    ), pc AS (SELECT f, COUNT(*) AS pc FROM big WHERE lang = 'en' GROUP BY f),
+    qc AS (SELECT f, COUNT(*) AS qc FROM big GROUP BY f),
+    pt AS (SELECT SUM(pc) AS pt FROM pc),
+    qt AS (SELECT SUM(qc) AS qt FROM qc),
+    ratio AS (
+        SELECT f,
+               FLOOR((LN((COALESCE(pc, 0) + 0.5) / (pt + 0.5 * 4096))
+                      - LN((COALESCE(qc, 0) + 0.5) / (qt + 0.5 * 4096)))
+                     * 1000000 + 0.5) / 1000000 AS lr
+        FROM pc FULL JOIN qc USING (f) CROSS JOIN pt CROSS JOIN qt
+    ), dsir AS (
+        SELECT b.doc_id,
+               FLOOR(CAST(SUM(CAST(r.lr AS DECIMAL(18,6))) AS DOUBLE)
+                     * 1000000 + 0.5) / 1000000 AS log_weight
+        FROM big b JOIN ratio r USING (f) GROUP BY b.doc_id
+    ), sel AS (
+        SELECT doc_id FROM dsir WHERE log_weight > 0
+    ), toks AS (
+        SELECT d.doc_id AS doc,
+               list_filter(string_split_regex(trim(lower(d.text)), '\s+'),
+                           x -> x <> '') AS t
+        FROM documents d JOIN sel USING (doc_id)
+    ), w AS (
+        SELECT doc, i.pos, CAST(i.pos // 8 AS BIGINT) AS line_no,
+               t[CAST(i.pos + 1 AS INT)] AS tok
+        FROM toks, LATERAL (SELECT UNNEST(range(len(t))) AS pos) i
+    ), lines AS (
+        SELECT doc, line_no, string_agg(tok, ' ' ORDER BY pos) AS line
+        FROM w GROUP BY doc, line_no
+    ), boiler AS (
+        SELECT line FROM (
+            SELECT line, COUNT(DISTINCT doc) AS dfreq
+            FROM lines GROUP BY line
+        ) WHERE dfreq >= 2
+    ), flagged AS (
+        SELECT l.doc, l.line_no, l.line, (b.line IS NOT NULL) AS dup
+        FROM lines l LEFT JOIN boiler b ON l.line = b.line
+    ), cleaned AS (
+        SELECT doc AS doc_id,
+               string_agg(CASE WHEN NOT dup THEN line END,
+                          chr(10) ORDER BY line_no) AS text2
+        FROM flagged GROUP BY doc
+        HAVING SUM(CASE WHEN dup THEN 0 ELSE 1 END) > 0
+    ), scored AS (
+        SELECT c.doc_id, d.source,
+               CAST(len(list_filter(string_split_regex(trim(text2), '\s+'), x -> x <> '')) AS BIGINT)
+                   AS n_tokens,
+               CAST(LEN(regexp_extract_all(text2, '[A-Za-z]')) AS DOUBLE)
+                   / CAST(GREATEST(LENGTH(text2), 1) AS DOUBLE) AS s
+        FROM cleaned c JOIN documents d USING (doc_id)
+    ), b AS (
+        SELECT scored.*,
+               CAST(LEAST(FLOOR((GREATEST(LEAST(s, 1.0), 0.0) - 0.0)
+                                * 10000.0 / 1.0), 9999) AS BIGINT) AS qb
+        FROM scored
+    ), hist AS (
+        SELECT qb, COUNT(*) AS c FROM b GROUP BY qb
+    ), cdf AS (
+        SELECT qb,
+               CAST(SUM(c) OVER (ORDER BY qb ROWS UNBOUNDED PRECEDING)
+                    AS BIGINT) AS cum
+        FROM hist
+    ), n AS (SELECT COUNT(*) AS n FROM b
+    ), t AS (
+        SELECT COALESCE(MAX(qb), -1) AS t
+        FROM cdf, n WHERE cum <= (n.n * 1) // 5
+    ), gated AS (
+        SELECT b.* FROM b, t WHERE b.qb > t.t
+    ), ranked AS (
+        SELECT doc_id, source, n_tokens,
+               ROW_NUMBER() OVER (
+                   PARTITION BY source ORDER BY 1.0 - s, doc_id
+               ) AS rk
+        FROM gated
+    ), admitted AS (
+        SELECT * FROM ranked WHERE rk <= 10
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+           CAST(SUM(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12)
+               AS BIGINT)) % 2305843009213693951 AS BIGINT) AS member_tag
+    FROM admitted GROUP BY source
+    """,
+)
+def pipeline_curation_dsir(spark, sf_dir):
+    """CURATION CAPSTONE v5 (round 15, VERDICT r14 ask #3): the v3
+    chain with a DSIR importance-selection gate prepended, driven
+    through the CONFIG path — `build_curation` with `{"op": "dsir"}`
+    as the first stage (target-conditioned selection toward the
+    lang='en' slice, the published hashed-bigram importance-resampling
+    recipe → 8-token linify → boilerplate removal → quantile gate →
+    per-source cap → the per-source mixing report with the 48-bit
+    membership multiset tag). Grades DSIR INSIDE a composition the
+    round after it landed standalone — the repo's capstone discipline
+    (HTML got v4 the same way in r13) — plus the config builder's new
+    stage on the driver surface. The oracle chains the proven
+    sample_dsir_weights CTE (md5-bucketed bigrams, fix6 log-ratios,
+    decimal-bridge sums) with the v3 CTE chain re-rooted on the
+    DSIR-admitted subset, so boilerplate doc-frequencies and the
+    quantile histogram both recompute over the SELECTED population
+    exactly as the staged plan does, and the admitted doc SET
+    hash-checks end to end. Plan: the DSIR ratio table broadcasts
+    (≤4,096 rows), the selection is a doc_id semi-join — no new
+    corpus-sized shuffle beyond the stages' own."""
+    from .curation import build_curation
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "lang", "text")
+    admitted = build_curation(d, {"stages": [
+        {"op": "dsir", "target_filter": "lang = 'en'", "n_buckets": 4096},
+        {"op": "linify", "width": 8},
+        {"op": "boilerplate_lines", "min_docs": 2},
+        {"op": "quantile_gate", "drop_num": 1, "drop_den": 5},
+        {"op": "source_cap", "cap": 10},
+    ]}).withColumn("n_tokens", X.token_count(F.col("text")).cast("bigint"))
+    member_tag = _md5_tag48(F.col("doc_id").cast("string"))
+    return admitted.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+        (F.sum(member_tag) % F.lit(2305843009213693951))
+        .cast("bigint").alias("member_tag"),
+    )
+
+
+@query(
     "dedup_span_removal",
     """
     WITH toks AS (
@@ -9419,7 +9557,16 @@ def dedup_minhash_lsh_md5(spark, sf_dir):
     )
 
 
-@query("dedup_simhash_md5", _simhash_md5_oracle())
+# RETIRED from the registry in round 15 (P2, paired with the
+# pipeline_curation_dsir registration per the published one-in-one-out
+# policy): dedup_simhash_pairs_md5's oracle embeds _simhash_md5_oracle()
+# VERBATIM as its sig CTE and runs the same simhash_md5 operator, so
+# the vote/majority signature machinery stays driver-graded inside the
+# wider retrieval profile. The one honest surface shrink — a per-doc
+# signature is only pair-hash-visible when the doc lands in a block
+# collision — is covered by test_simhash_md5_signatures_match_duckdb,
+# which replays the identical oracle per doc at pytest time. Function
+# importable; xxhash64-family pytest coverage unchanged.
 def dedup_simhash_md5(spark, sf_dir):
     """64-bit SimHash with the ENGINE-PORTABLE md5 token hash (round
     10) — upgrades the SimHash vote/majority construction from the

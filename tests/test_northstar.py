@@ -836,6 +836,66 @@ def test_dedup_index_append_equals_rebuild_and_crash_safe(spark, sf_dir, tmp_pat
     assert serve() == want2
 
 
+def test_dedup_index_docs_membership_table(spark, sf_dir, tmp_path):
+    """Round-15 (VERDICT r14 ask #2): the append path's membership is
+    the compact base ``docs`` table, not an fps scan. (1) a pre-r15
+    store (no docs dir) upgrades on first append — the table is derived
+    from base fps once, persisted, and idempotence holds; (2) a
+    zero-fingerprint doc appended to an r15 store stays tracked ACROSS
+    a compaction (the r14 code documented one harmless re-append here;
+    r15 folds docs tables at compact so membership is exact); (3) the
+    build writes docs for fresh stores."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from priority_data_pipeline_azure_sql_db_spark.operators.dedup_index import (
+        DOCS_DIR,
+        append_to_dedup_index,
+        compact_dedup_index,
+        ensure_dedup_index,
+    )
+    from priority_data_pipeline_azure_sql_db_spark.sources.parquet import load_table
+
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    canon = d.groupBy("text").agg(F.min("doc_id").cast("bigint").alias("doc_id"))
+    store = str(tmp_path / "docs_members")
+    ensure_dedup_index(canon, store, kind="winnow", k=8, w=4)
+    # (3) fresh r15 build writes the membership table
+    assert os.path.exists(os.path.join(store, DOCS_DIR, "_SUCCESS"))
+    base_docs = {r.doc for r in
+                 spark.read.parquet(os.path.join(store, DOCS_DIR)).collect()}
+    assert base_docs == {r.doc_id for r in canon.collect()}
+
+    # (1) pre-r15 store: drop docs, append must upgrade + stay idempotent
+    import shutil
+
+    shutil.rmtree(os.path.join(store, DOCS_DIR))
+    delta = spark.createDataFrame(
+        [(800001, "a genuinely new appended document with many words " * 3)],
+        "doc_id bigint, text string",
+    )
+    assert append_to_dedup_index(spark, store, delta) == 1
+    assert os.path.exists(os.path.join(store, DOCS_DIR, "_SUCCESS"))
+    upgraded = {r.doc for r in
+                spark.read.parquet(os.path.join(store, DOCS_DIR)).collect()}
+    assert upgraded == base_docs  # base only; the delta lives in docs_delta_*
+    assert append_to_dedup_index(spark, store, delta) == 0
+    # re-appending base docs is a no-op through the upgraded table too
+    assert append_to_dedup_index(spark, store, canon.limit(5)) == 0
+
+    # (2) zero-fingerprint doc: tracked exactly, including across compact
+    zero_fp = spark.createDataFrame(
+        [(800002, "xy")], "doc_id bigint, text string")
+    assert append_to_dedup_index(spark, store, zero_fp) == 1
+    assert append_to_dedup_index(spark, store, zero_fp) == 0
+    assert compact_dedup_index(spark, store) >= 1
+    folded = {r.doc for r in
+              spark.read.parquet(os.path.join(store, DOCS_DIR)).collect()}
+    assert folded == base_docs | {800001, 800002}
+    assert append_to_dedup_index(spark, store, zero_fp) == 0  # r15: exact
+
+
 def test_codec_malformed_blobs_fall_back_to_stub(spark):
     """Hostile/malformed blobs (0-channel WAV, truncated BMP body, short
     fmt chunk) must fall back to the tagged stub row, never crash the
@@ -1105,6 +1165,70 @@ def test_config_driven_curation_matches_capstone(spark, sf_dir):
     assert all("Home" not in r["text"] and "<" not in r["text"] for r in rows)
     with pytest.raises(ValueError, match="html_extract needs"):
         build_curation(d, {"stages": [{"op": "html_extract"}]})
+
+
+def test_config_curation_dsir_stage(spark, sf_dir):
+    """Round-15 dsir stage: (1) the config-built gate admits exactly the
+    operator's own selected set (target from the ORIGINAL input, q from
+    the current state, NULL-weight rows dropped); (2) threshold is
+    honored; (3) a missing target_filter fails at build time; (4) other
+    columns survive."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from priority_data_pipeline_azure_sql_db_spark.curation import build_curation
+    from priority_data_pipeline_azure_sql_db_spark.operators.sample import (
+        dsir_log_weights,
+    )
+    from priority_data_pipeline_azure_sql_db_spark.sources.parquet import load_table
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "source", "lang"
+    )
+    got = build_curation(d, {"stages": [
+        {"op": "dsir", "target_filter": "lang = 'en'", "n_buckets": 512},
+    ]})
+    assert got.columns == ["doc_id", "text", "source", "lang"]
+    w = dsir_log_weights(d, d.filter(F.col("lang") == "en"), n_buckets=512)
+    want = {r["doc_id"] for r in
+            w.filter(F.col("log_weight") > 0).collect()}
+    assert {r["doc_id"] for r in got.collect()} == want and want
+
+    thr = 2.0
+    got_t = {r["doc_id"] for r in build_curation(d, {"stages": [
+        {"op": "dsir", "target_filter": "lang = 'en'", "n_buckets": 512,
+         "threshold": thr},
+    ]}).collect()}
+    want_t = {r["doc_id"] for r in
+              w.filter(F.col("log_weight") > thr).collect()}
+    assert got_t == want_t and got_t < want
+
+    with pytest.raises(ValueError, match="target_filter"):
+        build_curation(d, {"stages": [{"op": "dsir"}]})
+
+
+def test_simhash_md5_signatures_match_duckdb(spark, sf_dir):
+    """Per-doc signature parity for the md5 SimHash family (round 15 —
+    the evidence that funds dedup_simhash_md5's P2 retirement: its
+    pairs twin only pair-hash-checks signatures of docs that land in a
+    block collision; this test replays the identical oracle CTE per doc
+    so the full signature table stays pinned)."""
+    import duckdb
+
+    from priority_data_pipeline_azure_sql_db_spark.operators.dedup import simhash_md5
+    from priority_data_pipeline_azure_sql_db_spark.queries import _simhash_md5_oracle
+    from priority_data_pipeline_azure_sql_db_spark.sources.parquet import load_table
+
+    got = {r.doc: r.simhash_hex for r in simhash_md5(
+        load_table(spark, sf_dir, "documents"), "text", "doc_id"
+    ).collect()}
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/documents.parquet')"
+    )
+    want = dict(con.execute(_simhash_md5_oracle()).fetchall())
+    assert got == want and len(got) > 100
 
 
 def test_config_curation_sampling_stages(spark, sf_dir):

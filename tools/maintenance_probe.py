@@ -63,6 +63,7 @@ CONTROL_SCALES = [1, 2, 4, 8, 16, 32]
 USER_STRIDE = 10_000_000
 EVENT_STRIDE = 100_000_000
 CUST_STRIDE = 10_000_000
+DOC_STRIDE = 10_000_000
 
 
 def build_replicas(base: str, root: str) -> dict[int, str]:
@@ -107,6 +108,23 @@ def build_replicas(base: str, root: str) -> dict[int, str]:
                 f"'{d}/{name}.parquet' (FORMAT PARQUET)"
             )
         open(os.path.join(d, marker), "w").close()
+    # documents replicas for the dedup_append leg (round 15 — added
+    # after the base markers existed on long-lived probe roots, so
+    # gated on its own marker: a pre-r15 replica dir upgrades in place)
+    for k in SCALES:
+        d = out[k]
+        if os.path.exists(os.path.join(d, "_READY_DOCS")):
+            continue
+        doc_parts = [
+            f"SELECT doc_id + {r * DOC_STRIDE} AS doc_id, text"
+            f" FROM read_parquet('{base}/documents.parquet')"
+            for r in range(k)
+        ]
+        con.execute(
+            f"COPY ({' UNION ALL '.join(doc_parts)}) TO "
+            f"'{d}/documents.parquet' (FORMAT PARQUET)"
+        )
+        open(os.path.join(d, "_READY_DOCS"), "w").close()
     return out
 
 
@@ -344,6 +362,38 @@ def main() -> None:
         per[str(k)] = round(best, 3)
         print(f"[probe] er_append x{k}: {best:.3f}s", file=sys.stderr)
     record("er_append", per)
+
+    # ---- dedup-store append: fixed 50-doc delta (round 15, VERDICT
+    # r14 ask #2 — the leg the r14 probe lacked; the membership
+    # anti-join now reads the compact base docs table, not the fps
+    # relation, so the store-coupled term should be ~flat) -------------
+    from priority_data_pipeline_azure_sql_db_spark.operators.dedup_index import (
+        PARAMS_FILE,
+        append_to_dedup_index,
+        build_dedup_index,
+    )
+
+    per = {}
+    for k in SCALES:
+        store = os.path.join(root, f"dedup_store_x{k}")
+        if not os.path.exists(os.path.join(store, PARAMS_FILE)):
+            shutil.rmtree(store, ignore_errors=True)
+            docs = spark.read.parquet(f"{dirs[k]}/documents.parquet")
+            build_dedup_index(docs, store, kind="winnow", k=8, w=4)
+        best = math.inf
+        for a in range(ATTEMPTS):
+            off = 900_000_000 + nonce * 100_000 + a * 1000
+            delta = spark.createDataFrame(
+                [(off + i,
+                  " ".join(f"w{off + i}t{j}" for j in range(100)))
+                 for i in range(50)],
+                "doc_id bigint, text string")
+            t0 = time.time()
+            append_to_dedup_index(spark, store, delta)
+            best = min(best, time.time() - t0)
+        per[str(k)] = round(best, 3)
+        print(f"[probe] dedup_append x{k}: {best:.3f}s", file=sys.stderr)
+    record("dedup_append", per)
 
     with open(out_json, "w") as fh:
         json.dump(results, fh, indent=1)
