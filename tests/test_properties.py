@@ -1027,3 +1027,262 @@ def test_wav_decode_total_over_byte_flips_property(fam, flip_at_frac, xor, seed)
         C.wav_audio_format(bytes(flipped))
     except (ValueError, NotImplementedError):
         pass
+
+
+# ---------------------------------------------------------------------------
+# round-15 ADPCM spec-agreement pass (VERDICT r14 ask #4): both families
+# were pinned by hand-computed block goldens in r13/r14, but the hand
+# computation shares an author with the code. These tests compare against
+# INDEPENDENT references: CPython's audioop C implementation of the
+# IMA/DVI core (stdlib through 3.12), and a clean-room transcription of
+# the published MS-ADPCM algorithm (coefficient pairs, adaptation table,
+# idelta floor 16 — the constants typed fresh from the spec, not imported
+# from the production module).
+# ---------------------------------------------------------------------------
+
+
+def _nibble_swap(data: bytes) -> bytes:
+    """IMA WAV packs the FIRST nibble LOW; audioop packs it HIGH."""
+    return bytes(((b << 4) | (b >> 4)) & 0xFF for b in data)
+
+
+def test_ima_core_matches_audioop_deep_and_boundaries():
+    """Our _ima_step iterated over a nibble stream must agree sample-for
+    -sample AND final-state with audioop.adpcm2lin (independent C
+    implementation of the same IMA spec) — on deep random streams and on
+    boundary streams that pin the spec's clamps: all-0x00 floors the
+    step index at 0, all-0x77 saturates the predictor at +32767 with the
+    index ceiling at 88, all-0xFF saturates at -32768."""
+    import struct
+
+    import audioop
+    import numpy as np
+
+    from priority_data_pipeline_azure_sql_db_spark.operators.codecs import _ima_step
+
+    rng = np.random.default_rng(1501)
+    streams = [
+        bytes(rng.integers(0, 256, size=4096, dtype=np.uint8)),
+        b"\x00" * 1024,
+        b"\x77" * 1024,
+        b"\xff" * 1024,
+        bytes(rng.integers(0, 256, size=997, dtype=np.uint8)),  # odd length
+    ]
+    for data in streams:
+        pcm, (vp, idx) = audioop.adpcm2lin(_nibble_swap(data), 2, None)
+        want = list(struct.unpack(f"<{len(pcm) // 2}h", pcm))
+        pred, index, got = 0, 0, []
+        for byte in data:
+            for n in (byte & 0xF, byte >> 4):  # WAV low-nibble first
+                pred, index = _ima_step(pred, index, n)
+                got.append(pred)
+        assert got == want
+        assert (pred, index) == (vp, idx)
+    # the boundary streams really did hit the boundaries
+    pred, index = 0, 0
+    for _ in range(2048):
+        pred, index = _ima_step(pred, index, 0x7)
+    assert (pred, index) == (32767, 88)
+    for _ in range(2048):
+        pred, index = _ima_step(pred, index, 0xF)
+    assert pred == -32768
+    for _ in range(2048):
+        pred, index = _ima_step(pred, index, 0x0)
+    assert index == 0
+
+
+def test_ima_wav_file_decode_matches_audioop_per_block():
+    """Full-file conformance: decode_wav on an encode_wav_adpcm IMA file
+    must equal audioop.adpcm2lin run per block with the block header's
+    (predictor, index) as initial state — i.e. our block layout
+    (4-byte header whose int16 IS frame 0, low-nibble-first body) feeds
+    the independently-implemented core to the same samples."""
+    import struct
+
+    import audioop
+    import numpy as np
+
+    from priority_data_pipeline_azure_sql_db_spark.operators import codecs as C
+
+    rng = np.random.default_rng(1502)
+    # a tonal + noise mix, mono, multiple blocks incl. a short final one
+    t = np.arange(777) / 8000.0
+    samples = (0.6 * np.sin(2 * np.pi * 440 * t)
+               + 0.2 * rng.standard_normal(777)).clip(-1, 1).reshape(-1, 1)
+    spb = 129  # 4-byte header + 64 body bytes per block
+    blob = C.encode_wav_adpcm(8000, samples, samples_per_block=spb)
+    rate, ours = C.decode_wav(blob)
+    assert rate == 8000
+    ours_i16 = np.round(ours[:, 0] * 32768.0).astype(np.int64)
+
+    # walk the RIFF for fmt block_align + the fact count + the data chunk
+    pos, block_align, data, n_frames = 12, None, None, None
+    while pos + 8 <= len(blob):
+        cid, size = struct.unpack_from("<4sI", blob, pos)
+        body = blob[pos + 8: pos + 8 + size]
+        if cid == b"fmt ":
+            block_align = struct.unpack_from("<H", body, 12)[0]
+        elif cid == b"fact":
+            n_frames = struct.unpack_from("<I", body, 0)[0]
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)
+    want: list[int] = []
+    for off in range(0, len(data), block_align):
+        block = data[off: off + block_align]
+        p, i, _ = struct.unpack_from("<hBB", block, 0)
+        want.append(p)  # header sample IS frame 0 of the block
+        pcm, _ = audioop.adpcm2lin(_nibble_swap(block[4:]), 2, (p, i))
+        want.extend(struct.unpack(f"<{len(pcm) // 2}h", pcm))
+    # the encoder pads the final block to block_align and the fact chunk
+    # records the true frame count — audioop decodes the padding nibbles
+    # too; the fact trim is OUR contract (length-exact round trips, r14)
+    assert n_frames == 777 and len(ours_i16) == 777
+    assert len(want) >= n_frames
+    assert ours_i16.tolist() == want[:n_frames]
+
+
+def test_ima_decode_of_audioop_encoded_stream():
+    """Realistic-nibble-distribution cross-check: a stream ENCODED by
+    audioop.lin2adpcm (independent encoder) must decode identically
+    through our core and through audioop's own decoder."""
+    import struct
+
+    import audioop
+    import numpy as np
+
+    from priority_data_pipeline_azure_sql_db_spark.operators.codecs import _ima_step
+
+    rng = np.random.default_rng(1503)
+    t = np.arange(4000) / 8000.0
+    pcm = np.round((0.5 * np.sin(2 * np.pi * 330 * t)
+                    + 0.3 * rng.standard_normal(4000)).clip(-1, 1)
+                   * 32767).astype("<i2").tobytes()
+    adpcm, _ = audioop.lin2adpcm(pcm, 2, None)
+    back, _ = audioop.adpcm2lin(adpcm, 2, None)
+    want = list(struct.unpack(f"<{len(back) // 2}h", back))
+    pred, index, got = 0, 0, []
+    for byte in _nibble_swap(adpcm):  # back to WAV low-first order
+        for n in (byte & 0xF, byte >> 4):
+            pred, index = _ima_step(pred, index, n)
+            got.append(pred)
+    assert got == want
+
+
+def _ms_spec_reference_decode(block: bytes, n_channels: int) -> list[list[int]]:
+    """Clean-room MS-ADPCM block decoder transcribed from the PUBLISHED
+    algorithm (Microsoft ADPCM, as documented in the public multimedia
+    references): constants typed fresh here, deliberately NOT imported
+    from the production module, so a transcription error in either shows
+    up as a fuzz mismatch."""
+    import struct as st
+
+    ADAPT = [230, 230, 230, 230, 307, 409, 512, 614,
+             768, 614, 512, 409, 307, 230, 230, 230]
+    COEFS = [(256, 0), (512, -256), (0, 0), (192, 64),
+             (240, 0), (460, -208), (392, -232)]
+    preds = [block[c] for c in range(n_channels)]
+    deltas = [st.unpack_from("<h", block, n_channels + 2 * c)[0]
+              for c in range(n_channels)]
+    s1 = [st.unpack_from("<h", block, 3 * n_channels + 2 * c)[0]
+          for c in range(n_channels)]
+    s2 = [st.unpack_from("<h", block, 5 * n_channels + 2 * c)[0]
+          for c in range(n_channels)]
+    out = [[s2[c], s1[c]] for c in range(n_channels)]
+    ch = 0
+    for byte in block[7 * n_channels:]:
+        for nib in (byte >> 4, byte & 0xF):
+            c = ch % n_channels
+            coef1, coef2 = COEFS[preds[c]]
+            predictor = (s1[c] * coef1 + s2[c] * coef2) >> 8
+            signed = nib - 16 if nib >= 8 else nib
+            sample = predictor + signed * deltas[c]
+            sample = max(-32768, min(32767, sample))
+            out[c].append(sample)
+            s2[c], s1[c] = s1[c], sample
+            deltas[c] = max(16, (ADAPT[nib] * deltas[c]) >> 8)
+            ch += 1
+    return out
+
+
+@SETTINGS
+@given(
+    n_channels=st.sampled_from([1, 2]),
+    pred_idx=st.lists(st.integers(min_value=0, max_value=6), min_size=2,
+                      max_size=2),
+    idelta=st.integers(min_value=16, max_value=32767),
+    s1=st.integers(min_value=-32768, max_value=32767),
+    s2=st.integers(min_value=-32768, max_value=32767),
+    seed=st.integers(min_value=0, max_value=2**31),
+)
+def test_ms_adpcm_matches_spec_reference_property(
+        n_channels, pred_idx, idelta, s1, s2, seed):
+    """Fuzz agreement between the production MS-ADPCM decoder and the
+    clean-room spec transcription over arbitrary headers (all 7
+    predictor coefficient pairs, extreme header samples, any legal
+    idelta) and random nibble bodies — including bodies that drive the
+    delta to its floor of 16 and the sample to both int16 clamps."""
+    import struct as st_
+    import numpy as np
+
+    from priority_data_pipeline_azure_sql_db_spark.operators.codecs import (
+        _decode_ms_adpcm,
+    )
+
+    rng = np.random.default_rng(seed)
+    body = bytes(rng.integers(0, 256, size=32, dtype=np.uint8))
+    hdr = b"".join([
+        bytes(pred_idx[:n_channels]),
+        b"".join(st_.pack("<h", idelta) for _ in range(n_channels)),
+        b"".join(st_.pack("<h", s1) for _ in range(n_channels)),
+        b"".join(st_.pack("<h", s2) for _ in range(n_channels)),
+    ])
+    block = hdr + body
+    got = _decode_ms_adpcm(block, n_channels, len(block))
+    got_i16 = np.round(got * 32768.0).astype(np.int64)
+    want = _ms_spec_reference_decode(block, n_channels)
+    for c in range(n_channels):
+        assert got_i16[:, c].tolist() == want[c]
+
+
+def test_ms_adpcm_delta_floor_and_clamp_vectors():
+    """Targeted spec vectors: (1) a run of nibble 0 (adaptation 230 <
+    256) decays idelta geometrically and must FLOOR at exactly 16 —
+    the documented spec clamp — with the exact decay sequence checked;
+    (2) nibble +7/-8 runs at max idelta saturate the sample at the
+    int16 clamps; (3) a hostile NEGATIVE header idelta self-heals
+    through the same floor."""
+    import struct as st_
+
+    import numpy as np
+
+    from priority_data_pipeline_azure_sql_db_spark.operators.codecs import (
+        _decode_ms_adpcm,
+        _ms_step,
+    )
+
+    # (1) exact decay sequence from the spec recurrence
+    delta, seq = 512, []
+    for _ in range(40):
+        delta = max(16, (230 * delta) >> 8)
+        seq.append(delta)
+    d, got = 512, []
+    s1 = s2 = 0
+    for _ in range(40):
+        _, _, d = _ms_step(s1, s2, d, 256, 0, 0)
+        got.append(d)
+    assert got == seq and got[-1] == 16 and 16 in got[:-1]
+
+    # (2) saturation: predictor 0 ({0,0}), max idelta, +7 then -8 runs
+    hdr = bytes([2]) + st_.pack("<h", 32767) + st_.pack("<h", 0) \
+        + st_.pack("<h", 0)
+    block_hi = hdr + b"\x77" * 8
+    out = _decode_ms_adpcm(block_hi, 1, len(block_hi))
+    assert np.round(out[2:] * 32768.0).max() == 32767
+    block_lo = hdr + b"\x88" * 8
+    out = _decode_ms_adpcm(block_lo, 1, len(block_lo))
+    assert np.round(out[2:] * 32768.0).min() == -32768
+
+    # (3) negative header idelta: first update floors it to >= 16
+    _, _, d = _ms_step(0, 0, -1000, 256, 0, 0)
+    assert d == 16
