@@ -874,6 +874,51 @@ def last_token_block(col: str) -> Column:
 # three.
 
 
+def _folded_pass_relation(
+    df: DataFrame,
+    key_col: str,
+    id_col: str,
+    block_keys: dict[str, Column],
+) -> tuple[DataFrame, list[str]]:
+    """PASS-UNION FOLD (round 15 — the r12 design note executed, now
+    that the serve family pays three block joins): explode each record
+    into one row per blocking pass, the pass's compound key PADDED to
+    uniform width with empty-string literals, so every multi-pass match
+    becomes ONE equi-join on (_pass, _bk0..k) instead of one join per
+    pass. One scan + one exchange (self-joins reuse it) replaces N of
+    each; shuffle volume is the same N·corpus rows it always was, just
+    in one stage. Exactness is preserved without hashing or separator
+    escaping: the padding is a constant, so equality within a pass
+    compares exactly the pass's own columns, and rows from different
+    passes can never meet (_pass differs). Rows whose pass key contains
+    a NULL are dropped here — plain ``=`` never matched them in the
+    unfolded per-pass joins either. Block-col casts to string preserve
+    equality for the int keys (nationkey) exactly."""
+    passes = {
+        n: (list(k) if isinstance(k, (list, tuple)) else [k])
+        for n, k in block_keys.items()
+    }
+    width = max(len(c) for c in passes.values())
+    structs = []
+    for name, cols in passes.items():
+        fields = [F.lit(name).alias("_pass")]
+        fields += [c.cast("string").alias(f"_bk{i}")
+                   for i, c in enumerate(cols)]
+        fields += [F.lit("").alias(f"_bk{i}")
+                   for i in range(len(cols), width)]
+        structs.append(F.struct(*fields))
+    t = df.select(
+        F.col(id_col).alias("_id"), F.col(key_col).alias("_key"),
+        F.explode(F.array(*structs)).alias("_p"),
+    ).select("_id", "_key", "_p.*")
+    blks = [f"_bk{i}" for i in range(width)]
+    cond = None
+    for c in blks:
+        nn = F.col(c).isNotNull()
+        cond = nn if cond is None else cond & nn
+    return t.filter(cond), blks
+
+
 def multi_pass_match_pairs(
     df: DataFrame,
     key_col: str,
@@ -881,44 +926,52 @@ def multi_pass_match_pairs(
     block_keys: dict[str, Column],
     max_edit: int = 2,
 ) -> DataFrame:
-    """MULTI-PASS ER blocking (round 11): one :func:`fuzzy_match_pairs`
-    run per independent blocking key, candidates unioned and
-    de-duplicated. Recall is the union of the passes' recalls — a true
-    pair is missed only if EVERY key disagrees — while cost stays the
-    sum of the per-pass block joins (each bounded by its own key's
-    fan-out), never a cross join. The distinct on (id_a, id_b) is an
-    exact hash-agg over the candidate set, which is orders of magnitude
-    smaller than the corpus at production block sizes; edit_distance is
-    a function of the pair so the wider distinct is value-identical.
+    """MULTI-PASS ER blocking (round 11; pass-union ONE-JOIN fold round
+    15): candidates from every independent blocking key, de-duplicated.
+    Recall is the union of the passes' recalls — a true pair is missed
+    only if EVERY key disagrees — while cost stays the sum of the
+    per-pass block fan-outs, never a cross join. Since round 15 the
+    passes fold into a single equi-join over the exploded (record,
+    pass) relation (:func:`_folded_pass_relation`) — one scan and one
+    reused exchange instead of one join per pass; value-identical to
+    the unfolded union by construction (pytest-pinned). The distinct on
+    (id_a, id_b) is an exact hash-agg over the candidate set, which is
+    orders of magnitude smaller than the corpus at production block
+    sizes; edit_distance is a function of the pair so the wider
+    distinct is value-identical.
     """
     if not block_keys:
         raise ValueError(
             "multi_pass_match_pairs: at least one blocking key required"
         )
-    out = None
-    for name, key in block_keys.items():
-        keyed, blks = _apply_pass(df, name, key)
-        pairs = fuzzy_match_pairs(
-            keyed, key_col=key_col, id_col=id_col,
-            block_cols=blks, max_edit=max_edit,
+    t, blks = _folded_pass_relation(df, key_col, id_col, block_keys)
+    t = spread(t, "_id")
+    a, b = t.alias("a"), t.alias("b")
+    cond = (F.col("a._id") < F.col("b._id")) \
+        & (F.col("a._pass") == F.col("b._pass"))
+    for c in blks:
+        cond = cond & (F.col(f"a.{c}") == F.col(f"b.{c}"))
+    return (
+        a.join(b, cond)
+        .withColumn(
+            "edit_distance",
+            F.levenshtein(F.col("a._key"), F.col("b._key")).cast("bigint"),
         )
-        out = pairs if out is None else out.unionByName(pairs)
-    return out.dropDuplicates(["id_a", "id_b"])
+        .filter(F.col("edit_distance") <= max_edit)
+        .select(
+            F.col("a._id").alias("id_a"),
+            F.col("b._id").alias("id_b"),
+            F.col("a._key").alias("key_a"),
+            F.col("b._key").alias("key_b"),
+            "edit_distance",
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
 
 
-def _apply_pass(df: DataFrame, name: str, key) -> tuple[DataFrame, list[str]]:
-    """One blocking pass's key may be a single Column or a COMPOUND
-    list of Columns (round 12 — the persisted ER store's (nation,
-    name-prefix) ∪ (nation, name-suffix) union needs multi-column
-    passes); materialize each as its own _blk column so the per-pass
-    equi-join stays a plain multi-key hash join."""
-    cols = list(key) if isinstance(key, (list, tuple)) else [key]
-    blks = []
-    for i, c in enumerate(cols):
-        blk = f"_blk_{name}_{i}"
-        df = df.withColumn(blk, c)
-        blks.append(blk)
-    return df, blks
+# _apply_pass (rounds 11-14: per-pass _blk column materialization for
+# the one-join-per-pass shape) was superseded by _folded_pass_relation
+# in round 15 — compound keys now pad into the uniform exploded struct.
 
 
 def multi_pass_match_delta(
@@ -929,26 +982,44 @@ def multi_pass_match_delta(
     block_keys: dict[str, Column],
     max_edit: int = 2,
 ) -> DataFrame:
-    """The O(delta) sibling of :func:`multi_pass_match_pairs`: one
-    :func:`fuzzy_match_delta` pass per blocking key, candidates unioned
-    and de-duplicated on (delta_id, base_id) — the multi-key recall
-    union at the incremental serve's delta × base cost, so the daily
-    MDM loop gets the same leading-token-typo coverage the batch pairs
-    query gained in round 11."""
+    """The O(delta) sibling of :func:`multi_pass_match_pairs`:
+    candidates over every blocking key, de-duplicated on (delta_id,
+    base_id) — the multi-key recall union at the incremental serve's
+    delta × base cost, so the daily MDM loop gets the same
+    leading-token-typo coverage the batch pairs query gained in round
+    11. Since round 15 the passes fold into ONE delta×base equi-join
+    over the exploded (record, pass) relations
+    (:func:`_folded_pass_relation`) — one scan of the standing base per
+    serve instead of one per pass, the cost term the three-pass union
+    tripled in round 14."""
     if not block_keys:
         raise ValueError(
             "multi_pass_match_delta: at least one blocking key required"
         )
-    out = None
-    for name, key in block_keys.items():
-        kb, blks = _apply_pass(base, name, key)
-        kd, _ = _apply_pass(delta, name, key)
-        pairs = fuzzy_match_delta(
-            kb, kd, key_col=key_col, id_col=id_col,
-            block_cols=blks, max_edit=max_edit,
+    tb, blks = _folded_pass_relation(base, key_col, id_col, block_keys)
+    td, _ = _folded_pass_relation(delta, key_col, id_col, block_keys)
+    a = spread(td, "_id").alias("a")
+    b = tb.alias("b")
+    cond = (F.col("a._id") != F.col("b._id")) \
+        & (F.col("a._pass") == F.col("b._pass"))
+    for c in blks:
+        cond = cond & (F.col(f"a.{c}") == F.col(f"b.{c}"))
+    return (
+        a.join(b, cond)
+        .withColumn(
+            "edit_distance",
+            F.levenshtein(F.col("a._key"), F.col("b._key")).cast("bigint"),
         )
-        out = pairs if out is None else out.unionByName(pairs)
-    return out.dropDuplicates(["delta_id", "base_id"])
+        .filter(F.col("edit_distance") <= max_edit)
+        .select(
+            F.col("a._id").alias("delta_id"),
+            F.col("b._id").alias("base_id"),
+            F.col("a._key").alias("delta_key"),
+            F.col("b._key").alias("base_key"),
+            "edit_distance",
+        )
+        .dropDuplicates(["delta_id", "base_id"])
+    )
 
 
 def fuzzy_match_pairs(

@@ -1286,3 +1286,87 @@ def test_ms_adpcm_delta_floor_and_clamp_vectors():
     # (3) negative header idelta: first update floors it to >= 16
     _, _, d = _ms_step(0, 0, -1000, 256, 0, 0)
     assert d == 16
+
+
+@SETTINGS
+@given(
+    names=st.lists(
+        st.text(alphabet=st.sampled_from(list("abc xyz")), min_size=0,
+                max_size=12),
+        min_size=2, max_size=10,
+    ),
+    nations=st.lists(st.integers(min_value=0, max_value=2), min_size=10,
+                     max_size=10),
+)
+def test_multi_pass_fold_equals_unfolded_union_property(spark, names, nations):
+    """Round-15 pass-union one-join fold: multi_pass_match_pairs /
+    multi_pass_match_delta must be VALUE-IDENTICAL to the unfolded
+    per-pass fuzzy_match union they replaced — across compound keys of
+    different arity (padding), int block columns (string cast), NULL
+    block keys (dropped, as plain `=` never matched them), and empty
+    strings (must not collide with padding)."""
+    from pyspark.sql import functions as F
+
+    from priority_data_pipeline_azure_sql_db_spark.operators.dedup import (
+        first_token_block,
+        fuzzy_match_delta,
+        fuzzy_match_pairs,
+        multi_pass_match_delta,
+        multi_pass_match_pairs,
+    )
+
+    rows = [(i, n if n.strip() else n, nations[i % len(nations)])
+            for i, n in enumerate(names)]
+    df = spark.createDataFrame(rows, "id bigint, name string, nat int")
+    # two passes of different arity; first_token_block yields NULL for
+    # all-space names — the null-drop class
+    keys = {"ft": first_token_block("name"),
+            "nat_pfx": [F.col("nat"),
+                        F.expr("substring(name, 1, 3)")]}
+    got = {
+        tuple(r) for r in multi_pass_match_pairs(
+            df, key_col="name", id_col="id", block_keys=keys, max_edit=2,
+        ).collect()
+    }
+    want = set()
+    for kname, key in keys.items():
+        cols = key if isinstance(key, list) else [key]
+        d2 = df
+        blks = []
+        for j, c in enumerate(cols):
+            d2 = d2.withColumn(f"_b{j}", c)
+            blks.append(f"_b{j}")
+        want |= {
+            tuple(r) for r in fuzzy_match_pairs(
+                d2, key_col="name", id_col="id", block_cols=blks,
+                max_edit=2,
+            ).collect()
+        }
+    # dropDuplicates keeps one row per (id_a, id_b); all row fields are
+    # pair-functions so set-of-tuples compares exactly
+    assert got == want
+
+    delta = df.filter(F.col("id") % 3 == 0)
+    base = df.filter(F.col("id") % 3 != 0)
+    got_d = {
+        tuple(r) for r in multi_pass_match_delta(
+            base, delta, key_col="name", id_col="id", block_keys=keys,
+            max_edit=2,
+        ).collect()
+    }
+    want_d = set()
+    for kname, key in keys.items():
+        cols = key if isinstance(key, list) else [key]
+        b2, d2 = base, delta
+        blks = []
+        for j, c in enumerate(cols):
+            b2 = b2.withColumn(f"_b{j}", c)
+            d2 = d2.withColumn(f"_b{j}", c)
+            blks.append(f"_b{j}")
+        want_d |= {
+            tuple(r) for r in fuzzy_match_delta(
+                b2, d2, key_col="name", id_col="id", block_cols=blks,
+                max_edit=2,
+            ).collect()
+        }
+    assert got_d == want_d

@@ -65,6 +65,10 @@ AUDIT = [
     # template concat staying inside codegen below one ArrowEvalPython-
     # free mapInPandas, no shuffle anywhere
     "text_html_extract",
+    # round-15: the DSIR-gated curation capstone (broadcast ratio table,
+    # doc_id semi-join into the v3 chain) and the DSIR standalone
+    "pipeline_curation_dsir",
+    "sample_dsir_weights",
 ]
 
 
