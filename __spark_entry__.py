@@ -76,6 +76,24 @@ def entry(spark: SparkSession) -> DataFrame:
 #      test_simhash_md5_signatures_match_duckdb. Registry stays 190
 #      (one out, one in); the retiree's r11-head window slot funds the
 #      registration's head slot, so no further displacement.
+#   c. ER pass-union ONE-JOIN fold (the r12 design note, VERDICT r14
+#      ask #7 stretch): multi_pass_match_pairs/_delta changed code —
+#      every graded consumer (er_incremental_match, er_assign_to_golden,
+#      er_assign_from_store, er_store_append_serve, er_first_token_pairs,
+#      streaming_er_maintenance) is ALREADY in this window (head or r11
+#      section), so no displacement; fold ≡ unfolded union pinned by a
+#      hypothesis property + all consumers comparator-green at sf0.01
+#      AND sf0.1 the session it landed. er_fuzzy_customer_pairs uses the
+#      unchanged single-pass fuzzy_match_pairs.
+#
+# Schedule from here (bucket sizes as of r15):
+#   r16: the r15 5-entry displaced tail (profile_documents_stats,
+#        pipeline_catalog_top1, pipeline_probe_counts, skew_salted_join,
+#        window_range_trailing_30d) + the r12 bucket head (fills to 50).
+#   r17: r12 tail (if any) + r13 bucket head.
+#   r18: r13 tail + r14 bucket head.
+#   Every bucket clears within 4 rounds of its last check, tails within
+#   5, per I1/I2.
 #
 # Previous round's comment (kept for the audit trail):
 # Round-14 rotation: the window VERDICT r13 published (ask #1), run

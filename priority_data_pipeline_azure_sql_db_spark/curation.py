@@ -161,11 +161,16 @@ def build_curation(docs: DataFrame, config: dict) -> DataFrame:
             # affinity). Same composability contract as every other
             # stage: pure DataFrame ops, one Catalyst plan, no
             # materialization.
-            from .operators.sample import dsir_log_weights
+            # dsir_scored, not the full dsir_log_weights surface: the
+            # threshold gate drops no-evidence (NULL-weight) rows
+            # anyway, so the universe distinct + left-join that keeps
+            # zero-bigram docs visible would be a corpus-wide shuffle
+            # bought for rows this stage immediately discards (round 15)
+            from .operators.sample import dsir_scored
 
             need(st, i, "target_filter")
             target = docs.filter(str(st["target_filter"]))
-            w = dsir_log_weights(
+            w = dsir_scored(
                 df.select("doc_id", "text"), target,
                 text_col="text", id_col="doc_id",
                 n_buckets=int(st.get("n_buckets", 4096)),

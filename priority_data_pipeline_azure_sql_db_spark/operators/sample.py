@@ -380,7 +380,7 @@ def cap_per_group(
     )
 
 
-def dsir_log_weights(
+def dsir_scored(
     df: DataFrame,
     target_df: DataFrame,
     text_col: str = "text",
@@ -388,7 +388,15 @@ def dsir_log_weights(
     n_buckets: int = 4096,
     alpha: float = 0.5,
 ) -> DataFrame:
-    """DSIR-style importance weights for data selection (round 14 —
+    """The SCORED-ONLY half of :func:`dsir_log_weights` (round 15):
+    (id_col, n_feats, log_weight) for every document with >= 1 bigram —
+    no universe left-join, so a consumer that drops no-evidence rows
+    anyway (the curation ``dsir`` stage's threshold gate) never pays
+    the corpus-wide doc_id distinct + join that the full surface needs
+    to keep zero-bigram docs visible. Same determinism kit and scale
+    shape as the public wrapper below.
+
+    DSIR-style importance weights for data selection (round 14 —
     the published hashed-n-gram importance-resampling recipe, Xie et
     al. 2023): fit two bag-of-hashed-bigram categorical distributions —
     ``p`` over a small TARGET corpus (the distribution you want more
@@ -490,9 +498,33 @@ def dsir_log_weights(
             ).alias("log_weight"),
         )
     )
-    universe = df.select(F.col(id_col).alias("doc")).distinct()
-    return universe.join(agg, "doc", "left").select(
+    return agg.select(
         F.col("doc").alias(id_col),
+        "n_feats",
+        "log_weight",
+    )
+
+
+def dsir_log_weights(
+    df: DataFrame,
+    target_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 4096,
+    alpha: float = 0.5,
+) -> DataFrame:
+    """The full DSIR surface (round 14; see :func:`dsir_scored` for the
+    algorithm, determinism kit, and scale shape): every document of
+    ``df`` surfaces — zero-bigram docs as (0, NULL, selected=false),
+    never vanishing (the bigram_lm_score discipline) — via a doc_id
+    universe left-join over the scored half. Consumers that drop
+    no-evidence rows anyway should use :func:`dsir_scored` and skip the
+    universe distinct+join."""
+    agg = dsir_scored(df, target_df, text_col=text_col, id_col=id_col,
+                      n_buckets=n_buckets, alpha=alpha)
+    universe = df.select(F.col(id_col).alias(id_col)).distinct()
+    return universe.join(agg, id_col, "left").select(
+        F.col(id_col),
         F.coalesce(F.col("n_feats"), F.lit(0).cast("bigint")).alias("n_feats"),
         "log_weight",
         (F.coalesce(F.col("log_weight"), F.lit(0.0)) > 0).alias("selected"),
