@@ -994,9 +994,12 @@ def average_hash(pixels: np.ndarray, hash_size: int = 8) -> int:
 # Progressive (SOF2) streams decode too (round 10): the multi-scan
 # spectral-selection / successive-approximation path accumulates
 # coefficients across scans, then shares the same reconstruction
-# tail. The remaining non-baseline variants (arithmetic coding,
-# 12-bit, lossless, hierarchical) raise NotImplementedError — the
-# same honest format boundary as PNG's palette/16-bit guard. The matching
+# tail. 12-bit EXTENDED-SEQUENTIAL (SOF1, 16-bit Pq=1 quant tables,
+# level shift 2048, output >> 4 to the uint8 contract) decodes since
+# round 15. The remaining non-baseline variants (arithmetic coding,
+# 12-bit progressive, lossless, hierarchical) raise
+# NotImplementedError — the same honest format boundary as PNG's
+# palette/16-bit guard. The matching
 # encoders (baseline AND progressive) exist so tests round-trip
 # without binary fixtures; both emit per-image OPTIMIZED huffman
 # tables (spec K.2 two-pass, per scan for progressive), which the
@@ -1059,11 +1062,11 @@ def _quality_tables(quality: int) -> tuple[np.ndarray, np.ndarray]:
     return ql, qc
 
 
-def _rgb_to_ycbcr(px: np.ndarray) -> np.ndarray:
+def _rgb_to_ycbcr(px: np.ndarray, center: float = 128.0) -> np.ndarray:
     r, g, b = (px[:, :, i].astype(np.float64) for i in range(3))
     y = 0.299 * r + 0.587 * g + 0.114 * b
-    cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
-    cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+    cb = -0.168736 * r - 0.331264 * g + 0.5 * b + center
+    cr = 0.5 * r - 0.418688 * g - 0.081312 * b + center
     return np.stack([y, cb, cr], axis=-1)
 
 
@@ -1188,7 +1191,7 @@ _JPEG_FACTORS = {
 
 def encode_jpeg(
     pixels: np.ndarray, quality: int = 90, subsample: str = "4:2:0",
-    restart_interval: int = 0,
+    restart_interval: int = 0, precision: int = 8,
 ) -> bytes:
     """Encode an (h, w, 3) uint8 RGB (or (h, w) grayscale) array as a
     baseline-sequential JFIF JPEG. Per-image optimized huffman tables
@@ -1198,7 +1201,19 @@ def encode_jpeg(
     so the decoder is provable without binary fixtures (same stance as
     encode_bmp/encode_png/encode_wav); JPEG is lossy, so round-trip
     tests assert bounded error, with the DC-only solid-color case
-    exact."""
+    exact.
+
+    ``precision=12`` (round 15) emits an EXTENDED-SEQUENTIAL (SOF1)
+    12-bit stream: input samples in [0, 4095], level shift 2048, the
+    Annex K quant tables scaled x16 (same relative quality, and the
+    values then need — and exercise — the 16-bit Pq=1 DQT encoding).
+    The optimized huffman build already covers the wider DC/AC
+    magnitude categories (up to 15/14) because it codes exactly the
+    symbols the image produces. Note :func:`decode_jpeg` returns uint8
+    (samples >> 4) per the image-feature contract."""
+    if precision not in (8, 12):
+        raise ValueError(f"precision must be 8 or 12, got {precision}")
+    center = float(1 << (precision - 1))
     gray = pixels.ndim == 2
     if gray:
         planes_src = [pixels.astype(np.float64)]
@@ -1206,7 +1221,7 @@ def encode_jpeg(
     else:
         if pixels.ndim != 3 or pixels.shape[2] < 3:
             raise ValueError("expected (h, w, 3) RGB or (h, w) grayscale")
-        ycc = _rgb_to_ycbcr(pixels[:, :, :3])
+        ycc = _rgb_to_ycbcr(pixels[:, :, :3], center=center)
         planes_src = [ycc[:, :, i] for i in range(3)]
         if subsample not in _JPEG_FACTORS:
             raise ValueError(f"subsample must be one of {sorted(_JPEG_FACTORS)}")
@@ -1217,6 +1232,8 @@ def encode_jpeg(
     hmax = max(f[0] for f in factors)
     vmax = max(f[1] for f in factors)
     ql, qc = _quality_tables(quality)
+    if precision == 12:
+        ql, qc = ql * 16, qc * 16
     qtabs = [ql.reshape(8, 8), qc.reshape(8, 8)]
     mcus_x = -(-w // (8 * hmax))
     mcus_y = -(-h // (8 * vmax))
@@ -1256,7 +1273,7 @@ def encode_jpeg(
                     for bx in range(hi):
                         r = (my * vi + by) * 8
                         c = (mx * hi + bx) * 8
-                        blk = planes[ci][r:r + 8, c:c + 8] - 128.0
+                        blk = planes[ci][r:r + 8, c:c + 8] - center
                         coef = _DCT @ blk @ _DCT.T
                         q = np.round(coef / qtabs[min(cls, 1)]).astype(np.int64)
                         zz = q.ravel()[_ZIGZAG]
@@ -1317,9 +1334,15 @@ def encode_jpeg(
     out += struct.pack(">HH", 1, 1) + b"\x00\x00"  # density 1:1, no thumb
     for tid in range(n_classes):
         zzq = qtabs[tid].ravel()[_ZIGZAG]
-        out += b"\xff\xdb" + struct.pack(">HB", 67, tid)
-        out += bytes(int(v) for v in zzq)
-    out += b"\xff\xc0" + struct.pack(">HBHHB", 8 + 3 * ncomp, 8, h, w, ncomp)
+        if zzq.max() > 255:  # 16-bit table (Pq=1) — 12-bit streams
+            out += b"\xff\xdb" + struct.pack(">HB", 131, (1 << 4) | tid)
+            out += b"".join(struct.pack(">H", int(v)) for v in zzq)
+        else:
+            out += b"\xff\xdb" + struct.pack(">HB", 67, tid)
+            out += bytes(int(v) for v in zzq)
+    sof_marker = b"\xff\xc0" if precision == 8 else b"\xff\xc1"
+    out += sof_marker + struct.pack(
+        ">HBHHB", 8 + 3 * ncomp, precision, h, w, ncomp)
     for ci, (hi, vi) in enumerate(factors):
         out += bytes([ci + 1, (hi << 4) | vi, min(classes[ci], 1)])
     for tid in range(n_classes):
@@ -2125,7 +2148,7 @@ def _decode_progressive_scan(
 
 def _decode_baseline_scan(
     d: bytes, pos: int, frame, scan: dict, qtabs, htabs,
-    restart_interval: int, planes,
+    restart_interval: int, planes, level_shift: float = 128.0,
 ) -> int:
     """Decode ONE baseline scan's entropy data into ``planes``; returns
     the index just past the scan (at the terminating marker's 0xFF).
@@ -2273,7 +2296,7 @@ def _decode_baseline_scan(
                     v if v >= (1 << (s - 1)) else v - (1 << s) + 1
                 ) * q_flat[zk]
                 k += 1
-            blk = _DCT.T @ coef_flat.reshape(8, 8) @ _DCT + 128.0
+            blk = _DCT.T @ coef_flat.reshape(8, 8) @ _DCT + level_shift
             r0 = (my * vm + by) * 8
             c0 = (mx * hm + bx) * 8
             planes[ci][r0:r0 + 8, c0:c0 + 8] = blk
@@ -2282,13 +2305,19 @@ def _decode_baseline_scan(
 
 @_total_decoder("JPEG")
 def decode_jpeg(content: bytes) -> np.ndarray:
-    """Decode a baseline-sequential (SOF0/SOF1) huffman JPEG to an
-    (h, w, 3) uint8 RGB array. Supports 8-bit precision, grayscale and
+    """Decode a baseline/extended-sequential (SOF0/SOF1) huffman JPEG
+    to an (h, w, 3) uint8 RGB array. Supports 8-bit precision plus
+    12-bit extended-sequential (round 15 — SOF1 only, per T.81's
+    baseline-is-8-bit rule; 16-bit Pq=1 quant tables, level shift
+    2048, samples map to the uint8 contract by an exact >> 4 so the
+    chroma center 2048 lands on 128 and the shared YCbCr rotation
+    applies unchanged), grayscale and
     YCbCr, arbitrary sampling factors (4:4:4 / 4:2:2 / 4:2:0 and any
     conforming h,v <= 4), multiple DQT/DHT segments, and restart
     intervals (DRI/RSTn). Progressive (SOF2) streams dispatch to the
     multi-scan decoder (round 10 — spectral selection, successive
-    approximation, EOBn runs); arithmetic-coded, 12-bit, lossless, and
+    approximation, EOBn runs); arithmetic-coded, 12-bit progressive,
+    lossless, and
     hierarchical streams raise NotImplementedError — the honest format
     boundary, same stance as PNG's palette/16-bit guard. Nearest-neighbor
     chroma upsampling (the
@@ -2314,6 +2343,7 @@ def decode_jpeg(content: bytes) -> np.ndarray:
     planes = None
     scanned: set[int] = set()
     adobe_transform = None
+    precision = 8
     _UNSUPPORTED_SOF = {
         0xC3: "lossless (SOF3)",
         0xC5: "differential sequential (SOF5)",
@@ -2352,17 +2382,30 @@ def decode_jpeg(content: bytes) -> np.ndarray:
             i = 0
             while i < len(body):
                 pq, tq = body[i] >> 4, body[i] & 15
-                if pq != 0:
-                    raise NotImplementedError("16-bit quant tables (12-bit JPEG)")
-                vals = np.frombuffer(body[i + 1: i + 65], dtype=np.uint8)
+                if pq not in (0, 1):
+                    raise ValueError(f"JPEG: DQT precision field {pq}")
+                if pq:  # 16-bit values (12-bit streams, T.81 B.2.4.1)
+                    vals = np.frombuffer(
+                        body[i + 1: i + 129], dtype=">u2"
+                    ).astype(np.int64)
+                    step = 129
+                else:
+                    vals = np.frombuffer(body[i + 1: i + 65], dtype=np.uint8)
+                    step = 65
                 nat = np.zeros(64, dtype=np.int64)
                 nat[_ZIGZAG] = vals
                 qtabs[tq] = nat.reshape(8, 8)
-                i += 65
+                i += step
         elif marker in (0xC0, 0xC1):  # SOF0 baseline / SOF1 ext. sequential
             prec, fh, fw, nc = body[0], *struct.unpack_from(">HH", body, 1), body[5]
-            if prec != 8:
-                raise NotImplementedError(f"{prec}-bit precision")
+            # T.81: baseline (SOF0) is 8-bit ONLY; extended sequential
+            # (SOF1) allows 8 or 12 (round 15 — the 12-bit boundary
+            # closed for huffman-sequential streams)
+            if prec != 8 and not (marker == 0xC1 and prec == 12):
+                raise NotImplementedError(
+                    f"{prec}-bit precision in SOF{marker - 0xC0}"
+                )
+            precision = prec
             comps = []
             for ci in range(nc):
                 cid, hv, tq = body[6 + 3 * ci: 9 + 3 * ci]
@@ -2408,7 +2451,8 @@ def decode_jpeg(content: bytes) -> np.ndarray:
                 cid, tt = body[1 + 2 * ci: 3 + 2 * ci]
                 scan[cid] = (tt >> 4, tt & 15)
             pos = _decode_baseline_scan(
-                d, pos, frame, scan, qtabs, htabs, restart_interval, planes
+                d, pos, frame, scan, qtabs, htabs, restart_interval, planes,
+                level_shift=float(1 << (precision - 1)),
             )
             scanned.update(scan)
         # else: APPn/COM/other — skipped
@@ -2422,6 +2466,11 @@ def decode_jpeg(content: bytes) -> np.ndarray:
     vmax = max(c[2] for c in comps)
     up = []
     for (cid, hi, vi, tq), plane in zip(comps, planes):
+        if precision == 12:
+            # uint8 output contract: 12-bit samples downscale by exactly
+            # 1/16 (the chroma center 2048 maps to 128 exactly, so the
+            # shared YCbCr rotation below needs no special-casing)
+            plane = plane / 16.0
         p = np.repeat(np.repeat(plane, vmax // vi, axis=0), hmax // hi, axis=1)
         up.append(p[:fh, :fw])
     if len(up) == 1:

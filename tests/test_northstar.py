@@ -1409,6 +1409,95 @@ def test_codec_jpeg_golden_stream_hand_built():
     assert np.array_equal(out, np.full((8, 8, 3), 108, dtype=np.uint8)), out[0, 0]
 
 
+def test_codec_jpeg_12bit_golden_stream_hand_built():
+    """12-bit extended-sequential decoder vs the SPEC (round 15), the
+    8-bit golden's sibling: an 8x8 grayscale SOF1 stream hand-assembled
+    byte by byte — 16-bit Pq=1 quant table (flat 32), trivial huffman
+    tables (DC: symbol 9 -> code '0'; AC: EOB -> code '0'), one block
+    whose entropy data is DC category 9 with magnitude bits 110010000
+    (= 400, positive branch). Dequant 400*32 = 12800 -> IDCT of DC-only
+    spreads 12800/8 = 1600 over the block -> +2048 level shift = 3648
+    at 12-bit scale -> the uint8 contract's exact >>4 gives 228. Any
+    deviation in Pq=1 parsing, SOF1 12-bit acceptance, the wider
+    category handling, the 2048 level shift, or the /16 output mapping
+    breaks the expected constant 228."""
+    import struct
+
+    import numpy as np
+
+    from priority_data_pipeline_azure_sql_db_spark.operators import codecs
+
+    stream = bytearray()
+    stream += b"\xff\xd8"                                    # SOI
+    # DQT id 0, Pq=1 (16-bit values), flat 32
+    stream += b"\xff\xdb" + struct.pack(">HB", 131, 0x10)
+    stream += struct.pack(">H", 32) * 64
+    # SOF1, precision 12, 8x8, 1 component
+    stream += b"\xff\xc1" + struct.pack(">HBHHB", 11, 12, 8, 8, 1)
+    stream += bytes([1, 0x11, 0])
+    # DHT DC table 0: one 1-bit code for symbol 9 (category 9)
+    stream += b"\xff\xc4" + struct.pack(">HB", 2 + 17 + 1, 0x00)
+    stream += bytes([1] + [0] * 15) + bytes([9])
+    # DHT AC table 0: one 1-bit code for symbol 0 (EOB)
+    stream += b"\xff\xc4" + struct.pack(">HB", 2 + 17 + 1, 0x10)
+    stream += bytes([1] + [0] * 15) + bytes([0])
+    stream += b"\xff\xda" + struct.pack(">HB", 8, 1)         # SOS
+    stream += bytes([1, 0x00, 0, 63, 0])
+    # entropy: DC code '0' + 110010000 (400 in 9 bits) + EOB '0' =
+    # 11 bits 0_110010000_0, padded with 1s to 0110 0100 0001 1111
+    stream += bytes([0b01100100, 0b00011111])
+    stream += b"\xff\xd9"                                    # EOI
+    out = codecs.decode_jpeg(bytes(stream))
+    assert out.shape == (8, 8, 3)
+    assert np.array_equal(out, np.full((8, 8, 3), 228, dtype=np.uint8)), out[0, 0]
+
+
+def test_codec_jpeg_12bit_roundtrip_and_boundaries():
+    """12-bit encode/decode (round 15): (1) DC-only solid 12-bit
+    grayscale round-trips EXACTLY to its >>4 uint8 value; (2) smooth
+    12-bit RGB at 4:4:4 and 4:2:0 round-trips within the same error
+    band as the 8-bit path (on the 8-bit output scale); (3) restart
+    intervals compose with 12-bit; (4) SOF0 claiming 12-bit precision
+    is rejected (T.81: baseline is 8-bit only) while SOF1 12-bit
+    decodes; (5) the emitted stream really uses SOF1 + a 16-bit Pq=1
+    DQT; (6) encode precision other than 8/12 fails loud."""
+    import numpy as np
+    import pytest
+
+    from priority_data_pipeline_azure_sql_db_spark.operators import codecs
+
+    solid = np.full((16, 24), 3200, dtype=np.uint16)
+    blob = codecs.encode_jpeg(solid, quality=90, precision=12)
+    assert b"\xff\xc1" in bytes(blob) and b"\xff\xc0" not in bytes(blob)
+    i = bytes(blob).find(b"\xff\xdb")
+    assert blob[i + 4] >> 4 == 1  # Pq=1
+    out = codecs.decode_jpeg(blob)
+    assert np.array_equal(out, np.full((16, 24, 3), 200, dtype=np.uint8))
+
+    xx, yy = np.meshgrid(np.linspace(0, 4095, 40), np.linspace(0, 4095, 56))
+    smooth = np.stack([xx, yy, (xx + yy) / 2], axis=-1).astype(np.uint16)
+    for sub in ("4:4:4", "4:2:0"):
+        o = codecs.decode_jpeg(
+            codecs.encode_jpeg(smooth, quality=95, subsample=sub,
+                               precision=12))
+        assert np.abs(o.astype(float) - smooth / 16.0).max() <= 8.0, sub
+
+    o_rst = codecs.decode_jpeg(codecs.encode_jpeg(
+        smooth, quality=95, subsample="4:4:4", precision=12,
+        restart_interval=2))
+    assert np.abs(o_rst.astype(float) - smooth / 16.0).max() <= 8.0
+
+    # SOF0 with 12-bit precision is a spec violation and must not decode
+    bad = bytearray(blob)
+    j = bad.find(b"\xff\xc1")
+    bad[j + 1] = 0xC0
+    with pytest.raises(NotImplementedError, match="12-bit.*SOF0"):
+        codecs.decode_jpeg(bytes(bad))
+
+    with pytest.raises(ValueError, match="precision must be 8 or 12"):
+        codecs.encode_jpeg(solid, precision=10)
+
+
 def test_codec_jpeg_boundaries_and_dispatch(spark):
     """The honest format boundary + pipeline integration: progressive /
     arithmetic / 12-bit streams raise NotImplementedError (never wrong
