@@ -1588,6 +1588,25 @@ def test_codec_jpeg_total_over_malformed(spark):
         except (ValueError, NotImplementedError):
             pass  # the advertised total-function contract
 
+    # the 12-bit path (round 15) honors the same contract: truncation
+    # sweep + single-byte-flip sweep over a 12-bit SOF1/Pq=1 stream
+    blob12 = codecs.encode_jpeg(
+        (px.astype(np.uint16) * 16), quality=90, subsample="4:4:4",
+        precision=12)
+    for cut in range(2, len(blob12), 7):
+        try:
+            codecs.decode_jpeg(blob12[:cut])
+        except (ValueError, NotImplementedError):
+            pass
+    for flip_at in range(2, len(blob12), 11):
+        flipped = bytearray(blob12)
+        flipped[flip_at] ^= 0x5A
+        try:
+            out12 = codecs.decode_jpeg(bytes(flipped))
+            assert out12.dtype == np.uint8  # payload damage may decode
+        except (ValueError, NotImplementedError):
+            pass
+
     # end-to-end: a corrupt blob among good ones must not fail the job
     rows = [
         (1, "image", bytearray(blob), None, None, None),
