@@ -994,10 +994,11 @@ def average_hash(pixels: np.ndarray, hash_size: int = 8) -> int:
 # Progressive (SOF2) streams decode too (round 10): the multi-scan
 # spectral-selection / successive-approximation path accumulates
 # coefficients across scans, then shares the same reconstruction
-# tail. 12-bit EXTENDED-SEQUENTIAL (SOF1, 16-bit Pq=1 quant tables,
-# level shift 2048, output >> 4 to the uint8 contract) decodes since
-# round 15. The remaining non-baseline variants (arithmetic coding,
-# 12-bit progressive, lossless, hierarchical) raise
+# tail. 12-bit streams decode since round 15 — EXTENDED-SEQUENTIAL
+# (SOF1) and PROGRESSIVE (SOF2) alike: 16-bit Pq=1 quant tables,
+# level shift 2048, output >> 4 to the uint8 contract. The remaining
+# non-huffman/non-DCT variants (arithmetic coding, lossless,
+# hierarchical) raise
 # NotImplementedError — the same honest format boundary as PNG's
 # palette/16-bit guard. The matching
 # encoders (baseline AND progressive) exist so tests round-trip
@@ -1365,7 +1366,7 @@ def encode_jpeg(
 
 def encode_jpeg_progressive(
     pixels: np.ndarray, quality: int = 90, subsample: str = "4:2:0",
-    restart_interval: int = 0,
+    restart_interval: int = 0, precision: int = 8,
 ) -> bytes:
     """Encode an (h, w, 3) uint8 RGB (or (h, w) grayscale) array as a
     PROGRESSIVE (SOF2) JFIF JPEG using the standard successive-
@@ -1379,7 +1380,13 @@ def encode_jpeg_progressive(
     provable without binary fixtures. The quantized coefficients are
     IDENTICAL to encode_jpeg's at the same (quality, subsample), so
     decode(progressive) == decode(baseline) pixel-for-pixel — the
-    round-trip assertion in tests."""
+    round-trip assertion in tests. ``precision=12`` (round 15) emits a
+    12-bit SOF2 stream under the same scan script — input in
+    [0, 4095], level shift 2048, Annex K tables x16 via the 16-bit
+    Pq=1 DQT encoding, exactly like encode_jpeg's 12-bit mode."""
+    if precision not in (8, 12):
+        raise ValueError(f"precision must be 8 or 12, got {precision}")
+    center = float(1 << (precision - 1))
     gray = pixels.ndim == 2
     if gray:
         planes_src = [pixels.astype(np.float64)]
@@ -1387,7 +1394,7 @@ def encode_jpeg_progressive(
     else:
         if pixels.ndim != 3 or pixels.shape[2] < 3:
             raise ValueError("expected (h, w, 3) RGB or (h, w) grayscale")
-        ycc = _rgb_to_ycbcr(pixels[:, :, :3])
+        ycc = _rgb_to_ycbcr(pixels[:, :, :3], center=center)
         planes_src = [ycc[:, :, i] for i in range(3)]
         if subsample not in _JPEG_FACTORS:
             raise ValueError(f"subsample must be one of {sorted(_JPEG_FACTORS)}")
@@ -1398,6 +1405,8 @@ def encode_jpeg_progressive(
     hmax = max(f[0] for f in factors)
     vmax = max(f[1] for f in factors)
     ql, qc = _quality_tables(quality)
+    if precision == 12:
+        ql, qc = ql * 16, qc * 16
     qtabs = [ql.reshape(8, 8), qc.reshape(8, 8)]
     mcus_x = -(-w // (8 * hmax))
     mcus_y = -(-h // (8 * vmax))
@@ -1423,7 +1432,7 @@ def encode_jpeg_progressive(
         arr = np.zeros((mcus_y * vi, mcus_x * hi, 64), dtype=np.int64)
         for by in range(mcus_y * vi):
             for bx in range(mcus_x * hi):
-                blk = plane[by * 8:by * 8 + 8, bx * 8:bx * 8 + 8] - 128.0
+                blk = plane[by * 8:by * 8 + 8, bx * 8:bx * 8 + 8] - center
                 coef = _DCT @ blk @ _DCT.T
                 arr[by, bx] = np.round(coef / q).astype(np.int64).ravel()[_ZIGZAG]
         comp_zz.append(arr)
@@ -1639,9 +1648,14 @@ def encode_jpeg_progressive(
     out += struct.pack(">HH", 1, 1) + b"\x00\x00"
     for tid in range(n_classes):
         zzq = qtabs[tid].ravel()[_ZIGZAG]
-        out += b"\xff\xdb" + struct.pack(">HB", 67, tid)
-        out += bytes(int(v) for v in zzq)
-    out += b"\xff\xc2" + struct.pack(">HBHHB", 8 + 3 * ncomp, 8, h, w, ncomp)
+        if zzq.max() > 255:  # 16-bit table (Pq=1) — 12-bit streams
+            out += b"\xff\xdb" + struct.pack(">HB", 131, (1 << 4) | tid)
+            out += b"".join(struct.pack(">H", int(v)) for v in zzq)
+        else:
+            out += b"\xff\xdb" + struct.pack(">HB", 67, tid)
+            out += bytes(int(v) for v in zzq)
+    out += b"\xff\xc2" + struct.pack(
+        ">HBHHB", 8 + 3 * ncomp, precision, h, w, ncomp)
     for ci, (hi, vi) in enumerate(factors):
         out += bytes([ci + 1, (hi << 4) | vi, min(classes[ci], 1)])
     if restart_interval:
@@ -1860,6 +1874,7 @@ def _decode_jpeg_progressive(d: bytes) -> np.ndarray:
     coefs: list[np.ndarray] = []
     preds: list[int] = []
     saw_scan = False
+    precision = 8
     while pos < len(d):
         if d[pos] != 0xFF:
             raise ValueError(f"JPEG: expected marker at byte {pos}")
@@ -1882,17 +1897,25 @@ def _decode_jpeg_progressive(d: bytes) -> np.ndarray:
             i = 0
             while i < len(body):
                 pq, tq = body[i] >> 4, body[i] & 15
-                if pq != 0:
-                    raise NotImplementedError("16-bit quant tables (12-bit JPEG)")
-                vals = np.frombuffer(body[i + 1: i + 65], dtype=np.uint8)
+                if pq not in (0, 1):
+                    raise ValueError(f"JPEG: DQT precision field {pq}")
+                if pq:  # 16-bit values (12-bit streams, T.81 B.2.4.1)
+                    vals = np.frombuffer(
+                        body[i + 1: i + 129], dtype=">u2"
+                    ).astype(np.int64)
+                    step = 129
+                else:
+                    vals = np.frombuffer(body[i + 1: i + 65], dtype=np.uint8)
+                    step = 65
                 nat = np.zeros(64, dtype=np.int64)
                 nat[_ZIGZAG] = vals
                 qtabs[tq] = nat.reshape(8, 8)
-                i += 65
+                i += step
         elif marker == 0xC2:  # SOF2
             prec, fh, fw, nc = body[0], *struct.unpack_from(">HH", body, 1), body[5]
-            if prec != 8:
+            if prec not in (8, 12):  # T.81: progressive allows 8 or 12
                 raise NotImplementedError(f"{prec}-bit precision")
+            precision = prec
             comps = []
             for ci in range(nc):
                 cid, hv, tq = body[6 + 3 * ci: 9 + 3 * ci]
@@ -1958,8 +1981,14 @@ def _decode_jpeg_progressive(d: bytes) -> np.ndarray:
             for bx in range(bx_n):
                 nat[:] = 0.0
                 nat[_ZIGZAG] = cz[by, bx]
-                blk = _DCT.T @ (nat * q_flat).reshape(8, 8) @ _DCT + 128.0
+                blk = _DCT.T @ (nat * q_flat).reshape(8, 8) @ _DCT \
+                    + float(1 << (precision - 1))
                 plane[by * 8:by * 8 + 8, bx * 8:bx * 8 + 8] = blk
+        if precision == 12:
+            # uint8 contract: exact >>4 (chroma center 2048 -> 128, so
+            # the shared YCbCr rotation below is unchanged) — same
+            # mapping as the sequential decoder
+            plane = plane / 16.0
         p = np.repeat(np.repeat(plane, vmax // vi, axis=0), hmax // hi, axis=1)
         planes.append(p[:fh, :fw])
     if len(planes) == 1:
@@ -2316,8 +2345,8 @@ def decode_jpeg(content: bytes) -> np.ndarray:
     conforming h,v <= 4), multiple DQT/DHT segments, and restart
     intervals (DRI/RSTn). Progressive (SOF2) streams dispatch to the
     multi-scan decoder (round 10 — spectral selection, successive
-    approximation, EOBn runs); arithmetic-coded, 12-bit progressive,
-    lossless, and
+    approximation, EOBn runs; 12-bit SOF2 since round 15);
+    arithmetic-coded, lossless, and
     hierarchical streams raise NotImplementedError — the honest format
     boundary, same stance as PNG's palette/16-bit guard. Nearest-neighbor
     chroma upsampling (the

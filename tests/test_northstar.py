@@ -1498,6 +1498,32 @@ def test_codec_jpeg_12bit_roundtrip_and_boundaries():
         codecs.encode_jpeg(solid, precision=10)
 
 
+def test_codec_jpeg_12bit_progressive_matches_baseline():
+    """12-bit PROGRESSIVE (round 15, following the sequential landing):
+    the SOF2 scan script at precision 12 decodes to pixels IDENTICAL to
+    the baseline 12-bit encoding at the same (quality, subsample) —
+    the same quantized-coefficient identity the 8-bit pair asserts —
+    and the solid DC-only case is exact."""
+    import numpy as np
+
+    from priority_data_pipeline_azure_sql_db_spark.operators import codecs
+
+    solid = np.full((16, 16), 3200, dtype=np.uint16)
+    o = codecs.decode_jpeg(
+        codecs.encode_jpeg_progressive(solid, quality=90, precision=12))
+    assert np.array_equal(o, np.full((16, 16, 3), 200, dtype=np.uint8))
+
+    xx, yy = np.meshgrid(np.linspace(0, 4095, 40), np.linspace(0, 4095, 56))
+    smooth = np.stack([xx, yy, (xx + yy) / 2], axis=-1).astype(np.uint16)
+    for sub in ("4:4:4", "4:2:0"):
+        ob = codecs.decode_jpeg(codecs.encode_jpeg(
+            smooth, quality=90, subsample=sub, precision=12))
+        op = codecs.decode_jpeg(codecs.encode_jpeg_progressive(
+            smooth, quality=90, subsample=sub, precision=12))
+        assert np.array_equal(ob, op), sub
+        assert np.abs(op.astype(float) - smooth / 16.0).max() <= 8.0, sub
+
+
 def test_codec_jpeg_boundaries_and_dispatch(spark):
     """The honest format boundary + pipeline integration: progressive /
     arithmetic / 12-bit streams raise NotImplementedError (never wrong
