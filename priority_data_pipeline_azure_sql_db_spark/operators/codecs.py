@@ -996,9 +996,11 @@ def average_hash(pixels: np.ndarray, hash_size: int = 8) -> int:
 # coefficients across scans, then shares the same reconstruction
 # tail. 12-bit streams decode since round 15 — EXTENDED-SEQUENTIAL
 # (SOF1) and PROGRESSIVE (SOF2) alike: 16-bit Pq=1 quant tables,
-# level shift 2048, output >> 4 to the uint8 contract. The remaining
-# non-huffman/non-DCT variants (arithmetic coding, lossless,
-# hierarchical) raise
+# level shift 2048, output >> 4 to the uint8 contract. LOSSLESS
+# (SOF3, the T.81 Annex H predictor process, precisions 2-16) decodes
+# and encodes since round 15 too, with bit-exact round trips. The
+# remaining variants (arithmetic coding, differential/hierarchical)
+# raise
 # NotImplementedError — the same honest format boundary as PNG's
 # palette/16-bit guard. The matching
 # encoders (baseline AND progressive) exist so tests round-trip
@@ -1997,6 +1999,266 @@ def _decode_jpeg_progressive(d: bytes) -> np.ndarray:
     return _ycbcr_to_rgb(planes[0], planes[1], planes[2])
 
 
+def _ll_predict(rec, ci, y, x, sel, default):
+    """T.81 H.1.2: Ra=left, Rb=above, Rc=above-left; the first sample
+    of the scan (and of each restart interval) predicts the default
+    2^(P-Pt-1); the rest of the FIRST line predicts Ra; the first
+    sample of every later line predicts Rb."""
+    if y == 0:
+        return rec[ci][y][x - 1] if x else default
+    if x == 0:
+        return rec[ci][y - 1][x]
+    ra = rec[ci][y][x - 1]
+    rb = rec[ci][y - 1][x]
+    rc = rec[ci][y - 1][x - 1]
+    if sel == 1:
+        return ra
+    if sel == 2:
+        return rb
+    if sel == 3:
+        return rc
+    if sel == 4:
+        return ra + rb - rc
+    if sel == 5:
+        return ra + ((rb - rc) >> 1)
+    if sel == 6:
+        return rb + ((ra - rc) >> 1)
+    return (ra + rb) >> 1  # sel == 7
+
+
+def _decode_jpeg_lossless(d: bytes) -> np.ndarray:
+    """LOSSLESS (SOF3) huffman JPEG decoder (round 15) — the
+    predictor-based process of T.81 Annex H: per sample, a DC-style
+    huffman table codes the difference category SSSS (0-16, 16 meaning
+    +32768 with no appended bits), the difference extends exactly like
+    a DC coefficient, and reconstruction is (prediction + diff) mod
+    2^16 with the seven spec predictors (selected by the scan header's
+    Ss field). Sample precision 2-16 bits; the uint8 output contract
+    maps by exact shift (>> (P-8) for P > 8, << (8-P) for P < 8).
+    1-component frames decode as grayscale; 3-component frames
+    pass through as RGB (T.81 defines no color transform for the
+    lossless process). Boundaries kept honest: sampling factors other
+    than 1x1, point transform Pt > 0, and differential/hierarchical
+    variants raise NotImplementedError."""
+    if d[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG: missing SOI marker")
+    pos = 2
+    htabs: dict[int, dict[tuple[int, int], int]] = {}
+    frame = None
+    restart_interval = 0
+    out_planes = None
+    while pos < len(d):
+        if d[pos] != 0xFF:
+            raise ValueError(f"JPEG: expected marker at byte {pos}")
+        while pos < len(d) and d[pos] == 0xFF:
+            pos += 1
+        if pos >= len(d):
+            break
+        marker = d[pos]
+        pos += 1
+        if marker == 0xD9:  # EOI
+            break
+        if pos + 2 > len(d):
+            raise ValueError("JPEG: truncated segment header")
+        (seglen,) = struct.unpack_from(">H", d, pos)
+        if pos + seglen > len(d):
+            raise ValueError("JPEG: truncated segment body")
+        body = d[pos + 2: pos + seglen]
+        pos += seglen
+        if marker == 0xC3:  # SOF3
+            prec, fh, fw, nc = body[0], *struct.unpack_from(">HH", body, 1), body[5]
+            if not 2 <= prec <= 16:
+                raise ValueError(f"JPEG lossless: precision {prec}")
+            comps = []
+            for ci in range(nc):
+                cid, hv, _tq = body[6 + 3 * ci: 9 + 3 * ci]
+                if hv != 0x11:
+                    raise NotImplementedError(
+                        "lossless JPEG with subsampled components"
+                    )
+                comps.append(cid)
+            if nc not in (1, 3):
+                raise NotImplementedError(f"{nc}-component lossless JPEG")
+            _validate_sof(fh, fw, [(c, 1, 1, 0) for c in comps],
+                          len(d) - pos)
+            frame = (prec, fh, fw, comps)
+        elif marker == 0xC4:  # DHT
+            i = 0
+            while i < len(body):
+                tc, th = body[i] >> 4, body[i] & 15
+                bits = list(body[i + 1: i + 17])
+                n = sum(bits)
+                if len(body) < i + 17 + n:
+                    raise ValueError("JPEG: truncated huffman table")
+                if tc == 0:  # lossless uses DC-class tables only
+                    htabs[th] = _dht_codes(bits, list(body[i + 17: i + 17 + n]))
+                i += 17 + n
+        elif marker == 0xDD:  # DRI
+            (restart_interval,) = struct.unpack_from(">H", body, 0)
+        elif marker == 0xDA:  # SOS
+            if frame is None:
+                raise ValueError("JPEG: SOS before SOF (truncated stream)")
+            prec, fh, fw, comps = frame
+            ns = body[0]
+            if ns != len(comps):
+                raise NotImplementedError(
+                    "partially interleaved lossless scan"
+                )
+            tables = []
+            for ci in range(ns):
+                cid, tt = body[1 + 2 * ci: 3 + 2 * ci]
+                t = htabs.get(tt >> 4)
+                if t is None:
+                    raise ValueError("JPEG: scan references undefined table")
+                tables.append(t)
+            sel = body[1 + 2 * ns]           # Ss = predictor selector
+            pt = body[3 + 2 * ns] & 15       # Al = point transform
+            if not 1 <= sel <= 7:
+                raise ValueError(f"JPEG lossless: predictor {sel}")
+            if pt:
+                raise NotImplementedError("lossless point transform Pt > 0")
+            default = 1 << (prec - 1)
+            segs, pos = _entropy_segments_end(d, pos)
+            br = _ScanBits(segs)
+            rec = [[[0] * fw for _ in range(fh)] for _ in comps]
+            m = 0
+            for y in range(fh):
+                for x in range(fw):
+                    if restart_interval and m and m % restart_interval == 0:
+                        br.next_segment()
+                    for ci in range(len(comps)):
+                        ssss = br.sym(tables[ci])
+                        if ssss == 16:
+                            diff = 32768
+                        elif ssss:
+                            diff = _extend(br.bits(ssss), ssss)
+                        else:
+                            diff = 0
+                        if restart_interval and m and \
+                                m % restart_interval == 0:
+                            pred = default
+                        elif y == 0 and x == 0:
+                            pred = default
+                        else:
+                            pred = _ll_predict(rec, ci, y, x, sel, default)
+                        rec[ci][y][x] = (pred + diff) & 0xFFFF
+                    m += 1
+            out_planes = [
+                np.array(r, dtype=np.int64) for r in rec
+            ]
+            shift = prec - 8
+            for i, pl in enumerate(out_planes):
+                out_planes[i] = (pl >> shift) if shift >= 0 else (pl << -shift)
+        # else: APPn/COM — skipped
+    if frame is None or out_planes is None:
+        raise ValueError("JPEG: missing SOF/SOS (truncated stream)")
+    if len(out_planes) == 1:
+        g = np.clip(out_planes[0], 0, 255).astype(np.uint8)
+        return np.stack([g, g, g], axis=-1)
+    return np.clip(
+        np.stack(out_planes, axis=-1), 0, 255
+    ).astype(np.uint8)
+
+
+def encode_jpeg_lossless(
+    pixels: np.ndarray, precision: int = 8, predictor: int = 1,
+    restart_interval: int = 0,
+) -> bytes:
+    """Encode an (h, w) grayscale or (h, w, 3) RGB integer array in
+    [0, 2^precision) as a LOSSLESS (SOF3) huffman JPEG — T.81 Annex H
+    with the chosen predictor (1-7), per-image optimized difference-
+    category table, interleaved components, mod-2^16 difference
+    arithmetic (SSSS 16 encodes +32768 with no appended bits). The
+    decoder round-trips EXACTLY (it is lossless), the property the
+    tests assert bit-for-bit at 8/12/16-bit precision across all seven
+    predictors."""
+    if not 2 <= precision <= 16:
+        raise ValueError(f"precision must be in [2, 16], got {precision}")
+    if not 1 <= predictor <= 7:
+        raise ValueError(f"predictor must be in [1, 7], got {predictor}")
+    gray = pixels.ndim == 2
+    if not gray and (pixels.ndim != 3 or pixels.shape[2] != 3):
+        raise ValueError("expected (h, w, 3) RGB or (h, w) grayscale")
+    arr = pixels.astype(np.int64)
+    if arr.size == 0:
+        raise ValueError("empty image")
+    if arr.min() < 0 or arr.max() >= (1 << precision):
+        raise ValueError(
+            f"samples out of range for {precision}-bit precision"
+        )
+    planes = [arr] if gray else [arr[:, :, i] for i in range(3)]
+    h, w = arr.shape[:2]
+    ncomp = len(planes)
+    default = 1 << (precision - 1)
+
+    # pass 1: diffs + category frequencies (shared single table)
+    rec = [[[0] * w for _ in range(h)] for _ in range(ncomp)]
+    toks: list[tuple[int, int]] = []
+    freq: dict[int, int] = {}
+    m = 0
+    for y in range(h):
+        for x in range(w):
+            at_restart = bool(restart_interval) and m \
+                and m % restart_interval == 0
+            for ci, pl in enumerate(planes):
+                v = int(pl[y, x])
+                rec[ci][y][x] = v
+                if at_restart or (y == 0 and x == 0):
+                    pred = default
+                else:
+                    pred = _ll_predict(rec, ci, y, x, predictor, default)
+                diff = (v - pred) & 0xFFFF
+                if diff == 32768:
+                    ssss, bits_v = 16, 0
+                else:
+                    signed = diff - 65536 if diff > 32768 else diff
+                    ssss = abs(signed).bit_length()
+                    bits_v = signed if signed >= 0 \
+                        else signed + (1 << ssss) - 1
+                toks.append((ssss, bits_v))
+                freq[ssss] = freq.get(ssss, 0) + 1
+            m += 1
+
+    bits, huffval = _build_huffman(freq)
+    codes = _huffman_codes(bits, huffval)
+    bw = _BitWriter()
+    m = 0
+    ti = 0
+    for y in range(h):
+        for x in range(w):
+            if restart_interval and m and m % restart_interval == 0:
+                bw.flush()
+                bw.out += bytes(
+                    [0xFF, 0xD0 + ((m // restart_interval - 1) % 8)])
+            for _ in range(ncomp):
+                ssss, bits_v = toks[ti]
+                ti += 1
+                code, length = codes[ssss]
+                bw.write(code, length)
+                if 0 < ssss < 16:
+                    bw.write(bits_v, ssss)
+            m += 1
+    bw.flush()
+
+    out = bytearray(b"\xff\xd8")
+    out += b"\xff\xc3" + struct.pack(
+        ">HBHHB", 8 + 3 * ncomp, precision, h, w, ncomp)
+    for ci in range(ncomp):
+        out += bytes([ci + 1, 0x11, 0])
+    out += b"\xff\xc4" + struct.pack(
+        ">HB", 2 + 1 + 16 + len(huffval), 0x00)
+    out += bytes(bits) + bytes(huffval)
+    if restart_interval:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
+    out += b"\xff\xda" + struct.pack(">HB", 6 + 2 * ncomp, ncomp)
+    for ci in range(ncomp):
+        out += bytes([ci + 1, 0x00])
+    out += bytes([predictor, 0, 0])  # Ss=predictor, Se=0, Ah/Al=0
+    out += bw.out
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
 def _validate_sof(fh: int, fw: int, comps, remaining: int) -> None:
     """Reject corrupt frame headers BEFORE any dimension-sized
     allocation (byte-flip fuzz, round 10): zero/over-spec sampling
@@ -2345,9 +2607,11 @@ def decode_jpeg(content: bytes) -> np.ndarray:
     conforming h,v <= 4), multiple DQT/DHT segments, and restart
     intervals (DRI/RSTn). Progressive (SOF2) streams dispatch to the
     multi-scan decoder (round 10 — spectral selection, successive
-    approximation, EOBn runs; 12-bit SOF2 since round 15);
-    arithmetic-coded, lossless, and
-    hierarchical streams raise NotImplementedError — the honest format
+    approximation, EOBn runs; 12-bit SOF2 since round 15); lossless
+    (SOF3) streams dispatch to the predictor-based Annex H decoder
+    (round 15 — precisions 2-16, all seven predictors, restart
+    intervals, mod-2^16 reconstruction); arithmetic-coded and
+    differential/hierarchical streams raise NotImplementedError — the honest format
     boundary, same stance as PNG's palette/16-bit guard. Nearest-neighbor
     chroma upsampling (the
     fancy-upsampling difference is sub-rounding-error for the feature/
@@ -2374,7 +2638,6 @@ def decode_jpeg(content: bytes) -> np.ndarray:
     adobe_transform = None
     precision = 8
     _UNSUPPORTED_SOF = {
-        0xC3: "lossless (SOF3)",
         0xC5: "differential sequential (SOF5)",
         0xC6: "differential progressive (SOF6)",
         0xC7: "differential lossless (SOF7)",
@@ -2396,6 +2659,8 @@ def decode_jpeg(content: bytes) -> np.ndarray:
             break
         if marker == 0xC2:  # progressive: its own multi-scan decoder
             return _decode_jpeg_progressive(d)
+        if marker == 0xC3:  # lossless: predictor-based decoder (r15)
+            return _decode_jpeg_lossless(d)
         if marker in _UNSUPPORTED_SOF:
             raise NotImplementedError(
                 f"only baseline huffman JPEG supported, not {_UNSUPPORTED_SOF[marker]}"

@@ -1524,6 +1524,120 @@ def test_codec_jpeg_12bit_progressive_matches_baseline():
         assert np.abs(op.astype(float) - smooth / 16.0).max() <= 8.0, sub
 
 
+def test_codec_jpeg_lossless_roundtrip_exact():
+    """LOSSLESS (SOF3) JPEG (round 15): encode->decode is BIT-EXACT —
+    the defining property — across precisions 8/12/16, all seven T.81
+    predictors, grayscale and RGB, restart intervals, and the mod-2^16
+    wrap (SSSS=16) extremes at 16-bit. Output honors the uint8 contract
+    (exact >> (P-8))."""
+    import numpy as np
+    import pytest
+
+    from priority_data_pipeline_azure_sql_db_spark.operators import codecs
+
+    rng = np.random.default_rng(1504)
+    for prec in (8, 12, 16):
+        maxv = (1 << prec) - 1
+        for sel in range(1, 8):
+            g = (rng.random((13, 17)) * maxv).astype(np.int64)
+            o = codecs.decode_jpeg(
+                codecs.encode_jpeg_lossless(g, precision=prec,
+                                            predictor=sel))
+            want = (g >> (prec - 8)).astype(np.uint8)
+            assert np.array_equal(o[:, :, 0], want), (prec, sel)
+            assert np.array_equal(o[:, :, 0], o[:, :, 1])  # gray stack
+            rgb = (rng.random((9, 11, 3)) * maxv).astype(np.int64)
+            o2 = codecs.decode_jpeg(
+                codecs.encode_jpeg_lossless(rgb, precision=prec,
+                                            predictor=sel))
+            assert np.array_equal(o2, (rgb >> (prec - 8)).astype(np.uint8))
+
+    g = (rng.random((16, 16)) * 4095).astype(np.int64)
+    o = codecs.decode_jpeg(codecs.encode_jpeg_lossless(
+        g, precision=12, predictor=4, restart_interval=5))
+    assert np.array_equal(o[:, :, 0], (g >> 4).astype(np.uint8))
+
+    # mod-2^16 wrap / SSSS=16 path at full 16-bit swing
+    g16 = np.array([[0, 65535, 0, 65535], [65535, 0, 65535, 0]],
+                   dtype=np.int64)
+    o = codecs.decode_jpeg(codecs.encode_jpeg_lossless(g16, precision=16))
+    assert np.array_equal(o[:, :, 0], (g16 >> 8).astype(np.uint8))
+
+    # loud boundaries
+    with pytest.raises(ValueError, match="out of range"):
+        codecs.encode_jpeg_lossless(np.array([[300]]), precision=8)
+    with pytest.raises(ValueError, match="predictor"):
+        codecs.encode_jpeg_lossless(np.array([[1]]), predictor=0)
+    # truncation + byte-flip totality
+    blob = codecs.encode_jpeg_lossless(g, precision=12, predictor=7)
+    for cut in range(2, len(blob), 9):
+        try:
+            codecs.decode_jpeg(blob[:cut])
+        except (ValueError, NotImplementedError):
+            pass
+    for flip_at in range(2, len(blob), 13):
+        flipped = bytearray(blob)
+        flipped[flip_at] ^= 0x5A
+        try:
+            out = codecs.decode_jpeg(bytes(flipped))
+            assert out.dtype == np.uint8
+        except (ValueError, NotImplementedError):
+            pass
+
+
+def test_codec_jpeg_lossless_golden_stream_hand_built():
+    """Lossless decoder vs the SPEC, the baseline golden's sibling: a
+    2x3 grayscale SOF3 stream hand-assembled bit by bit — predictor 1,
+    hand-computed difference chain (first sample vs the 128 default,
+    first line vs Ra, second line's first sample vs Rb), a hand-rolled
+    canonical huffman table (len-2 codes for categories 1/2, len-3 for
+    3/5), magnitude bits written per extend()'s conventions. Any
+    deviation in SOF3 parsing, the default/first-line/first-column
+    prediction rules, category extend, or the mod-2^16 reconstruction
+    breaks the expected pixel matrix."""
+    import struct
+
+    import numpy as np
+
+    from priority_data_pipeline_azure_sql_db_spark.operators import codecs
+
+    # samples and their hand-computed (category, magnitude-bits) chain:
+    # (0,0) pred 128, diff -28 -> SSSS 5, bits 00011
+    # (0,1) pred Ra=100, diff +1 -> SSSS 1, bits 1
+    # (0,2) pred Ra=101, diff -2 -> SSSS 2, bits 01
+    # (1,0) pred Rb=100, diff +5 -> SSSS 3, bits 101
+    # (1,1) pred Ra=105, diff -1 -> SSSS 1, bits 0
+    # (1,2) pred Ra=104, diff +2 -> SSSS 2, bits 10
+    want = np.array([[100, 101, 99], [105, 104, 106]], dtype=np.uint8)
+    # canonical table: bits=[0,2,2,...], huffval=[1,2,3,5]
+    # -> 1:'00' 2:'01' 3:'100' 5:'101'
+    entropy_bits = "".join([
+        "101", "00011",   # cat 5, -28
+        "00", "1",        # cat 1, +1
+        "01", "01",       # cat 2, -2
+        "100", "101",     # cat 3, +5
+        "00", "0",        # cat 1, -1
+        "01", "10",       # cat 2, +2
+    ])
+    entropy_bits += "1" * (-len(entropy_bits) % 8)  # pad with 1s
+    entropy = bytes(int(entropy_bits[i:i + 8], 2)
+                    for i in range(0, len(entropy_bits), 8))
+    stream = bytearray()
+    stream += b"\xff\xd8"
+    stream += b"\xff\xc3" + struct.pack(">HBHHB", 11, 8, 2, 3, 1)
+    stream += bytes([1, 0x11, 0])
+    stream += b"\xff\xc4" + struct.pack(">HB", 2 + 17 + 4, 0x00)
+    stream += bytes([0, 2, 2] + [0] * 13) + bytes([1, 2, 3, 5])
+    stream += b"\xff\xda" + struct.pack(">HB", 8, 1)
+    stream += bytes([1, 0x00, 1, 0, 0])  # Td=0; Ss=pred 1, Se=0, AhAl=0
+    stream += entropy
+    stream += b"\xff\xd9"
+    out = codecs.decode_jpeg(bytes(stream))
+    assert out.shape == (2, 3, 3)
+    assert np.array_equal(out[:, :, 0], want), out[:, :, 0]
+    assert np.array_equal(out[:, :, 0], out[:, :, 2])
+
+
 def test_codec_jpeg_boundaries_and_dispatch(spark):
     """The honest format boundary + pipeline integration: progressive /
     arithmetic / 12-bit streams raise NotImplementedError (never wrong
@@ -1547,12 +1661,19 @@ def test_codec_jpeg_boundaries_and_dispatch(spark):
     assert codecs.sniff(blob) == "jpeg"
 
     # unsupported variants fail loud (progressive is SUPPORTED since
-    # round 10 — the boundary moved to the lossless/arithmetic modes)
-    lossless = bytearray(blob)
-    sof = lossless.index(b"\xff\xc0")
-    lossless[sof + 1] = 0xC3  # rebrand as lossless
-    with pytest.raises(NotImplementedError, match="lossless"):
-        codecs.decode_jpeg(bytes(lossless))
+    # round 10 and lossless since round 15 — the boundary moved to the
+    # arithmetic/differential modes). A baseline stream REBRANDED as
+    # SOF3 still dies loud: its SOS carries Ss=0, which is not a legal
+    # lossless predictor.
+    rebranded = bytearray(blob)
+    sof = rebranded.index(b"\xff\xc0")
+    rebranded[sof + 1] = 0xC3
+    with pytest.raises(ValueError, match="predictor"):
+        codecs.decode_jpeg(bytes(rebranded))
+    arith = bytearray(blob)
+    arith[sof + 1] = 0xC9  # arithmetic sequential: honest boundary
+    with pytest.raises(NotImplementedError, match="arithmetic"):
+        codecs.decode_jpeg(bytes(arith))
     with pytest.raises(ValueError, match="truncated|huffman"):
         codecs.decode_jpeg(blob[: len(blob) // 2])
 
