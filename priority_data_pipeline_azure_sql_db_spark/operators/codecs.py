@@ -493,9 +493,16 @@ def decode_wav(content: bytes) -> tuple[int, np.ndarray]:
             # decoded audio rather than invent silence)
             frames = frames[:fact]
         return sample_rate, frames
+    if audio_format in (6, 7):  # G.711 A-law / µ-law (round 15)
+        codes = np.frombuffer(data, dtype=np.uint8)
+        table = _ALAW_DEC16 if audio_format == 6 else _ULAW_DEC16
+        samples = table[codes].astype(np.float64) / 32768.0
+        n_frames = len(samples) // n_channels
+        return sample_rate, \
+            samples[: n_frames * n_channels].reshape(n_frames, n_channels)
     if audio_format != 1:
         raise NotImplementedError(
-            f"only PCM / MS-ADPCM / IMA-ADPCM WAV supported "
+            f"only PCM / G.711 / MS-ADPCM / IMA-ADPCM WAV supported "
             f"(format {audio_format})"
         )
     if bits == 16:
@@ -915,6 +922,107 @@ def encode_wav(sample_rate: int, samples: np.ndarray) -> bytes:
     chunks = (
         b"fmt " + struct.pack("<I", len(fmt)) + fmt
         + b"data" + struct.pack("<I", len(pcm)) + pcm
+    )
+    return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+
+
+# ---------------------------------------------------------------------------
+# G.711 A-law / µ-law (WAVE format tags 0x0006 / 0x0007) — round 15.
+# The telephony companding codecs: 8-bit logarithmic codes over a
+# 13-bit (A-law) / 14-bit (µ-law) linear domain, per ITU-T G.711's
+# segmented approximation. Decode tables and encoders are built from
+# the published algorithm and asserted BYTE-IDENTICAL to CPython
+# audioop's independent C implementation across the full 8-bit code
+# space (decode) and the full 16-bit PCM space (encode) — the same
+# conformance stance as the IMA ADPCM core.
+# ---------------------------------------------------------------------------
+
+def _g711_ulaw2lin16(u: int) -> int:
+    u = ~u & 0xFF
+    t = ((u & 0x0F) << 3) + 0x84
+    t <<= (u & 0x70) >> 4
+    return (0x84 - t) if u & 0x80 else (t - 0x84)
+
+
+def _g711_alaw2lin16(a: int) -> int:
+    a ^= 0x55
+    t = (a & 0x0F) << 4
+    seg = (a & 0x70) >> 4
+    if seg == 0:
+        t += 8
+    elif seg == 1:
+        t += 0x108
+    else:
+        t = (t + 0x108) << (seg - 1)
+    return t if a & 0x80 else -t
+
+
+_ULAW_DEC16 = np.array([_g711_ulaw2lin16(c) for c in range(256)],
+                       dtype=np.int16)
+_ALAW_DEC16 = np.array([_g711_alaw2lin16(c) for c in range(256)],
+                       dtype=np.int16)
+_ULAW_SEG14 = np.array([0x3F, 0x7F, 0xFF, 0x1FF, 0x3FF, 0x7FF, 0xFFF,
+                        0x1FFF], dtype=np.int64)
+_ALAW_SEG13 = np.array([0x1F, 0x3F, 0x7F, 0xFF, 0x1FF, 0x3FF, 0x7FF,
+                        0xFFF], dtype=np.int64)
+
+
+def _g711_encode(pcm16: np.ndarray, law: str) -> np.ndarray:
+    """Vectorized linear→G.711 companding over int16 samples. µ-law
+    works in G.711's native 14-bit domain (pcm >> 2, clip 8159,
+    bias 33 — the audioop-conformant variant; the classic 16-bit-domain
+    CCITT transcription differs on 381/65536 inputs at segment edges);
+    A-law in the 13-bit domain (pcm >> 3)."""
+    v = pcm16.astype(np.int64)
+    if law == "ulaw":
+        v >>= 2
+        neg = v < 0
+        mag = np.minimum(np.abs(v), 8159) + 33
+        seg = np.searchsorted(_ULAW_SEG14, mag)
+        low = (mag >> (seg + 1)) & 0xF
+        uval = (seg << 4) | low
+        out = np.where(seg >= 8, 0x7F, uval) ^ np.where(neg, 0x7F, 0xFF)
+        return out.astype(np.uint8)
+    if law == "alaw":
+        v >>= 3
+        neg = v < 0
+        mask = np.where(neg, 0x55, 0xD5)
+        mag = np.where(neg, -v - 1, v)
+        seg = np.searchsorted(_ALAW_SEG13, mag)
+        segc = np.minimum(seg, 7)
+        low = np.where(segc < 2, (mag >> 1) & 0xF,
+                       (mag >> segc) & 0xF)
+        aval = np.where(seg >= 8, 0x7F, (segc << 4) | low)
+        return (aval ^ mask).astype(np.uint8)
+    raise ValueError(f"law must be 'ulaw' or 'alaw', got {law!r}")
+
+
+def encode_wav_g711(sample_rate: int, samples: np.ndarray,
+                    law: str = "ulaw") -> bytes:
+    """Encode (n_frames, n_channels) float audio in [-1, 1] as a G.711
+    WAV (format tag 0x0007 µ-law / 0x0006 A-law, 8 bits per sample,
+    fact chunk carrying the frame count per the non-PCM WAV rule) —
+    the exact layout :func:`decode_wav` parses back. Companding is
+    lossy by design; round-trip tests assert equality against
+    audioop's reference decode of the same codes."""
+    if samples.ndim == 1:
+        samples = samples[:, None]
+    n_frames, n_channels = samples.shape
+    if n_channels == 0 or n_frames == 0:
+        raise ValueError("empty audio")
+    tag = {"ulaw": 7, "alaw": 6}.get(law)
+    if tag is None:
+        raise ValueError(f"law must be 'ulaw' or 'alaw', got {law!r}")
+    pcm = np.clip(np.round(samples * 32768.0), -32768, 32767) \
+        .astype(np.int16)
+    codes = _g711_encode(pcm.reshape(-1), law).tobytes()
+    fmt = struct.pack("<HHIIHH", tag, n_channels, sample_rate,
+                      sample_rate * n_channels, n_channels, 8)
+    chunks = (
+        b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"fact" + struct.pack("<II", 4, n_frames)
+        + b"data" + struct.pack("<I", len(codes)) + codes
+        + (b"\x00" if len(codes) & 1 else b"")
     )
     return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
 

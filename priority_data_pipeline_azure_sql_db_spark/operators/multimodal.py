@@ -98,7 +98,8 @@ def decode_media(media_type: str, content: bytes):
     ('png', (h, w, 3|4) uint8 array),
     ('webp', (h, w, 3) uint8 RGB array),
     ('jpeg', (h, w, 3) uint8 RGB array),
-    ('wav' | 'wav-adpcm', (sample_rate, (n, ch) float array)),
+    ('wav' | 'wav-adpcm' | 'wav-ms-adpcm' | 'wav-ulaw' | 'wav-alaw',
+    (sample_rate, (n, ch) float array)),
     ('avi' | 'gif', (fps, [(h, w, 3) uint8 RGB frame arrays])), or
     ('pil', PIL.Image)."""
     from . import codecs
@@ -125,6 +126,10 @@ def decode_media(media_type: str, content: bytes):
             return "wav-adpcm", decoded
         if afmt == 2:  # round 14: Microsoft ADPCM joins the boundary
             return "wav-ms-adpcm", decoded
+        if afmt == 7:  # round 15: G.711 telephony companding family
+            return "wav-ulaw", decoded
+        if afmt == 6:
+            return "wav-alaw", decoded
         return "wav", decoded
     if kind == "avi":
         return "avi", codecs.decode_avi_frames(content)
@@ -183,7 +188,8 @@ def extract_features(df: DataFrame) -> DataFrame:
                 kind, decoded = decode_media(media_type, blob)
                 if kind in ("bmp", "png", "jpeg", "webp"):
                     return kind, codecs.image_features(decoded)
-                if kind in ("wav", "wav-adpcm", "wav-ms-adpcm"):
+                if kind in ("wav", "wav-adpcm", "wav-ms-adpcm",
+                            "wav-ulaw", "wav-alaw"):
                     return kind, codecs.audio_features(*decoded)
                 if kind in ("avi", "gif"):
                     # GIF shares the video descriptor: a single-frame

@@ -1524,6 +1524,74 @@ def test_codec_jpeg_12bit_progressive_matches_baseline():
         assert np.abs(op.astype(float) - smooth / 16.0).max() <= 8.0, sub
 
 
+def test_codec_g711_matches_audioop_exhaustively(spark):
+    """G.711 conformance vs the independent reference (round 15, the
+    audioop stance from the IMA pass): decode tables byte-identical
+    over all 256 codes, encoders byte-identical over the FULL 16-bit
+    PCM space for both laws, WAV file round trips equal to audioop's
+    reference decode of the same codes, and the routing layer tags the
+    family distinctly (wav-ulaw / wav-alaw) with real audio features."""
+    import struct
+
+    import audioop
+    import numpy as np
+
+    from priority_data_pipeline_azure_sql_db_spark.operators import codecs as C
+    from priority_data_pipeline_azure_sql_db_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        extract_features,
+    )
+
+    # decode tables: all 256 codes
+    for law, table in (("ulaw", C._ULAW_DEC16), ("alaw", C._ALAW_DEC16)):
+        ref = getattr(audioop, f"{law}2lin")(bytes(range(256)), 2)
+        want = np.frombuffer(ref, dtype="<i2")
+        assert np.array_equal(table, want), law
+
+    # encoders: the full 16-bit space in one vectorized shot
+    all_pcm = np.arange(-32768, 32768, dtype=np.int16)
+    buf = all_pcm.astype("<i2").tobytes()
+    for law in ("ulaw", "alaw"):
+        got = C._g711_encode(all_pcm, law)
+        want = np.frombuffer(getattr(audioop, f"lin2{law}")(buf, 2),
+                             dtype=np.uint8)
+        assert np.array_equal(got, want), law
+
+    # WAV file round trip == audioop reference decode of the same codes
+    rng = np.random.default_rng(1505)
+    t = np.arange(600) / 8000.0
+    sig = np.stack([0.7 * np.sin(2 * np.pi * 440 * t),
+                    0.3 * rng.standard_normal(600)], axis=1).clip(-1, 1)
+    pcm = np.clip(np.round(sig * 32768.0), -32768, 32767) \
+        .astype("<i2").reshape(-1).tobytes()
+    blobs = {}
+    for law, tag in (("ulaw", 7), ("alaw", 6)):
+        blob = C.encode_wav_g711(8000, sig, law=law)
+        blobs[law] = blob
+        assert C.wav_audio_format(blob) == tag
+        rate, back = C.decode_wav(blob)
+        dec = getattr(audioop, f"{law}2lin")(
+            getattr(audioop, f"lin2{law}")(pcm, 2), 2)
+        want = np.frombuffer(dec, dtype="<i2").astype(np.float64) \
+            .reshape(-1, 2) / 32768.0
+        assert rate == 8000 and np.array_equal(back, want), law
+
+    # routing: distinct family tags through the Arrow feature kernel
+    rows = [(1, "audio", bytearray(blobs["ulaw"]), None, None, None),
+            (2, "audio", bytearray(blobs["alaw"]), None, None, None),
+            (3, "audio", bytearray(C.encode_wav(8000, sig)), None, None,
+             None)]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    feats = {r["media_id"]: r for r in extract_features(media).collect()}
+    assert feats[1]["codec"] == "wav-ulaw"
+    assert feats[2]["codec"] == "wav-alaw"
+    assert feats[3]["codec"] == "wav"
+    # companding is ~transparent at this level: same duration, close RMS
+    for mid in (1, 2):
+        assert feats[mid]["feature"][1] == 600.0
+        assert abs(feats[mid]["feature"][3] - feats[3]["feature"][3]) < 0.01
+
+
 def test_codec_jpeg_lossless_roundtrip_exact():
     """LOSSLESS (SOF3) JPEG (round 15): encode->decode is BIT-EXACT —
     the defining property — across precisions 8/12/16, all seven T.81

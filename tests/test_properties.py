@@ -990,15 +990,15 @@ def test_every_public_decoder_carries_totality_wrapper():
 
 @SETTINGS
 @given(
-    fam=st.sampled_from(["pcm", "ima", "ms"]),
+    fam=st.sampled_from(["pcm", "ima", "ms", "ulaw", "alaw"]),
     flip_at_frac=st.floats(min_value=0.0, max_value=0.999),
     xor=st.integers(min_value=1, max_value=255),
     seed=st.integers(min_value=0, max_value=2**31),
 )
 def test_wav_decode_total_over_byte_flips_property(fam, flip_at_frac, xor, seed):
-    """Behavioral totality for all three WAV families (PCM, IMA ADPCM,
-    MS ADPCM — the round-14 insertion that broke the structural
-    invariant): ANY single flipped byte either still decodes or raises
+    """Behavioral totality for all five WAV families (PCM, IMA ADPCM,
+    MS ADPCM, G.711 µ-law/A-law): ANY single flipped byte either still
+    decodes or raises
     the advertised ValueError/NotImplementedError, never a raw
     IndexError/KeyError/struct.error."""
     import numpy as np
@@ -1012,8 +1012,10 @@ def test_wav_decode_total_over_byte_flips_property(fam, flip_at_frac, xor, seed)
         blob = C.encode_wav(16000, samples)
     elif fam == "ima":
         blob = C.encode_wav_adpcm(16000, samples, samples_per_block=9)
-    else:
+    elif fam == "ms":
         blob = C.encode_wav_ms_adpcm(16000, samples, samples_per_block=4)
+    else:
+        blob = C.encode_wav_g711(16000, samples, law=fam)
 
     flipped = bytearray(blob)
     flipped[int(len(blob) * flip_at_frac)] ^= xor
