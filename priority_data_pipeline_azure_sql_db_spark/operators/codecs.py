@@ -232,6 +232,20 @@ def _png_unfilter(raw: bytes, offset: int, h: int, w: int, bpp: int) -> np.ndarr
     return out
 
 
+def _png_unpack_bits(rows: np.ndarray, width: int, depth: int) -> np.ndarray:
+    """Unpack sub-byte PNG samples — MSB-first within each byte per the
+    spec's pixel layout — from unfiltered (h, row_bytes) scanlines to
+    (h, width) sample values (round 15: bit depths 1/2/4 for grayscale
+    and palette images, the favicon/icon class)."""
+    if depth == 1:
+        return np.unpackbits(rows, axis=1)[:, :width]
+    if depth == 2:
+        parts = [(rows >> sh) & 0x3 for sh in (6, 4, 2, 0)]
+        return np.stack(parts, axis=2).reshape(rows.shape[0], -1)[:, :width]
+    parts = [(rows >> 4) & 0xF, rows & 0xF]  # depth == 4
+    return np.stack(parts, axis=2).reshape(rows.shape[0], -1)[:, :width]
+
+
 @_total_decoder("PNG")
 def decode_png(content: bytes) -> np.ndarray:
     """Decode an 8-bit RGB/RGBA PNG — sequential OR Adam7-interlaced
@@ -246,9 +260,11 @@ def decode_png(content: bytes) -> np.ndarray:
     grid. All five 8-bit color types decode (round 10): grayscale (0)
     replicates to RGB like decode_jpeg's grayscale path, palette (3)
     maps indices through PLTE (plus per-entry tRNS alpha → RGBA when
-    present), gray+alpha (4) expands to RGBA. 16-bit depth raises
-    ``NotImplementedError`` (the honest format boundary, same stance
-    as decode_bmp's non-24-bit branch).
+    present), gray+alpha (4) expands to RGBA; 16-bit samples keep the
+    high byte, and sub-byte depths (1/2/4 — the favicon/icon class,
+    round 15) unpack MSB-first with grayscale left-bit-replication
+    scaling. Every depth/color combination the PNG spec allows
+    decodes; illegal combinations raise ValueError.
     """
     if content[:8] != PNG_MAGIC:
         raise ValueError("not a PNG: missing signature")
@@ -281,11 +297,14 @@ def decode_png(content: bytes) -> np.ndarray:
     if ihdr is None or not idat:
         raise ValueError("PNG missing IHDR/IDAT chunk")
     w, h, depth, color, comp, filt, interlace = ihdr
-    if (depth not in (8, 16) or color not in (0, 2, 3, 4, 6)
-            or (depth == 16 and color == 3)):
-        raise NotImplementedError(
-            f"only 8/16-bit PNG color types 0/2/3/4/6 supported (depth "
-            f"{depth}, color type {color})"
+    # every combination the spec allows decodes (round 15 — sub-byte
+    # depths closed the last gap): depths 1/2/4 only with grayscale or
+    # palette, depth 16 never with palette, 2/4/6 only at 8/16
+    legal = {0: (1, 2, 4, 8, 16), 2: (8, 16), 3: (1, 2, 4, 8),
+             4: (8, 16), 6: (8, 16)}
+    if color not in legal or depth not in legal[color]:
+        raise ValueError(
+            f"illegal PNG depth/color combination ({depth}, {color})"
         )
     if comp != 0 or filt != 0 or interlace not in (0, 1):
         raise NotImplementedError(
@@ -295,9 +314,21 @@ def decode_png(content: bytes) -> np.ndarray:
     if w <= 0 or h <= 0:
         raise ValueError(f"degenerate PNG dimensions {w}x{h}")
     channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[color]
-    bpp = channels * (depth // 8)  # filter bpp is in BYTES per spec
+    # filter bpp is in BYTES per spec; sub-byte depths filter on whole
+    # bytes (bpp 1) over ceil(w*depth/8)-byte scanlines
+    bpp = max(1, channels * (depth // 8))
     raw = zlib.decompress(bytes(idat))
-    if interlace == 0:
+    row_samples = lambda rows, pw: _png_unpack_bits(rows, pw, depth)  # noqa: E731
+    if interlace == 0 and depth < 8:
+        row_bytes = -(-(w * depth) // 8)
+        if len(raw) != h * (1 + row_bytes):
+            raise ValueError(
+                f"PNG pixel stream is {len(raw)} bytes, "
+                f"expected {h * (1 + row_bytes)}"
+            )
+        rows = _png_unfilter(raw, 0, h, row_bytes, 1)
+        out = row_samples(rows, w)[:, :, None]
+    elif interlace == 0:
         stride = w * bpp
         if len(raw) != h * (1 + stride):
             raise ValueError(
@@ -315,22 +346,36 @@ def decode_png(content: bytes) -> np.ndarray:
             ph = -(-(h - y0) // ys) if h > y0 else 0
             if pw == 0 or ph == 0:
                 continue  # empty pass: no bytes at all, not even filter bytes
-            passes.append((x0, y0, xs, ys, pw, ph))
-            expected += ph * (1 + pw * bpp)
+            # each sub-image packs its own scanlines (sub-byte depths:
+            # ceil(pw*depth/8) bytes per row, filter bpp 1)
+            prb = -(-(pw * depth) // 8) if depth < 8 else pw * bpp
+            passes.append((x0, y0, xs, ys, pw, ph, prb))
+            expected += ph * (1 + prb)
         if len(raw) != expected:
             raise ValueError(
                 f"PNG pixel stream is {len(raw)} bytes, expected {expected}"
             )
-        out = np.zeros((h, w, bpp), dtype=np.uint8)
+        out = np.zeros((h, w, 1 if depth < 8 else bpp), dtype=np.uint8)
         offset = 0
-        for x0, y0, xs, ys, pw, ph in passes:
-            sub = _png_unfilter(raw, offset, ph, pw, bpp).reshape(ph, pw, bpp)
-            offset += ph * (1 + pw * bpp)
+        for x0, y0, xs, ys, pw, ph, prb in passes:
+            if depth < 8:
+                rows = _png_unfilter(raw, offset, ph, prb, 1)
+                sub = row_samples(rows, pw)[:, :, None]
+            else:
+                sub = _png_unfilter(raw, offset, ph, pw, bpp) \
+                    .reshape(ph, pw, bpp)
+            offset += ph * (1 + prb)
             out[y0::ys, x0::xs] = sub
     if depth == 16:
         # 16 -> 8 bit: keep the big-endian high byte (the standard
         # consumer downscale; the codec contract is uint8 pixels)
         out = out.reshape(h, w, channels, 2)[:, :, :, 0]
+    sub_scale = 255 // ((1 << depth) - 1) if depth < 8 else 1
+    if depth < 8 and color == 0:
+        # scale 1/2/4-bit gray samples to full 8-bit range (the spec's
+        # left-bit-replication equals multiplying by 255/(2^depth - 1),
+        # exact for these depths); palette indices stay raw
+        out = out * np.uint8(sub_scale)
     if color == 6:
         return out
     if color == 2:  # truecolor (+ optional tRNS transparent-color -> RGBA)
@@ -350,6 +395,8 @@ def decode_png(content: bytes) -> np.ndarray:
         if trns is not None and len(trns) >= 2:
             shift = 8 if depth == 16 else 0
             tg = (struct.unpack_from(">H", trns, 0)[0] >> shift) & 0xFF
+            if depth < 8:  # compare at the same scaled range
+                tg = (tg * sub_scale) & 0xFF
             alpha = np.where(
                 out[:, :, 0] == tg, 0, 255
             ).astype(np.uint8)[:, :, None]
@@ -1110,7 +1157,7 @@ def average_hash(pixels: np.ndarray, hash_size: int = 8) -> int:
 # remaining variants (arithmetic coding, differential/hierarchical)
 # raise
 # NotImplementedError — the same honest format boundary as PNG's
-# palette/16-bit guard. The matching
+# sub-8-bit-depth guard (palette and 16-bit PNGs decode). The matching
 # encoders (baseline AND progressive) exist so tests round-trip
 # without binary fixtures; both emit per-image OPTIMIZED huffman
 # tables (spec K.2 two-pass, per scan for progressive), which the
@@ -2719,8 +2766,9 @@ def decode_jpeg(content: bytes) -> np.ndarray:
     (SOF3) streams dispatch to the predictor-based Annex H decoder
     (round 15 — precisions 2-16, all seven predictors, restart
     intervals, mod-2^16 reconstruction); arithmetic-coded and
-    differential/hierarchical streams raise NotImplementedError — the honest format
-    boundary, same stance as PNG's palette/16-bit guard. Nearest-neighbor
+    differential/hierarchical streams raise NotImplementedError — the
+    honest format
+    boundary, same stance as PNG's sub-8-bit-depth guard. Nearest-neighbor
     chroma upsampling (the
     fancy-upsampling difference is sub-rounding-error for the feature/
     hash consumers here).
