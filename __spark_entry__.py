@@ -25,6 +25,30 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The correctness driver evaluates the first 50 registry entries in order.
+# Round-16 rotation: the window the r15 rotation comment and VERDICT r15
+# (ask #1) published, run exactly. Composition, in order:
+# (1) the 5-entry r11 tail (displaced from the r15 window per invariant
+#     I2, checked this round — 5-round worst case honored):
+#     profile_documents_stats, pipeline_catalog_top1,
+#     pipeline_probe_counts, skew_salted_join, window_range_trailing_30d.
+# (2) the r12 bucket — ALL 45 entries last checked in round 12, r12
+#     window order (the bucket fits whole; no r12 tail spills to r17
+#     unless in-round changes displace below).
+# 5 + 45 = 50 exactly.
+#
+# In-round r16 changes (displacements per I2, tail-first from the r12
+# bucket above, recorded here as they land):
+#   (none yet)
+#
+# Schedule from here (bucket sizes as of r16 start):
+#   r17: any r12 tail displaced below + the r13 bucket head (43 as of
+#        r16 start; fills to 50).
+#   r18: r13 tail (if any) + r14 bucket head (47).
+#   r19: r14 tail + r15 bucket head (50).
+#   Every bucket clears within 4 rounds of its last check, tails within
+#   5, per I1/I2.
+#
+# Previous round's comment (kept for the audit trail):
 # Round-15 rotation: the window VERDICT r14 published (ask #1), run
 # exactly as listed there. Composition, in order:
 # (1) the 8-entry r10 tail (displaced from the r14 window per I2;
@@ -419,68 +443,60 @@ def entry(spark: SparkSession) -> DataFrame:
 #   r15: r11 bucket (50)
 #
 CHECK_ORDER = [
-    # (1) the 8-entry r10 tail — displaced from the r14 window per
+    # (1) the 5-entry r11 tail — displaced from the r15 window per
     # invariant I2, checked this round (5-round worst case honored)
-    "pipeline_watermark_filter",
-    "pipeline_refresh_cdc_audit",
-    "er_blocking_skew_audit",
-    "dedup_winnow_pairs_indexed",
-    "dedup_jaccard_pairs_indexed",
-    "sample_epoch_shuffle_wide",
-    "text_bpe_tokens_arrow",
-    "text_bpe_tokens_large",
-    # (2) the r14 changed/new head — first driver evidence for the
-    # nine-way codec mix, the four three-pass ER serve entries, and
-    # the two r14 registrations
-    "multimodal_codec_mix",
-    "er_incremental_match",
-    "er_assign_to_golden",
-    "er_assign_from_store",
-    "er_store_append_serve",
-    "dedup_index_append_serve",
-    "sample_dsir_weights",
-    # (2b) in-round r15 changed-path entries + the round's one new
-    # registration (see rotation comment a./b.)
-    "streaming_scd2_maintenance",
-    "streaming_scd2_with_deletes",
-    "pipeline_curation_dsir",
-    # (3) the r11 bucket head (33 of 38 after the two I2 displacements
-    # above, r11 window order; the 5-entry tail —
-    # profile_documents_stats, pipeline_catalog_top1,
-    # pipeline_probe_counts, skew_salted_join,
-    # window_range_trailing_30d — goes to r16's head per invariant I2)
-    "er_first_token_pairs",
-    "export_curriculum_readback",
-    "dedup_minhash_lsh_md5",
-    "dedup_simhash_pairs_md5",
-    "streaming_er_maintenance",
-    "multimodal_video_frames",
-    "pack_training_sequences_bpe",
-    "embedding_near_dup_indexed",
-    "profile_data_card",
-    "export_jsonl_corpus",
-    "sample_source_budget",
-    "sample_quality_weighted",
-    "embedding_dedup_canonical",
-    "text_bpe_train",
-    "export_training_shards",
-    "multimodal_binary_meta",
-    "ann_ivf_index_persisted",
-    "q7_volume_shipping",
-    "q8_market_share",
-    "q13_customer_distribution",
-    "scalar_date_math_funcs",
-    "type_mapping_enrichment",
-    "pipeline_config_flatten",
-    "pipeline_project_drop",
-    "pipeline_audit_columns",
-    "pipeline_flatten_subform",
-    "events_pivot_types",
-    "q9_product_profit",
-    "q15_top_supplier",
-    "q17_small_quantity_revenue",
-    "q19_discounted_revenue",
-    "q22_idle_customers",
+    "profile_documents_stats",
+    "pipeline_catalog_top1",
+    "pipeline_probe_counts",
+    "skew_salted_join",
+    "window_range_trailing_30d",
+    # (2) the r12 bucket — all 45 entries last checked in round 12,
+    # r12 window order (fills the window to 50 exactly)
+    "ann_cosine_topk_ivf_full",
+    "multimodal_gif_codec",
+    "events_scd2_with_deletes",
+    "pack_length_bucket_batches_wide",
+    "multimodal_real_codec",
+    "pipeline_curation_incremental",
+    "pack_materialized_sequences",
+    "scalar_regex_funcs",
+    "sample_stratified_mix",
+    "approx_sketches",
+    "streaming_tumbling_counts",
+    "streaming_session_counts",
+    "streaming_dedup_events",
+    "streaming_stream_stream_join",
+    "streaming_sliding_counts",
+    "streaming_static_join",
+    "text_token_stats",
+    "text_quality_score",
+    "text_langid_heuristic",
+    "text_tfidf_top_terms",
+    "text_repetition_ratio",
+    "text_pii_scrub",
+    "text_cleaning_pass_profile",
+    "text_winnow_fingerprints",
+    "dedup_exact_docs",
+    "dedup_fingerprint_docs",
+    "dedup_ngram_jaccard",
+    "dedup_cluster_canonical",
+    "dedup_contamination_check",
+    "ann_cosine_topk",
+    "ann_cosine_topk_lsh",
+    "embedding_centroids",
+    "embedding_quantize_int8",
+    "events_json_extract",
+    "events_sessionize",
+    "events_multires_rollup",
+    "sample_documents_hash",
+    "pipeline_nest_explode_roundtrip",
+    "pipeline_cast_types",
+    "pipeline_merge_upsert",
+    "q2_min_cost_supplier",
+    "q11_important_parts",
+    "q12_late_shipment_priority",
+    "q16_supplier_part_counts",
+    "q20_heavy_suppliers",
 ]
 
 
