@@ -541,12 +541,22 @@ def decode_wav(content: bytes) -> tuple[int, np.ndarray]:
             frames = frames[:fact]
         return sample_rate, frames
     if audio_format in (6, 7):  # G.711 A-law / µ-law (round 15)
+        if bits not in (0, 8):
+            # G.711 codes are one byte per sample; a container declaring
+            # another width is inconsistent (round-16 ADVICE fix)
+            raise ValueError(f"G.711 WAV declares {bits} bits per sample")
         codes = np.frombuffer(data, dtype=np.uint8)
         table = _ALAW_DEC16 if audio_format == 6 else _ULAW_DEC16
         samples = table[codes].astype(np.float64) / 32768.0
         n_frames = len(samples) // n_channels
-        return sample_rate, \
-            samples[: n_frames * n_channels].reshape(n_frames, n_channels)
+        frames = samples[: n_frames * n_channels].reshape(
+            n_frames, n_channels)
+        if fact is not None and 0 < fact < len(frames):
+            # same contract as the ADPCM branch (round-14 fix): the fact
+            # chunk's dwSampleLength is the true frame count for
+            # compressed formats — trim container slack, never invent it
+            frames = frames[:fact]
+        return sample_rate, frames
     if audio_format != 1:
         raise NotImplementedError(
             f"only PCM / G.711 / MS-ADPCM / IMA-ADPCM WAV supported "
@@ -2154,12 +2164,14 @@ def _decode_jpeg_progressive(d: bytes) -> np.ndarray:
     return _ycbcr_to_rgb(planes[0], planes[1], planes[2])
 
 
-def _ll_predict(rec, ci, y, x, sel, default):
-    """T.81 H.1.2: Ra=left, Rb=above, Rc=above-left; the first sample
-    of the scan (and of each restart interval) predicts the default
-    2^(P-Pt-1); the rest of the FIRST line predicts Ra; the first
-    sample of every later line predicts Rb."""
-    if y == 0:
+def _ll_predict(rec, ci, y, x, sel, default, first_line_y=0):
+    """T.81 H.1.1/H.1.2: Ra=left, Rb=above, Rc=above-left; the first
+    sample of the scan (and of each restart interval) predicts the
+    default 2^(P-Pt-1); the rest of the FIRST line — of the scan AND of
+    each restart interval (``first_line_y`` is the line the current
+    interval began on; restart resets prediction as at scan start) —
+    predicts Ra; the first sample of every later line predicts Rb."""
+    if y == first_line_y:
         return rec[ci][y][x - 1] if x else default
     if x == 0:
         return rec[ci][y - 1][x]
@@ -2277,10 +2289,14 @@ def _decode_jpeg_lossless(d: bytes) -> np.ndarray:
             br = _ScanBits(segs)
             rec = [[[0] * fw for _ in range(fh)] for _ in comps]
             m = 0
+            ry = 0  # line the current restart interval began on (H.1.1)
             for y in range(fh):
                 for x in range(fw):
-                    if restart_interval and m and m % restart_interval == 0:
+                    at_restart = bool(restart_interval) and m \
+                        and m % restart_interval == 0
+                    if at_restart:
                         br.next_segment()
+                        ry = y  # prediction restarts as at scan start
                     for ci in range(len(comps)):
                         ssss = br.sym(tables[ci])
                         if ssss == 16:
@@ -2289,13 +2305,11 @@ def _decode_jpeg_lossless(d: bytes) -> np.ndarray:
                             diff = _extend(br.bits(ssss), ssss)
                         else:
                             diff = 0
-                        if restart_interval and m and \
-                                m % restart_interval == 0:
-                            pred = default
-                        elif y == 0 and x == 0:
+                        if at_restart or (y == 0 and x == 0):
                             pred = default
                         else:
-                            pred = _ll_predict(rec, ci, y, x, sel, default)
+                            pred = _ll_predict(
+                                rec, ci, y, x, sel, default, ry)
                         rec[ci][y][x] = (pred + diff) & 0xFFFF
                     m += 1
             out_planes = [
@@ -2323,7 +2337,10 @@ def encode_jpeg_lossless(
     [0, 2^precision) as a LOSSLESS (SOF3) huffman JPEG — T.81 Annex H
     with the chosen predictor (1-7), per-image optimized difference-
     category table, interleaved components, mod-2^16 difference
-    arithmetic (SSSS 16 encodes +32768 with no appended bits). The
+    arithmetic (SSSS 16 encodes +32768 with no appended bits), and
+    H.1.1-conformant restart prediction (``restart_interval`` > 0:
+    after each RSTn prediction restarts as at scan start — default for
+    the first sample, Ra for the rest of that line). The
     decoder round-trips EXACTLY (it is lossless), the property the
     tests assert bit-for-bit at 8/12/16-bit precision across all seven
     predictors."""
@@ -2351,17 +2368,21 @@ def encode_jpeg_lossless(
     toks: list[tuple[int, int]] = []
     freq: dict[int, int] = {}
     m = 0
+    ry = 0  # line the current restart interval began on (T.81 H.1.1)
     for y in range(h):
         for x in range(w):
             at_restart = bool(restart_interval) and m \
                 and m % restart_interval == 0
+            if at_restart:
+                ry = y  # prediction restarts as at scan start
             for ci, pl in enumerate(planes):
                 v = int(pl[y, x])
                 rec[ci][y][x] = v
                 if at_restart or (y == 0 and x == 0):
                     pred = default
                 else:
-                    pred = _ll_predict(rec, ci, y, x, predictor, default)
+                    pred = _ll_predict(
+                        rec, ci, y, x, predictor, default, ry)
                 diff = (v - pred) & 0xFFFF
                 if diff == 32768:
                     ssss, bits_v = 16, 0

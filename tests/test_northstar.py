@@ -1713,6 +1713,45 @@ def test_codec_g711_matches_audioop_exhaustively(spark):
         assert abs(feats[mid]["feature"][3] - feats[3]["feature"][3]) < 0.01
 
 
+def test_codec_g711_fact_trim_and_width_guard():
+    """G.711 container consistency (round-16 ADVICE fix, mirroring the
+    ADPCM round-14 contract): a fact chunk declaring FEWER frames than
+    the data chunk holds trims the decode to the declared length (the
+    byte after it is container slack, not audio); a fact larger than
+    the stream is ignored (never invent silence); and a fmt chunk
+    declaring a non-8-bit width for one-byte G.711 codes fails loud."""
+    import struct
+
+    import numpy as np
+    import pytest
+
+    from priority_data_pipeline_azure_sql_db_spark.operators import codecs as C
+
+    sig = (np.sin(np.arange(100) / 5.0) * 0.5).reshape(-1, 1)
+    blob = bytearray(C.encode_wav_g711(8000, sig, law="alaw"))
+    fact_at = blob.index(b"fact") + 8
+
+    # fact < decoded frames -> trim to fact
+    short = bytearray(blob)
+    struct.pack_into("<I", short, fact_at, 90)
+    rate, frames = C.decode_wav(bytes(short))
+    assert rate == 8000 and frames.shape == (90, 1)
+    full = C.decode_wav(bytes(blob))[1]
+    assert np.array_equal(frames, full[:90])
+
+    # fact > decoded frames -> inconsistent container, keep the audio
+    long = bytearray(blob)
+    struct.pack_into("<I", long, fact_at, 10_000)
+    assert C.decode_wav(bytes(long))[1].shape == (100, 1)
+
+    # non-8-bit declared width for 1-byte codes -> loud failure
+    bad = bytearray(blob)
+    fmt_at = bad.index(b"fmt ") + 8
+    struct.pack_into("<H", bad, fmt_at + 14, 16)  # wBitsPerSample
+    with pytest.raises(ValueError, match="bits per sample"):
+        C.decode_wav(bytes(bad))
+
+
 def test_codec_jpeg_lossless_roundtrip_exact():
     """LOSSLESS (SOF3) JPEG (round 15): encode->decode is BIT-EXACT —
     the defining property — across precisions 8/12/16, all seven T.81
@@ -1825,6 +1864,77 @@ def test_codec_jpeg_lossless_golden_stream_hand_built():
     assert out.shape == (2, 3, 3)
     assert np.array_equal(out[:, :, 0], want), out[:, :, 0]
     assert np.array_equal(out[:, :, 0], out[:, :, 2])
+
+
+def test_codec_jpeg_lossless_restart_golden_spec_conformant():
+    """T.81 H.1.1 restart conformance (round-16 ADVICE fix): after an
+    RSTn marker, prediction restarts AS AT THE START OF THE SCAN — the
+    default 2^(P-1) for the first sample, then the 1-D Ra predictor for
+    the remainder of that line (NOT the scan's selected predictor with
+    neighbors crossing the restart boundary). Pinned by a 3x3 grayscale
+    SOF3 stream hand-assembled bit by bit with predictor 2 (Rb) and
+    DRI=4, so the restart lands MID-LINE at (1,1) and the Ra-rule
+    sample (1,2) decodes differently under the spec rule (Ra=130) than
+    under the pre-fix rule (Rb=99) — the golden discriminates. A second
+    restart lands exactly at the last sample (2,2). The encoder mirrors
+    the rule: its DRI output must reproduce this exact pixel matrix."""
+    import struct
+
+    import numpy as np
+
+    from priority_data_pipeline_azure_sql_db_spark.operators import codecs
+
+    want = np.array([[100, 101, 99],
+                     [105, 130, 131],
+                     [106, 129, 133]], dtype=np.uint8)
+    # raster order, DRI=4 (MCU = one sample): intervals {0-3}, {4-7}, {8}
+    # idx0 (0,0)=100 pred 128 (scan start)      diff -28 -> cat5 '00011'
+    # idx1 (0,1)=101 pred Ra=100 (first line)   diff  +1 -> cat1 '1'
+    # idx2 (0,2)= 99 pred Ra=101                diff  -2 -> cat2 '01'
+    # idx3 (1,0)=105 pred Rb=100 (line start)   diff  +5 -> cat3 '101'
+    # -- RST0: prediction restarts; restart line = 1 --
+    # idx4 (1,1)=130 pred 128 (interval start)  diff  +2 -> cat2 '10'
+    # idx5 (1,2)=131 pred Ra=130 (H.1.1: first line of the interval
+    #                uses Ra; the selected predictor Rb would give 99)
+    #                                           diff  +1 -> cat1 '1'
+    # idx6 (2,0)=106 pred Rb=105 (line start)   diff  +1 -> cat1 '1'
+    # idx7 (2,1)=129 pred Rb=130 (selected)     diff  -1 -> cat1 '0'
+    # -- RST1: restart line = 2 --
+    # idx8 (2,2)=133 pred 128 (interval start)  diff  +5 -> cat3 '101'
+    # canonical table (same as the non-DRI golden):
+    #   1:'00' 2:'01' 3:'100' 5:'101'
+    code = {1: "00", 2: "01", 3: "100", 5: "101"}
+
+    def seg(bits: str) -> bytes:
+        bits += "1" * (-len(bits) % 8)  # pad with 1s to byte boundary
+        raw = bytes(int(bits[i:i + 8], 2) for i in range(0, len(bits), 8))
+        return raw.replace(b"\xff", b"\xff\x00")  # byte stuffing
+
+    s1 = seg(code[5] + "00011" + code[1] + "1" + code[2] + "01"
+             + code[3] + "101")
+    s2 = seg(code[2] + "10" + code[1] + "1" + code[1] + "1"
+             + code[1] + "0")
+    s3 = seg(code[3] + "101")
+    stream = bytearray()
+    stream += b"\xff\xd8"
+    stream += b"\xff\xc3" + struct.pack(">HBHHB", 11, 8, 3, 3, 1)
+    stream += bytes([1, 0x11, 0])
+    stream += b"\xff\xc4" + struct.pack(">HB", 2 + 17 + 4, 0x00)
+    stream += bytes([0, 2, 2] + [0] * 13) + bytes([1, 2, 3, 5])
+    stream += b"\xff\xdd" + struct.pack(">HH", 4, 4)  # DRI = 4
+    stream += b"\xff\xda" + struct.pack(">HB", 8, 1)
+    stream += bytes([1, 0x00, 2, 0, 0])  # Td=0; Ss=pred 2, Se=0, AhAl=0
+    stream += s1 + b"\xff\xd0" + s2 + b"\xff\xd1" + s3
+    stream += b"\xff\xd9"
+    out = codecs.decode_jpeg(bytes(stream))
+    assert out.shape == (3, 3, 3)
+    assert np.array_equal(out[:, :, 0], want), out[:, :, 0]
+
+    # encoder mirror: same image, predictor 2, DRI=4 must round-trip
+    enc = codecs.encode_jpeg_lossless(
+        want.astype(np.int64), precision=8, predictor=2,
+        restart_interval=4)
+    assert np.array_equal(codecs.decode_jpeg(enc)[:, :, 0], want)
 
 
 def test_codec_jpeg_boundaries_and_dispatch(spark):
