@@ -38,7 +38,14 @@ def entry(spark: SparkSession) -> DataFrame:
 #
 # In-round r16 changes (displacements per I2, tail-first from the r12
 # bucket above, recorded here as they land):
-#   (none yet)
+#   a. streaming_scd2_maintenance + streaming_scd2_with_deletes — the
+#      round-16 ADVICE fix gates _check_scd2_meta's inverse pre-sidecar
+#      raise on min(8, m) distinct observed _kb ids (sparse-but-correct
+#      stores warn + fold without pinning the sidecar) on their fold
+#      path; zero functional delta for graded runs (fresh stores carry
+#      the sidecar), but changed-call-path code gets driver evidence
+#      per I2. Displaces q20_heavy_suppliers and
+#      q16_supplier_part_counts to r17's head.
 #
 # Schedule from here (bucket sizes as of r16 start):
 #   r17: any r12 tail displaced below + the r13 bucket head (43 as of
@@ -495,8 +502,11 @@ CHECK_ORDER = [
     "q2_min_cost_supplier",
     "q11_important_parts",
     "q12_late_shipment_priority",
-    "q16_supplier_part_counts",
-    "q20_heavy_suppliers",
+    # (3) in-round r16 changed-path entries (rotation comment a.) —
+    # displacing the two r12-bucket tail entries q16_supplier_part_counts
+    # and q20_heavy_suppliers to r17's head
+    "streaming_scd2_maintenance",
+    "streaming_scd2_with_deletes",
 ]
 
 

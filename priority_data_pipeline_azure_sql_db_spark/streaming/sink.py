@@ -286,6 +286,13 @@ def _swap_hist_buckets(store_path: str, staged, touched: list,
     _hist_roll_forward(store_path)
 
 _SCD2_META = "SCD2_META.json"
+# Minimum distinct observed _kb ids before the inverse (undercount)
+# pre-sidecar check HARD-fails: below it, "built with m" and "built
+# with n but hashed low" are indistinguishable from layout (round-16
+# ADVICE fix — sparse-but-correct stores warn instead of raising).
+# Capped at m itself: a fully-occupied smaller modulus is the
+# strongest layout evidence a small store can ever produce.
+_SCD2_INVERSE_MIN_DISTINCT = 8
 
 
 def _check_scd2_meta(store_path: str, n_log_buckets: int) -> None:
@@ -315,8 +322,13 @@ def _check_scd2_meta(store_path: str, n_log_buckets: int) -> None:
     "built with m" from "built with n but every entity hashed below m
     by chance" — vanishingly unlikely past a handful of entities
     (P = (m/n)^entities) but possible for a near-empty pre-sidecar
-    store; such a store must assert its true count by hand-writing the
-    SCD2_META sidecar (the raise says how). Non-power-of-two or
+    store. Since round 16 (ADVICE fix) the raise is gated on
+    min(_SCD2_INVERSE_MIN_DISTINCT, m) distinct observed ids: a
+    sparser layout WARNS, adopts the caller's value for the current
+    fold only, and refuses to write the sidecar — the ambiguity
+    self-resolves as the store grows (an id >= m clears it; full
+    occupancy of the smaller modulus converts it to the raise), and a
+    hand-written sidecar asserts the count at any time. Non-power-of-two or
     non-dividing undercounts are NOT caught — the ambiguity there is
     unresolvable from layout alone and both moduli disagree on ids the
     store has simply never touched."""
@@ -360,6 +372,32 @@ def _check_scd2_meta(store_path: str, n_log_buckets: int) -> None:
         m = 1
         while m <= max(all_seen):
             m *= 2
+        distinct = len(set(all_seen))
+        if m < n_log_buckets and n_log_buckets % m == 0 \
+                and distinct < min(_SCD2_INVERSE_MIN_DISTINCT, m):
+            # round-16 ADVICE fix: a legitimately-built sparse store
+            # whose few entities all hash below a dividing modulus
+            # would otherwise hard-fail its first adoption (the
+            # documented (m/n)^entities residual). Too few distinct
+            # ids to tell "built with m" from "built with n, hashed
+            # low" — adopt the caller's value for THIS fold but refuse
+            # to pin it in the sidecar: the ambiguity self-resolves as
+            # the store grows (an id >= m ends it; full occupancy of
+            # the smaller modulus triggers the raise below).
+            import warnings
+
+            warnings.warn(
+                f"SCD2 store at {store_path} has no meta sidecar and "
+                f"only {distinct} distinct _kb index(es), all below "
+                f"the dividing power-of-two modulus {m} — adopting "
+                f"n_log_buckets={n_log_buckets} for this fold WITHOUT "
+                f"writing the sidecar (layout too sparse to rule out "
+                f"a store built with {m} buckets). Write "
+                f'{{"n_log_buckets": <true count>}} to {path} to '
+                f"assert the count and silence this.",
+                stacklevel=2,
+            )
+            return
         if m < n_log_buckets and n_log_buckets % m == 0:
             raise ValueError(
                 f"SCD2 store at {store_path} has no meta sidecar and "

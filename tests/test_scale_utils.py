@@ -2245,6 +2245,58 @@ def test_scd2_presidecar_adoption_rejects_undercount_layout(spark, tmp_path):
     assert os.path.exists(os.path.join(store, "SCD2_META.json"))
 
 
+def test_scd2_presidecar_sparse_store_warns_not_raises(spark, tmp_path):
+    """Round-16 ADVICE fix: the inverse (undercount) pre-sidecar check
+    is gated on min(_SCD2_INVERSE_MIN_DISTINCT, m) distinct observed
+    _kb ids. A legitimately-built n=4 store whose ONE entity happens to
+    hash below the dividing modulus 2 must not hard-fail its first
+    post-sidecar-loss fold: it WARNS, folds with the caller's value,
+    and refuses to pin the ambiguous count in the sidecar (so a later,
+    better-populated fold can still resolve it)."""
+    import os
+    import warnings
+
+    from pyspark.sql import functions as F
+
+    from priority_data_pipeline_azure_sql_db_spark.streaming.sink import (
+        fold_scd2_batch,
+        read_scd2_store,
+    )
+
+    # pick a user_id whose pmod(xxhash64, 4) bucket is 0 or 1 — i.e.
+    # it also fits the smaller dividing modulus 2 (the ambiguous case)
+    ids = spark.range(1, 64).select(
+        "id", F.pmod(F.xxhash64(F.col("id")), F.lit(4)).alias("kb"),
+    ).where(F.col("kb") < 2).limit(1).collect()
+    uid = int(ids[0]["id"])
+
+    def mk(rows):
+        return spark.createDataFrame(
+            rows, "user_id bigint, state string, ts string, seq bigint",
+        ).withColumn("ts", F.col("ts").cast("timestamp"))
+
+    store = str(tmp_path / "sparse_store")
+    args = (["user_id"], ["state"], "ts", ["seq"])
+    assert fold_scd2_batch(
+        spark, store, mk([(uid, "a", "2026-01-01 00:00:00", 1)]), 1,
+        *args, n_log_buckets=4,
+    ) is True
+    os.remove(os.path.join(store, "SCD2_META.json"))
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        assert fold_scd2_batch(
+            spark, store, mk([(uid, "b", "2026-01-02 00:00:00", 2)]), 2,
+            *args, n_log_buckets=4,
+        ) is True
+    assert any("too sparse" in str(w.message) for w in caught), \
+        [str(w.message) for w in caught]
+    # the ambiguous count is NOT pinned — no sidecar until resolved
+    assert not os.path.exists(os.path.join(store, "SCD2_META.json"))
+    hist = read_scd2_store(spark, store)
+    states = sorted(r.state for r in hist.collect())
+    assert states == ["a", "b"], "the warned fold must still land"
+
+
 def test_ann_index_empty_build_fails_loud(spark, tmp_path):
     """Round-10 review-fix follow-through: the ANN stores share the ER
     store's empty-partitionBy wedge class — a zero-vector build would
