@@ -893,7 +893,17 @@ def _folded_pass_relation(
     passes can never meet (_pass differs). Rows whose pass key contains
     a NULL are dropped here — plain ``=`` never matched them in the
     unfolded per-pass joins either. Block-col casts to string preserve
-    equality for the int keys (nationkey) exactly."""
+    equality for the int keys (nationkey) exactly.
+
+    CONTRACT (round-16 ADVICE): block-key expressions must be ATOMIC
+    types whose string rendering is injective — string, integral,
+    date/timestamp, boolean. The fold compares CAST(key AS STRING), so
+    two distinct values of a type with a lossy or ambiguous rendering
+    (binary, struct/array, float near the shortest-round-trip edge)
+    could stringify identically and admit candidate pairs the unfolded
+    per-pass ``=`` joins never produced. Every current caller passes
+    string or bigint keys; pass anything else through an explicit,
+    injective rendering of your own first."""
     passes = {
         n: (list(k) if isinstance(k, (list, tuple)) else [k])
         for n, k in block_keys.items()

@@ -1654,7 +1654,12 @@ def test_codec_g711_matches_audioop_exhaustively(spark):
     family distinctly (wav-ulaw / wav-alaw) with real audio features."""
     import struct
 
-    import audioop
+    import pytest
+
+    audioop = pytest.importorskip(
+        "audioop",
+        reason="stdlib audioop removed in 3.13; the vendored-fixture twins keep conformance coverage alive there",
+    )
     import numpy as np
 
     from priority_data_pipeline_azure_sql_db_spark.operators import codecs as C
@@ -1711,6 +1716,40 @@ def test_codec_g711_matches_audioop_exhaustively(spark):
     for mid in (1, 2):
         assert feats[mid]["feature"][1] == 600.0
         assert abs(feats[mid]["feature"][3] - feats[3]["feature"][3]) < 0.01
+
+
+def test_codec_g711_matches_vendored_audioop_fixtures():
+    """The audioop-independent twin of the exhaustive conformance test
+    (round-16 ADVICE fix: stdlib audioop is removed in Python 3.13, so
+    its reference vectors are VENDORED — generated once from audioop's
+    C implementation on 3.11 and committed as tests/fixtures/
+    audioop_g711.npz). Coverage is identical: decode tables over all
+    256 codes, encoders over the FULL 16-bit PCM space, and a WAV round
+    trip equal to the reference-table decode of the emitted codes."""
+    import os
+
+    import numpy as np
+
+    from priority_data_pipeline_azure_sql_db_spark.operators import codecs as C
+
+    fx = np.load(os.path.join(os.path.dirname(__file__), "fixtures",
+                              "audioop_g711.npz"))
+    all_pcm = np.arange(-32768, 32768, dtype=np.int16)
+    for law, table in (("ulaw", C._ULAW_DEC16), ("alaw", C._ALAW_DEC16)):
+        assert np.array_equal(table, fx[f"{law}_dec"]), law
+        assert np.array_equal(C._g711_encode(all_pcm, law),
+                              fx[f"{law}_enc"]), law
+
+    # WAV round trip == reference-table decode of the emitted codes
+    t = np.arange(300) / 8000.0
+    sig = (0.6 * np.sin(2 * np.pi * 523 * t)).reshape(-1, 1)
+    for law in ("ulaw", "alaw"):
+        blob = C.encode_wav_g711(8000, sig, law=law)
+        rate, back = C.decode_wav(blob)
+        data_at = blob.index(b"data") + 8
+        codes = np.frombuffer(blob[data_at:data_at + 300], dtype=np.uint8)
+        want = fx[f"{law}_dec"][codes].astype(np.float64) / 32768.0
+        assert rate == 8000 and np.array_equal(back[:, 0], want), law
 
 
 def test_codec_g711_fact_trim_and_width_guard():
