@@ -46,6 +46,22 @@ def entry(spark: SparkSession) -> DataFrame:
 #      the sidecar), but changed-call-path code gets driver evidence
 #      per I2. Displaces q20_heavy_suppliers and
 #      q16_supplier_part_counts to r17's head.
+#   b. multimodal_codec_mix UPGRADED to the SIXTEEN-way profile
+#      (VERDICT r15 ask #2: the four round-15 codec closures — 12-bit
+#      SOF1 + SOF2 JPEG, lossless SOF3, G.711 µ-law + A-law, sub-byte
+#      PNG in 4-bit gray + 2-bit paletted layouts — join the
+#      count-per-tag hash), and multimodal_g711_codec REGISTERED (the
+#      ask's payload half: every decoded G.711 sample value-checked
+#      against the ITU-T expansion formulas replayed in DuckDB integer
+#      arithmetic — the multimodal_gif_codec proof pattern). PAIRED P2
+#      RETIREMENT: multimodal_frame_sample — multimodal_video_frames
+#      (r15-green) grades the SAME sample_frames operator through real
+#      AVI-MJPEG containers with a strictly richer oracle (demux +
+#      native decode of every kept frame); the stub-slice source stays
+#      pytest-covered. Registry stays 190 (one out, one in); the two
+#      head insertions displace q12_late_shipment_priority and
+#      q11_important_parts to r17's head. Both codec entries
+#      comparator-green at sf0.01 AND sf0.1 the session they landed.
 #
 # Schedule from here (bucket sizes as of r16 start):
 #   r17: any r12 tail displaced below + the r13 bucket head (43 as of
@@ -500,13 +516,15 @@ CHECK_ORDER = [
     "pipeline_cast_types",
     "pipeline_merge_upsert",
     "q2_min_cost_supplier",
-    "q11_important_parts",
-    "q12_late_shipment_priority",
-    # (3) in-round r16 changed-path entries (rotation comment a.) —
-    # displacing the two r12-bucket tail entries q16_supplier_part_counts
-    # and q20_heavy_suppliers to r17's head
+    # (3) in-round r16 changed-path entries + the round's one new
+    # registration (rotation comment a./b.) — displacing the four
+    # r12-bucket tail entries q20_heavy_suppliers,
+    # q16_supplier_part_counts, q12_late_shipment_priority and
+    # q11_important_parts to r17's head
     "streaming_scd2_maintenance",
     "streaming_scd2_with_deletes",
+    "multimodal_codec_mix",
+    "multimodal_g711_codec",
 ]
 
 

@@ -115,9 +115,13 @@ ANNEX = [
     # the staged table's read-back aggregate)
     "text_html_extract",
     "streaming_html_ingest",
-    # round-14: the nine-way codec routing profile (both ADPCM
-    # families joined this round) — tracked so codec-side regressions
-    # (a stub fallback would also flip correctness) get a timing series
+    # round-14: the codec routing profile (nine-way then; SIXTEEN-way
+    # since round 16 — 12-bit SOF1/SOF2, lossless SOF3, G.711 both
+    # laws, sub-byte PNG joined) — tracked so codec-side regressions
+    # (a stub fallback would also flip correctness) get a timing series.
+    # NOTE: the r16 profile growth adds ~7 encoder/decoder classes to
+    # the same 400 blobs, so r16-vs-r15 is a definition change, not a
+    # regression signal; the series re-baselines at r16.
     "multimodal_codec_mix",
     # round-14: the grown+compacted fingerprint store's serve cost —
     # the first attempt pays build/append/compact (resident-store
@@ -128,6 +132,10 @@ ANNEX = [
     # quantile → source cap in ONE plan)
     "sample_dsir_weights",
     "pipeline_curation_dsir",
+    # round-16: the G.711 payload-exact decode entry (every sample
+    # value-checked) — the vectorized table-gather decode's timing
+    # series for the telephony-ingest shape
+    "multimodal_g711_codec",
 ]
 
 HEADLINE = CORE + ANNEX

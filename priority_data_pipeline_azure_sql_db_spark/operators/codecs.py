@@ -471,6 +471,77 @@ def encode_png(
     )
 
 
+def encode_png_subbyte(
+    pixels: np.ndarray, bit_depth: int, level: int = 9,
+) -> bytes:
+    """Encode a SUB-BYTE PNG (round 16 — the write half of round 15's
+    1/2/4-bit decode closure, so the sub-byte path is provable without
+    binary fixtures, same stance as :func:`encode_png`).
+
+    Two spec-legal layouts, chosen by input shape:
+    - (h, w) integer array in [0, 2^bit_depth): GRAYSCALE (color type
+      0) at ``bit_depth`` ∈ {1, 2, 4} — :func:`decode_png` scales
+      values by 255/(2^d − 1).
+    - (h, w, 3) uint8 RGB with ≤ 2^bit_depth distinct colors: PALETTED
+      (color type 3) — the PLTE holds the unique colors, indices pack
+      at ``bit_depth``; decode recovers the RGB exactly.
+
+    Samples pack MSB-first within each byte and every scanline starts
+    on a byte boundary with a filter-0 byte, per the PNG spec's
+    sub-byte serialization. Deterministic bytes for a given input."""
+    if bit_depth not in (1, 2, 4):
+        raise ValueError(f"bit_depth must be 1, 2 or 4, got {bit_depth}")
+    arr = np.asarray(pixels)
+    if arr.ndim >= 2 and (arr.shape[0] == 0 or arr.shape[1] == 0):
+        raise ValueError("empty image")
+    if arr.ndim == 2:
+        color_type = 0
+        vals = arr.astype(np.int64)
+        if vals.min() < 0 or vals.max() >= (1 << bit_depth):
+            raise ValueError(
+                f"grayscale samples out of range for {bit_depth}-bit"
+            )
+        idx = vals.astype(np.uint8)
+        plte = b""
+    elif arr.ndim == 3 and arr.shape[2] == 3:
+        color_type = 3
+        flat = arr.astype(np.uint8).reshape(-1, 3)
+        colors, inverse = np.unique(flat, axis=0, return_inverse=True)
+        if len(colors) > (1 << bit_depth):
+            raise ValueError(
+                f"{len(colors)} distinct colors exceed the "
+                f"{bit_depth}-bit palette"
+            )
+        idx = inverse.astype(np.uint8).reshape(arr.shape[:2])
+        plte = colors.tobytes()
+    else:
+        raise ValueError("expected (h, w) grayscale or (h, w, 3) RGB")
+    h, w = idx.shape
+    if h == 0 or w == 0:
+        raise ValueError("empty image")
+    scanlines = bytearray()
+    for r in range(h):
+        # d bits per sample, MSB-first; packbits zero-pads the row tail
+        bits = np.unpackbits(idx[r][:, None], axis=1,
+                             count=8)[:, 8 - bit_depth:]
+        scanlines.append(0)  # filter: None
+        scanlines += np.packbits(bits.reshape(-1)).tobytes()
+    ihdr = struct.pack(">IIBBBBB", w, h, bit_depth, color_type, 0, 0, 0)
+
+    def chunk(ctype: bytes, body: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(body)) + ctype + body
+            + struct.pack(">I", zlib.crc32(ctype + body) & 0xFFFFFFFF)
+        )
+
+    out = PNG_MAGIC + chunk(b"IHDR", ihdr)
+    if color_type == 3:
+        out += chunk(b"PLTE", plte)
+    return out + chunk(
+        b"IDAT", zlib.compress(bytes(scanlines), level)
+    ) + chunk(b"IEND", b"")
+
+
 # ---------------------------------------------------------------------------
 # WAV — RIFF PCM, 8-bit unsigned / 16-bit signed, any channel count
 # ---------------------------------------------------------------------------

@@ -1524,6 +1524,41 @@ def test_codec_jpeg_12bit_progressive_matches_baseline():
         assert np.abs(op.astype(float) - smooth / 16.0).max() <= 8.0, sub
 
 
+def test_codec_png_subbyte_encoder_roundtrip():
+    """encode_png_subbyte (round 16 — the write half of the sub-byte
+    closure, feeding the codec-mix driver legs): grayscale 1/2/4-bit
+    round trips to the exact spec-scaled values, paletted 1/2/4-bit
+    recovers the RGB exactly through the PLTE, odd widths exercise the
+    row-tail bit padding, and over-range samples / over-full palettes /
+    illegal depths fail loud."""
+    import numpy as np
+    import pytest
+
+    from priority_data_pipeline_azure_sql_db_spark.operators import codecs as C
+
+    rng = np.random.default_rng(1601)
+    for d in (1, 2, 4):
+        for w in (8, 13):  # 13: rows end mid-byte
+            g = rng.integers(0, 1 << d, size=(9, w))
+            out = C.decode_png(C.encode_png_subbyte(g, d))
+            want = (g * (255 // ((1 << d) - 1))).astype(np.uint8)
+            assert np.array_equal(out[:, :, 0], want), (d, w)
+            assert np.array_equal(out[:, :, 0], out[:, :, 1])
+            pal = rng.integers(0, 256, size=(1 << d, 3), dtype=np.uint8)
+            rgb = pal[rng.integers(0, 1 << d, size=(7, w))]
+            out = C.decode_png(C.encode_png_subbyte(rgb, d))
+            assert np.array_equal(out[:, :, :3], rgb), (d, w)
+    with pytest.raises(ValueError, match="out of range"):
+        C.encode_png_subbyte(np.array([[4]]), 2)
+    with pytest.raises(ValueError, match="palette"):
+        C.encode_png_subbyte(
+            np.arange(24, dtype=np.uint8).reshape(1, 8, 3), 2)
+    with pytest.raises(ValueError, match="bit_depth"):
+        C.encode_png_subbyte(np.zeros((2, 2), dtype=np.uint8), 3)
+    with pytest.raises(ValueError, match="empty"):
+        C.encode_png_subbyte(np.zeros((0, 4), dtype=np.uint8), 2)
+
+
 def test_codec_png_sub_byte_depths():
     """Sub-byte PNG depths (round 15 — 1/2/4-bit grayscale and palette,
     the favicon/icon class): hand-packed streams decode to the exact
