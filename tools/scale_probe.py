@@ -74,6 +74,18 @@ PROBES = {
     # per-doc window+distinct clustered on the id (slope ~1 correct,
     # same class as html_extract)
     "text_winnow_fingerprints": ["documents"],
+    # round 16 (VERDICT r15 ask #3): the DSIR family's measured half.
+    # sample_dsir_weights is two hash-agg tokenize passes (target +
+    # scored corpus) joined through a <=n_buckets-row BROADCAST ratio
+    # table — the claim is map-side-combinable linearity (slope ~1
+    # correct, the html_extract class, NOT the sub-linear capped-join
+    # class). pipeline_curation_dsir chains the scored-only half into
+    # the one-plan curation capstone (dsir gate → linify → boilerplate
+    # → quantile → source cap) — same linearity claim, plus evidence
+    # the broadcast does not silently become a shuffle as the corpus
+    # grows (a jump in the last step would say otherwise).
+    "sample_dsir_weights": ["documents"],
+    "pipeline_curation_dsir": ["documents"],
     # NEGATIVE CONTROL: the uncapped shingle join's pair term grows
     # quadratically when replicas share shingles (every cross-replica
     # doc pair that shares one multiplies by k^2) — the probe must read
