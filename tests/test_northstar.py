@@ -1692,6 +1692,199 @@ def test_codec_png_subbyte_matches_openjdk_imageio(tmp_path):
             assert (ref[:, :, 3] == 255).all(), name
 
 
+def test_codec_bmp_gif_match_openjdk_imageio(tmp_path):
+    """BMP and still-GIF decode vs OpenJDK's independent readers (round
+    16 — the PNG cross-check's siblings, same PngDump fixture since
+    ImageIO sniffs content, not extensions): our lossless encoders'
+    output must decode to identical RGB through both implementations.
+    Exact equality — both formats are lossless and palette-exact at
+    <= 256 distinct colors by construction."""
+    import shutil
+    import subprocess
+
+    import numpy as np
+    import pytest
+
+    from priority_data_pipeline_azure_sql_db_spark.operators import codecs as C
+
+    javac, java = shutil.which("javac"), shutil.which("java")
+    if not javac or not java:
+        pytest.skip("JDK not available for the independent decode")
+    rng = np.random.default_rng(1608)
+    px = rng.integers(0, 256, size=(9, 7, 3), dtype=np.uint8)
+    gif_px = rng.integers(0, 256, size=(8, 8, 3), dtype=np.uint8)
+    cases = {
+        "bmp": (C.encode_bmp(px), px),
+        "gif": (C.encode_gif(gif_px), gif_px),
+    }
+    shutil.copy(f"{__file__.rsplit('/', 1)[0]}/fixtures/PngDump.java",
+                tmp_path / "PngDump.java")
+    subprocess.run([javac, "-d", str(tmp_path),
+                    str(tmp_path / "PngDump.java")], check=True)
+    paths = []
+    for name, (blob, _) in cases.items():
+        p = tmp_path / f"{name}.{name}"
+        p.write_bytes(blob)
+        paths.append(str(p))
+    out = subprocess.run([java, "-cp", str(tmp_path), "PngDump", *paths],
+                         check=True, capture_output=True, text=True).stdout
+    lines = iter(out.splitlines())
+    java_px = {}
+    for line in lines:
+        _, path, w, h = line.rsplit(" ", 3)
+        w, h = int(w), int(h)
+        vals = [next(lines).split() for _ in range(w * h)]
+        name = path.rsplit("/", 1)[1].split(".")[0]
+        java_px[name] = np.array(vals, dtype=np.int64).reshape(h, w, 4)
+    assert set(java_px) == set(cases)
+    for name, (blob, want) in cases.items():
+        assert np.array_equal(java_px[name][:, :, :3], want), name
+        if name == "gif":
+            _, frames = C.decode_gif_frames(blob)
+            ours = frames[0]
+        else:
+            ours = C.decode_bmp(blob)
+        assert np.array_equal(ours[:, :, :3], want), name
+
+
+def test_codec_jpeg_decode_agrees_with_openjdk_within_idct_tolerance(
+        tmp_path):
+    """Baseline + progressive JPEG decode vs OpenJDK's reader (round
+    16): T.81 pins IDCT accuracy, not bit-exactness, and JFIF does not
+    mandate the chroma upsampling filter, so the bounds are per-cell
+    and calibrated to what each divergence source can legally produce:
+    4:4:4 cells involve ONLY the IDCT difference and must be near-exact
+    (measured mean 0.40, max 2 → asserted mean <= 1.0, max <= 4);
+    4:2:0 cells add the upsampling-convention difference (our
+    nearest-replicate vs libjpeg-lineage triangular interpolation —
+    measured mean ~2.9, p99 ~16 → asserted mean <= 5, p99 <= 24).
+    Structural bugs (wrong zigzag, swapped chroma, broken refinement
+    scans, mis-phased upsampling) shift whole planes by tens and blow
+    every bound."""
+    import shutil
+    import subprocess
+
+    import numpy as np
+    import pytest
+
+    from priority_data_pipeline_azure_sql_db_spark.operators import codecs as C
+
+    javac, java = shutil.which("javac"), shutil.which("java")
+    if not javac or not java:
+        pytest.skip("JDK not available for the independent decode")
+    rng = np.random.default_rng(1610)
+    # smooth image + mild noise: JPEG's operating regime (pure noise
+    # maximizes legal IDCT divergence without testing anything extra)
+    yy, xx = np.mgrid[0:24, 0:32]
+    base = (96 + 60 * np.sin(yy / 5.0) + 50 * np.cos(xx / 7.0)
+            + rng.normal(0, 6, size=(24, 32)))
+    px = np.clip(
+        np.stack([base, base * 0.8 + 20, 255 - base], axis=-1), 0, 255
+    ).astype(np.uint8)
+    cases = {}
+    for q in (75, 95):
+        for sub in ("4:4:4", "4:2:0"):
+            tag = sub.replace(":", "")
+            cases[f"seq_q{q}_{tag}"] = C.encode_jpeg(
+                px, quality=q, subsample=sub)
+            cases[f"prog_q{q}_{tag}"] = C.encode_jpeg_progressive(
+                px, quality=q, subsample=sub)
+    shutil.copy(f"{__file__.rsplit('/', 1)[0]}/fixtures/PngDump.java",
+                tmp_path / "PngDump.java")
+    subprocess.run([javac, "-d", str(tmp_path),
+                    str(tmp_path / "PngDump.java")], check=True)
+    paths = []
+    for name, blob in cases.items():
+        p = tmp_path / f"{name}.jpg"
+        p.write_bytes(blob)
+        paths.append(str(p))
+    out = subprocess.run([java, "-cp", str(tmp_path), "PngDump", *paths],
+                         check=True, capture_output=True, text=True).stdout
+    lines = iter(out.splitlines())
+    java_px = {}
+    for line in lines:
+        _, path, w, h = line.rsplit(" ", 3)
+        w, h = int(w), int(h)
+        vals = [next(lines).split() for _ in range(w * h)]
+        java_px[path.rsplit("/", 1)[1][:-4]] = np.array(
+            vals, dtype=np.int64).reshape(h, w, 4)[:, :, :3]
+    assert set(java_px) == set(cases)
+    for name, blob in cases.items():
+        ours = C.decode_jpeg(blob).astype(np.int64)
+        diff = np.abs(ours - java_px[name])
+        if name.endswith("444"):
+            assert diff.mean() <= 1.0, (name, diff.mean())
+            assert diff.max() <= 4, (name, diff.max())
+        else:  # 4:2:0 — legal upsampling-filter divergence included
+            assert diff.mean() <= 5.0, (name, diff.mean())
+            assert np.percentile(diff, 99) <= 24, (
+                name, np.percentile(diff, 99))
+
+
+def test_codec_wav_g711_pcm_match_javax_sound(tmp_path):
+    """WAV decode vs javax.sound.sampled (round 16): the JDK's WAVE
+    reader and its ULAW/ALAW→PCM converters are a SECOND independent
+    G.711 implementation (unrelated to this repo AND to CPython's
+    audioop, whose vendored tables already pin the codec exhaustively).
+    PCM 16-bit decodes must agree exactly; for the companded laws both
+    sides expand each code to a 16-bit value — exact agreement pins
+    segment/mantissa/sign math through a third implementation. PCM
+    8-bit is deliberately NOT cross-checked: Java normalizes unsigned
+    8-bit as (u-128)*32767/127 while this repo (like audioop's
+    lin2lin) uses (u-128)<<8 — two legal conventions that differ by
+    construction, not a decode defect."""
+    import shutil
+    import subprocess
+
+    import numpy as np
+    import pytest
+
+    from priority_data_pipeline_azure_sql_db_spark.operators import codecs as C
+
+    javac, java = shutil.which("javac"), shutil.which("java")
+    if not javac or not java:
+        pytest.skip("JDK not available for the independent decode")
+    rng = np.random.default_rng(1609)
+    t = np.arange(240) / 8000.0
+    sig = np.stack([0.8 * np.sin(2 * np.pi * 440 * t),
+                    0.5 * rng.standard_normal(240)], axis=1).clip(-1, 1)
+    mono = sig[:, 0].reshape(-1, 1)
+    cases = {
+        "pcm16": C.encode_wav(8000, sig),
+        "ulaw": C.encode_wav_g711(8000, mono, law="ulaw"),
+        "alaw": C.encode_wav_g711(8000, mono, law="alaw"),
+    }
+    shutil.copy(f"{__file__.rsplit('/', 1)[0]}/fixtures/WavDump.java",
+                tmp_path / "WavDump.java")
+    subprocess.run([javac, "-d", str(tmp_path),
+                    str(tmp_path / "WavDump.java")], check=True)
+    paths = []
+    for name, blob in cases.items():
+        p = tmp_path / f"{name}.wav"
+        p.write_bytes(blob)
+        paths.append(str(p))
+    out = subprocess.run([java, "-cp", str(tmp_path), "WavDump", *paths],
+                         check=True, capture_output=True, text=True).stdout
+    lines = iter(out.splitlines())
+    java_samples = {}
+    for line in lines:
+        _, path, ch, rate, n16 = line.rsplit(" ", 4)
+        vals = [int(next(lines)) for _ in range(int(n16))]
+        name = path.rsplit("/", 1)[1][:-4]
+        java_samples[name] = (int(ch), int(rate),
+                              np.array(vals, dtype=np.int64)
+                              .reshape(-1, int(ch)))
+    assert set(java_samples) == set(cases)
+    for name, blob in cases.items():
+        ch, rate, ref = java_samples[name]
+        got_rate, frames = C.decode_wav(blob)
+        ours = np.round(frames * 32768.0).astype(np.int64)
+        assert got_rate == rate == 8000, name
+        assert ours.shape == ref.shape, (name, ours.shape, ref.shape)
+        assert np.array_equal(ours, ref), (
+            name, np.abs(ours - ref).max())
+
+
 def test_codec_png_sub_byte_depths():
     """Sub-byte PNG depths (round 15 — 1/2/4-bit grayscale and palette,
     the favicon/icon class): hand-packed streams decode to the exact
