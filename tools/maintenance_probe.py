@@ -324,6 +324,22 @@ def main() -> None:
     record("staging_merge", per)
 
     # ---- ER append: fixed 50-record batch ---------------------------
+    # Round-16 lesson: the ER and dedup stores are REBUILT FRESH every
+    # run (the builds are untimed). The r12-r15 design kept them across
+    # runs with nonce-disjoint deltas, but nine runs in, the
+    # accumulated junk appends were 15-37% of the x1 bases and the
+    # synthetic 900M-band names share a handful of _name_block values —
+    # a growing hot block every later delta re-joins — which shifted
+    # the whole er_append series +0.6 s and tilted dedup_append's
+    # marginal NEGATIVE (the x1 store was proportionally the most
+    # contaminated). Pristine stores make runs comparable
+    # round-over-round; the nonce still keeps ids disjoint WITHIN a
+    # run's attempts.
+    for k in SCALES:
+        shutil.rmtree(os.path.join(root, f"er_store_x{k}"),
+                      ignore_errors=True)
+        shutil.rmtree(os.path.join(root, f"dedup_store_x{k}"),
+                      ignore_errors=True)
     per = {}
     for k in SCALES:
         store = os.path.join(root, f"er_store_x{k}")
