@@ -1692,6 +1692,150 @@ def test_codec_png_subbyte_matches_openjdk_imageio(tmp_path):
             assert (ref[:, :, 3] == 255).all(), name
 
 
+def test_codec_png_16bit_alpha_match_openjdk_raster(tmp_path):
+    """16-bit and alpha-bearing PNG layouts vs OpenJDK (round 16 — the
+    sub-byte cross-check's other half, completing independent coverage
+    of every color type): RasterDump dumps the JDK reader's raw raster
+    samples (getRGB would fold 16-bit through its own 8-bit sRGB
+    conversion), and our decoder's uint8 contract must equal the
+    reference sample's HIGH BYTE for depth 16 and the exact sample for
+    depth 8. Covers 16-bit gray / RGB / gray+alpha / RGBA (hand-packed
+    big-endian streams), 8-bit gray+alpha, and the encoder's 8-bit RGBA
+    both sequential and Adam7-interlaced."""
+    import shutil
+    import struct
+    import subprocess
+    import zlib
+
+    import numpy as np
+    import pytest
+
+    from priority_data_pipeline_azure_sql_db_spark.operators import codecs as C
+
+    javac, java = shutil.which("javac"), shutil.which("java")
+    if not javac or not java:
+        pytest.skip("JDK not available for the independent decode")
+
+    def chunk(t, b):
+        return struct.pack(">I", len(b)) + t + b + struct.pack(
+            ">I", zlib.crc32(t + b) & 0xFFFFFFFF)
+
+    def make_png(arr, depth, color):
+        h, w = arr.shape[:2]
+        ch = 1 if arr.ndim == 2 else arr.shape[2]
+        raw = bytearray()
+        dt = ">u2" if depth == 16 else "u1"
+        for r in range(h):
+            raw.append(0)
+            raw += arr[r].astype(dt).tobytes()
+        ihdr = struct.pack(">IIBBBBB", w, h, depth, color, 0, 0, 0)
+        return (C.PNG_MAGIC + chunk(b"IHDR", ihdr)
+                + chunk(b"IDAT", zlib.compress(bytes(raw)))
+                + chunk(b"IEND", b""))
+
+    rng = np.random.default_rng(1611)
+    cases = {}  # name -> (blob, our expected vs java lambda)
+    g16 = rng.integers(0, 65536, size=(6, 7))
+    cases["gray16"] = make_png(g16, 16, 0)
+    rgb16 = rng.integers(0, 65536, size=(5, 9, 3))
+    cases["rgb16"] = make_png(rgb16, 16, 2)
+    ga16 = rng.integers(0, 65536, size=(4, 6, 2))
+    cases["grayalpha16"] = make_png(ga16, 16, 4)
+    rgba16 = rng.integers(0, 65536, size=(6, 5, 4))
+    cases["rgba16"] = make_png(rgba16, 16, 6)
+    ga8 = rng.integers(0, 256, size=(7, 8, 2))
+    cases["grayalpha8"] = make_png(ga8, 8, 4)
+    rgba8 = rng.integers(0, 256, size=(9, 7, 4), dtype=np.uint8)
+    cases["rgba8"] = C.encode_png(rgba8)
+    cases["rgba8_lace"] = C.encode_png(rgba8, interlace=True)
+
+    shutil.copy(f"{__file__.rsplit('/', 1)[0]}/fixtures/RasterDump.java",
+                tmp_path / "RasterDump.java")
+    subprocess.run([javac, "-d", str(tmp_path),
+                    str(tmp_path / "RasterDump.java")], check=True)
+    paths = []
+    for name, blob in cases.items():
+        p = tmp_path / f"{name}.png"
+        p.write_bytes(blob)
+        paths.append(str(p))
+    out = subprocess.run(
+        [java, "-cp", str(tmp_path), "RasterDump", *paths],
+        check=True, capture_output=True, text=True).stdout
+    lines = iter(out.splitlines())
+    java_raster = {}
+    for line in lines:
+        _, path, w, h, nb = line.rsplit(" ", 4)
+        w, h, nb = int(w), int(h), int(nb)
+        vals = [next(lines).split() for _ in range(w * h)]
+        java_raster[path.rsplit("/", 1)[1][:-4]] = np.array(
+            vals, dtype=np.int64).reshape(h, w, nb)
+    assert set(java_raster) == set(cases)
+
+    for name, blob in cases.items():
+        ours = C.decode_png(blob).astype(np.int64)
+        ref = java_raster[name]
+        shift = 8 if "16" in name else 0
+        ref8 = ref >> shift
+        if ref.shape[2] == 1:      # gray -> our RGB replication
+            want = np.repeat(ref8, 3, axis=2)
+        elif ref.shape[2] == 2:    # gray+alpha -> our RGBA expansion
+            want = np.concatenate(
+                [np.repeat(ref8[:, :, :1], 3, axis=2), ref8[:, :, 1:]],
+                axis=2)
+        else:
+            want = ref8
+        assert ours.shape == want.shape, (name, ours.shape, want.shape)
+        assert np.array_equal(ours, want), (
+            name, int(np.abs(ours - want).max()))
+
+
+def test_codec_gif_animation_matches_openjdk_frames(tmp_path):
+    """Animated GIF vs OpenJDK's GIFImageReader (round 16): our
+    compositing mix uses full-canvas frames, where Java's per-frame
+    rasters equal the composited output — so every frame of a 3-frame
+    animation (and the frame COUNT) is cross-checked exactly against
+    the independent LZW/palette/animation parse. GifDump walks
+    reader.read(i) until IndexOutOfBounds per the ImageIO contract."""
+    import shutil
+    import subprocess
+
+    import numpy as np
+    import pytest
+
+    from priority_data_pipeline_azure_sql_db_spark.operators import codecs as C
+
+    javac, java = shutil.which("javac"), shutil.which("java")
+    if not javac or not java:
+        pytest.skip("JDK not available for the independent decode")
+    rng = np.random.default_rng(1612)
+    frames = [rng.integers(0, 256, size=(8, 8, 3), dtype=np.uint8)
+              for _ in range(3)]
+    blob = C.encode_gif(frames, delay_cs=5)
+    p = tmp_path / "anim.gif"
+    p.write_bytes(blob)
+    shutil.copy(f"{__file__.rsplit('/', 1)[0]}/fixtures/GifDump.java",
+                tmp_path / "GifDump.java")
+    subprocess.run([javac, "-d", str(tmp_path),
+                    str(tmp_path / "GifDump.java")], check=True)
+    out = subprocess.run(
+        [java, "-cp", str(tmp_path), "GifDump", str(p)],
+        check=True, capture_output=True, text=True).stdout
+    lines = iter(out.splitlines())
+    java_frames = []
+    for line in lines:
+        _, idx, w, h = line.rsplit(" ", 3)
+        w, h = int(w), int(h)
+        vals = [next(lines).split() for _ in range(w * h)]
+        java_frames.append(
+            np.array(vals, dtype=np.int64).reshape(h, w, 4)[:, :, :3])
+    fps, ours = C.decode_gif_frames(blob)
+    assert len(java_frames) == len(ours) == 3
+    assert fps == 20.0
+    for i, (a, b) in enumerate(zip(ours, java_frames)):
+        assert np.array_equal(a[:, :, :3], b), i
+        assert np.array_equal(a[:, :, :3], frames[i]), i
+
+
 def test_codec_bmp_gif_match_openjdk_imageio(tmp_path):
     """BMP and still-GIF decode vs OpenJDK's independent readers (round
     16 — the PNG cross-check's siblings, same PngDump fixture since
