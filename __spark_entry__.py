@@ -62,6 +62,21 @@ def entry(spark: SparkSession) -> DataFrame:
 #      head insertions displace q12_late_shipment_priority and
 #      q11_important_parts to r17's head. Both codec entries
 #      comparator-green at sf0.01 AND sf0.1 the session they landed.
+#   c. multimodal_lossless_payloads REGISTERED (ask #2's payload proof
+#      extended to the remaining losslessly-SQL-replayable r15
+#      families): per document the padded bytes round-trip through the
+#      PRODUCTION decoders as a BMP, a SOF3 lossless JPEG (predictor
+#      4), a 4-bit grayscale PNG and a 2-bit paletted PNG, and each
+#      decoded sample stream's canonical md5 is checked against the
+#      oracle's pure-integer rebuild — every r15 codec closure now has
+#      payload-level driver evidence, not just the tag count (12-bit
+#      JPEG deliberately absent: quantization isn't SQL-replayable;
+#      its conformance is the pytest spec goldens). This registration
+#      consumes I3 slack (registry 190 → 191, slack 9 — within the
+#      published 2-3 insertions/round budget; the round's P2 ladder
+#      exit already funded registration b.). Displaces
+#      q2_min_cost_supplier to r17's head. Comparator-green at sf0.01
+#      AND sf0.1 the session it landed.
 #
 # Schedule from here (bucket sizes as of r16 start):
 #   r17: any r12 tail displaced below + the r13 bucket head (43 as of
@@ -515,16 +530,16 @@ CHECK_ORDER = [
     "pipeline_nest_explode_roundtrip",
     "pipeline_cast_types",
     "pipeline_merge_upsert",
-    "q2_min_cost_supplier",
-    # (3) in-round r16 changed-path entries + the round's one new
-    # registration (rotation comment a./b.) — displacing the four
+    # (3) in-round r16 changed-path entries + the round's two new
+    # registrations (rotation comment a./b./c.) — displacing the five
     # r12-bucket tail entries q20_heavy_suppliers,
-    # q16_supplier_part_counts, q12_late_shipment_priority and
-    # q11_important_parts to r17's head
+    # q16_supplier_part_counts, q12_late_shipment_priority,
+    # q11_important_parts and q2_min_cost_supplier to r17's head
     "streaming_scd2_maintenance",
     "streaming_scd2_with_deletes",
     "multimodal_codec_mix",
     "multimodal_g711_codec",
+    "multimodal_lossless_payloads",
 ]
 
 

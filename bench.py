@@ -134,8 +134,11 @@ ANNEX = [
     "pipeline_curation_dsir",
     # round-16: the G.711 payload-exact decode entry (every sample
     # value-checked) — the vectorized table-gather decode's timing
-    # series for the telephony-ingest shape
+    # series for the telephony-ingest shape — and the lossless-codec
+    # payload round-trip (BMP / SOF3 / sub-byte PNG encode+decode per
+    # doc through the production kernels)
     "multimodal_g711_codec",
+    "multimodal_lossless_payloads",
 ]
 
 HEADLINE = CORE + ANNEX

@@ -3168,6 +3168,120 @@ def multimodal_g711_codec(spark, sf_dir):
         synth_decode, "doc_id long, law string, pos long, sample long")
 
 
+@query(
+    "multimodal_lossless_payloads",
+    """
+    WITH src AS (
+        SELECT doc_id, CASE WHEN text IS NULL OR length(text) = 0
+                            THEN chr(0) ELSE text END AS t
+        FROM documents WHERE doc_id < 200
+    ), padded AS (
+        SELECT doc_id,
+               substr(repeat(t, CAST(192 // length(t) + 1 AS INT)), 1, 192)
+               AS p
+        FROM src
+    ), codes AS (
+        SELECT doc_id, CAST(u.i AS BIGINT) AS pos,
+               ord(substr(p, CAST(u.i AS INT) + 1, 1)) AS c
+        FROM padded, LATERAL (SELECT UNNEST(range(192)) AS i) u
+    )
+    SELECT doc_id, 'bmp' AS codec,
+           md5(string_agg(CAST(c AS VARCHAR), ',' ORDER BY pos))
+           AS payload_md5
+    FROM codes GROUP BY doc_id
+    UNION ALL
+    SELECT doc_id, 'jpeg-lossless',
+           md5(string_agg(CAST(c AS VARCHAR), ',' ORDER BY pos))
+    FROM codes WHERE pos < 64 GROUP BY doc_id
+    UNION ALL
+    SELECT doc_id, 'png-gray4',
+           md5(string_agg(CAST((c // 16) * 17 AS VARCHAR), ','
+                          ORDER BY pos))
+    FROM codes WHERE pos < 64 GROUP BY doc_id
+    UNION ALL
+    SELECT doc_id, 'png-pal2',
+           md5(string_agg(CAST((c // 64) * 85 AS VARCHAR), ','
+                          ORDER BY pos))
+    FROM codes WHERE pos < 64 GROUP BY doc_id
+    """,
+)
+def multimodal_lossless_payloads(spark, sf_dir):
+    """LOSSLESS-CODEC PAYLOAD PROOF (round 16 — the gif/G.711 pattern
+    extended to the remaining losslessly-SQL-replayable round-15
+    families, so every r15 codec closure now has payload-level driver
+    evidence, not just the codec-mix tag count): per document the
+    padded bytes become (a) a 24-bit BMP, (b) a LOSSLESS SOF3 JPEG of
+    the 8x8 gray plane (T.81 Annex H, predictor 4 — decode must return
+    the input EXACTLY), (c) a 4-bit grayscale PNG of the high nibbles
+    (decode scales x17 per the spec's left-bit-replication), and (d) a
+    2-bit paletted PNG indexed by the top two bits into a gray palette
+    (decode maps x85 through the PLTE). Each blob round-trips through
+    the PRODUCTION decoders (operators/codecs.py) in the executors and
+    the decoded sample stream is md5-hashed in a canonical
+    comma-joined-ints rendering the DuckDB oracle rebuilds from the
+    document bytes with pure integer arithmetic (ASCII fixture text →
+    ord() replays the byte stream; ints-as-text sidesteps the
+    UTF-8-vs-raw-bytes md5 trap that transformed BYTE payloads would
+    hit). A single wrong sample anywhere in the SOF3 predictor chain,
+    the sub-byte unpacking, the PLTE mapping, or the BMP row order
+    flips the hash. 12-bit JPEG is deliberately absent: quantization
+    makes it non-replayable in SQL — its conformance lives in the
+    pytest spec goldens. One mapInPandas; blobs never touch the
+    driver."""
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+
+    from .operators import codecs
+
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+
+    def synth_roundtrip(batches):
+        def canon_md5(vals) -> str:
+            joined = ",".join(str(int(v)) for v in vals)
+            return hashlib.md5(joined.encode("ascii")).hexdigest()
+
+        for pdf in batches:
+            ids, tags, md5s = [], [], []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                raw = (text or "").encode("utf-8") or b"\x00"
+                pad = np.frombuffer((raw * (192 // len(raw) + 1))[:192],
+                                    dtype=np.uint8)
+                legs = []
+                rgb = pad.reshape(8, 8, 3)
+                legs.append(("bmp", codecs.decode_bmp(
+                    codecs.encode_bmp(rgb))[:, :, :3].reshape(-1)))
+                gray = pad[:64].astype(np.int64).reshape(8, 8)
+                legs.append(("jpeg-lossless", codecs.decode_jpeg(
+                    codecs.encode_jpeg_lossless(gray, precision=8,
+                                                predictor=4))
+                    [:, :, 0].reshape(-1)))
+                nib = (pad[:64] >> 4).reshape(8, 8)
+                legs.append(("png-gray4", codecs.decode_png(
+                    codecs.encode_png_subbyte(nib, 4))
+                    [:, :, 0].reshape(-1)))
+                idx2 = (pad[:64] >> 6).reshape(8, 8)
+                pal = np.array([[0, 0, 0], [85, 85, 85],
+                                [170, 170, 170], [255, 255, 255]],
+                               dtype=np.uint8)
+                legs.append(("png-pal2", codecs.decode_png(
+                    codecs.encode_png_subbyte(pal[idx2], 2))
+                    [:, :, 0].reshape(-1)))
+                for tag, vals in legs:
+                    ids.append(doc_id)
+                    tags.append(tag)
+                    md5s.append(canon_md5(vals))
+            yield pd.DataFrame({
+                "doc_id": pd.Series(ids, dtype="int64"),
+                "codec": tags,
+                "payload_md5": md5s,
+            })
+
+    return d.select("doc_id", "text").mapInPandas(
+        synth_roundtrip, "doc_id long, codec string, payload_md5 string")
+
+
 # RETIRED from the registry in round 14 (P2, invariant-I3 slack; see
 # the __spark_entry__ rotation comment): streaming_html_ingest grades
 # the same foreachBatch-MERGE-into-staging sink end to end (multi-batch
