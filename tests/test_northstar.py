@@ -2329,6 +2329,16 @@ def test_codec_jpeg_lossless_roundtrip_exact():
         g, precision=12, predictor=4, restart_interval=5))
     assert np.array_equal(o[:, :, 0], (g >> 4).astype(np.uint8))
 
+    # restart intervals under the round-16 H.1.1 semantics: every
+    # predictor, DRI=3 on an 11x7 image so restarts land mid-line and
+    # the per-interval first-line Ra rule fires repeatedly; bit-exact
+    # round trips remain the defining property
+    g8 = (rng.random((11, 7)) * 255).astype(np.int64)
+    for sel in range(1, 8):
+        o = codecs.decode_jpeg(codecs.encode_jpeg_lossless(
+            g8, precision=8, predictor=sel, restart_interval=3))
+        assert np.array_equal(o[:, :, 0], g8.astype(np.uint8)), sel
+
     # mod-2^16 wrap / SSSS=16 path at full 16-bit swing
     g16 = np.array([[0, 65535, 0, 65535], [65535, 0, 65535, 0]],
                    dtype=np.int64)
