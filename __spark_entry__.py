@@ -78,11 +78,39 @@ def entry(spark: SparkSession) -> DataFrame:
 #      q2_min_cost_supplier to r17's head. Comparator-green at sf0.01
 #      AND sf0.1 the session it landed.
 #
-# Schedule from here (bucket sizes as of r16 start):
-#   r17: any r12 tail displaced below + the r13 bucket head (43 as of
-#        r16 start; fills to 50).
-#   r18: r13 tail (if any) + r14 bucket head (47).
-#   r19: r14 tail + r15 bucket head (50).
+# Schedule from here (bucket sizes as of r16 END, after the five
+# in-round displacements and two registrations above):
+#   r17: the 5-entry r12 displaced tail + the WHOLE 43-entry r13
+#        bucket + the first 2 of the r14 bucket (46, r14 window
+#        order) = 50 exactly. EXACT list, in order:
+#        q2_min_cost_supplier, q11_important_parts,
+#        q12_late_shipment_priority, q16_supplier_part_counts,
+#        q20_heavy_suppliers,
+#        asof_last_click_before_error, range_join_close_events,
+#        streaming_stateful_user_totals, dedup_duplicated_spans,
+#        text_quality_classifier, sample_temperature_mix,
+#        filter_quality_quantile, sample_curriculum_rank,
+#        pipeline_snapshot_diff, events_rollup_incremental,
+#        events_scd2_user_state, sample_source_cap, dedup_gram_novelty,
+#        pipeline_curation_v3, dedup_span_removal,
+#        profile_quantization_error, multimodal_phash_dedup,
+#        pipeline_curation_funnel, multimodal_phash_near_dup,
+#        export_curriculum_shards, events_session_sequences,
+#        sample_eval_balanced, profile_table_stats,
+#        ann_negative_samples, streaming_rollup_maintenance,
+#        er_fuzzy_customer_pairs, er_golden_records,
+#        events_pit_enrichment, sample_soft_dedup, text_zipf_coverage,
+#        events_conversion_funnel, events_cohort_retention,
+#        events_transition_matrix, dq_validation_report,
+#        events_value_outliers, events_ab_lift, profile_value_histogram,
+#        events_gapfill_hourly, events_scd2_incremental,
+#        events_conversion_latency, dq_k_anonymity, profile_join_skew,
+#        profile_quality_drift, profile_corpus_fingerprint,
+#        sample_multi_epoch_plan.
+#        Any r17 in-round change/registration displaces from the r14
+#        segment, tail-first.
+#   r18: the 44-entry r14 tail + the r15 bucket head (fills to 50).
+#   r19: r15 tail + r16 bucket head.
 #   Every bucket clears within 4 rounds of its last check, tails within
 #   5, per I1/I2.
 #
