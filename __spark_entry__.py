@@ -25,6 +25,35 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The correctness driver evaluates the first 50 registry entries in order.
+# Round-17 rotation: the window the r16 rotation comment and VERDICT r16
+# (ask #1) published, run exactly. Composition, in order:
+# (1) the 5-entry r12 displaced tail (each displaced TWICE — r16's four
+#     in-round insertions + the late lossless-payloads registration —
+#     so at the I2 worst-case staleness clock; they run FIRST and must
+#     not be displaced again this round):
+#     q2_min_cost_supplier, q11_important_parts,
+#     q12_late_shipment_priority, q16_supplier_part_counts,
+#     q20_heavy_suppliers.
+# (2) the WHOLE 43-entry r13 bucket, r13 window order.
+# (3) the first 2 of the r14 bucket, r14 window order:
+#     profile_corpus_fingerprint, sample_multi_epoch_plan.
+# 5 + 43 + 2 = 50 exactly.
+#
+# In-round r17 changes (displacements per I2, tail-first from the r14
+# segment above then the r13 bucket tail, recorded here as they land;
+# the 5-entry head in (1) is displacement-exempt this round per
+# VERDICT r16 ask #1):
+#   (recorded as they land)
+#
+# Schedule from here (bucket sizes as of r17 START):
+#   r18: the 44-entry r14 bucket tail + any r17 displaced tail +
+#        the r15 bucket head (fills to 50).
+#   r19: r15 tail + r16 bucket head.
+#   r20: r16 tail + r17 bucket head.
+#   Every bucket clears within 4 rounds of its last check, tails within
+#   5, per I1/I2.
+#
+# Previous round's comment (kept for the audit trail):
 # Round-16 rotation: the window the r15 rotation comment and VERDICT r15
 # (ask #1) published, run exactly. Composition, in order:
 # (1) the 5-entry r11 tail (displaced from the r15 window per invariant
@@ -509,65 +538,63 @@ def entry(spark: SparkSession) -> DataFrame:
 #   r15: r11 bucket (50)
 #
 CHECK_ORDER = [
-    # (1) the 5-entry r11 tail — displaced from the r15 window per
-    # invariant I2, checked this round (5-round worst case honored)
-    "profile_documents_stats",
-    "pipeline_catalog_top1",
-    "pipeline_probe_counts",
-    "skew_salted_join",
-    "window_range_trailing_30d",
-    # (2) the r12 bucket — all 45 entries last checked in round 12,
-    # r12 window order (fills the window to 50 exactly)
-    "ann_cosine_topk_ivf_full",
-    "multimodal_gif_codec",
-    "events_scd2_with_deletes",
-    "pack_length_bucket_batches_wide",
-    "multimodal_real_codec",
-    "pipeline_curation_incremental",
-    "pack_materialized_sequences",
-    "scalar_regex_funcs",
-    "sample_stratified_mix",
-    "approx_sketches",
-    "streaming_tumbling_counts",
-    "streaming_session_counts",
-    "streaming_dedup_events",
-    "streaming_stream_stream_join",
-    "streaming_sliding_counts",
-    "streaming_static_join",
-    "text_token_stats",
-    "text_quality_score",
-    "text_langid_heuristic",
-    "text_tfidf_top_terms",
-    "text_repetition_ratio",
-    "text_pii_scrub",
-    "text_cleaning_pass_profile",
-    "text_winnow_fingerprints",
-    "dedup_exact_docs",
-    "dedup_fingerprint_docs",
-    "dedup_ngram_jaccard",
-    "dedup_cluster_canonical",
-    "dedup_contamination_check",
-    "ann_cosine_topk",
-    "ann_cosine_topk_lsh",
-    "embedding_centroids",
-    "embedding_quantize_int8",
-    "events_json_extract",
-    "events_sessionize",
-    "events_multires_rollup",
-    "sample_documents_hash",
-    "pipeline_nest_explode_roundtrip",
-    "pipeline_cast_types",
-    "pipeline_merge_upsert",
-    # (3) in-round r16 changed-path entries + the round's two new
-    # registrations (rotation comment a./b./c.) — displacing the five
-    # r12-bucket tail entries q20_heavy_suppliers,
-    # q16_supplier_part_counts, q12_late_shipment_priority,
-    # q11_important_parts and q2_min_cost_supplier to r17's head
-    "streaming_scd2_maintenance",
-    "streaming_scd2_with_deletes",
-    "multimodal_codec_mix",
-    "multimodal_g711_codec",
-    "multimodal_lossless_payloads",
+    # (1) the 5-entry r12 displaced tail — displaced twice (r16's five
+    # in-round insertions), at the I2 worst-case staleness clock;
+    # displacement-exempt this round per VERDICT r16 ask #1
+    "q2_min_cost_supplier",
+    "q11_important_parts",
+    "q12_late_shipment_priority",
+    "q16_supplier_part_counts",
+    "q20_heavy_suppliers",
+    # (2) the whole 43-entry r13 bucket, r13 window order
+    "asof_last_click_before_error",
+    "range_join_close_events",
+    "streaming_stateful_user_totals",
+    "dedup_duplicated_spans",
+    "text_quality_classifier",
+    "sample_temperature_mix",
+    "filter_quality_quantile",
+    "sample_curriculum_rank",
+    "pipeline_snapshot_diff",
+    "events_rollup_incremental",
+    "events_scd2_user_state",
+    "sample_source_cap",
+    "dedup_gram_novelty",
+    "pipeline_curation_v3",
+    "dedup_span_removal",
+    "profile_quantization_error",
+    "multimodal_phash_dedup",
+    "pipeline_curation_funnel",
+    "multimodal_phash_near_dup",
+    "export_curriculum_shards",
+    "events_session_sequences",
+    "sample_eval_balanced",
+    "profile_table_stats",
+    "ann_negative_samples",
+    "streaming_rollup_maintenance",
+    "er_fuzzy_customer_pairs",
+    "er_golden_records",
+    "events_pit_enrichment",
+    "sample_soft_dedup",
+    "text_zipf_coverage",
+    "events_conversion_funnel",
+    "events_cohort_retention",
+    "events_transition_matrix",
+    "dq_validation_report",
+    "events_value_outliers",
+    "events_ab_lift",
+    "profile_value_histogram",
+    "events_gapfill_hourly",
+    "events_scd2_incremental",
+    "events_conversion_latency",
+    "dq_k_anonymity",
+    "profile_join_skew",
+    "profile_quality_drift",
+    # (3) the first 2 of the r14 bucket, r14 window order (fills the
+    # window to 50 exactly; r17 in-round changes/registrations
+    # displace from HERE tail-first, then from the r13 tail above)
+    "profile_corpus_fingerprint",
+    "sample_multi_epoch_plan",
 ]
 
 
