@@ -182,6 +182,52 @@ def main() -> None:
     print(f"[bench] calibration probe: attempts={probe_attempts} "
           f"best={calibration:.3f}", file=sys.stderr)
 
+    # I/O-axis calibration probe (VERDICT r16 ask #2): the CPU probe
+    # above divides I/O-heavy core entries by a pure-codegen number, so
+    # on a host that is CPU-fast but I/O-slow, core_per_calib reads as
+    # a phantom regression (r16: 23.23 → 28.11 while raw core IMPROVED
+    # 0.95× and per-entry isolated A/Bs showed parity). This second
+    # probe is FIXED disk-bound work: IO_PROBE_PASSES sequential passes
+    # over the pinned sf fixture footprint, with the page cache evicted
+    # (posix_fadvise DONTNEED — the files are read-only, so every page
+    # is clean and drops immediately) before each file each pass, so
+    # every read goes through the VM's storage path. No parsing, no
+    # Python object churn — bytes in, lengths summed. The pass count is
+    # frozen (same reason the CPU probe's row count is frozen); the
+    # bytes actually read are published as calibration_io_bytes so a
+    # fixture-footprint change is visible as a definition change, not
+    # misread as host drift. Interpretation rule: ARCHITECTURE.md
+    # "host-variance calibration" — in short, core_per_calib (CPU axis)
+    # is only trustworthy when calib_io_per_cpu is stable round-over-
+    # round; when the axes diverge, compare raw per-entry times and
+    # isolated A/Bs instead. SERIES NOTE: calibration_io_sec and
+    # core_per_calib_io first appear in round 17 (no earlier points).
+    import glob as _glob
+    IO_PROBE_PASSES = 24  # frozen — do not retune
+    io_paths = sorted(_glob.glob(os.path.join(SF_DIR, "*.parquet")))
+    io_attempts: list[float] = []
+    io_bytes = 0
+    for _ in range(5):
+        t0 = time.time()
+        io_bytes = 0
+        for _pass in range(IO_PROBE_PASSES):
+            for p in io_paths:
+                fd = os.open(p, os.O_RDONLY)
+                try:
+                    os.posix_fadvise(fd, 0, 0, os.POSIX_FADV_DONTNEED)
+                    while True:
+                        chunk = os.read(fd, 4 * 1024 * 1024)
+                        if not chunk:
+                            break
+                        io_bytes += len(chunk)
+                finally:
+                    os.close(fd)
+        io_attempts.append(round(time.time() - t0, 3))
+    # first attempt pays cold fs metadata (dentry/inode), never counted
+    calibration_io = min(io_attempts[1:])
+    print(f"[bench] io calibration probe: attempts={io_attempts} "
+          f"best={calibration_io:.3f} bytes={io_bytes}", file=sys.stderr)
+
     # Pre-warm pipeline_curation_incremental's standing stores (VERDICT
     # r10 ask #3): its three resident artifacts (base fingerprint store,
     # IVF cell store, radii) are unique to it — unlike the dedup/ANN
@@ -283,6 +329,18 @@ def main() -> None:
         # moves it, hypervisor contention largely cancels out.
         "calibration_sec": calibration,
         "core_per_calib": round(core_total / calibration, 2) if calibration else None,
+        # fixed-work disk-bound probe (page-cache-evicted reads of the
+        # pinned fixture footprint): host-I/O-speed control, the second
+        # normalization axis (VERDICT r16 ask #2; series starts r17).
+        # calib_io_per_cpu is the host-skew indicator — when it moves
+        # >~15% round-over-round, neither single-axis core_per_calib*
+        # number is trustworthy alone (see ARCHITECTURE.md).
+        "calibration_io_sec": calibration_io,
+        "calibration_io_bytes": io_bytes,
+        "core_per_calib_io": round(core_total / calibration_io, 2)
+        if calibration_io else None,
+        "calib_io_per_cpu": round(calibration_io / calibration, 3)
+        if calibration else None,
         "queries": timings,
         # present (and non-empty) only when an entry failed — a failed
         # entry is also absent from queries/totals
