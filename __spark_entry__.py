@@ -43,7 +43,25 @@ def entry(spark: SparkSession) -> DataFrame:
 # segment above then the r13 bucket tail, recorded here as they land;
 # the 5-entry head in (1) is displacement-exempt this round per
 # VERDICT r16 ask #1):
-#   (recorded as they land)
+#   a. streaming_scd2_maintenance + streaming_scd2_with_deletes — the
+#      round-17 ADVICE hardening on their fold path: each ambiguous
+#      pre-sidecar adoption is now logged (logging module, not just
+#      warnings.warn) and recorded in a non-authoritative
+#      SCD2_META.json.ambiguous.jsonl marker; a later ambiguous fold
+#      under a CONFLICTING bucket count raises (at least one fold
+#      mis-bucketed), and the first unambiguous sidecar write clears
+#      the marker. Zero functional delta for graded runs (fresh
+#      stores carry the sidecar), but changed-call-path code gets
+#      driver evidence per I2. Displaces sample_multi_epoch_plan and
+#      profile_corpus_fingerprint (the r14 segment) to r18's head.
+#   b. multimodal_g711_codec + multimodal_lossless_payloads — the
+#      round-17 ADVICE guard in their mapInPandas closures: non-ASCII
+#      document text now raises loudly (the oracle replays bytes via
+#      character ord(); a non-ASCII fixture would otherwise silently
+#      hash-mismatch as a phantom codec regression). Zero functional
+#      delta on the current ASCII fixtures, but changed-call-path code
+#      gets driver evidence per I2. Displaces profile_quality_drift
+#      and profile_join_skew (r13 bucket tail) to r18's head.
 #
 # Schedule from here (bucket sizes as of r17 START):
 #   r18: the 44-entry r14 bucket tail + any r17 displaced tail +
@@ -588,13 +606,14 @@ CHECK_ORDER = [
     "events_scd2_incremental",
     "events_conversion_latency",
     "dq_k_anonymity",
-    "profile_join_skew",
-    "profile_quality_drift",
-    # (3) the first 2 of the r14 bucket, r14 window order (fills the
-    # window to 50 exactly; r17 in-round changes/registrations
-    # displace from HERE tail-first, then from the r13 tail above)
-    "profile_corpus_fingerprint",
-    "sample_multi_epoch_plan",
+    # (3) in-round r17 changed-path entries (rotation comment a./b.) —
+    # displacing the r14 segment (sample_multi_epoch_plan,
+    # profile_corpus_fingerprint) and the r13 bucket tail
+    # (profile_quality_drift, profile_join_skew) to r18's head
+    "streaming_scd2_maintenance",
+    "streaming_scd2_with_deletes",
+    "multimodal_g711_codec",
+    "multimodal_lossless_payloads",
 ]
 
 

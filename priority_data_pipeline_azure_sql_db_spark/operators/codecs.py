@@ -2361,6 +2361,20 @@ def _decode_jpeg_lossless(d: bytes) -> np.ndarray:
             rec = [[[0] * fw for _ in range(fh)] for _ in comps]
             m = 0
             ry = 0  # line the current restart interval began on (H.1.1)
+            # VERIFICATION LIMITATION (ADVICE r16, noted by design):
+            # the H.1.1 restart rule below is pinned by a hand-
+            # assembled mid-line-DRI golden that DISCRIMINATES the old
+            # behavior (test_codec_jpeg_lossless_restart_golden_spec_
+            # conformant: sample (1,2) = 130 under the spec rule vs 99
+            # under the pre-fix rule) plus encoder/decoder round trips
+            # — but no independent SOF3-capable decoder exists in this
+            # sandbox (javax.imageio is 8-bit baseline/progressive
+            # only; no libjpeg -lossless / dcraw), so a shared
+            # misreading of T.81 H.1.1 by the golden's author and this
+            # code would self-validate. If a reference decoder (djpeg
+            # -lossless builds, dcraw's LJPEG path) ever becomes
+            # reachable in CI, add one cross-decoder mid-line restart
+            # case.
             for y in range(fh):
                 for x in range(fw):
                     at_restart = bool(restart_interval) and m \

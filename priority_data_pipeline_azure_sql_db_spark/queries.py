@@ -3138,7 +3138,18 @@ def multimodal_g711_codec(spark, sf_dir):
         for pdf in batches:
             ids, laws, poss, vals = [], [], [], []
             for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
-                raw = (text or "").encode("utf-8") or b"\x00"
+                txt = text or ""
+                if not txt.isascii():
+                    # The DuckDB oracle replays the byte stream with
+                    # CHARACTER semantics (ord over substr): byte<->char
+                    # parity holds only for ASCII. Fail LOUDLY on a
+                    # fixture change instead of hash-mismatching as a
+                    # phantom codec regression (ADVICE r16).
+                    raise ValueError(
+                        f"multimodal_g711_codec: non-ASCII text in "
+                        f"doc_id={doc_id}; the oracle's ord()-based "
+                        "byte replay requires ASCII fixtures")
+                raw = txt.encode("utf-8") or b"\x00"
                 pad = (raw * (64 // len(raw) + 1))[:64]
                 for law, tag in (("ulaw", 7), ("alaw", 6)):
                     fmt = struct.pack("<HHIIHH", tag, 1, 8000, 8000, 1, 8)
@@ -3245,7 +3256,18 @@ def multimodal_lossless_payloads(spark, sf_dir):
         for pdf in batches:
             ids, tags, md5s = [], [], []
             for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
-                raw = (text or "").encode("utf-8") or b"\x00"
+                txt = text or ""
+                if not txt.isascii():
+                    # Same ASCII byte<->char parity contract as the
+                    # G.711 entry (ADVICE r16): the oracle rebuilds the
+                    # byte stream via ord() character slices — a
+                    # non-ASCII fixture must fail loudly here, not
+                    # read as a codec regression.
+                    raise ValueError(
+                        f"multimodal_lossless_payloads: non-ASCII text "
+                        f"in doc_id={doc_id}; the oracle's ord()-based "
+                        "byte replay requires ASCII fixtures")
+                raw = txt.encode("utf-8") or b"\x00"
                 pad = np.frombuffer((raw * (192 // len(raw) + 1))[:192],
                                     dtype=np.uint8)
                 legs = []

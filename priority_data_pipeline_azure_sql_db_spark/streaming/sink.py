@@ -328,7 +328,14 @@ def _check_scd2_meta(store_path: str, n_log_buckets: int) -> None:
     fold only, and refuses to write the sidecar — the ambiguity
     self-resolves as the store grows (an id >= m clears it; full
     occupancy of the smaller modulus converts it to the raise), and a
-    hand-written sidecar asserts the count at any time. Non-power-of-two or
+    hand-written sidecar asserts the count at any time — writing the
+    sidecar at BUILD time remains the loud recommendation. Since round
+    17 (ADVICE) every ambiguous adoption is also logged via ``logging``
+    and appended to a non-authoritative ``.ambiguous.jsonl`` marker
+    next to the sidecar; a later ambiguous fold claiming a DIFFERENT
+    count than a recorded adoption raises (conflicting folds mean at
+    least one mis-bucketed), and the first unambiguous sidecar write
+    clears the marker. Non-power-of-two or
     non-dividing undercounts are NOT caught — the ambiguity there is
     unresolvable from layout alone and both moduli disagree on ids the
     store has simply never touched."""
@@ -384,9 +391,42 @@ def _check_scd2_meta(store_path: str, n_log_buckets: int) -> None:
             # to pin it in the sidecar: the ambiguity self-resolves as
             # the store grows (an id >= m ends it; full occupancy of
             # the smaller modulus triggers the raise below).
+            #
+            # round-17 ADVICE hardening: each ambiguous adoption is
+            # RECORDED in a non-authoritative marker (jsonl sidecar —
+            # never read as the bucket count), and adoptions under
+            # CONFLICTING n values hard-fail: two different callers
+            # folding different counts into the same sparse store
+            # means at least one fold mis-bucketed, which the warning
+            # alone let batch jobs sail past. The marker is removed by
+            # the first unambiguous sidecar write below (the pinned
+            # count supersedes the history). Also logs through the
+            # logging module — batch jobs routinely swallow
+            # warnings.warn but ship log handlers.
+            import logging
             import warnings
 
-            warnings.warn(
+            marker = path + ".ambiguous.jsonl"
+            prior_adoptions: set[int] = set()
+            if os.path.exists(marker):
+                with open(marker) as fh:
+                    prior_adoptions = {
+                        _json.loads(ln)["adopted"]
+                        for ln in fh if ln.strip()
+                    }
+            conflicting = sorted(prior_adoptions - {n_log_buckets})
+            if conflicting:
+                raise ValueError(
+                    f"SCD2 store at {store_path} has no meta sidecar "
+                    f"and was previously folded under ambiguous "
+                    f"n_log_buckets={conflicting} (recorded in "
+                    f"{marker}); this fold claims {n_log_buckets}. "
+                    f"At least one of those folds mis-bucketed "
+                    f"history. Determine the true count, write "
+                    f'{{"n_log_buckets": <true count>}} to {path}, '
+                    f"and rebuild the store's bucket layout."
+                )
+            msg = (
                 f"SCD2 store at {store_path} has no meta sidecar and "
                 f"only {distinct} distinct _kb index(es), all below "
                 f"the dividing power-of-two modulus {m} — adopting "
@@ -394,9 +434,17 @@ def _check_scd2_meta(store_path: str, n_log_buckets: int) -> None:
                 f"writing the sidecar (layout too sparse to rule out "
                 f"a store built with {m} buckets). Write "
                 f'{{"n_log_buckets": <true count>}} to {path} to '
-                f"assert the count and silence this.",
-                stacklevel=2,
+                f"assert the count and silence this."
             )
+            warnings.warn(msg, stacklevel=2)
+            logging.getLogger(__name__).warning(msg)
+            with open(marker, "a") as fh:
+                fh.write(_json.dumps({
+                    "adopted": n_log_buckets,
+                    "distinct_kb": distinct,
+                    "max_kb": max(all_seen),
+                    "dividing_modulus": m,
+                }) + "\n")
             return
         if m < n_log_buckets and n_log_buckets % m == 0:
             raise ValueError(
@@ -418,6 +466,12 @@ def _check_scd2_meta(store_path: str, n_log_buckets: int) -> None:
     with open(tmp, "w") as fh:
         _json.dump({"n_log_buckets": n_log_buckets}, fh)
     os.replace(tmp, path)
+    # a pinned sidecar supersedes any ambiguous-adoption history
+    # (round-17 marker): reaching here means the layout cross-checks
+    # cleared the count unambiguously
+    marker = path + ".ambiguous.jsonl"
+    if os.path.exists(marker):
+        os.remove(marker)
 
 
 def _read_touched_buckets(spark, root: str, touched, key: str = "_kb"):

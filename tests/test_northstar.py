@@ -2431,7 +2431,17 @@ def test_codec_jpeg_lossless_restart_golden_spec_conformant():
     sample (1,2) decodes differently under the spec rule (Ra=130) than
     under the pre-fix rule (Rb=99) — the golden discriminates. A second
     restart lands exactly at the last sample (2,2). The encoder mirrors
-    the rule: its DRI output must reproduce this exact pixel matrix."""
+    the rule: its DRI output must reproduce this exact pixel matrix.
+
+    SELF-CONSISTENCY LIMITATION (ADVICE r16, documented by design): no
+    independent SOF3-capable decoder exists in this sandbox —
+    javax.imageio decodes 8-bit baseline/progressive JPEG only, and
+    there is no libjpeg -lossless / dcraw build — so this golden plus
+    the shared-_ll_predict round trips are the strongest available
+    evidence; a misreading of T.81 H.1.1 shared by the golden's
+    hand-assembly and the decoder would self-validate. If a reference
+    decoder ever lands in CI, add one cross-decoder mid-line restart
+    case (same note at the decode site, operators/codecs.py)."""
     import struct
 
     import numpy as np
@@ -2489,6 +2499,29 @@ def test_codec_jpeg_lossless_restart_golden_spec_conformant():
         want.astype(np.int64), precision=8, predictor=2,
         restart_interval=4)
     assert np.array_equal(codecs.decode_jpeg(enc)[:, :, 0], want)
+
+
+def test_payload_queries_reject_non_ascii_fixtures(spark, tmp_path):
+    """Round-17 ADVICE guard: the G.711 / lossless-payload oracles
+    replay document bytes with CHARACTER-semantics SQL (ord over
+    substr) while the executors use UTF-8 BYTES — parity holds only
+    for ASCII. A non-ASCII fixture must fail LOUDLY in the mapInPandas
+    closure instead of silently hash-mismatching as a phantom codec
+    regression."""
+    import pytest
+
+    from priority_data_pipeline_azure_sql_db_spark.queries import QUERIES
+
+    spark.createDataFrame(
+        [(1, "plain ascii", "en", "web", 11),
+         (2, "café non-ascii", "fr", "web", 14)],
+        "doc_id bigint, text string, lang string, source string, "
+        "n_chars bigint",
+    ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+
+    for name in ("multimodal_g711_codec", "multimodal_lossless_payloads"):
+        with pytest.raises(Exception, match="non-ASCII"):
+            QUERIES[name](spark, str(tmp_path)).collect()
 
 
 def test_codec_jpeg_boundaries_and_dispatch(spark):

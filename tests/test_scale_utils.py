@@ -2297,6 +2297,103 @@ def test_scd2_presidecar_sparse_store_warns_not_raises(spark, tmp_path):
     assert states == ["a", "b"], "the warned fold must still land"
 
 
+def test_scd2_ambiguous_adoption_marker_and_conflict(
+        spark, tmp_path, caplog):
+    """Round-17 ADVICE hardening: each ambiguous pre-sidecar adoption
+    is recorded in a non-authoritative ``.ambiguous.jsonl`` marker and
+    emitted through ``logging`` (batch jobs swallow warnings.warn); a
+    later ambiguous fold under a CONFLICTING count raises (two
+    different counts folded into the same sparse store means at least
+    one mis-bucketed); the first unambiguous sidecar write clears the
+    marker."""
+    import json
+    import logging
+    import os
+    import warnings
+
+    import pytest
+    from pyspark.sql import functions as F
+
+    from priority_data_pipeline_azure_sql_db_spark.streaming.sink import (
+        fold_scd2_batch,
+    )
+
+    # one id hashing below the dividing modulus 2 (ambiguous under
+    # n=4 and n=8), one hashing into {2,3} (resolves the layout at n=4)
+    rows = spark.range(1, 256).select(
+        "id", F.pmod(F.xxhash64(F.col("id")), F.lit(4)).alias("kb"),
+    ).collect()
+    uid_low = int(next(r["id"] for r in rows if r["kb"] < 2))
+    uid_high = int(next(r["id"] for r in rows if r["kb"] >= 2))
+
+    def mk(recs):
+        return spark.createDataFrame(
+            recs, "user_id bigint, state string, ts string, seq bigint",
+        ).withColumn("ts", F.col("ts").cast("timestamp"))
+
+    store = str(tmp_path / "marker_store")
+    meta = os.path.join(store, "SCD2_META.json")
+    marker = meta + ".ambiguous.jsonl"
+    args = (["user_id"], ["state"], "ts", ["seq"])
+    assert fold_scd2_batch(
+        spark, store, mk([(uid_low, "a", "2026-01-01 00:00:00", 1)]), 1,
+        *args, n_log_buckets=4,
+    ) is True
+    os.remove(meta)
+
+    # ambiguous fold #1: warns, logs, records adopted=4 in the marker
+    with warnings.catch_warnings(record=True) as caught, \
+            caplog.at_level(logging.WARNING):
+        warnings.simplefilter("always")
+        assert fold_scd2_batch(
+            spark, store, mk([(uid_low, "b", "2026-01-02 00:00:00", 2)]),
+            2, *args, n_log_buckets=4,
+        ) is True
+    assert any("too sparse" in str(w.message) for w in caught)
+    assert any("too sparse" in r.getMessage() for r in caplog.records), \
+        "ambiguous adoption must also go through logging"
+    with open(marker) as fh:
+        recorded = [json.loads(ln) for ln in fh if ln.strip()]
+    assert [r["adopted"] for r in recorded] == [4]
+    assert not os.path.exists(meta)
+
+    # ambiguous fold under a CONFLICTING count: hard fail
+    with pytest.raises(ValueError, match="ambiguous"):
+        fold_scd2_batch(
+            spark, store, mk([(uid_low, "c", "2026-01-03 00:00:00", 3)]),
+            3, *args, n_log_buckets=8,
+        )
+
+    # same-count ambiguous re-fold still allowed (appends, no raise)
+    with warnings.catch_warnings(record=True):
+        warnings.simplefilter("always")
+        assert fold_scd2_batch(
+            spark, store, mk([(uid_low, "c", "2026-01-03 00:00:00", 3)]),
+            3, *args, n_log_buckets=4,
+        ) is True
+    with open(marker) as fh:
+        assert len([ln for ln in fh if ln.strip()]) == 2
+
+    # fold an id landing in _kb>=2 (the meta check runs BEFORE the
+    # fold's rows land, so THIS fold is still ambiguous — 3rd marker
+    # line — but the layout it leaves behind is unambiguous at n=4)
+    with warnings.catch_warnings(record=True):
+        warnings.simplefilter("always")
+        assert fold_scd2_batch(
+            spark, store, mk([(uid_high, "x", "2026-01-04 00:00:00", 4)]),
+            4, *args, n_log_buckets=4,
+        ) is True
+    assert not os.path.exists(meta)
+    # ... and the NEXT fold sees _kb>=2, clears the ambiguity, writes
+    # the sidecar, and removes the marker
+    assert fold_scd2_batch(
+        spark, store, mk([(uid_high, "y", "2026-01-05 00:00:00", 5)]), 5,
+        *args, n_log_buckets=4,
+    ) is True
+    assert os.path.exists(meta)
+    assert not os.path.exists(marker)
+
+
 def test_ann_index_empty_build_fails_loud(spark, tmp_path):
     """Round-10 review-fix follow-through: the ANN stores share the ER
     store's empty-partitionBy wedge class — a zero-vector build would
