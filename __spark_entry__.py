@@ -62,6 +62,21 @@ def entry(spark: SparkSession) -> DataFrame:
 #      delta on the current ASCII fixtures, but changed-call-path code
 #      gets driver evidence per I2. Displaces profile_quality_drift
 #      and profile_join_skew (r13 bucket tail) to r18's head.
+#   c. multimodal_jpeg12_payload REGISTERED (VERDICT r16 ask #3: the
+#      flat-block construction closes the LAST r15 codec family's
+#      payload-evidence gap). A uniform 8x8 block is DC-only, and at
+#      quality=50 (luma DC step 16, x16 = 256 for 12-bit) the whole
+#      quantize/dequantize/IDCT/output-scale chain is exact integer
+#      math for values v = 2048 + 32k — so real decoded 12-bit samples
+#      ARE SQL-replayable despite lossy JPEG's general
+#      non-replayability. Both 12-bit entropy shapes graded: SOF1
+#      (extended sequential) AND SOF2 (progressive successive-
+#      approximation scan script); executors assert per-block flatness
+#      so any quant/IDCT wobble fails loudly rather than hashing
+#      wrong. Consumes I3 slack (registry 191 -> 192, slack 8 — within
+#      the published 2-3 insertions/round budget). Displaces
+#      dq_k_anonymity (r13 bucket tail) to r18's head.
+#      Comparator-green at sf0.01 AND sf0.1 the session it landed.
 #
 # Schedule from here (bucket sizes as of r17 START):
 #   r18: the 44-entry r14 bucket tail + any r17 displaced tail +
@@ -605,15 +620,16 @@ CHECK_ORDER = [
     "events_gapfill_hourly",
     "events_scd2_incremental",
     "events_conversion_latency",
-    "dq_k_anonymity",
-    # (3) in-round r17 changed-path entries (rotation comment a./b.) —
-    # displacing the r14 segment (sample_multi_epoch_plan,
-    # profile_corpus_fingerprint) and the r13 bucket tail
-    # (profile_quality_drift, profile_join_skew) to r18's head
+    # (3) in-round r17 changed-path entries + the round's registration
+    # (rotation comment a./b./c.) — displacing the r14 segment
+    # (sample_multi_epoch_plan, profile_corpus_fingerprint) and the
+    # r13 bucket tail (profile_quality_drift, profile_join_skew,
+    # dq_k_anonymity) to r18's head
     "streaming_scd2_maintenance",
     "streaming_scd2_with_deletes",
     "multimodal_g711_codec",
     "multimodal_lossless_payloads",
+    "multimodal_jpeg12_payload",
 ]
 
 

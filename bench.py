@@ -139,6 +139,11 @@ ANNEX = [
     # doc through the production kernels)
     "multimodal_g711_codec",
     "multimodal_lossless_payloads",
+    # round-17: the 12-bit JPEG flat-block payload entry — per doc two
+    # full 12-bit encode+decode round trips (SOF1 + progressive SOF2)
+    # through the production kernels; the timing series for the
+    # extended-precision entropy paths
+    "multimodal_jpeg12_payload",
 ]
 
 HEADLINE = CORE + ANNEX

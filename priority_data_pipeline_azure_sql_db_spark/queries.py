@@ -3304,6 +3304,112 @@ def multimodal_lossless_payloads(spark, sf_dir):
         synth_roundtrip, "doc_id long, codec string, payload_md5 string")
 
 
+@query(
+    "multimodal_jpeg12_payload",
+    """
+    WITH src AS (
+        SELECT doc_id, CASE WHEN text IS NULL OR length(text) = 0
+                            THEN chr(0) ELSE text END AS t
+        FROM documents WHERE doc_id < 200
+    ), padded AS (
+        SELECT doc_id,
+               substr(repeat(t, CAST(64 // length(t) + 1 AS INT)), 1, 64) AS p
+        FROM src
+    ), codes AS (
+        SELECT doc_id, CAST(u.i AS BIGINT) AS block,
+               ord(substr(p, CAST(u.i AS INT) + 1, 1)) AS c
+        FROM padded, LATERAL (SELECT UNNEST(range(64)) AS i) u
+    )
+    SELECT doc_id, 'jpeg12-sof1' AS codec, block,
+           CAST(2 * ((c + block) % 128) AS BIGINT) AS sample
+    FROM codes
+    UNION ALL
+    SELECT doc_id, 'jpeg12-sof2' AS codec, block,
+           CAST(2 * ((c + block) % 128) AS BIGINT) AS sample
+    FROM codes
+    """,
+)
+def multimodal_jpeg12_payload(spark, sf_dir):
+    """12-BIT JPEG PAYLOAD PROOF via the flat-block construction
+    (round 17, VERDICT r16 ask #3 — the one r15 codec family that had
+    only tag-count driver evidence): lossy-JPEG quantization is not
+    SQL-replayable in general, but a UNIFORM 8x8 block is DC-only, and
+    the DC path can be made exact end to end by construction. Per
+    document each padded byte c at block index b becomes the 12-bit
+    flat value v = 2048 + 32*(((c+b) % 128) - 64); the 64 flat blocks
+    tile an 8x512 grayscale plane encoded by the PRODUCTION 12-bit
+    encoders — extended-sequential SOF1 (encode_jpeg precision=12) AND
+    progressive SOF2 (encode_jpeg_progressive precision=12, same scan
+    script real progressive files use) — at quality=50, where the IJG
+    scaling leaves Annex K's luma DC step exactly 16, i.e. 256 after
+    the x16 12-bit table scale. Every stage is then exact integer
+    math: FDCT of a flat block is DC=8*(v-2048) with all AC zero;
+    8*32k/256 = k quantizes with no rounding; dequant+IDCT gives 32k;
+    the level shift returns v; and the uint8 contract's /16 lands on
+    128+2k with no rounding ambiguity (operators/codecs.py decode
+    path). The executors decode both streams with the production
+    decode_jpeg, ASSERT per-block flatness (any IDCT/quant wobble
+    fails loudly rather than hashing wrong), and emit every block's
+    decoded sample value, which the oracle rebuilds in pure DuckDB
+    integer arithmetic as 2*((c+b) % 128). A wrong 16-bit Pq=1 DQT
+    read, level shift, DC-prediction step, huffman category, SOF2
+    successive-approximation refinement, or output scale flips the
+    values. ASCII fixture contract guarded like the sibling payload
+    entries. One mapInPandas, blobs never touch the driver."""
+    import numpy as np
+    import pandas as pd
+
+    from .operators import codecs
+
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+
+    def synth_flatblock(batches):
+        for pdf in batches:
+            ids, tags, blks, vals = [], [], [], []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                txt = text or ""
+                if not txt.isascii():
+                    raise ValueError(
+                        f"multimodal_jpeg12_payload: non-ASCII text in "
+                        f"doc_id={doc_id}; the oracle's ord()-based "
+                        "byte replay requires ASCII fixtures")
+                raw = txt.encode("utf-8") or b"\x00"
+                pad = np.frombuffer((raw * (64 // len(raw) + 1))[:64],
+                                    dtype=np.uint8).astype(np.int64)
+                k = (pad + np.arange(64)) % 128 - 64
+                v12 = 2048 + 32 * k  # flat value per block, in [0, 4064]
+                img = np.repeat(v12, 8).reshape(1, 512).repeat(8, axis=0)
+                for tag, enc in (
+                    ("jpeg12-sof1", codecs.encode_jpeg(
+                        img, quality=50, precision=12)),
+                    ("jpeg12-sof2", codecs.encode_jpeg_progressive(
+                        img, quality=50, precision=12)),
+                ):
+                    out = codecs.decode_jpeg(enc)[:, :, 0].astype(np.int64)
+                    blk = out.reshape(8, 64, 8).transpose(1, 0, 2) \
+                        .reshape(64, 64)
+                    if not (blk == blk[:, :1]).all():
+                        raise ValueError(
+                            f"multimodal_jpeg12_payload: non-flat "
+                            f"decoded block in doc_id={doc_id} ({tag}) "
+                            "— the DC-only exactness argument no "
+                            "longer holds; check quant/IDCT")
+                    ids.extend([doc_id] * 64)
+                    tags.extend([tag] * 64)
+                    blks.extend(range(64))
+                    vals.extend(blk[:, 0].tolist())
+            yield pd.DataFrame({
+                "doc_id": pd.Series(ids, dtype="int64"),
+                "codec": tags,
+                "block": pd.Series(blks, dtype="int64"),
+                "sample": pd.Series(vals, dtype="int64"),
+            })
+
+    return d.select("doc_id", "text").mapInPandas(
+        synth_flatblock,
+        "doc_id long, codec string, block long, sample long")
+
+
 # RETIRED from the registry in round 14 (P2, invariant-I3 slack; see
 # the __spark_entry__ rotation comment): streaming_html_ingest grades
 # the same foreachBatch-MERGE-into-staging sink end to end (multi-batch

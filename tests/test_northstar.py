@@ -2501,6 +2501,34 @@ def test_codec_jpeg_lossless_restart_golden_spec_conformant():
     assert np.array_equal(codecs.decode_jpeg(enc)[:, :, 0], want)
 
 
+def test_jpeg12_flatblock_exact_all_byte_values():
+    """Round-17 (VERDICT r16 ask #3): the flat-block DC-only
+    construction behind multimodal_jpeg12_payload is exact for EVERY
+    byte value at every block position class — exhaustively: four
+    8x512 planes cover all 256 byte values against shifted block
+    indices, and both 12-bit entropy shapes (SOF1 extended-sequential,
+    SOF2 progressive) must decode every block flat and equal to the
+    integer-math prediction 2*((c+b) % 128)."""
+    import numpy as np
+
+    from priority_data_pipeline_azure_sql_db_spark.operators import codecs
+
+    for base in range(0, 256, 64):
+        pad = (np.arange(64, dtype=np.int64) + base) % 256
+        k = (pad + np.arange(64)) % 128 - 64
+        img = np.repeat(2048 + 32 * k, 8).reshape(1, 512).repeat(8, axis=0)
+        expect = 2 * ((pad + np.arange(64)) % 128)
+        for tag, enc in (
+            ("sof1", codecs.encode_jpeg(img, quality=50, precision=12)),
+            ("sof2", codecs.encode_jpeg_progressive(
+                img, quality=50, precision=12)),
+        ):
+            out = codecs.decode_jpeg(enc)[:, :, 0].astype(np.int64)
+            blk = out.reshape(8, 64, 8).transpose(1, 0, 2).reshape(64, 64)
+            assert (blk == blk[:, :1]).all(), (base, tag)
+            assert (blk[:, 0] == expect).all(), (base, tag)
+
+
 def test_payload_queries_reject_non_ascii_fixtures(spark, tmp_path):
     """Round-17 ADVICE guard: the G.711 / lossless-payload oracles
     replay document bytes with CHARACTER-semantics SQL (ord over
