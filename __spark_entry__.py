@@ -77,6 +77,19 @@ def entry(spark: SparkSession) -> DataFrame:
 #      the published 2-3 insertions/round budget). Displaces
 #      dq_k_anonymity (r13 bucket tail) to r18's head.
 #      Comparator-green at sf0.01 AND sf0.1 the session it landed.
+#   d. streaming_html_ingest + pipeline_refresh_cdc_audit — the
+#      round-17 composite zone maps (VERDICT r16 ask #5) changed the
+#      StagingStore pruning path they run through
+#      (_partition_stats/_delta_profile/_prune_candidates now cover
+#      the FULL composite pk; pre-r17 sidecars stay readable with
+#      first-key-only pruning). Single-column-PK behavior is
+#      value-identical, but changed-call-path code gets driver
+#      evidence per I2; these are the ONLY two graded entries that
+#      traverse StagingStore.merge/read_for_keys
+#      (pipeline_merge_upsert / pipeline_snapshot_diff call the
+#      operators/merge.py functions directly, not the store).
+#      Displaces events_conversion_latency and events_scd2_incremental
+#      (r13 bucket tail) to r18's head.
 #
 # Schedule from here (bucket sizes as of r17 START):
 #   r18: the 44-entry r14 bucket tail + any r17 displaced tail +
@@ -618,18 +631,19 @@ CHECK_ORDER = [
     "events_ab_lift",
     "profile_value_histogram",
     "events_gapfill_hourly",
-    "events_scd2_incremental",
-    "events_conversion_latency",
     # (3) in-round r17 changed-path entries + the round's registration
-    # (rotation comment a./b./c.) — displacing the r14 segment
+    # (rotation comment a./b./c./d.) — displacing the r14 segment
     # (sample_multi_epoch_plan, profile_corpus_fingerprint) and the
     # r13 bucket tail (profile_quality_drift, profile_join_skew,
-    # dq_k_anonymity) to r18's head
+    # dq_k_anonymity, events_conversion_latency,
+    # events_scd2_incremental) to r18's head
     "streaming_scd2_maintenance",
     "streaming_scd2_with_deletes",
     "multimodal_g711_codec",
     "multimodal_lossless_payloads",
     "multimodal_jpeg12_payload",
+    "streaming_html_ingest",
+    "pipeline_refresh_cdc_audit",
 ]
 
 

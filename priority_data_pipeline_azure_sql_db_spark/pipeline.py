@@ -146,81 +146,124 @@ class StagingStore:
         return v if isinstance(v, (int, float, str)) \
             and not isinstance(v, bool) else None
 
-    def _partition_stats(self, df: DataFrame, key0: str) -> dict:
+    def _partition_stats(self, df: DataFrame, pk: list[str]) -> dict:
         """Exact per-partition zone map of ``df`` (which carries
-        PARTITION_COL): {sub: {rows, min, max, null}}. One pk-column
-        scan."""
-        rows = (
-            df.groupBy(PARTITION_COL)
-            .agg(
-                F.count(F.lit(1)).alias("_n"),
-                F.min(key0).alias("_lo"),
-                F.max(key0).alias("_hi"),
-                F.max(F.col(key0).isNull().cast("int")).alias("_hasnull"),
-            )
-            .collect()
-        )
-        return {
-            self._part_sub(r[0]): {
+        PARTITION_COL): {sub: {rows, min, max, null[, cols]}}. One
+        pk-columns scan. Since round 17 (VERDICT r16 ask #5) the map
+        covers the FULL composite key: pk[0] keeps the legacy
+        min/max/null fields (sidecars written before round 17 remain
+        readable — they simply prune on the first key only), and
+        pk[1:] land under ``cols`` as independent per-column ranges.
+        Per-column ranges are a standard multi-column zone map: a
+        partition can hold key (a, b) only if a fits pk[0]'s range AND
+        b fits pk[1]'s — checking each column independently admits a
+        superset of the true candidates (conservative, never wrong)
+        while pruning stores whose first key column is uninformative
+        (hot-partition composite keys: (tenant_id, seq))."""
+        aggs = [F.count(F.lit(1)).alias("_n")]
+        for i, c in enumerate(pk):
+            aggs += [
+                F.min(c).alias(f"_lo{i}"), F.max(c).alias(f"_hi{i}"),
+                F.max(F.col(c).isNull().cast("int")).alias(f"_null{i}"),
+            ]
+        rows = df.groupBy(PARTITION_COL).agg(*aggs).collect()
+        out = {}
+        for r in rows:
+            st = {
                 "rows": r["_n"],
-                "min": self._stat_val(r["_lo"]),
-                "max": self._stat_val(r["_hi"]),
-                "null": bool(r["_hasnull"]),
+                "min": self._stat_val(r["_lo0"]),
+                "max": self._stat_val(r["_hi0"]),
+                "null": bool(r["_null0"]),
             }
-            for r in rows
-        }
+            if len(pk) > 1:
+                st["cols"] = {
+                    c: {
+                        "min": self._stat_val(r[f"_lo{i}"]),
+                        "max": self._stat_val(r[f"_hi{i}"]),
+                        "null": bool(r[f"_null{i}"]),
+                    }
+                    for i, c in enumerate(pk) if i > 0
+                }
+            out[self._part_sub(r[0])] = st
+        return out
 
     @staticmethod
-    def _prune_candidates(parts: dict, dvals, drange, dhasnull: bool) -> list[str]:
-        """Partitions whose zone map can hold a delta key — conservative:
-        unknown bounds or uncomparable types are always candidates."""
+    def _col_can_match(st: dict, svals, drange, dhasnull: bool) -> bool:
+        """One column's zone-map check — conservative: unknown bounds
+        or uncomparable types can always match. ``svals`` pre-sorted."""
         import bisect
 
-        svals = sorted(dvals) if dvals is not None else None
+        if dhasnull and st.get("null"):
+            return True
+        lo, hi = st.get("min"), st.get("max")
+        if lo is None or hi is None:
+            return True
+        try:
+            if svals is not None:
+                i = bisect.bisect_left(svals, lo)
+                return i < len(svals) and svals[i] <= hi
+            if drange is not None:
+                return not (drange[1] < lo or drange[0] > hi)
+            return True
+        except TypeError:  # pk type changed under the stats
+            return True
+
+    @classmethod
+    def _prune_candidates(cls, parts: dict, profiles: list) -> list[str]:
+        """Partitions whose zone map can hold a delta key — candidate
+        iff EVERY profiled pk column can match (round 17: composite
+        keys prune on all columns). Conservative throughout: a column
+        missing from a legacy (pre-round-17) sidecar passes, unknown
+        bounds pass, uncomparable types pass."""
+        prof_sorted = [
+            (c, sorted(dvals) if dvals is not None else None, drange, dn)
+            for (c, dvals, drange, dn) in profiles
+        ]
         out = []
         for sub, st in parts.items():
-            if dhasnull and st.get("null"):
-                out.append(sub)
-                continue
-            lo, hi = st.get("min"), st.get("max")
-            if lo is None or hi is None:
-                out.append(sub)
-                continue
-            try:
-                if svals is not None:
-                    i = bisect.bisect_left(svals, lo)
-                    if i < len(svals) and svals[i] <= hi:
-                        out.append(sub)
-                elif drange is not None and not (drange[1] < lo or drange[0] > hi):
-                    out.append(sub)
-                elif drange is None:
-                    out.append(sub)
-            except TypeError:  # pk type changed under the stats
+            cols_meta = st.get("cols") or {}
+            ok = True
+            for j, (c, svals, drange, dhasnull) in enumerate(prof_sorted):
+                entry = st if j == 0 else cols_meta.get(c)
+                if entry is None:
+                    continue  # legacy sidecar: no stats for this column
+                if not cls._col_can_match(entry, svals, drange, dhasnull):
+                    ok = False
+                    break
+            if ok:
                 out.append(sub)
         return out
 
-    def _delta_profile(self, delta: DataFrame, key0: str):
-        """Delta key profile for zone-map pruning (one agg + one small
-        collect): (value set | None, [min,max] range | None, has-null).
-        Value set when the delta has <= _DELTA_VALS_CAP distinct keys
-        (NaN floats excluded — they break bisect ordering, and any
-        partition holding NaN has a None bound, staying a candidate);
-        range above the cap; (None, None) when the type is uncomparable
-        driver-side — every partition stays a candidate then."""
-        prof = delta.agg(
-            F.min(key0).alias("_lo"), F.max(key0).alias("_hi"),
-            F.count_distinct(F.col(key0)).alias("_nd"),
-            F.max(F.col(key0).isNull().cast("int")).alias("_null"),
-        ).collect()[0]
-        dhasnull = bool(prof["_null"])
-        lo, hi = self._stat_val(prof["_lo"]), self._stat_val(prof["_hi"])
-        dvals = drange = None
-        if prof["_nd"] <= self._DELTA_VALS_CAP:
-            dvals = [v for (v,) in delta.select(key0).distinct().collect()
-                     if v is not None and v == v]
-        elif lo is not None and hi is not None:
-            drange = (lo, hi)
-        return dvals, drange, dhasnull
+    def _delta_profile(self, delta: DataFrame, pk: list[str]) -> list:
+        """Per-pk-column delta key profile for zone-map pruning (ONE
+        agg + one small collect per column): [(col, value set | None,
+        [min,max] range | None, has-null), ...]. Value set when the
+        column has <= _DELTA_VALS_CAP distinct keys (NaN floats
+        excluded — they break bisect ordering, and any partition
+        holding NaN has a None bound, staying a candidate); range above
+        the cap; (None, None) when the type is uncomparable driver-side
+        — every partition stays a candidate on that column then."""
+        aggs = []
+        for i, c in enumerate(pk):
+            aggs += [
+                F.min(c).alias(f"_lo{i}"), F.max(c).alias(f"_hi{i}"),
+                F.count_distinct(F.col(c)).alias(f"_nd{i}"),
+                F.max(F.col(c).isNull().cast("int")).alias(f"_null{i}"),
+            ]
+        prof = delta.agg(*aggs).collect()[0]
+        out = []
+        for i, c in enumerate(pk):
+            dhasnull = bool(prof[f"_null{i}"])
+            lo = self._stat_val(prof[f"_lo{i}"])
+            hi = self._stat_val(prof[f"_hi{i}"])
+            dvals = drange = None
+            if prof[f"_nd{i}"] <= self._DELTA_VALS_CAP:
+                dvals = [v for (v,) in delta.select(c).distinct().collect()
+                         if v is not None and v == v]
+            elif lo is not None and hi is not None:
+                drange = (lo, hi)
+            out.append((c, dvals, drange, dhasnull))
+        return out
 
     def read_for_keys(self, spark: SparkSession, table: str,
                       keys: DataFrame, pk: list[str]) -> DataFrame:
@@ -237,7 +280,7 @@ class StagingStore:
         if meta is None or meta.get("pk") != pk:
             return self.read(spark, table)
         cand = self._prune_candidates(
-            meta["parts"], *self._delta_profile(keys, pk[0]))
+            meta["parts"], self._delta_profile(keys, pk))
         df = self._read_subs(spark, table, cand)
         if df is None:
             # no candidate partition exists on disk: typed-empty via a
@@ -306,7 +349,7 @@ class StagingStore:
             if pk:
                 spark = df.sparkSession
                 back = spark.read.parquet(self.path(table))
-                parts = self._partition_stats(back, pk[0])
+                parts = self._partition_stats(back, pk)
                 self._write_meta(table, {"pk": pk, "parts": parts})
                 return sum(st["rows"] for st in parts.values())
         else:
@@ -386,7 +429,7 @@ class StagingStore:
             # later merge prunes with the sidecar this pass writes
             raw = spark.read.option("mergeSchema", "true") \
                 .parquet(self.path(table))
-            boot_parts = self._partition_stats(raw, pk[0])
+            boot_parts = self._partition_stats(raw, pk)
             old_vals = {
                 r[0] for r in raw.join(delta_keys, on=pk, how="left_semi")
                 .select(PARTITION_COL).distinct().collect()
@@ -394,7 +437,7 @@ class StagingStore:
         else:
             boot_parts = dict(meta["parts"])
             cand = self._prune_candidates(
-                boot_parts, *self._delta_profile(delta, pk[0]))
+                boot_parts, self._delta_profile(delta, pk))
             cand_df = self._read_subs(spark, table, cand)
             old_vals = set() if cand_df is None else {
                 r[0] for r in
@@ -425,7 +468,7 @@ class StagingStore:
         new_parts = {s: st for s, st in boot_parts.items() if s not in set(subs)}
         if _has_data_files(tmp):
             new_parts.update(self._partition_stats(
-                spark.read.parquet(tmp), pk[0]))
+                spark.read.parquet(tmp), pk))
         new_meta = {"pk": pk, "parts": new_parts}
         # intent AFTER tmp is complete, swaps after the intent: any
         # crash from here rolls FORWARD in _recover (the partition swap

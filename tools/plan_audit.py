@@ -69,6 +69,14 @@ AUDIT = [
     # doc_id semi-join into the v3 chain) and the DSIR standalone
     "pipeline_curation_dsir",
     "sample_dsir_weights",
+    # round-16/17 payload-grade codec entries (VERDICT r16 ask #4):
+    # each plan must be the single-stage Arrow map over a pruned
+    # two-column pushed-filter scan — no shuffle, nothing on the
+    # driver; the audit pins exactly that shape
+    "multimodal_codec_mix",
+    "multimodal_g711_codec",
+    "multimodal_lossless_payloads",
+    "multimodal_jpeg12_payload",
 ]
 
 
