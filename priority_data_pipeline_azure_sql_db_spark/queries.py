@@ -3355,13 +3355,27 @@ def multimodal_jpeg12_payload(spark, sf_dir):
     read, level shift, DC-prediction step, huffman category, SOF2
     successive-approximation refinement, or output scale flips the
     values. ASCII fixture contract guarded like the sibling payload
-    entries. One mapInPandas, blobs never touch the driver."""
+    entries. spread() ahead of the Arrow map: the per-document work
+    here is the heaviest of the payload family (two full encodes —
+    the SOF2 progressive multi-scan pass especially — plus two
+    decodes), so the tiny (doc_id, text) rows are hash-spread across
+    all cores BEFORE fan-out rather than letting a one-file fixture
+    scan serialize 200 documents into one task (operators/scale.py
+    module doc: the 100 TB shape keys the corpus once, cheaply, and
+    every per-document kernel inherits the clustering). Blobs never
+    touch the driver."""
     import numpy as np
     import pandas as pd
 
     from .operators import codecs
+    from .operators.scale import spread
 
-    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    d = spread(
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 200)
+        .select("doc_id", "text"),
+        "doc_id",
+    )
 
     def synth_flatblock(batches):
         for pdf in batches:
