@@ -859,6 +859,78 @@ def test_staging_merge_zone_map_property(spark, seq, tmp_path_factory):
     assert got == want
 
 
+composite_merge_seq = st.lists(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=2),    # tenant: hot, few
+            st.integers(min_value=0, max_value=9),    # seq: the real key
+            st.integers(min_value=1, max_value=5),    # load day
+            st.text(alphabet="ab", min_size=1, max_size=2),  # value
+        ),
+        min_size=0, max_size=6,
+    ),
+    min_size=1, max_size=4,
+)
+
+
+@SETTINGS
+@given(seq=composite_merge_seq)
+def test_staging_merge_composite_zone_map_property(
+        spark, seq, tmp_path_factory):
+    """Round-17 composite zone maps under RANDOM merge sequences: pk =
+    (tenant, seq) where tenant is deliberately hot (3 values — the
+    first-key range is near-useless, so the per-column seq pruning is
+    what actually gates partition reads). The store's final content
+    must equal a driver-side GROUP-replace reference fold keyed on the
+    FULL tuple — a wrong prune on EITHER column (a partition holding an
+    old key version skipped by its per-column ranges) surfaces as a
+    stale duplicate or lost row, and the returned count must match the
+    reference at every step (sidecar row accounting under composite
+    stats)."""
+    from pyspark.sql import functions as F2
+
+    from priority_data_pipeline_azure_sql_db_spark.pipeline import StagingStore
+
+    store = StagingStore(str(tmp_path_factory.mktemp("czstg")))
+    pk = ["tenant", "seq"]
+    ref: dict[tuple, list] = {}
+    first = True
+    for run, delta in enumerate(seq):
+        rows = [(t, s, f"2026-01-0{day} 12:00:00", v)
+                for t, s, day, v in delta]
+        df = spark.createDataFrame(
+            rows,
+            "tenant bigint, seq bigint, extractiontimestamputc string, "
+            "v string",
+        ).withColumn("extractionid", F2.lit(f"run-{run}")).withColumn(
+            "extractiontimestamputc",
+            F2.col("extractiontimestamputc").cast("timestamp"),
+        )
+        if first:
+            n = store.overwrite(df, "t", pk=pk)
+            ref = {}
+            first = False
+        else:
+            n = store.merge(spark, df, "t", pk)
+        groups: dict[tuple, list] = {}
+        for t, s, day, v in delta:
+            groups.setdefault((t, s), []).append((day, v))
+        for key, g in groups.items():
+            ref[key] = g
+        assert n == sum(len(g) for g in ref.values())
+    if not store.exists("t"):
+        assert ref == {} or all(not g for g in ref.values())
+        return
+    got = sorted(
+        (r.tenant, r.seq, int(str(r.extractiontimestamputc)[9]), r.v)
+        for r in store.read(spark, "t").collect()
+    )
+    want = sorted(
+        (t, s, day, v) for (t, s), g in ref.items() for day, v in g
+    )
+    assert got == want
+
+
 # ---------------------------------------------------------------------------
 # ADPCM codec properties (round 14) — pure-Python kernels, no Spark, so
 # these can afford real example counts.
