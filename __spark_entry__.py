@@ -91,10 +91,39 @@ def entry(spark: SparkSession) -> DataFrame:
 #      Displaces events_conversion_latency and events_scd2_incremental
 #      (r13 bucket tail) to r18's head.
 #
-# Schedule from here (bucket sizes as of r17 START):
-#   r18: the 44-entry r14 bucket tail + any r17 displaced tail +
-#        the r15 bucket head (fills to 50).
-#   r19: r15 tail + r16 bucket head.
+# Schedule from here (bucket sizes as of r17 END, after the seven
+# in-round insertions above; the r14 bucket counts 45 once the r15/
+# r16/r17 re-checks and the four retirements are netted out —
+# streaming_html_ingest moved to the r17 bucket via insertion d.):
+#   r18: the 5-entry r17 displaced tail + the WHOLE 45-entry r14
+#        bucket (r14 window order) = 50 exactly. EXACT list, in order:
+#        profile_quality_drift, profile_join_skew, dq_k_anonymity,
+#        events_conversion_latency, events_scd2_incremental,
+#        profile_corpus_fingerprint, sample_multi_epoch_plan,
+#        profile_source_dup_pressure, embedding_normalize,
+#        pack_document_chunks, text_vocab_topk, pipeline_curation_e2e,
+#        text_lm_quality_score, text_html_extract,
+#        pipeline_curation_html, pack_greedy_sequences,
+#        dedup_boilerplate_lines, events_tumbling_hourly,
+#        q21_last_shipper_preagg, odata_source_scan,
+#        pipeline_e2e_flagship, q1_pricing_summary,
+#        q3_shipping_priority, q4_order_priority,
+#        q5_local_supplier_volume, q6_revenue_forecast,
+#        q10_returned_items, q18_large_orders,
+#        top_customers_by_revenue, agg_distinct_suppliers,
+#        percentiles_quantity, rollup_lineitem_status,
+#        cube_orders_status_priority, grouping_sets_lineitem,
+#        pivot_segment_by_region, join_left_outer_nulls,
+#        join_full_outer, semi_join_customers_with_orders,
+#        anti_join_customers_without_orders, setop_nation_intersect,
+#        setop_nation_except, union_all_distinct,
+#        window_running_total, window_lag_lead_ntile,
+#        window_topk_orders_per_customer, scalar_string_funcs,
+#        scalar_array_funcs, conditional_null_funcs,
+#        pipeline_count_rows, pipeline_limit_probe.
+#        Any r18 in-round change/registration displaces from the r14
+#        segment, tail-first.
+#   r19: the r15 bucket + r16 bucket head (fills to 50).
 #   r20: r16 tail + r17 bucket head.
 #   Every bucket clears within 4 rounds of its last check, tails within
 #   5, per I1/I2.
