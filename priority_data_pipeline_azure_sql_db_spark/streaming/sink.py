@@ -409,11 +409,26 @@ def _check_scd2_meta(store_path: str, n_log_buckets: int) -> None:
             marker = path + ".ambiguous.jsonl"
             prior_adoptions: set[int] = set()
             if os.path.exists(marker):
+                # round-18 ADVICE fix: the marker is appended without
+                # atomicity, so a crash mid-append can leave a torn
+                # last line. The marker is documented non-authoritative
+                # — a malformed line must not fail every subsequent
+                # fold with an opaque JSONDecodeError; skip it with a
+                # logged warning instead (losing one adoption record
+                # only weakens the conflict check, never corrupts the
+                # store).
                 with open(marker) as fh:
-                    prior_adoptions = {
-                        _json.loads(ln)["adopted"]
-                        for ln in fh if ln.strip()
-                    }
+                    for ln in fh:
+                        if not ln.strip():
+                            continue
+                        try:
+                            prior_adoptions.add(_json.loads(ln)["adopted"])
+                        except (ValueError, KeyError, TypeError):
+                            logging.getLogger(__name__).warning(
+                                "skipping malformed line in %s (torn "
+                                "append from a crashed fold?): %r",
+                                marker, ln[:200],
+                            )
             conflicting = sorted(prior_adoptions - {n_log_buckets})
             if conflicting:
                 raise ValueError(

@@ -2394,6 +2394,75 @@ def test_scd2_ambiguous_adoption_marker_and_conflict(
     assert not os.path.exists(marker)
 
 
+def test_scd2_ambiguous_marker_tolerates_torn_line(
+        spark, tmp_path, caplog):
+    """Round-18 ADVICE fix: the ``.ambiguous.jsonl`` marker is appended
+    without atomicity, so a crash mid-append can leave a torn last
+    line. Reading the non-authoritative marker must skip that line with
+    a logged warning — not fail every subsequent fold with an opaque
+    JSONDecodeError — while the intact lines keep driving the
+    conflicting-count raise."""
+    import logging
+    import os
+    import warnings
+
+    import pytest
+    from pyspark.sql import functions as F
+
+    from priority_data_pipeline_azure_sql_db_spark.streaming.sink import (
+        fold_scd2_batch,
+    )
+
+    rows = spark.range(1, 256).select(
+        "id", F.pmod(F.xxhash64(F.col("id")), F.lit(4)).alias("kb"),
+    ).collect()
+    uid_low = int(next(r["id"] for r in rows if r["kb"] < 2))
+
+    def mk(recs):
+        return spark.createDataFrame(
+            recs, "user_id bigint, state string, ts string, seq bigint",
+        ).withColumn("ts", F.col("ts").cast("timestamp"))
+
+    store = str(tmp_path / "torn_marker_store")
+    meta = os.path.join(store, "SCD2_META.json")
+    marker = meta + ".ambiguous.jsonl"
+    args = (["user_id"], ["state"], "ts", ["seq"])
+    assert fold_scd2_batch(
+        spark, store, mk([(uid_low, "a", "2026-01-01 00:00:00", 1)]), 1,
+        *args, n_log_buckets=4,
+    ) is True
+    os.remove(meta)
+    with warnings.catch_warnings(record=True):
+        warnings.simplefilter("always")
+        assert fold_scd2_batch(
+            spark, store, mk([(uid_low, "b", "2026-01-02 00:00:00", 2)]),
+            2, *args, n_log_buckets=4,
+        ) is True
+    # simulate a crash mid-append: a torn (truncated, unparseable)
+    # trailing record
+    with open(marker, "a") as fh:
+        fh.write('{"adopted": 8, "distinct_')
+
+    # same-count ambiguous re-fold: must NOT raise JSONDecodeError;
+    # the torn line is skipped with a logged warning
+    with warnings.catch_warnings(record=True), \
+            caplog.at_level(logging.WARNING):
+        warnings.simplefilter("always")
+        assert fold_scd2_batch(
+            spark, store, mk([(uid_low, "c", "2026-01-03 00:00:00", 3)]),
+            3, *args, n_log_buckets=4,
+        ) is True
+    assert any("malformed" in r.getMessage() for r in caplog.records), \
+        "the skipped torn line must be logged"
+
+    # the intact recorded adoption (4) still drives the conflict raise
+    with pytest.raises(ValueError, match="ambiguous"):
+        fold_scd2_batch(
+            spark, store, mk([(uid_low, "d", "2026-01-04 00:00:00", 4)]),
+            4, *args, n_log_buckets=8,
+        )
+
+
 def test_ann_index_empty_build_fails_loud(spark, tmp_path):
     """Round-10 review-fix follow-through: the ANN stores share the ER
     store's empty-partitionBy wedge class — a zero-vector build would
