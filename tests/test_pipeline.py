@@ -382,6 +382,60 @@ def test_composite_pk_zone_maps_prune_beyond_first_key(spark, tmp_path):
     assert got_n.count() == 0  # tenant 99 outside every range → all pruned
 
 
+def test_delta_profile_single_action_and_semantics(
+        spark, tmp_path, monkeypatch):
+    """Round 18 (VERDICT r17 ask #4): ``_delta_profile`` pays exactly
+    ONE Spark action regardless of pk width — the stats row and every
+    column's capped-distinct one-hot branch collect through a single
+    union — and keeps the round-17 per-column semantics: complete
+    value set at <= cap distinct non-null values (NaN excluded), range
+    fallback above the cap, None bounds for driver-uncomparable types,
+    has-null flags from the stats row."""
+    import math
+    from datetime import datetime
+
+    from priority_data_pipeline_azure_sql_db_spark.pipeline import StagingStore
+
+    monkeypatch.setattr(StagingStore, "_DELTA_VALS_CAP", 3)
+    store = StagingStore(root=str(tmp_path / "stg"))
+    ts = datetime(2026, 1, 1, 12, 0, 0)
+    delta = spark.createDataFrame(
+        [(1, 10, 1.0, ts), (2, 20, float("nan"), ts), (None, 30, 2.0, ts),
+         (1, 40, 2.0, ts), (2, 50, 1.0, ts)],
+        "a bigint, b bigint, c double, d timestamp",
+    )
+
+    calls = []
+    # patch the CONCRETE DataFrame class (pyspark 4: pyspark.sql.DataFrame
+    # is an abstract base; instances override collect on the subclass)
+    df_cls = type(delta)
+    orig = df_cls.collect
+
+    def counted(self):
+        calls.append(1)
+        return orig(self)
+
+    monkeypatch.setattr(df_cls, "collect", counted)
+    prof = store._delta_profile(delta, ["a", "b", "c", "d"])
+    assert len(calls) == 1, f"{len(calls)} actions for a 4-column pk"
+
+    prof_by_col = {c: (dvals, drange, dn) for c, dvals, drange, dn in prof}
+    # a: 2 distinct non-null (<= cap) + a null -> complete value set
+    dvals, drange, dn = prof_by_col["a"]
+    assert sorted(dvals) == [1, 2] and drange is None and dn is True
+    # b: 5 distinct (> cap) -> range fallback
+    dvals, drange, dn = prof_by_col["b"]
+    assert dvals is None and drange == (10, 50) and dn is False
+    # c: {1.0, 2.0, NaN} -> value set with NaN excluded
+    dvals, drange, dn = prof_by_col["c"]
+    assert sorted(dvals) == [1.0, 2.0] and dn is False
+    assert not any(math.isnan(v) for v in dvals)
+    # d: timestamp is driver-uncomparable (_stat_val -> None bounds);
+    # its single distinct value still lands in the (harmless) value set
+    dvals, drange, dn = prof_by_col["d"]
+    assert dvals == [ts] and drange is None and dn is False
+
+
 def test_merge_group_replace_semantics(spark, tmp_path):
     """The merge is GROUP-replace on the key (round-11 review, resolved
     against the blanket-dedup 'fix' that test_incremental_overlap_
