@@ -211,27 +211,38 @@ def main() -> None:
     IO_PROBE_PASSES = 24  # frozen — do not retune
     io_paths = sorted(_glob.glob(os.path.join(SF_DIR, "*.parquet")))
     io_attempts: list[float] = []
-    io_bytes = 0
-    for _ in range(5):
-        t0 = time.time()
-        io_bytes = 0
-        for _pass in range(IO_PROBE_PASSES):
-            for p in io_paths:
-                fd = os.open(p, os.O_RDONLY)
-                try:
-                    os.posix_fadvise(fd, 0, 0, os.POSIX_FADV_DONTNEED)
-                    while True:
-                        chunk = os.read(fd, 4 * 1024 * 1024)
-                        if not chunk:
-                            break
-                        io_bytes += len(chunk)
-                finally:
-                    os.close(fd)
-        io_attempts.append(round(time.time() - t0, 3))
-    # first attempt pays cold fs metadata (dentry/inode), never counted
-    calibration_io = min(io_attempts[1:])
-    print(f"[bench] io calibration probe: attempts={io_attempts} "
-          f"best={calibration_io:.3f} bytes={io_bytes}", file=sys.stderr)
+    io_bytes = None
+    calibration_io = None
+    # round-18 ADVICE fix: posix_fadvise is Linux-only (absent on
+    # macOS/Windows) — without page-cache eviction the probe would
+    # measure warm-cache memcpy, not the storage path, so skip the
+    # whole axis (fields publish as null) rather than publish a number
+    # that means something different per platform.
+    if hasattr(os, "posix_fadvise"):
+        for _ in range(5):
+            t0 = time.time()
+            io_bytes = 0
+            for _pass in range(IO_PROBE_PASSES):
+                for p in io_paths:
+                    fd = os.open(p, os.O_RDONLY)
+                    try:
+                        os.posix_fadvise(fd, 0, 0, os.POSIX_FADV_DONTNEED)
+                        while True:
+                            chunk = os.read(fd, 4 * 1024 * 1024)
+                            if not chunk:
+                                break
+                            io_bytes += len(chunk)
+                    finally:
+                        os.close(fd)
+            io_attempts.append(round(time.time() - t0, 3))
+        # first attempt pays cold fs metadata (dentry/inode), never counted
+        calibration_io = min(io_attempts[1:])
+        print(f"[bench] io calibration probe: attempts={io_attempts} "
+              f"best={calibration_io:.3f} bytes={io_bytes}", file=sys.stderr)
+    else:
+        print("[bench] io calibration probe SKIPPED: os.posix_fadvise "
+              "unavailable on this platform (calibration_io_* fields "
+              "publish as null)", file=sys.stderr)
 
     # Pre-warm pipeline_curation_incremental's standing stores (VERDICT
     # r10 ask #3): its three resident artifacts (base fingerprint store,
@@ -345,7 +356,7 @@ def main() -> None:
         "core_per_calib_io": round(core_total / calibration_io, 2)
         if calibration_io else None,
         "calib_io_per_cpu": round(calibration_io / calibration, 3)
-        if calibration else None,
+        if (calibration and calibration_io) else None,
         "queries": timings,
         # present (and non-empty) only when an entry failed — a failed
         # entry is also absent from queries/totals
