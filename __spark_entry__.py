@@ -25,6 +25,57 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The correctness driver evaluates the first 50 registry entries in order.
+# Round-18 rotation: the window the r17 rotation comment and VERDICT r17
+# (ask #1) published, run exactly. Composition, in order:
+# (1) the 5-entry r17 displaced tail (displaced by r17's in-round
+#     insertions, so at the I2 worst-case staleness clock; they run
+#     FIRST and are displacement-exempt this round per VERDICT r17
+#     ask #1): profile_quality_drift, profile_join_skew,
+#     dq_k_anonymity, events_conversion_latency,
+#     events_scd2_incremental.
+# (2) the WHOLE 45-entry r14 bucket, r14 window order (the published
+#     list: profile_corpus_fingerprint .. pipeline_limit_probe).
+# 5 + 45 = 50 exactly.
+#
+# In-round r18 changes (displacements per I2, tail-first from the r14
+# segment above, recorded here as they land; the 5-entry head in (1)
+# is displacement-exempt this round per VERDICT r17 ask #1):
+#   a. streaming_scd2_maintenance + streaming_scd2_with_deletes — the
+#      round-18 ADVICE fix on their fold path: the non-authoritative
+#      SCD2_META.json.ambiguous.jsonl marker is now read tolerantly
+#      (a torn last line from a crash mid-append is skipped with a
+#      logged warning instead of failing every subsequent fold with an
+#      opaque JSONDecodeError). Zero functional delta for graded runs
+#      (fresh stores carry the sidecar and never write the marker),
+#      but changed-call-path code gets driver evidence per I2.
+#      Displaces pipeline_limit_probe and pipeline_count_rows (r14
+#      segment tail) to r19's head.
+#   b. streaming_html_ingest + pipeline_refresh_cdc_audit — the
+#      round-18 merge-plan latency fix (VERDICT r17 ask #4):
+#      StagingStore._delta_profile now computes the full per-column
+#      delta key profile (ranges AND bounded value sets for every
+#      composite pk column) in ONE Spark action — a union of per-column
+#      capped-distinct one-hot branches with the stats row — instead of
+#      1 + k actions for a k-column key. Value-identical pruning
+#      (candidate sets unchanged; hypothesis merge property tests
+#      green), but changed-call-path code gets driver evidence per I2;
+#      these are the only two graded entries through
+#      StagingStore.merge/read_for_keys. Displaces
+#      conditional_null_funcs and scalar_array_funcs (r14 segment
+#      tail) to r19's head.
+#
+# Schedule from here (bucket sizes as of r18 END):
+#   r19: the 4-entry r18 displaced tail (scalar_array_funcs,
+#        conditional_null_funcs, pipeline_count_rows,
+#        pipeline_limit_probe) + the r15 bucket + the r16 bucket head
+#        (fills to 50), r15/r16 window order. Any r19 in-round
+#        change/registration displaces from the r16 segment,
+#        tail-first.
+#   r20: r16 tail + r17 bucket head.
+#   Every bucket clears within 4 rounds of its last check, tails within
+#   5, per I1/I2.
+#
+# Previous round's comment (kept for the audit trail):
 # Round-17 rotation: the window the r16 rotation comment and VERDICT r16
 # (ask #1) published, run exactly. Composition, in order:
 # (1) the 5-entry r12 displaced tail (each displaced TWICE — r16's four
@@ -613,64 +664,63 @@ def entry(spark: SparkSession) -> DataFrame:
 #   r15: r11 bucket (50)
 #
 CHECK_ORDER = [
-    # (1) the 5-entry r12 displaced tail — displaced twice (r16's five
-    # in-round insertions), at the I2 worst-case staleness clock;
-    # displacement-exempt this round per VERDICT r16 ask #1
-    "q2_min_cost_supplier",
-    "q11_important_parts",
-    "q12_late_shipment_priority",
-    "q16_supplier_part_counts",
-    "q20_heavy_suppliers",
-    # (2) the whole 43-entry r13 bucket, r13 window order
-    "asof_last_click_before_error",
-    "range_join_close_events",
-    "streaming_stateful_user_totals",
-    "dedup_duplicated_spans",
-    "text_quality_classifier",
-    "sample_temperature_mix",
-    "filter_quality_quantile",
-    "sample_curriculum_rank",
-    "pipeline_snapshot_diff",
-    "events_rollup_incremental",
-    "events_scd2_user_state",
-    "sample_source_cap",
-    "dedup_gram_novelty",
-    "pipeline_curation_v3",
-    "dedup_span_removal",
-    "profile_quantization_error",
-    "multimodal_phash_dedup",
-    "pipeline_curation_funnel",
-    "multimodal_phash_near_dup",
-    "export_curriculum_shards",
-    "events_session_sequences",
-    "sample_eval_balanced",
-    "profile_table_stats",
-    "ann_negative_samples",
-    "streaming_rollup_maintenance",
-    "er_fuzzy_customer_pairs",
-    "er_golden_records",
-    "events_pit_enrichment",
-    "sample_soft_dedup",
-    "text_zipf_coverage",
-    "events_conversion_funnel",
-    "events_cohort_retention",
-    "events_transition_matrix",
-    "dq_validation_report",
-    "events_value_outliers",
-    "events_ab_lift",
-    "profile_value_histogram",
-    "events_gapfill_hourly",
-    # (3) in-round r17 changed-path entries + the round's registration
-    # (rotation comment a./b./c./d.) — displacing the r14 segment
-    # (sample_multi_epoch_plan, profile_corpus_fingerprint) and the
-    # r13 bucket tail (profile_quality_drift, profile_join_skew,
-    # dq_k_anonymity, events_conversion_latency,
-    # events_scd2_incremental) to r18's head
+    # (1) the 5-entry r17 displaced tail — at the I2 worst-case
+    # staleness clock; displacement-exempt this round per VERDICT r17
+    # ask #1
+    "profile_quality_drift",
+    "profile_join_skew",
+    "dq_k_anonymity",
+    "events_conversion_latency",
+    "events_scd2_incremental",
+    # (2) the r14 bucket, r14 window order (45 published; the last 4 —
+    # scalar_array_funcs, conditional_null_funcs, pipeline_count_rows,
+    # pipeline_limit_probe — displaced to r19's head by the in-round
+    # r18 changes a./b. below)
+    "profile_corpus_fingerprint",
+    "sample_multi_epoch_plan",
+    "profile_source_dup_pressure",
+    "embedding_normalize",
+    "pack_document_chunks",
+    "text_vocab_topk",
+    "pipeline_curation_e2e",
+    "text_lm_quality_score",
+    "text_html_extract",
+    "pipeline_curation_html",
+    "pack_greedy_sequences",
+    "dedup_boilerplate_lines",
+    "events_tumbling_hourly",
+    "q21_last_shipper_preagg",
+    "odata_source_scan",
+    "pipeline_e2e_flagship",
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q4_order_priority",
+    "q5_local_supplier_volume",
+    "q6_revenue_forecast",
+    "q10_returned_items",
+    "q18_large_orders",
+    "top_customers_by_revenue",
+    "agg_distinct_suppliers",
+    "percentiles_quantity",
+    "rollup_lineitem_status",
+    "cube_orders_status_priority",
+    "grouping_sets_lineitem",
+    "pivot_segment_by_region",
+    "join_left_outer_nulls",
+    "join_full_outer",
+    "semi_join_customers_with_orders",
+    "anti_join_customers_without_orders",
+    "setop_nation_intersect",
+    "setop_nation_except",
+    "union_all_distinct",
+    "window_running_total",
+    "window_lag_lead_ntile",
+    "window_topk_orders_per_customer",
+    "scalar_string_funcs",
+    # (3) in-round r18 changed-path entries (rotation comment a./b.) —
+    # displacing the 4-entry r14 segment tail to r19's head
     "streaming_scd2_maintenance",
     "streaming_scd2_with_deletes",
-    "multimodal_g711_codec",
-    "multimodal_lossless_payloads",
-    "multimodal_jpeg12_payload",
     "streaming_html_ingest",
     "pipeline_refresh_cdc_audit",
 ]
