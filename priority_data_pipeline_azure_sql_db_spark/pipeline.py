@@ -299,7 +299,10 @@ class StagingStore:
                     F.lit(None).cast(vtype).alias("_hi"),
                     F.lit(None).cast("array<int>").alias("_null"),
                 ))
-        rows = reduce(DataFrame.union, branches).collect()
+        # bound-method dispatch: pyspark 4 splits the public DataFrame
+        # base from the concrete (classic/connect) subclass — an
+        # unbound DataFrame.union would pin the base implementation
+        rows = reduce(lambda a, b: a.union(b), branches).collect()
 
         stats_row = next(r for r in rows if r["_i"] == -1)
         out = []
