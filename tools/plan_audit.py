@@ -74,7 +74,9 @@ AUDIT = [
     # scan with nothing on the driver. Shuffle budget (mechanically
     # pinned by health()'s payload check below, round-18 ADVICE fix —
     # the pin used to be prose-only): zero exchanges for the light
-    # entries; multimodal_jpeg12_payload deliberately carries ONE
+    # payload entries; multimodal_codec_mix (the count-per-tag PROFILE,
+    # not a payload grade) inherently ends in one tiny groupBy(codec)
+    # agg exchange; multimodal_jpeg12_payload deliberately carries ONE
     # REPARTITION_BY_NUM exchange — the house spread() between the
     # one-row-group fixture scan and the heavy per-doc Arrow stage
     # (without it the whole 12-bit encode+decode chain serialized into
@@ -85,14 +87,17 @@ AUDIT = [
     "multimodal_jpeg12_payload",
 ]
 
-# payload-codec shuffle budget: entry -> allowed REPARTITION_BY_NUM
-# (spread) exchanges; any OTHER exchange kind is always a WARN for
-# these entries
+# payload-codec shuffle budget: entry -> (allowed REPARTITION_BY_NUM
+# spread exchanges, allowed ENSURE_REQUIREMENTS agg exchanges).
+# codec_mix is the count-per-tag PROFILE, so its one final
+# groupBy(codec) aggregation exchange over the ~16 tag rows is
+# inherent; the three payload-grade entries allow none. Any exchange
+# outside both classes is always a WARN.
 PAYLOAD_SPREAD_BUDGET = {
-    "multimodal_codec_mix": 0,
-    "multimodal_g711_codec": 0,
-    "multimodal_lossless_payloads": 0,
-    "multimodal_jpeg12_payload": 1,
+    "multimodal_codec_mix": (0, 1),
+    "multimodal_g711_codec": (0, 0),
+    "multimodal_lossless_payloads": (0, 0),
+    "multimodal_jpeg12_payload": (1, 0),
 }
 
 
@@ -110,18 +115,26 @@ def health(plan: str, name: str | None = None) -> list[str]:
     # a hash/range exchange, a broadcast — means the plan grew a
     # shuffle stage and the single-stage payload story is stale.
     if name in PAYLOAD_SPREAD_BUDGET:
-        budget = PAYLOAD_SPREAD_BUDGET[name]
+        spread_budget, agg_budget = PAYLOAD_SPREAD_BUDGET[name]
+        # an executed AQE plan prints the tree TWICE (== Final Plan ==
+        # then == Initial Plan ==) — only the final section's nodes are
+        # the plan that ran
+        final = plan.split("== Initial Plan ==")[0]
         # count Exchange operator nodes (BroadcastExchange included via
         # substring); ReusedExchange references are the same node
-        exchanges = re.findall(r"Exchange [^\n]*", plan)
+        exchanges = re.findall(r"Exchange [^\n]*", final)
         spreads = [e for e in exchanges if "REPARTITION_BY_NUM" in e]
-        others = [e for e in exchanges if "REPARTITION_BY_NUM" not in e]
-        ok = len(others) == 0 and len(spreads) <= budget
+        aggs = [e for e in exchanges if "ENSURE_REQUIREMENTS" in e]
+        others = [e for e in exchanges
+                  if "REPARTITION_BY_NUM" not in e
+                  and "ENSURE_REQUIREMENTS" not in e]
+        ok = (len(spreads) <= spread_budget and len(aggs) <= agg_budget
+              and len(others) == 0)
         notes.append(
             ("PASS" if ok else "WARN")
-            + f" payload shuffle budget: {len(spreads)} spread "
-            f"exchange(s) (allowed {budget}), {len(others)} other "
-            f"exchange(s) (allowed 0)"
+            + f" payload shuffle budget: {len(spreads)} spread (allowed "
+            f"{spread_budget}), {len(aggs)} agg (allowed {agg_budget}), "
+            f"{len(others)} other exchange(s) (allowed 0)"
         )
     # "Scan parquet" alone covers BOTH v1 ("FileScan parquet" contains
     # it as a substring — summing the two double-counted every scan,
