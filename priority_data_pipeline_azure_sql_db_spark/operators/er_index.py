@@ -392,10 +392,19 @@ def append_to_er_index(
     to one label, exactly as the batch pass would conclude).
 
     1. one row per id: dedupe ids WITHIN the batch (source replays),
-       then drop ids already in ``base/`` (idempotent retry — the
-       only index-sized read, one column);
+       then drop ids already in ``base/`` (idempotent retry — a
+       one-column index-sized read);
     2. edge set: delta×base matches within blocks + delta×delta pairs
-       (new records can also duplicate each other);
+       (new records can also duplicate each other). The delta×base
+       leg necessarily BLOCK-SCANS the standing base's key columns to
+       find matches — a linear scan-class coefficient against store
+       size (round-18 probe attribution: ~23 ms per sf0.1-replica of
+       base, the whole er_append marginal; the raw id anti-join and
+       cluster-map reads measure flat). At dimension scale (entity
+       bases, not corpora) this scan is the operator's price of
+       rebuild-equality; co-partitioning the base by block key would
+       trade it for a bucketed layout if an entity base ever grows
+       corpus-sized;
     3. bounded relabel: connected components over ONLY the touched
        subgraph — members of standing clusters hit by an edge (pulled
        in as star edges node→cluster_id, which preserve each cluster's
