@@ -56,11 +56,15 @@ def entry(spark: SparkSession) -> DataFrame:
 #      delta key profile (ranges AND bounded value sets for every
 #      composite pk column) in ONE Spark action — a union of per-column
 #      capped-distinct one-hot branches with the stats row — instead of
-#      1 + k actions for a k-column key. Value-identical pruning
-#      (candidate sets unchanged; hypothesis merge property tests
-#      green), but changed-call-path code gets driver evidence per I2;
-#      these are the only two graded entries through
-#      StagingStore.merge/read_for_keys. Displaces
+#      1 + k actions for a k-column key. Refined the same round after
+#      plan inspection: each branch folds to ONE row server-side
+#      (count + collect_list, values NULLed when the CAP+2 limit was
+#      hit), so the driver receives k+1 rows total and an over-cap
+#      column ships its count instead of 50k useless one-hot rows.
+#      Value-identical pruning (candidate sets unchanged; hypothesis
+#      merge property tests green at both steps), but changed-call-path
+#      code gets driver evidence per I2; these are the only two graded
+#      entries through StagingStore.merge/read_for_keys. Displaces
 #      conditional_null_funcs and scalar_array_funcs (r14 segment
 #      tail) to r19's head.
 #

@@ -246,13 +246,19 @@ class StagingStore:
         Expand-multiplied the delta scan by k+1) unioned with one
         capped-distinct branch per column. Each branch selects its
         column into a one-hot struct over the full pk schema (union
-        needs a uniform row type), distincts, and limits to CAP+2 —
-        so whenever the column really has <= CAP distinct non-null
-        values the branch returns the COMPLETE set (<= CAP values +
-        at most one null row < CAP+2, never truncated), and a branch
-        that comes back truncated or over-cap falls back to the range.
-        The bounded LocalLimit above each branch's partial dedup keeps
-        the shuffle O(partitions x CAP), never O(delta).
+        needs a uniform row type), distincts, limits to CAP+2, and
+        folds the survivors into ONE row (count + collect_list) whose
+        value array is NULLed server-side when the limit was hit — so
+        whenever the column really has <= CAP distinct non-null values
+        the branch returns the COMPLETE set (<= CAP values + at most
+        one all-null-fields struct for a null key < CAP+2, never
+        truncated), a truncated or over-cap branch falls back to the
+        range, and the driver receives exactly k+1 rows no matter the
+        cardinality (an over-cap column ships its count, not CAP+2
+        useless values — caught by plan inspection the round this
+        landed). Each branch's shuffle carries only per-partition-
+        distinct rows — the same partial-dedup volume the old
+        ``count_distinct`` paid, without the Expand.
 
         Value sets exclude NaN floats (they break bisect ordering, and
         any partition holding NaN has a None bound, staying a
@@ -261,12 +267,13 @@ class StagingStore:
         then."""
         from functools import reduce
 
-        from pyspark.sql.types import StructField, StructType
+        from pyspark.sql.types import ArrayType, StructField, StructType
 
         cap = self._DELTA_VALS_CAP
         types = {f.name: f.dataType for f in delta.schema.fields}
         vtype = StructType(
             [StructField(f"v{i}", types[c]) for i, c in enumerate(pk)])
+        atype = ArrayType(vtype)
         aggs = []
         for i, c in enumerate(pk):
             aggs += [
@@ -275,7 +282,8 @@ class StagingStore:
             ]
         stats = delta.agg(*aggs).select(
             F.lit(-1).alias("_i"),
-            F.lit(None).cast(vtype).alias("_v"),
+            F.lit(None).cast("bigint").alias("_n"),
+            F.lit(None).cast(atype).alias("_vals"),
             F.struct(*[F.col(f"_lo{i}").alias(f"v{i}")
                        for i in range(len(pk))]).alias("_lo"),
             F.struct(*[F.col(f"_hi{i}").alias(f"v{i}")
@@ -285,6 +293,9 @@ class StagingStore:
         )
         branches = [stats]
         for i, c in enumerate(pk):
+            # one-hot over the full pk schema: a null KEY VALUE becomes
+            # a non-null struct with null fields, so collect_list (which
+            # drops null ELEMENTS) still carries it
             onehot = F.struct(*[
                 (F.col(pk[j]) if j == i
                  else F.lit(None).cast(types[pk[j]])).alias(f"v{j}")
@@ -293,8 +304,14 @@ class StagingStore:
             branches.append(
                 delta.select(onehot.alias("_v"))
                 .distinct().limit(cap + 2)
+                .agg(F.count(F.lit(1)).alias("_n"),
+                     F.collect_list("_v").alias("_vraw"))
                 .select(
-                    F.lit(i).alias("_i"), F.col("_v"),
+                    F.lit(i).alias("_i"), F.col("_n"),
+                    # hit the limit => possibly truncated => the values
+                    # are useless; ship NULL instead of CAP+2 rows
+                    F.when(F.col("_n") < cap + 2, F.col("_vraw"))
+                    .cast(atype).alias("_vals"),
                     F.lit(None).cast(vtype).alias("_lo"),
                     F.lit(None).cast(vtype).alias("_hi"),
                     F.lit(None).cast("array<int>").alias("_null"),
@@ -305,17 +322,21 @@ class StagingStore:
         rows = reduce(lambda a, b: a.union(b), branches).collect()
 
         stats_row = next(r for r in rows if r["_i"] == -1)
+        by_i = {r["_i"]: r for r in rows}
         out = []
         for i, c in enumerate(pk):
             dhasnull = bool(stats_row["_null"][i])
             lo = self._stat_val(stats_row["_lo"][f"v{i}"])
             hi = self._stat_val(stats_row["_hi"][f"v{i}"])
-            vals = [r["_v"][f"v{i}"] for r in rows if r["_i"] == i]
-            nonnull = [v for v in vals if v is not None]
+            vrow = by_i[i]
+            vals = ([v[f"v{i}"] for v in vrow["_vals"]]
+                    if vrow["_vals"] is not None else None)
             dvals = drange = None
-            if len(vals) < cap + 2 and len(nonnull) <= cap:
-                dvals = [v for v in nonnull if v == v]  # NaN out
-            elif lo is not None and hi is not None:
+            if vals is not None:
+                nonnull = [v for v in vals if v is not None]
+                if len(nonnull) <= cap:
+                    dvals = [v for v in nonnull if v == v]  # NaN out
+            if dvals is None and lo is not None and hi is not None:
                 drange = (lo, hi)
             out.append((c, dvals, drange, dhasnull))
         return out
