@@ -416,22 +416,42 @@ def dsir_scored(
     both corpora contributes log(α·q_total' / α·p_total') — a constant
     per-occurrence prior offset, not a NaN).
 
-    Scale shape: two hash-agg count passes (target is typically tiny;
-    the ratio table is at most ``n_buckets`` rows and BROADCASTS), then
-    one map-side-combinable join+sum over the raw corpus's bigram
-    occurrences — no corpus-sized shuffle beyond the per-doc groupBy,
-    no Python. Docs with no bigrams (0/1 token) surface with
+    Scale shape (round 18 — see OPTIMIZATION_r18.md): ONE tokenize +
+    md5 pass over the raw corpus. The per-(doc, bucket) count aggregate
+    is the shared subtree — the corpus bucket counts ``q`` are its
+    ``groupBy(f)`` rollup and the per-doc scoring join+sum consumes it
+    directly, so the exchange above the bigram explode is planned once
+    and ReuseExchange'd by both consumers (the pre-r18 shape tokenized
+    and hashed the whole corpus TWICE, once for q and once for the
+    scoring occurrences, and both passes ran inside the one-task
+    single-row-group fixture scan). The ratio table is at most
+    ``n_buckets`` rows and BROADCASTS; the scoring join+sum is
+    map-side-combinable over distinct (doc, bucket) pairs rather than
+    raw occurrences. No corpus-sized shuffle beyond the per-doc
+    groupBy, no Python. Docs with no bigrams (0/1 token) surface with
     n_feats = 0 and a NULL weight ("no evidence"), never vanish —
     the bigram_lm_score discipline."""
+    from .scale import spread_if_narrow
     from .text import TOKEN_SPLIT_RE, drop_empty_tokens
 
     def feats(d: DataFrame, keep_id: bool) -> DataFrame:
         t = d.select(
             F.col(id_col).alias("doc"),
-            drop_empty_tokens(
-                F.split(F.trim(F.lower(F.col(text_col))), TOKEN_SPLIT_RE)
-            ).alias("t"),
+            F.col(text_col).alias("_dsir_txt"),
         )
+        # adaptive spread BEFORE the tokenize+explode: a narrow scan
+        # (single-row-group file) would otherwise run the whole corpus
+        # bigram+md5 pass in one task; at real scale the scan is already
+        # parallel and this is an identity. The derived xxhash64 key
+        # (a) avoids the keyless form's local sort-before-repartition
+        # and (b) does NOT satisfy the (doc, f) clustering, so the
+        # shared count aggregate keeps its own exchange above the heavy
+        # stage — the ReuseExchange boundary both consumers share.
+        t = spread_if_narrow(t, F.xxhash64(F.col("doc")))
+        toks = drop_empty_tokens(
+            F.split(F.trim(F.lower(F.col("_dsir_txt"))), TOKEN_SPLIT_RE)
+        ).alias("t")
+        t = t.select("doc", toks)
         z = F.zip_with(
             F.slice(F.col("t"), 1, F.greatest(F.size("t") - 1, F.lit(0))),
             F.slice(F.col("t"), 2, F.greatest(F.size("t") - 1, F.lit(0))),
@@ -444,10 +464,26 @@ def dsir_scored(
         ).alias("f")
         return g.select("doc", bucket) if keep_id else g.select(bucket)
 
+    # ONE corpus pass: per-(doc, f) occurrence counts. Everything the
+    # old two-pass shape needed is derivable from this aggregate, and
+    # because both derivations consume the SAME aggregate subtree its
+    # exchange is planned once and reused (ReusedExchange in the plan).
+    # The explicit isnotnull filters are VACUOUS (doc is the corpus id;
+    # f is md5-derived from a non-null concat) but load-bearing for the
+    # reuse: the scoring consumer's joins infer exactly these filters
+    # into its copy of the subtree (inner join on f, outer join on doc)
+    # and the q-side copy would not carry them — canonically different
+    # subtrees, no ReuseExchange, and the tokenize+md5 pass runs twice
+    # again. Pinned by test_dsir_one_corpus_pass.
+    occ_counts = (
+        feats(df, True)
+        .filter(F.col("doc").isNotNull() & F.col("f").isNotNull())
+        .groupBy("doc", "f")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
     p_cnt = feats(target_df, False).groupBy("f").agg(
         F.count(F.lit(1)).alias("pc"))
-    q_cnt = feats(df, False).groupBy("f").agg(
-        F.count(F.lit(1)).alias("qc"))
+    q_cnt = occ_counts.groupBy("f").agg(F.sum("c").alias("qc"))
     # totals ride as 1-row scalar aggregates broadcast with the ratio table
     pt = p_cnt.agg(F.sum("pc").alias("pt"))
     qt = q_cnt.agg(F.sum("qc").alias("qt"))
@@ -487,14 +523,22 @@ def dsir_scored(
             ).alias("lr"),
         )
     )
-    occ = feats(df, True)
+    # per-doc scoring over the SAME (doc, f) count aggregate: n_feats is
+    # the occurrence count (Σ c) and the weight sum distributes over the
+    # counts — c · lr in exact decimal arithmetic (lr is a fix6 multiple
+    # of 1e-6, so decimal(18,6) holds it exactly; the product and sum
+    # stay in decimal), bit-identical to the old per-occurrence
+    # Σ lr but over distinct (doc, f) pairs instead of every bigram.
     agg = (
-        occ.join(F.broadcast(ratio), "f")
+        occ_counts.join(F.broadcast(ratio), "f")
         .groupBy("doc")
         .agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_feats"),
+            F.sum("c").cast("bigint").alias("n_feats"),
             fix6(
-                F.sum(F.col("lr").cast("decimal(18,6)")).cast("double")
+                F.sum(
+                    F.col("c").cast("decimal(12,0)")
+                    * F.col("lr").cast("decimal(18,6)")
+                ).cast("double")
             ).alias("log_weight"),
         )
     )

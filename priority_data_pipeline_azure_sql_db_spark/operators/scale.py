@@ -51,6 +51,49 @@ def spread(df: DataFrame, *key_cols: str, num_partitions: int | None = None) -> 
     return df.repartition(n, *key_cols) if key_cols else df.repartition(n)
 
 
+def spread_if_narrow(df: DataFrame, *key_cols,
+                     num_partitions: int | None = None) -> DataFrame:
+    """LAYOUT-ADAPTIVE :func:`spread` (round 18): repartition only when
+    the input's physical partition count is below the target — the
+    "repartition immediately after the read" fix for unsplittable
+    inputs (a single-row-group parquet file yields ONE non-empty scan
+    task no matter what ``maxPartitionBytes`` says), WITHOUT paying a
+    permanent exchange at real scale, where a 100 TB table scan already
+    splits into thousands of partitions and an unconditional
+    repartition would shuffle the whole input for nothing.
+
+    The check is plan-time driver work (physical partition count of the
+    sub-plan — file split arithmetic for a scan, no job runs). Use for
+    heavy per-row work directly over a scan (wide aggregates, Arrow
+    codec stages); keep plain :func:`spread` for row-AMPLIFYING
+    operators whose downstream keys match ``key_cols`` — there the
+    pinned exchange *replaces* one Catalyst would insert anyway, so it
+    is free even at scale.
+
+    ``key_cols`` may be names or Column expressions. Prefer a
+    deterministic high-cardinality KEY over the keyless round-robin
+    form: a keyless ``repartition(n)`` first locally sorts its input
+    (``spark.sql.execution.sortBeforeRepartition``, for retry
+    determinism) — in the exact narrow-scan case this helper targets,
+    that sort runs single-threaded *before* the spread can help. A
+    derived key like ``F.xxhash64(id)`` additionally keeps a downstream
+    ``groupBy(id, x)`` from treating the spread partitioning as already
+    satisfying its clustering, when a separate exchange above the heavy
+    stage is wanted (e.g. so two consumers can ReuseExchange it).
+    """
+    n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    try:
+        current = df.rdd.getNumPartitions()
+    except Exception:
+        # exotic plans (e.g. streaming sources) can refuse RDD
+        # conversion at plan time — fall back to the pinned repartition,
+        # which is always correct, just not always free
+        current = 0
+    if current >= n:
+        return df
+    return df.repartition(n, *key_cols) if key_cols else df.repartition(n)
+
+
 def md5_tag48(col):
     """48-bit integer draw from md5(col) — first 12 hex digits as
     decimal(38,0). The ONE implementation of the cross-engine

@@ -31,6 +31,7 @@ from .operators import text as X
 from .operators.flatten import explode_subform, flatten_expand, nest_subform
 from .operators.merge import merge_upsert
 from .operators.normalize import add_audit_columns, drop_columns, lowercase_columns
+from .operators.scale import spread_if_narrow
 from .operators.watermark import watermark_filter
 from .sources.parquet import load_table
 
@@ -2943,7 +2944,7 @@ def multimodal_real_codec(spark, sf_dir):
                 "meta_sample_rate": pd.Series([None] * len(ids), dtype="Int32"),
             })
 
-    media = d.select("doc_id", "text").mapInPandas(
+    media = spread_if_narrow(d.select("doc_id", "text"), "doc_id").mapInPandas(
         synth,
         "media_id long, media_type string, content binary, "
         "meta_width int, meta_height int, meta_sample_rate int",
@@ -3046,7 +3047,7 @@ def multimodal_gif_codec(spark, sf_dir):
                 "frame_md5": md5s,
             })
 
-    return d.select("doc_id", "text").mapInPandas(
+    return spread_if_narrow(d.select("doc_id", "text"), "doc_id").mapInPandas(
         synth_decode_hash,
         "media_id long, media_type string, frame_index long, "
         "n_frames long, fps double, frame_md5 string",
@@ -3175,7 +3176,7 @@ def multimodal_g711_codec(spark, sf_dir):
                 "sample": pd.Series(vals, dtype="int64"),
             })
 
-    return d.select("doc_id", "text").mapInPandas(
+    return spread_if_narrow(d.select("doc_id", "text"), "doc_id").mapInPandas(
         synth_decode, "doc_id long, law string, pos long, sample long")
 
 
@@ -3300,7 +3301,7 @@ def multimodal_lossless_payloads(spark, sf_dir):
                 "payload_md5": md5s,
             })
 
-    return d.select("doc_id", "text").mapInPandas(
+    return spread_if_narrow(d.select("doc_id", "text"), "doc_id").mapInPandas(
         synth_roundtrip, "doc_id long, codec string, payload_md5 string")
 
 
@@ -6890,7 +6891,7 @@ def multimodal_phash_dedup(spark, sf_dir):
                 "content": pd.Series(blobs, dtype="object"),
             })
 
-    media = d.select("doc_id", "text").mapInPandas(
+    media = spread_if_narrow(d.select("doc_id", "text"), "doc_id").mapInPandas(
         synth, "media_id long, content binary"
     )
     return image_phash(media).groupBy("phash").agg(
@@ -7107,7 +7108,7 @@ def multimodal_phash_near_dup(spark, sf_dir):
                 "content": pd.Series(blobs, dtype="object"),
             })
 
-    media = d.select("doc_id", "text").mapInPandas(
+    media = spread_if_narrow(d.select("doc_id", "text"), "doc_id").mapInPandas(
         synth, "media_id long, content binary"
     )
     return phash_near_dup_pairs(image_phash(media), max_distance=10)
@@ -9848,7 +9849,7 @@ def multimodal_codec_mix(spark, sf_dir):
                 "meta_sample_rate": pd.Series([None] * len(ids), dtype="Int32"),
             })
 
-    media = d.select("doc_id", "text").mapInPandas(
+    media = spread_if_narrow(d.select("doc_id", "text"), "doc_id").mapInPandas(
         synth,
         "media_id long, media_type string, content binary, "
         "meta_width int, meta_height int, meta_sample_rate int",
@@ -10201,7 +10202,7 @@ def multimodal_video_frames(spark, sf_dir):
                 "content": pd.Series(blobs, dtype="object"),
             })
 
-    media = d.select("doc_id", "text").mapInPandas(
+    media = spread_if_narrow(d.select("doc_id", "text"), "doc_id").mapInPandas(
         synth, "media_id long, media_type string, content binary")
     frames = sample_frames(media, every_nth=2, max_frames=3)
 

@@ -2729,3 +2729,34 @@ def test_er_index_params_guard(spark, tmp_path):
         EI.ensure_er_index(base, p, **{**kw, "max_edit": 1})
     with pytest.raises(ValueError, match="was built with"):
         EI.ensure_er_index(base, p, **{**kw, "block_cols": ["name"]})
+
+
+def test_dsir_one_corpus_pass(spark, sf_dir):
+    """Round-18 optimization pin: dsir_scored tokenizes + md5-hashes the
+    raw corpus ONCE — the per-(doc, f) count aggregate is the shared
+    subtree, its exchange ReuseExchange'd by the corpus-count (q)
+    branch. Exactly TWO Generate (bigram explode) nodes may exist:
+    one over the raw corpus, one over the target slice. The vacuous
+    isnotnull(doc)/isnotnull(f) filters inside the shared subtree are
+    what keep the two consumers' copies canonically identical (the
+    scoring side's joins would otherwise infer them one-sided) — if
+    this test fails with 3 Generates, someone dropped them."""
+    from priority_data_pipeline_azure_sql_db_spark.operators.sample import (
+        dsir_log_weights,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        w = dsir_log_weights(
+            d, d.filter(F.col("lang") == "en"), n_buckets=512
+        )
+        plan = w._jdf.queryExecution().executedPlan().toString()
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+    assert plan.count("Generate") == 2, (
+        f"expected 2 bigram explodes (corpus + target):\n{plan}"
+    )
+    assert "ReusedExchange" in plan, (
+        f"occ_counts exchange not shared:\n{plan}"
+    )

@@ -94,9 +94,16 @@ AUDIT = [
 # inherent; the three payload-grade entries allow none. Any exchange
 # outside both classes is always a WARN.
 PAYLOAD_SPREAD_BUDGET = {
-    "multimodal_codec_mix": (0, 1),
-    "multimodal_g711_codec": (0, 0),
-    "multimodal_lossless_payloads": (0, 0),
+    # round 18: every payload entry now carries (at most) ONE spread —
+    # the adaptive spread_if_narrow between the one-row-group fixture
+    # scan and the Arrow stage (identity at real scale, where the scan
+    # already splits; REPARTITION_BY_NUM locally). Before r18 only
+    # jpeg12 had it and the other three serialized their whole encode+
+    # decode chain into one Python worker (codec_mix measured 1.27 s →
+    # see OPTIMIZATION_r18.md).
+    "multimodal_codec_mix": (1, 1),
+    "multimodal_g711_codec": (1, 0),
+    "multimodal_lossless_payloads": (1, 0),
     "multimodal_jpeg12_payload": (1, 0),
 }
 
