@@ -382,10 +382,18 @@ def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q1_pricing_summary(spark, sf_dir):
     """TPC-H Q1 shape: scan-heavy groupBy with 8 aggregates — partial
-    (map-side) aggregation makes the shuffle carry only group rows."""
+    (map-side) aggregation makes the shuffle carry only group rows.
+
+    Round 18: the filtered rows are adaptively spread before the
+    aggregate — the fixture's single-row-group file otherwise runs the
+    whole 8-decimal-sum partial aggregation in ONE task (measured
+    ~1.8 s; the scan decode itself is ~0.2 s). At real scale the scan
+    splits and spread_if_narrow is an identity, so no extra exchange
+    ever ships the fact table on a cluster."""
     l = load_table(spark, sf_dir, "lineitem").filter(
         F.col("l_shipdate") <= F.lit("2001-09-02").cast("timestamp")
     )
+    l = spread_if_narrow(l, "l_orderkey")
     cnt = F.count(F.lit(1))
     return (
         l.groupBy("l_returnflag", "l_linestatus")
@@ -4207,7 +4215,16 @@ def q2_min_cost_supplier(spark, sf_dir):
     """q2-shaped: cheapest supplier per part via a CORRELATED scalar
     subquery (Catalyst decorrelates to a join against the per-part min);
     deterministic tie-break by MIN(suppkey). Unit cost derives from
-    lineitem since the fixtures carry no partsupp."""
+    lineitem since the fixtures carry no partsupp.
+
+    Round-18 optimization A/B, measured and REJECTED: spreading the
+    fixture's single-task scan before the cost aggregate (the q1 fix)
+    read 1.407 → 1.636 s isolated — this aggregate is one cheap
+    division+min that COLLAPSES 600k rows to ~20k inside the scan
+    stage, so shipping the raw rows through a spread exchange costs
+    more than the serial agg saves, the opposite trade from q1's eight
+    decimal sums. The decorrelated plan already ReuseExchanges the
+    shared cost aggregate; left as-is deliberately."""
     _views(spark, sf_dir, "part", "lineitem")
     return spark.sql("""
         WITH cost AS (
@@ -4396,7 +4413,16 @@ def q21_last_shipper(spark, sf_dir):
     cardinality. Both are all-keyed-shuffle plans and both meet the
     ≤1.5s target; the pre-agg shape wins only when per-order fan-in is
     large enough that re-scanning lineitem dominates. Measured A/B in
-    ARCHITECTURE.md."""
+    ARCHITECTURE.md.
+
+    Round-18 optimization A/B, measured and REJECTED: a DataFrame
+    rewrite of the same join tree with the streamed l1 side adaptively
+    spread read 1.150 → 1.365 s isolated — the fused probe stage
+    (two broadcast hash probes + two joins + partial agg) is cheaper
+    per row than shipping 600k (orderkey, suppkey, shipdate) rows
+    through the spread exchange, and the two lineitem broadcast builds
+    dominate either way. Left in the decorrelated SQL form
+    deliberately (same q1-vs-q2 trade documented on q2)."""
     _views(spark, sf_dir, "supplier", "lineitem", "orders")
     return spark.sql("""
         SELECT s.s_name, CAST(COUNT(*) AS BIGINT) AS numwait
