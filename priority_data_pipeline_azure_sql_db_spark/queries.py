@@ -2952,7 +2952,7 @@ def multimodal_real_codec(spark, sf_dir):
                 "meta_sample_rate": pd.Series([None] * len(ids), dtype="Int32"),
             })
 
-    media = spread_if_narrow(d.select("doc_id", "text"), "doc_id").mapInPandas(
+    media = d.select("doc_id", "text").mapInPandas(
         synth,
         "media_id long, media_type string, content binary, "
         "meta_width int, meta_height int, meta_sample_rate int",
@@ -3055,7 +3055,7 @@ def multimodal_gif_codec(spark, sf_dir):
                 "frame_md5": md5s,
             })
 
-    return spread_if_narrow(d.select("doc_id", "text"), "doc_id").mapInPandas(
+    return d.select("doc_id", "text").mapInPandas(
         synth_decode_hash,
         "media_id long, media_type string, frame_index long, "
         "n_frames long, fps double, frame_md5 string",
@@ -3184,7 +3184,7 @@ def multimodal_g711_codec(spark, sf_dir):
                 "sample": pd.Series(vals, dtype="int64"),
             })
 
-    return spread_if_narrow(d.select("doc_id", "text"), "doc_id").mapInPandas(
+    return d.select("doc_id", "text").mapInPandas(
         synth_decode, "doc_id long, law string, pos long, sample long")
 
 
@@ -6917,7 +6917,7 @@ def multimodal_phash_dedup(spark, sf_dir):
                 "content": pd.Series(blobs, dtype="object"),
             })
 
-    media = spread_if_narrow(d.select("doc_id", "text"), "doc_id").mapInPandas(
+    media = d.select("doc_id", "text").mapInPandas(
         synth, "media_id long, content binary"
     )
     return image_phash(media).groupBy("phash").agg(
@@ -7134,7 +7134,7 @@ def multimodal_phash_near_dup(spark, sf_dir):
                 "content": pd.Series(blobs, dtype="object"),
             })
 
-    media = spread_if_narrow(d.select("doc_id", "text"), "doc_id").mapInPandas(
+    media = d.select("doc_id", "text").mapInPandas(
         synth, "media_id long, content binary"
     )
     return phash_near_dup_pairs(image_phash(media), max_distance=10)

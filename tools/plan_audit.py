@@ -94,15 +94,17 @@ AUDIT = [
 # inherent; the three payload-grade entries allow none. Any exchange
 # outside both classes is always a WARN.
 PAYLOAD_SPREAD_BUDGET = {
-    # round 18: every payload entry now carries (at most) ONE spread —
-    # the adaptive spread_if_narrow between the one-row-group fixture
-    # scan and the Arrow stage (identity at real scale, where the scan
-    # already splits; REPARTITION_BY_NUM locally). Before r18 only
-    # jpeg12 had it and the other three serialized their whole encode+
-    # decode chain into one Python worker (codec_mix measured 1.27 s →
-    # see OPTIMIZATION_r18.md).
+    # round 18 (measured per entry, see OPTIMIZATION_r18.md): a spread
+    # between the one-row-group fixture scan and the Arrow stage pays
+    # only where the per-doc Python work is HEAVY — codec_mix (16-way
+    # encode+decode dispatch), lossless_payloads (4 encode+decode legs
+    # per doc) and jpeg12 (two 12-bit chains per doc) carry ONE
+    # adaptive spread_if_narrow (identity at real scale); g711's
+    # two-leg table-gather decode measured WORSE spread (0.38→0.63 s —
+    # 32-way Arrow fan-out overhead exceeds the serial decode), so it
+    # stays single-stage with a zero budget.
     "multimodal_codec_mix": (1, 1),
-    "multimodal_g711_codec": (1, 0),
+    "multimodal_g711_codec": (0, 0),
     "multimodal_lossless_payloads": (1, 0),
     "multimodal_jpeg12_payload": (1, 0),
 }
