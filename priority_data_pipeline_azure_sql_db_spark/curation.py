@@ -30,18 +30,28 @@ from pyspark.sql import functions as F
 
 from .operators.dedup import remove_boilerplate_lines
 from .operators.sample import cap_per_group, quantile_threshold_filter
+from .operators.text import alpha_count
 
 _ALPHA_SCORE_DOC = "alpha-character ratio of the current text"
 
 
 def _alpha_score(col):
     return (
-        F.size(F.regexp_extract_all(col, F.lit("[A-Za-z]"), 0)).cast("double")
+        alpha_count(col).cast("double")
         / F.greatest(F.length(col), F.lit(1)).cast("double")
     )
 
 
 def _linify(df: DataFrame, width: int) -> DataFrame:
+    from .operators.scale import spread_if_narrow
+
+    # round 18: adaptively spread BEFORE the tokenize+re-wrap — built
+    # over a narrow scan (single-row-group fixture file) the whole
+    # linify expression otherwise evaluates inside the one scan task,
+    # below the downstream boilerplate stage's pinned exchange (the
+    # exchange ships the ALREADY-LINIFIED text, so it cannot help).
+    # Identity at real scale.
+    df = spread_if_narrow(df, "doc_id")
     toks = F.filter(
         F.split(F.trim(F.lower(F.col("text"))), "\\s+"),
         lambda x: x != F.lit(""),

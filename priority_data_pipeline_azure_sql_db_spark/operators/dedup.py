@@ -640,8 +640,20 @@ def remove_boilerplate_lines(
     lines from non-empty tokens. Pinned by
     tests/test_northstar.py::test_boilerplate_empty_doc_contract.
     """
+    # The explicit isnotnull(doc) is VACUOUS for real corpora (the id
+    # is a key; a null-id doc has no identity to reassemble under) but
+    # load-bearing for plan sharing (round 18): a downstream join on
+    # the operator's id column infers exactly this filter into the
+    # LINES side's copy of the spread exchange while the boilerplate-
+    # set branch's copy (which never joins on doc) would not carry it —
+    # canonically different subtrees, no ReuseExchange, and the whole
+    # scan (plus any caller expression like linify riding in text_col)
+    # executes twice. With the filter pinned here BOTH branches carry
+    # it and the spread exchange is planned once.
     t = spread(
-        df.select(F.col(id_col).alias("doc"), F.col(text_col).alias("_txt")), "doc"
+        df.select(F.col(id_col).alias("doc"), F.col(text_col).alias("_txt"))
+        .filter(F.col("doc").isNotNull()),
+        "doc",
     )
     # F.split takes a Java REGEX but concat_ws reassembles with the
     # LITERAL sep — quote it (\Q..\E, Pattern.quote's own scheme) so a

@@ -253,9 +253,20 @@ def quantile_threshold_filter(
     """
     if drop_frac_num < 0 or drop_frac_den <= 0 or drop_frac_num > drop_frac_den:
         raise ValueError("drop_frac must satisfy 0 <= num/den <= 1")
+    # cached (round 18, the winnow_near_dup precedent): the bucketed
+    # relation is consumed TWICE here (histogram + the final gate) and
+    # downstream cap/rank stages typically consume the gate's output
+    # twice more — uncached, the whole upstream chain (in the curation
+    # capstones: linify → boilerplate reassembly → score regex)
+    # re-executes per consumer. The bench clears the cache every
+    # attempt, so population stays inside the timed region (honest
+    # per-run cost); at corpus scale this is the standard
+    # materialize-the-scored-relation trade — the cached rows carry the
+    # caller's projection, so gate inputs should be pruned to decision
+    # columns where text is not needed downstream.
     b = df.withColumn(
         "_qbucket", score_bucket(F.col(score_col), lo, hi, buckets)
-    )
+    ).cache()
     hist = b.groupBy("_qbucket").agg(F.count(F.lit(1)).alias("_c"))
     from pyspark.sql import Window
 

@@ -3873,7 +3873,7 @@ def profile_data_card(spark, sf_dir):
     d = load_table(spark, sf_dir, "documents")
     fix6 = _fix6
     alpha = fix6(
-        F.size(F.regexp_extract_all(F.col("text"), F.lit("[A-Za-z]"), 0))
+        X.alpha_count(F.col("text"))
         / F.greatest(F.length("text"), F.lit(1))
     )
     scored = d.select(
@@ -4864,7 +4864,7 @@ def pipeline_curation_e2e(spark, sf_dir):
     scored = d.select(
         "doc_id", "source", "lang",
         X.token_count(F.col("text")).alias("n_tokens"),
-        (F.size(F.regexp_extract_all(F.col("text"), F.lit("[A-Za-z]"), 0))
+        (X.alpha_count(F.col("text"))
          / F.greatest(F.length("text"), F.lit(1))).alias("alpha_ratio"),
         X.fingerprint(F.col("text")).alias("fp"),
     )
@@ -5420,7 +5420,7 @@ def sample_quality_weighted(spark, sf_dir):
     d = load_table(spark, sf_dir, "documents")
     fix6 = _fix6
     alpha = fix6(
-        F.size(F.regexp_extract_all(F.col("text"), F.lit("[A-Za-z]"), 0))
+        X.alpha_count(F.col("text"))
         / F.greatest(F.length("text"), F.lit(1))
     )
     scored = d.select("doc_id", "source", alpha.alias("alpha_ratio"))
@@ -5506,7 +5506,7 @@ def pipeline_curation_v2(spark, sf_dir):
     scored = d.select(
         "doc_id", "text",
         X.token_count(F.col("text")).cast("bigint").alias("n_tokens"),
-        (F.size(F.regexp_extract_all(F.col("text"), F.lit("[A-Za-z]"), 0))
+        (X.alpha_count(F.col("text"))
          / F.greatest(F.length("text"), F.lit(1))).alias("alpha_ratio"),
         X.fingerprint(F.col("text")).alias("fp"),
     )
@@ -5663,7 +5663,7 @@ def pipeline_curation_incremental(spark, sf_dir):
     scored = delta.filter(F.col("doc_id") % 20 != 0).select(
         "doc_id", "text",
         X.token_count(F.col("text")).cast("bigint").alias("n_tokens"),
-        (F.size(F.regexp_extract_all(F.col("text"), F.lit("[A-Za-z]"), 0))
+        (X.alpha_count(F.col("text"))
          / F.greatest(F.length("text"), F.lit(1))).alias("alpha_ratio"),
         X.fingerprint(F.col("text")).alias("fp"),
     )
@@ -5963,7 +5963,11 @@ def dedup_boilerplate_lines(spark, sf_dir):
         F.split(F.trim(F.lower(F.col("text"))), "\\s+"),
         lambda x: x != F.lit(""),
     )
-    d = d.withColumn("_toks", toks)
+    # round 18: spread the RAW rows before the linify expression — the
+    # boilerplate stage's pinned exchange ships already-linified text,
+    # so without this the whole tokenize+re-wrap evaluates in the one
+    # narrow-scan task (identity at real scale)
+    d = spread_if_narrow(d, "doc_id").withColumn("_toks", toks)
     n_lines = F.floor((F.size("_toks") + F.lit(7)) / F.lit(8)).cast("int")
     lines = F.when(
         F.size("_toks") > 0,
@@ -6024,7 +6028,7 @@ def filter_quality_quantile(spark, sf_dir):
     d = load_table(spark, sf_dir, "documents")
     t = F.col("text")
     s = (
-        F.size(F.regexp_extract_all(t, F.lit("[A-Za-z]"), 0)).cast("double")
+        X.alpha_count(t).cast("double")
         / F.greatest(F.length(t), F.lit(1)).cast("double")
     )
     scored = d.select("doc_id", s.alias("score"))
@@ -6256,7 +6260,7 @@ def sample_source_cap(spark, sf_dir):
     d = load_table(spark, sf_dir, "documents")
     t = F.col("text")
     s = (
-        F.size(F.regexp_extract_all(t, F.lit("[A-Za-z]"), 0)).cast("double")
+        X.alpha_count(t).cast("double")
         / F.greatest(F.length(t), F.lit(1)).cast("double")
     )
     return cap_per_group(
@@ -6393,7 +6397,8 @@ def pipeline_curation_v3(spark, sf_dir):
         F.split(F.trim(F.lower(F.col("text"))), "\\s+"),
         lambda x: x != F.lit(""),
     )
-    d2 = d.withColumn("_toks", toks)
+    # round 18: spread raw rows before linify (see dedup_boilerplate_lines)
+    d2 = spread_if_narrow(d, "doc_id").withColumn("_toks", toks)
     n_lines = F.floor((F.size("_toks") + F.lit(7)) / F.lit(8)).cast("int")
     lines_arr = F.when(
         F.size("_toks") > 0,
@@ -6409,7 +6414,7 @@ def pipeline_curation_v3(spark, sf_dir):
         "doc_id", "source",
         X.token_count(t2).cast("bigint").alias("n_tokens"),
         (
-            F.size(F.regexp_extract_all(t2, F.lit("[A-Za-z]"), 0))
+            X.alpha_count(t2)
             .cast("double")
             / F.greatest(F.length(t2), F.lit(1)).cast("double")
         ).alias("score"),
@@ -7015,7 +7020,8 @@ def pipeline_curation_funnel(spark, sf_dir):
         F.split(F.trim(F.lower(F.col("text"))), "\\s+"),
         lambda x: x != F.lit(""),
     )
-    d2 = d.withColumn("_toks", toks)
+    # round 18: spread raw rows before linify (see dedup_boilerplate_lines)
+    d2 = spread_if_narrow(d, "doc_id").withColumn("_toks", toks)
     n_lines = F.floor((F.size("_toks") + F.lit(7)) / F.lit(8)).cast("int")
     lines_arr = F.when(
         F.size("_toks") > 0,
@@ -7030,7 +7036,7 @@ def pipeline_curation_funnel(spark, sf_dir):
     scored = cleaned.join(d.select("doc_id", "source"), "doc_id").select(
         "doc_id", "source",
         (
-            F.size(F.regexp_extract_all(t2, F.lit("[A-Za-z]"), 0))
+            X.alpha_count(t2)
             .cast("double")
             / F.greatest(F.length(t2), F.lit(1)).cast("double")
         ).alias("score"),
@@ -8637,7 +8643,7 @@ def profile_quality_drift(spark, sf_dir):
     d = load_table(spark, sf_dir, "documents")
     t = F.col("text")
     s = (
-        F.size(F.regexp_extract_all(t, F.lit("[A-Za-z]"), 0)).cast("double")
+        X.alpha_count(t).cast("double")
         / F.greatest(F.length(t), F.lit(1)).cast("double")
     )
     scored = d.select(
