@@ -137,9 +137,15 @@ def build_curation(docs: DataFrame, config: dict) -> DataFrame:
         elif op == "quantile_gate":
             need(st, i, "drop_num", "drop_den")
             df = df.withColumn("score", _alpha_score(F.col("text")))
+            # cache_input=False: at this point df carries the document
+            # TEXT (downstream stages and the caller still need it) —
+            # measured, materializing the full-text rows costs more
+            # than the per-consumer re-execution it avoids (see
+            # quantile_threshold_filter's docstring)
             df = quantile_threshold_filter(
                 df, "score",
                 int(st["drop_num"]), int(st["drop_den"]),
+                cache_input=False,
             ).drop("_qbucket")
         elif op == "source_cap":
             if "source" not in df.columns:

@@ -229,6 +229,7 @@ def quantile_threshold_filter(
     lo: float = 0.0,
     hi: float = 1.0,
     buckets: int = 10000,
+    cache_input: bool = True,
 ) -> DataFrame:
     """CORPUS-RELATIVE quality gate: drop (approximately, conservatively)
     the lowest ``drop_frac_num/drop_frac_den`` fraction of rows by
@@ -253,20 +254,23 @@ def quantile_threshold_filter(
     """
     if drop_frac_num < 0 or drop_frac_den <= 0 or drop_frac_num > drop_frac_den:
         raise ValueError("drop_frac must satisfy 0 <= num/den <= 1")
-    # cached (round 18, the winnow_near_dup precedent): the bucketed
-    # relation is consumed TWICE here (histogram + the final gate) and
-    # downstream cap/rank stages typically consume the gate's output
-    # twice more — uncached, the whole upstream chain (in the curation
-    # capstones: linify → boilerplate reassembly → score regex)
-    # re-executes per consumer. The bench clears the cache every
-    # attempt, so population stays inside the timed region (honest
-    # per-run cost); at corpus scale this is the standard
-    # materialize-the-scored-relation trade — the cached rows carry the
-    # caller's projection, so gate inputs should be pruned to decision
-    # columns where text is not needed downstream.
+    # cached when the input is NARROW (round 18, the winnow_near_dup
+    # precedent): the bucketed relation is consumed TWICE here
+    # (histogram + the final gate) and downstream cap/rank stages
+    # typically consume the gate's output twice more — uncached, the
+    # whole upstream chain re-executes per consumer. The bench clears
+    # the cache every attempt, so population stays inside the timed
+    # region (honest per-run cost). ``cache_input=False`` is for WIDE
+    # callers: measured on the config-path curation chain (gate input
+    # carries the reassembled document text), materializing the
+    # full-text InMemoryRelation cost MORE than the re-execution it
+    # saved (stage A/B: +5.5 s with the cache vs +0.15 s without) —
+    # column pruning per consumer beats caching unprunable rows.
     b = df.withColumn(
         "_qbucket", score_bucket(F.col(score_col), lo, hi, buckets)
-    ).cache()
+    )
+    if cache_input:
+        b = b.cache()
     hist = b.groupBy("_qbucket").agg(F.count(F.lit(1)).alias("_c"))
     from pyspark.sql import Window
 
