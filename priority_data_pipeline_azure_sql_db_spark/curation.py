@@ -90,7 +90,11 @@ def build_curation(docs: DataFrame, config: dict) -> DataFrame:
             )
 
     df = docs
+    skip_next = False
     for i, st in enumerate(stages):
+        if skip_next:
+            skip_next = False
+            continue
         op = st.get("op")
         if op == "html_extract":
             # optional FIRST stage (round 13): raw crawl HTML → text —
@@ -137,16 +141,55 @@ def build_curation(docs: DataFrame, config: dict) -> DataFrame:
         elif op == "quantile_gate":
             need(st, i, "drop_num", "drop_den")
             df = df.withColumn("score", _alpha_score(F.col("text")))
-            # cache_input=False: at this point df carries the document
-            # TEXT (downstream stages and the caller still need it) —
-            # measured, materializing the full-text rows costs more
-            # than the per-consumer re-execution it avoids (see
-            # quantile_threshold_filter's docstring)
-            df = quantile_threshold_filter(
-                df, "score",
-                int(st["drop_num"]), int(st["drop_den"]),
-                cache_input=False,
-            ).drop("_qbucket")
+            # Decide on a NARROW proxy, attach once (round 18, the
+            # decide-with-small-rows pattern): the gate consumes its
+            # input twice (histogram + filter) and a following
+            # source_cap twice more — over the full rows that is four
+            # executions of the whole upstream chain (linify →
+            # boilerplate reassembly → score), and caching the full
+            # rows measured WORSE than the re-execution (text-bearing
+            # InMemoryRelation, see quantile_threshold_filter). The
+            # decisions run over (doc_id[, source], score) — narrow
+            # enough for the operator's cache — and the admitted ids
+            # join back to the full rows in ONE attach: exactly two
+            # upstream executions at any decision-stage count. An
+            # immediately following source_cap folds into the same
+            # proxy (its stage slot is consumed here).
+            nxt = stages[i + 1] if i + 1 < len(stages) else None
+            fuse_cap = (
+                isinstance(nxt, dict) and nxt.get("op") == "source_cap"
+                and "source" in df.columns and "cap" in nxt
+                and "doc_id" in df.columns
+            )
+            if "doc_id" in df.columns:
+                decision_cols = ["doc_id", "score"] + (
+                    ["source"] if fuse_cap else [])
+                narrow = df.select(*decision_cols)
+                gated_n = quantile_threshold_filter(
+                    narrow, "score",
+                    int(st["drop_num"]), int(st["drop_den"]),
+                ).drop("_qbucket")
+                if fuse_cap:
+                    capped_n = cap_per_group(
+                        gated_n, ["source"], "score",
+                        cap=int(nxt["cap"]),
+                    )
+                    df = df.join(
+                        capped_n.select("doc_id", "rank_in_group"),
+                        "doc_id",
+                    )
+                    skip_next = True
+                else:
+                    df = df.join(
+                        gated_n.select("doc_id"), "doc_id", "left_semi")
+            else:
+                # no id to attach by: inline gate over the full rows
+                # (uncached — see the width note on the operator)
+                df = quantile_threshold_filter(
+                    df, "score",
+                    int(st["drop_num"]), int(st["drop_den"]),
+                    cache_input=False,
+                ).drop("_qbucket")
         elif op == "source_cap":
             if "source" not in df.columns:
                 raise ValueError(f"stage {i}: source_cap needs a source column")
