@@ -174,8 +174,14 @@ def build_curation(docs: DataFrame, config: dict) -> DataFrame:
                         gated_n, ["source"], "score",
                         cap=int(nxt["cap"]),
                     )
+                    # the capped set is <= cap x |sources| rows BY
+                    # CONTRACT — broadcast the attach at any scale
+                    # (static size estimates saw an aggregate and
+                    # planned a sort-merge join that shuffled the
+                    # full-text side by doc_id)
                     df = df.join(
-                        capped_n.select("doc_id", "rank_in_group"),
+                        F.broadcast(
+                            capped_n.select("doc_id", "rank_in_group")),
                         "doc_id",
                     )
                     skip_next = True
