@@ -597,6 +597,7 @@ def remove_boilerplate_lines(
     min_docs: int = 2,
     drop_empty: bool = True,
     normalize: bool = False,
+    emit_stats: bool = False,
 ) -> DataFrame:
     """LINE-level dedup (CCNet, Wenzek et al. 2020): drop every line
     whose trimmed form appears in >= ``min_docs`` distinct documents —
@@ -639,7 +640,30 @@ def remove_boilerplate_lines(
     (n_lines_kept=1), a latent divergence from any oracle that builds
     lines from non-empty tokens. Pinned by
     tests/test_northstar.py::test_boilerplate_empty_doc_contract.
+
+    ``emit_stats`` (round 18, the score-from-per-line-sums
+    optimization): additionally emit ``_n_chars`` / ``_n_alpha`` /
+    ``_n_tokens`` — the length, ASCII-letter count and whitespace
+    token count OF THE RETURNED TEXT, computed as per-line sums
+    INSIDE this same reassembly aggregate. Each is exactly equal to
+    the corresponding expression over the reassembled text because
+    all three are linear over a whitespace-separator concat: the
+    separator contributes no letters and no token merges (it is
+    itself ``\\s``), and length is Σ len(line) + (kept−1)·len(sep).
+    A downstream quality gate or token budget that consumes the stats
+    instead of recomputing over ``text`` lets Catalyst PRUNE the
+    ``collect_list`` reassembly out of that consumer's plan entirely
+    — the per-doc aggregate degrades to map-side-combinable sums, so
+    the shuffle carries (doc, 3 longs) instead of every line. Exact
+    only for whitespace separators (token linearity breaks otherwise)
+    — any other ``sep`` raises. Pinned by
+    tests/test_northstar.py::test_boilerplate_emit_stats_exact.
     """
+    if emit_stats and (sep == "" or sep.strip() != ""):
+        raise ValueError(
+            "emit_stats requires a non-empty whitespace separator: "
+            "token/alpha sums are only linear when sep is \\s+"
+        )
     # The explicit isnotnull(doc) is VACUOUS for real corpora (the id
     # is a key; a null-id doc has no identity to reassemble under) but
     # load-bearing for plan sharing (round 18): a downstream join on
@@ -690,7 +714,7 @@ def remove_boilerplate_lines(
         # operator when it did — the shuffle payload nearly doubles)
         "_ne", F.col("nline") != ""
     )
-    out = flagged.groupBy("doc").agg(
+    aggs = [
         F.concat_ws(
             sep,
             F.transform(
@@ -711,7 +735,33 @@ def remove_boilerplate_lines(
         F.sum(
             F.when(~F.col("_dup") & F.col("_ne"), 1).otherwise(0)
         ).cast("bigint").alias("_n_nonempty_kept"),
-    )
+    ]
+    stats_cols = []
+    if emit_stats:
+        from .text import alpha_count, token_count
+
+        kept = ~F.col("_dup")
+        aggs += [
+            F.sum(F.when(kept, F.length("line")).otherwise(0))
+            .cast("bigint").alias("_sum_len"),
+            F.sum(F.when(kept, alpha_count(F.col("line"))).otherwise(0))
+            .cast("bigint").alias("_n_alpha"),
+            F.sum(F.when(kept, token_count(F.col("line"))).otherwise(0))
+            .cast("bigint").alias("_n_tokens"),
+        ]
+        stats_cols = [
+            # length of concat_ws(sep, kept): Σ len + (k-1)·len(sep);
+            # k = n_lines_kept counts EMPTY kept lines too (concat_ws
+            # joins them — they still cost a separator each)
+            F.when(
+                F.col("n_lines_kept") > 0,
+                F.col("_sum_len")
+                + (F.col("n_lines_kept") - 1) * F.lit(len(sep)),
+            ).otherwise(F.lit(0)).cast("bigint").alias("_n_chars"),
+            F.col("_n_alpha"),
+            F.col("_n_tokens"),
+        ]
+    out = flagged.groupBy("doc").agg(*aggs)
     if drop_empty:
         out = out.filter(F.col("_n_nonempty_kept") > 0)
     return out.select(
@@ -719,6 +769,7 @@ def remove_boilerplate_lines(
         F.col("_clean").alias(text_col),
         "n_lines_kept",
         "n_lines_dropped",
+        *stats_cols,
     )
 
 

@@ -6677,13 +6677,23 @@ def pipeline_curation_dsir(spark, sf_dir):
 
     d = load_table(spark, sf_dir, "documents").select(
         "doc_id", "source", "lang", "text")
+    # round 18: "stats": true + n_tokens from _n_tokens — the
+    # boilerplate stage's per-line sums replace every post-reassembly
+    # expression over text (score via the gate's stats path, the token
+    # budget here), so NOTHING downstream reads text and Catalyst
+    # prunes the collect_list reassembly from BOTH executions (proxy
+    # build + attach): the per-doc aggregate becomes map-side-
+    # combinable sums shuffling (doc, 3 longs) instead of every line.
+    # _n_tokens == token_count(text) exactly (linearity over the
+    # whitespace join — see remove_boilerplate_lines), so the admitted
+    # set, totals and member_tag are bit-identical; oracle unchanged.
     admitted = build_curation(d, {"stages": [
         {"op": "dsir", "target_filter": "lang = 'en'", "n_buckets": 4096},
         {"op": "linify", "width": 8},
-        {"op": "boilerplate_lines", "min_docs": 2},
+        {"op": "boilerplate_lines", "min_docs": 2, "stats": True},
         {"op": "quantile_gate", "drop_num": 1, "drop_den": 5},
         {"op": "source_cap", "cap": 10},
-    ]}).withColumn("n_tokens", X.token_count(F.col("text")).cast("bigint"))
+    ]}).withColumn("n_tokens", F.col("_n_tokens").cast("bigint"))
     member_tag = _md5_tag48(F.col("doc_id").cast("string"))
     return admitted.groupBy("source").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_docs"),

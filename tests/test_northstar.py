@@ -1317,6 +1317,67 @@ def test_boilerplate_empty_doc_contract(spark):
     assert cols == ["doc_id", "text", "n_lines_kept", "n_lines_dropped"]
 
 
+def test_boilerplate_emit_stats_exact(spark):
+    """Round-18 emit_stats contract: _n_chars/_n_alpha/_n_tokens are
+    per-line sums computed INSIDE the reassembly aggregate, and must
+    equal length/alpha_count/token_count over the RETURNED text
+    exactly — that equality is what lets consumers score from the
+    stats and have Catalyst prune the collect_list reassembly. Corpus
+    covers the linearity edge cases: interior empty lines, whitespace-
+    only lines, NBSP (non-\\s in Java regex — rides inside a token),
+    tabs/multi-space runs, trailing spaces, all-boilerplate docs
+    (drop_empty both ways), and the empty doc."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from priority_data_pipeline_azure_sql_db_spark.operators.dedup import (
+        remove_boilerplate_lines,
+    )
+    from priority_data_pipeline_azure_sql_db_spark.operators.text import (
+        alpha_count,
+        token_count,
+    )
+
+    rows = [
+        (1, "Shared footer line\nUnique A text!\n\n   \nMore\tA  words"),
+        (2, "Shared footer line\nB's own words\tx2 "),
+        (3, "Shared footer line"),              # all-boilerplate
+        (4, "Only NBSP token here\nShared footer line\nends spaced  "),
+        (5, ""),                                 # empty doc
+        (6, "a  b   c\nShared footer line\n123 #!?"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+
+    for drop_empty in (True, False):
+        out = remove_boilerplate_lines(
+            df, emit_stats=True, drop_empty=drop_empty
+        )
+        assert out.columns == [
+            "doc_id", "text", "n_lines_kept", "n_lines_dropped",
+            "_n_chars", "_n_alpha", "_n_tokens",
+        ]
+        chk = out.select(
+            "doc_id", "_n_chars", "_n_alpha", "_n_tokens",
+            F.length("text").alias("want_chars"),
+            alpha_count(F.col("text")).alias("want_alpha"),
+            token_count(F.col("text")).alias("want_tokens"),
+        ).collect()
+        assert chk, "survivors expected"
+        for r in chk:
+            assert r["_n_chars"] == r["want_chars"], r
+            assert r["_n_alpha"] == r["want_alpha"], r
+            assert r["_n_tokens"] == r["want_tokens"], r
+    # drop_empty=False surfaces the all-boilerplate/empty docs with
+    # empty text and all-zero stats
+    z = {r["doc_id"]: r for r in remove_boilerplate_lines(
+        df, emit_stats=True, drop_empty=False).collect()}
+    assert z[3]["text"] == "" and z[3]["_n_chars"] == 0 \
+        and z[3]["_n_alpha"] == 0 and z[3]["_n_tokens"] == 0
+    # token linearity needs a whitespace separator — anything else lies
+    with pytest.raises(ValueError, match="whitespace separator"):
+        remove_boilerplate_lines(df, sep="|", emit_stats=True)
+
+
 def test_codec_jpeg_roundtrip_all_subsampling():
     """Round 9: baseline JPEG encode→decode round-trips with bounded
     lossy error across 4:4:4 / 4:2:2 / 4:2:0, grayscale, non-multiple

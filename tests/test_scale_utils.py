@@ -2760,3 +2760,33 @@ def test_dsir_one_corpus_pass(spark, sf_dir):
     assert "ReusedExchange" in plan, (
         f"occ_counts exchange not shared:\n{plan}"
     )
+
+
+def test_curation_dsir_capstone_narrow_plan(spark, sf_dir):
+    """Round-18 optimization pins on the dsir capstone, both halves of
+    the two-executions problem (the gate's decide-on-proxy pattern
+    executes the curated upstream twice — proxy build + attach):
+    (1) the dsir stage's admitted-id set is CACHED (a doc_id-only
+    InMemoryRelation), so the DSIR scoring machinery (corpus
+    tokenize+md5 pass, ratio table, scoring join) runs once instead of
+    once per execution — the proxy's sealed cache boundary otherwise
+    blocks ReuseExchange across them; (2) with the boilerplate stage's
+    "stats": true sums riding (score and n_tokens both derive from
+    them), NOTHING downstream reads the reassembled text, so the
+    collect_list reassembly is pruned from the ENTIRE capstone plan —
+    the per-doc aggregate is map-side-combinable sums."""
+    import re
+
+    from priority_data_pipeline_azure_sql_db_spark.queries import QUERIES
+
+    df = QUERIES["pipeline_curation_dsir"](spark, sf_dir)
+    try:
+        plan = df._jdf.queryExecution().optimizedPlan().toString()
+        assert "collect_list" not in plan, (
+            "text reassembly not pruned from the capstone plan"
+        )
+        assert re.search(r"InMemoryRelation \[doc_id#\d+L?\]", plan), (
+            "dsir admitted-id set is not cached"
+        )
+    finally:
+        spark.catalog.clearCache()
