@@ -6408,15 +6408,19 @@ def pipeline_curation_v3(spark, sf_dir):
         ),
     ).otherwise(F.array().cast("array<string>"))
     lined = d2.select("doc_id", F.concat_ws("\n", lines_arr).alias("text"))
-    cleaned = remove_boilerplate_lines(lined, min_docs=2)
-    t2 = F.col("text")
+    # round 18: n_tokens and score from the reassembly aggregate's
+    # per-line sums (emit_stats) — value-identical (linearity over the
+    # whitespace join, see remove_boilerplate_lines) and nothing here
+    # reads the reassembled text, so the collect_list reassembly is
+    # pruned and the per-doc aggregate is map-side-combinable sums.
+    cleaned = remove_boilerplate_lines(lined, min_docs=2, emit_stats=True)
     scored = cleaned.join(d.select("doc_id", "source"), "doc_id").select(
         "doc_id", "source",
-        X.token_count(t2).cast("bigint").alias("n_tokens"),
+        F.col("_n_tokens").cast("bigint").alias("n_tokens"),
         (
-            X.alpha_count(t2)
+            F.col("_n_alpha")
             .cast("double")
-            / F.greatest(F.length(t2), F.lit(1)).cast("double")
+            / F.greatest(F.col("_n_chars"), F.lit(1)).cast("double")
         ).alias("score"),
     )
     gated = quantile_threshold_filter(scored, "score", 1, 5).drop("_qbucket")
@@ -6539,13 +6543,17 @@ def pipeline_curation_html(spark, sf_dir):
             "doc_id", "source", F.coalesce("text", F.lit("")).alias("t")
         )
     )
+    # round 18: stats-riding boilerplate stage + n_tokens from
+    # _n_tokens (see pipeline_curation_dsir) — nothing downstream
+    # reads the reassembled text, so the collect_list reassembly is
+    # pruned from both gate executions; values bit-identical.
     admitted = build_curation(pages, {"stages": [
         {"op": "html_extract"},
         {"op": "linify", "width": 8},
-        {"op": "boilerplate_lines", "min_docs": 2},
+        {"op": "boilerplate_lines", "min_docs": 2, "stats": True},
         {"op": "quantile_gate", "drop_num": 1, "drop_den": 5},
         {"op": "source_cap", "cap": 10},
-    ]}).withColumn("n_tokens", X.token_count(F.col("text")).cast("bigint"))
+    ]}).withColumn("n_tokens", F.col("_n_tokens").cast("bigint"))
     member_tag = _md5_tag48(F.col("doc_id").cast("string"))
     return admitted.groupBy("source").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_docs"),
@@ -7041,14 +7049,17 @@ def pipeline_curation_funnel(spark, sf_dir):
         ),
     ).otherwise(F.array().cast("array<string>"))
     lined = d2.select("doc_id", F.concat_ws("\n", lines_arr).alias("text"))
-    cleaned = remove_boilerplate_lines(lined, min_docs=2)
-    t2 = F.col("text")
+    # round 18: score from the reassembly aggregate's per-line sums
+    # (emit_stats, see pipeline_curation_v3) — no consumer here reads
+    # the reassembled text (the funnel counts rows), so the
+    # collect_list reassembly is pruned from all four stage counts.
+    cleaned = remove_boilerplate_lines(lined, min_docs=2, emit_stats=True)
     scored = cleaned.join(d.select("doc_id", "source"), "doc_id").select(
         "doc_id", "source",
         (
-            X.alpha_count(t2)
+            F.col("_n_alpha")
             .cast("double")
-            / F.greatest(F.length(t2), F.lit(1)).cast("double")
+            / F.greatest(F.col("_n_chars"), F.lit(1)).cast("double")
         ).alias("score"),
     )
     gated = quantile_threshold_filter(scored, "score", 1, 5).drop("_qbucket")
