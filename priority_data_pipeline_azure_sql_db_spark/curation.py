@@ -184,9 +184,47 @@ def build_curation(docs: DataFrame, config: dict) -> DataFrame:
                 and "source" in df.columns and "cap" in nxt
                 and "doc_id" in df.columns
             )
+            # "project" (round 18): when the caller declares the
+            # columns it needs from the admitted rows — and text is
+            # not among them — the decisions AND the output both come
+            # from the cached narrow proxy, and the attach join back
+            # to the full rows is elided entirely: the upstream chain
+            # executes exactly ONCE (the proxy population) instead of
+            # twice. This is the missing half of the decide-on-proxy
+            # pattern for consumers that never read text (the
+            # capstones take score and n_tokens from the boilerplate
+            # stage's stat sums). Declared in config — reviewable
+            # data, loud build-time errors — because only the caller
+            # knows text is dead downstream; Catalyst cannot prune a
+            # join it must assume changes row multiplicity.
+            proj = st.get("project")
+            if proj is not None:
+                proj = [str(c) for c in proj]
+                if not fuse_cap:
+                    raise ValueError(
+                        f"stage {i}: quantile_gate 'project' requires an "
+                        "immediately following source_cap stage (the "
+                        "fused no-attach path)"
+                    )
+                if "text" in proj:
+                    raise ValueError(
+                        f"stage {i}: 'project' must not include text — "
+                        "projecting text requires the attach join this "
+                        "option exists to elide; omit 'project' instead"
+                    )
+                missing = [c for c in proj
+                           if c not in df.columns and c != "score"]
+                if missing:
+                    raise ValueError(
+                        f"stage {i}: 'project' names missing column(s) "
+                        f"{missing}"
+                    )
             if "doc_id" in df.columns:
                 decision_cols = ["doc_id", "score"] + (
                     ["source"] if fuse_cap else [])
+                if proj is not None:
+                    decision_cols += [
+                        c for c in proj if c not in decision_cols]
                 narrow = df.select(*decision_cols)
                 gated_n = quantile_threshold_filter(
                     narrow, "score",
@@ -197,16 +235,21 @@ def build_curation(docs: DataFrame, config: dict) -> DataFrame:
                         gated_n, ["source"], "score",
                         cap=int(nxt["cap"]),
                     )
-                    # the capped set is <= cap x |sources| rows BY
-                    # CONTRACT — broadcast the attach at any scale
-                    # (static size estimates saw an aggregate and
-                    # planned a sort-merge join that shuffled the
-                    # full-text side by doc_id)
-                    df = df.join(
-                        F.broadcast(
-                            capped_n.select("doc_id", "rank_in_group")),
-                        "doc_id",
-                    )
+                    if proj is not None:
+                        # no attach: the proxy rows ARE the output
+                        df = capped_n.select(*proj, "rank_in_group")
+                    else:
+                        # the capped set is <= cap x |sources| rows BY
+                        # CONTRACT — broadcast the attach at any scale
+                        # (static size estimates saw an aggregate and
+                        # planned a sort-merge join that shuffled the
+                        # full-text side by doc_id)
+                        df = df.join(
+                            F.broadcast(
+                                capped_n.select(
+                                    "doc_id", "rank_in_group")),
+                            "doc_id",
+                        )
                     skip_next = True
                 else:
                     df = df.join(

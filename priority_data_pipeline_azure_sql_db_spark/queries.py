@@ -6551,7 +6551,8 @@ def pipeline_curation_html(spark, sf_dir):
         {"op": "html_extract"},
         {"op": "linify", "width": 8},
         {"op": "boilerplate_lines", "min_docs": 2, "stats": True},
-        {"op": "quantile_gate", "drop_num": 1, "drop_den": 5},
+        {"op": "quantile_gate", "drop_num": 1, "drop_den": 5,
+         "project": ["doc_id", "source", "_n_tokens"]},
         {"op": "source_cap", "cap": 10},
     ]}).withColumn("n_tokens", F.col("_n_tokens").cast("bigint"))
     member_tag = _md5_tag48(F.col("doc_id").cast("string"))
@@ -6695,11 +6696,17 @@ def pipeline_curation_dsir(spark, sf_dir):
     # _n_tokens == token_count(text) exactly (linearity over the
     # whitespace join — see remove_boilerplate_lines), so the admitted
     # set, totals and member_tag are bit-identical; oracle unchanged.
+    # ... and "project" (round 18, second step): this report reads only
+    # (doc_id, source, _n_tokens), so the gate+cap slot decides AND
+    # emits from its cached narrow proxy — the attach join back to the
+    # full rows is elided and the curated upstream executes exactly
+    # ONCE per run instead of twice.
     admitted = build_curation(d, {"stages": [
         {"op": "dsir", "target_filter": "lang = 'en'", "n_buckets": 4096},
         {"op": "linify", "width": 8},
         {"op": "boilerplate_lines", "min_docs": 2, "stats": True},
-        {"op": "quantile_gate", "drop_num": 1, "drop_den": 5},
+        {"op": "quantile_gate", "drop_num": 1, "drop_den": 5,
+         "project": ["doc_id", "source", "_n_tokens"]},
         {"op": "source_cap", "cap": 10},
     ]}).withColumn("n_tokens", F.col("_n_tokens").cast("bigint"))
     member_tag = _md5_tag48(F.col("doc_id").cast("string"))

@@ -1207,6 +1207,55 @@ def test_config_curation_dsir_stage(spark, sf_dir):
         build_curation(d, {"stages": [{"op": "dsir"}]})
 
 
+def test_config_curation_gate_project(spark, sf_dir):
+    """Round-18 'project' on the fused gate+cap slot: decisions AND
+    output come from the cached narrow proxy (no attach join, upstream
+    executes once). The admitted (source, doc_id, rank) set must equal
+    the attach variant's exactly, _n_tokens must equal token_count of
+    the attach variant's admitted text, and the build-time guard rails
+    are loud."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from priority_data_pipeline_azure_sql_db_spark.curation import build_curation
+    from priority_data_pipeline_azure_sql_db_spark.operators.text import token_count
+    from priority_data_pipeline_azure_sql_db_spark.sources.parquet import load_table
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "source")
+    tail = [
+        {"op": "linify", "width": 8},
+        {"op": "boilerplate_lines", "min_docs": 2, "stats": True},
+        {"op": "quantile_gate", "drop_num": 1, "drop_den": 5},
+        {"op": "source_cap", "cap": 10},
+    ]
+    attach = build_curation(d, {"stages": tail}).select(
+        "doc_id", "source", "rank_in_group",
+        token_count(F.col("text")).cast("bigint").alias("n_tokens"),
+    ).collect()
+    proj_tail = [dict(s) for s in tail]
+    proj_tail[2]["project"] = ["doc_id", "source", "_n_tokens"]
+    got = build_curation(d, {"stages": proj_tail})
+    assert got.columns == ["doc_id", "source", "_n_tokens", "rank_in_group"]
+    got_rows = got.collect()
+    assert {(r["source"], r["doc_id"], r["rank_in_group"]) for r in got_rows} \
+        == {(r["source"], r["doc_id"], r["rank_in_group"]) for r in attach}
+    assert {(r["doc_id"], r["_n_tokens"]) for r in got_rows} \
+        == {(r["doc_id"], r["n_tokens"]) for r in attach}
+    # guard rails: project needs the fused slot, must exclude text,
+    # and must name existing columns
+    with pytest.raises(ValueError, match="requires an .*source_cap"):
+        build_curation(d, {"stages": proj_tail[:3]})
+    bad = [dict(s) for s in proj_tail]
+    bad[2]["project"] = ["doc_id", "text"]
+    with pytest.raises(ValueError, match="must not include text"):
+        build_curation(d, {"stages": bad})
+    bad[2]["project"] = ["doc_id", "nope"]
+    with pytest.raises(ValueError, match="missing column"):
+        build_curation(d, {"stages": bad})
+    spark.catalog.clearCache()
+
+
 def test_simhash_md5_signatures_match_duckdb(spark, sf_dir):
     """Per-doc signature parity for the md5 SimHash family (round 15 —
     the evidence that funds dedup_simhash_md5's P2 retirement: its
