@@ -58,9 +58,24 @@ def _stats_or_alpha_score(df: DataFrame):
     return _alpha_score(F.col("text"))
 
 
+_STATS_COLS = ("_n_chars", "_n_alpha", "_n_tokens")
+
+
+def _drop_stale_stats(df: DataFrame) -> DataFrame:
+    """Drop the boilerplate stage's per-line-sum stats when a stage is
+    about to MUTATE text (round-19 ADVICE fix): the stats are exact for
+    the text they were computed over, and a config like
+    [boilerplate_lines(stats), linify, quantile_gate] would otherwise
+    silently score stale sums against the rewrapped text —
+    _stats_or_alpha_score trusts the columns whenever they exist."""
+    stale = [c for c in _STATS_COLS if c in df.columns]
+    return df.drop(*stale) if stale else df
+
+
 def _linify(df: DataFrame, width: int) -> DataFrame:
     from .operators.scale import spread_if_narrow
 
+    df = _drop_stale_stats(df)
     # round 18: adaptively spread BEFORE the tokenize+re-wrap — built
     # over a narrow scan (single-row-group fixture file) the whole
     # linify expression otherwise evaluates inside the one scan task,
@@ -93,7 +108,15 @@ def build_curation(docs: DataFrame, config: dict) -> DataFrame:
     """Compose the configured stage chain over a (doc_id, text, source)
     relation. Returns the admitted rows with whatever bookkeeping
     columns the final stage adds. Raises ``ValueError`` on unknown ops
-    or invalid parameters — at build time, before any job runs."""
+    or invalid parameters — at build time, before any job runs.
+
+    Side effect (documented per round-19 ADVICE): a ``dsir`` stage
+    followed by a multi-consumer decision tail ``.cache()``s its narrow
+    admitted-id set, and a ``quantile_gate`` caches its narrow decision
+    proxy (operators/sample.quantile_threshold_filter) — neither is
+    unpersisted here. Long-lived applications composing many curation
+    plans should clear them (``spark.catalog.clearCache()`` or a scoped
+    unpersist) between builds; the bench harness does so per attempt."""
     stages = config.get("stages")
     if not stages:
         raise ValueError("curation config has no stages")
@@ -128,6 +151,9 @@ def build_curation(docs: DataFrame, config: dict) -> DataFrame:
                 raise ValueError(
                     f"stage {i}: html_extract needs a {html_col!r} column"
                 )
+            # stats computed over pre-extraction text are stale for the
+            # replaced text — drop, never carry (round-19 ADVICE fix)
+            df = _drop_stale_stats(df)
             extra = [c for c in df.columns
                      if c not in ("doc_id", html_col, "text")]
             content = extract_main_content(
@@ -200,6 +226,12 @@ def build_curation(docs: DataFrame, config: dict) -> DataFrame:
             proj = st.get("project")
             if proj is not None:
                 proj = [str(c) for c in proj]
+                # de-duplicate while preserving order (round-19 ADVICE
+                # fix): duplicate names would emit duplicate output
+                # columns from the final select
+                _seen: set = set()
+                proj = [c for c in proj
+                        if not (c in _seen or _seen.add(c))]
                 if not fuse_cap:
                     raise ValueError(
                         f"stage {i}: quantile_gate 'project' requires an "
@@ -212,8 +244,12 @@ def build_curation(docs: DataFrame, config: dict) -> DataFrame:
                         "projecting text requires the attach join this "
                         "option exists to elide; omit 'project' instead"
                     )
+                # 'score' is added by this stage and 'rank_in_group' by
+                # the fused cap (and appended to the output anyway) —
+                # both are legitimately declarable (round-19 ADVICE fix)
                 missing = [c for c in proj
-                           if c not in df.columns and c != "score"]
+                           if c not in df.columns
+                           and c not in ("score", "rank_in_group")]
                 if missing:
                     raise ValueError(
                         f"stage {i}: 'project' names missing column(s) "
@@ -237,7 +273,11 @@ def build_curation(docs: DataFrame, config: dict) -> DataFrame:
                     )
                     if proj is not None:
                         # no attach: the proxy rows ARE the output
-                        df = capped_n.select(*proj, "rank_in_group")
+                        # (rank_in_group appended unless declared)
+                        out_cols = proj + (
+                            [] if "rank_in_group" in proj
+                            else ["rank_in_group"])
+                        df = capped_n.select(*out_cols)
                     else:
                         # the capped set is <= cap x |sources| rows BY
                         # CONTRACT — broadcast the attach at any scale
@@ -300,13 +340,29 @@ def build_curation(docs: DataFrame, config: dict) -> DataFrame:
             from .operators.sample import dsir_scored
 
             need(st, i, "target_filter")
-            target = docs.filter(str(st["target_filter"]))
-            w = dsir_scored(
-                df.select("doc_id", "text"), target,
-                text_col="text", id_col="doc_id",
-                n_buckets=int(st.get("n_buckets", 4096)),
-                alpha=float(st.get("alpha", 0.5)),
-            )
+            if df is docs:
+                # round 19 — the SELF-TARGET fusion: the dsir stage is
+                # FIRST (df is still the raw input relation the target
+                # filter is defined over), so the membership predicate
+                # rides the one corpus tokenize+md5 pass as a flag and
+                # the separate target tokenize pass disappears
+                # (operators/sample.dsir_scored target_flag). Identical
+                # counts, identical weights.
+                w = dsir_scored(
+                    df, None,
+                    text_col="text", id_col="doc_id",
+                    n_buckets=int(st.get("n_buckets", 4096)),
+                    alpha=float(st.get("alpha", 0.5)),
+                    target_flag=F.expr(str(st["target_filter"])),
+                )
+            else:
+                target = docs.filter(str(st["target_filter"]))
+                w = dsir_scored(
+                    df.select("doc_id", "text"), target,
+                    text_col="text", id_col="doc_id",
+                    n_buckets=int(st.get("n_buckets", 4096)),
+                    alpha=float(st.get("alpha", 0.5)),
+                )
             thr = float(st.get("threshold", 0.0))
             keep = w.filter(F.col("log_weight") > thr).select("doc_id")
             # round 18: cache the NARROW admitted-id set. A downstream
@@ -321,7 +377,24 @@ def build_curation(docs: DataFrame, config: dict) -> DataFrame:
             # set. Decision-column projection only (the round's cache
             # policy); the bench clears caches per attempt, so
             # population stays inside the timed region.
-            keep = keep.cache()
+            # Round 19 (ADVICE): gated on the chain actually executing
+            # upstream twice — when a downstream quantile_gate declares
+            # "project" (the no-attach single-execution path) the id
+            # set is referenced exactly once per run and the cache is
+            # pure overhead (an InMemoryRelation materialization plus
+            # an undocumented side effect for library callers). NOTE
+            # for long-lived callers: when the cache IS taken it is
+            # never unpersisted by build_curation — call
+            # spark.catalog.clearCache() (the bench does, per attempt)
+            # or unpersist via df.sparkSession.catalog when composing
+            # many curation plans in one application.
+            single_exec_tail = any(
+                isinstance(s2, dict) and s2.get("op") == "quantile_gate"
+                and s2.get("project") is not None
+                for s2 in stages[i + 1:]
+            )
+            if not single_exec_tail:
+                keep = keep.cache()
             df = df.join(keep, "doc_id")
         elif op == "temperature_mix":
             from .operators.sample import temperature_mix_sample

@@ -659,10 +659,20 @@ def remove_boilerplate_lines(
     — any other ``sep`` raises. Pinned by
     tests/test_northstar.py::test_boilerplate_emit_stats_exact.
     """
-    if emit_stats and (sep == "" or sep.strip() != ""):
+    # round-19 ADVICE fix: validate against the JAVA regex \s set
+    # ([ \t\n\x0B\f\r]) explicitly, not Python str.strip() — Python
+    # treats NBSP/\x85/\x1c-\x1f/Unicode spaces as whitespace but Java
+    # \s does not, so a sep like ' ' passed the old guard while
+    # token_count (which splits on \s) merged tokens across the join
+    # and _n_tokens silently diverged from token_count(text).
+    if emit_stats and (
+        sep == "" or any(c not in " \t\n\x0b\x0c\r" for c in sep)
+    ):
         raise ValueError(
-            "emit_stats requires a non-empty whitespace separator: "
-            "token/alpha sums are only linear when sep is \\s+"
+            "emit_stats requires a non-empty separator of Java-\\s "
+            "characters ( \\t\\n\\x0b\\f\\r) only: token/alpha sums are "
+            "only linear when every sep char matches the \\s the "
+            "tokenizer splits on"
         )
     # The explicit isnotnull(doc) is VACUOUS for real corpora (the id
     # is a key; a null-id doc has no identity to reassemble under) but

@@ -397,11 +397,12 @@ def cap_per_group(
 
 def dsir_scored(
     df: DataFrame,
-    target_df: DataFrame,
+    target_df: DataFrame | None,
     text_col: str = "text",
     id_col: str = "doc_id",
     n_buckets: int = 4096,
     alpha: float = 0.5,
+    target_flag=None,
 ) -> DataFrame:
     """The SCORED-ONLY half of :func:`dsir_log_weights` (round 15):
     (id_col, n_feats, log_weight) for every document with >= 1 bigram —
@@ -445,15 +446,42 @@ def dsir_scored(
     raw occurrences. No corpus-sized shuffle beyond the per-doc
     groupBy, no Python. Docs with no bigrams (0/1 token) surface with
     n_feats = 0 and a NULL weight ("no evidence"), never vanish —
-    the bigram_lm_score discipline."""
+    the bigram_lm_score discipline.
+
+    ``target_flag`` (round 19 — the SELF-TARGET fusion): when the
+    target corpus is a FILTER OF ``df`` ITSELF (the standard DSIR
+    deployment — "more rows like this slice of the same corpus"), pass
+    the membership predicate as a Column instead of a ``target_df`` and
+    the target counts ``p`` come from the SAME per-(doc, f) aggregate
+    as ``q`` and the scoring join: the flag rides the one corpus
+    tokenize+md5 pass and ``p`` is the flagged rollup — the separate
+    tokenize+md5+explode pass over the target slice (a second full
+    scan + generate of up to the whole corpus) disappears from the
+    plan. Provably identical: target occurrences per bucket =
+    Σ per-(doc, f) counts over flagged docs, the same integers the
+    two-pass shape counted. The flag must be a row-level predicate
+    over ``df``'s columns (evaluated before tokenization; NULL ⇒ not
+    target, matching ``df.filter``). One edge documented like the
+    operator's other isnotnull notes: null-``id`` target rows no
+    longer contribute to ``p`` (the shared aggregate drops them);
+    vacuous whenever the id is a key. Exactly one of ``target_df`` /
+    ``target_flag`` must be given."""
     from .scale import spread_if_narrow
     from .text import TOKEN_SPLIT_RE, drop_empty_tokens
 
-    def feats(d: DataFrame, keep_id: bool) -> DataFrame:
-        t = d.select(
+    if (target_df is None) == (target_flag is None):
+        raise ValueError(
+            "dsir_scored: pass exactly one of target_df or target_flag"
+        )
+
+    def feats(d: DataFrame, keep_id: bool, flag=None) -> DataFrame:
+        cols = [
             F.col(id_col).alias("doc"),
             F.col(text_col).alias("_dsir_txt"),
-        )
+        ]
+        if flag is not None:
+            cols.append(flag.cast("boolean").alias("_t"))
+        t = d.select(*cols)
         # adaptive spread BEFORE the tokenize+explode: a narrow scan
         # (single-row-group file) would otherwise run the whole corpus
         # bigram+md5 pass in one task; at real scale the scan is already
@@ -466,18 +494,21 @@ def dsir_scored(
         toks = drop_empty_tokens(
             F.split(F.trim(F.lower(F.col("_dsir_txt"))), TOKEN_SPLIT_RE)
         ).alias("t")
-        t = t.select("doc", toks)
+        ride = ["_t"] if flag is not None else []
+        t = t.select("doc", *ride, toks)
         z = F.zip_with(
             F.slice(F.col("t"), 1, F.greatest(F.size("t") - 1, F.lit(0))),
             F.slice(F.col("t"), 2, F.greatest(F.size("t") - 1, F.lit(0))),
             lambda p, w: F.concat_ws(" ", p, w),
         )
-        g = t.select("doc", F.explode(z).alias("g"))
+        g = t.select("doc", *ride, F.explode(z).alias("g"))
         bucket = (
             F.conv(F.substring(F.md5(F.col("g")), 1, 12), 16, 10)
             .cast("bigint") % n_buckets
         ).alias("f")
-        return g.select("doc", bucket) if keep_id else g.select(bucket)
+        if keep_id:
+            return g.select("doc", *ride, bucket)
+        return g.select(bucket)
 
     # ONE corpus pass: per-(doc, f) occurrence counts. Everything the
     # old two-pass shape needed is derivable from this aggregate, and
@@ -490,15 +521,45 @@ def dsir_scored(
     # and the q-side copy would not carry them — canonically different
     # subtrees, no ReuseExchange, and the tokenize+md5 pass runs twice
     # again. Pinned by test_dsir_one_corpus_pass.
-    occ_counts = (
-        feats(df, True)
-        .filter(F.col("doc").isNotNull() & F.col("f").isNotNull())
-        .groupBy("doc", "f")
-        .agg(F.count(F.lit(1)).alias("c"))
-    )
-    p_cnt = feats(target_df, False).groupBy("f").agg(
-        F.count(F.lit(1)).alias("pc"))
-    q_cnt = occ_counts.groupBy("f").agg(F.sum("c").alias("qc"))
+    if target_flag is not None:
+        # self-target fusion: the flag (constant per doc — a row-level
+        # predicate) rides the one pass as an EXTRA GROUPING KEY — not
+        # an aggregate expression, which per-consumer column pruning
+        # would drop from the scoring copy (different partial agg ⇒
+        # canonically different exchange ⇒ no ReuseExchange and the
+        # tokenize+md5 pass would run twice again). Grouping keys are
+        # never pruned, and the flag is constant per doc, so the
+        # (doc, _t, f) groups ARE the (doc, f) groups with one extra
+        # boolean riding the exchange.
+        occ_counts = (
+            feats(df, True, flag=target_flag)
+            .filter(F.col("doc").isNotNull() & F.col("f").isNotNull())
+            .groupBy("doc", "_t", "f")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        # p and q from ONE rollup of the shared aggregate (target ⊆
+        # corpus, so every target bucket is a corpus bucket and the
+        # two-sided full join degenerates): pc via when(), not a
+        # filter, so no one-sided inferred isnotnull(_t) can make the
+        # copies canonically different. NULL flag ⇒ not target —
+        # df.filter(flag)'s semantics exactly.
+        fstat = occ_counts.groupBy("f").agg(
+            F.sum("c").alias("qc"),
+            F.sum(F.when(F.col("_t"), F.col("c")).otherwise(F.lit(0)))
+            .alias("pc"),
+        )
+        p_cnt = fstat.select("f", "pc")
+        q_cnt = fstat.select("f", "qc")
+    else:
+        occ_counts = (
+            feats(df, True)
+            .filter(F.col("doc").isNotNull() & F.col("f").isNotNull())
+            .groupBy("doc", "f")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        p_cnt = feats(target_df, False).groupBy("f").agg(
+            F.count(F.lit(1)).alias("pc"))
+        q_cnt = occ_counts.groupBy("f").agg(F.sum("c").alias("qc"))
     # totals ride as 1-row scalar aggregates broadcast with the ratio table
     pt = p_cnt.agg(F.sum("pc").alias("pt"))
     qt = q_cnt.agg(F.sum("qc").alias("qt"))
@@ -511,9 +572,18 @@ def dsir_scored(
     # a separate column Catalyst could prune), so the plan stays lazy —
     # no extra driver-side pass over the target — and an accidentally
     # empty target fails the job with this message at first execution.
+    # (fused mode: a zero-occurrence target makes pt = 0, not NULL —
+    # there fstat still has a row per corpus bucket — so the loud-error
+    # contract checks > 0 as well; pt is a count, never legitimately 0
+    # with a non-degenerate target.)
+    _pt_ok = (
+        F.col("pt").isNotNull()
+        if target_flag is None
+        else (F.col("pt").isNotNull() & (F.col("pt") > 0))
+    )
     pt_checked = F.when(
         F.assert_true(
-            F.col("pt").isNotNull(),
+            _pt_ok,
             F.lit(
                 "dsir_log_weights: target corpus has zero bigram "
                 "occurrences (empty target_df or all 0/1-token docs)"
@@ -521,8 +591,12 @@ def dsir_scored(
         ).isNull(),
         F.col("pt"),
     )
+    # fused mode: pc and qc already live on one relation (target ⊆
+    # corpus ⇒ p's buckets ⊆ q's) — the two-sided full join is only
+    # needed when p comes from an independent target pass
+    pq = fstat if target_flag is not None else p_cnt.join(q_cnt, "f", "full")
     ratio = (
-        p_cnt.join(q_cnt, "f", "full")
+        pq
         .crossJoin(F.broadcast(pt)).crossJoin(F.broadcast(qt))
         .select(
             "f",
@@ -566,21 +640,26 @@ def dsir_scored(
 
 def dsir_log_weights(
     df: DataFrame,
-    target_df: DataFrame,
+    target_df: DataFrame | None,
     text_col: str = "text",
     id_col: str = "doc_id",
     n_buckets: int = 4096,
     alpha: float = 0.5,
+    target_flag=None,
 ) -> DataFrame:
     """The full DSIR surface (round 14; see :func:`dsir_scored` for the
-    algorithm, determinism kit, and scale shape): every document of
+    algorithm, determinism kit, scale shape, and the round-19
+    ``target_flag`` self-target fusion — when the target is a filter of
+    ``df`` itself, pass the predicate Column and the target's separate
+    tokenize+md5 pass disappears): every document of
     ``df`` surfaces — zero-bigram docs as (0, NULL, selected=false),
     never vanishing (the bigram_lm_score discipline) — via a doc_id
     universe left-join over the scored half. Consumers that drop
     no-evidence rows anyway should use :func:`dsir_scored` and skip the
     universe distinct+join."""
     agg = dsir_scored(df, target_df, text_col=text_col, id_col=id_col,
-                      n_buckets=n_buckets, alpha=alpha)
+                      n_buckets=n_buckets, alpha=alpha,
+                      target_flag=target_flag)
     universe = df.select(F.col(id_col).alias(id_col)).distinct()
     return universe.join(agg, id_col, "left").select(
         F.col(id_col),

@@ -5381,13 +5381,22 @@ def sample_dsir_weights(spark, sf_dir):
     approximated. Zero-bigram docs surface as (0, NULL, false), never
     vanish. Plan: two hash-agg count passes, a ≤4,096-row broadcast
     ratio table, one map-side-combinable join+sum — no corpus-sized
-    shuffle beyond the per-doc groupBy."""
+    shuffle beyond the per-doc groupBy.
+
+    Round 19: the target is a FILTER OF THE SAME CORPUS, so the
+    membership predicate rides the one tokenize+md5 pass as a flag
+    (``target_flag`` — the self-target fusion, operators/sample.py)
+    and the separate en-slice tokenize+md5+explode pass is gone from
+    the plan (Generate count 2 → 1). p = the flagged rollup of the
+    same per-(doc, flag, f) aggregate — identical integers, identical
+    weights; oracle unchanged."""
     from .operators.sample import dsir_log_weights
 
     d = load_table(spark, sf_dir, "documents")
     return dsir_log_weights(
-        d, d.filter(F.col("lang") == "en"),
+        d, None,
         n_buckets=4096, alpha=0.5,
+        target_flag=F.col("lang") == "en",
     )
 
 

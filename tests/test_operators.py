@@ -2088,3 +2088,51 @@ def test_dsir_log_weights_empty_target_fails_loud(spark):
                    df.filter(F.col("lang") == "en")):
         with pytest.raises(Exception, match="zero bigram occurrences"):
             dsir_log_weights(df, target, n_buckets=64).collect()
+    # the round-19 fused self-target path keeps the loud-error contract
+    # (there a degenerate target makes pt = 0, not NULL — the guard
+    # checks both): same two degenerate slices, now as flag predicates.
+    for flag in (F.col("lang") == "zz", F.col("lang") == "en"):
+        with pytest.raises(Exception, match="zero bigram occurrences"):
+            dsir_log_weights(
+                df, None, n_buckets=64, target_flag=flag
+            ).collect()
+
+
+def test_dsir_self_target_fusion_exact(spark):
+    """Round-19 fusion equivalence: dsir_log_weights with
+    ``target_flag`` (the predicate riding the one corpus pass) returns
+    BIT-IDENTICAL rows to the two-pass form with
+    ``target_df = df.filter(<same predicate>)`` — including NULL-flag
+    docs (NULL ⇒ not target, df.filter semantics), 0/1-token docs, and
+    flagged docs whose bigrams exist nowhere else. Also pins the
+    exactly-one-of-target_df/target_flag argument contract."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from priority_data_pipeline_azure_sql_db_spark.operators.sample import (
+        dsir_log_weights,
+    )
+
+    rows = [
+        (1, "alpha beta gamma delta " * 20, "en"),
+        (2, "alpha beta gamma delta " * 20, "xx"),
+        (3, "raw one two three four five " * 15, "xx"),
+        (4, "unique target only bigrams here " * 10, "en"),
+        (5, "solo", "en"),              # flagged but 1 token
+        (6, "mixed alpha beta raw one two " * 12, None),  # NULL lang
+        (7, "", "xx"),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id bigint, text string, lang string")
+    flag = F.col("lang") == "en"
+    two_pass = sorted(
+        dsir_log_weights(df, df.filter(flag), n_buckets=128).collect())
+    fused = sorted(
+        dsir_log_weights(df, None, n_buckets=128,
+                         target_flag=flag).collect())
+    assert fused == two_pass
+    with pytest.raises(ValueError, match="exactly one"):
+        dsir_log_weights(df, df.filter(flag), n_buckets=128,
+                         target_flag=flag)
+    with pytest.raises(ValueError, match="exactly one"):
+        dsir_log_weights(df, None, n_buckets=128)

@@ -2752,6 +2752,17 @@ def test_dsir_one_corpus_pass(spark, sf_dir):
             d, d.filter(F.col("lang") == "en"), n_buckets=512
         )
         plan = w._jdf.queryExecution().executedPlan().toString()
+        # round 19: the SELF-TARGET fusion — when the target is a
+        # filter of df itself, the predicate rides the one pass as a
+        # flag grouping key and the target's own tokenize+md5 explode
+        # disappears: exactly ONE Generate. The flag must stay a
+        # GROUPING key (not an aggregate expr, which per-consumer
+        # column pruning would drop, making the copies canonically
+        # different) — if this fails with 2 Generates, that regressed.
+        wf = dsir_log_weights(
+            d, None, n_buckets=512, target_flag=F.col("lang") == "en"
+        )
+        plan_fused = wf._jdf.queryExecution().executedPlan().toString()
     finally:
         spark.conf.set("spark.sql.adaptive.enabled", "true")
     assert plan.count("Generate") == 2, (
@@ -2759,6 +2770,12 @@ def test_dsir_one_corpus_pass(spark, sf_dir):
     )
     assert "ReusedExchange" in plan, (
         f"occ_counts exchange not shared:\n{plan}"
+    )
+    assert plan_fused.count("Generate") == 1, (
+        f"fused self-target: expected ONE bigram explode:\n{plan_fused}"
+    )
+    assert "ReusedExchange" in plan_fused, (
+        f"fused occ_counts exchange not shared:\n{plan_fused}"
     )
 
 
@@ -2785,8 +2802,19 @@ def test_curation_dsir_capstone_narrow_plan(spark, sf_dir):
         assert "collect_list" not in plan, (
             "text reassembly not pruned from the capstone plan"
         )
-        assert re.search(r"InMemoryRelation \[doc_id#\d+L?\]", plan), (
-            "dsir admitted-id set is not cached"
+        # round 19: the capstone declares "project" (the no-attach
+        # single-execution gate path), so the dsir admitted-id cache is
+        # deliberately ABSENT — with upstream executing exactly once,
+        # a doc_id-only InMemoryRelation would be pure overhead (the
+        # cache is still taken on multi-execution tails; see the
+        # curation dsir stage note). The gate's narrow decision proxy
+        # remains the one cache in the plan.
+        assert not re.search(r"InMemoryRelation \[doc_id#\d+L?\]", plan), (
+            "dsir admitted-id set cached on the single-execution "
+            "project path — pure overhead, see curation.py dsir stage"
+        )
+        assert "InMemoryRelation" in plan, (
+            "the gate's narrow decision-proxy cache disappeared"
         )
     finally:
         spark.catalog.clearCache()
