@@ -560,9 +560,15 @@ def dsir_scored(
         p_cnt = feats(target_df, False).groupBy("f").agg(
             F.count(F.lit(1)).alias("pc"))
         q_cnt = occ_counts.groupBy("f").agg(F.sum("c").alias("qc"))
-    # totals ride as 1-row scalar aggregates broadcast with the ratio table
-    pt = p_cnt.agg(F.sum("pc").alias("pt"))
-    qt = q_cnt.agg(F.sum("qc").alias("qt"))
+    # totals ride as 1-row scalar aggregates broadcast with the ratio
+    # table. Fused mode: BOTH totals from one rollup of fstat — separate
+    # pt/qt aggregates would re-read the shared (doc, _t, f) exchange
+    # once more each (measured ~5% on the whole operator at sf0.1).
+    if target_flag is not None:
+        totals = fstat.agg(F.sum("pc").alias("pt"), F.sum("qc").alias("qt"))
+    else:
+        pt = p_cnt.agg(F.sum("pc").alias("pt"))
+        qt = q_cnt.agg(F.sum("qc").alias("qt"))
     fix6 = lambda c: (F.floor(c * F.lit(1000000.0) + F.lit(0.5))  # noqa: E731
                       / F.lit(1000000.0))
     # Fail LOUD on an empty target (round-15 ADVICE): SUM over zero rows
@@ -593,11 +599,15 @@ def dsir_scored(
     )
     # fused mode: pc and qc already live on one relation (target ⊆
     # corpus ⇒ p's buckets ⊆ q's) — the two-sided full join is only
-    # needed when p comes from an independent target pass
-    pq = fstat if target_flag is not None else p_cnt.join(q_cnt, "f", "full")
+    # needed when p comes from an independent target pass; likewise the
+    # totals arrive as ONE broadcast 1-row relation, not two
+    if target_flag is not None:
+        pq = fstat.crossJoin(F.broadcast(totals))
+    else:
+        pq = (p_cnt.join(q_cnt, "f", "full")
+              .crossJoin(F.broadcast(pt)).crossJoin(F.broadcast(qt)))
     ratio = (
         pq
-        .crossJoin(F.broadcast(pt)).crossJoin(F.broadcast(qt))
         .select(
             "f",
             fix6(
