@@ -130,11 +130,25 @@ def build_curation(docs: DataFrame, config: dict) -> DataFrame:
 
     df = docs
     skip_next = False
+    # Tracks whether the chain so far ends in a join/aggregate whose
+    # exchange ReuseExchange can share across the gate's decision
+    # consumers (round 19): when it does, the gate's narrow proxy must
+    # NOT cache — the heavy map side already runs once via the shared
+    # exchange, and the InMemoryRelation costs extra (measured ~5% on
+    # the dsir capstone at sf0.1) while holding corpus-sized narrow
+    # rows in executor memory at scale where the disk-backed shuffle is
+    # the better medium. Cache only pays when the proxy sits directly
+    # over a scan + expensive projection (filter_quality_quantile's
+    # shape — nothing to reuse, every consumer would re-scan).
+    exchange_topped = False
     for i, st in enumerate(stages):
         if skip_next:
             skip_next = False
             continue
         op = st.get("op")
+        if op in ("html_extract", "boilerplate_lines", "dsir",
+                  "temperature_mix"):
+            exchange_topped = True
         if op == "html_extract":
             # optional FIRST stage (round 13): raw crawl HTML → text —
             # the C4/CCNet step upstream of linify/quality gates. Reads
@@ -265,6 +279,7 @@ def build_curation(docs: DataFrame, config: dict) -> DataFrame:
                 gated_n = quantile_threshold_filter(
                     narrow, "score",
                     int(st["drop_num"]), int(st["drop_den"]),
+                    cache_input=not exchange_topped,
                 ).drop("_qbucket")
                 if fuse_cap:
                     capped_n = cap_per_group(

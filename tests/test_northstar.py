@@ -1422,9 +1422,15 @@ def test_boilerplate_emit_stats_exact(spark):
         df, emit_stats=True, drop_empty=False).collect()}
     assert z[3]["text"] == "" and z[3]["_n_chars"] == 0 \
         and z[3]["_n_alpha"] == 0 and z[3]["_n_tokens"] == 0
-    # token linearity needs a whitespace separator — anything else lies
-    with pytest.raises(ValueError, match="whitespace separator"):
+    # token linearity needs a Java-\s separator — anything else lies
+    with pytest.raises(ValueError, match=r"Java-\\s"):
         remove_boilerplate_lines(df, sep="|", emit_stats=True)
+    # round-19 ADVICE fix: Python str.strip() whitespace that Java \s
+    # does NOT match (NBSP here) must ALSO be rejected — token_count
+    # splits on Java \s, so an NBSP join would merge tokens and make
+    # _n_tokens diverge from token_count(text)
+    with pytest.raises(ValueError, match=r"Java-\\s"):
+        remove_boilerplate_lines(df, sep=" ", emit_stats=True)
 
 
 def test_codec_jpeg_roundtrip_all_subsampling():
