@@ -71,7 +71,8 @@ def build_ivf_index(
             cents, id_col, "vec", 1, dim,
         )
         write_partitioned(assigned, os.path.join(path, CELLS_DIR), ["cell"],
-                          what="IVF cells")
+                          what="IVF cells",
+                          cluster=True, max_records_per_file=1_000_000)
     finally:
         # same discipline as build_near_dup_index: a leaked cached
         # relation per build accumulates across the LSM rebuild loop
@@ -134,7 +135,8 @@ def append_to_ivf_index(
         .select(id_col)
     fresh = assigned.join(existing_ids, id_col, "left_anti")
     write_partitioned(fresh, os.path.join(path, CELLS_DIR), ["cell"],
-                      mode="append", what="IVF cells append")
+                      mode="append", what="IVF cells append",
+                      cluster=True, max_records_per_file=1_000_000)
 
 
 def build_near_dup_index(
@@ -175,8 +177,13 @@ def build_near_dup_index(
         .coalesce(1).cache()
     cents.write.mode("overwrite").parquet(os.path.join(path, CENTROIDS_DIR))
     assigned = normalize_and_assign(corpus, cents, id_col, vec_col, dim)
+    # clustered write (round 19, guide §6): one task per cell instead
+    # of one file per (input partition x cell) — serves paid ~1,000
+    # file opens per read on a 20k-row store; maxRecordsPerFile keeps
+    # clustered files bounded at real scale (~0.5 GB at 64-dim doubles)
     write_partitioned(assigned, os.path.join(path, ASSIGN_DIR), ["cell"],
-                      what="near-dup assignment")
+                      what="near-dup assignment",
+                      cluster=True, max_records_per_file=1_000_000)
     # radii computed from the just-written assignment, not the in-flight
     # one, so the stored radii provably describe the stored cells
     stored = corpus.sparkSession.read.parquet(os.path.join(path, ASSIGN_DIR))
@@ -254,7 +261,8 @@ def append_to_near_dup_index(
         spark.createDataFrame(rows, merged.schema).coalesce(1) \
             .write.mode("overwrite").parquet(os.path.join(path, RADII_DIR))
         write_partitioned(fresh, os.path.join(path, ASSIGN_DIR), ["cell"],
-                          mode="append", what="near-dup append")
+                          mode="append", what="near-dup append",
+                          cluster=True, max_records_per_file=1_000_000)
     finally:
         fresh.unpersist()
 

@@ -75,9 +75,22 @@ def write_partitioned(
     mode: str = "overwrite",
     on_empty: str = "raise",
     what: str = "store artifact",
+    cluster: bool = False,
+    max_records_per_file: int = 0,
 ) -> bool:
     """Write ``df`` partitioned by ``partition_cols``; guarantee the
     result directory is never the unreadable zero-data-file wedge.
+
+    ``cluster=True`` (round 19, guide §6 small-files fix): shuffle the
+    rows onto their ``partition_cols`` value before the write, so each
+    hive directory receives files from ONE task instead of one file
+    per (input partition × key) — the ANN index stores were landing
+    32 × n_cells tiny files per write wave (~1,500 files for a 2k-row
+    store after one append), and every serve paid the per-file open
+    cost. ``max_records_per_file`` (> 0 passes the per-write
+    ``maxRecordsPerFile`` option) keeps the clustered files bounded —
+    at real scale one task per key would otherwise write one giant
+    unsplittable-row-group file per cell.
 
     Returns True if data files exist under ``path`` after the write
     (for ``mode="append"``, pre-existing files count — appending an
@@ -87,7 +100,12 @@ def write_partitioned(
     already gates emptiness use this as an invariant backstop) while
     ``on_empty="skip"`` returns False.
     """
-    df.write.partitionBy(*partition_cols).mode(mode).parquet(path)
+    if cluster:
+        df = df.repartition(*[df[c] for c in partition_cols])
+    w = df.write
+    if max_records_per_file > 0:
+        w = w.option("maxRecordsPerFile", max_records_per_file)
+    w.partitionBy(*partition_cols).mode(mode).parquet(path)
     if _has_data_files(path):
         return True
     shutil.rmtree(path, ignore_errors=True)
