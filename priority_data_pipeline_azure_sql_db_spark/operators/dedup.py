@@ -33,9 +33,20 @@ from .text import TOKEN_SPLIT_RE, drop_empty_tokens, fingerprint
 # ---------------------------------------------------------------------------
 
 def dedup_exact(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
-    """Exact dedup: group identical texts, keep the minimum id as canonical."""
+    """Exact dedup: group identical texts, keep the minimum id as canonical.
+
+    FINGERPRINT-FIRST since round 19 (guide §2.3 "shuffle keys, not
+    payloads"): the aggregate groups on md5(text) instead of the text
+    value itself, so the exchange's shuffle KEY is 32 hex chars however
+    large the documents get — grouping by the raw body made every
+    shuffle compare/sort/serialize full document bodies as keys, the
+    classic shuffle-volume killer at corpus scale. The output carries
+    no text, so nothing else changes. Identical modulo md5 collisions —
+    the same equivalence the fingerprint/minhash/member-tag surfaces
+    already rest on (and the oracle twins keep GROUP BY text, so any
+    collision on a real fixture would hash-fail loudly)."""
     return (
-        df.groupBy(text_col)
+        df.groupBy(F.md5(F.col(text_col).cast("binary")).alias("_fp"))
         .agg(
             F.min(id_col).cast("bigint").alias("canonical_id"),
             F.count(F.lit(1)).cast("bigint").alias("n_copies"),

@@ -615,8 +615,21 @@ def _near_dup_score_assignment(
         F.col("cell").alias("cell_b"), F.col("ids").alias("ids_b"),
         F.col("vecs").alias("vecs_b"), F.col("norms").alias("norms_b"),
     )
+    # KEYED spread (round 19): the join output is partitioned by
+    # hash(cell_b) — at most n_cells non-empty partitions however big
+    # the cluster, and a hot cell concentrates its block pairs on one
+    # task. Spreading by (cell_a, cell_b) distributes over the
+    # surviving PAIR count instead, and unlike the previous keyless
+    # form it skips sortBeforeRepartition's local sort of the packed
+    # matrix rows (the heaviest rows in the plan). Measured a tie at
+    # sf0.1 (the exchange itself dominates at 16 packed rows); the
+    # sort removal and per-pair distribution are the scale case.
+    # (Also measured and rejected: deriving radii from the packed
+    # aggregate — the cell_pairs broadcast still needs its own job, so
+    # the job count stays 4 either way and assigned is already cached.)
     blocks = spread(
-        pa.join(F.broadcast(cell_pairs), "cell_a").join(pb, "cell_b")
+        pa.join(F.broadcast(cell_pairs), "cell_a").join(pb, "cell_b"),
+        "cell_a", "cell_b",
     )
 
     def score(batches):

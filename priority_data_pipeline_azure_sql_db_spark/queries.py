@@ -1752,6 +1752,32 @@ _JACCARD_CAPPED_SQL = """
 
 # RETIRED from the registry in round 14 (P2, invariant-I3 slack; see
 # the __spark_entry__ rotation comment): dedup_jaccard_pairs_indexed
+def _exact_canon(d):
+    """The exact-dedup canon relation (text, doc_id = min id per
+    identical text), FINGERPRINT-FIRST since round 19 (guide §2.3
+    "shuffle keys, not payloads"): group on md5(text) with the winner
+    text recovered by min_by inside the SAME aggregate — one shuffle,
+    32-hex-char keys, no extra pass or join. The previous
+    groupBy(text) made the full document body the shuffle key, which
+    every exchange then compared/sorted/serialized — the classic
+    shuffle-volume killer at corpus scale; the payload now crosses once
+    as an aggregation value (one text per distinct doc per map
+    partition either way — partial aggregation state is unchanged).
+    min_by's tie-break is vacuous (doc_id is a key). Identical modulo
+    md5 collisions — the equivalence the fingerprint/minhash/member-tag
+    surfaces already rest on, and the oracles keep GROUP BY text, so a
+    collision on a real fixture would hash-fail loudly. Shared by the
+    capped pair families and the dedup index builds."""
+    return (
+        d.groupBy(F.md5(F.col("text").cast("binary")).alias("_fp"))
+        .agg(
+            F.min("doc_id").cast("bigint").alias("doc_id"),
+            F.min_by("text", "doc_id").alias("text"),
+        )
+        .select("text", "doc_id")
+    )
+
+
 # shares _JACCARD_CAPPED_SQL verbatim and hashes identically — the
 # same canon→cap→inverted-index machinery runs at the twin's index
 # build, so it stays driver-graded; the uncapped definitional form
@@ -1766,7 +1792,7 @@ def dedup_jaccard_pairs_capped(spark, sf_dir):
     uncapped it squares at corpus scale. The uncapped form stays
     registered (dedup_ngram_jaccard) as the small-sf oracle twin."""
     d = load_table(spark, sf_dir, "documents")
-    canon = d.groupBy("text").agg(F.min("doc_id").cast("bigint").alias("doc_id"))
+    canon = _exact_canon(d)
     return D.jaccard_pairs(canon, "text", "doc_id", k=5, threshold=0.2, max_doc_freq=50)
 
 
@@ -1812,7 +1838,7 @@ def dedup_winnow_pairs_capped(spark, sf_dir):
     drops boilerplate prints, cutting the sf0.1 self-join ~15× while
     keeping real pairs). Uncapped twin stays as dedup_winnow_pairs."""
     d = load_table(spark, sf_dir, "documents")
-    canon = d.groupBy("text").agg(F.min("doc_id").cast("bigint").alias("doc_id"))
+    canon = _exact_canon(d)
     return X.winnow_near_dup(canon, "text", "doc_id", k=8, w=4, min_shared=25,
                              max_doc_freq=50)
 
@@ -1847,7 +1873,7 @@ def dedup_index_append_serve(spark, sf_dir):
     )
 
     d = load_table(spark, sf_dir, "documents")
-    canon = d.groupBy("text").agg(F.min("doc_id").cast("bigint").alias("doc_id"))
+    canon = _exact_canon(d)
     part_a = canon.filter(F.col("doc_id") % 3 != 0)
     part_b = canon.filter(F.col("doc_id") % 3 == 0)
     path = _resident_path("dedup_idx_app", sf_dir)
@@ -1875,7 +1901,7 @@ def dedup_winnow_pairs_indexed(spark, sf_dir):
     from .operators.dedup_index import ensure_dedup_index, winnow_pairs_from_index
 
     d = load_table(spark, sf_dir, "documents")
-    canon = d.groupBy("text").agg(F.min("doc_id").cast("bigint").alias("doc_id"))
+    canon = _exact_canon(d)
     path = ensure_dedup_index(
         canon, _dedup_index_path(sf_dir, "winnow"), kind="winnow", k=8, w=4
     )
@@ -1891,7 +1917,7 @@ def dedup_jaccard_pairs_indexed(spark, sf_dir):
     from .operators.dedup_index import ensure_dedup_index, jaccard_pairs_from_index
 
     d = load_table(spark, sf_dir, "documents")
-    canon = d.groupBy("text").agg(F.min("doc_id").cast("bigint").alias("doc_id"))
+    canon = _exact_canon(d)
     path = ensure_dedup_index(
         canon, _dedup_index_path(sf_dir, "shingle"), kind="shingle", k=5
     )
