@@ -72,6 +72,16 @@ def get_spark(
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # Let the planner pick shuffled-hash join when its size
+        # conditions are met instead of always preferring sort-merge
+        # (round 19, guide §3.1/§9 baseline): per-partition hash build
+        # skips both sort legs. Value-identical (both are exact
+        # equi-join algorithms); the planner's build-side size gate
+        # still applies, and on clusters AQE's skew handling covers the
+        # residual risk. Measured at sf0.1 (AQE-off bench session,
+        # interleaved): q21 0.94->0.78, er_fuzzy 1.01->0.89,
+        # curation_v3 1.87->1.68, winnow_capped 1.90->1.72, dsir/q2 flat.
+        .config("spark.sql.join.preferSortMergeJoin", "false")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
         .config("spark.driver.memory", mem)  # no-op post-launch; kept for spark-submit paths
