@@ -274,21 +274,26 @@ def quantile_threshold_filter(
     hist = b.groupBy("_qbucket").agg(F.count(F.lit(1)).alias("_c"))
     from pyspark.sql import Window
 
-    # histogram-sized window: <= `buckets` rows on one task by design
-    cdf = hist.withColumn(
-        "_cum",
+    # histogram-sized window: <= `buckets` rows on one task by design.
+    # N rides the SAME window as the running count (round 19): the full
+    # unbounded frame shares the cdf's partition/order spec, so both
+    # land in one WindowExec and the separate 1-row `total` aggregate —
+    # previously its own broadcast subquery, i.e. one more serial job
+    # per gate on every curation chain — disappears. sum(_c) over the
+    # histogram is provably the corpus count (every row lands in
+    # exactly one bucket); no second corpus scan either way.
+    w = Window.orderBy("_qbucket")
+    cdf = hist.select(
+        "_qbucket",
         F.sum("_c").over(
-            Window.orderBy("_qbucket")
-            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        ),
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ).alias("_cum"),
+        F.sum("_c").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        ).alias("_n"),
     )
-    # N from the ≤`buckets`-row histogram, not a second corpus scan:
-    # sum(_c) is provably the same count (every row lands in exactly
-    # one bucket) and saves one full pass at the scale this targets
-    total = hist.groupBy().agg(F.sum("_c").alias("_n"))
     thresh = (
-        cdf.crossJoin(F.broadcast(total.coalesce(1)))
-        .filter(
+        cdf.filter(
             # integer `div`: floor(N * num / den) with no float on the path
             F.col("_cum")
             <= F.expr(f"(_n * {drop_frac_num}) div {drop_frac_den}")
