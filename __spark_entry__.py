@@ -25,6 +25,59 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The correctness driver evaluates the first 50 registry entries in order.
+# Round-19 rotation (optimization round 2): the window the r18 rotation
+# comment published (the 4-entry r18 displaced tail + the r15 bucket —
+# 4 + 46 = 50 exactly, no r16 head needed), amended per I2 and VERDICT
+# r18 ask #2 with the changed-call-path insertions below. Composition,
+# in order:
+# (1) the 4-entry r18 displaced tail (at the I2 worst-case staleness
+#     clock; they run FIRST and are displacement-exempt this round):
+#     scalar_array_funcs, conditional_null_funcs, pipeline_count_rows,
+#     pipeline_limit_probe.
+# (2) 12 changed-call-path insertions (I2 head insertions, riskiest
+#     first). Two populations, one list:
+#     - VERDICT r18 ask #2 (r18-optimizer-changed entries whose only
+#       r18 evidence was local comparator runs): pipeline_curation_v3,
+#       pipeline_curation_funnel, pipeline_curation_incremental,
+#       filter_quality_quantile, text_quality_score,
+#       text_cleaning_pass_profile, sample_source_cap,
+#       multimodal_codec_mix, multimodal_lossless_payloads.
+#       (The rest of that ask's list — sample_dsir_weights,
+#       pipeline_curation_dsir, multimodal_video_frames,
+#       profile_data_card, sample_quality_weighted,
+#       sample_source_budget — are r15-bucket members already inside
+#       this window's segment (3).)
+#     - r19 in-round optimization changes not already covered:
+#       pipeline_curation_html (gate project dedupe + exchange-topped
+#       cache rule), dedup_exact_docs (fingerprint-first canon),
+#       dedup_boilerplate_lines (emit_stats Java-\s separator guard on
+#       its operator path). The other r19-changed paths — dsir fusion,
+#       canon at the index builds, clustered ANN stores, quantile
+#       window fold — run through r15-bucket members already in (3):
+#       sample_dsir_weights, pipeline_curation_dsir,
+#       dedup_winnow_pairs_indexed, dedup_jaccard_pairs_indexed,
+#       dedup_index_append_serve, embedding_near_dup_indexed,
+#       ann_ivf_index_persisted.
+# (3) the r15 bucket head — 34 of 46, r15 window order. The 12-entry
+#     tail (scalar_date_math_funcs, type_mapping_enrichment,
+#     pipeline_config_flatten, pipeline_project_drop,
+#     pipeline_audit_columns, pipeline_flatten_subform,
+#     events_pivot_types, q9_product_profit, q15_top_supplier,
+#     q17_small_quantity_revenue, q19_discounted_revenue,
+#     q22_idle_customers) is displaced to r20's head per I2.
+# 4 + 12 + 34 = 50 exactly.
+#
+# Schedule from here (bucket sizes as of r19 END):
+#   r20: the 12-entry r19 displaced tail (above) + the r16 bucket head
+#        (fills to 50), r16 window order. Any r20 in-round change/
+#        registration displaces from the r16 segment, tail-first.
+#   r21: r16 tail + r17 bucket head.
+#   Every bucket clears within 4 rounds of its last check, tails within
+#   5, per I1/I2. (session.py's preferSortMergeJoin baseline change is
+#   conf-level and invisible to the driver's vanilla correctness
+#   session — no per-entry displacement owed; the bench measures it.)
+#
+# Previous round's comment (kept for the audit trail):
 # Round-18 rotation: the window the r17 rotation comment and VERDICT r17
 # (ask #1) published, run exactly. Composition, in order:
 # (1) the 5-entry r17 displaced tail (displaced by r17's in-round
@@ -668,65 +721,66 @@ def entry(spark: SparkSession) -> DataFrame:
 #   r15: r11 bucket (50)
 #
 CHECK_ORDER = [
-    # (1) the 5-entry r17 displaced tail — at the I2 worst-case
-    # staleness clock; displacement-exempt this round per VERDICT r17
-    # ask #1
-    "profile_quality_drift",
-    "profile_join_skew",
-    "dq_k_anonymity",
-    "events_conversion_latency",
-    "events_scd2_incremental",
-    # (2) the r14 bucket, r14 window order (45 published; the last 4 —
-    # scalar_array_funcs, conditional_null_funcs, pipeline_count_rows,
-    # pipeline_limit_probe — displaced to r19's head by the in-round
-    # r18 changes a./b. below)
-    "profile_corpus_fingerprint",
-    "sample_multi_epoch_plan",
-    "profile_source_dup_pressure",
-    "embedding_normalize",
-    "pack_document_chunks",
-    "text_vocab_topk",
-    "pipeline_curation_e2e",
-    "text_lm_quality_score",
-    "text_html_extract",
+    # (1) the 4-entry r18 displaced tail — at the I2 worst-case
+    # staleness clock; displacement-exempt this round
+    "scalar_array_funcs",
+    "conditional_null_funcs",
+    "pipeline_count_rows",
+    "pipeline_limit_probe",
+    # (2) changed-call-path insertions (I2; VERDICT r18 ask #2 + the
+    # r19 in-round changes — see the rotation comment), riskiest first
+    "pipeline_curation_v3",
+    "pipeline_curation_funnel",
     "pipeline_curation_html",
-    "pack_greedy_sequences",
+    "pipeline_curation_incremental",
+    "filter_quality_quantile",
+    "dedup_exact_docs",
     "dedup_boilerplate_lines",
-    "events_tumbling_hourly",
-    "q21_last_shipper_preagg",
-    "odata_source_scan",
-    "pipeline_e2e_flagship",
-    "q1_pricing_summary",
-    "q3_shipping_priority",
-    "q4_order_priority",
-    "q5_local_supplier_volume",
-    "q6_revenue_forecast",
-    "q10_returned_items",
-    "q18_large_orders",
-    "top_customers_by_revenue",
-    "agg_distinct_suppliers",
-    "percentiles_quantity",
-    "rollup_lineitem_status",
-    "cube_orders_status_priority",
-    "grouping_sets_lineitem",
-    "pivot_segment_by_region",
-    "join_left_outer_nulls",
-    "join_full_outer",
-    "semi_join_customers_with_orders",
-    "anti_join_customers_without_orders",
-    "setop_nation_intersect",
-    "setop_nation_except",
-    "union_all_distinct",
-    "window_running_total",
-    "window_lag_lead_ntile",
-    "window_topk_orders_per_customer",
-    "scalar_string_funcs",
-    # (3) in-round r18 changed-path entries (rotation comment a./b.) —
-    # displacing the 4-entry r14 segment tail to r19's head
-    "streaming_scd2_maintenance",
-    "streaming_scd2_with_deletes",
-    "streaming_html_ingest",
-    "pipeline_refresh_cdc_audit",
+    "text_quality_score",
+    "text_cleaning_pass_profile",
+    "sample_source_cap",
+    "multimodal_codec_mix",
+    "multimodal_lossless_payloads",
+    # (3) the r15 bucket head — 34 of 46, r15 window order (the
+    # 12-entry tail is displaced to r20's head per I2; see the
+    # rotation comment). The r19-changed r15 members
+    # (sample_dsir_weights, pipeline_curation_dsir, the dedup index
+    # twins, embedding_near_dup_indexed, ann_ivf_index_persisted) get
+    # their driver evidence here.
+    "pipeline_watermark_filter",
+    "er_blocking_skew_audit",
+    "dedup_winnow_pairs_indexed",
+    "dedup_jaccard_pairs_indexed",
+    "sample_epoch_shuffle_wide",
+    "text_bpe_tokens_arrow",
+    "text_bpe_tokens_large",
+    "er_incremental_match",
+    "er_assign_to_golden",
+    "er_assign_from_store",
+    "er_store_append_serve",
+    "dedup_index_append_serve",
+    "sample_dsir_weights",
+    "pipeline_curation_dsir",
+    "er_first_token_pairs",
+    "export_curriculum_readback",
+    "dedup_minhash_lsh_md5",
+    "dedup_simhash_pairs_md5",
+    "streaming_er_maintenance",
+    "multimodal_video_frames",
+    "pack_training_sequences_bpe",
+    "embedding_near_dup_indexed",
+    "profile_data_card",
+    "export_jsonl_corpus",
+    "sample_source_budget",
+    "sample_quality_weighted",
+    "embedding_dedup_canonical",
+    "text_bpe_train",
+    "export_training_shards",
+    "multimodal_binary_meta",
+    "ann_ivf_index_persisted",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q13_customer_distribution",
 ]
 
 

@@ -261,6 +261,16 @@ def main() -> None:
               file=sys.stderr)
 
     timings: dict[str, float] = {}
+    # Round-19 ADDITIVE series (VERDICT r18 ask #8, published alongside
+    # the existing metric, which is unchanged): min over the FIRST FOUR
+    # warm attempts (attempts[1:5]) — a fixed per-entry attempt budget.
+    # The existing convergence loop gives >1 s entries up to 8 warm
+    # attempts while sub-second ones get ~3, so on storm-prone hosts the
+    # big entries get more chances at a lucky quiet window and the
+    # cross-entry comparison subtly biases. The fixed-budget series
+    # makes attempt counts uniform; keep both for at least one round
+    # before judging which is the better round-over-round number.
+    timings_min4: dict[str, float] = {}
     errors: dict[str, str] = {}
     for name in HEADLINE:
         # one failing entry must not discard the whole run's timings
@@ -322,6 +332,8 @@ def main() -> None:
             continue  # mid-attempt failure: no honest number to record
         print(f"[bench] {name}: attempts={attempts} best={best:.3f}", file=sys.stderr)
         timings[name] = round(best, 3)
+        if len(attempts) > 1:
+            timings_min4[name] = round(min(attempts[1:5]), 3)
 
     # a non-'sf<number>' fixture dir must not crash AFTER all the
     # timing work and lose the output line (review finding)
@@ -358,6 +370,13 @@ def main() -> None:
         "calib_io_per_cpu": round(calibration_io / calibration, 3)
         if (calibration and calibration_io) else None,
         "queries": timings,
+        # ADDITIVE series since round 19 (nothing removed/renamed —
+        # "queries" and every total keep their exact prior meaning):
+        # min over each entry's first 4 warm attempts, a fixed
+        # per-entry attempt budget for cross-entry comparability on
+        # storm-prone hosts (the adaptive loop gives >1 s entries up
+        # to 8 warm attempts vs ~3 for sub-second ones).
+        "queries_min_of_4_warm": timings_min4,
         # present (and non-empty) only when an entry failed — a failed
         # entry is also absent from queries/totals
         **({"errors": errors} if errors else {}),
